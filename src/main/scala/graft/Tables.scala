@@ -16,21 +16,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects outright; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as LongType nanos. We truncate to micros (integer div — no double
-    * round-trip, which would lose precision above 2^53) to match both the
-    * reference's microsecond TimestampType semantics and DuckDB's ns→µs read. */
+    * rejects outright; the session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (done in the Verify/Bench/test
+    * builders — NOT here: a query builder must not mutate shared session
+    * state) so it arrives as LongType nanos. We truncate to micros (integer
+    * div — no double round-trip, which would lose precision above 2^53) to
+    * match both the reference's microsecond TimestampType semantics and
+    * DuckDB's ns→µs read. Timestamps are all post-epoch (TESTDATA starts
+    * 2024-01-01), so truncation == floor. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every testdata table as a temp view so `spark.sql` queries
-    * (CTE / SQL-surface operators) can address them by bare name, matching the
-    * DuckDB oracle's table names. */
+  /** Register a subset of testdata tables as temp views so `spark.sql`
+    * queries (CTE / SQL-surface operators) can address them by bare name,
+    * matching the DuckDB oracle's table names. Register only what the query
+    * reads — at scale, schema inference of unrelated multi-TB prefixes is
+    * pure waste. */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every testdata table (harness/diagnostic use only). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.Tables
+
+/** Part B aggregate surface (SURVEY.md §2 B5-B9): multi-aggregate (TPC-H Q1
+  * shape), exact + approximate distinct counting, rollup grouping sets, top-k
+  * (global and per-group), and the ranking/analytic window battery.
+  *
+  * Scale design: every aggregate here is a partial+final hash aggregate (map
+  * side combine before the shuffle); the global top-k compiles to
+  * `TakeOrderedAndProjectExec` (per-partition heap of k, no full sort);
+  * `approx_count_distinct` is HyperLogLog++ — constant memory per group where
+  * exact distinct needs a per-group hash set. Running sums in the window
+  * battery accumulate in DECIMAL so the result is order-independent exact
+  * (see [[Det]]).
+  */
+object Aggs extends QueryModule {
+
+  private val Dec = DecimalType(18, 4)
+
+  def queries: Map[String, Q] = Map(
+    // B5 — TPC-H Q1 shape: 7 aggregates over lineitem grouped by the two
+    // status flags. The derived discounted price is a per-row double product
+    // (bit-identical on both engines) accumulated exactly in decimal.
+    "q_agg_multi" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // B6a — exact distinct aggregates (expands to a two-phase plan: distinct
+    // shuffle then count). Exact is the oracle-checked form.
+    "q_agg_distinct" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // B6b — HyperLogLog++ approximate distinct: the 100 TB-scale form (no
+    // per-group hash set, mergeable sketches). Not SQL-oracle-comparable
+    // (estimator differs across engines) → rows-only check + ScalaTest bound.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // B7 — ROLLUP(year, month): detail rows + per-year subtotal + grand
+    // total in one pass (Catalyst Expand + single aggregate). grouping_id
+    // disambiguates subtotal levels; sort keys are null-coalesced so both
+    // engines order identically.
+    "q_rollup_cube" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("o_month", month(col("o_orderdate")))
+        .rollup("o_year", "o_month")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"),
+          grouping_id().cast(IntegerType).as("g_id"))
+        .orderBy(col("g_id"), coalesce(col("o_year"), lit(-1)), coalesce(col("o_month"), lit(-1)))),
+
+    // B8a — global top-k: orderBy+limit compiles to TakeOrderedAndProjectExec
+    // (per-partition bounded heap, no global sort shuffle of the full table).
+    "q_topk" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)),
+
+    // B8b — top-3 per group via ranked window; the rank predicate prunes
+    // inside the per-group sort, never materializing the full ordering.
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // B9 — ranking/analytic battery over one window spec: row_number, rank,
+    // dense_rank, lag, lead, and a running decimal-exact sum with an explicit
+    // ROWS frame. One shuffle (partition key), one sort, one WindowExec.
+    "q_window_rank_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(IntegerType).as("rn"),
+          rank().over(w).cast(IntegerType).as("rnk"),
+          dense_rank().over(w).cast(IntegerType).as("drnk"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          sum(col("o_totalprice").cast(Dec)).over(wRun).cast(DoubleType).as("run_total"))
+        .orderBy("o_orderpriority", "rn")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_multi" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+         |  ${Det.sqlSum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |  ${Det.sqlAvg("l_quantity")} AS avg_qty,
+         |  MIN(l_extendedprice) AS min_price,
+         |  MAX(l_extendedprice) AS max_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_agg_approx_distinct: omitted — HLL estimates are engine-specific.
+    "q_rollup_cube" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         |       COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total,
+         |       CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS INTEGER) AS g_id
+         |FROM orders GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+         |ORDER BY g_id, COALESCE(o_year, -1), COALESCE(o_month, -1)""".stripMargin,
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_topk_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_window_rank_lag" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin
+  )
+}

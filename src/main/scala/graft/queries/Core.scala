@@ -139,7 +139,7 @@ object Core extends QueryModule {
     }),
 
     "q_cte" -> ((s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, "events") // only the table the SQL reads
       s.sql(CteSql) // same text runs on DuckDB — see oracles
     }),
 
@@ -150,16 +150,27 @@ object Core extends QueryModule {
         .orderBy("o_orderstatus", "o_orderpriority"))
   )
 
+  /** Mirrors the reference's Analytics Q2 composition
+    * (pasta2_analytics/src/main.py:33-50): dual window averages computed
+    * inside a CTE, then dedup via GROUP BY over ALL selected columns —
+    * including the window values in the grouping key (the reference's
+    * semantic quirk, SURVEY.md §3.3) — then a multi-column ORDER BY.
+    * Identical text runs on Spark and DuckDB. */
   private val CteSql =
-    """WITH monthly AS (
-      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-      |         CAST(month(o_orderdate) AS INTEGER) AS o_month,
-      |         o_totalprice
-      |  FROM orders)
-      |SELECT o_year, o_month,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
-      |       COUNT(*) AS n
-      |FROM monthly GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin
+    """WITH events_window AS (
+      |  SELECT CAST(year(ts) AS INTEGER) AS e_year,
+      |         CAST(month(ts) AS INTEGER) AS e_month,
+      |         CAST(day(ts) AS INTEGER) AS e_day,
+      |         CAST(hour(ts) AS INTEGER) AS e_hour,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wd AS DOUBLE) / COUNT(*) OVER wd AS avg_day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wh AS DOUBLE) / COUNT(*) OVER wh AS avg_hour
+      |  FROM events
+      |  WINDOW wd AS (PARTITION BY year(ts), month(ts), day(ts)),
+      |         wh AS (PARTITION BY year(ts), month(ts), day(ts), hour(ts)))
+      |SELECT e_year, e_month, e_day, e_hour, avg_day, avg_hour
+      |FROM events_window
+      |GROUP BY e_year, e_month, e_day, e_hour, avg_day, avg_hour
+      |ORDER BY e_year, e_month, e_day, e_hour""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_scan_parquet" ->

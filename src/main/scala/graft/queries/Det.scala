@@ -9,9 +9,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Summing doubles is order-dependent, and Spark's partial/final aggregation
   * order differs from DuckDB's — `round(sum(x),4)` still flaps once the sum's
   * absolute error exceeds 5e-5 (guaranteed at sf0.1 magnitudes). Instead we
-  * accumulate **exactly** in DECIMAL(18,4) (all money columns carry ≤2 decimal
-  * places, so the cast is lossless modulo the identical double→decimal
-  * rounding both engines perform) and convert the exact result to DOUBLE once.
+  * accumulate **exactly** in DECIMAL(18,4) and convert the exact result to
+  * DOUBLE once. The double→DECIMAL(18,4) cast itself is deterministic across
+  * engines NOT because inputs carry ≤4 decimal digits (testdata doubles
+  * don't), but because exact decimal half-way points (k·5e-5) are
+  * unrepresentable in binary doubles — so Spark's HALF_UP and DuckDB's
+  * rounding can never disagree on any representable input. Narrowing the
+  * scale or changing the rounding mode would break this invariant.
   * Same-valued decimals convert to bit-identical doubles on both engines.
   */
 object Det {

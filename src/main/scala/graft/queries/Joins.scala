@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.Tables
+
+/** Part B joins (SURVEY.md §2 B1-B4) over the driver's star schema.
+  *
+  * The reference itself has no joins (SURVEY.md §2 coverage note); these are
+  * the north-star general-analytics surface. Scale design:
+  *  - dimension sides (`region`, `nation`, filtered `lineitem` keys) are
+  *    explicitly `broadcast()` — at 100 TB the fact side never shuffles for a
+  *    dim lookup;
+  *  - the fact⋈fact join (`orders ⋈ customer`) is a plain equi-join left to
+  *    Catalyst/AQE: sort-merge or shuffled-hash on the join key, which is the
+  *    right plan when both sides are large;
+  *  - semi/anti joins ship only the key column of the filtered side.
+  */
+object Joins extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // B1 — broadcast hash join chain: fact(customer) ⋈ B(nation) ⋈ B(region).
+    // Both dims are tiny at any scale (25 / 5 rows) → BroadcastHashJoinExec,
+    // zero shuffle on the fact side before the aggregation.
+    "q_join_broadcast" -> ((s, d) => {
+      val customer = Tables(s, d, "customer")
+      val nation = Tables(s, d, "nation")
+      val region = Tables(s, d, "region")
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // B2 — shuffle equi-join of two fact-sized tables on o_custkey=c_custkey;
+    // Catalyst picks SortMergeJoin/ShuffledHashJoin (AQE may switch at
+    // runtime). Aggregation after the join is partial+final hash agg.
+    "q_join_shuffle" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      val customer = Tables(s, d, "customer")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_mktsegment", "o_year")
+    }),
+
+    // B3 — left-semi + left-anti on the same predicate, tagged and unioned:
+    // orders that do / don't have a returned ('R') lineitem. Each order lands
+    // in exactly one branch → o_orderkey is unique in the result.
+    "q_join_semi_anti" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      val returned = Tables(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      val semi = orders.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), lit("has_return").as("tag"))
+      val anti = orders.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), lit("no_return").as("tag"))
+      semi.union(anti).orderBy("o_orderkey")
+    }),
+
+    // B4 — left outer join with visible null-extension: customers against
+    // their 2001 orders; customers without one keep a NULL order side. The
+    // sort key coalesces the nullable column so Spark (NULLS FIRST) and
+    // DuckDB (NULLS LAST) order identically.
+    "q_join_outer" -> ((s, d) => {
+      val customer = Tables(s, d, "customer")
+      val orders2001 = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast(TimestampType))
+      customer
+        .join(orders2001, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${Det.sqlSum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_shuffle" ->
+      s"""SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment, o_year ORDER BY c_mktsegment, o_year""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT o_orderkey, 'has_return' AS tag FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |UNION ALL
+        |SELECT o_orderkey, 'no_return' AS tag FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer
+        |LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin
+  )
+}

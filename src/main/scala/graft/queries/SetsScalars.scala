@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+
+import graft.Tables
+
+/** Part B set operations + scalar-function surface (SURVEY.md §2 B10-B11).
+  *
+  * B10: UNION (distinct) / INTERSECT / EXCEPT between the nation-key sets of
+  * customers and high-balance suppliers, tagged and stacked into one result.
+  * Each set op is a hash-aggregate-style dedup/shuffle on the key — at scale,
+  * identical cost to a distinct groupBy; no driver-side sets.
+  *
+  * B11: the string/math/date scalar batteries — all built-in Catalyst
+  * expressions (codegen'd, pushdown-friendly), zero UDFs.
+  */
+object SetsScalars extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // B10 — union/intersect/except, each branch tagged. Supplier side is
+    // filtered (acctbal > 5000) so EXCEPT is non-empty on the testdata.
+    "q_setops" -> ((s, d) => {
+      val custNations = Tables(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val suppNations = Tables(s, d, "supplier")
+        .filter(col("s_acctbal") > 5000.0)
+        .select(col("s_nationkey").as("nk"))
+      val u = custNations.union(suppNations).distinct()
+        .select(lit("union").as("tag"), col("nk"))
+      val i = custNations.intersect(suppNations)
+        .select(lit("intersect").as("tag"), col("nk"))
+      val e = custNations.except(suppNations)
+        .select(lit("except").as("tag"), col("nk"))
+      u.union(i).union(e).orderBy("tag", "nk")
+    }),
+
+    // B11a — string + math scalar battery over part.
+    "q_scalar_funcs" -> ((s, d) =>
+      Tables(s, d, "part")
+        .select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          concat(col("p_type"), lit("#"), col("p_brand")).as("type_brand"),
+          col("p_name").like("%red%").as("is_red"),
+          length(col("p_name")).cast(IntegerType).as("name_len"),
+          round(col("p_retailprice"), 1).as("price_r1"),
+          abs(col("p_retailprice") - lit(1000.0)).as("price_dist"),
+          floor(col("p_retailprice")).cast(LongType).as("price_fl"),
+          ceil(col("p_retailprice")).cast(LongType).as("price_ce"),
+          (col("p_size") % 7).cast(IntegerType).as("size_mod"))
+        .orderBy("p_partkey")),
+
+    // B11b — date/time scalar battery over orders (timestamps are
+    // midnight-aligned, so day arithmetic is exact on both engines).
+    "q_scalar_dates" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+            .cast(IntegerType).as("days_since"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).cast(IntegerType).as("q"),
+          dayofmonth(col("o_orderdate")).cast(IntegerType).as("dom"),
+          add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
+        .orderBy("o_orderkey"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_setops" ->
+      """SELECT 'union' AS tag, nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'intersect', nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'except', nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+        |ORDER BY tag, nk""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 5) AS name5,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  concat(p_type, '#', p_brand) AS type_brand,
+        |  p_name LIKE '%red%' AS is_red,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  round(p_retailprice, 1) AS price_r1,
+        |  abs(p_retailprice - 1000.0) AS price_dist,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ce,
+        |  CAST(p_size % 7 AS INTEGER) AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
