@@ -7,7 +7,9 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every query module's declared queries and oracle SQL. */
 object SparkEntry {
-  private val modules: Seq[QueryModule] = Seq(Core, Joins, Aggs, SetsScalars)
+  private val modules: Seq[QueryModule] = Seq(
+    Core, Joins, Aggs, SetsScalars,
+    graft.llm.Dedup, graft.llm.Text, graft.llm.Similarity, graft.llm.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's Analytics-Q1 shape (grouped average over monthly

@@ -1,0 +1,273 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.Tables
+import graft.queries.QueryModule
+import PortableHash._
+
+/** Deduplication operator family for large-scale training-data pipelines
+  * (SURVEY.md §2 B12-B13 + the north-star dedup mandate): exact keep-latest,
+  * MinHash+LSH near-dup, SimHash, blocked n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the whole point of these operators):
+  *  - NOTHING is all-pairs. MinHash candidates come from banded LSH bucket
+  *    equi-joins; SimHash pairs from 8-bit band buckets; n-gram Jaccard from
+  *    (lang, length-bucket) blocking; embedding pairs from hyperplane-sign
+  *    buckets. Every self-join is an equi-join on a bucket key — a hash
+  *    shuffle whose fan-in is bounded by band width, never O(n²).
+  *  - Signatures are computed per-row with higher-order functions (no
+  *    explode→shuffle for signature construction).
+  *  - Exact dedup is the deterministic `row_number` form, not
+  *    `dropDuplicates` (nondeterministic tie-break — SURVEY.md §7.5).
+  *
+  * Hashes are the engine-portable [[PortableHash]] family so every query has
+  * a cell-exact DuckDB oracle; swap `xxhash64` in at cluster scale.
+  */
+object Dedup extends QueryModule {
+
+  private val NumHashes = 16 // MinHash signature length
+  private val BandRows = 2   // rows per LSH band → 8 bands
+  private val MinhashJaccard = 0.05
+  private val NgramJaccard = 0.06
+  private val CosineThreshold = 0.35
+
+  /** tokens → distinct 2-gram shingle strings (per-row, no shuffle). */
+  private def shingles2(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
+  private val sqlShingles2 =
+    "list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])"
+
+  /** doc_id + distinct shingle set + MinHash signature (array of NumHashes). */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), shingles2(toks).as("shingles"))
+      .withColumn("hv", transform(col("shingles"), sh => polyChar(sh)))
+      .withColumn("mh", array((0 until NumHashes).map(j =>
+        array_min(transform(col("hv"), h => permute(h, j)))): _*))
+      .drop("hv")
+  }
+
+  /** Exact Jaccard between two distinct-element array columns, as double
+    * (int/int division — bit-identical on both engines). */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  def queries: Map[String, Q] = Map(
+    // B12 — exact dedup keeping the latest event per (user_id, event_type):
+    // deterministic row_number over a total order (ts DESC, event_id DESC).
+    // One hash shuffle on the business key; scale-safe for any key cardinality.
+    "q_dedup_exact" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(desc("ts"), desc("event_id"))
+      Tables(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // B13 — MinHash + banded LSH near-dup detection:
+    // shingle → 16-hash signature (per-row) → 8 bands of 2 → bucket
+    // equi-join → exact Jaccard on candidates only. Never all-pairs.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sig = signatures(Tables(s, d, "documents"))
+      // slim (doc_id, band, bkey) for the bucket join; shingle sets join
+      // back in only for the surviving candidates.
+      val bandCols = array((0 until NumHashes / BandRows).map { b =>
+        element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2)
+      }: _*)
+      val bands = sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bkey")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= MinhashJaccard)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 31-bit signature from token-hash bit votes, computed entirely
+    // per-row (31 fold-aggregates over the token-hash array; no shuffle).
+    "q_dedup_simhash" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val withHv = Tables(s, d, "documents")
+        .select(col("doc_id"), transform(toks, t => polyChar(t)).as("hv"))
+      val bitSums = (0 until 31).map(b =>
+        aggregate(col("hv"), lit(0L),
+          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)))
+      val simhash = (0 until 31).map(b =>
+        when(bitSums(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      withHv.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    }),
+
+    // SimHash duplicate pairs at hamming distance 0: a plain equi-self-join
+    // on the signature — one hash shuffle keyed by simhash, cluster-bounded
+    // fan-out. (For hamming ≤ k at scale the standard generalization is
+    // banding the signature and filtering candidates with
+    // `bit_count(a XOR b) <= k`; on this testdata's 31-token vocabulary any
+    // k ≥ 1 degenerates to near-all-pairs — median inter-doc hamming is 6 —
+    // so the declared query is the k = 0 form.)
+    "q_dedup_simhash_pairs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val withHv = Tables(s, d, "documents")
+        .select(col("doc_id"), transform(toks, t => polyChar(t)).as("hv"))
+      val bitSums = (0 until 31).map(b =>
+        aggregate(col("hv"), lit(0L),
+          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)))
+      val simhash = (0 until 31).map(b =>
+        when(bitSums(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      val sigs = withHv.select(col("doc_id"), simhash.as("simhash"))
+      sigs.as("x").join(sigs.as("y"),
+          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("simhash"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Blocked exact n-gram Jaccard: candidate pairs only within the same
+    // (lang, token-count-bucket) block — classic blocking, no all-pairs.
+    "q_dedup_ngram" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), shingles2(toks).as("sh"),
+          floor(size(toks) / lit(10.0)).cast(LongType).as("bucket"))
+      base.as("x").join(base.as("y"),
+          col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+        .filter(col("jaccard") >= NgramJaccard)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup via hyperplane-sign LSH: 8 data-derived
+    // anchors (vec_id < 8) give 8 sign bits → 2 bands of 4 bits → bucket
+    // join → exact fixed-point cosine ≥ 0.35 on candidates. Anchors are
+    // broadcast; sign bits are computed per-row against the broadcast array
+    // (zero shuffle); embeddings are unit-norm so cosine = dot.
+    "q_dedup_embedding" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val anchorArr = emb.filter(col("vec_id") < 8)
+        .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
+          .as("anchors"))
+      val withAnchors = emb.crossJoin(broadcast(anchorArr))
+      def bandKey(lo: Int): Column =
+        (0 until 4).map { i =>
+          when(dotFixed(col("embedding"),
+            element_at(col("anchors"), lo + i + 1).getField("a_emb")) > 0,
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val sigs = withAnchors.select(col("vec_id"), col("embedding"),
+        bandKey(0).as("b0"), bandKey(4).as("b1"))
+      val bands = sigs.select(col("vec_id"),
+        posexplode(array(col("b0"), col("b1"))).as(Seq("band", "bkey")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+        .select(col("vec_a"), col("vec_b"), dotFixed(col("e_a"), col("e_b")).as("cosine"))
+        .filter(col("cosine") >= CosineThreshold)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private def simhashSql(alias: String): String =
+    s"""hs AS (SELECT doc_id,
+       |  [${sqlPolyChar("s")} for s in string_split(text, ' ')] AS hv FROM documents),
+       |bits AS (SELECT doc_id,
+       |  [list_sum([((h >> b) & 1) * 2 - 1 for h in hv]) for b in range(0, 31)] AS bs FROM hs),
+       |$alias AS (SELECT doc_id,
+       |  CAST(list_sum([CASE WHEN bs[b+1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |                 for b in range(0, 31)]) AS BIGINT) AS simhash FROM bits)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),
+         |hs AS (SELECT doc_id, shingles, [${sqlPolyChar("s")} for s in shingles] AS hv FROM sh),
+         |sig AS (SELECT doc_id, shingles,
+         |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b, mh[2*b+1] * $P + mh[2*b+2] AS bkey
+         |  FROM sig, (SELECT unnest(range(0, ${NumHashes / BandRows})) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+         |WHERE jaccard >= $MinhashJaccard
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH ${simhashSql("sig")}
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH ${simhashSql("sig")}
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS simhash
+         |FROM sig x JOIN sig y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |blocked AS (
+         |  SELECT doc_id, lang, $sqlShingles2 AS sh,
+         |         CAST(floor(len(t) / 10.0) AS BIGINT) AS bucket
+         |  FROM base)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |    len(list_distinct(x.sh || y.sh)) AS jaccard
+         |FROM blocked x JOIN blocked y
+         |  ON x.lang = y.lang AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |WHERE jaccard >= $NgramJaccard
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH anchors AS (
+         |  SELECT list(embedding ORDER BY vec_id) AS al FROM embeddings WHERE vec_id < 8),
+         |sigs AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[i+1]")} > 0
+         |              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, 4)]) AS b0,
+         |    list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[i+5]")} > 0
+         |              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, 4)]) AS b1
+         |  FROM embeddings e, anchors a),
+         |bands AS (
+         |  SELECT vec_id, 0 AS band, b0 AS bkey FROM sigs
+         |  UNION ALL SELECT vec_id, 1, b1 FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT c.vec_a, c.vec_b, ${sqlDotFixed("ea.embedding", "eb.embedding")} AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |JOIN embeddings eb ON eb.vec_id = c.vec_b
+         |WHERE cosine >= $CosineThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

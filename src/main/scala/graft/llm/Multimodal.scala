@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.QueryModule
+
+/** Multimodal / nested-column operators (SURVEY.md §2 B16 + the north-star
+  * multimodal mandate).
+  *
+  * Two layers:
+  *  1. Declared queries — JSON props parsing (`from_json` /
+  *     `get_json_object`) and opaque-binary column plumbing (media payload
+  *     as `binary` + typed metadata), both oracle-checked.
+  *  2. [[MultimodalPipeline]] — the decode / feature-extract path a real
+  *     image/audio pipeline needs: typed `Dataset[MediaRecord]`,
+  *     `mapPartitions` batch-style processing (the JVM analog of an Arrow
+  *     batch UDF), deterministic STUB decoder (no image libs in this
+  *     container — the Spark-side plumbing (schema, batching, partitioning)
+  *     is real and unit-tested; swap `decodeStub` for a JNI/codec call in
+  *     production).
+  */
+object Multimodal extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // B16 — parse the events.props JSON string into typed fields, both via
+    // schema-driven from_json (codegen'd JsonToStructs) and path-driven
+    // get_json_object.
+    "q_multimodal_cols" -> ((s, d) =>
+      Tables(s, d, "events")
+        .withColumn("p", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+        .select(
+          col("event_id"),
+          col("p").getField("k").as("props_k"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("props_k2"))
+        .orderBy("event_id")),
+
+    // Opaque-binary plumbing: text payload treated as a binary media column
+    // with typed metadata; "features" here are decode-free byte statistics
+    // (the oracle-checkable subset — the stubbed decoder lives in
+    // MultimodalPipeline and is unit-tested instead).
+    "q_multimodal_binary" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("content", col("text").cast(BinaryType))
+        .select(
+          col("doc_id"),
+          length(col("content")).cast(LongType).as("n_bytes"),
+          ascii(col("text").substr(lit(1), lit(1))).cast(IntegerType).as("first_byte"),
+          col("source"),
+          col("lang"))
+        .orderBy("doc_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_cols" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k2
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_multimodal_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  source, lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
+
+/** Typed media record: opaque payload + structured metadata, the schema a
+  * 100 TB image/audio lake would carry (payload stays opaque bytes until the
+  * last possible operator; metadata is columnar and prunable). */
+final case class MediaMeta(mediaType: String, source: String, declaredBytes: Long)
+final case class MediaRecord(id: Long, content: Array[Byte], meta: MediaMeta)
+final case class MediaFeatures(
+    id: Long, mediaType: String, nBytes: Long,
+    width: Int, height: Int, histogram: Array[Float])
+
+/** Decode/feature-extract plumbing. `mapPartitions` processes records in
+  * partition-sized batches — the JVM analog of an Arrow-batch UDF: one
+  * decoder instantiation per partition, streaming iterator, no per-row
+  * setup. The decode itself is a STUB (deterministic fake — this container
+  * has no image/audio codecs); everything around it is real. */
+object MultimodalPipeline {
+
+  /** STUB decoder: deterministic fake "decode" deriving dimensions and a
+    * 4-bin byte histogram from the payload bytes. Replace with a real codec
+    * (e.g. javax.imageio / ffmpeg JNI) in production — the signature is the
+    * contract: bytes in, fixed-width features out. */
+  def decodeStub(content: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = content.length
+    val width = 16 + (n % 64)
+    val height = 16 + ((n / 64) % 64)
+    val hist = new Array[Float](4)
+    var i = 0
+    while (i < n) { hist((content(i) & 0xff) / 64) += 1f; i += 1 }
+    if (n > 0) { var b = 0; while (b < 4) { hist(b) /= n.toFloat; b += 1 } }
+    (width, height, hist)
+  }
+
+  /** Batch feature extraction: one decoder context per partition, rows
+    * streamed through it. Partitioning of the input is preserved — callers
+    * repartition by id/size upstream if decode cost is skewed. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder setup would go here (codec handles, buffers)
+      it.map { r =>
+        val (w, h, hist) = decodeStub(r.content)
+        MediaFeatures(r.id, r.meta.mediaType, r.content.length.toLong, w, h, hist)
+      }
+    }
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte as a "frame" marker —
+    * stands in for video frame sampling; the plumbing (explode to one row
+    * per frame, bounded by maxFrames) is the real part. */
+  def sampleFrames(records: Dataset[MediaRecord], stride: Int, maxFrames: Int): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      r.content.grouped(stride).take(maxFrames).zipWithIndex.map { case (chunk, idx) =>
+        (r.id, idx, chunk.length, chunk.headOption.map(_ & 0xff).getOrElse(0))
+      }
+    }.toDF("id", "frame_idx", "frame_bytes", "first_byte")
+  }
+
+  /** Documents table → typed media records (text payload as opaque bytes). */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, source, nChars) =>
+        MediaRecord(id, text.getBytes("UTF-8"), MediaMeta("text/plain", source, nChars))
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+import graft.queries.QueryModule
+import PortableHash._
+
+/** Vector-similarity search over `embeddings` (SURVEY.md §2 B14 + the
+  * north-star similarity-search mandate).
+  *
+  * Two paths, mirroring how a production ANN pipeline scales:
+  *  - `q_similarity_topk` — exact brute-force cosine top-k against a probe
+  *    vector: the probe is a broadcast single row, the dot product is a
+  *    per-row higher-order fold (zero shuffle), and `orderBy(...).limit(k)`
+  *    compiles to `TakeOrderedAndProjectExec` (bounded per-partition heap,
+  *    no global sort). This is the correctness baseline; it scans all
+  *    vectors — O(n) per probe.
+  *  - `q_similarity_ivf` — IVF-style pruning: vectors are assigned to the
+  *    nearest of 8 data-derived centroids (broadcast); the probe searches
+  *    ONLY its own centroid's bucket. At 100 TB this is the scale path: the
+  *    scan is cut by ~n_lists× (here 8×), and bucket assignment is a
+  *    per-row computation against broadcast centroids — no shuffle.
+  *
+  * Embeddings are unit-norm (checked in testdata), so cosine = dot product.
+  * Dot products use [[PortableHash.dotFixed]] (exact fixed-point, engine-
+  * portable) so both queries are cell-exact against the DuckDB oracle.
+  */
+object Similarity extends QueryModule {
+
+  private val TopK = 10
+  private val NumLists = 8
+
+  def queries: Map[String, Q] = Map(
+    // B14a — exact brute-force cosine top-k vs probe vec_id=0.
+    "q_similarity_topk" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          dotFixed(col("embedding"), col("pv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(TopK)
+    }),
+
+    // B14b — IVF-bucketed ANN: assign every vector (and the probe) to its
+    // max-dot centroid among vec_id < 8; rank only within the probe's list.
+    "q_similarity_ivf" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < NumLists)
+        .agg(array_sort(collect_list(struct(col("vec_id").as("c_id"), col("embedding").as("c_emb"))))
+          .as("cents"))
+      // per-row: dot against each of the 8 broadcast centroids, argmax with
+      // lowest-index tie-break (array_position returns the first match).
+      val withCents = emb.crossJoin(broadcast(centroids))
+      val dots = transform(col("cents"), st => dotFixed(col("embedding"), st.getField("c_emb")))
+      val assigned = withCents
+        .withColumn("dots", dots)
+        .withColumn("list_id", (array_position(col("dots"), array_max(col("dots"))) - 1)
+          .cast(IntegerType))
+        .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"), col("list_id").as("p_list"))
+      assigned.join(broadcast(probe), col("list_id") === col("p_list"))
+        .select(col("vec_id"), col("label"), col("list_id"),
+          dotFixed(col("embedding"), col("pv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(TopK)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_similarity_topk" ->
+      s"""WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${sqlDotFixed("embedding", "pv")} AS sim
+         |FROM embeddings, probe
+         |ORDER BY sim DESC, vec_id LIMIT $TopK""".stripMargin,
+    "q_similarity_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT list(embedding ORDER BY vec_id) AS cl FROM embeddings WHERE vec_id < $NumLists),
+         |assigned AS (
+         |  SELECT e.vec_id, e.label, e.embedding,
+         |    CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS list_id
+         |  FROM (
+         |    SELECT e0.vec_id, e0.label, e0.embedding,
+         |      [${sqlDotFixed("e0.embedding", "c.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |    FROM embeddings e0, cents c) e),
+         |probe AS (SELECT embedding AS pv, list_id AS p_list FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |FROM assigned a JOIN probe p ON a.list_id = p.p_list
+         |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin
+  )
+}

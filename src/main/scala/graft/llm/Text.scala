@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.Tables
+import graft.queries.{Det, QueryModule}
+import PortableHash._
+
+/** Text-analysis operator family over `documents` (SURVEY.md §2 B15 + the
+  * north-star text-analysis mandate): corpus token statistics, heuristic
+  * language ID, quality scoring, token counting (whitespace + regex
+  * "BPE-ish" word/number pieces), and winnowing document fingerprints.
+  *
+  * Scale design: everything except the per-source rollup is a pure per-row
+  * projection (higher-order functions over the token array — no explode, no
+  * shuffle); the rollup is a partial+final hash aggregate on `source`. All
+  * arithmetic is engine-portable (int divisions promoted identically,
+  * fixed-hash fingerprints from [[PortableHash]]), so every query here is
+  * oracle-checked cell-exact.
+  */
+object Text extends QueryModule {
+
+  /** Marker stopword lists for the n-gram/stopword language-ID heuristic.
+    * Deterministic: score = marker hits per language, prediction = argmax
+    * with lexicographic tie-break. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "le", "shi"))
+
+  private def hits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _))).cast(LongType)
+
+  private def sqlHits(markers: Seq[String]): String =
+    s"CAST(len(list_filter(t, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x))) AS BIGINT)"
+
+  // winnowing parameters: 8-char k-grams, window of 4 consecutive hashes
+  private val KGram = 8
+  private val WinnowWindow = 4
+
+  def queries: Map[String, Q] = Map(
+    // B15 — corpus token statistics per source: explode tokens (Generate →
+    // partial hash agg). The only shuffling query in this family.
+    "q_text_analysis" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_uniq_tokens"),
+          Det.davg(length(col("token")).cast(DoubleType)).as("avg_token_len"))
+        .orderBy("source")),
+
+    // Language ID: marker-stopword hit counts per language, argmax with
+    // lexicographic tie-break. Pure per-row computation.
+    "q_text_langid" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("t"))
+      val scored = base.select(
+        Seq(col("doc_id"), col("lang")) ++
+          LangMarkers.map { case (l, ms) => hits(col("t"), ms).as(s"s_$l") }: _*)
+      // argmax by (score DESC, lang ASC): fold over the language list.
+      val pred = LangMarkers.map(_._1).sorted
+        .foldRight(lit("und")) { case (l, acc) =>
+          val isMax = LangMarkers.map(_._1).filter(_ != l)
+            .map(o => col(s"s_$l") >= col(s"s_$o") + (if (o < l) 1 else 0))
+            .reduce(_ && _)
+          when(isMax, lit(l)).otherwise(acc)
+        }
+      scored
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          (col("lang") === pred).as("is_correct"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length / token statistics / stopword ratio combined
+    // into a single per-row double score (identical elementwise arithmetic
+    // on both engines).
+    "q_text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), length(col("text")).cast(LongType).as("len"),
+          toks.as("t"))
+      val nTok = size(col("t")).cast(LongType)
+      val stopHits = hits(col("t"), Seq("the", "a", "of"))
+      val longToks = size(filter(col("t"), t => length(t) >= 5)).cast(LongType)
+      val avgTokLen = (col("len") - (nTok - 1)).cast(DoubleType) / nTok
+      val stopRatio = stopHits.cast(DoubleType) / nTok
+      val longRatio = longToks.cast(DoubleType) / nTok
+      base.select(
+          col("doc_id"), nTok.as("n_tokens"),
+          avgTokLen.as("avg_token_len"),
+          stopRatio.as("stop_ratio"),
+          longRatio.as("long_ratio"),
+          (stopRatio * 0.3 + longRatio * 0.5 +
+            when(col("len") >= 200, 0.2).otherwise(0.0)).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    // (letter runs | digit runs | single punctuation) — regex kept to a
+    // dialect-neutral subset so Java and RE2-style engines agree.
+    "q_text_tokens" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast(LongType).as("re_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_calc"))
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprints (MOSS-style): rolling polynomial hash over
+    // 8-char k-grams, minimum per 4-hash window, distinct minima = the
+    // document fingerprint set. Per-row, no shuffle; portable hash → oracle.
+    "q_text_fingerprint" -> ((s, d) => {
+      val kh = transform(sequence(lit(1), length(col("text")) - (KGram - 1)),
+        i => polyChar(col("text").substr(i, lit(KGram))))
+      val wins = transform(sequence(lit(1), size(col("kh")) - (WinnowWindow - 1)),
+        i => array_min(slice(col("kh"), i, lit(WinnowWindow))))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), kh.as("kh"))
+        .select(col("doc_id"), array_distinct(wins).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast(LongType).as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_analysis" ->
+      s"""SELECT source,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_tokens,
+         |  COUNT(DISTINCT token) AS n_uniq_tokens,
+         |  (CAST(SUM(CAST(CAST(length(token) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE)
+         |     / COUNT(CAST(length(token) AS DOUBLE))) AS avg_token_len
+         |FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents) u
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_langid" -> {
+      val langs = LangMarkers.map(_._1)
+      val scoreCols = LangMarkers.map { case (l, ms) => s"${sqlHits(ms)} AS s_$l" }.mkString(",\n|  ")
+      // same argmax fold: lang l wins iff score strictly beats every
+      // lexicographically-smaller language and ties-or-beats larger ones.
+      val pred = langs.sorted.foldRight("'und'") { case (l, acc) =>
+        val cond = langs.filter(_ != l)
+          .map(o => s"s_$l >= s_$o + ${if (o < l) 1 else 0}")
+          .mkString(" AND ")
+        s"CASE WHEN $cond THEN '$l' ELSE $acc END"
+      }
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents) b)
+         |SELECT doc_id, lang, $pred AS pred_lang, (lang = ($pred)) AS is_correct
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len, string_split(text, ' ') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of'], x))) AS BIGINT) AS stop_hits,
+        |    CAST(len(list_filter(t, x -> length(x) >= 5)) AS BIGINT) AS long_toks
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(long_toks AS DOUBLE) / n_tokens AS long_ratio,
+        |  (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3 +
+        |    (CAST(long_toks AS DOUBLE) / n_tokens) * 0.5 +
+        |    (CASE WHEN len >= 200 THEN 0.2 ELSE 0.0 END) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""WITH kg AS (
+         |  SELECT doc_id,
+         |    [${sqlPolyChar(s"substr(text, i, $KGram)")} for i in range(1, length(text) - ${KGram - 2})] AS kh
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_distinct([list_min(kh[i:i+${WinnowWindow - 1}]) for i in range(1, len(kh) - ${WinnowWindow - 2})]) AS fps
+         |  FROM kg)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+         |FROM fp ORDER BY doc_id""".stripMargin
+  )
+}
