@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Core, Joins, Aggs, SetsScalars,
-    graft.llm.Dedup, graft.llm.Text, graft.llm.Similarity, graft.llm.Multimodal)
+    graft.llm.Dedup, graft.llm.Text, graft.llm.Similarity, graft.llm.Multimodal,
+    graft.stream.Windows, graft.etl.EtlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's Analytics-Q1 shape (grouped average over monthly

@@ -1,0 +1,87 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.{Det, QueryModule}
+
+/** End-to-end declared query for the ETL pipeline (A19/A20/A23/A25/A26 in
+  * one oracle-checked flow):
+  *
+  *  1. materialize monthly source files `orders_YYYY-MM.parquet` for
+  *     1996-01…1996-06 from the testdata `orders` table;
+  *  2. run the full medallion pipeline with START=1996-01, END=1996-03 —
+  *     filename pruning must skip the other three files — through bronze
+  *     append, manifest logging, gold partitioned write and DDL
+  *     registration;
+  *  3. read gold back with a partition-pruning filter and aggregate.
+  *
+  * The DuckDB oracle computes the same aggregate directly from `orders` —
+  * so file generation, pruning, casting, interval filtering, bronze append
+  * and gold partitioning must all be lossless for the hashes to match.
+  */
+object EtlQueries extends QueryModule {
+
+  private val Months = Seq("1996-01", "1996-02", "1996-03", "1996-04", "1996-05", "1996-06")
+  private val StartYm = "1996-01"
+  private val EndYm = "1996-03"
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  def queries: Map[String, Q] = Map(
+    "q_etl_gold" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_etl_").toString
+      val orders = Tables(s, d, "orders")
+      // 1. monthly source files (exact month slices, reference naming)
+      Months.foreach { ym =>
+        val lo = graft.dates.DateBounds.sqlLiteral(
+          graft.dates.DateBounds.dateMinusTolerance(ym, 0))
+        val hi = graft.dates.DateBounds.sqlLiteral(
+          graft.dates.DateBounds.firstDayOfNextMonth(ym))
+        orders
+          .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+            col("o_orderdate") < to_timestamp(lit(hi)))
+          .write.mode("overwrite").parquet(s"$tmp/src/orders_$ym.parquet")
+      }
+      // 2. the pipeline (bronze → manifests → gold + DDL)
+      val cfg = Etl.Config(
+        srcDir = s"$tmp/src", bronzeDir = s"$tmp/bronze", goldDir = s"$tmp/gold",
+        logDir = s"$tmp/logs", filePrefix = "orders", tsCol = "o_orderdate",
+        startYm = StartYm, endYm = EndYm, toleranceHours = 72,
+        bronzeSchema = ordersSchema,
+        goldDropCols = Seq("o_orderstatus", "o_orderpriority"),
+        yearCol = "o_year", monthCol = "o_month")
+      Etl.run(s, cfg, runDate = "1996-04-01")
+      // 3. gold read with a partition filter (pruned at the directory level)
+      val gold = s.read.parquet(cfg.goldDir)
+        .filter(col("o_year") === 1996 && col("o_month") <= 3)
+      val result = gold
+        .groupBy("o_year", "o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("sum_total"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("o_year", "o_month")
+      // A21 — analytics results also land as headered CSV like the reference
+      Etl.writeCsv(result, s"$tmp/csv/monthly_totals")
+      result
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_etl_gold" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         |       COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total,
+         |       COUNT(DISTINCT o_custkey) AS n_custs
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.{Det, QueryModule}
+
+/** Time-window aggregation surface over `events` (SURVEY.md §2 B17-B19):
+  * tumbling, sliding and session windows.
+  *
+  * Each window shape is implemented once as a DataFrame→DataFrame transform
+  * and declared twice:
+  *  - batch form (below) — oracle-checked against DuckDB;
+  *  - streaming twin ([[Streaming]]) — the same transform applied to a
+  *    `readStream` source with a watermark, exercised by ScalaTest with the
+  *    AvailableNow trigger. Spark's unified Dataset API makes the transform
+  *    literally shared code, which is the point: correctness is proven on
+  *    the batch side, the streaming side adds only source/sink/watermark.
+  *
+  * Scale: windowed groupBys are partial+final hash aggregates keyed by
+  * (window, key) — sliding windows fan each row out `window/slide`-fold
+  * before the partial agg (4× here), which is the standard cost model;
+  * session windows shuffle by user key and merge per-key intervals.
+  */
+object Windows extends QueryModule {
+
+  /** B17 — tumbling 1-hour windows per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** B18 — sliding 1-hour windows every 15 minutes per event_type. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** B19 — session windows per user with a 30-minute inactivity gap.
+    * Session end = last event + gap (Spark semantics; mirrored in the
+    * oracle's lag-based sessionization). */
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
+  def queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      tumbling(Tables(s, d, "events")).orderBy("w_start", "event_type")),
+    "q_stream_sliding" -> ((s, d) =>
+      sliding(Tables(s, d, "events")).orderBy("w_start", "event_type")),
+    "q_stream_session" -> ((s, d) =>
+      session(Tables(s, d, "events")).orderBy("user_id", "s_start"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+         |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+         |  event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      s"""WITH bounds AS (
+         |  SELECT time_bucket(INTERVAL '15 minutes', min(ts)) - INTERVAL '45 minutes' AS lo,
+         |         max(ts) AS hi
+         |  FROM events),
+         |starts AS (SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS ws FROM bounds)
+         |SELECT s.ws AS w_start, s.ws + INTERVAL '1 hour' AS w_end, e.event_type,
+         |  COUNT(*) AS n_events, ${Det.sqlSum("e.value")} AS sum_value
+         |FROM events e JOIN starts s
+         |  ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL '1 hour'
+         |GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM o)
+         |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+         |  COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+  )
+}
+
+/** Structured Streaming twins of the batch window queries: same transforms
+  * over `readStream` with event-time watermarks. Used by ScalaTest (memory
+  * sink + AvailableNow) — the driver's oracle gate covers the batch forms.
+  *
+  * The parquet streaming source needs an explicit schema; `events.ts` is
+  * TIMESTAMP(NANOS) so it arrives as Long nanos (session sets
+  * `nanosAsLong`) and is truncated to micros exactly like the batch loader.
+  */
+object Streaming {
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming events source over the testdata directory layout. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window streaming aggregation with a 10-minute watermark: the
+    * watermark bounds state (windows older than max-event-time − 10 min are
+    * finalized and evicted) — the knob that makes this run forever at scale. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    Windows.tumbling(events.withWatermark("ts", "10 minutes"))
+
+  def slidingStream(events: DataFrame): DataFrame =
+    Windows.sliding(events.withWatermark("ts", "10 minutes"))
+
+  def sessionStream(events: DataFrame): DataFrame =
+    Windows.session(events.withWatermark("ts", "10 minutes"))
+
+  /** Run a streaming query to completion over the (bounded) file source and
+    * return the collected result from the memory sink. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
