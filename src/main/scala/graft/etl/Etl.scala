@@ -170,4 +170,13 @@ object Ddl {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$location'")
   }
+
+  /** A24 for a partitioned layout: declare schema + partition columns over
+    * the existing location, then recover the partition directories into the
+    * catalog (without the repair, a partitioned external table is empty). */
+  def registerExternalPartitioned(spark: SparkSession, name: String, schema: StructType,
+      partitionCols: Seq[String], location: String): Unit = {
+    createPartitionedTable(spark, name, schema, partitionCols, location)
+    spark.sql(s"MSCK REPAIR TABLE $name")
+  }
 }

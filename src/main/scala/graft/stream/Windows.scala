@@ -110,11 +110,14 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming events source over the testdata directory layout. */
+  /** Streaming events source: `dir` must be a DIRECTORY of events parquet
+    * files (Spark's FileStreamSource monitors directories — it rejects a
+    * bare file path; in production this is the landing prefix new files
+    * arrive into). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window streaming aggregation with a 10-minute watermark: the

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** Golden tests for the near-dup operators on a hand-written corpus with
+  * KNOWN duplicate structure — the driver's oracle proves engine parity on
+  * the synthetic tables; these prove the operators find what they should. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // doc 0/1: near-identical (one token changed) → high Jaccard, tiny hamming
+  // doc 2:   exact copy of doc 0 → Jaccard 1, hamming 0
+  // doc 3:   unrelated vocabulary
+  private def corpus: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+    (3L, "completely different words about spark shuffles partitions and codegen stages", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  private def withCorpus[T](f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_spec_").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    f(tmp)
+  }
+
+  test("minhash LSH: exact copies and one-token edits are found; unrelated docs are not") {
+    withCorpus { dir =>
+      val pairs = Dedup.queries("q_dedup_minhash")(spark, dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+      val byPair = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+      assert(byPair((0L, 2L)) === 1.0)            // exact copy
+      assert(byPair((0L, 1L)) > 0.7)              // one-token edit
+      assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+    }
+  }
+
+  test("simhash: identical docs share a signature; near-identical docs are close; unrelated far") {
+    withCorpus { dir =>
+      val sig = Dedup.queries("q_dedup_simhash")(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      assert(sig(0L) === sig(2L))
+      def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(hamming(sig(0L), sig(1L)) <= 6)
+      assert(hamming(sig(0L), sig(3L)) > 6)
+      // the pairs query reports the hamming-0 cluster
+      val pairs = Dedup.queries("q_dedup_simhash_pairs")(spark, dir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 2L)))
+    }
+  }
+
+  test("ngram jaccard blocking: same-block near-dups found with exact similarity") {
+    withCorpus { dir =>
+      val pairs = Dedup.queries("q_dedup_ngram")(spark, dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+      val byPair = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+      assert(byPair((0L, 2L)) === 1.0)
+      assert(byPair((0L, 1L)) > 0.7)
+    }
+  }
+
+  test("exact dedup is idempotent and keeps the latest row per key") {
+    val out1 = Dedup.queries("q_dedup_exact")(spark, sfDir)
+    // keeps exactly one row per (user_id, event_type)
+    assert(out1.groupBy("user_id", "event_type").count()
+      .filter($"count" > 1).count() === 0)
+    // applying the same keep-latest logic again changes nothing
+    val n1 = out1.count()
+    val again = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(org.apache.spark.sql.functions.desc("ts"),
+          org.apache.spark.sql.functions.desc("event_id"))
+      out1.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+    }
+    assert(again.count() === n1)
+    // kept ts is the max ts of its group in the source
+    val src = graft.Tables(spark, sfDir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(org.apache.spark.sql.functions.max("ts").as("max_ts"))
+    val joined = out1.join(src, Seq("user_id", "event_type"))
+    assert(joined.filter($"ts" =!= $"max_ts").count() === 0)
+  }
+
+  test("approx_count_distinct stays within the configured relative error") {
+    val exact = graft.Tables(spark, sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.countDistinct($"l_partkey")).head().getLong(0)
+    val approx = graft.Tables(spark, sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.approx_count_distinct($"l_partkey", 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkSuite, Tables}
+
+/** The streaming twins must agree with the oracle-checked batch forms: same
+  * transform, streaming source + watermark + AvailableNow, memory sink.
+  * (Correctness of the transforms themselves is the driver's DuckDB gate;
+  * these tests pin the batch↔streaming equivalence.) */
+class StreamingSpec extends SparkSuite {
+
+  /** FileStreamSource needs a directory to monitor; testdata ships a single
+    * file, so stage it into a landing dir like a real ingest prefix. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream_spec_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  private def assertSameResult(batch: DataFrame, streamed: DataFrame, keys: Seq[String]): Unit = {
+    val b = batch.orderBy(keys.map(org.apache.spark.sql.functions.col): _*).collect()
+    val s = streamed.orderBy(keys.map(org.apache.spark.sql.functions.col): _*).collect()
+    assert(b.length === s.length, s"row count: batch ${b.length} vs stream ${s.length}")
+    b.zip(s).foreach { case (br, sr) => assert(br === sr) }
+  }
+
+  test("tumbling windows: streaming (watermark + AvailableNow) equals batch") {
+    val batch = Windows.tumbling(Tables(spark, sfDir, "events"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.tumblingStream(Streaming.readEvents(spark, eventsDir)), "t_tumbling")
+    assertSameResult(batch, streamed, Seq("w_start", "event_type"))
+  }
+
+  test("sliding windows: streaming equals batch") {
+    val batch = Windows.sliding(Tables(spark, sfDir, "events"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.slidingStream(Streaming.readEvents(spark, eventsDir)), "t_sliding")
+    assertSameResult(batch, streamed, Seq("w_start", "event_type"))
+  }
+
+  test("session windows: streaming equals batch") {
+    val batch = Windows.session(Tables(spark, sfDir, "events"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.sessionStream(Streaming.readEvents(spark, eventsDir)), "t_session")
+    assertSameResult(batch, streamed, Seq("user_id", "s_start"))
+  }
+}
