@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked run output goes straight to this process's stdout/stderr, without
+// sbt's "[info] " line prefixes — the bench driver json-parses stdout lines,
+// and a prefixed metric line is unparseable (round-1 BENCH had parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

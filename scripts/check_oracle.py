@@ -19,12 +19,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
 def cells_equal(a, b):
     if a is None and b is None:
         return True
@@ -97,7 +91,6 @@ def main():
             ok = False
         if ok:
             print(f"OK   {name}: {len(want_rows)} rows")
-    undeclared = [n for n in oracles if False]
     print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries match")
     sys.exit(1 if failures else 0)
 

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap (SURVEY.md §2 A27 — twin of the reference's builders at
+  * pasta1_etl/src/main.py:274-298 and pasta2_analytics/src/main.py:57-80).
+  *
+  * One place owns the session configuration the engine depends on:
+  *  - UTC session timezone (README.md:10 — timestamps are GMT);
+  *  - `nanosAsLong` so TIMESTAMP(NANOS) parquet (events.ts) is readable;
+  *  - shuffle partitions sized to the parallelism (the harness pins them to
+  *    the CPU count — 200 defaults on local data are pure task overhead; on
+  *    a real cluster size this to cores × executors or rely on AQE
+  *    coalescing).
+  *
+  * The reference's S3A credential/endpoint settings (main.py:281-288) are a
+  * deployment concern, accepted as the `extraConfs` map rather than being
+  * hardcoded — local runs read the local FS.
+  */
+object Sessions {
+
+  /** Local session with the engine's required configs; `cpus` also sizes
+    * `spark.sql.shuffle.partitions`. */
+  def local(cpus: String, appName: String = "graft",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** |A ∩ B| for two SORTED distinct long arrays, as a codegen'd linear merge
+  * scan.
+  *
+  * Why a custom expression: set-similarity joins (MinHash confirm, blocked
+  * n-gram Jaccard) evaluate an intersection per CANDIDATE PAIR. The built-in
+  * `array_intersect` materializes a hash set and an output array per call
+  * and runs interpreted — it was >80% of the dedup bench time. Sorting
+  * happens once per document (`array_sort` upstream, amortized over every
+  * pair the doc appears in); the per-pair work drops to an allocation-free
+  * two-pointer merge inside whole-stage codegen. Jaccard follows as
+  * `inter / (|A| + |B| − inter)` — no union materialization either.
+  *
+  * Precondition (caller's contract): both arrays ascending-sorted and
+  * duplicate-free, e.g. via `array_sort(array_distinct(...))`. */
+case class SortedArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_array_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedArrayIntersectCount {
+  def count(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(SortedArrayIntersectCount(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

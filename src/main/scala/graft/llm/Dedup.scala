@@ -35,29 +35,33 @@ object Dedup extends QueryModule {
   private val NgramJaccard = 0.06
   private val CosineThreshold = 0.35
 
-  /** tokens → distinct 2-gram shingle strings (per-row, no shuffle). */
-  private def shingles2(toks: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-
   private val sqlShingles2 =
     "list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])"
 
-  /** doc_id + distinct shingle set + MinHash signature (array of NumHashes). */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs
-      .select(col("doc_id"), shingles2(toks).as("shingles"))
-      .withColumn("hv", transform(col("shingles"), sh => polyChar(sh)))
-      .withColumn("mh", array((0 until NumHashes).map(j =>
-        array_min(transform(col("hv"), h => permute(h, j)))): _*))
-      .drop("hv")
-  }
+  /** tokens → sorted distinct 2-gram shingle hashes: one codegen pass
+    * ([[graft.functions.ShingleHashes]]) instead of millions of interpreted
+    * `transform` lambda frames; sortedness unlocks the merge intersection. */
+  private def hashedShingleSet(toks: Column): Column =
+    array_sort(array_distinct(graft.functions.ShingleHashes.shingles(toks, 2)))
 
-  /** Exact Jaccard between two distinct-element array columns, as double
-    * (int/int division — bit-identical on both engines). */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+  /** doc_id + hashed shingle set (`hv`) + MinHash signature (`mh`).
+    * Downstream Jaccard runs on the hashed-long sets, not the shingle
+    * strings: long-array intersections are ~an order of magnitude cheaper
+    * than string-set intersections in the candidate join, and the oracle
+    * hashes identically so collisions (≈10⁻⁶ per pair) cannot diverge. */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), hashedShingleSet(split(col("text"), " ")).as("hv"))
+      .withColumn("mh", graft.functions.ShingleHashes.minhashSignature(col("hv"), NumHashes))
+
+  /** Exact Jaccard between two SORTED distinct long-array columns:
+    * codegen'd merge intersection, union size derived arithmetically
+    * (|A|+|B|−|A∩B| — sets, so no union materialization). int/int double
+    * division — bit-identical on both engines. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.SortedArrayIntersectCount.count(a, b)
+    inter.cast(DoubleType) / (size(a) + size(b) - inter)
+  }
 
   def queries: Map[String, Q] = Map(
     // B12 — exact dedup keeping the latest event per (user_id, event_type):
@@ -91,27 +95,22 @@ object Dedup extends QueryModule {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .join(sig.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          jaccard(col("hv_a"), col("hv_b")).as("jaccard"))
         .filter(col("jaccard") >= MinhashJaccard)
         .orderBy("doc_a", "doc_b")
     }),
 
     // SimHash: 31-bit signature from token-hash bit votes, computed entirely
-    // per-row (31 fold-aggregates over the token-hash array; no shuffle).
-    "q_dedup_simhash" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val withHv = Tables(s, d, "documents")
-        .select(col("doc_id"), transform(toks, t => polyChar(t)).as("hv"))
-      val bitSums = (0 until 31).map(b =>
-        aggregate(col("hv"), lit(0L),
-          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)))
-      val simhash = (0 until 31).map(b =>
-        when(bitSums(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      withHv.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
-    }),
+    // per-row in one codegen pass (no explode, no shuffle).
+    "q_dedup_simhash" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes.simhash(
+            graft.functions.ShingleHashes.shingles(split(col("text"), " "), 1)).as("simhash"))
+        .orderBy("doc_id")),
 
     // SimHash duplicate pairs at hamming distance 0: a plain equi-self-join
     // on the signature — one hash shuffle keyed by simhash, cluster-bounded
@@ -121,15 +120,10 @@ object Dedup extends QueryModule {
     // k ≥ 1 degenerates to near-all-pairs — median inter-doc hamming is 6 —
     // so the declared query is the k = 0 form.)
     "q_dedup_simhash_pairs" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val withHv = Tables(s, d, "documents")
-        .select(col("doc_id"), transform(toks, t => polyChar(t)).as("hv"))
-      val bitSums = (0 until 31).map(b =>
-        aggregate(col("hv"), lit(0L),
-          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)))
-      val simhash = (0 until 31).map(b =>
-        when(bitSums(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      val sigs = withHv.select(col("doc_id"), simhash.as("simhash"))
+      val sigs = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes.simhash(
+            graft.functions.ShingleHashes.shingles(split(col("text"), " "), 1)).as("simhash"))
       sigs.as("x").join(sigs.as("y"),
           col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -142,7 +136,7 @@ object Dedup extends QueryModule {
     "q_dedup_ngram" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val base = Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"), shingles2(toks).as("sh"),
+        .select(col("doc_id"), col("lang"), hashedShingleSet(toks).as("sh"),
           floor(size(toks) / lit(10.0)).cast(LongType).as("bucket"))
       base.as("x").join(base.as("y"),
           col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
@@ -209,8 +203,8 @@ object Dedup extends QueryModule {
     "q_dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),
-         |hs AS (SELECT doc_id, shingles, [${sqlPolyChar("s")} for s in shingles] AS hv FROM sh),
-         |sig AS (SELECT doc_id, shingles,
+         |hs AS (SELECT doc_id, list_distinct([${sqlPolyChar("s")} for s in shingles]) AS hv FROM sh),
+         |sig AS (SELECT doc_id, hv,
          |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
          |  FROM hs),
          |bands AS (
@@ -220,8 +214,8 @@ object Dedup extends QueryModule {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+         |  CAST(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE) /
+         |    (len(sa.hv) + len(sb.hv) - len(list_intersect(sa.hv, sb.hv))) AS jaccard
          |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
          |WHERE jaccard >= $MinhashJaccard
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -237,12 +231,13 @@ object Dedup extends QueryModule {
       s"""WITH base AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
          |blocked AS (
-         |  SELECT doc_id, lang, $sqlShingles2 AS sh,
+         |  SELECT doc_id, lang,
+         |         list_distinct([${sqlPolyChar("s")} for s in $sqlShingles2]) AS sh,
          |         CAST(floor(len(t) / 10.0) AS BIGINT) AS bucket
          |  FROM base)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |    len(list_distinct(x.sh || y.sh)) AS jaccard
+         |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
          |FROM blocked x JOIN blocked y
          |  ON x.lang = y.lang AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |WHERE jaccard >= $NgramJaccard

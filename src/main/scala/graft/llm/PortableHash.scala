@@ -47,14 +47,13 @@ object PortableHash {
   /** Exact fixed-point dot product of two float-array columns: per-element
     * double product (bit-identical on any IEEE engine), floored to 1e-12
     * units, summed as Long (exact, order-independent), returned as double.
-    * Engine-portable without decimal-precision promotion subtleties. */
+    * Engine-portable without decimal-precision promotion subtleties.
+    *
+    * Backed by the codegen'd [[graft.functions.FixedPointDotProduct]]
+    * expression — the equivalent `zip_with`+`aggregate` formulation runs
+    * interpreted and was the bench hot spot in the LSH candidate joins. */
   def dotFixed(a: Column, b: Column): Column =
-    (aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast(DoubleType) * y.cast(DoubleType) * FixedScale).cast(LongType)),
-      lit(0L),
-      (acc, v) => acc + v
-    ).cast(DoubleType) / FixedScale)
+    graft.functions.FixedPointDotProduct.dot(a, b)
 
   // --------------------------------------------------------------- DuckDB
 

@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan audits: the scale properties the engine is designed around
+  * must be visible in the plans Catalyst actually produces, not just
+  * intended. Planning is cheap (no execution), so every declared query gets
+  * a no-cartesian check, and the load-bearing queries get specific operator
+  * assertions. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("broadcast dim joins plan as BroadcastHashJoin, not a shuffle join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dim chain must not sort-merge")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (bounded heap, no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("timestamp range predicates push down to the parquet scan") {
+    val p = plan("q_prune_files")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+      || p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1200))
+  }
+
+  test("column pruning reaches the scan: projection-only query reads only its columns") {
+    val p = plan("q_scan_parquet")
+    assert(p.contains("ReadSchema"), p.take(800))
+    val readSchema = p.split("ReadSchema: ").last.takeWhile(_ != '\n')
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan should read 4 columns, got: $readSchema")
+  }
+
+  test("aggregations are partial+final (map-side combine before the shuffle)") {
+    val p = plan("q_agg_multi")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("similarity probe is broadcast — fact side never shuffles") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must stay a bounded heap")
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    // q_etl_gold excluded: building its DataFrame executes the pipeline
+    // writes (covered by EtlSpec); everything else must plan shuffle- or
+    // broadcast-based joins only.
+    SparkEntry.queries.keys.filterNot(_ == "q_etl_gold").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}
