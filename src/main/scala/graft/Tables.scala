@@ -22,12 +22,13 @@ object Tables {
     * state) so it arrives as LongType nanos. We truncate to micros (integer
     * div — no double round-trip, which would lose precision above 2^53) to
     * match both the reference's microsecond TimestampType semantics and
-    * DuckDB's ns→µs read. Timestamps are all post-epoch (TESTDATA starts
-    * 2024-01-01), so truncation == floor. */
+    * DuckDB's ns→µs read. The `pmod` form floors (not truncates) the
+    * division so pre-epoch (negative) nanos also agree with DuckDB's
+    * conversion — `div` alone would round toward zero and drift 1µs. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -133,12 +133,14 @@ object Streaming {
     Windows.session(events.withWatermark("ts", "10 minutes"))
 
   /** Run a streaming query to completion over the (bounded) file source and
-    * return the collected result from the memory sink. */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    * return the collected result from the memory sink. `complete` fits the
+    * windowed aggregations; stateful Append operators pass "append". */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -47,4 +47,20 @@ class StreamingSpec extends SparkSuite {
       Streaming.sessionStream(Streaming.readEvents(spark, eventsDir)), "t_session")
     assertSameResult(batch, streamed, Seq("user_id", "s_start"))
   }
+
+  test("stateful dedup: one first-seen row per key, keys match batch distinct") {
+    val out = Streaming.runToMemory(spark,
+      StatefulDedup.firstSeen(StatefulDedup.typedEvents(spark, eventsDir)).toDF(),
+      "t_stateful_dedup", outputMode = "append")
+    // exactly one row per (user_id, event_type)
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+    // key set identical to the batch distinct key set
+    val streamKeys = out.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = Tables(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamKeys === batchKeys)
+  }
 }
