@@ -61,6 +61,19 @@ object Aggs extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // B6c — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: same index/interpolation arithmetic, verified
+    // bit-identical). At 100 TB prefer approx_percentile (t-digest sketch,
+    // mergeable) — exact percentile materializes per-group value buffers.
+    "q_agg_percentile" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_price"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"),
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
+        .orderBy("l_returnflag")),
+
     // B7 — ROLLUP(year, month): detail rows + per-year subtotal + grand
     // total in one pass (Catalyst Expand + single aggregate). grouping_id
     // disambiguates subtotal levels; sort keys are null-coalesced so both
@@ -130,6 +143,12 @@ object Aggs extends QueryModule {
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q_agg_approx_distinct: omitted — HLL estimates are engine-specific.
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup_cube" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |       CAST(month(o_orderdate) AS INTEGER) AS o_month,

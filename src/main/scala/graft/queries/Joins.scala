@@ -75,6 +75,48 @@ object Joins extends QueryModule {
         .join(orders2001, col("c_custkey") === col("o_custkey"), "left_outer")
         .select("c_custkey", "o_orderkey", "o_totalprice")
         .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+    }),
+
+    // As-of join — an operator Spark has no native form of (DuckDB: ASOF
+    // JOIN): for each purchase, the latest view by the same user at or
+    // before it. Composed from built-ins per the preference order: tag both
+    // sides, union, ONE shuffle by user key, and a running max over
+    // (ts, tag) — views sort before purchases at equal ts, giving the
+    // inclusive bound. Scale-safe for any fact size (no point-in-time
+    // subquery per row, no range join blowup).
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"), lit(null).cast("long").as("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      views.union(purchases)
+        .withColumn("prev_view_ts", max(when(col("tag") === 0, col("ts"))).over(w))
+        .filter(col("tag") === 1)
+        .select("event_id", "user_id", "ts", "prev_view_ts")
+        .orderBy("event_id")
+    }),
+
+    // Range join against a tiny interval dimension (calendar buckets):
+    // non-equi predicates force a nested-loop join, which is only sane when
+    // the interval side broadcasts — the calendar-join pattern. At 100 TB
+    // the fact side streams through codegen'd predicate checks against the
+    // ~100-row broadcast; no shuffle before the aggregation.
+    "q_join_range" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      val months = orders
+        .select(date_trunc("month", col("o_orderdate")).as("m_start"))
+        .distinct()
+        .withColumn("m_end", add_months(col("m_start"), 1).cast(TimestampType))
+      val lineitem = Tables(s, d, "lineitem")
+      lineitem.join(broadcast(months),
+          col("l_shipdate") >= col("m_start") && col("l_shipdate") < col("m_end"))
+        .groupBy("m_start")
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("m_start")
     })
   )
 
@@ -102,6 +144,21 @@ object Joins extends QueryModule {
         |FROM customer
         |LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
         |  ON c_custkey = o_custkey
-        |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin
+        |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, v.ts AS prev_view_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_range" ->
+      s"""WITH months AS (
+         |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m_start,
+         |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS m_end
+         |  FROM orders)
+         |SELECT m.m_start, COUNT(*) AS n_items, ${Det.sqlSum("l.l_quantity")} AS sum_qty
+         |FROM lineitem l JOIN months m
+         |  ON l.l_shipdate >= m.m_start AND l.l_shipdate < m.m_end
+         |GROUP BY m.m_start ORDER BY m.m_start""".stripMargin
   )
 }
