@@ -29,6 +29,8 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft's custom expressions as SQL functions (fixed_point_dot, …)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
     extraConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+/** Registers graft's custom Catalyst expressions as SQL functions via
+  * `SparkSessionExtensions`, so `spark.sql("... fixed_point_dot(a, b) ...")`
+  * works the same as the Column API — the (c)-tier registration mechanism
+  * from the build rules. Enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (done in
+  * `Sessions.local`).
+  *
+  * Integer parameters (shingle width, signature length) must be integer
+  * literals — they parameterize generated code, not per-row values.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("fixed_point_dot"),
+      info("fixed_point_dot", "fixed_point_dot(a, b) - exact fixed-point dot product of two float arrays"),
+      (args: Seq[Expression]) => FixedPointDotProduct(args(0), args(1))))
+
+    e.injectFunction((FunctionIdentifier("shingle_poly_hashes"),
+      info("shingle_poly_hashes", "shingle_poly_hashes(tokens, k) - polynomial hashes of k-token shingles"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(k) => ShinglePolyHashes(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"shingle_poly_hashes: k must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(hashes, n) - n-permutation MinHash signature"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(n) => MinHashSignature(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature: n must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((FunctionIdentifier("simhash_pack"),
+      info("simhash_pack", "simhash_pack(hashes) - 31-bit SimHash from token hashes"),
+      (args: Seq[Expression]) => SimHashPack(args(0))))
+
+    e.injectFunction((FunctionIdentifier("sorted_array_intersect_count"),
+      info("sorted_array_intersect_count",
+        "sorted_array_intersect_count(a, b) - |A∩B| of sorted distinct bigint arrays"),
+      (args: Seq[Expression]) => SortedArrayIntersectCount(args(0), args(1))))
+  }
+}

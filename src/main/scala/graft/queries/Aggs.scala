@@ -61,6 +61,16 @@ object Aggs extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // B6d — t-digest approximate percentiles: the 100 TB form (mergeable
+    // sketch, bounded memory). Estimator is engine-specific → rows-only
+    // check; accuracy pinned by ScalaTest against the exact percentile.
+    "q_agg_approx_percentile" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // B6c — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: same index/interpolation arithmetic, verified
     // bit-identical). At 100 TB prefer approx_percentile (t-digest sketch,

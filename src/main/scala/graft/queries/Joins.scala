@@ -77,6 +77,30 @@ object Joins extends QueryModule {
         .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
     }),
 
+    // Composite star-schema analytics (the TPC-H Q5 shape): fact ⋈ fact ⋈
+    // dim chain with mixed join strategies — lineitem⋈orders⋈customer
+    // shuffle on their keys, nation/region broadcast — then a two-level
+    // rollup. The query Catalyst's join planning exists for; one statement
+    // exercises reorder, broadcast thresholds and partial aggregation
+    // together.
+    "q_star_revenue" -> ((s, d) => {
+      val lineitem = Tables(s, d, "lineitem")
+      val orders = Tables(s, d, "orders")
+      val customer = Tables(s, d, "customer")
+      val nation = Tables(s, d, "nation")
+      val region = Tables(s, d, "region")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "o_year")
+    }),
+
     // As-of join — an operator Spark has no native form of (DuckDB: ASOF
     // JOIN): for each purchase, the latest view by the same user at or
     // before it. Composed from built-ins per the preference order: tag both
@@ -150,6 +174,16 @@ object Joins extends QueryModule {
         |LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin,
+    "q_star_revenue" ->
+      s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, v.ts AS prev_view_ts
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -53,6 +53,18 @@ class PlanSpec extends SparkSuite {
       "range join must go through the bucket equi-key")
   }
 
+  test("custom expressions are registered as SQL functions via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT fixed_point_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                       array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d,
+        |       simhash_pack(shingle_poly_hashes(array('a', 'b', 'a'), 1)) AS sh,
+        |       sorted_array_intersect_count(array(1L, 5L, 9L), array(5L, 9L, 12L)) AS ic
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 9.0)
+    assert(r.getLong(1) > 0L)
+    assert(r.getInt(2) === 2)
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or

@@ -8,13 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * session; suites must not stop() it). Mirrors the Verify/Bench builder —
   * notably `nanosAsLong` for the events table's TIMESTAMP(NANOS). */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = Sessions.local("4", appName = "graft-test")
 
   val sfDir = "/root/testdata/sf0.001"
 }

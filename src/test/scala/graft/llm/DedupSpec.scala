@@ -88,6 +88,16 @@ class DedupSpec extends SparkSuite {
     assert(joined.filter($"ts" =!= $"max_ts").count() === 0)
   }
 
+  test("approx_percentile tracks the exact percentile") {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    import org.apache.spark.sql.functions._
+    val row = li.agg(
+      percentile($"l_extendedprice", lit(0.5)).as("exact"),
+      approx_percentile($"l_extendedprice", lit(0.5), lit(1000)).as("approx")).head()
+    val exact = row.getDouble(0); val approx = row.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.02)
+  }
+
   test("approx_count_distinct stays within the configured relative error") {
     val exact = graft.Tables(spark, sfDir, "lineitem")
       .select(org.apache.spark.sql.functions.countDistinct($"l_partkey")).head().getLong(0)
