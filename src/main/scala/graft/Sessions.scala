@@ -31,6 +31,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // graft's custom expressions as SQL functions (fixed_point_dot, …)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // catalog tables (bucketed layouts) land in /tmp, not the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
     extraConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -84,6 +84,25 @@ object Aggs extends QueryModule {
           percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
         .orderBy("l_returnflag")),
 
+    // Skew-safe two-phase aggregation (salting): when a handful of hot keys
+    // would funnel into single reducers, pre-aggregate by (key, salt) — 16
+    // shards per key here — then combine per key. Decimal partials keep the
+    // result exactly equal to the direct aggregation (the oracle computes
+    // the direct form). `events` has 5 event types over 100k rows — exactly
+    // the hot-key shape.
+    "q_agg_salted" -> ((s, d) => {
+      val partial = Tables(s, d, "events")
+        .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("n_partial"),
+          sum(col("value").cast(Dec)).as("sum_partial"))
+      partial
+        .groupBy("event_type")
+        .agg(sum(col("n_partial")).as("n_events"),
+          sum(col("sum_partial")).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // B7 — ROLLUP(year, month): detail rows + per-year subtotal + grand
     // total in one pass (Catalyst Expand + single aggregate). grouping_id
     // disambiguates subtotal levels; sort keys are null-coalesced so both
@@ -153,6 +172,9 @@ object Aggs extends QueryModule {
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q_agg_approx_distinct: omitted — HLL estimates are engine-specific.
+    "q_agg_salted" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
