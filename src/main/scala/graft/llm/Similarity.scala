@@ -44,6 +44,21 @@ object Similarity extends QueryModule {
         .limit(TopK)
     }),
 
+    // Centroid computation per label — the custom-AGGREGATE tier: one
+    // fixed-point vector-sum aggregate per group (partial+final merge of a
+    // 64-long buffer) instead of exploding to (row × dim) before the
+    // shuffle. This is the accumulation step IVF/k-means training runs at
+    // scale; exactness of the fixed-point sums makes it oracle-checkable.
+    "q_similarity_centroids" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      emb.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.functions.VectorSumFixed.sum(col("embedding"), 64).as("vsum"))
+        .select(col("label"), col("n_vecs"),
+          transform(col("vsum"), x => x / col("n_vecs")).as("centroid"))
+        .orderBy("label")
+    }),
+
     // B14b — IVF-bucketed ANN: assign every vector (and the probe) to its
     // max-dot centroid among vec_id < 8; rank only within the probe's list.
     "q_similarity_ivf" -> ((s, d) => {
@@ -76,6 +91,16 @@ object Similarity extends QueryModule {
          |SELECT vec_id, label, ${sqlDotFixed("embedding", "pv")} AS sim
          |FROM embeddings, probe
          |ORDER BY sim DESC, vec_id LIMIT $TopK""".stripMargin,
+    "q_similarity_centroids" ->
+      """WITH u AS (
+        |  SELECT label, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r),
+        |s AS (SELECT label, i, CAST(SUM(v) AS BIGINT) AS sv FROM u GROUP BY label, i),
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT s.label, n.n_vecs,
+        |  list((CAST(sv AS DOUBLE) / 1000000000000) / n.n_vecs ORDER BY i) AS centroid
+        |FROM s JOIN n ON s.label = n.label
+        |GROUP BY s.label, n.n_vecs ORDER BY s.label""".stripMargin,
     "q_similarity_ivf" ->
       s"""WITH cents AS (
          |  SELECT list(embedding ORDER BY vec_id) AS cl FROM embeddings WHERE vec_id < $NumLists),
