@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Edge-case tests for the custom Catalyst expressions (empty arrays,
+  * length mismatches, nulls, interpreted-vs-codegen agreement). */
+class ExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("fixed_point_dot: empty arrays, length mismatch, null propagation") {
+    val df = Seq(
+      (1, Seq(1.5f, 2.0f), Seq(2.0f, 3.0f)),   // 3.0 + 6.0
+      (2, Seq.empty[Float], Seq.empty[Float]), // 0
+      (3, Seq(1.0f, 1.0f, 1.0f), Seq(2.0f))    // min length → 2
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", FixedPointDotProduct.dot($"a", $"b").as("d"))
+      .orderBy("id").as[(Int, Double)].collect()
+    assert(got === Array((1, 9.0), (2, 0.0), (3, 2.0)))
+    val withNull = df.withColumn("n", lit(null).cast("array<float>"))
+      .select(FixedPointDotProduct.dot($"a", $"n")).head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("sorted_array_intersect_count: disjoint, identical, empty") {
+    val df = Seq(
+      (1, Seq(1L, 5L, 9L), Seq(5L, 9L, 12L)), // 2
+      (2, Seq(1L, 2L), Seq(3L, 4L)),          // 0
+      (3, Seq(7L, 8L), Seq(7L, 8L)),          // 2
+      (4, Seq.empty[Long], Seq(1L))           // 0
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", SortedArrayIntersectCount.count($"a", $"b").as("c"))
+      .orderBy("id").as[(Int, Int)].collect()
+    assert(got === Array((1, 2), (2, 0), (3, 2), (4, 0)))
+  }
+
+  test("shingle hashes: k=1 hashes each token; k=2 equals hashing the joined string") {
+    val df = Seq((1, Seq("ab", "cd", "ef"))).toDF("id", "t")
+    val k1 = df.select(ShingleHashes.shingles($"t", 1)).head().getSeq[Long](0)
+    assert(k1.length === 3)
+    val k2 = df.select(ShingleHashes.shingles($"t", 2)).head().getSeq[Long](0)
+    // "ab cd" via the portable polynomial char hash (ASCII bytes)
+    val expect = "ab cd".getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 31 + (c & 0xff)) % 2147483647L)
+    assert(k2.head === expect)
+    // shorter than k → empty, not an error
+    val short = Seq((1, Seq("x"))).toDF("id", "t")
+      .select(ShingleHashes.shingles($"t", 2)).head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash signature of an empty hash array is all Long.MaxValue (documented sentinel)") {
+    val sig = Seq((1, Seq.empty[Long])).toDF("id", "hv")
+      .select(ShingleHashes.minhashSignature($"hv", 4)).head().getSeq[Long](0)
+    assert(sig === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("vector_sum_fixed merges across partitions to the exact elementwise sum") {
+    val df = (1 to 100).map(i => (i % 3, Array(0.25f, -0.5f, 1.0f)))
+      .toDF("g", "v").repartition(8)
+    val got = df.groupBy("g").agg(VectorSumFixed.sum($"v", 3).as("s"))
+      .orderBy("g").collect()
+    got.foreach { r =>
+      val n = (1 to 100).count(_ % 3 == r.getInt(0))
+      val s = r.getSeq[Double](1)
+      assert(s(0) === 0.25 * n && s(1) === -0.5 * n && s(2) === 1.0 * n)
+    }
+  }
+}

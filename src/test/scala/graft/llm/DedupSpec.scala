@@ -88,6 +88,31 @@ class DedupSpec extends SparkSuite {
     assert(joined.filter($"ts" =!= $"max_ts").count() === 0)
   }
 
+  test("embedding near-dup LSH finds the planted near-identical pair") {
+    // 8 anchor-ish unit vectors (one-hot dims 0..7) + a planted near-dup
+    // pair at vec_id 8/9 (cosine ~= 0.9992) + an orthogonal vector at 10
+    val dim = 16
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def oneHot(i: Int) = { val a = new Array[Float](dim); a(i) = 1f; a }
+    val base = unit(Array.tabulate(dim)(i => (i % 5 + 1).toFloat))
+    val nearDup = unit(Array.tabulate(dim)(i => base(i) + (if (i == 0) 0.05f else 0f)))
+    val rows = (0 until 8).map(i => (i.toLong, oneHot(i), 0)) ++
+      Seq((8L, base, 1), (9L, nearDup, 1), (10L, oneHot(15), 2))
+    val tmp = java.nio.file.Files.createTempDirectory("emb_spec_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pairs = Dedup.queries("q_dedup_embedding")(spark, tmp)
+      .select("vec_a", "vec_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    val byPair = pairs.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(byPair.contains((8L, 9L)), s"planted pair not found: $pairs")
+    assert(byPair((8L, 9L)) > 0.99)
+    assert(!byPair.keySet.exists { case (a, b) => a == 10L || b == 10L })
+  }
+
   test("approx_percentile tracks the exact percentile") {
     val li = graft.Tables(spark, sfDir, "lineitem")
     import org.apache.spark.sql.functions._
