@@ -116,6 +116,39 @@ object Text extends QueryModule {
           length(col("text")).cast(LongType).as("n_chars_calc"))
         .orderBy("doc_id")),
 
+    // TF-IDF: the classic term-weighting pipeline — term frequencies per
+    // doc, document frequencies, idf = ln((N+1)/(df+1)) (smoothed; a term
+    // present in every document weighs ~zero),
+    // top-3 terms per source by summed tf·idf. Three hash aggregations +
+    // one broadcast of the (tiny) corpus size; df join is by term (the
+    // vocabulary — shuffle bounded by vocab size, not corpus size).
+    // No DuckDB oracle: ln() may differ in the last ulp across libm
+    // implementations — correctness is pinned by a ScalaTest golden.
+    "q_text_tfidf" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tokens = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = tokens.groupBy("doc_id", "source", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("idf", log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)))
+        .withColumn("tfidf", col("tf") * col("idf"))
+      val bySource = scored.groupBy("source", "term")
+        .agg(sum(col("tfidf")).as("score"), max(col("df")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("score"), col("term"))
+      bySource
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select("source", "rank", "term", "score", "df")
+        .orderBy("source", "rank")
+    }),
+
     // Winnowing fingerprints (MOSS-style): rolling polynomial hash over
     // 8-char k-grams, minimum per 4-hash window, distinct minima = the
     // document fingerprint set. Per-row, no shuffle; portable hash → oracle.

@@ -116,6 +116,33 @@ object Aggs extends QueryModule {
           grouping_id().cast(IntegerType).as("g_id"))
         .orderBy(col("g_id"), coalesce(col("o_year"), lit(-1)), coalesce(col("o_month"), lit(-1)))),
 
+    // Pivot: long→wide with an EXPLICIT value list (never the inferred
+    // form at scale — value inference is an extra distinct scan and makes
+    // the output schema data-dependent). Absent combinations coalesce to 0
+    // so the shape is total. One partial+final aggregate under the hood.
+    "q_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    // Unpivot (wide→long): the inverse reshape, columns to (name, value)
+    // rows — no shuffle at all (per-row expansion).
+    "q_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val wide = p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n_events")
+        .orderBy("user_id", "event_type")
+    }),
+
     // B8a — global top-k: orderBy+limit compiles to TakeOrderedAndProjectExec
     // (per-partition bounded heap, no global sort shuffle of the full table).
     "q_topk" -> ((s, d) =>
@@ -188,6 +215,26 @@ object Aggs extends QueryModule {
          |       CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS INTEGER) AS g_id
          |FROM orders GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
          |ORDER BY g_id, COALESCE(o_year, -1), COALESCE(o_month, -1)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |    COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, n_events
+        |FROM p UNPIVOT (n_events FOR event_type IN (click, error, purchase, signup, view))
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "q_topk_group" ->
