@@ -48,6 +48,32 @@ class StreamingSpec extends SparkSuite {
     assertSameResult(batch, streamed, Seq("user_id", "s_start"))
   }
 
+  test("transformWithState running counter matches batch per-user counts") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Streaming.runToMemory(spark,
+        StatefulCounter.runningCounts(StatefulDedup.typedEvents(spark, eventsDir)).toDF(),
+        "t_tws_counts", outputMode = "update")
+      // single AvailableNow batch -> final state = total count per user
+      val streamCounts = out.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchCounts = Tables(spark, sfDir, "events")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamCounts === batchCounts)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful dedup: one first-seen row per key, keys match batch distinct") {
     val out = Streaming.runToMemory(spark,
       StatefulDedup.firstSeen(StatefulDedup.typedEvents(spark, eventsDir)).toDF(),
