@@ -15,12 +15,14 @@ import PortableHash._
   *
   * Scale design (the whole point of these operators):
   *  - NOTHING is all-pairs. MinHash candidates come from banded LSH bucket
-  *    equi-joins; SimHash pairs from 8-bit band buckets; n-gram Jaccard from
-  *    (lang, length-bucket) blocking; embedding pairs from hyperplane-sign
-  *    buckets. Every self-join is an equi-join on a bucket key — a hash
-  *    shuffle whose fan-in is bounded by band width, never O(n²).
-  *  - Signatures are computed per-row with higher-order functions (no
-  *    explode→shuffle for signature construction).
+  *    equi-joins; SimHash pairs from signature-equality buckets; n-gram
+  *    Jaccard from (lang, length-bucket) blocking; embedding pairs from
+  *    hyperplane-sign buckets. Every self-join is an equi-join on a bucket
+  *    key — a hash shuffle whose fan-in is bounded by band width, never
+  *    O(n²).
+  *  - Signatures are computed per-row inside whole-stage codegen
+  *    ([[graft.functions.ShingleHashes]] — no explode, no shuffle, no
+  *    interpreted lambda frames).
   *  - Exact dedup is the deterministic `row_number` form, not
   *    `dropDuplicates` (nondeterministic tie-break — SURVEY.md §7.5).
   *
