@@ -22,14 +22,20 @@ object Bench {
     // sub-second queries by 10-40× and made round-1 totals iteration-order
     // noise. The timed run still executes the full plan (scan → shuffle →
     // count action).
+    // A failure in EITHER run marks the query failed: the round-2 bench
+    // swallowed a timed-run throw and reported a bogus "success" timing.
     val results = qs.map { case (name, fn) =>
-      val ok =
+      val warmOk =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}"); false
         }
       val t0 = System.nanoTime()
-      if (ok) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      val ok = warmOk &&
+        (try { fn(spark, sfDir).count(); true }
+         catch { case e: Throwable =>
+           System.err.println(s"[bench] $name FAILED (timed run): ${e.getMessage}"); false
+         })
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val perQuery = results.map { case (k, v, ok) =>

@@ -132,7 +132,12 @@ object Etl {
   /** A26 — orchestration (main.py:242-269): DDL → bronze (per-file loop) →
     * manifests → gold. `runDate` is injected (no wall-clock in query paths). */
   def run(spark: SparkSession, cfg: Config, runDate: String): Manifest = {
-    Ddl.createPartitionedTable(spark, s"${cfg.filePrefix}_gold_ddl",
+    // Table name is salted with the gold location: re-running the pipeline
+    // against a fresh directory must not re-point an existing catalog entry
+    // (the round-2 bench's q_etl_gold timed run tripped over the metastore
+    // re-create of a fixed-name external table with a new LOCATION).
+    val ddlName = s"${cfg.filePrefix}_gold_ddl_${(cfg.goldDir.hashCode.toLong & 0xffffffffL).toHexString}"
+    Ddl.createPartitionedTable(spark, ddlName,
       goldSchema(cfg), Seq(cfg.yearCol, cfg.monthCol), cfg.goldDir)
     val manifest = runBronze(spark, cfg)
     writeManifests(cfg, runDate, manifest)

@@ -1,7 +1,5 @@
 package graft.etl
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,7 +34,7 @@ object EtlQueries extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q_etl_gold" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_etl_").toString
+      val tmp = graft.Scratch.dir("graft_etl_")
       val orders = Tables(s, d, "orders")
       // 1. monthly source files (exact month slices, reference naming)
       Months.foreach { ym =>

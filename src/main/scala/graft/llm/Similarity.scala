@@ -32,6 +32,20 @@ object Similarity extends QueryModule {
   private val TopK = 10
   private val NumLists = 8
 
+  /** Exact per-group mean vectors via [[graft.functions.VectorSumFixed]]:
+    * one 64-long buffer per group through the partial/final aggregate —
+    * never an explode to (row × dim). Shared by `q_similarity_centroids`
+    * (scalar projection), the SimilaritySpec golden, and the IVF k-means
+    * refinement step. Output: (<groupCol>, n_vecs, centroid array<double>).
+    */
+  def labelCentroids(emb: org.apache.spark.sql.DataFrame,
+                     groupCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    emb.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorSumFixed.sum(col("embedding"), 64).as("vsum"))
+      .select(groupCol, col("n_vecs"),
+        transform(col("vsum"), x => x / col("n_vecs")).as("centroid"))
+
   def queries: Map[String, Q] = Map(
     // B14a — exact brute-force cosine top-k vs probe vec_id=0.
     "q_similarity_topk" -> ((s, d) => {
@@ -49,15 +63,21 @@ object Similarity extends QueryModule {
     // 64-long buffer) instead of exploding to (row × dim) before the
     // shuffle. This is the accumulation step IVF/k-means training runs at
     // scale; exactness of the fixed-point sums makes it oracle-checkable.
-    "q_similarity_centroids" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      emb.groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"),
-          graft.functions.VectorSumFixed.sum(col("embedding"), 64).as("vsum"))
+    // The declared output is scalar-only (sampled dimensions + a fixed-point
+    // checksum over all 64): the driver's pandas comparator cannot sort
+    // frames with raw array cells (round-2 ERR). The full array form is
+    // [[labelCentroids]], golden-tested in SimilaritySpec.
+    "q_similarity_centroids" -> ((s, d) =>
+      labelCentroids(Tables(s, d, "embeddings"), col("label"))
         .select(col("label"), col("n_vecs"),
-          transform(col("vsum"), x => x / col("n_vecs")).as("centroid"))
-        .orderBy("label")
-    }),
+          element_at(col("centroid"), 1).as("c1"),
+          element_at(col("centroid"), 16).as("c16"),
+          element_at(col("centroid"), 32).as("c32"),
+          element_at(col("centroid"), 48).as("c48"),
+          element_at(col("centroid"), 64).as("c64"),
+          aggregate(col("centroid"), lit(0L),
+            (acc, x) => acc + floor(x * lit(1e6))).as("cchk"))
+        .orderBy("label")),
 
     // B14b — IVF-bucketed ANN: assign every vector (and the probe) to its
     // max-dot centroid among vec_id < 8; rank only within the probe's list.
@@ -96,11 +116,17 @@ object Similarity extends QueryModule {
         |  SELECT label, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r),
         |s AS (SELECT label, i, CAST(SUM(v) AS BIGINT) AS sv FROM u GROUP BY label, i),
-        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
-        |SELECT s.label, n.n_vecs,
-        |  list((CAST(sv AS DOUBLE) / 1000000000000) / n.n_vecs ORDER BY i) AS centroid
-        |FROM s JOIN n ON s.label = n.label
-        |GROUP BY s.label, n.n_vecs ORDER BY s.label""".stripMargin,
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label),
+        |cent AS (
+        |  SELECT s.label, n.n_vecs,
+        |    list((CAST(sv AS DOUBLE) / 1000000000000) / n.n_vecs ORDER BY i) AS centroid
+        |  FROM s JOIN n ON s.label = n.label
+        |  GROUP BY s.label, n.n_vecs)
+        |SELECT label, n_vecs,
+        |  centroid[1] AS c1, centroid[16] AS c16, centroid[32] AS c32,
+        |  centroid[48] AS c48, centroid[64] AS c64,
+        |  CAST(list_sum([CAST(floor(x * 1000000) AS BIGINT) for x in centroid]) AS BIGINT) AS cchk
+        |FROM cent ORDER BY label""".stripMargin,
     "q_similarity_ivf" ->
       s"""WITH cents AS (
          |  SELECT list(embedding ORDER BY vec_id) AS cl FROM embeddings WHERE vec_id < $NumLists),

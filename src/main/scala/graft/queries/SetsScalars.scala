@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.Tables
 
@@ -55,7 +55,9 @@ object SetsScalars extends QueryModule {
     // B11c — array/map scalar battery over embeddings (the project's only
     // complex-typed table): indexing, slicing, sizes, scalar search. All
     // per-row Catalyst expressions; float cells compare exactly (same bits
-    // both engines).
+    // both engines). The slice is surfaced as a STRING of fixed-point longs
+    // (not a raw array column): the driver's comparator sorts result frames
+    // in pandas, which cannot hash/sort ndarray cells — round-2 ERR.
     "q_scalar_arrays" -> ((s, d) =>
       Tables(s, d, "embeddings")
         .select(
@@ -63,7 +65,10 @@ object SetsScalars extends QueryModule {
           size(col("embedding")).cast(IntegerType).as("dim"),
           element_at(col("embedding"), 1).as("first_v"),
           element_at(col("embedding"), -1).as("last_v"),
-          slice(col("embedding"), 1, 4).as("head4"),
+          array_join(
+            transform(slice(col("embedding"), 1, 4),
+              x => floor(x.cast(DoubleType) * 1e12).cast(StringType)),
+            ",").as("head4"),
           array_position(col("embedding"), element_at(col("embedding"), 3))
             .cast(IntegerType).as("pos_of_third"),
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
@@ -119,7 +124,8 @@ object SetsScalars extends QueryModule {
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS first_v,
         |  embedding[-1] AS last_v,
-        |  embedding[1:4] AS head4,
+        |  array_to_string([CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000000000) AS BIGINT) AS VARCHAR)
+        |                   for x in embedding[1:4]], ',') AS head4,
         |  CAST(list_position(embedding, embedding[3]) AS INTEGER) AS pos_of_third,
         |  list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
         |FROM embeddings ORDER BY vec_id""".stripMargin,

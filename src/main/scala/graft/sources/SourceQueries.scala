@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -25,12 +23,12 @@ object SourceQueries extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q_source_csv_roundtrip" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_csv_").toString
+      val tmp = graft.Scratch.dir("graft_csv_")
       Sources.writeCsv(Tables(s, d, "orders"), s"$tmp/orders_csv")
       Sources.readCsv(s, s"$tmp/orders_csv", ordersSchema).orderBy("o_orderkey")
     }),
     "q_source_json_roundtrip" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_json_").toString
+      val tmp = graft.Scratch.dir("graft_json_")
       Sources.writeJson(Tables(s, d, "orders"), s"$tmp/orders_json")
       Sources.readJson(s, s"$tmp/orders_json", ordersSchema).orderBy("o_orderkey")
     })

@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Goldens for the similarity operators. The driver oracle checks the
+  * scalar-projected `q_similarity_centroids`; the full array-form centroid
+  * ([[Similarity.labelCentroids]]) is asserted here instead, because the
+  * driver's pandas comparator cannot sort frames with array cells. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("labelCentroids: exact mean vectors on a hand-built corpus") {
+    val dim = 64
+    def vec(hot: Int, v: Float) = { val a = new Array[Float](dim); a(hot) = v; a }
+    // label 0: one-hot(0, 1.0) and one-hot(1, 1.0) → mean = [0.5, 0.5, 0, …]
+    // label 1: single vector one-hot(2, 0.25)      → mean = itself
+    val df = Seq(
+      (0L, vec(0, 1f), 0),
+      (1L, vec(1, 1f), 0),
+      (2L, vec(2, 0.25f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(df, col("label"))
+      .orderBy("label")
+      .select($"label", $"n_vecs", $"centroid")
+      .as[(Int, Long, Seq[Double])].collect()
+
+    val (l0, n0, c0) = cents(0)
+    assert(l0 === 0 && n0 === 2L)
+    assert(c0(0) === 0.5 && c0(1) === 0.5)
+    assert(c0.drop(2).forall(_ === 0.0))
+
+    val (l1, n1, c1) = cents(1)
+    assert(l1 === 1 && n1 === 1L)
+    assert(c1(2) === 0.25)
+    assert(c1.zipWithIndex.filter(_._2 != 2).forall(_._1 === 0.0))
+  }
+
+  test("q_similarity_centroids scalar projection matches the array form") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val full = Similarity.labelCentroids(emb, col("label"))
+      .select($"label", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    val scal = Similarity.queries("q_similarity_centroids")(spark, sfDir)
+      .select($"label", $"c1", $"c32", $"c64").as[(Int, Double, Double, Double)]
+      .collect()
+    assert(scal.nonEmpty)
+    scal.foreach { case (label, c1, c32, c64) =>
+      val arr = full(label)
+      assert(c1 === arr(0) && c32 === arr(31) && c64 === arr(63))
+    }
+  }
+}
