@@ -36,6 +36,7 @@ object Dedup extends QueryModule {
   private val MinhashJaccard = 0.05
   private val NgramJaccard = 0.06
   private val CosineThreshold = 0.35
+  private val HammingK = 3   // q_dedup_simhash_k near-dup radius
 
   private val sqlShingles2 =
     "list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])"
@@ -63,6 +64,45 @@ object Dedup extends QueryModule {
   private def jaccard(a: Column, b: Column): Column = {
     val inter = graft.functions.SortedArrayIntersectCount.count(a, b)
     inter.cast(DoubleType) / (size(a) + size(b) - inter)
+  }
+
+  /** doc_id + 31-bit SimHash over BIGRAM shingles (duplicates kept — each
+    * occurrence votes). Bigrams, not unigrams: on a small vocabulary the
+    * unigram signature space collapses (most docs within hamming ~6); the
+    * bigram vocabulary is quadratically larger, spreading signatures so a
+    * small hamming radius is actually selective. */
+  def simhashBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleHashes.simhash(
+        graft.functions.ShingleHashes.shingles(split(col("text"), " "), 2)).as("simhash"))
+
+  /** All pairs at hamming(simhash) ≤ k, WITHOUT an all-pairs join: the
+    * 31-bit signature is cut into k+1 bands; two signatures within hamming k
+    * must agree exactly on at least one band (pigeonhole — k differing bits
+    * cannot touch all k+1 bands), so band-equality candidate generation has
+    * GUARANTEED exact recall and the residual `bit_count(a^b) <= k` filter
+    * restores precision. One hash shuffle keyed by (band, bits); fan-in
+    * bounded by band selectivity (~31/(k+1) bits each), never O(n²). The
+    * DuckDB oracle computes the brute-force all-pairs form — the gate
+    * certifies the banded plan loses no pair. */
+  def simhashPairsWithinK(sigs: DataFrame, k: Int): DataFrame = {
+    val nBands = k + 1
+    val w = (31 + nBands - 1) / nBands
+    val bandArr = array((0 until nBands).map { b =>
+      val width = math.min(w, 31 - b * w)
+      shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << width) - 1L))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(bandArr).as(Seq("band", "bkey")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= k)
   }
 
   def queries: Map[String, Q] = Map(
@@ -116,11 +156,9 @@ object Dedup extends QueryModule {
 
     // SimHash duplicate pairs at hamming distance 0: a plain equi-self-join
     // on the signature — one hash shuffle keyed by simhash, cluster-bounded
-    // fan-out. (For hamming ≤ k at scale the standard generalization is
-    // banding the signature and filtering candidates with
-    // `bit_count(a XOR b) <= k`; on this testdata's 31-token vocabulary any
-    // k ≥ 1 degenerates to near-all-pairs — median inter-doc hamming is 6 —
-    // so the declared query is the k = 0 form.)
+    // fan-out. (The hamming ≤ k generalization is q_dedup_simhash_k below;
+    // this unigram k = 0 form is kept because on the testdata's 31-token
+    // vocabulary the unigram signature space is too dense for k ≥ 1.)
     "q_dedup_simhash_pairs" -> ((s, d) => {
       val sigs = Tables(s, d, "documents")
         .select(col("doc_id"),
@@ -132,6 +170,16 @@ object Dedup extends QueryModule {
           col("x.simhash").as("simhash"))
         .orderBy("doc_a", "doc_b")
     }),
+
+    // SimHash near-dup pairs at hamming ≤ 3 over BIGRAM signatures — the
+    // banded generalization ([[simhashPairsWithinK]]): k+1 = 4 bands of
+    // ≤8 bits, candidate on band equality (exact recall by pigeonhole),
+    // residual bit_count(a^b) ≤ k. The oracle is deliberately the
+    // brute-force all-pairs SQL: hash-matching it proves the banded plan
+    // finds every qualifying pair.
+    "q_dedup_simhash_k" -> ((s, d) =>
+      simhashPairsWithinK(simhashBigrams(Tables(s, d, "documents")), HammingK)
+        .orderBy("doc_a", "doc_b")),
 
     // Blocked exact n-gram Jaccard: candidate pairs only within the same
     // (lang, token-count-bucket) block — classic blocking, no all-pairs.
@@ -195,6 +243,19 @@ object Dedup extends QueryModule {
        |  CAST(list_sum([CASE WHEN bs[b+1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
        |                 for b in range(0, 31)]) AS BIGINT) AS simhash FROM bits)""".stripMargin
 
+  /** Bigram-shingle SimHash twin of [[simhashBigrams]] (duplicates kept —
+    * no list_distinct — so every occurrence votes, like SimHashPack). */
+  private def simhashBigramSql(alias: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |hs AS (SELECT doc_id,
+       |  [${sqlPolyChar("s")} for s in [t[i] || ' ' || t[i+1] for i in range(1, len(t))]] AS hv
+       |  FROM toks),
+       |bits AS (SELECT doc_id,
+       |  [list_sum([((h >> b) & 1) * 2 - 1 for h in hv]) for b in range(0, 31)] AS bs FROM hs),
+       |$alias AS (SELECT doc_id,
+       |  CAST(list_sum([CASE WHEN bs[b+1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |                 for b in range(0, 31)]) AS BIGINT) AS simhash FROM bits)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
@@ -228,6 +289,15 @@ object Dedup extends QueryModule {
       s"""WITH ${simhashSql("sig")}
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS simhash
          |FROM sig x JOIN sig y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force all-pairs reference for the BANDED Spark plan: matching
+    // hashes certify the band-candidate generation has perfect recall.
+    "q_dedup_simhash_k" ->
+      s"""WITH ${simhashBigramSql("sig")}
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingK
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH base AS (

@@ -116,6 +116,33 @@ object Aggs extends QueryModule {
           grouping_id().cast(IntegerType).as("g_id"))
         .orderBy(col("g_id"), coalesce(col("o_year"), lit(-1)), coalesce(col("o_month"), lit(-1)))),
 
+    // B7b — CUBE(year, priority): all four grouping combinations (detail,
+    // per-year, per-priority, grand total) from one Expand + one aggregate
+    // pass — vs four separate scans for the same report. String sort keys
+    // coalesce to '' (sorts before any non-empty value on both engines).
+    "q_cube" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .cube("o_year", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"),
+          grouping_id().cast(IntegerType).as("g_id"))
+        .orderBy(col("g_id"), coalesce(col("o_year"), lit(-1)),
+          coalesce(col("o_orderpriority"), lit("")))),
+
+    // B7c — GROUPING SETS picked freely (two independent subtotal ledgers,
+    // NOT expressible as one rollup/cube): per-year and per-priority in a
+    // single pass. Expand emits exactly the requested sets — no wasted
+    // detail rows like a CUBE would produce here.
+    "q_grouping_sets" -> ((s, d) => {
+      val o = Tables(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+      o.groupingSets(Seq(Seq(col("o_year")), Seq(col("o_orderpriority"))),
+          col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"),
+          grouping_id().cast(IntegerType).as("g_id"))
+        .orderBy(col("g_id"), coalesce(col("o_year"), lit(-1)),
+          coalesce(col("o_orderpriority"), lit("")))
+    }),
+
     // Pivot: long→wide with an EXPLICIT value list (never the inferred
     // form at scale — value inference is an extra distinct scan and makes
     // the output schema data-dependent). Absent combinations coalesce to 0
@@ -215,6 +242,18 @@ object Aggs extends QueryModule {
          |       CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS INTEGER) AS g_id
          |FROM orders GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
          |ORDER BY g_id, COALESCE(o_year, -1), COALESCE(o_month, -1)""".stripMargin,
+    "q_cube" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+         |       COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total,
+         |       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS INTEGER) AS g_id
+         |FROM orders GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+         |ORDER BY g_id, COALESCE(o_year, -1), COALESCE(o_orderpriority, '')""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+         |       COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total,
+         |       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS INTEGER) AS g_id
+         |FROM orders GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+         |ORDER BY g_id, COALESCE(o_year, -1), COALESCE(o_orderpriority, '')""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

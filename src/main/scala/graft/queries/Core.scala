@@ -145,6 +145,26 @@ object Core extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // A15-at-scale — the groupBy + broadcast-join-back twin of
+    // q_window_avg_day (the rewrite the scale note above prescribes): the
+    // per-day aggregate is partial+final (map-side combine), its result is
+    // tiny (one row per day) and broadcasts back onto the fact — the fact
+    // side never shuffles and no WindowExec buffers a whole hot day in one
+    // task. Oracle-checked against the WINDOW form, proving the rewrite is
+    // value-identical (same decimal-exact sum/count arithmetic).
+    "q_window_avg_day_scalable" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .withColumn("e_year", year(col("ts")))
+        .withColumn("e_month", month(col("ts")))
+        .withColumn("e_day", dayofmonth(col("ts")))
+      val daily = e.groupBy("e_year", "e_month", "e_day")
+        .agg((sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("avg_day"))
+      e.join(broadcast(daily), Seq("e_year", "e_month", "e_day"))
+        .select(col("event_id"), col("avg_day"))
+        .orderBy("event_id")
+    }),
+
     "q_cte" -> ((s, d) => {
       Tables.register(s, d, "events") // only the table the SQL reads
       s.sql(CteSql) // same text runs on DuckDB — see oracles
@@ -216,6 +236,10 @@ object Core extends QueryModule {
         |WINDOW wd AS (PARTITION BY year(ts), month(ts), day(ts)),
         |       wh AS (PARTITION BY year(ts), month(ts), day(ts), hour(ts))
         |ORDER BY event_id""".stripMargin,
+    // Same oracle text as q_window_avg_day: the scalable rewrite must
+    // reproduce the reference's WINDOW semantics exactly.
+    "q_window_avg_day_scalable" ->
+      "SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_day FROM events WINDOW w AS (PARTITION BY year(ts), month(ts), day(ts)) ORDER BY event_id",
     "q_cte" -> CteSql,
     "q_distinct_groupby" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority"

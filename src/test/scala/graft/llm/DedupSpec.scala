@@ -64,6 +64,34 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("simhash hamming<=k: banded pairs equal brute force on a wide-vocab corpus") {
+    // 40 synthetic docs of 30 tokens from a 200-word vocabulary, plus a
+    // planted one-token mutation of doc 0 and an exact copy of doc 1. The
+    // wide vocabulary keeps bigram signatures spread out (selective radius).
+    val vocab = (0 until 200).map(i => f"w$i%03d")
+    def doc(seed: Int): String =
+      (0 until 30).map(j => vocab((seed * 17 + j * 13) % 200)).mkString(" ")
+    val mutated = doc(0).split(" ").toVector.updated(15, "zzz").mkString(" ")
+    val rows = (0 until 40).map(i => (i.toLong, doc(i))) ++
+      Seq((40L, mutated), (41L, doc(1)))
+    val df = rows.toDF("doc_id", "text")
+
+    val k = 6
+    val sigs = Dedup.simhashBigrams(df)
+    val banded = Dedup.simhashPairsWithinK(sigs, k)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigArr = sigs.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigArr; (b, sb) <- sigArr if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+    } yield (a, b, h)).toSet
+
+    assert(banded === brute)                 // exact recall AND precision
+    assert(brute.contains((1L, 41L, 0)))     // exact copy at hamming 0
+    val allPairs = sigArr.length * (sigArr.length - 1) / 2
+    assert(brute.size < allPairs / 4, s"radius $k not selective: ${brute.size}/$allPairs")
+  }
+
   test("exact dedup is idempotent and keeps the latest row per key") {
     val out1 = Dedup.queries("q_dedup_exact")(spark, sfDir)
     // keeps exactly one row per (user_id, event_type)
