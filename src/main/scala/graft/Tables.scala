@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's testdata tables (see TESTDATA.md / FIXTURES.md).
@@ -28,9 +28,15 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+        .withColumn("ts", nanosToMicrosFloor("ts"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The ns→µs FLOOR conversion described above, shared by the batch loader
+    * and [[graft.stream.Streaming.readEvents]] so batch ≡ stream holds for
+    * pre-epoch timestamps too (plain `div` rounds toward zero). */
+  def nanosToMicrosFloor(colName: String): Column =
+    timestamp_micros(expr(s"($colName - pmod($colName, 1000)) div 1000"))
 
   /** Register a subset of testdata tables as temp views so `spark.sql`
     * queries (CTE / SQL-surface operators) can address them by bare name,

@@ -137,6 +137,10 @@ object Etl {
     // (the round-2 bench's q_etl_gold timed run tripped over the metastore
     // re-create of a fixed-name external table with a new LOCATION).
     val ddlName = s"${cfg.filePrefix}_gold_ddl_${(cfg.goldDir.hashCode.toLong & 0xffffffffL).toHexString}"
+    // CREATE TABLE resolves its LOCATION; pointing it at a directory that
+    // does not exist yet makes Spark log a FileNotFoundException stack trace
+    // (WARN, harmless — but it pollutes the bench/verify logs).
+    Files.createDirectories(Paths.get(cfg.goldDir))
     Ddl.createPartitionedTable(spark, ddlName,
       goldSchema(cfg), Seq(cfg.yearCol, cfg.monthCol), cfg.goldDir)
     val manifest = runBronze(spark, cfg)

@@ -33,6 +33,10 @@ case class FixedPointDotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fixed_point_dot"
+  // A null ELEMENT (not just a null array) propagates to a NULL result —
+  // the declared types allow containsNull, and reading a null slot as a
+  // primitive would silently produce garbage instead.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,6 +45,7 @@ case class FixedPointDotProduct(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1.0e12).toLong
       i += 1
     }
@@ -56,6 +61,7 @@ case class FixedPointDotProduct(left: Expression, right: Expression)
          |long $acc = 0L;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (long) java.lang.Math.floor(
          |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1.0E12);
          |}

@@ -31,12 +31,20 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_array_intersect_count"
+  // Any null ELEMENT nullifies the result (a null is unordered — the sorted
+  // precondition is meaningless for it, and reading the slot as a primitive
+  // would return garbage). Prescan, since the merge may not visit all slots.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
-    var i = 0; var j = 0; var c = 0
+    var i = 0
+    while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+    var j0 = 0
+    while (j0 < ny) { if (y.isNullAt(j0)) return null; j0 += 1 }
+    i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
@@ -51,15 +59,24 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val k = ctx.freshName("k")
       s"""
-         |int $i = 0, $j = 0, $c = 0;
          |int $nx = $a.numElements(), $ny = $b.numElements();
-         |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |for (int $k = 0; $k < $nx && !${ev.isNull}; $k++) {
+         |  if ($a.isNullAt($k)) ${ev.isNull} = true;
          |}
-         |${ev.value} = $c;
+         |for (int $k = 0; $k < $ny && !${ev.isNull}; $k++) {
+         |  if ($b.isNullAt($k)) ${ev.isNull} = true;
+         |}
+         |if (!${ev.isNull}) {
+         |  int $i = 0, $j = 0, $c = 0;
+         |  while ($i < $nx && $j < $ny) {
+         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
+         |  ${ev.value} = $c;
+         |}
        """.stripMargin
     })
 

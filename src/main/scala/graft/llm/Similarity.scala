@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{FloatType, IntegerType}
 
 import graft.Tables
 import graft.queries.QueryModule
@@ -46,6 +46,24 @@ object Similarity extends QueryModule {
       .select(groupCol, col("n_vecs"),
         transform(col("vsum"), x => x / col("n_vecs")).as("centroid"))
 
+  /** Assign each vector to its max-dot centroid: `cents` is a small
+    * (c_id, c_emb array<float>) table, collapsed to ONE broadcast array row
+    * (sorted by c_id) so assignment is pure per-row arithmetic against the
+    * broadcast — zero shuffle of the embedding table, any list-id sparsity
+    * handled by indexing the struct back out (argmax position → c_id).
+    * First-max tie-break (array_position) matches DuckDB list_position. */
+  def assignLists(emb: org.apache.spark.sql.DataFrame,
+                  cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("dots",
+        transform(col("cents"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
+      .withColumn("pos", array_position(col("dots"), array_max(col("dots"))).cast(IntegerType))
+      .withColumn("list_id", element_at(col("cents"), col("pos")).getField("c_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     // B14a — exact brute-force cosine top-k vs probe vec_id=0.
     "q_similarity_topk" -> ((s, d) => {
@@ -79,25 +97,29 @@ object Similarity extends QueryModule {
             (acc, x) => acc + floor(x * lit(1e6))).as("cchk"))
         .orderBy("label")),
 
-    // B14b — IVF-bucketed ANN: assign every vector (and the probe) to its
-    // max-dot centroid among vec_id < 8; rank only within the probe's list.
+    // B14b — IVF-bucketed ANN with one k-means refinement iteration:
+    //  1. seed 8 lists from anchor vectors (vec_id < 8);
+    //  2. assign every vector to its max-dot anchor (broadcast, per-row);
+    //  3. RETRAIN: per-list mean via the fixed-point VectorSumFixed
+    //     aggregate ([[labelCentroids]] — never an explode to row × dim),
+    //     narrowed to float (IEEE round-to-nearest, identical both engines);
+    //  4. reassign every vector to its max-dot refined centroid;
+    //  5. the probe searches ONLY its own refined list.
+    // This is the honest IVF training/search loop at 100 TB scale: steps
+    // 2/4 are per-row math against broadcast centroids (no shuffle), step 3
+    // is one partial+final aggregate over k×64 longs.
     "q_similarity_ivf" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val centroids = emb.filter(col("vec_id") < NumLists)
-        .agg(array_sort(collect_list(struct(col("vec_id").as("c_id"), col("embedding").as("c_emb"))))
-          .as("cents"))
-      // per-row: dot against each of the 8 broadcast centroids, argmax with
-      // lowest-index tie-break (array_position returns the first match).
-      val withCents = emb.crossJoin(broadcast(centroids))
-      val dots = transform(col("cents"), st => dotFixed(col("embedding"), st.getField("c_emb")))
-      val assigned = withCents
-        .withColumn("dots", dots)
-        .withColumn("list_id", (array_position(col("dots"), array_max(col("dots"))) - 1)
-          .cast(IntegerType))
-        .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
-      val probe = assigned.filter(col("vec_id") === 0)
+      val seed = emb.filter(col("vec_id") < NumLists)
+        .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
+      val assigned0 = assignLists(emb, seed)
+      val refined = labelCentroids(assigned0, col("list_id"))
+        .select(col("list_id").cast(IntegerType).as("c_id"),
+          transform(col("centroid"), _.cast(FloatType)).as("c_emb"))
+      val assigned1 = assignLists(emb, refined)
+      val probe = assigned1.filter(col("vec_id") === 0)
         .select(col("embedding").as("pv"), col("list_id").as("p_list"))
-      assigned.join(broadcast(probe), col("list_id") === col("p_list"))
+      assigned1.join(broadcast(probe), col("list_id") === col("p_list"))
         .select(col("vec_id"), col("label"), col("list_id"),
           dotFixed(col("embedding"), col("pv")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
@@ -127,19 +149,39 @@ object Similarity extends QueryModule {
         |  centroid[48] AS c48, centroid[64] AS c64,
         |  CAST(list_sum([CAST(floor(x * 1000000) AS BIGINT) for x in centroid]) AS BIGINT) AS cchk
         |FROM cent ORDER BY label""".stripMargin,
+    // Full mirror of the refine-then-search loop: seed assign → per-list
+    // fixed-point mean (float-narrowed) → reassign → probe-list search.
     "q_similarity_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT list(embedding ORDER BY vec_id) AS cl FROM embeddings WHERE vec_id < $NumLists),
-         |assigned AS (
-         |  SELECT e.vec_id, e.label, e.embedding,
-         |    CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS list_id
+      s"""WITH seed AS (
+         |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
+         |         list(embedding ORDER BY vec_id) AS cl
+         |  FROM embeddings WHERE vec_id < $NumLists),
+         |a0 AS (
+         |  SELECT e.vec_id, e.embedding, s.ids[list_position(dots, list_max(dots))] AS list_id
+         |  FROM (
+         |    SELECT e0.vec_id, e0.embedding,
+         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |    FROM embeddings e0, seed s0) e, seed s),
+         |u AS (
+         |  SELECT list_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
+         |  FROM a0, (SELECT unnest(range(1, 65)) AS i) r),
+         |sv AS (SELECT list_id, i, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY list_id, i),
+         |n AS (SELECT list_id, COUNT(*) AS nv FROM a0 GROUP BY list_id),
+         |cent1 AS (
+         |  SELECT sv.list_id,
+         |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT) ORDER BY i) AS c
+         |  FROM sv JOIN n ON sv.list_id = n.list_id GROUP BY sv.list_id, n.nv),
+         |refined AS (
+         |  SELECT list(list_id ORDER BY list_id) AS ids, list(c ORDER BY list_id) AS cl FROM cent1),
+         |a1 AS (
+         |  SELECT e.vec_id, e.label, e.embedding, r.ids[list_position(dots, list_max(dots))] AS list_id
          |  FROM (
          |    SELECT e0.vec_id, e0.label, e0.embedding,
-         |      [${sqlDotFixed("e0.embedding", "c.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
-         |    FROM embeddings e0, cents c) e),
-         |probe AS (SELECT embedding AS pv, list_id AS p_list FROM assigned WHERE vec_id = 0)
+         |      [${sqlDotFixed("e0.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+         |    FROM embeddings e0, refined r0) e, refined r),
+         |probe AS (SELECT embedding AS pv, list_id AS p_list FROM a1 WHERE vec_id = 0)
          |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
-         |FROM assigned a JOIN probe p ON a.list_id = p.p_list
+         |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin
   )
 }

@@ -153,10 +153,21 @@ object Text extends QueryModule {
     // 8-char k-grams, minimum per 4-hash window, distinct minima = the
     // document fingerprint set. Per-row, no shuffle; portable hash → oracle.
     "q_text_fingerprint" -> ((s, d) => {
-      val kh = transform(sequence(lit(1), length(col("text")) - (KGram - 1)),
-        i => polyChar(col("text").substr(i, lit(KGram))))
-      val wins = transform(sequence(lit(1), size(col("kh")) - (WinnowWindow - 1)),
-        i => array_min(slice(col("kh"), i, lit(WinnowWindow))))
+      // Both position sequences are guarded: for a doc shorter than one
+      // k-gram (or fewer k-grams than a winnow window) Spark's sequence()
+      // defaults to step −1 when start > stop — a DESCENDING garbage range
+      // whose 0 index makes slice() throw — while DuckDB's range() is just
+      // empty. The guard makes short docs yield empty fingerprint sets on
+      // both engines (latent on testdata: every doc is ≥ 47 chars).
+      val emptyLongs = array().cast("array<bigint>")
+      val khLen = length(col("text")) - (KGram - 1)
+      val kh = when(khLen >= 1,
+        transform(sequence(lit(1), khLen),
+          i => polyChar(col("text").substr(i, lit(KGram))))).otherwise(emptyLongs)
+      val winLen = size(col("kh")) - (WinnowWindow - 1)
+      val wins = when(winLen >= 1,
+        transform(sequence(lit(1), winLen),
+          i => array_min(slice(col("kh"), i, lit(WinnowWindow))))).otherwise(emptyLongs)
       Tables(s, d, "documents")
         .select(col("doc_id"), kh.as("kh"))
         .select(col("doc_id"), array_distinct(wins).as("fps"))

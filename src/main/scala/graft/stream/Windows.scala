@@ -114,11 +114,13 @@ object Streaming {
     * files (Spark's FileStreamSource monitors directories — it rejects a
     * bare file path; in production this is the landing prefix new files
     * arrive into). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventsRawSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+      .withColumn("ts", Tables.nanosToMicrosFloor("ts"))
+  }
 
   /** Tumbling-window streaming aggregation with a 10-minute watermark: the
     * watermark bounds state (windows older than max-event-time − 10 min are
@@ -145,5 +147,23 @@ object Streaming {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Run one AvailableNow increment into a FAULT-TOLERANT parquet sink with
+    * a checkpoint: offsets AND the event-time watermark persist, so calling
+    * this again after new files land resumes the stream exactly where it
+    * stopped — the shape of a production incremental job, and what lets the
+    * late-data test replay an out-of-order arrival against a persisted
+    * watermark (the memory sink cannot recover from a checkpoint). */
+  def runIncrement(spark: SparkSession, streamed: DataFrame,
+      outPath: String, checkpoint: String): Unit = {
+    val q = streamed.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }

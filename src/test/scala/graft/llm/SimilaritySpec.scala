@@ -37,6 +37,39 @@ class SimilaritySpec extends SparkSuite {
     assert(c1.zipWithIndex.filter(_._2 != 2).forall(_._1 === 0.0))
   }
 
+  test("IVF k-means refinement: recall vs exact top-k does not regress, centroids are data-derived") {
+    import org.apache.spark.sql.types.{FloatType, IntegerType}
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val k = 10
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val exact = topIds(Similarity.queries("q_similarity_topk")(spark, sfDir))
+    val refinedIvf = topIds(Similarity.queries("q_similarity_ivf")(spark, sfDir))
+
+    // anchor-only IVF (no refinement) for comparison
+    val seed = emb.filter($"vec_id" < 8)
+      .select($"vec_id".cast(IntegerType).as("c_id"), $"embedding".as("c_emb"))
+    val a0 = Similarity.assignLists(emb, seed)
+    val probe0 = a0.filter($"vec_id" === 0).select($"embedding".as("pv"), $"list_id".as("p_list"))
+    val anchorIvf = topIds(a0.join(broadcast(probe0), $"list_id" === $"p_list")
+      .select($"vec_id", PortableHash.dotFixed($"embedding", $"pv").as("sim"))
+      .orderBy(desc("sim"), $"vec_id").limit(k))
+
+    val refinedRecall = (refinedIvf & exact).size.toDouble / k
+    val anchorRecall = (anchorIvf & exact).size.toDouble / k
+    info(s"recall@$k: refined=$refinedRecall anchor=$anchorRecall")
+    assert(refinedRecall >= anchorRecall,
+      s"refinement regressed recall: $refinedRecall < $anchorRecall")
+    assert(refinedRecall >= 0.5, s"refined IVF recall too low: $refinedRecall")
+
+    // refined centroids must differ from the anchors (actually retrained)
+    val refined = Similarity.labelCentroids(Similarity.assignLists(emb, seed), col("list_id"))
+      .select($"list_id", transform($"centroid", _.cast(FloatType)).as("c_emb"))
+    val anchorVecs = seed.select($"c_emb").as[Seq[Float]].collect().toSet
+    val refinedVecs = refined.select($"c_emb").as[Seq[Float]].collect().toSet
+    assert((refinedVecs -- anchorVecs).nonEmpty)
+  }
+
   test("q_similarity_centroids scalar projection matches the array form") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
     val full = Similarity.labelCentroids(emb, col("label"))

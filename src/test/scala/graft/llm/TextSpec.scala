@@ -29,4 +29,22 @@ class TextSpec extends SparkSuite {
     assert(math.abs(zebra._4 - math.log(5.0 / 2.0)) < 1e-12)
     assert(zebra._5 === 1L)
   }
+
+  test("fingerprint: docs shorter than a k-gram / winnow window yield empty sets") {
+    // doc 0: shorter than KGram=8 → zero k-grams; doc 1: 10 chars → 3
+    // k-grams, fewer than WinnowWindow=4 → zero windows; doc 2: normal.
+    val corpus = Seq(
+      (0L, "tiny", "en", "srcA", 4L),
+      (1L, "ten chars!", "en", "srcA", 10L),
+      (2L, "a perfectly ordinary document long enough to fingerprint", "en", "srcA", 57L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("text_spec_fp_").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val rows = Text.queries("q_text_fingerprint")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(rows(0L) === ((0L, true, true)))   // no k-grams at all
+    assert(rows(1L) === ((0L, true, true)))   // k-grams but no full window
+    assert(rows(2L)._1 > 0L && !rows(2L)._2 && !rows(2L)._3)
+  }
 }

@@ -48,6 +48,48 @@ class StreamingSpec extends SparkSuite {
     assertSameResult(batch, streamed, Seq("user_id", "s_start"))
   }
 
+  test("watermark late-data policy: an out-of-watermark row is dropped, windows finalize") {
+    import spark.implicits._
+    // Two RESUMED runs over one checkpoint (offsets + watermark persist):
+    //  run 1: 10:05 + 10:20 (window [10:00,11:00)) and 12:00 — the
+    //         watermark advances to 12:00 − 10 min = 11:50;
+    //  run 2: a LATE 10:30 arrival (< watermark) — must be DROPPED.
+    // Batch semantics would count 3 events in the [10:00,11:00) window; the
+    // watermark policy says 2. The 12:00 window never finalizes (watermark
+    // never passes 13:00) so it must be absent from append output.
+    def nanos(h: Int, m: Int): Long =
+      java.time.LocalDateTime.of(2000, 3, 1, h, m)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def writeFile(dir: String, name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("late_stage_").toString
+      rows.map { case (id, ts) => (id, ts, 1L, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("late_data_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("late_ckpt_").toString
+    val sink = java.nio.file.Files.createTempDirectory("late_sink_").toString
+    def runIncrement(): Unit =
+      Streaming.runIncrement(spark,
+        Streaming.tumblingStream(Streaming.readEvents(spark, dir)), sink, ckpt)
+
+    writeFile(dir, "a.parquet",
+      Seq((1L, nanos(10, 5)), (2L, nanos(10, 20)), (3L, nanos(12, 0))))
+    runIncrement()
+    writeFile(dir, "b.parquet", Seq((4L, nanos(10, 30)))) // late vs wm 11:50
+    runIncrement()
+
+    val emitted = spark.read.parquet(sink)
+      .select("w_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1))).toSeq
+    val w10 = java.time.Instant.parse("2000-03-01T10:00:00Z")
+    assert(emitted === Seq((w10, 2L)),
+      s"expected only [10:00,11:00)×2 (late row dropped, 12:00 window unfinalized), got $emitted")
+  }
+
   test("transformWithState running counter matches batch per-user counts") {
     // transformWithState requires the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
