@@ -16,10 +16,23 @@ import graft.queries.QueryModule
   *    rows-only check + determinism ScalaTest, no DuckDB oracle).
   *  - `q_sample_stratified`: per-class fractions via `sampleBy` — balances
   *    classes (here: languages) the way a curriculum/mixture spec does.
+  *  - `q_sample_hash`: DETERMINISTIC key-hash sampling — keep a row iff
+  *    `hash(key) mod M < k`. Unlike the RNG samples this is a pure
+  *    function of the data: the same rows are selected on every run, every
+  *    engine, any partitioning — which is what makes a sample re-joinable
+  *    across tables (hash the same user_id everywhere and the per-user
+  *    sample is CONSISTENT across a 100-table lake) and auditable. The
+  *    hash is plain modular arithmetic (an LCG step over the key), so the
+  *    DuckDB oracle checks it cell-exact.
   */
 object Sampling extends QueryModule {
 
   private val Seed = 42L
+
+  /** LCG-step hash over [0, 2^31−1): all intermediates < 2^63. */
+  private val HashA = 1103515245L
+  private val HashC = 12345L
+  private val HashP = 2147483647L
 
   def queries: Map[String, Q] = Map(
     "q_sample" -> ((s, d) =>
@@ -36,11 +49,26 @@ object Sampling extends QueryModule {
           Seed)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // ~5% deterministic sample of events keyed on event_id; keeps the full
+    // row. Pushed into the scan projection — zero shuffle, and at 100 TB
+    // the filter prunes before any downstream stage.
+    "q_sample_hash" -> ((s, d) =>
+      Tables(s, d, "events")
+        .filter(((col("event_id") * HashA + HashC) % HashP) % 20 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id"))
   )
 
-  // No oracles: Bernoulli selection is engine-specific (Spark's per-partition
-  // seeded XORShift vs DuckDB's RNG). Reproducibility is pinned by
-  // SamplingSpec instead.
-  def oracles: Map[String, String] = Map.empty
+  // q_sample / q_sample_stratified have no oracles: Bernoulli selection is
+  // engine-specific (Spark's per-partition seeded XORShift vs DuckDB's RNG);
+  // reproducibility is pinned by SamplingSpec instead. The hash sample is a
+  // pure data function → cell-exact oracle.
+  def oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT event_id, user_id, event_type, value FROM events
+         |WHERE ((event_id * $HashA + $HashC) % $HashP) % 20 = 0
+         |ORDER BY event_id""".stripMargin
+  )
 }

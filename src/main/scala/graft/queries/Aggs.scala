@@ -206,6 +206,28 @@ object Aggs extends QueryModule {
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           sum(col("o_totalprice").cast(Dec)).over(wRun).cast(DoubleType).as("run_total"))
         .orderBy("o_orderpriority", "rn")
+    }),
+
+    // B9b — distribution/analytic window battery: ntile bucketing,
+    // percent_rank, cume_dist (pure rank arithmetic — engine-portable
+    // doubles), first_value over the ordered partition, and a 3-row moving
+    // average with an explicit ROWS frame (decimal-exact sum ÷ frame count,
+    // so the double is order-independent). The ordering carries the unique
+    // key as tiebreaker, making every analytic value deterministic. Same
+    // plan shape as B9: one shuffle, one sort, one WindowExec.
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), col("c_custkey"))
+      val wMov = w.rowsBetween(-2, Window.currentRow)
+      Tables(s, d, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("c_custkey")).over(w).as("seg_top"),
+          (sum(col("c_acctbal").cast(Dec)).over(wMov).cast(DoubleType) /
+            count(lit(1)).over(wMov)).as("mov_avg3"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -292,6 +314,19 @@ object Aggs extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderpriority, rn""".stripMargin
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(c_custkey) OVER w AS seg_top,
+        |  (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER wm AS DOUBLE)
+        |     / COUNT(*) OVER wm) AS mov_avg3
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |  wm AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

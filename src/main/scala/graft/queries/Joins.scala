@@ -77,6 +77,30 @@ object Joins extends QueryModule {
         .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
     }),
 
+    // B4b — FULL outer join with unmatched rows on BOTH sides: high-balance
+    // customers against per-customer urgent-order spend. High-balance
+    // customers with no urgent orders null-extend right; urgent buyers at or
+    // below the balance bar null-extend left. The join key is unique on each
+    // side, so the coalesced key is a total order. At scale this is one
+    // shuffle per side on the key (the aggregate reuses the join
+    // partitioning) — same cost as the inner form, no special-casing.
+    "q_join_full" -> ((s, d) => {
+      val rich = Tables(s, d, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val urgent = Tables(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(Det.dsum(col("o_totalprice")).as("urgent_spend"),
+          count(lit(1)).as("n_urgent"))
+      rich.join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("c_acctbal"), col("urgent_spend"), col("n_urgent"),
+          (col("c_custkey").isNotNull && col("o_custkey").isNotNull).as("matched"))
+        .orderBy("custkey")
+    }),
+
     // Composite star-schema analytics (the TPC-H Q5 shape): fact ⋈ fact ⋈
     // dim chain with mixed join strategies — lineitem⋈orders⋈customer
     // shuffle on their keys, nation/region broadcast — then a two-level
@@ -174,6 +198,16 @@ object Joins extends QueryModule {
         |LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin,
+    "q_join_full" ->
+      s"""SELECT COALESCE(c.c_custkey, u.o_custkey) AS custkey,
+         |  c.c_name, c.c_acctbal, u.urgent_spend, u.n_urgent,
+         |  (c.c_custkey IS NOT NULL AND u.o_custkey IS NOT NULL) AS matched
+         |FROM (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+         |FULL OUTER JOIN (
+         |  SELECT o_custkey, ${Det.sqlSum("o_totalprice")} AS urgent_spend, COUNT(*) AS n_urgent
+         |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+         |  ON c.c_custkey = u.o_custkey
+         |ORDER BY custkey""".stripMargin,
     "q_star_revenue" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -17,7 +17,54 @@ import graft.Tables
   */
 object SetsScalars extends QueryModule {
 
+  /** One SQL text for Spark AND DuckDB (the q_cte pattern): uncorrelated
+    * scalar subquery in SELECT, two correlated scalar subqueries in WHERE
+    * (Catalyst decorrelates both into aggregate+join — no per-row
+    * re-execution at scale), and an IN subquery (planned as a semi join).
+    * The spend-vs-average comparison is cross-multiplied so both sides stay
+    * exact DECIMAL — a correlated AVG of doubles would be summation-order
+    * dependent across engines. */
+  private val SubqueriesSql =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+      |  (SELECT MAX(o4.o_totalprice) FROM orders o4) AS max_price_global
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) *
+      |        (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |      > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+      |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |  AND o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o.o_orderkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    // B11d — subquery surface: scalar (uncorrelated + correlated) and IN.
+    "q_subqueries" -> ((s, d) => {
+      graft.Tables.register(s, d, "orders", "customer")
+      s.sql(SubqueriesSql)
+    }),
+
+    // B11e — null-handling battery over real outer-join nulls (testdata has
+    // no stored nulls): coalesce, NULLIF, IS NULL, CASE, and the
+    // DataFrameNaFunctions fill surface. All per-row Catalyst expressions.
+    "q_nulls" -> ((s, d) => {
+      val urgent = Tables(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(graft.queries.Det.dsum(col("o_totalprice")).as("urgent_spend"),
+          count(lit(1)).as("n_urgent"))
+      Tables(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("urgent_spend"), lit(0.0)).as("spend_or_zero"),
+          col("n_urgent").isNull.as("no_urgent"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          when(col("n_urgent").isNull, lit("none"))
+            .when(col("n_urgent") > 10, lit("many"))
+            .otherwise(lit("some")).as("bucket"),
+          col("n_urgent"))
+        .na.fill(Map("n_urgent" -> -1L))
+        .orderBy("c_custkey")
+    }),
+
     // B10 — union/intersect/except, each branch tagged. Supplier side is
     // filtered (acctbal > 5000) so EXCEPT is non-empty on the testdata.
     "q_setops" -> ((s, d) => {
@@ -92,6 +139,21 @@ object SetsScalars extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_subqueries" -> SubqueriesSql,
+    "q_nulls" ->
+      s"""SELECT c.c_custkey,
+         |  COALESCE(u.urgent_spend, 0.0) AS spend_or_zero,
+         |  (u.n_urgent IS NULL) AS no_urgent,
+         |  NULLIF(c.c_mktsegment, 'BUILDING') AS seg_nb,
+         |  CASE WHEN u.n_urgent IS NULL THEN 'none'
+         |       WHEN u.n_urgent > 10 THEN 'many' ELSE 'some' END AS bucket,
+         |  COALESCE(u.n_urgent, -1) AS n_urgent
+         |FROM customer c
+         |LEFT JOIN (SELECT o_custkey, ${graft.queries.Det.sqlSum("o_totalprice")} AS urgent_spend,
+         |                  COUNT(*) AS n_urgent
+         |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+         |  ON c.c_custkey = u.o_custkey
+         |ORDER BY c.c_custkey""".stripMargin,
     "q_setops" ->
       """SELECT 'union' AS tag, nk FROM (
         |  SELECT c_nationkey AS nk FROM customer

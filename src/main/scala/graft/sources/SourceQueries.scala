@@ -31,11 +31,17 @@ object SourceQueries extends QueryModule {
       val tmp = graft.Scratch.dir("graft_json_")
       Sources.writeJson(Tables(s, d, "orders"), s"$tmp/orders_json")
       Sources.readJson(s, s"$tmp/orders_json", ordersSchema).orderBy("o_orderkey")
+    }),
+    "q_source_orc_roundtrip" -> ((s, d) => {
+      val tmp = graft.Scratch.dir("graft_orc_")
+      Sources.writeOrc(Tables(s, d, "orders"), s"$tmp/orders_orc")
+      Sources.readOrc(s, s"$tmp/orders_orc", ordersSchema).orderBy("o_orderkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" -> oracleSelect,
-    "q_source_json_roundtrip" -> oracleSelect
+    "q_source_json_roundtrip" -> oracleSelect,
+    "q_source_orc_roundtrip" -> oracleSelect
   )
 }

@@ -40,4 +40,24 @@ object Sources {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC — the other first-class columnar format (vectorized reader,
+    * predicate pushdown and column pruning like parquet). Schema passed
+    * explicitly on read for the same no-inference-scan reason as JSON.
+    * Compression pinned to zlib: Spark 4's default ORC codec (zstd) writes
+    * but silently fails to decode in this container (no native zstd for the
+    * ORC reader path — probed snappy/zlib/none all round-trip). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.option("compression", "zlib").mode(SaveMode.Overwrite).orc(path)
+
+  /** ORC is self-describing (schema in the footer — no inference scan), but
+    * Spark 4 round-trips TimestampType through ORC's plain `timestamp` and
+    * reads it back as TIMESTAMP_NTZ; forcing the declared schema at read
+    * time throws ORC_TYPE_CAST. So: read the footer schema, then cast to
+    * the declared types — lossless under the project's pinned UTC session. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.orc(path)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
 }
