@@ -31,9 +31,9 @@ import PortableHash._
   */
 object Dedup extends QueryModule {
 
-  private val NumHashes = 16 // MinHash signature length
-  private val BandRows = 2   // rows per LSH band → 8 bands
-  private val MinhashJaccard = 0.05
+  private[llm] val NumHashes = 16 // MinHash signature length
+  private[llm] val BandRows = 2   // rows per LSH band → 8 bands
+  private[llm] val MinhashJaccard = 0.05
   private val NgramJaccard = 0.06
   private val CosineThreshold = 0.35
   private val HammingK = 3   // q_dedup_simhash_k near-dup radius
@@ -44,7 +44,7 @@ object Dedup extends QueryModule {
   /** tokens → sorted distinct 2-gram shingle hashes: one codegen pass
     * ([[graft.functions.ShingleHashes]]) instead of millions of interpreted
     * `transform` lambda frames; sortedness unlocks the merge intersection. */
-  private def hashedShingleSet(toks: Column): Column =
+  private[llm] def hashedShingleSet(toks: Column): Column =
     array_sort(array_distinct(graft.functions.ShingleHashes.shingles(toks, 2)))
 
   /** doc_id + hashed shingle set (`hv`) + MinHash signature (`mh`).
@@ -61,9 +61,26 @@ object Dedup extends QueryModule {
     * codegen'd merge intersection, union size derived arithmetically
     * (|A|+|B|−|A∩B| — sets, so no union materialization). int/int double
     * division — bit-identical on both engines. */
-  private def jaccard(a: Column, b: Column): Column = {
+  private[llm] def jaccard(a: Column, b: Column): Column = {
     val inter = graft.functions.SortedArrayIntersectCount.count(a, b)
     inter.cast(DoubleType) / (size(a) + size(b) - inter)
+  }
+
+  /** Banded-LSH candidate pairs from a (doc_id, mh) signature frame: band
+    * the signature into `NumHashes / BandRows` keys, bucket equi-join on
+    * (band, key), ordered pair per collision. The only shuffle is the
+    * bucket join; fan-in bounded by band selectivity, never O(n²). Shared
+    * by q_dedup_minhash and the composite corpus pipeline. */
+  private[llm] def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = array((0 until NumHashes / BandRows).map { b =>
+      element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2)
+    }: _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bkey")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** doc_id + 31-bit SimHash over BIGRAM shingles (duplicates kept — each
@@ -127,15 +144,7 @@ object Dedup extends QueryModule {
       val sig = signatures(Tables(s, d, "documents"))
       // slim (doc_id, band, bkey) for the bucket join; shingle sets join
       // back in only for the surviving candidates.
-      val bandCols = array((0 until NumHashes / BandRows).map { b =>
-        element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2)
-      }: _*)
-      val bands = sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bkey")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = minhashCandidates(sig)
       cand
         .join(sig.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
         .join(sig.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")

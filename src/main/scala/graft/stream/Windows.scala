@@ -52,13 +52,39 @@ object Windows extends QueryModule {
       .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time interval join: each purchase matched to the same user's
+    * views in the 30 minutes leading up to it. An equi-join on the user key
+    * with the time bounds as residual predicates — one shuffle per side,
+    * never a time-range nested loop. This is THE stream-stream join shape:
+    * the identical transform runs under Structured Streaming with
+    * watermarks on both sides ([[Streaming.intervalJoinStream]]), where the
+    * time bounds are what let Spark evict join state. */
+  def intervalJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("v_event_id"),
+      col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    val p = purchases.select(col("event_id").as("p_event_id"),
+      col("user_id").as("user_id"), col("ts").as("p_ts"))
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("p_event_id"), col("user_id"), col("p_ts"),
+        col("v_event_id"), col("v_ts"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(Tables(s, d, "events")).orderBy("w_start", "event_type")),
     "q_stream_sliding" -> ((s, d) =>
       sliding(Tables(s, d, "events")).orderBy("w_start", "event_type")),
     "q_stream_session" -> ((s, d) =>
-      session(Tables(s, d, "events")).orderBy("user_id", "s_start"))
+      session(Tables(s, d, "events")).orderBy("user_id", "s_start")),
+    "q_stream_join" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      intervalJoin(e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase"))
+        .orderBy("p_event_id", "v_event_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -92,7 +118,15 @@ object Windows extends QueryModule {
          |  FROM o)
          |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
          |  COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
-         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+        |  v.event_id AS v_event_id, v.ts AS v_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        |ORDER BY p_event_id, v_event_id""".stripMargin
   )
 }
 
@@ -133,6 +167,26 @@ object Streaming {
 
   def sessionStream(events: DataFrame): DataFrame =
     Windows.session(events.withWatermark("ts", "10 minutes"))
+
+  /** Stream-stream self-join twin of [[Windows.intervalJoin]]: watermarks
+    * on BOTH sides plus the event-time bounds in the join condition are
+    * what let Spark bound the join state — a view older than
+    * (purchase watermark − 30 min) can never match again and is evicted.
+    * Without them a stream-stream join buffers forever. */
+  def intervalJoinStream(events: DataFrame): DataFrame = {
+    val withWm = events.withWatermark("ts", "10 minutes")
+    Windows.intervalJoin(
+      withWm.filter(col("event_type") === "view"),
+      withWm.filter(col("event_type") === "purchase"))
+  }
+
+  /** Streaming exact dedup by key within the watermark horizon:
+    * `dropDuplicatesWithinWatermark` keeps state only for keys younger than
+    * the watermark (bounded memory forever), unlike plain `dropDuplicates`
+    * on a stream which accumulates every key ever seen. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Run a streaming query to completion over the (bounded) file source and
     * return the collected result from the memory sink. `complete` fits the

@@ -48,6 +48,38 @@ class StreamingSpec extends SparkSuite {
     assertSameResult(batch, streamed, Seq("user_id", "s_start"))
   }
 
+  test("stream-stream interval join: streaming (two watermarked sides) equals batch") {
+    val e = Tables(spark, sfDir, "events")
+    val batch = Windows.intervalJoin(
+      e.filter(org.apache.spark.sql.functions.col("event_type") === "view"),
+      e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.intervalJoinStream(Streaming.readEvents(spark, eventsDir)),
+      "t_ssjoin", outputMode = "append")
+    assertSameResult(batch, streamed, Seq("p_event_id", "v_event_id"))
+  }
+
+  test("dropDuplicatesWithinWatermark: streaming dedup keys equal batch distinct keys") {
+    import spark.implicits._
+    // event_id is unique in the testdata, so duplicate it: stage the same
+    // file twice into the landing dir — every key arrives exactly twice.
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/b.parquet"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.dedupStream(Streaming.readEvents(spark, dir)),
+      "t_dedup_wm", outputMode = "append")
+    val batchKeys = Tables(spark, sfDir, "events")
+      .select("event_id").as[Long].collect().sorted
+    val streamKeys = streamed.select("event_id").as[Long].collect().sorted
+    assert(streamKeys.toSeq === batchKeys.toSeq,
+      s"expected each duplicated key once: ${streamKeys.length} vs ${batchKeys.length}")
+  }
+
   test("watermark late-data policy: an out-of-watermark row is dropped, windows finalize") {
     import spark.implicits._
     // Two RESUMED runs over one checkpoint (offsets + watermark persist):
