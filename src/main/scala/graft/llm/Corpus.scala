@@ -50,9 +50,14 @@ object Corpus extends QueryModule {
     val quality = stopHits.cast(DoubleType) / nTok * 0.3 +
       longToks.cast(DoubleType) / nTok * 0.5 +
       when(col("len") >= 200, 0.2).otherwise(0.0)
+    // bow_key: polynomial hash of the space-joined sorted distinct token
+    // set. Computed by the codegen'd ShinglePolyHashes over a 1-element
+    // array with k=1 (≡ polyChar of the whole string — same byte loop) —
+    // the interpreted polyChar HOF was the scan-side hot spot.
+    val bowKey = element_at(graft.functions.ShingleHashes.shingles(
+      array(array_join(array_sort(array_distinct(col("tk"))), " ")), 1), 1)
     base.select(col("doc_id"), col("lang"), col("source"), col("tk"),
-      nTok.as("n_tok"), quality.as("quality"),
-      polyChar(array_join(array_sort(array_distinct(col("tk"))), " ")).as("bow_key"))
+      nTok.as("n_tok"), quality.as("quality"), bowKey.as("bow_key"))
   }
 
   def queries: Map[String, Q] = Map(
@@ -63,8 +68,16 @@ object Corpus extends QueryModule {
       // 2. exact dedup on the bag-of-words key, keep lowest doc_id
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("bow_key").orderBy("doc_id")
+      // The survivor frame feeds FIVE downstream branches (bands×2, two
+      // hv join-backs, the final anti-join left side); without a
+      // materialization Spark re-evaluates the whole scan→score→window
+      // pipeline for each. localCheckpoint truncates the lineage once per
+      // invocation — the per-run equivalent of persisting the deduped
+      // corpus between pipeline stages, which is exactly what a 100 TB
+      // run would do with a real checkpoint/table between stages.
       val exact = f.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn", "bow_key")
+        .localCheckpoint()
       // 3. near-dedup: banded MinHash-LSH candidates over survivors, exact
       //    Jaccard residual, drop the larger id of each qualifying pair
       val sig = exact.select(col("doc_id"),
