@@ -31,6 +31,9 @@ object Similarity extends QueryModule {
 
   private val TopK = 10
   private val NumLists = 8
+  private val NumProbes = 5   // q_similarity_multiprobe probe-set size
+  private val TopPerProbe = 3
+  private val ProbeSalt = 32  // phase-1 buckets per probe (bounds collect_list)
 
   /** Exact per-group mean vectors via [[graft.functions.VectorSumFixed]]:
     * one 64-long buffer per group through the partial/final aggregate —
@@ -124,6 +127,44 @@ object Similarity extends QueryModule {
           dotFixed(col("embedding"), col("pv")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
         .limit(TopK)
+    }),
+
+    // B14c — MULTI-probe top-k (batch ANN serving: k neighbors for EVERY
+    // probe in a set, one pass). Naive plan: explode facts × probes, then
+    // one window per probe_id — but with few probes that shuffles the whole
+    // exploded fact table into |probes| partitions: a guaranteed straggler
+    // at scale. Instead, two-phase top-k:
+    //   phase 1 — salted local top-k: group by (probe, salt) where
+    //     salt = vec_id mod 32, keep each bucket's k best via a bounded
+    //     sorted-slice (collect per bucket is bounded by the salt fanout);
+    //   phase 2 — exact top-k per probe over the ≤ salt×k survivors.
+    // Lossless (any global top-k row is top-k in its bucket), and the heavy
+    // shuffle is keyed by (probe, salt) — 32× the parallelism.
+    "q_similarity_multiprobe" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < NumProbes)
+        .agg(array_sort(collect_list(
+          struct(col("vec_id").as("p_id"), col("embedding").as("p_emb")))).as("ps"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .select(col("vec_id"), col("label"), col("embedding"), explode(col("ps")).as("p"))
+        .filter(col("vec_id") =!= col("p.p_id"))
+        .select(col("p.p_id").as("probe_id"), col("vec_id"), col("label"),
+          dotFixed(col("embedding"), col("p.p_emb")).as("sim"))
+      val local = scored
+        .withColumn("salt", pmod(col("vec_id"), lit(ProbeSalt)))
+        .groupBy("probe_id", "salt")
+        .agg(slice(array_sort(collect_list(
+          struct((-col("sim")).as("neg"), col("vec_id"), col("label"), col("sim")))),
+          1, TopPerProbe).as("top"))
+        .select(col("probe_id"), explode(col("top")).as("t"))
+        .select(col("probe_id"), col("t.vec_id").as("vec_id"),
+          col("t.label").as("label"), col("t.sim").as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(desc("sim"), col("vec_id"))
+      local.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= TopPerProbe)
+        .select("probe_id", "rank", "vec_id", "label", "sim")
+        .orderBy("probe_id", "rank")
     })
   )
 
@@ -182,6 +223,21 @@ object Similarity extends QueryModule {
          |probe AS (SELECT embedding AS pv, list_id AS p_list FROM a1 WHERE vec_id = 0)
          |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
-         |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin
+         |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin,
+    // Deliberately the BRUTE-FORCE per-probe ranking: hash-matching it
+    // certifies the salted two-phase plan is lossless.
+    "q_similarity_multiprobe" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings WHERE vec_id < $NumProbes),
+         |scored AS (
+         |  SELECT p.p_id AS probe_id, e.vec_id, e.label,
+         |    ${sqlDotFixed("e.embedding", "p.p_emb")} AS sim
+         |  FROM embeddings e, probes p WHERE e.vec_id <> p.p_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, vec_id, label, sim FROM ranked
+         |WHERE rank <= $TopPerProbe ORDER BY probe_id, rank""".stripMargin
   )
 }

@@ -121,6 +121,19 @@ object SetsScalars extends QueryModule {
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
         .orderBy("vec_id")),
 
+    // B11f — regex scalar battery over events.props (the only column with
+    // digits): global masking (the PII-scrub shape every training-data
+    // pipeline runs), group extraction, and a boolean match. Patterns stay
+    // in the char-class subset Java regex and RE2 agree on.
+    "q_regex_funcs" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(
+          col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast(LongType).as("first_num"),
+          col("props").rlike("[0-9]+").as("has_digits"))
+        .orderBy("event_id")),
+
     // B11b — date/time scalar battery over orders (timestamps are
     // midnight-aligned, so day arithmetic is exact on both engines).
     "q_scalar_dates" -> ((s, d) =>
@@ -191,6 +204,12 @@ object SetsScalars extends QueryModule {
         |  CAST(list_position(embedding, embedding[3]) AS INTEGER) AS pos_of_third,
         |  list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS first_num,
+        |  regexp_matches(props, '[0-9]+') AS has_digits
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_scalar_dates" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS od,
