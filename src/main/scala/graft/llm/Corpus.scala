@@ -91,10 +91,16 @@ object Corpus extends QueryModule {
         .select(col("doc_b").as("doc_id")).distinct()
       val kept = exact.join(dups, Seq("doc_id"), "left_anti")
       // 4. per-(lang, source) corpus statistics
+      // avg quality in fixed point (floor to 1e-6 units, exact long sum):
+      // the DECIMAL(18,4) route rounds a derived double whose value can sit
+      // exactly where Spark's and DuckDB's double→decimal conversions
+      // disagree (hit at sf0.1); floor of the identical product is
+      // bit-portable like every other fixed-point reduction here.
       kept.groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
-          Det.davg(col("quality")).as("avg_quality"))
+          (sum(floor(col("quality") * 1e6).cast(LongType)).cast(DoubleType)
+            / 1e6 / count(lit(1))).as("avg_quality"))
         .orderBy("lang", "source")
     })
   )
@@ -137,7 +143,8 @@ object Corpus extends QueryModule {
          |kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM dups))
          |SELECT lang, source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-         |  ${Det.sqlAvg("quality")} AS avg_quality
+         |  CAST(SUM(CAST(floor(quality * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000 / COUNT(*) AS avg_quality
          |FROM kept GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }
