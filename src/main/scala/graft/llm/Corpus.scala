@@ -60,36 +60,51 @@ object Corpus extends QueryModule {
       nTok.as("n_tok"), quality.as("quality"), bowKey.as("bow_key"))
   }
 
+  /** MinHash-LSH near-dup pairs (doc_a < doc_b, Jaccard ≥ threshold) among
+    * a (doc_id, tk) frame — stage 3's detection, reused by the fixpoint
+    * test in CorpusSpec. */
+  private[llm] def nearDupPairs(docs: org.apache.spark.sql.DataFrame) = {
+    val sig = docs.select(col("doc_id"),
+        Dedup.hashedShingleSet(col("tk")).as("hv"))
+      .withColumn("mh",
+        graft.functions.ShingleHashes.minhashSignature(col("hv"), Dedup.NumHashes))
+    Dedup.minhashCandidates(sig)
+      .join(sig.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
+      .filter(Dedup.jaccard(col("hv_a"), col("hv_b")) >= Dedup.MinhashJaccard)
+      .select("doc_a", "doc_b")
+  }
+
+  /** The pipeline's three intermediate frames: (quality-filtered,
+    * exact-deduped, near-dedup survivors). */
+  private[llm] def stages(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // 1. score + filter (scan-side prune)
+    val f = scored(Tables(s, d, "documents"))
+      .filter(col("quality") >= QualityMin && col("n_tok") >= MinTokens)
+    // 2. exact dedup on the bag-of-words key, keep lowest doc_id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bow_key").orderBy("doc_id")
+    // The survivor frame feeds FIVE downstream branches (bands×2, two
+    // hv join-backs, the final anti-join left side); without a
+    // materialization Spark re-evaluates the whole scan→score→window
+    // pipeline for each. localCheckpoint truncates the lineage once per
+    // invocation — the per-run equivalent of persisting the deduped
+    // corpus between pipeline stages, which is exactly what a 100 TB
+    // run would do with a real checkpoint/table between stages.
+    val exact = f.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "bow_key")
+      .localCheckpoint()
+    // 3. near-dedup: banded MinHash-LSH candidates over survivors, exact
+    //    Jaccard residual, drop the larger id of each qualifying pair
+    val dups = nearDupPairs(exact)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = exact.join(dups, Seq("doc_id"), "left_anti")
+    (f, exact, kept)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_corpus_pipeline" -> ((s, d) => {
-      // 1. score + filter (scan-side prune)
-      val f = scored(Tables(s, d, "documents"))
-        .filter(col("quality") >= QualityMin && col("n_tok") >= MinTokens)
-      // 2. exact dedup on the bag-of-words key, keep lowest doc_id
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("bow_key").orderBy("doc_id")
-      // The survivor frame feeds FIVE downstream branches (bands×2, two
-      // hv join-backs, the final anti-join left side); without a
-      // materialization Spark re-evaluates the whole scan→score→window
-      // pipeline for each. localCheckpoint truncates the lineage once per
-      // invocation — the per-run equivalent of persisting the deduped
-      // corpus between pipeline stages, which is exactly what a 100 TB
-      // run would do with a real checkpoint/table between stages.
-      val exact = f.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn", "bow_key")
-        .localCheckpoint()
-      // 3. near-dedup: banded MinHash-LSH candidates over survivors, exact
-      //    Jaccard residual, drop the larger id of each qualifying pair
-      val sig = exact.select(col("doc_id"),
-          Dedup.hashedShingleSet(col("tk")).as("hv"))
-        .withColumn("mh",
-          graft.functions.ShingleHashes.minhashSignature(col("hv"), Dedup.NumHashes))
-      val dups = Dedup.minhashCandidates(sig)
-        .join(sig.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
-        .filter(Dedup.jaccard(col("hv_a"), col("hv_b")) >= Dedup.MinhashJaccard)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val kept = exact.join(dups, Seq("doc_id"), "left_anti")
+      val (_, _, kept) = stages(s, d)
       // 4. per-(lang, source) corpus statistics
       // avg quality in fixed point (floor to 1e-6 units, exact long sum):
       // the DECIMAL(18,4) route rounds a derived double whose value can sit
