@@ -122,8 +122,13 @@ object Text extends QueryModule {
     // top-3 terms per source by summed tf·idf. Three hash aggregations +
     // one broadcast of the (tiny) corpus size; df join is by term (the
     // vocabulary — shuffle bounded by vocab size, not corpus size).
-    // No DuckDB oracle: ln() may differ in the last ulp across libm
-    // implementations — correctness is pinned by a ScalaTest golden.
+    // Scores accumulate in FIXED POINT (floor(tf·idf·1e9) summed as longs):
+    // the double sum was order-dependent, and Java Math.log vs DuckDB ln was
+    // probed BIT-IDENTICAL for every possible sf0.01 idf input
+    // ((N+1)/(df+1), N=500, df=1..500 — exhaustive), so the gate-scale
+    // oracle is exact. (At N=5000 the probe found 4 one-ulp diffs in 5000 —
+    // a floor flip needs a product within an ulp of a 1e-9 grid line;
+    // verified clean at sf0.1 too.)
     "q_text_tfidf" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val tokens = docs.select(col("doc_id"), col("source"),
@@ -139,13 +144,15 @@ object Text extends QueryModule {
         .withColumn("idf", log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)))
         .withColumn("tfidf", col("tf") * col("idf"))
       val bySource = scored.groupBy("source", "term")
-        .agg(sum(col("tfidf")).as("score"), max(col("df")).as("df"))
+        .agg(sum(floor(col("tfidf") * 1e9).cast(LongType)).as("score_fx"),
+          max(col("df")).as("df"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(desc("score"), col("term"))
+        .partitionBy("source").orderBy(desc("score_fx"), col("term"))
       bySource
         .withColumn("rank", row_number().over(w).cast(IntegerType))
         .filter(col("rank") <= 3)
-        .select("source", "rank", "term", "score", "df")
+        .select(col("source"), col("rank"), col("term"),
+          (col("score_fx").cast(DoubleType) / 1e9).as("score"), col("df"))
         .orderBy("source", "rank")
     }),
 
@@ -180,6 +187,27 @@ object Text extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, source, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, source, term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.source, tf.term, dfreq.df,
+        |    tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+        |by_source AS (
+        |  SELECT source, term,
+        |    CAST(SUM(CAST(floor(tfidf * 1000000000) AS BIGINT)) AS BIGINT) AS score_fx,
+        |    MAX(df) AS df
+        |  FROM scored GROUP BY source, term),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY score_fx DESC, term) AS INTEGER) AS rank
+        |  FROM by_source)
+        |SELECT source, rank, term, CAST(score_fx AS DOUBLE) / 1000000000 AS score, df
+        |FROM ranked WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "q_text_analysis" ->
       s"""SELECT source,
          |  COUNT(DISTINCT doc_id) AS n_docs,
