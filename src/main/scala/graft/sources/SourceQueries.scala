@@ -36,12 +36,36 @@ object SourceQueries extends QueryModule {
       val tmp = graft.Scratch.dir("graft_orc_")
       Sources.writeOrc(Tables(s, d, "orders"), s"$tmp/orders_orc")
       Sources.readOrc(s, s"$tmp/orders_orc", ordersSchema).orderBy("o_orderkey")
+    }),
+
+    // Bucketed co-located join as a first-class declared query: both sides
+    // written hash-bucketed on the join key, so the join itself needs NO
+    // runtime Exchange (the pre-computed shuffle; zero-Exchange plan
+    // asserted in BucketedJoinSpec with broadcast disabled). At 100 TB this
+    // is the difference between re-shuffling the fact table on every join
+    // and paying the layout cost once at write time.
+    "q_join_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Seq("orders_bkt_q", "customer_bkt_q").foreach(Sources.resetTable(s, _))
+      Sources.writeBucketed(Tables(s, d, "orders"), "orders_bkt_q", "o_custkey", 8)
+      Sources.writeBucketed(Tables(s, d, "customer"), "customer_bkt_q", "c_custkey", 8)
+      s.table("orders_bkt_q")
+        .join(s.table("customer_bkt_q"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.queries.Det.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_mktsegment")
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" -> oracleSelect,
     "q_source_json_roundtrip" -> oracleSelect,
-    "q_source_orc_roundtrip" -> oracleSelect
+    "q_source_orc_roundtrip" -> oracleSelect,
+    "q_join_bucketed" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${graft.queries.Det.sqlSum("o_totalprice")} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

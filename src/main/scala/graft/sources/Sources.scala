@@ -25,6 +25,20 @@ object Sources {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
 
+  /** Drop a catalog table AND clear its leftover warehouse directory: a
+    * fresh JVM's in-memory catalog doesn't know tables from prior runs, so
+    * DROP alone can't clear the directory and the next saveAsTable would
+    * fail with LOCATION_ALREADY_EXISTS. */
+  def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = new java.io.File(s"/tmp/graft_warehouse/$table")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   /** CSV with header — the reference's result format
     * (pasta2_analytics/src/main.py:26,51) — as a readable SOURCE too. */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -12,18 +12,7 @@ class BucketedJoinSpec extends SparkSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-    spark.sql("DROP TABLE IF EXISTS customer_bucketed")
-    // the in-memory catalog of a fresh JVM doesn't know tables from prior
-    // runs, so DROP can't clear their leftover warehouse directories
-    Seq("orders_bucketed", "customer_bucketed").foreach { t =>
-      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
-      if (dir.exists()) {
-        java.nio.file.Files.walk(dir.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
-    }
+    Seq("orders_bucketed", "customer_bucketed").foreach(Sources.resetTable(spark, _))
     Sources.writeBucketed(Tables(spark, sfDir, "orders"), "orders_bucketed", "o_custkey", 8)
     Sources.writeBucketed(Tables(spark, sfDir, "customer"), "customer_bucketed", "c_custkey", 8)
     val joined = spark.table("orders_bucketed")
