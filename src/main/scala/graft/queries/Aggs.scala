@@ -71,6 +71,21 @@ object Aggs extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // B6e — MERGEABLE distinct sketches (Apache DataSketches HLL): partial
+    // sketches per (flag, year) — the shape of per-partition/per-day
+    // pre-aggregation — merged losslessly with hll_union_agg and estimated
+    // once. At 100 TB this is how distinct counts compose across days and
+    // reruns: store the partials, merge on demand, never rescan. Estimator
+    // is engine-specific → rows-only gate; AggSketchSpec pins merged ≡
+    // single-pass and the error bound.
+    "q_agg_sketch_merge" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("y"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts_merged"))
+        .orderBy("l_returnflag")),
+
     // B6c — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: same index/interpolation arithmetic, verified
     // bit-identical). At 100 TB prefer approx_percentile (t-digest sketch,
