@@ -125,6 +125,28 @@ object Joins extends QueryModule {
         .orderBy("r_name", "o_year")
     }),
 
+    // Salted skew join — the manual remedy when one join key dominates and
+    // a single reducer would absorb the whole hot key: the fact side gets a
+    // uniform salt from a NON-join column, the (small or moderate) build
+    // side is replicated once per salt value, and the join key becomes
+    // (key, salt) — the hot key's rows spread across R reducers. Lossless:
+    // every fact row still meets exactly one copy of its dim row, certified
+    // by the plain-join oracle. (AQE's skewedJoin handles this adaptively
+    // at runtime; the salted form is the portable, deterministic variant
+    // that also works pre-shuffle and inside bucketed layouts.)
+    "q_join_salted" -> ((s, d) => {
+      val R = 8
+      val fact = Tables(s, d, "orders")
+        .withColumn("salt", pmod(col("o_orderkey"), lit(R)).cast("int"))
+      val dim = Tables(s, d, "customer")
+        .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+      fact.join(dim,
+          col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_nationkey")
+    }),
+
     // As-of join — an operator Spark has no native form of (DuckDB: ASOF
     // JOIN): for each purchase, the latest view by the same user at or
     // before it. Composed from built-ins per the preference order: tag both
@@ -218,6 +240,10 @@ object Joins extends QueryModule {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
+    "q_join_salted" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, v.ts AS prev_view_ts
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
