@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Optimizer rule: year(ts) = Y → sargable timestamp range (pushdown).
+    e.injectOptimizerRule(_ => graft.plans.YearPredicateRewrite)
+
     e.injectFunction((FunctionIdentifier("fixed_point_dot"),
       info("fixed_point_dot", "fixed_point_dot(a, b) - exact fixed-point dot product of two float arrays"),
       (args: Seq[Expression]) => FixedPointDotProduct(args(0), args(1))))

@@ -63,6 +63,18 @@ object Core extends QueryModule {
         .select("l_orderkey", "l_linenumber", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // A5b — the NON-sargable spelling of year pruning, made sargable by the
+    // injected [[graft.plans.YearPredicateRewrite]] optimizer rule:
+    // year(l_shipdate) = 1995 would scan everything (function over the
+    // column defeats row-group stats); the rule rewrites it to the
+    // half-open timestamp range, which reaches the scan as PushedFilters
+    // (asserted in PlanSpec).
+    "q_prune_year" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "q_cast_schema" -> ((s, d) => {
       val raw = Tables(s, d, "events") // ts already normalized ns→µs
       eventsTarget.fields.foldLeft(raw.select(eventsTarget.fieldNames.map(col): _*)) {
@@ -208,6 +220,10 @@ object Core extends QueryModule {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_prune_files" ->
       s"SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_shipdate >= TIMESTAMP '$PruneLower' AND l_shipdate < TIMESTAMP '$PruneUpper' ORDER BY l_orderkey, l_linenumber",
+    // DuckDB evaluates year() directly; Spark runs the rewritten sargable
+    // range — value equality proves the rewrite is semantics-preserving.
+    "q_prune_year" ->
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE year(l_shipdate) = 1995 ORDER BY l_orderkey, l_linenumber",
     "q_cast_schema" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, CAST(user_id AS BIGINT) AS user_id, CAST(event_type AS VARCHAR) AS event_type, CAST(value AS DOUBLE) AS value FROM events ORDER BY event_id",
     "q_filter_ts_lower" ->

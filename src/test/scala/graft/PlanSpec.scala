@@ -27,6 +27,14 @@ class PlanSpec extends SparkSuite {
       || p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1200))
   }
 
+  test("YearPredicateRewrite makes year(ts)=Y sargable: range reaches the scan as PushedFilters") {
+    val p = plan("q_prune_year")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      p.take(1200))
+    assert(!p.toLowerCase.contains("year(l_shipdate"),
+      "year() must have been rewritten out of the predicate")
+  }
+
   test("column pruning reaches the scan: projection-only query reads only its columns") {
     val p = plan("q_scan_parquet")
     assert(p.contains("ReadSchema"), p.take(800))
