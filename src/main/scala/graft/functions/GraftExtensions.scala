@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: year(ts) = Y → sargable timestamp range (pushdown).
     e.injectOptimizerRule(_ => graft.plans.YearPredicateRewrite)
 
+    // Planner strategy: native two-phase bounded-heap top-k per group.
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+
     e.injectFunction((FunctionIdentifier("fixed_point_dot"),
       info("fixed_point_dot", "fixed_point_dot(a, b) - exact fixed-point dot product of two float arrays"),
       (args: Seq[Expression]) => FixedPointDotProduct(args(0), args(1))))

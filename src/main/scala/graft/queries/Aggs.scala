@@ -205,6 +205,25 @@ object Aggs extends QueryModule {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // B8c — the NATIVE top-k-per-group operator (graft.plans.TopKPerGroup):
+    // partial bounded heaps per input partition, shuffle only the
+    // ≤ partitions·groups·k candidates, final heap merge — vs. the window
+    // form's full-table shuffle + per-group sort. The trailing row_number
+    // runs on ≤ groups·k rows, so it's free; the oracle is the SAME SQL as
+    // q_topk_group, proving the native operator is value-identical.
+    "q_topk_group_native" -> ((s, d) => {
+      val base = Tables(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice")
+      val pruned = graft.plans.TopK.perGroup(
+        base, Seq("o_orderpriority"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      pruned
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     // B9 — ranking/analytic battery over one window spec: row_number, rank,
     // dense_rank, lag, lead, and a running decimal-exact sum with an explicit
     // ROWS frame. One shuffle (partition key), one sort, one WindowExec.
@@ -314,6 +333,14 @@ object Aggs extends QueryModule {
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "q_topk_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    // Identical SQL to q_topk_group: the native bounded-heap operator must
+    // reproduce the window form's results exactly.
+    "q_topk_group_native" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
