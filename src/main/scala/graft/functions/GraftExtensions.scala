@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_pack", "simhash_pack(hashes) - 31-bit SimHash from token hashes"),
       (args: Seq[Expression]) => SimHashPack(args(0))))
 
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
+
     e.injectFunction((FunctionIdentifier("sorted_array_intersect_count"),
       info("sorted_array_intersect_count",
         "sorted_array_intersect_count(a, b) - |A∩B| of sorted distinct bigint arrays"),

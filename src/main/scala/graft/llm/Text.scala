@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 import graft.Tables
 import graft.queries.{Det, QueryModule}
@@ -41,6 +41,26 @@ object Text extends QueryModule {
   // winnowing parameters: 8-char k-grams, window of 4 consecutive hashes
   private val KGram = 8
   private val WinnowWindow = 4
+
+  /** Decomposed Unicode marker appended to each doc for the NFC query:
+    * e+U+0301, i+U+0308, A+U+030A — three combining sequences that NFC
+    * composes to é/ï/Å (8 codepoints shrink to 5). Interpolated verbatim
+    * into BOTH the Spark plan and the DuckDB oracle so the engines see
+    * byte-identical input. */
+  private val DecomposedMarker = "Cafe\u0301 nai\u0308ve A\u030A"
+
+  /** PII patterns kept to the regex subset where Java (Spark) and RE2
+    * (DuckDB) agree: character classes, bounded repetition, alternation —
+    * no backreferences, no lookaround, no \b. Applied in list order; each
+    * earlier redaction removes its text from later patterns' view (e.g.
+    * emails go before IPv4 so `user@10.0.0.1`-style strings can't be
+    * half-redacted differently per engine). */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
 
   def queries: Map[String, Q] = Map(
     // B15 — corpus token statistics per source: explode tokens (Generate →
@@ -156,6 +176,50 @@ object Text extends QueryModule {
         .orderBy("source", "rank")
     }),
 
+    // Unicode NFC normalization — the canonical-composition ingest pass
+    // (custom codegen expression graft.functions.NfcNormalize; DuckDB's
+    // nfc_normalize is the oracle twin). Each doc gets a decomposed-form
+    // marker appended so the normalization is observable: the combining
+    // sequences compose and the codepoint count drops. Pure per-row
+    // projection, no shuffle.
+    "q_text_normalize" -> ((s, d) => {
+      val raw = concat(col("text").substr(1, 32), lit(" " + DecomposedMarker))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast(LongType).as("len_raw"),
+          expr("nfc_normalize(raw)").as("text_nfc"))
+        .withColumn("len_nfc", length(col("text_nfc")).cast(LongType))
+        .select("doc_id", "len_raw", "len_nfc", "text_nfc")
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction — the scrub pass a training corpus runs before release:
+    // synthesize deterministic PII (email, URL, SSN, phone, IPv4) from
+    // doc_id, then redact with the portable pattern chain. Per-row regex
+    // projection, no shuffle; the full redacted string is hash-compared,
+    // so both engines must agree on every replacement boundary.
+    "q_text_pii_redact" -> ((s, d) => {
+      val id = col("doc_id").cast(StringType)
+      val raw = concat(
+        col("text").substr(1, 24),
+        lit(" contact user"), id, lit("@example.com visit http://site"),
+        pmod(col("doc_id"), lit(7)).cast(StringType), lit(".example/p?id="), id,
+        lit(" ssn 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+        lit(" call 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast(StringType), 3, "0"),
+        lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast(StringType), lit(".0.42"))
+      val redacted = PiiPatterns.foldLeft(raw) { case (c, (pat, tag)) =>
+        regexp_replace(c, pat, tag)
+      }
+      Tables(s, d, "documents")
+        .select(col("doc_id"), redacted.as("redacted"))
+        .withColumn("n_tags",
+          (length(col("redacted")) - length(expr("replace(redacted, '<', '')")))
+            .cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (MOSS-style): rolling polynomial hash over
     // 8-char k-grams, minimum per 4-hash window, distinct minima = the
     // document fingerprint set. Per-row, no shuffle; portable hash → oracle.
@@ -186,7 +250,38 @@ object Text extends QueryModule {
     })
   )
 
+  /** DuckDB twin of the Spark-side redaction fold (RE2 'g' flag = Java
+    * replace-all), applied in the same pattern order. */
+  private def sqlRedactChain(inner: String): String =
+    PiiPatterns.foldLeft(inner) { case (acc, (pat, tag)) =>
+      s"regexp_replace($acc, '$pat', '$tag', 'g')"
+    }
+
   def oracles: Map[String, String] = Map(
+    "q_text_normalize" ->
+      s"""SELECT doc_id,
+         |  CAST(length(raw) AS BIGINT) AS len_raw,
+         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+         |  nfc_normalize(raw) AS text_nfc
+         |FROM (SELECT doc_id, substring(text, 1, 32) || ' $DecomposedMarker' AS raw
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_pii_redact" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    substring(text, 1, 24)
+         |    || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com visit http://site' || CAST(doc_id % 7 AS VARCHAR)
+         |    || '.example/p?id=' || CAST(doc_id AS VARCHAR)
+         |    || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.42' AS raw
+         |  FROM documents)
+         |SELECT doc_id, red AS redacted,
+         |  CAST(length(red) - length(replace(red, '<', '')) AS BIGINT) AS n_tags
+         |FROM (SELECT doc_id, ${sqlRedactChain("raw")} AS red FROM raw) t
+         |ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -55,6 +55,20 @@ class ExpressionsSpec extends SparkSuite {
     assert(sig === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("nfc_normalize composes combining sequences, is idempotent, propagates null") {
+    val decomposed = "Cafe\u0301 nai\u0308ve A\u030A"   // 3 combining marks
+    val composed = "Caf\u00e9 na\u00efve \u00c5"
+    val df = Seq((1, decomposed), (2, composed), (3, "plain ascii"), (4, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = df.selectExpr("id", "nfc_normalize(s) AS n", "nfc_normalize(nfc_normalize(s)) AS nn")
+      .orderBy("id").collect()
+    assert(got(0).getString(1) === composed)
+    assert(got(1).getString(1) === composed)            // already-NFC unchanged
+    assert(got(2).getString(1) === "plain ascii")
+    assert(got(3).isNullAt(1), "null in -> null out")
+    got.filterNot(_.isNullAt(1)).foreach(r => assert(r.getString(1) === r.getString(2), "idempotent"))
+  }
+
   test("vector_sum_fixed merges across partitions to the exact elementwise sum") {
     val df = (1 to 100).map(i => (i % 3, Array(0.25f, -0.5f, 1.0f)))
       .toDF("g", "v").repartition(8)
