@@ -68,6 +68,25 @@ object EtlQueries extends QueryModule {
       // A21 — analytics results also land as headered CSV like the reference
       Etl.writeCsv(result, s"$tmp/csv/monthly_totals")
       result
+    }),
+
+    // MERGE INTO (upsert) over orders: keys ≡3 (mod 10) get a price bump +
+    // status 'U' (matched → update), keys ≡7 (mod 10) re-enter with shifted
+    // keys + status 'N' (unmatched → insert), everything else survives
+    // untouched. Spark runs the union+keep-winner form (one shuffle); the
+    // oracle runs FULL OUTER JOIN + COALESCE — the two algorithms must
+    // produce identical rows.
+    "q_merge_upsert" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = Tables(s, d, "orders").select(cols.map(col): _*)
+      val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", lit("U"))
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      Upsert.keyed(base, updates.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -80,6 +99,21 @@ object EtlQueries extends QueryModule {
          |FROM orders
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-         |GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin
+         |GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |         'U' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N'
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+        |       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
