@@ -147,6 +147,24 @@ object Joins extends QueryModule {
         .orderBy("c_nationkey")
     }),
 
+    // Bloom-filter semi-join reduction (graft.functions.BloomFilterJoin):
+    // the dim keys (customers in one segment) compress into a bloom filter
+    // that pre-filters the fact scan BEFORE the semi-join shuffle — no
+    // false negatives, and the exact semi-join on the ~5× smaller survivor
+    // set scrubs the false positives. Oracle is the PLAIN semi-join SQL:
+    // the reduction must be invisible in the result.
+    "q_join_bloom" -> ((s, d) => {
+      val dimKeys = Tables(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val orders = Tables(s, d, "orders")
+      graft.functions.BloomFilterJoin
+        .semiJoinReduced(orders, "o_custkey", dimKeys, "c_custkey")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("o_year")
+    }),
+
     // As-of join — an operator Spark has no native form of (DuckDB: ASOF
     // JOIN): for each purchase, the latest view by the same user at or
     // before it. Composed from built-ins per the preference order: tag both
@@ -240,6 +258,14 @@ object Joins extends QueryModule {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
+    "q_join_bloom" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM customer c
+         |              WHERE c.c_custkey = orders.o_custkey
+         |                AND c.c_mktsegment = 'BUILDING')
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_join_salted" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS sum_total
          |FROM orders JOIN customer ON o_custkey = c_custkey
