@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+
+import graft.Tables
+
+/** Time-series surface over `events` (generalizes the reference's
+  * day/hour window analytics, pasta2_analytics/src/main.py:39-42, to the
+  * operators a metrics/feature pipeline needs):
+  *
+  *  - trailing event-time RANGE frames (value-based windows — no frame-row
+  *    count assumptions, ties included by definition on both engines);
+  *  - regular-grid resampling with forward fill (grid × dims left-join
+  *    observations, then `last(value, ignoreNulls)` over the ordered grid).
+  *
+  * Scale design: the range frame shuffles once on the partition key (the
+  * same WindowExec shape as B9); the resample grid is |users| × |hours| —
+  * built from a BROADCAST hour spine crossed against the (small) user dim,
+  * never against the fact table; observations reduce per (user, hour)
+  * before joining the grid.
+  */
+object TimeSeries extends QueryModule {
+
+  private val Day = "2024-01-15"
+  private val HourUs = 3600L * 1000000L
+
+  def queries: Map[String, Q] = Map(
+    // Trailing 1-hour per-user event-time window: RANGE frame over epoch
+    // micros — frame membership is by timestamp value, so concurrent
+    // events (ties) are all peers; no ORDER-dependent nondeterminism.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-HourUs, 0)
+      Tables(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType).as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
+    // Hourly resample + forward fill for one day: every (user, hour) cell
+    // gets the latest observation at or before it (within the day).
+    // "Latest in hour" is keyed on event_id (unique, monotone within the
+    // generator) — fully deterministic on both engines.
+    "q_resample_ffill" -> ((s, d) => {
+      val dayStart = lit(s"$Day 00:00:00").cast(TimestampType)
+      val dayEnd = lit(s"$Day 23:59:59.999999").cast(TimestampType)
+      val e = Tables(s, d, "events")
+      val obs = e
+        .filter(col("ts") >= dayStart && col("ts") <= dayEnd)
+        .withColumn("hour_ts", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "hour_ts").orderBy(desc("event_id"))))
+        .filter(col("rn") === 1)
+        .select("user_id", "hour_ts", "value")
+      val users = e.select("user_id").distinct()
+      val spine = e.sparkSession.range(1)
+        .select(explode(sequence(lit(0), lit(23))).as("h"))
+        .select(timestamp_micros(
+          (unix_micros(dayStart) + col("h") * HourUs)).as("hour_ts"))
+      users.crossJoin(broadcast(spine))
+        .join(obs, Seq("user_id", "hour_ts"), "left")
+        .select(col("user_id"), col("hour_ts"),
+          last(col("value"), ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("hour_ts")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("v_ffill"))
+        .orderBy("user_id", "hour_ts")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_resample_ffill" ->
+      s"""WITH hours AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '$Day 00:00:00',
+         |                                TIMESTAMP '$Day 23:00:00',
+         |                                INTERVAL 1 HOUR)) AS hour_ts),
+         |users AS (SELECT DISTINCT user_id FROM events),
+         |obs AS (
+         |  SELECT user_id, hour_ts, value FROM (
+         |    SELECT user_id, date_trunc('hour', ts) AS hour_ts, value,
+         |           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |                              ORDER BY event_id DESC) AS rn
+         |    FROM events
+         |    WHERE ts >= TIMESTAMP '$Day 00:00:00'
+         |      AND ts <= TIMESTAMP '$Day 23:59:59.999999') x
+         |  WHERE rn = 1)
+         |SELECT g.user_id, g.hour_ts,
+         |  last_value(o.value IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.hour_ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+         |FROM (SELECT u.user_id, h.hour_ts FROM users u CROSS JOIN hours h) g
+         |LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour_ts = o.hour_ts
+         |ORDER BY g.user_id, g.hour_ts""".stripMargin
+  )
+}
