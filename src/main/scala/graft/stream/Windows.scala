@@ -203,6 +203,34 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Exactly-once parquet output via `foreachBatch` + idempotent epoch
+    * writes: each micro-batch lands in its own `batch_id=N` directory with
+    * overwrite mode. The streaming engine gives at-least-once delivery of
+    * each batch (a crash between the write and the checkpoint commit
+    * replays the SAME batchId); the overwrite makes the replay rewrite the
+    * same directory instead of appending a duplicate — at-least-once
+    * delivery × idempotent write = exactly-once output, with no
+    * transactional sink required. Read the result back with a plain
+    * `spark.read.parquet(outPath)` (the epoch dir is partition-discovered
+    * as a `batch_id` column). */
+  def runForeachBatchExactlyOnce(spark: SparkSession, streamed: DataFrame,
+      outPath: String, checkpoint: String): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeEpoch(batch.toDF(), outPath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The idempotent epoch write `foreachBatch` delegates to — public so the
+    * redelivery path is directly testable. */
+  def writeEpoch(df: DataFrame, outPath: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
   /** Run one AvailableNow increment into a FAULT-TOLERANT parquet sink with
     * a checkpoint: offsets AND the event-time watermark persist, so calling
     * this again after new files land resumes the stream exactly where it

@@ -27,6 +27,46 @@ class StreamingSpec extends SparkSuite {
     b.zip(s).foreach { case (br, sr) => assert(br === sr) }
   }
 
+  test("foreachBatch exactly-once sink: no dupes, no loss, batch replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("stream_eo_").toString
+    val landing = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$landing/events_1.parquet"))
+
+    def run(): Unit = Streaming.runForeachBatchExactlyOnce(spark,
+      Streaming.readEvents(spark, landing).select("event_id", "user_id", "value"),
+      out, ckpt)
+
+    run()
+    val expected = Tables(spark, sfDir, "events").count()
+    assert(spark.read.parquet(out).count() === expected)
+
+    // redelivery of an already-written epoch (crash between write and
+    // checkpoint commit): the engine re-sends batch 0's SOURCE rows under
+    // the same batchId -> output unchanged
+    val redelivered = Tables(spark, sfDir, "events").select("event_id", "user_id", "value")
+    Streaming.writeEpoch(redelivered, out, 0)
+    assert(spark.read.parquet(out).count() === expected, "epoch replay must be idempotent")
+
+    // a second increment (new file lands, same checkpoint) appends its rows
+    // exactly once and leaves batch 0 untouched
+    // raw read (ts stays long nanos under nanosAsLong) so the staged file
+    // matches the stream source schema
+    val more = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_id", col("event_id") + 1000000L)
+    more.coalesce(1).write.parquet(s"$base/staging")
+    val staged = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/staging"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(staged, java.nio.file.Paths.get(s"$landing/events_2.parquet"))
+    run()
+    val all = spark.read.parquet(out)
+    assert(all.count() === expected * 2, "second increment must append exactly once")
+    assert(all.select("event_id").distinct().count() === expected * 2, "no duplicate event ids")
+  }
+
   test("tumbling windows: streaming (watermark + AvailableNow) equals batch") {
     val batch = Windows.tumbling(Tables(spark, sfDir, "events"))
     val streamed = Streaming.runToMemory(spark,
