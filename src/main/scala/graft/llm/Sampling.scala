@@ -58,7 +58,27 @@ object Sampling extends QueryModule {
       Tables(s, d, "events")
         .filter(((col("event_id") * HashA + HashC) % HashP) % 20 === 0)
         .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Training-mixture sampling: each source gets a TARGET WEIGHT (here a
+    // deterministic function of the source index — in production a mixture
+    // spec table) and rows are kept iff their key hash falls under the
+    // per-source threshold in basis points. Same deterministic-hash
+    // machinery as q_sample_hash, so the mixture is reproducible,
+    // auditable, and consistent across tables — and a pure scan-side
+    // filter (no shuffle before the per-source rollup). sum(doc_id) in the
+    // output makes the EXACT selected set visible to the oracle hash, not
+    // just its size.
+    "q_sample_mixture" -> ((s, d) => {
+      val idx = expr("CAST(substring(source, 4) AS INT)")
+      val thresholdBp = lit(2000) + pmod(idx, lit(8)) * 500   // 20%..55% by source
+      Tables(s, d, "documents")
+        .filter(((col("doc_id") * HashA + HashC) % HashP) % 10000 < thresholdBp)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("sum_doc_id"))
+        .orderBy("source")
+    })
   )
 
   // q_sample / q_sample_stratified have no oracles: Bernoulli selection is
@@ -69,6 +89,12 @@ object Sampling extends QueryModule {
     "q_sample_hash" ->
       s"""SELECT event_id, user_id, event_type, value FROM events
          |WHERE ((event_id * $HashA + $HashC) % $HashP) % 20 = 0
-         |ORDER BY event_id""".stripMargin
+         |ORDER BY event_id""".stripMargin,
+    "q_sample_mixture" ->
+      s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM documents
+         |WHERE ((doc_id * $HashA + $HashC) % $HashP) % 10000
+         |      < 2000 + 500 * (CAST(substring(source, 4) AS INT) % 8)
+         |GROUP BY source ORDER BY source""".stripMargin
   )
 }
