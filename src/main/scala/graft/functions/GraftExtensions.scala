@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_pack", "simhash_pack(hashes) - 31-bit SimHash from token hashes"),
       (args: Seq[Expression]) => SimHashPack(args(0))))
 
+    e.injectFunction((FunctionIdentifier("zorder64"),
+      info("zorder64", "zorder64(a, b) - Morton interleave of two int keys for Z-order clustering"),
+      (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
+
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
       (args: Seq[Expression]) => NfcNormalize(args(0))))
