@@ -122,6 +122,46 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= k)
   }
 
+  /** Connected components over a near-dup pair list — LSH emits PAIRS, but
+    * dedup needs CLUSTERS (pick one canonical doc per component; hamming/
+    * Jaccard closeness is not transitive, so components ≠ equality groups).
+    *
+    * Algorithm: iterative min-label propagation — every node starts as its
+    * own label; each round takes the min of its neighbors' labels; fixpoint
+    * when no label changes. Each round is one shuffle (edge⋈label +
+    * per-node min) and `localCheckpoint` cuts the growing lineage; rounds
+    * needed = component diameter, which for LSH near-dup clusters is small
+    * (tight similarity balls). For adversarial long-chain graphs at 100 TB
+    * the round count becomes the bottleneck and the alternating
+    * large-star/small-star algorithm (O(log n) rounds) is the drop-in
+    * upgrade — same per-round join shape. The DuckDB oracle computes
+    * min-reachable-id per node with a recursive CTE: a genuinely different
+    * algorithm (transitive closure) certifying the fixpoint.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val joined = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          when(coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"), 1L)
+            .otherwise(0L).as("chg"))
+        .localCheckpoint()
+      changed = joined.agg(sum("chg")).head().getLong(0)
+      labels = joined.drop("chg")
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   def queries: Map[String, Q] = Map(
     // B12 — exact dedup keeping the latest event per (user_id, event_type):
     // deterministic row_number over a total order (ts DESC, event_id DESC).
@@ -189,6 +229,18 @@ object Dedup extends QueryModule {
     "q_dedup_simhash_k" -> ((s, d) =>
       simhashPairsWithinK(simhashBigrams(Tables(s, d, "documents")), HammingK)
         .orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTERS: connected components over the hamming ≤ k pair
+    // graph (min-label propagation to fixpoint; the oracle's recursive-CTE
+    // transitive closure must agree). Every document gets a cluster id —
+    // the min doc_id of its component; singletons label themselves.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = simhashPairsWithinK(simhashBigrams(docs), HammingK)
+        .select("doc_a", "doc_b")
+      connectedComponents(pairs, docs.select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
 
     // Blocked exact n-gram Jaccard: candidate pairs only within the same
     // (lang, token-count-bucket) block — classic blocking, no all-pairs.
@@ -308,6 +360,21 @@ object Dedup extends QueryModule {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingK
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure by recursive CTE: min reachable doc_id per node ==
+    // the label-propagation fixpoint.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${simhashBigramSql("sig")},
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingK),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT doc_id AS n, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS n, reach.r FROM edges e JOIN reach ON reach.n = e.b)
+         |SELECT n AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),

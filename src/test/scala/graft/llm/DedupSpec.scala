@@ -159,4 +159,30 @@ class DedupSpec extends SparkSuite {
       .head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("connected components: label propagation equals driver-side BFS on a chain graph") {
+    // chain 1-2-3-4 (non-transitive closeness), pair (10,11), singleton 20:
+    // components {1,2,3,4} -> 1, {10,11} -> 10, {20} -> 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, nodes)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components: every near-dup pair ends in one cluster, ids are component minima") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val pairs = Dedup.simhashPairsWithinK(Dedup.simhashBigrams(docs), 3)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, docs.select("doc_id"))
+    val byDoc = labels.as[(Long, Long)].collect().toMap
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster's id is its own minimum member
+    byDoc.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
 }
