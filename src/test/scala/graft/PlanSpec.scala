@@ -73,6 +73,28 @@ class PlanSpec extends SparkSuite {
     assert(r.getInt(2) === 2)
   }
 
+  test("upsert plans as union + single keyed shuffle, not a join") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("Union"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "merge must not plan a join — union + keep-winner is one shuffle")
+    assert(p.contains("Exchange hashpartitioning(o_orderkey"), p.take(1200))
+  }
+
+  test("bloom semi-join: probe filters the fact side before a broadcast semi-join") {
+    val p = plan("q_join_bloom")
+    assert(p.toLowerCase.contains("bloom_might_contain") ||
+      p.toLowerCase.contains("bloommightcontain"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("sequence packing: prefix sum runs as range-partitioned windows, never one global partition") {
+    val p = plan("q_corpus_pack")
+    assert(p.contains("Exchange hashpartitioning(part"), p.take(1200))
+    assert(!p.contains("Window [") || !p.contains("Exchange SinglePartition"),
+      "no single-partition global window allowed")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or
