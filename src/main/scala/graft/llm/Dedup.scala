@@ -140,8 +140,11 @@ object Dedup extends QueryModule {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    // materialize the symmetric edge list ONCE — its lineage (typically a
+    // banded LSH self-join) must not recompute on every propagation round
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var iter = 0
