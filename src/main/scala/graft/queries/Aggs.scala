@@ -185,6 +185,21 @@ object Aggs extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
+    // Heavy hitters (exact form): users carrying ≥80% of the heaviest
+    // user's event load. Two partial+final aggregates; the 1-row max
+    // broadcasts. This is the exact twin of the Count-Min sketch path
+    // (functions/CountMinAgg, CountMinSpec): CMS answers the same question
+    // at 100 TB from an (ε,δ)-sized mergeable table without shuffling keys.
+    "q_agg_heavy_hitters" -> ((s, d) => {
+      val counts = Tables(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val maxN = counts.agg(max("n_events").as("n_max"))
+      counts.crossJoin(broadcast(maxN))
+        .filter(col("n_events") * 5 >= col("n_max") * 4)
+        .select("user_id", "n_events")
+        .orderBy("user_id")
+    }),
+
     // B8a — global top-k: orderBy+limit compiles to TakeOrderedAndProjectExec
     // (per-partition bounded heap, no global sort shuffle of the full table).
     "q_topk" -> ((s, d) =>
@@ -330,6 +345,11 @@ object Aggs extends QueryModule {
         |SELECT user_id, event_type, n_events
         |FROM p UNPIVOT (n_events FOR event_type IN (click, error, purchase, signup, view))
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_agg_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT user_id, n_events FROM c
+        |WHERE n_events * 5 >= (SELECT MAX(n_events) FROM c) * 4
+        |ORDER BY user_id""".stripMargin,
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "q_topk_group" ->
