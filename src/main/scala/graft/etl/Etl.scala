@@ -45,9 +45,14 @@ object Etl {
       yearCol: String = "pickup_year",
       monthCol: String = "pickup_month")
 
-  /** Per-run manifest: which files landed in bronze, which failed
-    * (main.py:146-147; written as text blobs by [[writeManifests]]). */
-  final case class Manifest(processed: Seq[String], failed: Seq[(String, String)])
+  /** Per-run manifest: which files landed in bronze (with the row count
+    * each contributed), which failed (main.py:146-147; written as text
+    * blobs by [[writeManifests]]). Counts come from `observe` metrics
+    * captured ON the write pass — the reference pays a second full scan per
+    * file for the same telemetry (`df.count()` at main.py:188, re-reading
+    * what the write is about to read; at 100 TB that doubles bronze I/O). */
+  final case class Manifest(processed: Seq[String], failed: Seq[(String, String)],
+                            rowCounts: Map[String, Long] = Map.empty)
 
   /** A4 — source enumeration: list the source directory, keep parquet
     * entries, sort lexicographically (utils.py:46-66). Directories count
@@ -89,15 +94,22 @@ object Etl {
         val raw = spark.read.parquet(path.toString)
         val casted = castToSchema(raw, cfg.bronzeSchema)
         val bounded = monthIntervalFilter(casted, cfg.tsCol, ym, cfg.toleranceHours)
+        // Row-count telemetry rides the write action via observe — no
+        // second scan (the reference's count()-then-write reads twice).
+        val obs = new org.apache.spark.sql.Observation(s"bronze_$name")
         // A19 — append sink: bronze accumulates across monthly files.
-        bounded.write.mode("append").parquet(cfg.bronzeDir)
-        name
+        bounded.observe(obs, count(lit(1)).as("n_rows"))
+          .write.mode("append").parquet(cfg.bronzeDir)
+        name -> obs.get("n_rows").asInstanceOf[Long]
       } match {
-        case Success(n) => Left(n)
+        case Success((n, rows)) => Left(n -> rows)
         case Failure(e) => Right(name -> e.getMessage)
       }
     }
-    Manifest(results.collect { case Left(n) => n }, results.collect { case Right(f) => f })
+    Manifest(
+      results.collect { case Left((n, _)) => n },
+      results.collect { case Right(f) => f },
+      results.collect { case Left(nr) => nr }.toMap)
   }
 
   /** Gold layer (A9,A10,A20): column pruning by set difference, derived
@@ -119,7 +131,8 @@ object Etl {
   def writeManifests(cfg: Config, runDate: String, m: Manifest): Unit = {
     val dir = Paths.get(cfg.logDir)
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve(s"processed_files_$runDate.txt"), m.processed.mkString("\n"))
+    Files.writeString(dir.resolve(s"processed_files_$runDate.txt"),
+      m.processed.map(n => s"$n\t${m.rowCounts.getOrElse(n, 0L)} rows").mkString("\n"))
     Files.writeString(dir.resolve(s"failed_files_$runDate.txt"),
       m.failed.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
   }

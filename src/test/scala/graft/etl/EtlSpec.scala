@@ -61,6 +61,10 @@ class EtlSpec extends SparkSuite {
     val m = Etl.run(spark, cfg, runDate = "2024-01-01")
     assert(m.processed === Seq("trips_2023-11.parquet"))
     assert(m.failed.map(_._1) === Seq("trips_2023-12.parquet"))
+    // observe-metric telemetry: the count rode the write action (no second
+    // scan) and matches what actually landed in bronze
+    assert(m.rowCounts("trips_2023-11.parquet") ===
+      spark.read.parquet(cfg.bronzeDir).count())
     // pruned file is neither processed nor failed (skipped before read)
     assert(!m.processed.contains("trips_2023-10.parquet"))
     // manifests written as text blobs (utils.py:69-84)
