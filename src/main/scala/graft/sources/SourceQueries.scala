@@ -55,6 +55,19 @@ object SourceQueries extends QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           graft.queries.Det.dsum(col("o_totalprice")).as("sum_total"))
         .orderBy("c_mktsegment")
+    }),
+
+    // The custom DataSource V2 connector as a declared query: the source
+    // generates documents from pure modular arithmetic, so the DuckDB
+    // oracle reproduces the SAME rows from range() — proving the connector
+    // (partition planning, pruned readers, filter narrowing) is lossless.
+    // The filter range is chosen to cross partition boundaries.
+    "q_source_dsv2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GraftDocsSource")
+        .option("rows", "1000").option("partitions", "8").load()
+        .filter(col("doc_id") >= 100L && col("doc_id") < 400L)
+        .orderBy("doc_id")
     })
   )
 
@@ -66,6 +79,14 @@ object SourceQueries extends QueryModule {
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |  ${graft.queries.Det.sqlSum("o_totalprice")} AS sum_total
          |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_source_dsv2" ->
+      """SELECT doc_id, 'src' || CAST(doc_id % 20 AS VARCHAR) AS source,
+        |  array_to_string([
+        |    ['the','quick','spark','engine','reads','row','group','stats','and','prunes']
+        |      [CAST((doc_id*31 + i*7) % 10 AS INT) + 1]
+        |    for i in range(0, 12)], ' ') AS text
+        |FROM (SELECT range AS doc_id FROM range(100, 400))
+        |ORDER BY doc_id""".stripMargin
   )
 }

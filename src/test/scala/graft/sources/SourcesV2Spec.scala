@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The DSv2 connector must generate deterministic rows, prune columns at
+  * the reader, and narrow partition planning with pushed doc_id ranges. */
+class SourcesV2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(n: Long, parts: Int = 8) = spark.read
+    .format("graft.sources.GraftDocsSource")
+    .option("rows", n.toString).option("partitions", parts.toString)
+    .load()
+
+  test("generates exactly n deterministic rows across partitions") {
+    val df = docs(1000)
+    assert(df.count() === 1000L)
+    assert(df.select("doc_id").as[Long].collect().sorted.toSeq === (0L until 1000L))
+    // same id -> same content, independent of partitioning
+    val a = docs(1000, 3).filter($"doc_id" === 123L).select("text").head().getString(0)
+    val b = docs(1000, 11).filter($"doc_id" === 123L).select("text").head().getString(0)
+    assert(a === b && a === GraftDocsSource.textOf(123L))
+  }
+
+  test("doc_id range filters push into partition planning") {
+    val df = docs(100000).filter($"doc_id" >= 99990L && $"doc_id" < 99995L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[99990,99995)"), plan.take(1200))
+    assert(df.count() === 5)
+    // equality narrows to a single-row range
+    val eq = docs(100000).filter($"doc_id" === 7L)
+    assert(eq.queryExecution.executedPlan.toString.contains("range=[7,8)"))
+    assert(eq.count() === 1)
+  }
+
+  test("column pruning reaches the reader: projection shows only requested cols") {
+    val df = docs(1000).select("doc_id", "source")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=doc_id,source"), plan.take(1200))
+    assert(!plan.contains("cols=doc_id,source,text"))
+    assert(df.groupBy("source").count().count() === 20)
+  }
+
+  test("non-pushable predicates still apply post-scan") {
+    val df = docs(1000).filter($"source" === "src3")
+    assert(df.count() === 50)
+    assert(df.select("doc_id").as[Long].collect().forall(_ % 20 == 3))
+  }
+}
