@@ -200,6 +200,68 @@ object Aggs extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // Exact distributed statistics: variance / stddev / correlation from
+    // exact DECIMAL power sums (n, Σx, Σx², Σy, Σy², Σxy — each
+    // order-independent, one partial+final hash aggregate), with the closed
+    // form evaluated in DOUBLE on identical operands so both engines emit
+    // identical bits. Spark's builtin var_samp/corr stream doubles in
+    // partial order — correct but not hash-reproducible across engines;
+    // this is the deterministic twin, and the power sums are trivially
+    // mergeable (the same shape a 1000-executor scan combines for free).
+    "q_agg_stats" -> ((s, d) => {
+      val DecSq = DecimalType(28, 4)
+      def dss(a: String, b: String) =
+        sum((col(a) * col(b)).cast(DecSq)).cast(DoubleType)
+      val nD = col("n").cast(DoubleType)
+      def varOf(ssq: String, sm: String) =
+        (nD * col(ssq) - col(sm) * col(sm)) / (nD * (nD - lit(1.0)))
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_quantity")).as("sum_q"),
+          dss("l_quantity", "l_quantity").as("ssq_q"),
+          Det.dsum(col("l_extendedprice")).as("sum_p"),
+          dss("l_extendedprice", "l_extendedprice").as("ssq_p"),
+          dss("l_quantity", "l_extendedprice").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          varOf("ssq_q", "sum_q").as("var_q"),
+          sqrt(varOf("ssq_q", "sum_q")).as("std_q"),
+          varOf("ssq_p", "sum_p").as("var_p"),
+          ((nD * col("sxy") - col("sum_q") * col("sum_p")) /
+            (sqrt(nD * col("ssq_q") - col("sum_q") * col("sum_q")) *
+             sqrt(nD * col("ssq_p") - col("sum_p") * col("sum_p")))).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic MODE: most frequent order priority per year, ties broken
+    // by priority string — builtin mode() has no tie-break contract on
+    // either engine, so the portable form is count + ranked window over the
+    // (small) distinct-combination frame. The window input is |years ×
+    // priorities| rows, never the fact table.
+    "q_agg_mode" -> ((s, d) => {
+      val counts = Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast(IntegerType).as("o_year"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_year").orderBy(desc("n"), col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_year", "o_orderpriority", "n")
+        .orderBy("o_year")
+    }),
+
+    // Fixed-width histogram: bin key computed per-row in the scan
+    // (floor(x/width) — codegen'd, no UDF), then an ordinary partial+final
+    // count. The classic single-pass distributed histogram; empty bins are
+    // absent by construction on both engines.
+    "q_agg_hist" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast(IntegerType).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("bin")),
+
     // B8a — global top-k: orderBy+limit compiles to TakeOrderedAndProjectExec
     // (per-partition bounded heap, no global sort shuffle of the full table).
     "q_topk" -> ((s, d) =>
@@ -281,6 +343,42 @@ object Aggs extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_agg_stats" ->
+      s"""WITH p AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    ${Det.sqlSum("l_quantity")} AS sum_q,
+         |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ssq_q,
+         |    ${Det.sqlSum("l_extendedprice")} AS sum_p,
+         |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS ssq_p,
+         |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * ssq_q - sum_q * sum_q)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_q,
+         |  sqrt((CAST(n AS DOUBLE) * ssq_q - sum_q * sum_q)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_q,
+         |  (CAST(n AS DOUBLE) * ssq_p - sum_p * sum_p)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_p,
+         |  (CAST(n AS DOUBLE) * sxy - sum_q * sum_p)
+         |    / (sqrt(CAST(n AS DOUBLE) * ssq_q - sum_q * sum_q)
+         |       * sqrt(CAST(n AS DOUBLE) * ssq_p - sum_p * sum_p)) AS corr_qp
+         |FROM p ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_year, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_year
+        |                       ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_year, o_orderpriority, n FROM r WHERE rn = 1
+        |ORDER BY o_year""".stripMargin,
+    "q_agg_hist" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
+        |  COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_agg_multi" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty,

@@ -134,6 +134,20 @@ object SetsScalars extends QueryModule {
           col("props").rlike("[0-9]+").as("has_digits"))
         .orderBy("event_id")),
 
+    // B11g — generator (UDTF) surface: the reference needs no UDTFs and
+    // SURVEY §2 maps that surface to Spark's built-in Generators. posexplode
+    // covers both explode and position tracking in one declared query; the
+    // token stream is the shape every tokenization pipeline fans out to.
+    // Generate runs inside whole-stage codegen and multiplies rows WITHOUT a
+    // shuffle — at 100 TB the explode output never materializes globally,
+    // it flows straight into the next per-partition operator. DuckDB twin:
+    // parallel unnest (zip semantics) over the same string_split.
+    "q_explode" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
     // B11b — date/time scalar battery over orders (timestamps are
     // midnight-aligned, so day arithmetic is exact on both engines).
     "q_scalar_dates" -> ((s, d) =>
@@ -210,6 +224,13 @@ object SetsScalars extends QueryModule {
         |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS first_num,
         |  regexp_matches(props, '[0-9]+') AS has_digits
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_explode" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, token FROM (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_scalar_dates" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS od,

@@ -57,6 +57,56 @@ object SourceQueries extends QueryModule {
         .orderBy("c_mktsegment")
     }),
 
+    // Schema evolution: a long-lived ingest directory accumulates files
+    // written under DIFFERENT schema versions (the reference's monthly
+    // yellow-trip drops/renames columns across years — SURVEY §4 "schema
+    // drift"). v1 files carry 4 columns, v2 files carry 6; a mergeSchema
+    // read must widen to the union and NULL-fill the missing columns —
+    // per file-footer, no data rewrite. The DuckDB oracle states the same
+    // semantics as an explicit NULL-padded UNION ALL, so the hash proves
+    // the widened read is lossless. At 100 TB this is the difference
+    // between evolving a table in place and rewriting history.
+    "q_schema_evolution" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val tmp = graft.Scratch.dir("graft_evo_")
+      val orders = Tables(s, d, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(s"$tmp/v1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .orderBy("o_orderkey")
+    }),
+
+    // File lineage via the `_metadata` hidden column: the reference
+    // attributes every row to its source file (per-file ETL isolation —
+    // SURVEY §2 A25); Spark surfaces the same lineage for free on any file
+    // scan. We write orders partitioned by year, read back, and recover
+    // each row's partition FROM ITS FILE PATH — the oracle derives the same
+    // value from the data, so the hash proves partitionBy placed every row
+    // in the right file. Costs nothing at scale: _metadata is constant
+    // per-file, no shuffle.
+    "q_file_lineage" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.IntegerType
+      val tmp = graft.Scratch.dir("graft_lineage_")
+      Tables(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").parquet(s"$tmp/orders_by_year")
+      s.read.parquet(s"$tmp/orders_by_year")
+        .select(
+          regexp_extract(col("_metadata.file_path"), "o_year=(\\d+)", 1)
+            .cast(IntegerType).as("file_year"),
+          col("o_totalprice"))
+        .groupBy("file_year")
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Det.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("file_year")
+    }),
+
     // The custom DataSource V2 connector as a declared query: the source
     // generates documents from pure modular arithmetic, so the DuckDB
     // oracle reproduces the SAME rows from range() — proving the connector
@@ -80,6 +130,18 @@ object SourceQueries extends QueryModule {
          |  ${graft.queries.Det.sqlSum("o_totalprice")} AS sum_total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_file_lineage" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS file_year, COUNT(*) AS n,
+         |  ${graft.queries.Det.sqlSum("o_totalprice")} AS sum_total
+         |FROM orders GROUP BY 1 ORDER BY file_year""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(NULL AS TIMESTAMP) AS o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q_source_dsv2" ->
       """SELECT doc_id, 'src' || CAST(doc_id % 20 AS VARCHAR) AS source,
         |  array_to_string([
