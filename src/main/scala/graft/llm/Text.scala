@@ -136,6 +136,44 @@ object Text extends QueryModule {
           length(col("text")).cast(LongType).as("n_chars_calc"))
         .orderBy("doc_id")),
 
+    // Vocabulary construction: the token → dense-id mapping a tokenizer
+    // build step produces. Global term frequencies (one map-side-combined
+    // aggregate over the exploded token stream — the shuffle carries one
+    // row per DISTINCT token), then ids assigned by a frequency-ranked
+    // total order. The ranking window runs over |vocab| rows only, never
+    // the corpus; at web scale you'd cap the vocab with a bounded top-k
+    // first, which this repo's TopKPerGroup operator already provides.
+    "q_text_vocab" -> ((s, d) => {
+      val counts = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      counts.withColumn("token_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("n"), col("token"))).cast(IntegerType))
+        .select("token_id", "token", "n")
+        .orderBy("token_id")
+    }),
+
+    // Bigram (co-occurrence) counts: the n-gram language-model count table.
+    // Bigrams are materialized PER ROW with a codegen'd transform over the
+    // token array (no self-join, no shuffle to form pairs — the classic
+    // mistake is joining the token stream to itself on (doc, pos+1), which
+    // shuffles the whole corpus twice); only the grouped count shuffles,
+    // bounded by the distinct-bigram vocabulary. Top-100 by (count, bigram)
+    // is a bounded TakeOrderedAndProject, not a global sort.
+    "q_text_bigrams" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      Tables(s, d, "documents")
+        .select(explode(when(size(tk) >= 2,
+            transform(sequence(lit(1), size(tk) - 1),
+              i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(100)
+    }),
+
     // TF-IDF: the classic term-weighting pipeline — term frequencies per
     // doc, document frequencies, idf = ln((N+1)/(df+1)) (smoothed; a term
     // present in every document weighs ~zero),
@@ -282,6 +320,22 @@ object Text extends QueryModule {
          |  CAST(length(red) - length(replace(red, '<', '')) AS BIGINT) AS n_tags
          |FROM (SELECT doc_id, ${sqlRedactChain("raw")} AS red FROM raw) t
          |ORDER BY doc_id""".stripMargin,
+    "q_text_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, COUNT(*) AS n FROM t WHERE len(token) > 0 GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS token_id,
+        |       token, n
+        |FROM c ORDER BY token_id""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH l AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |b AS (
+        |  SELECT unnest([tk[bg_i] || ' ' || tk[bg_i + 1]
+        |                 for bg_i in range(1, len(tk))]) AS bigram
+        |  FROM l)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
     "q_text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
+
+import graft.Tables
+
+/** Feature-engineering surface — the per-column transforms a training-data
+  * pipeline runs between ingest and model input (generalizes the reference's
+  * derived-column stage, pasta2_pipelines/src/main.py:~40, from calendar
+  * fields to statistical features):
+  *
+  *  - group-wise z-score normalization (`q_feature_zscore`);
+  *  - global quantile binning / discretization (`q_feature_bins`);
+  *  - one-pass column profiling — the ANALYZE-style data-quality report
+  *    every ingest job emits (`q_profile`).
+  *
+  * Scale design: all three are one aggregate pass over the fact table plus
+  * per-row arithmetic. The z-score stats and bin boundaries are tiny frames
+  * broadcast back against the facts — the fact table never shuffles. The
+  * power sums and counts are trivially mergeable partials: on a
+  * 1000-executor cluster each of these runs as one map-side-combined
+  * aggregate, one broadcast, one embarrassingly-parallel projection.
+  *
+  * Determinism: moments accumulate in fixed-point (floor(x·1e6) summed as
+  * BIGINT — order-independent, engine-portable per the repo's parity rules;
+  * the 1e-6 quantization is the documented contract of the op), and the
+  * closed forms are evaluated in DOUBLE over identical operands so both
+  * engines emit identical bits. Bin edges use exact interpolated
+  * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, bit-exact).
+  */
+object Features extends QueryModule {
+
+  private val Fp = 1000000L // 1e6 fixed-point scale for moment sums
+
+  def queries: Map[String, Q] = Map(
+    // Per-event-type standardization: exact fixed-point power sums →
+    // mean/std in closed form → broadcast join-back → per-row (x-µ)/σ.
+    // Spark's builtin stddev streams doubles in partial order (correct but
+    // not cross-engine reproducible); the fixed-point sums are the
+    // deterministic, mergeable form.
+    "q_feature_zscore" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val sv6 = col("sv6").cast(DoubleType) / lit(1e6)
+      val svv6 = col("svv6").cast(DoubleType) / lit(1e6)
+      val stats = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * Fp).cast(LongType)).as("sv6"),
+          sum(floor(col("value") * col("value") * Fp).cast(LongType)).as("svv6"))
+        .select(col("event_type"),
+          (sv6 / col("n")).as("mean_v"),
+          sqrt((svv6 - sv6 * sv6 / col("n")) / (col("n") - 1)).as("std_v"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mean_v")) / col("std_v")).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // Quantile discretization: one exact-percentile pass yields the
+    // [p25, p50, p75] edges; every row is then binned by comparison against
+    // the broadcast edges (a codegen'd CASE chain, no shuffle of facts).
+    "q_feature_bins" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val edges = o.agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+        percentile(col("o_totalprice"), lit(0.5)).as("q2"),
+        percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+      o.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          when(col("o_totalprice") <= col("q1"), 0)
+            .when(col("o_totalprice") <= col("q2"), 1)
+            .when(col("o_totalprice") <= col("q3"), 2)
+            .otherwise(3).cast(IntegerType))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bin")
+    }),
+
+    // ANALYZE-style profile of `orders` in ONE aggregate pass (plus the
+    // multi-distinct expand Catalyst plans for it): per column the non-null
+    // count, distinct count, and min/max rendered to engine-portable
+    // strings (numerics via DECIMAL(18,4) — both engines print all scale
+    // digits; timestamps via an explicit format). stack() unpivots the
+    // single stat row into one row per column.
+    "q_profile" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      def decS(c: String, agg: String) =
+        s"CAST(CAST($agg($c) AS DECIMAL(18,4)) AS STRING)"
+      def tsS(c: String, agg: String) =
+        s"date_format($agg($c), 'yyyy-MM-dd HH:mm:ss')"
+      def strS(c: String, agg: String) = s"$agg($c)"
+      val cols = Seq( // (name, min/max renderer)
+        ("o_orderkey", decS _), ("o_custkey", decS _), ("o_totalprice", decS _),
+        ("o_orderdate", tsS _), ("o_orderstatus", strS _), ("o_orderpriority", strS _))
+      val aggs = cols.flatMap { case (c, r) => Seq(
+        expr(s"count($c)").as(s"c_$c"),
+        expr(s"count(distinct $c)").as(s"d_$c"),
+        expr(r(c, "min")).as(s"mn_$c"),
+        expr(r(c, "max")).as(s"mx_$c"))
+      }
+      val stacked = cols.map { case (c, _) => s"'$c', c_$c, d_$c, mn_$c, mx_$c" }
+        .mkString(", ")
+      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+        .orderBy("col_name")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_feature_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sv6,
+        |    CAST(SUM(CAST(floor(value * value * 1000000) AS BIGINT)) AS BIGINT) AS svv6
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sv6 AS DOUBLE) / 1e6 / n AS mean_v,
+        |    sqrt((CAST(svv6 AS DOUBLE) / 1e6
+        |          - (CAST(sv6 AS DOUBLE) / 1e6) * (CAST(sv6 AS DOUBLE) / 1e6) / n)
+        |         / (n - 1)) AS std_v
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - m.mean_v) / m.std_v AS z
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_feature_bins" ->
+      s"""WITH q AS (
+         |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         |         quantile_cont(o_totalprice, 0.5)  AS q2,
+         |         quantile_cont(o_totalprice, 0.75) AS q3
+         |  FROM orders)
+         |SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+         |            WHEN o_totalprice <= q2 THEN 1
+         |            WHEN o_totalprice <= q3 THEN 2
+         |            ELSE 3 END AS INTEGER) AS bin,
+         |  COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         |  ${Det.sqlSum("o_totalprice")} AS sum_price
+         |FROM orders, q GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS c_ok, COUNT(DISTINCT o_orderkey) AS d_ok,
+        |    CAST(CAST(min(o_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS mn_ok,
+        |    CAST(CAST(max(o_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS mx_ok,
+        |    COUNT(o_custkey) AS c_ck, COUNT(DISTINCT o_custkey) AS d_ck,
+        |    CAST(CAST(min(o_custkey) AS DECIMAL(18,4)) AS VARCHAR) AS mn_ck,
+        |    CAST(CAST(max(o_custkey) AS DECIMAL(18,4)) AS VARCHAR) AS mx_ck,
+        |    COUNT(o_totalprice) AS c_tp, COUNT(DISTINCT o_totalprice) AS d_tp,
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR) AS mn_tp,
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR) AS mx_tp,
+        |    COUNT(o_orderdate) AS c_od, COUNT(DISTINCT o_orderdate) AS d_od,
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_od,
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_od,
+        |    COUNT(o_orderstatus) AS c_os, COUNT(DISTINCT o_orderstatus) AS d_os,
+        |    min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+        |    COUNT(o_orderpriority) AS c_op, COUNT(DISTINCT o_orderpriority) AS d_op,
+        |    min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+        |  FROM orders)
+        |SELECT n_rows, col_name, n_nonnull, n_distinct, min_s, max_s FROM (
+        |  SELECT n_rows, 'o_orderkey' AS col_name, c_ok AS n_nonnull,
+        |         d_ok AS n_distinct, mn_ok AS min_s, mx_ok AS max_s FROM a
+        |  UNION ALL SELECT n_rows, 'o_custkey', c_ck, d_ck, mn_ck, mx_ck FROM a
+        |  UNION ALL SELECT n_rows, 'o_totalprice', c_tp, d_tp, mn_tp, mx_tp FROM a
+        |  UNION ALL SELECT n_rows, 'o_orderdate', c_od, d_od, mn_od, mx_od FROM a
+        |  UNION ALL SELECT n_rows, 'o_orderstatus', c_os, d_os, mn_os, mx_os FROM a
+        |  UNION ALL SELECT n_rows, 'o_orderpriority', c_op, d_op, mn_op, mx_op FROM a)
+        |ORDER BY col_name""".stripMargin
+  )
+}

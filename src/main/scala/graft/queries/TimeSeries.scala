@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, TimestampType}
 
 import graft.Tables
 
@@ -42,6 +42,34 @@ object TimeSeries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // Batch sessionization (gaps-and-islands): the batch twin of the
+    // streaming session window (B19) — a new session starts where the gap
+    // from the previous event exceeds 30 min. lag + running-sum over the
+    // per-user event-time order, then one per-session aggregate. Scale: the
+    // two windows and the aggregate all share ONE hash partitioning on
+    // user_id — Catalyst reuses the exchange, so the fact table shuffles
+    // once. Ties are ordered by (ts, event_id) — fully deterministic.
+    "q_sessionize" -> ((s, d) => {
+      val GapUs = 1800L * 1000000L // 30-minute inactivity gap
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val prev = lag(col("ts_us"), 1).over(wOrd)
+      Tables(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(prev.isNull || col("ts_us") - prev > GapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"),
+          max("ts_us").as("end_us"),
+          Det.dsum(col("value")).as("sum_value"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Hourly resample + forward fill for one day: every (user, hour) cell
     // gets the latest observation at or before it (within the day).
     // "Latest in hour" is keyed on event_id (unique, monotone within the
@@ -74,6 +102,27 @@ object TimeSeries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  max(ts_us) - min(ts_us) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_window_range_frame" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_1h,
