@@ -87,6 +87,21 @@ object EtlQueries extends QueryModule {
         .withColumn("o_orderstatus", lit("N"))
       Upsert.keyed(base, updates.unionByName(inserts), Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    }),
+
+    // SCD Type 2 over the customer dimension: keys ≡0 (mod 10) change
+    // segment + balance and land as version 2; their version-1 rows stay in
+    // the output closed (is_current=false, valid_to=2). One union + one
+    // keyed window — a single shuffle (see etl/Scd.scala); the oracle
+    // states the same history as CASE projections + UNION ALL.
+    "q_scd2" -> ((s, d) => {
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      val base = Tables(s, d, "customer").select(cols.map(col): _*)
+      val changes = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_mktsegment", lit("MACHINERY"))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      Scd.type2(base, changes, Seq("c_custkey"), newVersion = 2)
+        .orderBy("c_custkey", "version")
     })
   )
 
@@ -114,6 +129,20 @@ object EtlQueries extends QueryModule {
         |       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
         |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, 'MACHINERY' AS c_mktsegment,
+        |         c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, 1 AS version,
+        |       (c_custkey % 10 <> 0) AS is_current,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE NULL END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal, 2 AS version,
+        |       true AS is_current, CAST(NULL AS INTEGER) AS valid_to
+        |FROM chg
+        |ORDER BY c_custkey, version""".stripMargin
   )
 }

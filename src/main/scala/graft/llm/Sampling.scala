@@ -60,6 +60,26 @@ object Sampling extends QueryModule {
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")),
 
+    // Per-stratum capped sample ("reservoir" with a deterministic
+    // pseudo-random order): each source keeps its k=8 docs with the
+    // smallest key hash — a pure data function, so the SAME docs are
+    // selected on every engine and every run, unlike a true reservoir
+    // whose content is traversal-order dependent. The per-group rank is a
+    // bounded window (group size ≤ docs-per-source, and the native
+    // TopKPerGroup operator in plans/ gives the heap-bounded form at
+    // scale); the cap is the standard guard against one giant source
+    // flooding a training mixture.
+    "q_sample_reservoir" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("hk", (col("doc_id") * HashA + HashC) % HashP)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("hk", "doc_id"))
+          .cast("int"))
+        .filter(col("rk") <= 8)
+        .select("source", "rk", "doc_id", "lang")
+        .orderBy("source", "rk")),
+
     // Training-mixture sampling: each source gets a TARGET WEIGHT (here a
     // deterministic function of the source index — in production a mixture
     // spec table) and rows are kept iff their key hash falls under the
@@ -86,6 +106,17 @@ object Sampling extends QueryModule {
   // reproducibility is pinned by SamplingSpec instead. The hash sample is a
   // pure data function → cell-exact oracle.
   def oracles: Map[String, String] = Map(
+    "q_sample_reservoir" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, lang,
+         |         (doc_id * $HashA + $HashC) % $HashP AS hk
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY hk, doc_id) AS INTEGER) AS rk
+         |  FROM h)
+         |SELECT source, rk, doc_id, lang FROM r WHERE rk <= 8
+         |ORDER BY source, rk""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT event_id, user_id, event_type, value FROM events
          |WHERE ((event_id * $HashA + $HashC) % $HashP) % 20 = 0

@@ -262,6 +262,32 @@ object Aggs extends QueryModule {
           max("o_totalprice").as("hi"))
         .orderBy("bin")),
 
+    // Incremental aggregation / materialized-view maintenance: per-batch
+    // PARTIAL aggregates (here 3 synthetic ingest batches) merged into the
+    // final result — the merge must equal a full recompute, which the
+    // oracle states as a direct single-pass aggregate over all rows.
+    // Partial sums stay DECIMAL through the merge (exact, order-free) and
+    // convert to double once. This is the contract that lets a 100 TB
+    // deployment maintain rollups by folding in each day's partial instead
+    // of rescanning history — and it is exactly the partial/final split
+    // Catalyst already runs inside one job, made durable across jobs.
+    "q_agg_incremental" -> ((s, d) => {
+      val Dec = DecimalType(18, 4)
+      val partials = Tables(s, d, "orders")
+        .withColumn("batch", pmod(col("o_orderkey"), lit(3)))
+        .groupBy("batch", "o_orderpriority")
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("o_totalprice").cast(Dec)).as("sum_part"),
+          min("o_totalprice").as("min_part"),
+          max("o_totalprice").as("max_part"))
+      partials.groupBy("o_orderpriority")
+        .agg(sum("n_part").as("n"),
+          sum("sum_part").cast(DoubleType).as("sum_total"),
+          min("min_part").as("min_total"),
+          max("max_part").as("max_total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // B8a — global top-k: orderBy+limit compiles to TakeOrderedAndProjectExec
     // (per-partition bounded heap, no global sort shuffle of the full table).
     "q_topk" -> ((s, d) =>
@@ -379,6 +405,14 @@ object Aggs extends QueryModule {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
         |  COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Deliberately the single-pass form: hash-matching it certifies the
+    // partial-merge path loses nothing.
+    "q_agg_incremental" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${Det.sqlSum("o_totalprice")} AS sum_total,
+         |  min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q_agg_multi" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Det.sqlSum("l_quantity")} AS sum_qty,

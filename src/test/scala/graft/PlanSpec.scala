@@ -95,6 +95,33 @@ class PlanSpec extends SparkSuite {
       "no single-partition global window allowed")
   }
 
+  test("sessionize shuffles the fact table once: both windows and the aggregate share one user_id exchange") {
+    val p = plan("q_sessionize")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1, p.take(1500))
+  }
+
+  test("z-score stats and bin edges come back via broadcast — facts never shuffle for the join") {
+    val pz = plan("q_feature_zscore")
+    assert(pz.contains("BroadcastExchange"), pz.take(1000))
+    assert(!pz.contains("SortMergeJoin"), "stats join-back must broadcast")
+    val pb = plan("q_feature_bins")
+    assert(pb.contains("BroadcastExchange"), pb.take(1000))
+  }
+
+  test("scd2 plans as union + single keyed shuffle, not a join") {
+    val p = plan("q_scd2")
+    assert(p.contains("Union"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "scd2 must not plan a join — union + one keyed window")
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).length === 1, p.take(1500))
+  }
+
+  test("bigram top-100 stays a bounded heap over a codegen'd generator") {
+    val p = plan("q_text_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("Generate"), "bigrams must come from a per-row Generate")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or
