@@ -121,6 +121,32 @@ object SetsScalars extends QueryModule {
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
         .orderBy("vec_id")),
 
+    // B11h — MAP-type scalar battery: build a map per row from the typed
+    // columns, then read it back through the map surface (element_at,
+    // size, map_keys via sort for determinism, map_contains_key,
+    // map_filter). All per-row codegen'd Catalyst expressions. The oracle
+    // states the EXPECTED VALUES directly from the same inputs — map ops
+    // are pure data functions, so proving Spark's map semantics emit
+    // exactly the source values needs no DuckDB map support (whose
+    // extraction returns lists, not scalars).
+    "q_scalar_maps" -> ((s, d) => {
+      val m = map(
+        lit("status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority"))
+      Tables(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          element_at(m, "status").as("m_status"),
+          element_at(m, "priority").as("m_priority"),
+          size(m).cast(IntegerType).as("m_size"),
+          array_join(array_sort(map_keys(m)), ",").as("m_keys"),
+          map_contains_key(m, "status").as("has_status"),
+          map_contains_key(m, "missing").as("has_missing"),
+          size(map_filter(m, (_, v) => v === lit("O")))
+            .cast(IntegerType).as("n_open_vals"))
+        .orderBy("o_orderkey")
+    }),
+
     // B11f — regex scalar battery over events.props (the only column with
     // digits): global masking (the PII-scrub shape every training-data
     // pipeline runs), group extraction, and a boolean match. Patterns stay
@@ -224,6 +250,18 @@ object SetsScalars extends QueryModule {
         |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS first_num,
         |  regexp_matches(props, '[0-9]+') AS has_digits
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_scalar_maps" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS m_status,
+        |  o_orderpriority AS m_priority,
+        |  CAST(2 AS INTEGER) AS m_size,
+        |  'priority,status' AS m_keys,
+        |  true AS has_status,
+        |  false AS has_missing,
+        |  CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+        |       + CASE WHEN o_orderpriority = 'O' THEN 1 ELSE 0 END
+        |       AS INTEGER) AS n_open_vals
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_explode" ->
       """SELECT doc_id, CAST(pos AS INTEGER) AS pos, token FROM (
         |  SELECT doc_id,

@@ -72,7 +72,25 @@ object Windows extends QueryModule {
         col("v_event_id"), col("v_ts"))
   }
 
+  /** Stream-static enrichment join: every event picks up its user's
+    * market segment from the (static) customer dimension. THE most common
+    * streaming pattern in production — the dim is broadcast, so each
+    * micro-batch enriches with zero shuffle and no streaming state at all
+    * (unlike stream-stream joins there is nothing to watermark: the static
+    * side is complete by definition). Left join: events without a dim row
+    * survive with a NULL segment. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment"))),
+        Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("value"))
+
   def queries: Map[String, Q] = Map(
+    "q_stream_enrich" -> ((s, d) =>
+      enrich(Tables(s, d, "events"), Tables(s, d, "customer"))
+        .orderBy("event_id")),
     "q_stream_tumbling" -> ((s, d) =>
       tumbling(Tables(s, d, "events")).orderBy("w_start", "event_type")),
     "q_stream_sliding" -> ((s, d) =>
@@ -88,6 +106,10 @@ object Windows extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, e.value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "q_stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
          |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
@@ -179,6 +201,12 @@ object Streaming {
       withWm.filter(col("event_type") === "view"),
       withWm.filter(col("event_type") === "purchase"))
   }
+
+  /** Stream-static twin of [[Windows.enrich]]: the static dim DataFrame is
+    * re-resolved against each micro-batch (Spark's stream-static join
+    * contract), broadcast per batch — no state, no watermark needed. */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    Windows.enrich(events, customers)
 
   /** Streaming exact dedup by key within the watermark horizon:
     * `dropDuplicatesWithinWatermark` keeps state only for keys younger than

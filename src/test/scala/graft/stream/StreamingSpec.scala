@@ -67,6 +67,15 @@ class StreamingSpec extends SparkSuite {
     assert(all.select("event_id").distinct().count() === expected * 2, "no duplicate event ids")
   }
 
+  test("stream-static enrichment join: streaming equals batch, append mode, no state") {
+    val customers = Tables(spark, sfDir, "customer")
+    val batch = Windows.enrich(Tables(spark, sfDir, "events"), customers)
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.enrichStream(Streaming.readEvents(spark, eventsDir), customers),
+      "t_enrich", outputMode = "append")
+    assertSameResult(batch, streamed, Seq("event_id"))
+  }
+
   test("tumbling windows: streaming (watermark + AvailableNow) equals batch") {
     val batch = Windows.tumbling(Tables(spark, sfDir, "events"))
     val streamed = Streaming.runToMemory(spark,
