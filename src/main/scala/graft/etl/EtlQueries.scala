@@ -102,6 +102,62 @@ object EtlQueries extends QueryModule {
         .withColumn("c_acctbal", col("c_acctbal") + 100.0)
       Scd.type2(base, changes, Seq("c_custkey"), newVersion = 2)
         .orderBy("c_custkey", "version")
+    }),
+
+    // CDC changelog apply (MERGE with deletes): U rows update their key,
+    // I rows insert, D rows DELETE — the change-data-feed sync step Upsert
+    // alone can't express. Same one-shuffle union + keep-winner shape; the
+    // oracle is the FULL OUTER JOIN + WHERE formulation.
+    "q_cdc_apply" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = Tables(s, d, "orders").select(cols.map(col): _*)
+      val changes = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("op", lit("U"))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("op", lit("I")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+          .withColumn("op", lit("D")))
+      Upsert.applyChanges(base, changes, Seq("o_orderkey"), "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // Table diff / reconciliation: compare two snapshots by key and emit
+    // added / removed / changed rows (unchanged excluded) — the audit every
+    // sync job runs after a CDC apply. One full-outer join on the key;
+    // snapshot B is the cdc-apply result recomputed in BOTH engines, so the
+    // hash certifies apply + diff as a composition.
+    "q_table_diff" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = Tables(s, d, "orders").select(cols.map(col): _*)
+      val changes = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("op", lit("U"))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("op", lit("I")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+          .withColumn("op", lit("D")))
+      val after = Upsert.applyChanges(base, changes, Seq("o_orderkey"), "op")
+      val l = base.select(col("o_orderkey"),
+        col("o_totalprice").as("price_a"), col("o_orderstatus").as("status_a"))
+      val r = after.select(col("o_orderkey"),
+        col("o_totalprice").as("price_b"), col("o_orderstatus").as("status_b"))
+      l.join(r, Seq("o_orderkey"), "full_outer")
+        .withColumn("diff_status",
+          when(col("status_b").isNull, "removed")
+            .when(col("status_a").isNull, "added")
+            .when(col("price_a") =!= col("price_b") ||
+              col("status_a") =!= col("status_b"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("diff_status") =!= "unchanged")
+        .select("o_orderkey", "diff_status", "price_a", "price_b")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -143,6 +199,55 @@ object EtlQueries extends QueryModule {
         |SELECT c_custkey, c_mktsegment, c_acctbal, 2 AS version,
         |       true AS is_current, CAST(NULL AS INTEGER) AS valid_to
         |FROM chg
-        |ORDER BY c_custkey, version""".stripMargin
+        |ORDER BY c_custkey, version""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |         'U' AS o_orderstatus, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N', 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 5)
+        |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+        |       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM orders b FULL OUTER JOIN chg u ON b.o_orderkey = u.o_orderkey
+        |WHERE u.op IS NULL OR u.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_diff" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |         'U' AS o_orderstatus, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N', 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 5),
+        |after AS (
+        |  SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         COALESCE(u.o_totalprice, b.o_totalprice) AS price_b,
+        |         COALESCE(u.o_orderstatus, b.o_orderstatus) AS status_b
+        |  FROM orders b FULL OUTER JOIN chg u ON b.o_orderkey = u.o_orderkey
+        |  WHERE u.op IS NULL OR u.op <> 'D'),
+        |d AS (
+        |  SELECT COALESCE(a.o_orderkey, f.o_orderkey) AS o_orderkey,
+        |    CASE WHEN f.status_b IS NULL THEN 'removed'
+        |         WHEN a.o_orderstatus IS NULL THEN 'added'
+        |         WHEN a.o_totalprice <> f.price_b
+        |              OR a.o_orderstatus <> f.status_b THEN 'changed'
+        |         ELSE 'unchanged' END AS diff_status,
+        |    a.o_totalprice AS price_a, f.price_b AS price_b
+        |  FROM orders a FULL OUTER JOIN after f ON a.o_orderkey = f.o_orderkey)
+        |SELECT o_orderkey, diff_status, price_a, price_b FROM d
+        |WHERE diff_status <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

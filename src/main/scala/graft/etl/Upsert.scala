@@ -34,4 +34,24 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__priority", "__rn")
   }
+
+  /** Apply a CDC changelog (rows carrying `opCol` ∈ {I, U, D}) over `base`:
+    * U/I rows upsert their key, D rows delete it. Same union +
+    * keep-winner-per-key shape as [[keyed]] — ONE hash shuffle — with the
+    * delete applied by filtering winners whose op is D. This is the
+    * change-data-feed apply step a lakehouse table runs per sync; a join
+    * formulation would pay the same shuffle and a second pass for deletes.
+    * `changes` must carry at most one row per key (last-wins batches
+    * compact upstream). */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   opCol: String): DataFrame = {
+    val tagged = base.withColumn("__op", lit("B"))
+      .unionByName(changes.withColumnRenamed(opCol, "__op"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(when(col("__op") === "B", 0).otherwise(1).desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .drop("__op", "__rn")
+  }
 }

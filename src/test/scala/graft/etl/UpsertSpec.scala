@@ -31,6 +31,20 @@ class UpsertSpec extends SparkSuite {
     assert(twice.orderBy("k").collect().toSeq === once.orderBy("k").collect().toSeq)
   }
 
+  test("applyChanges: U updates, I inserts, D deletes; replay is idempotent") {
+    val changes = Seq(
+      (2L, "b2", 22.0, "U"),  // update
+      (9L, "new", 90.0, "I"), // insert
+      (3L, "c", 30.0, "D"),   // delete existing
+      (8L, "x", 0.0, "D")     // delete absent key — must be a no-op
+    ).toDF("k", "tag", "v", "op")
+    val once = Upsert.applyChanges(base, changes, Seq("k"), "op")
+    assert(once.orderBy("k").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 10.0), (2L, "b2", 22.0), (9L, "new", 90.0)))
+    val twice = Upsert.applyChanges(once, changes, Seq("k"), "op")
+    assert(twice.orderBy("k").collect().toSeq === once.orderBy("k").collect().toSeq)
+  }
+
   test("composite keys merge on the full key tuple") {
     val b = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
     val u = Seq((1L, "y", 9.0)).toDF("k1", "k2", "v")
