@@ -156,19 +156,26 @@ object Text extends QueryModule {
     }),
 
     // Bigram (co-occurrence) counts: the n-gram language-model count table.
-    // Bigrams are materialized PER ROW with a codegen'd transform over the
-    // token array (no self-join, no shuffle to form pairs — the classic
-    // mistake is joining the token stream to itself on (doc, pos+1), which
-    // shuffles the whole corpus twice); only the grouped count shuffles,
-    // bounded by the distinct-bigram vocabulary. Top-100 by (count, bigram)
-    // is a bounded TakeOrderedAndProject, not a global sort.
+    // Bigrams are materialized PER ROW (no self-join, no shuffle to form
+    // pairs — the classic mistake is joining the token stream to itself on
+    // (doc, pos+1), which shuffles the whole corpus twice); only the
+    // grouped count shuffles, bounded by the distinct-bigram vocabulary.
+    // Top-100 by (count, bigram) is a bounded TakeOrderedAndProject.
+    // The token array is PROJECTED FIRST so it binds as an attribute:
+    // inlining `split` into the per-element lambda (the round-3 first cut)
+    // re-ran the split per element — O(tokens²) per doc, a 40× slowdown at
+    // sf0.1. CollapseProject keeps the split materialized because it is
+    // non-cheap and referenced four times. zip_with over the two shifted
+    // slices is then O(tokens); docs with <2 tokens yield empty arrays and
+    // vanish at the explode, matching the oracle's empty range().
     "q_text_bigrams" -> ((s, d) => {
-      val tk = split(col("text"), " ")
+      val len1 = greatest(size(col("tk")) - 1, lit(0))
       Tables(s, d, "documents")
-        .select(explode(when(size(tk) >= 2,
-            transform(sequence(lit(1), size(tk) - 1),
-              i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(zip_with(
+            slice(col("tk"), lit(1), len1),
+            slice(col("tk"), lit(2), len1),
+            (x, y) => concat_ws(" ", x, y))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))
         .limit(100)
