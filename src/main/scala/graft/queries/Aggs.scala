@@ -262,6 +262,26 @@ object Aggs extends QueryModule {
           max("o_totalprice").as("hi"))
         .orderBy("bin")),
 
+    // Cumulative (YTD-style) running totals: aggregate to (priority, month)
+    // FIRST — the window then runs over the tiny aggregated frame (|groups ×
+    // months| rows), never the fact table; partials stay DECIMAL so the
+    // running sum is exact and order-free. The canonical reporting query
+    // every warehouse derives from the reference's monthly rollup.
+    "q_running_total" -> ((s, d) => {
+      val monthly = Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("m_sum"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .select(col("o_orderpriority"), col("month"), col("n"),
+          col("m_sum").cast(DoubleType).as("month_total"),
+          sum(col("m_sum")).over(w).cast(DoubleType).as("running_total"))
+        .orderBy("o_orderpriority", "month")
+    }),
+
     // Incremental aggregation / materialized-view maintenance: per-batch
     // PARTIAL aggregates (here 3 synthetic ingest batches) merged into the
     // final result — the merge must equal a full recompute, which the
@@ -405,6 +425,21 @@ object Aggs extends QueryModule {
       """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
         |  COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    // DuckDB date_trunc('month') returns DATE — cast to TIMESTAMP to match
+    // Spark (parity playbook).
+    "q_running_total" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS m_sum
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, n,
+        |  CAST(m_sum AS DOUBLE) AS month_total,
+        |  CAST(SUM(m_sum) OVER (PARTITION BY o_orderpriority ORDER BY month
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM m ORDER BY o_orderpriority, month""".stripMargin,
     // Deliberately the single-pass form: hash-matching it certifies the
     // partial-merge path loses nothing.
     "q_agg_incremental" ->

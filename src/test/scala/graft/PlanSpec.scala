@@ -122,6 +122,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), "bigrams must come from a per-row Generate")
   }
 
+  test("cdc apply plans as union + single keyed shuffle, not a join") {
+    val p = plan("q_cdc_apply")
+    assert(p.contains("Union"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "cdc apply must not plan a join — union + keep-winner + D-filter is one shuffle")
+    assert("Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).length === 1, p.take(1500))
+  }
+
+  test("bigram token array binds as an attribute — split is not inlined per element") {
+    val p = SparkEntry.queries("q_text_bigrams")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(p).length <= 2,
+      s"split() must be materialized once, not re-run per lambda element:\n${p.take(1200)}")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or
