@@ -37,6 +37,29 @@ object Multimodal extends QueryModule {
           get_json_object(col("props"), "$.k").cast(IntegerType).as("props_k2"))
         .orderBy("event_id")),
 
+    // Content-addressed dedup: the canonical MULTIMODAL dedup key is a
+    // digest of the payload bytes — two media files are "the same" iff
+    // their bytes hash equal, no decode needed. Digests (md5 + sha2-256,
+    // both codegen'd) are computed in the scan, so the dedup shuffle
+    // carries 48-byte digests, never payloads — at 100 TB of media that is
+    // the difference between shuffling hashes and shuffling the lake. A
+    // deterministic re-crawl batch (keys ≡0 mod 10, shifted ids) provides
+    // the byte-identical duplicates; min-id canonicalization mirrors
+    // q_dedup_exact.
+    "q_multimodal_hash" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      docs.unionByName(recrawl)
+        .withColumn("content", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          md5(col("content")).as("digest"),
+          sha2(col("content"), 256).as("digest256"))
+        .groupBy("digest", "digest256")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id")
+    }),
+
     // Opaque-binary plumbing: text payload treated as a binary media column
     // with typed metadata; "features" here are decode-free byte statistics
     // (the oracle-checkable subset — the stubbed decoder lives in
@@ -54,6 +77,14 @@ object Multimodal extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_multimodal_hash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS digest, sha256(text) AS digest256,
+        |       min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin,
     "q_multimodal_cols" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k,
