@@ -122,6 +122,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), "bigrams must come from a per-row Generate")
   }
 
+  test("join strategy hints steer the planner: BROADCAST and SHUFFLE_MERGE are honored") {
+    val o = SparkEntry.queries("q_scan_parquet")(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    val dim = spark.range(0, 50).selectExpr("id AS l_orderkey", "id * 2 AS w")
+    val broadcastPlan = o.join(dim.hint("broadcast"), "l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(broadcastPlan.contains("BroadcastHashJoin"), broadcastPlan.take(800))
+    val mergePlan = o.join(dim.hint("shuffle_merge"), "l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(mergePlan.contains("SortMergeJoin"), mergePlan.take(800))
+  }
+
   test("cdc apply plans as union + single keyed shuffle, not a join") {
     val p = plan("q_cdc_apply")
     assert(p.contains("Union"), p.take(800))
