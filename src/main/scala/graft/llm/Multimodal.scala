@@ -37,6 +37,33 @@ object Multimodal extends QueryModule {
           get_json_object(col("props"), "$.k").cast(IntegerType).as("props_k2"))
         .orderBy("event_id")),
 
+    // Nested-JSON roundtrip: build a nested struct+array document per row,
+    // serialize with to_json, parse back with from_json, and surface the
+    // recovered leaves — proving serializer ∘ parser = identity on the
+    // nested shapes event pipelines actually ship (including double
+    // round-trip through JSON text, which Jackson guarantees shortest-
+    // round-trip). The oracle states the original values directly; only
+    // the recovered leaves are compared (raw JSON text is engine-
+    // formatting-specific, deliberately not part of the contract).
+    "q_json_roundtrip" -> ((s, d) => {
+      val nestedSchema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("t", StringType), StructField("v", DoubleType)))),
+        StructField("ids", ArrayType(LongType))))
+      Tables(s, d, "events")
+        .withColumn("js", to_json(struct(
+          col("event_id").as("id"),
+          struct(col("event_type").as("t"), col("value").as("v")).as("meta"),
+          array(col("user_id"), col("user_id") + 1).as("ids"))))
+        .withColumn("p", from_json(col("js"), nestedSchema))
+        .select(col("event_id"),
+          col("p.meta.t").as("rt_type"),
+          col("p.meta.v").as("rt_value"),
+          element_at(col("p.ids"), 2).as("rt_id2"))
+        .orderBy("event_id")
+    }),
+
     // Content-addressed dedup: the canonical MULTIMODAL dedup key is a
     // digest of the payload bytes — two media files are "the same" iff
     // their bytes hash equal, no decode needed. Digests (md5 + sha2-256,
@@ -77,6 +104,10 @@ object Multimodal extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_json_roundtrip" ->
+      """SELECT event_id, event_type AS rt_type, value AS rt_value,
+        |  user_id + 1 AS rt_id2
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_multimodal_hash" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -121,6 +121,24 @@ object SetsScalars extends QueryModule {
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
         .orderBy("vec_id")),
 
+    // B11i — array SET-operation battery: union/intersect/except/distinct/
+    // flatten per row (all codegen'd; Spark's array set ops return DISTINCT
+    // elements, mirrored by DuckDB list_distinct compositions). Outputs are
+    // sorted and joined to strings so the comparison is order-free.
+    "q_scalar_array_ops" -> ((s, d) => {
+      val a = array(col("o_orderstatus"), lit("X"), col("o_orderpriority"))
+      val b = array(lit("X"), lit("O"), lit("1-URGENT"))
+      Tables(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          array_join(array_sort(array_union(a, b)), ",").as("u"),
+          array_join(array_sort(array_intersect(a, b)), ",").as("i"),
+          array_join(array_sort(array_except(a, b)), ",").as("e"),
+          size(array_distinct(a)).cast(IntegerType).as("nd"),
+          array_join(flatten(array(a, b)), ",").as("fl"))
+        .orderBy("o_orderkey")
+    }),
+
     // B11h — MAP-type scalar battery: build a map per row from the typed
     // columns, then read it back through the map surface (element_at,
     // size, map_keys via sort for determinism, map_contains_key,
@@ -250,6 +268,20 @@ object SetsScalars extends QueryModule {
         |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS first_num,
         |  regexp_matches(props, '[0-9]+') AS has_digits
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_scalar_array_ops" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    [o_orderstatus, 'X', o_orderpriority] AS a,
+        |    ['X', 'O', '1-URGENT'] AS b
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+        |  array_to_string(list_sort(list_intersect(a, b)), ',') AS i,
+        |  COALESCE(array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e,
+        |  CAST(len(list_distinct(a)) AS INTEGER) AS nd,
+        |  array_to_string(list_concat(a, b), ',') AS fl
+        |FROM t ORDER BY o_orderkey""".stripMargin,
     "q_scalar_maps" ->
       """SELECT o_orderkey,
         |  o_orderstatus AS m_status,
