@@ -265,6 +265,65 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination — the pre-training hygiene pass that drops
+    // training documents overlapping an evaluation/benchmark set (the
+    // standard 3-token-shingle overlap test). Eval set = a deterministic
+    // corpus slice (doc_id % 97 == 0) standing in for the benchmark suite;
+    // real eval sets are tiny relative to the corpus, so its distinct gram
+    // hashes are BROADCAST and the corpus side never shuffles: the explode →
+    // broadcast-hash-join is map-side, and the per-doc hit count aggregates
+    // only MATCHED gram rows (bounded by actual contamination, not corpus
+    // size). Output is the removal report: every training doc sharing ≥1
+    // gram, with its overlap fraction and the ≥10% contamination flag.
+    "q_text_decontaminate" -> ((s, d) => {
+      val grams = array_distinct(
+        graft.functions.ShingleHashes.shingles(split(col("text"), " "), 3))
+      val docs = Tables(s, d, "documents").select(col("doc_id"), grams.as("g"))
+      val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("g")).as("gh")).distinct()
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"),
+          explode(col("g")).as("gh"))
+      train.join(broadcast(evalGrams), "gh")
+        .groupBy("doc_id")
+        .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_hits"))
+        .withColumn("overlap_frac", col("n_hits").cast(DoubleType) / col("n_grams"))
+        .withColumn("contaminated", col("n_hits") * 10 >= col("n_grams"))
+        .select("doc_id", "n_grams", "n_hits", "overlap_frac", "contaminated")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition filter — duplicate-token and duplicate-bigram
+    // fractions per document, the standard removes-boilerplate quality
+    // gate. Pure per-row projection over higher-order functions (no
+    // explode, no shuffle); the token array and the bigram array are each
+    // PROJECTED to an attribute before the metrics reference them (the
+    // q_text_bigrams lesson: inlining `split` into per-element lambdas
+    // re-evaluates it per element — O(tokens²) per doc).
+    "q_text_repetition" -> ((s, d) => {
+      val len1 = greatest(size(col("tk")) - 1, lit(0))
+      val bigrams = zip_with(
+        slice(col("tk"), lit(1), len1),
+        slice(col("tk"), lit(2), len1),
+        (x, y) => concat_ws(" ", x, y))
+      val nTok = size(col("tk")).cast(LongType)
+      val dupTokFrac =
+        lit(1.0) - size(array_distinct(col("tk"))).cast(DoubleType) / nTok
+      val nBi = size(col("bg")).cast(LongType)
+      val dupBiFrac = when(nBi >= 1,
+        lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType) / nBi)
+        .otherwise(lit(0.0))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"), bigrams.as("bg"))
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          dupTokFrac.as("dup_token_frac"),
+          dupBiFrac.as("dup_bigram_frac"),
+          (dupTokFrac > 0.6 || dupBiFrac > 0.1).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (MOSS-style): rolling polynomial hash over
     // 8-char k-grams, minimum per 4-hash window, distinct minima = the
     // document fingerprint set. Per-row, no shuffle; portable hash → oracle.
@@ -303,6 +362,38 @@ object Text extends QueryModule {
     }
 
   def oracles: Map[String, String] = Map(
+    "q_text_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |gr AS (SELECT doc_id,
+         |  list_distinct([${sqlPolyChar("s")}
+         |    for s in [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]]) AS g
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT unnest(g) AS gh FROM gr WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams, unnest(g) AS gh
+         |       FROM gr WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id,
+         |  max(tr.n_grams) AS n_grams,
+         |  count(*) AS n_hits,
+         |  CAST(count(*) AS DOUBLE) / max(tr.n_grams) AS overlap_frac,
+         |  count(*) * 10 >= max(tr.n_grams) AS contaminated
+         |FROM tr JOIN ev USING (gh)
+         |GROUP BY tr.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, t,
+        |  [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg FROM toks),
+        |m AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac,
+        |  CASE WHEN len(bg) >= 1
+        |       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |       ELSE 0.0 END AS dup_bigram_frac
+        |  FROM bi)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+        |  (dup_token_frac > 0.6 OR dup_bigram_frac > 0.1) AS repetitive
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       s"""SELECT doc_id,
          |  CAST(length(raw) AS BIGINT) AS len_raw,

@@ -31,6 +31,49 @@ class TextSpec extends SparkSuite {
     assert(zebra._5 === 1L)
   }
 
+  test("decontamination flags eval-overlapping docs and excludes the eval slice") {
+    // doc 0 (0 % 97 == 0) is the eval doc; doc 97 would be too but ids stop
+    // at 3. doc 1 is a verbatim copy (full overlap), doc 2 shares exactly
+    // one 3-gram out of 12 (8.3% < 10% threshold), doc 3 shares nothing.
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "srcA", 35L),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "srcA", 35L),
+      (2L, "alpha beta gamma u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11", "en", "srcA", 51L),
+      (3L, "totally different content nothing shared at all", "en", "srcA", 47L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("text_spec_decon_").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val rows = Text.queries("q_text_decontaminate")(spark, tmp)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!rows.contains(0L))                 // eval docs never in the report
+    assert(!rows.contains(3L))                 // zero overlap → absent
+    assert(rows(1L) === ((1L, 4L, 4L, 1.0, true)))   // verbatim copy
+    val (_, nGrams2, nHits2, frac2, flag2) = rows(2L)
+    assert(nGrams2 === 12L && nHits2 === 1L && !flag2)
+    assert(math.abs(frac2 - 1.0 / 12.0) < 1e-12)
+  }
+
+  test("repetition filter: boilerplate flagged, diverse and single-token docs pass") {
+    val corpus = Seq(
+      (0L, "x x x x x x", "en", "srcA", 11L),       // all duplicate
+      (1L, "a b c d e", "en", "srcA", 9L),          // all distinct
+      (2L, "solo", "en", "srcA", 4L)                // no bigrams → guard path
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("text_spec_rep_").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val rows = Text.queries("q_text_repetition")(spark, tmp)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n0, dtf0, dbf0, rep0) = rows(0L)
+    assert(n0 === 6L && rep0)
+    assert(math.abs(dtf0 - 5.0 / 6.0) < 1e-12 && math.abs(dbf0 - 4.0 / 5.0) < 1e-12)
+    assert(rows(1L) === ((1L, 5L, 0.0, 0.0, false)))
+    assert(rows(2L) === ((2L, 1L, 0.0, 0.0, false)))
+  }
+
   test("fingerprint: docs shorter than a k-gram / winnow window yield empty sets") {
     // doc 0: shorter than KGram=8 → zero k-grams; doc 1: 10 chars → 3
     // k-grams, fewer than WinnowWindow=4 → zero windows; doc 2: normal.
