@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.Tables
 
@@ -210,8 +210,17 @@ object Aggs extends QueryModule {
     // mergeable (the same shape a 1000-executor scan combines for free).
     "q_agg_stats" -> ((s, d) => {
       val DecSq = DecimalType(28, 4)
+      // The squared/cross sums exceed 2^53 in 1e-4 units, and DuckDB's
+      // DECIMAL→DOUBLE cast is NOT correctly rounded there (found at
+      // sf0.001: exact 7096786968835.8685 → DuckDB …8691, correct …8682 =
+      // Spark's BigDecimal path). Convert via exact BIGINT units / 1e4
+      // instead: long→double is correctly rounded on every IEEE engine,
+      // and the final division rounds once, identically. Bounded to sums
+      // < 9.2e14 (BIGINT units) — the conversion is oracle-portability
+      // machinery; production would cast the decimal natively.
       def dss(a: String, b: String) =
-        sum((col(a) * col(b)).cast(DecSq)).cast(DoubleType)
+        (sum((col(a) * col(b)).cast(DecSq)) * 10000).cast(LongType)
+          .cast(DoubleType) / 1e4
       val nD = col("n").cast(DoubleType)
       def varOf(ssq: String, sm: String) =
         (nD * col(ssq) - col(sm) * col(sm)) / (nD * (nD - lit(1.0)))
@@ -393,10 +402,10 @@ object Aggs extends QueryModule {
       s"""WITH p AS (
          |  SELECT l_returnflag, COUNT(*) AS n,
          |    ${Det.sqlSum("l_quantity")} AS sum_q,
-         |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ssq_q,
+         |    CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS ssq_q,
          |    ${Det.sqlSum("l_extendedprice")} AS sum_p,
-         |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS ssq_p,
-         |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+         |    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS ssq_p,
+         |    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, n,
          |  (CAST(n AS DOUBLE) * ssq_q - sum_q * sum_q)

@@ -35,6 +35,43 @@ object Joins extends QueryModule {
         .orderBy("r_name", "n_name")
     }),
 
+    // Fuzzy entity resolution — the record-linkage join every ingest
+    // pipeline needs when observed strings are dirty: deterministic typo'd
+    // observations (single-char deletion at position ≥ 3, synthesized from
+    // p_partkey so both engines see identical inputs) matched back to the
+    // canonical name dictionary at levenshtein ≤ 2. Scale design: NEVER
+    // all-pairs — candidates come from a 2-char-prefix BLOCK equi-join
+    // (deletion position ≥ 3 keeps the block key stable; in production the
+    // block key is whatever survives the noise model), and the canonical
+    // dictionary (distinct names — always ≪ observations) is BROADCAST, so
+    // the observation side stays map-side; the best-match window runs over
+    // candidate pairs only. Residual edit distance is codegen'd built-in
+    // `levenshtein` on both engines.
+    "q_join_fuzzy" -> ((s, d) => {
+      val parts = Tables(s, d, "part")
+      val clean = parts.groupBy(col("p_name").as("canon_name"))
+        .agg(min(col("p_partkey")).as("canon_key"))
+      val len = length(col("p_name"))
+      val pos = pmod(col("p_partkey"), (len - 3).cast("bigint")).cast("int") + 3
+      val obs = parts.filter(pmod(col("p_partkey"), lit(7)) === 0)
+        .select(col("p_partkey").as("obs_key"),
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, len)).as("obs_name"))
+      val cand = obs
+        .join(broadcast(clean),
+          substring(col("obs_name"), 1, 2) === substring(col("canon_name"), 1, 2))
+        .withColumn("dist", levenshtein(col("obs_name"), col("canon_name")))
+        .filter(col("dist") <= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("obs_key").orderBy(col("dist"), col("canon_name"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("obs_key"), col("obs_name"),
+          col("canon_name").as("match_name"), col("canon_key").as("match_key"),
+          col("dist").cast("bigint").as("dist"))
+        .orderBy("obs_key")
+    }),
+
     // B2 — shuffle equi-join of two fact-sized tables on o_custkey=c_custkey;
     // Catalyst picks SortMergeJoin/ShuffledHashJoin (AQE may switch at
     // runtime). Aggregation after the join is partial+final hash agg.
@@ -214,6 +251,26 @@ object Joins extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_join_fuzzy" ->
+      """WITH clean AS (
+        |  SELECT p_name AS canon_name, min(p_partkey) AS canon_key FROM part GROUP BY 1),
+        |obs AS (
+        |  SELECT p_partkey AS obs_key,
+        |    substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, length(p_name)) AS obs_name
+        |  FROM (SELECT p_partkey, p_name,
+        |          CAST(p_partkey % (length(p_name) - 3) AS INT) + 3 AS pos
+        |        FROM part WHERE p_partkey % 7 = 0) t),
+        |cand AS (
+        |  SELECT obs_key, obs_name, canon_name, canon_key,
+        |    levenshtein(obs_name, canon_name) AS dist
+        |  FROM obs JOIN clean ON substr(obs_name, 1, 2) = substr(canon_name, 1, 2)
+        |  WHERE levenshtein(obs_name, canon_name) <= 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY obs_key ORDER BY dist, canon_name) AS rn
+        |  FROM cand)
+        |SELECT obs_key, obs_name, canon_name AS match_name, canon_key AS match_key,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM ranked WHERE rn = 1 ORDER BY obs_key""".stripMargin,
     "q_join_broadcast" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${Det.sqlSum("c_acctbal")} AS sum_acctbal
          |FROM customer

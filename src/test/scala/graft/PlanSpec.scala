@@ -16,6 +16,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "dim chain must not sort-merge")
   }
 
+  test("decontamination joins the eval gram set as a broadcast, never sort-merge") {
+    // The corpus side must not shuffle for the membership test: the eval
+    // gram table is the broadcast build side, so the explode → join is
+    // map-side and only matched grams reach the per-doc aggregation.
+    val p = plan("q_text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "eval gram set must broadcast")
+  }
+
   test("global top-k plans as TakeOrderedAndProject (bounded heap, no global sort)") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
