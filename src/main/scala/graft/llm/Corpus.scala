@@ -102,7 +102,32 @@ object Corpus extends QueryModule {
     (f, exact, kept)
   }
 
+  /** q_chunk_overlap window geometry: chunks of ChunkLen tokens starting
+    * every ChunkStride tokens (overlap = ChunkLen − ChunkStride). */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
   def queries: Map[String, Q] = Map(
+    // Sliding-window document chunking — the context-window preparation
+    // step between cleaning and tokenization in a training-data pipeline
+    // (RAG ingest uses the same shape): each document becomes
+    // ceil(n_tok / stride) overlapping chunks of ≤ ChunkLen tokens.
+    // Per-row Generate (posexplode) — row fan-out WITHOUT a shuffle, the
+    // same scale tier as q_explode; at 100 TB chunking is a map-only stage
+    // whose output partitioning inherits the scan's. The trailing orderBy
+    // is the driver's hash contract.
+    "q_chunk_overlap" -> ((s, d) => {
+      val tk = split(col("text"), " ")
+      val starts = sequence(lit(1), greatest(size(tk), lit(1)), lit(ChunkStride))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"), posexplode(starts).as(Seq("chunk_idx", "st")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("st").as("start_tok"),
+          size(slice(col("tk"), col("st"), lit(ChunkLen))).as("chunk_n"),
+          array_join(slice(col("tk"), col("st"), lit(ChunkLen)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_corpus_pipeline" -> ((s, d) => {
       val (_, _, kept) = stages(s, d)
       // 4. per-(lang, source) corpus statistics
@@ -121,6 +146,23 @@ object Corpus extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    // Spark sequence(1, n, S) is stop-INCLUSIVE; DuckDB range(1, n+1, S)
+    // matches. chunk_idx = (start−1)/stride since starts are 1 + k·stride.
+    // List slicing clamps past the end on both engines.
+    "q_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(1, greatest(len(tk), 1) + 1, $ChunkStride)) AS st
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((st - 1) // $ChunkStride AS INTEGER) AS chunk_idx,
+         |  CAST(st AS INTEGER) AS start_tok,
+         |  CAST(len(tk[st : st + ${ChunkLen - 1}]) AS INTEGER) AS chunk_n,
+         |  array_to_string(tk[st : st + ${ChunkLen - 1}], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_corpus_pipeline" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, source, length(text) AS len, string_split(text, ' ') AS tk

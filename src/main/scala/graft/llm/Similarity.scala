@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{FloatType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
 
 import graft.Tables
 import graft.queries.QueryModule
@@ -129,6 +129,35 @@ object Similarity extends QueryModule {
         .limit(TopK)
     }),
 
+    // B14d — int8 symmetric quantization of the embedding column: the
+    // compression step every 100 TB vector store runs before indexing
+    // (4× memory cut vs float32, SIMD-friendly integer dot products).
+    // Per vector: scale = 127 / max|x_i|, code_i = floor(x_i·scale + 0.5)
+    // (round-half-up — portable, unlike banker's rounding), plus the max
+    // reconstruction error |code_i/scale − x_i| as a fixed-point scalar.
+    // Pure per-row projection — no shuffle, stays in whole-stage codegen;
+    // the declared output is scalar-only (sampled codes + checksums) per
+    // the driver comparator's no-array rule.
+    "q_embed_quantize" -> ((s, d) => {
+      val x = col("embedding")
+      val amax = array_max(transform(x, v => abs(v.cast(DoubleType))))
+      val scale = lit(127.0) / amax
+      val codes = transform(x, v => floor(v.cast(DoubleType) * scale + lit(0.5)).cast(IntegerType))
+      val err = array_max(zip_with(codes, x,
+        (c, v) => abs(c.cast(DoubleType) / scale - v.cast(DoubleType))))
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          floor(amax * lit(1e9)).cast(LongType).as("amax_fp"),
+          element_at(codes, 1).as("c1"),
+          element_at(codes, 32).as("c32"),
+          element_at(codes, 64).as("c64"),
+          array_min(codes).as("qmin"),
+          array_max(codes).as("qmax"),
+          aggregate(codes, lit(0L), (a, c) => a + c.cast(LongType)).as("qsum"),
+          floor(err * lit(1e9)).cast(LongType).as("err_fp"))
+        .orderBy("vec_id")
+    }),
+
     // B14c — MULTI-probe top-k (batch ANN serving: k neighbors for EVERY
     // probe in a set, one pass). Naive plan: explode facts × probes, then
     // one window per probe_id — but with few probes that shuffles the whole
@@ -224,6 +253,24 @@ object Similarity extends QueryModule {
          |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin,
+    // Same per-row arithmetic sequence (IEEE doubles both engines).
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, embedding,
+        |    127.0 / list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS amax
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, label, scale, amax, embedding,
+        |    [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER) for x in embedding] AS codes
+        |  FROM q)
+        |SELECT vec_id, label,
+        |  CAST(floor(amax * 1000000000) AS BIGINT) AS amax_fp,
+        |  codes[1] AS c1, codes[32] AS c32, codes[64] AS c64,
+        |  list_min(codes) AS qmin, list_max(codes) AS qmax,
+        |  CAST(list_sum(codes) AS BIGINT) AS qsum,
+        |  CAST(floor(list_max([abs(CAST(z[1] AS DOUBLE) / scale - CAST(z[2] AS DOUBLE)) for z in list_zip(codes, embedding)]) * 1000000000) AS BIGINT) AS err_fp
+        |FROM c ORDER BY vec_id""".stripMargin,
     // Deliberately the BRUTE-FORCE per-probe ranking: hash-matching it
     // certifies the salted two-phase plan is lossless.
     "q_similarity_multiprobe" ->

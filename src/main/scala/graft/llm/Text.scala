@@ -41,6 +41,8 @@ object Text extends QueryModule {
   // winnowing parameters: 8-char k-grams, window of 4 consecutive hashes
   private val KGram = 8
   private val WinnowWindow = 4
+  private val VocabMinFreq = 5L  // q_text_lm_coverage: in-vocab threshold
+  private val BigramMinFreq = 2L // q_text_lm_coverage: attested-bigram threshold
 
   /** Decomposed Unicode marker appended to each doc for the NFC query:
     * e+U+0301, i+U+0308, A+U+030A — three combining sequences that NFC
@@ -179,6 +181,50 @@ object Text extends QueryModule {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))
         .limit(100)
+    }),
+
+    // Bigram-LM coverage scoring — the CCNet-style "does this document
+    // look like the corpus" quality signal, with integer statistics so the
+    // gate is exact (a log-probability perplexity would ride on ln()
+    // portability; OOV rate + bigram coverage rank documents the same way
+    // for filtering). Per doc: token count, out-of-vocabulary occurrences
+    // (vocab = tokens seen ≥ VocabMinFreq times corpus-wide), bigram count,
+    // bigrams attested ≥ BigramMinFreq times, and the coverage fraction in
+    // 1e-6 fixed point. Scale shape: the token/bigram streams are per-row
+    // Generates; the vocab and bigram-LM tables are grouped counts bounded
+    // by vocabulary size (Heaps' law), joined back BY KEY — AQE broadcasts
+    // them while they fit and falls back to a vocab-bounded shuffle join
+    // beyond that; the per-doc rollups are map-side-combined on doc_id.
+    "q_text_lm_coverage" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
+      val toks = docs.select(col("doc_id"), explode(col("tk")).as("token"))
+      val len1 = greatest(size(col("tk")) - 1, lit(0))
+      val bis = docs.select(col("doc_id"), explode(zip_with(
+          slice(col("tk"), lit(1), len1), slice(col("tk"), lit(2), len1),
+          (x, y) => concat_ws(" ", x, y))).as("bigram"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= VocabMinFreq).select("token")
+      val knownBi = bis.groupBy("bigram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= BigramMinFreq).select("bigram")
+      val oov = toks.join(vocab, Seq("token"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+      val cov = bis.join(knownBi, Seq("bigram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      docs.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+          len1.cast(LongType).as("n_bigrams"))
+        .join(oov, Seq("doc_id"), "left_outer")
+        .join(cov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          col("n_bigrams"),
+          coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+          when(col("n_bigrams") > 0,
+            floor(coalesce(col("n_cov"), lit(0L)).cast(DoubleType) * 1e6
+              / col("n_bigrams")).cast(LongType))
+            .otherwise(lit(0L)).as("cov_fp"))
+        .orderBy("doc_id")
     }),
 
     // TF-IDF: the classic term-weighting pipeline — term frequencies per
@@ -434,6 +480,35 @@ object Text extends QueryModule {
         |  FROM l)
         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "q_text_lm_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+         |bi AS (
+         |  SELECT doc_id, unnest([tk[lm_i] || ' ' || tk[lm_i + 1]
+         |                         for lm_i in range(1, len(tk))]) AS bigram
+         |  FROM t),
+         |vocab AS (SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM tok GROUP BY token) WHERE n >= $VocabMinFreq),
+         |kb AS (SELECT bigram FROM (
+         |    SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram) WHERE n >= $BigramMinFreq),
+         |oov AS (
+         |  SELECT doc_id, COUNT(*) AS n_oov FROM tok
+         |  WHERE token NOT IN (SELECT token FROM vocab) GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, COUNT(*) AS n_cov FROM bi
+         |  WHERE bigram IN (SELECT bigram FROM kb) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+         |  COALESCE(o.n_oov, 0) AS n_oov,
+         |  CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+         |  COALESCE(c.n_cov, 0) AS n_cov,
+         |  CASE WHEN len(tk) > 1
+         |    THEN CAST(floor(CAST(COALESCE(c.n_cov, 0) AS DOUBLE) * 1000000.0
+         |                    / (len(tk) - 1)) AS BIGINT)
+         |    ELSE 0 END AS cov_fp
+         |FROM t LEFT JOIN oov o USING (doc_id) LEFT JOIN cov c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -394,6 +394,34 @@ object Aggs extends QueryModule {
           (sum(col("c_acctbal").cast(Dec)).over(wMov).cast(DoubleType) /
             count(lit(1)).over(wMov)).as("mov_avg3"))
         .orderBy("c_custkey")
+    }),
+
+    // B9+ — DISTINCT counts over windows. Spark (like most engines) rejects
+    // COUNT(DISTINCT) OVER, and the naive workaround
+    // (size(collect_set() OVER)) buffers every partition's value set per
+    // row — O(rows × partition) memory, a straggler at scale. The classic
+    // rank arithmetic is exact and bounded:
+    //   total distinct per partition  = max(dense_rank over (p ORDER BY v));
+    //   running distinct up to row    = running sum of the first-occurrence
+    //     flag (row_number over (p, v) = 1).
+    // Three window specs sharing the o_custkey hash exchange; the oracle
+    // states the SAME formulation, so it certifies the rewrite on both
+    // engines rather than leaning on a DuckDB-only DISTINCT-window feature.
+    "q_window_distinct" -> ((s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+      val rowOrd = byCust.orderBy("o_orderdate", "o_orderkey")
+      val firstSeen = Window.partitionBy("o_custkey", "o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"),
+          dense_rank().over(byCust.orderBy("o_orderpriority")).as("dr"),
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L).as("fs"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          max(col("dr")).over(byCust).cast(IntegerType).as("n_prio_total"),
+          sum(col("fs")).over(rowOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType).as("n_prio_sofar"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -565,6 +593,19 @@ object Aggs extends QueryModule {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
         |  wm AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_distinct" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+        |    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS dr,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS fs
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  CAST(max(dr) OVER (PARTITION BY o_custkey) AS INTEGER) AS n_prio_total,
+        |  CAST(SUM(fs) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS n_prio_sofar
+        |FROM r ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -107,6 +107,42 @@ object Features extends QueryModule {
         .select(col("n_rows"), expr(
           s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
         .orderBy("col_name")
+    }),
+
+    // Data-quality rule battery — the Deequ-style constraint suite an
+    // ingest job runs before publishing a table: one row per rule with its
+    // violation count and pass/fail. Rules: primary-key uniqueness,
+    // referential integrity (orders→customer), value range, accepted
+    // value set, completeness, and non-empty volume. Scale shape: one
+    // single-pass aggregate over the fact scan (all per-row predicates
+    // map-side-combined, the distinct count is the only expand) plus one
+    // anti-join count against the broadcast dimension key set; the two
+    // 1-row frames cross-join for free and stack() unpivots driver-free.
+    "q_dq_checks" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val scanStats = o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup_key"),
+        count_if(col("o_totalprice") <= 0.0).as("v_price_range"),
+        count_if(!col("o_orderstatus").isin("O", "F", "P")).as("v_status_set"),
+        count_if(col("o_orderpriority").isNull).as("v_null_priority"))
+      val orphans = o.join(
+          Tables(s, d, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_orphan_fk"))
+      scanStats.crossJoin(orphans)
+        .select(expr(
+          """stack(6,
+            |  'has_rows',        CAST(CASE WHEN n_rows > 0 THEN 0 ELSE 1 END AS BIGINT),
+            |  'pk_unique',       v_dup_key,
+            |  'fk_customer',     v_orphan_fk,
+            |  'price_positive',  v_price_range,
+            |  'status_in_set',   v_status_set,
+            |  'priority_complete', v_null_priority
+            |) AS (rule, violations)""".stripMargin))
+        .select(col("rule"), col("violations").cast(LongType).as("violations"),
+          (col("violations") === 0).as("ok"))
+        .orderBy("rule")
     })
   )
 
@@ -169,6 +205,27 @@ object Features extends QueryModule {
         |  UNION ALL SELECT n_rows, 'o_orderdate', c_od, d_od, mn_od, mx_od FROM a
         |  UNION ALL SELECT n_rows, 'o_orderstatus', c_os, d_os, mn_os, mx_os FROM a
         |  UNION ALL SELECT n_rows, 'o_orderpriority', c_op, d_op, mn_op, mx_op FROM a)
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    "q_dq_checks" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup_key,
+        |    COUNT(*) FILTER (WHERE o_totalprice <= 0.0) AS v_price_range,
+        |    COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS v_status_set,
+        |    COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS v_null_priority
+        |  FROM orders),
+        |f AS (
+        |  SELECT COUNT(*) AS v_orphan_fk FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |r AS (
+        |  SELECT 'has_rows' AS rule,
+        |         CAST(CASE WHEN n_rows > 0 THEN 0 ELSE 1 END AS BIGINT) AS violations
+        |  FROM s
+        |  UNION ALL SELECT 'pk_unique', v_dup_key FROM s
+        |  UNION ALL SELECT 'fk_customer', v_orphan_fk FROM f
+        |  UNION ALL SELECT 'price_positive', v_price_range FROM s
+        |  UNION ALL SELECT 'status_in_set', v_status_set FROM s
+        |  UNION ALL SELECT 'priority_complete', v_null_priority FROM s)
+        |SELECT rule, violations, violations = 0 AS ok FROM r ORDER BY rule""".stripMargin
   )
 }

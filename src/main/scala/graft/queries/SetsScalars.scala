@@ -35,11 +35,33 @@ object SetsScalars extends QueryModule {
       |  AND o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** One SQL text for Spark AND DuckDB: a correlated LATERAL subquery with
+    * ORDER BY + LIMIT — "top 2 orders for every MACHINERY customer" as the
+    * user writes it. Catalyst decorrelates the limit into a ranked window
+    * join (DecorrelateInnerQuery) — the per-customer subquery never
+    * re-executes row-at-a-time, so at scale this is exactly the windowed
+    * top-k-per-group plan; the comma-LATERAL form is an inner (cross apply)
+    * join, dropping order-less customers on both engines. */
+  private val LateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_mktsegment = 'MACHINERY'
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // B11d — subquery surface: scalar (uncorrelated + correlated) and IN.
     "q_subqueries" -> ((s, d) => {
       graft.Tables.register(s, d, "orders", "customer")
       s.sql(SubqueriesSql)
+    }),
+
+    // B11f — LATERAL (correlated table subquery / cross apply).
+    "q_lateral" -> ((s, d) => {
+      graft.Tables.register(s, d, "orders", "customer")
+      s.sql(LateralSql)
     }),
 
     // B11e — null-handling battery over real outer-join nulls (testdata has
@@ -211,6 +233,7 @@ object SetsScalars extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q_subqueries" -> SubqueriesSql,
+    "q_lateral" -> LateralSql,
     "q_nulls" ->
       s"""SELECT c.c_custkey,
          |  COALESCE(u.urgent_spend, 0.0) AS spend_or_zero,

@@ -33,4 +33,41 @@ class CorpusSpec extends SparkSuite {
         array(array_join(array_sort(array_distinct(col("tk"))), " ")), 1), 1).as("k"))
     assert(keys.count() === keys.distinct().count())
   }
+
+  test("q_chunk_overlap: stride segments reassemble each document and adjacent chunks overlap") {
+    import org.apache.spark.sql.functions._
+    val stride = 24; val clen = 32
+    val chunks = Corpus.queries("q_chunk_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[String]("chunk_text")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val cs = chunks(id)
+      // start positions are 1 + i*stride, covering every token
+      cs.zipWithIndex.foreach { case ((_, idx, st, _), i) =>
+        assert(idx === i && st === 1 + i * stride)
+      }
+      assert(cs.last._3 <= tk.length && cs.last._3 + stride > tk.length)
+      // taking each chunk's first `stride` tokens reassembles the document
+      val reassembled = cs.flatMap { case (_, idx, _, ct) =>
+        val toks = ct.split(" ", -1)
+        if (idx == cs.last._2) toks else toks.take(stride)
+      }
+      assert(reassembled.toSeq === tk.toSeq)
+      // a full chunk's tail (beyond the stride) prefixes the next chunk
+      cs.sliding(2).foreach {
+        case Array((_, _, _, a), (_, _, _, b)) =>
+          val at = a.split(" ", -1)
+          if (at.length == clen)
+            assert(b.split(" ", -1).startsWith(at.drop(stride)))
+        case _ =>
+      }
+    }
+  }
 }

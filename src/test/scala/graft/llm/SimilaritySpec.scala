@@ -83,4 +83,17 @@ class SimilaritySpec extends SparkSuite {
       assert(c1 === arr(0) && c32 === arr(31) && c64 === arr(63))
     }
   }
+
+  test("q_embed_quantize: codes bounded to int8, scale saturates the max element, error within half a step") {
+    val rows = Similarity.queries("q_embed_quantize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qmin = r.getAs[Int]("qmin"); val qmax = r.getAs[Int]("qmax")
+      assert(qmin >= -127 && qmax <= 127)
+      // the max-|x| element maps to exactly ±127 by construction of scale
+      assert(qmax === 127 || qmin === -127)
+      // |code/scale - x| ≤ 0.5/scale = amax/254 (+1 fp ulp for the floors)
+      assert(r.getAs[Long]("err_fp") <= r.getAs[Long]("amax_fp") / 254 + 1)
+    }
+  }
 }

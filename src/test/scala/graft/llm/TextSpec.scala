@@ -91,4 +91,20 @@ class TextSpec extends SparkSuite {
     assert(rows(1L) === ((0L, true, true)))   // k-grams but no full window
     assert(rows(2L)._1 > 0L && !rows(2L)._2 && !rows(2L)._3)
   }
+
+  test("q_text_lm_coverage: counts bounded, fixed-point coverage consistent, corpus attests some bigrams") {
+    val rows = Text.queries("q_text_lm_coverage")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tok"); val nOov = r.getAs[Long]("n_oov")
+      val nBi = r.getAs[Long]("n_bigrams"); val nCov = r.getAs[Long]("n_cov")
+      assert(nOov >= 0 && nOov <= nTok)
+      assert(nCov >= 0 && nCov <= nBi)
+      assert(nBi === math.max(nTok - 1, 0))
+      val expect = if (nBi > 0) math.floor(nCov.toDouble * 1e6 / nBi).toLong else 0L
+      assert(r.getAs[Long]("cov_fp") === expect)
+    }
+    // natural-language testdata repeats bigrams: coverage must be non-trivial
+    assert(rows.exists(_.getAs[Long]("n_cov") > 0))
+  }
 }
