@@ -37,6 +37,7 @@ object Dedup extends QueryModule {
   private val NgramJaccard = 0.06
   private val CosineThreshold = 0.35
   private val HammingK = 3   // q_dedup_simhash_k near-dup radius
+  private val SpanK = 8      // q_dedup_spans duplicated-span gram length
 
   private val sqlShingles2 =
     "list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])"
@@ -166,6 +167,40 @@ object Dedup extends QueryModule {
   }
 
   def queries: Map[String, Q] = Map(
+    // Duplicated-SPAN detection (substring-level dedup à la "Deduplicating
+    // Training Data Makes Language Models Better": find every SpanK-token
+    // window shared across ≥2 documents and report, per doc, how much of
+    // its text sits inside such spans). Pipeline: per-row codegen'd k-gram
+    // hashes WITH positions (one Generate, no shuffle to form windows) →
+    // grams shared by ≥2 distinct docs (one aggregate keyed by gram hash —
+    // the shuffle is bounded by the distinct-gram vocabulary) → covered
+    // token positions via an 8× map-side fan-out + per-doc distinct →
+    // duplicated-token fraction in fixed point. At 100 TB every stage is
+    // keyed (gram hash, then doc_id); nothing is all-pairs and no suffix
+    // array needs to fit anywhere.
+    "q_dedup_spans" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+          graft.functions.ShingleHashes.shingles(col("tk"), SpanK).as("gh"))
+      val grams = docs.select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
+      val shared = grams.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val dupTok = grams.join(shared, Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("p0") + 1, col("p0") + SpanK)).as("tp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+      docs.join(dupTok, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tok"),
+          size(col("gh")).cast(LongType).as("n_grams"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          floor(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) * 1e6
+            / col("n_tok")).cast(LongType).as("dup_fp"))
+        .orderBy("doc_id")
+    }),
+
     // B12 — exact dedup keeping the latest event per (user_id, event_type):
     // deterministic row_number over a total order (ts DESC, event_id DESC).
     // One hash shuffle on the business key; scale-safe for any key cardinality.
@@ -321,6 +356,33 @@ object Dedup extends QueryModule {
        |                 for b in range(0, 31)]) AS BIGINT) AS simhash FROM bits)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Same gram hashing as ShinglePolyHashes: polyChar over the k tokens
+    // joined with single spaces; p0 (0-based) + 1 … p0 + K token coverage.
+    "q_dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(1, greatest(CAST(len(tk) AS BIGINT) - ${SpanK - 2}, 1))) AS p1
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, p1,
+         |    ${sqlPolyChar(s"array_to_string(tk[p1 : p1 + ${SpanK - 1}], ' ')")} AS h
+         |  FROM pos),
+         |shared AS (SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h) WHERE nd >= 2),
+         |cover AS (
+         |  SELECT doc_id, unnest(range(p1, p1 + $SpanK)) AS tp
+         |  FROM g WHERE h IN (SELECT h FROM shared)),
+         |cnt AS (
+         |  SELECT doc_id, COUNT(*) AS dup_tokens
+         |  FROM (SELECT DISTINCT doc_id, tp FROM cover) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+         |  CAST(greatest(len(tk) - ${SpanK - 1}, 0) AS BIGINT) AS n_grams,
+         |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         |  CAST(floor(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) * 1000000.0
+         |             / len(tk)) AS BIGINT) AS dup_fp
+         |FROM t LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

@@ -185,4 +185,26 @@ class DedupSpec extends SparkSuite {
       assert(members.keys.min === cid, s"cluster $cid min is ${members.keys.min}")
     }
   }
+
+  test("q_dedup_spans: planted shared 8-token span is detected, unique docs report zero") {
+    import org.apache.spark.sql.functions._
+    val span = (1 to 8).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // doc 0 and doc 1 share exactly the 8-token span (at different offsets);
+    // doc 2 is entirely unique
+    val df = Seq(
+      (0L, uniq("a", 4) + " " + span + " " + uniq("b", 3)),
+      (1L, span + " " + uniq("c", 10)),
+      (2L, uniq("d", 20))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spans_").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q_dedup_spans")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(out(0L) === ((15L, 8L)))  // exactly the planted span is covered
+    assert(out(1L) === ((18L, 8L)))
+    assert(out(2L) === ((20L, 0L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
