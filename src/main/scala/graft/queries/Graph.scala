@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Iterative graph analytics over relational data — the one dataflow shape
+  * the rest of the surface lacks: a fixpoint loop where iteration N+1's
+  * input is iteration N's output (PageRank; connected components lives in
+  * llm/Dedup as q_dedup_clusters).
+  *
+  * Graph: the trade-flow network between nations — an edge src→dst with
+  * weight w for every lineitem whose ordering customer sits in nation src
+  * and supplying supplier in nation dst. Edge extraction is the star-join
+  * pattern (facts keyed, dims broadcast); the edge list is then
+  * `localCheckpoint`ed — it feeds every iteration, and at 100 TB you'd
+  * materialize it once as a table rather than re-run the star join per
+  * iteration.
+  *
+  * Each PageRank iteration is ONE shuffle keyed by dst (contributions
+  * aggregate) plus a broadcast-size join back to the node set — the
+  * standard Pregel-on-relations layout; iterations unroll into one plan
+  * (3 here), with the rank state never leaving the cluster.
+  *
+  * Determinism (the repo's parity rules): rank mass is INTEGER fixed point
+  * (1e12 units), contributions use integer `div`, and the damping update is
+  * (15·(S div N)) div 100 + (85·Σcontrib) div 100 — every op is
+  * order-independent integer arithmetic, so three iterations are cell-exact
+  * reproducible on any engine. Dangling-node mass (a nation with no
+  * out-edges) is deliberately not redistributed — with damping the ranking
+  * is unaffected for this use and both engines agree exactly.
+  */
+object Graph extends QueryModule {
+
+  private val S = 1000000000000L // 1e12 fixed-point mass scale
+  private val Iters = 3
+
+  def queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+      val e = edges.join(outw, "src")
+      val nodes = Tables(s, d, "nation").select("n_nationkey", "n_name")
+      val nc = nodes.agg(count(lit(1)).as("n_nodes"))
+      var pr = nodes.crossJoin(broadcast(nc))
+        .select(col("n_nationkey").as("node"), col("n_nodes"),
+          expr(s"$S div n_nodes").as("pr"))
+      for (_ <- 1 to Iters) {
+        val contribs = e.join(pr, col("src") === col("node"))
+          .select(col("dst"), expr("(pr * w) div outw").as("c"))
+          .groupBy("dst").agg(sum("c").as("cs"))
+        pr = nodes.crossJoin(broadcast(nc))
+          .join(contribs, col("n_nationkey") === col("dst"), "left_outer")
+          .select(col("n_nationkey").as("node"), col("n_nodes"),
+            expr(s"(15 * ($S div n_nodes)) div 100" +
+              s" + (85 * coalesce(cs, 0L)) div 100").as("pr"))
+      }
+      pr.join(broadcast(nodes), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("pr").as("pr_fp"))
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("pr_fp"), col("n_name"))).cast(IntegerType))
+        .orderBy("rank")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Identical integer arithmetic, iterations unrolled as CTEs. Sums are
+    // cast back to BIGINT (DuckDB SUM promotes to HUGEINT).
+    "q_graph_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (
+           |  SELECT e.dst, CAST(SUM((p.pr * e.w) // ow.outw) AS BIGINT) AS cs
+           |  FROM e JOIN ow USING (src) JOIN $prev p ON p.node = e.src
+           |  GROUP BY e.dst),
+           |$out AS (
+           |  SELECT n.n_nationkey AS node,
+           |    CAST((15 * ($S // nn.n)) // 100
+           |         + (85 * COALESCE(c$out.cs, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nation n CROSS JOIN nn
+           |  LEFT JOIN c$out ON c$out.dst = n.n_nationkey)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+         |  FROM lineitem l
+         |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |    JOIN customer c ON o.o_custkey = c.c_custkey
+         |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM nation),
+         |p0 AS (SELECT n_nationkey AS node, $S // n AS pr FROM nation, nn),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT n.n_name, p3.pr AS pr_fp,
+         |  CAST(row_number() OVER (ORDER BY p3.pr DESC, n.n_name) AS INTEGER) AS rank
+         |FROM p3 JOIN nation n ON n.n_nationkey = p3.node
+         |ORDER BY rank""".stripMargin
+    }
+  )
+}
