@@ -34,6 +34,9 @@ object Similarity extends QueryModule {
   private val NumProbes = 5   // q_similarity_multiprobe probe-set size
   private val TopPerProbe = 3
   private val ProbeSalt = 32  // phase-1 buckets per probe (bounds collect_list)
+  private val PqM = 8         // q_embed_pq: subspace blocks
+  private val PqDim = 8       // dims per block (PqM × PqDim = 64)
+  private val PqK = 4         // centroids per subspace codebook
 
   /** Exact per-group mean vectors via [[graft.functions.VectorSumFixed]]:
     * one 64-long buffer per group through the partial/final aggregate —
@@ -158,6 +161,50 @@ object Similarity extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // B14e — PRODUCT QUANTIZATION: the compression side of the standard
+    // 100 TB ANN architecture (IVF-PQ). The 64-dim vector is cut into 8
+    // 8-dim subspaces; each block is replaced by the id of its nearest
+    // codebook centroid (min L2, first-id tie-break) — 64 floats become 8
+    // small codes. Distances to a probe are then approximated
+    // asymmetrically (ADC): Σ_b dot(probe_b, centroid[code_b]_b), i.e.
+    // table lookups instead of full-vector arithmetic. Codebooks are the
+    // anchor rows' sub-vectors (broadcast; the k-means refinement loop is
+    // q_similarity_ivf's — composable here the same way). Everything is
+    // per-row math against broadcast codebooks — zero shuffle — and L2² is
+    // assembled from fixed-point dots ((x·x − 2·x·c) + c·c, identical op
+    // order both engines) so codes AND ADC scores are cell-exact.
+    "q_embed_pq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < PqK)
+        .agg(array_sort(collect_list(struct(
+          col("vec_id").cast(IntegerType).as("c_id"),
+          col("embedding").as("c_emb")))).as("cents"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      def blockOf(c: org.apache.spark.sql.Column, b: Int) =
+        slice(c, b * PqDim + 1, PqDim)
+      val base = emb.crossJoin(broadcast(anchors)).crossJoin(broadcast(probe))
+      val withCodes = (0 until PqM).foldLeft(base) { (df, b) =>
+        val xb = blockOf(col("embedding"), b)
+        val d2s = transform(col("cents"), st => {
+          val cb = blockOf(st.getField("c_emb"), b)
+          (dotFixed(xb, xb) - lit(2.0) * dotFixed(xb, cb)) + dotFixed(cb, cb)
+        })
+        df.withColumn(s"code$b",
+          (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType))
+      }
+      val adc = (0 until PqM).map { b =>
+        val cb = blockOf(
+          element_at(col("cents"), col(s"code$b") + 1).getField("c_emb"), b)
+        dotFixed(blockOf(col("pv"), b), cb)
+      }.reduce(_ + _)
+      withCodes.select(
+        col("vec_id") +: col("label") +:
+          (0 until PqM).map(b => col(s"code$b")) :+
+          adc.as("sim_adc") :+
+          dotFixed(col("embedding"), col("pv")).as("sim_exact"): _*)
+        .orderBy("vec_id")
+    }),
+
     // B14c — MULTI-probe top-k (batch ANN serving: k neighbors for EVERY
     // probe in a set, one pass). Naive plan: explode facts × probes, then
     // one window per probe_id — but with few probes that shuffles the whole
@@ -253,6 +300,36 @@ object Similarity extends QueryModule {
          |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin,
+    // Mirrors the Spark block loops: same codebook (anchor sub-vectors,
+    // c_id order), same (x·x − 2·x·c) + c·c assembly, same left-assoc ADC
+    // sum — every double op in identical order.
+    "q_embed_pq" -> {
+      def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
+      def d2s(b: Int) = {
+        val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
+        s"[(${sqlDotFixed(xb, xb)} - 2 * ${sqlDotFixed(xb, cb)}) + ${sqlDotFixed(cb, cb)} " +
+          s"for pq_ci in range(1, ${PqK + 1})]"
+      }
+      val codeCols = (0 until PqM).map(b =>
+        s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
+        .mkString(",\n|    ")
+      val adc = (0 until PqM).map(b =>
+        sqlDotFixed(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b)))
+        .mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT list(embedding ORDER BY vec_id) AS cl
+         |  FROM embeddings WHERE vec_id < $PqK),
+         |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |k AS (
+         |  SELECT e.vec_id, e.label, e.embedding,
+         |    $codeCols
+         |  FROM embeddings e, c)
+         |SELECT k.vec_id, k.label,
+         |  ${(0 until PqM).map(b => s"k.code$b").mkString(", ")},
+         |  $adc AS sim_adc,
+         |  ${sqlDotFixed("k.embedding", "p.pv")} AS sim_exact
+         |FROM k, c, p ORDER BY k.vec_id""".stripMargin
+    },
     // Same per-row arithmetic sequence (IEEE doubles both engines).
     "q_embed_quantize" ->
       """WITH q AS (

@@ -96,4 +96,25 @@ class SimilaritySpec extends SparkSuite {
       assert(r.getAs[Long]("err_fp") <= r.getAs[Long]("amax_fp") / 254 + 1)
     }
   }
+
+  test("q_embed_pq: codes in codebook range, anchors reconstruct exactly, ADC tracks exact similarity") {
+    val rows = Similarity.queries("q_embed_pq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val codeCols = (0 until 8).map(b => s"code$b")
+    rows.foreach { r =>
+      codeCols.foreach { c =>
+        val code = r.getAs[Int](c); assert(code >= 0 && code < 4)
+      }
+    }
+    // an anchor row's nearest sub-centroid is its own sub-vector in every
+    // block, so its ADC score rebuilds the exact dot (up to the per-block
+    // vs whole-vector fixed-point division rounding)
+    rows.filter(_.getAs[Long]("vec_id") < 4).foreach { r =>
+      assert(math.abs(r.getAs[Double]("sim_adc") - r.getAs[Double]("sim_exact")) < 1e-9)
+    }
+    // 4-entry codebooks are coarse but must still track the exact score
+    val mae = rows.map(r =>
+      math.abs(r.getAs[Double]("sim_adc") - r.getAs[Double]("sim_exact"))).sum / rows.length
+    assert(mae < 0.5, s"ADC mean absolute error $mae")
+  }
 }
