@@ -280,6 +280,31 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // SURVIVORSHIP: clusters alone don't dedup a corpus — each cluster needs
+    // ONE canonical record (the "golden record" step of entity resolution /
+    // the "keep one copy" step of near-dedup). Canonical = the longest
+    // document (n_chars), ties → min doc_id. Both per-cluster aggregates
+    // (size + argmax) are windows over ONE hash partitioning on cluster_id
+    // — no join of the labeled table against itself; first() over the
+    // (n_chars DESC, doc_id) order is a total-order argmax, deterministic.
+    "q_dedup_survivor" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = simhashPairsWithinK(simhashBigrams(docs), HammingK)
+        .select("doc_a", "doc_b")
+      val labeled = connectedComponents(pairs, docs.select(col("doc_id")))
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      val wOrd = w.orderBy(desc("n_chars"), col("doc_id"))
+      labeled
+        .select(col("doc_id"), col("cluster_id"),
+          count(lit(1)).over(w).as("cluster_size"),
+          first("doc_id").over(wOrd).as("canonical_id"))
+        .withColumn("is_canonical",
+          when(col("doc_id") === col("canonical_id"), 1).otherwise(0)
+            .cast(IntegerType))
+        .orderBy("doc_id")
+    }),
+
     // Blocked exact n-gram Jaccard: candidate pairs only within the same
     // (lang, token-count-bucket) block — classic blocking, no all-pairs.
     "q_dedup_ngram" -> ((s, d) => {
@@ -440,6 +465,31 @@ object Dedup extends QueryModule {
          |  SELECT e.a AS n, reach.r FROM edges e JOIN reach ON reach.n = e.b)
          |SELECT n AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    // Same transitive-closure clusters; canonical via ranked window
+    // (first_value over the same total order).
+    "q_dedup_survivor" ->
+      s"""WITH RECURSIVE ${simhashBigramSql("sig")},
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingK),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT doc_id AS n, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS n, reach.r FROM edges e JOIN reach ON reach.n = e.b),
+         |cl AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+         |j AS (
+         |  SELECT c.doc_id, c.cluster_id, d.n_chars
+         |  FROM cl c JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  first_value(doc_id) OVER (
+         |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS canonical_id,
+         |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER (
+         |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)
+         |    THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+         |FROM j ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),

@@ -34,6 +34,7 @@ object Similarity extends QueryModule {
   private val NumProbes = 5   // q_similarity_multiprobe probe-set size
   private val TopPerProbe = 3
   private val ProbeSalt = 32  // phase-1 buckets per probe (bounds collect_list)
+  private val KnnK = 3        // q_knn_graph neighbors per vector
   private val PqM = 8         // q_embed_pq: subspace blocks
   private val PqDim = 8       // dims per block (PqM × PqDim = 64)
   private val PqK = 4         // centroids per subspace codebook
@@ -130,6 +131,30 @@ object Similarity extends QueryModule {
           dotFixed(col("embedding"), col("pv")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
         .limit(TopK)
+    }),
+
+    // k-NN GRAPH construction (the structure behind diversity sampling,
+    // semantic dedup and graph-based curation): for EVERY vector, its k
+    // nearest neighbors. Never all-pairs: candidates come from a blocking
+    // key — here the label partition; at 100 TB the IVF list id from
+    // [[assignLists]] is the drop-in blocking key (same join shape, with
+    // multi-list assignment recovering cross-boundary recall). The
+    // candidate join is an equi-join on the block, the per-source ranking
+    // is a window over ONE hash partitioning on src — candidate volume is
+    // Σ_b |block_b|², bounded by the blocking granularity, not n².
+    "q_knn_graph" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val x = emb.select(col("label"), col("vec_id").as("src"), col("embedding").as("e_src"))
+      val y = emb.select(col("label"), col("vec_id").as("dst"), col("embedding").as("e_dst"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("sim"), col("dst"))
+      x.join(y, Seq("label")).filter(col("src") =!= col("dst"))
+        .select(col("label"), col("src"), col("dst"),
+          dotFixed(col("e_src"), col("e_dst")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= KnnK)
+        .select("label", "src", "dst", "rank", "sim")
+        .orderBy("src", "rank")
     }),
 
     // B14d — int8 symmetric quantization of the embedding column: the
@@ -300,6 +325,20 @@ object Similarity extends QueryModule {
          |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin,
+    // Within-block brute force + ranked window: same blocking, different
+    // top-k algorithm (window rank vs Spark's filter-after-rank plan).
+    "q_knn_graph" ->
+      s"""SELECT label, src, dst, rank, sim FROM (
+         |  SELECT x.label, x.vec_id AS src, y.vec_id AS dst,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY x.vec_id
+         |      ORDER BY ${sqlDotFixed("x.embedding", "y.embedding")} DESC, y.vec_id)
+         |      AS INTEGER) AS rank,
+         |    ${sqlDotFixed("x.embedding", "y.embedding")} AS sim
+         |  FROM embeddings x JOIN embeddings y
+         |    ON x.label = y.label AND x.vec_id <> y.vec_id) t
+         |WHERE rank <= $KnnK
+         |ORDER BY src, rank""".stripMargin,
     // Mirrors the Spark block loops: same codebook (anchor sub-vectors,
     // c_id order), same (x·x − 2·x·c) + c·c assembly, same left-assoc ADC
     // sum — every double op in identical order.
