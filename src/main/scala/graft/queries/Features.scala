@@ -116,6 +116,24 @@ object Features extends QueryModule {
         .orderBy("col_name")
     }),
 
+    // FEATURE HASHING (the "hashing trick"): each document's bag of words
+    // mapped into a fixed 16-dim count vector by token hash — the
+    // vocabulary-free featurization step (no dictionary build, no shuffle:
+    // the whole vector is per-row arithmetic over the codegen'd token-hash
+    // array, so at 100 TB it runs embarrassingly parallel in the scan).
+    // Declared output is the 16 bucket counts as scalar columns (driver
+    // comparator takes no arrays) plus the token count.
+    "q_feature_hash" -> ((s, d) => {
+      val NB = 16
+      val hs = graft.functions.ShingleHashes.shingles(split(col("text"), " "), 1)
+      val base = Tables(s, d, "documents").select(col("doc_id"), hs.as("hs"))
+      base.select(
+        col("doc_id") +: size(col("hs")).as("n_tok") +:
+          (0 until NB).map(b =>
+            size(filter(col("hs"), h => pmod(h, lit(NB)) === lit(b))).as(s"f$b")): _*)
+        .orderBy("doc_id")
+    }),
+
     // Data-quality rule battery — the Deequ-style constraint suite an
     // ingest job runs before publishing a table: one row per rule with its
     // violation count and pass/fail. Rules: primary-key uniqueness,
@@ -213,6 +231,19 @@ object Features extends QueryModule {
         |  UNION ALL SELECT n_rows, 'o_orderstatus', c_os, d_os, mn_os, mx_os FROM a
         |  UNION ALL SELECT n_rows, 'o_orderpriority', c_op, d_op, mn_op, mx_op FROM a)
         |ORDER BY col_name""".stripMargin,
+    "q_feature_hash" -> {
+      val NB = 16
+      val fcols = (0 until NB).map(b =>
+        s"CAST(len(list_filter(hs, h -> h % $NB = $b)) AS INTEGER) AS f$b")
+        .mkString(",\n|  ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    [${graft.llm.PortableHash.sqlPolyChar("s")} for s in string_split(text, ' ')] AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_tok,
+         |  $fcols
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     "q_dq_checks" ->
       """WITH s AS (
         |  SELECT COUNT(*) AS n_rows,

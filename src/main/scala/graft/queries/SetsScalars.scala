@@ -51,7 +51,37 @@ object SetsScalars extends QueryModule {
       |WHERE c.c_mktsegment = 'MACHINERY'
       |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
+  /** One SQL text for Spark AND DuckDB: WITH RECURSIVE hierarchy walk
+    * (Spark 4 supports recursive CTEs; semantics match DuckDB's UNION ALL
+    * recursion). The tree is the implicit binary-heap encoding over
+    * customer keys — parent(k) = floor((k−1)/2), root k=0 — so recursion
+    * depth is log₂(n) and each recursive step is ONE equi-join of the
+    * frontier against the (broadcastable) node table: the textbook
+    * iterative-join plan, no row-at-a-time evaluation. floor(...) + CAST is
+    * used instead of integer `/` because Spark's int division yields DOUBLE
+    * while DuckDB's CAST rounds — floor-then-cast is exact on both. */
+  private val RecursiveTreeSql =
+    s"""WITH RECURSIVE tree (k, root, depth) AS (
+       |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
+       |  FROM customer WHERE c_custkey = 0
+       |  UNION ALL
+       |  SELECT c.c_custkey, t.root, t.depth + 1
+       |  FROM customer c JOIN tree t
+       |    ON CAST(floor((c.c_custkey - 1) / 2.0) AS BIGINT) = t.k
+       |  WHERE c.c_custkey >= 1)
+       |SELECT depth, COUNT(*) AS n_nodes,
+       |  MIN(k) AS min_key, MAX(k) AS max_key,
+       |  ${Det.sqlSum("b.c_acctbal")} AS sum_bal
+       |FROM tree JOIN customer b ON b.c_custkey = tree.k
+       |GROUP BY depth ORDER BY depth""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    // B11g — recursive CTE (hierarchy / graph-walk SQL surface).
+    "q_recursive_tree" -> ((s, d) => {
+      graft.Tables.register(s, d, "customer")
+      s.sql(RecursiveTreeSql)
+    }),
+
     // B11d — subquery surface: scalar (uncorrelated + correlated) and IN.
     "q_subqueries" -> ((s, d) => {
       graft.Tables.register(s, d, "orders", "customer")
@@ -232,6 +262,7 @@ object SetsScalars extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_recursive_tree" -> RecursiveTreeSql,
     "q_subqueries" -> SubqueriesSql,
     "q_lateral" -> LateralSql,
     "q_nulls" ->
