@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, SparkEntry, Tables}
+
+/** Property tests for the analytics / split / survivorship / kNN surface —
+  * invariants a correct implementation must satisfy independently of the
+  * DuckDB oracle (which certifies exact values at sf0.01). */
+class AnalyticsSpec extends SparkSuite {
+
+  test("funnel step counts are monotonically non-increasing") {
+    val r = SparkEntry.queries("q_funnel")(spark, sfDir).head()
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 >= s2 && s2 >= s3, s"funnel not monotone: $s1, $s2, $s3")
+    assert(s1 > 0, "no users completed step 1 — degenerate testdata")
+  }
+
+  test("cohort retention: offset-0 cell exists per cohort and dominates") {
+    val rows = SparkEntry.queries("q_cohort_retention")(spark, sfDir).collect()
+    val byCohort = rows.groupBy(_.getInt(0))
+    byCohort.foreach { case (cohort, rs) =>
+      val at0 = rs.find(_.getInt(1) == 0)
+      assert(at0.isDefined, s"cohort $cohort missing offset-0 row")
+      val n0 = at0.get.getLong(2)
+      rs.foreach { r =>
+        assert(r.getLong(2) <= n0,
+          s"cohort $cohort offset ${r.getInt(1)}: ${r.getLong(2)} > offset-0 $n0")
+      }
+    }
+  }
+
+  test("argmax matches independent per-segment max/min of the value column") {
+    val got = SparkEntry.queries("q_agg_argmax")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(3)))).toMap
+    val exp = Tables(spark, sfDir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(max("c_acctbal").as("hi"), min("c_acctbal").as("lo"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("interval overlap peak matches a driver-side sweep over the same sessions") {
+    val r = SparkEntry.queries("q_interval_overlap")(spark, sfDir).head()
+    val (nSessions, peak) = (r.getLong(0), r.getLong(1))
+    // independent reference: sessionize in Scala from the raw events
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val gap = 1800L * 1000000L
+    val sessions = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.map(e => (e._2, e._3)).sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (s0, e0) = (sorted.head._1, sorted.head._1)
+      sorted.tail.foreach { case (t, _) =>
+        if (t - e0 > gap) { out += ((s0, e0)); s0 = t }
+        e0 = t
+      }
+      out += ((s0, e0))
+      out
+    }.toSeq
+    assert(sessions.size.toLong == nSessions)
+    val pts = sessions.flatMap { case (s, e) => Seq((s, 1), (e + 1, -1)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var (cur, best) = (0L, 0L)
+    pts.foreach { case (_, d) => cur += d; best = math.max(best, cur) }
+    assert(best == peak, s"driver sweep peak $best != query peak $peak")
+  }
+
+  test("split assignment is per-doc stable: independent of which other docs exist") {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val full = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = Tables(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), split.as("s")).collect()
+    half.foreach { r =>
+      assert(full(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)} moved split")
+    }
+    // and the three splits are all non-empty at the 80/10/10 thresholds
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("survivor: exactly one canonical per cluster, with max length, min id on ties") {
+    val rows = SparkEntry.queries("q_dedup_survivor")(spark, sfDir).collect()
+    val chars = Tables(spark, sfDir, "documents").select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (cl, rs) =>
+      val canon = rs.filter(_.getInt(4) == 1)
+      assert(canon.length == 1, s"cluster $cl has ${canon.length} canonicals")
+      val cid = canon.head.getLong(0)
+      assert(rs.forall(_.getLong(3) == cid), s"cluster $cl disagrees on canonical")
+      assert(rs.forall(_.getLong(2) == rs.length), s"cluster $cl size mismatch")
+      val maxChars = rs.map(r => chars(r.getLong(0))).max
+      assert(chars(cid) == maxChars, s"cluster $cl canonical not longest")
+      val tied = rs.map(_.getLong(0)).filter(id => chars(id) == maxChars)
+      assert(cid == tied.min, s"cluster $cl tie not broken by min doc_id")
+    }
+  }
+
+  test("kNN graph: neighbors stay in-block, ranks dense, sims non-increasing") {
+    val rows = SparkEntry.queries("q_knn_graph")(spark, sfDir).collect()
+    val labels = Tables(spark, sfDir, "embeddings").select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length),
+        s"src $src ranks not dense")
+      assert(sorted.length <= 3 && sorted.nonEmpty)
+      sorted.foreach { r =>
+        assert(labels(r.getLong(2)) == labels(src), s"src $src neighbor crossed block")
+        assert(r.getLong(2) != src, s"src $src is its own neighbor")
+      }
+      val sims = sorted.map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"src $src sims not non-increasing")
+    }
+  }
+
+  test("recursive tree: heap levels have 2^d nodes starting at key 2^d - 1") {
+    val rows = SparkEntry.queries("q_recursive_tree")(spark, sfDir).collect()
+    val n = Tables(spark, sfDir, "customer").count()
+    assert(rows.map(_.getLong(1)).sum == n, "recursion lost nodes")
+    rows.sortBy(_.getInt(0)).dropRight(1).foreach { r => // full levels
+      val d = r.getInt(0)
+      assert(r.getLong(1) == (1L << d), s"depth $d has ${r.getLong(1)} nodes")
+      assert(r.getLong(2) == (1L << d) - 1, s"depth $d min key ${r.getLong(2)}")
+    }
+  }
+
+  test("feature hash: bucket counts partition the token count") {
+    val df = SparkEntry.queries("q_feature_hash")(spark, sfDir)
+    val bad = df.filter(
+      (2 until 18).map(i => col(df.columns(i))).reduce(_ + _) =!= col("n_tok"))
+    assert(bad.count() == 0, "bucket counts don't sum to n_tok")
+  }
+}
