@@ -59,10 +59,14 @@ object Analytics extends QueryModule {
         .withColumn("t3",
           min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
             col("ts_us"))).over(w))
-        .agg(
-          countDistinct(when(col("t1").isNotNull, col("user_id"))).as("u_signup"),
-          countDistinct(when(col("t2").isNotNull, col("user_id"))).as("u_click"),
-          countDistinct(when(col("t3").isNotNull, col("user_id"))).as("u_purchase"))
+        // reduce to one row per user BEFORE counting: t1/t2/t3 are per-user
+        // constants, so the groupBy reuses the windows' hash partitioning
+        // (no exchange) and the final count needs no DISTINCT — the naive
+        // triple countDistinct planned a 4-way Expand over every event row.
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count("t1").as("u_signup"), count("t2").as("u_click"),
+          count("t3").as("u_purchase"))
     }),
 
     // Monthly cohort retention: cohort = month of a customer's first order
@@ -109,12 +113,17 @@ object Analytics extends QueryModule {
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
         .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        // materialize once: the interval set feeds both sweep branches AND
+        // the session count — without this the sessionize windows recompute
+        // four times (once per consumer)
+        .localCheckpoint()
       val pts = sess.select(col("start_us").as("pt"), lit(1).as("delta"))
         .unionAll(sess.select((col("end_us") + 1).as("pt"), lit(-1).as("delta")))
       // collapse simultaneous boundaries first: removes any tie-order
       // sensitivity AND bounds the prefix-sum input to distinct timestamps
       val byPt = pts.groupBy("pt").agg(sum("delta").as("d"))
         .withColumn("day", expr(s"pt div $DayUs"))
+        .localCheckpoint() // feeds the per-day prefix sums AND the day totals
       val wDay = Window.partitionBy("day").orderBy("pt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = byPt.withColumn("run_local", sum("d").over(wDay))
