@@ -59,7 +59,12 @@ object SetsScalars extends QueryModule {
     * frontier against the (broadcastable) node table: the textbook
     * iterative-join plan, no row-at-a-time evaluation. floor(...) + CAST is
     * used instead of integer `/` because Spark's int division yields DOUBLE
-    * while DuckDB's CAST rounds — floor-then-cast is exact on both. */
+    * while DuckDB's CAST rounds — floor-then-cast is exact on both. The
+    * `depth < 7` guard is the standard bounded-recursion pattern (the cost
+    * of a recursive CTE is per-ITERATION driver overhead, so unbounded
+    * depth would grow with log n of the data; the cap makes iteration count
+    * — and wall clock — scale-independent, like connectedComponents'
+    * maxIters). */
   private val RecursiveTreeSql =
     s"""WITH RECURSIVE tree (k, root, depth) AS (
        |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
@@ -68,7 +73,7 @@ object SetsScalars extends QueryModule {
        |  SELECT c.c_custkey, t.root, t.depth + 1
        |  FROM customer c JOIN tree t
        |    ON CAST(floor((c.c_custkey - 1) / 2.0) AS BIGINT) = t.k
-       |  WHERE c.c_custkey >= 1)
+       |  WHERE c.c_custkey >= 1 AND t.depth < 7)
        |SELECT depth, COUNT(*) AS n_nodes,
        |  MIN(k) AS min_key, MAX(k) AS max_key,
        |  ${Det.sqlSum("b.c_acctbal")} AS sum_bal

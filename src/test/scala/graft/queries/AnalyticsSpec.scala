@@ -122,7 +122,8 @@ class AnalyticsSpec extends SparkSuite {
   test("recursive tree: heap levels have 2^d nodes starting at key 2^d - 1") {
     val rows = SparkEntry.queries("q_recursive_tree")(spark, sfDir).collect()
     val n = Tables(spark, sfDir, "customer").count()
-    assert(rows.map(_.getLong(1)).sum == n, "recursion lost nodes")
+    // depth is capped at 7 → the walk covers the first min(n, 2^8 − 1) keys
+    assert(rows.map(_.getLong(1)).sum == math.min(n, 255L), "recursion lost nodes")
     rows.sortBy(_.getInt(0)).dropRight(1).foreach { r => // full levels
       val d = r.getInt(0)
       assert(r.getLong(1) == (1L << d), s"depth $d has ${r.getLong(1)} nodes")
