@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 import graft.Tables
 
@@ -138,6 +138,56 @@ object Analytics extends QueryModule {
       sess.agg(count(lit(1)).as("n_sessions")).crossJoin(peak)
     }),
 
+    // Last-touch marketing attribution: each purchase is credited to the
+    // channel of the most recent click at or before it (channel = props.k
+    // mod 4 of that click). One ignore-nulls window carry over the per-user
+    // event-time order — the fact table shuffles once on user_id; no
+    // purchase×click self-join (the naive formulation joins every purchase
+    // against every earlier click and re-ranks — quadratic in events per
+    // user at 100 TB).
+    "q_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chan = concat(lit("ch"),
+        pmod(get_json_object(col("props"), "$.k").cast(IntegerType), lit(4))
+          .cast(StringType))
+      Tables(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("attr_ch",
+          last(when(col("event_type") === "click", chan), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr_ch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), Det.dsum(col("value")).as("revenue"))
+        .orderBy("channel")
+    }),
+
+    // Event-sequence pattern match (MATCH_RECOGNIZE-lite): the per-user
+    // event-type sequence in event-time order, scanned with a regex. The
+    // sequence is built once per user (sort_array over structs — collect
+    // order-independent, total order by (ts, event_id)) and both patterns
+    // evaluate per-row over that string — one shuffle on user_id, no
+    // self-joins of the event table, no per-pattern rescans. The regex runs
+    // on a ' '-padded path so every event type is space-delimited on both
+    // sides (types are \w-only, so ' click (\w+ )*purchase ' means "a click
+    // event strictly before a purchase event").
+    "q_seq_pattern" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts_us"), col("event_id"), col("event_type")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast(LongType).as("n_events"),
+          concat(lit(" "),
+            concat_ws(" ", expr("transform(seq, x -> x.event_type)")),
+            lit(" ")).as("path"))
+        .select(col("user_id"), col("n_events"),
+          col("path").rlike(""" click (\w+ )*purchase """).as("converted"),
+          col("path").rlike(""" error (\w+ )*error """).as("error_repeat"))
+        .orderBy("user_id")
+    }),
+
     // Train/val/test split assignment (80/10/10): bucket = Knuth
     // multiplicative hash of doc_id mod 100; rollup of docs and chars per
     // (source, split) proves the strata land where expected.
@@ -153,6 +203,33 @@ object Analytics extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+        |                 AS VARCHAR) AS chan
+        |  FROM events),
+        |a AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN chan END
+        |                       IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_ch
+        |  FROM e)
+        |SELECT COALESCE(attr_ch, 'direct') AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_seq_pattern" ->
+      """WITH p AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    ' ' || string_agg(event_type, ' ' ORDER BY epoch_us(ts), event_id)
+        |        || ' ' AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  regexp_matches(path, ' click (\w+ )*purchase ') AS converted,
+        |  regexp_matches(path, ' error (\w+ )*error ') AS error_repeat
+        |FROM p ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -134,6 +134,63 @@ object Features extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Per-group closed-form OLS regression (price on quantity): slope,
+    // intercept and R² from the exact DECIMAL power sums (n, Σx, Σy, Σxx,
+    // Σxy, Σyy) — one partial+final hash aggregate, trivially mergeable at
+    // 1000 executors; the closed form evaluates in DOUBLE over identical
+    // operands on both engines (same long-units conversion as q_agg_stats —
+    // DuckDB's DECIMAL→DOUBLE cast is not correctly rounded above 2^53).
+    // This is the regr_slope/regr_intercept/regr_r2 family with a
+    // cross-engine-deterministic accumulation.
+    "q_regr_ols" -> ((s, d) => {
+      val DecSq = DecimalType(28, 4)
+      def dss(a: String, b: String) =
+        (sum((col(a) * col(b)).cast(DecSq)) * 10000).cast(LongType)
+          .cast(DoubleType) / 1e4
+      val nD = col("n").cast(DoubleType)
+      val covN = nD * col("sxy") - col("sum_x") * col("sum_y")   // n²·cov
+      val varXN = nD * col("sxx") - col("sum_x") * col("sum_x")  // n²·var(x)
+      val varYN = nD * col("syy") - col("sum_y") * col("sum_y")  // n²·var(y)
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_quantity")).as("sum_x"),
+          Det.dsum(col("l_extendedprice")).as("sum_y"),
+          dss("l_quantity", "l_quantity").as("sxx"),
+          dss("l_quantity", "l_extendedprice").as("sxy"),
+          dss("l_extendedprice", "l_extendedprice").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (covN / varXN).as("slope"),
+          ((col("sum_y") - (covN / varXN) * col("sum_x")) / nD).as("intercept"),
+          (covN * covN / (varXN * varYN)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Robust outlier detection (median absolute deviation): per event type,
+    // med = median(value), MAD = median(|value − med|), outlier ⇔
+    // |value − med| > 3·MAD. Unlike the z-score this doesn't let the
+    // outliers inflate their own threshold. Two exact-percentile aggregates
+    // with the 5-row stats frames broadcast back — the fact table shuffles
+    // only for the percentile passes, never row-vs-row. At 100 TB swap
+    // `percentile` for `approx_percentile` (mergeable t-digest) — same plan
+    // shape.
+    "q_anomaly_mad" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val med = e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med_v"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med_v")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("dev"), lit(0.5)).as("mad_v"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med_v")).as("med_v"),
+          max(col("mad_v")).as("mad_v"),
+          count_if(col("dev") > lit(3.0) * col("mad_v")).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Data-quality rule battery — the Deequ-style constraint suite an
     // ingest job runs before publishing a table: one row per rule with its
     // violation count and pass/fail. Rules: primary-key uniqueness,
@@ -172,6 +229,41 @@ object Features extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_regr_ols" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_y,
+        |    CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxx,
+        |    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxy,
+        |    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sum_x * sum_y)
+        |    / (CAST(n AS DOUBLE) * sxx - sum_x * sum_x) AS slope,
+        |  (sum_y - (CAST(n AS DOUBLE) * sxy - sum_x * sum_y)
+        |             / (CAST(n AS DOUBLE) * sxx - sum_x * sum_x) * sum_x)
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(n AS DOUBLE) * sxy - sum_x * sum_y)
+        |    * (CAST(n AS DOUBLE) * sxy - sum_x * sum_y)
+        |    / ((CAST(n AS DOUBLE) * sxx - sum_x * sum_x)
+        |       * (CAST(n AS DOUBLE) * syy - sum_y * sum_y)) AS r2
+        |FROM p ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med_v
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, m.med_v, abs(e.value - m.med_v) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad_v
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  max(d.med_v) AS med_v, max(md.mad_v) AS mad_v,
+        |  COUNT(*) FILTER (WHERE d.dev > 3.0 * md.mad_v) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
     "q_feature_zscore" ->
       """WITH st AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -98,10 +98,47 @@ object TimeSeries extends QueryModule {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("v_ffill"))
         .orderBy("user_id", "hour_ts")
+    }),
+
+    // Coverage-gap detection: every (event_type, hour) calendar cell with NO
+    // events — the monitoring query behind "did ingestion stall?". The hour
+    // spine is generated from the global min/max (a 1-row aggregate), the
+    // candidate grid is |types| × |hours| (tiny, built broadcast-side), and
+    // the fact table reduces to DISTINCT (type, hour) in one shuffle before
+    // the anti-join — facts are never joined row-per-row against the grid.
+    "q_gap_detect" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = bounds.select(explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"))
+      val types = e.select("event_type").distinct()
+      val observed = e.select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts")).distinct()
+      types.crossJoin(broadcast(spine))
+        .join(observed, Seq("event_type", "hour_ts"), "left_anti")
+        .orderBy("event_type", "hour_ts")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_gap_detect" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1 FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |obs AS (
+        |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour_ts
+        |  FROM events)
+        |SELECT t.event_type, h.hour_ts
+        |FROM t CROSS JOIN hours h
+        |LEFT JOIN obs o ON o.event_type = t.event_type AND o.hour_ts = h.hour_ts
+        |WHERE o.event_type IS NULL
+        |ORDER BY t.event_type, h.hour_ts""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,

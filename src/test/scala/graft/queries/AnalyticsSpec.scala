@@ -137,4 +137,110 @@ class AnalyticsSpec extends SparkSuite {
       (2 until 18).map(i => col(df.columns(i))).reduce(_ + _) =!= col("n_tok"))
     assert(bad.count() == 0, "bucket counts don't sum to n_tok")
   }
+
+  test("attribution: every purchase credited exactly once, to a valid channel") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sfDir).collect()
+    val valid = Set("ch0", "ch1", "ch2", "ch3", "direct")
+    assert(rows.forall(r => valid(r.getString(0))), "unexpected channel label")
+    val nPurchases = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == nPurchases,
+      "attributed purchase count != total purchases")
+    // driver-side independent last-touch replay over the raw event stream
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
+    val expected = evs.groupBy(_._1).values.flatMap { es =>
+      var last: String = null
+      es.sortBy(e => (e._2, e._3)).flatMap {
+        case (_, _, _, "click", k) => last = s"ch${k % 4}"; None
+        case (_, _, _, "purchase", _) => Some(Option(last).getOrElse("direct"))
+        case _ => None
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"per-channel counts diverge: $got vs $expected")
+  }
+
+  test("seq pattern: converted flag agrees with an ordered driver-side scan") {
+    val rows = SparkEntry.queries("q_seq_pattern")(spark, sfDir).collect()
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_.getLong(1)).sum == evs.length, "n_events doesn't cover all events")
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toSeq).toMap
+    rows.foreach { r =>
+      val types = byUser(r.getLong(0))
+      val conv = types.zipWithIndex.exists { case (t, i) =>
+        t == "click" && types.drop(i + 1).contains("purchase")
+      }
+      assert(r.getBoolean(2) == conv, s"user ${r.getLong(0)} converted flag wrong")
+      val errRepeat = types.count(_ == "error") >= 2
+      assert(r.getBoolean(3) == errRepeat, s"user ${r.getLong(0)} error_repeat wrong")
+    }
+  }
+
+  test("gap detect: reported cells are truly empty and the count closes") {
+    val missing = SparkEntry.queries("q_gap_detect")(spark, sfDir)
+    val observed = Tables(spark, sfDir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .distinct()
+    assert(missing.join(observed, Seq("event_type", "hour_ts")).count() == 0,
+      "a reported gap cell has events")
+    val Array(nTypes, nHours) = Tables(spark, sfDir, "events")
+      .agg(countDistinct("event_type"),
+        (floor(unix_micros(max(col("ts"))) / 3600000000L) -
+          floor(unix_micros(min(col("ts"))) / 3600000000L) + 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).flatMap(t => Seq(t._1, t._2))
+    assert(missing.count() + observed.count() == nTypes * nHours,
+      "missing + observed cells != full grid")
+  }
+
+  test("OLS closed form tracks a naive double-precision fit to 1e-9 relative") {
+    val rows = SparkEntry.queries("q_regr_ols")(spark, sfDir).collect()
+    val data = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val xs = data.filter(_._1 == r.getString(0))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxx = xs.map(v => v._2 * v._2).sum
+      val sxy = xs.map(v => v._2 * v._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(2) - slope) <= 1e-9 * math.abs(slope),
+        s"${r.getString(0)} slope ${r.getDouble(2)} vs naive $slope")
+      assert(math.abs(r.getDouble(3) - icept) <= 1e-9 * math.abs(icept),
+        s"${r.getString(0)} intercept ${r.getDouble(3)} vs naive $icept")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "r2 out of [0,1]")
+    }
+  }
+
+  test("MAD outliers: thresholds from medians, outlier count matches a replay") {
+    val rows = SparkEntry.queries("q_anomaly_mad")(spark, sfDir).collect()
+    val vals = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val xs = vals.filter(_._1 == r.getString(0)).map(_._2).toSeq
+      assert(r.getLong(1) == xs.length)
+      val med = median(xs)
+      val devs = xs.map(v => math.abs(v - med))
+      val mad = median(devs)
+      assert(math.abs(r.getDouble(2) - med) < 1e-9, s"median mismatch for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - mad) < 1e-9, s"MAD mismatch for ${r.getString(0)}")
+      assert(r.getLong(4) == devs.count(_ > 3.0 * r.getDouble(3)),
+        s"outlier count mismatch for ${r.getString(0)}")
+      assert(r.getLong(4) < r.getLong(1), "all rows flagged outliers")
+    }
+  }
 }
