@@ -1,0 +1,305 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The WRITE half of the DSv2 extension surface (the read half is
+  * [[GraftDocsSource]]): a manifest-committed table with the commit protocol
+  * a real warehouse sink needs at 1000 executors —
+  *
+  *  - each task writes to a UNIQUELY-NAMED staged file under `_staging/`
+  *    (name carries queryId + partition + task attempt), so concurrent and
+  *    speculative attempts never collide;
+  *  - only the driver-side `BatchWrite.commit` makes data visible: staged
+  *    files named by the surviving attempts' commit messages are promoted
+  *    into the table directory and an atomically-replaced `_manifest` lists
+  *    exactly the committed files (+ schema + row counts);
+  *  - readers plan ONE partition per manifest-listed file and never see
+  *    staged, aborted, or orphaned files — a torn job leaves the previous
+  *    table state fully intact (exactly-once at the job level, the moral of
+  *    Spark's own FileCommitProtocol / Iceberg-style snapshot commit);
+  *  - `abort` deletes this query's staged files; a crash that skips abort
+  *    leaves garbage only in `_staging/`, invisible to readers.
+  *
+  * Append and truncate-overwrite are supported (`SupportsTruncate` — the
+  * manifest swap makes overwrite atomic too). Reads prune columns at the
+  * reader ([[SupportsPushDownRequiredColumns]]).
+  *
+  * Row encoding is line-oriented TSV with `\`-escaping (encoding is
+  * incidental — the commit protocol is the point; a production fork swaps
+  * the writer body for parquet). Supported field types: long, int, double,
+  * boolean, string.
+  *
+  * Usage:
+  * {{{
+  *   df.write.format("graft.sources.GraftManifestSink")
+  *     .option("path", dir).mode("append").save()
+  *   spark.read.format("graft.sources.GraftManifestSink")
+  *     .option("path", dir).load()
+  * }}}
+  */
+class GraftManifestSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Manifest.read(GraftManifestSink.tableDir(options)) match {
+      case Some(m) => m.schema
+      case None => throw new IllegalArgumentException(
+        s"no _manifest at ${GraftManifestSink.tableDir(options)}: " +
+          "write first, or pass a schema")
+    }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val dir = properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-manifest table requires option 'path'"))
+    new ManifestTable(Paths.get(dir), schema)
+  }
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftManifestSink {
+  private[sources] def tableDir(options: CaseInsensitiveStringMap): Path =
+    Paths.get(Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-manifest table requires option 'path'")))
+
+  // --- TSV field codec (escape: \\ \t \n \r; null = \N) -------------------
+  private[sources] def escape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '\t' => b.append("\\t")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+  private[sources] def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\'); case 't' => b.append('\t')
+          case 'n' => b.append('\n'); case 'r' => b.append('\r')
+          case o => b.append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private[sources] def render(row: InternalRow, schema: StructType): String =
+    schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) "\\N"
+      else schema.fields(i).dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case StringType => escape(row.getUTF8String(i).toString)
+        case dt => throw new UnsupportedOperationException(s"type $dt")
+      }
+    }.mkString("\t")
+
+  private[sources] def parse(line: String, full: StructType, wanted: StructType): InternalRow = {
+    val cells = line.split("\t", -1)
+    val byName = full.fieldNames.zipWithIndex.toMap
+    InternalRow.fromSeq(wanted.fields.toIndexedSeq.map { f =>
+      val raw = cells(byName(f.name))
+      if (raw == "\\N") null
+      else f.dataType match {
+        case LongType => raw.toLong
+        case IntegerType => raw.toInt
+        case DoubleType => raw.toDouble
+        case BooleanType => raw.toBoolean
+        case StringType => UTF8String.fromString(unescape(raw))
+        case dt => throw new UnsupportedOperationException(s"type $dt")
+      }
+    })
+  }
+}
+
+/** `_manifest` contents: schema + the exact committed file list. Stored as
+  * simple line-oriented text (no JSON dependency): first line the schema as
+  * `name:type` pairs, then one `fileName\trowCount` line per data file. */
+private[sources] case class Manifest(schema: StructType, files: Seq[(String, Long)])
+
+private[sources] object Manifest {
+  private val TypeNames: Map[DataType, String] = Map(
+    LongType -> "long", IntegerType -> "int", DoubleType -> "double",
+    BooleanType -> "boolean", StringType -> "string")
+  private val ByName = TypeNames.map(_.swap)
+
+  def read(dir: Path): Option[Manifest] = {
+    val mf = dir.resolve("_manifest")
+    if (!Files.exists(mf)) return None
+    val lines = Files.readAllLines(mf).asScala.toSeq
+    val schema = StructType(lines.head.split("\t").filter(_.nonEmpty).map { cell =>
+      val Array(n, t) = cell.split(":", 2)
+      StructField(n, ByName(t))
+    }.toIndexedSeq)
+    val files = lines.tail.map { l =>
+      val Array(f, n) = l.split("\t"); (f, n.toLong)
+    }
+    Some(Manifest(schema, files))
+  }
+
+  /** Atomic replace: write `_manifest.tmp`, then move over `_manifest`. */
+  def write(dir: Path, m: Manifest): Unit = {
+    val body = (m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
+      .mkString("\t") +:
+      m.files.map { case (f, n) => s"$f\t$n" }).mkString("\n")
+    val tmp = dir.resolve("_manifest.tmp")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, dir.resolve("_manifest"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+private[sources] class ManifestTable(dir: Path, writeSchema: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_manifest($dir)"
+  override def schema(): StructType =
+    Manifest.read(dir).map(_.schema).getOrElse(writeSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(dir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ManifestWriteBuilder(dir, info.schema(), info.queryId())
+}
+
+// ---------------------------------------------------------------- write ----
+
+private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, queryId: String)
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, queryId, overwrite)
+  }
+}
+
+private[sources] case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
+
+private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
+    queryId: String, overwrite: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(dir.toString, schema, queryId)
+
+  /** Driver-side atomic publish: promote exactly the surviving attempts'
+    * staged files, then swap the manifest. Readers either see the old
+    * manifest or the new one — never a partial file set. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = dir.resolve("_staging")
+    val committed = messages.map { case StagedFile(name, rows) =>
+      Files.move(staging.resolve(name), dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      (name, rows)
+    }.toSeq
+    val prev =
+      if (overwrite) { // truncate: old files drop out of the manifest AND off disk
+        Manifest.read(dir).foreach(_.files.foreach { case (f, _) =>
+          Files.deleteIfExists(dir.resolve(f))
+        })
+        Seq.empty
+      } else Manifest.read(dir).map(_.files).getOrElse(Seq.empty)
+    Manifest.write(dir, Manifest(schema, prev ++ committed))
+  }
+
+  /** Job failed: this query's staged files (all attempts) are garbage. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = dir.resolve("_staging")
+    if (Files.exists(staging)) {
+      Files.list(staging).iterator().asScala
+        .filter(_.getFileName.toString.contains(queryId))
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+}
+
+private[sources] case class ManifestWriterFactory(dir: String, schema: StructType,
+    queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(Paths.get(dir), schema,
+      s"part-$partitionId-$taskId-$queryId.tsv")
+}
+
+private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String)
+  extends DataWriter[InternalRow] {
+  private val staging = { // unique name per (partition, task attempt, query)
+    val s = dir.resolve("_staging"); Files.createDirectories(s); s
+  }
+  private val out = Files.newBufferedWriter(staging.resolve(name), UTF_8)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
+  }
+  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name, rows) }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
+  override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------- read ----
+
+private[sources] class ManifestScanBuilder(dir: Path)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val full = Manifest.read(dir).map(_.schema).getOrElse(StructType(Nil))
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new ManifestScan(dir, full, required)
+}
+
+private[sources] case class ManifestFilePartition(file: String, dir: String,
+    full: StructType, wanted: StructType) extends InputPartition
+
+private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = wanted
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")}"
+
+  /** One partition per COMMITTED file — staged/orphaned files are never
+    * planned, which is the read half of the exactly-once contract. */
+  override def planInputPartitions(): Array[InputPartition] =
+    Manifest.read(dir).map(_.files).getOrElse(Seq.empty)
+      .map(f => ManifestFilePartition(f._1, dir.toString, full, wanted))
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory
+}
+
+private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ManifestFilePartition(file, dir, full, wanted) =
+      partition.asInstanceOf[ManifestFilePartition]
+    new PartitionReader[InternalRow] {
+      private val it = Files.lines(Paths.get(dir).resolve(file), UTF_8).iterator()
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) false
+        else { row = GraftManifestSink.parse(it.next(), full, wanted); true }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The manifest-committed DSv2 sink must be exactly-once at the job level:
+  * data becomes visible only through the driver-side manifest swap; staged,
+  * stray and failed-job files are never readable; append accumulates;
+  * truncate-overwrite replaces atomically. */
+class ManifestSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Fmt = "graft.sources.GraftManifestSink"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_manifest_").toString
+
+  private def sample = Seq(
+    (1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5),
+    (4L, "delta", 4.5), (5L, "epsilon", 5.5), (6L, "zeta", 6.5))
+    .toDF("id", "name", "score").repartition(3)
+
+  test("write → read roundtrip through the committed manifest") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == sample.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    // the manifest lists exactly the data files on disk (3 partitions → ≤3 files)
+    val m = Manifest.read(Paths.get(dir)).get
+    assert(m.files.nonEmpty && m.files.map(_._2).sum == 6L)
+    m.files.foreach { case (f, _) => assert(Files.exists(Paths.get(dir, f)), f) }
+  }
+
+  test("append accumulates; truncate-overwrite replaces and reaps old files") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 12L)
+    val oldFiles = Manifest.read(Paths.get(dir)).get.files.map(_._1)
+
+    Seq((9L, "only", 9.9)).toDF("id", "name", "score")
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    val after = spark.read.format(Fmt).option("path", dir).load().collect()
+    assert(after.length == 1 && after.head.getLong(0) == 9L)
+    oldFiles.foreach(f => assert(!Files.exists(Paths.get(dir, f)), s"$f not reaped"))
+  }
+
+  test("staged and stray files are invisible to readers") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    // a crashed attempt's staged leftover + a stray unmanifested data file
+    Files.write(Paths.get(dir, "_staging", "part-9-999-deadbeef.tsv"),
+      "77\tghost\t7.7\n".getBytes)
+    Files.write(Paths.get(dir, "part-stray.tsv"), "88\tstray\t8.8\n".getBytes)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 6L)
+    assert(!back.collect().exists(r => r.getLong(0) == 77L || r.getLong(0) == 88L))
+  }
+
+  test("a failed job leaves the previous table state fully intact") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    val before = spark.read.format(Fmt).option("path", dir).load().collect().toSet
+    val poison = udf((id: Long) => {
+      if (id == 4L) throw new RuntimeException("poisoned row"); id
+    })
+    intercept[Exception] {
+      sample.withColumn("id", poison($"id"))
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val after = spark.read.format(Fmt).option("path", dir).load()
+    assert(after.collect().toSet == before, "failed job changed visible data")
+    assert(after.count() == 6L)
+  }
+
+  test("nulls and control characters survive the roundtrip") {
+    val dir = freshDir()
+    val tricky = Seq(
+      (1L, Some("tab\there"), Some(1.0)),
+      (2L, Some("line\nbreak and back\\slash"), None),
+      (3L, None, Some(3.0)))
+      .toDF("id", "name", "score")
+    tricky.write.format(Fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back == Set(
+      (1L, Some("tab\there"), Some(1.0)),
+      (2L, Some("line\nbreak and back\\slash"), None),
+      (3L, None, Some(3.0))))
+  }
+
+  test("column pruning reaches the manifest reader") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    val df = spark.read.format(Fmt).option("path", dir).load().select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=id"), plan.take(800))
+    assert(df.as[Long].collect().sorted.toSeq == (1L to 6L))
+  }
+}
