@@ -38,6 +38,24 @@ object SourceQueries extends QueryModule {
       Sources.readOrc(s, s"$tmp/orders_orc", ordersSchema).orderBy("o_orderkey")
     }),
 
+    // The custom DSv2 WRITE path (GraftManifestSink) as a declared query:
+    // documents staged through the manifest-committed sink, read back
+    // manifest-scoped, and aggregated — the oracle reads the ORIGINAL
+    // parquet, so the commit protocol + TSV codec must be lossless.
+    "q_sink_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = graft.Scratch.dir("graft_sinkq_")
+      Tables(s, d, "documents").select("doc_id", "source", "lang", "n_chars")
+        .write.format("graft.sources.GraftManifestSink")
+        .option("path", s"$tmp/docs_manifest").mode("append").save()
+      s.read.format("graft.sources.GraftManifestSink")
+        .option("path", s"$tmp/docs_manifest").load()
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source", "lang")
+    }),
+
     // Bucketed co-located join as a first-class declared query: both sides
     // written hash-bucketed on the join key, so the join itself needs NO
     // runtime Exchange (the pre-computed shuffle; zero-Exchange plan
@@ -125,6 +143,12 @@ object SourceQueries extends QueryModule {
     "q_source_csv_roundtrip" -> oracleSelect,
     "q_source_json_roundtrip" -> oracleSelect,
     "q_source_orc_roundtrip" -> oracleSelect,
+    "q_sink_manifest" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "q_join_bucketed" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |  ${graft.queries.Det.sqlSum("o_totalprice")} AS sum_total
