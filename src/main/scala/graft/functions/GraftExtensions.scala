@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Planner strategy: native two-phase bounded-heap top-k per group.
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
 
+    // Parser: VACUUM MANIFEST '<dir>' maintenance statement for the
+    // manifest-committed sink; everything else delegates to Spark's parser.
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+
     e.injectFunction((FunctionIdentifier("fixed_point_dot"),
       info("fixed_point_dot", "fixed_point_dot(a, b) - exact fixed-point dot product of two float arrays"),
       (args: Seq[Expression]) => FixedPointDotProduct(args(0), args(1))))

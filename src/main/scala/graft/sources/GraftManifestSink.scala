@@ -135,9 +135,9 @@ object GraftManifestSink {
 /** `_manifest` contents: schema + the exact committed file list. Stored as
   * simple line-oriented text (no JSON dependency): first line the schema as
   * `name:type` pairs, then one `fileName\trowCount` line per data file. */
-private[sources] case class Manifest(schema: StructType, files: Seq[(String, Long)])
+private[graft] case class Manifest(schema: StructType, files: Seq[(String, Long)])
 
-private[sources] object Manifest {
+private[graft] object Manifest {
   private val TypeNames: Map[DataType, String] = Map(
     LongType -> "long", IntegerType -> "int", DoubleType -> "double",
     BooleanType -> "boolean", StringType -> "string")

@@ -97,6 +97,21 @@ class ManifestSinkSpec extends SparkSuite {
       (3L, None, Some(3.0))))
   }
 
+  test("VACUUM MANIFEST reaps unreachable files; the delegating parser keeps normal SQL") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    Files.write(Paths.get(dir, "_staging", "part-9-999-dead.tsv"), "1\tx\t1.0\n".getBytes)
+    Files.write(Paths.get(dir, "part-stray.tsv"), "2\ty\t2.0\n".getBytes)
+    val out = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
+    assert(out.map(_.getString(1)).sorted.toSeq ==
+      Seq("staged-uncommitted", "unmanifested"))
+    assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
+    assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
+    // committed data untouched, and everything else still parses via delegate
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 6L)
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
   test("column pruning reaches the manifest reader") {
     val dir = freshDir()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
