@@ -30,10 +30,12 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private val Vacuum = """(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(dir) => VacuumManifestCommand(dir)
+    case Vacuum(dir, retain) =>
+      VacuumManifestCommand(dir, Option(retain).map(_.toInt))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -53,12 +55,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
-/** Driver-side maintenance: every file under `_staging/` is by definition
-  * uncommitted (commit MOVES files out of staging before the manifest swap),
-  * and any `part-*` data file absent from the manifest is unreachable. Both
-  * are safe to reap at any time — a concurrent commit can only reference
-  * files it just moved OUT of staging itself. */
-case class VacuumManifestCommand(dir: String) extends LeafRunnableCommand {
+/** Driver-side maintenance. Safe by construction:
+  *  - every file under `_staging/` is uncommitted (commit MOVES files out of
+  *    staging before the manifest swap) — always reapable;
+  *  - `RETAIN n SNAPSHOTS` first expires all but the newest n archived
+  *    manifest versions;
+  *  - a `part-*` data file referenced by NO surviving manifest version is
+  *    unreachable (including via time travel) — reaped.
+  * A concurrent commit can only reference files it just moved OUT of
+  * staging itself, so vacuum never races a commit. */
+case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("file", StringType, nullable = false)(),
     AttributeReference("reason", StringType, nullable = false)())
@@ -66,8 +73,17 @@ case class VacuumManifestCommand(dir: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty
-    val committed: Set[String] = graft.sources.Manifest.read(root)
-      .map(_.files.map(_._1).toSet).getOrElse(Set.empty)
+    import graft.sources.Manifest
+    val expired = retainSnapshots.toSeq.flatMap { keep =>
+      Manifest.snapshotVersions(root).dropRight(math.max(keep, 1)).map { v =>
+        Files.deleteIfExists(root.resolve(s"_manifest.v$v"))
+        Row(s"_manifest.v$v", "snapshot-expired")
+      }
+    }
+    val reachable: Set[String] =
+      (Manifest.read(root).toSeq ++
+        Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _)))
+        .flatMap(_.files.map(_._1)).toSet
     val staging = root.resolve("_staging")
     val staged =
       if (Files.isDirectory(staging))
@@ -78,8 +94,8 @@ case class VacuumManifestCommand(dir: String) extends LeafRunnableCommand {
     val orphans = Files.list(root).iterator().asScala.toSeq
       .filter(p => Files.isRegularFile(p))
       .filter(p => p.getFileName.toString.startsWith("part-"))
-      .filterNot(p => committed(p.getFileName.toString))
-      .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unmanifested") }
-    staged ++ orphans
+      .filterNot(p => reachable(p.getFileName.toString))
+      .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unreachable") }
+    expired ++ staged ++ orphans
   }
 }

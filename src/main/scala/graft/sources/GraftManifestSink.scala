@@ -34,8 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    leaves garbage only in `_staging/`, invisible to readers.
   *
   * Append and truncate-overwrite are supported (`SupportsTruncate` — the
-  * manifest swap makes overwrite atomic too). Reads prune columns at the
-  * reader ([[SupportsPushDownRequiredColumns]]).
+  * manifest swap makes overwrite atomic too). Every commit also archives
+  * the new state as `_manifest.v{n}` — SNAPSHOT TIME TRAVEL: read any past
+  * version with `.option("snapshot", n)` (overwritten files stay on disk
+  * until `VACUUM MANIFEST '<dir>' RETAIN k SNAPSHOTS` expires the versions
+  * that reference them — the Iceberg snapshot-expiry model). Reads prune
+  * columns at the reader ([[SupportsPushDownRequiredColumns]]).
   *
   * Row encoding is line-oriented TSV with `\`-escaping (encoding is
   * incidental — the commit protocol is the point; a production fork swaps
@@ -51,13 +55,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   */
 class GraftManifestSink extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Manifest.read(GraftManifestSink.tableDir(options)) match {
-      case Some(m) => m.schema
-      case None => throw new IllegalArgumentException(
-        s"no _manifest at ${GraftManifestSink.tableDir(options)}: " +
-          "write first, or pass a schema")
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = GraftManifestSink.tableDir(options)
+    val m = Option(options.get("snapshot")) match {
+      case Some(v) => Manifest.readSnapshot(dir, v.toInt)
+      case None => Manifest.read(dir)
     }
+    m.map(_.schema).getOrElse(throw new IllegalArgumentException(
+      s"no _manifest at $dir: write first, or pass a schema"))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val dir = properties.asScala.getOrElse("path",
@@ -143,10 +149,7 @@ private[graft] object Manifest {
     BooleanType -> "boolean", StringType -> "string")
   private val ByName = TypeNames.map(_.swap)
 
-  def read(dir: Path): Option[Manifest] = {
-    val mf = dir.resolve("_manifest")
-    if (!Files.exists(mf)) return None
-    val lines = Files.readAllLines(mf).asScala.toSeq
+  private def parse(lines: Seq[String]): Manifest = {
     val schema = StructType(lines.head.split("\t").filter(_.nonEmpty).map { cell =>
       val Array(n, t) = cell.split(":", 2)
       StructField(n, ByName(t))
@@ -154,16 +157,43 @@ private[graft] object Manifest {
     val files = lines.tail.map { l =>
       val Array(f, n) = l.split("\t"); (f, n.toLong)
     }
-    Some(Manifest(schema, files))
+    Manifest(schema, files)
   }
 
-  /** Atomic replace: write `_manifest.tmp`, then move over `_manifest`. */
+  /** Current table state. */
+  def read(dir: Path): Option[Manifest] = {
+    val mf = dir.resolve("_manifest")
+    if (!Files.exists(mf)) None
+    else Some(parse(Files.readAllLines(mf).asScala.toSeq))
+  }
+
+  /** A specific archived snapshot (1-based, ascending commit order). */
+  def readSnapshot(dir: Path, version: Int): Option[Manifest] = {
+    val mf = dir.resolve(s"_manifest.v$version")
+    if (!Files.exists(mf)) None
+    else Some(parse(Files.readAllLines(mf).asScala.toSeq))
+  }
+
+  /** All archived snapshot versions present, ascending. */
+  def snapshotVersions(dir: Path): Seq[Int] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("_manifest.v") =>
+        s.stripPrefix("_manifest.v").toInt }
+      .toSeq.sorted
+
+  /** Atomic publish: archive the new state as `_manifest.v{n+1}` (time
+    * travel), then move a tmp copy over `_manifest` (current). Readers of
+    * `_manifest` see old-or-new, never partial. */
   def write(dir: Path, m: Manifest): Unit = {
     val body = (m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
       .mkString("\t") +:
-      m.files.map { case (f, n) => s"$f\t$n" }).mkString("\n")
+      m.files.map { case (f, n) => s"$f\t$n" }).mkString("\n").getBytes(UTF_8)
+    val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
+    Files.write(dir.resolve(s"_manifest.v$next"), body)
     val tmp = dir.resolve("_manifest.tmp")
-    Files.write(tmp, body.getBytes(UTF_8))
+    Files.write(tmp, body)
     Files.move(tmp, dir.resolve("_manifest"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -179,7 +209,8 @@ private[sources] class ManifestTable(dir: Path, writeSchema: StructType)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(dir)
+    new ManifestScanBuilder(dir,
+      Option(options.get("snapshot")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(), info.queryId())
 }
@@ -213,13 +244,12 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
         StandardCopyOption.REPLACE_EXISTING)
       (name, rows)
     }.toSeq
+    // truncate drops old files from the CURRENT manifest only — they stay
+    // on disk because archived snapshots still reference them (time travel);
+    // `VACUUM MANIFEST ... RETAIN n SNAPSHOTS` expires them later.
     val prev =
-      if (overwrite) { // truncate: old files drop out of the manifest AND off disk
-        Manifest.read(dir).foreach(_.files.foreach { case (f, _) =>
-          Files.deleteIfExists(dir.resolve(f))
-        })
-        Seq.empty
-      } else Manifest.read(dir).map(_.files).getOrElse(Seq.empty)
+      if (overwrite) Seq.empty
+      else Manifest.read(dir).map(_.files).getOrElse(Seq.empty)
     Manifest.write(dir, Manifest(schema, prev ++ committed))
   }
 
@@ -259,29 +289,36 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
 
 // ----------------------------------------------------------------- read ----
 
-private[sources] class ManifestScanBuilder(dir: Path)
+private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private val full = Manifest.read(dir).map(_.schema).getOrElse(StructType(Nil))
+  private val manifest = snapshot match {
+    case Some(v) => Manifest.readSnapshot(dir, v).orElse(
+      throw new IllegalArgumentException(s"no snapshot v$v at $dir " +
+        s"(have: ${Manifest.snapshotVersions(dir).mkString(", ")})"))
+    case None => Manifest.read(dir)
+  }
+  private val full = manifest.map(_.schema).getOrElse(StructType(Nil))
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ManifestScan(dir, full, required)
+  override def build(): Scan =
+    new ManifestScan(dir, full, required, manifest.map(_.files).getOrElse(Seq.empty))
 }
 
 private[sources] case class ManifestFilePartition(file: String, dir: String,
     full: StructType, wanted: StructType) extends InputPartition
 
-private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType)
-  extends Scan with Batch {
+private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
+    files: Seq[(String, Long)]) extends Scan with Batch {
   override def readSchema(): StructType = wanted
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")}"
 
-  /** One partition per COMMITTED file — staged/orphaned files are never
-    * planned, which is the read half of the exactly-once contract. */
+  /** One partition per COMMITTED file of the selected snapshot — staged and
+    * orphaned files are never planned, the read half of the exactly-once
+    * contract. */
   override def planInputPartitions(): Array[InputPartition] =
-    Manifest.read(dir).map(_.files).getOrElse(Seq.empty)
-      .map(f => ManifestFilePartition(f._1, dir.toString, full, wanted))
+    files.map(f => ManifestFilePartition(f._1, dir.toString, full, wanted))
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory

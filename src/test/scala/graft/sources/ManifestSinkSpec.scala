@@ -38,7 +38,7 @@ class ManifestSinkSpec extends SparkSuite {
     m.files.foreach { case (f, _) => assert(Files.exists(Paths.get(dir, f)), f) }
   }
 
-  test("append accumulates; truncate-overwrite replaces and reaps old files") {
+  test("append accumulates; overwrite truncates the current view; snapshots time-travel") {
     val dir = freshDir()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
@@ -49,7 +49,20 @@ class ManifestSinkSpec extends SparkSuite {
       .write.format(Fmt).option("path", dir).mode("overwrite").save()
     val after = spark.read.format(Fmt).option("path", dir).load().collect()
     assert(after.length == 1 && after.head.getLong(0) == 9L)
+    // overwritten files remain on disk — archived snapshots still reference
+    // them, so every past version stays readable
+    oldFiles.foreach(f => assert(Files.exists(Paths.get(dir, f)), s"$f reaped early"))
+    def snap(v: Int) = spark.read.format(Fmt)
+      .option("path", dir).option("snapshot", v.toString).load().count()
+    assert(snap(1) == 6L && snap(2) == 12L && snap(3) == 1L)
+
+    // snapshot expiry: RETAIN 1 keeps only the current version → the
+    // overwritten files become unreachable and vacuum reaps them
+    val reaped = spark.sql(s"VACUUM MANIFEST '$dir' RETAIN 1 SNAPSHOTS").collect()
+    assert(reaped.count(_.getString(1) == "snapshot-expired") == 2)
     oldFiles.foreach(f => assert(!Files.exists(Paths.get(dir, f)), s"$f not reaped"))
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 1L)
+    intercept[Exception] { snap(1) } // expired snapshot no longer readable
   }
 
   test("staged and stray files are invisible to readers") {
@@ -104,7 +117,7 @@ class ManifestSinkSpec extends SparkSuite {
     Files.write(Paths.get(dir, "part-stray.tsv"), "2\ty\t2.0\n".getBytes)
     val out = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
     assert(out.map(_.getString(1)).sorted.toSeq ==
-      Seq("staged-uncommitted", "unmanifested"))
+      Seq("staged-uncommitted", "unreachable"))
     assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
     assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
     // committed data untouched, and everything else still parses via delegate
