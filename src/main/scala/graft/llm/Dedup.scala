@@ -72,11 +72,16 @@ object Dedup extends QueryModule {
     * (band, key), ordered pair per collision. The only shuffle is the
     * bucket join; fan-in bounded by band selectivity, never O(n²). Shared
     * by q_dedup_minhash and the composite corpus pipeline. */
-  private[llm] def minhashCandidates(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bkey) LSH bucket rows for a signature frame. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandCols = array((0 until NumHashes / BandRows).map { b =>
       element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2)
     }: _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bkey")))
+    sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bkey")))
+  }
+
+  private[llm] def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -218,6 +223,33 @@ object Dedup extends QueryModule {
     // B13 — MinHash + banded LSH near-dup detection:
     // shingle → 16-hash signature (per-row) → 8 bands of 2 → bucket
     // equi-join → exact Jaccard on candidates only. Never all-pairs.
+    // INCREMENTAL near-dedup — the shape a continuously-ingesting pipeline
+    // actually runs: only the NEW batch (odd doc_ids here) is deduped
+    // against the EXISTING corpus (even doc_ids), whose banded signatures
+    // in production live in a stored signature table keyed by (band, bkey)
+    // — the corpus text is never re-read and never re-hashed. The bucket
+    // join is new-bands ⋈ existing-bands (fan-in bounded by band
+    // selectivity, never |new| × |corpus|); Jaccard verifies candidates
+    // only; each new doc reports its earliest duplicate-of target.
+    "q_dedup_incremental" -> ((s, d) => {
+      val sig = signatures(Tables(s, d, "documents"))
+      val newSig = sig.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val oldSig = sig.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val cand = bandsOf(newSig).as("n").join(bandsOf(oldSig).as("o"),
+          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+        .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+        .distinct()
+      val matched = cand
+        .join(newSig.select(col("doc_id").as("doc_new"), col("hv").as("hv_n")), "doc_new")
+        .join(oldSig.select(col("doc_id").as("doc_old"), col("hv").as("hv_o")), "doc_old")
+        .filter(jaccard(col("hv_n"), col("hv_o")) >= MinhashJaccard)
+        .groupBy("doc_new").agg(min("doc_old").as("dup_of"))
+      newSig.select(col("doc_id"))
+        .join(matched, col("doc_id") === col("doc_new"), "left")
+        .select(col("doc_id"), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, d) => {
       val sig = signatures(Tables(s, d, "documents"))
       // slim (doc_id, band, bkey) for the bucket join; shingle sets join
@@ -414,6 +446,32 @@ object Dedup extends QueryModule {
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),
+         |hs AS (SELECT doc_id, list_sort(list_distinct([${sqlPolyChar("s")} for s in shingles])) AS hv FROM sh),
+         |sig AS (SELECT doc_id, hv,
+         |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b, mh[2*b+1] * $P + mh[2*b+2] AS bkey
+         |  FROM sig, (SELECT unnest(range(0, ${NumHashes / BandRows})) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |  FROM bands n JOIN bands o ON n.b = o.b AND n.bkey = o.bkey
+         |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+         |m AS (
+         |  SELECT doc_new, min(doc_old) AS dup_of
+         |  FROM cand c JOIN sig sn ON sn.doc_id = c.doc_new
+         |              JOIN sig so ON so.doc_id = c.doc_old
+         |  WHERE CAST(len(list_intersect(sn.hv, so.hv)) AS DOUBLE) /
+         |        (len(sn.hv) + len(so.hv) - len(list_intersect(sn.hv, so.hv)))
+         |        >= $MinhashJaccard
+         |  GROUP BY doc_new)
+         |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN m ON m.doc_new = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),

@@ -100,6 +100,21 @@ object TimeSeries extends QueryModule {
         .orderBy("user_id", "hour_ts")
     }),
 
+    // Trailing moving MEDIAN (robust smoothing): the per-user median of the
+    // last 11 observations — unlike a moving average, one corrupt spike
+    // cannot drag the smoothed series. Exact interpolated percentile over a
+    // bounded ROWS frame (11-value buffer per position — constant memory);
+    // one user_id exchange shared with the other per-user windows.
+    "q_window_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          percentile(col("value"), lit(0.5)).over(w).as("med_trailing"))
+        .orderBy("event_id")
+    }),
+
     // Coverage-gap detection: every (event_type, hour) calendar cell with NO
     // events — the monitoring query behind "did ingestion stall?". The hour
     // spine is generated from the global min/max (a 1-row aggregate), the
@@ -123,6 +138,12 @@ object TimeSeries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_window_median" ->
+      """SELECT event_id, user_id,
+        |  quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS med_trailing
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_gap_detect" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', min(ts)) AS h0,

@@ -38,6 +38,18 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup: new batch flagged only against the existing corpus") {
+    withCorpus { dir =>
+      // new batch = odd ids {1, 3}; existing corpus = even ids {0, 2}
+      val rows = Dedup.queries("q_dedup_incremental")(spark, dir).collect()
+      val byId = rows.map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
+      assert(byId.keySet == Set(1L, 3L), "output is not exactly the new batch")
+      assert(byId(1L) == ((Some(0L), true)), "near-identical new doc not matched to corpus")
+      assert(byId(3L) == ((None, false)), "unrelated new doc wrongly flagged")
+    }
+  }
+
   test("simhash: identical docs share a signature; near-identical docs are close; unrelated far") {
     withCorpus { dir =>
       val sig = Dedup.queries("q_dedup_simhash")(spark, dir)

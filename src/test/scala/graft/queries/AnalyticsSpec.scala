@@ -221,6 +221,29 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("moving median tracks a driver-side trailing-window replay") {
+    val got = SparkEntry.queries("q_window_median")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    evs.groupBy(_._1).values.foreach { es =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      ordered.indices.foreach { i =>
+        val win = ordered.slice(math.max(0, i - 10), i + 1).map(_._4).toSeq
+        val exp = median(win)
+        val act = got(ordered(i)._3)
+        assert(math.abs(act - exp) < 1e-9,
+          s"event ${ordered(i)._3}: median $act vs replay $exp")
+      }
+    }
+  }
+
   test("MAD outliers: thresholds from medians, outlier count matches a replay") {
     val rows = SparkEntry.queries("q_anomaly_mad")(spark, sfDir).collect()
     val vals = Tables(spark, sfDir, "events")
