@@ -20,6 +20,31 @@ import graft.Tables
 object Joins extends QueryModule {
 
   def queries: Map[String, Q] = Map(
+    // DYNAMIC PARTITION PRUNING: the fact table is laid out partitioned by
+    // day; the join's dim side carries the selective filter (week = 2), so
+    // the days to scan are only known at RUN time — Catalyst injects a
+    // dynamic-pruning subquery into the fact scan (reusing the dim's
+    // broadcast), and the scan opens ONLY the 7 matching day partitions.
+    // At 100 TB this is the difference between scanning the whole fact
+    // table and scanning one week; PlanSpec pins the pruning expression.
+    // The partitioned layout materializes once per invocation (Scratch).
+    "q_join_dpp" -> ((s, d) => {
+      import org.apache.spark.sql.types.IntegerType
+      val tmp = graft.Scratch.dir("graft_dpp_")
+      Tables(s, d, "events")
+        .withColumn("day_no", dayofmonth(col("ts")))
+        .write.mode("overwrite").partitionBy("day_no").parquet(s"$tmp/events_day")
+      val fact = s.read.parquet(s"$tmp/events_day")
+      val dim = s.range(1, 32).select(
+        col("id").cast(IntegerType).as("day_no"),
+        expr("CAST((id - 1) div 7 AS INT) + 1").as("week_no"))
+      fact.join(dim, Seq("day_no"))
+        .filter(col("week_no") === 2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // B1 — broadcast hash join chain: fact(customer) ⋈ B(nation) ⋈ B(region).
     // Both dims are tiny at any scale (25 / 5 rows) → BroadcastHashJoinExec,
     // zero shuffle on the fact side before the aggregation.
@@ -251,6 +276,11 @@ object Joins extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_join_dpp" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
+         |FROM events
+         |WHERE ((day(ts) - 1) // 7) + 1 = 2
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_join_fuzzy" ->
       """WITH clean AS (
         |  SELECT p_name AS canon_name, min(p_partkey) AS canon_key FROM part GROUP BY 1),

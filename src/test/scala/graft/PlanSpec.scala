@@ -158,6 +158,12 @@ class PlanSpec extends SparkSuite {
       s"split() must be materialized once, not re-run per lambda element:\n${p.take(1200)}")
   }
 
+  test("dynamic partition pruning fires on the day-partitioned fact scan") {
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan carries no dynamic-pruning subquery:\n" + p.take(1500))
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or
