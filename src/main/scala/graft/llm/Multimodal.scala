@@ -37,6 +37,20 @@ object Multimodal extends QueryModule {
           get_json_object(col("props"), "$.k").cast(IntegerType).as("props_k2"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT: parse the props JSON into the open semi-structured
+    // type (binary-encoded, no schema declared up front) and extract typed
+    // leaves with variant_get — the modern path for ragged event payloads
+    // where from_json's fixed schema is too rigid; try_variant_get returns
+    // NULL (not an error) for absent paths. Per-row codegen projection, no
+    // shuffle.
+    "q_multimodal_variant" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+            .as("missing_field"))
+        .orderBy("event_id")),
+
     // Nested-JSON roundtrip: build a nested struct+array document per row,
     // serialize with to_json, parse back with from_json, and surface the
     // recovered leaves — proving serializer ∘ parser = identity on the
@@ -116,6 +130,11 @@ object Multimodal extends QueryModule {
         |SELECT md5(text) AS digest, sha256(text) AS digest256,
         |       min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM corpus GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin,
+    "q_multimodal_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(NULL AS VARCHAR) AS missing_field
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_multimodal_cols" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k,

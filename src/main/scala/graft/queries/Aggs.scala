@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
@@ -85,6 +86,21 @@ object Aggs extends QueryModule {
         .groupBy("l_returnflag")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts_merged"))
         .orderBy("l_returnflag")),
+
+    // Typed Aggregator surface (`Aggregator[IN, BUF, OUT]` + functions.udaf
+    // — the PUBLIC typed-UDAF API, vs the repo's Catalyst
+    // TypedImperativeAggregates): quantity-weighted mean price with exact
+    // decimal accumulation, fully partial/final (the shuffle carries one
+    // (Σwx, Σw) pair per group).
+    "q_agg_udaf" -> ((s, d) => {
+      val wm = udaf(graft.functions.WeightedMeanAgg,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
 
     // B6c — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: same index/interpolation arithmetic, verified
@@ -504,6 +520,12 @@ object Aggs extends QueryModule {
     "q_agg_salted" ->
       s"""SELECT event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_udaf" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wavg_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50_price,

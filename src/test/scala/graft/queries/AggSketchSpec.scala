@@ -26,4 +26,37 @@ class AggSketchSpec extends SparkSuite {
       assert(err < 0.05, s"$flag: estimate $est vs exact ${exact(flag)} (err $err)")
     }
   }
+
+  test("typed Aggregator weighted mean: merge ≡ reduce order, matches definition") {
+    import graft.functions.WeightedMeanAgg
+    val rows = Seq((10.0, 1.0), (20.0, 3.0), (5.5, 2.0), (0.25, 4.0))
+    // driver-side definition: Σ(x·w) / Σw with scale-4 quantization
+    val exp = rows.map { case (x, w) => BigDecimal(x).setScale(4) * BigDecimal(w).setScale(4) }.sum.toDouble /
+      rows.map { case (_, w) => BigDecimal(w).setScale(4) }.sum.toDouble
+    // reduce all in one partial
+    val single = rows.foldLeft(WeightedMeanAgg.zero)(WeightedMeanAgg.reduce)
+    assert(math.abs(WeightedMeanAgg.finish(single) - exp) < 1e-12)
+    // split across two partials and merge — partial/final invariance
+    val (l, r) = rows.splitAt(2)
+    val merged = WeightedMeanAgg.merge(
+      l.foldLeft(WeightedMeanAgg.zero)(WeightedMeanAgg.reduce),
+      r.foldLeft(WeightedMeanAgg.zero)(WeightedMeanAgg.reduce))
+    assert(WeightedMeanAgg.finish(merged) == WeightedMeanAgg.finish(single))
+    // empty group → NaN, not a crash
+    assert(WeightedMeanAgg.finish(WeightedMeanAgg.zero).isNaN)
+    // and the declared query agrees with a direct decimal-sum formulation
+    val got = Aggs.queries("q_agg_udaf")(spark, sfDir)
+      .select("l_returnflag", "wavg_price").as[(String, Double)].collect().toMap
+    val direct = Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg((sum((col("l_extendedprice") * col("l_quantity"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DoubleType)).as("w"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (flag, w) =>
+      assert(math.abs(w - direct(flag)) < 1e-9, s"$flag: $w vs ${direct(flag)}")
+    }
+  }
 }
