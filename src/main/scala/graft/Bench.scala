@@ -33,7 +33,9 @@ object Bench {
     "q_multimodal_binary", "q_sample_hash",
     "q_stream_tumbling", "q_stream_session", "q_stream_join",
     "q_profile", "q_sessionize", "q_resample_ffill",
-    "q_source_csv_roundtrip", "q_source_dsv2", "q_graph_pagerank")
+    "q_source_csv_roundtrip", "q_source_dsv2", "q_graph_pagerank",
+    "q_join_dpp", "q_sink_manifest", "q_attribution", "q_anomaly_mad",
+    "q_dedup_incremental", "q_agg_udaf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
