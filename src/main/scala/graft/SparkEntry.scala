@@ -8,7 +8,7 @@ import graft.queries._
   * Aggregates every query module's declared queries and oracle SQL. */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Core, Joins, Aggs, SetsScalars, TimeSeries, Features, Graph, Analytics,
+    Core, Joins, Aggs, SetsScalars, TimeSeries, Features, Graph, Analytics, TypedOps,
     graft.llm.Dedup, graft.llm.Text, graft.llm.Similarity, graft.llm.Multimodal,
     graft.llm.Sampling, graft.llm.Corpus, graft.llm.Packing,
     graft.stream.Windows, graft.etl.EtlQueries, graft.sources.SourceQueries)

@@ -102,6 +102,27 @@ object SetsScalars extends QueryModule {
     // B11e — null-handling battery over real outer-join nulls (testdata has
     // no stored nulls): coalesce, NULLIF, IS NULL, CASE, and the
     // DataFrameNaFunctions fill surface. All per-row Catalyst expressions.
+    // ANSI-safety battery: the try_* family returns NULL where the strict
+    // operator would raise — divide-by-zero, malformed casts, out-of-range
+    // array indices, BIGINT overflow, unparseable timestamps. The behavior
+    // a 100 TB batch job needs: one poisoned row must not kill a 10-hour
+    // run, and the nulls stay auditable (count them, don't swallow them).
+    // Per-row codegen projections, no shuffle.
+    "q_try_funcs" -> ((s, d) =>
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("try_divide(o_orderkey, o_custkey % 7)").as("safe_div"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        // index ranges 1..5 — 0 is invalid USAGE (always raises, even under
+        // try_); only out-of-range lookups are the recoverable case
+        try_element_at(array(lit(10), lit(20)),
+          (pmod(col("o_orderkey"), lit(5)) + 1).cast(IntegerType)).as("maybe_elem"),
+        expr("try_multiply(o_orderkey, 4611686018427387903L)").as("overflow_mul"),
+        expr("try_to_timestamp(concat('2024-01-0', CAST(o_orderkey % 3 + 1 AS STRING)))")
+          .as("good_ts"),
+        expr("try_to_timestamp(o_orderpriority)").as("bad_ts"))
+        .orderBy("o_orderkey")),
+
     "q_nulls" -> ((s, d) => {
       val urgent = Tables(s, d, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -267,6 +288,22 @@ object SetsScalars extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    // Semantics mirror, not syntax: DuckDB raises where Spark's try_* nulls,
+    // so each column states the null-producing condition explicitly.
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |       ELSE CAST(o_orderkey AS DOUBLE) / CAST(o_custkey % 7 AS DOUBLE)
+        |  END AS safe_div,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 10
+        |       WHEN o_orderkey % 5 = 1 THEN 20
+        |       ELSE NULL END AS maybe_elem,
+        |  CASE WHEN o_orderkey <= 2 THEN o_orderkey * 4611686018427387903
+        |       ELSE NULL END AS overflow_mul,
+        |  TRY_CAST('2024-01-0' || CAST(o_orderkey % 3 + 1 AS VARCHAR) AS TIMESTAMP) AS good_ts,
+        |  TRY_CAST(o_orderpriority AS TIMESTAMP) AS bad_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_recursive_tree" -> RecursiveTreeSql,
     "q_subqueries" -> SubqueriesSql,
     "q_lateral" -> LateralSql,

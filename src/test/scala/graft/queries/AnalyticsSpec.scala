@@ -221,6 +221,15 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("typed flatMapGroups sessionization ≡ declarative window sessionization") {
+    val typed = SparkEntry.queries("q_typed_sessions")(spark, sfDir).collect()
+    val sql = SparkEntry.queries("q_sessionize")(spark, sfDir).collect()
+    assert(typed.length == sql.length)
+    typed.zip(sql).foreach { case (t, s) =>
+      assert(t.toSeq == s.toSeq, s"typed row $t != declarative row $s")
+    }
+  }
+
   test("moving median tracks a driver-side trailing-window replay") {
     val got = SparkEntry.queries("q_window_median")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
