@@ -259,6 +259,33 @@ object Streaming {
   def writeEpoch(df: DataFrame, outPath: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+  /** Epoch write through the manifest-committed DSv2 sink
+    * ([[graft.sources.GraftManifestSink]]): each epoch is its own manifest
+    * table, truncate-overwritten on (re)delivery — idempotent like
+    * [[writeEpoch]], but ATOMIC: a crash mid-replay leaves the previous
+    * epoch snapshot fully readable (the parquet overwrite can tear between
+    * delete and write). At-least-once delivery × atomic idempotent epoch
+    * commit = exactly-once output, with per-epoch snapshot history for
+    * free. */
+  def writeEpochManifest(df: DataFrame, tableDir: String, batchId: Long): Unit =
+    df.write.format("graft.sources.GraftManifestSink")
+      .option("path", s"$tableDir/epoch=$batchId").mode("overwrite").save()
+
+  /** [[runForeachBatchExactlyOnce]] with the manifest sink as the epoch
+    * store. */
+  def runForeachBatchManifest(spark: SparkSession, streamed: DataFrame,
+      tableDir: String, checkpoint: String): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeEpochManifest(batch.toDF(), tableDir, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run one AvailableNow increment into a FAULT-TOLERANT parquet sink with
     * a checkpoint: offsets AND the event-time watermark persist, so calling
     * this again after new files land resumes the stream exactly where it
