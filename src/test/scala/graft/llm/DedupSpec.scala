@@ -183,6 +183,19 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: O(log n) rounds — a 300-node chain converges within 20 iters") {
+    // diameter 299: pure neighbor-min propagation needs 299 rounds and
+    // would blow the maxIters=20 budget; the pointer-jumping shortcut
+    // (path halving) must close it in ~log2(300) ≈ 9 rounds.
+    val n = 300L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L until n).toDF("doc_id")
+    val labels = Dedup.connectedComponents(edges, nodes) // throws if > 20 rounds
+      .as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the minimum")
+  }
+
   test("connected components: every near-dup pair ends in one cluster, ids are component minima") {
     val docs = graft.Tables(spark, sfDir, "documents")
     val pairs = Dedup.simhashPairsWithinK(Dedup.simhashBigrams(docs), 3)
