@@ -71,16 +71,53 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
+  /** Exact brute-force cosine top-k vs probe vec_id=0 (B14a body — shared
+    * with the recall audit). */
+  private def exactTopkDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = Tables(s, d, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        dotFixed(col("embedding"), col("pv")).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(TopK)
+  }
+
+  /** IVF search with one k-means refinement (B14b body — shared with the
+    * recall audit). */
+  private def ivfTopkDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = Tables(s, d, "embeddings")
+    val seed = emb.filter(col("vec_id") < NumLists)
+      .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
+    val assigned0 = assignLists(emb, seed)
+    val refined = labelCentroids(assigned0, col("list_id"))
+      .select(col("list_id").cast(IntegerType).as("c_id"),
+        transform(col("centroid"), _.cast(FloatType)).as("c_emb"))
+    val assigned1 = assignLists(emb, refined)
+    val probe = assigned1.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"), col("list_id").as("p_list"))
+    assigned1.join(broadcast(probe), col("list_id") === col("p_list"))
+      .select(col("vec_id"), col("label"), col("list_id"),
+        dotFixed(col("embedding"), col("pv")).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(TopK)
+  }
+
   def queries: Map[String, Q] = Map(
     // B14a — exact brute-force cosine top-k vs probe vec_id=0.
-    "q_similarity_topk" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
-      emb.crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("label"),
-          dotFixed(col("embedding"), col("pv")).as("sim"))
-        .orderBy(desc("sim"), col("vec_id"))
-        .limit(TopK)
+    "q_similarity_topk" -> (exactTopkDf _),
+
+    // ANN QUALITY AUDIT through the correctness gate: recall@10 of the IVF
+    // search vs the exact top-k, as a 1-row metric both engines must agree
+    // on cell-exactly. This is the number a production ANN deployment
+    // monitors; keeping it a declared query means a regression in the
+    // bucketing/refinement logic fails the oracle, not just a unit test.
+    "q_similarity_recall" -> ((s, d) => {
+      val overlap = exactTopkDf(s, d).select(col("vec_id"))
+        .join(ivfTopkDf(s, d).select(col("vec_id")), "vec_id")
+      overlap.agg(
+        count(lit(1)).cast(IntegerType).as("n_overlap"),
+        (count(lit(1)).cast(DoubleType) / TopK).as("recall_at_10"))
     }),
 
     // Centroid computation per label — the custom-AGGREGATE tier: one
@@ -115,23 +152,7 @@ object Similarity extends QueryModule {
     // This is the honest IVF training/search loop at 100 TB scale: steps
     // 2/4 are per-row math against broadcast centroids (no shuffle), step 3
     // is one partial+final aggregate over k×64 longs.
-    "q_similarity_ivf" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      val seed = emb.filter(col("vec_id") < NumLists)
-        .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
-      val assigned0 = assignLists(emb, seed)
-      val refined = labelCentroids(assigned0, col("list_id"))
-        .select(col("list_id").cast(IntegerType).as("c_id"),
-          transform(col("centroid"), _.cast(FloatType)).as("c_emb"))
-      val assigned1 = assignLists(emb, refined)
-      val probe = assigned1.filter(col("vec_id") === 0)
-        .select(col("embedding").as("pv"), col("list_id").as("p_list"))
-      assigned1.join(broadcast(probe), col("list_id") === col("p_list"))
-        .select(col("vec_id"), col("label"), col("list_id"),
-          dotFixed(col("embedding"), col("pv")).as("sim"))
-        .orderBy(desc("sim"), col("vec_id"))
-        .limit(TopK)
-    }),
+    "q_similarity_ivf" -> (ivfTopkDf _),
 
     // k-NN GRAPH construction (the structure behind diversity sampling,
     // semantic dedup and graph-based curation): for EVERY vector, its k
@@ -269,12 +290,52 @@ object Similarity extends QueryModule {
     })
   )
 
+  private lazy val sqlExactTopk =
+    s"""WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label, ${sqlDotFixed("embedding", "pv")} AS sim
+       |FROM embeddings, probe
+       |ORDER BY sim DESC, vec_id LIMIT $TopK""".stripMargin
+
+  private lazy val sqlIvfTopk =
+    s"""WITH seed AS (
+       |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
+       |         list(embedding ORDER BY vec_id) AS cl
+       |  FROM embeddings WHERE vec_id < $NumLists),
+       |a0 AS (
+       |  SELECT e.vec_id, e.embedding, s.ids[list_position(dots, list_max(dots))] AS list_id
+       |  FROM (
+       |    SELECT e0.vec_id, e0.embedding,
+       |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+       |    FROM embeddings e0, seed s0) e, seed s),
+       |u AS (
+       |  SELECT list_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
+       |  FROM a0, (SELECT unnest(range(1, 65)) AS i) r),
+       |sv AS (SELECT list_id, i, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY list_id, i),
+       |n AS (SELECT list_id, COUNT(*) AS nv FROM a0 GROUP BY list_id),
+       |cent1 AS (
+       |  SELECT sv.list_id,
+       |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT) ORDER BY i) AS c
+       |  FROM sv JOIN n ON sv.list_id = n.list_id GROUP BY sv.list_id, n.nv),
+       |refined AS (
+       |  SELECT list(list_id ORDER BY list_id) AS ids, list(c ORDER BY list_id) AS cl FROM cent1),
+       |a1 AS (
+       |  SELECT e.vec_id, e.label, e.embedding, r.ids[list_position(dots, list_max(dots))] AS list_id
+       |  FROM (
+       |    SELECT e0.vec_id, e0.label, e0.embedding,
+       |      [${sqlDotFixed("e0.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+       |    FROM embeddings e0, refined r0) e, refined r),
+       |probe AS (SELECT embedding AS pv, list_id AS p_list FROM a1 WHERE vec_id = 0)
+       |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
+       |FROM a1 a JOIN probe p ON a.list_id = p.p_list
+       |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q_similarity_topk" ->
-      s"""WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, label, ${sqlDotFixed("embedding", "pv")} AS sim
-         |FROM embeddings, probe
-         |ORDER BY sim DESC, vec_id LIMIT $TopK""".stripMargin,
+    "q_similarity_topk" -> sqlExactTopk,
+    // Recall audit: overlap of the two (independently mirrored) top-k sets.
+    "q_similarity_recall" ->
+      s"""SELECT CAST(COUNT(*) AS INTEGER) AS n_overlap,
+         |       CAST(COUNT(*) AS DOUBLE) / $TopK AS recall_at_10
+         |FROM ($sqlExactTopk) e JOIN ($sqlIvfTopk) i USING (vec_id)""".stripMargin,
     "q_similarity_centroids" ->
       """WITH u AS (
         |  SELECT label, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
@@ -293,38 +354,7 @@ object Similarity extends QueryModule {
         |FROM cent ORDER BY label""".stripMargin,
     // Full mirror of the refine-then-search loop: seed assign → per-list
     // fixed-point mean (float-narrowed) → reassign → probe-list search.
-    "q_similarity_ivf" ->
-      s"""WITH seed AS (
-         |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
-         |         list(embedding ORDER BY vec_id) AS cl
-         |  FROM embeddings WHERE vec_id < $NumLists),
-         |a0 AS (
-         |  SELECT e.vec_id, e.embedding, s.ids[list_position(dots, list_max(dots))] AS list_id
-         |  FROM (
-         |    SELECT e0.vec_id, e0.embedding,
-         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
-         |    FROM embeddings e0, seed s0) e, seed s),
-         |u AS (
-         |  SELECT list_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
-         |  FROM a0, (SELECT unnest(range(1, 65)) AS i) r),
-         |sv AS (SELECT list_id, i, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY list_id, i),
-         |n AS (SELECT list_id, COUNT(*) AS nv FROM a0 GROUP BY list_id),
-         |cent1 AS (
-         |  SELECT sv.list_id,
-         |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT) ORDER BY i) AS c
-         |  FROM sv JOIN n ON sv.list_id = n.list_id GROUP BY sv.list_id, n.nv),
-         |refined AS (
-         |  SELECT list(list_id ORDER BY list_id) AS ids, list(c ORDER BY list_id) AS cl FROM cent1),
-         |a1 AS (
-         |  SELECT e.vec_id, e.label, e.embedding, r.ids[list_position(dots, list_max(dots))] AS list_id
-         |  FROM (
-         |    SELECT e0.vec_id, e0.label, e0.embedding,
-         |      [${sqlDotFixed("e0.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
-         |    FROM embeddings e0, refined r0) e, refined r),
-         |probe AS (SELECT embedding AS pv, list_id AS p_list FROM a1 WHERE vec_id = 0)
-         |SELECT a.vec_id, a.label, a.list_id, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
-         |FROM a1 a JOIN probe p ON a.list_id = p.p_list
-         |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin,
+    "q_similarity_ivf" -> sqlIvfTopk,
     // Within-block brute force + ranked window: same blocking, different
     // top-k algorithm (window rank vs Spark's filter-after-rank plan).
     "q_knn_graph" ->
