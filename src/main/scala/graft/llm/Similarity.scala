@@ -154,6 +154,34 @@ object Similarity extends QueryModule {
     // is one partial+final aggregate over k×64 longs.
     "q_similarity_ivf" -> (ivfTopkDf _),
 
+    // RANDOM PROJECTION (Johnson-Lindenstrauss, ±1 variant): 64 dims → 16
+    // via a deterministic sign matrix derived from a hash of (dim, proj) —
+    // no projection matrix to ship, any executor regenerates signs locally.
+    // This is the cheap dimensionality-reduction step before clustering /
+    // approximate distances at 100 TB: pure per-row arithmetic in the scan
+    // (zero shuffle), fixed-point 1e9 accumulation so both engines agree
+    // bit-exactly. Declared output: sampled projections + a checksum over
+    // all 16 (driver comparator takes no arrays).
+    "q_embed_project" -> ((s, d) => {
+      val NP = 16
+      // sign(i, j) = +1 iff bit 5 of the mixed key is 0 (parity of a
+      // product of odd multipliers is structured; a divided bit is not)
+      def proj(j: Int) = aggregate(
+        sequence(lit(1), lit(64)), lit(0L),
+        (acc, i) => acc +
+          when(shiftright(i.cast(LongType) * 2654435761L + lit(j.toLong) * 40503L, 5)
+            .bitwiseAND(lit(1L)) === 0, 1L).otherwise(-1L) *
+          floor(element_at(col("embedding"), i.cast(IntegerType))
+            .cast(DoubleType) * 1e9).cast(LongType))
+      val projected = Tables(s, d, "embeddings")
+        .select(col("vec_id") +: col("label") +:
+          (0 until NP).map(j => proj(j).as(s"p$j")): _*)
+      projected.select(col("vec_id"), col("label"),
+        col("p0"), col("p5"), col("p10"), col("p15"),
+        (0 until NP).map(j => col(s"p$j")).reduce(_ + _).as("pchk"))
+        .orderBy("vec_id")
+    }),
+
     // k-NN GRAPH construction (the structure behind diversity sampling,
     // semantic dedup and graph-based curation): for EVERY vector, its k
     // nearest neighbors. Never all-pairs: candidates come from a blocking
@@ -331,6 +359,20 @@ object Similarity extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q_similarity_topk" -> sqlExactTopk,
+    "q_embed_project" ->
+      """WITH pr AS (
+        |  SELECT vec_id, label,
+        |    [list_sum([
+        |       (CASE WHEN ((i * 2654435761 + j * 40503) >> 5) & 1 = 0
+        |             THEN 1 ELSE -1 END)
+        |       * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT)
+        |     for i in range(1, 65)]) for j in range(0, 16)] AS p
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  CAST(p[1] AS BIGINT) AS p0, CAST(p[6] AS BIGINT) AS p5,
+        |  CAST(p[11] AS BIGINT) AS p10, CAST(p[16] AS BIGINT) AS p15,
+        |  CAST(list_sum(p) AS BIGINT) AS pchk
+        |FROM pr ORDER BY vec_id""".stripMargin,
     // Recall audit: overlap of the two (independently mirrored) top-k sets.
     "q_similarity_recall" ->
       s"""SELECT CAST(COUNT(*) AS INTEGER) AS n_overlap,

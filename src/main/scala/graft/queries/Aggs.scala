@@ -87,6 +87,23 @@ object Aggs extends QueryModule {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts_merged"))
         .orderBy("l_returnflag")),
 
+    // Ratio-to-report (percent of total): each priority's share of global
+    // revenue. The denominator comes from a separate 1-row exact-decimal
+    // aggregate broadcast back — NOT from `sum().over()` with no partition:
+    // the empty-frame window would both single-partition the frame AND sum
+    // doubles in a nondeterministic row order. share = double division of
+    // two exact decimals — identical bits on both engines.
+    "q_revenue_share" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val per = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("revenue"))
+      val tot = o.agg(Det.dsum(col("o_totalprice")).as("total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("n_orders"), col("revenue"),
+          (col("revenue") / col("total")).as("share"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Typed Aggregator surface (`Aggregator[IN, BUF, OUT]` + functions.udaf
     // — the PUBLIC typed-UDAF API, vs the repo's Catalyst
     // TypedImperativeAggregates): quantity-weighted mean price with exact
@@ -520,6 +537,14 @@ object Aggs extends QueryModule {
     "q_agg_salted" ->
       s"""SELECT event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_revenue_share" ->
+      s"""WITH p AS (
+         |  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |         ${Det.sqlSum("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY o_orderpriority),
+         |t AS (SELECT ${Det.sqlSum("o_totalprice")} AS total FROM orders)
+         |SELECT o_orderpriority, n_orders, revenue, revenue / total AS share
+         |FROM p, t ORDER BY o_orderpriority""".stripMargin,
     "q_agg_udaf" ->
       """SELECT l_returnflag,
         |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0

@@ -84,6 +84,21 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("random projection: signs are mixed per projection and rows are discriminated") {
+    val rows = Similarity.queries("q_embed_project")(spark, sfDir).collect()
+    // non-degenerate sign matrix: every sampled projection takes both signs
+    // across rows (a structured parity bug makes p_j a constant-sign
+    // weighted sum of a unit vector's coordinates)
+    Seq(2, 3, 4, 5).foreach { c =>
+      val vals = rows.map(_.getLong(c))
+      assert(vals.exists(_ > 0) && vals.exists(_ < 0),
+        s"projection column $c never changes sign — degenerate sign matrix")
+    }
+    // projections discriminate: near-unique checksums across vectors
+    val chk = rows.map(_.getLong(6))
+    assert(chk.distinct.length > rows.length * 9 / 10, "projection checksums collide")
+  }
+
   test("q_embed_quantize: codes bounded to int8, scale saturates the max element, error within half a step") {
     val rows = Similarity.queries("q_embed_quantize")(spark, sfDir).collect()
     assert(rows.nonEmpty)
