@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -235,6 +236,33 @@ object Dedup extends QueryModule {
     // B13 — MinHash + banded LSH near-dup detection:
     // shingle → 16-hash signature (per-row) → 8 bands of 2 → bucket
     // equi-join → exact Jaccard on candidates only. Never all-pairs.
+    // WINDOWED dedup (duplicate-burst suppression): within each
+    // (user, event_type) activity burst — a chain of repeats each ≤ 30 min
+    // from the previous — only the FIRST event is kept (telemetry retry /
+    // double-fire suppression). This is the batch analog of the stateful
+    // first-seen streaming dedup with inactivity-based state expiry
+    // (stream/StatefulDedup): state for a key "expires" when the key goes
+    // quiet for 30 min, after which the next occurrence is new. One
+    // session-style running window over a single (user, type) hash
+    // exchange; no self-join.
+    "q_dedup_windowed" -> ((s, d) => {
+      val GapUs = 1800L * 1000000L
+      val wOrd = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val prev = lag(col("ts_us"), 1).over(wOrd)
+      Tables(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("new_epoch",
+          when(prev.isNull || col("ts_us") - prev > GapUs, 1).otherwise(0))
+        .withColumn("epoch", sum("new_epoch").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy("user_id", "event_type", "epoch")
+            .orderBy("ts_us", "event_id")) === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("kept"))
+        .orderBy("event_id")
+    }),
+
     // INCREMENTAL near-dedup — the shape a continuously-ingesting pipeline
     // actually runs: only the NEW batch (odd doc_ids here) is deduped
     // against the EXISTING corpus (even doc_ids), whose banded signatures
@@ -458,6 +486,27 @@ object Dedup extends QueryModule {
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_dedup_windowed" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_epoch
+        |  FROM o),
+        |s AS (
+        |  SELECT *, SUM(new_epoch) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+        |  FROM f)
+        |SELECT event_id, user_id, event_type,
+        |  row_number() OVER (
+        |    PARTITION BY user_id, event_type, epoch
+        |    ORDER BY ts_us, event_id) = 1 AS kept
+        |FROM s ORDER BY event_id""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),

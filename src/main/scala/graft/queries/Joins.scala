@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -43,6 +44,34 @@ object Joins extends QueryModule {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // POINT-IN-TIME join with validity EXPIRY (feature-store semantics):
+    // each user's signup/purchase events are "profile updates" valid for 7
+    // days; every click is enriched with the profile value in force at
+    // click time — or NULL if the last update has expired. Differs from the
+    // as-of join (q_join_asof): carried state can LAPSE, so correctness
+    // requires the validity check, not just carry-forward. Plan: tagged
+    // union + one ignore-nulls window carry over a single user_id exchange
+    // — never a fact×updates interval join (quadratic per hot user).
+    "q_join_pit" -> ((s, d) => {
+      val ValidUs = 7L * 86400L * 1000000L
+      val e = Tables(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isUpd = col("event_type").isin("signup", "purchase")
+      e.withColumn("upd_ts",
+          last(when(isUpd, col("ts_us")), ignoreNulls = true).over(w))
+        .withColumn("upd_val",
+          last(when(isUpd, col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          when(col("ts_us") - col("upd_ts") <= ValidUs, col("upd_val"))
+            .as("profile_value"),
+          (col("upd_ts").isNotNull && col("ts_us") - col("upd_ts") <= ValidUs)
+            .as("profile_fresh"))
+        .orderBy("event_id")
     }),
 
     // B1 — broadcast hash join chain: fact(customer) ⋈ B(nation) ⋈ B(region).
@@ -276,6 +305,24 @@ object Joins extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_join_pit" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |c AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('signup', 'purchase')
+        |                    THEN ts_us END IGNORE NULLS) OVER w AS upd_ts,
+        |    last_value(CASE WHEN event_type IN ('signup', 'purchase')
+        |                    THEN value END IGNORE NULLS) OVER w AS upd_val
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN ts_us - upd_ts <= 604800000000 THEN upd_val END AS profile_value,
+        |  (upd_ts IS NOT NULL AND ts_us - upd_ts <= 604800000000) AS profile_fresh
+        |FROM c WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
     "q_join_dpp" ->
       s"""SELECT event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
          |FROM events

@@ -221,6 +221,52 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("PIT join: freshness honors the 7-day validity window") {
+    val rows = SparkEntry.queries("q_join_pit")(spark, sfDir).collect()
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val valid = 7L * 86400L * 1000000L
+    val byUser = evs.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    rows.foreach { r =>
+      val clicks = byUser(r.getLong(1))
+      // replay: the last signup/purchase at or before this click
+      val click = clicks.find(_._3 == r.getLong(0)).get
+      val upd = clicks.takeWhile(e =>
+          e._2 < click._2 || (e._2 == click._2 && e._3 <= click._3))
+        .filter(e => e._4 == "signup" || e._4 == "purchase").lastOption
+      val fresh = upd.exists(u => click._2 - u._2 <= valid)
+      assert(r.getBoolean(3) == fresh, s"event ${r.getLong(0)} freshness wrong")
+      if (fresh) assert(r.getDouble(2) == upd.get._5,
+        s"event ${r.getLong(0)} carried wrong profile value")
+      else assert(r.isNullAt(2), s"event ${r.getLong(0)} stale but non-null")
+    }
+    // the 7-day expiry actually bites on this data: both outcomes occur
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
+  test("windowed dedup: kept = first of each burst; drops are within-gap repeats") {
+    val rows = SparkEntry.queries("q_dedup_windowed")(spark, sfDir).collect()
+    val ts = Tables(spark, sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gap = 1800L * 1000000L
+    rows.groupBy(r => (r.getLong(1), r.getString(2))).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (ts(r.getLong(0)), r.getLong(0)))
+      var prevUs = Long.MinValue / 2
+      ordered.foreach { r =>
+        val us = ts(r.getLong(0))
+        val expectKept = us - prevUs > gap
+        assert(r.getBoolean(3) == expectKept,
+          s"event ${r.getLong(0)} kept=${r.getBoolean(3)}, expected $expectKept")
+        prevUs = us // gap measured to the previous OCCURRENCE (burst chain)
+      }
+    }
+    assert(rows.exists(!_.getBoolean(3)), "no duplicates suppressed — degenerate data")
+  }
+
   test("typed flatMapGroups sessionization ≡ declarative window sessionization") {
     val typed = SparkEntry.queries("q_typed_sessions")(spark, sfDir).collect()
     val sql = SparkEntry.queries("q_sessionize")(spark, sfDir).collect()
