@@ -191,6 +191,26 @@ object Features extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // TARGET ENCODING with Bayesian smoothing — the categorical-feature
+    // workhorse: each category's target mean shrunk toward the global mean
+    // by a prior of weight M, enc = (Σ_cat + M·µ_global) / (n_cat + M), so
+    // rare categories don't memorize their few labels. One exact-decimal
+    // aggregate per side; the output IS the encoder table (tiny — broadcast
+    // join-back against the facts is the application step at 100 TB).
+    "q_feature_target_encode" -> ((s, d) => {
+      val M = 10.0
+      val o = Tables(s, d, "orders")
+      val glob = o.agg(Det.dsum(col("o_totalprice")).as("gsum"),
+        count(lit(1)).as("gn"))
+      o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("csum"))
+        .crossJoin(broadcast(glob))
+        .select(col("o_orderpriority"), col("n"),
+          ((col("csum") + lit(M) * (col("gsum") / col("gn")))
+            / (col("n") + lit(M))).as("enc"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Data-quality rule battery — the Deequ-style constraint suite an
     // ingest job runs before publishing a table: one row per rule with its
     // violation count and pass/fail. Rules: primary-key uniqueness,
@@ -264,6 +284,16 @@ object Features extends QueryModule {
         |  COUNT(*) FILTER (WHERE d.dev > 3.0 * md.mad_v) AS n_outliers
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
+    "q_feature_target_encode" ->
+      s"""WITH g AS (
+         |  SELECT ${Det.sqlSum("o_totalprice")} AS gsum, COUNT(*) AS gn FROM orders),
+         |p AS (
+         |  SELECT o_orderpriority, COUNT(*) AS n,
+         |         ${Det.sqlSum("o_totalprice")} AS csum
+         |  FROM orders GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, n,
+         |  (csum + 10.0 * (gsum / gn)) / (n + 10.0) AS enc
+         |FROM p, g ORDER BY o_orderpriority""".stripMargin,
     "q_feature_zscore" ->
       """WITH st AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -37,6 +37,42 @@ object Graph extends QueryModule {
   private val Iters = 3
 
   def queries: Map[String, Q] = Map(
+    // TRIANGLE COUNTING over the trade graph (motif analytics): undirected
+    // distinct edges oriented low→high, triangles found by joining the
+    // oriented edge list with itself twice — the classic O(m^1.5) layout
+    // where orientation guarantees each triangle is counted ONCE (i<j<k)
+    // and caps the join fan-out by the max out-degree of the orientation
+    // (≤ √m on any graph after degree-ordering). Output: global triangle
+    // count + per-node participation for the top nations.
+    "q_graph_triangles" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val und = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(
+          least(col("c_nationkey"), col("s_nationkey")).as("lo"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      val tri = und.as("ab")
+        .join(und.as("bc"), col("ab.hi") === col("bc.lo"))
+        .join(und.as("ac"),
+          col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+        .select(col("ab.lo").as("a"), col("ab.hi").as("b"), col("bc.hi").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_triangles"))
+        .join(Tables(s, d, "nation").select("n_nationkey", "n_name"), "n_nationkey")
+        .select(col("n_name"), col("n_triangles"))
+        .orderBy(desc("n_triangles"), col("n_name"))
+        .limit(10)
+    }),
+
     "q_graph_pagerank" -> ((s, d) => {
       val li = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
@@ -76,6 +112,27 @@ object Graph extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS lo,
+        |                  greatest(c_nationkey, s_nationkey) AS hi
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE c_nationkey <> s_nationkey),
+        |tri AS (
+        |  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        |  FROM und ab
+        |  JOIN und bc ON ab.hi = bc.lo
+        |  JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+        |part AS (
+        |  SELECT unnest([a, b, c]) AS n_nationkey FROM tri)
+        |SELECT n_name, COUNT(*) AS n_triangles
+        |FROM part JOIN nation USING (n_nationkey)
+        |GROUP BY n_name
+        |ORDER BY n_triangles DESC, n_name
+        |LIMIT 10""".stripMargin,
     // Identical integer arithmetic, iterations unrolled as CTEs. Sums are
     // cast back to BIGINT (DuckDB SUM promotes to HUGEINT).
     "q_graph_pagerank" -> {

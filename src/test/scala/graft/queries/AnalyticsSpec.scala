@@ -200,6 +200,24 @@ class AnalyticsSpec extends SparkSuite {
       "missing + observed cells != full grid")
   }
 
+  test("target encoding shrinks each category mean toward the global mean") {
+    val rows = SparkEntry.queries("q_feature_target_encode")(spark, sfDir).collect()
+    val data = Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val gMean = data.map(_._2).sum / data.length
+    rows.foreach { r =>
+      val xs = data.filter(_._1 == r.getString(0)).map(_._2)
+      val cMean = xs.sum / xs.length
+      val enc = r.getDouble(2)
+      val (lo, hi) = (math.min(cMean, gMean), math.max(cMean, gMean))
+      assert(enc >= lo - 1e-6 && enc <= hi + 1e-6,
+        s"${r.getString(0)}: enc $enc outside [$lo, $hi]")
+      // with n >> M the encoding stays near the category mean
+      assert(math.abs(enc - cMean) < math.abs(cMean - gMean) + 1e-6)
+    }
+  }
+
   test("OLS closed form tracks a naive double-precision fit to 1e-9 relative") {
     val rows = SparkEntry.queries("q_regr_ols")(spark, sfDir).collect()
     val data = Tables(spark, sfDir, "lineitem")

@@ -27,6 +27,28 @@ class GraphSpec extends SparkSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("triangles: a planted K4 plus a pendant edge yields exactly C(4,3) per-node counts") {
+    // K4 on nations 0-3 (every pair trades) + pendant node 4 attached to 0:
+    // 4 triangles total; each K4 node sits in C(3,2)=3, node 4 in none.
+    val dir = java.nio.file.Files.createTempDirectory("tri_").toString
+    val names = Seq((0L, "N0"), (1L, "N1"), (2L, "N2"), (3L, "N3"), (4L, "N4"))
+    names.toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    // one customer and one supplier per nation; one order+lineitem per edge
+    names.map { case (k, _) => (100 + k, k) }.toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    names.map { case (k, _) => (200 + k, k) }.toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    val edges = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) :+ ((0L, 4L))
+    val orders = edges.zipWithIndex.map { case ((a, _), i) => (300L + i, 100 + a) }
+    val lines = edges.zipWithIndex.map { case ((_, b), i) => (300L + i, 200 + b) }
+    orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    lines.toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.queries("q_graph_triangles")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("N0" -> 3L, "N1" -> 3L, "N2" -> 3L, "N3" -> 3L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pagerank on testdata: ranks are a permutation, mass is conserved up to floor leakage") {
     val rows = Graph.queries("q_graph_pagerank")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
