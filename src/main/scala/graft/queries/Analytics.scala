@@ -188,6 +188,29 @@ object Analytics extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // SKYLINE / Pareto frontier (multi-objective dominance): the orders
+    // that are Pareto-optimal on (recency MAX, price MIN) — an order is on
+    // the frontier iff no strictly more recent order is as cheap or
+    // cheaper. Naive skyline is the quadratic NOT-EXISTS dominance
+    // self-join; the scale-safe form is one sort + one running min:
+    // pre-reduce to the per-day minimum price (same-day candidates), order
+    // days most-recent-first, keep a day iff its price beats the running
+    // min of all STRICTLY more recent days (RANGE frame excludes ties).
+    // O(n log n), one exchange, no self-join.
+    "q_skyline" -> ((s, d) => {
+      val byDay = Tables(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("o_day"))
+        .agg(min(col("o_totalprice")).as("best_price"))
+        .withColumn("negd", -datediff(col("o_day"), lit("1970-01-01")))
+      val wPrev = Window.orderBy("negd")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      byDay
+        .withColumn("prev_min", min("best_price").over(wPrev))
+        .filter(col("prev_min").isNull || col("best_price") < col("prev_min"))
+        .select(col("o_day"), col("best_price"))
+        .orderBy(desc("o_day"))
+    }),
+
     // Train/val/test split assignment (80/10/10): bucket = Knuth
     // multiplicative hash of doc_id mod 100; rollup of docs and chars per
     // (source, split) proves the strata land where expected.
@@ -305,6 +328,22 @@ object Analytics extends QueryModule {
          |SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
          |       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
          |FROM run""".stripMargin,
+    // Same single-pass formulation (certifies cross-engine agreement); the
+    // quadratic dominance definition is brute-force-checked in AnalyticsSpec.
+    "q_skyline" ->
+      """WITH byday AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS o_day,
+        |         min(o_totalprice) AS best_price,
+        |         -datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS negd
+        |  FROM orders GROUP BY 1, 3),
+        |r AS (
+        |  SELECT o_day, best_price, min(best_price) OVER (
+        |    ORDER BY negd RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_min
+        |  FROM byday)
+        |SELECT o_day, best_price FROM r
+        |WHERE prev_min IS NULL OR best_price < prev_min
+        |ORDER BY o_day DESC""".stripMargin,
     "q_split_assign" ->
       """SELECT source,
         |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'

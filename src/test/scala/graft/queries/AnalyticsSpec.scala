@@ -200,6 +200,22 @@ class AnalyticsSpec extends SparkSuite {
       "missing + observed cells != full grid")
   }
 
+  test("skyline: single-pass window frontier equals brute-force Pareto dominance") {
+    val got = SparkEntry.queries("q_skyline")(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toSet
+    val pts = Tables(spark, sfDir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .collect().map(r => (r.getDate(0), r.getDouble(1)))
+    val byDay = pts.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+    // quadratic dominance definition: on the frontier iff no strictly more
+    // recent day is as cheap or cheaper
+    val frontier = byDay.filter { case (d, p) =>
+      !byDay.exists { case (d2, p2) => d2.after(d) && p2 <= p }
+    }.map { case (d, p) => (d.toString, p) }.toSet
+    assert(got == frontier, s"frontier mismatch: $got vs $frontier")
+    assert(got.nonEmpty && got.size < byDay.size, "degenerate frontier")
+  }
+
   test("target encoding shrinks each category mean toward the global mean") {
     val rows = SparkEntry.queries("q_feature_target_encode")(spark, sfDir).collect()
     val data = Tables(spark, sfDir, "orders")
