@@ -158,6 +158,24 @@ class PlanSpec extends SparkSuite {
       s"split() must be materialized once, not re-run per lambda element:\n${p.take(1200)}")
   }
 
+  test("attribution and PIT join plan as window carries — no event self-join") {
+    Seq("q_attribution", "q_join_pit").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q plans a join of the event table against itself:\n" + p.take(1200))
+      assert(p.contains("Window"), s"$q lost its window carry")
+    }
+  }
+
+  test("target encoding and revenue share broadcast their 1-row denominators") {
+    Seq("q_feature_target_encode", "q_revenue_share").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q does not broadcast the global aggregate:\n" + p.take(1200))
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles for a 1-row join")
+    }
+  }
+
   test("dynamic partition pruning fires on the day-partitioned fact scan") {
     val p = plan("q_join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
