@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -84,14 +84,18 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
       (Manifest.read(root).toSeq ++
         Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _)))
         .flatMap(_.files.map(_._1)).toSet
+    def listed[T](d: Path)(f: Iterator[Path] => T): T = {
+      val s = Files.list(d)
+      try f(s.iterator().asScala) finally s.close()
+    }
     val staging = root.resolve("_staging")
     val staged =
       if (Files.isDirectory(staging))
-        Files.list(staging).iterator().asScala.toSeq.map { p =>
+        listed(staging)(_.toSeq).map { p =>
           Files.deleteIfExists(p); Row(s"_staging/${p.getFileName}", "staged-uncommitted")
         }
       else Seq.empty
-    val orphans = Files.list(root).iterator().asScala.toSeq
+    val orphans = listed(root)(_.toSeq)
       .filter(p => Files.isRegularFile(p))
       .filter(p => p.getFileName.toString.startsWith("part-"))
       .filterNot(p => reachable(p.getFileName.toString))

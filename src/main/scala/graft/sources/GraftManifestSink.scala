@@ -33,6 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `abort` deletes this query's staged files; a crash that skips abort
   *    leaves garbage only in `_staging/`, invisible to readers.
   *
+  * Concurrency contract: SINGLE WRITER (like Delta on a filesystem with no
+  * lock service) — Spark serializes the commits of one write job, but two
+  * concurrent jobs writing the SAME table directory could race the
+  * read-modify-write of the manifest (last commit wins, the other's files
+  * become vacuum-able orphans, never torn reads). Concurrent READERS are
+  * always safe: they see whichever manifest the atomic swap last published.
+  *
   * Append and truncate-overwrite are supported (`SupportsTruncate` — the
   * manifest swap makes overwrite atomic too). Every commit also archives
   * the new state as `_manifest.v{n}` — SNAPSHOT TIME TRAVEL: read any past
@@ -120,13 +127,19 @@ object GraftManifestSink {
       }
     }.mkString("\t")
 
-  private[sources] def parse(line: String, full: StructType, wanted: StructType): InternalRow = {
-    val cells = line.split("\t", -1)
+  /** Per-file column index of the pruned schema into the stored layout —
+    * computed once per reader, NOT per line. */
+  private[sources] def columnIndex(full: StructType, wanted: StructType): Array[Int] = {
     val byName = full.fieldNames.zipWithIndex.toMap
-    InternalRow.fromSeq(wanted.fields.toIndexedSeq.map { f =>
-      val raw = cells(byName(f.name))
+    wanted.fieldNames.map(byName)
+  }
+
+  private[sources] def parse(line: String, idx: Array[Int], wanted: StructType): InternalRow = {
+    val cells = line.split("\t", -1)
+    InternalRow.fromSeq(wanted.fields.indices.map { i =>
+      val raw = cells(idx(i))
       if (raw == "\\N") null
-      else f.dataType match {
+      else wanted.fields(i).dataType match {
         case LongType => raw.toLong
         case IntegerType => raw.toInt
         case DoubleType => raw.toDouble
@@ -177,11 +190,15 @@ private[graft] object Manifest {
   /** All archived snapshot versions present, ascending. */
   def snapshotVersions(dir: Path): Seq[Int] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("_manifest.v") =>
-        s.stripPrefix("_manifest.v").toInt }
-      .toSeq.sorted
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("_manifest.v") =>
+          n.stripPrefix("_manifest.v").toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
 
   /** Atomic publish: archive the new state as `_manifest.v{n+1}` (time
     * travel), then move a tmp copy over `_manifest` (current). Readers of
@@ -257,9 +274,11 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val staging = dir.resolve("_staging")
     if (Files.exists(staging)) {
-      Files.list(staging).iterator().asScala
+      val s = Files.list(staging)
+      try s.iterator().asScala
         .filter(_.getFileName.toString.contains(queryId))
         .foreach(Files.deleteIfExists(_))
+      finally s.close()
     }
   }
 }
@@ -329,14 +348,16 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
     val ManifestFilePartition(file, dir, full, wanted) =
       partition.asInstanceOf[ManifestFilePartition]
     new PartitionReader[InternalRow] {
-      private val it = Files.lines(Paths.get(dir).resolve(file), UTF_8).iterator()
+      private val stream = Files.lines(Paths.get(dir).resolve(file), UTF_8)
+      private val it = stream.iterator()
+      private val idx = GraftManifestSink.columnIndex(full, wanted)
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) false
-        else { row = GraftManifestSink.parse(it.next(), full, wanted); true }
+        else { row = GraftManifestSink.parse(it.next(), idx, wanted); true }
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = stream.close()
     }
   }
 }
