@@ -10,5 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = Sessions.local("4", appName = "graft-test")
 
-  val sfDir = "/root/testdata/sf0.001"
+  /** Override with GRAFT_TEST_SF_DIR to run every suite invariant at a
+    * larger scale factor (e.g. sf0.01 = 10× the default). */
+  val sfDir = sys.env.getOrElse("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 }

