@@ -43,6 +43,24 @@ class SourcesV2Spec extends SparkSuite {
     assert(df.groupBy("source").count().count() === 20)
   }
 
+  test("connector statistics reach the optimizer and shrink with pruning") {
+    // full row: optimizer sees row count and byte size from the connector
+    val full = docs(10000)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.exists(_.toLong == 10000L),
+      s"row count not reported: ${fullStats.rowCount}")
+    // pruned projection reports far fewer bytes (text column dominates) —
+    // the estimate Catalyst uses for broadcast decisions
+    val pruned = docs(10000).select("doc_id")
+    val prunedStats = pruned.queryExecution.optimizedPlan.stats
+    assert(prunedStats.sizeInBytes < fullStats.sizeInBytes / 4,
+      s"pruning did not shrink the size estimate: " +
+        s"${prunedStats.sizeInBytes} vs ${fullStats.sizeInBytes}")
+    // pushdown narrows the reported row count too
+    val ranged = docs(10000).filter($"doc_id" < 100L)
+    assert(ranged.queryExecution.optimizedPlan.stats.rowCount.exists(_.toLong == 100L))
+  }
+
   test("non-pushable predicates still apply post-scan") {
     val df = docs(1000).filter($"source" === "src3")
     assert(df.count() === 50)
