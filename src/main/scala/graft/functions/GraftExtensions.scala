@@ -62,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
       (args: Seq[Expression]) => NfcNormalize(args(0))))
 
+    e.injectFunction((FunctionIdentifier("random_project_signs"),
+      info("random_project_signs",
+        "random_project_signs(x, n) - n fixed-point JL projections with hash-derived ±1 signs"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(n) => RandomProjectSigns(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"random_project_signs: n must be an integer literal, got $other")
+      }))
+
     e.injectFunction((FunctionIdentifier("sorted_array_intersect_count"),
       info("sorted_array_intersect_count",
         "sorted_array_intersect_count(a, b) - |A∩B| of sorted distinct bigint arrays"),

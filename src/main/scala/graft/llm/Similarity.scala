@@ -162,25 +162,20 @@ object Similarity extends QueryModule {
     // (zero shuffle), fixed-point 1e9 accumulation so both engines agree
     // bit-exactly. Declared output: sampled projections + a checksum over
     // all 16 (driver comparator takes no arrays).
-    "q_embed_project" -> ((s, d) => {
-      val NP = 16
-      // sign(i, j) = +1 iff bit 5 of the mixed key is 0 (parity of a
-      // product of odd multipliers is structured; a divided bit is not)
-      def proj(j: Int) = aggregate(
-        sequence(lit(1), lit(64)), lit(0L),
-        (acc, i) => acc +
-          when(shiftright(i.cast(LongType) * 2654435761L + lit(j.toLong) * 40503L, 5)
-            .bitwiseAND(lit(1L)) === 0, 1L).otherwise(-1L) *
-          floor(element_at(col("embedding"), i.cast(IntegerType))
-            .cast(DoubleType) * 1e9).cast(LongType))
-      val projected = Tables(s, d, "embeddings")
-        .select(col("vec_id") +: col("label") +:
-          (0 until NP).map(j => proj(j).as(s"p$j")): _*)
-      projected.select(col("vec_id"), col("label"),
-        col("p0"), col("p5"), col("p10"), col("p15"),
-        (0 until NP).map(j => col(s"p$j")).reduce(_ + _).as("pchk"))
-        .orderBy("vec_id")
-    }),
+    // Projections come from the codegen'd RandomProjectSigns expression —
+    // one fused primitive loop per row (sign(i, j) = +1 iff bit 5 of the
+    // mixed key is 0: parity of a product of odd multipliers is structured;
+    // a divided bit is not). The interpreted HOF twin lives in
+    // ExpressionsSpec as the cross-check.
+    "q_embed_project" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          graft.functions.RandomProjectSigns.project(col("embedding"), 16).as("p"))
+        .select(col("vec_id"), col("label"),
+          element_at(col("p"), 1).as("p0"), element_at(col("p"), 6).as("p5"),
+          element_at(col("p"), 11).as("p10"), element_at(col("p"), 16).as("p15"),
+          aggregate(col("p"), lit(0L), _ + _).as("pchk"))
+        .orderBy("vec_id")),
 
     // k-NN GRAPH construction (the structure behind diversity sampling,
     // semantic dedup and graph-based curation): for EVERY vector, its k

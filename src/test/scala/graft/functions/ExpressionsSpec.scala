@@ -9,6 +9,32 @@ import graft.SparkSuite
 class ExpressionsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("random_project_signs ≡ the interpreted HOF formulation, null-safe, SQL-callable") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val NP = 16
+    val emb = graft.Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // interpreted higher-order twin of the codegen expression
+    def hofProj(j: Int) = aggregate(
+      sequence(lit(1), lit(64)), lit(0L),
+      (acc, i) => acc +
+        when(shiftright(i.cast(LongType) * 2654435761L + lit(j.toLong) * 40503L, 5)
+          .bitwiseAND(lit(1L)) === 0, 1L).otherwise(-1L) *
+        floor(element_at(col("embedding"), i.cast(IntegerType))
+          .cast(DoubleType) * 1e9).cast(LongType))
+    val both = emb.select(col("vec_id"),
+      RandomProjectSigns.project(col("embedding"), NP).as("fast"),
+      array((0 until NP).map(hofProj): _*).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0,
+      "codegen projection diverges from the HOF formulation")
+    // null array → null result; SQL registration works
+    val r = spark.sql("SELECT random_project_signs(CAST(NULL AS ARRAY<FLOAT>), 4) AS p")
+      .head()
+    assert(r.isNullAt(0))
+    assert(spark.sql(
+      "SELECT size(random_project_signs(array(CAST(1.0 AS FLOAT)), 4)) AS n")
+      .head().getInt(0) == 4)
+  }
+
   test("fixed_point_dot: empty arrays, length mismatch, null propagation") {
     val df = Seq(
       (1, Seq(1.5f, 2.0f), Seq(2.0f, 3.0f)),   // 3.0 + 6.0
