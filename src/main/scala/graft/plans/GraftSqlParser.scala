@@ -35,7 +35,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, retain) =>
-      VacuumManifestCommand(dir, Option(retain).map(_.toInt))
+      val keep = Option(retain).map(_.toInt)
+      // RETAIN 0 would silently behave as RETAIN 1 (the current manifest is
+      // always reachable) — reject instead of diverging from what was asked.
+      keep.filter(_ < 1).foreach { k =>
+        throw new IllegalArgumentException(
+          s"VACUUM MANIFEST: RETAIN $k SNAPSHOTS is invalid — at least 1 " +
+            "snapshot (the current version) is always retained")
+      }
+      VacuumManifestCommand(dir, keep)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -56,14 +64,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 /** Driver-side maintenance. Safe by construction:
-  *  - every file under `_staging/` is uncommitted (commit MOVES files out of
-  *    staging before the manifest swap) — always reapable;
-  *  - `RETAIN n SNAPSHOTS` first expires all but the newest n archived
-  *    manifest versions;
+  *  - a file under `_staging/` is uncommitted (commit MOVES files out of
+  *    staging before the manifest swap) — but an IN-FLIGHT write job's
+  *    staged files look identical to crash leftovers, so vacuum only reaps
+  *    staged files whose mtime is older than
+  *    `spark.graft.vacuum.stagingMinAgeMs` (default 10 minutes). Reaping a
+  *    live attempt's staged file would make the concurrent job's
+  *    `ManifestBatchWrite.commit` fail on the promote move; the age
+  *    threshold keeps vacuum out of the single-writer contract.
+  *  - `RETAIN n SNAPSHOTS` (n ≥ 1, parser-enforced) first expires all but
+  *    the newest n archived manifest versions;
   *  - a `part-*` data file referenced by NO surviving manifest version is
-  *    unreachable (including via time travel) — reaped.
-  * A concurrent commit can only reference files it just moved OUT of
-  * staging itself, so vacuum never races a commit. */
+  *    unreachable (including via time travel) — reaped. */
 case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -75,7 +87,7 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
     if (!Files.isDirectory(root)) return Seq.empty
     import graft.sources.Manifest
     val expired = retainSnapshots.toSeq.flatMap { keep =>
-      Manifest.snapshotVersions(root).dropRight(math.max(keep, 1)).map { v =>
+      Manifest.snapshotVersions(root).dropRight(keep).map { v => // keep ≥ 1, parser-enforced
         Files.deleteIfExists(root.resolve(s"_manifest.v$v"))
         Row(s"_manifest.v$v", "snapshot-expired")
       }
@@ -88,12 +100,17 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
       val s = Files.list(d)
       try f(s.iterator().asScala) finally s.close()
     }
+    val minAgeMs = spark.conf.getOption("spark.graft.vacuum.stagingMinAgeMs")
+      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val staging = root.resolve("_staging")
     val staged =
       if (Files.isDirectory(staging))
-        listed(staging)(_.toSeq).map { p =>
-          Files.deleteIfExists(p); Row(s"_staging/${p.getFileName}", "staged-uncommitted")
-        }
+        listed(staging)(_.toSeq)
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .map { p =>
+            Files.deleteIfExists(p); Row(s"_staging/${p.getFileName}", "staged-uncommitted")
+          }
       else Seq.empty
     val orphans = listed(root)(_.toSeq)
       .filter(p => Files.isRegularFile(p))

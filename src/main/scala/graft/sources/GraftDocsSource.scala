@@ -129,6 +129,7 @@ private[sources] class GraftDocsScan(required: StructType, lo: Long, hi: Long, p
       case "doc_id" => 8L
       case "source" => 6L
       case "text" => 80L
+      case _ => 16L // future columns: degrade the estimate, never MatchError planning
     }.sum
     override def numRows(): OptionalLong = OptionalLong.of(rows)
     override def sizeInBytes(): OptionalLong =

@@ -187,28 +187,37 @@ private[graft] object Manifest {
     else Some(parse(Files.readAllLines(mf).asScala.toSeq))
   }
 
-  /** All archived snapshot versions present, ascending. */
+  private val SnapshotName = """_manifest\.v(\d+)""".r
+
+  /** All archived snapshot versions present, ascending. Strictly matches
+    * `_manifest.v<digits>` — editor backups (`_manifest.v1~`) or leftover
+    * tmp files must not break version parsing for every read and vacuum. */
   def snapshotVersions(dir: Path): Seq[Int] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("_manifest.v") =>
-          n.stripPrefix("_manifest.v").toInt }
+        .collect { case SnapshotName(v) => v.toInt }
         .toSeq.sorted
       finally s.close()
     }
 
   /** Atomic publish: archive the new state as `_manifest.v{n+1}` (time
-    * travel), then move a tmp copy over `_manifest` (current). Readers of
-    * `_manifest` see old-or-new, never partial. */
+    * travel), then move a tmp copy over `_manifest` (current). BOTH files
+    * are published via tmp + ATOMIC_MOVE so a concurrent snapshot reader —
+    * or VACUUM computing its reachable-file set — can never observe a
+    * torn-but-parseable prefix and mistake live files for unreachable. */
   def write(dir: Path, m: Manifest): Unit = {
     val body = (m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
       .mkString("\t") +:
       m.files.map { case (f, n) => s"$f\t$n" }).mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
-    Files.write(dir.resolve(s"_manifest.v$next"), body)
+    // tmp names carry no `.v<digits>` suffix, so snapshotVersions never sees them
+    val snapTmp = dir.resolve(s"_manifest.tmp.v$next")
+    Files.write(snapTmp, body)
+    Files.move(snapTmp, dir.resolve(s"_manifest.v$next"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     val tmp = dir.resolve("_manifest.tmp")
     Files.write(tmp, body)
     Files.move(tmp, dir.resolve("_manifest"),

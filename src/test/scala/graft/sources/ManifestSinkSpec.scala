@@ -115,14 +115,45 @@ class ManifestSinkSpec extends SparkSuite {
     sample.write.format(Fmt).option("path", dir).mode("append").save()
     Files.write(Paths.get(dir, "_staging", "part-9-999-dead.tsv"), "1\tx\t1.0\n".getBytes)
     Files.write(Paths.get(dir, "part-stray.tsv"), "2\ty\t2.0\n".getBytes)
-    val out = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
-    assert(out.map(_.getString(1)).sorted.toSeq ==
-      Seq("staged-uncommitted", "unreachable"))
+
+    // default age threshold: a FRESH staged file (possibly an in-flight
+    // job's attempt) is NOT reaped; the stray unmanifested data file is
+    val safe = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
+    assert(safe.map(_.getString(1)).toSeq == Seq("unreachable"))
+    assert(Files.exists(Paths.get(dir, "_staging", "part-9-999-dead.tsv")))
     assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
-    assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
+
+    // opting into age 0 reaps crash leftovers immediately
+    spark.conf.set("spark.graft.vacuum.stagingMinAgeMs", "0")
+    try {
+      val out = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
+      assert(out.map(_.getString(1)).toSeq == Seq("staged-uncommitted"))
+      assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
+    } finally spark.conf.unset("spark.graft.vacuum.stagingMinAgeMs")
     // committed data untouched, and everything else still parses via delegate
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 6L)
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
+  test("RETAIN 0 SNAPSHOTS is rejected instead of silently behaving as RETAIN 1") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM MANIFEST '$dir' RETAIN 0 SNAPSHOTS")
+    }
+    assert(e.getMessage.contains("RETAIN 0"))
+  }
+
+  test("stray non-numeric _manifest.v* names never break version parsing") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    // editor backup + leftover tmp — must be ignored, not NumberFormatException
+    Files.write(Paths.get(dir, "_manifest.v1~"), "junk".getBytes)
+    Files.write(Paths.get(dir, "_manifest.v2.tmp"), "junk".getBytes)
+    assert(Manifest.snapshotVersions(Paths.get(dir)) == Seq(1))
+    assert(spark.read.format(Fmt).option("path", dir).load().count() == 6L)
+    sample.write.format(Fmt).option("path", dir).mode("append").save() // still writable
+    assert(Manifest.snapshotVersions(Paths.get(dir)) == Seq(1, 2))
   }
 
   test("column pruning reaches the manifest reader") {
