@@ -377,18 +377,30 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Blocked exact n-gram Jaccard: candidate pairs only within the same
-    // (lang, token-count-bucket) block — classic blocking, no all-pairs.
+    // Exact n-gram (3-gram) Jaccard near-dup with MINHASH-BANDED candidate
+    // generation. Round-4 verdict finding #1: the previous
+    // (lang, token-count-bucket) self-join degenerates at 100 TB — the
+    // (en, common-length) block holds millions of docs so Σ|block|² goes
+    // quadratic, and boundary-straddling near-dups (49 vs 51 tokens land in
+    // different buckets) are silently missed. Candidates now come from the
+    // SAME banded MinHash buckets q_dedup_minhash uses ([[minhashCandidates]]
+    // — fan-in bounded by band selectivity, robust to length skew, no
+    // bucket boundaries to straddle); exact 3-gram Jaccard on the candidate
+    // pairs is the residual verifier, with same-lang as a cheap post-filter.
     "q_dedup_ngram" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val base = Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"), hashedShingleSet(toks).as("sh"),
-          floor(size(toks) / lit(10.0)).cast(LongType).as("bucket"))
-      base.as("x").join(base.as("y"),
-          col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      val docs = Tables(s, d, "documents")
+      val tri = docs.select(col("doc_id"), col("lang"),
+          array_sort(array_distinct(
+            graft.functions.ShingleHashes.shingles(split(col("text"), " "), 3))).as("sh"))
+        .filter(size(col("sh")) > 0) // <3 tokens → no 3-grams, never a candidate
+      minhashCandidates(signatures(docs))
+        .join(tri.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+          col("sh").as("sh_a")), "doc_a")
+        .join(tri.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+          col("sh").as("sh_b")), "doc_b")
+        .filter(col("lang_a") === col("lang_b"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= NgramJaccard)
         .orderBy("doc_a", "doc_b")
     }),
@@ -609,20 +621,32 @@ object Dedup extends QueryModule {
          |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)
          |    THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
          |FROM j ORDER BY doc_id""".stripMargin,
+    // Mirrors the banded-candidate plan: MinHash bands over 2-gram shingles
+    // generate candidates; exact 3-gram Jaccard + same-lang is the residual.
     "q_dedup_ngram" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-         |blocked AS (
+         |hs AS (SELECT doc_id, list_distinct([${sqlPolyChar("s")} for s in $sqlShingles2]) AS hv
+         |  FROM base),
+         |sig AS (SELECT doc_id,
+         |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b, mh[2*b+1] * $P + mh[2*b+2] AS bkey
+         |  FROM sig, (SELECT unnest(range(0, ${NumHashes / BandRows})) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |tri AS (
          |  SELECT doc_id, lang,
-         |         list_distinct([${sqlPolyChar("s")} for s in $sqlShingles2]) AS sh,
-         |         CAST(floor(len(t) / 10.0) AS BIGINT) AS bucket
-         |  FROM base)
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    list_distinct([${sqlPolyChar("s")}
+         |      for s in [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]]) AS sh
+         |  FROM base WHERE len(t) >= 3)
+         |SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
          |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-         |FROM blocked x JOIN blocked y
-         |  ON x.lang = y.lang AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |WHERE jaccard >= $NgramJaccard
+         |FROM cand c JOIN tri x ON x.doc_id = c.doc_a JOIN tri y ON y.doc_id = c.doc_b
+         |WHERE x.lang = y.lang AND jaccard >= $NgramJaccard
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH anchors AS (

@@ -65,15 +65,38 @@ class DedupSpec extends SparkSuite {
     }
   }
 
-  test("ngram jaccard blocking: same-block near-dups found with exact similarity") {
+  test("ngram jaccard: minhash-banded candidates found with exact 3-gram similarity") {
     withCorpus { dir =>
       val pairs = Dedup.queries("q_dedup_ngram")(spark, dir)
         .select("doc_a", "doc_b", "jaccard")
         .as[(Long, Long, Double)].collect().toSeq
       val byPair = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
       assert(byPair((0L, 2L)) === 1.0)
-      assert(byPair((0L, 1L)) > 0.7)
+      assert(byPair((0L, 1L)) > 0.5) // one-token edit kills 3 of 12 trigrams
+      assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L })
     }
+  }
+
+  test("ngram jaccard: near-dups straddling a length-bucket boundary are found") {
+    // A 51-token doc vs its 49-token truncation: the round-4 blocking keyed
+    // candidates on floor(n_tokens/10), so this pair landed in buckets 5 vs 4
+    // and was silently missed. MinHash band candidates have no length
+    // boundary to straddle — the pair must surface with near-1 Jaccard.
+    val vocab = (0 until 60).map(i => f"tok$i%02d")
+    val rows = Seq(
+      (10L, (0 until 51).map(vocab).mkString(" "), "en"),
+      (11L, (0 until 49).map(vocab).mkString(" "), "en"),
+      (12L, "unrelated words entirely disjoint vocabulary right here today", "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_spec_").toString
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.queries("q_dedup_ngram")(spark, tmp)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val byPair = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(byPair.contains((10L, 11L)), s"cross-bucket near-dup missed: $byPair")
+    assert(byPair((10L, 11L)) > 0.9)
+    assert(!byPair.keySet.exists { case (a, b) => a == 12L || b == 12L })
   }
 
   test("simhash hamming<=k: banded pairs equal brute force on a wide-vocab corpus") {
