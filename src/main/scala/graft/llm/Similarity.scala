@@ -179,25 +179,31 @@ object Similarity extends QueryModule {
 
     // k-NN GRAPH construction (the structure behind diversity sampling,
     // semantic dedup and graph-based curation): for EVERY vector, its k
-    // nearest neighbors. Never all-pairs: candidates come from a blocking
-    // key — here the label partition; at 100 TB the IVF list id from
-    // [[assignLists]] is the drop-in blocking key (same join shape, with
-    // multi-list assignment recovering cross-boundary recall). The
-    // candidate join is an equi-join on the block, the per-source ranking
-    // is a window over ONE hash partitioning on src — candidate volume is
-    // Σ_b |block_b|², bounded by the blocking granularity, not n².
+    // nearest neighbors within its IVF list. Never all-pairs: candidates
+    // are blocked on the IVF list id from [[assignLists]] (round-4 verdict
+    // finding #3 — the previous `label` block key is an accident of the
+    // testdata; list ids are data-derived, geometry-aware, and their count
+    // parameterizes with corpus size like every IVF deployment). The
+    // candidate join is an equi-join on list_id, the per-source ranking is
+    // a window over ONE hash partitioning on src — candidate volume is
+    // Σ_l |list_l|², bounded by the list granularity, not n². Multi-list
+    // assignment (q_similarity_multiprobe's probe pattern) is the recall
+    // knob for neighbors straddling a list boundary.
     "q_knn_graph" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val x = emb.select(col("label"), col("vec_id").as("src"), col("embedding").as("e_src"))
-      val y = emb.select(col("label"), col("vec_id").as("dst"), col("embedding").as("e_dst"))
+      val seed = emb.filter(col("vec_id") < NumLists)
+        .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
+      val assigned = assignLists(emb, seed)
+      val x = assigned.select(col("list_id"), col("vec_id").as("src"), col("embedding").as("e_src"))
+      val y = assigned.select(col("list_id"), col("vec_id").as("dst"), col("embedding").as("e_dst"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(desc("sim"), col("dst"))
-      x.join(y, Seq("label")).filter(col("src") =!= col("dst"))
-        .select(col("label"), col("src"), col("dst"),
+      x.join(y, Seq("list_id")).filter(col("src") =!= col("dst"))
+        .select(col("list_id"), col("src"), col("dst"),
           dotFixed(col("e_src"), col("e_dst")).as("sim"))
         .withColumn("rank", row_number().over(w).cast(IntegerType))
         .filter(col("rank") <= KnnK)
-        .select("label", "src", "dst", "rank", "sim")
+        .select("list_id", "src", "dst", "rank", "sim")
         .orderBy("src", "rank")
     }),
 
@@ -392,18 +398,28 @@ object Similarity extends QueryModule {
     // Full mirror of the refine-then-search loop: seed assign → per-list
     // fixed-point mean (float-narrowed) → reassign → probe-list search.
     "q_similarity_ivf" -> sqlIvfTopk,
-    // Within-block brute force + ranked window: same blocking, different
-    // top-k algorithm (window rank vs Spark's filter-after-rank plan).
+    // Within-list brute force + ranked window over the SAME seed IVF
+    // assignment the Spark plan blocks on (the a0 CTE of sqlIvfTopk).
     "q_knn_graph" ->
-      s"""SELECT label, src, dst, rank, sim FROM (
-         |  SELECT x.label, x.vec_id AS src, y.vec_id AS dst,
+      s"""WITH seed AS (
+         |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
+         |         list(embedding ORDER BY vec_id) AS cl
+         |  FROM embeddings WHERE vec_id < $NumLists),
+         |a0 AS (
+         |  SELECT e.vec_id, e.embedding, s.ids[list_position(dots, list_max(dots))] AS list_id
+         |  FROM (
+         |    SELECT e0.vec_id, e0.embedding,
+         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |    FROM embeddings e0, seed s0) e, seed s)
+         |SELECT list_id, src, dst, rank, sim FROM (
+         |  SELECT x.list_id, x.vec_id AS src, y.vec_id AS dst,
          |    CAST(row_number() OVER (
          |      PARTITION BY x.vec_id
          |      ORDER BY ${sqlDotFixed("x.embedding", "y.embedding")} DESC, y.vec_id)
          |      AS INTEGER) AS rank,
          |    ${sqlDotFixed("x.embedding", "y.embedding")} AS sim
-         |  FROM embeddings x JOIN embeddings y
-         |    ON x.label = y.label AND x.vec_id <> y.vec_id) t
+         |  FROM a0 x JOIN a0 y
+         |    ON x.list_id = y.list_id AND x.vec_id <> y.vec_id) t
          |WHERE rank <= $KnnK
          |ORDER BY src, rank""".stripMargin,
     // Mirrors the Spark block loops: same codebook (anchor sub-vectors,

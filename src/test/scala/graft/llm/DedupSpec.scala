@@ -127,6 +127,22 @@ class DedupSpec extends SparkSuite {
     assert(brute.size < allPairs / 4, s"radius $k not selective: ${brute.size}/$allPairs")
   }
 
+  test("embedding LSH geometry scales with corpus size") {
+    // sf0.01 reproduces the historical 2-band × 4-bit layout exactly
+    assert(Dedup.embeddingLshParams(500L) === ((2, 4)))
+    // growth: buckets per band (2^bits) track n/32 until the 16-bit cap;
+    // band count widens as bands get longer
+    assert(Dedup.embeddingLshParams(1000L) === ((2, 5)))
+    assert(Dedup.embeddingLshParams(100000L) === ((3, 12)))
+    assert(Dedup.embeddingLshParams(1000000L) === ((3, 15)))
+    assert(Dedup.embeddingLshParams(1000000000L) === ((4, 16)))
+    // monotone, never shrinking on a growing corpus
+    val params = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)
+      .map(Dedup.embeddingLshParams)
+    assert(params.map(_._1) === params.map(_._1).sorted)
+    assert(params.map(_._2) === params.map(_._2).sorted)
+  }
+
   test("exact dedup is idempotent and keeps the latest row per key") {
     val out1 = Dedup.queries("q_dedup_exact")(spark, sfDir)
     // keeps exactly one row per (user_id, event_type)

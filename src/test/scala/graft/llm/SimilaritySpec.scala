@@ -138,4 +138,41 @@ class SimilaritySpec extends SparkSuite {
       math.abs(r.getAs[Double]("sim_adc") - r.getAs[Double]("sim_exact"))).sum / rows.length
     assert(mae < 0.5, s"ADC mean absolute error $mae")
   }
+
+  test("q_knn_graph: candidates blocked by IVF list, within-list exact top-k") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val seed = emb.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("c_id"), $"embedding".as("c_emb"))
+    val assigned = Similarity.assignLists(emb, seed)
+      .select($"vec_id", $"list_id", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    val byList = assigned.groupBy(_._2)
+
+    // brute-force within-list top-3 with the same fixed-point dot + tie order
+    def dotFp(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum / 1e12
+    val expect: Set[(Long, Int, Long, Int, Double)] =
+      byList.toSeq.flatMap { case (_, members) =>
+        members.toSeq.flatMap { case (src, lst, eSrc) =>
+          members.toSeq.filter(_._1 != src)
+            .map { case (dst, _, eDst) => (dst, dotFp(eSrc, eDst)) }
+            .sortBy { case (dst, sim) => (-sim, dst) }.take(3)
+            .zipWithIndex
+            .map { case ((dst, sim), i) => (src, lst, dst, i + 1, sim) }
+        }
+      }.toSet
+
+    val got = Similarity.queries("q_knn_graph")(spark, sfDir)
+      .select($"src", $"list_id", $"dst", $"rank", $"sim")
+      .as[(Long, Int, Long, Int, Double)].collect().toSet
+    assert(got === expect)
+    // candidate volume is Σ|list|², bounded by list granularity — every
+    // source's neighbor count is capped by its own list population
+    val listSize = byList.view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (src, edges) =>
+      val lst = edges.head._2
+      assert(edges.size <= math.min(3, listSize(lst) - 1))
+    }
+  }
 }

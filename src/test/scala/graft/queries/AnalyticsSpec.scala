@@ -100,19 +100,18 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
-  test("kNN graph: neighbors stay in-block, ranks dense, sims non-increasing") {
+  test("kNN graph: neighbors stay in their IVF list, ranks dense, sims non-increasing") {
+    // brute-force within-list equivalence lives in SimilaritySpec; here:
+    // structural invariants of the declared output
     val rows = SparkEntry.queries("q_knn_graph")(spark, sfDir).collect()
-    val labels = Tables(spark, sfDir, "embeddings").select("vec_id", "label")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     rows.groupBy(_.getLong(1)).foreach { case (src, rs) =>
       val sorted = rs.sortBy(_.getInt(3))
       assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length),
         s"src $src ranks not dense")
       assert(sorted.length <= 3 && sorted.nonEmpty)
-      sorted.foreach { r =>
-        assert(labels(r.getLong(2)) == labels(src), s"src $src neighbor crossed block")
-        assert(r.getLong(2) != src, s"src $src is its own neighbor")
-      }
+      assert(sorted.map(_.getInt(0)).distinct.length == 1,
+        s"src $src reported under multiple IVF lists")
+      sorted.foreach(r => assert(r.getLong(2) != src, s"src $src is its own neighbor"))
       val sims = sorted.map(_.getDouble(4))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
         s"src $src sims not non-increasing")
