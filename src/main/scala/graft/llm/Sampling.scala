@@ -9,21 +9,18 @@ import graft.queries.QueryModule
   * before expensive downstream stages (dedup on a sample first, quality
   * sweeps, eval splits).
   *
-  *  - `q_sample`: uniform Bernoulli sample with a FIXED seed — per-row
-  *    coin-flip in the scan projection: no shuffle, fully parallel, and
-  *    reproducible for a given Spark version (sampling is seeded XORShift
-  *    per partition — deterministic plan→output, but engine-specific →
-  *    rows-only check + determinism ScalaTest, no DuckDB oracle).
-  *  - `q_sample_stratified`: per-class fractions via `sampleBy` — balances
-  *    classes (here: languages) the way a curriculum/mixture spec does.
-  *  - `q_sample_hash`: DETERMINISTIC key-hash sampling — keep a row iff
-  *    `hash(key) mod M < k`. Unlike the RNG samples this is a pure
-  *    function of the data: the same rows are selected on every run, every
-  *    engine, any partitioning — which is what makes a sample re-joinable
-  *    across tables (hash the same user_id everywhere and the per-user
-  *    sample is CONSISTENT across a 100-table lake) and auditable. The
-  *    hash is plain modular arithmetic (an LCG step over the key), so the
-  *    DuckDB oracle checks it cell-exact.
+  * Every sampler here is DETERMINISTIC key-hash selection — keep a row iff
+  * `hash(key) mod M < k`. Unlike RNG sampling (Spark's `.sample` /
+  * `sampleBy`, whose seeded per-partition XORShift is engine- and
+  * partitioning-specific) this is a pure function of the data: the same
+  * rows are selected on every run, every engine, any partitioning — which
+  * makes a sample re-joinable across tables (hash the same user_id
+  * everywhere and the per-user sample is CONSISTENT across a 100-table
+  * lake), auditable, and cell-exact against the DuckDB oracle. Round-4
+  * advice item: `q_sample`/`q_sample_stratified` were the RNG forms with
+  * no oracle; both are now hash-threshold forms, flipping them into the
+  * 100%-oracle-certified set. The hash is plain modular arithmetic (an LCG
+  * step over the key) — a scan-side codegen'd filter, zero shuffle.
   */
 object Sampling extends QueryModule {
 
@@ -35,18 +32,24 @@ object Sampling extends QueryModule {
   private val HashP = 2147483647L
 
   def queries: Map[String, Q] = Map(
+    // Uniform 25% sample: hash-threshold over doc_id. A salt (Seed) mixed
+    // into the key decorrelates this sample from the other hash samplers
+    // sharing the LCG family.
     "q_sample" -> ((s, d) =>
       Tables(s, d, "documents")
-        .sample(withReplacement = false, fraction = 0.25, seed = Seed)
+        .filter((((col("doc_id") + lit(Seed)) * HashA + HashC) % HashP) % 10000 < 2500)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Stratified sample: per-class keep-fractions as per-lang hash
+    // thresholds — downsample the dominant language, keep the rest. Same
+    // semantics as `sampleBy` with Map("en" -> 0.25, _ -> 1.0), but a pure
+    // data function, so the class balance is reproducible and the EXACT
+    // selected set is oracle-certified (not just its size).
     "q_sample_stratified" -> ((s, d) =>
       Tables(s, d, "documents")
-        // downsample the dominant language, keep the rest
-        .stat.sampleBy("lang",
-          Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
-          Seed)
+        .filter((((col("doc_id") + lit(Seed)) * HashA + HashC) % HashP) % 10000
+          < when(col("lang") === "en", 2500).otherwise(10000))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
@@ -101,11 +104,16 @@ object Sampling extends QueryModule {
     })
   )
 
-  // q_sample / q_sample_stratified have no oracles: Bernoulli selection is
-  // engine-specific (Spark's per-partition seeded XORShift vs DuckDB's RNG);
-  // reproducibility is pinned by SamplingSpec instead. The hash sample is a
-  // pure data function → cell-exact oracle.
   def oracles: Map[String, String] = Map(
+    "q_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (((doc_id + $Seed) * $HashA + $HashC) % $HashP) % 10000 < 2500
+         |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      s"""SELECT lang, COUNT(*) AS n_docs FROM documents
+         |WHERE (((doc_id + $Seed) * $HashA + $HashC) % $HashP) % 10000
+         |      < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sample_reservoir" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, lang,

