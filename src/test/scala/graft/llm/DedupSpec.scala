@@ -224,15 +224,34 @@ class DedupSpec extends SparkSuite {
 
   test("connected components: O(log n) rounds — a 300-node chain converges within 20 iters") {
     // diameter 299: pure neighbor-min propagation needs 299 rounds and
-    // would blow the maxIters=20 budget; the pointer-jumping shortcut
+    // would blow an explicit 20-round budget; the pointer-jumping shortcut
     // (path halving) must close it in ~log2(300) ≈ 9 rounds.
     val n = 300L
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val nodes = (0L until n).toDF("doc_id")
-    val labels = Dedup.connectedComponents(edges, nodes) // throws if > 20 rounds
+    val labels = Dedup.connectedComponents(edges, nodes, maxIters = 20) // throws if > 20
       .as[(Long, Long)].collect()
     assert(labels.length == n)
     assert(labels.forall(_._2 == 0L), "every chain node must label to the minimum")
+  }
+
+  test("connected components: adversarial 10k-node path converges within the derived O(log n) budget") {
+    // The worst case for min-label propagation: one path of diameter
+    // n − 1 = 9 999. The derived budget is 2·⌈log₂ n⌉ + 4 = 32 rounds —
+    // a graceful, size-aware ceiling instead of the old fixed require(20).
+    val n = 10000L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L until n).toDF("doc_id")
+    val (labelsDf, rounds) = Dedup.connectedComponentsWithStats(edges, nodes)
+    val labels = labelsDf.as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every path node must label to the minimum")
+    assert(rounds <= 32, s"path-halving needed $rounds rounds on a ${n}-node path")
+    // an explicitly too-small budget fails diagnostically, not with a bare abort
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsWithStats(edges, nodes, maxIters = 3)
+    }
+    assert(e.getMessage.contains("budget"))
   }
 
   test("connected components: every near-dup pair ends in one cluster, ids are component minima") {
