@@ -41,6 +41,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, appName = "graft-bench")
+    Sessions.quietBoundedGlobalWindowWarnings() // keep the 2000-char tail signal-bearing
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // Each query runs twice and the SECOND run is timed: the first run

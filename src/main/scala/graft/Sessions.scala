@@ -39,4 +39,16 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Silence WindowExec's "No Partition Defined" warning for the driver's
+    * Verify/Bench runs. The engine's only global windows are DELIBERATE
+    * tiny-table prefix sums over per-day reductions (q_interval_overlap's
+    * day offsets, q_skyline's frontier — both calendar-bounded), but each
+    * emits one WARN per execution and the flood drowns real signal in the
+    * driver's 2000-char output capture. ScalaTest suites do NOT call this
+    * — an accidental global window still surfaces its canary there. */
+  def quietBoundedGlobalWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -211,6 +211,35 @@ object Analytics extends QueryModule {
         .orderBy(desc("o_day"))
     }),
 
+    // 3-OBJECTIVE skyline (the 2-objective running-min trick above does
+    // not generalize: after sorting by one objective, the dominance
+    // frontier of the remaining two is a staircase, not a scalar). The
+    // scale-safe generalization: (1) pre-reduce to one candidate point per
+    // day — (recency MAX, cheapest order MIN, order volume MAX); skyline
+    // membership survives pre-reduction because a dominated day-point is
+    // dominated by a day-point. (2) dominance-test the reduced set with a
+    // prefix-restricted block-nested-loop anti-join (q.day ≥ p.day is the
+    // sorted-prefix restriction). The quadratic step runs over the
+    // CALENDAR-BOUNDED day set — |days| does not grow with corpus size, so
+    // the plan survives 100× data: the only full-table work is the keyed
+    // per-day aggregate.
+    "q_skyline3" -> ((s, d) => {
+      val byDay = Tables(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("o_day"))
+        .agg(min(col("o_totalprice")).as("best_price"),
+          count(lit(1)).as("n_orders"))
+      byDay.as("p").join(byDay.as("q"),
+          col("q.o_day") >= col("p.o_day") &&
+            col("q.best_price") <= col("p.best_price") &&
+            col("q.n_orders") >= col("p.n_orders") &&
+            (col("q.o_day") > col("p.o_day") ||
+              col("q.best_price") < col("p.best_price") ||
+              col("q.n_orders") > col("p.n_orders")),
+          "left_anti")
+        .select(col("o_day"), col("best_price"), col("n_orders"))
+        .orderBy(desc("o_day"))
+    }),
+
     // Train/val/test split assignment (80/10/10): bucket = Knuth
     // multiplicative hash of doc_id mod 100; rollup of docs and chars per
     // (source, split) proves the strata land where expected.
@@ -343,6 +372,22 @@ object Analytics extends QueryModule {
         |  FROM byday)
         |SELECT o_day, best_price FROM r
         |WHERE prev_min IS NULL OR best_price < prev_min
+        |ORDER BY o_day DESC""".stripMargin,
+    // The textbook NOT-EXISTS dominance formulation — a genuinely different
+    // algorithm certifying the anti-join frontier.
+    "q_skyline3" ->
+      """WITH byday AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS o_day,
+        |         min(o_totalprice) AS best_price,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_day, best_price, n_orders FROM byday p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM byday q
+        |  WHERE q.o_day >= p.o_day AND q.best_price <= p.best_price
+        |    AND q.n_orders >= p.n_orders
+        |    AND (q.o_day > p.o_day OR q.best_price < p.best_price
+        |         OR q.n_orders > p.n_orders))
         |ORDER BY o_day DESC""".stripMargin,
     "q_split_assign" ->
       """SELECT source,

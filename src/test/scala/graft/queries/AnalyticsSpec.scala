@@ -215,6 +215,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty && got.size < byDay.size, "degenerate frontier")
   }
 
+  test("skyline3: anti-join frontier equals brute-force 3-objective dominance") {
+    val got = SparkEntry.queries("q_skyline3")(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2))).toSet
+    val byDay = Tables(spark, sfDir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .collect().map(r => (r.getDate(0), r.getDouble(1)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).min, v.size.toLong)).toSeq
+      .map { case (d, (p, n)) => (d, p, n) }
+    // quadratic dominance: (recency MAX, price MIN, volume MAX), at least
+    // one strict
+    val frontier = byDay.filter { case (d, p, n) =>
+      !byDay.exists { case (d2, p2, n2) =>
+        !d2.before(d) && p2 <= p && n2 >= n &&
+          (d2.after(d) || p2 < p || n2 > n)
+      }
+    }.map { case (d, p, n) => (d.toString, p, n) }.toSet
+    assert(got == frontier, s"frontier mismatch: $got vs $frontier")
+    assert(got.nonEmpty && got.size < byDay.size, "degenerate frontier")
+    // 3-objective frontier strictly contains the 2-objective one: adding an
+    // objective can only admit more Pareto-optimal points
+    val sky2 = SparkEntry.queries("q_skyline")(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toSet
+    assert(sky2.forall { case (d, p) => got.exists(g => g._1 == d && g._2 == p) },
+      "2-objective frontier point missing from the 3-objective frontier")
+  }
+
   test("target encoding shrinks each category mean toward the global mean") {
     val rows = SparkEntry.queries("q_feature_target_encode")(spark, sfDir).collect()
     val data = Tables(spark, sfDir, "orders")
