@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * maintenance statement for the manifest-committed sink
   * ([[graft.sources.GraftManifestSink]]):
   *
-  * {{{ VACUUM MANIFEST '<table dir>' }}}
+  * {{{ VACUUM MANIFEST '<table dir>' [RETAIN n SNAPSHOTS] [OLDER THAN m MINUTES] }}}
   *
   * deletes files the commit protocol made unreachable — staged leftovers
   * from crashed attempts (everything under `_staging/`) and data files no manifest
@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Vacuum =
-    """(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(dir, retain) =>
+    case Vacuum(dir, retain, olderMin) =>
       val keep = Option(retain).map(_.toInt)
       // RETAIN 0 would silently behave as RETAIN 1 (the current manifest is
       // always reachable) — reject instead of diverging from what was asked.
@@ -43,7 +44,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"VACUUM MANIFEST: RETAIN $k SNAPSHOTS is invalid — at least 1 " +
             "snapshot (the current version) is always retained")
       }
-      VacuumManifestCommand(dir, keep)
+      VacuumManifestCommand(dir, keep, Option(olderMin).map(_.toLong))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -76,7 +77,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   *    the newest n archived manifest versions;
   *  - a `part-*` data file referenced by NO surviving manifest version is
   *    unreachable (including via time travel) — reaped. */
-case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
+case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
+    stagingOlderThanMinutes: Option[Long] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("file", StringType, nullable = false)(),
@@ -100,8 +102,10 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int])
       val s = Files.list(d)
       try f(s.iterator().asScala) finally s.close()
     }
-    val minAgeMs = spark.conf.getOption("spark.graft.vacuum.stagingMinAgeMs")
-      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    // precedence: explicit OLDER THAN clause > session conf > 10-min default
+    val minAgeMs = stagingOlderThanMinutes.map(_ * 60 * 1000)
+      .orElse(spark.conf.getOption("spark.graft.vacuum.stagingMinAgeMs").map(_.toLong))
+      .getOrElse(10L * 60 * 1000)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val staging = root.resolve("_staging")
     val staged =

@@ -123,13 +123,11 @@ class ManifestSinkSpec extends SparkSuite {
     assert(Files.exists(Paths.get(dir, "_staging", "part-9-999-dead.tsv")))
     assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
 
-    // opting into age 0 reaps crash leftovers immediately
-    spark.conf.set("spark.graft.vacuum.stagingMinAgeMs", "0")
-    try {
-      val out = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
-      assert(out.map(_.getString(1)).toSeq == Seq("staged-uncommitted"))
-      assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
-    } finally spark.conf.unset("spark.graft.vacuum.stagingMinAgeMs")
+    // opting into age 0 (SQL clause beats conf beats default) reaps
+    // crash leftovers immediately
+    val out = spark.sql(s"VACUUM MANIFEST '$dir' OLDER THAN 0 MINUTES").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("staged-uncommitted"))
+    assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
     // committed data untouched, and everything else still parses via delegate
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 6L)
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
