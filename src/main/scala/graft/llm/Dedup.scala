@@ -234,7 +234,10 @@ object Dedup extends QueryModule {
     * entries were duplicating ~every shuffle). The fixpoint labels are
     * already `localCheckpoint`ed by [[connectedComponents]]' final round,
     * so the memo hands out a lineage-free frame; entries are keyed by
-    * session identity so test corpora in fresh dirs never cross-pollute. */
+    * session identity so test corpora in fresh dirs never cross-pollute.
+    * Contract: the table dir is IMMUTABLE for the session's lifetime (the
+    * engine's inputs are immutable source files, SURVEY §1.1) — a pipeline
+    * that rewrites `documents` in place must use a new dir or session. */
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   private def hammingClusterLabels(s: org.apache.spark.sql.SparkSession,
