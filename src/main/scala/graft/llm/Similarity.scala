@@ -71,6 +71,31 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
+  /** Top-2 list assignment: like [[assignLists]] but keeps BOTH the nearest
+    * and the second-nearest centroid id — the standard multi-assignment
+    * recall knob for blocked ANN (a vector near a list boundary is indexed
+    * under both sides, so boundary-straddling neighbor pairs share at least
+    * one list). Same shape: broadcast centroid array, per-row arithmetic,
+    * zero shuffle. The runner-up is found by masking the argmax position
+    * out of the dots array and taking the max again — first-position
+    * tie-break both times, mirroring DuckDB `list_position`. */
+  def assignLists2(emb: org.apache.spark.sql.DataFrame,
+                   cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("dots",
+        transform(col("cents"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
+      .withColumn("p1", array_position(col("dots"), array_max(col("dots"))).cast(IntegerType))
+      .withColumn("dots2", zip_with(col("dots"),
+        sequence(lit(1), size(col("dots"))),
+        (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
+      .withColumn("p2", array_position(col("dots2"), array_max(col("dots2"))).cast(IntegerType))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cents"), col("p1")).getField("c_id").as("l1"),
+        element_at(col("cents"), col("p2")).getField("c_id").as("l2"))
+  }
+
   /** Exact brute-force cosine top-k vs probe vec_id=0 (B14a body — shared
     * with the recall audit). */
   private def exactTopkDf(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -204,6 +229,35 @@ object Similarity extends QueryModule {
         .withColumn("rank", row_number().over(w).cast(IntegerType))
         .filter(col("rank") <= KnnK)
         .select("list_id", "src", "dst", "rank", "sim")
+        .orderBy("src", "rank")
+    }),
+
+    // k-NN graph with MULTI-LIST candidates — the recall knob the
+    // single-list form documents: every vector is indexed under its two
+    // nearest lists ([[assignLists2]]), sources search their own nearest
+    // list, so a neighbor pair straddling a list boundary still shares a
+    // list whenever either side's runner-up list is the other's home. The
+    // join stays an equi-join on list_id (candidate volume ≤ 2× the
+    // single-list form — same Σ|list|² scaling, a constant-factor recall/
+    // cost trade every production multi-assignment index makes). A dst's
+    // two lists are distinct, so (src, dst) candidates stay unique without
+    // a distinct.
+    "q_knn_graph_xlist" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val seed = emb.filter(col("vec_id") < NumLists)
+        .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
+      val a2 = assignLists2(emb, seed)
+      val x = a2.select(col("l1").as("list_id"), col("vec_id").as("src"),
+        col("embedding").as("e_src"))
+      val y = a2.select(col("vec_id").as("dst"), col("embedding").as("e_dst"),
+        explode(array(col("l1"), col("l2"))).as("list_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("sim"), col("dst"))
+      x.join(y, Seq("list_id")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), dotFixed(col("e_src"), col("e_dst")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= KnnK)
+        .select("src", "dst", "rank", "sim")
         .orderBy("src", "rank")
     }),
 
@@ -420,6 +474,46 @@ object Similarity extends QueryModule {
          |    ${sqlDotFixed("x.embedding", "y.embedding")} AS sim
          |  FROM a0 x JOIN a0 y
          |    ON x.list_id = y.list_id AND x.vec_id <> y.vec_id) t
+         |WHERE rank <= $KnnK
+         |ORDER BY src, rank""".stripMargin,
+    // Same top-2 assignment (first-position tie-break at both argmax
+    // steps), dst exploded under both lists, per-src ranked window.
+    "q_knn_graph_xlist" ->
+      s"""WITH seed AS (
+         |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
+         |         list(embedding ORDER BY vec_id) AS cl
+         |  FROM embeddings WHERE vec_id < $NumLists),
+         |sc AS (
+         |  SELECT e0.vec_id, e0.embedding,
+         |    [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |  FROM embeddings e0, seed s0),
+         |p1t AS (
+         |  SELECT vec_id, embedding, dots,
+         |         list_position(dots, list_max(dots)) AS p1
+         |  FROM sc),
+         |p2t AS (
+         |  SELECT vec_id, embedding, p1,
+         |    list_position(
+         |      [CASE WHEN i = p1 THEN -1e18 ELSE dots[i] END for i in range(1, len(dots) + 1)],
+         |      list_max(
+         |      [CASE WHEN i = p1 THEN -1e18 ELSE dots[i] END for i in range(1, len(dots) + 1)]))
+         |      AS p2
+         |  FROM p1t),
+         |a2 AS (
+         |  SELECT t.vec_id, t.embedding, s.ids[t.p1] AS l1, s.ids[t.p2] AS l2
+         |  FROM p2t t, seed s),
+         |dsts AS (
+         |  SELECT vec_id, embedding, l1 AS list_id FROM a2
+         |  UNION ALL SELECT vec_id, embedding, l2 FROM a2)
+         |SELECT src, dst, rank, sim FROM (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY x.vec_id
+         |      ORDER BY ${sqlDotFixed("x.embedding", "y.embedding")} DESC, y.vec_id)
+         |      AS INTEGER) AS rank,
+         |    ${sqlDotFixed("x.embedding", "y.embedding")} AS sim
+         |  FROM a2 x JOIN dsts y
+         |    ON x.l1 = y.list_id AND x.vec_id <> y.vec_id) t
          |WHERE rank <= $KnnK
          |ORDER BY src, rank""".stripMargin,
     // Mirrors the Spark block loops: same codebook (anchor sub-vectors,

@@ -175,4 +175,45 @@ class SimilaritySpec extends SparkSuite {
       assert(edges.size <= math.min(3, listSize(lst) - 1))
     }
   }
+
+  test("q_knn_graph_xlist: multi-list assignment recovers a boundary-straddling pair") {
+    // 8 one-hot seed vectors (the IVF anchors) + a planted pair straddling
+    // the list-0/list-1 boundary: vec 8 is mostly-e0 (home list 0,
+    // runner-up 1), vec 9 mostly-e1 (home list 1, runner-up 0). Their
+    // cosine ≈ 0.8 — nearest neighbors of each other — but they live in
+    // different home lists, so the single-list kNN graph cannot see the
+    // pair; the two-list form must.
+    val dim = 64
+    def unit(pairs: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](dim); pairs.foreach { case (i, v) => a(i) = v }
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    val rows = (0 until 8).map(i => (i.toLong, 0, unit(i -> 1f))) ++ Seq(
+      (8L, 0, unit(0 -> 0.9f, 1 -> 0.45f)),
+      (9L, 0, unit(1 -> 0.9f, 0 -> 0.45f)))
+    val tmp = java.nio.file.Files.createTempDirectory("sim_spec_").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def edges(q: String): Set[(Long, Long)] =
+      Similarity.queries(q)(spark, tmp).select("src", "dst")
+        .as[(Long, Long)].collect().toSet
+    val single = edges("q_knn_graph")
+    val multi = edges("q_knn_graph_xlist")
+    assert(!single.contains((8L, 9L)), "single-list form unexpectedly crossed lists")
+    assert(multi.contains((8L, 9L)), s"boundary pair not recovered: $multi")
+    assert(multi.contains((9L, 8L)))
+    // the multi-list candidate set is a superset per source, so its k-th
+    // best similarity can only improve — spot-check on the real testdata
+    val s1 = Similarity.queries("q_knn_graph")(spark, sfDir)
+      .select($"src", $"rank", $"sim").as[(Long, Int, Double)].collect()
+      .map { case (s, r, v) => (s, r) -> v }.toMap
+    Similarity.queries("q_knn_graph_xlist")(spark, sfDir)
+      .select($"src", $"rank", $"sim").as[(Long, Int, Double)].collect()
+      .foreach { case (s, r, v) =>
+        s1.get((s, r)).foreach(v1 =>
+          assert(v >= v1 - 1e-12, s"src $s rank $r regressed: $v < $v1"))
+      }
+  }
 }
