@@ -86,6 +86,41 @@ object Dedup extends QueryModule {
     (bands, bits)
   }
 
+  /** Hyperplane-sign LSH near-dup pairs over an embeddings frame with
+    * size-derived geometry ([[embeddingLshParams]]): anchors broadcast,
+    * sign bits per-row, band-bucket equi-join, exact fixed-point cosine ≥
+    * [[CosineThreshold]] on candidates only. Shared by `q_dedup_embedding`
+    * and its recall audit. The one driver-side `count()` sizing the
+    * geometry is the pre-planning cardinality read a production indexer
+    * does. Returns (vec_a, vec_b, cosine). */
+  private def embeddingLshPairs(emb: DataFrame): DataFrame = {
+    val (nBands, bits) = embeddingLshParams(emb.count())
+    val anchorArr = emb.filter(col("vec_id") < nBands * bits)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
+        .as("anchors"))
+    val withAnchors = emb.crossJoin(broadcast(anchorArr))
+    def bandKey(lo: Int): Column =
+      (0 until bits).map { i =>
+        when(dotFixed(col("embedding"),
+          element_at(col("anchors"), lo + i + 1).getField("a_emb")) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = withAnchors.select(col("vec_id"), col("embedding"),
+      array((0 until nBands).map(j => bandKey(j * bits)): _*).as("bks"))
+    val bands = sigs.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), dotFixed(col("e_a"), col("e_b")).as("cosine"))
+      .filter(col("cosine") >= CosineThreshold)
+  }
+
   /** Banded-LSH candidate pairs from a (doc_id, mh) signature frame: band
     * the signature into `NumHashes / BandRows` keys, bucket equi-join on
     * (band, key), ordered pair per collision. The only shuffle is the
@@ -475,34 +510,42 @@ object Dedup extends QueryModule {
     // ≥ 0.35 on candidates only; unit-norm embeddings so cosine = dot. The
     // one driver-side `count()` that sizes the geometry is the same
     // pre-planning cardinality read a production indexer does.
-    "q_dedup_embedding" -> ((s, d) => {
+    "q_dedup_embedding" -> ((s, d) =>
+      embeddingLshPairs(Tables(s, d, "embeddings")).orderBy("vec_a", "vec_b")),
+
+    // RECALL AUDIT for the embedding LSH (the number a production near-dup
+    // deployment monitors, declared through the oracle gate like
+    // q_similarity_recall): ground truth = exact cosine ≥ threshold pairs
+    // for a DETERMINISTIC probe sample (vec_id ≡ 0 mod 50 — the key-hash
+    // sampling pattern), computed by broadcasting the probe set against
+    // the full table (the only honest exact side at 100 TB: a bounded
+    // probe panel, never all-pairs); found = those ground-truth pairs the
+    // banded LSH emits. One row: n_true, n_found, recall. This is the
+    // feedback loop that tunes nBands: sign-LSH recall at a loose cosine
+    // threshold is intentionally partial (borderline pairs rarely agree on
+    // a whole band; near-identical pairs almost always do — DedupSpec pins
+    // the planted-pair case), and a deployment raises bands until the
+    // audited recall meets its bar. Keeping the audit oracle-certified
+    // means a silent geometry regression fails the driver gate.
+    "q_dedup_embedding_recall" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val (nBands, bits) = embeddingLshParams(emb.count())
-      val anchorArr = emb.filter(col("vec_id") < nBands * bits)
-        .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
-          .as("anchors"))
-      val withAnchors = emb.crossJoin(broadcast(anchorArr))
-      def bandKey(lo: Int): Column =
-        (0 until bits).map { i =>
-          when(dotFixed(col("embedding"),
-            element_at(col("anchors"), lo + i + 1).getField("a_emb")) > 0,
-            lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      val sigs = withAnchors.select(col("vec_id"), col("embedding"),
-        array((0 until nBands).map(j => bandKey(j * bits)): _*).as("bks"))
-      val bands = sigs.select(col("vec_id"),
-        posexplode(col("bks")).as(Seq("band", "bkey")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .agg(collect_list(struct(col("vec_id").as("p_id"), col("embedding").as("p_emb")))
+          .as("ps"))
+      val exact = emb.crossJoin(broadcast(probes))
+        .select(col("vec_id"), col("embedding"), explode(col("ps")).as("p"))
+        .filter(col("vec_id") =!= col("p.p_id") &&
+          dotFixed(col("embedding"), col("p.p_emb")) >= CosineThreshold)
+        .select(least(col("p.p_id"), col("vec_id")).as("vec_a"),
+          greatest(col("p.p_id"), col("vec_id")).as("vec_b"))
         .distinct()
-      cand
-        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
-        .select(col("vec_a"), col("vec_b"), dotFixed(col("e_a"), col("e_b")).as("cosine"))
-        .filter(col("cosine") >= CosineThreshold)
-        .orderBy("vec_a", "vec_b")
+      val found = exact.join(
+        embeddingLshPairs(emb).select("vec_a", "vec_b"),
+        Seq("vec_a", "vec_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"))
     })
   )
 
@@ -529,6 +572,39 @@ object Dedup extends QueryModule {
        |$alias AS (SELECT doc_id,
        |  CAST(list_sum([CASE WHEN bs[b+1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
        |                 for b in range(0, 31)]) AS BIGINT) AS simhash FROM bits)""".stripMargin
+
+  /** Shared CTE chain for the embedding-LSH oracles: size-derived geometry
+    * (same integer search as [[embeddingLshParams]]) → sign-bit band keys →
+    * bucket candidates → `lshp` = (vec_a, vec_b, cosine ≥ threshold). */
+  private def sqlEmbeddingLshCtes: String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |prm AS (
+       |  SELECT
+       |    COALESCE((SELECT MIN(b) FROM (SELECT unnest(range(4, 17)) AS b) rb, nn
+       |              WHERE (CAST(32 AS BIGINT) << b) >= n), 16) AS bits,
+       |    COALESCE((SELECT MIN(l) FROM (SELECT unnest(range(2, 8)) AS l) rl, nn
+       |              WHERE (CAST(1 AS BIGINT) << (8 * l)) >= n), 8) AS bands),
+       |anchors AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS al
+       |  FROM embeddings, prm WHERE vec_id < bands * bits),
+       |sigs AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    [list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[j * p.bits + i + 1]")} > 0
+       |               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, p.bits)])
+       |     for j in range(0, p.bands)] AS bks
+       |  FROM embeddings e, anchors a, prm p),
+       |bands AS (
+       |  SELECT vec_id, j AS band, bks[j + 1] AS bkey
+       |  FROM sigs, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |lshp AS (
+       |  SELECT c.vec_a, c.vec_b, ${sqlDotFixed("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+       |  WHERE cosine >= $CosineThreshold)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // Same gram hashing as ShinglePolyHashes: polyChar over the k tokens
@@ -718,33 +794,27 @@ object Dedup extends QueryModule {
     // smallest b in [4,16] with 32·2^b ≥ n, smallest L in [2,8] with
     // 2^(8L) ≥ n — no floating log2 on either engine.
     "q_dedup_embedding" ->
-      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         |prm AS (
-         |  SELECT
-         |    COALESCE((SELECT MIN(b) FROM (SELECT unnest(range(4, 17)) AS b) rb, nn
-         |              WHERE (CAST(32 AS BIGINT) << b) >= n), 16) AS bits,
-         |    COALESCE((SELECT MIN(l) FROM (SELECT unnest(range(2, 8)) AS l) rl, nn
-         |              WHERE (CAST(1 AS BIGINT) << (8 * l)) >= n), 8) AS bands),
-         |anchors AS (
-         |  SELECT list(embedding ORDER BY vec_id) AS al
-         |  FROM embeddings, prm WHERE vec_id < bands * bits),
-         |sigs AS (
-         |  SELECT e.vec_id, e.embedding,
-         |    [list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[j * p.bits + i + 1]")} > 0
-         |               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, p.bits)])
-         |     for j in range(0, p.bands)] AS bks
-         |  FROM embeddings e, anchors a, prm p),
-         |bands AS (
-         |  SELECT vec_id, j AS band, bks[j + 1] AS bkey
-         |  FROM sigs, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
-         |SELECT c.vec_a, c.vec_b, ${sqlDotFixed("ea.embedding", "eb.embedding")} AS cosine
-         |FROM cand c
-         |JOIN embeddings ea ON ea.vec_id = c.vec_a
-         |JOIN embeddings eb ON eb.vec_id = c.vec_b
-         |WHERE cosine >= $CosineThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin
+      s"""WITH $sqlEmbeddingLshCtes
+         |SELECT vec_a, vec_b, cosine FROM lshp
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Exact side = probe panel (vec_id ≡ 0 mod 50) broadcast against all
+    // vectors; found = ground-truth pairs present in the banded LSH output.
+    "q_dedup_embedding_recall" ->
+      s"""WITH $sqlEmbeddingLshCtes,
+         |probes AS (
+         |  SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT DISTINCT least(p.p_id, e.vec_id) AS vec_a,
+         |         greatest(p.p_id, e.vec_id) AS vec_b
+         |  FROM embeddings e, probes p
+         |  WHERE e.vec_id <> p.p_id
+         |    AND ${sqlDotFixed("e.embedding", "p.p_emb")} >= $CosineThreshold),
+         |f AS (
+         |  SELECT COUNT(*) AS n_true, COUNT(l.vec_a) AS n_found
+         |  FROM exact x LEFT JOIN (SELECT vec_a, vec_b FROM lshp) l
+         |    USING (vec_a, vec_b))
+         |SELECT n_true, n_found,
+         |       CAST(n_found AS DOUBLE) / n_true AS recall
+         |FROM f""".stripMargin
   )
 }

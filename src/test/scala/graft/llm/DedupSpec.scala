@@ -143,6 +143,29 @@ class DedupSpec extends SparkSuite {
     assert(params.map(_._2) === params.map(_._2).sorted)
   }
 
+  test("embedding LSH recall audit: sane bounds, and near-identical pairs are found") {
+    val Seq((nTrue, nFound, recall)) =
+      Dedup.queries("q_dedup_embedding_recall")(spark, sfDir)
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(nFound <= nTrue)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(nTrue > 0, "probe panel found no ground-truth pairs — audit is vacuous")
+    // high-similarity pairs (the ones dedup must not miss) are found: every
+    // ground-truth pair at cosine >= 0.9 appears in the LSH output
+    val lsh = Dedup.queries("q_dedup_embedding")(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val probes = emb.filter(_._1 % 50 == 0)
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum / 1e12
+    for ((p, pe) <- probes; (v, ve) <- emb if v != p && dot(pe, ve) >= 0.9) {
+      val pair = (math.min(p, v), math.max(p, v))
+      assert(lsh.contains(pair), s"high-sim pair $pair missed by LSH")
+    }
+  }
+
   test("exact dedup is idempotent and keeps the latest row per key") {
     val out1 = Dedup.queries("q_dedup_exact")(spark, sfDir)
     // keeps exactly one row per (user_id, event_type)
