@@ -38,7 +38,10 @@ object Plans {
     "q_text_decontaminate" -> "benchmark decontamination: broadcast eval grams, corpus-side map-side join, matched-only aggregation",
     "q_funnel" -> "windowed funnel: three chained per-user window mins over ONE exchange, per-user reduce, no Expand",
     "q_interval_overlap" -> "sweep-line concurrency: checkpointed intervals, day-bucketed distributed prefix sum + broadcast offsets",
-    "q_knn_graph" -> "kNN graph: label-blocked candidate equi-join + per-source ranked window (never n^2)",
+    "q_knn_graph" -> "kNN graph: IVF-list-blocked candidate equi-join + per-source ranked window (never n^2)",
+    "q_knn_graph_xlist" -> "multi-list kNN graph: top-2 list assignment (broadcast centroids), candidates still an equi-join on list_id",
+    "q_skyline3" -> "3-objective skyline: per-day pre-reduction + prefix-restricted BNL anti-join over the calendar-bounded day set",
+    "q_dedup_embedding" -> "embedding LSH: size-derived band geometry, sign bits vs broadcast anchors, bucket join, cosine residual",
     "q_dedup_survivor" -> "survivorship: components + per-cluster size/argmax windows over one cluster_id partitioning",
     "q_profile" -> "column profile: per-column single-distinct branches (two-phase partial-distinct, pruned scans), unioned",
     "q_join_dpp" -> "dynamic partition pruning: runtime subquery from the dim broadcast narrows the day-partitioned fact scan",
