@@ -245,10 +245,40 @@ object Features extends QueryModule {
         .select(col("rule"), col("violations").cast(LongType).as("violations"),
           (col("violations") === 0).as("ok"))
         .orderBy("rule")
+    }),
+
+    // K-ANONYMITY audit — the privacy gate a training-data release runs
+    // beside PII redaction (C6): group the table by its quasi-identifier
+    // tuple (here event_type × day) and report the equivalence-class
+    // profile: k = the smallest class (any class < k re-identifies),
+    // classes and rows below the k = 5 release bar. One partial+final
+    // aggregate over the QI key then a 1-row rollup of the (bounded)
+    // class frame — two shuffles total, no row ever leaves its partition
+    // unaggregated. At 100 TB the QI cardinality (types × days) is the
+    // only state.
+    "q_privacy_kanon" -> ((s, d) => {
+      val K = 5
+      Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("class_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          min("class_size").as("k_anonymity"),
+          count_if(col("class_size") < K).as("classes_below_k"),
+          sum(when(col("class_size") < K, col("class_size")).otherwise(0L))
+            .as("rows_at_risk"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_privacy_kanon" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS class_size
+        |  FROM events GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_classes,
+        |  min(class_size) AS k_anonymity,
+        |  COUNT(*) FILTER (WHERE class_size < 5) AS classes_below_k,
+        |  COALESCE(SUM(class_size) FILTER (WHERE class_size < 5), 0) AS rows_at_risk
+        |FROM c""".stripMargin,
     "q_regr_ols" ->
       """WITH p AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
