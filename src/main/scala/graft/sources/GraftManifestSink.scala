@@ -40,6 +40,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * become vacuum-able orphans, never torn reads). Concurrent READERS are
   * always safe: they see whichever manifest the atomic swap last published.
   *
+  * Each committed file carries a ZONE MAP — per-numeric-column [min, max]
+  * gathered by the task writer in the same pass that writes the rows — and
+  * the reader implements `SupportsPushDownFilters`: pushed numeric
+  * predicates skip whole files whose range proves no row can match (the
+  * manifest-level analog of parquet row-group statistics / Delta file
+  * skipping). All filters stay residual — surviving files still filter
+  * row-by-row — so skipping is purely an I/O eliminator, never a
+  * correctness dependency.
+  *
   * Append and truncate-overwrite are supported (`SupportsTruncate` — the
   * manifest swap makes overwrite atomic too). Every commit also archives
   * the new state as `_manifest.v{n}` — SNAPSHOT TIME TRAVEL: read any past
@@ -151,10 +160,40 @@ object GraftManifestSink {
   }
 }
 
-/** `_manifest` contents: schema + the exact committed file list. Stored as
-  * simple line-oriented text (no JSON dependency): first line the schema as
-  * `name:type` pairs, then one `fileName\trowCount` line per data file. */
-private[graft] case class Manifest(schema: StructType, files: Seq[(String, Long)])
+/** Per-file zone map: [min, max] per numeric column (long/int/double),
+  * gathered by the task writer in the same pass that writes the rows.
+  * Conservative by construction — a column absent from the map never
+  * prunes. Serialized as `name=min,max` pairs joined with `;` (column
+  * names in this sink are identifier-safe; strings/booleans carry no
+  * stats). */
+private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)]) {
+  def render: String =
+    ranges.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
+}
+
+private[graft] object ColumnStats {
+  val empty: ColumnStats = ColumnStats(Map.empty)
+  def parse(s: String): ColumnStats =
+    if (s.isEmpty) empty
+    else ColumnStats(s.split(";").map { cell =>
+      val Array(c, mm) = cell.split("=", 2)
+      val Array(lo, hi) = mm.split(",", 2)
+      c -> (BigDecimal(lo), BigDecimal(hi))
+    }.toMap)
+}
+
+/** One committed data file: name, row count, zone map. */
+private[graft] case class ManifestFile(name: String, rows: Long, stats: ColumnStats)
+
+/** `_manifest` contents: schema + the exact committed file list (+ per-file
+  * zone maps). Stored as simple line-oriented text (no JSON dependency):
+  * first line the schema as `name:type` pairs, then one
+  * `fileName\trowCount[\tstats]` line per data file — the third field is
+  * optional, so pre-zone-map manifests still parse. */
+private[graft] case class Manifest(schema: StructType, entries: Seq[ManifestFile]) {
+  def files: Seq[(String, Long)] = entries.map(e => (e.name, e.rows))
+}
 
 private[graft] object Manifest {
   private val TypeNames: Map[DataType, String] = Map(
@@ -167,10 +206,13 @@ private[graft] object Manifest {
       val Array(n, t) = cell.split(":", 2)
       StructField(n, ByName(t))
     }.toIndexedSeq)
-    val files = lines.tail.map { l =>
-      val Array(f, n) = l.split("\t"); (f, n.toLong)
+    val entries = lines.tail.map { l =>
+      l.split("\t") match {
+        case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty)
+        case Array(f, n, st) => ManifestFile(f, n.toLong, ColumnStats.parse(st))
+      }
     }
-    Manifest(schema, files)
+    Manifest(schema, entries)
   }
 
   /** Current table state. */
@@ -211,7 +253,8 @@ private[graft] object Manifest {
   def write(dir: Path, m: Manifest): Unit = {
     val body = (m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
       .mkString("\t") +:
-      m.files.map { case (f, n) => s"$f\t$n" }).mkString("\n").getBytes(UTF_8)
+      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}"))
+      .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
     // tmp names carry no `.v<digits>` suffix, so snapshotVersions never sees them
     val snapTmp = dir.resolve(s"_manifest.tmp.v$next")
@@ -252,7 +295,8 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   }
 }
 
-private[sources] case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
+private[sources] case class StagedFile(name: String, rows: Long, stats: String)
+  extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     queryId: String, overwrite: Boolean) extends BatchWrite {
@@ -265,17 +309,17 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     * manifest or the new one — never a partial file set. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staging = dir.resolve("_staging")
-    val committed = messages.map { case StagedFile(name, rows) =>
+    val committed = messages.map { case StagedFile(name, rows, stats) =>
       Files.move(staging.resolve(name), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
-      (name, rows)
+      ManifestFile(name, rows, ColumnStats.parse(stats))
     }.toSeq
     // truncate drops old files from the CURRENT manifest only — they stay
     // on disk because archived snapshots still reference them (time travel);
     // `VACUUM MANIFEST ... RETAIN n SNAPSHOTS` expires them later.
     val prev =
       if (overwrite) Seq.empty
-      else Manifest.read(dir).map(_.files).getOrElse(Seq.empty)
+      else Manifest.read(dir).map(_.entries).getOrElse(Seq.empty)
     Manifest.write(dir, Manifest(schema, prev ++ committed))
   }
 
@@ -306,11 +350,36 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   }
   private val out = Files.newBufferedWriter(staging.resolve(name), UTF_8)
   private var rows = 0L
+  // zone map, gathered in the same pass that writes the rows: min/max per
+  // numeric column (null cells skipped — absent range never prunes)
+  private val statIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == DoubleType => i
+  }
+  private val mins = new Array[BigDecimal](schema.length)
+  private val maxs = new Array[BigDecimal](schema.length)
 
   override def write(row: InternalRow): Unit = {
     out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
+    statIdx.foreach { i =>
+      if (!row.isNullAt(i)) {
+        val v: BigDecimal = schema.fields(i).dataType match {
+          case LongType => BigDecimal(row.getLong(i))
+          case IntegerType => BigDecimal(row.getInt(i))
+          case DoubleType => BigDecimal(row.getDouble(i))
+        }
+        if (mins(i) == null || v < mins(i)) mins(i) = v
+        if (maxs(i) == null || v > maxs(i)) maxs(i) = v
+      }
+    }
   }
-  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name, rows) }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val stats = ColumnStats(statIdx.collect {
+      case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
+    }.toMap)
+    StagedFile(name, rows, stats.render)
+  }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
   override def close(): Unit = ()
 }
@@ -318,7 +387,10 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
 // ----------------------------------------------------------------- read ----
 
 private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private val manifest = snapshot match {
     case Some(v) => Manifest.readSnapshot(dir, v).orElse(
       throw new IllegalArgumentException(s"no snapshot v$v at $dir " +
@@ -327,20 +399,82 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
   }
   private val full = manifest.map(_.schema).getOrElse(StructType(Nil))
   private var required: StructType = full
+  private var skipping: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan =
-    new ManifestScan(dir, full, required, manifest.map(_.files).getOrElse(Seq.empty))
+
+  /** Zone-map pushdown: filters are used to SKIP whole files via the
+    * per-file min/max ranges the writer recorded; they are all returned as
+    * residual (surviving files still contain non-matching rows), the same
+    * contract as parquet row-group skipping. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipping = filters.filter(ManifestScanBuilder.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skipping
+
+  override def build(): Scan = {
+    val entries = manifest.map(_.entries).getOrElse(Seq.empty)
+    val kept = entries.filter(e =>
+      skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+    new ManifestScan(dir, full, required, kept.map(e => (e.name, e.rows)),
+      entries.length)
+  }
+}
+
+private[sources] object ManifestScanBuilder {
+  import org.apache.spark.sql.sources._
+
+  private def num(v: Any): Option[BigDecimal] = v match {
+    case n: Long => Some(BigDecimal(n))
+    case n: Int => Some(BigDecimal(n))
+    case n: Double => Some(BigDecimal(n))
+    case n: Float => Some(BigDecimal(n.toDouble))
+    case n: Short => Some(BigDecimal(n.toInt))
+    case n: Byte => Some(BigDecimal(n.toInt))
+    case _ => None
+  }
+
+  private[sources] def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => num(v).isDefined
+    case GreaterThan(_, v) => num(v).isDefined
+    case GreaterThanOrEqual(_, v) => num(v).isDefined
+    case LessThan(_, v) => num(v).isDefined
+    case LessThanOrEqual(_, v) => num(v).isDefined
+    case In(_, vs) => vs.nonEmpty && vs.forall(num(_).isDefined)
+    case And(l, r) => prunable(l) && prunable(r)
+    case _ => false
+  }
+
+  /** Conservative: true unless the file's [min, max] PROVES no row can
+    * match. A column without stats never prunes. */
+  private[sources] def mightMatch(f: Filter, st: ColumnStats): Boolean = {
+    def rng(c: String) = st.ranges.get(c)
+    f match {
+      case EqualTo(c, v) =>
+        rng(c).forall { case (lo, hi) => num(v).forall(x => x >= lo && x <= hi) }
+      case GreaterThan(c, v) => rng(c).forall { case (_, hi) => num(v).forall(hi > _) }
+      case GreaterThanOrEqual(c, v) => rng(c).forall { case (_, hi) => num(v).forall(hi >= _) }
+      case LessThan(c, v) => rng(c).forall { case (lo, _) => num(v).forall(lo < _) }
+      case LessThanOrEqual(c, v) => rng(c).forall { case (lo, _) => num(v).forall(lo <= _) }
+      case In(c, vs) =>
+        rng(c).forall { case (lo, hi) =>
+          vs.exists(v => num(v).forall(x => x >= lo && x <= hi)) }
+      case And(l, r) => mightMatch(l, st) && mightMatch(r, st)
+      case _ => true
+    }
+  }
 }
 
 private[sources] case class ManifestFilePartition(file: String, dir: String,
     full: StructType, wanted: StructType) extends InputPartition
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
-    files: Seq[(String, Long)]) extends Scan with Batch {
+    files: Seq[(String, Long)], totalFiles: Int) extends Scan with Batch {
   override def readSchema(): StructType = wanted
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")}"
+    s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")} " +
+      s"files=${files.length}/$totalFiles"
 
   /** One partition per COMMITTED file of the selected snapshot — staged and
     * orphaned files are never planned, the read half of the exactly-once

@@ -154,6 +154,38 @@ class ManifestSinkSpec extends SparkSuite {
     assert(Manifest.snapshotVersions(Paths.get(dir)) == Seq(1, 2))
   }
 
+  test("zone maps skip whole files on pushed numeric predicates") {
+    val dir = freshDir()
+    // range-partitioned by id → disjoint per-file [min, max] ranges
+    (1L to 90L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+      .repartitionByRange(3, $"id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val m = Manifest.read(Paths.get(dir)).get
+    assert(m.entries.length == 3)
+    m.entries.foreach(e => assert(e.stats.ranges.contains("id")
+      && e.stats.ranges.contains("score"), e))
+
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val desc = df.queryExecution.executedPlan.toString
+      val Re = """files=(\d+)/(\d+)""".r.unanchored
+      desc match { case Re(k, t) => (k.toInt, t.toInt) }
+    }
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    // a selective equality hits exactly one file's range
+    val one = base.filter($"id" === 7L)
+    assert(planned(one) == ((1, 3)), planned(one).toString)
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // a range predicate on the double column prunes too
+    val hi = base.filter($"score" > 100.0) // ids > 66.7 → last file only
+    assert(planned(hi) == ((1, 3)))
+    assert(hi.count() == 90L - 67L + 1)
+    // an impossible predicate reads zero files but stays correct
+    val none = base.filter($"id" > 1000L)
+    assert(planned(none) == ((0, 3)) && none.count() == 0L)
+    // non-prunable predicates read everything and stay correct
+    assert(base.filter($"name" === "name42").count() == 1L)
+  }
+
   test("column pruning reaches the manifest reader") {
     val dir = freshDir()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
