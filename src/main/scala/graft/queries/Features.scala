@@ -61,10 +61,14 @@ object Features extends QueryModule {
     // the broadcast edges (a codegen'd CASE chain, no shuffle of facts).
     "q_feature_bins" -> ((s, d) => {
       val o = Tables(s, d, "orders")
+      // ONE percentile buffer for all three edges (percentile over an
+      // array of fractions) — three separate aggregates each built their
+      // own copy of the full value buffer
       val edges = o.agg(
-        percentile(col("o_totalprice"), lit(0.25)).as("q1"),
-        percentile(col("o_totalprice"), lit(0.5)).as("q2"),
-        percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+        percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(element_at(col("qs"), 1).as("q1"),
+          element_at(col("qs"), 2).as("q2"),
+          element_at(col("qs"), 3).as("q3"))
       o.crossJoin(broadcast(edges))
         .withColumn("bin",
           when(col("o_totalprice") <= col("q1"), 0)
