@@ -71,15 +71,54 @@ private[sources] class GraftDocsTable(rows: Long, parts: Int)
 }
 
 private[sources] class GraftDocsScanBuilder(rows: Long, parts: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var required: StructType = GraftDocsSource.schema
   private var lo: Long = 0L            // inclusive
   private var hi: Long = rows          // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggKinds: Option[Seq[GraftDocsScanBuilder.AggKind]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COMPLETE aggregate pushdown for metadata-answerable aggregates:
+    * COUNT(*) / COUNT(doc_id) / MIN(doc_id) / MAX(doc_id) with no GROUP BY
+    * are pure functions of the (post-filter-pushdown) key range [lo, hi) —
+    * the scan answers them from arithmetic, materializing ZERO rows. This
+    * is the connector-level analog of parquet's footer-count optimization:
+    * at 100 TB, `SELECT count(*)` over a service-backed source must never
+    * enumerate the service. Anything else falls back to a normal scan. */
+  private def translate(agg: Aggregation): Option[Seq[GraftDocsScanBuilder.AggKind]] = {
+    import GraftDocsScanBuilder._
+    def docIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames()(0) == "doc_id"
+        case _ => false
+      }
+    if (agg.groupByExpressions().nonEmpty) return None
+    val kinds = agg.aggregateExpressions().map {
+      case _: CountStar => Some(KCount)
+      case c: Count if !c.isDistinct && docIdRef(c.column) => Some(KCount)
+      case m: Min if docIdRef(m.column) => Some(KMin)
+      case m: Max if docIdRef(m.column) => Some(KMax)
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) Some(kinds.flatten.toSeq) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) => aggKinds = some; true
+      case None => false
+    }
 
   /** Accept doc_id range/equality filters (narrowing [lo, hi)); everything
     * else stays post-scan. */
@@ -103,7 +142,17 @@ private[sources] class GraftDocsScanBuilder(rows: Long, parts: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftDocsScan(required, math.max(lo, 0L), hi, parts)
+  override def build(): Scan = aggKinds match {
+    case Some(kinds) => new GraftDocsAggScan(math.max(lo, 0L), hi, kinds)
+    case None => new GraftDocsScan(required, math.max(lo, 0L), hi, parts)
+  }
+}
+
+private[sources] object GraftDocsScanBuilder {
+  sealed trait AggKind
+  case object KCount extends AggKind
+  case object KMin extends AggKind
+  case object KMax extends AggKind
 }
 
 private[sources] case class DocsRange(start: Long, end: Long, schema: StructType)
@@ -147,6 +196,45 @@ private[sources] class GraftDocsScan(required: StructType, lo: Long, hi: Long, p
   }
 
   override def createReaderFactory(): PartitionReaderFactory = DocsReaderFactory
+}
+
+/** Completed-aggregate scan: one partition, one row, zero generated rows.
+  * count = hi − lo; min/max = range endpoints (NULL on an empty range). */
+private[sources] case class DocsAggResult(lo: Long, hi: Long,
+    kinds: Seq[GraftDocsScanBuilder.AggKind]) extends InputPartition
+
+private[sources] class GraftDocsAggScan(lo: Long, hi: Long,
+    kinds: Seq[GraftDocsScanBuilder.AggKind]) extends Scan with Batch {
+  import GraftDocsScanBuilder._
+  override def readSchema(): StructType = StructType(kinds.zipWithIndex.map {
+    case (KCount, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftDocsAggScan range=[$lo,$hi) aggs=${kinds.mkString(",")} (metadata-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocsAggResult(lo, hi, kinds))
+  override def createReaderFactory(): PartitionReaderFactory = DocsAggReaderFactory
+}
+
+private[sources] object DocsAggReaderFactory extends PartitionReaderFactory {
+  import GraftDocsScanBuilder._
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val DocsAggResult(lo, hi, kinds) = partition.asInstanceOf[DocsAggResult]
+    val empty = hi <= lo
+    val row = InternalRow.fromSeq(kinds.map {
+      case KCount => math.max(hi - lo, 0L)
+      case KMin => if (empty) null else lo
+      case KMax => if (empty) null else hi - 1
+    }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] object DocsReaderFactory extends PartitionReaderFactory {

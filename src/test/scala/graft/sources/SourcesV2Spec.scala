@@ -66,4 +66,28 @@ class SourcesV2Spec extends SparkSuite {
     assert(df.count() === 50)
     assert(df.select("doc_id").as[Long].collect().forall(_ % 20 == 3))
   }
+
+  test("count/min/max push down completely: metadata-only scan, zero rows generated") {
+    import org.apache.spark.sql.functions._
+    val agg = docs(100000).agg(
+      count(lit(1)).as("n"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDocsAggScan"), plan.take(600))
+    assert(plan.contains("metadata-only"))
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100000L, 0L, 99999L)))
+
+    // composes with filter pushdown: the range narrows FIRST, then the
+    // aggregate is answered from the narrowed range
+    val ranged = docs(100000).filter($"doc_id" >= 10L && $"doc_id" < 20L)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("GraftDocsAggScan"))
+    val rr = ranged.head()
+    assert((rr.getLong(0), rr.getLong(1), rr.getLong(2)) == ((10L, 10L, 19L)))
+
+    // aggregates the metadata cannot answer still read rows and stay right
+    val grouped = docs(1000).groupBy($"source").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("GraftDocsAggScan"))
+    assert(grouped.collect().map(_.getLong(1)).sum === 1000L)
+  }
 }
