@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    projected columns — `SELECT doc_id` never builds text strings;
   *  - `SupportsPushDownFilters`: `doc_id` range predicates narrow the key
   *    space BEFORE partition planning — partitions outside the range are
-  *    never created, the moral equivalent of partition pruning.
+  *    never created, the moral equivalent of partition pruning;
+  *  - `SupportsPushDownAggregates`: COUNT/MIN/MAX over the key answer from
+  *    range arithmetic — a metadata-only scan, zero rows generated;
+  *  - `MicroBatchStream` + `SupportsTriggerAvailableNow`: the same key
+  *    space as a rate-limited stream with positional offsets — checkpoint
+  *    resume is exactly-once, `Trigger.AvailableNow` drains a backlog in
+  *    bounded admission-controlled batches.
   *
   * Usage: `spark.read.format("graft.sources.GraftDocsSource")
   *   .option("rows", n).option("partitions", p).load()`.
@@ -40,7 +46,8 @@ class GraftDocsSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new GraftDocsTable(
       properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("partitions", "8").toInt)
+      properties.asScala.getOrElse("partitions", "8").toInt,
+      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong)
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -60,17 +67,17 @@ object GraftDocsSource {
   }
 }
 
-private[sources] class GraftDocsTable(rows: Long, parts: Int)
+private[sources] class GraftDocsTable(rows: Long, parts: Int, rowsPerBatch: Long)
   extends Table with SupportsRead {
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocsScanBuilder(rows, parts)
+    new GraftDocsScanBuilder(rows, parts, rowsPerBatch)
 }
 
-private[sources] class GraftDocsScanBuilder(rows: Long, parts: Int)
+private[sources] class GraftDocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -144,7 +151,7 @@ private[sources] class GraftDocsScanBuilder(rows: Long, parts: Int)
 
   override def build(): Scan = aggKinds match {
     case Some(kinds) => new GraftDocsAggScan(math.max(lo, 0L), hi, kinds)
-    case None => new GraftDocsScan(required, math.max(lo, 0L), hi, parts)
+    case None => new GraftDocsScan(required, math.max(lo, 0L), hi, parts, rowsPerBatch)
   }
 }
 
@@ -158,11 +165,15 @@ private[sources] object GraftDocsScanBuilder {
 private[sources] case class DocsRange(start: Long, end: Long, schema: StructType)
   extends InputPartition
 
-private[sources] class GraftDocsScan(required: StructType, lo: Long, hi: Long, parts: Int)
+private[sources] class GraftDocsScan(required: StructType, lo: Long, hi: Long, parts: Int,
+    rowsPerBatch: Long = 1000L)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftDocsMicroBatch(required, lo, hi, parts, rowsPerBatch)
   override def description(): String =
     s"GraftDocsScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -196,6 +207,71 @@ private[sources] class GraftDocsScan(required: StructType, lo: Long, hi: Long, p
   }
 
   override def createReaderFactory(): PartitionReaderFactory = DocsReaderFactory
+}
+
+/** Micro-batch streaming read over the same deterministic key space — the
+  * STREAMING half of the connector surface (`MicroBatchStream` +
+  * `SupportsAdmissionControl`):
+  *
+  *  - offsets are plain row positions (`DocsOffset`), serialized to the
+  *    checkpoint as their decimal string — restart resumes exactly where
+  *    the last committed batch ended (exactly-once at the source, the
+  *    contract Kafka offsets provide);
+  *  - admission control paces ingestion: each trigger admits at most
+  *    `rowsPerBatch` rows (`ReadLimit.maxRows`), so a backlogged source
+  *    drains in bounded batches instead of one unbounded catch-up batch —
+  *    `Trigger.AvailableNow` walks the backlog in rate-limited steps;
+  *  - each batch's range splits into the same `DocsRange` partitions the
+  *    batch scan plans, read by the same reader factory (column pruning
+  *    included) — batch ≡ stream by construction.
+  */
+private[sources] case class DocsOffset(id: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+private[sources] class GraftDocsMicroBatch(required: StructType, lo: Long, hi: Long,
+    parts: Int, rowsPerBatch: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  /** Trigger.AvailableNow contract: pin the drain target when the query
+    * starts so the rate-limited batches walk toward a FIXED end even if
+    * the source keeps growing. Our key space is already fixed per query
+    * (`hi` from the rows option), so the pin is the existing bound. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): SOffset = DocsOffset(lo)
+  override def deserializeOffset(json: String): SOffset = DocsOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[DocsOffset].id
+    val cap = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => rowsPerBatch
+    }
+    DocsOffset(math.min(s + math.max(cap, 1L), hi))
+  }
+  override def reportLatestOffset(): SOffset = DocsOffset(hi)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocsOffset].id
+    val e = end.asInstanceOf[DocsOffset].id
+    val n = math.max(e - s, 0L)
+    if (n == 0) return Array.empty
+    val span = (n + parts - 1) / parts
+    (0 until parts).iterator
+      .map(p => DocsRange(s + p * span, math.min(s + (p + 1) * span, e), required))
+      .filter(r => r.start < r.end)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = DocsReaderFactory
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Completed-aggregate scan: one partition, one row, zero generated rows.

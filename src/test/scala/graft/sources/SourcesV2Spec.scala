@@ -90,4 +90,39 @@ class SourcesV2Spec extends SparkSuite {
     assert(!grouped.queryExecution.executedPlan.toString.contains("GraftDocsAggScan"))
     assert(grouped.collect().map(_.getLong(1)).sum === 1000L)
   }
+
+  test("micro-batch stream: admission control paces batches, checkpoint resumes exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("docs_stream_ckpt_").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+
+    def drain(rows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftDocsSource")
+        .option("rows", rows.toString).option("partitions", "4")
+        .option("rowsPerBatch", "40")
+        .load().select("doc_id")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.synchronized {
+            batches += batch.collect().map(_.getLong(0)).toSeq.sorted
+          }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // 100 rows at 40/trigger → batches of 40, 40, 20 (admission control,
+    // not one unbounded catch-up batch)
+    drain(100)
+    val sizes = batches.map(_.size).toSeq
+    assert(sizes == Seq(40, 40, 20), s"batch sizes $sizes")
+    assert(batches.flatten.sorted.toSeq == (0L until 100L).toSeq, "rows lost or duplicated")
+
+    // the source grows to 160 rows; the same checkpoint resumes at 100 —
+    // no re-read, no gap
+    batches.clear()
+    drain(160)
+    assert(batches.flatten.sorted.toSeq == (100L until 160L).toSeq,
+      s"resume re-read or skipped rows: ${batches.map(_.size)}")
+  }
 }
