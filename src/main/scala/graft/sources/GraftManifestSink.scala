@@ -416,8 +416,7 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
     val entries = manifest.map(_.entries).getOrElse(Seq.empty)
     val kept = entries.filter(e =>
       skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
-    new ManifestScan(dir, full, required, kept.map(e => (e.name, e.rows)),
-      entries.length)
+    new ManifestScan(dir, full, required, kept, entries.length)
   }
 }
 
@@ -469,19 +468,67 @@ private[sources] case class ManifestFilePartition(file: String, dir: String,
     full: StructType, wanted: StructType) extends InputPartition
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
-    files: Seq[(String, Long)], totalFiles: Int) extends Scan with Batch {
+    entries: Seq[ManifestFile], totalFiles: Int) extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.Statistics
+  import org.apache.spark.sql.sources.Filter
+  import java.util.OptionalLong
+
+  // runtime filters (e.g. broadcast-join key sets arriving as In) shrink
+  // this BEFORE partition planning — Iceberg-style runtime file pruning
+  // against the same zone maps compile-time pushdown uses
+  private var current: Seq[ManifestFile] = entries
+  /** Observable by tests: how many files the last planning kept. */
+  @volatile private[sources] var plannedFiles: Int = entries.length
+
   override def readSchema(): StructType = wanted
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")} " +
-      s"files=${files.length}/$totalFiles"
+      s"files=${entries.length}/$totalFiles"
+
+  /** Manifest-derived statistics (exact row counts, on-disk bytes of the
+    * surviving files) — what lets Catalyst size broadcast/join decisions
+    * and DPP benefit estimates for this sink the way parquet file sizes
+    * do. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rowsTotal = entries.map(_.rows).sum
+    private val bytesTotal = entries.map { e =>
+      val p = dir.resolve(e.name)
+      if (Files.exists(p)) Files.size(p) else e.rows * 32L
+    }.sum
+    override def numRows(): OptionalLong = OptionalLong.of(rowsTotal)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(bytesTotal, 1L))
+  }
+
+  /** Any numeric column can prune at runtime — the zone maps carry ranges
+    * for every long/int/double column the writer saw. */
+  override def filterAttributes(): Array[NamedReference] =
+    full.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DoubleType => Expressions.column(f.name)
+    }
+
+  /** Runtime pruning: executed-side filters (DPP subquery results, runtime
+    * IN-sets from a broadcast join build side) drop whole files whose zone
+    * map proves no match — the join-time analog of the compile-time
+    * skipping in [[ManifestScanBuilder]]. Conservative: unknown filter
+    * shapes and stat-less columns keep the file. */
+  override def filter(filters: Array[Filter]): Unit =
+    current = current.filter(e =>
+      filters.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
 
   /** One partition per COMMITTED file of the selected snapshot — staged and
     * orphaned files are never planned, the read half of the exactly-once
     * contract. */
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ManifestFilePartition(f._1, dir.toString, full, wanted))
+  override def planInputPartitions(): Array[InputPartition] = {
+    plannedFiles = current.length
+    current.map(e => ManifestFilePartition(e.name, dir.toString, full, wanted))
       .toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory
 }

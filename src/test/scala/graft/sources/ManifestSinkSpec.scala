@@ -186,6 +186,62 @@ class ManifestSinkSpec extends SparkSuite {
     assert(base.filter($"name" === "name42").count() == 1L)
   }
 
+  test("runtime filters prune whole files via the zone maps") {
+    import org.apache.spark.sql.sources.{In, EqualTo, GreaterThan}
+    val dir = freshDir()
+    (1L to 90L).map(i => (i, i * 1.5)).toDF("id", "score")
+      .repartitionByRange(3, $"id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val m = Manifest.read(Paths.get(dir)).get
+    val scan = new ManifestScan(Paths.get(dir), m.schema, m.schema, m.entries, 3)
+    assert(scan.planInputPartitions().length == 3)
+    // a broadcast-join build side arriving as a runtime IN-set keeps only
+    // the files whose [min, max] can hold any of the values
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array(7L, 12L))))
+    assert(scan.planInputPartitions().length == 1)
+    // further filters compose; an impossible conjunction plans zero files
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](GreaterThan("id", 1000L)))
+    assert(scan.planInputPartitions().length == 0)
+    // fresh scan: unknown shapes and stat-less columns never prune
+    val scan2 = new ManifestScan(Paths.get(dir), m.schema, m.schema, m.entries, 3)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("nope", "x")))
+    assert(scan2.planInputPartitions().length == 3)
+  }
+
+  test("broadcast-join DPP prunes manifest files at runtime, end to end") {
+    import org.apache.spark.sql.functions.broadcast
+    val dir = freshDir()
+    (1L to 90L).map(i => (i, i * 1.5)).toDF("id", "score")
+      .repartitionByRange(3, $"id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val fact = spark.read.format(Fmt).option("path", dir).load()
+    // selective build side → Spark injects a dynamicpruning IN-filter into
+    // the V2 scan; candidate ids {7, 457, 907} only intersect file 1's range
+    val dim = spark.range(0, 1000).toDF("id").filter($"id" % 450 === 7L)
+    val j = fact.join(broadcast(dim), "id")
+    val rows = j.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(7L))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), plan.take(800))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    val scan = scans(j.queryExecution.executedPlan).head
+    assert(scan.plannedFiles == 1,
+      s"runtime IN-set should prune to 1 of 3 files, planned ${scan.plannedFiles}")
+  }
+
   test("column pruning reaches the manifest reader") {
     val dir = freshDir()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
