@@ -242,6 +242,51 @@ class ManifestSinkSpec extends SparkSuite {
       s"runtime IN-set should prune to 1 of 3 files, planned ${scan.plannedFiles}")
   }
 
+  test("TSV codec and zone-map stats roundtrip adversarial values") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("i", IntegerType)))
+    val idx = GraftManifestSink.columnIndex(schema, schema)
+    // adversarial strings: every escaped char, the null marker itself,
+    // NUL bytes, unicode — plus numeric extremes and NaN
+    val strings = Seq("", "\t", "\n", "\r", "\\", "\\N", "\\\\N", "a\tb\nc\rd\\e",
+      "N", " nul ", "日本語 😀", "trailing\\")
+    val longs = Seq(Long.MinValue, -1L, 0L, Long.MaxValue)
+    val doubles = Seq(Double.MinPositiveValue, -0.0, 0.0, 1.5e308, -1.7e-300, Double.NaN)
+    val cases = for {
+      (s, k) <- strings.zipWithIndex
+      l = longs(k % longs.length); d = doubles(k % doubles.length)
+    } yield InternalRow(l, UTF8String.fromString(s), d, k % 2 == 0, k - 5)
+    (cases :+ InternalRow(null, null, null, null, null)).foreach { row =>
+      val back = GraftManifestSink.parse(
+        GraftManifestSink.render(row, schema), idx, schema)
+      (0 until schema.length).foreach { i =>
+        if (row.isNullAt(i)) assert(back.isNullAt(i), s"col $i not null")
+        else schema.fields(i).dataType match {
+          case LongType => assert(back.getLong(i) == row.getLong(i))
+          case IntegerType => assert(back.getInt(i) == row.getInt(i))
+          case BooleanType => assert(back.getBoolean(i) == row.getBoolean(i))
+          case StringType =>
+            assert(back.getUTF8String(i).toString == row.getUTF8String(i).toString)
+          case DoubleType =>
+            val (a, b) = (back.getDouble(i), row.getDouble(i))
+            assert(a == b || (a.isNaN && b.isNaN), s"$a vs $b")
+        }
+      }
+    }
+    // zone-map serialization: negative, fractional, huge magnitudes
+    val st = ColumnStats(Map(
+      "x" -> (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)),
+      "y" -> (BigDecimal("-1.5E308"), BigDecimal("2.225E-308")),
+      "z" -> (BigDecimal(-0.0), BigDecimal("0.1"))))
+    assert(ColumnStats.parse(st.render).ranges == st.ranges)
+    assert(ColumnStats.parse(ColumnStats.empty.render) == ColumnStats.empty)
+  }
+
   test("column pruning reaches the manifest reader") {
     val dir = freshDir()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
