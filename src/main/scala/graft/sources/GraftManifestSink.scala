@@ -269,7 +269,10 @@ private[graft] object Manifest {
 }
 
 private[sources] class ManifestTable(dir: Path, writeSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import org.apache.spark.sql.sources.Filter
+
   override def name(): String = s"graft_manifest($dir)"
   override def schema(): StructType =
     Manifest.read(dir).map(_.schema).getOrElse(writeSchema)
@@ -282,6 +285,39 @@ private[sources] class ManifestTable(dir: Path, writeSchema: StructType)
       Option(options.get("snapshot")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(), info.queryId())
+
+  /** METADATA-ONLY DELETE (the Iceberg model): `DELETE FROM t WHERE p` is
+    * satisfiable without rewriting data iff the zone maps split every file
+    * cleanly — a file either PROVABLY matches `p` on all rows (its range
+    * sits entirely inside the predicate → dropped from the manifest) or
+    * provably matches none (→ untouched). A file the predicate would cut
+    * through the middle needs a rewrite this sink does not do, so
+    * `canDeleteWhere` returns false and Spark reports the delete
+    * unsupported instead of silently dropping extra rows. Dropped files
+    * stay on disk — archived snapshots still reference them (time travel);
+    * `VACUUM MANIFEST … RETAIN n SNAPSHOTS` reaps them later. */
+  private def splitEntries(filters: Array[Filter])
+    : Option[(Seq[ManifestFile], Seq[ManifestFile])] = {
+    val entries = Manifest.read(dir).map(_.entries).getOrElse(Seq.empty)
+    val (drop, rest) = entries.partition(e =>
+      filters.forall(f => ManifestScanBuilder.mustMatchAll(f, e.stats)))
+    // any remaining file the predicate MIGHT touch is a partial delete
+    if (rest.exists(e =>
+        filters.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)) &&
+          e.rows > 0)) None
+    else Some((drop, rest))
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    splitEntries(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    splitEntries(filters) match {
+      case Some((_, rest)) => Manifest.write(dir, Manifest(schema(), rest))
+      case None => throw new UnsupportedOperationException(
+        "DELETE FROM on a manifest table is metadata-only: the predicate " +
+          "cuts through a file's zone-map range and would need a rewrite")
+    }
 }
 
 // ---------------------------------------------------------------- write ----
@@ -442,6 +478,29 @@ private[sources] object ManifestScanBuilder {
     case In(_, vs) => vs.nonEmpty && vs.forall(num(_).isDefined)
     case And(l, r) => prunable(l) && prunable(r)
     case _ => false
+  }
+
+  /** Dual of [[mightMatch]] for metadata-only DELETE: true iff the file's
+    * [min, max] PROVES every row matches. Conservative the other way — a
+    * column without stats can never prove a full match. `AlwaysTrue`
+    * (an unconditional DELETE) trivially matches all. */
+  private[sources] def mustMatchAll(f: Filter, st: ColumnStats): Boolean = {
+    def rng(c: String) = st.ranges.get(c)
+    f match {
+      case AlwaysTrue() => true
+      case EqualTo(c, v) =>
+        rng(c).exists { case (lo, hi) => num(v).exists(x => lo == x && hi == x) }
+      case GreaterThan(c, v) => rng(c).exists { case (lo, _) => num(v).exists(lo > _) }
+      case GreaterThanOrEqual(c, v) => rng(c).exists { case (lo, _) => num(v).exists(lo >= _) }
+      case LessThan(c, v) => rng(c).exists { case (_, hi) => num(v).exists(hi < _) }
+      case LessThanOrEqual(c, v) => rng(c).exists { case (_, hi) => num(v).exists(hi <= _) }
+      case In(c, vs) =>
+        rng(c).exists { case (lo, hi) =>
+          lo == hi && vs.exists(v => num(v).contains(lo)) }
+      case And(l, r) => mustMatchAll(l, st) && mustMatchAll(r, st)
+      case Or(l, r) => mustMatchAll(l, st) || mustMatchAll(r, st)
+      case _ => false
+    }
   }
 
   /** Conservative: true unless the file's [min, max] PROVES no row can

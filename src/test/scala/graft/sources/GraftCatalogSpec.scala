@@ -43,6 +43,36 @@ class GraftCatalogSpec extends SparkSuite {
     assert(listed.contains("docs") && !listed.contains("not_a_table"))
   }
 
+  test("DELETE FROM is metadata-only: whole files drop, partial deletes are rejected") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del")
+    spark.sql("CREATE TABLE graftcat.del.t (id BIGINT, v DOUBLE)")
+    // three single-partition batches → exactly three files with disjoint
+    // zone-map ranges (VALUES alone splits one row per partition)
+    def batch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+        .writeTo("graftcat.del.t").append()
+    batch(Seq(1L, 2L, 3L)); batch(Seq(11L, 12L, 13L)); batch(Seq(21L, 22L, 23L))
+    assert(spark.table("graftcat.del.t").count() == 9L)
+
+    // predicate covers file 1's entire [1, 3] range → metadata-only drop
+    spark.sql("DELETE FROM graftcat.del.t WHERE id < 10")
+    assert(spark.table("graftcat.del.t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 12L, 13L, 21L, 22L, 23L))
+
+    // predicate cuts through file [11, 13] → needs a rewrite → rejected,
+    // and the table is untouched
+    intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE id = 12") }
+    assert(spark.table("graftcat.del.t").count() == 6L)
+
+    // the dropped file stays reachable through the archived snapshot
+    val dir = s"$rootDir/del/t"
+    val snaps = Manifest.snapshotVersions(java.nio.file.Paths.get(dir))
+    val before = spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir).option("snapshot", (snaps.max - 1).toString).load()
+    assert(before.count() == 9L)
+  }
+
   test("RENAME and DROP are metadata operations on the manifest directory") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmp")
