@@ -136,6 +136,30 @@ object SourceQueries extends QueryModule {
         .option("rows", "1000").option("partitions", "8").load()
         .filter(col("doc_id") >= 100L && col("doc_id") < 400L)
         .orderBy("doc_id")
+    }),
+
+    // The STREAMING half of the DSv2 connector through the oracle gate:
+    // drain the micro-batch docs stream (admission control paces 300 rows
+    // into 64-row batches under Trigger.AvailableNow, positional offsets
+    // checkpointed in a scratch dir) into a memory sink, then aggregate the
+    // drained table per source. Batch ≡ stream by construction, so DuckDB
+    // mirrors the row generator exactly — a lost, duplicated or reordered
+    // batch hash-fails the driver gate, not just a unit test.
+    "q_stream_dsv2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft.sources.GraftDocsSource")
+        .option("rows", "300").option("partitions", "4").option("rowsPerBatch", "64")
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", graft.Scratch.dir("graft_dsv2_stream_"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     })
   )
 
@@ -173,6 +197,14 @@ object SourceQueries extends QueryModule {
         |      [CAST((doc_id*31 + i*7) % 10 AS INT) + 1]
         |    for i in range(0, 12)], ' ') AS text
         |FROM (SELECT range AS doc_id FROM range(100, 400))
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // The drained stream must equal the batch generator — same range,
+    // grouped per source.
+    "q_stream_dsv2" ->
+      """SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS source,
+        |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT range AS doc_id FROM range(0, 300))
+        |GROUP BY 1 ORDER BY source""".stripMargin
   )
 }
