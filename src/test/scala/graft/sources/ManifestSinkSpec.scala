@@ -287,6 +287,56 @@ class ManifestSinkSpec extends SparkSuite {
     assert(ColumnStats.parse(ColumnStats.empty.render) == ColumnStats.empty)
   }
 
+  test("zone-map proofs are sound: mightMatch never loses a row, mustMatchAll never overclaims") {
+    import org.apache.spark.sql.sources._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+    val valGen = Gen.chooseNum(-20L, 20L)
+    val fileGen = Gen.nonEmptyListOf(valGen) // one numeric column "c"
+    val filterGen: Gen[Filter] = {
+      val leaf = Gen.oneOf(
+        valGen.map(v => EqualTo("c", v): Filter),
+        valGen.map(v => GreaterThan("c", v): Filter),
+        valGen.map(v => GreaterThanOrEqual("c", v): Filter),
+        valGen.map(v => LessThan("c", v): Filter),
+        valGen.map(v => LessThanOrEqual("c", v): Filter),
+        Gen.nonEmptyListOf(valGen).map(vs => In("c", vs.toArray): Filter))
+      for { a <- leaf; b <- leaf; f <- Gen.oneOf(a, And(a, b), Or(a, b)) } yield f
+    }
+    def eval(f: Filter, v: Long): Boolean = f match {
+      case EqualTo(_, x: Long) => v == x
+      case GreaterThan(_, x: Long) => v > x
+      case GreaterThanOrEqual(_, x: Long) => v >= x
+      case LessThan(_, x: Long) => v < x
+      case LessThanOrEqual(_, x: Long) => v <= x
+      case In(_, xs) => xs.exists(_ == v)
+      case And(l, r) => eval(l, v) && eval(r, v)
+      case Or(l, r) => eval(l, v) || eval(r, v)
+      case AlwaysTrue() => true
+      case other => fail(s"unexpected filter $other")
+    }
+
+    val files = sample(fileGen, 120, 11L)
+    val filters = sample(filterGen, 120, 23L)
+    for (rows <- files; f <- filters) {
+      val st = ColumnStats(Map("c" -> ((BigDecimal(rows.min), BigDecimal(rows.max)))))
+      val any = rows.exists(eval(f, _))
+      val all = rows.forall(eval(f, _))
+      // soundness: a pruned file (mightMatch false) must contain NO match
+      if (!ManifestScanBuilder.mightMatch(f, st)) assert(!any,
+        s"mightMatch pruned a matching file: $f over [${rows.min},${rows.max}]")
+      // soundness: a metadata-deleted file (mustMatchAll true) must be ALL matches
+      if (ManifestScanBuilder.mustMatchAll(f, st)) assert(all,
+        s"mustMatchAll overclaimed: $f over [${rows.min},${rows.max}]")
+      // stat-less columns can never prune or prove
+      assert(ManifestScanBuilder.mightMatch(f, ColumnStats.empty))
+      assert(!ManifestScanBuilder.mustMatchAll(f, ColumnStats.empty))
+    }
+  }
+
   test("column pruning reaches the manifest reader") {
     val dir = freshDir()
     sample.write.format(Fmt).option("path", dir).mode("append").save()
