@@ -99,10 +99,15 @@ object Dedup extends QueryModule {
       .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
         .as("anchors"))
     val withAnchors = emb.crossJoin(broadcast(anchorArr))
+    // try_element_at: an anchor slot past the collected array (corpus
+    // smaller than bands × bits, or sparse vec_ids) yields NULL → the
+    // NULL-propagated dot fails the `> 0` test → sign bit 0, exactly
+    // DuckDB's out-of-bounds list semantics. Plain element_at would THROW
+    // under Spark 4's ANSI mode while the oracle silently emits 0 bits.
     def bandKey(lo: Int): Column =
       (0 until bits).map { i =>
         when(dotFixed(col("embedding"),
-          element_at(col("anchors"), lo + i + 1).getField("a_emb")) > 0,
+          try_element_at(col("anchors"), lit(lo + i + 1)).getField("a_emb")) > 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     val sigs = withAnchors.select(col("vec_id"), col("embedding"),
@@ -268,16 +273,20 @@ object Dedup extends QueryModule {
     * of each rebuilding both (round-4 advice: the two heaviest bench
     * entries were duplicating ~every shuffle). The fixpoint labels are
     * already `localCheckpoint`ed by [[connectedComponents]]' final round,
-    * so the memo hands out a lineage-free frame; entries are keyed by
-    * session identity so test corpora in fresh dirs never cross-pollute.
+    * so the memo hands out a lineage-free frame; entries are keyed by the
+    * SESSION REFERENCE itself (SparkSession has identity equality — unlike
+    * an identity hash code, a reference can never collide with a different
+    * session, and test corpora in fresh dirs never cross-pollute).
     * Contract: the table dir is IMMUTABLE for the session's lifetime (the
     * engine's inputs are immutable source files, SURVEY §1.1) — a pipeline
-    * that rewrites `documents` in place must use a new dir or session. */
+    * that rewrites `documents` in place must use a new dir or session.
+    * Entries live for the JVM (bounded by sessions × dirs — one frame of
+    * (doc_id, cluster_id) each). */
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private def hammingClusterLabels(s: org.apache.spark.sql.SparkSession,
                                    d: String): DataFrame =
-    ccMemo.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+    ccMemo.computeIfAbsent((s, d), _ => {
       val docs = Tables(s, d, "documents")
       val pairs = simhashPairsWithinK(simhashBigrams(docs), HammingK)
         .select("doc_a", "doc_b")
@@ -539,13 +548,13 @@ object Dedup extends QueryModule {
         .select(least(col("p.p_id"), col("vec_id")).as("vec_a"),
           greatest(col("p.p_id"), col("vec_id")).as("vec_b"))
         .distinct()
-      val found = exact.join(
-        embeddingLshPairs(emb).select("vec_a", "vec_b"),
-        Seq("vec_a", "vec_b"), "left_semi")
-      exact.agg(count(lit(1)).as("n_true"))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
-        .select(col("n_true"), col("n_found"),
-          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"))
+      // one pass: a left join marks found pairs, one aggregate counts both
+      // sides — the exact scan and the LSH pipeline each run exactly once
+      exact.join(
+          embeddingLshPairs(emb).select(col("vec_a"), col("vec_b"), lit(1).as("hit")),
+          Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
+          (count(col("hit")).cast(DoubleType) / count(lit(1))).as("recall"))
     })
   )
 

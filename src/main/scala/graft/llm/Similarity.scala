@@ -249,8 +249,12 @@ object Similarity extends QueryModule {
       val a2 = assignLists2(emb, seed)
       val x = a2.select(col("l1").as("list_id"), col("vec_id").as("src"),
         col("embedding").as("e_src"))
+      // array_distinct: with a single centroid the masked runner-up falls
+      // back to the argmax (l1 == l2) — without the dedup that degenerate
+      // case would index a dst twice under one list and rank it at two
+      // consecutive positions
       val y = a2.select(col("vec_id").as("dst"), col("embedding").as("e_dst"),
-        explode(array(col("l1"), col("l2"))).as("list_id"))
+        explode(array_distinct(array(col("l1"), col("l2")))).as("list_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(desc("sim"), col("dst"))
       x.join(y, Seq("list_id")).filter(col("src") =!= col("dst"))
@@ -504,7 +508,7 @@ object Similarity extends QueryModule {
          |  FROM p2t t, seed s),
          |dsts AS (
          |  SELECT vec_id, embedding, l1 AS list_id FROM a2
-         |  UNION ALL SELECT vec_id, embedding, l2 FROM a2)
+         |  UNION SELECT vec_id, embedding, l2 FROM a2)
          |SELECT src, dst, rank, sim FROM (
          |  SELECT x.vec_id AS src, y.vec_id AS dst,
          |    CAST(row_number() OVER (

@@ -76,7 +76,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   *  - `RETAIN n SNAPSHOTS` (n ≥ 1, parser-enforced) first expires all but
   *    the newest n archived manifest versions;
   *  - a `part-*` data file referenced by NO surviving manifest version is
-  *    unreachable (including via time travel) — reaped. */
+  *    unreachable (including via time travel) — reaped, but only past the
+  *    SAME age threshold: `ManifestBatchWrite.commit` promotes files out
+  *    of staging BEFORE the manifest swap, so a freshly-promoted file is
+  *    momentarily unreachable and must survive a concurrent vacuum. */
 case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     stagingOlderThanMinutes: Option[Long] = None)
   extends LeafRunnableCommand {
@@ -116,10 +119,15 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
             Files.deleteIfExists(p); Row(s"_staging/${p.getFileName}", "staged-uncommitted")
           }
       else Seq.empty
+    // the same age guard applies to root-level orphans: commit() PROMOTES
+    // files out of staging BEFORE the manifest swap, so a freshly-promoted
+    // file is momentarily unreachable — reaping it would break the commit
+    // that is about to reference it
     val orphans = listed(root)(_.toSeq)
       .filter(p => Files.isRegularFile(p))
       .filter(p => p.getFileName.toString.startsWith("part-"))
       .filterNot(p => reachable(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unreachable") }
     expired ++ staged ++ orphans
   }

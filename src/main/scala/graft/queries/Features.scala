@@ -268,8 +268,10 @@ object Features extends QueryModule {
         .agg(count(lit(1)).as("n_classes"),
           min("class_size").as("k_anonymity"),
           count_if(col("class_size") < K).as("classes_below_k"),
-          sum(when(col("class_size") < K, col("class_size")).otherwise(0L))
-            .as("rows_at_risk"))
+          // coalesce mirrors the oracle's COALESCE: sum over zero classes
+          // is NULL in both engines, reported as 0 rows at risk
+          coalesce(sum(when(col("class_size") < K, col("class_size")).otherwise(0L)),
+            lit(0L)).as("rows_at_risk"))
     })
   )
 

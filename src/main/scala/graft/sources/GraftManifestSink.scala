@@ -163,24 +163,43 @@ object GraftManifestSink {
 /** Per-file zone map: [min, max] per numeric column (long/int/double),
   * gathered by the task writer in the same pass that writes the rows.
   * Conservative by construction — a column absent from the map never
-  * prunes. Serialized as `name=min,max` pairs joined with `;` (column
+  * prunes. `incomplete` marks columns whose range does NOT describe every
+  * row (NULL cells, NaN/Infinity): such a range can still PRUNE (a NULL or
+  * NaN row never satisfies a comparison predicate, so "range proves no
+  * match" stays sound) but can never PROVE a full-file match for
+  * metadata-only DELETE — dropping the file would silently delete the
+  * NULL/NaN rows the predicate does not select. Serialized as `name=min,
+  * max` pairs joined with `;`, with incomplete columns after a `#` (column
   * names in this sink are identifier-safe; strings/booleans carry no
   * stats). */
-private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)]) {
-  def render: String =
-    ranges.toSeq.sortBy(_._1)
+private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)],
+    incomplete: Set[String] = Set.empty) {
+  def render: String = {
+    val r = ranges.toSeq.sortBy(_._1)
       .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
+    if (incomplete.isEmpty) r
+    else r + "#" + incomplete.toSeq.sorted.mkString(",")
+  }
 }
 
 private[graft] object ColumnStats {
   val empty: ColumnStats = ColumnStats(Map.empty)
   def parse(s: String): ColumnStats =
     if (s.isEmpty) empty
-    else ColumnStats(s.split(";").map { cell =>
-      val Array(c, mm) = cell.split("=", 2)
-      val Array(lo, hi) = mm.split(",", 2)
-      c -> (BigDecimal(lo), BigDecimal(hi))
-    }.toMap)
+    else {
+      val (rangesPart, incPart) = s.split("#", 2) match {
+        case Array(r, i) => (r, i.split(",").filter(_.nonEmpty).toSet)
+        case Array(r) => (r, Set.empty[String])
+      }
+      val ranges =
+        if (rangesPart.isEmpty) Map.empty[String, (BigDecimal, BigDecimal)]
+        else rangesPart.split(";").map { cell =>
+          val Array(c, mm) = cell.split("=", 2)
+          val Array(lo, hi) = mm.split(",", 2)
+          c -> (BigDecimal(lo), BigDecimal(hi))
+        }.toMap
+      ColumnStats(ranges, incPart)
+    }
 }
 
 /** One committed data file: name, row count, zone map. */
@@ -394,26 +413,37 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   }
   private val mins = new Array[BigDecimal](schema.length)
   private val maxs = new Array[BigDecimal](schema.length)
+  // a NULL or non-finite cell makes the column's range "incomplete": still
+  // sound for pruning, never sufficient to prove a full-file match
+  private val partial = new Array[Boolean](schema.length)
 
   override def write(row: InternalRow): Unit = {
     out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
     statIdx.foreach { i =>
-      if (!row.isNullAt(i)) {
-        val v: BigDecimal = schema.fields(i).dataType match {
-          case LongType => BigDecimal(row.getLong(i))
-          case IntegerType => BigDecimal(row.getInt(i))
-          case DoubleType => BigDecimal(row.getDouble(i))
+      if (row.isNullAt(i)) partial(i) = true
+      else {
+        val v: Option[BigDecimal] = schema.fields(i).dataType match {
+          case LongType => Some(BigDecimal(row.getLong(i)))
+          case IntegerType => Some(BigDecimal(row.getInt(i)))
+          case DoubleType =>
+            val d = row.getDouble(i)
+            if (java.lang.Double.isFinite(d)) Some(BigDecimal(d))
+            else { partial(i) = true; None } // NaN/Inf: no BigDecimal, no range update
         }
-        if (mins(i) == null || v < mins(i)) mins(i) = v
-        if (maxs(i) == null || v > maxs(i)) maxs(i) = v
+        v.foreach { x =>
+          if (mins(i) == null || x < mins(i)) mins(i) = x
+          if (maxs(i) == null || x > maxs(i)) maxs(i) = x
+        }
       }
     }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val stats = ColumnStats(statIdx.collect {
-      case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
-    }.toMap)
+    val stats = ColumnStats(
+      statIdx.collect {
+        case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
+      }.toMap,
+      statIdx.collect { case i if partial(i) => schema.fields(i).name }.toSet)
     StagedFile(name, rows, stats.render)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
@@ -462,8 +492,8 @@ private[sources] object ManifestScanBuilder {
   private def num(v: Any): Option[BigDecimal] = v match {
     case n: Long => Some(BigDecimal(n))
     case n: Int => Some(BigDecimal(n))
-    case n: Double => Some(BigDecimal(n))
-    case n: Float => Some(BigDecimal(n.toDouble))
+    case n: Double => if (java.lang.Double.isFinite(n)) Some(BigDecimal(n)) else None
+    case n: Float => if (java.lang.Float.isFinite(n)) Some(BigDecimal(n.toDouble)) else None
     case n: Short => Some(BigDecimal(n.toInt))
     case n: Byte => Some(BigDecimal(n.toInt))
     case _ => None
@@ -485,7 +515,10 @@ private[sources] object ManifestScanBuilder {
     * column without stats can never prove a full match. `AlwaysTrue`
     * (an unconditional DELETE) trivially matches all. */
   private[sources] def mustMatchAll(f: Filter, st: ColumnStats): Boolean = {
-    def rng(c: String) = st.ranges.get(c)
+    // an incomplete range (NULL/NaN cells exist) can never prove a full
+    // match — those rows do not satisfy any comparison predicate
+    def rng(c: String) =
+      if (st.incomplete(c)) None else st.ranges.get(c)
     f match {
       case AlwaysTrue() => true
       case EqualTo(c, v) =>

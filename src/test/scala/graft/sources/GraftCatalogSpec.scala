@@ -65,11 +65,20 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE id = 12") }
     assert(spark.table("graftcat.del.t").count() == 6L)
 
-    // the dropped file stays reachable through the archived snapshot
+    // a file containing NULLs in the predicate column must never be
+    // metadata-deleted — the NULL rows do not match the predicate, and the
+    // zone map (built from non-null cells only) cannot see them
+    Seq((Some(31L), 1.0), (Some(32L), 2.0), (None: Option[Long], 3.0))
+      .toDF("id", "v").coalesce(1).writeTo("graftcat.del.t").append()
+    intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE id <= 40") }
+    assert(spark.table("graftcat.del.t").count() == 9L)
+
+    // the dropped file stays reachable through the archived snapshot taken
+    // just before the delete (history: create, 3 inserts, delete, insert)
     val dir = s"$rootDir/del/t"
     val snaps = Manifest.snapshotVersions(java.nio.file.Paths.get(dir))
     val before = spark.read.format("graft.sources.GraftManifestSink")
-      .option("path", dir).option("snapshot", (snaps.max - 1).toString).load()
+      .option("path", dir).option("snapshot", (snaps.max - 2).toString).load()
     assert(before.count() == 9L)
   }
 

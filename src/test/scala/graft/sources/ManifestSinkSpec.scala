@@ -57,8 +57,10 @@ class ManifestSinkSpec extends SparkSuite {
     assert(snap(1) == 6L && snap(2) == 12L && snap(3) == 1L)
 
     // snapshot expiry: RETAIN 1 keeps only the current version → the
-    // overwritten files become unreachable and vacuum reaps them
-    val reaped = spark.sql(s"VACUUM MANIFEST '$dir' RETAIN 1 SNAPSHOTS").collect()
+    // overwritten files become unreachable and vacuum reaps them (age 0:
+    // the files were written moments ago)
+    val reaped = spark.sql(
+      s"VACUUM MANIFEST '$dir' RETAIN 1 SNAPSHOTS OLDER THAN 0 MINUTES").collect()
     assert(reaped.count(_.getString(1) == "snapshot-expired") == 2)
     oldFiles.foreach(f => assert(!Files.exists(Paths.get(dir, f)), s"$f not reaped"))
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 1L)
@@ -116,17 +118,20 @@ class ManifestSinkSpec extends SparkSuite {
     Files.write(Paths.get(dir, "_staging", "part-9-999-dead.tsv"), "1\tx\t1.0\n".getBytes)
     Files.write(Paths.get(dir, "part-stray.tsv"), "2\ty\t2.0\n".getBytes)
 
-    // default age threshold: a FRESH staged file (possibly an in-flight
-    // job's attempt) is NOT reaped; the stray unmanifested data file is
+    // default age threshold: NEITHER the fresh staged file (possibly an
+    // in-flight attempt) NOR the fresh unmanifested root file (possibly
+    // promoted-but-not-yet-committed) is reaped
     val safe = spark.sql(s"VACUUM MANIFEST '$dir'").collect()
-    assert(safe.map(_.getString(1)).toSeq == Seq("unreachable"))
+    assert(safe.isEmpty, safe.mkString(", "))
     assert(Files.exists(Paths.get(dir, "_staging", "part-9-999-dead.tsv")))
-    assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
+    assert(Files.exists(Paths.get(dir, "part-stray.tsv")))
 
     // opting into age 0 (SQL clause beats conf beats default) reaps
     // crash leftovers immediately
     val out = spark.sql(s"VACUUM MANIFEST '$dir' OLDER THAN 0 MINUTES").collect()
-    assert(out.map(_.getString(1)).toSeq == Seq("staged-uncommitted"))
+    assert(out.map(_.getString(1)).sorted.toSeq ==
+      Seq("staged-uncommitted", "unreachable"))
+    assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
     assert(!Files.list(Paths.get(dir, "_staging")).iterator().hasNext)
     // committed data untouched, and everything else still parses via delegate
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 6L)
@@ -335,6 +340,32 @@ class ManifestSinkSpec extends SparkSuite {
       assert(ManifestScanBuilder.mightMatch(f, ColumnStats.empty))
       assert(!ManifestScanBuilder.mustMatchAll(f, ColumnStats.empty))
     }
+  }
+
+  test("NULL and NaN cells mark the zone map incomplete instead of lying or crashing") {
+    val dir = freshDir()
+    // NaN/Infinity and NULL are supported cell values — the write must
+    // succeed and the range must be flagged incomplete, not fabricated
+    Seq((1L, Some(Double.NaN)), (2L, Some(2.5)), (3L, None),
+      (4L, Some(Double.PositiveInfinity)))
+      .toDF("id", "score").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val e = Manifest.read(Paths.get(dir)).get.entries.head
+    assert(e.stats.ranges("id") == ((BigDecimal(1), BigDecimal(4))))
+    assert(e.stats.ranges("score") == ((BigDecimal(2.5), BigDecimal(2.5))))
+    assert(e.stats.incomplete == Set("score"))
+    // round-trips through the manifest text format
+    assert(ColumnStats.parse(e.stats.render) == e.stats)
+    // an incomplete column can still PRUNE (NaN/NULL rows match nothing)…
+    import org.apache.spark.sql.sources.GreaterThan
+    assert(!ManifestScanBuilder.mightMatch(GreaterThan("score", 9.0), e.stats))
+    // …but can never PROVE a full-file match for metadata DELETE
+    assert(!ManifestScanBuilder.mustMatchAll(GreaterThan("score", 0.0), e.stats))
+    // NaN as a pushed filter value never prunes (and never throws)
+    assert(ManifestScanBuilder.mightMatch(GreaterThan("score", Double.NaN), e.stats))
+    // data still reads back intact
+    val back = spark.read.format(Fmt).option("path", dir).load().collect()
+    assert(back.length == 4)
   }
 
   test("column pruning reaches the manifest reader") {
