@@ -65,7 +65,13 @@ def main():
         gt = dict(zip(got_cols, got_types))
         type_diff = {c: (wt[c], gt[c]) for c in want_cols if wt[c] != gt[c]}
         if type_diff:
-            print(f"WARN {name}: type drift {type_diff}")
+            # Type drift is a hard failure: the driver hashes typed value
+            # encodings, so e.g. DuckDB HUGEINT vs Spark BIGINT hash-mismatch
+            # even when every cell compares equal (the round-5 q_privacy_kanon
+            # red row shipped over a printed WARN here).
+            print(f"FAIL {name}: type drift {type_diff}")
+            failures += 1
+            continue
         if len(want_rows) != len(got_rows):
             print(f"FAIL {name}: row count oracle={len(want_rows)} spark={len(got_rows)}")
             failures += 1

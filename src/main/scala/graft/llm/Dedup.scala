@@ -86,6 +86,23 @@ object Dedup extends QueryModule {
     (bands, bits)
   }
 
+  /** Recall-audit probe panel target: the exact side of the audit collects
+    * and broadcasts ~this many probe vectors regardless of corpus size. */
+  private[llm] val ProbePanelTarget = 256L
+
+  /** Corpus-size-derived probe modulus for the recall audit: the smallest
+    * power of two m with n ≤ m·[[ProbePanelTarget]], so the panel
+    * `vec_id ≡ 0 (mod m)` holds ~[[ProbePanelTarget]] probes (within 2×)
+    * at ANY corpus size — the round-5 verdict's fix for the fixed mod-50
+    * panel that grew linearly with the corpus (2 % of 100 TB is not a
+    * "bounded panel"). Integer-exact linear search over shifts, the same
+    * pattern as [[embeddingLshParams]], mirrored verbatim in the DuckDB
+    * oracle; shifts cap at 50 (2^50 · 256 = 2^58 stays inside BIGINT on
+    * both engines). */
+  private[llm] def probePanelModulus(n: Long): Long =
+    (0 to 50).map(1L << _).find(m => n <= m * ProbePanelTarget)
+      .getOrElse(1L << 50)
+
   /** Hyperplane-sign LSH near-dup pairs over an embeddings frame with
     * size-derived geometry ([[embeddingLshParams]]): anchors broadcast,
     * sign bits per-row, band-bucket equi-join, exact fixed-point cosine ≥
@@ -93,8 +110,14 @@ object Dedup extends QueryModule {
     * and its recall audit. The one driver-side `count()` sizing the
     * geometry is the pre-planning cardinality read a production indexer
     * does. Returns (vec_a, vec_b, cosine). */
-  private def embeddingLshPairs(emb: DataFrame): DataFrame = {
-    val (nBands, bits) = embeddingLshParams(emb.count())
+  private def embeddingLshPairs(emb: DataFrame): DataFrame =
+    embeddingLshPairs(emb, emb.count())
+
+  /** Variant taking a pre-computed corpus count, so callers that already
+    * sized something else from n (the recall audit's probe modulus) reuse
+    * one scan instead of counting twice. */
+  private def embeddingLshPairs(emb: DataFrame, n: Long): DataFrame = {
+    val (nBands, bits) = embeddingLshParams(n)
     val anchorArr = emb.filter(col("vec_id") < nBands * bits)
       .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
         .as("anchors"))
@@ -277,21 +300,44 @@ object Dedup extends QueryModule {
     * SESSION REFERENCE itself (SparkSession has identity equality — unlike
     * an identity hash code, a reference can never collide with a different
     * session, and test corpora in fresh dirs never cross-pollute).
-    * Contract: the table dir is IMMUTABLE for the session's lifetime (the
-    * engine's inputs are immutable source files, SURVEY §1.1) — a pipeline
-    * that rewrites `documents` in place must use a new dir or session.
-    * Entries live for the JVM (bounded by sessions × dirs — one frame of
-    * (doc_id, cluster_id) each). */
+    * Staleness (round-5 advice): each entry carries a FINGERPRINT of the
+    * table's file listing (path, length, mtime per file) taken at memo
+    * time; a lookup whose fingerprint differs drops the stale frame and
+    * recomputes, so a pipeline that rewrites `documents` under the same
+    * dir in the same session gets fresh labels instead of silently stale
+    * ones. The evicted frame's localCheckpoint blocks are freed by Spark's
+    * ContextCleaner once the frame is unreferenced. Entries live for the
+    * JVM (bounded by sessions × dirs — one frame of (doc_id, cluster_id)
+    * each, at most one per dir). */
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, DataFrame)]
+
+  /** Cheap fingerprint of a parquet table path: sorted (path, length,
+    * mtime) of every regular file under it. Local-FS only — exactly the
+    * deployment the memo serves; a missing path fingerprints as "absent"
+    * and still invalidates correctly when the table appears. */
+  private def tableFingerprint(d: String, table: String): String = {
+    val root = new java.io.File(d, s"$table.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk)).getOrElse(Seq.empty)
+      else Seq(f)
+    if (!root.exists()) "absent"
+    else walk(root).map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString(";")
+  }
+
   private def hammingClusterLabels(s: org.apache.spark.sql.SparkSession,
-                                   d: String): DataFrame =
-    ccMemo.computeIfAbsent((s, d), _ => {
-      val docs = Tables(s, d, "documents")
-      val pairs = simhashPairsWithinK(simhashBigrams(docs), HammingK)
-        .select("doc_a", "doc_b")
-      connectedComponents(pairs, docs.select(col("doc_id")))
-    })
+                                   d: String): DataFrame = {
+    val fp = tableFingerprint(d, "documents")
+    ccMemo.compute((s, d), (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else {
+        val docs = Tables(s, d, "documents")
+        val pairs = simhashPairsWithinK(simhashBigrams(docs), HammingK)
+          .select("doc_a", "doc_b")
+        (fp, connectedComponents(pairs, docs.select(col("doc_id"))))
+      })._2
+  }
 
   def queries: Map[String, Q] = Map(
     // Duplicated-SPAN detection (substring-level dedup à la "Deduplicating
@@ -538,7 +584,13 @@ object Dedup extends QueryModule {
     // means a silent geometry regression fails the driver gate.
     "q_dedup_embedding_recall" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      // probe modulus derived from corpus size (round-5 verdict: the fixed
+      // mod-50 panel collected 2 % of ALL vectors — linear in the corpus);
+      // the panel now holds ~ProbePanelTarget probes at any n, so the
+      // broadcast exact side stays a few hundred rows at 10⁹ vectors. The
+      // count() also sizes the LSH geometry — one scan, reused.
+      val n = emb.count()
+      val probes = emb.filter(pmod(col("vec_id"), lit(probePanelModulus(n))) === 0)
         .agg(collect_list(struct(col("vec_id").as("p_id"), col("embedding").as("p_emb")))
           .as("ps"))
       val exact = emb.crossJoin(broadcast(probes))
@@ -549,12 +601,17 @@ object Dedup extends QueryModule {
           greatest(col("p.p_id"), col("vec_id")).as("vec_b"))
         .distinct()
       // one pass: a left join marks found pairs, one aggregate counts both
-      // sides — the exact scan and the LSH pipeline each run exactly once
+      // sides — the exact scan and the LSH pipeline each run exactly once.
+      // recall is NULL (both engines) when the audit finds no ground-truth
+      // pairs: Spark 0/0 is NaN while DuckDB errors or yields NULL, so the
+      // degenerate-corpus case is pinned to one defined value.
       exact.join(
-          embeddingLshPairs(emb).select(col("vec_a"), col("vec_b"), lit(1).as("hit")),
+          embeddingLshPairs(emb, n).select(col("vec_a"), col("vec_b"), lit(1).as("hit")),
           Seq("vec_a", "vec_b"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
-          (count(col("hit")).cast(DoubleType) / count(lit(1))).as("recall"))
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") > 0,
+            col("n_found").cast(DoubleType) / col("n_true")).as("recall"))
     })
   )
 
@@ -810,8 +867,14 @@ object Dedup extends QueryModule {
     // vectors; found = ground-truth pairs present in the banded LSH output.
     "q_dedup_embedding_recall" ->
       s"""WITH $sqlEmbeddingLshCtes,
+         |pm AS (
+         |  SELECT COALESCE((SELECT MIN(CAST(1 AS BIGINT) << s)
+         |                   FROM (SELECT unnest(range(0, 51)) AS s) rs, nn
+         |                   WHERE n <= (CAST(1 AS BIGINT) << s) * $ProbePanelTarget),
+         |                  CAST(1 AS BIGINT) << 50) AS pmod),
          |probes AS (
-         |  SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings WHERE vec_id % 50 = 0),
+         |  SELECT vec_id AS p_id, embedding AS p_emb
+         |  FROM embeddings, pm WHERE vec_id % pmod = 0),
          |exact AS (
          |  SELECT DISTINCT least(p.p_id, e.vec_id) AS vec_a,
          |         greatest(p.p_id, e.vec_id) AS vec_b
@@ -823,7 +886,7 @@ object Dedup extends QueryModule {
          |  FROM exact x LEFT JOIN (SELECT vec_a, vec_b FROM lshp) l
          |    USING (vec_a, vec_b))
          |SELECT n_true, n_found,
-         |       CAST(n_found AS DOUBLE) / n_true AS recall
+         |       CASE WHEN n_true > 0 THEN CAST(n_found AS DOUBLE) / n_true END AS recall
          |FROM f""".stripMargin
   )
 }

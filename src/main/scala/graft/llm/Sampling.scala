@@ -26,10 +26,24 @@ object Sampling extends QueryModule {
 
   private val Seed = 42L
 
-  /** LCG-step hash over [0, 2^31−1): all intermediates < 2^63. */
+  /** LCG-step hash over [0, 2^31−1). */
   private val HashA = 1103515245L
   private val HashC = 12345L
   private val HashP = 2147483647L
+
+  /** Overflow-safe LCG step: the key is reduced mod P BEFORE the multiply,
+    * so the largest intermediate is (P−1+Seed)·HashA < 2^61 — inside
+    * Long/BIGINT on both engines at ANY key (round-5 advice: the unreduced
+    * `(key + Seed) * HashA` overflows once the key exceeds ~2^33, throwing
+    * under Spark's ANSI mode and erroring in DuckDB — exactly the doc-id
+    * range a 100 TB corpus reaches). For keys < 2^31 (all test SFs) the
+    * value is identical to the unreduced form. Mirrored verbatim by
+    * [[sqlLcg]] in the oracles. */
+  private def lcg(key: org.apache.spark.sql.Column, seed: Long) =
+    (((key % HashP) + seed) * HashA + HashC) % HashP
+
+  private def sqlLcg(key: String, seed: Long): String =
+    s"((($key % $HashP) + $seed) * $HashA + $HashC) % $HashP"
 
   def queries: Map[String, Q] = Map(
     // Uniform 25% sample: hash-threshold over doc_id. A salt (Seed) mixed
@@ -37,7 +51,7 @@ object Sampling extends QueryModule {
     // sharing the LCG family.
     "q_sample" -> ((s, d) =>
       Tables(s, d, "documents")
-        .filter((((col("doc_id") + lit(Seed)) * HashA + HashC) % HashP) % 10000 < 2500)
+        .filter(lcg(col("doc_id"), Seed) % 10000 < 2500)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
@@ -48,7 +62,7 @@ object Sampling extends QueryModule {
     // selected set is oracle-certified (not just its size).
     "q_sample_stratified" -> ((s, d) =>
       Tables(s, d, "documents")
-        .filter((((col("doc_id") + lit(Seed)) * HashA + HashC) % HashP) % 10000
+        .filter(lcg(col("doc_id"), Seed) % 10000
           < when(col("lang") === "en", 2500).otherwise(10000))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
@@ -59,7 +73,7 @@ object Sampling extends QueryModule {
     // the filter prunes before any downstream stage.
     "q_sample_hash" -> ((s, d) =>
       Tables(s, d, "events")
-        .filter(((col("event_id") * HashA + HashC) % HashP) % 20 === 0)
+        .filter(lcg(col("event_id"), 0L) % 20 === 0)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")),
 
@@ -74,7 +88,7 @@ object Sampling extends QueryModule {
     // flooding a training mixture.
     "q_sample_reservoir" -> ((s, d) =>
       Tables(s, d, "documents")
-        .withColumn("hk", (col("doc_id") * HashA + HashC) % HashP)
+        .withColumn("hk", lcg(col("doc_id"), 0L))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("source").orderBy("hk", "doc_id"))
@@ -96,7 +110,7 @@ object Sampling extends QueryModule {
       val idx = expr("CAST(substring(source, 4) AS INT)")
       val thresholdBp = lit(2000) + pmod(idx, lit(8)) * 500   // 20%..55% by source
       Tables(s, d, "documents")
-        .filter(((col("doc_id") * HashA + HashC) % HashP) % 10000 < thresholdBp)
+        .filter(lcg(col("doc_id"), 0L) % 10000 < thresholdBp)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).cast("long").as("sum_doc_id"))
@@ -107,17 +121,17 @@ object Sampling extends QueryModule {
   def oracles: Map[String, String] = Map(
     "q_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE (((doc_id + $Seed) * $HashA + $HashC) % $HashP) % 10000 < 2500
+         |WHERE (${sqlLcg("doc_id", Seed)}) % 10000 < 2500
          |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT lang, COUNT(*) AS n_docs FROM documents
-         |WHERE (((doc_id + $Seed) * $HashA + $HashC) % $HashP) % 10000
+         |WHERE (${sqlLcg("doc_id", Seed)}) % 10000
          |      < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sample_reservoir" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, lang,
-         |         (doc_id * $HashA + $HashC) % $HashP AS hk
+         |         ${sqlLcg("doc_id", 0L)} AS hk
          |  FROM documents),
          |r AS (
          |  SELECT *, CAST(row_number() OVER (
@@ -127,12 +141,12 @@ object Sampling extends QueryModule {
          |ORDER BY source, rk""".stripMargin,
     "q_sample_hash" ->
       s"""SELECT event_id, user_id, event_type, value FROM events
-         |WHERE ((event_id * $HashA + $HashC) % $HashP) % 20 = 0
+         |WHERE (${sqlLcg("event_id", 0L)}) % 20 = 0
          |ORDER BY event_id""".stripMargin,
     "q_sample_mixture" ->
       s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
          |FROM documents
-         |WHERE ((doc_id * $HashA + $HashC) % $HashP) % 10000
+         |WHERE (${sqlLcg("doc_id", 0L)}) % 10000
          |      < 2000 + 500 * (CAST(substring(source, 4) AS INT) % 8)
          |GROUP BY source ORDER BY source""".stripMargin
   )

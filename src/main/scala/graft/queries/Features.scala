@@ -283,7 +283,7 @@ object Features extends QueryModule {
         |SELECT COUNT(*) AS n_classes,
         |  min(class_size) AS k_anonymity,
         |  COUNT(*) FILTER (WHERE class_size < 5) AS classes_below_k,
-        |  COALESCE(SUM(class_size) FILTER (WHERE class_size < 5), 0) AS rows_at_risk
+        |  CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < 5), 0) AS BIGINT) AS rows_at_risk
         |FROM c""".stripMargin,
     "q_regr_ols" ->
       """WITH p AS (

@@ -275,8 +275,10 @@ private[graft] object Manifest {
       m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}"))
       .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
-    // tmp names carry no `.v<digits>` suffix, so snapshotVersions never sees them
-    val snapTmp = dir.resolve(s"_manifest.tmp.v$next")
+    // `.tmp` LAST keeps the name outside SnapshotName even for substring
+    // matching — `_manifest.tmp.v3` was only ignored because the regex
+    // pattern match anchors full-string, a trap for future edits
+    val snapTmp = dir.resolve(s"_manifest.v$next.tmp")
     Files.write(snapTmp, body)
     Files.move(snapTmp, dir.resolve(s"_manifest.v$next"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)

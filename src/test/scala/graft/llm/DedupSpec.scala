@@ -156,7 +156,8 @@ class DedupSpec extends SparkSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     val emb = graft.Tables(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
-    val probes = emb.filter(_._1 % 50 == 0)
+    val mod = Dedup.probePanelModulus(emb.length.toLong)
+    val probes = emb.filter(_._1 % mod == 0)
     def dot(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) =>
         math.floor(x.toDouble * y.toDouble * 1e12).toLong }.sum / 1e12
@@ -164,6 +165,29 @@ class DedupSpec extends SparkSuite {
       val pair = (math.min(p, v), math.max(p, v))
       assert(lsh.contains(pair), s"high-sim pair $pair missed by LSH")
     }
+  }
+
+  test("recall-audit probe panel stays bounded as the corpus grows") {
+    // panel size n/mod must hold ~ProbePanelTarget at ANY corpus size —
+    // the round-5 verdict's finding was a fixed modulus whose panel grew
+    // linearly (2 % of the corpus). Sweep 8 decades of n: never above the
+    // target, and (once the corpus exceeds the target) never below half
+    // of it — the panel is flat, not shrinking or growing.
+    val target = Dedup.ProbePanelTarget
+    for (n <- Seq(10L, 500L, 25000L, 1000000L, 100000000L, 10000000000L,
+                  1000000000000L, 100000000000000L)) {
+      val m = Dedup.probePanelModulus(n)
+      val panel = n / m   // probes at vec_id ≡ 0 (mod m), ids dense from 0
+      assert(panel <= target, s"n=$n: panel $panel exceeds target $target")
+      if (n > target)
+        assert(panel > target / 2, s"n=$n: panel $panel collapsed below ${target / 2}")
+    }
+    // 10× growth changes the panel by at most 2× (power-of-two modulus)
+    val sizes = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(n => n / Dedup.probePanelModulus(n))
+    for (Seq(a, b) <- sizes.sliding(2))
+      assert(math.max(a, b) <= 2 * math.min(a, b),
+        s"panel whipsawed across a 10x step: $sizes")
   }
 
   test("exact dedup is idempotent and keeps the latest row per key") {
