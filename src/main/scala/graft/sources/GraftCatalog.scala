@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A V2 CATALOG PLUGIN backed by manifest-committed tables
@@ -78,8 +78,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestTable(dir, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** `ALTER TABLE ADD COLUMN` — the most common DDL after CREATE — as a
+    * METADATA-ONLY operation: the widened schema is published through the
+    * same atomic manifest swap every write uses, and no data file is
+    * rewritten. Each manifest entry records how many leading columns its
+    * file physically stores, so readers NULL-fill the new tail columns of
+    * pre-alter files (the same widen-and-NULL-fill semantics as the
+    * `q_schema_evolution` mergeSchema read). The swap archives a snapshot,
+    * so pre-alter versions stay readable under their old schema.
+    *
+    * Only nullable, end-appended, codec-supported ADD COLUMN is accepted.
+    * Everything that would need a data rewrite or could silently corrupt
+    * old files — DROP COLUMN, RENAME COLUMN, type changes (including
+    * narrowing), NOT NULL adds, positioned adds — is rejected explicitly
+    * rather than half-supported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val m = Manifest.read(dir).getOrElse(throw new NoSuchTableException(ident))
+    val widened = changes.foldLeft(m.schema) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ALTER TABLE ADD COLUMN: nested fields not supported")
+          val colName = add.fieldNames()(0)
+          if (schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
+            throw new IllegalArgumentException(
+              s"ALTER TABLE ADD COLUMN: column $colName already exists")
+          if (!add.isNullable)
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ADD COLUMN: $colName must be nullable — existing " +
+                "rows NULL-fill the new column")
+          if (add.position() != null)
+            throw new UnsupportedOperationException(
+              "ALTER TABLE ADD COLUMN: only appending at the end is supported — " +
+                "existing files identify their columns as a schema prefix")
+          if (!Manifest.supportedType(add.dataType()))
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ADD COLUMN: type ${add.dataType().simpleString} not " +
+                "supported by this sink")
+          schema.add(StructField(colName, add.dataType(), nullable = true))
+        case _: TableChange.DeleteColumn =>
+          throw new UnsupportedOperationException(
+            "ALTER TABLE DROP COLUMN not supported: committed files would need " +
+              "a rewrite — create a new table instead")
+        case _: TableChange.RenameColumn =>
+          throw new UnsupportedOperationException(
+            "ALTER TABLE RENAME COLUMN not supported: committed files bind " +
+              "columns by position under the original names")
+        case _: TableChange.UpdateColumnType =>
+          throw new UnsupportedOperationException(
+            "ALTER TABLE: column type changes (including narrowing) are not " +
+              "supported — committed files would need a rewrite")
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE: unsupported change $other")
+      }
+    }
+    Manifest.write(dir, Manifest(widened, m.entries, m.props))
+    new ManifestTable(dir, widened)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

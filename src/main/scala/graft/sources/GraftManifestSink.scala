@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,7 +61,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Row encoding is line-oriented TSV with `\`-escaping (encoding is
   * incidental — the commit protocol is the point; a production fork swaps
   * the writer body for parquet). Supported field types: long, int, double,
-  * boolean, string.
+  * boolean, string, date, timestamp.
   *
   * Usage:
   * {{{
@@ -84,7 +85,8 @@ class GraftManifestSink extends TableProvider {
       properties: JMap[String, String]): Table = {
     val dir = properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("graft-manifest table requires option 'path'"))
-    new ManifestTable(Paths.get(dir), schema)
+    new ManifestTable(Paths.get(dir), schema,
+      properties.asScala.get("snapshot").map(_.toInt))
   }
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -132,6 +134,8 @@ object GraftManifestSink {
         case DoubleType => row.getDouble(i).toString
         case BooleanType => row.getBoolean(i).toString
         case StringType => escape(row.getUTF8String(i).toString)
+        case DateType => row.getInt(i).toString // days since epoch (internal repr)
+        case TimestampType => row.getLong(i).toString // micros since epoch (internal repr)
         case dt => throw new UnsupportedOperationException(s"type $dt")
       }
     }.mkString("\t")
@@ -143,95 +147,202 @@ object GraftManifestSink {
     wanted.fieldNames.map(byName)
   }
 
-  private[sources] def parse(line: String, idx: Array[Int], wanted: StructType): InternalRow = {
+  /** `fileCols` is how many leading columns of the CURRENT table schema the
+    * file physically stores (files written before an `ALTER TABLE ADD
+    * COLUMN` store fewer): a wanted column whose stored index falls past
+    * the file's width NULL-fills — schema evolution without rewriting old
+    * files, per file-width, no data copy. */
+  private[sources] def parse(line: String, idx: Array[Int], wanted: StructType,
+      fileCols: Int): InternalRow = {
     val cells = line.split("\t", -1)
     InternalRow.fromSeq(wanted.fields.indices.map { i =>
-      val raw = cells(idx(i))
-      if (raw == "\\N") null
-      else wanted.fields(i).dataType match {
-        case LongType => raw.toLong
-        case IntegerType => raw.toInt
-        case DoubleType => raw.toDouble
-        case BooleanType => raw.toBoolean
-        case StringType => UTF8String.fromString(unescape(raw))
-        case dt => throw new UnsupportedOperationException(s"type $dt")
+      if (idx(i) >= fileCols) null // column added after this file was committed
+      else {
+        val raw = cells(idx(i))
+        if (raw == "\\N") null
+        else wanted.fields(i).dataType match {
+          case LongType => raw.toLong
+          case IntegerType => raw.toInt
+          case DoubleType => raw.toDouble
+          case BooleanType => raw.toBoolean
+          case StringType => UTF8String.fromString(unescape(raw))
+          case DateType => raw.toInt
+          case TimestampType => raw.toLong
+          case dt => throw new UnsupportedOperationException(s"type $dt")
+        }
       }
     })
   }
 }
 
-/** Per-file zone map: [min, max] per numeric column (long/int/double),
-  * gathered by the task writer in the same pass that writes the rows.
-  * Conservative by construction — a column absent from the map never
-  * prunes. `incomplete` marks columns whose range does NOT describe every
-  * row (NULL cells, NaN/Infinity): such a range can still PRUNE (a NULL or
-  * NaN row never satisfies a comparison predicate, so "range proves no
-  * match" stays sound) but can never PROVE a full-file match for
-  * metadata-only DELETE — dropping the file would silently delete the
-  * NULL/NaN rows the predicate does not select. Serialized as `name=min,
-  * max` pairs joined with `;`, with incomplete columns after a `#` (column
-  * names in this sink are identifier-safe; strings/booleans carry no
-  * stats). */
+/** Per-file zone map: [min, max] per column, gathered by the task writer
+  * in the same pass that writes the rows. Two stat families:
+  *
+  *  - `ranges` — numeric-ordered columns (long/int/double, plus
+  *    date/timestamp via their internal int-days/long-micros encoding);
+  *  - `strRanges` — string columns, bounds in RAW UTF-8 BYTE order (the
+  *    same binary order Spark's default UTF8_BINARY collation compares
+  *    with, so prune decisions agree with row-level filter semantics),
+  *    serialized base64 so bounds may contain any byte. Long bounds are
+  *    TRUNCATED to [[ColumnStats.StatMaxBytes]] with WIDENING — lower
+  *    bound cut (a prefix sorts ≤ the full string), upper bound cut then
+  *    last byte incremented (sorts ≥ the full string; a bound of all 0xff
+  *    bytes has no such upper bound and drops the column's stats) — so a
+  *    pathological corpus of megabyte keys cannot bloat the manifest, and
+  *    every proof below stays sound against the widened range.
+  *
+  * Conservative by construction — a column absent from the maps never
+  * prunes. `incomplete` marks columns (of either family) whose range does
+  * NOT describe every row (NULL cells, NaN/Infinity): such a range can
+  * still PRUNE (a NULL or NaN row never satisfies a comparison predicate,
+  * so "range proves no match" stays sound) but can never PROVE a full-file
+  * match for metadata-only DELETE — dropping the file would silently
+  * delete the NULL/NaN rows the predicate does not select. Serialized as
+  * `name=min,max` pairs joined with `;`, incomplete columns after `#`,
+  * string ranges after `$` (column names in this sink are identifier-safe:
+  * no `=,;#$` or tabs; booleans carry no stats). */
 private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)],
-    incomplete: Set[String] = Set.empty) {
+    incomplete: Set[String] = Set.empty,
+    strRanges: Map[String, (String, String)] = Map.empty) {
   def render: String = {
     val r = ranges.toSeq.sortBy(_._1)
       .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
-    if (incomplete.isEmpty) r
-    else r + "#" + incomplete.toSeq.sorted.mkString(",")
+    val withInc =
+      if (incomplete.isEmpty) r
+      else r + "#" + incomplete.toSeq.sorted.mkString(",")
+    if (strRanges.isEmpty) withInc
+    else withInc + "$" + strRanges.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
   }
 }
 
 private[graft] object ColumnStats {
   val empty: ColumnStats = ColumnStats(Map.empty)
+
+  /** String zone-map bounds are capped at this many UTF-8 bytes (with
+    * sound widening) — the Delta/Iceberg stats-truncation trade. */
+  val StatMaxBytes = 64
+
+  private[sources] def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  private[sources] def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Unsigned lexicographic byte order — UTF-8 byte order, i.e. code-point
+    * order, the order UTF8_BINARY string comparisons use. */
+  private[sources] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Widening truncation of a LOWER bound: a strict prefix sorts ≤ the
+    * full string in byte order, so the cut bound is still a lower bound. */
+  private[sources] def truncLower(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StatMaxBytes) b else java.util.Arrays.copyOf(b, StatMaxBytes)
+
+  /** Widening truncation of an UPPER bound: cut, then increment the last
+    * non-0xff byte and drop everything after it — the result sorts > any
+    * string with the original prefix. None when every byte is 0xff (no
+    * finite upper bound exists at this width → caller drops the stats). */
+  private[sources] def truncUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StatMaxBytes) Some(b)
+    else {
+      val t = java.util.Arrays.copyOf(b, StatMaxBytes)
+      var i = StatMaxBytes - 1
+      while (i >= 0 && (t(i) & 0xff) == 0xff) i -= 1
+      if (i < 0) None
+      else { t(i) = ((t(i) & 0xff) + 1).toByte; Some(java.util.Arrays.copyOf(t, i + 1)) }
+    }
+
   def parse(s: String): ColumnStats =
     if (s.isEmpty) empty
     else {
-      val (rangesPart, incPart) = s.split("#", 2) match {
+      val (mainPart, strPart) = s.split("\\$", 2) match {
+        case Array(m, sp) => (m, sp)
+        case Array(m) => (m, "")
+      }
+      val (rangesPart, incPart) = mainPart.split("#", 2) match {
         case Array(r, i) => (r, i.split(",").filter(_.nonEmpty).toSet)
         case Array(r) => (r, Set.empty[String])
       }
-      val ranges =
-        if (rangesPart.isEmpty) Map.empty[String, (BigDecimal, BigDecimal)]
-        else rangesPart.split(";").map { cell =>
+      def pairs(part: String): Seq[(String, (String, String))] =
+        if (part.isEmpty) Seq.empty
+        else part.split(";").toSeq.map { cell =>
           val Array(c, mm) = cell.split("=", 2)
           val Array(lo, hi) = mm.split(",", 2)
-          c -> (BigDecimal(lo), BigDecimal(hi))
-        }.toMap
-      ColumnStats(ranges, incPart)
+          c -> ((lo, hi))
+        }
+      val ranges = pairs(rangesPart)
+        .map { case (c, (lo, hi)) => c -> ((BigDecimal(lo), BigDecimal(hi))) }.toMap
+      ColumnStats(ranges, incPart, pairs(strPart).toMap)
     }
 }
 
-/** One committed data file: name, row count, zone map. */
-private[graft] case class ManifestFile(name: String, rows: Long, stats: ColumnStats)
+/** One committed data file: name, row count, zone map, and how many
+  * leading columns of the table schema the file physically stores (`cols`
+  * < schema width for files committed before an `ALTER TABLE ADD COLUMN`
+  * — readers NULL-fill the tail). */
+private[graft] case class ManifestFile(name: String, rows: Long, stats: ColumnStats,
+    cols: Int)
 
-/** `_manifest` contents: schema + the exact committed file list (+ per-file
-  * zone maps). Stored as simple line-oriented text (no JSON dependency):
-  * first line the schema as `name:type` pairs, then one
-  * `fileName\trowCount[\tstats]` line per data file — the third field is
-  * optional, so pre-zone-map manifests still parse. */
-private[graft] case class Manifest(schema: StructType, entries: Seq[ManifestFile]) {
+/** `_manifest` contents: schema + optional table properties + the exact
+  * committed file list (+ per-file zone maps and widths). Stored as simple
+  * line-oriented text (no JSON dependency): first line the schema as
+  * `name:type` pairs; an optional `!`-prefixed properties line
+  * (`!key=value` pairs, tab-joined — data file names start with `part-`,
+  * never `!`, so the line is unambiguous); then one
+  * `fileName\trowCount[\tstats[\tcols]]` line per data file — the third
+  * and fourth fields are optional, so pre-zone-map and pre-evolution
+  * manifests still parse (a legacy entry's width defaults to ITS
+  * manifest's schema width, which is exactly the schema it was written
+  * under). */
+private[graft] case class Manifest(schema: StructType, entries: Seq[ManifestFile],
+    props: Map[String, String] = Map.empty) {
   def files: Seq[(String, Long)] = entries.map(e => (e.name, e.rows))
 }
 
 private[graft] object Manifest {
   private val TypeNames: Map[DataType, String] = Map(
     LongType -> "long", IntegerType -> "int", DoubleType -> "double",
-    BooleanType -> "boolean", StringType -> "string")
+    BooleanType -> "boolean", StringType -> "string",
+    DateType -> "date", TimestampType -> "timestamp")
   private val ByName = TypeNames.map(_.swap)
+
+  /** Manifest property recording the highest streaming epoch committed to
+    * this table — the idempotence watermark [[ManifestStreamingWrite]]
+    * checks on replay. */
+  private[sources] val LastEpochProp = "lastEpoch"
+
+  /** Types the TSV codec + zone maps support — the gate `ALTER TABLE ADD
+    * COLUMN` checks before widening a schema. */
+  private[sources] def supportedType(dt: DataType): Boolean = TypeNames.contains(dt)
 
   private def parse(lines: Seq[String]): Manifest = {
     val schema = StructType(lines.head.split("\t").filter(_.nonEmpty).map { cell =>
       val Array(n, t) = cell.split(":", 2)
       StructField(n, ByName(t))
     }.toIndexedSeq)
-    val entries = lines.tail.map { l =>
+    val (props, entryLines) = lines.tail match {
+      case p +: rest if p.startsWith("!") =>
+        (p.drop(1).split("\t").filter(_.nonEmpty).map { cell =>
+          val Array(k, v) = cell.split("=", 2); k -> v
+        }.toMap, rest)
+      case rest => (Map.empty[String, String], rest)
+    }
+    val entries = entryLines.map { l =>
       l.split("\t") match {
-        case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty)
-        case Array(f, n, st) => ManifestFile(f, n.toLong, ColumnStats.parse(st))
+        case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
+        case Array(f, n, st) => ManifestFile(f, n.toLong, ColumnStats.parse(st), schema.length)
+        case Array(f, n, st, c) => ManifestFile(f, n.toLong, ColumnStats.parse(st), c.toInt)
       }
     }
-    Manifest(schema, entries)
+    Manifest(schema, entries, props)
   }
 
   /** Current table state. */
@@ -270,9 +381,13 @@ private[graft] object Manifest {
     * or VACUUM computing its reachable-file set — can never observe a
     * torn-but-parseable prefix and mistake live files for unreachable. */
   def write(dir: Path, m: Manifest): Unit = {
-    val body = (m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
+    val header = m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
       .mkString("\t") +:
-      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}"))
+      (if (m.props.isEmpty) Seq.empty
+       else Seq("!" + m.props.toSeq.sortBy(_._1)
+         .map { case (k, v) => s"$k=$v" }.mkString("\t")))
+    val body = (header ++
+      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}\t${e.cols}"))
       .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
     // `.tmp` LAST keeps the name outside SnapshotName even for substring
@@ -289,17 +404,23 @@ private[graft] object Manifest {
   }
 }
 
-private[sources] class ManifestTable(dir: Path, writeSchema: StructType)
+private[sources] class ManifestTable(dir: Path, writeSchema: StructType,
+    snapshot: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.sources.Filter
 
   override def name(): String = s"graft_manifest($dir)"
-  override def schema(): StructType =
-    Manifest.read(dir).map(_.schema).getOrElse(writeSchema)
+  /** The selected SNAPSHOT's schema when time-traveling (a pre-ALTER
+    * version must read under the schema it was committed with), else the
+    * current manifest's. */
+  override def schema(): StructType = snapshot match {
+    case Some(v) => Manifest.readSnapshot(dir, v).map(_.schema).getOrElse(writeSchema)
+    case None => Manifest.read(dir).map(_.schema).getOrElse(writeSchema)
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(dir,
@@ -334,7 +455,8 @@ private[sources] class ManifestTable(dir: Path, writeSchema: StructType)
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     splitEntries(filters) match {
-      case Some((_, rest)) => Manifest.write(dir, Manifest(schema(), rest))
+      case Some((_, rest)) => Manifest.write(dir,
+        Manifest(schema(), rest, Manifest.read(dir).map(_.props).getOrElse(Map.empty)))
       case None => throw new UnsupportedOperationException(
         "DELETE FROM on a manifest table is metadata-only: the predicate " +
           "cuts through a file's zone-map range and would need a rewrite")
@@ -349,39 +471,27 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, queryId, overwrite)
+    override def toStreaming: StreamingWrite =
+      new ManifestStreamingWrite(dir, schema, queryId)
   }
 }
 
-private[sources] case class StagedFile(name: String, rows: Long, stats: String)
-  extends WriterCommitMessage
+private[sources] case class StagedFile(name: String, rows: Long, stats: String,
+    cols: Int) extends WriterCommitMessage
 
-private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
-    queryId: String, overwrite: Boolean) extends BatchWrite {
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId)
-
-  /** Driver-side atomic publish: promote exactly the surviving attempts'
-    * staged files, then swap the manifest. Readers either see the old
-    * manifest or the new one — never a partial file set. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staging = dir.resolve("_staging")
-    val committed = messages.map { case StagedFile(name, rows, stats) =>
-      Files.move(staging.resolve(name), dir.resolve(name),
+private[sources] object ManifestCommit {
+  /** Shared promote step: move the surviving attempts' staged files into
+    * the table directory and turn their commit messages into manifest
+    * entries. Only the subsequent manifest swap makes them visible. */
+  def promote(dir: Path, messages: Array[WriterCommitMessage]): Seq[ManifestFile] =
+    messages.map { case StagedFile(name, rows, stats, cols) =>
+      Files.move(dir.resolve("_staging").resolve(name), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
-      ManifestFile(name, rows, ColumnStats.parse(stats))
+      ManifestFile(name, rows, ColumnStats.parse(stats), cols)
     }.toSeq
-    // truncate drops old files from the CURRENT manifest only — they stay
-    // on disk because archived snapshots still reference them (time travel);
-    // `VACUUM MANIFEST ... RETAIN n SNAPSHOTS` expires them later.
-    val prev =
-      if (overwrite) Seq.empty
-      else Manifest.read(dir).map(_.entries).getOrElse(Seq.empty)
-    Manifest.write(dir, Manifest(schema, prev ++ committed))
-  }
 
-  /** Job failed: this query's staged files (all attempts) are garbage. */
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  /** Shared abort step: this query's staged files (all attempts) are garbage. */
+  def dropStaged(dir: Path, queryId: String): Unit = {
     val staging = dir.resolve("_staging")
     if (Files.exists(staging)) {
       val s = Files.list(staging)
@@ -393,11 +503,92 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
   }
 }
 
+private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
+    queryId: String, overwrite: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(dir.toString, schema, queryId)
+
+  /** Driver-side atomic publish: promote exactly the surviving attempts'
+    * staged files, then swap the manifest. Readers either see the old
+    * manifest or the new one — never a partial file set. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = ManifestCommit.promote(dir, messages)
+    // truncate drops old files from the CURRENT manifest only — they stay
+    // on disk because archived snapshots still reference them (time travel);
+    // `VACUUM MANIFEST ... RETAIN n SNAPSHOTS` expires them later. Table
+    // properties (e.g. the streaming epoch watermark) survive both modes.
+    val prevM = Manifest.read(dir)
+    val prev = if (overwrite) Seq.empty else prevM.map(_.entries).getOrElse(Seq.empty)
+    Manifest.write(dir,
+      Manifest(schema, prev ++ committed, prevM.map(_.props).getOrElse(Map.empty)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ManifestCommit.dropStaged(dir, queryId)
+}
+
+/** The STREAMING half of the sink: micro-batch epochs commit through the
+  * SAME atomic manifest swap as batch jobs, giving an end-to-end
+  * exactly-once managed streaming table (pairs with the DSv2 streaming
+  * READ in [[GraftDocsSource]]) without `foreachBatch` glue:
+  *
+  *  - each epoch's tasks stage uniquely-named files (name carries the
+  *    epoch), so a replayed epoch can never collide with its first run;
+  *  - `commit(epochId, …)` records the epoch in the manifest's `lastEpoch`
+  *    property IN THE SAME atomic swap that publishes the files — there is
+  *    no window where data is visible but the epoch unrecorded (or vice
+  *    versa), which is what makes restart replay idempotent;
+  *  - a replayed epoch (engine restarted after writing the offset WAL but
+  *    before recording its own commit) re-delivers the SAME batch with the
+  *    same epochId: the sink sees `epochId <= lastEpoch`, drops the
+  *    replayed staged files and publishes nothing — exactly-once at the
+  *    table level, the Delta/Iceberg streaming-sink txn-version pattern;
+  *  - every epoch is also an archived snapshot, so time travel works
+  *    across stream progress.
+  *
+  * Contract: ONE streaming writer per table directory (same single-writer
+  * contract as batch; `lastEpoch` is a single watermark, not a per-query
+  * map — two concurrent streams into one table would already race the
+  * manifest swap itself). */
+private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ManifestWriterFactory(dir.toString, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val prevM = Manifest.read(dir)
+    val last = prevM.flatMap(_.props.get(Manifest.LastEpochProp)).map(_.toLong)
+    if (last.exists(_ >= epochId)) {
+      // replayed epoch after a restart — already published, drop duplicates
+      messages.foreach { case StagedFile(name, _, _, _) =>
+        Files.deleteIfExists(dir.resolve("_staging").resolve(name))
+      }
+    } else {
+      val committed = ManifestCommit.promote(dir, messages)
+      val prev = prevM.map(_.entries).getOrElse(Seq.empty)
+      val props = prevM.map(_.props).getOrElse(Map.empty) +
+        (Manifest.LastEpochProp -> epochId.toString)
+      Manifest.write(dir, Manifest(schema, prev ++ committed, props))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ManifestCommit.dropStaged(dir, queryId)
+}
+
 private[sources] case class ManifestWriterFactory(dir: String, schema: StructType,
-    queryId: String) extends DataWriterFactory {
+    queryId: String)
+  extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
       s"part-$partitionId-$taskId-$queryId.tsv")
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(Paths.get(dir), schema,
+      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv")
 }
 
 private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String)
@@ -409,24 +600,34 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   private var rows = 0L
   // zone map, gathered in the same pass that writes the rows: min/max per
   // numeric column (null cells skipped — absent range never prunes)
-  private val statIdx = schema.fields.zipWithIndex.collect {
+  // numeric-ordered columns: long/int/double plus date (int days) and
+  // timestamp (long micros) — min/max in the internal numeric encoding
+  private val numIdx = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-      f.dataType == DoubleType => i
+      f.dataType == DoubleType || f.dataType == DateType ||
+      f.dataType == TimestampType => i
+  }
+  // string columns: min/max in raw UTF-8 byte order (bounded at commit by
+  // ColumnStats' widening truncation)
+  private val strIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType => i
   }
   private val mins = new Array[BigDecimal](schema.length)
   private val maxs = new Array[BigDecimal](schema.length)
+  private val minB = new Array[Array[Byte]](schema.length)
+  private val maxB = new Array[Array[Byte]](schema.length)
   // a NULL or non-finite cell makes the column's range "incomplete": still
   // sound for pruning, never sufficient to prove a full-file match
   private val partial = new Array[Boolean](schema.length)
 
   override def write(row: InternalRow): Unit = {
     out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
-    statIdx.foreach { i =>
+    numIdx.foreach { i =>
       if (row.isNullAt(i)) partial(i) = true
       else {
         val v: Option[BigDecimal] = schema.fields(i).dataType match {
-          case LongType => Some(BigDecimal(row.getLong(i)))
-          case IntegerType => Some(BigDecimal(row.getInt(i)))
+          case LongType | TimestampType => Some(BigDecimal(row.getLong(i)))
+          case IntegerType | DateType => Some(BigDecimal(row.getInt(i)))
           case DoubleType =>
             val d = row.getDouble(i)
             if (java.lang.Double.isFinite(d)) Some(BigDecimal(d))
@@ -438,15 +639,35 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
         }
       }
     }
+    strIdx.foreach { i =>
+      if (row.isNullAt(i)) partial(i) = true
+      else {
+        val b = row.getUTF8String(i).getBytes
+        // defensive copy only when the value becomes a bound: getBytes can
+        // expose a view over the row's reusable buffer
+        if (minB(i) == null || ColumnStats.cmpBytes(b, minB(i)) < 0)
+          minB(i) = java.util.Arrays.copyOf(b, b.length)
+        if (maxB(i) == null || ColumnStats.cmpBytes(b, maxB(i)) > 0)
+          maxB(i) = java.util.Arrays.copyOf(b, b.length)
+      }
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
+    val strRanges = strIdx.flatMap { i =>
+      if (minB(i) == null) None
+      else ColumnStats.truncUpper(maxB(i)).map { hi =>
+        schema.fields(i).name ->
+          ((ColumnStats.b64(ColumnStats.truncLower(minB(i))), ColumnStats.b64(hi)))
+      }
+    }.toMap
     val stats = ColumnStats(
-      statIdx.collect {
+      numIdx.collect {
         case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
       }.toMap,
-      statIdx.collect { case i if partial(i) => schema.fields(i).name }.toSet)
-    StagedFile(name, rows, stats.render)
+      (numIdx ++ strIdx).collect { case i if partial(i) => schema.fields(i).name }.toSet,
+      strRanges)
+    StagedFile(name, rows, stats.render, schema.length)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
   override def close(): Unit = ()
@@ -491,6 +712,12 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
 private[sources] object ManifestScanBuilder {
   import org.apache.spark.sql.sources._
 
+  /** Filter values comparable against the numeric zone maps. Date and
+    * timestamp values convert to the SAME internal encoding the writer
+    * recorded (epoch days / epoch micros; both the java.sql and java.time
+    * flavors, so pruning works whichever `datetime.java8API` setting the
+    * session runs). NaN never converts — a NaN bound can neither prune nor
+    * prove. */
   private def num(v: Any): Option[BigDecimal] = v match {
     case n: Long => Some(BigDecimal(n))
     case n: Int => Some(BigDecimal(n))
@@ -498,40 +725,74 @@ private[sources] object ManifestScanBuilder {
     case n: Float => if (java.lang.Float.isFinite(n)) Some(BigDecimal(n.toDouble)) else None
     case n: Short => Some(BigDecimal(n.toInt))
     case n: Byte => Some(BigDecimal(n.toInt))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case t: java.sql.Timestamp => // Catalyst fromJavaTimestamp: millis*1000 + sub-milli micros
+      Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+    case t: java.time.Instant =>
+      Some(BigDecimal(t.getEpochSecond * 1000000L + t.getNano / 1000L))
     case _ => None
   }
 
+  private def comparable(v: Any): Boolean =
+    v.isInstanceOf[String] || num(v).isDefined
+
+  /** compare(filterValue, bound) for (lo, hi), or None when the file has
+    * no usable stats for the column — strings compare in raw UTF-8 byte
+    * order against the (possibly widened-truncated) string range, every
+    * other comparable value in BigDecimal against the numeric range. With
+    * `complete = true` an incomplete range (NULL/NaN cells exist) also
+    * yields None: those rows satisfy no comparison predicate, so the range
+    * may prune but never prove. */
+  private def cmps(st: ColumnStats, c: String, v: Any,
+      complete: Boolean): Option[(Int, Int)] =
+    if (complete && st.incomplete(c)) None
+    else v match {
+      case s: String =>
+        st.strRanges.get(c).map { case (lo, hi) =>
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (ColumnStats.cmpBytes(b, ColumnStats.unb64(lo)),
+            ColumnStats.cmpBytes(b, ColumnStats.unb64(hi)))
+        }
+      case other =>
+        for { x <- num(other); lohi <- st.ranges.get(c) }
+          yield (x.compare(lohi._1), x.compare(lohi._2))
+    }
+
   private[sources] def prunable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => num(v).isDefined
-    case GreaterThan(_, v) => num(v).isDefined
-    case GreaterThanOrEqual(_, v) => num(v).isDefined
-    case LessThan(_, v) => num(v).isDefined
-    case LessThanOrEqual(_, v) => num(v).isDefined
-    case In(_, vs) => vs.nonEmpty && vs.forall(num(_).isDefined)
+    case EqualTo(_, v) => comparable(v)
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
+    case In(_, vs) => vs.nonEmpty && vs.forall(comparable)
     case And(l, r) => prunable(l) && prunable(r)
     case _ => false
   }
 
   /** Dual of [[mightMatch]] for metadata-only DELETE: true iff the file's
     * [min, max] PROVES every row matches. Conservative the other way — a
-    * column without stats can never prove a full match. `AlwaysTrue`
-    * (an unconditional DELETE) trivially matches all. */
+    * column without stats (or with an incomplete range) can never prove a
+    * full match. `AlwaysTrue` (an unconditional DELETE) trivially matches
+    * all. Sound against WIDENED string bounds too: every proof below has
+    * the form "bound strictly inside the predicate region", and widening
+    * only moves bounds OUTWARD. */
   private[sources] def mustMatchAll(f: Filter, st: ColumnStats): Boolean = {
-    // an incomplete range (NULL/NaN cells exist) can never prove a full
-    // match — those rows do not satisfy any comparison predicate
-    def rng(c: String) =
-      if (st.incomplete(c)) None else st.ranges.get(c)
+    def c(col: String, v: Any) = cmps(st, col, v, complete = true)
     f match {
       case AlwaysTrue() => true
-      case EqualTo(c, v) =>
-        rng(c).exists { case (lo, hi) => num(v).exists(x => lo == x && hi == x) }
-      case GreaterThan(c, v) => rng(c).exists { case (lo, _) => num(v).exists(lo > _) }
-      case GreaterThanOrEqual(c, v) => rng(c).exists { case (lo, _) => num(v).exists(lo >= _) }
-      case LessThan(c, v) => rng(c).exists { case (_, hi) => num(v).exists(hi < _) }
-      case LessThanOrEqual(c, v) => rng(c).exists { case (_, hi) => num(v).exists(hi <= _) }
-      case In(c, vs) =>
-        rng(c).exists { case (lo, hi) =>
-          lo == hi && vs.exists(v => num(v).contains(lo)) }
+      case EqualTo(col, v) => // v == lo == hi → every row equals v
+        c(col, v).exists { case (cl, ch) => cl == 0 && ch == 0 }
+      case GreaterThan(col, v) => // lo > v
+        c(col, v).exists { case (cl, _) => cl < 0 }
+      case GreaterThanOrEqual(col, v) => // lo >= v
+        c(col, v).exists { case (cl, _) => cl <= 0 }
+      case LessThan(col, v) => // hi < v
+        c(col, v).exists { case (_, ch) => ch > 0 }
+      case LessThanOrEqual(col, v) => // hi <= v
+        c(col, v).exists { case (_, ch) => ch >= 0 }
+      case In(col, vs) => // some v == lo == hi
+        vs.exists(v => c(col, v).exists { case (cl, ch) => cl == 0 && ch == 0 })
       case And(l, r) => mustMatchAll(l, st) && mustMatchAll(r, st)
       case Or(l, r) => mustMatchAll(l, st) || mustMatchAll(r, st)
       case _ => false
@@ -541,17 +802,20 @@ private[sources] object ManifestScanBuilder {
   /** Conservative: true unless the file's [min, max] PROVES no row can
     * match. A column without stats never prunes. */
   private[sources] def mightMatch(f: Filter, st: ColumnStats): Boolean = {
-    def rng(c: String) = st.ranges.get(c)
+    def c(col: String, v: Any) = cmps(st, col, v, complete = false)
     f match {
-      case EqualTo(c, v) =>
-        rng(c).forall { case (lo, hi) => num(v).forall(x => x >= lo && x <= hi) }
-      case GreaterThan(c, v) => rng(c).forall { case (_, hi) => num(v).forall(hi > _) }
-      case GreaterThanOrEqual(c, v) => rng(c).forall { case (_, hi) => num(v).forall(hi >= _) }
-      case LessThan(c, v) => rng(c).forall { case (lo, _) => num(v).forall(lo < _) }
-      case LessThanOrEqual(c, v) => rng(c).forall { case (lo, _) => num(v).forall(lo <= _) }
-      case In(c, vs) =>
-        rng(c).forall { case (lo, hi) =>
-          vs.exists(v => num(v).forall(x => x >= lo && x <= hi)) }
+      case EqualTo(col, v) => // prune unless lo <= v <= hi
+        c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 }
+      case GreaterThan(col, v) => // prune unless hi > v
+        c(col, v).forall { case (_, ch) => ch < 0 }
+      case GreaterThanOrEqual(col, v) => // prune unless hi >= v
+        c(col, v).forall { case (_, ch) => ch <= 0 }
+      case LessThan(col, v) => // prune unless lo < v
+        c(col, v).forall { case (cl, _) => cl > 0 }
+      case LessThanOrEqual(col, v) => // prune unless lo <= v
+        c(col, v).forall { case (cl, _) => cl >= 0 }
+      case In(col, vs) => // prune unless some value can sit inside the range
+        vs.exists(v => c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 })
       case And(l, r) => mightMatch(l, st) && mightMatch(r, st)
       case _ => true
     }
@@ -559,7 +823,7 @@ private[sources] object ManifestScanBuilder {
 }
 
 private[sources] case class ManifestFilePartition(file: String, dir: String,
-    full: StructType, wanted: StructType) extends InputPartition
+    full: StructType, wanted: StructType, fileCols: Int) extends InputPartition
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
     entries: Seq[ManifestFile], totalFiles: Int) extends Scan with Batch
@@ -598,12 +862,15 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
       OptionalLong.of(math.max(bytesTotal, 1L))
   }
 
-  /** Any numeric column can prune at runtime — the zone maps carry ranges
-    * for every long/int/double column the writer saw. */
+  /** Any stat-bearing column can prune at runtime — the zone maps carry
+    * ranges for every long/int/double/date/timestamp/string column the
+    * writer saw. */
   override def filterAttributes(): Array[NamedReference] =
     full.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == DoubleType => Expressions.column(f.name)
+        f.dataType == DoubleType || f.dataType == DateType ||
+        f.dataType == TimestampType || f.dataType == StringType =>
+        Expressions.column(f.name)
     }
 
   /** Runtime pruning: executed-side filters (DPP subquery results, runtime
@@ -620,7 +887,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * contract. */
   override def planInputPartitions(): Array[InputPartition] = {
     plannedFiles = current.length
-    current.map(e => ManifestFilePartition(e.name, dir.toString, full, wanted))
+    current.map(e => ManifestFilePartition(e.name, dir.toString, full, wanted, e.cols))
       .toArray[InputPartition]
   }
 
@@ -629,7 +896,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ManifestFilePartition(file, dir, full, wanted) =
+    val ManifestFilePartition(file, dir, full, wanted, fileCols) =
       partition.asInstanceOf[ManifestFilePartition]
     new PartitionReader[InternalRow] {
       private val stream = Files.lines(Paths.get(dir).resolve(file), UTF_8)
@@ -638,7 +905,7 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) false
-        else { row = GraftManifestSink.parse(it.next(), idx, wanted); true }
+        else { row = GraftManifestSink.parse(it.next(), idx, wanted, fileCols); true }
       }
       override def get(): InternalRow = row
       override def close(): Unit = stream.close()

@@ -82,6 +82,87 @@ class GraftCatalogSpec extends SparkSuite {
     assert(before.count() == 9L)
   }
 
+  test("ALTER TABLE ADD COLUMN widens metadata-only: old files NULL-fill, snapshots keep the old schema") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo")
+    spark.sql("CREATE TABLE graftcat.evo.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graftcat.evo.t VALUES (1, 'alpha'), (2, 'beta')")
+    val preAlterFiles = Manifest.read(Paths.get(rootDir, "evo", "t")).get.entries
+
+    spark.sql("ALTER TABLE graftcat.evo.t ADD COLUMN score DOUBLE")
+    assert(spark.table("graftcat.evo.t").schema.fieldNames.toSeq ==
+      Seq("id", "name", "score"))
+    // no data file was rewritten — same entries, narrower widths
+    val postAlter = Manifest.read(Paths.get(rootDir, "evo", "t")).get
+    assert(postAlter.entries.map(_.name) == preAlterFiles.map(_.name))
+    assert(postAlter.entries.forall(_.cols == 2))
+
+    spark.sql("INSERT INTO graftcat.evo.t VALUES (3, 'gamma', 3.5)")
+    val got = spark.sql(
+      "SELECT id, name, score FROM graftcat.evo.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // pre-alter rows NULL-fill the new column; the new row carries its value
+    assert(got == Seq((1L, "alpha", None), (2L, "beta", None),
+      (3L, "gamma", Some(3.5))))
+    // the new column participates in filters (NULL never matches)
+    assert(spark.sql(
+      "SELECT id FROM graftcat.evo.t WHERE score > 1.0").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+
+    // the pre-alter snapshot still reads under the OLD schema
+    val dir = s"$rootDir/evo/t"
+    val snaps = Manifest.snapshotVersions(Paths.get(dir))
+    val old = spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir).option("snapshot", (snaps.max - 2).toString).load()
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(old.count() == 2L)
+
+    // everything that would need a rewrite is rejected explicitly
+    intercept[Exception] { spark.sql("ALTER TABLE graftcat.evo.t DROP COLUMN name") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.evo.t RENAME COLUMN name TO label") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.evo.t ALTER COLUMN id TYPE INT") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.evo.t ADD COLUMN dup DOUBLE NOT NULL") }
+    intercept[Exception] { // duplicate name
+      spark.sql("ALTER TABLE graftcat.evo.t ADD COLUMN name STRING") }
+    // table unchanged by the rejected alters
+    assert(spark.table("graftcat.evo.t").schema.length == 3)
+    assert(spark.table("graftcat.evo.t").count() == 3L)
+  }
+
+  test("metadata DELETE accepts a date-ranged whole-file predicate") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dated")
+    spark.sql("CREATE TABLE graftcat.dated.ev (id BIGINT, d DATE, src STRING)")
+    def batch(day0: Int, src: String): Unit =
+      spark.sql(
+        s"""INSERT INTO graftcat.dated.ev SELECT /*+ COALESCE(1) */ id,
+           |DATE_ADD(DATE'2026-01-01', CAST(id + $day0 AS INT)), '$src'
+           |FROM RANGE(0, 5)""".stripMargin)
+    batch(0, "web"); batch(10, "api"); batch(20, "web")
+    assert(spark.table("graftcat.dated.ev").count() == 15L)
+    // whole-file date range [Jan 11, Jan 15] → drops exactly the middle file
+    spark.sql(
+      "DELETE FROM graftcat.dated.ev WHERE d >= DATE'2026-01-11' AND d <= DATE'2026-01-15'")
+    assert(spark.table("graftcat.dated.ev").count() == 10L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.dated.ev WHERE d >= DATE'2026-01-11' AND d <= DATE'2026-01-15'")
+      .head().getLong(0) == 0L)
+    // a date predicate cutting through a file is rejected, table untouched
+    intercept[Exception] {
+      spark.sql("DELETE FROM graftcat.dated.ev WHERE d = DATE'2026-01-02'")
+    }
+    assert(spark.table("graftcat.dated.ev").count() == 10L)
+    // string equality covering a whole file also deletes metadata-only:
+    // remaining files are [web Jan1-5] and [web Jan21-25]... both src='web',
+    // so DELETE WHERE src='web' drops both remaining files
+    spark.sql("DELETE FROM graftcat.dated.ev WHERE src = 'web'")
+    assert(spark.table("graftcat.dated.ev").count() == 0L)
+  }
+
   test("RENAME and DROP are metadata operations on the manifest directory") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmp")

@@ -268,7 +268,7 @@ class ManifestSinkSpec extends SparkSuite {
     } yield InternalRow(l, UTF8String.fromString(s), d, k % 2 == 0, k - 5)
     (cases :+ InternalRow(null, null, null, null, null)).foreach { row =>
       val back = GraftManifestSink.parse(
-        GraftManifestSink.render(row, schema), idx, schema)
+        GraftManifestSink.render(row, schema), idx, schema, schema.length)
       (0 until schema.length).foreach { i =>
         if (row.isNullAt(i)) assert(back.isNullAt(i), s"col $i not null")
         else schema.fields(i).dataType match {
@@ -366,6 +366,178 @@ class ManifestSinkSpec extends SparkSuite {
     // data still reads back intact
     val back = spark.read.format(Fmt).option("path", dir).load().collect()
     assert(back.length == 4)
+  }
+
+  test("date, timestamp and string zone maps skip whole files") {
+    import java.sql.{Date, Timestamp}
+    val dir = freshDir()
+    // three week-disjoint files (one append each): ts ranges and source
+    // strings both disjoint per file
+    (0 until 3).foreach { week =>
+      val rows = (0 until 30).map { i =>
+        val day = week * 7 + 1 + i % 7
+        ((week * 30 + i).toLong, Timestamp.valueOf(f"2026-01-$day%02d 12:00:00"),
+          Date.valueOf(f"2026-01-$day%02d"), s"src${('a' + week).toChar}")
+      }
+      rows.toDF("id", "ts", "d", "source").coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val m = Manifest.read(Paths.get(dir)).get
+    assert(m.entries.length == 3)
+    m.entries.foreach { e =>
+      assert(e.stats.ranges.contains("ts") && e.stats.ranges.contains("d"), e)
+      assert(e.stats.strRanges.contains("source"), e)
+    }
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val desc = df.queryExecution.executedPlan.toString
+      val Re = """files=(\d+)/(\d+)""".r.unanchored
+      desc match { case Re(k, t) => (k.toInt, t.toInt) }
+    }
+    val base = spark.read.format(Fmt).option("path", dir).load()
+    // timestamp range predicate: only week-2 rows → 1 of 3 files
+    val week2 = base.filter($"ts" >= Timestamp.valueOf("2026-01-08 00:00:00")
+      && $"ts" < Timestamp.valueOf("2026-01-15 00:00:00"))
+    assert(planned(week2) == ((1, 3)), planned(week2).toString)
+    assert(week2.count() == 30L)
+    // date equality prunes on the int-days range
+    val day = base.filter($"d" === Date.valueOf("2026-01-16"))
+    assert(planned(day) == ((1, 3)))
+    assert(day.count() > 0)
+    // string equality prunes via the UTF-8-ordered string range
+    val srcB = base.filter($"source" === "srcb")
+    assert(planned(srcB) == ((1, 3)))
+    assert(srcB.count() == 30L)
+    // a string nobody wrote plans zero files but stays correct
+    val ghost = base.filter($"source" === "zzz")
+    assert(planned(ghost) == ((0, 3)) && ghost.count() == 0L)
+    // values round-trip exactly (codec carries internal days/micros)
+    val got = base.filter($"id" === 31L).collect().head
+    assert(got.getTimestamp(1) == Timestamp.valueOf("2026-01-09 12:00:00"))
+    assert(got.getDate(2) == Date.valueOf("2026-01-09"))
+  }
+
+  test("string bounds truncate with widening: prune stays sound, manifest stays small") {
+    val dir = freshDir()
+    val longA = "a" * 200 + "tail-we-must-not-lose"
+    val longZ = "z" * 200
+    Seq((1L, longA), (2L, "middle"), (3L, longZ)).toDF("id", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val e = Manifest.read(Paths.get(dir)).get.entries.head
+    val (lo64, hi64) = e.stats.strRanges("s")
+    assert(ColumnStats.unb64(lo64).length <= ColumnStats.StatMaxBytes)
+    assert(ColumnStats.unb64(hi64).length <= ColumnStats.StatMaxBytes)
+    // the widened range still contains every written value...
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    Seq(longA, "middle", longZ).foreach { v =>
+      assert(ManifestScanBuilder.mightMatch(EqualTo("s", v), e.stats), v.take(20))
+    }
+    // ...still prunes far-away values on both sides...
+    assert(!ManifestScanBuilder.mightMatch(LessThan("s", "A"), e.stats))
+    assert(!ManifestScanBuilder.mightMatch(EqualTo("s", "ÿÿ"), e.stats))
+    // ...and widened bounds only ever make proofs MORE conservative: all
+    // rows are <= longZ (it is the max), but the widened upper bound sits
+    // beyond longZ, so the metadata-DELETE proof is (safely) rejected
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    assert(!ManifestScanBuilder.mustMatchAll(LessThanOrEqual("s", longZ), e.stats))
+    // while a proof that holds against the widened range is still found
+    assert(ManifestScanBuilder.mustMatchAll(GreaterThan("s", "A"), e.stats))
+    // reads are unaffected
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.filter($"s" === longA).count() == 1L)
+  }
+
+  test("NULL strings mark the range incomplete: prune allowed, prove blocked") {
+    val dir = freshDir()
+    Seq((1L, Some("alpha")), (2L, Some("beta")), (3L, None: Option[String]))
+      .toDF("id", "s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val e = Manifest.read(Paths.get(dir)).get.entries.head
+    assert(e.stats.strRanges.contains("s") && e.stats.incomplete == Set("s"))
+    assert(ColumnStats.parse(e.stats.render) == e.stats)
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    // range ["alpha","beta"] prunes s > "zzz"…
+    assert(!ManifestScanBuilder.mightMatch(GreaterThanOrEqual("s", "zzz"), e.stats))
+    // …but the NULL row blocks any full-file proof
+    assert(!ManifestScanBuilder.mustMatchAll(LessThanOrEqual("s", "zzz"), e.stats))
+  }
+
+  test("string zone-map proofs are sound under random filters and truncation") {
+    import org.apache.spark.sql.sources._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    // short alphabet + varying lengths maximizes boundary collisions; some
+    // strings exceed StatMaxBytes to exercise widening truncation
+    val valGen = for {
+      n <- Gen.chooseNum(0, 3)
+      base <- Gen.listOfN(n, Gen.oneOf("a", "b", "é", "z"))
+      pad <- Gen.oneOf("", "", "", "a" * 70)
+    } yield base.mkString + pad
+    val fileGen = Gen.nonEmptyListOf(valGen)
+    val filterGen: Gen[Filter] = {
+      val leaf = Gen.oneOf(
+        valGen.map(v => EqualTo("c", v): Filter),
+        valGen.map(v => GreaterThan("c", v): Filter),
+        valGen.map(v => GreaterThanOrEqual("c", v): Filter),
+        valGen.map(v => LessThan("c", v): Filter),
+        valGen.map(v => LessThanOrEqual("c", v): Filter),
+        Gen.nonEmptyListOf(valGen).map(vs => In("c", vs.toArray): Filter))
+      for { a <- leaf; b <- leaf; f <- Gen.oneOf(a, And(a, b), Or(a, b)) } yield f
+    }
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def cmp(a: String, b: String) = ColumnStats.cmpBytes(bytes(a), bytes(b))
+    def eval(f: Filter, v: String): Boolean = f match {
+      case EqualTo(_, x: String) => cmp(v, x) == 0
+      case GreaterThan(_, x: String) => cmp(v, x) > 0
+      case GreaterThanOrEqual(_, x: String) => cmp(v, x) >= 0
+      case LessThan(_, x: String) => cmp(v, x) < 0
+      case LessThanOrEqual(_, x: String) => cmp(v, x) <= 0
+      case In(_, xs) => xs.exists(x => cmp(v, x.asInstanceOf[String]) == 0)
+      case And(l, r) => eval(l, v) && eval(r, v)
+      case Or(l, r) => eval(l, v) || eval(r, v)
+      case AlwaysTrue() => true
+      case other => fail(s"unexpected filter $other")
+    }
+    // the stats a writer would commit: byte-order min/max, widened-truncated
+    def statsOf(rows: Seq[String]): ColumnStats = {
+      val lo = rows.minBy(identity)(Ordering.fromLessThan[String](cmp(_, _) < 0))
+      val hi = rows.maxBy(identity)(Ordering.fromLessThan[String](cmp(_, _) < 0))
+      ColumnStats.truncUpper(bytes(hi)) match {
+        case Some(h) => ColumnStats(Map.empty, Set.empty,
+          Map("c" -> ((ColumnStats.b64(ColumnStats.truncLower(bytes(lo))),
+            ColumnStats.b64(h)))))
+        case None => ColumnStats.empty
+      }
+    }
+    val files = sample(fileGen, 120, 31L)
+    val filters = sample(filterGen, 120, 43L)
+    for (rows <- files; f <- filters) {
+      val st = statsOf(rows)
+      val any = rows.exists(eval(f, _))
+      val all = rows.forall(eval(f, _))
+      if (!ManifestScanBuilder.mightMatch(f, st))
+        assert(!any, s"pruned a matching file: $f over $rows")
+      if (ManifestScanBuilder.mustMatchAll(f, st))
+        assert(all, s"mustMatchAll overclaimed: $f over $rows")
+    }
+  }
+
+  test("legacy manifests without widths or string stats still parse") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_legacy_")
+    // a round-6-format manifest: no props line, 3-field entry, numeric stats
+    Files.write(dir.resolve("part-0-0-old.tsv"), "1\talpha\t1.5\n2\tbeta\t2.5\n".getBytes)
+    Files.write(dir.resolve("_manifest"),
+      "id:long\tname:string\tscore:double\npart-0-0-old.tsv\t2\tid=1,2;score=1.5,2.5\n".getBytes)
+    val m = Manifest.read(dir).get
+    assert(m.props.isEmpty)
+    assert(m.entries.head.cols == 3) // defaults to its manifest's schema width
+    assert(m.entries.head.stats.strRanges.isEmpty)
+    val back = spark.read.format(Fmt).option("path", dir.toString).load()
+    assert(back.count() == 2L)
+    assert(back.schema == StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType))))
   }
 
   test("column pruning reaches the manifest reader") {
