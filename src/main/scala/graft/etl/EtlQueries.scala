@@ -76,6 +76,26 @@ object EtlQueries extends QueryModule {
     // untouched. Spark runs the union+keep-winner form (one shuffle); the
     // oracle runs FULL OUTER JOIN + COALESCE — the two algorithms must
     // produce identical rows.
+    // Small-file compaction through the DRIVER'S oracle gate (round-6
+    // advice: Compact was the last substantial component certified only by
+    // ScalaTest): a 24-file layout of the orders projection is compacted
+    // to ~1 sorted file, then read back in full. The oracle is the
+    // PRE-compaction content straight from the parquet table, so a
+    // compaction that drops, duplicates or corrupts any row hash-fails the
+    // correctness gate — CompactSpec separately asserts the file count
+    // shrank and the sort clustered. At 100 TB this is the maintenance
+    // pass that keeps an incremental sink scannable (thousands of KB-scale
+    // files → footer/open/schedule overhead dominates long before I/O).
+    "q_compact_roundtrip" -> ((s, d) => {
+      val tmp = graft.Scratch.dir("graft_compactq_")
+      val dir = s"$tmp/orders_small"
+      Tables(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(24).write.parquet(dir)
+      Compact.directory(s, dir, targetBytes = 256L * 1024 * 1024,
+        sortBy = Some("o_orderkey"))
+      s.read.parquet(dir).orderBy("o_orderkey")
+    }),
+
     "q_merge_upsert" -> ((s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       val base = Tables(s, d, "orders").select(cols.map(col): _*)
@@ -171,6 +191,9 @@ object EtlQueries extends QueryModule {
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+    "q_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_merge_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey,

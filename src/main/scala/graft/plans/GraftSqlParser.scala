@@ -34,6 +34,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
       """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
 
+  /** `MERGE INTO t USING s ON <equi-keys> WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *` — the symmetric whole-row upsert, the
+    * overwhelmingly common MERGE shape. Spark's own parser accepts MERGE
+    * but executing it needs `SupportsRowLevelOperations`, which a
+    * rewrite-free manifest table deliberately does not implement; this tier
+    * lowers the upsert form to the engine's ONE-SHUFFLE keep-winner plan
+    * ([[graft.etl.Upsert.keyed]]) committed through the sink's atomic
+    * truncate-overwrite instead. Anything richer (conditional clauses,
+    * DELETE actions, column-level SET lists) falls through to the delegate
+    * verbatim and fails analysis with Spark's own row-level-ops error
+    * rather than silently computing something else. */
+  private val Merge =
+    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+([\w.]+)\s+ON\s+(.+?)\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val KeyEq = """([\w.]+)\s*=\s*([\w.]+)""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, retain, olderMin) =>
       val keep = Option(retain).map(_.toInt)
@@ -45,6 +62,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "snapshot (the current version) is always retained")
       }
       VacuumManifestCommand(dir, keep, Option(olderMin).map(_.toLong))
+    case Merge(target, source, cond) =>
+      // the ON clause must be a conjunction of same-name equalities
+      // (t.k = s.k [AND ...]) — that names the upsert key columns
+      val parts = cond.split("(?i)\\s+AND\\s+").map(_.trim)
+      val keys = parts.map {
+        case KeyEq(l, r) =>
+          val (lc, rc) = (l.split("\\.").last, r.split("\\.").last)
+          if (!lc.equalsIgnoreCase(rc))
+            throw new IllegalArgumentException(
+              s"MERGE INTO: ON clause must equate the SAME column on both " +
+                s"sides (got $l = $r) — the upsert key is by-name")
+          lc
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO: unsupported ON term '$other' — expected col = col")
+      }.toSeq
+      MergeIntoManifestCommand(target, source, keys)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -80,6 +113,40 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   *    SAME age threshold: `ManifestBatchWrite.commit` promotes files out
   *    of staging BEFORE the manifest swap, so a freshly-promoted file is
   *    momentarily unreachable and must survive a concurrent vacuum. */
+/** The lowered MERGE: read target and source by name, keep-winner per key
+  * (ONE hash shuffle — [[graft.etl.Upsert.keyed]]'s union + bounded
+  * row_number, the same plan `q_merge_upsert` certifies against the DuckDB
+  * FULL OUTER JOIN oracle), then publish through the target's atomic
+  * truncate-overwrite. The self-referencing write is safe on a manifest
+  * table: the scan plans its partitions from the CURRENT manifest before
+  * any write, the staged files get unique names, and the commit swap never
+  * deletes the files the scan is reading (archived snapshots keep them).
+  *
+  * The source must carry at most one row per key and the target's columns
+  * (by name) — the [[graft.etl.Upsert.keyed]] batch contract. */
+case class MergeIntoManifestCommand(target: String, source: String, keys: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = spark.table(target)
+    keys.foreach { k =>
+      if (!t.columns.exists(_.equalsIgnoreCase(k)))
+        throw new IllegalArgumentException(
+          s"MERGE INTO: key column $k not in target $target " +
+            s"(${t.columns.mkString(", ")})")
+    }
+    // align the source to the target's column order by name — unionByName
+    // inside the upsert would catch a mismatch, but this gives the error in
+    // MERGE terms and tolerates differing column order
+    val s = spark.table(source).select(t.columns.map(col).toIndexedSeq: _*)
+    graft.etl.Upsert.keyed(t, s, keys)
+      .writeTo(target).overwrite(lit(true))
+    Seq.empty
+  }
+}
+
 case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     stagingOlderThanMinutes: Option[Long] = None)
   extends LeafRunnableCommand {

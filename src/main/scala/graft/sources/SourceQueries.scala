@@ -145,6 +145,31 @@ object SourceQueries extends QueryModule {
     // drained table per source. Batch ≡ stream by construction, so DuckDB
     // mirrors the row generator exactly — a lost, duplicated or reordered
     // batch hash-fails the driver gate, not just a unit test.
+    // The STREAMING WRITE half through the oracle gate: the DSv2 docs
+    // stream drains into the manifest sink via native writeStream (epoch
+    // commits through the atomic manifest swap — no foreachBatch), then the
+    // committed table is read back manifest-scoped and aggregated. DuckDB
+    // mirrors the row generator, so a lost, duplicated or torn epoch
+    // hash-fails the driver gate.
+    "q_stream_sink_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = graft.Scratch.dir("graft_streamsink_")
+      val q = s.readStream.format("graft.sources.GraftDocsSource")
+        .option("rows", "300").option("partitions", "4").option("rowsPerBatch", "64")
+        .load()
+        .select(col("doc_id"), col("source"))
+        .writeStream.format("graft.sources.GraftManifestSink")
+        .option("path", s"$tmp/stream_table")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("graft.sources.GraftManifestSink")
+        .option("path", s"$tmp/stream_table").load()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+        .orderBy("source")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -198,6 +223,12 @@ object SourceQueries extends QueryModule {
         |    for i in range(0, 12)], ' ') AS text
         |FROM (SELECT range AS doc_id FROM range(100, 400))
         |ORDER BY doc_id""".stripMargin,
+    // The streamed-through-manifest table must equal the batch generator.
+    "q_stream_sink_manifest" ->
+      """SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS source,
+        |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |FROM (SELECT range AS doc_id FROM range(0, 300))
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     // The drained stream must equal the batch generator — same range,
     // grouped per source.
     "q_stream_dsv2" ->

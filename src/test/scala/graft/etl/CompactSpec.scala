@@ -41,6 +41,24 @@ class CompactSpec extends SparkSuite {
     }
   }
 
+  test("q_compact_roundtrip recipe: 24-file layout shrinks and loses nothing") {
+    // the declared-query shape (EtlQueries.q_compact_roundtrip), pinned
+    // here so the oracle gate certifies content while this certifies the
+    // file count actually shrank
+    val dir = graft.Scratch.dir("graft_compact_") + "/roundtrip"
+    val src = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.repartition(24).write.parquet(dir)
+    val before = Compact.layoutStats(dir)
+    assert(before.files >= 24)
+    Compact.directory(spark, dir, targetBytes = 256L * 1024 * 1024,
+      sortBy = Some("o_orderkey"))
+    val after = Compact.layoutStats(dir)
+    assert(after.files < before.files / 4,
+      s"compaction must collapse the layout: ${before.files} -> ${after.files}")
+    assert(spark.read.parquet(dir).count() === src.count())
+  }
+
   test("partitioned layout compacts per partition and keeps partition dirs") {
     val root = graft.Scratch.dir("graft_compact_") + "/part"
     val orders = Tables(spark, sfDir, "orders")

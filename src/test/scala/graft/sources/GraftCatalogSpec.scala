@@ -163,6 +163,56 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graftcat.dated.ev").count() == 0L)
   }
 
+  test("SQL MERGE INTO upserts through the one-shuffle keep-winner plan") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg")
+    spark.sql("CREATE TABLE graftcat.mrg.base (k BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("CREATE TABLE graftcat.mrg.upd (k BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graftcat.mrg.base VALUES (1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'c')")
+    // one matched update (k=2) + one insert (k=9)
+    spark.sql("INSERT INTO graftcat.mrg.upd VALUES (2, 22.0, 'B'), (9, 9.0, 'i')")
+
+    spark.sql(
+      """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val got = spark.sql("SELECT k, v, tag FROM graftcat.mrg.base ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // matched keys take the update row, unmatched updates insert, the rest
+    // survive — the exact q_merge_upsert / FULL OUTER JOIN semantics
+    assert(got == Seq((1L, 1.0, "a"), (2L, 22.0, "B"), (3L, 3.0, "c"), (9L, 9.0, "i")))
+
+    // merge is atomic + snapshotted: the pre-merge version stays readable
+    val dir = s"$rootDir/mrg/base"
+    val snaps = Manifest.snapshotVersions(Paths.get(dir))
+    val before = spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir).option("snapshot", (snaps.max - 1).toString).load()
+    assert(before.count() == 3L)
+
+    // a second merge composes (idempotent when re-applied)
+    spark.sql(
+      """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graftcat.mrg.base").count() == 4L)
+
+    // unsupported shapes fall through to Spark's own MERGE (which rejects a
+    // table without row-level-operation support) instead of mis-lowering
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    // mismatched ON columns are rejected in MERGE terms
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.v
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
   test("RENAME and DROP are metadata operations on the manifest directory") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmp")

@@ -97,6 +97,61 @@ class StreamingSpec extends SparkSuite {
     assert(v1.count() === expected, "pre-replay snapshot must stay readable")
   }
 
+  test("native DSv2 streaming write: epochs commit atomically, restart replay is exactly-once") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val Fmt = "graft.sources.GraftManifestSink"
+    val base = Files.createTempDirectory("stream_native_").toString
+    val landing = s"$base/landing"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(landing))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$landing/events_1.parquet"))
+
+    // writeStream straight into the manifest sink — no foreachBatch glue
+    def run(): Unit = {
+      val q = Streaming.readEvents(spark, landing)
+        .select("event_id", "user_id", "value")
+        .writeStream.format(Fmt)
+        .option("path", table).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val expected = Tables(spark, sfDir, "events").count()
+    def current = spark.read.format(Fmt).option("path", table).load()
+    assert(current.count() === expected)
+    // the epoch watermark rides the manifest itself (same atomic swap)
+    val m0 = graft.sources.Manifest.read(Paths.get(table)).get
+    assert(m0.props.get("lastEpoch").contains("0"), m0.props.toString)
+
+    // kill-and-resume replay: the engine wrote its offset WAL but "crashed"
+    // before recording batch 0 in the commit log — on restart it re-delivers
+    // the SAME batch under the same epoch id; the sink must publish nothing
+    Files.delete(Paths.get(ckpt, "commits", "0"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc")) // hadoop checksum shadow
+    run()
+    assert(current.count() === expected, "replayed epoch must be dropped")
+    assert(current.select("event_id").distinct().count() === expected,
+      "no duplicate event ids after replay")
+
+    // a new file lands → a new epoch appends exactly once
+    val more = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_id", col("event_id") + 1000000L)
+    more.coalesce(1).write.parquet(s"$base/staging")
+    val staged = Files.list(Paths.get(s"$base/staging"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(staged, Paths.get(s"$landing/events_2.parquet"))
+    run()
+    assert(current.count() === expected * 2, "new epoch must append exactly once")
+    assert(current.select("event_id").distinct().count() === expected * 2)
+
+    // every epoch is an archived snapshot — time travel across stream progress
+    val versions = graft.sources.Manifest.snapshotVersions(Paths.get(table))
+    val counts = versions.map(v => spark.read.format(Fmt)
+      .option("path", table).option("snapshot", v.toString).load().count())
+    assert(counts.contains(expected) && counts.contains(expected * 2), counts.toString)
+  }
+
   test("stream-static enrichment join: streaming equals batch, append mode, no state") {
     val customers = Tables(spark, sfDir, "customer")
     val batch = Windows.enrich(Tables(spark, sfDir, "events"), customers)
