@@ -70,12 +70,6 @@ object EtlQueries extends QueryModule {
       result
     }),
 
-    // MERGE INTO (upsert) over orders: keys ≡3 (mod 10) get a price bump +
-    // status 'U' (matched → update), keys ≡7 (mod 10) re-enter with shifted
-    // keys + status 'N' (unmatched → insert), everything else survives
-    // untouched. Spark runs the union+keep-winner form (one shuffle); the
-    // oracle runs FULL OUTER JOIN + COALESCE — the two algorithms must
-    // produce identical rows.
     // Small-file compaction through the DRIVER'S oracle gate (round-6
     // advice: Compact was the last substantial component certified only by
     // ScalaTest): a 24-file layout of the orders projection is compacted
@@ -96,6 +90,12 @@ object EtlQueries extends QueryModule {
       s.read.parquet(dir).orderBy("o_orderkey")
     }),
 
+    // MERGE INTO (upsert) over orders: keys ≡3 (mod 10) get a price bump +
+    // status 'U' (matched → update), keys ≡7 (mod 10) re-enter with shifted
+    // keys + status 'N' (unmatched → insert), everything else survives
+    // untouched. Spark runs the union+keep-winner form (one shuffle); the
+    // oracle runs FULL OUTER JOIN + COALESCE — the two algorithms must
+    // produce identical rows.
     "q_merge_upsert" -> ((s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       val base = Tables(s, d, "orders").select(cols.map(col): _*)

@@ -64,20 +64,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumManifestCommand(dir, keep, Option(olderMin).map(_.toLong))
     case Merge(target, source, cond) =>
       // the ON clause must be a conjunction of same-name equalities
-      // (t.k = s.k [AND ...]) — that names the upsert key columns
-      val parts = cond.split("(?i)\\s+AND\\s+").map(_.trim)
-      val keys = parts.map {
-        case KeyEq(l, r) =>
+      // (t.k = s.k [AND ...]) — that names the upsert key columns. ANY
+      // shape this narrow lowering cannot express (parenthesized terms,
+      // cross-named keys, non-equi conditions) falls through to the
+      // delegate VERBATIM, per the contract above — Spark then raises its
+      // own row-level-ops error on tables that cannot run it natively.
+      val keys = cond.split("(?i)\\s+AND\\s+").map(_.trim).foldLeft(
+        Option(Seq.empty[String])) {
+        case (Some(acc), KeyEq(l, r)) =>
           val (lc, rc) = (l.split("\\.").last, r.split("\\.").last)
-          if (!lc.equalsIgnoreCase(rc))
-            throw new IllegalArgumentException(
-              s"MERGE INTO: ON clause must equate the SAME column on both " +
-                s"sides (got $l = $r) — the upsert key is by-name")
-          lc
-        case other => throw new IllegalArgumentException(
-          s"MERGE INTO: unsupported ON term '$other' — expected col = col")
-      }.toSeq
-      MergeIntoManifestCommand(target, source, keys)
+          if (lc.equalsIgnoreCase(rc)) Some(acc :+ lc) else None
+        case _ => None
+      }
+      keys match {
+        case Some(ks) if ks.nonEmpty => MergeIntoManifestCommand(target, source, ks)
+        case _ => delegate.parsePlan(sqlText)
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -97,22 +99,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
-/** Driver-side maintenance. Safe by construction:
-  *  - a file under `_staging/` is uncommitted (commit MOVES files out of
-  *    staging before the manifest swap) — but an IN-FLIGHT write job's
-  *    staged files look identical to crash leftovers, so vacuum only reaps
-  *    staged files whose mtime is older than
-  *    `spark.graft.vacuum.stagingMinAgeMs` (default 10 minutes). Reaping a
-  *    live attempt's staged file would make the concurrent job's
-  *    `ManifestBatchWrite.commit` fail on the promote move; the age
-  *    threshold keeps vacuum out of the single-writer contract.
-  *  - `RETAIN n SNAPSHOTS` (n ≥ 1, parser-enforced) first expires all but
-  *    the newest n archived manifest versions;
-  *  - a `part-*` data file referenced by NO surviving manifest version is
-  *    unreachable (including via time travel) — reaped, but only past the
-  *    SAME age threshold: `ManifestBatchWrite.commit` promotes files out
-  *    of staging BEFORE the manifest swap, so a freshly-promoted file is
-  *    momentarily unreachable and must survive a concurrent vacuum. */
 /** The lowered MERGE: read target and source by name, keep-winner per key
   * (ONE hash shuffle — [[graft.etl.Upsert.keyed]]'s union + bounded
   * row_number, the same plan `q_merge_upsert` certifies against the DuckDB
@@ -129,8 +115,20 @@ case class MergeIntoManifestCommand(target: String, source: String, keys: Seq[St
   override val output: Seq[Attribute] = Seq.empty
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val t = spark.table(target)
+    // this lowering writes through truncate-overwrite — only a graft
+    // manifest table has the atomic snapshot swap that makes it safe and
+    // the self-reference guarantee that makes it correct; anything else
+    // gets a clear error, never a silent wholesale rewrite
+    val isManifest = t.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.ManifestTable] => ()
+    }.isDefined
+    if (!isManifest)
+      throw new UnsupportedOperationException(
+        s"MERGE INTO: $target is not a graft manifest table — this engine " +
+          "lowers the whole-row upsert MERGE only for its own catalog tables")
     keys.foreach { k =>
       if (!t.columns.exists(_.equalsIgnoreCase(k)))
         throw new IllegalArgumentException(
@@ -141,12 +139,39 @@ case class MergeIntoManifestCommand(target: String, source: String, keys: Seq[St
     // inside the upsert would catch a mismatch, but this gives the error in
     // MERGE terms and tolerates differing column order
     val s = spark.table(source).select(t.columns.map(col).toIndexedSeq: _*)
+    // ANSI MERGE raises a cardinality error when several source rows match
+    // one target row; the keep-winner plan would instead pick one
+    // arbitrarily — check, never commit nondeterministic data (one cheap
+    // aggregation over the small side)
+    val dup = s.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"MERGE INTO: source $source carries multiple rows for key " +
+          s"${dup.head.toSeq.init.mkString("(", ", ", ")")} — ANSI MERGE " +
+          "cardinality violation")
     graft.etl.Upsert.keyed(t, s, keys)
       .writeTo(target).overwrite(lit(true))
     Seq.empty
   }
 }
 
+/** Driver-side maintenance. Safe by construction:
+  *  - a file under `_staging/` is uncommitted (commit MOVES files out of
+  *    staging before the manifest swap) — but an IN-FLIGHT write job's
+  *    staged files look identical to crash leftovers, so vacuum only reaps
+  *    staged files whose mtime is older than
+  *    `spark.graft.vacuum.stagingMinAgeMs` (default 10 minutes). Reaping a
+  *    live attempt's staged file would make the concurrent job's
+  *    `ManifestBatchWrite.commit` fail on the promote move; the age
+  *    threshold keeps vacuum out of the single-writer contract.
+  *  - `RETAIN n SNAPSHOTS` (n ≥ 1, parser-enforced) first expires all but
+  *    the newest n archived manifest versions;
+  *  - a `part-*` data file referenced by NO surviving manifest version is
+  *    unreachable (including via time travel) — reaped, but only past the
+  *    SAME age threshold: `ManifestBatchWrite.commit` promotes files out
+  *    of staging BEFORE the manifest swap, so a freshly-promoted file is
+  *    momentarily unreachable and must survive a concurrent vacuum. */
 case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     stagingOlderThanMinutes: Option[Long] = None)
   extends LeafRunnableCommand {

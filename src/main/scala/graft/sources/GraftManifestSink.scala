@@ -404,7 +404,7 @@ private[graft] object Manifest {
   }
 }
 
-private[sources] class ManifestTable(dir: Path, writeSchema: StructType,
+private[graft] class ManifestTable(dir: Path, writeSchema: StructType,
     snapshot: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -439,8 +439,11 @@ private[sources] class ManifestTable(dir: Path, writeSchema: StructType,
     * stay on disk — archived snapshots still reference them (time travel);
     * `VACUUM MANIFEST … RETAIN n SNAPSHOTS` reaps them later. */
   private def splitEntries(filters: Array[Filter])
+    : Option[(Seq[ManifestFile], Seq[ManifestFile])] =
+    splitFrom(Manifest.read(dir).map(_.entries).getOrElse(Seq.empty), filters)
+
+  private def splitFrom(entries: Seq[ManifestFile], filters: Array[Filter])
     : Option[(Seq[ManifestFile], Seq[ManifestFile])] = {
-    val entries = Manifest.read(dir).map(_.entries).getOrElse(Seq.empty)
     val (drop, rest) = entries.partition(e =>
       filters.forall(f => ManifestScanBuilder.mustMatchAll(f, e.stats)))
     // any remaining file the predicate MIGHT touch is a partial delete
@@ -453,14 +456,17 @@ private[sources] class ManifestTable(dir: Path, writeSchema: StructType,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     splitEntries(filters).isDefined
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
-    splitEntries(filters) match {
-      case Some((_, rest)) => Manifest.write(dir,
-        Manifest(schema(), rest, Manifest.read(dir).map(_.props).getOrElse(Map.empty)))
-      case None => throw new UnsupportedOperationException(
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    // ONE manifest read for the whole compound decision — schema, entries
+    // and props must come from the same published version
+    val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
+    val (drop, rest) = splitFrom(m.entries, filters).getOrElse(
+      throw new UnsupportedOperationException(
         "DELETE FROM on a manifest table is metadata-only: the predicate " +
-          "cuts through a file's zone-map range and would need a rewrite")
-    }
+          "cuts through a file's zone-map range and would need a rewrite"))
+    val _ = drop
+    Manifest.write(dir, Manifest(m.schema, rest, m.props))
+  }
 }
 
 // ---------------------------------------------------------------- write ----
@@ -472,7 +478,7 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, queryId, overwrite)
     override def toStreaming: StreamingWrite =
-      new ManifestStreamingWrite(dir, schema, queryId)
+      new ManifestStreamingWrite(dir, schema, queryId, overwrite)
   }
 }
 
@@ -545,22 +551,33 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
   *    replayed staged files and publishes nothing — exactly-once at the
   *    table level, the Delta/Iceberg streaming-sink txn-version pattern;
   *  - every epoch is also an archived snapshot, so time travel works
-  *    across stream progress.
+  *    across stream progress;
+  *  - `outputMode("complete")` (Spark calls `truncate()` on the builder)
+  *    REPLACES the table every epoch instead of appending — the aggregate
+  *    semantics complete mode promises.
   *
-  * Contract: ONE streaming writer per table directory (same single-writer
-  * contract as batch; `lastEpoch` is a single watermark, not a per-query
-  * map — two concurrent streams into one table would already race the
-  * manifest swap itself). */
+  * Contract: ONE streaming writer AT A TIME per table directory (same
+  * single-writer contract as batch — concurrent streams would race the
+  * manifest swap); sequential different queries are safe because each has
+  * its own epoch watermark. */
 private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, overwrite: Boolean) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ManifestWriterFactory(dir.toString, schema, queryId)
 
+  // the watermark is KEYED BY STREAMING QUERY ID (stable across restarts —
+  // Spark persists it in the checkpoint and passes it as the write's
+  // queryId), the Delta/Iceberg txn-version pattern: a restart of the SAME
+  // query replays under the same key and dedups, while a NEW query (fresh
+  // checkpoint) into an existing table starts at its own watermark and
+  // loses nothing
+  private val epochProp = s"${Manifest.LastEpochProp}.$queryId"
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val prevM = Manifest.read(dir)
-    val last = prevM.flatMap(_.props.get(Manifest.LastEpochProp)).map(_.toLong)
+    val last = prevM.flatMap(_.props.get(epochProp)).map(_.toLong)
     if (last.exists(_ >= epochId)) {
       // replayed epoch after a restart — already published, drop duplicates
       messages.foreach { case StagedFile(name, _, _, _) =>
@@ -568,9 +585,14 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
       }
     } else {
       val committed = ManifestCommit.promote(dir, messages)
-      val prev = prevM.map(_.entries).getOrElse(Seq.empty)
+      // complete-mode streaming (truncate()) REPLACES the table every epoch
+      // — appending would duplicate each group's aggregate per epoch; the
+      // superseded epochs stay readable as archived snapshots
+      val prev =
+        if (overwrite) Seq.empty
+        else prevM.map(_.entries).getOrElse(Seq.empty)
       val props = prevM.map(_.props).getOrElse(Map.empty) +
-        (Manifest.LastEpochProp -> epochId.toString)
+        (epochProp -> epochId.toString)
       Manifest.write(dir, Manifest(schema, prev ++ committed, props))
     }
   }

@@ -204,13 +204,38 @@ class GraftCatalogSpec extends SparkSuite {
         """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.k
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    // mismatched ON columns are rejected in MERGE terms
+    // mismatched ON columns are not lowered — they fall through to Spark's
+    // own MERGE, which rejects the manifest table (no row-level ops)
     intercept[Exception] {
       spark.sql(
         """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.v
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
+
+    // ANSI cardinality: several source rows for one key must ERROR, never
+    // commit an arbitrary winner
+    spark.sql("INSERT INTO graftcat.mrg.upd VALUES (9, 99.0, 'dup')")
+    val card = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(card.getMessage.contains("cardinality"), card.getMessage)
+    assert(spark.table("graftcat.mrg.base").count() == 4L, "failed merge must not commit")
+
+    // a non-manifest target is refused with a clear error instead of being
+    // silently truncate-overwritten through the lowered path
+    spark.sql("INSERT INTO graftcat.mrg.upd VALUES (1, 0.0, 'x')") // irrelevant
+    Seq((1L, 1.0, "a")).toDF("k", "v", "tag").createOrReplaceTempView("plain_view")
+    val notManifest = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO plain_view USING graftcat.mrg.upd ON plain_view.k = upd.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(notManifest.getMessage.contains("manifest"), notManifest.getMessage)
   }
 
   test("RENAME and DROP are metadata operations on the manifest directory") {

@@ -120,9 +120,11 @@ class StreamingSpec extends SparkSuite {
     val expected = Tables(spark, sfDir, "events").count()
     def current = spark.read.format(Fmt).option("path", table).load()
     assert(current.count() === expected)
-    // the epoch watermark rides the manifest itself (same atomic swap)
+    // the epoch watermark rides the manifest itself (same atomic swap),
+    // keyed by the checkpoint-stable streaming query id
     val m0 = graft.sources.Manifest.read(Paths.get(table)).get
-    assert(m0.props.get("lastEpoch").contains("0"), m0.props.toString)
+    assert(m0.props.exists { case (k, v) => k.startsWith("lastEpoch.") && v == "0" },
+      m0.props.toString)
 
     // kill-and-resume replay: the engine wrote its offset WAL but "crashed"
     // before recording batch 0 in the commit log — on restart it re-delivers
@@ -150,6 +152,52 @@ class StreamingSpec extends SparkSuite {
     val counts = versions.map(v => spark.read.format(Fmt)
       .option("path", table).option("snapshot", v.toString).load().count())
     assert(counts.contains(expected) && counts.contains(expected * 2), counts.toString)
+
+    // a DIFFERENT query (fresh checkpoint) into the same table starts at its
+    // OWN epoch watermark: its epoch 0 must commit, not be mistaken for a
+    // replay of the first query's epoch 0
+    val q2 = Streaming.readEvents(spark, landing)
+      .select((col("event_id") + 2000000L).as("event_id"), col("user_id"), col("value"))
+      .writeStream.format(Fmt)
+      .option("path", table).option("checkpointLocation", s"$base/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(current.count() === expected * 4,
+      "a fresh query's first epochs must not be dropped as replays")
+    assert(current.select("event_id").distinct().count() === expected * 4)
+  }
+
+  test("complete-mode streaming into the manifest sink replaces per epoch, never stacks") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val Fmt = "graft.sources.GraftManifestSink"
+    val base = Files.createTempDirectory("stream_complete_").toString
+    val landing = s"$base/landing"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(landing))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$landing/events_1.parquet"))
+    def run(): Unit = {
+      val q = Streaming.readEvents(spark, landing)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format(Fmt)
+        .option("path", table).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val types = Tables(spark, sfDir, "events").select("event_type").distinct().count()
+    def current = spark.read.format(Fmt).option("path", table).load()
+    assert(current.count() === types)
+
+    // second increment: the refreshed FULL aggregate must REPLACE the table
+    // (an appending sink would return each group twice with mixed counts)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$landing/events_2.parquet"))
+    run()
+    assert(current.count() === types, "complete mode must replace, not stack epochs")
+    val total = current.agg(sum("n")).head().getLong(0)
+    assert(total === Tables(spark, sfDir, "events").count() * 2,
+      "the replacing aggregate must cover both increments")
   }
 
   test("stream-static enrichment join: streaming equals batch, append mode, no state") {
