@@ -579,8 +579,9 @@ object Dedup extends QueryModule {
     // RECALL AUDIT for the embedding LSH (the number a production near-dup
     // deployment monitors, declared through the oracle gate like
     // q_similarity_recall): ground truth = exact cosine ≥ threshold pairs
-    // for a DETERMINISTIC probe sample (vec_id ≡ 0 mod 50 — the key-hash
-    // sampling pattern), computed by broadcasting the probe set against
+    // for a DETERMINISTIC probe sample (vec_id ≡ 0 mod probePanelModulus(n),
+    // the corpus-size-derived power of two holding the panel at ~256
+    // probes at ANY corpus size), computed by broadcasting the probe set against
     // the full table (the only honest exact side at 100 TB: a bounded
     // probe panel, never all-pairs); found = those ground-truth pairs the
     // banded LSH emits. One row: n_true, n_found, recall. This is the

@@ -68,6 +68,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestTable(dir, Manifest.read(dir).get.schema)
   }
 
+  /** SQL time travel — `SELECT … FROM graft.ns.t VERSION AS OF n`. Every
+    * manifest swap archives `_manifest.v<n>` (1-based, ascending commit
+    * order), so a version IS a snapshot number; the returned table reads
+    * that snapshot's file list under that snapshot's schema (a pre-ALTER
+    * version must read under the schema it was committed with). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve("_manifest"))) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': graft snapshot versions are integers " +
+          s"(have: ${Manifest.snapshotVersions(dir).mkString(", ")})")
+    }
+    val m = Manifest.readSnapshot(dir, v).getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF $v: no such snapshot at $dir " +
+        s"(have: ${Manifest.snapshotVersions(dir).mkString(", ")})"))
+    new ManifestTable(dir, m.schema, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` resolves to the NEWEST snapshot committed at or
+    * before `t` (Spark hands the timestamp as epoch micros) — commit time
+    * is the archived manifest file's mtime, written atomically by the same
+    * swap that published it. Coarser than a logged commit timestamp but
+    * derived from the same single authority; millisecond granularity is
+    * the floor on local filesystems. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve("_manifest"))) throw new NoSuchTableException(ident)
+    val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
+    val at = Manifest.snapshotVersions(dir).reverse.find { v =>
+      Files.getLastModifiedTime(dir.resolve(s"_manifest.v$v")).toMillis <= cutoffMillis
+    }
+    val v = at.getOrElse(throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF: no snapshot of ${ident.name()} committed at or before " +
+        java.time.Instant.ofEpochMilli(cutoffMillis)))
+    val m = Manifest.readSnapshot(dir, v).getOrElse(throw new IllegalStateException(
+      s"snapshot v$v listed but unreadable at $dir"))
+    new ManifestTable(dir, m.schema, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val dir = tableDir(ident)

@@ -422,9 +422,11 @@ private[graft] class ManifestTable(dir: Path, writeSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
+  // an explicit read option wins; else the table's pinned snapshot (how
+  // the catalog's VERSION AS OF / TIMESTAMP AS OF reach the scan)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(dir,
-      Option(options.get("snapshot")).map(_.toInt))
+      Option(options.get("snapshot")).map(_.toInt).orElse(snapshot))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(), info.queryId())
 

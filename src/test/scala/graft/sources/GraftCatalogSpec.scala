@@ -238,6 +238,52 @@ class GraftCatalogSpec extends SparkSuite {
     assert(notManifest.getMessage.contains("manifest"), notManifest.getMessage)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read archived snapshots") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tt")
+    spark.sql("CREATE TABLE graftcat.tt.t (id BIGINT, name STRING)")      // v1
+    spark.sql("INSERT INTO graftcat.tt.t VALUES (1, 'alpha')")            // v2
+    Thread.sleep(20) // commit mtimes must be distinguishable for AS OF ts
+    val betweenInserts = java.time.Instant.now()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graftcat.tt.t VALUES (2, 'beta')")             // v3
+    spark.sql("ALTER TABLE graftcat.tt.t ADD COLUMN score DOUBLE")        // v4
+    spark.sql("INSERT INTO graftcat.tt.t VALUES (3, 'gamma', 3.5)")       // v5
+
+    // current state: widened schema, 3 rows
+    assert(spark.table("graftcat.tt.t").count() == 3L)
+
+    // VERSION AS OF pins both the file list AND the schema of that commit
+    val v2 = spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 2")
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(v2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alpha")))
+    assert(spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 1").count() == 0L)
+    assert(spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 3").count() == 2L)
+    // post-alter, pre-last-insert: 2 rows under the WIDENED schema
+    val v4 = spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 4")
+    assert(v4.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(v4.count() == 2L)
+
+    // a time-traveled scan still prunes files by zone map (planning works)
+    assert(spark.sql(
+      "SELECT id FROM graftcat.tt.t VERSION AS OF 3 WHERE id = 2").count() == 1L)
+
+    // TIMESTAMP AS OF resolves to the newest commit at or before t
+    val tsLit = java.sql.Timestamp.from(betweenInserts).toString
+    val atTs = spark.sql(s"SELECT * FROM graftcat.tt.t TIMESTAMP AS OF '$tsLit'")
+    assert(atTs.count() == 1L, s"expected the v2 snapshot at $tsLit")
+    // a timestamp after everything sees the current state
+    val now = java.sql.Timestamp.from(java.time.Instant.now().plusSeconds(1)).toString
+    assert(spark.sql(s"SELECT * FROM graftcat.tt.t TIMESTAMP AS OF '$now'").count() == 3L)
+
+    // out-of-range asks fail with a clear error, not empty results
+    intercept[Exception] { spark.sql("SELECT * FROM graftcat.tt.t VERSION AS OF 99").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.tt.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
+
   test("RENAME and DROP are metadata operations on the manifest directory") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tmp")
