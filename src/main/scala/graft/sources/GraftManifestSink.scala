@@ -423,51 +423,102 @@ private[graft] class ManifestTable(dir: Path, writeSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   // an explicit read option wins; else the table's pinned snapshot (how
-  // the catalog's VERSION AS OF / TIMESTAMP AS OF reach the scan)
+  // the catalog's VERSION AS OF / TIMESTAMP AS OF reach the scan). The
+  // `files` option restricts the scan to a comma-separated subset of the
+  // manifest's files — the internal hook copy-on-write rewrites use to
+  // read only the files they replace.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(dir,
-      Option(options.get("snapshot")).map(_.toInt).orElse(snapshot))
+      Option(options.get("snapshot")).map(_.toInt).orElse(snapshot),
+      Option(options.get("files")).map(_.split(",").toSet))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(), info.queryId())
 
-  /** METADATA-ONLY DELETE (the Iceberg model): `DELETE FROM t WHERE p` is
-    * satisfiable without rewriting data iff the zone maps split every file
-    * cleanly — a file either PROVABLY matches `p` on all rows (its range
-    * sits entirely inside the predicate → dropped from the manifest) or
-    * provably matches none (→ untouched). A file the predicate would cut
-    * through the middle needs a rewrite this sink does not do, so
-    * `canDeleteWhere` returns false and Spark reports the delete
-    * unsupported instead of silently dropping extra rows. Dropped files
-    * stay on disk — archived snapshots still reference them (time travel);
-    * `VACUUM MANIFEST … RETAIN n SNAPSHOTS` reaps them later. */
-  private def splitEntries(filters: Array[Filter])
-    : Option[(Seq[ManifestFile], Seq[ManifestFile])] =
-    splitFrom(Manifest.read(dir).map(_.entries).getOrElse(Seq.empty), filters)
-
-  private def splitFrom(entries: Seq[ManifestFile], filters: Array[Filter])
-    : Option[(Seq[ManifestFile], Seq[ManifestFile])] = {
+  /** DELETE in two tiers (the Iceberg/Delta split): the zone maps classify
+    * every file as PROVABLY all-matching (range entirely inside the
+    * predicate → dropped from the manifest, metadata-only), provably
+    * non-matching (→ untouched), or CUT (the predicate crosses its range —
+    * or the range can't decide, e.g. NULLs present). Cut files are
+    * rewritten COPY-ON-WRITE by a distributed Spark job that reads only
+    * those files, keeps the non-matching rows, and stages replacements
+    * through the normal writer — so a selective delete over a 100 TB table
+    * rewrites only the files it touches, and an aligned delete rewrites
+    * nothing. Everything publishes in ONE atomic manifest swap; superseded
+    * files stay on disk for archived snapshots until `VACUUM MANIFEST …
+    * RETAIN n SNAPSHOTS` reaps them. `canDeleteWhere` accepts a predicate
+    * iff every conjunct translates to a row-level [[Column]]
+    * ([[ManifestScanBuilder.filterColumn]]) — an untranslatable filter
+    * must be refused up front, never approximated. */
+  private def classify(entries: Seq[ManifestFile], filters: Array[Filter])
+    : (Seq[ManifestFile], Seq[ManifestFile], Seq[ManifestFile]) = {
     val (drop, rest) = entries.partition(e =>
       filters.forall(f => ManifestScanBuilder.mustMatchAll(f, e.stats)))
-    // any remaining file the predicate MIGHT touch is a partial delete
-    if (rest.exists(e =>
-        filters.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)) &&
-          e.rows > 0)) None
-    else Some((drop, rest))
+    val (cut, keep) = rest.partition(e =>
+      filters.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)) &&
+        e.rows > 0)
+    (drop, keep, cut)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    splitEntries(filters).isDefined
+    filters.forall(f => ManifestScanBuilder.filterColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     // ONE manifest read for the whole compound decision — schema, entries
     // and props must come from the same published version
     val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
-    val (drop, rest) = splitFrom(m.entries, filters).getOrElse(
-      throw new UnsupportedOperationException(
-        "DELETE FROM on a manifest table is metadata-only: the predicate " +
-          "cuts through a file's zone-map range and would need a rewrite"))
+    val (drop, keep, cut) = classify(m.entries, filters)
     val _ = drop
-    Manifest.write(dir, Manifest(m.schema, rest, m.props))
+    val rewritten =
+      if (cut.isEmpty) Seq.empty
+      else {
+        val pred = filters.map(f => ManifestScanBuilder.filterColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"DELETE FROM: cannot evaluate pushed filter $f row-by-row")))
+          .reduce(_ && _)
+        // DELETE removes rows where the predicate is TRUE; NULL/FALSE rows
+        // survive — hence the coalesce, not a bare negation
+        import org.apache.spark.sql.functions.{coalesce, lit, not}
+        ManifestTable.rewriteFiles(dir, m, cut,
+          df => df.filter(not(coalesce(pred, lit(false)))))
+      }
+    Manifest.write(dir, Manifest(m.schema, keep ++ rewritten, m.props))
+  }
+}
+
+private[graft] object ManifestTable {
+  /** COPY-ON-WRITE rewrite step shared by row-level DELETE and UPDATE: run
+    * `transform` over ONLY the given files of table `dir` (a distributed
+    * Spark job — the scan plans one partition per file, the write stages
+    * per-task files with fresh zone maps) and return manifest entries for
+    * the results. The caller composes the final entry list and performs
+    * the single atomic swap; the replaced files stay on disk for archived
+    * snapshots. The staging detour through a scratch table keeps this on
+    * the exact writer/commit machinery every batch write uses. */
+  private[sources] def rewriteFiles(dir: Path, m: Manifest,
+      files: Seq[ManifestFile],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    : Seq[ManifestFile] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val src = spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir.toString)
+      .option("files", files.map(_.name).mkString(","))
+      .load()
+    val scratch = Files.createTempDirectory("graft_cow_")
+    transform(src)
+      .write.format("graft.sources.GraftManifestSink")
+      .option("path", scratch.toString).mode("append").save()
+    val entries = Manifest.read(scratch).map(_.entries).getOrElse(Seq.empty)
+    val moved = entries.map { e =>
+      Files.move(scratch.resolve(e.name), dir.resolve(e.name),
+        StandardCopyOption.REPLACE_EXISTING)
+      e
+    }
+    // scratch holds only the manifest + snapshots now — reap it
+    val walk = Files.walk(scratch)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    moved
   }
 }
 
@@ -699,7 +750,8 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
 
 // ----------------------------------------------------------------- read ----
 
-private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
+private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
+    only: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -727,6 +779,7 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int])
 
   override def build(): Scan = {
     val entries = manifest.map(_.entries).getOrElse(Seq.empty)
+      .filter(e => only.forall(_.contains(e.name)))
     val kept = entries.filter(e =>
       skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
     new ManifestScan(dir, full, required, kept, entries.length)
@@ -820,6 +873,36 @@ private[sources] object ManifestScanBuilder {
       case And(l, r) => mustMatchAll(l, st) && mustMatchAll(r, st)
       case Or(l, r) => mustMatchAll(l, st) || mustMatchAll(r, st)
       case _ => false
+    }
+  }
+
+  /** The pushed v1 filter as a row-level [[org.apache.spark.sql.Column]]
+    * predicate — what lets copy-on-write DELETE re-evaluate the delete
+    * condition inside the rewrite job. Built purely from the public
+    * `col`/`lit` constructors; `None` marks a filter shape this translator
+    * does not cover, which the caller must REFUSE (an approximated delete
+    * predicate silently drops the wrong rows). */
+  private[sources] def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case Not(c) => filterColumn(c).map(not)
+      case And(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case _ => None
     }
   }
 

@@ -170,6 +170,30 @@ object SourceQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Row-level DELETE through the driver's oracle gate: documents land in
+    // a catalog-managed manifest table, then two SQL DELETEs run — each
+    // file is metadata-dropped when its zone map proves every row matches,
+    // rewritten copy-on-write when the predicate cuts through it, and left
+    // untouched otherwise. The oracle is the complement SELECT on the
+    // original parquet, so a delete that drops too much, too little, or
+    // corrupts surviving rows hash-fails the gate. At 100 TB the rewrite
+    // set is bounded by the cut files, never the table.
+    "q_delete_rows" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_delq_")
+      s.conf.set("spark.sql.catalog.graftdel", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdel.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftdel.q")
+      // the session caches the catalog instance on first use, so a repeat
+      // invocation keeps the FIRST root — drop the previous table rather
+      // than relying on the fresh scratch dir
+      s.sql("DROP TABLE IF EXISTS graftdel.q.docs")
+      Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .writeTo("graftdel.q.docs").create()
+      s.sql("DELETE FROM graftdel.q.docs WHERE lang = 'en' AND n_chars < 250")
+      s.sql("DELETE FROM graftdel.q.docs WHERE source = 'src7' AND n_chars > 300")
+      s.table("graftdel.q.docs").orderBy("doc_id")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -229,6 +253,11 @@ object SourceQueries extends QueryModule {
         |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_id
         |FROM (SELECT range AS doc_id FROM range(0, 300))
         |GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_delete_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (lang = 'en' AND n_chars < 250)
+        |  AND NOT (source = 'src7' AND n_chars > 300)
+        |ORDER BY doc_id""".stripMargin,
     // The drained stream must equal the batch generator — same range,
     // grouped per source.
     "q_stream_dsv2" ->

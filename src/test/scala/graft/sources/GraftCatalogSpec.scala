@@ -43,7 +43,7 @@ class GraftCatalogSpec extends SparkSuite {
     assert(listed.contains("docs") && !listed.contains("not_a_table"))
   }
 
-  test("DELETE FROM is metadata-only: whole files drop, partial deletes are rejected") {
+  test("DELETE drops whole files metadata-only and rewrites cut files copy-on-write") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del")
     spark.sql("CREATE TABLE graftcat.del.t (id BIGINT, v DOUBLE)")
@@ -54,31 +54,44 @@ class GraftCatalogSpec extends SparkSuite {
         .writeTo("graftcat.del.t").append()
     batch(Seq(1L, 2L, 3L)); batch(Seq(11L, 12L, 13L)); batch(Seq(21L, 22L, 23L))
     assert(spark.table("graftcat.del.t").count() == 9L)
+    val dir = s"$rootDir/del/t"
+    def entryNames = Manifest.read(Paths.get(dir)).get.entries.map(_.name)
 
-    // predicate covers file 1's entire [1, 3] range → metadata-only drop
+    // predicate covers file 1's entire [1, 3] range → metadata-only drop:
+    // no file is rewritten, the surviving entries keep their names
+    val namesBefore = entryNames
     spark.sql("DELETE FROM graftcat.del.t WHERE id < 10")
     assert(spark.table("graftcat.del.t").select("id").as[Long].collect().sorted.toSeq
       == Seq(11L, 12L, 13L, 21L, 22L, 23L))
+    assert(entryNames.toSet.subsetOf(namesBefore.toSet), "aligned delete must not rewrite")
+    assert(entryNames.length == 2)
 
-    // predicate cuts through file [11, 13] → needs a rewrite → rejected,
-    // and the table is untouched
-    intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE id = 12") }
-    assert(spark.table("graftcat.del.t").count() == 6L)
+    // predicate cuts through file [11, 13] → that ONE file is rewritten
+    // copy-on-write; the untouched [21, 23] file keeps its identity
+    val beforeCut = entryNames
+    spark.sql("DELETE FROM graftcat.del.t WHERE id = 12")
+    assert(spark.table("graftcat.del.t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 13L, 21L, 22L, 23L))
+    val afterCut = entryNames
+    assert(afterCut.length == 2)
+    assert(beforeCut.intersect(afterCut).length == 1,
+      "the untouched file keeps its identity; the cut file is replaced")
 
-    // a file containing NULLs in the predicate column must never be
-    // metadata-deleted — the NULL rows do not match the predicate, and the
-    // zone map (built from non-null cells only) cannot see them
+    // a file containing NULLs in the predicate column can never be proven
+    // all-matching by its zone map (built from non-null cells) — the
+    // rewrite must keep the NULL row, which the predicate does not match
     Seq((Some(31L), 1.0), (Some(32L), 2.0), (None: Option[Long], 3.0))
       .toDF("id", "v").coalesce(1).writeTo("graftcat.del.t").append()
-    intercept[Exception] { spark.sql("DELETE FROM graftcat.del.t WHERE id <= 40") }
-    assert(spark.table("graftcat.del.t").count() == 9L)
+    spark.sql("DELETE FROM graftcat.del.t WHERE id <= 40")
+    val survivors = spark.table("graftcat.del.t").select("id")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(survivors == Seq(None), s"only the NULL row survives, got $survivors")
 
-    // the dropped file stays reachable through the archived snapshot taken
-    // just before the delete (history: create, 3 inserts, delete, insert)
-    val dir = s"$rootDir/del/t"
+    // every replaced file stays reachable through the snapshot archived just
+    // before its delete (history: create, 3 inserts, del, del, insert, del)
     val snaps = Manifest.snapshotVersions(java.nio.file.Paths.get(dir))
     val before = spark.read.format("graft.sources.GraftManifestSink")
-      .option("path", dir).option("snapshot", (snaps.max - 2).toString).load()
+      .option("path", dir).option("snapshot", (snaps.max - 4).toString).load()
     assert(before.count() == 9L)
   }
 
@@ -151,14 +164,15 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graftcat.dated.ev WHERE d >= DATE'2026-01-11' AND d <= DATE'2026-01-15'")
       .head().getLong(0) == 0L)
-    // a date predicate cutting through a file is rejected, table untouched
-    intercept[Exception] {
-      spark.sql("DELETE FROM graftcat.dated.ev WHERE d = DATE'2026-01-02'")
-    }
-    assert(spark.table("graftcat.dated.ev").count() == 10L)
-    // string equality covering a whole file also deletes metadata-only:
-    // remaining files are [web Jan1-5] and [web Jan21-25]... both src='web',
-    // so DELETE WHERE src='web' drops both remaining files
+    // a date predicate cutting through a file rewrites just that file
+    spark.sql("DELETE FROM graftcat.dated.ev WHERE d = DATE'2026-01-02'")
+    assert(spark.table("graftcat.dated.ev").count() == 9L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.dated.ev WHERE d = DATE'2026-01-02'")
+      .head().getLong(0) == 0L)
+    // string equality covering a whole file still deletes metadata-only:
+    // remaining files are [web Jan1-5 rewritten] and [web Jan21-25], both
+    // all-'web', so DELETE WHERE src='web' drops both without a rewrite
     spark.sql("DELETE FROM graftcat.dated.ev WHERE src = 'web'")
     assert(spark.table("graftcat.dated.ev").count() == 0L)
   }
