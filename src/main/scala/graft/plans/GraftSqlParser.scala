@@ -51,6 +51,48 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val KeyEq = """([\w.]+)\s*=\s*([\w.]+)""".r
 
+  /** `UPDATE t SET c = expr [, …] [WHERE pred]` — like MERGE, Spark's own
+    * parser accepts this but executing it needs row-level-operation
+    * support; this tier lowers it to the sink's copy-on-write rewrite
+    * ([[graft.sources.ManifestTable.updateWhere]]): zone maps skip files
+    * the predicate provably misses, only touched files rewrite, one atomic
+    * swap publishes. SET right-hand sides and the predicate pass through
+    * as SQL text and are evaluated by Spark's expression engine against
+    * the OLD row. A statement whose SET list does not split into
+    * `ident = expr` assignments (or with unbalanced quotes — a quoted
+    * literal could hide a WHERE from this regex) falls through to the
+    * delegate verbatim and fails with Spark's own row-level-ops error. */
+  private val Update =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val Assign = """(?s)\s*([\w.]+)\s*=\s*(.+?)\s*""".r
+
+  /** `DESCRIBE HISTORY t` — one row per committed snapshot of a manifest
+    * table (version, file count, row count), newest last. The Delta
+    * statement; Spark's grammar has no HISTORY form, so this never shadows
+    * delegate syntax. */
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+
+  /** Split on `sep` at paren depth 0 outside single-quoted literals. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quoted = false
+    s.foreach { ch =>
+      if (quoted) { cur += ch; if (ch == '\'') quoted = false }
+      else ch match {
+        case '\'' => quoted = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    out += cur.toString
+    out.result()
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, retain, olderMin) =>
       val keep = Option(retain).map(_.toInt)
@@ -80,6 +122,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case Some(ks) if ks.nonEmpty => MergeIntoManifestCommand(target, source, ks)
         case _ => delegate.parsePlan(sqlText)
       }
+    case Update(target, setList, where) =>
+      val assigns = splitTop(setList, ',').map {
+        case Assign(c, rhs) => Some(c.split("\\.").last -> rhs)
+        case _ => None
+      }
+      val balanced = setList.count(_ == '\'') % 2 == 0 &&
+        Option(where).forall(_.count(_ == '\'') % 2 == 0)
+      if (balanced && assigns.nonEmpty && assigns.forall(_.isDefined))
+        UpdateManifestCommand(target, assigns.flatten, Option(where))
+      else delegate.parsePlan(sqlText)
+    case History(target) => DescribeHistoryCommand(target)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -154,6 +207,60 @@ case class MergeIntoManifestCommand(target: String, source: String, keys: Seq[St
       .writeTo(target).overwrite(lit(true))
     Seq.empty
   }
+}
+
+/** The lowered UPDATE: locate the target's manifest directory through the
+  * analyzed relation, then hand the assignment list and predicate (both
+  * still SQL text) to [[graft.sources.ManifestTable.updateWhere]] — zone
+  * maps bound the rewrite set, the swap is atomic, replaced files stay
+  * reachable through archived snapshots. Only a graft manifest table has
+  * that machinery; anything else gets a clear error rather than Spark's
+  * generic row-level-ops failure with this command's name on it. */
+case class UpdateManifestCommand(target: String, sets: Seq[(String, String)],
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "UPDATE")
+    graft.sources.ManifestTable.updateWhere(mt.dir, sets, where)
+    Seq.empty
+  }
+}
+
+/** Snapshot history of a manifest table: one row per archived version
+  * (every commit archives the state it published, so the newest row IS the
+  * current table). Driver-side metadata only — no data files open. */
+case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "DESCRIBE HISTORY")
+    import graft.sources.Manifest
+    Manifest.snapshotVersions(mt.dir).flatMap { v =>
+      Manifest.readSnapshot(mt.dir, v).map(m =>
+        Row(v, m.entries.length, m.entries.map(_.rows).sum))
+    }
+  }
+}
+
+/** Shared target resolution for the lowered DML/metadata statements: the
+  * named table must analyze to a graft [[graft.sources.ManifestTable]]
+  * relation — only that table carries the atomic snapshot machinery the
+  * commands rely on. Anything else gets the operation's name in a clear
+  * error instead of a silent wrong lowering. */
+private[plans] object ManifestTarget {
+  def of(spark: SparkSession, target: String, op: String): graft.sources.ManifestTable =
+    spark.table(target).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.ManifestTable] =>
+        r.table.asInstanceOf[graft.sources.ManifestTable]
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"$op: $target is not a graft manifest table — this engine lowers " +
+        s"$op only for its own catalog tables"))
 }
 
 /** Driver-side maintenance. Safe by construction:

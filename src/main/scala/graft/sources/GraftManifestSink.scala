@@ -404,7 +404,7 @@ private[graft] object Manifest {
   }
 }
 
-private[graft] class ManifestTable(dir: Path, writeSchema: StructType,
+private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     snapshot: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -519,6 +519,122 @@ private[graft] object ManifestTable {
       .forEach(p => Files.deleteIfExists(p))
     finally walk.close()
     moved
+  }
+
+  /** Execute `UPDATE <table at dir> SET col = expr, … [WHERE pred]`
+    * (SQL strings for every right-hand side and the predicate — evaluated
+    * by Spark's own expression engine inside the rewrite job, so the full
+    * scalar-function surface works in SET/WHERE).
+    *
+    * Scale shape: the WHERE conjuncts that translate to v1 filters
+    * ([[exprFilter]]) prune provably-unaffected files via the zone maps —
+    * a selective UPDATE over a 100 TB table rewrites only the files whose
+    * ranges the predicate can touch. An untranslatable conjunct only costs
+    * pruning, never correctness: every touched file is rewritten with the
+    * predicate re-evaluated row-by-row (NULL/FALSE keeps the row
+    * unchanged; every assignment reads the OLD row, per ANSI UPDATE), and
+    * the result publishes in ONE atomic manifest swap. Assignments cast to
+    * the column's declared type so the table schema never drifts. */
+  private[graft] def updateWhere(dir: Path, sets: Seq[(String, String)],
+      whereSql: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"UPDATE: no manifest at $dir"))
+    sets.foreach { case (c, _) =>
+      if (!m.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"UPDATE: column $c not in table (${m.schema.fieldNames.mkString(", ")})")
+    }
+    val pruning = whereSql.toSeq.flatMap { w =>
+      conjuncts(spark.sessionState.sqlParser.parseExpression(w)).flatMap(exprFilter)
+    }
+    val (touch, keep) = m.entries.partition(e => e.rows > 0 &&
+      pruning.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+    if (touch.isEmpty) return
+    val cond = coalesce(whereSql.map(expr).getOrElse(lit(true)), lit(false))
+    val rewritten = rewriteFiles(dir, m, touch, df => {
+      val cols = m.schema.fields.map { f =>
+        sets.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, rhs)) =>
+            when(cond, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      df.select(cols.toIndexedSeq: _*)
+    })
+    Manifest.write(dir, Manifest(m.schema, keep ++ rewritten, m.props))
+  }
+
+  private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A parsed (still-unresolved) WHERE term as a v1 pruning [[Filter]], or
+    * `None` when the shape has no exact zone-map reading — the caller then
+    * simply prunes less. Literals convert through
+    * [[org.apache.spark.sql.catalyst.CatalystTypeConverters]] to the same
+    * external values scan pushdown delivers, so the zone-map comparators
+    * see the types they were property-tested against. */
+  private def exprFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.sources._
+    def name(a: ce.Expression): Option[String] = a match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: ce.Attribute => Some(a.name)
+      case _ => None
+    }
+    def value(l: ce.Expression): Option[Any] = l match {
+      case lit: ce.Literal if lit.value != null =>
+        Some(CatalystTypeConverters.convertToScala(lit.value, lit.dataType))
+      case _ => None
+    }
+    // comparisons translate in both operand orders (`c < 5` and `5 > c`)
+    def bin(l: ce.Expression, r: ce.Expression)(
+        mk: (String, Any) => Filter, flip: (String, Any) => Filter): Option[Filter] =
+      (for (n <- name(l); v <- value(r)) yield mk(n, v))
+        .orElse(for (n <- name(r); v <- value(l)) yield flip(n, v))
+    e match {
+      // BETWEEN arrives unresolved as 'between(in, lo, hi) — sugar for
+      // in >= lo AND in <= hi
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+          f.arguments.length == 3 =>
+        for {
+          a <- exprFilter(ce.GreaterThanOrEqual(f.arguments(0), f.arguments(1)))
+          b <- exprFilter(ce.LessThanOrEqual(f.arguments(0), f.arguments(2)))
+        } yield And(a, b)
+      case ce.Between(in, lo, hi, _) => // the resolved node, same sugar
+        for {
+          a <- exprFilter(ce.GreaterThanOrEqual(in, lo))
+          b <- exprFilter(ce.LessThanOrEqual(in, hi))
+        } yield And(a, b)
+      case ce.EqualTo(l, r) => bin(l, r)(EqualTo.apply, EqualTo.apply)
+      case ce.GreaterThan(l, r) => bin(l, r)(GreaterThan.apply, LessThan.apply)
+      case ce.GreaterThanOrEqual(l, r) =>
+        bin(l, r)(GreaterThanOrEqual.apply, LessThanOrEqual.apply)
+      case ce.LessThan(l, r) => bin(l, r)(LessThan.apply, GreaterThan.apply)
+      case ce.LessThanOrEqual(l, r) =>
+        bin(l, r)(LessThanOrEqual.apply, GreaterThanOrEqual.apply)
+      case ce.In(a, vs) =>
+        for {
+          n <- name(a)
+          lits <- Some(vs.map {
+            case l: ce.Literal if l.value != null =>
+              Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+            case _ => None
+          }) if lits.forall(_.isDefined) && lits.nonEmpty
+        } yield In(n, lits.flatten.toArray)
+      case ce.And(l, r) =>
+        for (a <- exprFilter(l); b <- exprFilter(r)) yield And(a, b)
+      case _ => None
+    }
   }
 }
 
@@ -802,6 +918,8 @@ private[sources] object ManifestScanBuilder {
     case n: Float => if (java.lang.Float.isFinite(n)) Some(BigDecimal(n.toDouble)) else None
     case n: Short => Some(BigDecimal(n.toInt))
     case n: Byte => Some(BigDecimal(n.toInt))
+    case n: java.math.BigDecimal => Some(BigDecimal(n)) // parsed decimal literals
+    case n: BigDecimal => Some(n)
     case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
     case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
     case t: java.sql.Timestamp => // Catalyst fromJavaTimestamp: millis*1000 + sub-milli micros

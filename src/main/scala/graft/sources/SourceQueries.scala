@@ -194,6 +194,56 @@ object SourceQueries extends QueryModule {
       s.table("graftdel.q.docs").orderBy("doc_id")
     }),
 
+    // SQL UPDATE through the driver's oracle gate: two sequential UPDATEs
+    // over a catalog-managed manifest table — zone maps bound the rewrite
+    // to the files each predicate can touch, every touched file rewrites
+    // copy-on-write with the assignments evaluated against the OLD row.
+    // The oracle is the equivalent nested-CASE SELECT on the original
+    // parquet (inner level = first UPDATE, outer = second), so wrong
+    // sequencing, a missed row, or a corrupted untouched row hash-fails.
+    "q_update_rows" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_updq_")
+      s.conf.set("spark.sql.catalog.graftupd", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftupd.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftupd.q")
+      s.sql("DROP TABLE IF EXISTS graftupd.q.docs")
+      Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .writeTo("graftupd.q.docs").create()
+      s.sql("UPDATE graftupd.q.docs SET n_chars = n_chars + 1000 " +
+        "WHERE lang = 'en' AND n_chars < 200")
+      s.sql("UPDATE graftupd.q.docs SET lang = upper(lang), n_chars = -n_chars " +
+        "WHERE source = 'src3'")
+      s.table("graftupd.q.docs").orderBy("doc_id")
+    }),
+
+    // Snapshot history through the oracle gate: documents commit to a
+    // catalog table one source at a time (each commit archives a
+    // snapshot), then DESCRIBE HISTORY must replay the exact cumulative
+    // row counts DuckDB derives from per-source counts. The driver-side
+    // loop is one commit per DISTINCT SOURCE (~10) — the number of table
+    // versions being demonstrated, not a per-row loop.
+    "q_table_history" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_histq_")
+      s.conf.set("spark.sql.catalog.grafthist", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grafthist.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS grafthist.q")
+      s.sql("DROP TABLE IF EXISTS grafthist.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).toSeq
+      sources.zipWithIndex.foreach { case (src, i) =>
+        val batch = docs.filter(docs("source") === src)
+        if (i == 0) batch.writeTo("grafthist.q.docs").create()
+        else batch.writeTo("grafthist.q.docs").append()
+      }
+      s.sql("DESCRIBE HISTORY grafthist.q.docs")
+        .where("n_rows > 0") // a CTAS may commit an empty create version
+        .selectExpr(
+          "CAST(row_number() OVER (ORDER BY version) AS BIGINT) AS step",
+          "n_rows")
+        .orderBy("step")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -258,6 +308,24 @@ object SourceQueries extends QueryModule {
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
         |ORDER BY doc_id""".stripMargin,
+    "q_update_rows" ->
+      """SELECT doc_id,
+        |  CASE WHEN source = 'src3' THEN upper(lang) ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN source = 'src3' THEN -n1 ELSE n1 END AS n_chars
+        |FROM (SELECT doc_id, lang, source,
+        |        CASE WHEN lang = 'en' AND n_chars < 200
+        |             THEN n_chars + 1000 ELSE n_chars END AS n1
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // One history row per per-source commit: cumulative doc counts in
+    // source order.
+    "q_table_history" ->
+      """SELECT CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS step,
+        |  CAST(SUM(cnt) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS n_rows
+        |FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+        |ORDER BY step""".stripMargin,
     // The drained stream must equal the batch generator — same range,
     // grouped per source.
     "q_stream_dsv2" ->

@@ -95,6 +95,78 @@ class GraftCatalogSpec extends SparkSuite {
     assert(before.count() == 9L)
   }
 
+  test("UPDATE rewrites only the files the predicate can touch") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.upd")
+    spark.sql("CREATE TABLE graftcat.upd.t (id BIGINT, v DOUBLE, tag STRING)")
+    def batch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, i * 1.0, s"t$i")).toDF("id", "v", "tag").coalesce(1)
+        .writeTo("graftcat.upd.t").append()
+    batch(Seq(1L, 2L, 3L)); batch(Seq(11L, 12L, 13L)); batch(Seq(21L, 22L, 23L))
+    val dir = Paths.get(s"$rootDir/upd/t")
+    def entryNames = Manifest.read(dir).get.entries.map(_.name)
+
+    // the predicate's zone-map reading touches only the [11, 13] file; SET
+    // reads the OLD row (v and tag both from pre-update values)
+    val before = entryNames
+    spark.sql("UPDATE graftcat.upd.t SET v = v * 10, tag = concat(tag, '!') " +
+      "WHERE id BETWEEN 11 AND 13 AND v < 13.0")
+    val after = entryNames
+    assert(after.length == 3)
+    assert(before.intersect(after).length == 2,
+      "the two files the predicate provably misses must keep their identity")
+    val got = spark.table("graftcat.upd.t").orderBy("id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((1L, 1.0, "t1"), (2L, 2.0, "t2"), (3L, 3.0, "t3"),
+      (11L, 110.0, "t11!"), (12L, 120.0, "t12!"), (13L, 13.0, "t13"),
+      (21L, 21.0, "t21"), (22L, 22.0, "t22"), (23L, 23.0, "t23")))
+
+    // a NULL predicate keeps the row unchanged (ANSI UPDATE), and the
+    // assignment casts to the column's declared type (int literal → double)
+    Seq((Some(31L), None: Option[Double], "t31")).toDF("id", "v", "tag")
+      .coalesce(1).writeTo("graftcat.upd.t").append()
+    spark.sql("UPDATE graftcat.upd.t SET v = 7 WHERE v > 100.0")
+    val vs = spark.table("graftcat.upd.t").orderBy("id").select("v")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(vs == Seq(Some(1.0), Some(2.0), Some(3.0), Some(7.0), Some(7.0),
+      Some(13.0), Some(21.0), Some(22.0), Some(23.0), None))
+    assert(spark.table("graftcat.upd.t").schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+
+    // pre-update state stays readable through an archived snapshot
+    val preUpdate = Seq(1.0, 2.0, 3.0, 11.0, 12.0, 13.0, 21.0, 22.0, 23.0)
+    val reachable = Manifest.snapshotVersions(dir).exists { ver =>
+      val s = spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString).option("snapshot", ver.toString).load()
+      s.count() == 9L &&
+        s.orderBy("id").select("v").as[Double].collect().toSeq == preUpdate
+    }
+    assert(reachable, "pre-update state must be reachable via time travel")
+
+    // guardrails: unknown SET column and non-manifest targets fail loudly
+    intercept[IllegalArgumentException] {
+      spark.sql("UPDATE graftcat.upd.t SET nope = 1")
+    }
+    spark.range(5).createOrReplaceTempView("plain_view")
+    intercept[Exception] { spark.sql("UPDATE plain_view SET id = 1") }
+  }
+
+  test("DESCRIBE HISTORY lists every committed snapshot, newest = current") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.hist")
+    spark.sql("CREATE TABLE graftcat.hist.t (id BIGINT)")
+    Seq(1L, 2L).toDF("id").coalesce(1).writeTo("graftcat.hist.t").append()
+    Seq(3L).toDF("id").coalesce(1).writeTo("graftcat.hist.t").append()
+    val h = spark.sql("DESCRIBE HISTORY graftcat.hist.t")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(h.map(_._1) == h.map(_._1).sorted, "versions ascending")
+    assert(h.last._2 == 2 && h.last._3 == 3L,
+      s"newest row must be the current state (2 files, 3 rows): $h")
+    assert(h.map(_._3).containsSlice(Seq(2L, 3L)), s"append trail visible: $h")
+    spark.range(5).createOrReplaceTempView("plain_view_h")
+    intercept[Exception] { spark.sql("DESCRIBE HISTORY plain_view_h") }
+  }
+
   test("ALTER TABLE ADD COLUMN widens metadata-only: old files NULL-fill, snapshots keep the old schema") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo")
