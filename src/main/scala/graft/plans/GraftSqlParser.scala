@@ -73,6 +73,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
+  /** `OPTIMIZE t [TARGET n BYTES]` — compact a manifest table's current
+    * data files into ~n-byte outputs (default 128 MiB) through one
+    * distributed rewrite + atomic swap. Delta's statement shape; Spark's
+    * grammar has no OPTIMIZE, so the regex never shadows delegate
+    * syntax. */
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*;?\s*""".r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals. */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -133,6 +141,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         UpdateManifestCommand(target, assigns.flatten, Option(where))
       else delegate.parsePlan(sqlText)
     case History(target) => DescribeHistoryCommand(target)
+    case Optimize(target, targetBytes) =>
+      OptimizeManifestCommand(target,
+        Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -244,6 +255,25 @@ case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {
       Manifest.readSnapshot(mt.dir, v).map(m =>
         Row(v, m.entries.length, m.entries.map(_.rows).sum))
     }
+  }
+}
+
+/** The lowered OPTIMIZE: one distributed rewrite of the table's live files
+  * into ~targetBytes outputs via [[graft.sources.ManifestTable.optimize]].
+  * Reports (files_before, files_after); a layout already at or under the
+  * target count is a no-op with before == after. */
+case class OptimizeManifestCommand(target: String, targetBytes: Long)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(targetBytes > 0, s"OPTIMIZE: TARGET $targetBytes BYTES is invalid")
+    val mt = ManifestTarget.of(spark, target, "OPTIMIZE")
+    val (before, after) = graft.sources.ManifestTable.optimize(mt.dir, targetBytes)
+    Seq(Row(before, after))
   }
 }
 

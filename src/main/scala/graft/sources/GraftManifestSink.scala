@@ -566,6 +566,30 @@ private[graft] object ManifestTable {
     Manifest.write(dir, Manifest(m.schema, keep ++ rewritten, m.props))
   }
 
+  /** Compact the table's CURRENT data files into ~`targetBytes`-sized
+    * outputs (the streaming sink's one-file-per-epoch trail is the usual
+    * victim). One distributed rewrite of the live files, one atomic swap;
+    * replaced files stay on disk for archived snapshots — so compaction
+    * never breaks time travel, and `VACUUM MANIFEST … RETAIN n SNAPSHOTS`
+    * reaps the small files once their snapshots expire. No-op when the
+    * layout is already at or under the target file count. Returns
+    * (files before, files after). */
+  private[graft] def optimize(dir: Path, targetBytes: Long): (Int, Int) = {
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))
+    val live = m.entries.filter(_.rows > 0)
+    if (live.isEmpty) return (0, 0)
+    val bytes = live.map { e =>
+      val p = dir.resolve(e.name)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (live.length <= n) return (live.length, live.length)
+    val rewritten = rewriteFiles(dir, m, live, _.repartition(n))
+    Manifest.write(dir, Manifest(m.schema, rewritten, m.props))
+    (live.length, rewritten.length)
+  }
+
   private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>

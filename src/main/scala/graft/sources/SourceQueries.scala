@@ -216,6 +216,25 @@ object SourceQueries extends QueryModule {
       s.table("graftupd.q.docs").orderBy("doc_id")
     }),
 
+    // OPTIMIZE through the oracle gate: documents land as one small file
+    // per source (the streaming-epoch trail shape), then one distributed
+    // rewrite compacts them under an atomic swap. The oracle is the plain
+    // SELECT on the original parquet, so a compaction that drops,
+    // duplicates, or corrupts rows hash-fails; the spec separately asserts
+    // the file count shrank.
+    "q_optimize_roundtrip" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_optq_")
+      s.conf.set("spark.sql.catalog.graftopt", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftopt.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftopt.q")
+      s.sql("DROP TABLE IF EXISTS graftopt.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      docs.repartition(10, docs("source"))
+        .writeTo("graftopt.q.docs").create()
+      s.sql("OPTIMIZE graftopt.q.docs")
+      s.table("graftopt.q.docs").orderBy("doc_id")
+    }),
+
     // Snapshot history through the oracle gate: documents commit to a
     // catalog table one source at a time (each commit archives a
     // snapshot), then DESCRIBE HISTORY must replay the exact cumulative
@@ -317,6 +336,9 @@ object SourceQueries extends QueryModule {
         |        CASE WHEN lang = 'en' AND n_chars < 200
         |             THEN n_chars + 1000 ELSE n_chars END AS n1
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_optimize_roundtrip" ->
+      """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // One history row per per-source commit: cumulative doc counts in
     // source order.

@@ -167,6 +167,36 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[Exception] { spark.sql("DESCRIBE HISTORY plain_view_h") }
   }
 
+  test("OPTIMIZE compacts many small files into one atomic rewrite") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.opt")
+    spark.sql("CREATE TABLE graftcat.opt.t (id BIGINT, v DOUBLE)")
+    (0 until 6).foreach { b =>
+      Seq((b * 10L, b * 1.0), (b * 10L + 1, b * 1.0)).toDF("id", "v")
+        .coalesce(1).writeTo("graftcat.opt.t").append()
+    }
+    val dir = Paths.get(s"$rootDir/opt/t")
+    assert(Manifest.read(dir).get.entries.length == 6)
+
+    val rpt = spark.sql("OPTIMIZE graftcat.opt.t").head()
+    assert(rpt.getInt(0) == 6 && rpt.getInt(1) < 6, s"must shrink: $rpt")
+    assert(Manifest.read(dir).get.entries.length == rpt.getInt(1))
+    // content identical after the rewrite
+    assert(spark.table("graftcat.opt.t").select("id").as[Long]
+      .collect().sorted.toSeq == (0 until 6).flatMap(b => Seq(b * 10L, b * 10L + 1)))
+    // the new entries carry fresh zone maps: an id-ranged SELECT still works
+    assert(spark.sql("SELECT count(*) FROM graftcat.opt.t WHERE id >= 50")
+      .head().getLong(0) == 2L)
+    // pre-compaction layout stays reachable through an archived snapshot
+    val sixFileVersion = Manifest.snapshotVersions(dir).filter { v =>
+      Manifest.readSnapshot(dir, v).exists(_.entries.length == 6)
+    }
+    assert(sixFileVersion.nonEmpty, "pre-optimize snapshot must survive")
+    // a second OPTIMIZE is a no-op: already at/below the target count
+    val again = spark.sql("OPTIMIZE graftcat.opt.t").head()
+    assert(again.getInt(0) == again.getInt(1))
+  }
+
   test("ALTER TABLE ADD COLUMN widens metadata-only: old files NULL-fill, snapshots keep the old schema") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo")
