@@ -73,13 +73,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
-  /** `OPTIMIZE t [TARGET n BYTES]` — compact a manifest table's current
-    * data files into ~n-byte outputs (default 128 MiB) through one
-    * distributed rewrite + atomic swap. Delta's statement shape; Spark's
-    * grammar has no OPTIMIZE, so the regex never shadows delegate
-    * syntax. */
+  /** `OPTIMIZE t [TARGET n BYTES] [ZORDER BY (c1, c2)]` — compact a
+    * manifest table's current data files into ~n-byte outputs (default
+    * 128 MiB) through one distributed rewrite + atomic swap. With ZORDER
+    * BY the rewrite range-partitions + sorts on the Morton interleave of
+    * the two columns (scaled by the manifest's own zone-map ranges), so
+    * after the rewrite min-max file skipping prunes selective predicates
+    * on EITHER column. Delta's statement shape; Spark's grammar has no
+    * OPTIMIZE, so the regex never shadows delegate syntax. */
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\))?\s*;?\s*""").r
 
   /** Split on `sep` at paren depth 0 outside single-quoted literals. */
   private def splitTop(s: String, sep: Char): Seq[String] = {
@@ -141,9 +145,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         UpdateManifestCommand(target, assigns.flatten, Option(where))
       else delegate.parsePlan(sqlText)
     case History(target) => DescribeHistoryCommand(target)
-    case Optimize(target, targetBytes) =>
+    case Optimize(target, targetBytes, zc1, zc2) =>
       OptimizeManifestCommand(target,
-        Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024))
+        Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024),
+        for (a <- Option(zc1); b <- Option(zc2))
+          yield (a.split("\\.").last, b.split("\\.").last))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -259,10 +265,12 @@ case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {
 }
 
 /** The lowered OPTIMIZE: one distributed rewrite of the table's live files
-  * into ~targetBytes outputs via [[graft.sources.ManifestTable.optimize]].
-  * Reports (files_before, files_after); a layout already at or under the
+  * into ~targetBytes outputs via [[graft.sources.ManifestTable.optimize]],
+  * Z-order-clustered when `zorderBy` names two numeric columns. Reports
+  * (files_before, files_after); a plain compaction already at or under the
   * target count is a no-op with before == after. */
-case class OptimizeManifestCommand(target: String, targetBytes: Long)
+case class OptimizeManifestCommand(target: String, targetBytes: Long,
+    zorderBy: Option[(String, String)] = None)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.types.IntegerType
   override val output: Seq[Attribute] = Seq(
@@ -272,7 +280,8 @@ case class OptimizeManifestCommand(target: String, targetBytes: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     require(targetBytes > 0, s"OPTIMIZE: TARGET $targetBytes BYTES is invalid")
     val mt = ManifestTarget.of(spark, target, "OPTIMIZE")
-    val (before, after) = graft.sources.ManifestTable.optimize(mt.dir, targetBytes)
+    val (before, after) =
+      graft.sources.ManifestTable.optimize(mt.dir, targetBytes, zorderBy)
     Seq(Row(before, after))
   }
 }

@@ -132,7 +132,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * old files — DROP COLUMN, RENAME COLUMN, type changes (including
     * narrowing), NOT NULL adds, positioned adds — is rejected explicitly
     * rather than half-supported. */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    // the schema RMW shares the commit lock, so an append landing mid-ALTER
+    // is never un-published
+    ManifestLock.withLock(tableDir(ident)) {
     val dir = tableDir(ident)
     val m = Manifest.read(dir).getOrElse(throw new NoSuchTableException(ident))
     val widened = changes.foldLeft(m.schema) { (schema, change) =>
@@ -177,7 +180,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     Manifest.write(dir, Manifest(widened, m.entries, m.props))
     new ManifestTable(dir, widened)
-  }
+    }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -34,12 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `abort` deletes this query's staged files; a crash that skips abort
   *    leaves garbage only in `_staging/`, invisible to readers.
   *
-  * Concurrency contract: SINGLE WRITER (like Delta on a filesystem with no
-  * lock service) — Spark serializes the commits of one write job, but two
-  * concurrent jobs writing the SAME table directory could race the
-  * read-modify-write of the manifest (last commit wins, the other's files
-  * become vacuum-able orphans, never torn reads). Concurrent READERS are
-  * always safe: they see whichever manifest the atomic swap last published.
+  * Concurrency contract: every manifest read-modify-write runs under the
+  * table's commit lock ([[ManifestLock]]: per-dir JVM monitor + OS file
+  * lock on `_commit.lock`), so CONCURRENT APPENDS from same-host writers
+  * all land — the old single-writer race (last commit wins, the loser's
+  * files become vacuum-able orphans) is closed. Row-level ops
+  * (DELETE/UPDATE/OPTIMIZE) publish by replacing exactly the files they
+  * read against the CURRENT manifest ([[ManifestTable.publishReplacing]]),
+  * so they commute with appends; two row-level ops over OVERLAPPING files
+  * remain last-writer-wins within the lock (run those serially, Delta's
+  * own conflict rule). Multi-HOST writers on a shared object store need a
+  * lock service, exactly as Delta documents. Concurrent READERS are always
+  * safe: they see whichever manifest the atomic swap last published.
   *
   * Each committed file carries a ZONE MAP — per-numeric-column [min, max]
   * gathered by the task writer in the same pass that writes the rows — and
@@ -467,7 +473,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     // and props must come from the same published version
     val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
     val (drop, keep, cut) = classify(m.entries, filters)
-    val _ = drop
+    val _ = keep
     val rewritten =
       if (cut.isEmpty) Seq.empty
       else {
@@ -481,7 +487,34 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
         ManifestTable.rewriteFiles(dir, m, cut,
           df => df.filter(not(coalesce(pred, lit(false)))))
       }
-    Manifest.write(dir, Manifest(m.schema, keep ++ rewritten, m.props))
+    ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name), rewritten)
+  }
+}
+
+/** Serializes every manifest read-modify-write on a table directory:
+  * a per-dir JVM monitor (same-process writers — two threads locking one
+  * file would otherwise throw `OverlappingFileLockException`) wrapping an
+  * OS file lock on `_commit.lock` (cross-process writers on the same
+  * host). This closes the lost-update race two concurrent commits had
+  * between manifest read and swap — the loser's files stayed on disk
+  * unreferenced, i.e. SILENT DATA LOSS that vacuum later reaped. Scope:
+  * same-host writers (the local-FS deployment this sink serves); a
+  * multi-driver object-store deployment needs a lock service, exactly as
+  * Delta documents. */
+private[graft] object ManifestLock {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withLock[T](dir: Path)(body: => T): T = {
+    val mon = monitors.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve("_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
   }
 }
 
@@ -521,6 +554,23 @@ private[graft] object ManifestTable {
     moved
   }
 
+  /** Publish a row-level operation's result: replace exactly the files the
+    * op read (`replaced`, from its base snapshot `base`) with `rewritten`,
+    * keeping every entry some CONCURRENT append added since — the RMW runs
+    * against the CURRENT manifest under the commit lock, so row-level ops
+    * commute with appends instead of silently un-publishing them. The op's
+    * row semantics stay snapshot-isolated: it read `base`, and files it
+    * never saw are left for the next operation. */
+  private[sources] def publishReplacing(dir: Path, base: Manifest,
+      replaced: Seq[String], rewritten: Seq[ManifestFile]): Unit = {
+    val gone = replaced.toSet
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).getOrElse(base)
+      Manifest.write(dir, Manifest(cur.schema,
+        cur.entries.filterNot(e => gone(e.name)) ++ rewritten, cur.props))
+    }
+  }
+
   /** Execute `UPDATE <table at dir> SET col = expr, … [WHERE pred]`
     * (SQL strings for every right-hand side and the predicate — evaluated
     * by Spark's own expression engine inside the rewrite job, so the full
@@ -546,6 +596,13 @@ private[graft] object ManifestTable {
         throw new IllegalArgumentException(
           s"UPDATE: column $c not in table (${m.schema.fieldNames.mkString(", ")})")
     }
+    // ANSI rejects duplicate assignment; silently taking the first would
+    // compute something the statement never said
+    sets.groupBy(_._1.toLowerCase).collectFirst {
+      case (c, as) if as.length > 1 => c
+    }.foreach { c =>
+      throw new IllegalArgumentException(s"UPDATE: column $c assigned more than once")
+    }
     val pruning = whereSql.toSeq.flatMap { w =>
       conjuncts(spark.sessionState.sqlParser.parseExpression(w)).flatMap(exprFilter)
     }
@@ -563,7 +620,8 @@ private[graft] object ManifestTable {
       }
       df.select(cols.toIndexedSeq: _*)
     })
-    Manifest.write(dir, Manifest(m.schema, keep ++ rewritten, m.props))
+    val _ = keep
+    publishReplacing(dir, m, touch.map(_.name), rewritten)
   }
 
   /** Compact the table's CURRENT data files into ~`targetBytes`-sized
@@ -574,7 +632,9 @@ private[graft] object ManifestTable {
     * reaps the small files once their snapshots expire. No-op when the
     * layout is already at or under the target file count. Returns
     * (files before, files after). */
-  private[graft] def optimize(dir: Path, targetBytes: Long): (Int, Int) = {
+  private[graft] def optimize(dir: Path, targetBytes: Long,
+      zorderBy: Option[(String, String)] = None): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, expr}
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))
     val live = m.entries.filter(_.rows > 0)
@@ -584,10 +644,55 @@ private[graft] object ManifestTable {
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    if (live.length <= n) return (live.length, live.length)
-    val rewritten = rewriteFiles(dir, m, live, _.repartition(n))
-    Manifest.write(dir, Manifest(m.schema, rewritten, m.props))
+    // a ZORDER request re-clusters even at/below the target count (the
+    // point is layout, not just size); a plain compaction is a no-op there
+    if (live.length <= n && zorderBy.isEmpty) return (live.length, live.length)
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      zorderBy match {
+        case None => _.repartition(n)
+        case Some((c1, c2)) =>
+          val key = s"zorder64(${zScaleKey(m, live, c1)}, ${zScaleKey(m, live, c2)})"
+          df => df.withColumn("__graft_z", expr(key))
+            .repartitionByRange(n, col("__graft_z"))
+            .sortWithinPartitions("__graft_z")
+            .drop("__graft_z")
+      }
+    val rewritten = rewriteFiles(dir, m, live, transform)
+    publishReplacing(dir, m, live.map(_.name), rewritten)
     (live.length, rewritten.length)
+  }
+
+  /** Order-preserving map of a numeric column onto the int key `zorder64`
+    * interleaves: linear scale from the column's GLOBAL [lo, hi] — read
+    * from the manifest's own zone maps, zero data scans — onto ±2·10⁹.
+    * Monotone ⇒ the Z-order curve respects the column's order, so after
+    * the clustered rewrite each file's min-max range is narrow in BOTH
+    * dimensions. Only long/int/double columns cluster (their stats share
+    * the value's unit); date/timestamp/string are rejected explicitly. */
+  private def zScaleKey(m: Manifest, live: Seq[ManifestFile], c: String): String = {
+    val field = m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ZORDER BY: column $c not in table (${m.schema.fieldNames.mkString(", ")})"))
+    field.dataType match {
+      case LongType | IntegerType | DoubleType => ()
+      case dt => throw new IllegalArgumentException(
+        s"ZORDER BY: $c is ${dt.simpleString}; only long/int/double columns cluster")
+    }
+    val ranges = live.flatMap(_.stats.ranges.get(field.name))
+    if (ranges.isEmpty) // no file carries stats → no spread to exploit
+      throw new IllegalArgumentException(
+        s"ZORDER BY: $c has no zone-map stats to derive the key scale from")
+    val lo = ranges.map(_._1).min
+    val hi = ranges.map(_._2).max
+    if (hi <= lo) "0" // constant column: every row the same key bits
+    else {
+      // NaN/±Inf never enter the zone maps but may sit in the data —
+      // nanvl + clamp pin them to the high end instead of an ANSI CAST
+      // error (NaN sorts last in Spark's ordering too)
+      val scaled = s"((CAST(${field.name} AS DOUBLE) - ${lo.toDouble}) / " +
+        s"${(hi - lo).toDouble}) * 4.0E9 - 2.0E9"
+      s"CAST(least(greatest(nanvl($scaled, 2.0E9), -2.0E9), 2.0E9) AS INT)"
+    }
   }
 
   private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -717,10 +822,15 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     // on disk because archived snapshots still reference them (time travel);
     // `VACUUM MANIFEST ... RETAIN n SNAPSHOTS` expires them later. Table
     // properties (e.g. the streaming epoch watermark) survive both modes.
-    val prevM = Manifest.read(dir)
-    val prev = if (overwrite) Seq.empty else prevM.map(_.entries).getOrElse(Seq.empty)
-    Manifest.write(dir,
-      Manifest(schema, prev ++ committed, prevM.map(_.props).getOrElse(Map.empty)))
+    // The read-modify-write runs under the table's commit lock so two
+    // concurrent append jobs both land (the loser of the old race left its
+    // files unreferenced — silent loss).
+    ManifestLock.withLock(dir) {
+      val prevM = Manifest.read(dir)
+      val prev = if (overwrite) Seq.empty else prevM.map(_.entries).getOrElse(Seq.empty)
+      Manifest.write(dir,
+        Manifest(schema, prev ++ committed, prevM.map(_.props).getOrElse(Map.empty)))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -768,27 +878,30 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
   // loses nothing
   private val epochProp = s"${Manifest.LastEpochProp}.$queryId"
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val prevM = Manifest.read(dir)
-    val last = prevM.flatMap(_.props.get(epochProp)).map(_.toLong)
-    if (last.exists(_ >= epochId)) {
-      // replayed epoch after a restart — already published, drop duplicates
-      messages.foreach { case StagedFile(name, _, _, _) =>
-        Files.deleteIfExists(dir.resolve("_staging").resolve(name))
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    // the idempotence check and the publish must be one critical section —
+    // same commit lock as batch writes
+    ManifestLock.withLock(dir) {
+      val prevM = Manifest.read(dir)
+      val last = prevM.flatMap(_.props.get(epochProp)).map(_.toLong)
+      if (last.exists(_ >= epochId)) {
+        // replayed epoch after a restart — already published, drop duplicates
+        messages.foreach { case StagedFile(name, _, _, _) =>
+          Files.deleteIfExists(dir.resolve("_staging").resolve(name))
+        }
+      } else {
+        val committed = ManifestCommit.promote(dir, messages)
+        // complete-mode streaming (truncate()) REPLACES the table every epoch
+        // — appending would duplicate each group's aggregate per epoch; the
+        // superseded epochs stay readable as archived snapshots
+        val prev =
+          if (overwrite) Seq.empty
+          else prevM.map(_.entries).getOrElse(Seq.empty)
+        val props = prevM.map(_.props).getOrElse(Map.empty) +
+          (epochProp -> epochId.toString)
+        Manifest.write(dir, Manifest(schema, prev ++ committed, props))
       }
-    } else {
-      val committed = ManifestCommit.promote(dir, messages)
-      // complete-mode streaming (truncate()) REPLACES the table every epoch
-      // — appending would duplicate each group's aggregate per epoch; the
-      // superseded epochs stay readable as archived snapshots
-      val prev =
-        if (overwrite) Seq.empty
-        else prevM.map(_.entries).getOrElse(Seq.empty)
-      val props = prevM.map(_.props).getOrElse(Map.empty) +
-        (epochProp -> epochId.toString)
-      Manifest.write(dir, Manifest(schema, prev ++ committed, props))
     }
-  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     ManifestCommit.dropStaged(dir, queryId)

@@ -218,10 +218,10 @@ object SourceQueries extends QueryModule {
 
     // OPTIMIZE through the oracle gate: documents land as one small file
     // per source (the streaming-epoch trail shape), then one distributed
-    // rewrite compacts them under an atomic swap. The oracle is the plain
-    // SELECT on the original parquet, so a compaction that drops,
-    // duplicates, or corrupts rows hash-fails; the spec separately asserts
-    // the file count shrank.
+    // Z-order-clustered rewrite compacts them under an atomic swap. The
+    // oracle is the plain SELECT on the original parquet, so a rewrite
+    // that drops, duplicates, or corrupts rows hash-fails; the spec
+    // separately asserts shrinkage and two-dimensional pruning.
     "q_optimize_roundtrip" -> ((s, d) => {
       val root = graft.Scratch.dir("graft_optq_")
       s.conf.set("spark.sql.catalog.graftopt", "graft.sources.GraftCatalog")
@@ -231,7 +231,7 @@ object SourceQueries extends QueryModule {
       val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
       docs.repartition(10, docs("source"))
         .writeTo("graftopt.q.docs").create()
-      s.sql("OPTIMIZE graftopt.q.docs")
+      s.sql("OPTIMIZE graftopt.q.docs ZORDER BY (doc_id, n_chars)")
       s.table("graftopt.q.docs").orderBy("doc_id")
     }),
 

@@ -147,6 +147,9 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       spark.sql("UPDATE graftcat.upd.t SET nope = 1")
     }
+    intercept[IllegalArgumentException] { // ANSI: duplicate assignment
+      spark.sql("UPDATE graftcat.upd.t SET v = 1, v = 2")
+    }
     spark.range(5).createOrReplaceTempView("plain_view")
     intercept[Exception] { spark.sql("UPDATE plain_view SET id = 1") }
   }
@@ -195,6 +198,67 @@ class GraftCatalogSpec extends SparkSuite {
     // a second OPTIMIZE is a no-op: already at/below the target count
     val again = spark.sql("OPTIMIZE graftcat.opt.t").head()
     assert(again.getInt(0) == again.getInt(1))
+  }
+
+  test("OPTIMIZE ZORDER BY clusters so zone maps prune on BOTH dimensions") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.zo")
+    spark.sql("CREATE TABLE graftcat.zo.grid (d1 BIGINT, d2 BIGINT)")
+    // a 64×64 grid in ROW-MAJOR order: a plain sort/write clusters d1 only
+    val grid = spark.range(0, 64L * 64)
+      .selectExpr("id DIV 64 AS d1", "id % 64 AS d2")
+    grid.repartitionByRange(8, $"d1").writeTo("graftcat.zo.grid").append()
+    val dir = Paths.get(s"$rootDir/zo/grid")
+    def entries = Manifest.read(dir).get.entries
+    // before: d1-sorted layout → every file spans the full d2 range
+    def filesOverlapping(c: String, v: Long) = entries.count { e =>
+      e.stats.ranges.get(c).forall { case (lo, hi) => lo <= v && v <= hi }
+    }
+    assert(filesOverlapping("d2", 5L) == entries.length,
+      "row-major layout cannot prune on d2")
+
+    spark.sql("OPTIMIZE graftcat.zo.grid TARGET 4096 BYTES ZORDER BY (d1, d2)")
+    assert(entries.length > 1, "target must yield multiple files")
+    // after: a point predicate on EITHER dimension misses most files
+    assert(filesOverlapping("d1", 5L) < entries.length,
+      s"d1 must prune after zorder: ${entries.map(_.stats.ranges.get("d1"))}")
+    assert(filesOverlapping("d2", 5L) < entries.length,
+      s"d2 must prune after zorder: ${entries.map(_.stats.ranges.get("d2"))}")
+    // content survives the clustered rewrite
+    assert(spark.table("graftcat.zo.grid").count() == 64L * 64)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.zo.grid WHERE d1 = 5 AND d2 = 5")
+      .head().getLong(0) == 1L)
+    // string columns refuse to cluster
+    spark.sql("CREATE TABLE graftcat.zo.s (k STRING, v BIGINT)")
+    Seq(("a", 1L)).toDF("k", "v").writeTo("graftcat.zo.s").append()
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE graftcat.zo.s ZORDER BY (k, v)")
+    }
+  }
+
+  test("concurrent appends all land: the commit lock serializes the manifest RMW") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.cc")
+    spark.sql("CREATE TABLE graftcat.cc.t (id BIGINT)")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // 8 append jobs race the read-modify-write; before the lock, losers'
+    // entries were silently dropped from the manifest (their files left as
+    // vacuum-able orphans)
+    val futs = (0 until 8).map { t =>
+      Future {
+        spark.range(t * 100L, t * 100L + 10).toDF("id")
+          .coalesce(1).writeTo("graftcat.cc.t").append()
+      }
+    }
+    Await.result(Future.sequence(futs), 180.seconds)
+    val ids = spark.table("graftcat.cc.t").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == (0 until 8).flatMap(t => t * 100 until t * 100 + 10)
+      .map(_.toLong).sorted.toSeq,
+      s"every concurrent append must be published (got ${ids.length}/80 rows)")
   }
 
   test("ALTER TABLE ADD COLUMN widens metadata-only: old files NULL-fill, snapshots keep the old schema") {
