@@ -426,17 +426,33 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   // an explicit read option wins; else the table's pinned snapshot (how
   // the catalog's VERSION AS OF / TIMESTAMP AS OF reach the scan). The
   // `files` option restricts the scan to a comma-separated subset of the
   // manifest's files — the internal hook copy-on-write rewrites use to
-  // read only the files they replace.
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  // read only the files they replace. `changesFrom` [+ `changesTo`] is the
+  // CHANGE-DATA-FEED read: only the files ADDED after snapshot `from` (up
+  // to snapshot `to`, default current) — exact row-level changes for
+  // append-only tables; a copy-on-write rewrite in the window surfaces its
+  // surviving rows (the without-change-files approximation, as Delta
+  // without CDF).
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val changesFrom = Option(options.get("changesFrom")).map(_.toInt)
     new ManifestScanBuilder(dir,
-      Option(options.get("snapshot")).map(_.toInt).orElse(snapshot),
-      Option(options.get("files")).map(_.split(",").toSet))
+      Option(options.get("changesTo")).map(_.toInt)
+        .orElse(Option(options.get("snapshot")).map(_.toInt)).orElse(snapshot),
+      Option(options.get("files")).map(_.split(",").toSet),
+      changesFrom.map { v =>
+        if (v == 0) Set.empty[String]
+        else Manifest.readSnapshot(dir, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"changesFrom: snapshot $v expired or never existed at $dir"))
+          .entries.map(_.name).toSet
+      })
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(), info.queryId())
 
@@ -1004,7 +1020,7 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
 // ----------------------------------------------------------------- read ----
 
 private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
-    only: Option[Set[String]] = None)
+    only: Option[Set[String]] = None, exclude: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -1033,6 +1049,7 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
   override def build(): Scan = {
     val entries = manifest.map(_.entries).getOrElse(Seq.empty)
       .filter(e => only.forall(_.contains(e.name)))
+      .filter(e => exclude.forall(x => !x.contains(e.name)))
     val kept = entries.filter(e =>
       skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
     new ManifestScan(dir, full, required, kept, entries.length)
@@ -1187,6 +1204,55 @@ private[sources] object ManifestScanBuilder {
 private[sources] case class ManifestFilePartition(file: String, dir: String,
     full: StructType, wanted: StructType, fileCols: Int) extends InputPartition
 
+/** Offset = committed snapshot version (monotone: every manifest write
+  * archives `_manifest.v{n+1}`). */
+private[sources] case class SnapOffset(v: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** The manifest table as a streaming SOURCE: `latestOffset` is the newest
+  * archived version, `planInputPartitions(start, end)` diffs the two
+  * snapshots' file sets and plans one partition per ADDED file. Exactly
+  *-once: versions are checkpointed offsets, and a restarted query replans
+  * the same window to the same file set (manifests are immutable once
+  * archived). Append-only windows replay exact row-level changes; a
+  * copy-on-write rewrite inside a window surfaces the rewritten files'
+  * surviving rows (documented CDF approximation). A `VACUUM` that expired
+  * a checkpointed version fails the query loudly instead of silently
+  * replaying the whole table. */
+private[sources] class ManifestChangeStream(dir: Path, full: StructType,
+    wanted: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private def entriesAt(v: Int): Seq[ManifestFile] =
+    if (v == 0) Seq.empty
+    else Manifest.readSnapshot(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"streaming read: snapshot $v expired (VACUUM RETAIN) at $dir — " +
+          "reset the checkpoint to reprocess")).entries
+
+  override def initialOffset(): SOffset = SnapOffset(0)
+  override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
+  override def latestOffset(): SOffset =
+    SnapOffset(Manifest.snapshotVersions(dir).lastOption.getOrElse(0))
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapOffset].v
+    val e = end.asInstanceOf[SnapOffset].v
+    if (e <= s) return Array.empty
+    val before = entriesAt(s).map(_.name).toSet
+    entriesAt(e).filterNot(f => before(f.name))
+      .map(f => ManifestFilePartition(f.name, dir.toString, full, wanted, f.cols))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
     entries: Seq[ManifestFile], totalFiles: Int) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1205,6 +1271,15 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
   override def readSchema(): StructType = wanted
   override def toBatch: Batch = this
+  /** STREAMING READ of the managed table: snapshot versions are the
+    * offsets, each micro-batch scans exactly the files ADDED in its
+    * version window — a committed batch/streaming/DML write becomes one
+    * micro-batch downstream. The closing half of the loop the streaming
+    * WRITE opened: manifest tables now both sides of `readStream` →
+    * transform → `writeStream`. */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestChangeStream(dir, full, wanted)
   override def description(): String =
     s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")} " +
       s"files=${entries.length}/$totalFiles"

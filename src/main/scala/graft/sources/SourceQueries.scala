@@ -263,6 +263,36 @@ object SourceQueries extends QueryModule {
         .orderBy("step")
     }),
 
+    // Change-data-feed through the oracle gate: documents commit one
+    // source per snapshot, then the changesFrom/changesTo window between
+    // the 2nd and 5th non-empty versions must replay EXACTLY the 3rd-5th
+    // sources' rows — DuckDB derives the same set by ranking sources.
+    // A feed that leaks earlier commits, misses one, or re-reads rewritten
+    // files hash-fails.
+    "q_table_changes" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_cdfq_")
+      s.conf.set("spark.sql.catalog.graftcdf", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcdf.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcdf.q")
+      s.sql("DROP TABLE IF EXISTS graftcdf.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).toSeq
+      sources.zipWithIndex.foreach { case (src, i) =>
+        val batch = docs.filter(docs("source") === src)
+        if (i == 0) batch.writeTo("graftcdf.q.docs").create()
+        else batch.writeTo("graftcdf.q.docs").append()
+      }
+      val versions = s.sql("DESCRIBE HISTORY graftcdf.q.docs")
+        .where("n_rows > 0").orderBy("version")
+        .collect().map(_.getInt(0)).toSeq
+      s.read.format("graft.sources.GraftManifestSink")
+        .option("path", s"$root/q/docs")
+        .option("changesFrom", versions(1).toString)
+        .option("changesTo", versions(4).toString)
+        .load().orderBy("doc_id")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -339,6 +369,16 @@ object SourceQueries extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     "q_optimize_roundtrip" ->
       """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // The change window (2nd → 5th non-empty version) is the 3rd-5th
+    // sources in sorted order.
+    "q_table_changes" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source IN (
+        |  SELECT source FROM (
+        |    SELECT source, row_number() OVER (ORDER BY source) AS rk
+        |    FROM (SELECT DISTINCT source FROM documents))
+        |  WHERE rk BETWEEN 3 AND 5)
         |ORDER BY doc_id""".stripMargin,
     // One history row per per-source commit: cumulative doc counts in
     // source order.
