@@ -85,6 +85,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\))?\s*;?\s*""").r
 
+  /** `RESTORE TABLE t TO VERSION AS OF n` — metadata-only rollback to an
+    * archived snapshot (Delta's statement). The pre-restore state archives
+    * too, so RESTORE is itself undoable. */
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals. */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -150,6 +156,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024),
         for (a <- Option(zc1); b <- Option(zc2))
           yield (a.split("\\.").last, b.split("\\.").last))
+    case Restore(target, version) => RestoreTableCommand(target, version.toInt)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -283,6 +290,24 @@ case class OptimizeManifestCommand(target: String, targetBytes: Long,
     val (before, after) =
       graft.sources.ManifestTable.optimize(mt.dir, targetBytes, zorderBy)
     Seq(Row(before, after))
+  }
+}
+
+/** The lowered RESTORE: publish archived snapshot `version` as the current
+  * table state via [[graft.sources.ManifestTable.restore]] — metadata-only,
+  * refused loudly if vacuum already reaped any of that snapshot's files.
+  * Reports the restored (files, rows). */
+case class RestoreTableCommand(target: String, version: Int)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "RESTORE TABLE")
+    val (files, rows) = graft.sources.ManifestTable.restore(mt.dir, version)
+    Seq(Row(files, rows))
   }
 }
 

@@ -711,7 +711,35 @@ private[graft] object ManifestTable {
     }
   }
 
-  private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  /** `RESTORE TABLE … TO VERSION AS OF v`: publish archived snapshot `v`
+    * as the CURRENT state — a metadata-only rollback (the old files are
+    * still on disk unless VACUUM reaped them, which fails the restore
+    * loudly up front). The restore itself archives the pre-restore state,
+    * so a mistaken rollback is itself rollback-able. The streaming epoch
+    * watermark stays MONOTONE: restoring data must not re-open the door to
+    * replayed epochs, so the higher of (current, snapshot) lastEpoch
+    * survives. Returns (files, rows) of the restored state. */
+  private[graft] def restore(dir: Path, version: Int): (Int, Long) =
+    ManifestLock.withLock(dir) {
+      val snap = Manifest.readSnapshot(dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"RESTORE: snapshot $version expired or never existed at $dir"))
+      val missing = snap.entries.filterNot(e => Files.exists(dir.resolve(e.name)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"RESTORE: data file ${missing.head.name} of snapshot $version was " +
+            "vacuumed — that version is no longer restorable")
+      val curEpoch = Manifest.read(dir)
+        .flatMap(_.props.get(Manifest.LastEpochProp)).map(_.toLong)
+      val snapEpoch = snap.props.get(Manifest.LastEpochProp).map(_.toLong)
+      val props = curEpoch.filter(c => snapEpoch.forall(_ < c))
+        .map(c => snap.props + (Manifest.LastEpochProp -> c.toString))
+        .getOrElse(snap.props)
+      Manifest.write(dir, Manifest(snap.schema, snap.entries, props))
+      (snap.entries.length, snap.entries.map(_.rows).sum)
+    }
+
+  private[sources] def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       conjuncts(l) ++ conjuncts(r)
@@ -724,7 +752,7 @@ private[graft] object ManifestTable {
     * [[org.apache.spark.sql.catalyst.CatalystTypeConverters]] to the same
     * external values scan pushdown delivers, so the zone-map comparators
     * see the types they were property-tested against. */
-  private def exprFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  private[sources] def exprFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -778,6 +806,9 @@ private[graft] object ManifestTable {
         } yield In(n, lits.flatten.toArray)
       case ce.And(l, r) =>
         for (a <- exprFilter(l); b <- exprFilter(r)) yield And(a, b)
+      case ce.Or(l, r) => // both arms must translate — a dropped arm would
+        // narrow the predicate and prune files the other arm matches
+        for (a <- exprFilter(l); b <- exprFilter(r)) yield Or(a, b)
       case _ => None
     }
   }
@@ -1196,6 +1227,7 @@ private[sources] object ManifestScanBuilder {
       case In(col, vs) => // prune unless some value can sit inside the range
         vs.exists(v => c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 })
       case And(l, r) => mightMatch(l, st) && mightMatch(r, st)
+      case Or(l, r) => mightMatch(l, st) || mightMatch(r, st)
       case _ => true
     }
   }

@@ -283,6 +283,31 @@ class GraftCatalogSpec extends SparkSuite {
       "resume must replay ONLY the commits after the checkpointed version")
   }
 
+  test("RESTORE TABLE rolls back to an archived snapshot, and is itself undoable") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.rst")
+    spark.sql("CREATE TABLE graftcat.rst.t (id BIGINT)")
+    Seq(1L, 2L).toDF("id").coalesce(1).writeTo("graftcat.rst.t").append()
+    Seq(3L).toDF("id").coalesce(1).writeTo("graftcat.rst.t").append()
+    val dir = Paths.get(s"$rootDir/rst/t")
+    val preDelete = Manifest.snapshotVersions(dir).last
+    spark.sql("DELETE FROM graftcat.rst.t WHERE id >= 1")
+    assert(spark.table("graftcat.rst.t").count() == 0L)
+
+    val rpt = spark.sql(s"RESTORE TABLE graftcat.rst.t TO VERSION AS OF $preDelete").head()
+    assert(rpt.getInt(0) == 2 && rpt.getLong(1) == 3L)
+    assert(spark.table("graftcat.rst.t").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // the restore archived the pre-restore (empty) state — roll forward to it
+    val preRestore = Manifest.snapshotVersions(dir).dropRight(1).last
+    spark.sql(s"RESTORE TABLE graftcat.rst.t TO VERSION AS OF $preRestore")
+    assert(spark.table("graftcat.rst.t").count() == 0L)
+    // a version that never existed fails loudly
+    intercept[IllegalArgumentException] {
+      spark.sql("RESTORE TABLE graftcat.rst.t TO VERSION AS OF 9999")
+    }
+  }
+
   test("concurrent appends all land: the commit lock serializes the manifest RMW") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.cc")

@@ -548,4 +548,41 @@ class ManifestSinkSpec extends SparkSuite {
     assert(plan.contains("cols=id"), plan.take(800))
     assert(df.as[Long].collect().sorted.toSeq == (1L to 6L))
   }
+
+  test("UPDATE's WHERE translator is exact on every shape it claims") {
+    import org.apache.spark.sql.sources._
+    def t(sql: String): Option[Filter] = {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      ManifestTable.conjuncts(parsed).map(ManifestTable.exprFilter) match {
+        case Seq(one) => one
+        case many => // AND splits: re-fold for the assertion
+          if (many.forall(_.isDefined)) Some(many.flatten.reduce(And(_, _))) else None
+      }
+    }
+    assert(t("id < 5").contains(LessThan("id", 5)))
+    assert(t("5 > id").contains(LessThan("id", 5)), "flipped operands must flip the comparison")
+    assert(t("5 <= id").contains(GreaterThanOrEqual("id", 5)))
+    assert(t("id = 'web'").contains(EqualTo("id", "web")), "string literals unwrap from UTF8String")
+    assert(t("v >= 1.5").contains(GreaterThanOrEqual("v", new java.math.BigDecimal("1.5"))))
+    assert(t("id BETWEEN 2 AND 7").contains(
+      And(GreaterThanOrEqual("id", 2), LessThanOrEqual("id", 7))))
+    assert(t("id < 5 AND v > 1").contains(
+      And(LessThan("id", 5), GreaterThan("v", 1))))
+    assert(t("id = 1 OR id = 9").contains(Or(EqualTo("id", 1), EqualTo("id", 9))))
+    assert(t("id IN (1, 2, 3)").exists {
+      case In("id", vs) => vs.toSeq == Seq(1, 2, 3)
+      case _ => false
+    })
+    assert(t("t.id < 5").contains(LessThan("id", 5)), "qualified names strip to the column")
+    // shapes with no exact zone-map reading must refuse, not approximate
+    assert(t("id + 1 < 5").isEmpty)
+    assert(t("abs(id) < 5").isEmpty)
+    assert(t("id IN (1, NULL)").isEmpty)
+    assert(t("id = NULL").isEmpty)
+    assert(t("NOT (id < 5)").isEmpty, "NOT is not translated — prune less, never wrong")
+    // untranslatable conjunct inside an AND: the other side still prunes
+    val parsed = spark.sessionState.sqlParser.parseExpression("id < 5 AND abs(v) > 1")
+    val usable = ManifestTable.conjuncts(parsed).flatMap(ManifestTable.exprFilter)
+    assert(usable == Seq(LessThan("id", 5)))
+  }
 }
