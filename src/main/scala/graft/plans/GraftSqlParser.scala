@@ -34,6 +34,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
       """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
 
+  /** `VACUUM <catalog table name> …` — same maintenance pass addressed the
+    * way every other statement addresses tables (the Delta spelling). The
+    * negative lookahead keeps the path form (`VACUUM MANIFEST '<dir>'`)
+    * owned by [[Vacuum]]; Spark's own grammar has no VACUUM, so neither
+    * form shadows delegate syntax. */
+  private val VacuumTable =
+    ("""(?is)\s*VACUUM\s+(?!MANIFEST\s)([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
+
   /** `MERGE INTO t USING s ON <equi-keys> WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT *` — the symmetric whole-row upsert, the
     * overwhelmingly common MERGE shape. Spark's own parser accepts MERGE
@@ -122,6 +131,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "snapshot (the current version) is always retained")
       }
       VacuumManifestCommand(dir, keep, Option(olderMin).map(_.toLong))
+    case VacuumTable(target, retain, olderMin) =>
+      val keep = Option(retain).map(_.toInt)
+      keep.filter(_ < 1).foreach { k =>
+        throw new IllegalArgumentException(
+          s"VACUUM: RETAIN $k SNAPSHOTS is invalid — at least 1 snapshot " +
+            "(the current version) is always retained")
+      }
+      VacuumTableCommand(target, keep, Option(olderMin).map(_.toLong))
     case Merge(target, source, cond) =>
       // the ON clause must be a conjunction of same-name equalities
       // (t.k = s.k [AND ...]) — that names the upsert key columns. ANY
@@ -325,6 +342,23 @@ private[plans] object ManifestTarget {
     }.getOrElse(throw new UnsupportedOperationException(
       s"$op: $target is not a graft manifest table — this engine lowers " +
         s"$op only for its own catalog tables"))
+}
+
+/** The name-addressed VACUUM: resolve the catalog table to its manifest
+  * directory (with the same only-a-manifest-table guard every lowered
+  * statement uses), then run the path-form command's logic verbatim. */
+case class VacuumTableCommand(target: String, retainSnapshots: Option[Int],
+    stagingOlderThanMinutes: Option[Long] = None)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("reason", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "VACUUM")
+    VacuumManifestCommand(mt.dir.toString, retainSnapshots,
+      stagingOlderThanMinutes).run(spark)
+  }
 }
 
 /** Driver-side maintenance. Safe by construction:

@@ -30,6 +30,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * This is metadata-only driver code — listing is O(#tables), never a data
   * scan.
   */
+object GraftCatalog {
+  /** User TBLPROPERTIES store in the manifest under this prefix — they can
+    * never collide with the sink's own properties (partition columns,
+    * streaming epoch watermarks). */
+  private[sources] val TblPropPrefix = "tbl."
+
+  /** Spark-managed keys that are session/engine metadata, not user table
+    * properties — never persisted. */
+  private val ReservedProps =
+    Set("provider", "owner", "location", "external", "is_managed_location")
+
+  /** Filter + prefix user properties for the manifest, rejecting characters
+    * the line-oriented manifest text format reserves (a tab or newline in a
+    * value would tear the props line on re-read). */
+  private[sources] def userProps(raw: Map[String, String]): Map[String, String] =
+    raw.filterNot { case (k, _) => ReservedProps(k) || k.startsWith("option.") }
+      .map { case (k, v) =>
+        if (k.exists(c => c == '\t' || c == '\n' || c == '\r' || c == '='))
+          throw new IllegalArgumentException(
+            s"TBLPROPERTIES: key '$k' contains a character the manifest " +
+              "format reserves (tab/newline/=)")
+        if (v.exists(c => c == '\t' || c == '\n' || c == '\r'))
+          throw new IllegalArgumentException(
+            s"TBLPROPERTIES: value of '$k' contains a tab or newline — the " +
+              "manifest text format cannot store it")
+        (TblPropPrefix + k) -> v
+      }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -108,13 +137,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestTable(dir, m.schema, Some(v))
   }
 
+  /** CREATE TABLE, optionally `PARTITIONED BY (identity columns)`.
+    * Partitioning is a CLUSTERING contract (see
+    * [[Manifest.PartitionColsProp]]): the columns persist as a
+    * manifest property and every subsequent write range-clusters on them,
+    * so zone maps prune partition predicates file-by-file. Non-identity
+    * transforms (bucket/years/days/…) are REJECTED explicitly — silently
+    * accepting DDL this sink doesn't honor would be worse than refusing. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("_manifest")))
       throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      // the public Transform surface: identity transforms carry name
+      // "identity" and exactly one column reference
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        val ref = t.references()(0)
+        if (ref.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "PARTITIONED BY: nested fields not supported")
+        val c = ref.fieldNames()(0)
+        schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"PARTITIONED BY: column $c not in schema " +
+              s"(${schema.fieldNames.mkString(", ")})")).name
+      case other =>
+        throw new UnsupportedOperationException(
+          s"PARTITIONED BY: only identity column transforms are supported " +
+            s"(got $other) — this sink clusters files by the partition " +
+            "columns and prunes via zone maps; bucket/time transforms have " +
+            "no layout contract here")
+    }
     Files.createDirectories(dir)
-    Manifest.write(dir, Manifest(schema, Seq.empty)) // schema-only, zero rows
+    val props =
+      (if (partCols.isEmpty) Map.empty[String, String]
+       else Map(Manifest.PartitionColsProp -> partCols.mkString(","))) ++
+        GraftCatalog.userProps(properties.asScala.toMap)
+    Manifest.write(dir, Manifest(schema, Seq.empty, props)) // schema-only, zero rows
     new ManifestTable(dir, schema)
   }
 
@@ -138,8 +198,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ManifestLock.withLock(tableDir(ident)) {
     val dir = tableDir(ident)
     val m = Manifest.read(dir).getOrElse(throw new NoSuchTableException(ident))
+    // SET/UNSET TBLPROPERTIES ride the same atomic swap as schema changes;
+    // user keys store under the `tbl.` prefix so they can never collide
+    // with the sink's own props (partitionCols, epoch watermarks)
+    val props = changes.foldLeft(m.props) { (props, change) =>
+      change match {
+        case set: TableChange.SetProperty =>
+          props ++ GraftCatalog.userProps(Map(set.property() -> set.value()))
+        case rm: TableChange.RemoveProperty =>
+          props - (GraftCatalog.TblPropPrefix + rm.property())
+        case _ => props
+      }
+    }
     val widened = changes.foldLeft(m.schema) { (schema, change) =>
       change match {
+        case _: TableChange.SetProperty | _: TableChange.RemoveProperty => schema
         case add: TableChange.AddColumn =>
           if (add.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -178,7 +251,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"ALTER TABLE: unsupported change $other")
       }
     }
-    Manifest.write(dir, Manifest(widened, m.entries, m.props))
+    Manifest.write(dir, Manifest(widened, m.entries, props))
     new ManifestTable(dir, widened)
     }
 

@@ -325,6 +325,21 @@ private[graft] object Manifest {
     * checks on replay. */
   private[sources] val LastEpochProp = "lastEpoch"
 
+  /** Manifest property recording the table's identity partition columns
+    * (comma-joined; column names in this sink are identifier-safe).
+    * Partitioning here is a CLUSTERING contract, not a directory layout:
+    * every write requests a range distribution + sort on these columns
+    * ([[ManifestWrite]]), so each committed file covers a narrow key range
+    * and the ordinary zone maps prune partition predicates file-by-file —
+    * Delta liquid-clustering-style partitioning without the small-file
+    * explosion a directory-per-value layout hits at 100 TB. */
+  private[sources] val PartitionColsProp = "partitionCols"
+
+  /** The table's declared partition columns, from its current manifest. */
+  private[sources] def partitionCols(dir: Path): Seq[String] =
+    read(dir).flatMap(_.props.get(PartitionColsProp))
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
   /** Types the TSV codec + zone maps support — the gate `ALTER TABLE ADD
     * COLUMN` checks before widening a schema. */
   private[sources] def supportedType(dt: DataType): Boolean = TypeNames.contains(dt)
@@ -428,6 +443,22 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
+
+  /** The declared identity partition columns (DESCRIBE shows them; new
+    * writes cluster by them — see [[Manifest.PartitionColsProp]]). */
+  override def partitioning(): Array[Transform] =
+    Manifest.partitionCols(dir)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
+  /** User TBLPROPERTIES (SHOW TBLPROPERTIES reads this) — the `tbl.`-
+    * prefixed manifest props with the prefix stripped; the sink's own
+    * props (partition columns, epoch watermarks) stay internal. */
+  override def properties(): java.util.Map[String, String] =
+    Manifest.read(dir).map(_.props).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith(GraftCatalog.TblPropPrefix) =>
+        k.substring(GraftCatalog.TblPropPrefix.length) -> v
+      }.asJava
 
   // an explicit read option wins; else the table's pinned snapshot (how
   // the catalog's VERSION AS OF / TIMESTAMP AS OF reach the scan). The
@@ -820,11 +851,45 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, queryId, overwrite)
-    override def toStreaming: StreamingWrite =
-      new ManifestStreamingWrite(dir, schema, queryId, overwrite)
+  override def build(): Write = {
+    // partition columns come from the CURRENT manifest (they are table-level
+    // metadata, not per-write state); columns the incoming schema lacks are
+    // skipped defensively — better an unclustered write than a failed one
+    val partCols = Manifest.partitionCols(dir)
+      .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    new ManifestWrite(dir, schema, queryId, overwrite, partCols)
   }
+}
+
+/** The logical write. For a PARTITIONED table it asks Spark for a range
+  * distribution + in-partition sort on the partition columns
+  * ([[RequiresDistributionAndOrdering]]) — Catalyst inserts the exchange
+  * and sort, AQE sizes the partitions — so each task writes a file
+  * covering a NARROW contiguous key range and the zone maps prune
+  * partition predicates as sharply as a directory layout would, without
+  * one-file-per-value explosion. Unpartitioned tables request nothing. */
+private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: String,
+    overwrite: Boolean, partCols: Seq[String])
+  extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private def orders: Array[SortOrder] =
+    partCols.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (partCols.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(orders)
+  override def requiredOrdering(): Array[SortOrder] =
+    if (partCols.isEmpty) Array.empty else orders
+  // clustering is a layout optimization: if a plan can't satisfy it (e.g.
+  // a continuous-mode stream), an unclustered write is still correct
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, queryId, overwrite)
+  override def toStreaming: StreamingWrite =
+    new ManifestStreamingWrite(dir, schema, queryId, overwrite)
 }
 
 private[sources] case class StagedFile(name: String, rows: Long, stats: String,

@@ -293,6 +293,29 @@ object SourceQueries extends QueryModule {
         .load().orderBy("doc_id")
     }),
 
+    // Partitioned managed table through the oracle gate: CREATE TABLE …
+    // PARTITIONED BY (source) persists the clustering contract, the CTAS
+    // append range-clusters rows by source (RequiresDistributionAndOrdering
+    // asks Spark for the exchange + sort), and the partition-predicate read
+    // back plans a strict subset of files via the ordinary zone maps — the
+    // spec pins the pruning; the oracle proves the surviving rows are
+    // exactly the predicate's. At 100 TB this is directory-partition-grade
+    // pruning without a file per (partition value × task).
+    "q_partitioned_table" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_partq_")
+      s.conf.set("spark.sql.catalog.graftpart", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftpart.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftpart.q")
+      s.sql("DROP TABLE IF EXISTS graftpart.q.docs")
+      Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .writeTo("graftpart.q.docs")
+        .partitionedBy(org.apache.spark.sql.functions.col("source"))
+        .create()
+      s.table("graftpart.q.docs")
+        .where("source IN ('src2', 'src5') AND n_chars >= 100")
+        .orderBy("doc_id")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -388,6 +411,13 @@ object SourceQueries extends QueryModule {
         |       AS BIGINT) AS n_rows
         |FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
         |ORDER BY step""".stripMargin,
+    // The rows surviving the partition predicate, straight off the source
+    // parquet — a clustering bug that loses/duplicates rows, or pruning
+    // that drops a live file, hash-fails.
+    "q_partitioned_table" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE source IN ('src2', 'src5') AND n_chars >= 100
+        |ORDER BY doc_id""".stripMargin,
     // The drained stream must equal the batch generator — same range,
     // grouped per source.
     "q_stream_dsv2" ->

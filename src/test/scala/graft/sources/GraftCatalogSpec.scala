@@ -546,4 +546,104 @@ class GraftCatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE graftcat.tmp.b")
     intercept[Exception] { spark.table("graftcat.tmp.b").count() }
   }
+
+  test("PARTITIONED BY clusters writes so zone maps prune partition predicates") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.pt")
+    spark.sql("CREATE TABLE graftcat.pt.docs (id BIGINT, src STRING, v BIGINT) " +
+      "PARTITIONED BY (src)")
+
+    // the declared partitioning is visible on the loaded table
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("pt"), "docs"))
+    assert(t.partitioning().toSeq.map(_.references().head.fieldNames().mkString(".")) ==
+      Seq("src"))
+
+    // the INPUT interleaves all 8 sources round-robin — without the write's
+    // required distribution every task would see every source and no file
+    // could prune. AQE's partition coalescing would fold this toy-sized
+    // shuffle into ONE task (the production behavior: files sized by the
+    // advisory target); hold it off so the clustering itself is observable.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalescePrev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try spark.range(0, 4000)
+      .selectExpr("id", "concat('s', CAST(id % 8 AS STRING)) AS src", "id * 2 AS v")
+      .writeTo("graftcat.pt.docs").append()
+    finally spark.conf.set(coalesceKey, coalescePrev)
+
+    val dir = Paths.get(s"$rootDir/pt/docs")
+    val entries = Manifest.read(dir).get.entries.filter(_.rows > 0)
+    assert(entries.length > 1, "clustered append must commit multiple files")
+    // range-clustered layout: one source's value sits inside a strict
+    // minority of the files' string zone maps
+    val probe = "s3".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val overlapping = entries.count { e =>
+      e.stats.strRanges.get("src").forall { case (lo, hi) =>
+        ColumnStats.cmpBytes(probe, ColumnStats.unb64(lo)) >= 0 &&
+          ColumnStats.cmpBytes(probe, ColumnStats.unb64(hi)) <= 0
+      }
+    }
+    assert(overlapping < entries.length,
+      s"src='s3' must prune: $overlapping of ${entries.length} files overlap")
+    // the partition-predicate scan plans only the overlapping files, and
+    // the rows are exactly right
+    val q = spark.table("graftcat.pt.docs").where("src = 's3'")
+    assert(q.count() == 500L)
+    val desc = q.queryExecution.executedPlan.toString
+    val planned = """files=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    assert(planned.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"scan must plan a strict file subset, plan was:\n$desc")
+
+    // rejection matrix: non-identity transforms and unknown columns never
+    // create a half-honored table
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.pt.bk (id BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.pt.nc (id BIGINT) PARTITIONED BY (nope)")
+    }
+    assert(cat.listTables(Array("pt")).map(_.name()).toSet == Set("docs"))
+  }
+
+  test("TBLPROPERTIES persist in the manifest; ALTER SET/UNSET rides the atomic swap") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.props")
+    spark.sql("CREATE TABLE graftcat.props.t (k BIGINT) " +
+      "TBLPROPERTIES ('team'='data', 'ttl.days'='30')")
+    def props = spark.sql("SHOW TBLPROPERTIES graftcat.props.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("team") == "data" && props("ttl.days") == "30")
+    spark.sql("ALTER TABLE graftcat.props.t SET TBLPROPERTIES ('team'='ml')")
+    assert(props("team") == "ml")
+    spark.sql("ALTER TABLE graftcat.props.t UNSET TBLPROPERTIES ('ttl.days')")
+    assert(!props.contains("ttl.days"))
+    // properties survive data commits, and the sink's internal props never
+    // leak into the user-visible map
+    spark.sql("INSERT INTO graftcat.props.t VALUES (1)")
+    assert(props("team") == "ml")
+    assert(!props.keys.exists(k => k.contains("partitionCols") || k.contains("lastEpoch")))
+    // a value the line-oriented manifest cannot store is rejected, not torn
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.props.t SET TBLPROPERTIES ('bad'='a\tb')")
+    }
+  }
+
+  test("VACUUM by table name expires snapshots through the catalog") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vac")
+    spark.sql("CREATE TABLE graftcat.vac.t (k BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graftcat.vac.t VALUES ($i)"))
+    val dir = Paths.get(s"$rootDir/vac/t")
+    assert(Manifest.snapshotVersions(dir).length == 5) // create + 4 inserts
+    val out = spark.sql("VACUUM graftcat.vac.t RETAIN 2 SNAPSHOTS").collect()
+    assert(out.map(_.getString(1)).forall(_ == "snapshot-expired"))
+    assert(Manifest.snapshotVersions(dir).length == 2)
+    assert(spark.table("graftcat.vac.t").count() == 4)
+    // a non-manifest target is refused, and the path form still parses
+    intercept[Exception] { spark.sql("VACUUM does.not.exist") }
+  }
 }
