@@ -209,16 +209,23 @@ object GraftManifestSink {
   * no `=,;#$` or tabs; booleans carry no stats). */
 private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)],
     incomplete: Set[String] = Set.empty,
-    strRanges: Map[String, (String, String)] = Map.empty) {
+    strRanges: Map[String, (String, String)] = Map.empty,
+    blooms: Map[String, String] = Map.empty) {
   def render: String = {
     val r = ranges.toSeq.sortBy(_._1)
       .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
     val withInc =
       if (incomplete.isEmpty) r
       else r + "#" + incomplete.toSeq.sorted.mkString(",")
-    if (strRanges.isEmpty) withInc
-    else withInc + "$" + strRanges.toSeq.sortBy(_._1)
-      .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
+    val withStr =
+      if (strRanges.isEmpty) withInc
+      else withInc + "$" + strRanges.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
+    // '%' never occurs in base64 or identifier-safe column names, so the
+    // bloom section is unambiguous and older manifests (no '%') still parse
+    if (blooms.isEmpty) withStr
+    else withStr + "%" + blooms.toSeq.sortBy(_._1)
+      .map { case (c, b) => s"$c=$b" }.mkString(";")
   }
 }
 
@@ -269,7 +276,11 @@ private[graft] object ColumnStats {
   def parse(s: String): ColumnStats =
     if (s.isEmpty) empty
     else {
-      val (mainPart, strPart) = s.split("\\$", 2) match {
+      val (nonBloom, bloomPart) = s.split("%", 2) match {
+        case Array(m, bp) => (m, bp)
+        case Array(m) => (m, "")
+      }
+      val (mainPart, strPart) = nonBloom.split("\\$", 2) match {
         case Array(m, sp) => (m, sp)
         case Array(m) => (m, "")
       }
@@ -286,7 +297,12 @@ private[graft] object ColumnStats {
         }
       val ranges = pairs(rangesPart)
         .map { case (c, (lo, hi)) => c -> ((BigDecimal(lo), BigDecimal(hi))) }.toMap
-      ColumnStats(ranges, incPart, pairs(strPart).toMap)
+      val blooms =
+        if (bloomPart.isEmpty) Map.empty[String, String]
+        else bloomPart.split(";").toSeq.map { cell =>
+          val Array(c, b) = cell.split("=", 2); c -> b
+        }.toMap
+      ColumnStats(ranges, incPart, pairs(strPart).toMap, blooms)
     }
 }
 
@@ -339,6 +355,17 @@ private[graft] object Manifest {
   private[sources] def partitionCols(dir: Path): Seq[String] =
     read(dir).flatMap(_.props.get(PartitionColsProp))
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** The user property naming bloom-filter columns, as stored (TBLPROPERTIES
+    * key `bloom.columns` under the catalog's `tbl.` prefix). */
+  private[sources] val BloomColsProp = "tbl.bloom.columns"
+
+  /** Columns to build per-file blooms for ([[FileBloom]]), from the current
+    * manifest. Missing/unsupported columns are skipped by the writer —
+    * absent stats never prune, so a lagging config is sound. */
+  private[sources] def bloomCols(dir: Path): Seq[String] =
+    read(dir).flatMap(_.props.get(BloomColsProp))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   /** Types the TSV codec + zone maps support — the gate `ALTER TABLE ADD
     * COLUMN` checks before widening a schema. */
@@ -584,6 +611,15 @@ private[graft] object ManifestTable {
       .option("files", files.map(_.name).mkString(","))
       .load()
     val scratch = Files.createTempDirectory("graft_cow_")
+    // carry the table's USER props (e.g. bloom.columns) into the scratch
+    // manifest so copy-on-write outputs keep their blooms. The sink's OWN
+    // props stay behind deliberately: a rewrite's layout is owned by its
+    // explicit transform (OPTIMIZE ZORDER must not be re-shuffled by the
+    // partition-clustering contract), and epoch watermarks belong to the
+    // real table only.
+    val carried = m.props.filter(_._1.startsWith(GraftCatalog.TblPropPrefix))
+    if (carried.nonEmpty)
+      Manifest.write(scratch, Manifest(m.schema, Seq.empty, carried))
     transform(src)
       .write.format("graft.sources.GraftManifestSink")
       .option("path", scratch.toString).mode("append").save()
@@ -857,7 +893,8 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
     // skipped defensively — better an unclustered write than a failed one
     val partCols = Manifest.partitionCols(dir)
       .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    new ManifestWrite(dir, schema, queryId, overwrite, partCols)
+    new ManifestWrite(dir, schema, queryId, overwrite, partCols,
+      Manifest.bloomCols(dir))
   }
 }
 
@@ -869,7 +906,7 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   * partition predicates as sharply as a directory layout would, without
   * one-file-per-value explosion. Unpartitioned tables request nothing. */
 private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: String,
-    overwrite: Boolean, partCols: Seq[String])
+    overwrite: Boolean, partCols: Seq[String], bloomCols: Seq[String])
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -887,9 +924,10 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
   // a continuous-mode stream), an unclustered write is still correct
   override def distributionStrictlyRequired(): Boolean = false
 
-  override def toBatch: BatchWrite = new ManifestBatchWrite(dir, schema, queryId, overwrite)
+  override def toBatch: BatchWrite =
+    new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols)
   override def toStreaming: StreamingWrite =
-    new ManifestStreamingWrite(dir, schema, queryId, overwrite)
+    new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols)
 }
 
 private[sources] case class StagedFile(name: String, rows: Long, stats: String,
@@ -920,10 +958,11 @@ private[sources] object ManifestCommit {
 }
 
 private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
-    queryId: String, overwrite: Boolean) extends BatchWrite {
+    queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty)
+  extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId)
+    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols)
 
   /** Driver-side atomic publish: promote exactly the surviving attempts'
     * staged files, then swap the manifest. Readers either see the old
@@ -976,11 +1015,12 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
   * manifest swap); sequential different queries are safe because each has
   * its own epoch watermark. */
 private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
-    queryId: String, overwrite: Boolean) extends StreamingWrite {
+    queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty)
+  extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId)
+    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols)
 
   // the watermark is KEYED BY STREAMING QUERY ID (stable across restarts —
   // Spark persists it in the checkpoint and passes it as the write's
@@ -1020,18 +1060,19 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
 }
 
 private[sources] case class ManifestWriterFactory(dir: String, schema: StructType,
-    queryId: String)
+    queryId: String, bloomCols: Seq[String] = Seq.empty)
   extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId.tsv")
+      s"part-$partitionId-$taskId-$queryId.tsv", bloomCols)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv")
+      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv", bloomCols)
 }
 
-private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String)
+private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String,
+    bloomCols: Seq[String] = Seq.empty)
   extends DataWriter[InternalRow] {
   private val staging = { // unique name per (partition, task attempt, query)
     val s = dir.resolve("_staging"); Files.createDirectories(s); s
@@ -1059,6 +1100,21 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   // a NULL or non-finite cell makes the column's range "incomplete": still
   // sound for pruning, never sufficient to prove a full-file match
   private val partial = new Array[Boolean](schema.length)
+  // bloom builders for the configured point-lookup columns (see
+  // [[FileBloom]]); only types with a stable hash encoding participate —
+  // a configured column of another type is skipped, which never unsounds
+  // pruning (absent bloom = no prune)
+  private val bloomIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if bloomCols.exists(_.equalsIgnoreCase(f.name)) &&
+      (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType || f.dataType == DateType ||
+        f.dataType == TimestampType) => i
+  }
+  private val bloomB = {
+    val a = new Array[FileBloom.Builder](schema.length)
+    bloomIdx.foreach(i => a(i) = new FileBloom.Builder)
+    a
+  }
 
   override def write(row: InternalRow): Unit = {
     out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
@@ -1091,6 +1147,16 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
           maxB(i) = java.util.Arrays.copyOf(b, b.length)
       }
     }
+    bloomIdx.foreach { i =>
+      if (!row.isNullAt(i)) // blooms track non-null values only: an equality
+        // probe never matches NULL, so pruning on their absence stays sound
+        bloomB(i).add(schema.fields(i).dataType match {
+          case LongType | TimestampType => FileBloom.hashLong(row.getLong(i))
+          case IntegerType | DateType => FileBloom.hashLong(row.getInt(i).toLong)
+          case StringType => FileBloom.hashBytes(row.getUTF8String(i).getBytes)
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        })
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -1106,7 +1172,8 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
         case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
       }.toMap,
       (numIdx ++ strIdx).collect { case i if partial(i) => schema.fields(i).name }.toSet,
-      strRanges)
+      strRanges,
+      bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap)
     StagedFile(name, rows, stats.render, schema.length)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
@@ -1274,13 +1341,29 @@ private[sources] object ManifestScanBuilder {
     }
   }
 
+  /** A bloom'd column's verdict on an equality probe: true (may be
+    * present) unless the file carries a bloom for the column AND all K
+    * probe bits are clear. A bloom never exists without the writer having
+    * hashed every non-null cell, and equality never matches NULL, so
+    * "definitely absent" is a sound prune. */
+  private def bloomMaybe(st: ColumnStats, col: String, v: Any): Boolean =
+    st.blooms.get(col) match {
+      case None => true
+      case Some(b) => FileBloom.hashValue(v) match {
+        case None => true
+        case Some(h) => FileBloom.maybe(FileBloom.deser(b), h)
+      }
+    }
+
   /** Conservative: true unless the file's [min, max] PROVES no row can
-    * match. A column without stats never prunes. */
+    * match — or, for equality probes, the column's bloom proves the value
+    * absent. A column without stats never prunes. */
   private[sources] def mightMatch(f: Filter, st: ColumnStats): Boolean = {
     def c(col: String, v: Any) = cmps(st, col, v, complete = false)
     f match {
-      case EqualTo(col, v) => // prune unless lo <= v <= hi
-        c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 }
+      case EqualTo(col, v) => // prune unless lo <= v <= hi, and the bloom agrees
+        c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 } &&
+          bloomMaybe(st, col, v)
       case GreaterThan(col, v) => // prune unless hi > v
         c(col, v).forall { case (_, ch) => ch < 0 }
       case GreaterThanOrEqual(col, v) => // prune unless hi >= v
@@ -1290,7 +1373,8 @@ private[sources] object ManifestScanBuilder {
       case LessThanOrEqual(col, v) => // prune unless lo <= v
         c(col, v).forall { case (cl, _) => cl >= 0 }
       case In(col, vs) => // prune unless some value can sit inside the range
-        vs.exists(v => c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 })
+        vs.exists(v => c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 } &&
+          bloomMaybe(st, col, v))
       case And(l, r) => mightMatch(l, st) && mightMatch(r, st)
       case Or(l, r) => mightMatch(l, st) || mightMatch(r, st)
       case _ => true

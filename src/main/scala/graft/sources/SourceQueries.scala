@@ -316,6 +316,29 @@ object SourceQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter point lookup through the oracle gate: documents land in
+    // 8 hash-random shards (every file spans the whole doc_id range, so
+    // min/max ranges cannot prune a point probe) with per-file blooms on
+    // doc_id; the IN-probe read back must return exactly the oracle's rows
+    // — a bloom FALSE NEGATIVE (the one unsound failure mode) loses rows
+    // and hash-fails the gate. The spec separately pins that the scan
+    // plans a strict file subset.
+    "q_bloom_lookup" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_bloomq_")
+      s.conf.set("spark.sql.catalog.graftbloom", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftbloom.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftbloom.q")
+      s.sql("DROP TABLE IF EXISTS graftbloom.q.docs")
+      Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+        .repartition(8)
+        .writeTo("graftbloom.q.docs")
+        .tableProperty("bloom.columns", "doc_id")
+        .create()
+      s.table("graftbloom.q.docs")
+        .where("doc_id IN (3, 141, 297)")
+        .orderBy("doc_id")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -411,6 +434,12 @@ object SourceQueries extends QueryModule {
         |       AS BIGINT) AS n_rows
         |FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
         |ORDER BY step""".stripMargin,
+    // The bloom probe's rows, straight off the source parquet — a false
+    // negative (lost row) or over-prune hash-fails.
+    "q_bloom_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (3, 141, 297)
+        |ORDER BY doc_id""".stripMargin,
     // The rows surviving the partition predicate, straight off the source
     // parquet — a clustering bug that loses/duplicates rows, or pruning
     // that drops a live file, hash-fails.

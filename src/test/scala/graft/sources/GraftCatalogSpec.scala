@@ -632,6 +632,47 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("bloom.columns prunes point probes where min/max ranges cannot") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.bl")
+    spark.sql("CREATE TABLE graftcat.bl.t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('bloom.columns'='id,s')")
+    // 8 hash-random shards: every file spans ~the whole id range, so range
+    // stats keep every file on a point probe — only the bloom can prune
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try spark.range(0, 4000).selectExpr("id", "concat('k', id) AS s")
+      .repartition(8).writeTo("graftcat.bl.t").append()
+    finally spark.conf.set(coalesceKey, prev)
+
+    val dir = Paths.get(s"$rootDir/bl/t")
+    val entries = Manifest.read(dir).get.entries.filter(_.rows > 0)
+    assert(entries.length > 1, "need multiple files to demonstrate pruning")
+    assert(entries.forall(_.stats.blooms.keySet == Set("id", "s")))
+
+    def planned(pred: String): (Int, Int) = {
+      val desc = spark.table("graftcat.bl.t").where(pred)
+        .queryExecution.executedPlan.toString
+      val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(desc).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val (k1, n1) = planned("id = 1234")
+    assert(k1 < n1, s"long bloom must prune: planned $k1/$n1")
+    val (k2, n2) = planned("s = 'k1234'")
+    assert(k2 < n2, s"string bloom must prune: planned $k2/$n2")
+    // no false negatives: every probe finds its row
+    assert(spark.table("graftcat.bl.t").where("id = 1234").count() == 1L)
+    assert(spark.table("graftcat.bl.t").where("s = 'k1234'").count() == 1L)
+    assert(spark.table("graftcat.bl.t").where("id IN (7, 3999)").count() == 2L)
+    // blooms survive a copy-on-write rewrite (DELETE carries tbl. props)
+    spark.sql("DELETE FROM graftcat.bl.t WHERE id >= 3000 AND id < 3100")
+    val after = Manifest.read(dir).get.entries.filter(_.rows > 0)
+    assert(after.forall(_.stats.blooms.contains("id")),
+      "rewritten files must keep their blooms")
+    assert(spark.table("graftcat.bl.t").count() == 3900L)
+  }
+
   test("VACUUM by table name expires snapshots through the catalog") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vac")
