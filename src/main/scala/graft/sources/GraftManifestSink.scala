@@ -745,21 +745,29 @@ private[graft] object ManifestTable {
     (live.length, rewritten.length)
   }
 
-  /** Order-preserving map of a numeric column onto the int key `zorder64`
-    * interleaves: linear scale from the column's GLOBAL [lo, hi] — read
-    * from the manifest's own zone maps, zero data scans — onto ±2·10⁹.
-    * Monotone ⇒ the Z-order curve respects the column's order, so after
-    * the clustered rewrite each file's min-max range is narrow in BOTH
-    * dimensions. Only long/int/double columns cluster (their stats share
-    * the value's unit); date/timestamp/string are rejected explicitly. */
+  /** Order-preserving map of a numeric-ordered column onto the int key
+    * `zorder64` interleaves: linear scale from the column's GLOBAL
+    * [lo, hi] — read from the manifest's own zone maps, zero data scans —
+    * onto ±2·10⁹. Monotone ⇒ the Z-order curve respects the column's
+    * order, so after the clustered rewrite each file's min-max range is
+    * narrow in BOTH dimensions. long/int/double cluster directly;
+    * DATE/TIMESTAMP cluster through the SAME internal numeric encoding
+    * the zone maps store (`unix_date` epoch days / `unix_micros` epoch
+    * micros — the unit conversion the stats were gathered in, so lo/hi
+    * and key expression agree). Strings have no linear scale and are
+    * rejected explicitly. */
   private def zScaleKey(m: Manifest, live: Seq[ManifestFile], c: String): String = {
     val field = m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
       throw new IllegalArgumentException(
         s"ZORDER BY: column $c not in table (${m.schema.fieldNames.mkString(", ")})"))
-    field.dataType match {
-      case LongType | IntegerType | DoubleType => ()
+    // the column's value in the zone maps' numeric unit
+    val numExpr = field.dataType match {
+      case LongType | IntegerType | DoubleType => field.name
+      case DateType => s"unix_date(${field.name})"
+      case TimestampType => s"unix_micros(${field.name})"
       case dt => throw new IllegalArgumentException(
-        s"ZORDER BY: $c is ${dt.simpleString}; only long/int/double columns cluster")
+        s"ZORDER BY: $c is ${dt.simpleString}; only " +
+          "long/int/double/date/timestamp columns cluster")
     }
     val ranges = live.flatMap(_.stats.ranges.get(field.name))
     if (ranges.isEmpty) // no file carries stats → no spread to exploit
@@ -772,7 +780,7 @@ private[graft] object ManifestTable {
       // NaN/±Inf never enter the zone maps but may sit in the data —
       // nanvl + clamp pin them to the high end instead of an ANSI CAST
       // error (NaN sorts last in Spark's ordering too)
-      val scaled = s"((CAST(${field.name} AS DOUBLE) - ${lo.toDouble}) / " +
+      val scaled = s"((CAST($numExpr AS DOUBLE) - ${lo.toDouble}) / " +
         s"${(hi - lo).toDouble}) * 4.0E9 - 2.0E9"
       s"CAST(least(greatest(nanvl($scaled, 2.0E9), -2.0E9), 2.0E9) AS INT)"
     }

@@ -286,8 +286,18 @@ object SourceQueries extends QueryModule {
       val versions = s.sql("DESCRIBE HISTORY graftcdf.q.docs")
         .where("n_rows > 0").orderBy("version")
         .collect().map(_.getInt(0)).toSeq
+      // resolve the table's REAL directory through the analyzed relation:
+      // the session caches the catalog instance with its first root, so on
+      // a repeat invocation (bench warm+timed runs) the fresh scratch root
+      // above is NOT where the cached catalog wrote — path-addressing it
+      // read a dir with no manifest and failed the sf0.1 bench
+      val dir = s.table("graftcdf.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
       s.read.format("graft.sources.GraftManifestSink")
-        .option("path", s"$root/q/docs")
+        .option("path", dir.toString)
         .option("changesFrom", versions(1).toString)
         .option("changesTo", versions(4).toString)
         .load().orderBy("doc_id")
