@@ -48,7 +48,9 @@ object Plans {
     "q_attribution" -> "last-touch attribution: ignore-nulls window carry over ONE user_id exchange, no purchase x click self-join",
     "q_dedup_incremental" -> "incremental dedup: new-batch bands joined against the corpus signature store, Jaccard on candidates only",
     "q_agg_udaf" -> "typed Aggregator UDAF: partial/final ObjectHashAggregate carrying one (sum(wx), sum(w)) pair per group",
-    "q_anomaly_mad" -> "MAD outliers: two percentile aggregates with 5-row stats frames broadcast back, count_if residual")
+    "q_anomaly_mad" -> "MAD outliers: two percentile aggregates with 5-row stats frames broadcast back, count_if residual",
+    "q_partitioned_table" -> "partitioned managed table: range-clustered write layout; the partition predicate plans a strict file subset (scan shows files=k/N)",
+    "q_bloom_lookup" -> "bloom point lookup: per-file blooms prune the IN-probe where min/max ranges keep every file (scan shows files=k/N)")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
