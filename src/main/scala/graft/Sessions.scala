@@ -29,6 +29,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // unadjusted (no-UTC-flag) parquet timestamps read as TimestampType
+      // under the UTC session zone, not TIMESTAMP_NTZ — the testdata's
+      // micros timestamps carry no zone flag, and the engine (like the
+      // reference) works in zoned TimestampType end-to-end
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // graft's custom expressions as SQL functions (fixed_point_dot, …)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // catalog tables (bucketed layouts) land in /tmp, not the repo cwd

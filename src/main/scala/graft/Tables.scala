@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's testdata tables (see TESTDATA.md / FIXTURES.md).
   *
@@ -15,20 +16,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects outright; the session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (done in the Verify/Bench/test
-    * builders — NOT here: a query builder must not mutate shared session
-    * state) so it arrives as LongType nanos. We truncate to micros (integer
-    * div — no double round-trip, which would lose precision above 2^53) to
-    * match both the reference's microsecond TimestampType semantics and
-    * DuckDB's ns→µs read. The `pmod` form floors (not truncates) the
-    * division so pre-epoch (negative) nanos also agree with DuckDB's
-    * conversion — `div` alone would round toward zero and drift 1µs. */
+  /** events.ts has shipped in two physical flavors across driver testdata
+    * generations: TIMESTAMP(NANOS) (read as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, then floor-truncated to
+    * micros here) and plain micros TIMESTAMP (current — arrives as
+    * TimestampType under the session's UTC zone with
+    * `inferTimestampNTZ.enabled=false`, or TIMESTAMP_NTZ without it). The
+    * loader branches on the ACTUAL column type so every flavor lands as
+    * microsecond TimestampType — the reference's semantics and DuckDB's
+    * read of the same file. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", nanosToMicrosFloor("ts"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", nanosToMicrosFloor("ts"))
+        case TimestampNTZType =>
+          // value-preserving under the engine's UTC session zone
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -157,12 +157,13 @@ object Windows extends QueryModule {
   * sink + AvailableNow) — the driver's oracle gate covers the batch forms.
   *
   * The parquet streaming source needs an explicit schema; `events.ts` is
-  * TIMESTAMP(NANOS) so it arrives as Long nanos (session sets
-  * `nanosAsLong`) and is truncated to micros exactly like the batch loader.
+  * micros TIMESTAMP (no zone flag), which the explicit TimestampType schema
+  * reads under the session's UTC zone exactly like the batch loader —
+  * batch ≡ stream holds by construction.
   */
 object Streaming {
   private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -175,7 +176,6 @@ object Streaming {
     val r = spark.readStream.schema(eventsRawSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(dir)
-      .withColumn("ts", Tables.nanosToMicrosFloor("ts"))
   }
 
   /** Tumbling-window streaming aggregation with a 10-minute watermark: the

@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (getOrCreate reuses one JVM-wide
   * session; suites must not stop() it). Mirrors the Verify/Bench builder —
-  * notably `nanosAsLong` for the events table's TIMESTAMP(NANOS). */
+  * notably the UTC zone + parquet timestamp configs the events loader
+  * depends on (see [[graft.Sessions]] / [[graft.Tables]]). */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = Sessions.local("4", appName = "graft-test")
 

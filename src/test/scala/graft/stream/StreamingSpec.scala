@@ -53,7 +53,7 @@ class StreamingSpec extends SparkSuite {
 
     // a second increment (new file lands, same checkpoint) appends its rows
     // exactly once and leaves batch 0 untouched
-    // raw read (ts stays long nanos under nanosAsLong) so the staged file
+    // raw read (ts arrives as micros TimestampType) so the staged file
     // matches the stream source schema
     val more = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("event_id", col("event_id") + 1000000L)
@@ -271,10 +271,11 @@ class StreamingSpec extends SparkSuite {
     // Batch semantics would count 3 events in the [10:00,11:00) window; the
     // watermark policy says 2. The 12:00 window never finalizes (watermark
     // never passes 13:00) so it must be absent from append output.
-    def nanos(h: Int, m: Int): Long =
-      java.time.LocalDateTime.of(2000, 3, 1, h, m)
-        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    def writeFile(dir: String, name: String, rows: Seq[(Long, Long)]): Unit = {
+    def tstamp(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.LocalDateTime.of(2000, 3, 1, h, m)
+        .toInstant(java.time.ZoneOffset.UTC))
+    def writeFile(dir: String, name: String,
+        rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
       val stage = java.nio.file.Files.createTempDirectory("late_stage_").toString
       rows.map { case (id, ts) => (id, ts, 1L, "view", 1.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -291,9 +292,9 @@ class StreamingSpec extends SparkSuite {
         Streaming.tumblingStream(Streaming.readEvents(spark, dir)), sink, ckpt)
 
     writeFile(dir, "a.parquet",
-      Seq((1L, nanos(10, 5)), (2L, nanos(10, 20)), (3L, nanos(12, 0))))
+      Seq((1L, tstamp(10, 5)), (2L, tstamp(10, 20)), (3L, tstamp(12, 0))))
     runIncrement()
-    writeFile(dir, "b.parquet", Seq((4L, nanos(10, 30)))) // late vs wm 11:50
+    writeFile(dir, "b.parquet", Seq((4L, tstamp(10, 30)))) // late vs wm 11:50
     runIncrement()
 
     val emitted = spark.read.parquet(sink)
