@@ -51,9 +51,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * lowers the upsert form to the engine's ONE-SHUFFLE keep-winner plan
     * ([[graft.etl.Upsert.keyed]]) committed through the sink's atomic
     * truncate-overwrite instead. Anything richer (conditional clauses,
-    * DELETE actions, column-level SET lists) falls through to the delegate
-    * verbatim and fails analysis with Spark's own row-level-ops error
-    * rather than silently computing something else. */
+    * DELETE actions, column-level SET lists, INSERT column lists,
+    * NOT MATCHED BY SOURCE) lowers through the full-surface tier
+    * ([[MergeParse]] / [[MergeIntoFullCommand]]); shapes neither tier can
+    * express fall through to the delegate verbatim and fail analysis with
+    * Spark's own row-level-ops error rather than silently computing
+    * something else. */
   private val Merge =
     ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+([\w.]+)\s+ON\s+(.+?)\s+""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
@@ -155,7 +158,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       keys match {
         case Some(ks) if ks.nonEmpty => MergeIntoManifestCommand(target, source, ks)
-        case _ => delegate.parsePlan(sqlText)
+        case _ => mergeOrDelegate(sqlText)
       }
     case Update(target, setList, where) =>
       val assigns = splitTop(setList, ',').map {
@@ -174,8 +177,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         for (a <- Option(zc1); b <- Option(zc2))
           yield (a.split("\\.").last, b.split("\\.").last))
     case Restore(target, version) => RestoreTableCommand(target, version.toInt)
-    case _ => delegate.parsePlan(sqlText)
+    case _ => mergeOrDelegate(sqlText)
   }
+
+  /** Second-chance MERGE parse: the full clause surface (conditional
+    * matched clauses, column-level SET, DELETE actions, INSERT column
+    * lists, NOT MATCHED BY SOURCE — see [[MergeParse]]) lowers to the
+    * full-outer-join formulation; everything else — including MERGE shapes
+    * neither tier can express — delegates VERBATIM to Spark's parser. */
+  private def mergeOrDelegate(sqlText: String): LogicalPlan =
+    MergeParse.parse(sqlText) match {
+      case Some(spec) => MergeIntoFullCommand(spec)
+      case None => delegate.parsePlan(sqlText)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)

@@ -1,0 +1,346 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+/** The FULL `MERGE INTO` clause surface over manifest catalog tables —
+  * beyond the whole-row `UPDATE SET * / INSERT *` fast path
+  * ([[MergeIntoManifestCommand]]), this tier lowers the ANSI/Delta shape:
+  *
+  * {{{
+  * MERGE INTO t [AS a] USING s [AS b] ON <equi-conjunction>
+  *   [WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, … | UPDATE SET * | DELETE]…
+  *   [WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT (cols) VALUES (exprs) | INSERT *]…
+  *   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE]…
+  * }}}
+  *
+  * Lowering: ONE full-outer join of target and source on the ON keys (an
+  * equi-conjunction, so Catalyst plans a hash join — one shuffle per side,
+  * broadcast when the source is small), then a single projection that
+  * routes every row through the FIRST applying clause of its group
+  * (matched / not-matched / not-matched-by-source, in statement order —
+  * the ANSI rule), evaluated with both sides in scope under their aliases.
+  * The result publishes through the sink's atomic truncate-overwrite; the
+  * self-referencing write is safe on a manifest table because the scan
+  * plans from the pre-swap manifest (see [[MergeIntoManifestCommand]]).
+  *
+  * Semantics pinned here (and certified by `q_merge_conditional`):
+  *  - clause conditions see `t.*` and `s.*` (NULL side for non-matches);
+  *  - a matched row with no applying clause KEEPS the target row; a
+  *    source-only row with no applying clause drops (no insert); a
+  *    target-only row with no applying NOT-MATCHED-BY-SOURCE clause keeps;
+  *  - `INSERT (cols) VALUES (exprs)` NULL-fills unmentioned target columns
+  *    (the Delta rule); every assignment casts to the declared column type
+  *    so the table schema never drifts;
+  *  - a target row matched by MORE THAN ONE source row is rejected up
+  *    front (the ANSI cardinality violation — the join formulation would
+  *    otherwise duplicate the kept target row even in insert-only merges).
+  *
+  * Anything this lowering cannot express — non-equi ON, unknown alias
+  * qualifiers, malformed clause bodies — falls through to Spark's parser
+  * VERBATIM and fails with Spark's own row-level-ops error rather than
+  * silently computing something else.
+  *
+  * At 100 TB: the join shuffles the fact table once (the unavoidable MERGE
+  * cost) and the rewrite is a whole-table truncate-overwrite — the
+  * file-bounded copy-on-write tier (rewrite only files holding matched
+  * keys, valid when no NOT-MATCHED-BY-SOURCE clause exists) is the same
+  * machinery `DELETE`/`UPDATE` already use and the natural next step.
+  */
+object MergeParse {
+
+  sealed trait Action
+  case object UpdateStar extends Action
+  final case class UpdateSet(sets: Seq[(String, String)]) extends Action
+  case object Delete extends Action
+  case object InsertStar extends Action
+  final case class Insert(cols: Seq[String], vals: Seq[String]) extends Action
+
+  sealed trait Group
+  case object Matched extends Group
+  case object NotMatched extends Group
+  case object NotMatchedBySource extends Group
+
+  final case class Clause(group: Group, cond: Option[String], action: Action)
+
+  /** Parsed statement: aliases default to the table names' last part. */
+  final case class Spec(target: String, tAlias: String, source: String,
+      sAlias: String, keyPairs: Seq[(String, String)], clauses: Seq[Clause])
+
+  private val Head =
+    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z]\w*))?""" +
+      """\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z]\w*))?\s+ON\s+(.+?)\s*;?\s*""").r
+  private val Eq = """(?s)\s*([\w.]+)\s*=\s*([\w.]+)\s*""".r
+  private val MatchedCl = """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+?)\s*""".r
+  private val NmbsCl =
+    """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+(.+?)\s*""".r
+  private val NotMatchedCl =
+    """(?is)\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+(.+?)\s*""".r
+  private val UpdateStarA = """(?is)\s*UPDATE\s+SET\s+\*\s*""".r
+  private val UpdateSetA = """(?is)\s*UPDATE\s+SET\s+(.+?)\s*""".r
+  private val DeleteA = """(?is)\s*DELETE\s*""".r
+  private val InsertStarA = """(?is)\s*INSERT\s+\*\s*""".r
+  private val InsertA = """(?is)\s*INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+  private val Assign = """(?s)\s*([\w.]+)\s*=\s*(.+?)\s*""".r
+
+  /** Split `s` at every depth-0, outside-quotes occurrence of the keyword
+    * `WHEN` (word-bounded, case-insensitive). Returns the prefix before
+    * the first WHEN and each WHEN-clause body. */
+  private def splitOnWhen(s: String): (String, Seq[String]) = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quoted = false
+    var i = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quoted) { cur += ch; if (ch == '\'') quoted = false; i += 1 }
+      else if (ch == '\'') { quoted = true; cur += ch; i += 1 }
+      else if (ch == '(') { depth += 1; cur += ch; i += 1 }
+      else if (ch == ')') { depth -= 1; cur += ch; i += 1 }
+      else if (depth == 0 && (ch == 'W' || ch == 'w') && i + 4 <= s.length &&
+        s.substring(i, i + 4).equalsIgnoreCase("WHEN") &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + 4 == s.length || !isWordChar(s.charAt(i + 4)))) {
+        parts += cur.toString; cur.clear(); i += 4
+      } else { cur += ch; i += 1 }
+    }
+    parts += cur.toString
+    val all = parts.result()
+    (all.head, all.tail)
+  }
+
+  /** Split on `sep` at paren depth 0 outside single-quoted literals. */
+  private[plans] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quoted = false
+    s.foreach { ch =>
+      if (quoted) { cur += ch; if (ch == '\'') quoted = false }
+      else ch match {
+        case '\'' => quoted = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Strip a `[alias.]name` reference into (aliasOpt, name); None for
+    * multi-part qualifiers this lowering does not address. */
+  private def ref(x: String): Option[(Option[String], String)] =
+    x.split("\\.").toSeq match {
+      case Seq(n) => Some((None, n))
+      case Seq(a, n) => Some((Some(a), n))
+      case _ => None
+    }
+
+  /** Classify one ON equality into a (targetCol, sourceCol) pair. */
+  private def keyPair(l: String, r: String, tA: String, sA: String)
+    : Option[(String, String)] = {
+    def sideOf(x: String): Option[(Option[String], String)] = ref(x)
+    (sideOf(l), sideOf(r)) match {
+      case (Some((Some(a), ln)), Some((Some(b), rn))) =>
+        if (a.equalsIgnoreCase(tA) && b.equalsIgnoreCase(sA)) Some((ln, rn))
+        else if (a.equalsIgnoreCase(sA) && b.equalsIgnoreCase(tA)) Some((rn, ln))
+        else None
+      case (Some((Some(a), ln)), Some((None, rn))) =>
+        if (a.equalsIgnoreCase(tA)) Some((ln, rn))
+        else if (a.equalsIgnoreCase(sA)) Some((rn, ln))
+        else None
+      case (Some((None, ln)), Some((Some(b), rn))) =>
+        if (b.equalsIgnoreCase(sA)) Some((ln, rn))
+        else if (b.equalsIgnoreCase(tA)) Some((rn, ln))
+        else None
+      case (Some((None, ln)), Some((None, rn))) if ln.equalsIgnoreCase(rn) =>
+        Some((ln, rn))
+      case _ => None
+    }
+  }
+
+  private def parseAssigns(setList: String): Option[Seq[(String, String)]] = {
+    val assigns = splitTop(setList, ',').map {
+      case Assign(c, rhs) => ref(c).map { case (_, n) => n -> rhs }
+      case _ => None
+    }
+    if (assigns.nonEmpty && assigns.forall(_.isDefined)) Some(assigns.flatten)
+    else None
+  }
+
+  private def parseAction(group: Group, body: String): Option[Action] =
+    (group, body) match {
+      case (Matched | NotMatchedBySource, UpdateStarA()) if group == Matched =>
+        Some(UpdateStar)
+      case (Matched | NotMatchedBySource, UpdateSetA(sets)) =>
+        parseAssigns(sets).map(UpdateSet)
+      case (Matched | NotMatchedBySource, DeleteA()) => Some(Delete)
+      case (NotMatched, InsertStarA()) => Some(InsertStar)
+      case (NotMatched, InsertA(cols, vals)) =>
+        val cs = cols.split(",").map(_.trim).toSeq
+        val vs = splitTop(vals, ',').map(_.trim)
+        if (cs.nonEmpty && cs.forall(_.matches("[\\w.]+")) && cs.length == vs.length)
+          Some(Insert(cs.map(_.split("\\.").last), vs))
+        else None
+      case _ => None
+    }
+
+  private def parseClause(body: String): Option[Clause] = body match {
+    case NmbsCl(cond, action) =>
+      parseAction(NotMatchedBySource, action)
+        .map(Clause(NotMatchedBySource, Option(cond), _))
+    case NotMatchedCl(cond, action) =>
+      parseAction(NotMatched, action).map(Clause(NotMatched, Option(cond), _))
+    case MatchedCl(cond, action) =>
+      parseAction(Matched, action).map(Clause(Matched, Option(cond), _))
+    case _ => None
+  }
+
+  /** Parse the full MERGE shape; None → the caller delegates VERBATIM. */
+  def parse(sql: String): Option[Spec] = {
+    if (!sql.matches("(?is)\\s*MERGE\\s+INTO\\s.*")) return None
+    if (sql.count(_ == '\'') % 2 != 0) return None // a quoted literal could hide structure
+    sql match {
+      case Head(target, tAliasOpt, source, sAliasOpt, rest) =>
+        val tA = Option(tAliasOpt).getOrElse(target.split("\\.").last)
+        val sA = Option(sAliasOpt).getOrElse(source.split("\\.").last)
+        val (onText, clauseTexts) = splitOnWhen(rest)
+        if (clauseTexts.isEmpty) return None
+        val keys = splitTop(onText, ',') match {
+          case Seq(one) =>
+            val eqs = one.split("(?i)\\s+AND\\s+").map(_.trim).toSeq
+            val pairs = eqs.map {
+              case Eq(l, r) => keyPair(l, r, tA, sA)
+              case _ => None
+            }
+            if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten)
+            else None
+          case _ => None
+        }
+        val clauses = clauseTexts.map(parseClause)
+        for {
+          ks <- keys
+          cs <- Some(clauses) if cs.forall(_.isDefined)
+        } yield Spec(target, tA, source, sA, ks, cs.flatten)
+      case _ => None
+    }
+  }
+}
+
+/** Executes a parsed full-surface MERGE (see [[MergeParse]]). */
+case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableCommand {
+  import MergeParse._
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, spec.target, "MERGE INTO")
+    val _ = mt // resolution is the guard; the write goes through writeTo
+    val targetSchema = spark.table(spec.target).schema
+    val names = targetSchema.fieldNames
+
+    // validate every referenced TARGET column up front — a typo must fail
+    // in MERGE terms, not as a mid-write analysis error
+    def checkCol(c: String, what: String): Unit =
+      if (!names.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"MERGE INTO: $what column $c not in target ${spec.target} " +
+            s"(${names.mkString(", ")})")
+    spec.keyPairs.foreach(p => checkCol(p._1, "ON key"))
+    spec.clauses.foreach {
+      case Clause(_, _, UpdateSet(sets)) =>
+        sets.foreach(s => checkCol(s._1, "UPDATE SET"))
+        sets.groupBy(_._1.toLowerCase).collectFirst {
+          case (c, as) if as.length > 1 => c
+        }.foreach { c =>
+          throw new IllegalArgumentException(
+            s"MERGE INTO: column $c assigned more than once in one clause")
+        }
+      case Clause(_, _, Insert(cols, _)) => cols.foreach(checkCol(_, "INSERT"))
+      case _ => ()
+    }
+
+    val tA = spec.tAlias
+    val sA = spec.sAlias
+    val t = spark.table(spec.target).withColumn("__graft_t", lit(true)).as(tA)
+    val src = spark.table(spec.source).withColumn("__graft_s", lit(true)).as(sA)
+    val joinCond = spec.keyPairs
+      .map { case (tc, sc) => col(s"$tA.$tc") === col(s"$sA.$sc") }
+      .reduce(_ && _)
+    def joined = t.join(src, joinCond, "full_outer")
+
+    // ANSI cardinality: a target row matched by >1 source rows would be
+    // DUPLICATED by the join formulation (even for a kept row in an
+    // insert-only merge) — reject up front, never commit nondeterministic
+    // or duplicated data. One cheap aggregation over the matched keys.
+    val dup = joined
+      .filter(coalesce(col("__graft_t"), lit(false)) &&
+        coalesce(col("__graft_s"), lit(false)))
+      .groupBy(spec.keyPairs.map(p => col(s"$tA.${p._1}")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"MERGE INTO: source ${spec.source} carries multiple rows matching " +
+          s"target key ${dup.head.toSeq.init.mkString("(", ", ", ")")} — " +
+          "ANSI MERGE cardinality violation")
+
+    val tP = coalesce(col("__graft_t"), lit(false))
+    val sP = coalesce(col("__graft_s"), lit(false))
+
+    // route every row to the FIRST applying clause of its group; the code
+    // strings key both the survival filter and the per-column projection
+    val matched = spec.clauses.zipWithIndex.filter(_._1.group == Matched)
+    val inserts = spec.clauses.zipWithIndex.filter(_._1.group == NotMatched)
+    val nmbs = spec.clauses.zipWithIndex.filter(_._1.group == NotMatchedBySource)
+    def firstApplying(cls: Seq[(Clause, Int)], fallback: String): Column =
+      coalesce(cls.map { case (c, i) =>
+        when(c.cond.map(expr).map(p => coalesce(p, lit(false)))
+          .getOrElse(lit(true)), lit(s"c$i"))
+      } :+ lit(fallback): _*)
+    val action =
+      when(tP && sP, firstApplying(matched, "keep"))
+        .when(!tP && sP, firstApplying(inserts, "drop"))
+        .otherwise(firstApplying(nmbs, "keep"))
+
+    val dropCodes = "drop" +: spec.clauses.zipWithIndex.collect {
+      case (Clause(_, _, Delete), i) => s"c$i"
+    }
+
+    def colValue(f: StructField): Column = {
+      val tcol = col(s"$tA.${f.name}")
+      val scol: Column = // the source may not carry every target column
+        if (spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name)))
+          col(s"$sA.${f.name}")
+        else lit(null)
+      val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
+        c.action match {
+          case UpdateStar => Some(s"c$i" -> scol)
+          case UpdateSet(sets) => Some(s"c$i" ->
+            sets.find(_._1.equalsIgnoreCase(f.name)).map(s => expr(s._2))
+              .getOrElse(tcol))
+          case InsertStar => Some(s"c$i" -> scol)
+          case Insert(cols, vals) => Some(s"c$i" ->
+            cols.zip(vals).find(_._1.equalsIgnoreCase(f.name))
+              .map(cv => expr(cv._2)).getOrElse(lit(null)))
+          case Delete => None // filtered before projection
+        }
+      }
+      branches.foldLeft(when(col("__graft_action") === "keep", tcol)) {
+        case (acc, (code, v)) => acc.when(col("__graft_action") === code, v)
+      }.cast(f.dataType).as(f.name)
+    }
+
+    val result = joined
+      .withColumn("__graft_action", action)
+      .filter(!col("__graft_action").isin(dropCodes: _*))
+      .select(targetSchema.fields.map(colValue).toIndexedSeq: _*)
+    result.writeTo(spec.target).overwrite(lit(true))
+    Seq.empty
+  }
+}

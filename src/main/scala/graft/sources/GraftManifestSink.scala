@@ -1490,9 +1490,13 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
   /** Any stat-bearing column can prune at runtime — the zone maps carry
     * ranges for every long/int/double/date/timestamp/string column the
-    * writer saw. */
+    * writer saw. Restricted to the PRUNED read schema: Spark resolves
+    * these references against the scan's output, so advertising a
+    * projected-away column makes PartitionPruning's analysis throw on any
+    * column-pruned join scan (runtime filters only ever arrive on join
+    * keys the scan outputs anyway). */
   override def filterAttributes(): Array[NamedReference] =
-    full.fields.collect {
+    wanted.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == DoubleType || f.dataType == DateType ||
         f.dataType == TimestampType || f.dataType == StringType =>

@@ -349,6 +349,48 @@ object SourceQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // The FULL MERGE clause surface through the oracle gate: a catalog
+    // table takes one MERGE carrying every clause family — conditional
+    // matched DELETE, conditional matched column-level UPDATE (reading
+    // both sides), INSERT with a column list, and NOT MATCHED BY SOURCE —
+    // lowered to ONE full-outer hash join + first-applying-clause routing
+    // (plans/MergeInto.scala). The oracle states the same semantics as an
+    // explicit FULL OUTER JOIN + CASE in DuckDB, so wrong clause
+    // precedence, a leaked deleted row, a missed insert, or a corrupted
+    // untouched row hash-fails the driver gate.
+    "q_merge_conditional" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.Scratch.dir("graft_mrgq_")
+      s.conf.set("spark.sql.catalog.graftmrg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmrg.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmrg.q")
+      s.sql("DROP TABLE IF EXISTS graftmrg.q.ord")
+      val ord = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      ord.writeTo("graftmrg.q.ord").create()
+      val src = ord.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 1.2).as("price"), lit("U").as("op"))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 4)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price"), lit("D").as("op")))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 7)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 5.0).as("price"),
+            lit("I").as("op")))
+      src.createOrReplaceTempView("mrg_src")
+      s.sql(
+        """MERGE INTO graftmrg.q.ord t USING mrg_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price, o_orderstatus = 'M'
+          |WHEN NOT MATCHED AND s.op = 'I' THEN
+          |  INSERT (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+          |  VALUES (s.o_orderkey, s.o_custkey, s.price, 'N')
+          |WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 7 = 0 THEN
+          |  UPDATE SET o_orderstatus = 'X'""".stripMargin)
+      s.table("graftmrg.q.ord").orderBy("o_orderkey")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -413,6 +455,39 @@ object SourceQueries extends QueryModule {
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
         |ORDER BY doc_id""".stripMargin,
+    // The FULL OUTER JOIN + CASE statement of the conditional MERGE:
+    // matched op='D' rows drop, surviving matched rows take the update
+    // (every matched survivor is op='U' — insert keys never match),
+    // source-only rows insert, target-only rows hit the NMBS clause iff
+    // o_custkey % 7 = 0.
+    "q_merge_conditional" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |         o_totalprice * CAST(1.2 AS DOUBLE) AS price, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, o_custkey,
+        |         o_totalprice + CAST(5.0 AS DOUBLE), 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |j AS (
+        |  SELECT t.o_orderkey AS tk, t.o_custkey AS tck,
+        |         t.o_totalprice AS tprice, t.o_orderstatus AS tstat,
+        |         s.k, s.ck, s.price, s.op
+        |  FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.k)
+        |SELECT COALESCE(tk, k) AS o_orderkey,
+        |       COALESCE(tck, ck) AS o_custkey,
+        |       CASE WHEN k IS NOT NULL THEN price ELSE tprice END AS o_totalprice,
+        |       CASE WHEN tk IS NOT NULL AND k IS NOT NULL THEN 'M'
+        |            WHEN tk IS NULL THEN 'N'
+        |            WHEN tck % 7 = 0 THEN 'X'
+        |            ELSE tstat END AS o_orderstatus
+        |FROM j
+        |WHERE NOT (tk IS NOT NULL AND k IS NOT NULL AND op = 'D')
+        |  AND NOT (tk IS NULL AND op <> 'I')
+        |ORDER BY o_orderkey""".stripMargin,
     "q_update_rows" ->
       """SELECT doc_id,
         |  CASE WHEN source = 'src3' THEN upper(lang) ELSE lang END AS lang,

@@ -468,18 +468,12 @@ class GraftCatalogSpec extends SparkSuite {
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(spark.table("graftcat.mrg.base").count() == 4L)
 
-    // unsupported shapes fall through to Spark's own MERGE (which rejects a
-    // table without row-level-operation support) instead of mis-lowering
+    // shapes NO tier can express (non-equi ON) fall through to Spark's own
+    // MERGE (which rejects a table without row-level-operation support)
+    // instead of mis-lowering
     intercept[Exception] {
       spark.sql(
-        """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.k
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    // mismatched ON columns are not lowered — they fall through to Spark's
-    // own MERGE, which rejects the manifest table (no row-level ops)
-    intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k = upd.v
+        """MERGE INTO graftcat.mrg.base USING graftcat.mrg.upd ON base.k > upd.k
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
@@ -507,6 +501,63 @@ class GraftCatalogSpec extends SparkSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(notManifest.getMessage.contains("manifest"), notManifest.getMessage)
+  }
+
+  test("MERGE INTO full clause surface: conditional UPDATE/DELETE, INSERT list, NOT MATCHED BY SOURCE") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg2")
+    spark.sql("DROP TABLE IF EXISTS graftcat.mrg2.t")
+    spark.sql("CREATE TABLE graftcat.mrg2.t (k BIGINT, v DOUBLE, tag STRING)")
+    spark.sql(
+      "INSERT INTO graftcat.mrg2.t VALUES (1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'c'), (4, 4.0, 'd')")
+    Seq((2L, 20.0, "U"), (3L, 0.0, "D"), (9L, 9.0, "I"), (10L, 10.0, "skip"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("mrg2_src")
+
+    spark.sql(
+      """MERGE INTO graftcat.mrg2.t t USING mrg2_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.nv, tag = concat(t.tag, '+')
+        |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, v) VALUES (s.k, s.nv)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN UPDATE SET tag = 'nmbs'""".stripMargin)
+
+    val got = spark.sql("SELECT k, v, tag FROM graftcat.mrg2.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    // k=1 target-only (cond false) keeps; k=2 matched 'U' updates (first
+    // applying clause, assignment sees both sides); k=3 matched 'D'
+    // deletes; k=4 target-only NMBS updates; k=9 inserts with tag
+    // NULL-filled (unmentioned INSERT column — the Delta rule); k=10
+    // source-only with no applying clause does NOT insert
+    assert(got === Seq(
+      (1L, 1.0, Some("a")), (2L, 20.0, Some("b+")),
+      (4L, 4.0, Some("nmbs")), (9L, 9.0, None)))
+
+    // delete-only merge: every matched key leaves, everything else stays
+    spark.sql(
+      """MERGE INTO graftcat.mrg2.t t USING mrg2_src s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM graftcat.mrg2.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+
+    // cardinality guard fires even for INSERT-only merges: the join
+    // formulation would silently DUPLICATE a kept target row matched by
+    // two source rows
+    spark.sql("INSERT INTO graftcat.mrg2.t VALUES (77, 7.0, 'kept')")
+    Seq((77L, 5.0, "x"), (77L, 6.0, "y"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("mrg2_dup")
+    val card = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.mrg2.t t USING mrg2_dup s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    }
+    assert(card.getMessage.contains("cardinality"), card.getMessage)
+
+    // an UPDATE SET naming an unknown target column fails in MERGE terms
+    val badCol = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.mrg2.t t USING mrg2_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET nope = s.nv""".stripMargin)
+    }
+    assert(badCol.getMessage.contains("nope"), badCol.getMessage)
   }
 
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read archived snapshots") {
