@@ -187,38 +187,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * `q_schema_evolution` mergeSchema read). The swap archives a snapshot,
     * so pre-alter versions stay readable under their old schema.
     *
+    * `ALTER TABLE RENAME COLUMN` is metadata-only for the same structural
+    * reason ADD COLUMN is: data files are positional TSV that never store
+    * column names, so a rename touches only the manifest — the schema
+    * line, the per-entry stats keys (zone maps / blooms stay valid under
+    * the new name), and the sink's own column-list properties
+    * (partitioning contract, bloom config). Archived snapshots keep their
+    * commit-time schema, so time travel reads the OLD name.
+    *
     * Only nullable, end-appended, codec-supported ADD COLUMN is accepted.
     * Everything that would need a data rewrite or could silently corrupt
-    * old files — DROP COLUMN, RENAME COLUMN, type changes (including
-    * narrowing), NOT NULL adds, positioned adds — is rejected explicitly
-    * rather than half-supported. */
+    * old files — DROP COLUMN, type changes (including narrowing), NOT NULL
+    * adds, positioned adds — is rejected explicitly rather than
+    * half-supported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     // the schema RMW shares the commit lock, so an append landing mid-ALTER
     // is never un-published
     ManifestLock.withLock(tableDir(ident)) {
     val dir = tableDir(ident)
     val m = Manifest.read(dir).getOrElse(throw new NoSuchTableException(ident))
-    // SET/UNSET TBLPROPERTIES ride the same atomic swap as schema changes;
+    // every change folds over the WHOLE manifest (schema + entries +
+    // props) and publishes in one atomic swap. SET/UNSET TBLPROPERTIES
     // user keys store under the `tbl.` prefix so they can never collide
-    // with the sink's own props (partitionCols, epoch watermarks)
-    val props = changes.foldLeft(m.props) { (props, change) =>
+    // with the sink's own props (partitionCols, epoch watermarks).
+    val next = changes.foldLeft(m) { (cur, change) =>
       change match {
         case set: TableChange.SetProperty =>
-          props ++ GraftCatalog.userProps(Map(set.property() -> set.value()))
+          cur.copy(props =
+            cur.props ++ GraftCatalog.userProps(Map(set.property() -> set.value())))
         case rm: TableChange.RemoveProperty =>
-          props - (GraftCatalog.TblPropPrefix + rm.property())
-        case _ => props
-      }
-    }
-    val widened = changes.foldLeft(m.schema) { (schema, change) =>
-      change match {
-        case _: TableChange.SetProperty | _: TableChange.RemoveProperty => schema
+          cur.copy(props = cur.props - (GraftCatalog.TblPropPrefix + rm.property()))
         case add: TableChange.AddColumn =>
           if (add.fieldNames().length != 1)
             throw new UnsupportedOperationException(
               "ALTER TABLE ADD COLUMN: nested fields not supported")
           val colName = add.fieldNames()(0)
-          if (schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
+          if (cur.schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
             throw new IllegalArgumentException(
               s"ALTER TABLE ADD COLUMN: column $colName already exists")
           if (!add.isNullable)
@@ -233,15 +237,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             throw new UnsupportedOperationException(
               s"ALTER TABLE ADD COLUMN: type ${add.dataType().simpleString} not " +
                 "supported by this sink")
-          schema.add(StructField(colName, add.dataType(), nullable = true))
+          cur.copy(schema =
+            cur.schema.add(StructField(colName, add.dataType(), nullable = true)))
+        case rn: TableChange.RenameColumn =>
+          if (rn.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ALTER TABLE RENAME COLUMN: nested fields not supported")
+          val idx = cur.schema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(rn.fieldNames()(0)))
+          if (idx < 0)
+            throw new IllegalArgumentException(
+              s"ALTER TABLE RENAME COLUMN: no column ${rn.fieldNames()(0)} in " +
+                s"(${cur.schema.fieldNames.mkString(", ")})")
+          val from = cur.schema.fieldNames(idx)
+          val to = rn.newName()
+          if (!to.matches("\\w+"))
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE RENAME COLUMN: $to is not a manifest-codec-safe " +
+                "identifier ([A-Za-z0-9_]+)")
+          if (cur.schema.fieldNames.exists(_.equalsIgnoreCase(to)))
+            throw new IllegalArgumentException(
+              s"ALTER TABLE RENAME COLUMN: column $to already exists")
+          def renKey[V](mp: Map[String, V]): Map[String, V] =
+            mp.map { case (k, v) => (if (k == from) to else k) -> v }
+          cur.copy(
+            schema = StructType(cur.schema.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f)),
+            entries = cur.entries.map { e =>
+              e.copy(stats = e.stats.copy(
+                ranges = renKey(e.stats.ranges),
+                incomplete = e.stats.incomplete.map(c => if (c == from) to else c),
+                strRanges = renKey(e.stats.strRanges),
+                blooms = renKey(e.stats.blooms)))
+            },
+            props = cur.props.map {
+              case (k, v) if k == Manifest.PartitionColsProp ||
+                k == Manifest.BloomColsProp =>
+                k -> v.split(",").map(_.trim).filter(_.nonEmpty)
+                  .map(c => if (c == from) to else c).mkString(",")
+              case kv => kv
+            })
         case _: TableChange.DeleteColumn =>
           throw new UnsupportedOperationException(
             "ALTER TABLE DROP COLUMN not supported: committed files would need " +
               "a rewrite — create a new table instead")
-        case _: TableChange.RenameColumn =>
-          throw new UnsupportedOperationException(
-            "ALTER TABLE RENAME COLUMN not supported: committed files bind " +
-              "columns by position under the original names")
         case _: TableChange.UpdateColumnType =>
           throw new UnsupportedOperationException(
             "ALTER TABLE: column type changes (including narrowing) are not " +
@@ -251,8 +290,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"ALTER TABLE: unsupported change $other")
       }
     }
-    Manifest.write(dir, Manifest(widened, m.entries, props))
-    new ManifestTable(dir, widened)
+    Manifest.write(dir, next)
+    new ManifestTable(dir, next.schema)
     }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -391,8 +391,6 @@ class GraftCatalogSpec extends SparkSuite {
     // everything that would need a rewrite is rejected explicitly
     intercept[Exception] { spark.sql("ALTER TABLE graftcat.evo.t DROP COLUMN name") }
     intercept[Exception] {
-      spark.sql("ALTER TABLE graftcat.evo.t RENAME COLUMN name TO label") }
-    intercept[Exception] {
       spark.sql("ALTER TABLE graftcat.evo.t ALTER COLUMN id TYPE INT") }
     intercept[Exception] {
       spark.sql("ALTER TABLE graftcat.evo.t ADD COLUMN dup DOUBLE NOT NULL") }
@@ -401,6 +399,54 @@ class GraftCatalogSpec extends SparkSuite {
     // table unchanged by the rejected alters
     assert(spark.table("graftcat.evo.t").schema.length == 3)
     assert(spark.table("graftcat.evo.t").count() == 3L)
+  }
+
+  test("ALTER TABLE RENAME COLUMN is metadata-only: stats, partitioning and blooms follow") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ren")
+    spark.sql("DROP TABLE IF EXISTS graftcat.ren.t")
+    Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c")).toDF("k", "v", "s")
+      .writeTo("graftcat.ren.t")
+      .partitionedBy(org.apache.spark.sql.functions.col("s"))
+      .tableProperty("bloom.columns", "k")
+      .create()
+    val dir = Paths.get(rootDir, "ren", "t")
+    val preFiles = Manifest.read(dir).get.entries.map(_.name)
+
+    spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN v TO val")
+    // schema renamed in place, no data file touched
+    assert(spark.table("graftcat.ren.t").schema.fieldNames.toSeq ==
+      Seq("k", "val", "s"))
+    assert(Manifest.read(dir).get.entries.map(_.name) == preFiles)
+    // data reads back identically (positional TSV binding)
+    assert(spark.sql("SELECT k, val FROM graftcat.ren.t WHERE val > 1.5 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((2L, 2.0), (3L, 3.0)))
+    // zone-map stats follow the rename: ranges keyed under the new name
+    val renamed = Manifest.read(dir).get
+    assert(renamed.entries.exists(_.stats.ranges.contains("val")))
+    assert(renamed.entries.forall(!_.stats.ranges.contains("v")))
+
+    // the partitioning contract and bloom config follow their columns
+    spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN s TO src")
+    assert(Manifest.partitionCols(dir) == Seq("src"))
+    spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN k TO kk")
+    assert(Manifest.bloomCols(dir) == Seq("kk"))
+    // a write AFTER the renames still lands (partition contract resolves)
+    spark.sql("INSERT INTO graftcat.ren.t VALUES (4, 4.0, 'd')")
+    assert(spark.table("graftcat.ren.t").count() == 4L)
+
+    // the pre-rename snapshot still reads under the OLD names
+    val snaps = Manifest.snapshotVersions(dir)
+    val old = spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir.toString).option("snapshot", snaps.min.toString).load()
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v", "s"))
+
+    // collisions and unknown columns are rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN kk TO val") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN nope TO x") }
   }
 
   test("metadata DELETE accepts a date-ranged whole-file predicate") {
