@@ -103,6 +103,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
+  /** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]` — metadata-only
+    * copy of a manifest table (Delta's statement shape; Spark's CREATE
+    * grammar has no CLONE, so the regex never shadows delegate syntax). */
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals. */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -177,6 +184,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         for (a <- Option(zc1); b <- Option(zc2))
           yield (a.split("\\.").last, b.split("\\.").last))
     case Restore(target, version) => RestoreTableCommand(target, version.toInt)
+    case Clone(target, source, version) =>
+      CloneTableCommand(target, source, Option(version).map(_.toInt))
     case _ => mergeOrDelegate(sqlText)
   }
 
@@ -339,6 +348,44 @@ case class RestoreTableCommand(target: String, version: Int)
     val mt = ManifestTarget.of(spark, target, "RESTORE TABLE")
     val (files, rows) = graft.sources.ManifestTable.restore(mt.dir, version)
     Seq(Row(files, rows))
+  }
+}
+
+/** The lowered SHALLOW CLONE: source resolves through the analyzed
+  * relation (current manifest, or an archived snapshot under
+  * `VERSION AS OF`); the target name resolves to a [[graft.sources
+  * .GraftCatalog]] + identifier, which writes the clone's manifest —
+  * metadata only, zero data movement. Cloning 100 TB costs one manifest
+  * write; the clone then diverges copy-on-write. */
+case class CloneTableCommand(target: String, source: String,
+    version: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val srcDir = ManifestTarget.of(spark, source, "SHALLOW CLONE").dir
+    import graft.sources.Manifest
+    val m = version match {
+      case Some(v) => Manifest.readSnapshot(srcDir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"SHALLOW CLONE: no snapshot $v at $srcDir " +
+            s"(have: ${Manifest.snapshotVersions(srcDir).mkString(", ")})"))
+      case None => Manifest.read(srcDir).getOrElse(
+        throw new IllegalStateException(s"SHALLOW CLONE: no manifest at $srcDir"))
+    }
+    val parts = target.split("\\.").toSeq
+    if (parts.length < 3)
+      throw new IllegalArgumentException(
+        s"SHALLOW CLONE: target $target must be a fully qualified " +
+          "catalog.namespace.table name")
+    val cat = spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: graft.sources.GraftCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"SHALLOW CLONE: catalog ${parts.head} (${other.getClass.getName}) is " +
+          "not a graft catalog")
+    }
+    cat.shallowClone(Identifier.of(parts.tail.init.toArray, parts.last), m, srcDir)
+    Seq.empty
   }
 }
 

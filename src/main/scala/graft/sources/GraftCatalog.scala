@@ -80,6 +80,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ----- tables -----
 
+  /** SHALLOW CLONE: create `ident` as a metadata-only copy of the source
+    * manifest `src` (taken from `srcDir`) — zero data movement, the
+    * Delta/Iceberg table-branching story. The clone's manifest carries the
+    * source's schema, entries and user props plus a `cloneSource` link;
+    * reads resolve absent files through the chain
+    * ([[Manifest.resolveChain]]), copy-on-write ops rewrite locally and
+    * drop the reference, so the clone diverges file-by-file without ever
+    * touching the source. The streaming epoch watermark is deliberately
+    * NOT inherited — a fresh streaming query into the clone starts its
+    * epochs unfenced (the Delta clone txn-reset rule). History starts
+    * fresh at the clone point. */
+  private[graft] def shallowClone(ident: Identifier, src: Manifest,
+      srcDir: Path): Unit = {
+    val dir = tableDir(ident)
+    if (Files.exists(dir.resolve("_manifest")))
+      throw new TableAlreadyExistsException(ident)
+    if (dir.toAbsolutePath == srcDir.toAbsolutePath)
+      throw new IllegalArgumentException("SHALLOW CLONE: target is the source")
+    Files.createDirectories(dir)
+    val props = (src.props - Manifest.LastEpochProp) +
+      (Manifest.CloneSourceProp -> srcDir.toAbsolutePath.toString)
+    Manifest.write(dir, Manifest(src.schema, src.entries, props))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
     if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)

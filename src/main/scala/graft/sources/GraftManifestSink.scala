@@ -356,6 +356,38 @@ private[graft] object Manifest {
     read(dir).flatMap(_.props.get(PartitionColsProp))
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  /** Manifest property recording the directory a SHALLOW CLONE was taken
+    * from: entries whose data file is absent locally resolve against the
+    * clone chain (clone-of-clone walks transitively, cycle-bounded).
+    * Copy-on-write ops rewrite locally and drop the reference, so clones
+    * diverge file-by-file without ever touching the source. Caveat
+    * (Delta's own): VACUUM on the SOURCE can reap files an outstanding
+    * clone still references — clones pin nothing across directories. */
+  private[sources] val CloneSourceProp = "cloneSource"
+
+  /** The directory chain data-file names resolve against: this table's
+    * dir, then each `cloneSource` ancestor (bounded against cycles). */
+  private[sources] def resolveChain(dir: Path): Seq[Path] = {
+    val chain = Seq.newBuilder[Path]
+    var d = dir
+    var depth = 0
+    while (depth < 16) {
+      chain += d
+      read(d).flatMap(_.props.get(CloneSourceProp)) match {
+        case Some(src) => d = Paths.get(src); depth += 1
+        case None => depth = 16
+      }
+    }
+    chain.result()
+  }
+
+  /** Resolve one data-file name against the chain; falls back to the local
+    * path (letting the read fail with the honest location) when no link
+    * holds the file. */
+  private[sources] def resolveData(chain: Seq[Path], name: String): Path =
+    chain.map(_.resolve(name)).find(Files.exists(_))
+      .getOrElse(chain.head.resolve(name))
+
   /** The user property naming bloom-filter columns, as stored (TBLPROPERTIES
     * key `bloom.columns` under the catalog's `tbl.` prefix). */
   private[sources] val BloomColsProp = "tbl.bloom.columns"
@@ -722,8 +754,9 @@ private[graft] object ManifestTable {
       throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))
     val live = m.entries.filter(_.rows > 0)
     if (live.isEmpty) return (0, 0)
+    val chain = Manifest.resolveChain(dir)
     val bytes = live.map { e =>
-      val p = dir.resolve(e.name)
+      val p = Manifest.resolveData(chain, e.name)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -799,7 +832,9 @@ private[graft] object ManifestTable {
       val snap = Manifest.readSnapshot(dir, version).getOrElse(
         throw new IllegalArgumentException(
           s"RESTORE: snapshot $version expired or never existed at $dir"))
-      val missing = snap.entries.filterNot(e => Files.exists(dir.resolve(e.name)))
+      val chain = Manifest.resolveChain(dir)
+      val missing = snap.entries.filterNot(e =>
+        Files.exists(Manifest.resolveData(chain, e.name)))
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"RESTORE: data file ${missing.head.name} of snapshot $version was " +
@@ -1390,6 +1425,8 @@ private[sources] object ManifestScanBuilder {
   }
 }
 
+/** `file` is the RESOLVED absolute data path (driver-side resolution
+  * through the shallow-clone chain — executors never walk manifests). */
 private[sources] case class ManifestFilePartition(file: String, dir: String,
     full: StructType, wanted: StructType, fileCols: Int) extends InputPartition
 
@@ -1432,8 +1469,10 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
     val e = end.asInstanceOf[SnapOffset].v
     if (e <= s) return Array.empty
     val before = entriesAt(s).map(_.name).toSet
+    val chain = Manifest.resolveChain(dir)
     entriesAt(e).filterNot(f => before(f.name))
-      .map(f => ManifestFilePartition(f.name, dir.toString, full, wanted, f.cols))
+      .map(f => ManifestFilePartition(Manifest.resolveData(chain, f.name).toString,
+        dir.toString, full, wanted, f.cols))
       .toArray[InputPartition]
   }
 
@@ -1479,8 +1518,9 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * do. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rowsTotal = entries.map(_.rows).sum
+    private val chain = Manifest.resolveChain(dir)
     private val bytesTotal = entries.map { e =>
-      val p = dir.resolve(e.name)
+      val p = Manifest.resolveData(chain, e.name)
       if (Files.exists(p)) Files.size(p) else e.rows * 32L
     }.sum
     override def numRows(): OptionalLong = OptionalLong.of(rowsTotal)
@@ -1517,7 +1557,9 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * contract. */
   override def planInputPartitions(): Array[InputPartition] = {
     plannedFiles = current.length
-    current.map(e => ManifestFilePartition(e.name, dir.toString, full, wanted, e.cols))
+    val chain = Manifest.resolveChain(dir)
+    current.map(e => ManifestFilePartition(Manifest.resolveData(chain, e.name).toString,
+      dir.toString, full, wanted, e.cols))
       .toArray[InputPartition]
   }
 
@@ -1528,8 +1570,9 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ManifestFilePartition(file, dir, full, wanted, fileCols) =
       partition.asInstanceOf[ManifestFilePartition]
+    val _ = dir // file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
-      private val stream = Files.lines(Paths.get(dir).resolve(file), UTF_8)
+      private val stream = Files.lines(Paths.get(file), UTF_8)
       private val it = stream.iterator()
       private val idx = GraftManifestSink.columnIndex(full, wanted)
       private var row: InternalRow = _

@@ -449,6 +449,54 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN nope TO x") }
   }
 
+  test("SHALLOW CLONE is metadata-only; the clone diverges copy-on-write") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.cl")
+    spark.sql("DROP TABLE IF EXISTS graftcat.cl.src")
+    spark.sql("DROP TABLE IF EXISTS graftcat.cl.dev")
+    spark.sql("CREATE TABLE graftcat.cl.src (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graftcat.cl.src SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) FROM RANGE(0, 10)")
+    spark.sql("INSERT INTO graftcat.cl.src SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) FROM RANGE(10, 20)")
+
+    spark.sql("CREATE TABLE graftcat.cl.dev SHALLOW CLONE graftcat.cl.src")
+    // zero data files copied — the clone dir holds only metadata
+    val cloneDir = Paths.get(rootDir, "cl", "dev")
+    val localData = Files.list(cloneDir).iterator()
+    val dataFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(localData)
+      .asScala.count(_.getFileName.toString.startsWith("part-"))
+    assert(dataFiles == 0, "shallow clone must not copy data files")
+    assert(spark.table("graftcat.cl.dev").count() == 20L)
+    assert(spark.sql("SELECT sum(k) FROM graftcat.cl.dev").head().getLong(0) == 190L)
+
+    // writes to the clone never touch the source
+    spark.sql("INSERT INTO graftcat.cl.dev SELECT /*+ COALESCE(1) */ id, 0.0 FROM RANGE(100, 105)")
+    spark.sql("DELETE FROM graftcat.cl.dev WHERE k >= 0 AND k < 10") // whole-file drop
+    spark.sql("UPDATE graftcat.cl.dev SET v = v + 1000 WHERE k = 15") // COW rewrite
+    assert(spark.table("graftcat.cl.dev").count() == 15L)
+    assert(spark.sql("SELECT v FROM graftcat.cl.dev WHERE k = 15").head().getDouble(0)
+      == 1015.0)
+    // source unchanged by all of it
+    assert(spark.table("graftcat.cl.src").count() == 20L)
+    assert(spark.sql("SELECT v FROM graftcat.cl.src WHERE k = 15").head().getDouble(0)
+      == 15.0)
+
+    // and source-side writes after the clone point stay invisible here
+    spark.sql("INSERT INTO graftcat.cl.src SELECT /*+ COALESCE(1) */ id, 0.0 FROM RANGE(200, 210)")
+    assert(spark.table("graftcat.cl.dev").count() == 15L)
+    assert(spark.table("graftcat.cl.src").count() == 30L)
+
+    // VERSION AS OF clones an archived snapshot (v2 = after first insert)
+    spark.sql("DROP TABLE IF EXISTS graftcat.cl.old")
+    val srcSnaps = Manifest.snapshotVersions(Paths.get(rootDir, "cl", "src"))
+    spark.sql(
+      s"CREATE TABLE graftcat.cl.old SHALLOW CLONE graftcat.cl.src VERSION AS OF ${srcSnaps(1)}")
+    assert(spark.table("graftcat.cl.old").count() == 10L)
+
+    // an existing target is refused
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.cl.dev SHALLOW CLONE graftcat.cl.src") }
+  }
+
   test("metadata DELETE accepts a date-ranged whole-file predicate") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dated")
