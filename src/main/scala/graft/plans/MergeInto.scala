@@ -44,11 +44,15 @@ import org.apache.spark.sql.types.StructField
   * VERBATIM and fails with Spark's own row-level-ops error rather than
   * silently computing something else.
   *
-  * At 100 TB: the join shuffles the fact table once (the unavoidable MERGE
-  * cost) and the rewrite is a whole-table truncate-overwrite — the
-  * file-bounded copy-on-write tier (rewrite only files holding matched
-  * keys, valid when no NOT-MATCHED-BY-SOURCE clause exists) is the same
-  * machinery `DELETE`/`UPDATE` already use and the natural next step.
+  * At 100 TB: without NOT-MATCHED-BY-SOURCE clauses the rewrite is
+  * FILE-BOUNDED (the Delta merge algorithm) — a semi-join over the
+  * `_file` metadata column finds the files holding matched keys, only
+  * those files join the source and rewrite (inserts surface in the same
+  * join), and the swap replaces exactly them; an insert-only MERGE is a
+  * pure append. With NOT-MATCHED-BY-SOURCE every unmatched target row is
+  * in scope, so the rewrite is inherently whole-table
+  * (truncate-overwrite). The join itself shuffles each side once — the
+  * unavoidable MERGE cost; broadcast when the source is small.
   */
 object MergeParse {
 
@@ -241,7 +245,6 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, spec.target, "MERGE INTO")
-    val _ = mt // resolution is the guard; the write goes through writeTo
     val targetSchema = spark.table(spec.target).schema
     val names = targetSchema.fieldNames
 
@@ -268,79 +271,120 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
 
     val tA = spec.tAlias
     val sA = spec.sAlias
-    val t = spark.table(spec.target).withColumn("__graft_t", lit(true)).as(tA)
     val src = spark.table(spec.source).withColumn("__graft_s", lit(true)).as(sA)
     val joinCond = spec.keyPairs
       .map { case (tc, sc) => col(s"$tA.$tc") === col(s"$sA.$sc") }
       .reduce(_ && _)
-    def joined = t.join(src, joinCond, "full_outer")
 
-    // ANSI cardinality: a target row matched by >1 source rows would be
-    // DUPLICATED by the join formulation (even for a kept row in an
-    // insert-only merge) — reject up front, never commit nondeterministic
-    // or duplicated data. One cheap aggregation over the matched keys.
-    val dup = joined
-      .filter(coalesce(col("__graft_t"), lit(false)) &&
-        coalesce(col("__graft_s"), lit(false)))
-      .groupBy(spec.keyPairs.map(p => col(s"$tA.${p._1}")): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalStateException(
-        s"MERGE INTO: source ${spec.source} carries multiple rows matching " +
-          s"target key ${dup.head.toSeq.init.mkString("(", ", ", ")")} — " +
-          "ANSI MERGE cardinality violation")
-
-    val tP = coalesce(col("__graft_t"), lit(false))
-    val sP = coalesce(col("__graft_s"), lit(false))
-
-    // route every row to the FIRST applying clause of its group; the code
-    // strings key both the survival filter and the per-column projection
     val matched = spec.clauses.zipWithIndex.filter(_._1.group == Matched)
     val inserts = spec.clauses.zipWithIndex.filter(_._1.group == NotMatched)
     val nmbs = spec.clauses.zipWithIndex.filter(_._1.group == NotMatchedBySource)
-    def firstApplying(cls: Seq[(Clause, Int)], fallback: String): Column =
-      coalesce(cls.map { case (c, i) =>
-        when(c.cond.map(expr).map(p => coalesce(p, lit(false)))
-          .getOrElse(lit(true)), lit(s"c$i"))
-      } :+ lit(fallback): _*)
-    val action =
-      when(tP && sP, firstApplying(matched, "keep"))
-        .when(!tP && sP, firstApplying(inserts, "drop"))
-        .otherwise(firstApplying(nmbs, "keep"))
 
-    val dropCodes = "drop" +: spec.clauses.zipWithIndex.collect {
-      case (Clause(_, _, Delete), i) => s"c$i"
-    }
+    /** The lowered computation over a target frame (the whole table, or
+      * just its touched files on the bounded path): full-outer join +
+      * first-applying-clause routing + one projection. */
+    def mergeResult(tdfRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val t = tdfRaw.withColumn("__graft_t", lit(true)).as(tA)
+      def joined = t.join(src, joinCond, "full_outer")
 
-    def colValue(f: StructField): Column = {
-      val tcol = col(s"$tA.${f.name}")
-      val scol: Column = // the source may not carry every target column
-        if (spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name)))
-          col(s"$sA.${f.name}")
-        else lit(null)
-      val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
-        c.action match {
-          case UpdateStar => Some(s"c$i" -> scol)
-          case UpdateSet(sets) => Some(s"c$i" ->
-            sets.find(_._1.equalsIgnoreCase(f.name)).map(s => expr(s._2))
-              .getOrElse(tcol))
-          case InsertStar => Some(s"c$i" -> scol)
-          case Insert(cols, vals) => Some(s"c$i" ->
-            cols.zip(vals).find(_._1.equalsIgnoreCase(f.name))
-              .map(cv => expr(cv._2)).getOrElse(lit(null)))
-          case Delete => None // filtered before projection
-        }
+      // ANSI cardinality: a target row matched by >1 source rows would be
+      // DUPLICATED by the join formulation (even for a kept row in an
+      // insert-only merge) — reject up front, never commit
+      // nondeterministic or duplicated data. One cheap aggregation.
+      val dup = joined
+        .filter(coalesce(col("__graft_t"), lit(false)) &&
+          coalesce(col("__graft_s"), lit(false)))
+        .groupBy(spec.keyPairs.map(p => col(s"$tA.${p._1}")): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE INTO: source ${spec.source} carries multiple rows matching " +
+            s"target key ${dup.head.toSeq.init.mkString("(", ", ", ")")} — " +
+            "ANSI MERGE cardinality violation")
+
+      val tP = coalesce(col("__graft_t"), lit(false))
+      val sP = coalesce(col("__graft_s"), lit(false))
+
+      // route every row to the FIRST applying clause of its group; the
+      // codes key both the survival filter and the per-column projection
+      def firstApplying(cls: Seq[(Clause, Int)], fallback: String): Column =
+        coalesce(cls.map { case (c, i) =>
+          when(c.cond.map(expr).map(p => coalesce(p, lit(false)))
+            .getOrElse(lit(true)), lit(s"c$i"))
+        } :+ lit(fallback): _*)
+      val action =
+        when(tP && sP, firstApplying(matched, "keep"))
+          .when(!tP && sP, firstApplying(inserts, "drop"))
+          .otherwise(firstApplying(nmbs, "keep"))
+
+      val dropCodes = "drop" +: spec.clauses.zipWithIndex.collect {
+        case (Clause(_, _, Delete), i) => s"c$i"
       }
-      branches.foldLeft(when(col("__graft_action") === "keep", tcol)) {
-        case (acc, (code, v)) => acc.when(col("__graft_action") === code, v)
-      }.cast(f.dataType).as(f.name)
+
+      def colValue(f: StructField): Column = {
+        val tcol = col(s"$tA.${f.name}")
+        val scol: Column = // the source may not carry every target column
+          if (spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name)))
+            col(s"$sA.${f.name}")
+          else lit(null)
+        val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
+          c.action match {
+            case UpdateStar => Some(s"c$i" -> scol)
+            case UpdateSet(sets) => Some(s"c$i" ->
+              sets.find(_._1.equalsIgnoreCase(f.name)).map(s => expr(s._2))
+                .getOrElse(tcol))
+            case InsertStar => Some(s"c$i" -> scol)
+            case Insert(cols, vals) => Some(s"c$i" ->
+              cols.zip(vals).find(_._1.equalsIgnoreCase(f.name))
+                .map(cv => expr(cv._2)).getOrElse(lit(null)))
+            case Delete => None // filtered before projection
+          }
+        }
+        branches.foldLeft(when(col("__graft_action") === "keep", tcol)) {
+          case (acc, (code, v)) => acc.when(col("__graft_action") === code, v)
+        }.cast(f.dataType).as(f.name)
+      }
+
+      joined
+        .withColumn("__graft_action", action)
+        .filter(!col("__graft_action").isin(dropCodes: _*))
+        .select(targetSchema.fields.map(colValue).toIndexedSeq: _*)
     }
 
-    val result = joined
-      .withColumn("__graft_action", action)
-      .filter(!col("__graft_action").isin(dropCodes: _*))
-      .select(targetSchema.fields.map(colValue).toIndexedSeq: _*)
-    result.writeTo(spec.target).overwrite(lit(true))
+    if (nmbs.isEmpty) {
+      // FILE-BOUNDED path (the Delta merge algorithm): without
+      // NOT-MATCHED-BY-SOURCE clauses, rows in files holding NO matched
+      // key are untouched by every clause — so (1) one semi-join over the
+      // `_file` metadata column finds the files containing matched keys,
+      // (2) ONLY those files full-outer-join the source (unmatched source
+      // rows — the inserts — surface there too; a source key absent from
+      // the touched files matches nothing anywhere, by construction of
+      // the touched set), and (3) the rewrite publishes atomically,
+      // replacing exactly the touched files. A selective MERGE over a
+      // 100 TB table rewrites only the files it touches; an insert-only
+      // MERGE rewrites none (pure append).
+      import graft.sources.{Manifest, ManifestTable}
+      val dir = mt.dir
+      val m = Manifest.read(dir).getOrElse(Manifest(targetSchema, Seq.empty))
+      val tKeys = spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString).load()
+        .select(spec.keyPairs.map(p => col(p._1)) :+ col("_file"): _*).as("__mt")
+      val sKeys = spark.table(spec.source).as("__ms")
+      val kCond = spec.keyPairs
+        .map { case (tc, sc) => col(s"__mt.$tc") === col(s"__ms.$sc") }
+        .reduce(_ && _)
+      val touched = tKeys.join(sKeys, kCond, "left_semi")
+        .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
+      val touchedEntries = m.entries.filter(e => touched(e.name))
+      val rewritten = ManifestTable.rewriteFiles(dir, m, touchedEntries, mergeResult)
+      ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten)
+    } else {
+      // NOT MATCHED BY SOURCE touches every unmatched target row — the
+      // rewrite is inherently whole-table; one atomic truncate-overwrite
+      // (safe self-reference: the scan plans from the pre-swap manifest)
+      mergeResult(spark.table(spec.target)).writeTo(spec.target).overwrite(lit(true))
+    }
     Seq.empty
   }
 }

@@ -487,10 +487,21 @@ private[graft] object Manifest {
 private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     snapshot: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.sources.Filter
 
   override def name(): String = s"graft_manifest($dir)"
+
+  /** `_file` metadata column (the Iceberg idiom): the committed manifest
+    * entry name of the row's data file — constant per scan partition, so
+    * selecting it costs one string per row and no extra I/O. Powers
+    * row→file attribution (file lineage, and the file-bounded MERGE's
+    * touched-file discovery). Hidden unless selected; a data column of
+    * the same name wins (Spark's metadata-conflict rule). */
+  override def metadataColumns()
+    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(ManifestTable.FileMetaCol)
   /** The selected SNAPSHOT's schema when time-traveling (a pre-ALTER
     * version must read under the schema it was committed with), else the
     * current manifest's. */
@@ -625,6 +636,16 @@ private[graft] object ManifestLock {
 }
 
 private[graft] object ManifestTable {
+  /** See [[ManifestTable.metadataColumns]]. */
+  val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest entry name of the data file this row was read from"
+    }
+
   /** COPY-ON-WRITE rewrite step shared by row-level DELETE and UPDATE: run
     * `transform` over ONLY the given files of table `dir` (a distributed
     * Spark job — the scan plans one partition per file, the write stages
@@ -633,7 +654,7 @@ private[graft] object ManifestTable {
     * the single atomic swap; the replaced files stay on disk for archived
     * snapshots. The staging detour through a scratch table keeps this on
     * the exact writer/commit machinery every batch write uses. */
-  private[sources] def rewriteFiles(dir: Path, m: Manifest,
+  private[graft] def rewriteFiles(dir: Path, m: Manifest,
       files: Seq[ManifestFile],
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
     : Seq[ManifestFile] = {
@@ -676,7 +697,7 @@ private[graft] object ManifestTable {
     * commute with appends instead of silently un-publishing them. The op's
     * row semantics stay snapshot-isolated: it read `base`, and files it
     * never saw are left for the next operation. */
-  private[sources] def publishReplacing(dir: Path, base: Manifest,
+  private[graft] def publishReplacing(dir: Path, base: Manifest,
       replaced: Seq[String], rewritten: Seq[ManifestFile]): Unit = {
     val gone = replaced.toSet
     ManifestLock.withLock(dir) {
@@ -1239,8 +1260,16 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
   }
   private val full = manifest.map(_.schema).getOrElse(StructType(Nil))
   private var required: StructType = full
+  // position of the requested `_file` METADATA column in the required
+  // schema (None unless selected); the data columns prune around it
+  private var fileColAt: Option[Int] = None
   private var skipping: Array[Filter] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    fileColAt = Some(requiredSchema.fieldNames.indexOf("_file")).filter(_ >= 0)
+      .filterNot(_ => full.fieldNames.contains("_file")) // data column wins
+    required = StructType(requiredSchema.fields.filterNot(f =>
+      fileColAt.isDefined && f.name == "_file"))
+  }
 
   /** Zone-map pushdown: filters are used to SKIP whole files via the
     * per-file min/max ranges the writer recorded; they are all returned as
@@ -1258,7 +1287,7 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
       .filter(e => exclude.forall(x => !x.contains(e.name)))
     val kept = entries.filter(e =>
       skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
-    new ManifestScan(dir, full, required, kept, entries.length)
+    new ManifestScan(dir, full, required, kept, entries.length, fileColAt)
   }
 }
 
@@ -1426,9 +1455,12 @@ private[sources] object ManifestScanBuilder {
 }
 
 /** `file` is the RESOLVED absolute data path (driver-side resolution
-  * through the shallow-clone chain — executors never walk manifests). */
+  * through the shallow-clone chain — executors never walk manifests);
+  * `entry` is the manifest entry name (the `_file` metadata value) and
+  * `fileColAt` where to splice it into the output row when selected. */
 private[sources] case class ManifestFilePartition(file: String, dir: String,
-    full: StructType, wanted: StructType, fileCols: Int) extends InputPartition
+    full: StructType, wanted: StructType, fileCols: Int,
+    entry: String = "", fileColAt: Option[Int] = None) extends InputPartition
 
 /** Offset = committed snapshot version (monotone: every manifest write
   * archives `_manifest.v{n+1}`). */
@@ -1482,7 +1514,8 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
 }
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
-    entries: Seq[ManifestFile], totalFiles: Int) extends Scan with Batch
+    entries: Seq[ManifestFile], totalFiles: Int,
+    fileColAt: Option[Int] = None) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -1497,7 +1530,12 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
   /** Observable by tests: how many files the last planning kept. */
   @volatile private[sources] var plannedFiles: Int = entries.length
 
-  override def readSchema(): StructType = wanted
+  override def readSchema(): StructType = fileColAt match {
+    case None => wanted
+    case Some(i) =>
+      val f = StructField("_file", StringType, nullable = false)
+      StructType(wanted.fields.take(i) ++ (f +: wanted.fields.drop(i)))
+  }
   override def toBatch: Batch = this
   /** STREAMING READ of the managed table: snapshot versions are the
     * offsets, each micro-batch scans exactly the files ADDED in its
@@ -1559,7 +1597,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     plannedFiles = current.length
     val chain = Manifest.resolveChain(dir)
     current.map(e => ManifestFilePartition(Manifest.resolveData(chain, e.name).toString,
-      dir.toString, full, wanted, e.cols))
+      dir.toString, full, wanted, e.cols, e.name, fileColAt))
       .toArray[InputPartition]
   }
 
@@ -1568,17 +1606,37 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ManifestFilePartition(file, dir, full, wanted, fileCols) =
+    val ManifestFilePartition(file, dir, full, wanted, fileCols, entry, fileColAt) =
       partition.asInstanceOf[ManifestFilePartition]
     val _ = dir // file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
       private val stream = Files.lines(Paths.get(file), UTF_8)
       private val it = stream.iterator()
       private val idx = GraftManifestSink.columnIndex(full, wanted)
+      // the `_file` metadata value is CONSTANT per partition — one
+      // UTF8String allocated per file, spliced per row only when selected
+      private val fileVal =
+        org.apache.spark.unsafe.types.UTF8String.fromString(entry)
       private var row: InternalRow = _
+      private def withFileCol(r: InternalRow): InternalRow = fileColAt match {
+        case None => r
+        case Some(i) =>
+          val vals = new Array[Any](wanted.length + 1)
+          var j = 0
+          while (j < wanted.length) {
+            val at = if (j < i) j else j + 1
+            vals(at) = r.get(j, wanted.fields(j).dataType)
+            j += 1
+          }
+          vals(i) = fileVal
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
       override def next(): Boolean = {
         if (!it.hasNext) false
-        else { row = GraftManifestSink.parse(it.next(), idx, wanted, fileCols); true }
+        else {
+          row = withFileCol(GraftManifestSink.parse(it.next(), idx, wanted, fileCols))
+          true
+        }
       }
       override def get(): InternalRow = row
       override def close(): Unit = stream.close()

@@ -391,6 +391,38 @@ object SourceQueries extends QueryModule {
       s.table("graftmrg.q.ord").orderBy("o_orderkey")
     }),
 
+    // The FILE-BOUNDED merge path through the oracle gate: a MERGE with
+    // no NOT-MATCHED-BY-SOURCE clause discovers the files holding matched
+    // keys via the `_file` metadata column, full-outer-joins ONLY those
+    // files with the source, and publishes by replacing exactly them
+    // (inserts land in the same rewrite; untouched files keep their
+    // identity — the Delta merge algorithm, spec-pinned). Cross-named ON
+    // keys (t.doc_id = s.k) exercise the key-pair classifier. The oracle
+    // is the FULL OUTER JOIN + CASE statement of the same semantics.
+    "q_merge_bounded" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.Scratch.dir("graft_mrgbq_")
+      s.conf.set("spark.sql.catalog.graftmb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmb.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmb.q")
+      s.sql("DROP TABLE IF EXISTS graftmb.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.writeTo("graftmb.q.docs").create()
+      docs.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id").as("k"), lit("xx").as("lg"),
+          col("source").as("sc"), (col("n_chars") + 10000).as("nc"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000L).as("k"), col("lang").as("lg"),
+            col("source").as("sc"), (col("n_chars") + 1).as("nc")))
+        .createOrReplaceTempView("mb_src")
+      s.sql(
+        """MERGE INTO graftmb.q.docs t USING mb_src s ON t.doc_id = s.k
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.nc, lang = s.lg
+          |WHEN NOT MATCHED THEN
+          |  INSERT (doc_id, lang, source, n_chars) VALUES (s.k, s.lg, s.sc, s.nc)""".stripMargin)
+      s.table("graftmb.q.docs").orderBy("doc_id")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -455,6 +487,23 @@ object SourceQueries extends QueryModule {
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
         |ORDER BY doc_id""".stripMargin,
+    // The FULL OUTER JOIN + CASE statement of the bounded merge: matched
+    // rows (doc_id % 10 = 2) take the update, source-only rows insert.
+    "q_merge_bounded" ->
+      """WITH src AS (
+        |  SELECT doc_id AS k, 'xx' AS lg, source AS sc,
+        |         n_chars + 10000 AS nc
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars + 1
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT COALESCE(t.doc_id, s.k) AS doc_id,
+        |       CASE WHEN s.k IS NOT NULL THEN s.lg ELSE t.lang END AS lang,
+        |       COALESCE(t.source, s.sc) AS source,
+        |       CASE WHEN s.k IS NOT NULL THEN s.nc ELSE t.n_chars END AS n_chars
+        |FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.k
+        |ORDER BY doc_id""".stripMargin,
+
     // The FULL OUTER JOIN + CASE statement of the conditional MERGE:
     // matched op='D' rows drop, surviving matched rows take the update
     // (every matched survivor is op='U' — insert keys never match),

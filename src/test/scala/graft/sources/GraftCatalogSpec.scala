@@ -497,6 +497,76 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("CREATE TABLE graftcat.cl.dev SHALLOW CLONE graftcat.cl.src") }
   }
 
+  test("_file metadata column attributes every row to its committed data file") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.fmeta")
+    spark.sql("DROP TABLE IF EXISTS graftcat.fmeta.t")
+    spark.sql("CREATE TABLE graftcat.fmeta.t (k BIGINT, v DOUBLE)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graftcat.fmeta.t SELECT /*+ COALESCE(1) */ id, " +
+        s"CAST(id AS DOUBLE) FROM RANGE(${i * 5}, ${i * 5 + 5})")
+    }
+    val byFile = spark.sql(
+      "SELECT _file, count(*) AS n FROM graftcat.fmeta.t GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byFile.size == 3, s"expected 3 files, got $byFile")
+    assert(byFile.values.forall(_ == 5L))
+    // the names are exactly the committed manifest entries
+    val entries = Manifest.read(Paths.get(rootDir, "fmeta", "t")).get.entries
+    assert(byFile.keySet == entries.map(_.name).toSet)
+    // metadata column is hidden unless selected
+    assert(!spark.table("graftcat.fmeta.t").columns.contains("_file"))
+  }
+
+  test("MERGE without NOT-MATCHED-BY-SOURCE rewrites only files holding matched keys") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrgb")
+    spark.sql("DROP TABLE IF EXISTS graftcat.mrgb.t")
+    spark.sql("CREATE TABLE graftcat.mrgb.t (k BIGINT, v DOUBLE)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graftcat.mrgb.t SELECT /*+ COALESCE(1) */ id, " +
+        s"CAST(id AS DOUBLE) FROM RANGE(${i * 10}, ${i * 10 + 10})")
+    }
+    val dir = Paths.get(rootDir, "mrgb", "t")
+    val before = Manifest.read(dir).get.entries.map(_.name)
+    assert(before.length == 3)
+
+    // matched keys 12 and 15 live ONLY in the middle file; 100 inserts
+    Seq((12L, 1200.0), (15L, 1500.0), (100L, 100.0)).toDF("k", "nv")
+      .createOrReplaceTempView("mrgb_src")
+    spark.sql(
+      """MERGE INTO graftcat.mrgb.t t USING mrgb_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+
+    val after = Manifest.read(dir).get.entries.map(_.name)
+    // files 1 and 3 keep their exact entries — never rewritten
+    assert(after.contains(before(0)) && after.contains(before(2)),
+      s"untouched files must keep their identity: before=$before after=$after")
+    assert(!after.contains(before(1)), "the touched file must be replaced")
+    // content is the full merge semantics
+    assert(spark.table("graftcat.mrgb.t").count() == 31L)
+    assert(spark.sql("SELECT v FROM graftcat.mrgb.t WHERE k = 12").head().getDouble(0)
+      == 1200.0)
+    assert(spark.sql("SELECT v FROM graftcat.mrgb.t WHERE k = 5").head().getDouble(0)
+      == 5.0)
+    assert(spark.sql("SELECT v FROM graftcat.mrgb.t WHERE k = 100").head().getDouble(0)
+      == 100.0)
+
+    // an INSERT-only merge (nothing matches) is a pure append: every
+    // pre-merge entry survives by name
+    val preIns = Manifest.read(dir).get.entries.map(_.name).toSet
+    Seq((200L, 2.0), (201L, 2.1)).toDF("k", "nv")
+      .createOrReplaceTempView("mrgb_ins")
+    spark.sql(
+      """MERGE INTO graftcat.mrgb.t t USING mrgb_ins s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    val postIns = Manifest.read(dir).get.entries.map(_.name).toSet
+    assert(preIns.subsetOf(postIns), "insert-only merge must not rewrite any file")
+    assert(spark.table("graftcat.mrgb.t").count() == 33L)
+  }
+
   test("metadata DELETE accepts a date-ranged whole-file predicate") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dated")
