@@ -198,6 +198,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (if (partCols.isEmpty) Map.empty[String, String]
        else Map(Manifest.PartitionColsProp -> partCols.mkString(","))) ++
         GraftCatalog.userProps(properties.asScala.toMap)
+    // a CHECK property that cannot bind is rejected at CREATE, never
+    // stored to fail every future write
+    props.foreach { case (k, v) => Constraints.validate(schema, k, v) }
     Manifest.write(dir, Manifest(schema, Seq.empty, props)) // schema-only, zero rows
     new ManifestTable(dir, schema)
   }
@@ -237,8 +240,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val next = changes.foldLeft(m) { (cur, change) =>
       change match {
         case set: TableChange.SetProperty =>
-          cur.copy(props =
-            cur.props ++ GraftCatalog.userProps(Map(set.property() -> set.value())))
+          val p = GraftCatalog.userProps(Map(set.property() -> set.value()))
+          p.foreach { case (k, v) => Constraints.validate(cur.schema, k, v) }
+          cur.copy(props = cur.props ++ p)
         case rm: TableChange.RemoveProperty =>
           cur.copy(props = cur.props - (GraftCatalog.TblPropPrefix + rm.property()))
         case add: TableChange.AddColumn =>

@@ -406,7 +406,7 @@ private[graft] object Manifest {
   private def parse(lines: Seq[String]): Manifest = {
     val schema = StructType(lines.head.split("\t").filter(_.nonEmpty).map { cell =>
       val Array(n, t) = cell.split(":", 2)
-      StructField(n, ByName(t))
+      StructField(n, ByName(t.stripSuffix("!")), nullable = !t.endsWith("!"))
     }.toIndexedSeq)
     val (props, entryLines) = lines.tail match {
       case p +: rest if p.startsWith("!") =>
@@ -461,7 +461,10 @@ private[graft] object Manifest {
     * or VACUUM computing its reachable-file set — can never observe a
     * torn-but-parseable prefix and mistake live files for unreachable. */
   def write(dir: Path, m: Manifest): Unit = {
-    val header = m.schema.fields.map(f => s"${f.name}:${TypeNames(f.dataType)}")
+    // `!` suffix = NOT NULL (absent on old manifests → nullable, so the
+    // codec change is read-back-compatible both directions)
+    val header = m.schema.fields.map(f =>
+      s"${f.name}:${TypeNames(f.dataType)}${if (f.nullable) "" else "!"}")
       .mkString("\t") +:
       (if (m.props.isEmpty) Seq.empty
        else Seq("!" + m.props.toSeq.sortBy(_._1)
@@ -671,8 +674,11 @@ private[graft] object ManifestTable {
     // partition-clustering contract), and epoch watermarks belong to the
     // real table only.
     val carried = m.props.filter(_._1.startsWith(GraftCatalog.TblPropPrefix))
-    if (carried.nonEmpty)
-      Manifest.write(scratch, Manifest(m.schema, Seq.empty, carried))
+    // ALWAYS write the scratch manifest (even with no carried props): the
+    // schema's NOT NULL contract and the `check.*` properties must bind in
+    // the rewrite's WriteBuilder, so copy-on-write outputs obey the same
+    // write-time constraints as direct writes
+    Manifest.write(scratch, Manifest(m.schema, Seq.empty, carried))
     transform(src)
       .write.format("graft.sources.GraftManifestSink")
       .option("path", scratch.toString).mode("append").save()
@@ -957,8 +963,14 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
     // skipped defensively — better an unclustered write than a failed one
     val partCols = Manifest.partitionCols(dir)
       .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    // write-time contracts: NOT NULL from the table schema, CHECK from the
+    // `check.*` properties — compiled once here (driver), enforced per row
+    val m = Manifest.read(dir)
+    val (notNull, checks) = Constraints.compile(
+      m.map(_.schema).getOrElse(schema), schema,
+      m.map(_.props).getOrElse(Map.empty))
     new ManifestWrite(dir, schema, queryId, overwrite, partCols,
-      Manifest.bloomCols(dir))
+      Manifest.bloomCols(dir), notNull, checks)
   }
 }
 
@@ -970,7 +982,9 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   * partition predicates as sharply as a directory layout would, without
   * one-file-per-value explosion. Unpartitioned tables request nothing. */
 private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: String,
-    overwrite: Boolean, partCols: Seq[String], bloomCols: Seq[String])
+    overwrite: Boolean, partCols: Seq[String], bloomCols: Seq[String],
+    notNull: Seq[(Int, String)] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -989,9 +1003,84 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite =
-    new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols)
+    new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols, notNull, checks)
   override def toStreaming: StreamingWrite =
-    new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols)
+    new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols, notNull, checks)
+}
+
+/** Write-time data-quality contracts on managed tables:
+  *  - NOT NULL rides the table schema (the manifest codec persists
+  *    nullability), rejected per row at the writer;
+  *  - CHECK constraints are table properties `check.<name> = '<sql
+  *    predicate>'` (`TBLPROPERTIES('check.pos'='n_chars > 0')`), compiled
+  *    ONCE per write on the driver — parsed, analyzed against the write
+  *    schema (implicit casts applied), bound to row positions — and
+  *    evaluated interpreted per row at the writer (a handful of
+  *    comparisons; constraint checks never enter a codegen hot loop).
+  * SQL CHECK semantics: NULL/unknown passes, only FALSE rejects. A
+  * violating row fails its task → the job aborts → staged files drop and
+  * the table is untouched (the commit protocol's atomicity is the
+  * enforcement guarantee). The Delta invariants model. */
+private[sources] object Constraints {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  val CheckPropPrefix: String = GraftCatalog.TblPropPrefix + "check."
+
+  /** Analyze `sql` as a boolean row-level predicate of `schema`; returns
+    * the bound expression. Throws (in CHECK-constraint terms) on
+    * non-boolean, aggregate/window, nondeterministic, or unresolvable
+    * predicates — used both at DDL time (fail the SET) and write time. */
+  private[sources] def bind(schema: StructType, name: String, sql: String): Expression = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val analyzed = try df.select(
+      org.apache.spark.sql.functions.expr(sql).cast(BooleanType).as("__c"))
+      .queryExecution.analyzed
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint $name: '$sql' does not analyze against " +
+          s"(${schema.fieldNames.mkString(", ")}): ${e.getMessage}")
+    }
+    val project = analyzed match {
+      case p: Project => p
+      case _ => throw new IllegalArgumentException(
+        s"CHECK constraint $name: '$sql' must be a row-level predicate " +
+          "(no aggregates or window functions)")
+    }
+    val attrs = project.child.output
+    val bound = project.projectList.head.transformUp {
+      case a: AttributeReference =>
+        BoundReference(attrs.indexWhere(_.exprId == a.exprId), a.dataType, a.nullable)
+    }
+    if (!bound.deterministic)
+      throw new IllegalArgumentException(
+        s"CHECK constraint $name: '$sql' must be deterministic")
+    bound
+  }
+
+  /** DDL-time validation — a constraint that cannot bind is rejected at
+    * SET/CREATE, never stored to fail every future write. */
+  def validate(schema: StructType, propKey: String, sql: String): Unit =
+    if (propKey.startsWith(CheckPropPrefix)) {
+      bind(schema, propKey.stripPrefix(CheckPropPrefix), sql); ()
+    }
+
+  /** Compile the table's contracts against this write's schema:
+    * (NOT NULL positions+names, bound CHECK predicates). */
+  def compile(tableSchema: StructType, writeSchema: StructType,
+      props: Map[String, String]): (Seq[(Int, String)], Seq[(String, Expression)]) = {
+    val notNull = tableSchema.fields.filter(!_.nullable).toSeq.flatMap { f =>
+      val i = writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+      if (i >= 0) Some((i, f.name)) else None
+    }
+    val checks = props.toSeq.sortBy(_._1).collect {
+      case (k, sql) if k.startsWith(CheckPropPrefix) =>
+        k.stripPrefix(CheckPropPrefix) -> bind(writeSchema, k, sql)
+    }
+    (notNull, checks)
+  }
 }
 
 private[sources] case class StagedFile(name: String, rows: Long, stats: String,
@@ -1022,11 +1111,13 @@ private[sources] object ManifestCommit {
 }
 
 private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
-    queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty)
+    queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty,
+    notNull: Seq[(Int, String)] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols)
+    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, notNull, checks)
 
   /** Driver-side atomic publish: promote exactly the surviving attempts'
     * staged files, then swap the manifest. Readers either see the old
@@ -1043,8 +1134,12 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     ManifestLock.withLock(dir) {
       val prevM = Manifest.read(dir)
       val prev = if (overwrite) Seq.empty else prevM.map(_.entries).getOrElse(Seq.empty)
+      // the TABLE schema (with its nullability contract) is the manifest's,
+      // not this write's — a query whose output happens to be non-nullable
+      // (literals, RANGE ids) must never narrow the table to NOT NULL
       Manifest.write(dir,
-        Manifest(schema, prev ++ committed, prevM.map(_.props).getOrElse(Map.empty)))
+        Manifest(prevM.map(_.schema).getOrElse(schema), prev ++ committed,
+          prevM.map(_.props).getOrElse(Map.empty)))
     }
   }
 
@@ -1079,12 +1174,14 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
   * manifest swap); sequential different queries are safe because each has
   * its own epoch watermark. */
 private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
-    queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty)
+    queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty,
+    notNull: Seq[(Int, String)] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols)
+    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, notNull, checks)
 
   // the watermark is KEYED BY STREAMING QUERY ID (stable across restarts —
   // Spark persists it in the checkpoint and passes it as the write's
@@ -1115,7 +1212,9 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
           else prevM.map(_.entries).getOrElse(Seq.empty)
         val props = prevM.map(_.props).getOrElse(Map.empty) +
           (epochProp -> epochId.toString)
-        Manifest.write(dir, Manifest(schema, prev ++ committed, props))
+        // keep the TABLE schema, as in the batch commit
+        Manifest.write(dir,
+          Manifest(prevM.map(_.schema).getOrElse(schema), prev ++ committed, props))
       }
     }
 
@@ -1124,19 +1223,23 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
 }
 
 private[sources] case class ManifestWriterFactory(dir: String, schema: StructType,
-    queryId: String, bloomCols: Seq[String] = Seq.empty)
+    queryId: String, bloomCols: Seq[String] = Seq.empty,
+    notNull: Seq[(Int, String)] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId.tsv", bloomCols)
+      s"part-$partitionId-$taskId-$queryId.tsv", bloomCols, notNull, checks)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv", bloomCols)
+      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv", bloomCols, notNull, checks)
 }
 
 private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    notNull: Seq[(Int, String)] = Seq.empty,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriter[InternalRow] {
   private val staging = { // unique name per (partition, task attempt, query)
     val s = dir.resolve("_staging"); Files.createDirectories(s); s
@@ -1181,6 +1284,18 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   }
 
   override def write(row: InternalRow): Unit = {
+    // write-time contracts FIRST — a violating row must not reach the
+    // staged file (the failed task aborts, staged output drops, the
+    // table stays untouched)
+    notNull.foreach { case (i, n) =>
+      if (row.isNullAt(i))
+        throw new IllegalStateException(
+          s"NOT NULL constraint violated: column $n received NULL")
+    }
+    checks.foreach { case (n, e) =>
+      if (e.eval(row) == false) // SQL CHECK: NULL/unknown passes, FALSE rejects
+        throw new IllegalStateException(s"CHECK constraint $n violated")
+    }
     out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
     numIdx.foreach { i =>
       if (row.isNullAt(i)) partial(i) = true

@@ -271,6 +271,60 @@ object Streaming {
     df.write.format("graft.sources.GraftManifestSink")
       .option("path", s"$tableDir/epoch=$batchId").mode("overwrite").save()
 
+  /** STREAMING UPSERT into a catalog-managed manifest table — the
+    * canonical streaming-CDC-into-lakehouse loop: each micro-batch
+    * compacts to one row per key (newest by `versionCol`, so
+    * within-batch redeliveries and out-of-order rows never violate the
+    * MERGE cardinality rule), then MERGEs by key through the
+    * FILE-BOUNDED path (no NOT-MATCHED-BY-SOURCE clause — only files
+    * holding matched keys rewrite; new keys append). At-least-once batch
+    * delivery × an idempotent per-batch MERGE (same batch content →
+    * same table state) = exactly-once table contents, the Delta
+    * `foreachBatch` + MERGE pattern. At 100 TB each epoch's rewrite is
+    * bounded by the files its keys touch, never the table.
+    *
+    * The matched clause carries `s.version >= t.version`, so a late
+    * cross-batch arrival of an OLDER row never regresses the table —
+    * monotone state, idempotent replay. Rows tying on `versionCol`
+    * within one batch break arbitrarily; use a totally-ordered version
+    * column where that matters. */
+  def runUpsertStream(spark: SparkSession, streamed: DataFrame,
+      table: String, keys: Seq[String], versionCol: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch hands the batch in a CLONED session — register the
+        // view and run the MERGE there, not in the outer session
+        val bs = batch.sparkSession
+        val cols = bs.table(table).columns
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(desc(versionCol))
+        val compacted = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select(cols.map(col).toIndexedSeq: _*)
+        val view = s"__graft_upsert_$batchId"
+        compacted.createOrReplaceTempView(view)
+        val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+        val sets = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+          .map(c => s"$c = s.$c").mkString(", ")
+        val insCols = cols.mkString(", ")
+        val insVals = cols.map(c => s"s.$c").mkString(", ")
+        bs.sql(
+          s"""MERGE INTO $table t USING $view s ON $on
+             |WHEN MATCHED AND s.$versionCol >= t.$versionCol THEN UPDATE SET $sets
+             |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+        bs.catalog.dropTempView(view)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[runForeachBatchExactlyOnce]] with the manifest sink as the epoch
     * store. */
   def runForeachBatchManifest(spark: SparkSession, streamed: DataFrame,

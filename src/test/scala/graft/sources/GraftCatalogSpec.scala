@@ -567,6 +567,43 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graftcat.mrgb.t").count() == 33L)
   }
 
+  test("write-time constraints: NOT NULL and CHECK reject bad writes atomically") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dq")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dq.t")
+    spark.sql("CREATE TABLE graftcat.dq.t (k BIGINT NOT NULL, v DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('check.v_pos' = 'v >= 0')")
+    def n(): Long = spark.table("graftcat.dq.t").count()
+    // NULL in a CHECK column passes (SQL semantics: unknown is not false)
+    spark.sql("INSERT INTO graftcat.dq.t VALUES (1, 1.0, 'a'), (2, NULL, 'b')")
+    assert(n() == 2L)
+    // a CHECK violation fails the job and commits nothing
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.dq.t VALUES (3, 3.0, 'ok'), (4, -1.0, 'bad')") }
+    assert(n() == 2L, "failed write must not commit any of its rows")
+    // a NULL into the NOT NULL column is rejected
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.dq.t VALUES (CAST(NULL AS BIGINT), 1.0, 'd')") }
+    assert(n() == 2L)
+    // an unbindable or non-row-level CHECK is rejected at DDL time
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.dq.t SET TBLPROPERTIES ('check.bad' = 'nope > 0')") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.dq.t SET TBLPROPERTIES ('check.agg' = 'sum(v) > 0')") }
+    // a newly SET constraint applies to future writes
+    spark.sql("ALTER TABLE graftcat.dq.t SET TBLPROPERTIES ('check.tag_len' = 'length(tag) <= 3')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.dq.t VALUES (5, 1.0, 'toolong')") }
+    spark.sql("INSERT INTO graftcat.dq.t VALUES (5, 1.0, 'ok')")
+    assert(n() == 3L)
+    // copy-on-write UPDATE obeys the same contracts: a violating rewrite
+    // fails before the swap, the table is untouched
+    intercept[Exception] {
+      spark.sql("UPDATE graftcat.dq.t SET v = -5.0 WHERE k = 1") }
+    assert(spark.sql("SELECT v FROM graftcat.dq.t WHERE k = 1").head().getDouble(0)
+      == 1.0)
+  }
+
   test("metadata DELETE accepts a date-ranged whole-file predicate") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dated")

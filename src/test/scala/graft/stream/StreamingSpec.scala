@@ -67,6 +67,63 @@ class StreamingSpec extends SparkSuite {
     assert(all.select("event_id").distinct().count() === expected * 2, "no duplicate event ids")
   }
 
+  test("streaming upsert: micro-batches MERGE into a catalog table, newest version wins") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_upsstream_").toString
+    spark.conf.set("spark.sql.catalog.graftups",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftups.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftups.s")
+    spark.sql("DROP TABLE IF EXISTS graftups.s.state")
+    spark.sql(
+      "CREATE TABLE graftups.s.state (user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE)")
+    val landing = java.nio.file.Files.createTempDirectory("ups_landing_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ups_ckpt_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$landing/events_1.parquet"))
+    def run(): Unit = Streaming.runUpsertStream(spark,
+      Streaming.readEvents(spark, landing)
+        .select("user_id", "event_type", "ts", "value"),
+      "graftups.s.state", Seq("user_id", "event_type"), "ts", ckpt)
+
+    run()
+    val events = Tables(spark, sfDir, "events")
+    val keyed = spark.table("graftups.s.state")
+    // one row per key, carrying the key's NEWEST event time
+    assert(keyed.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+    val expectedTs = events.groupBy("user_id", "event_type")
+      .agg(max("ts").as("ts"))
+    assert(keyed.select("user_id", "event_type", "ts")
+      .exceptAll(expectedTs.select("user_id", "event_type", "ts")).count() === 0)
+    val nKeys = expectedTs.count()
+    assert(keyed.count() === nKeys)
+
+    // a second increment updates ONLY the keys it carries (newer ts wins)
+    val bump = events.filter(col("user_id") === 1L)
+      .groupBy("user_id", "event_type")
+      .agg((max("ts") + expr("INTERVAL 365 DAYS")).as("ts"))
+      .withColumn("value", lit(-1.0))
+      .select("user_id", "event_type", "ts", "value")
+    val stage = java.nio.file.Files.createTempDirectory("ups_stage_").toString
+    bump.coalesce(1).write.mode("overwrite").parquet(stage)
+    val staged = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(staged,
+      java.nio.file.Paths.get(s"$landing/events_2.parquet"))
+    run()
+    val after = spark.table("graftups.s.state")
+    assert(after.count() === nKeys, "upsert must not grow the key set")
+    assert(after.filter(col("user_id") === 1L && col("value") =!= -1.0).count() === 0,
+      "user 1 keys must carry the second increment's values")
+    // untouched keys keep their first-increment state
+    assert(after.filter(col("user_id") =!= 1L)
+      .select("user_id", "event_type", "ts")
+      .exceptAll(expectedTs.filter(col("user_id") =!= 1L)
+        .select("user_id", "event_type", "ts")).count() === 0)
+  }
+
   test("manifest-sink epoch writes: atomic, idempotent on replay, snapshot-versioned") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("stream_mf_").toString
