@@ -43,26 +43,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*VACUUM\s+(?!MANIFEST\s)([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
       """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
 
-  /** `MERGE INTO t USING s ON <equi-keys> WHEN MATCHED THEN UPDATE SET *
-    * WHEN NOT MATCHED THEN INSERT *` — the symmetric whole-row upsert, the
-    * overwhelmingly common MERGE shape. Spark's own parser accepts MERGE
-    * but executing it needs `SupportsRowLevelOperations`, which a
-    * rewrite-free manifest table deliberately does not implement; this tier
-    * lowers the upsert form to the engine's ONE-SHUFFLE keep-winner plan
-    * ([[graft.etl.Upsert.keyed]]) committed through the sink's atomic
-    * truncate-overwrite instead. Anything richer (conditional clauses,
-    * DELETE actions, column-level SET lists, INSERT column lists,
-    * NOT MATCHED BY SOURCE) lowers through the full-surface tier
-    * ([[MergeParse]] / [[MergeIntoFullCommand]]); shapes neither tier can
-    * express fall through to the delegate verbatim and fail analysis with
-    * Spark's own row-level-ops error rather than silently computing
-    * something else. */
-  private val Merge =
-    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+([\w.]+)\s+ON\s+(.+?)\s+""" +
-      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
-      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
-  private val KeyEq = """([\w.]+)\s*=\s*([\w.]+)""".r
-
   /** `UPDATE t SET c = expr [, …] [WHERE pred]` — like MERGE, Spark's own
     * parser accepts this but executing it needs row-level-operation
     * support; this tier lowers it to the sink's copy-on-write rewrite
@@ -149,24 +129,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "(the current version) is always retained")
       }
       VacuumTableCommand(target, keep, Option(olderMin).map(_.toLong))
-    case Merge(target, source, cond) =>
-      // the ON clause must be a conjunction of same-name equalities
-      // (t.k = s.k [AND ...]) — that names the upsert key columns. ANY
-      // shape this narrow lowering cannot express (parenthesized terms,
-      // cross-named keys, non-equi conditions) falls through to the
-      // delegate VERBATIM, per the contract above — Spark then raises its
-      // own row-level-ops error on tables that cannot run it natively.
-      val keys = cond.split("(?i)\\s+AND\\s+").map(_.trim).foldLeft(
-        Option(Seq.empty[String])) {
-        case (Some(acc), KeyEq(l, r)) =>
-          val (lc, rc) = (l.split("\\.").last, r.split("\\.").last)
-          if (lc.equalsIgnoreCase(rc)) Some(acc :+ lc) else None
-        case _ => None
-      }
-      keys match {
-        case Some(ks) if ks.nonEmpty => MergeIntoManifestCommand(target, source, ks)
-        case _ => mergeOrDelegate(sqlText)
-      }
     case Update(target, setList, where) =>
       val assigns = splitTop(setList, ',').map {
         case Assign(c, rhs) => Some(c.split("\\.").last -> rhs)
@@ -189,11 +151,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => mergeOrDelegate(sqlText)
   }
 
-  /** Second-chance MERGE parse: the full clause surface (conditional
-    * matched clauses, column-level SET, DELETE actions, INSERT column
-    * lists, NOT MATCHED BY SOURCE — see [[MergeParse]]) lowers to the
-    * full-outer-join formulation; everything else — including MERGE shapes
-    * neither tier can express — delegates VERBATIM to Spark's parser. */
+  /** MERGE lowering: the full clause surface (whole-row `UPDATE SET * /
+    * INSERT *` included, plus conditional matched clauses, column-level
+    * SET, DELETE actions, INSERT column lists, NOT MATCHED BY SOURCE —
+    * see [[MergeParse]]) lowers to the full-outer-join formulation,
+    * FILE-BOUNDED when no NOT-MATCHED-BY-SOURCE clause exists; shapes it
+    * cannot express delegate VERBATIM to Spark's parser and fail with
+    * Spark's own row-level-ops error rather than silently computing
+    * something else. */
   private def mergeOrDelegate(sqlText: String): LogicalPlan =
     MergeParse.parse(sqlText) match {
       case Some(spec) => MergeIntoFullCommand(spec)
@@ -214,63 +179,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
-}
-
-/** The lowered MERGE: read target and source by name, keep-winner per key
-  * (ONE hash shuffle — [[graft.etl.Upsert.keyed]]'s union + bounded
-  * row_number, the same plan `q_merge_upsert` certifies against the DuckDB
-  * FULL OUTER JOIN oracle), then publish through the target's atomic
-  * truncate-overwrite. The self-referencing write is safe on a manifest
-  * table: the scan plans its partitions from the CURRENT manifest before
-  * any write, the staged files get unique names, and the commit swap never
-  * deletes the files the scan is reading (archived snapshots keep them).
-  *
-  * The source must carry at most one row per key and the target's columns
-  * (by name) — the [[graft.etl.Upsert.keyed]] batch contract. */
-case class MergeIntoManifestCommand(target: String, source: String, keys: Seq[String])
-  extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq.empty
-
-  override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val t = spark.table(target)
-    // this lowering writes through truncate-overwrite — only a graft
-    // manifest table has the atomic snapshot swap that makes it safe and
-    // the self-reference guarantee that makes it correct; anything else
-    // gets a clear error, never a silent wholesale rewrite
-    val isManifest = t.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if r.table.isInstanceOf[graft.sources.ManifestTable] => ()
-    }.isDefined
-    if (!isManifest)
-      throw new UnsupportedOperationException(
-        s"MERGE INTO: $target is not a graft manifest table — this engine " +
-          "lowers the whole-row upsert MERGE only for its own catalog tables")
-    keys.foreach { k =>
-      if (!t.columns.exists(_.equalsIgnoreCase(k)))
-        throw new IllegalArgumentException(
-          s"MERGE INTO: key column $k not in target $target " +
-            s"(${t.columns.mkString(", ")})")
-    }
-    // align the source to the target's column order by name — unionByName
-    // inside the upsert would catch a mismatch, but this gives the error in
-    // MERGE terms and tolerates differing column order
-    val s = spark.table(source).select(t.columns.map(col).toIndexedSeq: _*)
-    // ANSI MERGE raises a cardinality error when several source rows match
-    // one target row; the keep-winner plan would instead pick one
-    // arbitrarily — check, never commit nondeterministic data (one cheap
-    // aggregation over the small side)
-    val dup = s.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalStateException(
-        s"MERGE INTO: source $source carries multiple rows for key " +
-          s"${dup.head.toSeq.init.mkString("(", ", ", ")")} — ANSI MERGE " +
-          "cardinality violation")
-    graft.etl.Upsert.keyed(t, s, keys)
-      .writeTo(target).overwrite(lit(true))
-    Seq.empty
-  }
 }
 
 /** The lowered UPDATE: locate the target's manifest directory through the

@@ -6,9 +6,8 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructField
 
-/** The FULL `MERGE INTO` clause surface over manifest catalog tables —
-  * beyond the whole-row `UPDATE SET * / INSERT *` fast path
-  * ([[MergeIntoManifestCommand]]), this tier lowers the ANSI/Delta shape:
+/** The `MERGE INTO` lowering for manifest catalog tables — the full
+  * ANSI/Delta clause surface, whole-row star actions included:
   *
   * {{{
   * MERGE INTO t [AS a] USING s [AS b] ON <equi-conjunction>
@@ -25,7 +24,8 @@ import org.apache.spark.sql.types.StructField
   * the ANSI rule), evaluated with both sides in scope under their aliases.
   * The result publishes through the sink's atomic truncate-overwrite; the
   * self-referencing write is safe on a manifest table because the scan
-  * plans from the pre-swap manifest (see [[MergeIntoManifestCommand]]).
+  * plans from the pre-swap manifest, staged files get unique names, and
+  * the commit swap never deletes files the scan is reading.
   *
   * Semantics pinned here (and certified by `q_merge_conditional`):
   *  - clause conditions see `t.*` and `s.*` (NULL side for non-matches);
@@ -256,7 +256,15 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           s"MERGE INTO: $what column $c not in target ${spec.target} " +
             s"(${names.mkString(", ")})")
     spec.keyPairs.foreach(p => checkCol(p._1, "ON key"))
+    val srcCols = spark.table(spec.source).columns
     spec.clauses.foreach {
+      case Clause(_, _, UpdateStar | InsertStar) =>
+        // a star action must never silently NULL a column the source lacks
+        val missing = names.filterNot(n => srcCols.exists(_.equalsIgnoreCase(n)))
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            "MERGE INTO: UPDATE SET * / INSERT * requires the source to " +
+              s"carry every target column — missing ${missing.mkString(", ")}")
       case Clause(_, _, UpdateSet(sets)) =>
         sets.foreach(s => checkCol(s._1, "UPDATE SET"))
         sets.groupBy(_._1.toLowerCase).collectFirst {

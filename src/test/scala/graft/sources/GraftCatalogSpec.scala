@@ -635,7 +635,7 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graftcat.dated.ev").count() == 0L)
   }
 
-  test("SQL MERGE INTO upserts through the one-shuffle keep-winner plan") {
+  test("SQL MERGE INTO whole-row upsert (star actions through the bounded tier)") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg")
     spark.sql("CREATE TABLE graftcat.mrg.base (k BIGINT, v DOUBLE, tag STRING)")
