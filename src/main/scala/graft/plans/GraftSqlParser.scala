@@ -65,6 +65,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
+  /** `DESCRIBE DETAIL t` — one-row physical summary of a manifest table
+    * (Delta's statement): location, live file count/bytes/rows, partition
+    * columns, snapshot count, user property count. Metadata-only. */
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+
   /** `OPTIMIZE t [TARGET n BYTES] [ZORDER BY (c1, c2)]` — compact a
     * manifest table's current data files into ~n-byte outputs (default
     * 128 MiB) through one distributed rewrite + atomic swap. With ZORDER
@@ -140,6 +146,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         UpdateManifestCommand(target, assigns.flatten, Option(where))
       else delegate.parsePlan(sqlText)
     case History(target) => DescribeHistoryCommand(target)
+    case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, zc1, zc2) =>
       OptimizeManifestCommand(target,
         Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024),
@@ -216,6 +223,40 @@ case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {
       Manifest.readSnapshot(mt.dir, v).map(m =>
         Row(v, m.entries.length, m.entries.map(_.rows).sum))
     }
+  }
+}
+
+/** One-row physical summary of a manifest table (the Delta `DESCRIBE
+  * DETAIL` analog): location, live file count / bytes / rows, declared
+  * partition columns, archived snapshot count, user property count.
+  * Driver-side metadata + file sizes only — no data file opens; file
+  * sizes resolve through the shallow-clone chain like the scan does. */
+case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_snapshots", IntegerType, nullable = false)(),
+    AttributeReference("num_properties", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "DESCRIBE DETAIL")
+    import graft.sources.Manifest
+    val dir = mt.dir
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"DESCRIBE DETAIL: no manifest at $dir"))
+    val chain = Manifest.resolveChain(dir)
+    val bytes = m.entries.map { e =>
+      val p = Manifest.resolveData(chain, e.name)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    Seq(Row(dir.toString, m.entries.length, bytes, m.entries.map(_.rows).sum,
+      Manifest.partitionCols(dir).mkString(","),
+      Manifest.snapshotVersions(dir).length,
+      m.props.count(_._1.startsWith(graft.sources.GraftCatalog.TblPropPrefix))))
   }
 }
 

@@ -34,7 +34,7 @@ object GraftCatalog {
   /** User TBLPROPERTIES store in the manifest under this prefix — they can
     * never collide with the sink's own properties (partition columns,
     * streaming epoch watermarks). */
-  private[sources] val TblPropPrefix = "tbl."
+  private[graft] val TblPropPrefix = "tbl."
 
   /** Spark-managed keys that are session/engine metadata, not user table
     * properties — never persisted. */

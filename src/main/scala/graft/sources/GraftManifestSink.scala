@@ -352,7 +352,7 @@ private[graft] object Manifest {
   private[sources] val PartitionColsProp = "partitionCols"
 
   /** The table's declared partition columns, from its current manifest. */
-  private[sources] def partitionCols(dir: Path): Seq[String] =
+  private[graft] def partitionCols(dir: Path): Seq[String] =
     read(dir).flatMap(_.props.get(PartitionColsProp))
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
@@ -367,7 +367,7 @@ private[graft] object Manifest {
 
   /** The directory chain data-file names resolve against: this table's
     * dir, then each `cloneSource` ancestor (bounded against cycles). */
-  private[sources] def resolveChain(dir: Path): Seq[Path] = {
+  private[graft] def resolveChain(dir: Path): Seq[Path] = {
     val chain = Seq.newBuilder[Path]
     var d = dir
     var depth = 0
@@ -384,7 +384,7 @@ private[graft] object Manifest {
   /** Resolve one data-file name against the chain; falls back to the local
     * path (letting the read fail with the honest location) when no link
     * holds the file. */
-  private[sources] def resolveData(chain: Seq[Path], name: String): Path =
+  private[graft] def resolveData(chain: Seq[Path], name: String): Path =
     chain.map(_.resolve(name)).find(Files.exists(_))
       .getOrElse(chain.head.resolve(name))
 

@@ -604,6 +604,26 @@ class GraftCatalogSpec extends SparkSuite {
       == 1.0)
   }
 
+  test("DESCRIBE DETAIL summarizes the table's physical state metadata-only") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.det")
+    spark.sql("DROP TABLE IF EXISTS graftcat.det.t")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "tag")
+      .writeTo("graftcat.det.t")
+      .partitionedBy(org.apache.spark.sql.functions.col("tag"))
+      .tableProperty("owner.team", "graft")
+      .create()
+    spark.sql("INSERT INTO graftcat.det.t VALUES (4, 'd')")
+    val d = spark.sql("DESCRIBE DETAIL graftcat.det.t").head()
+    assert(d.getAs[String]("location").endsWith("det/t"))
+    assert(d.getAs[Int]("num_files") >= 1)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("num_rows") == 4L)
+    assert(d.getAs[String]("partition_columns") == "tag")
+    assert(d.getAs[Int]("num_snapshots") >= 2)
+    assert(d.getAs[Int]("num_properties") == 1)
+  }
+
   test("metadata DELETE accepts a date-ranged whole-file predicate") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dated")
