@@ -286,6 +286,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           if (cur.schema.fieldNames.exists(_.equalsIgnoreCase(to)))
             throw new IllegalArgumentException(
               s"ALTER TABLE RENAME COLUMN: column $to already exists")
+          // a CHECK property stores SQL text — renaming a column it
+          // references would leave a constraint that can never bind again
+          // (every future write would fail); reject with the fix spelled out
+          cur.props.foreach { case (k, sql) =>
+            if (k.startsWith(Constraints.CheckPropPrefix) &&
+              Constraints.referencedColumns(sql).exists(_.equalsIgnoreCase(from)))
+              throw new IllegalArgumentException(
+                s"ALTER TABLE RENAME COLUMN: $from is referenced by CHECK " +
+                  s"constraint ${k.stripPrefix(GraftCatalog.TblPropPrefix)} " +
+                  s"('$sql') — UNSET the property first, rename, then SET it " +
+                  "against the new name")
+          }
           def renKey[V](mp: Map[String, V]): Map[String, V] =
             mp.map { case (k, v) => (if (k == from) to else k) -> v }
           cur.copy(

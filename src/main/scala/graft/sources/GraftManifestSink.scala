@@ -1067,6 +1067,16 @@ private[sources] object Constraints {
       bind(schema, propKey.stripPrefix(CheckPropPrefix), sql); ()
     }
 
+  /** Column names a CHECK predicate's SQL text references (syntactic —
+    * used to refuse renaming a column out from under a stored check). */
+  def referencedColumns(sql: String): Seq[String] =
+    try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }
+    catch { case _: Exception => Seq.empty } // unparseable → nothing to protect
+
   /** Compile the table's contracts against this write's schema:
     * (NOT NULL positions+names, bound CHECK predicates). */
   def compile(tableSchema: StructType, writeSchema: StructType,

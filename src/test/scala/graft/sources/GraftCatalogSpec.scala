@@ -447,6 +447,16 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN kk TO val") }
     intercept[Exception] {
       spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN nope TO x") }
+    // renaming a column referenced by a stored CHECK is refused — the
+    // constraint's SQL text would never bind again
+    spark.sql("ALTER TABLE graftcat.ren.t SET TBLPROPERTIES ('check.pos' = 'val >= 0')")
+    val guarded = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN val TO v2") }
+    assert(guarded.getMessage.contains("check.pos"), guarded.getMessage)
+    spark.sql("ALTER TABLE graftcat.ren.t UNSET TBLPROPERTIES ('check.pos')")
+    spark.sql("ALTER TABLE graftcat.ren.t RENAME COLUMN val TO v2")
+    assert(spark.table("graftcat.ren.t").schema.fieldNames.toSeq ==
+      Seq("kk", "v2", "src"))
   }
 
   test("SHALLOW CLONE is metadata-only; the clone diverges copy-on-write") {
