@@ -423,6 +423,35 @@ object SourceQueries extends QueryModule {
       s.table("graftmb.q.docs").orderBy("doc_id")
     }),
 
+    // SHALLOW CLONE through the oracle gate: documents land in a catalog
+    // table, a metadata-only clone branches it (zero data copy), then the
+    // clone DIVERGES — a row-level DELETE and an appended batch — while
+    // the source keeps serving its original content. The final frame
+    // unions both tables with a provenance tag; the oracle derives the
+    // same rows from the raw parquet, so a clone that misses source
+    // files, leaks its divergence back, or re-reads rewritten state
+    // hash-fails the driver gate.
+    "q_clone_diverge" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.Scratch.dir("graft_cloneq_")
+      s.conf.set("spark.sql.catalog.graftcl", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcl.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcl.q")
+      s.sql("DROP TABLE IF EXISTS graftcl.q.src")
+      s.sql("DROP TABLE IF EXISTS graftcl.q.dev")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.writeTo("graftcl.q.src").create()
+      s.sql("CREATE TABLE graftcl.q.dev SHALLOW CLONE graftcl.q.src")
+      s.sql("DELETE FROM graftcl.q.dev WHERE lang = 'en' AND n_chars < 250")
+      docs.filter(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+          col("source"), (col("n_chars") + 7).as("n_chars"))
+        .writeTo("graftcl.q.dev").append()
+      s.table("graftcl.q.src").withColumn("tbl", lit("src"))
+        .unionByName(s.table("graftcl.q.dev").withColumn("tbl", lit("dev")))
+        .orderBy("tbl", "doc_id")
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -487,6 +516,18 @@ object SourceQueries extends QueryModule {
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
         |ORDER BY doc_id""".stripMargin,
+    // The clone-divergence twin: src = documents verbatim; dev = documents
+    // minus the deleted slice plus the appended batch.
+    "q_clone_diverge" ->
+      """SELECT doc_id, lang, source, n_chars, 'src' AS tbl FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars, 'dev' FROM documents
+        |WHERE NOT (lang = 'en' AND n_chars < 250)
+        |UNION ALL
+        |SELECT doc_id + 5000000, lang, source, n_chars + 7, 'dev'
+        |FROM documents WHERE doc_id % 10 = 9
+        |ORDER BY tbl, doc_id""".stripMargin,
+
     // The FULL OUTER JOIN + CASE statement of the bounded merge: matched
     // rows (doc_id % 10 = 2) take the update, source-only rows insert.
     "q_merge_bounded" ->
