@@ -96,25 +96,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
-  /** Split on `sep` at paren depth 0 outside single-quoted literals. */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var quoted = false
-    s.foreach { ch =>
-      if (quoted) { cur += ch; if (ch == '\'') quoted = false }
-      else ch match {
-        case '\'' => quoted = true; cur += ch
-        case '(' => depth += 1; cur += ch
-        case ')' => depth -= 1; cur += ch
-        case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
-        case c => cur += c
-      }
-    }
-    out += cur.toString
-    out.result()
-  }
+  /** Split on `sep` at paren depth 0 outside single-quoted literals
+    * (shared with the MERGE clause parser). */
+  private def splitTop(s: String, sep: Char): Seq[String] =
+    MergeParse.splitTop(s, sep)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, retain, olderMin) =>
