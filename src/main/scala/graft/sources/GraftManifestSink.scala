@@ -365,6 +365,12 @@ private[graft] object Manifest {
     * clone still references — clones pin nothing across directories. */
   private[sources] val CloneSourceProp = "cloneSource"
 
+  /** All-nullable view of a write schema — what a path-addressed FIRST
+    * commit stores (see the commit sites): NOT NULL is a DDL-declared
+    * contract, not a property inherited from one batch's tuple encoding. */
+  private[sources] def relaxNullability(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
   /** The directory chain data-file names resolve against: this table's
     * dir, then each `cloneSource` ancestor (bounded against cycles). */
   private[graft] def resolveChain(dir: Path): Seq[Path] = {
@@ -1146,10 +1152,14 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
       val prev = if (overwrite) Seq.empty else prevM.map(_.entries).getOrElse(Seq.empty)
       // the TABLE schema (with its nullability contract) is the manifest's,
       // not this write's — a query whose output happens to be non-nullable
-      // (literals, RANGE ids) must never narrow the table to NOT NULL
+      // (literals, RANGE ids) must never narrow the table to NOT NULL. A
+      // FIRST path-addressed write relaxes to nullable for the same
+      // reason: the NOT NULL contract comes from catalog DDL (which
+      // writes the manifest before any data), never from the accident of
+      // a first batch's tuple encoding.
       Manifest.write(dir,
-        Manifest(prevM.map(_.schema).getOrElse(schema), prev ++ committed,
-          prevM.map(_.props).getOrElse(Map.empty)))
+        Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),
+          prev ++ committed, prevM.map(_.props).getOrElse(Map.empty)))
     }
   }
 
@@ -1224,7 +1234,8 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
           (epochProp -> epochId.toString)
         // keep the TABLE schema, as in the batch commit
         Manifest.write(dir,
-          Manifest(prevM.map(_.schema).getOrElse(schema), prev ++ committed, props))
+          Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),
+            prev ++ committed, props))
       }
     }
 
@@ -1689,6 +1700,47 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     override def numRows(): OptionalLong = OptionalLong.of(rowsTotal)
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(bytesTotal, 1L))
+
+    /** COLUMN-LEVEL statistics for Catalyst's CBO, aggregated from the
+      * same per-file zone maps file skipping uses — zero extra scans:
+      * min/max per stat-bearing column is only claimed when EVERY live
+      * file carries a range for it (a stat-less file could hold more
+      * extreme values), and nullCount=0 only when no file flagged the
+      * column incomplete. Values convert to the column's external type
+      * in the writer's own internal encoding (epoch days / micros). */
+    override def columnStats(): java.util.Map[org.apache.spark.sql.connector
+        .expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+      wanted.fields.foreach { f =>
+        val numeric = f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == DoubleType || f.dataType == DateType ||
+          f.dataType == TimestampType
+        val haveAll = entries.nonEmpty &&
+          entries.forall(e => e.stats.ranges.contains(f.name))
+        val noNulls = entries.nonEmpty &&
+          entries.forall(e => !e.stats.incomplete.contains(f.name))
+        if (numeric && haveAll) {
+          val lo = entries.map(_.stats.ranges(f.name)._1).min
+          val hi = entries.map(_.stats.ranges(f.name)._2).max
+          def cv(x: BigDecimal): Object = f.dataType match {
+            case LongType | TimestampType => java.lang.Long.valueOf(x.toLong)
+            case IntegerType | DateType => java.lang.Integer.valueOf(x.toInt)
+            case _ => java.lang.Double.valueOf(x.toDouble)
+          }
+          out.put(Expressions.column(f.name), new ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(cv(lo))
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(cv(hi))
+            override def nullCount(): OptionalLong =
+              if (noNulls) OptionalLong.of(0L) else OptionalLong.empty()
+          })
+        }
+      }
+      out
+    }
   }
 
   /** Any stat-bearing column can prune at runtime — the zone maps carry

@@ -247,6 +247,35 @@ class ManifestSinkSpec extends SparkSuite {
       s"runtime IN-set should prune to 1 of 3 files, planned ${scan.plannedFiles}")
   }
 
+  test("column statistics aggregate the zone maps soundly for CBO") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    // one file carries a NULL score beside a real value → the column's
+    // nullCount must be unknown while min/max stay valid bounds for the
+    // non-null values
+    Seq((Some(7L), Some("eta"), Option.empty[Double]),
+        (Some(8L), Some("theta"), Some(7.5)))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val stats = new ManifestScanBuilder(Paths.get(dir), None).build()
+      .asInstanceOf[ManifestScan].estimateStatistics()
+    assert(stats.numRows().getAsLong == 8L)
+    val cols = stats.columnStats().asScala.map { case (k, v) => k.toString -> v }
+    // id: every file has a complete range, never a null
+    val id = cols("id")
+    assert(id.min().get() == java.lang.Long.valueOf(1L))
+    assert(id.max().get() == java.lang.Long.valueOf(8L))
+    assert(id.nullCount().getAsLong == 0L)
+    // score: ranges still bound the non-null values; nullCount is UNKNOWN
+    // (a file flagged the column incomplete), never claimed as 0
+    val score = cols("score")
+    assert(score.min().get() == java.lang.Double.valueOf(1.5))
+    assert(score.max().get() == java.lang.Double.valueOf(7.5))
+    assert(!score.nullCount().isPresent)
+    // strings carry no numeric range → no column-stat claim
+    assert(!cols.contains("name"))
+  }
+
   test("TSV codec and zone-map stats roundtrip adversarial values") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
