@@ -279,7 +279,20 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
 
     val tA = spec.tAlias
     val sA = spec.sAlias
-    val src = spark.table(spec.source).withColumn("__graft_s", lit(true)).as(sA)
+    // ANSI cardinality, folded into the merge join itself: a target row
+    // matches >1 source rows IFF its join key occurs >1 times in the
+    // source — so count source rows per key with a window (its shuffle is
+    // on the join keys, which the join reuses) and fail from the merge
+    // projection via raise_error when a matched row carries count > 1.
+    // Counting per SOURCE key (not per matched pair grouped by target key)
+    // is what makes duplicate target keys legal when each target row
+    // still matches at most one source row — the ANSI/Delta rule.
+    val src = spark.table(spec.source)
+      .withColumn("__graft_s", lit(true))
+      .withColumn("__graft_scnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(spec.keyPairs.map(p => col(p._2)): _*)))
+      .as(sA)
     val joinCond = spec.keyPairs
       .map { case (tc, sc) => col(s"$tA.$tc") === col(s"$sA.$sc") }
       .reduce(_ && _)
@@ -296,23 +309,16 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       val t = tdfRaw.withColumn("__graft_t", lit(true)).as(tA)
       def joined = t.join(src, joinCond, "full_outer")
 
-      // ANSI cardinality: a target row matched by >1 source rows would be
-      // DUPLICATED by the join formulation (even for a kept row in an
-      // insert-only merge) — reject up front, never commit
-      // nondeterministic or duplicated data. One cheap aggregation.
-      val dup = joined
-        .filter(coalesce(col("__graft_t"), lit(false)) &&
-          coalesce(col("__graft_s"), lit(false)))
-        .groupBy(spec.keyPairs.map(p => col(s"$tA.${p._1}")): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalStateException(
-          s"MERGE INTO: source ${spec.source} carries multiple rows matching " +
-            s"target key ${dup.head.toSeq.init.mkString("(", ", ", ")")} — " +
-            "ANSI MERGE cardinality violation")
-
       val tP = coalesce(col("__graft_t"), lit(false))
       val sP = coalesce(col("__graft_s"), lit(false))
+
+      // ANSI cardinality: a target row matched by >1 source rows would be
+      // DUPLICATED by the join formulation (even for a kept row in an
+      // insert-only merge) — fail from the same job that computes the
+      // merge, before anything commits (the write aborts, the manifest
+      // swap never happens). `__graft_scnt` is the per-key source count
+      // attached upstream of the join.
+      val dupFail = tP && sP && col("__graft_scnt") > 1
 
       // route every row to the FIRST applying clause of its group; the
       // codes key both the survival filter and the per-column projection
@@ -322,7 +328,13 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
             .getOrElse(lit(true)), lit(s"c$i"))
         } :+ lit(fallback): _*)
       val action =
-        when(tP && sP, firstApplying(matched, "keep"))
+        when(dupFail, raise_error(concat(
+          lit(s"MERGE INTO: source ${spec.source} carries multiple rows " +
+            "matching target key ("),
+          concat_ws(", ",
+            spec.keyPairs.map(p => col(s"$tA.${p._1}").cast("string")): _*),
+          lit(") — ANSI MERGE cardinality violation"))).cast("string"))
+          .when(tP && sP, firstApplying(matched, "keep"))
           .when(!tP && sP, firstApplying(inserts, "drop"))
           .otherwise(firstApplying(nmbs, "keep"))
 
@@ -360,7 +372,14 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
         .select(targetSchema.fields.map(colValue).toIndexedSeq: _*)
     }
 
-    if (nmbs.isEmpty) {
+    // A data column literally named `_file` SHADOWS the scan's metadata
+    // column (the data-column-wins rule in ManifestScanBuilder), so the
+    // touched-file discovery below would read data values instead of
+    // manifest entry names and silently lose matched updates — fall back
+    // to the whole-table rewrite for such tables.
+    val fileColShadowed = names.exists(_.equalsIgnoreCase("_file"))
+
+    if (nmbs.isEmpty && !fileColShadowed) {
       // FILE-BOUNDED path (the Delta merge algorithm): without
       // NOT-MATCHED-BY-SOURCE clauses, rows in files holding NO matched
       // key are untouched by every clause — so (1) one semi-join over the
@@ -375,8 +394,14 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       import graft.sources.{Manifest, ManifestTable}
       val dir = mt.dir
       val m = Manifest.read(dir).getOrElse(Manifest(targetSchema, Seq.empty))
+      // Pin the discovery scan to m's snapshot (the exact file list read
+      // above): without the pin, a concurrent commit landing between
+      // Manifest.read and scan planning could surface `_file` names
+      // absent from m.entries, which the touched-set filter below would
+      // silently drop — their matched rows would never rewrite.
       val tKeys = spark.read.format("graft.sources.GraftManifestSink")
-        .option("path", dir.toString).load()
+        .option("path", dir.toString)
+        .option("files", m.entries.map(_.name).mkString(",")).load()
         .select(spec.keyPairs.map(p => col(p._1)) :+ col("_file"): _*).as("__mt")
       val sKeys = spark.table(spec.source).as("__ms")
       val kCond = spec.keyPairs

@@ -99,7 +99,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (dir.toAbsolutePath == srcDir.toAbsolutePath)
       throw new IllegalArgumentException("SHALLOW CLONE: target is the source")
     Files.createDirectories(dir)
-    val props = (src.props - Manifest.LastEpochProp) +
+    // Streaming epoch fences live under both the bare key and per-query
+    // `lastEpoch.<queryId>` keys — strip the whole prefix, or a query
+    // resumed against the clone inherits the source's watermark and
+    // silently drops its first epochs as replays.
+    val props = src.props.filterNot(p =>
+        p._1 == Manifest.LastEpochProp ||
+        p._1.startsWith(Manifest.LastEpochProp + ".")) +
       (Manifest.CloneSourceProp -> srcDir.toAbsolutePath.toString)
     Manifest.write(dir, Manifest(src.schema, src.entries, props))
   }

@@ -1031,4 +1031,74 @@ class GraftCatalogSpec extends SparkSuite {
     // a non-manifest target is refused, and the path form still parses
     intercept[Exception] { spark.sql("VACUUM does.not.exist") }
   }
+
+  test("MERGE cardinality counts SOURCE rows per key: duplicate target keys are legal") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg3")
+    spark.sql("DROP TABLE IF EXISTS graftcat.mrg3.t")
+    spark.sql("CREATE TABLE graftcat.mrg3.t (k BIGINT, v DOUBLE)")
+    // TWO target rows with key 5, ONE source row with key 5 — each target
+    // row matches at most one source row, so ANSI says both update; the
+    // old key-grouped pair count (2×1=2) spuriously rejected this
+    spark.sql("INSERT INTO graftcat.mrg3.t VALUES (5, 1.0), (5, 2.0), (6, 6.0)")
+    Seq((5L, 50.0)).toDF("k", "nv").createOrReplaceTempView("mrg3_src")
+    spark.sql(
+      """MERGE INTO graftcat.mrg3.t t USING mrg3_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graftcat.mrg3.t ORDER BY k, v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((5L, 50.0), (5L, 50.0), (6L, 6.0)))
+
+    // and a genuinely duplicated SOURCE key still errors
+    Seq((6L, 1.0), (6L, 2.0)).toDF("k", "nv").createOrReplaceTempView("mrg3_dup")
+    val card = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.mrg3.t t USING mrg3_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    assert(card.getMessage.contains("cardinality"), card.getMessage)
+    assert(spark.sql("SELECT v FROM graftcat.mrg3.t WHERE k = 6").head().getDouble(0)
+      == 6.0, "failed merge must not commit")
+  }
+
+  test("MERGE on a table with a data column named _file uses the whole-table path") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg4")
+    spark.sql("DROP TABLE IF EXISTS graftcat.mrg4.t")
+    // `_file` as DATA shadows the scan's metadata column, so file-bounded
+    // discovery would read garbage — the lowering must fall back to the
+    // whole-table rewrite and still apply every matched update
+    spark.sql("CREATE TABLE graftcat.mrg4.t (k BIGINT, v DOUBLE, `_file` STRING)")
+    spark.sql("INSERT INTO graftcat.mrg4.t VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    Seq((2L, 20.0)).toDF("k", "nv").createOrReplaceTempView("mrg4_src")
+    spark.sql(
+      """MERGE INTO graftcat.mrg4.t t USING mrg4_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    val got = spark.sql("SELECT k, v, `_file` FROM graftcat.mrg4.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, 1.0, "a"), (2L, 20.0, "b")))
+  }
+
+  test("SHALLOW CLONE strips per-query streaming epoch fences") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.cl2")
+    spark.sql("DROP TABLE IF EXISTS graftcat.cl2.src")
+    spark.sql("DROP TABLE IF EXISTS graftcat.cl2.dev")
+    spark.sql("CREATE TABLE graftcat.cl2.src (k BIGINT)")
+    spark.sql("INSERT INTO graftcat.cl2.src VALUES (1), (2)")
+    // simulate a streaming writer's watermark props: the bare key AND a
+    // per-query `lastEpoch.<queryId>` key — a clone inheriting either
+    // would silently drop the first epochs of a resumed query as replays
+    val srcDir = Paths.get(rootDir, "cl2", "src")
+    val m = Manifest.read(srcDir).get
+    Manifest.write(srcDir, m.copy(props = m.props +
+      (Manifest.LastEpochProp -> "7") +
+      (s"${Manifest.LastEpochProp}.some-query-id" -> "5")))
+    spark.sql("CREATE TABLE graftcat.cl2.dev SHALLOW CLONE graftcat.cl2.src")
+    val cloneProps = Manifest.read(Paths.get(rootDir, "cl2", "dev")).get.props
+    assert(!cloneProps.keys.exists(k =>
+      k == Manifest.LastEpochProp ||
+        k.startsWith(Manifest.LastEpochProp + ".")), cloneProps)
+    assert(spark.table("graftcat.cl2.dev").count() == 2L)
+  }
 }
