@@ -23,7 +23,7 @@ object Plans {
     "q_similarity_multiprobe" -> "salted two-phase multi-probe top-k — (probe, salt)-keyed shuffle, no per-probe straggler",
     "q_stream_tumbling" -> "tumbling window partial+final aggregation",
     "q_stream_join" -> "event-time interval join — user-key equi-join with time-bound residuals",
-    "q_subqueries" -> "correlated scalar subqueries decorrelated into aggregate+join (no per-row re-execution)",
+    "q_subqueries" -> "per-customer aggregate CTE joined once (hand-fused; Catalyst won't merge correlated scalar subqueries) + uncorrelated scalar + IN semi-join",
     "q_corpus_pipeline" -> "composite corpus clean: scan-side quality prune, keyed dedup shuffle, banded LSH bucket join",
     "q_corpus_pack" -> "sequence packing: distributed prefix sum — range-partitioned windows + broadcast offsets",
     "q_dedup_clusters" -> "near-dup clusters: per-round edge join + min-label aggregate (no all-pairs, no global state)",

@@ -18,20 +18,26 @@ import graft.Tables
 object SetsScalars extends QueryModule {
 
   /** One SQL text for Spark AND DuckDB (the q_cte pattern): uncorrelated
-    * scalar subquery in SELECT, two correlated scalar subqueries in WHERE
-    * (Catalyst decorrelates both into aggregate+join — no per-row
-    * re-execution at scale), and an IN subquery (planned as a semi join).
-    * The spend-vs-average comparison is cross-multiplied so both sides stay
-    * exact DECIMAL — a correlated AVG of doubles would be summation-order
-    * dependent across engines. */
+    * scalar subquery in SELECT, an IN subquery (planned as a semi join),
+    * and a per-customer aggregate CTE joined once. The CTE used to be TWO
+    * correlated scalar subqueries (COUNT and SUM per o_custkey), but
+    * Catalyst's MergeScalarSubqueries does not fuse correlated subqueries
+    * — each decorrelated into its OWN orders scan + semi-join + aggregate
+    * + broadcast join subtree, tripling the orders I/O (observed 6× wall
+    * clock at sf0.1). Fusing them into one GROUP BY produces the plan the
+    * optimizer should have: orders scanned once for the aggregate, one
+    * join back. The spend-vs-average comparison is cross-multiplied so
+    * both sides stay exact DECIMAL — a correlated AVG of doubles would be
+    * summation-order dependent across engines. */
   private val SubqueriesSql =
-    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+    """WITH per_cust AS (
+      |  SELECT o_custkey, COUNT(*) AS cnt,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
       |  (SELECT MAX(o4.o_totalprice) FROM orders o4) AS max_price_global
-      |FROM orders o
-      |WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) *
-      |        (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-      |      > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
-      |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |FROM orders o JOIN per_cust p ON p.o_custkey = o.o_custkey
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * p.cnt > 2 * p.sum_price
       |  AND o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |ORDER BY o.o_orderkey""".stripMargin
 
