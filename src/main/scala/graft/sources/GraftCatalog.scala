@@ -228,10 +228,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * (partitioning contract, bloom config). Archived snapshots keep their
     * commit-time schema, so time travel reads the OLD name.
     *
+    * `ALTER TABLE DROP COLUMN` is metadata-only too: each entry's layout
+    * generalizes from "schema prefix of width `cols`" to an explicit
+    * per-entry cell map ([[ManifestFile.colMap]]) that skips the dropped
+    * cell, the column's stats and blooms purge (so a later re-ADD of the
+    * same name neither resurrects old values nor prunes on stale ranges),
+    * and archived snapshots keep the column on time travel. Dropping a
+    * partition column or a CHECK-referenced column is rejected.
+    *
     * Only nullable, end-appended, codec-supported ADD COLUMN is accepted.
     * Everything that would need a data rewrite or could silently corrupt
-    * old files — DROP COLUMN, type changes (including narrowing), NOT NULL
-    * adds, positioned adds — is rejected explicitly rather than
+    * old files — type changes (including narrowing), NOT NULL adds,
+    * positioned adds — is rejected explicitly rather than
     * half-supported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     // the schema RMW shares the commit lock, so an append landing mid-ALTER
@@ -323,10 +331,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                   .map(c => if (c == from) to else c).mkString(",")
               case kv => kv
             })
-        case _: TableChange.DeleteColumn =>
-          throw new UnsupportedOperationException(
-            "ALTER TABLE DROP COLUMN not supported: committed files would need " +
-              "a rewrite — create a new table instead")
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ALTER TABLE DROP COLUMN: nested fields not supported")
+          val idx = cur.schema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(del.fieldNames()(0)))
+          if (idx < 0)
+            throw new IllegalArgumentException(
+              s"ALTER TABLE DROP COLUMN: no column ${del.fieldNames()(0)} in " +
+                s"(${cur.schema.fieldNames.mkString(", ")})")
+          val from = cur.schema.fieldNames(idx)
+          if (cur.schema.length == 1)
+            throw new UnsupportedOperationException(
+              "ALTER TABLE DROP COLUMN: cannot drop the table's only column")
+          // a CHECK constraint referencing the column would fail every
+          // future write once it can no longer bind — reject with the fix
+          cur.props.foreach { case (k, sql) =>
+            if (k.startsWith(Constraints.CheckPropPrefix) &&
+              Constraints.referencedColumns(sql).exists(_.equalsIgnoreCase(from)))
+              throw new IllegalArgumentException(
+                s"ALTER TABLE DROP COLUMN: $from is referenced by CHECK " +
+                  s"constraint ${k.stripPrefix(GraftCatalog.TblPropPrefix)} " +
+                  s"('$sql') — UNSET the property first")
+          }
+          // the partition-clustering contract names layout columns every
+          // write depends on — dropping one silently voids the contract
+          if (cur.props.get(Manifest.PartitionColsProp)
+            .exists(_.split(",").exists(_.equalsIgnoreCase(from))))
+            throw new IllegalArgumentException(
+              s"ALTER TABLE DROP COLUMN: $from is a declared partition " +
+                "column — repartition the table (CREATE + INSERT) instead")
+          // METADATA-ONLY drop: no data file is rewritten. Each entry's
+          // layout becomes an explicit cell map skipping the dropped cell
+          // (normalized back to the prefix form when the drop was the
+          // tail), and the column's stats/blooms purge so a later re-ADD
+          // of the same name can neither resurrect old values (the map no
+          // longer covers them) nor prune on stale ranges.
+          val oldW = cur.schema.length
+          cur.copy(
+            schema = StructType(cur.schema.fields.patch(idx, Nil, 1)),
+            entries = cur.entries.map { e =>
+              val eff = (0 until oldW).map(e.physIdx).patch(idx, Nil, 1)
+              val trimmed = eff.reverse.dropWhile(_ < 0).reverse
+              val (nCols, nMap) =
+                if (trimmed.zipWithIndex.forall { case (p, i) => p == i })
+                  (trimmed.length, None) // still a schema prefix
+                else (e.cols, Some(trimmed))
+              e.copy(cols = nCols, colMap = nMap,
+                stats = e.stats.copy(
+                  ranges = e.stats.ranges - from,
+                  incomplete = e.stats.incomplete - from,
+                  strRanges = e.stats.strRanges - from,
+                  blooms = e.stats.blooms - from))
+            },
+            props = cur.props.map {
+              case (k, v) if k == Manifest.BloomColsProp =>
+                k -> v.split(",").map(_.trim)
+                  .filter(c => c.nonEmpty && !c.equalsIgnoreCase(from))
+                  .mkString(",")
+              case kv => kv
+            })
         case _: TableChange.UpdateColumnType =>
           throw new UnsupportedOperationException(
             "ALTER TABLE: column type changes (including narrowing) are not " +

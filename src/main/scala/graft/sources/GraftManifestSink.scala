@@ -146,25 +146,28 @@ object GraftManifestSink {
       }
     }.mkString("\t")
 
-  /** Per-file column index of the pruned schema into the stored layout —
-    * computed once per reader, NOT per line. */
-  private[sources] def columnIndex(full: StructType, wanted: StructType): Array[Int] = {
+  /** Wanted column → physical cell index in one file (−1 = NULL-fill),
+    * composing the reader's column pruning with the file's own layout
+    * ([[ManifestFile.physIdx]]). `full` must be the schema of the
+    * MANIFEST the entry came from (the snapshot it was read under), so a
+    * wanted name absent from that schema — added after the snapshot —
+    * NULL-fills. Computed once per FILE on the driver, never per line. */
+  private[sources] def wantedPhys(full: StructType, wanted: StructType,
+      e: ManifestFile): Array[Int] = {
     val byName = full.fieldNames.zipWithIndex.toMap
-    wanted.fieldNames.map(byName)
+    wanted.fieldNames.map(n => byName.get(n).map(e.physIdx).getOrElse(-1))
   }
 
-  /** `fileCols` is how many leading columns of the CURRENT table schema the
-    * file physically stores (files written before an `ALTER TABLE ADD
-    * COLUMN` store fewer): a wanted column whose stored index falls past
-    * the file's width NULL-fills — schema evolution without rewriting old
-    * files, per file-width, no data copy. */
-  private[sources] def parse(line: String, idx: Array[Int], wanted: StructType,
-      fileCols: Int): InternalRow = {
+  /** `phys` is the per-file wanted→cell map from [[wantedPhys]]: schema
+    * evolution (ADD / DROP COLUMN) without rewriting old files — a −1
+    * NULL-fills, everything else reads its recorded cell. */
+  private[sources] def parse(line: String, phys: Array[Int],
+      wanted: StructType): InternalRow = {
     val cells = line.split("\t", -1)
     InternalRow.fromSeq(wanted.fields.indices.map { i =>
-      if (idx(i) >= fileCols) null // column added after this file was committed
+      if (phys(i) < 0) null // column absent from this file's layout
       else {
-        val raw = cells(idx(i))
+        val raw = cells(phys(i))
         if (raw == "\\N") null
         else wanted.fields(i).dataType match {
           case LongType => raw.toLong
@@ -306,12 +309,26 @@ private[graft] object ColumnStats {
     }
 }
 
-/** One committed data file: name, row count, zone map, and how many
-  * leading columns of the table schema the file physically stores (`cols`
-  * < schema width for files committed before an `ALTER TABLE ADD COLUMN`
-  * — readers NULL-fill the tail). */
+/** One committed data file: name, row count, zone map, and its LAYOUT
+  * under the manifest's schema. Two layout tiers:
+  *  - `colMap = None` (every file until a DROP COLUMN touches it): the
+  *    file stores the first `cols` schema columns positionally — `cols` <
+  *    schema width for files committed before an `ALTER TABLE ADD COLUMN`,
+  *    and readers NULL-fill the tail.
+  *  - `colMap = Some(m)`: `m(i)` is the physical cell index of schema
+  *    column `i` in this file, or −1 to NULL-fill — what an `ALTER TABLE
+  *    DROP COLUMN` of a NON-tail column leaves behind (the file still
+  *    stores the dropped cell; the map skips over it). Columns past
+  *    `m.length` NULL-fill, so a later ADD COLUMN needs no entry rewrite.
+  */
 private[graft] case class ManifestFile(name: String, rows: Long, stats: ColumnStats,
-    cols: Int)
+    cols: Int, colMap: Option[Seq[Int]] = None) {
+  /** Physical cell index storing schema column `schemaPos`; −1 = NULL. */
+  def physIdx(schemaPos: Int): Int = colMap match {
+    case Some(m) => if (schemaPos < m.length) m(schemaPos) else -1
+    case None => if (schemaPos < cols) schemaPos else -1
+  }
+}
 
 /** `_manifest` contents: schema + optional table properties + the exact
   * committed file list (+ per-file zone maps and widths). Stored as simple
@@ -426,6 +443,8 @@ private[graft] object Manifest {
         case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
         case Array(f, n, st) => ManifestFile(f, n.toLong, ColumnStats.parse(st), schema.length)
         case Array(f, n, st, c) => ManifestFile(f, n.toLong, ColumnStats.parse(st), c.toInt)
+        case Array(f, n, st, c, mp) => ManifestFile(f, n.toLong, ColumnStats.parse(st),
+          c.toInt, Some(mp.split(",").toSeq.map(_.toInt)))
       }
     }
     Manifest(schema, entries, props)
@@ -476,7 +495,8 @@ private[graft] object Manifest {
        else Seq("!" + m.props.toSeq.sortBy(_._1)
          .map { case (k, v) => s"$k=$v" }.mkString("\t")))
     val body = (header ++
-      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}\t${e.cols}"))
+      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}\t${e.cols}" +
+        e.colMap.map("\t" + _.mkString(",")).getOrElse("")))
       .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
     // `.tmp` LAST keeps the name outside SnapshotName even for substring
@@ -1595,7 +1615,7 @@ private[sources] object ManifestScanBuilder {
   * `entry` is the manifest entry name (the `_file` metadata value) and
   * `fileColAt` where to splice it into the output row when selected. */
 private[sources] case class ManifestFilePartition(file: String, dir: String,
-    full: StructType, wanted: StructType, fileCols: Int,
+    wanted: StructType, phys: Array[Int],
     entry: String = "", fileColAt: Option[Int] = None) extends InputPartition
 
 /** Offset = committed snapshot version (monotone: every manifest write
@@ -1620,12 +1640,12 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
 
-  private def entriesAt(v: Int): Seq[ManifestFile] =
-    if (v == 0) Seq.empty
+  private def manifestAt(v: Int): Manifest =
+    if (v == 0) Manifest(full, Seq.empty)
     else Manifest.readSnapshot(dir, v).getOrElse(
       throw new IllegalStateException(
         s"streaming read: snapshot $v expired (VACUUM RETAIN) at $dir — " +
-          "reset the checkpoint to reprocess")).entries
+          "reset the checkpoint to reprocess"))
 
   override def initialOffset(): SOffset = SnapOffset(0)
   override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
@@ -1636,11 +1656,16 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
     val s = start.asInstanceOf[SnapOffset].v
     val e = end.asInstanceOf[SnapOffset].v
     if (e <= s) return Array.empty
-    val before = entriesAt(s).map(_.name).toSet
+    val before = manifestAt(s).entries.map(_.name).toSet
     val chain = Manifest.resolveChain(dir)
-    entriesAt(e).filterNot(f => before(f.name))
+    // each added file's layout resolves against ITS snapshot's schema by
+    // name — a column added/dropped between the snapshot and the current
+    // table schema must not shift cell positions
+    val endManifest = manifestAt(e)
+    endManifest.entries.filterNot(f => before(f.name))
       .map(f => ManifestFilePartition(Manifest.resolveData(chain, f.name).toString,
-        dir.toString, full, wanted, f.cols))
+        dir.toString, wanted,
+        GraftManifestSink.wantedPhys(endManifest.schema, wanted, f)))
       .toArray[InputPartition]
   }
 
@@ -1774,7 +1799,8 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     plannedFiles = current.length
     val chain = Manifest.resolveChain(dir)
     current.map(e => ManifestFilePartition(Manifest.resolveData(chain, e.name).toString,
-      dir.toString, full, wanted, e.cols, e.name, fileColAt))
+      dir.toString, wanted, GraftManifestSink.wantedPhys(full, wanted, e),
+      e.name, fileColAt))
       .toArray[InputPartition]
   }
 
@@ -1783,13 +1809,12 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ManifestFilePartition(file, dir, full, wanted, fileCols, entry, fileColAt) =
+    val ManifestFilePartition(file, dir, wanted, phys, entry, fileColAt) =
       partition.asInstanceOf[ManifestFilePartition]
     val _ = dir // file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
       private val stream = Files.lines(Paths.get(file), UTF_8)
       private val it = stream.iterator()
-      private val idx = GraftManifestSink.columnIndex(full, wanted)
       // the `_file` metadata value is CONSTANT per partition — one
       // UTF8String allocated per file, spliced per row only when selected
       private val fileVal =
@@ -1811,7 +1836,7 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = {
         if (!it.hasNext) false
         else {
-          row = withFileCol(GraftManifestSink.parse(it.next(), idx, wanted, fileCols))
+          row = withFileCol(GraftManifestSink.parse(it.next(), phys, wanted))
           true
         }
       }

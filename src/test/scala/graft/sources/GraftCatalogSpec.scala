@@ -389,7 +389,7 @@ class GraftCatalogSpec extends SparkSuite {
     assert(old.count() == 2L)
 
     // everything that would need a rewrite is rejected explicitly
-    intercept[Exception] { spark.sql("ALTER TABLE graftcat.evo.t DROP COLUMN name") }
+    // (DROP COLUMN is now metadata-only — its own dedicated test below)
     intercept[Exception] {
       spark.sql("ALTER TABLE graftcat.evo.t ALTER COLUMN id TYPE INT") }
     intercept[Exception] {
@@ -1030,6 +1030,71 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graftcat.vac.t").count() == 4)
     // a non-manifest target is refused, and the path form still parses
     intercept[Exception] { spark.sql("VACUUM does.not.exist") }
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only: middle-column drop, time travel, no re-ADD resurrection") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dropc")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dropc.t")
+    spark.sql("CREATE TABLE graftcat.dropc.t (k BIGINT, mid DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graftcat.dropc.t VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val dir = Paths.get(rootDir, "dropc", "t")
+    val preDropSnap = Manifest.snapshotVersions(dir).last
+    val preFiles = Manifest.read(dir).get.entries.map(_.name).toSet
+
+    // drop the MIDDLE column — the hard case: later cells must not shift
+    spark.sql("ALTER TABLE graftcat.dropc.t DROP COLUMN mid")
+    assert(spark.table("graftcat.dropc.t").schema.fieldNames.toSeq == Seq("k", "tag"))
+    val got = spark.sql("SELECT k, tag FROM graftcat.dropc.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b")))
+    // zero data files rewritten — same physical files, new layout map
+    assert(Manifest.read(dir).get.entries.map(_.name).toSet == preFiles,
+      "DROP COLUMN must not rewrite data files")
+    // stats for the dropped column purged from every entry
+    val m = Manifest.read(dir).get
+    assert(m.entries.forall(e => !e.stats.ranges.contains("mid") &&
+      !e.stats.strRanges.contains("mid") && !e.stats.blooms.contains("mid")))
+
+    // pre-drop snapshot still reads the column on time travel
+    val old = spark.sql(
+      s"SELECT k, mid, tag FROM graftcat.dropc.t VERSION AS OF $preDropSnap ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(old === Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
+
+    // re-ADD of the same name must NOT resurrect old cell values
+    spark.sql("ALTER TABLE graftcat.dropc.t ADD COLUMN mid DOUBLE")
+    val readd = spark.sql("SELECT k, mid, tag FROM graftcat.dropc.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSeq
+    assert(readd === Seq((1L, None, "a"), (2L, None, "b")))
+    // and writes under the re-added column round-trip alongside old files
+    // (schema order is now k, tag, mid — the re-ADD appends at the end)
+    spark.sql("INSERT INTO graftcat.dropc.t VALUES (3, 'c', 9.5)")
+    assert(spark.sql("SELECT sum(mid) FROM graftcat.dropc.t").head().getDouble(0) == 9.5)
+
+    // dropping the LAST schema column normalizes back to the prefix form
+    spark.sql("DROP TABLE IF EXISTS graftcat.dropc.u")
+    spark.sql("CREATE TABLE graftcat.dropc.u (a BIGINT, b STRING)")
+    spark.sql("INSERT INTO graftcat.dropc.u VALUES (7, 'x')")
+    spark.sql("ALTER TABLE graftcat.dropc.u DROP COLUMN b")
+    val mu = Manifest.read(Paths.get(rootDir, "dropc", "u")).get
+    assert(mu.entries.forall(e => e.colMap.isEmpty && e.cols == 1),
+      s"tail drop should stay prefix-form, got ${mu.entries}")
+    assert(spark.table("graftcat.dropc.u").collect().map(_.getLong(0)).toSeq == Seq(7L))
+
+    // guard rails: last remaining column, partition column, CHECK reference
+    intercept[Exception] { spark.sql("ALTER TABLE graftcat.dropc.u DROP COLUMN a") }
+    spark.sql("DROP TABLE IF EXISTS graftcat.dropc.p")
+    spark.sql("CREATE TABLE graftcat.dropc.p (k BIGINT, v DOUBLE) PARTITIONED BY (k)")
+    val pc = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.dropc.p DROP COLUMN k") }
+    assert(pc.getMessage.contains("partition"), pc.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graftcat.dropc.c")
+    spark.sql("CREATE TABLE graftcat.dropc.c (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('check.pos' = 'v > 0')")
+    val ck = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.dropc.c DROP COLUMN v") }
+    assert(ck.getMessage.contains("CHECK"), ck.getMessage)
   }
 
   test("MERGE cardinality counts SOURCE rows per key: duplicate target keys are legal") {

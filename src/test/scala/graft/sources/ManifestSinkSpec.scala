@@ -284,7 +284,7 @@ class ManifestSinkSpec extends SparkSuite {
       StructField("l", LongType), StructField("s", StringType),
       StructField("d", DoubleType), StructField("b", BooleanType),
       StructField("i", IntegerType)))
-    val idx = GraftManifestSink.columnIndex(schema, schema)
+    val idx = (0 until schema.length).toArray // identity wanted->cell map
     // adversarial strings: every escaped char, the null marker itself,
     // NUL bytes, unicode — plus numeric extremes and NaN
     val strings = Seq("", "\t", "\n", "\r", "\\", "\\N", "\\\\N", "a\tb\nc\rd\\e",
@@ -297,7 +297,7 @@ class ManifestSinkSpec extends SparkSuite {
     } yield InternalRow(l, UTF8String.fromString(s), d, k % 2 == 0, k - 5)
     (cases :+ InternalRow(null, null, null, null, null)).foreach { row =>
       val back = GraftManifestSink.parse(
-        GraftManifestSink.render(row, schema), idx, schema, schema.length)
+        GraftManifestSink.render(row, schema), idx, schema)
       (0 until schema.length).foreach { i =>
         if (row.isNullAt(i)) assert(back.isNullAt(i), s"col $i not null")
         else schema.fields(i).dataType match {
