@@ -121,7 +121,12 @@ private[sources] object FileBloom {
     words.foreach(bb.putLong)
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
+  /** Bloom deserializations since JVM start — the laziness contract's
+    * test hook (plans that probe no bloom'd column must not move it). */
+  private[graft] val deserCount = new java.util.concurrent.atomic.AtomicLong
+
   def deser(s: String): Array[Long] = {
+    deserCount.incrementAndGet()
     val bytes = java.util.Base64.getDecoder.decode(s)
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(bytes.length / 8)(bb.getLong)

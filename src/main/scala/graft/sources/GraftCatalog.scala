@@ -321,8 +321,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               e.copy(stats = e.stats.copy(
                 ranges = renKey(e.stats.ranges),
                 incomplete = e.stats.incomplete.map(c => if (c == from) to else c),
-                strRanges = renKey(e.stats.strRanges),
-                blooms = renKey(e.stats.blooms)))
+                strRanges = renKey(e.stats.strRanges))
+                .withBlooms(renKey(e.stats.blooms)))
             },
             props = cur.props.map {
               case (k, v) if k == Manifest.PartitionColsProp ||
@@ -382,8 +382,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 stats = e.stats.copy(
                   ranges = e.stats.ranges - from,
                   incomplete = e.stats.incomplete - from,
-                  strRanges = e.stats.strRanges - from,
-                  blooms = e.stats.blooms - from))
+                  strRanges = e.stats.strRanges - from)
+                  .withBlooms(e.stats.blooms - from))
             },
             props = cur.props.map {
               case (k, v) if k == Manifest.BloomColsProp =>

@@ -213,7 +213,19 @@ object GraftManifestSink {
 private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)],
     incomplete: Set[String] = Set.empty,
     strRanges: Map[String, (String, String)] = Map.empty,
-    blooms: Map[String, String] = Map.empty) {
+    bloomsRaw: String = "") {
+  /** The bloom section splits LAZILY: it is by far the largest part of a
+    * stats line (~22 KB base64 per bloom'd column per file), and a plan
+    * that never probes a bloom'd column must not pay a per-column
+    * substring copy across a million-file manifest. */
+  lazy val blooms: Map[String, String] =
+    if (bloomsRaw.isEmpty) Map.empty
+    else bloomsRaw.split(";").iterator.map { cell =>
+      val Array(c, b) = cell.split("=", 2); c -> b
+    }.toMap
+  /** Replace the bloom set (rename/drop column maintenance). */
+  def withBlooms(m: Map[String, String]): ColumnStats =
+    copy(bloomsRaw = ColumnStats.renderBlooms(m))
   def render: String = {
     val r = ranges.toSeq.sortBy(_._1)
       .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
@@ -226,14 +238,19 @@ private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecima
         .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
     // '%' never occurs in base64 or identifier-safe column names, so the
     // bloom section is unambiguous and older manifests (no '%') still parse
-    if (blooms.isEmpty) withStr
-    else withStr + "%" + blooms.toSeq.sortBy(_._1)
-      .map { case (c, b) => s"$c=$b" }.mkString(";")
+    if (bloomsRaw.isEmpty) withStr else withStr + "%" + bloomsRaw
   }
 }
 
 private[graft] object ColumnStats {
   val empty: ColumnStats = ColumnStats(Map.empty)
+
+  /** Stats-line parses since JVM start — the laziness contract's test
+    * hook (a no-filter plan must not move it), not a metric. */
+  private[graft] val parseCount = new java.util.concurrent.atomic.AtomicLong
+
+  private[sources] def renderBlooms(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (c, b) => s"$c=$b" }.mkString(";")
 
   /** String zone-map bounds are capped at this many UTF-8 bytes (with
     * sound widening) — the Delta/Iceberg stats-truncation trade. */
@@ -279,6 +296,7 @@ private[graft] object ColumnStats {
   def parse(s: String): ColumnStats =
     if (s.isEmpty) empty
     else {
+      parseCount.incrementAndGet()
       val (nonBloom, bloomPart) = s.split("%", 2) match {
         case Array(m, bp) => (m, bp)
         case Array(m) => (m, "")
@@ -300,12 +318,7 @@ private[graft] object ColumnStats {
         }
       val ranges = pairs(rangesPart)
         .map { case (c, (lo, hi)) => c -> ((BigDecimal(lo), BigDecimal(hi))) }.toMap
-      val blooms =
-        if (bloomPart.isEmpty) Map.empty[String, String]
-        else bloomPart.split(";").toSeq.map { cell =>
-          val Array(c, b) = cell.split("=", 2); c -> b
-        }.toMap
-      ColumnStats(ranges, incPart, pairs(strPart).toMap, blooms)
+      ColumnStats(ranges, incPart, pairs(strPart).toMap, bloomPart)
     }
 }
 
@@ -321,13 +334,39 @@ private[graft] object ColumnStats {
   *    stores the dropped cell; the map skips over it). Columns past
   *    `m.length` NULL-fill, so a later ADD COLUMN needs no entry rewrite.
   */
-private[graft] case class ManifestFile(name: String, rows: Long, stats: ColumnStats,
-    cols: Int, colMap: Option[Seq[Int]] = None) {
+private[graft] class ManifestFile(val name: String, val rows: Long,
+    statsThunk: () => ColumnStats, val cols: Int,
+    val colMap: Option[Seq[Int]] = None, rawStats: String = null) {
+  /** Parsed on FIRST consultation, once per entry: a no-filter plan over
+    * a million-file manifest parses no stats at all, and a filtered plan
+    * pays BigDecimal range parsing only from here on. */
+  lazy val stats: ColumnStats = statsThunk()
+  /** The stats field as the manifest line stores it — lets a commit
+    * re-render untouched entries without forcing their parse. */
+  def renderStats: String = if (rawStats != null) rawStats else stats.render
   /** Physical cell index storing schema column `schemaPos`; −1 = NULL. */
   def physIdx(schemaPos: Int): Int = colMap match {
     case Some(m) => if (schemaPos < m.length) m(schemaPos) else -1
     case None => if (schemaPos < cols) schemaPos else -1
   }
+  def copy(name: String = this.name, rows: Long = this.rows,
+      stats: ColumnStats = null, cols: Int = this.cols,
+      colMap: Option[Seq[Int]] = this.colMap): ManifestFile =
+    if (stats == null) new ManifestFile(name, rows, statsThunk, cols, colMap, rawStats)
+    else new ManifestFile(name, rows, () => stats, cols, colMap)
+  override def toString: String =
+    s"ManifestFile($name, $rows rows, cols=$cols, colMap=$colMap)"
+}
+
+private[graft] object ManifestFile {
+  def apply(name: String, rows: Long, stats: ColumnStats, cols: Int,
+      colMap: Option[Seq[Int]] = None): ManifestFile =
+    new ManifestFile(name, rows, () => stats, cols, colMap)
+  /** Entry from a manifest line's raw stats field — parsed lazily. */
+  def raw(name: String, rows: Long, statsRaw: String, cols: Int,
+      colMap: Option[Seq[Int]] = None): ManifestFile =
+    new ManifestFile(name, rows, () => ColumnStats.parse(statsRaw), cols,
+      colMap, statsRaw)
 }
 
 /** `_manifest` contents: schema + optional table properties + the exact
@@ -441,9 +480,9 @@ private[graft] object Manifest {
     val entries = entryLines.map { l =>
       l.split("\t") match {
         case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
-        case Array(f, n, st) => ManifestFile(f, n.toLong, ColumnStats.parse(st), schema.length)
-        case Array(f, n, st, c) => ManifestFile(f, n.toLong, ColumnStats.parse(st), c.toInt)
-        case Array(f, n, st, c, mp) => ManifestFile(f, n.toLong, ColumnStats.parse(st),
+        case Array(f, n, st) => ManifestFile.raw(f, n.toLong, st, schema.length)
+        case Array(f, n, st, c) => ManifestFile.raw(f, n.toLong, st, c.toInt)
+        case Array(f, n, st, c, mp) => ManifestFile.raw(f, n.toLong, st,
           c.toInt, Some(mp.split(",").toSeq.map(_.toInt)))
       }
     }
@@ -495,7 +534,7 @@ private[graft] object Manifest {
        else Seq("!" + m.props.toSeq.sortBy(_._1)
          .map { case (k, v) => s"$k=$v" }.mkString("\t")))
     val body = (header ++
-      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.stats.render}\t${e.cols}" +
+      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.renderStats}\t${e.cols}" +
         e.colMap.map("\t" + _.mkString(",")).getOrElse("")))
       .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
@@ -1130,7 +1169,7 @@ private[sources] object ManifestCommit {
     messages.map { case StagedFile(name, rows, stats, cols) =>
       Files.move(dir.resolve("_staging").resolve(name), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
-      ManifestFile(name, rows, ColumnStats.parse(stats), cols)
+      ManifestFile.raw(name, rows, stats, cols)
     }.toSeq
 
   /** Shared abort step: this query's staged files (all attempts) are garbage. */
@@ -1393,7 +1432,8 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
       }.toMap,
       (numIdx ++ strIdx).collect { case i if partial(i) => schema.fields(i).name }.toSet,
       strRanges,
-      bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap)
+      ColumnStats.renderBlooms(
+        bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap))
     StagedFile(name, rows, stats.render, schema.length)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
@@ -1583,6 +1623,12 @@ private[sources] object ManifestScanBuilder {
       }
     }
 
+  /** The probed column's bloom, deserialized ONCE for a whole filter —
+    * an `In` probe of N values over a 16 KB bloom must not base64-decode
+    * it N times. */
+  private def bloomBits(st: ColumnStats, col: String): Option[Array[Long]] =
+    st.blooms.get(col).map(FileBloom.deser)
+
   /** Conservative: true unless the file's [min, max] PROVES no row can
     * match — or, for equality probes, the column's bloom proves the value
     * absent. A column without stats never prunes. */
@@ -1601,8 +1647,13 @@ private[sources] object ManifestScanBuilder {
       case LessThanOrEqual(col, v) => // prune unless lo <= v
         c(col, v).forall { case (cl, _) => cl >= 0 }
       case In(col, vs) => // prune unless some value can sit inside the range
+        lazy val bits = bloomBits(st, col) // decoded once, and only if some
         vs.exists(v => c(col, v).forall { case (cl, ch) => cl >= 0 && ch <= 0 } &&
-          bloomMaybe(st, col, v))
+          (bits match { // value survives the range check
+            case None => true
+            case Some(b) => FileBloom.hashValue(v)
+              .forall(h => FileBloom.maybe(b, h))
+          }))
       case And(l, r) => mightMatch(l, st) && mightMatch(r, st)
       case Or(l, r) => mightMatch(l, st) || mightMatch(r, st)
       case _ => true

@@ -77,10 +77,11 @@ class FileBloomSpec extends AnyFunSuite {
     val st = ColumnStats(
       Map("id" -> ((BigDecimal(0), BigDecimal(10)))),
       Set("id"),
-      Map("s" -> (("QQ==", "Wg=="))),
-      Map("id" -> bloom))
+      Map("s" -> (("QQ==", "Wg=="))))
+      .withBlooms(Map("id" -> bloom))
     val back = ColumnStats.parse(st.render)
     assert(back == st)
+    assert(back.blooms == Map("id" -> bloom))
     // pre-bloom stats lines (no '%' section) parse to empty blooms
     val legacy = ColumnStats.parse("id=0,10#id$s=QQ==,Wg==")
     assert(legacy.blooms.isEmpty && legacy.ranges.contains("id"))

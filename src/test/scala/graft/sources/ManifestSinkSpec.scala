@@ -614,4 +614,79 @@ class ManifestSinkSpec extends SparkSuite {
     val usable = ManifestTable.conjuncts(parsed).flatMap(ManifestTable.exprFilter)
     assert(usable == Seq(LessThan("id", 5)))
   }
+
+  test("stats parse lazily: no-filter plans parse nothing, blooms decode only for probed columns") {
+    val dir = freshDir()
+    // bloom config is a TABLE property — seed a schema-only manifest
+    // carrying it, then append (the writer reads bloomCols from the dir)
+    val schema3 = Seq((1L, "x", 1.0)).toDF("id", "name", "score").schema
+    Manifest.write(Paths.get(dir),
+      Manifest(schema3, Seq.empty, Map(Manifest.BloomColsProp -> "id")))
+    (1L to 60L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+      .repartitionByRange(3, $"id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(Manifest.read(Paths.get(dir)).get.entries
+      .forall(_.stats.blooms.contains("id")), "blooms must exist for the test")
+    val base = () => spark.read.format(Fmt).option("path", dir).load()
+
+    // a plan with NO pushable filter must consult no stats at all
+    val p0 = ColumnStats.parseCount.get()
+    base().queryExecution.executedPlan // full planning, no execution needed
+    assert(ColumnStats.parseCount.get() == p0,
+      "no-filter planning must not parse any stats line")
+
+    // a range filter parses stats but never base64-decodes a bloom
+    val d0 = FileBloom.deserCount.get()
+    base().filter($"score" > 50.0).queryExecution.executedPlan
+    assert(ColumnStats.parseCount.get() > p0, "range filter consults stats")
+    assert(FileBloom.deserCount.get() == d0,
+      "range predicates must not decode blooms")
+
+    // an IN probe on the bloom'd column decodes each file's bloom ONCE,
+    // not once per probed value
+    val d1 = FileBloom.deserCount.get()
+    base().filter($"id".isin(7L, 8L, 9L, 10L, 11L)).queryExecution.executedPlan
+    val decoded = FileBloom.deserCount.get() - d1
+    assert(decoded > 0 && decoded <= 3,
+      s"5-value IN over 3 files decoded $decoded blooms (want ≤3, one per file)")
+  }
+
+  test("planning latency over a 10,000-file manifest stays metadata-cheap") {
+    val dir = Files.createTempDirectory("graft_manifest_10k_")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    // synthetic manifest: 10k entries with realistic stats lines incl. a
+    // bloom section (~2.7 KB base64 each). Planning never opens data
+    // files, so the entries may point at absent files.
+    val b = new FileBloom.Builder
+    (0 until 200).foreach(i => b.add(FileBloom.hashLong(i.toLong)))
+    val bloom = b.result().get
+    val entries = (0 until 10000).map { i =>
+      val lo = i * 100L; val hi = lo + 99L
+      ManifestFile.raw(f"part-$i%05d.tsv", 100L,
+        s"id=$lo,$hi;score=$lo.5,$hi.5%id=$bloom", schema.length)
+    }
+    Manifest.write(dir, Manifest(schema, entries))
+
+    def planMillis(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      f(spark.read.format(Fmt).option("path", dir.toString).load())
+        .queryExecution.executedPlan
+      (System.nanoTime() - t0) / 1000000
+    }
+    // warm once (session/codegen init), then pin. The bound is generous —
+    // this VM's wall clock jitters — but a regression to eager per-plan
+    // bloom splitting (10k × 2.7 KB per plan) or per-value decode blows
+    // far past it.
+    planMillis(identity)
+    val noFilter = planMillis(identity)
+    val ranged = planMillis(_.filter($"score" > 999999.0))
+    val probed = planMillis(_.filter($"id" === 123456L))
+    assert(noFilter < 2000, s"no-filter planning took $noFilter ms over 10k files")
+    assert(ranged < 4000, s"range-filter planning took $ranged ms over 10k files")
+    assert(probed < 4000, s"bloom-probe planning took $probed ms over 10k files")
+  }
 }
