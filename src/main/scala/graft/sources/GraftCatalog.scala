@@ -322,11 +322,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 ranges = renKey(e.stats.ranges),
                 incomplete = e.stats.incomplete.map(c => if (c == from) to else c),
                 strRanges = renKey(e.stats.strRanges))
-                .withBlooms(renKey(e.stats.blooms)))
+                .withBlooms(renKey(e.stats.blooms))
+                .withNdv(renKey(e.stats.ndvSketches)))
             },
             props = cur.props.map {
               case (k, v) if k == Manifest.PartitionColsProp ||
-                k == Manifest.BloomColsProp =>
+                k == Manifest.BloomColsProp || k == Manifest.NdvColsProp =>
                 k -> v.split(",").map(_.trim).filter(_.nonEmpty)
                   .map(c => if (c == from) to else c).mkString(",")
               case kv => kv
@@ -383,10 +384,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                   ranges = e.stats.ranges - from,
                   incomplete = e.stats.incomplete - from,
                   strRanges = e.stats.strRanges - from)
-                  .withBlooms(e.stats.blooms - from))
+                  .withBlooms(e.stats.blooms - from)
+                  .withNdv(e.stats.ndvSketches - from))
             },
             props = cur.props.map {
-              case (k, v) if k == Manifest.BloomColsProp =>
+              case (k, v) if k == Manifest.BloomColsProp ||
+                k == Manifest.NdvColsProp =>
                 k -> v.split(",").map(_.trim)
                   .filter(c => c.nonEmpty && !c.equalsIgnoreCase(from))
                   .mkString(",")

@@ -213,7 +213,7 @@ object GraftManifestSink {
 private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)],
     incomplete: Set[String] = Set.empty,
     strRanges: Map[String, (String, String)] = Map.empty,
-    bloomsRaw: String = "") {
+    bloomsRaw: String = "", ndvRaw: String = "") {
   /** The bloom section splits LAZILY: it is by far the largest part of a
     * stats line (~22 KB base64 per bloom'd column per file), and a plan
     * that never probes a bloom'd column must not pay a per-column
@@ -223,9 +223,19 @@ private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecima
     else bloomsRaw.split(";").iterator.map { cell =>
       val Array(c, b) = cell.split("=", 2); c -> b
     }.toMap
+  /** Per-column KMV distinct sketches (base64 of [[KmvSketch]] hashes),
+    * split as lazily as the blooms — only CBO planning consults them. */
+  lazy val ndvSketches: Map[String, String] =
+    if (ndvRaw.isEmpty) Map.empty
+    else ndvRaw.split(";").iterator.map { cell =>
+      val Array(c, b) = cell.split("=", 2); c -> b
+    }.toMap
   /** Replace the bloom set (rename/drop column maintenance). */
   def withBlooms(m: Map[String, String]): ColumnStats =
     copy(bloomsRaw = ColumnStats.renderBlooms(m))
+  /** Replace the NDV sketch set (rename/drop column maintenance). */
+  def withNdv(m: Map[String, String]): ColumnStats =
+    copy(ndvRaw = ColumnStats.renderBlooms(m))
   def render: String = {
     val r = ranges.toSeq.sortBy(_._1)
       .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
@@ -236,9 +246,11 @@ private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecima
       if (strRanges.isEmpty) withInc
       else withInc + "$" + strRanges.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
-    // '%' never occurs in base64 or identifier-safe column names, so the
-    // bloom section is unambiguous and older manifests (no '%') still parse
-    if (bloomsRaw.isEmpty) withStr else withStr + "%" + bloomsRaw
+    // '^' and '%' never occur in base64 or identifier-safe column names,
+    // so the NDV and bloom sections are unambiguous and older manifests
+    // (carrying neither) still parse
+    val withNdvSec = if (ndvRaw.isEmpty) withStr else withStr + "^" + ndvRaw
+    if (bloomsRaw.isEmpty) withNdvSec else withNdvSec + "%" + bloomsRaw
   }
 }
 
@@ -301,7 +313,11 @@ private[graft] object ColumnStats {
         case Array(m, bp) => (m, bp)
         case Array(m) => (m, "")
       }
-      val (mainPart, strPart) = nonBloom.split("\\$", 2) match {
+      val (nonNdv, ndvPart) = nonBloom.split("\\^", 2) match {
+        case Array(m, np) => (m, np)
+        case Array(m) => (m, "")
+      }
+      val (mainPart, strPart) = nonNdv.split("\\$", 2) match {
         case Array(m, sp) => (m, sp)
         case Array(m) => (m, "")
       }
@@ -318,7 +334,7 @@ private[graft] object ColumnStats {
         }
       val ranges = pairs(rangesPart)
         .map { case (c, (lo, hi)) => c -> ((BigDecimal(lo), BigDecimal(hi))) }.toMap
-      ColumnStats(ranges, incPart, pairs(strPart).toMap, bloomPart)
+      ColumnStats(ranges, incPart, pairs(strPart).toMap, bloomPart, ndvPart)
     }
 }
 
@@ -459,6 +475,18 @@ private[graft] object Manifest {
     * absent stats never prune, so a lagging config is sound. */
   private[sources] def bloomCols(dir: Path): Seq[String] =
     read(dir).flatMap(_.props.get(BloomColsProp))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** The user property naming NDV-sketch columns (TBLPROPERTIES key
+    * `ndv.columns`) — [[KmvSketch]] distinct-count sketches feed
+    * `ColumnStatistics.distinctCount` for CBO. Same lagging-config
+    * soundness as blooms: a file without a sketch simply withholds the
+    * table's NDV claim. */
+  private[sources] val NdvColsProp = "tbl.ndv.columns"
+
+  /** Columns to build per-file KMV sketches for, from the current manifest. */
+  private[sources] def ndvCols(dir: Path): Seq[String] =
+    read(dir).flatMap(_.props.get(NdvColsProp))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   /** Types the TSV codec + zone maps support — the gate `ALTER TABLE ADD
@@ -1035,7 +1063,7 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
       m.map(_.schema).getOrElse(schema), schema,
       m.map(_.props).getOrElse(Map.empty))
     new ManifestWrite(dir, schema, queryId, overwrite, partCols,
-      Manifest.bloomCols(dir), notNull, checks)
+      Manifest.bloomCols(dir), Manifest.ndvCols(dir), notNull, checks)
   }
 }
 
@@ -1048,6 +1076,7 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   * one-file-per-value explosion. Unpartitioned tables request nothing. */
 private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: String,
     overwrite: Boolean, partCols: Seq[String], bloomCols: Seq[String],
+    ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1068,9 +1097,11 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite =
-    new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols, notNull, checks)
+    new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
+      notNull, checks)
   override def toStreaming: StreamingWrite =
-    new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols, notNull, checks)
+    new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
+      notNull, checks)
 }
 
 /** Write-time data-quality contracts on managed tables:
@@ -1187,12 +1218,14 @@ private[sources] object ManifestCommit {
 
 private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty,
+    ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, notNull, checks)
+    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, ndvCols,
+      notNull, checks)
 
   /** Driver-side atomic publish: promote exactly the surviving attempts'
     * staged files, then swap the manifest. Readers either see the old
@@ -1254,13 +1287,15 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
   * its own epoch watermark. */
 private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
     queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty,
+    ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, notNull, checks)
+    ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, ndvCols,
+      notNull, checks)
 
   // the watermark is KEYED BY STREAMING QUERY ID (stable across restarts —
   // Spark persists it in the checkpoint and passes it as the write's
@@ -1304,20 +1339,22 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
 
 private[sources] case class ManifestWriterFactory(dir: String, schema: StructType,
     queryId: String, bloomCols: Seq[String] = Seq.empty,
+    ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId.tsv", bloomCols, notNull, checks)
+      s"part-$partitionId-$taskId-$queryId.tsv", bloomCols, ndvCols, notNull, checks)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv", bloomCols, notNull, checks)
+      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv", bloomCols, ndvCols,
+      notNull, checks)
 }
 
 private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String,
-    bloomCols: Seq[String] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty, ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriter[InternalRow] {
@@ -1360,6 +1397,19 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   private val bloomB = {
     val a = new Array[FileBloom.Builder](schema.length)
     bloomIdx.foreach(i => a(i) = new FileBloom.Builder)
+    a
+  }
+  // KMV distinct sketches for the configured NDV columns — O(K) memory
+  // per column, gathered in the same pass (see [[KmvSketch]])
+  private val ndvIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if ndvCols.exists(_.equalsIgnoreCase(f.name)) &&
+      (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DoubleType || f.dataType == StringType ||
+        f.dataType == DateType || f.dataType == TimestampType) => i
+  }
+  private val ndvB = {
+    val a = new Array[KmvSketch.Builder](schema.length)
+    ndvIdx.foreach(i => a(i) = new KmvSketch.Builder)
     a
   }
 
@@ -1416,6 +1466,18 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
           case dt => throw new IllegalStateException(s"unreachable: $dt")
         })
     }
+    ndvIdx.foreach { i =>
+      if (!row.isNullAt(i)) // NDV counts non-null distinct values (the
+        // CBO's distinctCount convention; nulls ride nullCount)
+        ndvB(i).add(schema.fields(i).dataType match {
+          case LongType | TimestampType => FileBloom.hashLong(row.getLong(i))._1
+          case IntegerType | DateType => FileBloom.hashLong(row.getInt(i).toLong)._1
+          case DoubleType => FileBloom.hashLong(
+            java.lang.Double.doubleToLongBits(row.getDouble(i)))._1
+          case StringType => FileBloom.hashBytes(row.getUTF8String(i).getBytes)._1
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        })
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -1433,7 +1495,9 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
       (numIdx ++ strIdx).collect { case i if partial(i) => schema.fields(i).name }.toSet,
       strRanges,
       ColumnStats.renderBlooms(
-        bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap))
+        bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap),
+      ColumnStats.renderBlooms(
+        ndvIdx.map(i => schema.fields(i).name -> FileBloom.ser(ndvB(i).result())).toMap))
     StagedFile(name, rows, stats.render, schema.length)
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
@@ -1797,21 +1861,38 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
           entries.forall(e => e.stats.ranges.contains(f.name))
         val noNulls = entries.nonEmpty &&
           entries.forall(e => !e.stats.incomplete.contains(f.name))
-        if (numeric && haveAll) {
-          val lo = entries.map(_.stats.ranges(f.name)._1).min
-          val hi = entries.map(_.stats.ranges(f.name)._2).max
+        // NDV is only claimed when EVERY live file carries a KMV sketch
+        // (the C94 soundness rule: a sketch-less file could hold any
+        // number of unseen values); the union merge never double-counts
+        // values shared across files
+        val ndv: Option[Long] =
+          if (entries.nonEmpty &&
+            entries.forall(e => e.stats.ndvSketches.contains(f.name)))
+            Some(KmvSketch.estimate(
+              entries.map(e => FileBloom.deser(e.stats.ndvSketches(f.name)))))
+          else None
+        if ((numeric && haveAll) || ndv.isDefined) {
           def cv(x: BigDecimal): Object = f.dataType match {
             case LongType | TimestampType => java.lang.Long.valueOf(x.toLong)
             case IntegerType | DateType => java.lang.Integer.valueOf(x.toInt)
             case _ => java.lang.Double.valueOf(x.toDouble)
           }
+          val range =
+            if (numeric && haveAll)
+              Some((cv(entries.map(_.stats.ranges(f.name)._1).min),
+                cv(entries.map(_.stats.ranges(f.name)._2).max)))
+            else None
           out.put(Expressions.column(f.name), new ColumnStatistics {
             override def min(): java.util.Optional[Object] =
-              java.util.Optional.of(cv(lo))
+              range.map(r => java.util.Optional.of(r._1))
+                .getOrElse(java.util.Optional.empty())
             override def max(): java.util.Optional[Object] =
-              java.util.Optional.of(cv(hi))
+              range.map(r => java.util.Optional.of(r._2))
+                .getOrElse(java.util.Optional.empty())
             override def nullCount(): OptionalLong =
               if (noNulls) OptionalLong.of(0L) else OptionalLong.empty()
+            override def distinctCount(): OptionalLong =
+              ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
           })
         }
       }

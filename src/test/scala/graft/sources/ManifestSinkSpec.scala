@@ -276,6 +276,37 @@ class ManifestSinkSpec extends SparkSuite {
     assert(!cols.contains("name"))
   }
 
+  test("NDV column statistics: merged KMV sketches land within 10%, withheld when any file lacks one") {
+    val dir = freshDir()
+    val schema2 = Seq((1L, "x")).toDF("id", "cat").schema
+    Manifest.write(Paths.get(dir),
+      Manifest(schema2, Seq.empty, Map(Manifest.NdvColsProp -> "id,cat")))
+    // 10,000 distinct ids via OVERLAPPING appends (0–5999 and 4000–9999):
+    // the union merge must not double-count the 2000 shared keys
+    (0L until 6000L).map(i => (i, s"c${i % 37}")).toDF("id", "cat")
+      .repartition(3).write.format(Fmt).option("path", dir).mode("append").save()
+    (4000L until 10000L).map(i => (i, s"c${i % 37}")).toDF("id", "cat")
+      .repartition(3).write.format(Fmt).option("path", dir).mode("append").save()
+    def colStats = new ManifestScanBuilder(Paths.get(dir), None).build()
+      .asInstanceOf[ManifestScan].estimateStatistics().columnStats().asScala
+      .map { case (k, v) => k.toString -> v }
+    val idNdv = colStats("id").distinctCount().getAsLong
+    assert(math.abs(idNdv - 10000L) <= 1000L,
+      s"NDV for id: $idNdv, want 10000 ±10%")
+    // a column with fewer than K distinct values is EXACT (the sketch is
+    // its complete hash set) — and strings get stats through NDV alone
+    assert(colStats("cat").distinctCount().getAsLong == 37L)
+    // soundness (the C94 rule): one live file without a sketch must
+    // withhold the table-level claim, not skew it
+    val m = Manifest.read(Paths.get(dir)).get
+    Manifest.write(Paths.get(dir), m.copy(props = m.props - Manifest.NdvColsProp))
+    Seq((100000L, "zz")).toDF("id", "cat").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(!colStats("id").distinctCount().isPresent,
+      "sketch-less live file must withhold NDV")
+    assert(!colStats.contains("cat"), "no range, no sketch → no claim")
+  }
+
   test("TSV codec and zone-map stats roundtrip adversarial values") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
