@@ -167,42 +167,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestTable(dir, m.schema, Some(v))
   }
 
-  /** CREATE TABLE, optionally `PARTITIONED BY (identity columns)`.
-    * Partitioning is a CLUSTERING contract (see
-    * [[Manifest.PartitionColsProp]]): the columns persist as a
-    * manifest property and every subsequent write range-clusters on them,
-    * so zone maps prune partition predicates file-by-file. Non-identity
-    * transforms (bucket/years/days/…) are REJECTED explicitly — silently
-    * accepting DDL this sink doesn't honor would be worse than refusing. */
+  /** CREATE TABLE, optionally `PARTITIONED BY (…)` with identity columns
+    * or Iceberg-style transforms (`years/months/days/hours(ts)`,
+    * `bucket(n, col)`). Partitioning is a CLUSTERING contract (see
+    * [[Manifest.PartitionColsProp]]): every subsequent write
+    * range-clusters on the transform's SOURCE columns, so zone maps prune
+    * predicates on those columns file-by-file. For the time transforms
+    * this is sound and strictly finer than the declared granularity —
+    * they are MONOTONE in their source column, so value-clustering
+    * refines day/month clustering and a `ts` range predicate prunes the
+    * same file subset the transform would give, without the user deriving
+    * a day column. For `bucket(n, col)` value-clustering serves the same
+    * goal (bounded files per point key) while keeping zone-map and bloom
+    * pruning on `col` — hash-scattering would defeat both. The DECLARED
+    * transforms persist verbatim ([[Manifest.PartitionTransformsProp]])
+    * so DESCRIBE / SHOW CREATE reproduce the user's DDL. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("_manifest")))
       throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map {
-      // the public Transform surface: identity transforms carry name
-      // "identity" and exactly one column reference
-      case t if t.name() == "identity" && t.references().length == 1 =>
-        val ref = t.references()(0)
-        if (ref.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            "PARTITIONED BY: nested fields not supported")
-        val c = ref.fieldNames()(0)
-        schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
-            s"PARTITIONED BY: column $c not in schema " +
-              s"(${schema.fieldNames.mkString(", ")})")).name
-      case other =>
+    def sourceCol(t: Transform): String = {
+      if (t.references().length != 1 || t.references()(0).fieldNames().length != 1)
         throw new UnsupportedOperationException(
-          s"PARTITIONED BY: only identity column transforms are supported " +
-            s"(got $other) — this sink clusters files by the partition " +
-            "columns and prunes via zone maps; bucket/time transforms have " +
-            "no layout contract here")
+          s"PARTITIONED BY: ${t.name()} must reference exactly one top-level column")
+      val c = t.references()(0).fieldNames()(0)
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY: column $c not in schema " +
+            s"(${schema.fieldNames.mkString(", ")})")).name
     }
+    val TimeTransforms = Set("years", "months", "days", "hours")
+    // (clustering column, declared-transform rendering)
+    val parsed: Seq[(String, String)] = partitions.toSeq.map { t =>
+      t.name() match {
+        case "identity" => val c = sourceCol(t); (c, c)
+        case n if TimeTransforms(n) =>
+          val c = sourceCol(t)
+          val f = schema.fields.find(_.name == c).get
+          if (f.dataType != org.apache.spark.sql.types.TimestampType &&
+            f.dataType != org.apache.spark.sql.types.DateType)
+            throw new IllegalArgumentException(
+              s"PARTITIONED BY: $n($c) needs a date/timestamp column, " +
+                s"got ${f.dataType.simpleString}")
+          (c, s"$n($c)")
+        case "bucket" =>
+          val c = sourceCol(t)
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"PARTITIONED BY: bucket transform without a bucket count: $t"))
+          if (n <= 0) throw new IllegalArgumentException(
+            s"PARTITIONED BY: bucket count must be positive, got $n")
+          (c, s"bucket($n,$c)")
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"PARTITIONED BY: unsupported transform $t — identity columns, " +
+              "years/months/days/hours(ts) and bucket(n, col) are accepted")
+      }
+    }
+    val partCols = parsed.map(_._1)
+    if (partCols.distinct.length != partCols.length)
+      throw new IllegalArgumentException(
+        s"PARTITIONED BY: duplicate source column in (${parsed.map(_._2).mkString(", ")})")
+    val transforms = parsed.map(_._2)
     Files.createDirectories(dir)
     val props =
       (if (partCols.isEmpty) Map.empty[String, String]
        else Map(Manifest.PartitionColsProp -> partCols.mkString(","))) ++
+        (if (transforms == partCols) Map.empty[String, String] // identity-only
+         else Map(Manifest.PartitionTransformsProp -> transforms.mkString(";"))) ++
         GraftCatalog.userProps(properties.asScala.toMap)
     // a CHECK property that cannot bind is rejected at CREATE, never
     // stored to fail every future write

@@ -428,6 +428,19 @@ private[graft] object Manifest {
     read(dir).flatMap(_.props.get(PartitionColsProp))
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  /** Manifest property recording the user's DECLARED partition transforms
+    * verbatim (`days(ts)`, `bucket(16,id)`; ';'-joined — bucket renders
+    * contain commas), present only when some transform is non-identity.
+    * Layout derives from [[PartitionColsProp]] (the transforms' source
+    * columns); this prop exists so DESCRIBE / SHOW CREATE reproduce the
+    * original DDL. */
+  private[sources] val PartitionTransformsProp = "partitionTransforms"
+
+  /** Declared transform renderings, when any non-identity one exists. */
+  private[sources] def partitionTransforms(dir: Path): Option[Seq[String]] =
+    read(dir).flatMap(_.props.get(PartitionTransformsProp))
+      .map(_.split(";").toSeq.filter(_.nonEmpty))
+
   /** Manifest property recording the directory a SHALLOW CLONE was taken
     * from: entries whose data file is absent locally resolve against the
     * clone chain (clone-of-clone walks transitively, cycle-bounded).
@@ -610,12 +623,26 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
-  /** The declared identity partition columns (DESCRIBE shows them; new
-    * writes cluster by them — see [[Manifest.PartitionColsProp]]). */
-  override def partitioning(): Array[Transform] =
-    Manifest.partitionCols(dir)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+  /** The DECLARED partitioning (DESCRIBE / SHOW CREATE show it; new
+    * writes cluster by the transforms' source columns — see
+    * [[Manifest.PartitionColsProp]] / [[Manifest.PartitionTransformsProp]]). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val TimeT = """(years|months|days|hours)\((\w+)\)""".r
+    val BucketT = """bucket\((\d+),(\w+)\)""".r
+    Manifest.partitionTransforms(dir) match {
+      case Some(ts) => ts.map {
+        case TimeT("years", c) => Expressions.years(c)
+        case TimeT("months", c) => Expressions.months(c)
+        case TimeT("days", c) => Expressions.days(c)
+        case TimeT("hours", c) => Expressions.hours(c)
+        case BucketT(n, c) => Expressions.bucket(n.toInt, c)
+        case c => Expressions.identity(c)
+      }.toArray
+      case None => Manifest.partitionCols(dir)
+        .map(c => Expressions.identity(c)).toArray
+    }
+  }
 
   /** User TBLPROPERTIES (SHOW TBLPROPERTIES reads this) — the `tbl.`-
     * prefixed manifest props with the prefix stripped; the sink's own

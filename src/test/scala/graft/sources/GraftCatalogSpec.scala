@@ -899,16 +899,84 @@ class GraftCatalogSpec extends SparkSuite {
     assert(planned.exists(m => m.group(1).toInt < m.group(2).toInt),
       s"scan must plan a strict file subset, plan was:\n$desc")
 
-    // rejection matrix: non-identity transforms and unknown columns never
-    // create a half-honored table
+    // rejection matrix: unsupported transforms and unknown columns never
+    // create a half-honored table (bucket/days are accepted — their own test)
     intercept[Exception] {
-      spark.sql("CREATE TABLE graftcat.pt.bk (id BIGINT) " +
-        "PARTITIONED BY (bucket(4, id))")
+      spark.sql("CREATE TABLE graftcat.pt.tr (s STRING) " +
+        "PARTITIONED BY (truncate(4, s))")
     }
     intercept[Exception] {
       spark.sql("CREATE TABLE graftcat.pt.nc (id BIGINT) PARTITIONED BY (nope)")
     }
+    intercept[Exception] { // time transform over a non-temporal column
+      spark.sql("CREATE TABLE graftcat.pt.dd (id BIGINT) " +
+        "PARTITIONED BY (days(id))")
+    }
     assert(cat.listTables(Array("pt")).map(_.name()).toSet == Set("docs"))
+  }
+
+  test("transform partitioning: days(ts) prunes ts predicates to a strict file subset") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ptt")
+    spark.sql("DROP TABLE IF EXISTS graftcat.ptt.ev")
+    spark.sql("CREATE TABLE graftcat.ptt.ev (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+
+    // the declared transform survives the round-trip to DESCRIBE/SHOW CREATE
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ptt"), "ev"))
+    assert(t.partitioning().toSeq.map(_.toString) == Seq("days(ts)"),
+      t.partitioning().toSeq.toString)
+
+    // 16 days of events, interleaved on input — the write's clustering
+    // contract (range on the SOURCE column, a refinement of day
+    // granularity) must separate them into narrow-range files
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalescePrev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try spark.range(0, 4000)
+      .selectExpr(
+        "timestamp_seconds(1700000000 + (id % 16) * 86400 + id) AS ts",
+        "id AS v")
+      .writeTo("graftcat.ptt.ev").append()
+    finally spark.conf.set(coalesceKey, coalescePrev)
+    val entries = Manifest.read(Paths.get(s"$rootDir/ptt/ev")).get.entries
+      .filter(_.rows > 0)
+    assert(entries.length > 1, "clustered append must commit multiple files")
+
+    // a ts range predicate (no user-derived day column anywhere) plans a
+    // strict file subset and returns exactly the right rows
+    val q = spark.table("graftcat.ptt.ev").where(
+      "ts >= timestamp_seconds(1700000000 + 3*86400) AND " +
+        "ts < timestamp_seconds(1700000000 + 4*86400)")
+    val n = q.count()
+    assert(n == 250L, s"one of 16 days → 250 rows, got $n")
+    val desc = q.queryExecution.executedPlan.toString
+    val planned = """files=(\d+)/(\d+)""".r.findFirstMatchIn(desc)
+    assert(planned.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"days(ts) table must plan a strict file subset, plan was:\n$desc")
+
+    // bucket(n, col) is accepted, records its DDL, and point probes prune
+    spark.sql("DROP TABLE IF EXISTS graftcat.ptt.bk")
+    spark.sql("CREATE TABLE graftcat.ptt.bk (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(16, id))")
+    val bt = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ptt"), "bk"))
+    assert(bt.partitioning().toSeq.map(_.toString) == Seq("bucket(16, id)"),
+      bt.partitioning().toSeq.toString)
+    spark.conf.set(coalesceKey, "false")
+    try spark.range(0, 4000)
+      .selectExpr("(id * 2654435761) % 4000 AS id", "CAST(id AS DOUBLE) AS v")
+      .writeTo("graftcat.ptt.bk").append()
+    finally spark.conf.set(coalesceKey, coalescePrev)
+    val bq = spark.table("graftcat.ptt.bk").where("id = 1234")
+    bq.collect() // value-clustered layout serves the bucket's point-probe goal
+    val bdesc = bq.queryExecution.executedPlan.toString
+    val bplanned = """files=(\d+)/(\d+)""".r.findFirstMatchIn(bdesc)
+    assert(bplanned.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"bucket table must plan a strict file subset for a point probe:\n$bdesc")
   }
 
   test("TBLPROPERTIES persist in the manifest; ALTER SET/UNSET rides the atomic swap") {
