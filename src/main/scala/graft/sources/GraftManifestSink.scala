@@ -731,17 +731,37 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   }
 }
 
-/** Serializes every manifest read-modify-write on a table directory:
-  * a per-dir JVM monitor (same-process writers — two threads locking one
-  * file would otherwise throw `OverlappingFileLockException`) wrapping an
-  * OS file lock on `_commit.lock` (cross-process writers on the same
-  * host). This closes the lost-update race two concurrent commits had
-  * between manifest read and swap — the loser's files stayed on disk
-  * unreferenced, i.e. SILENT DATA LOSS that vacuum later reaped. Scope:
-  * same-host writers (the local-FS deployment this sink serves); a
-  * multi-driver object-store deployment needs a lock service, exactly as
-  * Delta documents. */
-private[graft] object ManifestLock {
+/** Pluggable mutual exclusion for a table directory's manifest
+  * read-modify-write — the commit-coordination seam a multi-driver
+  * deployment swaps out.
+  *
+  * CONTRACT: `withLock(dir)(body)` runs `body` while no other writer —
+  * any thread, process, or driver host, through any implementation bound
+  * to the same physical table — is inside a `withLock` on the same
+  * directory. `body` performs read manifest → stage → atomic swap; the
+  * lock must cover all three, and callers never nest locks on one dir.
+  * An implementation that cannot acquire MUST block or throw — returning
+  * without exclusion silently loses the slower writer's commit.
+  *
+  * Implementations for object stores (where an OS file lock means
+  * nothing): a conditional-put / compare-and-swap on the manifest object
+  * version (S3 If-Match, GCS generation preconditions) retried on
+  * conflict, or an external lock service (DynamoDB lease table, ZK/etcd
+  * lease) — exactly the options Delta documents for multi-cluster
+  * writes. Install process-wide via [[ManifestLock.install]]. */
+private[graft] trait CommitLock {
+  def withLock[T](dir: Path)(body: => T): T
+}
+
+/** Default [[CommitLock]]: a per-dir JVM monitor (same-process writers —
+  * two threads locking one file would otherwise throw
+  * `OverlappingFileLockException`) wrapping an OS file lock on
+  * `_commit.lock` (cross-process writers on the same host). This closes
+  * the lost-update race two concurrent commits had between manifest read
+  * and swap — the loser's files stayed on disk unreferenced, i.e. SILENT
+  * DATA LOSS that vacuum later reaped. Scope: same-host writers (the
+  * local-FS deployment this sink serves). */
+private[graft] object LocalFileCommitLock extends CommitLock {
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def withLock[T](dir: Path)(body: => T): T = {
@@ -756,6 +776,23 @@ private[graft] object ManifestLock {
       } finally ch.close()
     }
   }
+}
+
+/** The commit-lock binding every manifest RMW site goes through.
+  * Process-wide ON PURPOSE: all writers in one driver must agree on the
+  * coordination mechanism for a given deployment — per-table bindings
+  * would let two writers of one table lock through different services
+  * and miss each other entirely. */
+private[graft] object ManifestLock {
+  @volatile private var impl: CommitLock = LocalFileCommitLock
+
+  /** Install a deployment's lock implementation; returns the previous
+    * one (tests restore it). */
+  private[graft] def install(l: CommitLock): CommitLock = {
+    val prev = impl; impl = l; prev
+  }
+
+  def withLock[T](dir: Path)(body: => T): T = impl.withLock(dir)(body)
 }
 
 private[graft] object ManifestTable {

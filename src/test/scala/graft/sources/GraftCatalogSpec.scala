@@ -352,6 +352,44 @@ class GraftCatalogSpec extends SparkSuite {
       s"every concurrent append must be published (got ${ids.length}/80 rows)")
   }
 
+  test("CommitLock is pluggable: injected impl serializes the same racing appends") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.cc2")
+    spark.sql("DROP TABLE IF EXISTS graftcat.cc2.t")
+    spark.sql("CREATE TABLE graftcat.cc2.t (id BIGINT)")
+    // a delegating impl that PROVES exclusion: a CAS-guarded critical
+    // section (any overlap → flag) around the default file lock — the
+    // shape an object-store conditional-put impl would take
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new CommitLock {
+      def withLock[T](dir: java.nio.file.Path)(body: => T): T =
+        LocalFileCommitLock.withLock(dir) {
+          calls.incrementAndGet()
+          if (inside.incrementAndGet() != 1) overlapped.set(true)
+          try body finally inside.decrementAndGet()
+        }
+    }
+    val prev = ManifestLock.install(counting)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futs = (0 until 8).map { t =>
+        Future {
+          spark.range(t * 100L, t * 100L + 10).toDF("id")
+            .coalesce(1).writeTo("graftcat.cc2.t").append()
+        }
+      }
+      Await.result(Future.sequence(futs), 180.seconds)
+    } finally ManifestLock.install(prev)
+    assert(spark.table("graftcat.cc2.t").count() == 80L,
+      "every concurrent append must publish through the injected lock")
+    assert(calls.get() >= 8, s"injected lock must see every commit (saw ${calls.get()})")
+    assert(!overlapped.get(), "no two commits may overlap inside the lock")
+  }
+
   test("ALTER TABLE ADD COLUMN widens metadata-only: old files NULL-fill, snapshots keep the old schema") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo")
