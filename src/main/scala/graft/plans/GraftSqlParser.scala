@@ -206,7 +206,7 @@ case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {
     import graft.sources.Manifest
     Manifest.snapshotVersions(mt.dir).flatMap { v =>
       Manifest.readSnapshot(mt.dir, v).map(m =>
-        Row(v, m.entries.length, m.entries.map(_.rows).sum))
+        Row(v, m.entries.length, m.entries.map(_.liveRows).sum))
     }
   }
 }
@@ -238,7 +238,7 @@ case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
       val p = Manifest.resolveData(chain, e.name)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
-    Seq(Row(dir.toString, m.entries.length, bytes, m.entries.map(_.rows).sum,
+    Seq(Row(dir.toString, m.entries.length, bytes, m.entries.map(_.liveRows).sum,
       Manifest.partitionCols(dir).mkString(","),
       Manifest.snapshotVersions(dir).length,
       m.props.count(_._1.startsWith(graft.sources.GraftCatalog.TblPropPrefix))))
@@ -389,10 +389,11 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
         Row(s"_manifest.v$v", "snapshot-expired")
       }
     }
+    val manifests = Manifest.read(root).toSeq ++
+      Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _))
     val reachable: Set[String] =
-      (Manifest.read(root).toSeq ++
-        Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _)))
-        .flatMap(_.files.map(_._1)).toSet
+      manifests.flatMap(m =>
+        m.files.map(_._1) ++ m.entries.flatMap(_.dv.map(_._1))).toSet
     def listed[T](d: Path)(f: Iterator[Path] => T): T = {
       val s = Files.list(d)
       try f(s.iterator().asScala) finally s.close()
@@ -417,7 +418,8 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     // that is about to reference it
     val orphans = listed(root)(_.toSeq)
       .filter(p => Files.isRegularFile(p))
-      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .filter { p => val n = p.getFileName.toString
+        n.startsWith("part-") || n.startsWith("dv-") }
       .filterNot(p => reachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unreachable") }

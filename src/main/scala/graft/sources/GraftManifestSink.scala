@@ -352,7 +352,13 @@ private[graft] object ColumnStats {
   */
 private[graft] class ManifestFile(val name: String, val rows: Long,
     statsThunk: () => ColumnStats, val cols: Int,
-    val colMap: Option[Seq[Int]] = None, rawStats: String = null) {
+    val colMap: Option[Seq[Int]] = None, rawStats: String = null,
+    val dv: Option[(String, Long)] = None) {
+  /** Rows a reader returns: physical rows minus the deletion vector's
+    * ordinals. `rows` itself stays the PHYSICAL line count — zone maps,
+    * layout decisions and the reader's ordinal space are per physical
+    * row. */
+  def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
   /** Parsed on FIRST consultation, once per entry: a no-filter plan over
     * a million-file manifest parses no stats at all, and a filtered plan
     * pays BigDecimal range parsing only from here on. */
@@ -367,11 +373,13 @@ private[graft] class ManifestFile(val name: String, val rows: Long,
   }
   def copy(name: String = this.name, rows: Long = this.rows,
       stats: ColumnStats = null, cols: Int = this.cols,
-      colMap: Option[Seq[Int]] = this.colMap): ManifestFile =
-    if (stats == null) new ManifestFile(name, rows, statsThunk, cols, colMap, rawStats)
-    else new ManifestFile(name, rows, () => stats, cols, colMap)
+      colMap: Option[Seq[Int]] = this.colMap,
+      dv: Option[(String, Long)] = this.dv): ManifestFile =
+    if (stats == null)
+      new ManifestFile(name, rows, statsThunk, cols, colMap, rawStats, dv)
+    else new ManifestFile(name, rows, () => stats, cols, colMap, null, dv)
   override def toString: String =
-    s"ManifestFile($name, $rows rows, cols=$cols, colMap=$colMap)"
+    s"ManifestFile($name, $rows rows, cols=$cols, colMap=$colMap, dv=$dv)"
 }
 
 private[graft] object ManifestFile {
@@ -380,9 +388,10 @@ private[graft] object ManifestFile {
     new ManifestFile(name, rows, () => stats, cols, colMap)
   /** Entry from a manifest line's raw stats field — parsed lazily. */
   def raw(name: String, rows: Long, statsRaw: String, cols: Int,
-      colMap: Option[Seq[Int]] = None): ManifestFile =
+      colMap: Option[Seq[Int]] = None,
+      dv: Option[(String, Long)] = None): ManifestFile =
     new ManifestFile(name, rows, () => ColumnStats.parse(statsRaw), cols,
-      colMap, statsRaw)
+      colMap, statsRaw, dv)
 }
 
 /** `_manifest` contents: schema + optional table properties + the exact
@@ -518,13 +527,22 @@ private[graft] object Manifest {
         }.toMap, rest)
       case rest => (Map.empty[String, String], rest)
     }
+    // field 5 is the cell map ('-' = prefix layout), field 6 the deletion
+    // vector as `sidecar:count` — both optional, so older manifests parse
+    def cmap(mp: String): Option[Seq[Int]] =
+      if (mp == "-") None else Some(mp.split(",").toSeq.map(_.toInt))
+    def dvOf(s: String): Option[(String, Long)] = {
+      val Array(f, c) = s.split(":", 2); Some((f, c.toLong))
+    }
     val entries = entryLines.map { l =>
       l.split("\t") match {
         case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
         case Array(f, n, st) => ManifestFile.raw(f, n.toLong, st, schema.length)
         case Array(f, n, st, c) => ManifestFile.raw(f, n.toLong, st, c.toInt)
         case Array(f, n, st, c, mp) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, Some(mp.split(",").toSeq.map(_.toInt)))
+          c.toInt, cmap(mp))
+        case Array(f, n, st, c, mp, dvs) => ManifestFile.raw(f, n.toLong, st,
+          c.toInt, cmap(mp), dvOf(dvs))
       }
     }
     Manifest(schema, entries, props)
@@ -575,8 +593,13 @@ private[graft] object Manifest {
        else Seq("!" + m.props.toSeq.sortBy(_._1)
          .map { case (k, v) => s"$k=$v" }.mkString("\t")))
     val body = (header ++
-      m.entries.map(e => s"${e.name}\t${e.rows}\t${e.renderStats}\t${e.cols}" +
-        e.colMap.map("\t" + _.mkString(",")).getOrElse("")))
+      m.entries.map { e =>
+        val mapField = e.colMap.map(_.mkString(","))
+          .getOrElse(if (e.dv.isDefined) "-" else "")
+        s"${e.name}\t${e.rows}\t${e.renderStats}\t${e.cols}" +
+          (if (mapField.nonEmpty) s"\t$mapField" else "") +
+          e.dv.map { case (f, c) => s"\t$f:$c" }.getOrElse("")
+      })
       .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
     // `.tmp` LAST keeps the name outside SnapshotName even for substring
@@ -610,7 +633,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     * the same name wins (Spark's metadata-conflict rule). */
   override def metadataColumns()
     : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(ManifestTable.FileMetaCol)
+    Array(ManifestTable.FileMetaCol, ManifestTable.PosMetaCol)
   /** The selected SNAPSHOT's schema when time-traveling (a pre-ALTER
     * version must read under the schema it was committed with), else the
     * current manifest's. */
@@ -714,20 +737,59 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
     val (drop, keep, cut) = classify(m.entries, filters)
     val _ = keep
-    val rewritten =
-      if (cut.isEmpty) Seq.empty
-      else {
-        val pred = filters.map(f => ManifestScanBuilder.filterColumn(f).getOrElse(
-          throw new UnsupportedOperationException(
-            s"DELETE FROM: cannot evaluate pushed filter $f row-by-row")))
-          .reduce(_ && _)
-        // DELETE removes rows where the predicate is TRUE; NULL/FALSE rows
-        // survive — hence the coalesce, not a bare negation
-        import org.apache.spark.sql.functions.{coalesce, lit, not}
-        ManifestTable.rewriteFiles(dir, m, cut,
-          df => df.filter(not(coalesce(pred, lit(false)))))
+    if (cut.isEmpty) {
+      ManifestTable.publishReplacing(dir, m, drop.map(_.name), Seq.empty)
+      return
+    }
+    val pred = filters.map(f => ManifestScanBuilder.filterColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE FROM: cannot evaluate pushed filter $f row-by-row")))
+      .reduce(_ && _)
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    if (m.props.get("tbl.delete.dv").contains("true")) {
+      // MERGE-ON-READ tier (TBLPROPERTIES 'delete.dv'='true'): instead of
+      // rewriting each cut file, record the matching rows' physical
+      // ordinals in a per-file deletion-vector sidecar the reader skips —
+      // a selective delete becomes O(matched rows) metadata. One
+      // distributed job over ONLY the cut files finds (file, ordinal)
+      // pairs; the collect is O(deleted rows), the shape metadata-only
+      // deletes are FOR (a mass delete should not set the property, or
+      // should OPTIMIZE after). Existing vectors merge (the scan below
+      // reads through them, so rediscovered ordinals are impossible —
+      // union by construction); a file whose vector reaches its row count
+      // drops from the manifest entirely.
+      val spark = org.apache.spark.sql.SparkSession.active
+      val hits = spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString)
+        .option("files", cut.map(_.name).mkString(","))
+        .load()
+        .where(coalesce(pred, lit(false)))
+        .select(col("_file"), col("_pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val byFile = hits.groupBy(_._1)
+      // (replaced entry name, replacement entry or None=fully deleted)
+      val updated: Seq[(String, Option[ManifestFile])] = cut.flatMap { e =>
+        byFile.get(e.name) match {
+          case None => None // conservative cut; predicate matched nothing
+          case Some(pairs) =>
+            val existing = e.dv
+              .map(d => DeletionVector.read(dir.resolve(d._1)))
+              .getOrElse(Array.emptyLongArray)
+            val merged = (existing ++ pairs.map(_._2)).distinct.sorted
+            if (merged.length >= e.rows) Some(e.name -> None)
+            else Some(e.name -> Some(e.copy(
+              dv = Some((DeletionVector.write(dir, merged), merged.length.toLong)))))
+        }
       }
-    ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name), rewritten)
+      ManifestTable.publishReplacing(dir, m,
+        drop.map(_.name) ++ updated.map(_._1), updated.flatMap(_._2))
+    } else {
+      // DELETE removes rows where the predicate is TRUE; NULL/FALSE rows
+      // survive — hence the coalesce, not a bare negation
+      val rewritten = ManifestTable.rewriteFiles(dir, m, cut,
+        df => df.filter(not(coalesce(pred, lit(false)))))
+      ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name), rewritten)
+    }
   }
 }
 
@@ -795,6 +857,35 @@ private[graft] object ManifestLock {
   def withLock[T](dir: Path)(body: => T): T = impl.withLock(dir)(body)
 }
 
+/** DELETION-VECTOR sidecars (the Delta/Iceberg merge-on-read tier for
+  * row-level deletes): a `dv-*.bin` file of ascending physical row
+  * ordinals (little-endian longs) that the reader skips while scanning
+  * its data file. A 1-row delete from a 1 GB file becomes an 8-byte
+  * sidecar + manifest swap instead of a 1 GB rewrite. Sidecars are
+  * immutable and content-fresh per publish (a re-delete writes a NEW
+  * merged sidecar — old snapshots keep referencing theirs, so time
+  * travel sees pre-delete rows); OPTIMIZE / compaction read through the
+  * vectors and emit vector-free files, purging them; VACUUM reaps
+  * sidecars no surviving snapshot references. */
+private[sources] object DeletionVector {
+  def write(dir: Path, ordinals: Array[Long]): String = {
+    val name = s"dv-${java.util.UUID.randomUUID().toString.take(13)}.bin"
+    val bb = java.nio.ByteBuffer.allocate(ordinals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ordinals.foreach(bb.putLong)
+    // unreferenced until the manifest swap publishes it — a crash between
+    // write and swap leaves an orphan VACUUM reaps, never a torn reference
+    Files.write(dir.resolve(name), bb.array())
+    name
+  }
+  def read(path: Path): Array[Long] = {
+    val bytes = Files.readAllBytes(path)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+}
+
 private[graft] object ManifestTable {
   /** See [[ManifestTable.metadataColumns]]. */
   val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
@@ -804,6 +895,19 @@ private[graft] object ManifestTable {
       override def isNullable: Boolean = false
       override def comment(): String =
         "manifest entry name of the data file this row was read from"
+    }
+
+  /** `_pos` metadata column: the row's PHYSICAL ordinal within its data
+    * file (deletion-vector ordinal space) — stable across reads because
+    * files are immutable. Powers DV construction; analog of parquet's
+    * `_metadata.row_index`. */
+  val PosMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row ordinal within the row's data file"
     }
 
   /** COPY-ON-WRITE rewrite step shared by row-level DELETE and UPDATE: run
@@ -1030,7 +1134,7 @@ private[graft] object ManifestTable {
         .map(c => snap.props + (Manifest.LastEpochProp -> c.toString))
         .getOrElse(snap.props)
       Manifest.write(dir, Manifest(snap.schema, snap.entries, props))
-      (snap.entries.length, snap.entries.map(_.rows).sum)
+      (snap.entries.length, snap.entries.map(_.liveRows).sum)
     }
 
   private[sources] def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -1587,12 +1691,16 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
   // position of the requested `_file` METADATA column in the required
   // schema (None unless selected); the data columns prune around it
   private var fileColAt: Option[Int] = None
+  private var posColAt: Option[Int] = None
   private var skipping: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     fileColAt = Some(requiredSchema.fieldNames.indexOf("_file")).filter(_ >= 0)
       .filterNot(_ => full.fieldNames.contains("_file")) // data column wins
+    posColAt = Some(requiredSchema.fieldNames.indexOf("_pos")).filter(_ >= 0)
+      .filterNot(_ => full.fieldNames.contains("_pos"))
     required = StructType(requiredSchema.fields.filterNot(f =>
-      fileColAt.isDefined && f.name == "_file"))
+      (fileColAt.isDefined && f.name == "_file") ||
+        (posColAt.isDefined && f.name == "_pos")))
   }
 
   /** Zone-map pushdown: filters are used to SKIP whole files via the
@@ -1611,7 +1719,7 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
       .filter(e => exclude.forall(x => !x.contains(e.name)))
     val kept = entries.filter(e =>
       skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
-    new ManifestScan(dir, full, required, kept, entries.length, fileColAt)
+    new ManifestScan(dir, full, required, kept, entries.length, fileColAt, posColAt)
   }
 }
 
@@ -1791,11 +1899,14 @@ private[sources] object ManifestScanBuilder {
 
 /** `file` is the RESOLVED absolute data path (driver-side resolution
   * through the shallow-clone chain — executors never walk manifests);
-  * `entry` is the manifest entry name (the `_file` metadata value) and
-  * `fileColAt` where to splice it into the output row when selected. */
+  * `entry` is the manifest entry name (the `_file` metadata value);
+  * `fileColAt`/`posColAt` say where to splice the metadata columns into
+  * the output row when selected; `dvPath` is the resolved deletion-vector
+  * sidecar whose ordinals the reader skips (null = none). */
 private[sources] case class ManifestFilePartition(file: String, dir: String,
     wanted: StructType, phys: Array[Int],
-    entry: String = "", fileColAt: Option[Int] = None) extends InputPartition
+    entry: String = "", fileColAt: Option[Int] = None,
+    posColAt: Option[Int] = None, dvPath: String = null) extends InputPartition
 
 /** Offset = committed snapshot version (monotone: every manifest write
   * archives `_manifest.v{n+1}`). */
@@ -1844,7 +1955,8 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
     endManifest.entries.filterNot(f => before(f.name))
       .map(f => ManifestFilePartition(Manifest.resolveData(chain, f.name).toString,
         dir.toString, wanted,
-        GraftManifestSink.wantedPhys(endManifest.schema, wanted, f)))
+        GraftManifestSink.wantedPhys(endManifest.schema, wanted, f),
+        dvPath = f.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull))
       .toArray[InputPartition]
   }
 
@@ -1855,7 +1967,8 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
     entries: Seq[ManifestFile], totalFiles: Int,
-    fileColAt: Option[Int] = None) extends Scan with Batch
+    fileColAt: Option[Int] = None, posColAt: Option[Int] = None)
+  extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -1870,11 +1983,17 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
   /** Observable by tests: how many files the last planning kept. */
   @volatile private[sources] var plannedFiles: Int = entries.length
 
-  override def readSchema(): StructType = fileColAt match {
-    case None => wanted
-    case Some(i) =>
-      val f = StructField("_file", StringType, nullable = false)
-      StructType(wanted.fields.take(i) ++ (f +: wanted.fields.drop(i)))
+  override def readSchema(): StructType = {
+    // splice the selected metadata columns back at their requested
+    // positions — mirrors the reader's withMeta exactly
+    val total = wanted.length + fileColAt.size + posColAt.size
+    var j = 0
+    val out = (0 until total).map { at =>
+      if (fileColAt.contains(at)) StructField("_file", StringType, nullable = false)
+      else if (posColAt.contains(at)) StructField("_pos", LongType, nullable = false)
+      else { val f = wanted.fields(j); j += 1; f }
+    }
+    StructType(out)
   }
   override def toBatch: Batch = this
   /** STREAMING READ of the managed table: snapshot versions are the
@@ -1895,7 +2014,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * and DPP benefit estimates for this sink the way parquet file sizes
     * do. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rowsTotal = entries.map(_.rows).sum
+    private val rowsTotal = entries.map(_.liveRows).sum
     private val chain = Manifest.resolveChain(dir)
     private val bytesTotal = entries.map { e =>
       val p = Manifest.resolveData(chain, e.name)
@@ -1996,7 +2115,8 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     val chain = Manifest.resolveChain(dir)
     current.map(e => ManifestFilePartition(Manifest.resolveData(chain, e.name).toString,
       dir.toString, wanted, GraftManifestSink.wantedPhys(full, wanted, e),
-      e.name, fileColAt))
+      e.name, fileColAt, posColAt,
+      e.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull))
       .toArray[InputPartition]
   }
 
@@ -2005,8 +2125,8 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ManifestFilePartition(file, dir, wanted, phys, entry, fileColAt) =
-      partition.asInstanceOf[ManifestFilePartition]
+    val ManifestFilePartition(file, dir, wanted, phys, entry, fileColAt,
+      posColAt, dvPath) = partition.asInstanceOf[ManifestFilePartition]
     val _ = dir // file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
       private val stream = Files.lines(Paths.get(file), UTF_8)
@@ -2015,26 +2135,41 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
       // UTF8String allocated per file, spliced per row only when selected
       private val fileVal =
         org.apache.spark.unsafe.types.UTF8String.fromString(entry)
+      // deletion vector: ascending physical ordinals, consumed by a single
+      // forward cursor in lockstep with the sequential line scan — O(1)
+      // per row, no hashing
+      private val dvOrds: Array[Long] =
+        if (dvPath == null) Array.emptyLongArray
+        else DeletionVector.read(Paths.get(dvPath))
+      private var dvIdx = 0
+      private var lineNo = -1L
       private var row: InternalRow = _
-      private def withFileCol(r: InternalRow): InternalRow = fileColAt match {
-        case None => r
-        case Some(i) =>
-          val vals = new Array[Any](wanted.length + 1)
-          var j = 0
-          while (j < wanted.length) {
-            val at = if (j < i) j else j + 1
-            vals(at) = r.get(j, wanted.fields(j).dataType)
-            j += 1
-          }
-          vals(i) = fileVal
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-      }
-      override def next(): Boolean = {
-        if (!it.hasNext) false
+      private def withMeta(r: InternalRow): InternalRow =
+        if (fileColAt.isEmpty && posColAt.isEmpty) r
         else {
-          row = withFileCol(GraftManifestSink.parse(it.next(), phys, wanted))
-          true
+          val total = wanted.length + fileColAt.size + posColAt.size
+          val vals = new Array[Any](total)
+          var j = 0 // next data ordinal; meta positions index the FULL row
+          var at = 0
+          while (at < total) {
+            if (fileColAt.contains(at)) vals(at) = fileVal
+            else if (posColAt.contains(at)) vals(at) = lineNo
+            else { vals(at) = r.get(j, wanted.fields(j).dataType); j += 1 }
+            at += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         }
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val line = it.next()
+          lineNo += 1
+          if (dvIdx < dvOrds.length && dvOrds(dvIdx) == lineNo) dvIdx += 1
+          else {
+            row = withMeta(GraftManifestSink.parse(line, phys, wanted))
+            return true
+          }
+        }
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = stream.close()

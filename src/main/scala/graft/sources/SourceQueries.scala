@@ -225,6 +225,41 @@ object SourceQueries extends QueryModule {
       s.table("graftdel.q.docs").orderBy("doc_id")
     }),
 
+    // The MERGE-ON-READ delete tier through the oracle gate: same deletes
+    // as q_delete_rows but on a table with TBLPROPERTIES
+    // ('delete.dv'='true') — cut files get per-file deletion-vector
+    // sidecars instead of copy-on-write rewrites (a 1-row delete is
+    // O(matched ordinals) metadata, not a file rewrite), readers skip the
+    // recorded ordinals, and the closing OPTIMIZE compacts through the
+    // vectors and purges them. The oracle is the same complement SELECT,
+    // so a vector that drops the wrong ordinal, survives OPTIMIZE, or
+    // leaks a deleted row hash-fails the gate across BOTH the
+    // vector-backed read and the post-OPTIMIZE rewrite.
+    "q_delete_dv" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_dvq_")
+      s.conf.set("spark.sql.catalog.graftdv", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdv.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftdv.q")
+      s.sql("DROP TABLE IF EXISTS graftdv.q.docs")
+      s.sql("CREATE TABLE graftdv.q.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('delete.dv' = 'true')")
+      Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .writeTo("graftdv.q.docs").append()
+      s.sql("DELETE FROM graftdv.q.docs WHERE lang = 'en' AND n_chars < 250")
+      s.sql("DELETE FROM graftdv.q.docs WHERE source = 'src7' AND n_chars > 300")
+      // half the result reads THROUGH the vectors (materialized before the
+      // OPTIMIZE — V2 scans plan their file list at execution, so an
+      // unmaterialized frame would silently read the compacted layout),
+      // half after OPTIMIZE purged them — both halves must hash to the
+      // same complement
+      val viaDv = s.table("graftdv.q.docs").where("doc_id % 2 = 0")
+        .localCheckpoint(true)
+      s.sql("OPTIMIZE graftdv.q.docs")
+      viaDv.unionAll(s.table("graftdv.q.docs").where("doc_id % 2 = 1"))
+        .orderBy("doc_id")
+    }),
+
     // SQL UPDATE through the driver's oracle gate: two sequential UPDATEs
     // over a catalog-managed manifest table — zone maps bound the rewrite
     // to the files each predicate can touch, every touched file rewrites
@@ -509,6 +544,12 @@ object SourceQueries extends QueryModule {
         |FROM (SELECT range AS doc_id FROM range(0, 300))
         |GROUP BY 1 ORDER BY source""".stripMargin,
     "q_delete_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (lang = 'en' AND n_chars < 250)
+        |  AND NOT (source = 'src7' AND n_chars > 300)
+        |ORDER BY doc_id""".stripMargin,
+    // The deletion-vector tier must produce the exact same complement.
+    "q_delete_dv" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)

@@ -1203,6 +1203,77 @@ class GraftCatalogSpec extends SparkSuite {
     assert(ck.getMessage.contains("CHECK"), ck.getMessage)
   }
 
+  test("deletion vectors: DELETE is metadata + sidecar, reads skip ordinals, OPTIMIZE purges, VACUUM reaps") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dv")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dv.t")
+    spark.sql("CREATE TABLE graftcat.dv.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO graftcat.dv.t " +
+        s"SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) " +
+        s"FROM RANGE(${i * 30}, ${i * 30 + 30})")
+    }
+    val dir = Paths.get(rootDir, "dv", "t")
+    val preFiles = Manifest.read(dir).get.entries.map(_.name).toSet
+    val preSnap = Manifest.snapshotVersions(dir).last
+
+    // a selective delete cuts through a file → sidecar, NOT a rewrite
+    spark.sql("DELETE FROM graftcat.dv.t WHERE id IN (7, 8, 41)")
+    val m1 = Manifest.read(dir).get
+    assert(m1.entries.map(_.name).toSet == preFiles,
+      "DV delete must not rewrite or drop data files")
+    assert(m1.entries.exists(_.dv.isDefined), m1.entries.mkString("; "))
+    assert(m1.entries.map(e => e.dv.map(_._2).getOrElse(0L)).sum == 3L)
+    // reads skip exactly the deleted ordinals
+    assert(spark.table("graftcat.dv.t").count() == 87L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.dv.t WHERE id IN (7, 8, 41)")
+      .head().getLong(0) == 0L)
+    // _pos metadata ordinals are PHYSICAL: survivors around a deleted row
+    // keep their original positions
+    val pos = spark.sql(
+      "SELECT id, _pos FROM graftcat.dv.t WHERE id IN (6, 9) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pos(9L) - pos(6L) == 3L, s"physical gap must persist: $pos")
+    // DESCRIBE HISTORY / DETAIL report LIVE rows
+    assert(spark.sql("DESCRIBE HISTORY graftcat.dv.t").orderBy("version")
+      .collect().last.getLong(2) == 87L)
+    // time travel BEFORE the delete still sees all 90 rows
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftcat.dv.t VERSION AS OF $preSnap")
+      .head().getLong(0) == 90L)
+
+    // a second delete on the same file MERGES vectors (new sidecar)
+    spark.sql("DELETE FROM graftcat.dv.t WHERE id = 9")
+    assert(spark.table("graftcat.dv.t").count() == 86L)
+    val m2 = Manifest.read(dir).get
+    assert(m2.entries.map(e => e.dv.map(_._2).getOrElse(0L)).sum == 4L)
+
+    // zone-map-aligned deletes still drop whole files metadata-only
+    spark.sql("DELETE FROM graftcat.dv.t WHERE id >= 60")
+    val m3 = Manifest.read(dir).get
+    assert(m3.entries.map(_.name).toSet.subsetOf(preFiles))
+    assert(spark.table("graftcat.dv.t").count() == 56L)
+
+    // OPTIMIZE compacts THROUGH the vectors and purges them
+    spark.sql("OPTIMIZE graftcat.dv.t")
+    val m4 = Manifest.read(dir).get
+    assert(m4.entries.forall(_.dv.isEmpty), "OPTIMIZE must purge vectors")
+    assert(spark.table("graftcat.dv.t").count() == 56L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.dv.t WHERE id IN (7, 8, 9, 41)")
+      .head().getLong(0) == 0L)
+
+    // VACUUM with the snapshots expired reaps the now-unreferenced sidecars
+    spark.conf.set("spark.graft.vacuum.stagingMinAgeMs", "0")
+    try spark.sql("VACUUM graftcat.dv.t RETAIN 1 SNAPSHOTS")
+    finally spark.conf.unset("spark.graft.vacuum.stagingMinAgeMs")
+    val dvLeft = Files.list(dir).iterator()
+    val dvFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(dvLeft)
+      .asScala.count(_.getFileName.toString.startsWith("dv-"))
+    assert(dvFiles == 0, s"$dvFiles dv sidecars survived vacuum")
+    assert(spark.table("graftcat.dv.t").count() == 56L)
+  }
+
   test("MERGE cardinality counts SOURCE rows per key: duplicate target keys are legal") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg3")
