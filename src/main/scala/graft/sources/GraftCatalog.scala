@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A V2 CATALOG PLUGIN backed by manifest-committed tables
@@ -430,10 +430,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                   .mkString(",")
               case kv => kv
             })
-        case _: TableChange.UpdateColumnType =>
-          throw new UnsupportedOperationException(
-            "ALTER TABLE: column type changes (including narrowing) are not " +
-              "supported — committed files would need a rewrite")
+        case up: TableChange.UpdateColumnType =>
+          if (up.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ALTER TABLE ALTER COLUMN TYPE: nested fields not supported")
+          val idx = cur.schema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(up.fieldNames()(0)))
+          if (idx < 0)
+            throw new IllegalArgumentException(
+              s"ALTER TABLE ALTER COLUMN TYPE: no column ${up.fieldNames()(0)} " +
+                s"in (${cur.schema.fieldNames.mkString(", ")})")
+          val f = cur.schema.fields(idx)
+          // METADATA-ONLY type WIDENING (the Iceberg rule): INT → BIGINT.
+          // Sound without touching a byte because the TSV codec parses
+          // cells by the DECLARED type ("123" reads as long as happily as
+          // int), zone-map ranges are stored as decimals (type-agnostic),
+          // and blooms/NDV hash ints through their long encoding — so
+          // every existing stat stays VALID under the widened type.
+          // Everything else (narrowing, cross-family changes, long→double
+          // which silently loses precision past 2^53) is rejected.
+          val ok = (f.dataType, up.newDataType()) match {
+            case (IntegerType, LongType) => true
+            case _ => false
+          }
+          if (!ok)
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ALTER COLUMN TYPE: ${f.name} " +
+                s"${f.dataType.simpleString} → ${up.newDataType().simpleString} " +
+                "is not a supported widening (only INT → BIGINT is " +
+                "metadata-only; anything else would need a rewrite or lose " +
+                "precision)")
+          cur.copy(schema = StructType(cur.schema.fields.updated(idx,
+            f.copy(dataType = up.newDataType()))))
         case other =>
           throw new UnsupportedOperationException(
             s"ALTER TABLE: unsupported change $other")

@@ -1203,6 +1203,49 @@ class GraftCatalogSpec extends SparkSuite {
     assert(ck.getMessage.contains("CHECK"), ck.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widens INT to BIGINT metadata-only; everything else is rejected") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.wide")
+    spark.sql("DROP TABLE IF EXISTS graftcat.wide.t")
+    spark.sql("CREATE TABLE graftcat.wide.t (k INT, s STRING) " +
+      "TBLPROPERTIES ('bloom.columns' = 'k')")
+    spark.sql("INSERT INTO graftcat.wide.t SELECT /*+ COALESCE(1) */ " +
+      "CAST(id AS INT), concat('s', id) FROM RANGE(0, 50)")
+    val dir = Paths.get(rootDir, "wide", "t")
+    val preFiles = Manifest.read(dir).get.entries.map(_.name).toSet
+    val preSnap = Manifest.snapshotVersions(dir).last
+
+    spark.sql("ALTER TABLE graftcat.wide.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("graftcat.wide.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Manifest.read(dir).get.entries.map(_.name).toSet == preFiles,
+      "widening must not rewrite data files")
+    // old cells read under the widened type; values intact
+    assert(spark.sql("SELECT sum(k) FROM graftcat.wide.t").head().getLong(0)
+      == (0L until 50L).sum)
+    // a value only BIGINT can hold lands beside the old files
+    spark.sql("INSERT INTO graftcat.wide.t VALUES (4000000000, 'big')")
+    assert(spark.sql("SELECT k FROM graftcat.wide.t WHERE s = 'big'")
+      .head().getLong(0) == 4000000000L)
+    // pre-widen blooms stay valid: the int hash rides its long encoding,
+    // so an equality probe still prunes to a strict file subset
+    val q = spark.table("graftcat.wide.t").where("k = 7")
+    assert(q.count() == 1L)
+    // time travel reads the pre-widen snapshot under INT
+    val old = spark.sql(
+      s"SELECT k FROM graftcat.wide.t VERSION AS OF $preSnap WHERE k = 7")
+    assert(old.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.head().getInt(0) == 7)
+
+    // rejection matrix: narrowing, cross-family, precision-losing
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.wide.t ALTER COLUMN k TYPE INT") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.wide.t ALTER COLUMN k TYPE DOUBLE") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.wide.t ALTER COLUMN s TYPE BIGINT") }
+  }
+
   test("deletion vectors: DELETE is metadata + sidecar, reads skip ordinals, OPTIMIZE purges, VACUUM reaps") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dv")
