@@ -548,18 +548,72 @@ private[graft] object Manifest {
     Manifest(schema, entries, props)
   }
 
+  /** Manifest-file parses since JVM start (cache misses) — the caching
+    * contract's test hook, not a metric. */
+  private[graft] val fileParseCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Parsed-manifest cache, keyed by absolute path and validated by the
+    * file's (inode, size, mtime): every publish lands via tmp +
+    * ATOMIC_MOVE, i.e. a FRESH inode, so attribute equality identifies
+    * the exact published version — the same snapshot-identity trick
+    * Delta's snapshot cache uses. Planning a query against an unchanged
+    * table costs one stat call instead of re-reading and re-parsing a
+    * (potentially multi-MB) manifest; entry stats forced lazily by an
+    * earlier plan stay forced for every later one. Bounded LRU. */
+  private val ReadCacheCap = 64
+  private val readCache = new java.util.LinkedHashMap[
+    String, (Object, Long, java.nio.file.attribute.FileTime, Manifest)](
+    ReadCacheCap, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      String, (Object, Long, java.nio.file.attribute.FileTime, Manifest)]): Boolean =
+      size() > ReadCacheCap
+  }
+
+  /** Test hook: drop every cached manifest (laziness specs need fresh
+    * entry instances whose stats are provably unforced). */
+  private[graft] def clearReadCache(): Unit =
+    readCache.synchronized(readCache.clear())
+
+  private def readCached(mf: Path): Option[Manifest] = {
+    import java.nio.file.attribute.BasicFileAttributes
+    def attrs(): BasicFileAttributes =
+      Files.readAttributes(mf, classOf[BasicFileAttributes])
+    val key = mf.toAbsolutePath.toString
+    val a1 = try attrs() catch { case _: java.io.IOException => return None }
+    if (a1.fileKey() != null) readCache.synchronized {
+      readCache.get(key) match {
+        case (fk, size, mt, m) if fk == a1.fileKey() && size == a1.size() &&
+          mt == a1.lastModifiedTime() => return Some(m)
+        case _ => ()
+      }
+    }
+    val lines = try Files.readAllLines(mf).asScala.toSeq
+      catch { case _: java.io.IOException => return None } // swapped mid-read
+    fileParseCount.incrementAndGet()
+    val m = parse(lines)
+    // cache only when the file provably did not change while we read it —
+    // a concurrent swap between stat and read must never pin stale content
+    val a2 = try attrs() catch { case _: java.io.IOException => return Some(m) }
+    if (a1.fileKey() != null && a1.fileKey() == a2.fileKey() &&
+      a1.size() == a2.size() && a1.lastModifiedTime() == a2.lastModifiedTime())
+      readCache.synchronized {
+        readCache.put(key, (a1.fileKey(), a1.size(), a1.lastModifiedTime(), m))
+      }
+    Some(m)
+  }
+
   /** Current table state. */
   def read(dir: Path): Option[Manifest] = {
     val mf = dir.resolve("_manifest")
     if (!Files.exists(mf)) None
-    else Some(parse(Files.readAllLines(mf).asScala.toSeq))
+    else readCached(mf)
   }
 
   /** A specific archived snapshot (1-based, ascending commit order). */
   def readSnapshot(dir: Path, version: Int): Option[Manifest] = {
     val mf = dir.resolve(s"_manifest.v$version")
     if (!Files.exists(mf)) None
-    else Some(parse(Files.readAllLines(mf).asScala.toSeq))
+    else readCached(mf)
   }
 
   private val SnapshotName = """_manifest\.v(\d+)""".r

@@ -276,6 +276,26 @@ class ManifestSinkSpec extends SparkSuite {
     assert(!cols.contains("name"))
   }
 
+  test("manifest read cache: unchanged tables stat instead of reparse; any commit invalidates") {
+    val dir = freshDir()
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    Manifest.clearReadCache()
+    val c0 = Manifest.fileParseCount.get()
+    val m1 = Manifest.read(Paths.get(dir)).get
+    assert(Manifest.fileParseCount.get() == c0 + 1)
+    // second read of the unchanged table: stat only, same instance
+    val m2 = Manifest.read(Paths.get(dir)).get
+    assert(Manifest.fileParseCount.get() == c0 + 1, "unchanged read must not reparse")
+    assert(m1 eq m2)
+    // a commit swaps in a fresh inode → the next read reparses and sees it
+    sample.write.format(Fmt).option("path", dir).mode("append").save()
+    val m3 = Manifest.read(Paths.get(dir)).get
+    assert(m3.entries.map(_.rows).sum == 12L, "cache must never hide a commit")
+    // a DIRECT manifest write (ALTER-style RMW) invalidates just the same
+    Manifest.write(Paths.get(dir), m3.copy(props = m3.props + ("x" -> "y")))
+    assert(Manifest.read(Paths.get(dir)).get.props.get("x").contains("y"))
+  }
+
   test("NDV column statistics: merged KMV sketches land within 10%, withheld when any file lacks one") {
     val dir = freshDir()
     val schema2 = Seq((1L, "x")).toDF("id", "cat").schema
@@ -661,12 +681,16 @@ class ManifestSinkSpec extends SparkSuite {
     val base = () => spark.read.format(Fmt).option("path", dir).load()
 
     // a plan with NO pushable filter must consult no stats at all
+    // (the manifest cache would hand back the entries force-checked above,
+    // so drop it — the laziness claim is about FRESH entry instances)
+    Manifest.clearReadCache()
     val p0 = ColumnStats.parseCount.get()
     base().queryExecution.executedPlan // full planning, no execution needed
     assert(ColumnStats.parseCount.get() == p0,
       "no-filter planning must not parse any stats line")
 
     // a range filter parses stats but never base64-decodes a bloom
+    Manifest.clearReadCache()
     val d0 = FileBloom.deserCount.get()
     base().filter($"score" > 50.0).queryExecution.executedPlan
     assert(ColumnStats.parseCount.get() > p0, "range filter consults stats")
@@ -675,6 +699,7 @@ class ManifestSinkSpec extends SparkSuite {
 
     // an IN probe on the bloom'd column decodes each file's bloom ONCE,
     // not once per probed value
+    Manifest.clearReadCache()
     val d1 = FileBloom.deserCount.get()
     base().filter($"id".isin(7L, 8L, 9L, 10L, 11L)).queryExecution.executedPlan
     val decoded = FileBloom.deserCount.get() - d1
@@ -708,13 +733,17 @@ class ManifestSinkSpec extends SparkSuite {
         .queryExecution.executedPlan
       (System.nanoTime() - t0) / 1000000
     }
-    // warm once (session/codegen init), then pin. The bound is generous —
-    // this VM's wall clock jitters — but a regression to eager per-plan
-    // bloom splitting (10k × 2.7 KB per plan) or per-value decode blows
-    // far past it.
+    // warm once (session/codegen init), then pin with the manifest cache
+    // DROPPED before each measurement — the pin is about a cold plan's
+    // parse cost, and the bound is generous for this VM's jitter; a
+    // regression to eager per-plan bloom splitting (10k × 2.7 KB) or
+    // per-value decode blows far past it.
     planMillis(identity)
+    Manifest.clearReadCache()
     val noFilter = planMillis(identity)
+    Manifest.clearReadCache()
     val ranged = planMillis(_.filter($"score" > 999999.0))
+    Manifest.clearReadCache()
     val probed = planMillis(_.filter($"id" === 123456L))
     assert(noFilter < 2000, s"no-filter planning took $noFilter ms over 10k files")
     assert(ranged < 4000, s"range-filter planning took $ranged ms over 10k files")
