@@ -1067,18 +1067,59 @@ private[graft] object ManifestTable {
       pruning.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
     if (touch.isEmpty) return
     val cond = coalesce(whereSql.map(expr).getOrElse(lit(true)), lit(false))
-    val rewritten = rewriteFiles(dir, m, touch, df => {
-      val cols = m.schema.fields.map { f =>
+    val _ = keep
+    if (m.props.get("tbl.delete.dv").contains("true")) {
+      // MERGE-ON-READ update (the Delta DV-update shape): append the
+      // UPDATED copies of matching rows as new files, and mark the old
+      // ordinals deleted in per-file vectors — a 1-row update of a 1 GB
+      // file is a tiny append + an 8-byte sidecar, not a rewrite.
+      // Non-matching rows of touched files stay in place (live: their
+      // ordinals never enter a vector). Both jobs scan the SAME pinned
+      // file set with the same deterministic predicate, so the appended
+      // set and the deleted set describe the same rows.
+      val updCols = m.schema.fields.map { f =>
         sets.find(_._1.equalsIgnoreCase(f.name)) match {
-          case Some((_, rhs)) =>
-            when(cond, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
           case None => col(f.name)
         }
       }
-      df.select(cols.toIndexedSeq: _*)
-    })
-    val _ = keep
-    publishReplacing(dir, m, touch.map(_.name), rewritten)
+      val appended = rewriteFiles(dir, m, touch,
+        df => df.filter(cond).select(updCols.toIndexedSeq: _*))
+      val hits = spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString)
+        .option("files", touch.map(_.name).mkString(","))
+        .load().where(cond)
+        .select(col("_file"), col("_pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val byFile = hits.groupBy(_._1)
+      val dvUpdated: Seq[(String, Option[ManifestFile])] = touch.flatMap { e =>
+        byFile.get(e.name) match {
+          case None => None // conservative touch; nothing matched
+          case Some(pairs) =>
+            val existing = e.dv
+              .map(d => DeletionVector.read(dir.resolve(d._1)))
+              .getOrElse(Array.emptyLongArray)
+            val merged = (existing ++ pairs.map(_._2)).distinct.sorted
+            if (merged.length >= e.rows) Some(e.name -> None)
+            else Some(e.name -> Some(e.copy(
+              dv = Some((DeletionVector.write(dir, merged), merged.length.toLong)))))
+        }
+      }
+      publishReplacing(dir, m, dvUpdated.map(_._1),
+        dvUpdated.flatMap(_._2) ++ appended)
+    } else {
+      val rewritten = rewriteFiles(dir, m, touch, df => {
+        val cols = m.schema.fields.map { f =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, rhs)) =>
+              when(cond, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }
+        df.select(cols.toIndexedSeq: _*)
+      })
+      publishReplacing(dir, m, touch.map(_.name), rewritten)
+    }
   }
 
   /** Compact the table's CURRENT data files into ~`targetBytes`-sized

@@ -1317,6 +1317,54 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graftcat.dv.t").count() == 56L)
   }
 
+  test("deletion-vector UPDATE: old ordinal deleted, updated copy appended, no file rewrite") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dvu")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dvu.t")
+    spark.sql("CREATE TABLE graftcat.dvu.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    (0 until 2).foreach { i =>
+      spark.sql("INSERT INTO graftcat.dvu.t " +
+        s"SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) " +
+        s"FROM RANGE(${i * 40}, ${i * 40 + 40})")
+    }
+    val dir = Paths.get(rootDir, "dvu", "t")
+    val preFiles = Manifest.read(dir).get.entries.map(_.name).toSet
+    val preSnap = Manifest.snapshotVersions(dir).last
+
+    spark.sql("UPDATE graftcat.dvu.t SET v = v + 1000 WHERE id IN (3, 77)")
+    val m1 = Manifest.read(dir).get
+    // original files still referenced untouched; updated copies appended
+    assert(preFiles.subsetOf(m1.entries.map(_.name).toSet),
+      "DV update must keep the touched files in place")
+    assert(m1.entries.map(_.name).toSet.size > preFiles.size,
+      "updated copies must land as appended files")
+    assert(m1.entries.filter(e => preFiles(e.name))
+      .map(e => e.dv.map(_._2).getOrElse(0L)).sum == 2L)
+    // row count stable, values updated, non-matching rows untouched
+    assert(spark.table("graftcat.dvu.t").count() == 80L)
+    val got = spark.sql(
+      "SELECT id, v FROM graftcat.dvu.t WHERE id IN (3, 4, 77) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((3L, 1003.0), (4L, 4.0), (77L, 1077.0)))
+    // time travel pre-update sees the old values
+    assert(spark.sql(
+      s"SELECT v FROM graftcat.dvu.t VERSION AS OF $preSnap WHERE id = 3")
+      .head().getDouble(0) == 3.0)
+    // a second update re-reads through the vectors (no double-apply)
+    spark.sql("UPDATE graftcat.dvu.t SET v = v + 1 WHERE id = 3")
+    assert(spark.sql("SELECT v FROM graftcat.dvu.t WHERE id = 3")
+      .head().getDouble(0) == 1004.0)
+    assert(spark.table("graftcat.dvu.t").count() == 80L)
+    // OPTIMIZE compacts through vectors and purges them
+    spark.sql("OPTIMIZE graftcat.dvu.t")
+    val m2 = Manifest.read(dir).get
+    assert(m2.entries.forall(_.dv.isEmpty))
+    assert(spark.table("graftcat.dvu.t").count() == 80L)
+    assert(spark.sql("SELECT v FROM graftcat.dvu.t WHERE id = 3")
+      .head().getDouble(0) == 1004.0)
+  }
+
   test("MERGE cardinality counts SOURCE rows per key: duplicate target keys are legal") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg3")
