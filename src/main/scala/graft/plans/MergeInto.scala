@@ -301,13 +301,18 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
     val inserts = spec.clauses.zipWithIndex.filter(_._1.group == NotMatched)
     val nmbs = spec.clauses.zipWithIndex.filter(_._1.group == NotMatchedBySource)
 
-    /** The lowered computation over a target frame (the whole table, or
-      * just its touched files on the bounded path): full-outer join +
-      * first-applying-clause routing + one projection. */
-    def mergeResult(tdfRaw: org.apache.spark.sql.DataFrame)
+    val dropCodes = "drop" +: spec.clauses.zipWithIndex.collect {
+      case (Clause(_, _, Delete), i) => s"c$i"
+    }
+
+    /** The merge join + clause routing over a target frame: full outer
+      * join, `__graft_action` = FIRST applying clause code. Extra
+      * `__graft_*` columns on `tdfRaw` (file/ordinal metadata for the DV
+      * path) ride through untouched. */
+    def actioned(tdfRaw: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
       val t = tdfRaw.withColumn("__graft_t", lit(true)).as(tA)
-      def joined = t.join(src, joinCond, "full_outer")
+      val joined = t.join(src, joinCond, "full_outer")
 
       val tP = coalesce(col("__graft_t"), lit(false))
       val sP = coalesce(col("__graft_s"), lit(false))
@@ -338,39 +343,49 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           .when(!tP && sP, firstApplying(inserts, "drop"))
           .otherwise(firstApplying(nmbs, "keep"))
 
-      val dropCodes = "drop" +: spec.clauses.zipWithIndex.collect {
-        case (Clause(_, _, Delete), i) => s"c$i"
-      }
-
-      def colValue(f: StructField): Column = {
-        val tcol = col(s"$tA.${f.name}")
-        val scol: Column = // the source may not carry every target column
-          if (spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name)))
-            col(s"$sA.${f.name}")
-          else lit(null)
-        val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
-          c.action match {
-            case UpdateStar => Some(s"c$i" -> scol)
-            case UpdateSet(sets) => Some(s"c$i" ->
-              sets.find(_._1.equalsIgnoreCase(f.name)).map(s => expr(s._2))
-                .getOrElse(tcol))
-            case InsertStar => Some(s"c$i" -> scol)
-            case Insert(cols, vals) => Some(s"c$i" ->
-              cols.zip(vals).find(_._1.equalsIgnoreCase(f.name))
-                .map(cv => expr(cv._2)).getOrElse(lit(null)))
-            case Delete => None // filtered before projection
-          }
-        }
-        branches.foldLeft(when(col("__graft_action") === "keep", tcol)) {
-          case (acc, (code, v)) => acc.when(col("__graft_action") === code, v)
-        }.cast(f.dataType).as(f.name)
-      }
-
-      joined
-        .withColumn("__graft_action", action)
-        .filter(!col("__graft_action").isin(dropCodes: _*))
-        .select(targetSchema.fields.map(colValue).toIndexedSeq: _*)
+      joined.withColumn("__graft_action", action)
     }
+
+    def colValue(f: StructField): Column = {
+      val tcol = col(s"$tA.${f.name}")
+      val scol: Column = // the source may not carry every target column
+        if (spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name)))
+          col(s"$sA.${f.name}")
+        else lit(null)
+      val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
+        c.action match {
+          case UpdateStar => Some(s"c$i" -> scol)
+          case UpdateSet(sets) => Some(s"c$i" ->
+            sets.find(_._1.equalsIgnoreCase(f.name)).map(s => expr(s._2))
+              .getOrElse(tcol))
+          case InsertStar => Some(s"c$i" -> scol)
+          case Insert(cols, vals) => Some(s"c$i" ->
+            cols.zip(vals).find(_._1.equalsIgnoreCase(f.name))
+              .map(cv => expr(cv._2)).getOrElse(lit(null)))
+          case Delete => None // filtered before projection
+        }
+      }
+      branches.foldLeft(when(col("__graft_action") === "keep", tcol)) {
+        case (acc, (code, v)) => acc.when(col("__graft_action") === code, v)
+      }.cast(f.dataType).as(f.name)
+    }
+
+    /** Surviving rows projected to the target schema; `excludeKeep` drops
+      * unchanged target rows too (the DV append path — kept rows stay in
+      * their original files). */
+    def projectMerged(df: org.apache.spark.sql.DataFrame,
+        excludeKeep: Boolean = false): org.apache.spark.sql.DataFrame = {
+      val alive = df.filter(!col("__graft_action").isin(dropCodes: _*))
+      val flt =
+        if (excludeKeep) alive.filter(col("__graft_action") =!= "keep")
+        else alive
+      flt.select(targetSchema.fields.map(colValue).toIndexedSeq: _*)
+    }
+
+    /** The lowered computation over a target frame (the whole table, or
+      * just its touched files on the bounded path). */
+    def mergeResult(tdfRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = projectMerged(actioned(tdfRaw))
 
     // A data column literally named `_file` SHADOWS the scan's metadata
     // column (the data-column-wins rule in ManifestScanBuilder), so the
@@ -410,8 +425,35 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       val touched = tKeys.join(sKeys, kCond, "left_semi")
         .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
       val touchedEntries = m.entries.filter(e => touched(e.name))
-      val rewritten = ManifestTable.rewriteFiles(dir, m, touchedEntries, mergeResult)
-      ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten)
+      val dvMode = m.props.get("tbl.delete.dv").contains("true") &&
+        !names.exists(_.equalsIgnoreCase("_pos"))
+      if (dvMode && touchedEntries.nonEmpty) {
+        // MERGE-ON-READ tier: kept rows stay in their files. Job 1 appends
+        // ONLY the changed output (updated rows + inserts) through the
+        // normal staging writer; job 2 re-runs the same deterministic join
+        // over the same pinned file set to collect the MODIFIED target
+        // ordinals (updates AND deletes) into per-file deletion vectors.
+        // A selective MERGE into a 100 TB table appends its deltas and
+        // vectors a few ordinals instead of rewriting every touched file.
+        val appended = ManifestTable.rewriteFiles(dir, m, touchedEntries,
+          df => projectMerged(actioned(df), excludeKeep = true))
+        val tdfMeta = spark.read.format("graft.sources.GraftManifestSink")
+          .option("path", dir.toString)
+          .option("files", touchedEntries.map(_.name).mkString(",")).load()
+        val hits = actioned(tdfMeta
+            .select(col("*"), col("_file").as("__graft_file"),
+              col("_pos").as("__graft_pos")))
+          .filter(coalesce(col("__graft_t"), lit(false)) &&
+            col("__graft_action") =!= "keep")
+          .select(col("__graft_file"), col("__graft_pos"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val dvUpdated = ManifestTable.vectorize(dir, touchedEntries, hits)
+        ManifestTable.publishReplacing(dir, m, dvUpdated.map(_._1),
+          dvUpdated.flatMap(_._2) ++ appended)
+      } else {
+        val rewritten = ManifestTable.rewriteFiles(dir, m, touchedEntries, mergeResult)
+        ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten)
+      }
     } else {
       // NOT MATCHED BY SOURCE touches every unmatched target row — the
       // rewrite is inherently whole-table; one atomic truncate-overwrite

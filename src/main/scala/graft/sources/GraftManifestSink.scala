@@ -820,21 +820,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
         .where(coalesce(pred, lit(false)))
         .select(col("_file"), col("_pos"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
-      val byFile = hits.groupBy(_._1)
-      // (replaced entry name, replacement entry or None=fully deleted)
-      val updated: Seq[(String, Option[ManifestFile])] = cut.flatMap { e =>
-        byFile.get(e.name) match {
-          case None => None // conservative cut; predicate matched nothing
-          case Some(pairs) =>
-            val existing = e.dv
-              .map(d => DeletionVector.read(dir.resolve(d._1)))
-              .getOrElse(Array.emptyLongArray)
-            val merged = (existing ++ pairs.map(_._2)).distinct.sorted
-            if (merged.length >= e.rows) Some(e.name -> None)
-            else Some(e.name -> Some(e.copy(
-              dv = Some((DeletionVector.write(dir, merged), merged.length.toLong)))))
-        }
-      }
+      val updated = ManifestTable.vectorize(dir, cut, hits.toSeq)
       ManifestTable.publishReplacing(dir, m,
         drop.map(_.name) ++ updated.map(_._1), updated.flatMap(_._2))
     } else {
@@ -1011,6 +997,31 @@ private[graft] object ManifestTable {
     moved
   }
 
+  /** Fold row-level hits (entry name, physical ordinal) into per-entry
+    * deletion vectors: each hit entry gets a NEW sidecar merging its
+    * existing vector with the new ordinals (old snapshots keep theirs),
+    * and an entry whose vector reaches its row count is dropped outright.
+    * Returns (replaced entry name, replacement or None=fully deleted) —
+    * the shape [[publishReplacing]] takes. Shared by the DV tiers of
+    * DELETE, UPDATE and MERGE. */
+  private[graft] def vectorize(dir: Path, entries: Seq[ManifestFile],
+      hits: Seq[(String, Long)]): Seq[(String, Option[ManifestFile])] = {
+    val byFile = hits.groupBy(_._1)
+    entries.flatMap { e =>
+      byFile.get(e.name) match {
+        case None => None // conservative candidate; nothing matched
+        case Some(pairs) =>
+          val existing = e.dv
+            .map(d => DeletionVector.read(dir.resolve(d._1)))
+            .getOrElse(Array.emptyLongArray)
+          val merged = (existing ++ pairs.map(_._2)).distinct.sorted
+          if (merged.length >= e.rows) Some(e.name -> None)
+          else Some(e.name -> Some(e.copy(
+            dv = Some((DeletionVector.write(dir, merged), merged.length.toLong)))))
+      }
+    }
+  }
+
   /** Publish a row-level operation's result: replace exactly the files the
     * op read (`replaced`, from its base snapshot `base`) with `rewritten`,
     * keeping every entry some CONCURRENT append added since — the RMW runs
@@ -1091,20 +1102,7 @@ private[graft] object ManifestTable {
         .load().where(cond)
         .select(col("_file"), col("_pos"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
-      val byFile = hits.groupBy(_._1)
-      val dvUpdated: Seq[(String, Option[ManifestFile])] = touch.flatMap { e =>
-        byFile.get(e.name) match {
-          case None => None // conservative touch; nothing matched
-          case Some(pairs) =>
-            val existing = e.dv
-              .map(d => DeletionVector.read(dir.resolve(d._1)))
-              .getOrElse(Array.emptyLongArray)
-            val merged = (existing ++ pairs.map(_._2)).distinct.sorted
-            if (merged.length >= e.rows) Some(e.name -> None)
-            else Some(e.name -> Some(e.copy(
-              dv = Some((DeletionVector.write(dir, merged), merged.length.toLong)))))
-        }
-      }
+      val dvUpdated = vectorize(dir, touch, hits.toSeq)
       publishReplacing(dir, m, dvUpdated.map(_._1),
         dvUpdated.flatMap(_._2) ++ appended)
     } else {

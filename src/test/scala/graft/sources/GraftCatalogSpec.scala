@@ -1365,6 +1365,65 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getDouble(0) == 1004.0)
   }
 
+  test("deletion-vector MERGE: kept rows stay in place, deltas append, modified ordinals vector") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dvm")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dvm.t")
+    spark.sql("CREATE TABLE graftcat.dvm.t (k BIGINT, v DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    (0 until 2).foreach { i =>
+      spark.sql("INSERT INTO graftcat.dvm.t " +
+        s"SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE), concat('t', id) " +
+        s"FROM RANGE(${i * 50}, ${i * 50 + 50})")
+    }
+    val dir = Paths.get(rootDir, "dvm", "t")
+    val preFiles = Manifest.read(dir).get.entries.map(_.name).toSet
+    Seq((3L, 30.0, "U"), (77L, 0.0, "D"), (200L, 2.0, "I"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("dvm_src")
+
+    spark.sql(
+      """MERGE INTO graftcat.dvm.t t USING dvm_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+
+    val m1 = Manifest.read(dir).get
+    // both original files still referenced (kept rows stay put); the
+    // changed output (1 update + 1 insert) landed as appended files
+    assert(preFiles.subsetOf(m1.entries.map(_.name).toSet),
+      s"DV merge must keep touched files: ${m1.entries.map(_.name)}")
+    assert(m1.entries.map(_.name).toSet.size > preFiles.size)
+    // one vectored ordinal per modified target row (update k=3, delete k=77)
+    assert(m1.entries.filter(e => preFiles(e.name))
+      .map(e => e.dv.map(_._2).getOrElse(0L)).sum == 2L)
+    // row results: 100 - 1 deleted + 1 inserted
+    assert(spark.table("graftcat.dvm.t").count() == 100L)
+    val got = spark.sql(
+      "SELECT k, v, tag FROM graftcat.dvm.t WHERE k IN (3, 4, 77, 200) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(got === Seq(
+      (3L, 30.0, Some("t3")), // updated in place semantics: unassigned cols kept
+      (4L, 4.0, Some("t4")),  // untouched neighbor intact
+      (200L, 2.0, None)))     // insert NULL-fills unmentioned tag
+    // the cardinality guard still fires from the DV path's jobs
+    Seq((5L, 1.0, "U"), (5L, 2.0, "U")).toDF("k", "nv", "op")
+      .createOrReplaceTempView("dvm_dup")
+    val card = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftcat.dvm.t t USING dvm_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    assert(card.getMessage.contains("cardinality"), card.getMessage)
+    assert(spark.sql("SELECT v FROM graftcat.dvm.t WHERE k = 5").head().getDouble(0)
+      == 5.0, "failed merge must not commit")
+    // OPTIMIZE purges the vectors without changing results
+    spark.sql("OPTIMIZE graftcat.dvm.t")
+    assert(Manifest.read(dir).get.entries.forall(_.dv.isEmpty))
+    assert(spark.table("graftcat.dvm.t").count() == 100L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.dvm.t WHERE k = 77")
+      .head().getLong(0) == 0L)
+  }
+
   test("MERGE cardinality counts SOURCE rows per key: duplicate target keys are legal") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg3")
