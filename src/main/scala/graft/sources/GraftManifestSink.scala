@@ -1875,9 +1875,41 @@ private[sources] object ManifestScanBuilder {
     case LessThan(_, v) => comparable(v)
     case LessThanOrEqual(_, v) => comparable(v)
     case In(_, vs) => vs.nonEmpty && vs.forall(comparable)
+    case StringStartsWith(_, p) => p != null
+    case IsNull(_) => true
     case And(l, r) => prunable(l) && prunable(r)
     case _ => false
   }
+
+  /** The smallest byte string sorting AFTER every string with prefix `p`
+    * (increment the last non-0xff byte, truncate after it); None when no
+    * finite successor exists. `LIKE 'p%'` describes the region
+    * [p, nextPrefix(p)). */
+  private def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) None
+    else {
+      val t = java.util.Arrays.copyOf(p, i + 1)
+      t(i) = ((t(i) & 0xff) + 1).toByte
+      Some(t)
+    }
+  }
+
+  /** A StartsWith probe against a file's string range: may the range hold
+    * a string with prefix `p`? Overlap of [p, nextPrefix(p)) with
+    * [lo, hi] — sound against WIDENED bounds (they only move outward, and
+    * a larger range only keeps more files). */
+  private def startsWithMayOverlap(st: ColumnStats, c: String, p: String): Boolean =
+    st.strRanges.get(c) match {
+      case None => true // no stats never prunes
+      case Some((lo64, hi64)) =>
+        val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val lo = ColumnStats.unb64(lo64)
+        val hi = ColumnStats.unb64(hi64)
+        ColumnStats.cmpBytes(hi, pb) >= 0 &&
+          nextPrefix(pb).forall(nb => ColumnStats.cmpBytes(lo, nb) < 0)
+    }
 
   /** Dual of [[mightMatch]] for metadata-only DELETE: true iff the file's
     * [min, max] PROVES every row matches. Conservative the other way — a
@@ -1902,6 +1934,18 @@ private[sources] object ManifestScanBuilder {
         c(col, v).exists { case (_, ch) => ch >= 0 }
       case In(col, vs) => // some v == lo == hi
         vs.exists(v => c(col, v).exists { case (cl, ch) => cl == 0 && ch == 0 })
+      case StringStartsWith(colName, p) if p != null =>
+        // every row matches iff the whole range sits inside [p, next(p));
+        // sound under widening: both proofs are "bound strictly inside the
+        // region", and widening only moves bounds OUTWARD (NULL rows block
+        // via the incomplete flag — they match no StartsWith)
+        !st.incomplete(colName) && st.strRanges.get(colName).exists {
+          case (lo64, hi64) =>
+            val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ColumnStats.cmpBytes(ColumnStats.unb64(lo64), pb) >= 0 &&
+              nextPrefix(pb).exists(nb =>
+                ColumnStats.cmpBytes(ColumnStats.unb64(hi64), nb) < 0)
+        }
       case And(l, r) => mustMatchAll(l, st) && mustMatchAll(r, st)
       case Or(l, r) => mustMatchAll(l, st) || mustMatchAll(r, st)
       case _ => false
@@ -1983,6 +2027,17 @@ private[sources] object ManifestScanBuilder {
             case Some(b) => FileBloom.hashValue(v)
               .forall(h => FileBloom.maybe(b, h))
           }))
+      case StringStartsWith(colName, p) if p != null =>
+        // prune unless [p, next(p)) overlaps the file's string range —
+        // the LIKE 'p%' shape over a prefix-clustered corpus
+        startsWithMayOverlap(st, colName, p)
+      case IsNull(colName) =>
+        // a column with a COMPLETE range (flagged incomplete on any
+        // NULL/NaN cell) provably holds no NULL in this file. A column
+        // with NO range entry never prunes: it may be NULL-filled schema
+        // evolution, an all-NULL file, or an untracked type.
+        !((st.ranges.contains(colName) || st.strRanges.contains(colName)) &&
+          !st.incomplete(colName))
       case And(l, r) => mightMatch(l, st) && mightMatch(r, st)
       case Or(l, r) => mightMatch(l, st) || mightMatch(r, st)
       case _ => true

@@ -296,6 +296,40 @@ class ManifestSinkSpec extends SparkSuite {
     assert(Manifest.read(Paths.get(dir)).get.props.get("x").contains("y"))
   }
 
+  test("StartsWith and IsNull prune whole files via the zone maps") {
+    val dir = freshDir()
+    // three files clustered by name prefix; exactly one carries a NULL score
+    Seq((1L, "apple", Some(1.0)), (2L, "avocado", Some(2.0)))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq((3L, "banana", Option.empty[Double]), (4L, "blueberry", Some(4.0)))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    Seq((5L, "cherry", Some(5.0)), (6L, "cranberry", Some(6.0)))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val Re = """files=(\d+)/(\d+)""".r.unanchored
+      df.queryExecution.executedPlan.toString match { case Re(k, t) => (k.toInt, t.toInt) }
+    }
+    val base = () => spark.read.format(Fmt).option("path", dir).load()
+    // LIKE 'b%' overlaps only the middle file's [banana, blueberry] range
+    val b = base().filter($"name".startsWith("b"))
+    assert(planned(b) == ((1, 3)), planned(b).toString)
+    assert(b.collect().map(_.getString(1)).sorted.toSeq == Seq("banana", "blueberry"))
+    // a prefix past every range reads nothing and stays correct
+    val z = base().filter($"name".startsWith("zz"))
+    assert(planned(z) == ((0, 3)) && z.count() == 0L)
+    // IS NULL keeps ONLY the file whose range is incomplete
+    val n = base().filter($"score".isNull)
+    assert(planned(n) == ((1, 3)), planned(n).toString)
+    assert(n.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // IS NULL on a never-null column reads nothing
+    val nn = base().filter($"name".isNull)
+    assert(planned(nn) == ((0, 3)) && nn.count() == 0L)
+  }
+
   test("NDV column statistics: merged KMV sketches land within 10%, withheld when any file lacks one") {
     val dir = freshDir()
     val schema2 = Seq((1L, "x")).toDF("id", "cat").schema
@@ -562,7 +596,8 @@ class ManifestSinkSpec extends SparkSuite {
         valGen.map(v => GreaterThanOrEqual("c", v): Filter),
         valGen.map(v => LessThan("c", v): Filter),
         valGen.map(v => LessThanOrEqual("c", v): Filter),
-        Gen.nonEmptyListOf(valGen).map(vs => In("c", vs.toArray): Filter))
+        Gen.nonEmptyListOf(valGen).map(vs => In("c", vs.toArray): Filter),
+        valGen.map(v => StringStartsWith("c", v): Filter))
       for { a <- leaf; b <- leaf; f <- Gen.oneOf(a, And(a, b), Or(a, b)) } yield f
     }
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -574,6 +609,8 @@ class ManifestSinkSpec extends SparkSuite {
       case LessThan(_, x: String) => cmp(v, x) < 0
       case LessThanOrEqual(_, x: String) => cmp(v, x) <= 0
       case In(_, xs) => xs.exists(x => cmp(v, x.asInstanceOf[String]) == 0)
+      case StringStartsWith(_, x: String) =>
+        bytes(v).startsWith(bytes(x).toSeq) // byte-prefix = the prune's region
       case And(l, r) => eval(l, v) && eval(r, v)
       case Or(l, r) => eval(l, v) || eval(r, v)
       case AlwaysTrue() => true
