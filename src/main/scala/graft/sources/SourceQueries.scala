@@ -455,6 +455,41 @@ object SourceQueries extends QueryModule {
       s.table("graftmb.q.docs").orderBy("doc_id")
     }),
 
+    // The MERGE-ON-READ merge tier through the oracle gate: the SAME merge
+    // as q_merge_bounded, but the target carries TBLPROPERTIES
+    // ('delete.dv'='true') — kept rows stay in their original files, the
+    // changed output (updates + inserts) appends, and the modified target
+    // ordinals land in per-file deletion vectors the read must skip. The
+    // oracle is the identical FULL OUTER JOIN + CASE, so a vector that
+    // drops the wrong ordinal, a leaked pre-update row, or a lost insert
+    // hash-fails the driver gate.
+    "q_merge_dv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.Scratch.dir("graft_mrgdvq_")
+      s.conf.set("spark.sql.catalog.graftmdv", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmdv.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmdv.q")
+      s.sql("DROP TABLE IF EXISTS graftmdv.q.docs")
+      s.sql("CREATE TABLE graftmdv.q.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('delete.dv' = 'true')")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.writeTo("graftmdv.q.docs").append()
+      docs.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id").as("k"), lit("xx").as("lg"),
+          col("source").as("sc"), (col("n_chars") + 10000).as("nc"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000L).as("k"), col("lang").as("lg"),
+            col("source").as("sc"), (col("n_chars") + 1).as("nc")))
+        .createOrReplaceTempView("mdv_src")
+      s.sql(
+        """MERGE INTO graftmdv.q.docs t USING mdv_src s ON t.doc_id = s.k
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.nc, lang = s.lg
+          |WHEN NOT MATCHED THEN
+          |  INSERT (doc_id, lang, source, n_chars) VALUES (s.k, s.lg, s.sc, s.nc)""".stripMargin)
+      s.table("graftmdv.q.docs").orderBy("doc_id")
+    }),
+
     // SHALLOW CLONE through the oracle gate: documents land in a catalog
     // table, a metadata-only clone branches it (zero data copy), then the
     // clone DIVERGES — a row-level DELETE and an appended batch — while
@@ -569,6 +604,22 @@ object SourceQueries extends QueryModule {
     // The FULL OUTER JOIN + CASE statement of the bounded merge: matched
     // rows (doc_id % 10 = 2) take the update, source-only rows insert.
     "q_merge_bounded" ->
+      """WITH src AS (
+        |  SELECT doc_id AS k, 'xx' AS lg, source AS sc,
+        |         n_chars + 10000 AS nc
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars + 1
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT COALESCE(t.doc_id, s.k) AS doc_id,
+        |       CASE WHEN s.k IS NOT NULL THEN s.lg ELSE t.lang END AS lang,
+        |       COALESCE(t.source, s.sc) AS source,
+        |       CASE WHEN s.k IS NOT NULL THEN s.nc ELSE t.n_chars END AS n_chars
+        |FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.k
+        |ORDER BY doc_id""".stripMargin,
+
+    // The deletion-vector merge must produce the exact same statement.
+    "q_merge_dv" ->
       """WITH src AS (
         |  SELECT doc_id AS k, 'xx' AS lg, source AS sc,
         |         n_chars + 10000 AS nc
