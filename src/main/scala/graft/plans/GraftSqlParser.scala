@@ -71,16 +71,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
 
-  /** `OPTIMIZE t [TARGET n BYTES] [ZORDER BY (c1, c2)]` — compact a
-    * manifest table's current data files into ~n-byte outputs (default
-    * 128 MiB) through one distributed rewrite + atomic swap. With ZORDER
-    * BY the rewrite range-partitions + sorts on the Morton interleave of
-    * the two columns (scaled by the manifest's own zone-map ranges), so
-    * after the rewrite min-max file skipping prunes selective predicates
-    * on EITHER column. Delta's statement shape; Spark's grammar has no
-    * OPTIMIZE, so the regex never shadows delegate syntax. */
+  /** `OPTIMIZE t [TARGET n BYTES] [WHERE pred] [ZORDER BY (c1, c2)]` —
+    * compact a manifest table's current data files into ~n-byte outputs
+    * (default 128 MiB) through one distributed rewrite + atomic swap.
+    * WHERE scopes the rewrite to the files the zone maps cannot exclude
+    * for the predicate (file granularity — Delta's partition-scoped
+    * OPTIMIZE): compacting one day of a huge table touches that day's
+    * files only. With ZORDER BY the rewrite range-partitions + sorts on
+    * the Morton interleave of the two columns (scaled by the manifest's
+    * own zone-map ranges), so after the rewrite min-max file skipping
+    * prunes selective predicates on EITHER column. Delta's statement
+    * shape; Spark's grammar has no OPTIMIZE, so the regex never shadows
+    * delegate syntax. */
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\))?\s*;?\s*""").r
 
   /** `RESTORE TABLE t TO VERSION AS OF n` — metadata-only rollback to an
@@ -132,11 +137,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else delegate.parsePlan(sqlText)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
-    case Optimize(target, targetBytes, zc1, zc2) =>
+    case Optimize(target, targetBytes, where, zc1, zc2)
+      if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       OptimizeManifestCommand(target,
         Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024),
         for (a <- Option(zc1); b <- Option(zc2))
-          yield (a.split("\\.").last, b.split("\\.").last))
+          yield (a.split("\\.").last, b.split("\\.").last),
+        Option(where))
     case Restore(target, version) => RestoreTableCommand(target, version.toInt)
     case Clone(target, source, version) =>
       CloneTableCommand(target, source, Option(version).map(_.toInt))
@@ -251,7 +258,7 @@ case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
   * (files_before, files_after); a plain compaction already at or under the
   * target count is a no-op with before == after. */
 case class OptimizeManifestCommand(target: String, targetBytes: Long,
-    zorderBy: Option[(String, String)] = None)
+    zorderBy: Option[(String, String)] = None, whereSql: Option[String] = None)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.types.IntegerType
   override val output: Seq[Attribute] = Seq(
@@ -262,7 +269,7 @@ case class OptimizeManifestCommand(target: String, targetBytes: Long,
     require(targetBytes > 0, s"OPTIMIZE: TARGET $targetBytes BYTES is invalid")
     val mt = ManifestTarget.of(spark, target, "OPTIMIZE")
     val (before, after) =
-      graft.sources.ManifestTable.optimize(mt.dir, targetBytes, zorderBy)
+      graft.sources.ManifestTable.optimize(mt.dir, targetBytes, zorderBy, whereSql)
     Seq(Row(before, after))
   }
 }

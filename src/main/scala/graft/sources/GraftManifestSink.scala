@@ -1129,11 +1129,23 @@ private[graft] object ManifestTable {
     * layout is already at or under the target file count. Returns
     * (files before, files after). */
   private[graft] def optimize(dir: Path, targetBytes: Long,
-      zorderBy: Option[(String, String)] = None): (Int, Int) = {
+      zorderBy: Option[(String, String)] = None,
+      whereSql: Option[String] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, expr}
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))
-    val live = m.entries.filter(_.rows > 0)
+    // `OPTIMIZE … WHERE pred` scopes the rewrite to the FILES the zone
+    // maps cannot exclude for pred (file granularity — the Delta
+    // partition-scoped OPTIMIZE shape): compacting one day of a 100 TB
+    // table touches that day's files, nothing else. Untranslatable
+    // conjuncts only cost scoping (more files compacted), never rows —
+    // every scoped file is rewritten whole, no row is dropped.
+    val pruning = whereSql.toSeq.flatMap { w =>
+      conjuncts(org.apache.spark.sql.SparkSession.active
+        .sessionState.sqlParser.parseExpression(w)).flatMap(exprFilter)
+    }
+    val live = m.entries.filter(e => e.rows > 0 &&
+      pruning.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
     if (live.isEmpty) return (0, 0)
     val chain = Manifest.resolveChain(dir)
     val bytes = live.map { e =>

@@ -1246,6 +1246,37 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("ALTER TABLE graftcat.wide.t ALTER COLUMN s TYPE BIGINT") }
   }
 
+  test("OPTIMIZE WHERE compacts only the files the predicate can touch") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ow")
+    spark.sql("DROP TABLE IF EXISTS graftcat.ow.t")
+    spark.sql("CREATE TABLE graftcat.ow.t (id BIGINT, v DOUBLE)")
+    // a fragmented low range (3 small files) + a healthy high range (1)
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO graftcat.ow.t " +
+        s"SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) " +
+        s"FROM RANGE(${i * 10}, ${i * 10 + 10})")
+    }
+    spark.sql("INSERT INTO graftcat.ow.t " +
+      "SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) FROM RANGE(1000, 1050)")
+    val dir = Paths.get(rootDir, "ow", "t")
+    val highFile = Manifest.read(dir).get.entries
+      .filter(_.stats.ranges.get("id").exists(_._1 >= 1000)).map(_.name)
+    assert(highFile.size == 1)
+
+    val out = spark.sql("OPTIMIZE graftcat.ow.t WHERE id < 100").collect()
+    assert(out.head.getInt(0) == 3 && out.head.getInt(1) == 1,
+      s"scope must be the 3 low-range files, got ${out.head}")
+    val m1 = Manifest.read(dir).get
+    // the out-of-scope file keeps its identity; the low range is one file
+    assert(m1.entries.map(_.name).toSet.intersect(highFile.toSet) == highFile.toSet,
+      "out-of-scope file must keep its identity")
+    assert(m1.entries.length == 2)
+    assert(spark.table("graftcat.ow.t").count() == 80L)
+    assert(spark.sql("SELECT sum(id) FROM graftcat.ow.t").head().getLong(0)
+      == (0L until 30L).sum + (1000L until 1050L).sum)
+  }
+
   test("deletion vectors: DELETE is metadata + sidecar, reads skip ordinals, OPTIMIZE purges, VACUUM reaps") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dv")
