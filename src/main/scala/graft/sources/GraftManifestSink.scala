@@ -1782,7 +1782,8 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
 private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
     only: Option[Set[String]] = None, exclude: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private val manifest = snapshot match {
@@ -1813,18 +1814,141 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
     * residual (surviving files still contain non-matching rows), the same
     * contract as parquet row-group skipping. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = sawFilters || filters.nonEmpty
     skipping = filters.filter(ManifestScanBuilder.prunable)
     filters
   }
   override def pushedFilters(): Array[Filter] = skipping
 
-  override def build(): Scan = {
-    val entries = manifest.map(_.entries).getOrElse(Seq.empty)
+  private var sawFilters = false
+  private var aggResult: Option[(StructType, InternalRow)] = None
+
+  private def liveEntries: Seq[ManifestFile] =
+    manifest.map(_.entries).getOrElse(Seq.empty)
       .filter(e => only.forall(_.contains(e.name)))
       .filter(e => exclude.forall(x => !x.contains(e.name)))
-    val kept = entries.filter(e =>
-      skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
-    new ManifestScan(dir, full, required, kept, entries.length, fileColAt, posColAt)
+
+  /** COMPLETE pushdown for metadata-answerable aggregates over the whole
+    * table: `COUNT(*)` is the exact sum of live row counts; `COUNT(col)`
+    * joins when NO live file can hold a NULL in `col` (complete range,
+    * never flagged incomplete); `MIN/MAX(col)` answer from the merged
+    * zone maps when EVERY live file carries a range, none has a deletion
+    * vector (a vectored row could BE the extremum), and — for doubles —
+    * none is incomplete (a NaN outranks every range bound). `SELECT
+    * count(*)` over 100 TB must read zero data files, the parquet
+    * footer-count idiom at the table level. Filtered queries never get
+    * here: every filter is returned residual, so Spark keeps a Filter
+    * node and does not attempt aggregate pushdown (sawFilters is the
+    * defensive second fence). */
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (sawFilters || agg.groupByExpressions().nonEmpty) return None
+    val entries = liveEntries
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        full.fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+    val numeric: Set[DataType] =
+      Set(LongType, IntegerType, DoubleType, DateType, TimestampType)
+    def rangeAll(f: StructField): Option[(BigDecimal, BigDecimal)] =
+      if (entries.nonEmpty && numeric(f.dataType) &&
+        entries.forall(e => e.dv.isEmpty && e.stats.ranges.contains(f.name)) &&
+        (f.dataType != DoubleType ||
+          entries.forall(e => !e.stats.incomplete(f.name))))
+        Some((entries.map(_.stats.ranges(f.name)._1).min,
+          entries.map(_.stats.ranges(f.name)._2).max))
+      else None
+    def internal(f: StructField, x: BigDecimal): Any = f.dataType match {
+      case LongType | TimestampType => x.toLong
+      case IntegerType | DateType => x.toInt
+      case _ => x.toDouble
+    }
+    val total = entries.map(_.liveRows).sum
+    val fields = Seq.newBuilder[StructField]
+    val vals = Seq.newBuilder[Any]
+    val ok = agg.aggregateExpressions().zipWithIndex.forall {
+      case (_: CountStar, i) =>
+        fields += StructField(s"agg$i", LongType, nullable = false)
+        vals += total; true
+      case (c: Count, i) if !c.isDistinct =>
+        colOf(c.column()).exists { f =>
+          val provablyNoNulls = !f.nullable || (entries.nonEmpty &&
+            entries.forall(e => (e.stats.ranges.contains(f.name) ||
+              e.stats.strRanges.contains(f.name)) &&
+              !e.stats.incomplete(f.name)))
+          if (provablyNoNulls) {
+            fields += StructField(s"agg$i", LongType, nullable = false)
+            vals += total; true
+          } else false
+        }
+      case (mn: Min, i) =>
+        colOf(mn.column()).exists(f => rangeAll(f).exists { r =>
+          fields += StructField(s"agg$i", f.dataType, nullable = true)
+          vals += internal(f, r._1); true
+        })
+      case (mx: Max, i) =>
+        colOf(mx.column()).exists(f => rangeAll(f).exists { r =>
+          fields += StructField(s"agg$i", f.dataType, nullable = true)
+          vals += internal(f, r._2); true
+        })
+      case _ => false
+    }
+    if (ok) Some((StructType(fields.result()), InternalRow.fromSeq(vals.result())))
+    else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new ManifestAggScan(dir, schema, row)
+    case None =>
+      val entries = liveEntries
+      val kept = entries.filter(e =>
+        skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+      new ManifestScan(dir, full, required, kept, entries.length, fileColAt, posColAt)
+  }
+}
+
+/** One precomputed row — the metadata-only answer of a completely
+  * pushed-down aggregate (see [[ManifestScanBuilder.translateAgg]]). */
+private[sources] class ManifestAggScan(dir: Path, schema: StructType,
+    row: InternalRow) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftManifestAggScan dir=$dir (metadata-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggResult(schema, row.toSeq(schema).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestAggReaderFactory
+}
+
+private[sources] case class ManifestAggResult(schema: StructType,
+    values: Array[Any]) extends InputPartition
+
+private[sources] object ManifestAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ManifestAggResult(_, values) = partition.asInstanceOf[ManifestAggResult]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
   }
 }
 

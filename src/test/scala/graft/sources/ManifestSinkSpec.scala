@@ -330,6 +330,60 @@ class ManifestSinkSpec extends SparkSuite {
     assert(planned(nn) == ((0, 3)) && nn.count() == 0L)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answer metadata-only, with sound refusals") {
+    val dir = freshDir()
+    (1L to 90L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+      .repartitionByRange(3, $"id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val base = () => spark.read.format(Fmt).option("path", dir).load()
+    def isAggScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("GraftManifestAggScan")
+
+    // whole-table COUNT(*) / MIN / MAX: one metadata row, zero file opens
+    val q = base().agg(count(lit(1)).as("n"), min($"id").as("lo"),
+      max($"score").as("hi"))
+    assert(isAggScan(q), q.queryExecution.executedPlan.toString)
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((90L, 1L, 135.0)))
+    // count(col) on a never-null column pushes too
+    val qc = base().agg(count($"name").as("n"))
+    assert(isAggScan(qc) && qc.head().getLong(0) == 90L)
+
+    // a FILTERED aggregate must not be answered from metadata
+    val qf = base().filter($"id" > 10L).agg(count(lit(1)))
+    assert(!isAggScan(qf))
+    assert(qf.head().getLong(0) == 80L)
+
+    // NULLs block count(col) pushdown and the answer stays exact
+    Seq((Some(91L), Option.empty[String], Some(1.0)))
+      .toDF("id", "name", "score").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val qn = base().agg(count($"name").as("n"))
+    assert(!isAggScan(qn))
+    assert(qn.head().getLong(0) == 90L)
+    // count(*) still pushes; min/max too (the null was in name only...
+    // but score is now incomplete-free? the new file has score=1.0) —
+    // min must reflect the appended row
+    val q2 = base().agg(count(lit(1)).as("n"), min($"score").as("lo"))
+    assert(isAggScan(q2))
+    assert((q2.head().getLong(0), q2.head().getDouble(1)) == ((91L, 1.0)))
+
+    // a deletion vector blocks MIN/MAX (a vectored row could be the
+    // extremum) but COUNT(*) stays metadata-exact on LIVE rows: vector
+    // ordinal 0 of the first file (id=1, the global min) directly
+    val m = Manifest.read(Paths.get(dir)).get
+    val victim = m.entries.find(_.stats.ranges.get("id").exists(_._1 == 1)).get
+    val dvName = DeletionVector.write(Paths.get(dir), Array(0L))
+    Manifest.write(Paths.get(dir), m.copy(entries = m.entries.map(e =>
+      if (e.name == victim.name) e.copy(dv = Some((dvName, 1L))) else e)))
+    val q3 = base().agg(count(lit(1)).as("n"))
+    assert(isAggScan(q3) && q3.head().getLong(0) == 90L,
+      "count(*) must be live-row exact under deletion vectors")
+    val q4 = base().agg(min($"id").as("lo"))
+    assert(!isAggScan(q4), "a vectored file must block min/max pushdown")
+    assert(q4.head().getLong(0) == 2L)
+  }
+
   test("NDV column statistics: merged KMV sketches land within 10%, withheld when any file lacks one") {
     val dir = freshDir()
     val schema2 = Seq((1L, "x")).toDF("id", "cat").schema
