@@ -353,7 +353,20 @@ private[graft] object ColumnStats {
 private[graft] class ManifestFile(val name: String, val rows: Long,
     statsThunk: () => ColumnStats, val cols: Int,
     val colMap: Option[Seq[Int]] = None, rawStats: String = null,
-    val dv: Option[(String, Long)] = None) {
+    val dv: Option[(String, Long)] = None, val indexRaw: String = null) {
+  /** Sparse line index, serialized as [stride, offset0, offset1, …]:
+    * offset j is the first byte of line j·stride (offset0 is always 0),
+    * decoded lazily — what lets the scan split this file into byte-range
+    * partitions with KNOWN line numbers. Empty = unindexed legacy file
+    * (never split). */
+  lazy val lineIndex: Array[Long] =
+    if (indexRaw == null || indexRaw.isEmpty) Array.emptyLongArray
+    else {
+      val bytes = java.util.Base64.getDecoder.decode(indexRaw)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
   /** Rows a reader returns: physical rows minus the deletion vector's
     * ordinals. `rows` itself stays the PHYSICAL line count — zone maps,
     * layout decisions and the reader's ordinal space are per physical
@@ -375,9 +388,11 @@ private[graft] class ManifestFile(val name: String, val rows: Long,
       stats: ColumnStats = null, cols: Int = this.cols,
       colMap: Option[Seq[Int]] = this.colMap,
       dv: Option[(String, Long)] = this.dv): ManifestFile =
+    // the line index describes the physical file — metadata edits
+    // (stats/colmap/dv) never invalidate it
     if (stats == null)
-      new ManifestFile(name, rows, statsThunk, cols, colMap, rawStats, dv)
-    else new ManifestFile(name, rows, () => stats, cols, colMap, null, dv)
+      new ManifestFile(name, rows, statsThunk, cols, colMap, rawStats, dv, indexRaw)
+    else new ManifestFile(name, rows, () => stats, cols, colMap, null, dv, indexRaw)
   override def toString: String =
     s"ManifestFile($name, $rows rows, cols=$cols, colMap=$colMap, dv=$dv)"
 }
@@ -389,9 +404,9 @@ private[graft] object ManifestFile {
   /** Entry from a manifest line's raw stats field — parsed lazily. */
   def raw(name: String, rows: Long, statsRaw: String, cols: Int,
       colMap: Option[Seq[Int]] = None,
-      dv: Option[(String, Long)] = None): ManifestFile =
+      dv: Option[(String, Long)] = None, indexRaw: String = null): ManifestFile =
     new ManifestFile(name, rows, () => ColumnStats.parse(statsRaw), cols,
-      colMap, statsRaw, dv)
+      colMap, statsRaw, dv, indexRaw)
 }
 
 /** `_manifest` contents: schema + optional table properties + the exact
@@ -531,9 +546,9 @@ private[graft] object Manifest {
     // vector as `sidecar:count` — both optional, so older manifests parse
     def cmap(mp: String): Option[Seq[Int]] =
       if (mp == "-") None else Some(mp.split(",").toSeq.map(_.toInt))
-    def dvOf(s: String): Option[(String, Long)] = {
-      val Array(f, c) = s.split(":", 2); Some((f, c.toLong))
-    }
+    def dvOf(s: String): Option[(String, Long)] =
+      if (s == "-") None
+      else { val Array(f, c) = s.split(":", 2); Some((f, c.toLong)) }
     val entries = entryLines.map { l =>
       l.split("\t") match {
         case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
@@ -543,6 +558,8 @@ private[graft] object Manifest {
           c.toInt, cmap(mp))
         case Array(f, n, st, c, mp, dvs) => ManifestFile.raw(f, n.toLong, st,
           c.toInt, cmap(mp), dvOf(dvs))
+        case Array(f, n, st, c, mp, dvs, idx) => ManifestFile.raw(f, n.toLong, st,
+          c.toInt, cmap(mp), dvOf(dvs), idx)
       }
     }
     Manifest(schema, entries, props)
@@ -648,11 +665,15 @@ private[graft] object Manifest {
          .map { case (k, v) => s"$k=$v" }.mkString("\t")))
     val body = (header ++
       m.entries.map { e =>
+        val hasIdx = e.indexRaw != null && e.indexRaw.nonEmpty
         val mapField = e.colMap.map(_.mkString(","))
-          .getOrElse(if (e.dv.isDefined) "-" else "")
+          .getOrElse(if (e.dv.isDefined || hasIdx) "-" else "")
+        val dvField = e.dv.map { case (f, c) => s"$f:$c" }
+          .getOrElse(if (hasIdx) "-" else "")
         s"${e.name}\t${e.rows}\t${e.renderStats}\t${e.cols}" +
           (if (mapField.nonEmpty) s"\t$mapField" else "") +
-          e.dv.map { case (f, c) => s"\t$f:$c" }.getOrElse("")
+          (if (dvField.nonEmpty) s"\t$dvField" else "") +
+          (if (hasIdx) s"\t${e.indexRaw}" else "")
       })
       .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
@@ -1463,17 +1484,17 @@ private[sources] object Constraints {
 }
 
 private[sources] case class StagedFile(name: String, rows: Long, stats: String,
-    cols: Int) extends WriterCommitMessage
+    cols: Int, index: String = "") extends WriterCommitMessage
 
 private[sources] object ManifestCommit {
   /** Shared promote step: move the surviving attempts' staged files into
     * the table directory and turn their commit messages into manifest
     * entries. Only the subsequent manifest swap makes them visible. */
   def promote(dir: Path, messages: Array[WriterCommitMessage]): Seq[ManifestFile] =
-    messages.map { case StagedFile(name, rows, stats, cols) =>
+    messages.map { case StagedFile(name, rows, stats, cols, index) =>
       Files.move(dir.resolve("_staging").resolve(name), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
-      ManifestFile.raw(name, rows, stats, cols)
+      ManifestFile.raw(name, rows, stats, cols, indexRaw = index)
     }.toSeq
 
   /** Shared abort step: this query's staged files (all attempts) are garbage. */
@@ -1586,7 +1607,7 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
       val last = prevM.flatMap(_.props.get(epochProp)).map(_.toLong)
       if (last.exists(_ >= epochId)) {
         // replayed epoch after a restart — already published, drop duplicates
-        messages.foreach { case StagedFile(name, _, _, _) =>
+        messages.foreach { case StagedFile(name, _, _, _, _) =>
           Files.deleteIfExists(dir.resolve("_staging").resolve(name))
         }
       } else {
@@ -1626,6 +1647,15 @@ private[sources] case class ManifestWriterFactory(dir: String, schema: StructTyp
       notNull, checks)
 }
 
+private[sources] object ManifestDataWriter {
+  /** Line-index sampling stride (rows): ~16 B of index per 64k rows,
+    * enough granularity to split a multi-GB file into balanced
+    * byte-range partitions. Overridable for tests via the system
+    * property `graft.write.indexStride`. */
+  def IndexStride: Int =
+    sys.props.get("graft.write.indexStride").map(_.toInt).getOrElse(65536)
+}
+
 private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String,
     bloomCols: Seq[String] = Seq.empty, ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
@@ -1634,7 +1664,23 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   private val staging = { // unique name per (partition, task attempt, query)
     val s = dir.resolve("_staging"); Files.createDirectories(s); s
   }
-  private val out = Files.newBufferedWriter(staging.resolve(name), UTF_8)
+  // byte-counting stream under the buffered writer: every IndexStride-th
+  // line's byte offset is sampled (after a flush, so the count is exact)
+  // into a SPARSE LINE INDEX — what lets the scan split a large file into
+  // byte-range partitions with known line numbers (see
+  // [[ManifestScan.planInputPartitions]]). ~16 B per 64k rows.
+  private val rawOut =
+    new java.io.BufferedOutputStream(
+      Files.newOutputStream(staging.resolve(name))) {
+    var written: Long = 0L // `count` is BufferedOutputStream's buffer fill
+    override def write(b: Int): Unit = { super.write(b); written += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      super.write(b, off, len); written += len
+    }
+  }
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(rawOut, UTF_8))
+  private val lineIndex = Seq.newBuilder[Long]
   private var rows = 0L
   // zone map, gathered in the same pass that writes the rows: min/max per
   // numeric column (null cells skipped — absent range never prunes)
@@ -1698,6 +1744,10 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
     checks.foreach { case (n, e) =>
       if (e.eval(row) == false) // SQL CHECK: NULL/unknown passes, FALSE rejects
         throw new IllegalStateException(s"CHECK constraint $n violated")
+    }
+    if (rows % ManifestDataWriter.IndexStride == 0) {
+      out.flush() // push buffered chars so the byte count is exact
+      lineIndex += rawOut.written
     }
     out.write(GraftManifestSink.render(row, schema)); out.write("\n"); rows += 1
     numIdx.foreach { i =>
@@ -1771,7 +1821,17 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
         bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap),
       ColumnStats.renderBlooms(
         ndvIdx.map(i => schema.fields(i).name -> FileBloom.ser(ndvB(i).result())).toMap))
-    StagedFile(name, rows, stats.render, schema.length)
+    // serialized as [stride, offset0, offset1, ...] — the stride is the
+    // ground truth for the line number each offset belongs to
+    val pts = lineIndex.result()
+    StagedFile(name, rows, stats.render, schema.length,
+      if (pts.length > 1) { // a single point (offset 0) can never split
+        val all = ManifestDataWriter.IndexStride.toLong +: pts
+        val bb = java.nio.ByteBuffer.allocate(all.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        all.foreach(bb.putLong)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      } else "")
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
   override def close(): Unit = ()
@@ -2190,7 +2250,9 @@ private[sources] object ManifestScanBuilder {
 private[sources] case class ManifestFilePartition(file: String, dir: String,
     wanted: StructType, phys: Array[Int],
     entry: String = "", fileColAt: Option[Int] = None,
-    posColAt: Option[Int] = None, dvPath: String = null) extends InputPartition
+    posColAt: Option[Int] = None, dvPath: String = null,
+    startByte: Long = 0L, startLine: Long = 0L, numLines: Long = -1L)
+  extends InputPartition
 
 /** Offset = committed snapshot version (monotone: every manifest write
   * archives `_manifest.v{n+1}`). */
@@ -2397,11 +2459,33 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
   override def planInputPartitions(): Array[InputPartition] = {
     plannedFiles = current.length
     val chain = Manifest.resolveChain(dir)
-    current.map(e => ManifestFilePartition(Manifest.resolveData(chain, e.name).toString,
-      dir.toString, wanted, GraftManifestSink.wantedPhys(full, wanted, e),
-      e.name, fileColAt, posColAt,
-      e.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull))
-      .toArray[InputPartition]
+    // a file whose writer recorded a sparse line index and whose row
+    // count exceeds the split threshold fans out into byte-range
+    // partitions with KNOWN start lines (the `_pos`/deletion-vector
+    // ordinal space stays exact) — without this, one misconfigured
+    // multi-GB file would serialize an entire scan stage
+    val splitRows: Long = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.scan.splitRows").map(_.toLong).getOrElse(524288L)
+    current.flatMap { e =>
+      val resolved = Manifest.resolveData(chain, e.name).toString
+      val dvp = e.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull
+      val phys = GraftManifestSink.wantedPhys(full, wanted, e)
+      val idx = e.lineIndex
+      if (e.rows <= splitRows || idx.length < 3) // [stride, o0, o1] minimum
+        Seq(ManifestFilePartition(resolved, dir.toString, wanted, phys,
+          e.name, fileColAt, posColAt, dvp))
+      else {
+        val stride = idx(0) // recorded at write time, never estimated
+        val offsets = idx.drop(1) // offsets(j) = first byte of line j*stride
+        val group = math.max(1L, splitRows / stride).toInt
+        (0 until offsets.length by group).map { j =>
+          val startLine = j.toLong * stride
+          val n = math.min(group.toLong * stride, e.rows - startLine)
+          ManifestFilePartition(resolved, dir.toString, wanted, phys,
+            e.name, fileColAt, posColAt, dvp, offsets(j), startLine, n)
+        }
+      }
+    }.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory
@@ -2410,23 +2494,43 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ManifestFilePartition(file, dir, wanted, phys, entry, fileColAt,
-      posColAt, dvPath) = partition.asInstanceOf[ManifestFilePartition]
+      posColAt, dvPath, startByte, startLine, numLines) =
+      partition.asInstanceOf[ManifestFilePartition]
     val _ = dir // file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
-      private val stream = Files.lines(Paths.get(file), UTF_8)
-      private val it = stream.iterator()
+      // byte-range split support: seek straight to this partition's first
+      // line (an offset the writer's sparse line index recorded — always
+      // a true line start), then read EXACTLY numLines lines (-1 = EOF)
+      private val in = new java.io.BufferedInputStream(
+        Files.newInputStream(Paths.get(file)))
+      locally {
+        var toSkip = startByte
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s <= 0) throw new java.io.IOException(
+            s"$file: cannot seek to split offset $startByte")
+          toSkip -= s
+        }
+      }
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, UTF_8))
+      private var remaining = if (numLines < 0) Long.MaxValue else numLines
       // the `_file` metadata value is CONSTANT per partition — one
       // UTF8String allocated per file, spliced per row only when selected
       private val fileVal =
         org.apache.spark.unsafe.types.UTF8String.fromString(entry)
       // deletion vector: ascending physical ordinals, consumed by a single
       // forward cursor in lockstep with the sequential line scan — O(1)
-      // per row, no hashing
+      // per row, no hashing; a split partition fast-forwards the cursor to
+      // its own line range
       private val dvOrds: Array[Long] =
         if (dvPath == null) Array.emptyLongArray
         else DeletionVector.read(Paths.get(dvPath))
-      private var dvIdx = 0
-      private var lineNo = -1L
+      private var dvIdx = {
+        val i = java.util.Arrays.binarySearch(dvOrds, startLine)
+        if (i < 0) -i - 1 else i
+      }
+      private var lineNo = startLine - 1
       private var row: InternalRow = _
       private def withMeta(r: InternalRow): InternalRow =
         if (fileColAt.isEmpty && posColAt.isEmpty) r
@@ -2444,8 +2548,10 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         }
       override def next(): Boolean = {
-        while (it.hasNext) {
-          val line = it.next()
+        while (remaining > 0) {
+          val line = reader.readLine()
+          if (line == null) return false
+          remaining -= 1
           lineNo += 1
           if (dvIdx < dvOrds.length && dvOrds(dvIdx) == lineNo) dvIdx += 1
           else {
@@ -2456,7 +2562,7 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = stream.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

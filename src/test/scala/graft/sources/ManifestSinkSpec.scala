@@ -384,6 +384,47 @@ class ManifestSinkSpec extends SparkSuite {
     assert(q4.head().getLong(0) == 2L)
   }
 
+  test("sparse line index splits a large file into exact byte-range partitions") {
+    val dir = freshDir()
+    System.setProperty("graft.write.indexStride", "100")
+    try {
+      (0L until 1000L).map(i => (i, s"name$i")).toDF("id", "name")
+        .coalesce(1).write.format(Fmt).option("path", dir).mode("append").save()
+    } finally System.clearProperty("graft.write.indexStride")
+    val e = Manifest.read(Paths.get(dir)).get.entries.head
+    assert(e.lineIndex.length == 11, // stride + 10 offsets (lines 0,100..900)
+      s"index: ${e.lineIndex.toSeq}")
+    assert(e.lineIndex(0) == 100L && e.lineIndex(1) == 0L)
+
+    spark.conf.set("spark.graft.scan.splitRows", "200")
+    try {
+      val base = () => spark.read.format(Fmt).option("path", dir).load()
+      // 10 offsets grouped by 200/100=2 strides → 5 partitions, 1 file
+      assert(base().rdd.getNumPartitions == 5)
+      assert(base().count() == 1000L)
+      assert(base().agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+        == (0L until 1000L).sum)
+      // _pos stays the PHYSICAL ordinal across split boundaries
+      val pos = spark.read.format(Fmt).option("path", dir).load()
+        .selectExpr("id", "_pos").where("id IN (0, 199, 200, 999)")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(pos == Map(0L -> 0L, 199L -> 199L, 200L -> 200L, 999L -> 999L))
+      // a deletion vector spanning split boundaries skips exactly its
+      // ordinals — including one ON a boundary line
+      val m = Manifest.read(Paths.get(dir)).get
+      val dvName = DeletionVector.write(Paths.get(dir), Array(200L, 555L))
+      Manifest.write(Paths.get(dir), m.copy(entries =
+        m.entries.map(_.copy(dv = Some((dvName, 2L))))))
+      assert(base().count() == 998L)
+      assert(base().where("id IN (200, 555)").count() == 0L)
+      assert(base().where("id IN (199, 201, 554, 556)").count() == 4L)
+    } finally spark.conf.unset("spark.graft.scan.splitRows")
+
+    // without the conf the default threshold leaves small files unsplit
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .rdd.getNumPartitions == 1)
+  }
+
   test("NDV column statistics: merged KMV sketches land within 10%, withheld when any file lacks one") {
     val dir = freshDir()
     val schema2 = Seq((1L, "x")).toDF("id", "cat").schema
