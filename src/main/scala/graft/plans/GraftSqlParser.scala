@@ -232,7 +232,9 @@ case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
     AttributeReference("num_rows", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("num_snapshots", IntegerType, nullable = false)(),
-    AttributeReference("num_properties", IntegerType, nullable = false)())
+    AttributeReference("num_properties", IntegerType, nullable = false)(),
+    AttributeReference("num_deletion_vectors", IntegerType, nullable = false)(),
+    AttributeReference("num_deleted_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "DESCRIBE DETAIL")
@@ -248,7 +250,9 @@ case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
     Seq(Row(dir.toString, m.entries.length, bytes, m.entries.map(_.liveRows).sum,
       Manifest.partitionCols(dir).mkString(","),
       Manifest.snapshotVersions(dir).length,
-      m.props.count(_._1.startsWith(graft.sources.GraftCatalog.TblPropPrefix))))
+      m.props.count(_._1.startsWith(graft.sources.GraftCatalog.TblPropPrefix)),
+      m.entries.count(_.dv.isDefined),
+      m.entries.map(e => e.rows - e.liveRows).sum))
   }
 }
 

@@ -1357,7 +1357,10 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
       m.map(_.schema).getOrElse(schema), schema,
       m.map(_.props).getOrElse(Map.empty))
     new ManifestWrite(dir, schema, queryId, overwrite, partCols,
-      Manifest.bloomCols(dir), Manifest.ndvCols(dir), notNull, checks)
+      Manifest.bloomCols(dir), Manifest.ndvCols(dir), notNull, checks,
+      m.flatMap(_.props.get("tbl.write.targetFileSize"))
+        .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+        .getOrElse(0L))
   }
 }
 
@@ -1372,7 +1375,8 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
     overwrite: Boolean, partCols: Seq[String], bloomCols: Seq[String],
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
-    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    advisoryBytes: Long = 0L)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -1389,6 +1393,15 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
   // clustering is a layout optimization: if a plan can't satisfy it (e.g.
   // a continuous-mode stream), an unclustered write is still correct
   override def distributionStrictlyRequired(): Boolean = false
+  /** TBLPROPERTIES('write.targetFileSize'='<bytes>') — AQE sizes the
+    * write's exchange partitions toward the target, so each task's output
+    * file approaches it (Delta's targetFileSize knob). 0 = Spark's
+    * advisory default. Only a clustered (partitioned-table) write has an
+    * exchange to size. */
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (partCols.isEmpty) 0L else advisoryBytes // Spark rejects an advisory
+    // size on an unspecified distribution — only clustered writes have an
+    // exchange to size
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,

@@ -670,6 +670,37 @@ class GraftCatalogSpec extends SparkSuite {
     assert(d.getAs[String]("partition_columns") == "tag")
     assert(d.getAs[Int]("num_snapshots") >= 2)
     assert(d.getAs[Int]("num_properties") == 1)
+    assert(d.getAs[Int]("num_deletion_vectors") == 0)
+    assert(d.getAs[Long]("num_deleted_rows") == 0L)
+  }
+
+  test("DESCRIBE DETAIL reports deletion-vector state; write.targetFileSize reaches the write") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.det2")
+    spark.sql("DROP TABLE IF EXISTS graftcat.det2.t")
+    spark.sql("CREATE TABLE graftcat.det2.t (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (k) " + // advisory sizing needs a clustered write
+      "TBLPROPERTIES ('delete.dv' = 'true', 'write.targetFileSize' = '1048576')")
+    spark.sql("INSERT INTO graftcat.det2.t " +
+      "SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) FROM RANGE(0, 40)")
+    spark.sql("DELETE FROM graftcat.det2.t WHERE k IN (3, 7)")
+    val d = spark.sql("DESCRIBE DETAIL graftcat.det2.t").head()
+    assert(d.getAs[Long]("num_rows") == 38L)
+    assert(d.getAs[Int]("num_deletion_vectors") == 1)
+    assert(d.getAs[Long]("num_deleted_rows") == 2L)
+    // the advisory file-size knob reaches the V2 write
+    val dir = Paths.get(rootDir, "det2", "t")
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "t-advisory"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        spark.table("graftcat.det2.t").schema
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    val w = new ManifestTable(dir, info.schema())
+      .newWriteBuilder(info).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]
+    assert(w.advisoryPartitionSizeInBytes() == 1048576L)
   }
 
   test("metadata DELETE accepts a date-ranged whole-file predicate") {
