@@ -36,6 +36,10 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // graft's custom expressions as SQL functions (fixed_point_dot, …)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // storage-partitioned joins: group DSv2 partitions by reported
+      // partition key (bucket-pure manifest files) so co-bucketed joins
+      // plan with no exchange — inert for every other source
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // catalog tables (bucketed layouts) land in /tmp, not the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")

@@ -5,8 +5,9 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +60,7 @@ object GraftCatalog {
       }
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -220,6 +221,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"PARTITIONED BY: bucket transform without a bucket count: $t"))
           if (n <= 0) throw new IllegalArgumentException(
             s"PARTITIONED BY: bucket count must be positive, got $n")
+          // the bucket hash must be stable across engines and rewrites —
+          // float/double have no portable encoding (the Iceberg rule)
+          val bt = schema.fields.find(_.name == c).get.dataType
+          if (!BucketHash.supported(bt)) throw new IllegalArgumentException(
+            s"PARTITIONED BY: bucket($n, $c) needs a " +
+              s"long/int/string/date/timestamp column, got ${bt.simpleString}")
           (c, s"bucket($n,$c)")
         case _ =>
           throw new UnsupportedOperationException(
@@ -536,4 +543,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       true
     }
   }
+
+  // ----- functions -----
+
+  /** The catalog's V2 function surface exists for ONE function: `bucket`,
+    * the transform behind storage-partitioned joins. When a
+    * [[ManifestScan]] reports `KeyGroupedPartitioning(bucket(n, col))`,
+    * Catalyst resolves the transform against THIS catalog
+    * ([[GraftBucketFunction]]); two co-bucketed manifest tables joined on
+    * their bucket columns then match partition keys instead of shuffling
+    * either side. Also directly callable as
+    * `SELECT <catalog>.bucket(16, doc_id)`. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || Files.isDirectory(nsDir(namespace)))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 }

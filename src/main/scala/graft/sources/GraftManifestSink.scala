@@ -465,6 +465,29 @@ private[graft] object Manifest {
     read(dir).flatMap(_.props.get(PartitionTransformsProp))
       .map(_.split(";").toSeq.filter(_.nonEmpty))
 
+  private val BucketRender = """bucket\((\d+),([^)]+)\)""".r
+
+  /** Pseudo-column key under which a BUCKET-PURE file records its bucket id
+    * in the ordinary zone-map ranges (`lo == hi` == the id). `@` can never
+    * appear in a data column's name (the codec requires identifier-safe
+    * names), so the key never collides, and rename/drop stats maintenance —
+    * keyed by real column names — never touches it. A file without the key
+    * (pre-bucketing commit, path-addressed append missing the column)
+    * simply withholds the table's SPJ claim; never unsound. */
+  private[sources] val BucketStatKey = "@bucket"
+
+  /** The table's `bucket(n, col)` transform, when it declares EXACTLY one
+    * bucket transform — the layout contract behind bucket-pure files and
+    * storage-partitioned joins. Parsed from a manifest's props (works for
+    * scratch manifests and snapshots alike, no dir round-trip). */
+  private[sources] def bucketSpec(props: Map[String, String]): Option[(Int, String)] =
+    props.get(PartitionTransformsProp).flatMap { ts =>
+      ts.split(";").toSeq.collect { case BucketRender(n, c) => (n.toInt, c) } match {
+        case Seq(one) => Some(one)
+        case _ => None // zero or several bucket transforms: no SPJ contract
+      }
+    }
+
   /** Manifest property recording the directory a SHALLOW CLONE was taken
     * from: entries whose data file is absent locally resolve against the
     * clone chain (clone-of-clone walks transitively, cycle-bounded).
@@ -1356,11 +1379,22 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
     val (notNull, checks) = Constraints.compile(
       m.map(_.schema).getOrElse(schema), schema,
       m.map(_.props).getOrElse(Map.empty))
+    // bucket-partitioned table: every write fans rows out to bucket-pure
+    // files (the SPJ layout contract); a write schema missing the bucket
+    // column (or carrying an unbucketable type) falls back to plain files,
+    // which merely withholds the table's SPJ claim — never unsound
+    val bucketSpec = m.flatMap(mm => Manifest.bucketSpec(mm.props)).flatMap {
+      case (n, c) =>
+        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        if (i >= 0 && BucketHash.supported(schema.fields(i).dataType))
+          Some((n, i))
+        else None
+    }
     new ManifestWrite(dir, schema, queryId, overwrite, partCols,
       Manifest.bloomCols(dir), Manifest.ndvCols(dir), notNull, checks,
       m.flatMap(_.props.get("tbl.write.targetFileSize"))
         .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
-        .getOrElse(0L))
+        .getOrElse(0L), bucketSpec)
   }
 }
 
@@ -1376,7 +1410,8 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    advisoryBytes: Long = 0L)
+    advisoryBytes: Long = 0L,
+    bucketSpec: Option[(Int, Int)] = None)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -1405,10 +1440,10 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
-      notNull, checks)
+      notNull, checks, bucketSpec)
   override def toStreaming: StreamingWrite =
     new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
-      notNull, checks)
+      notNull, checks, bucketSpec)
 }
 
 /** Write-time data-quality contracts on managed tables:
@@ -1499,16 +1534,24 @@ private[sources] object Constraints {
 private[sources] case class StagedFile(name: String, rows: Long, stats: String,
     cols: Int, index: String = "") extends WriterCommitMessage
 
+/** One task's commit when it wrote SEVERAL files — the bucket fanout
+  * writer's message (one staged file per bucket id the task saw). */
+private[sources] case class StagedFiles(files: Seq[StagedFile])
+  extends WriterCommitMessage
+
 private[sources] object ManifestCommit {
   /** Shared promote step: move the surviving attempts' staged files into
     * the table directory and turn their commit messages into manifest
     * entries. Only the subsequent manifest swap makes them visible. */
   def promote(dir: Path, messages: Array[WriterCommitMessage]): Seq[ManifestFile] =
-    messages.map { case StagedFile(name, rows, stats, cols, index) =>
+    messages.toSeq.flatMap {
+      case s: StagedFile => Seq(s)
+      case StagedFiles(ms) => ms
+    }.map { case StagedFile(name, rows, stats, cols, index) =>
       Files.move(dir.resolve("_staging").resolve(name), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
       ManifestFile.raw(name, rows, stats, cols, indexRaw = index)
-    }.toSeq
+    }
 
   /** Shared abort step: this query's staged files (all attempts) are garbage. */
   def dropStaged(dir: Path, queryId: String): Unit = {
@@ -1527,12 +1570,13 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty,
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
-    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    bucketSpec: Option[(Int, Int)] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, ndvCols,
-      notNull, checks)
+      notNull, checks, bucketSpec)
 
   /** Driver-side atomic publish: promote exactly the surviving attempts'
     * staged files, then swap the manifest. Readers either see the old
@@ -1596,13 +1640,14 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
     queryId: String, overwrite: Boolean, bloomCols: Seq[String] = Seq.empty,
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
-    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    bucketSpec: Option[(Int, Int)] = None)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, ndvCols,
-      notNull, checks)
+      notNull, checks, bucketSpec)
 
   // the watermark is KEYED BY STREAMING QUERY ID (stable across restarts —
   // Spark persists it in the checkpoint and passes it as the write's
@@ -1620,9 +1665,11 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
       val last = prevM.flatMap(_.props.get(epochProp)).map(_.toLong)
       if (last.exists(_ >= epochId)) {
         // replayed epoch after a restart — already published, drop duplicates
-        messages.foreach { case StagedFile(name, _, _, _, _) =>
-          Files.deleteIfExists(dir.resolve("_staging").resolve(name))
-        }
+        messages.toSeq.flatMap {
+          case s: StagedFile => Seq(s)
+          case StagedFiles(ms) => ms
+        }.foreach(s =>
+          Files.deleteIfExists(dir.resolve("_staging").resolve(s.name)))
       } else {
         val committed = ManifestCommit.promote(dir, messages)
         // complete-mode streaming (truncate()) REPLACES the table every epoch
@@ -1648,16 +1695,57 @@ private[sources] case class ManifestWriterFactory(dir: String, schema: StructTyp
     queryId: String, bloomCols: Seq[String] = Seq.empty,
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
-    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    bucketSpec: Option[(Int, Int)] = None) // (numBuckets, column index)
   extends DataWriterFactory with StreamingDataWriterFactory {
+  private def writer(base: String): DataWriter[InternalRow] = bucketSpec match {
+    case Some((n, i)) =>
+      new BucketFanoutWriter(Paths.get(dir), schema, base, n, i, bloomCols,
+        ndvCols, notNull, checks)
+    case None =>
+      new ManifestDataWriter(Paths.get(dir), schema, s"$base.tsv", bloomCols,
+        ndvCols, notNull, checks)
+  }
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId.tsv", bloomCols, ndvCols, notNull, checks)
+    writer(s"part-$partitionId-$taskId-$queryId")
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(Paths.get(dir), schema,
-      s"part-$partitionId-$taskId-$queryId-e$epochId.tsv", bloomCols, ndvCols,
-      notNull, checks)
+    writer(s"part-$partitionId-$taskId-$queryId-e$epochId")
+}
+
+/** Task writer for a BUCKET-PARTITIONED table: routes each row to a
+  * bucket-pure data file via [[BucketHash]] (Iceberg's fanout writer). Each
+  * inner file records its bucket id in its stats line
+  * ([[Manifest.BucketStatKey]]) — the purity evidence [[ManifestScan]]
+  * needs to report `KeyGroupedPartitioning` for storage-partitioned joins.
+  * At most `numBuckets` files (and writers) per task, whatever the task's
+  * input distribution — the table's range-clustering contract keeps each
+  * one's VALUE zone maps narrow, this writer keeps each one BUCKET-pure. */
+private[sources] class BucketFanoutWriter(dir: Path, schema: StructType,
+    baseName: String, numBuckets: Int, colIdx: Int,
+    bloomCols: Seq[String], ndvCols: Seq[String],
+    notNull: Seq[(Int, String)],
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+  extends DataWriter[InternalRow] {
+  private val dt = schema.fields(colIdx).dataType
+  private val writers = new java.util.HashMap[Int, ManifestDataWriter]
+
+  override def write(row: InternalRow): Unit = {
+    val b = BucketHash.ofRow(row, colIdx, dt, numBuckets)
+    var w = writers.get(b)
+    if (w == null) {
+      w = new ManifestDataWriter(dir, schema, s"$baseName-b$b.tsv", bloomCols,
+        ndvCols, notNull, checks,
+        Map(Manifest.BucketStatKey -> ((BigDecimal(b), BigDecimal(b)))))
+      writers.put(b, w)
+    }
+    w.write(row)
+  }
+  override def commit(): WriterCommitMessage =
+    StagedFiles(writers.values.asScala.toSeq
+      .map(_.commit().asInstanceOf[StagedFile]))
+  override def abort(): Unit = writers.values.asScala.foreach(_.abort())
+  override def close(): Unit = writers.values.asScala.foreach(_.close())
 }
 
 private[sources] object ManifestDataWriter {
@@ -1672,7 +1760,8 @@ private[sources] object ManifestDataWriter {
 private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: String,
     bloomCols: Seq[String] = Seq.empty, ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
-    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    extraRanges: Map[String, (BigDecimal, BigDecimal)] = Map.empty)
   extends DataWriter[InternalRow] {
   private val staging = { // unique name per (partition, task attempt, query)
     val s = dir.resolve("_staging"); Files.createDirectories(s); s
@@ -1827,7 +1916,7 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
     val stats = ColumnStats(
       numIdx.collect {
         case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
-      }.toMap,
+      }.toMap ++ extraRanges, // e.g. the fanout writer's @bucket purity tag
       (numIdx ++ strIdx).collect { case i if partial(i) => schema.fields(i).name }.toSet,
       strRanges,
       ColumnStats.renderBlooms(
@@ -1992,7 +2081,14 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
       val entries = liveEntries
       val kept = entries.filter(e =>
         skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
-      new ManifestScan(dir, full, required, kept, entries.length, fileColAt, posColAt)
+      // the table's SPJ contract, when it declares one bucket transform on
+      // a column the current schema still carries bucketable
+      val spj = manifest.flatMap(m => Manifest.bucketSpec(m.props)).filter {
+        case (_, c) => full.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) && BucketHash.supported(f.dataType))
+      }
+      new ManifestScan(dir, full, required, kept, entries.length, fileColAt,
+        posColAt, spj)
   }
 }
 
@@ -2267,6 +2363,17 @@ private[sources] case class ManifestFilePartition(file: String, dir: String,
     startByte: Long = 0L, startLine: Long = 0L, numLines: Long = -1L)
   extends InputPartition
 
+/** A file partition of a bucket-pure file, keyed by its bucket id — what
+  * lets Spark group a [[ManifestScan]]'s partitions under
+  * `KeyGroupedPartitioning` for storage-partitioned joins. */
+private[sources] case class ManifestBucketedPartition(inner: ManifestFilePartition,
+    bucket: Int)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 /** Offset = committed snapshot version (monotone: every manifest write
   * archives `_manifest.v{n+1}`). */
 private[sources] case class SnapOffset(v: Int)
@@ -2326,10 +2433,12 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
     entries: Seq[ManifestFile], totalFiles: Int,
-    fileColAt: Option[Int] = None, posColAt: Option[Int] = None)
+    fileColAt: Option[Int] = None, posColAt: Option[Int] = None,
+    spjBucket: Option[(Int, String)] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.read.Statistics
   import org.apache.spark.sql.sources.Filter
@@ -2466,6 +2575,41 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     current = current.filter(e =>
       filters.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
 
+  /** Per-file bucket ids when EVERY live file is provably bucket-pure
+    * (written by the fanout writer under the table's ONE bucket transform)
+    * — the evidence for `KeyGroupedPartitioning`. Any file without the
+    * purity tag (pre-bucketing commit, schema-mismatched path append)
+    * withholds the claim; the scan then reports unknown partitioning and
+    * joins simply shuffle as before. Forces the tagged entries' stats —
+    * only ever evaluated for bucket-partitioned tables, so the lazy
+    * planning contract for ordinary tables is untouched. */
+  private lazy val bucketIds: Option[Map[String, Int]] = spjBucket.flatMap {
+    case (n, _) =>
+      val ids = entries.map(e => e.name -> e.stats.ranges.get(Manifest.BucketStatKey))
+      if (ids.nonEmpty && ids.forall(_._2.exists(r =>
+        r._1 == r._2 && r._1 >= 0 && r._1 < n)))
+        Some(ids.map { case (nm, r) => nm -> r.get._1.toInt }.toMap)
+      else None
+  }
+
+  /** Storage-partitioned-join handshake: a bucket-partitioned table whose
+    * live files are all bucket-pure reports its layout as
+    * `KeyGroupedPartitioning(bucket(n, col))`. With
+    * `spark.sql.sources.v2.bucketing.enabled` Spark groups the input
+    * partitions by bucket id and a join of two co-bucketed tables on the
+    * bucket column plans with NO exchange on either side — at 100 TB the
+    * single most expensive shuffle a warehouse pays, eliminated by layout.
+    * The transform resolves to [[GraftBucketFunction]] via the catalog. */
+  override def outputPartitioning()
+    : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (spjBucket, bucketIds) match {
+      case (Some((n, col)), Some(ids)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, col)), ids.values.toSet.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** One partition per COMMITTED file of the selected snapshot — staged and
     * orphaned files are never planned, the read half of the exactly-once
     * contract. */
@@ -2484,19 +2628,26 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
       val dvp = e.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull
       val phys = GraftManifestSink.wantedPhys(full, wanted, e)
       val idx = e.lineIndex
-      if (e.rows <= splitRows || idx.length < 3) // [stride, o0, o1] minimum
-        Seq(ManifestFilePartition(resolved, dir.toString, wanted, phys,
-          e.name, fileColAt, posColAt, dvp))
-      else {
-        val stride = idx(0) // recorded at write time, never estimated
-        val offsets = idx.drop(1) // offsets(j) = first byte of line j*stride
-        val group = math.max(1L, splitRows / stride).toInt
-        (0 until offsets.length by group).map { j =>
-          val startLine = j.toLong * stride
-          val n = math.min(group.toLong * stride, e.rows - startLine)
-          ManifestFilePartition(resolved, dir.toString, wanted, phys,
-            e.name, fileColAt, posColAt, dvp, offsets(j), startLine, n)
+      val raw: Seq[ManifestFilePartition] =
+        if (e.rows <= splitRows || idx.length < 3) // [stride, o0, o1] minimum
+          Seq(ManifestFilePartition(resolved, dir.toString, wanted, phys,
+            e.name, fileColAt, posColAt, dvp))
+        else {
+          val stride = idx(0) // recorded at write time, never estimated
+          val offsets = idx.drop(1) // offsets(j) = first byte of line j*stride
+          val group = math.max(1L, splitRows / stride).toInt
+          (0 until offsets.length by group).map { j =>
+            val startLine = j.toLong * stride
+            val n = math.min(group.toLong * stride, e.rows - startLine)
+            ManifestFilePartition(resolved, dir.toString, wanted, phys,
+              e.name, fileColAt, posColAt, dvp, offsets(j), startLine, n)
+          }
         }
+      // keyed layout: every partition (splits included — same file, same
+      // bucket) carries its bucket id so Spark can group by partition key
+      bucketIds match {
+        case Some(ids) => raw.map(p => ManifestBucketedPartition(p, ids(e.name)))
+        case None => raw
       }
     }.toArray[InputPartition]
   }
@@ -2507,8 +2658,10 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ManifestFilePartition(file, dir, wanted, phys, entry, fileColAt,
-      posColAt, dvPath, startByte, startLine, numLines) =
-      partition.asInstanceOf[ManifestFilePartition]
+      posColAt, dvPath, startByte, startLine, numLines) = partition match {
+      case b: ManifestBucketedPartition => b.inner // key is planning metadata
+      case p => p.asInstanceOf[ManifestFilePartition]
+    }
     val _ = dir // file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
       // byte-range split support: seek straight to this partition's first

@@ -358,6 +358,39 @@ object SourceQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Storage-partitioned join through the oracle gate: customer and orders
+    // land in catalog tables bucketed by the SAME transform
+    // (bucket(8, custkey)) — the fanout writer makes every file bucket-pure,
+    // the scan reports KeyGroupedPartitioning, and the merge-hinted join
+    // plans with NO exchange on either side (SpjSpec pins the zero-shuffle
+    // plan; the ORACLE proves the shuffle-free join returns exactly the
+    // plain join's rows — a bucket hash disagreement between writer and
+    // scan, or a dropped bucket, hash-fails). At 100 TB this is the one
+    // feature that deletes the dominant shuffle: co-bucketed fact-fact
+    // joins read both sides in place.
+    "q_join_spj" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.Scratch.dir("graft_spjq_")
+      s.conf.set("spark.sql.catalog.graftspjq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftspjq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftspjq.q")
+      s.sql("DROP TABLE IF EXISTS graftspjq.q.cust")
+      s.sql("DROP TABLE IF EXISTS graftspjq.q.ord")
+      Tables(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .writeTo("graftspjq.q.cust")
+        .partitionedBy(bucket(8, col("c_custkey"))).create()
+      Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        .writeTo("graftspjq.q.ord")
+        .partitionedBy(bucket(8, col("o_custkey"))).create()
+      val c = s.table("graftspjq.q.cust").hint("merge") // no broadcast: SPJ path
+      val o = s.table("graftspjq.q.ord")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+        .orderBy("c_custkey")
+    }),
+
     // Bloom-filter point lookup through the oracle gate: documents land in
     // 8 hash-random shards (every file spans the whole doc_id range, so
     // min/max ranges cannot prune a point probe) with per-file blooms on
@@ -698,6 +731,15 @@ object SourceQueries extends QueryModule {
         |       AS BIGINT) AS n_rows
         |FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
         |ORDER BY step""".stripMargin,
+    // The shuffle-free join's rows, straight off the source parquet — a
+    // writer/scan bucket disagreement (rows joined against the wrong
+    // bucket's partition) or a dropped bucket loses rows and hash-fails.
+    "q_join_spj" ->
+      """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     // The bloom probe's rows, straight off the source parquet — a false
     // negative (lost row) or over-prune hash-fails.
     "q_bloom_lookup" ->
