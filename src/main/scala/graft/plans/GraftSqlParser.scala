@@ -101,6 +101,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
+  /** `CREATE MATERIALIZED VIEW t AS <query>` / `REFRESH MATERIALIZED VIEW
+    * t` — the lakehouse MV surface ([[MaterializedView]]): CREATE stores
+    * the query result as a manifest table with the (query, source,
+    * snapshot) recorded in its props; REFRESH rides the source's snapshot
+    * trail — INCREMENTAL for decomposable aggregates over an append-only
+    * window, full recompute otherwise. Spark's grammar has no MATERIALIZED
+    * form, so neither regex shadows delegate syntax. */
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+
+  /** `ALTER TABLE t SET PARTITIONING (days(ts), bucket(8, id), col, …)` —
+    * PARTITION EVOLUTION (Iceberg's REPLACE PARTITION FIELD, spelled as
+    * one statement): swap the table's clustering contract metadata-only.
+    * `SET PARTITIONING ()` un-partitions. Spark's ALTER grammar has no
+    * SET PARTITIONING form, so the regex never shadows delegate syntax. */
+  private val AlterPartitioning =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONING\s*\(\s*(.*?)\s*\)\s*;?\s*""".r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
   private def splitTop(s: String, sep: Char): Seq[String] =
@@ -147,6 +167,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Restore(target, version) => RestoreTableCommand(target, version.toInt)
     case Clone(target, source, version) =>
       CloneTableCommand(target, source, Option(version).map(_.toInt))
+    case CreateMv(target, query) if query.count(_ == '\'') % 2 == 0 =>
+      CreateMaterializedViewCommand(target, query)
+    case RefreshMv(target) => RefreshMaterializedViewCommand(target)
+    case AlterPartitioning(target, spec) =>
+      AlterPartitioningCommand(target,
+        splitTop(spec, ',').map(_.trim).filter(_.nonEmpty))
     case _ => mergeOrDelegate(sqlText)
   }
 
@@ -330,6 +356,72 @@ case class CloneTableCommand(target: String, source: String,
           "not a graft catalog")
     }
     cat.shallowClone(Identifier.of(parts.tail.init.toArray, parts.last), m, srcDir)
+    Seq.empty
+  }
+}
+
+/** The lowered CREATE MATERIALIZED VIEW: evaluate the query pinned to the
+  * source's current snapshot, store the result as a manifest table, record
+  * (query, source, snapshot) in its props — see [[MaterializedView]]. */
+case class CreateMaterializedViewCommand(target: String, query: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    MaterializedView.create(spark, target, query)
+    Seq.empty
+  }
+}
+
+/** The lowered REFRESH MATERIALIZED VIEW: incremental (merge partials over
+  * the files added since the recorded snapshot) when the window is
+  * append-only and the query decomposable, else a full recompute — see
+  * [[MaterializedView.refresh]]. Reports which path ran. */
+case class RefreshMaterializedViewCommand(target: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (mode, rows) = MaterializedView.refresh(spark, target)
+    Seq(Row(mode, rows))
+  }
+}
+
+/** The lowered SET PARTITIONING: parse each transform item, validate the
+  * whole list against the table's CURRENT schema with the same rules
+  * CREATE TABLE applies, and swap the clustering contract metadata-only
+  * ([[graft.sources.Manifest.setPartitioning]]). Old files keep their old
+  * clustering (zone maps still prune them); only new writes follow the new
+  * layout; a changed bucket count self-invalidates stale purity tags. */
+case class AlterPartitioningCommand(target: String, items: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+
+  private val TimeT = """(?i)(years|months|days|hours)\(\s*(\w+)\s*\)""".r
+  private val BucketT = """(?i)bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val IdentT = """(\w+)""".r
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, Transform => T}
+    val transforms: Array[T] = items.map {
+      case BucketT(n, c) => Expressions.bucket(n.toInt, c)
+      case TimeT(f, c) => f.toLowerCase match {
+        case "years" => Expressions.years(c)
+        case "months" => Expressions.months(c)
+        case "days" => Expressions.days(c)
+        case "hours" => Expressions.hours(c)
+      }
+      case IdentT(c) => Expressions.identity(c)
+      case other => throw new IllegalArgumentException(
+        s"SET PARTITIONING: cannot parse transform '$other' — identity " +
+          "columns, years/months/days/hours(ts) and bucket(n, col) are accepted")
+    }.toArray
+    val mt = ManifestTarget.of(spark, target, "ALTER TABLE SET PARTITIONING")
+    val schema = spark.table(target).schema
+    val (partCols, renders) =
+      graft.sources.GraftCatalog.validateTransforms(schema, transforms)
+    graft.sources.Manifest.setPartitioning(mt.dir, partCols, renders)
     Seq.empty
   }
 }

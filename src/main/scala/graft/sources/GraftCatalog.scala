@@ -58,6 +58,76 @@ object GraftCatalog {
               "manifest text format cannot store it")
         (TblPropPrefix + k) -> v
       }
+
+  /** Validate a `PARTITIONED BY` transform list against a schema; returns
+    * (clustering source columns, declared-transform renderings). Shared by
+    * CREATE TABLE and `ALTER TABLE … SET PARTITIONING` (partition
+    * evolution — the clustering contract makes evolution metadata-only:
+    * old files keep their old clustering and the zone maps still prune
+    * them; only NEW writes follow the new layout). */
+  private[graft] def validateTransforms(schema: StructType,
+      partitions: Array[Transform]): (Seq[String], Seq[String]) = {
+    def sourceCol(t: Transform): String = {
+      if (t.references().length != 1 || t.references()(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"PARTITIONED BY: ${t.name()} must reference exactly one top-level column")
+      val c = t.references()(0).fieldNames()(0)
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY: column $c not in schema " +
+            s"(${schema.fieldNames.mkString(", ")})")).name
+    }
+    val TimeTransforms = Set("years", "months", "days", "hours")
+    // (clustering column, declared-transform rendering)
+    val parsed: Seq[(String, String)] = partitions.toSeq.map { t =>
+      t.name() match {
+        case "identity" => val c = sourceCol(t); (c, c)
+        case n if TimeTransforms(n) =>
+          val c = sourceCol(t)
+          val f = schema.fields.find(_.name == c).get
+          if (f.dataType != org.apache.spark.sql.types.TimestampType &&
+            f.dataType != org.apache.spark.sql.types.DateType)
+            throw new IllegalArgumentException(
+              s"PARTITIONED BY: $n($c) needs a date/timestamp column, " +
+                s"got ${f.dataType.simpleString}")
+          (c, s"$n($c)")
+        case "bucket" =>
+          val c = sourceCol(t)
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"PARTITIONED BY: bucket transform without a bucket count: $t"))
+          if (n <= 0) throw new IllegalArgumentException(
+            s"PARTITIONED BY: bucket count must be positive, got $n")
+          // the bucket hash must be stable across engines and rewrites —
+          // float/double have no portable encoding (the Iceberg rule)
+          val bt = schema.fields.find(_.name == c).get.dataType
+          if (!BucketHash.supported(bt)) throw new IllegalArgumentException(
+            s"PARTITIONED BY: bucket($n, $c) needs a " +
+              s"long/int/string/date/timestamp column, got ${bt.simpleString}")
+          (c, s"bucket($n,$c)")
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"PARTITIONED BY: unsupported transform $t — identity columns, " +
+              "years/months/days/hours(ts) and bucket(n, col) are accepted")
+      }
+    }
+    val partCols = parsed.map(_._1)
+    if (partCols.distinct.length != partCols.length)
+      throw new IllegalArgumentException(
+        s"PARTITIONED BY: duplicate source column in (${parsed.map(_._2).mkString(", ")})")
+    (partCols, parsed.map(_._2))
+  }
+
+  /** The manifest props a partitioning contract stores (empty map = drop
+    * both keys — how SET PARTITIONING () un-partitions a table). */
+  private[graft] def partitionProps(partCols: Seq[String],
+      transforms: Seq[String]): Map[String, String] =
+    (if (partCols.isEmpty) Map.empty[String, String]
+     else Map(Manifest.PartitionColsProp -> partCols.mkString(","))) ++
+      (if (transforms == partCols) Map.empty[String, String] // identity-only
+       else Map(Manifest.PartitionTransformsProp -> transforms.mkString(";")))
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
@@ -188,64 +258,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("_manifest")))
       throw new TableAlreadyExistsException(ident)
-    def sourceCol(t: Transform): String = {
-      if (t.references().length != 1 || t.references()(0).fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"PARTITIONED BY: ${t.name()} must reference exactly one top-level column")
-      val c = t.references()(0).fieldNames()(0)
-      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"PARTITIONED BY: column $c not in schema " +
-            s"(${schema.fieldNames.mkString(", ")})")).name
-    }
-    val TimeTransforms = Set("years", "months", "days", "hours")
-    // (clustering column, declared-transform rendering)
-    val parsed: Seq[(String, String)] = partitions.toSeq.map { t =>
-      t.name() match {
-        case "identity" => val c = sourceCol(t); (c, c)
-        case n if TimeTransforms(n) =>
-          val c = sourceCol(t)
-          val f = schema.fields.find(_.name == c).get
-          if (f.dataType != org.apache.spark.sql.types.TimestampType &&
-            f.dataType != org.apache.spark.sql.types.DateType)
-            throw new IllegalArgumentException(
-              s"PARTITIONED BY: $n($c) needs a date/timestamp column, " +
-                s"got ${f.dataType.simpleString}")
-          (c, s"$n($c)")
-        case "bucket" =>
-          val c = sourceCol(t)
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value().toString.toInt
-          }.getOrElse(throw new IllegalArgumentException(
-            s"PARTITIONED BY: bucket transform without a bucket count: $t"))
-          if (n <= 0) throw new IllegalArgumentException(
-            s"PARTITIONED BY: bucket count must be positive, got $n")
-          // the bucket hash must be stable across engines and rewrites —
-          // float/double have no portable encoding (the Iceberg rule)
-          val bt = schema.fields.find(_.name == c).get.dataType
-          if (!BucketHash.supported(bt)) throw new IllegalArgumentException(
-            s"PARTITIONED BY: bucket($n, $c) needs a " +
-              s"long/int/string/date/timestamp column, got ${bt.simpleString}")
-          (c, s"bucket($n,$c)")
-        case _ =>
-          throw new UnsupportedOperationException(
-            s"PARTITIONED BY: unsupported transform $t — identity columns, " +
-              "years/months/days/hours(ts) and bucket(n, col) are accepted")
-      }
-    }
-    val partCols = parsed.map(_._1)
-    if (partCols.distinct.length != partCols.length)
-      throw new IllegalArgumentException(
-        s"PARTITIONED BY: duplicate source column in (${parsed.map(_._2).mkString(", ")})")
-    val transforms = parsed.map(_._2)
+    val (partCols, transforms) = GraftCatalog.validateTransforms(schema, partitions)
     Files.createDirectories(dir)
-    val props =
-      (if (partCols.isEmpty) Map.empty[String, String]
-       else Map(Manifest.PartitionColsProp -> partCols.mkString(","))) ++
-        (if (transforms == partCols) Map.empty[String, String] // identity-only
-         else Map(Manifest.PartitionTransformsProp -> transforms.mkString(";"))) ++
-        GraftCatalog.userProps(properties.asScala.toMap)
+    val props = GraftCatalog.partitionProps(partCols, transforms) ++
+      GraftCatalog.userProps(properties.asScala.toMap)
     // a CHECK property that cannot bind is rejected at CREATE, never
     // stored to fail every future write
     props.foreach { case (k, v) => Constraints.validate(schema, k, v) }

@@ -467,14 +467,35 @@ private[graft] object Manifest {
 
   private val BucketRender = """bucket\((\d+),([^)]+)\)""".r
 
+  /** PARTITION EVOLUTION (`ALTER TABLE … SET PARTITIONING`): replace the
+    * table's clustering contract in one metadata-only swap. Sound with
+    * zero data movement BECAUSE partitioning here is a clustering
+    * contract, not a directory layout: old files keep their old
+    * clustering and the zone maps/blooms still prune them exactly as
+    * before; only NEW writes follow the new transforms. A changed bucket
+    * count never mislabels old files — purity tags carry their count
+    * ([[bucketStatKey]]), so stale tags self-invalidate and the table
+    * simply withholds SPJ until an OPTIMIZE re-tags every file. */
+  private[graft] def setPartitioning(dir: Path, partCols: Seq[String],
+      transforms: Seq[String]): Unit = ManifestLock.withLock(dir) {
+    val m = read(dir).getOrElse(throw new IllegalStateException(
+      s"SET PARTITIONING: no manifest at $dir"))
+    Manifest.write(dir, m.copy(props =
+      m.props - PartitionColsProp - PartitionTransformsProp ++
+        GraftCatalog.partitionProps(partCols, transforms)))
+  }
+
   /** Pseudo-column key under which a BUCKET-PURE file records its bucket id
     * in the ordinary zone-map ranges (`lo == hi` == the id). `@` can never
     * appear in a data column's name (the codec requires identifier-safe
     * names), so the key never collides, and rename/drop stats maintenance —
-    * keyed by real column names — never touches it. A file without the key
-    * (pre-bucketing commit, path-addressed append missing the column)
+    * keyed by real column names — never touches it. The key CARRIES the
+    * bucket count (`@bucket16`), so if partition evolution ever changes the
+    * count, every stale tag self-invalidates (the scan looks up the key for
+    * ITS count) instead of silently mislabeling files. A file without the
+    * key (pre-bucketing commit, path-addressed append missing the column)
     * simply withholds the table's SPJ claim; never unsound. */
-  private[sources] val BucketStatKey = "@bucket"
+  private[sources] def bucketStatKey(n: Int): String = s"@bucket$n"
 
   /** The table's `bucket(n, col)` transform, when it declares EXACTLY one
     * bucket transform — the layout contract behind bucket-pure files and
@@ -1018,7 +1039,14 @@ private[graft] object ManifestTable {
     // explicit transform (OPTIMIZE ZORDER must not be re-shuffled by the
     // partition-clustering contract), and epoch watermarks belong to the
     // real table only.
-    val carried = m.props.filter(_._1.startsWith(GraftCatalog.TblPropPrefix))
+    val carried = m.props.filter(_._1.startsWith(GraftCatalog.TblPropPrefix)) ++
+      // the bucket-transform contract rides along too (NOT partitionCols —
+      // that would re-shuffle the rewrite's explicit layout): the fanout
+      // writer keeps rewritten files bucket-pure whatever the clustering,
+      // so OPTIMIZE/COW preserve SPJ readiness — and OPTIMIZE of a table
+      // with legacy untagged files UPGRADES them to bucket-pure
+      m.props.get(Manifest.PartitionTransformsProp)
+        .map(Manifest.PartitionTransformsProp -> _)
     // ALWAYS write the scratch manifest (even with no carried props): the
     // schema's NOT NULL contract and the `check.*` properties must bind in
     // the rewrite's WriteBuilder, so copy-on-write outputs obey the same
@@ -1716,7 +1744,7 @@ private[sources] case class ManifestWriterFactory(dir: String, schema: StructTyp
 /** Task writer for a BUCKET-PARTITIONED table: routes each row to a
   * bucket-pure data file via [[BucketHash]] (Iceberg's fanout writer). Each
   * inner file records its bucket id in its stats line
-  * ([[Manifest.BucketStatKey]]) — the purity evidence [[ManifestScan]]
+  * ([[Manifest.bucketStatKey]]) — the purity evidence [[ManifestScan]]
   * needs to report `KeyGroupedPartitioning` for storage-partitioned joins.
   * At most `numBuckets` files (and writers) per task, whatever the task's
   * input distribution — the table's range-clustering contract keeps each
@@ -1736,7 +1764,7 @@ private[sources] class BucketFanoutWriter(dir: Path, schema: StructType,
     if (w == null) {
       w = new ManifestDataWriter(dir, schema, s"$baseName-b$b.tsv", bloomCols,
         ndvCols, notNull, checks,
-        Map(Manifest.BucketStatKey -> ((BigDecimal(b), BigDecimal(b)))))
+        Map(Manifest.bucketStatKey(numBuckets) -> ((BigDecimal(b), BigDecimal(b)))))
       writers.put(b, w)
     }
     w.write(row)
@@ -2585,7 +2613,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * planning contract for ordinary tables is untouched. */
   private lazy val bucketIds: Option[Map[String, Int]] = spjBucket.flatMap {
     case (n, _) =>
-      val ids = entries.map(e => e.name -> e.stats.ranges.get(Manifest.BucketStatKey))
+      val ids = entries.map(e => e.name -> e.stats.ranges.get(Manifest.bucketStatKey(n)))
       if (ids.nonEmpty && ids.forall(_._2.exists(r =>
         r._1 == r._2 && r._1 >= 0 && r._1 < n)))
         Some(ids.map { case (nm, r) => nm -> r.get._1.toInt }.toMap)

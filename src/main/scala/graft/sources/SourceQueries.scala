@@ -391,6 +391,34 @@ object SourceQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // Incremental materialized-view maintenance through the oracle gate:
+    // documents commit in two appends; the MV (per-source count / sum /
+    // min / max) is CREATEd after the first, and the REFRESH after the
+    // second takes the INCREMENTAL path (MaterializedViewSpec pins the
+    // mode) — it aggregates ONLY the second batch's files and merges the
+    // partials into the stored result. The oracle recomputes the whole
+    // aggregate from scratch in DuckDB, so a wrong partial merge (double
+    // count, missed file, min/max fold error) hash-fails the driver gate.
+    "q_mv_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_mvq_")
+      s.conf.set("spark.sql.catalog.graftmvq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmvq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmvq.q")
+      s.sql("DROP TABLE IF EXISTS graftmvq.q.docs")
+      s.sql("DROP TABLE IF EXISTS graftmvq.q.mv")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      docs.filter(col("doc_id") % 3 =!= 0).writeTo("graftmvq.q.docs").create()
+      s.sql(
+        """CREATE MATERIALIZED VIEW graftmvq.q.mv AS
+          |SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM graftmvq.q.docs GROUP BY source""".stripMargin)
+      docs.filter(col("doc_id") % 3 === 0).writeTo("graftmvq.q.docs").append()
+      s.sql("REFRESH MATERIALIZED VIEW graftmvq.q.mv")
+      s.table("graftmvq.q.mv").orderBy("source")
+    }),
+
     // Bloom-filter point lookup through the oracle gate: documents land in
     // 8 hash-random shards (every file spans the whole doc_id range, so
     // min/max ranges cannot prune a point probe) with per-file blooms on
@@ -740,6 +768,14 @@ object SourceQueries extends QueryModule {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    // The refreshed MV's rows, recomputed from scratch off the source
+    // parquet — a wrong incremental merge hash-fails.
+    "q_mv_incremental" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
     // The bloom probe's rows, straight off the source parquet — a false
     // negative (lost row) or over-prune hash-fails.
     "q_bloom_lookup" ->

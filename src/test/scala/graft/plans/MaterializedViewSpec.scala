@@ -1,0 +1,112 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.sources.Manifest
+
+/** Materialized views over manifest tables: CREATE stores the pinned query
+  * result; REFRESH is INCREMENTAL (delta aggregate + partial merge) for
+  * decomposable aggregates over append-only windows, and falls back to a
+  * full recompute — never a wrong answer — everywhere else. */
+class MaterializedViewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val rootDir = {
+    val d = Files.createTempDirectory("graft_mv_").toString
+    spark.conf.set("spark.sql.catalog.graftmv", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmv.root", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftmv.q")
+    d
+  }
+
+  private def recompute(sql: String): Set[Row] = spark.sql(sql).collect().toSet
+  private type Row = org.apache.spark.sql.Row
+
+  test("incremental refresh merges only the added files and matches a recompute") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.ev (k STRING, n BIGINT, v BIGINT)")
+    def batch(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("k", "n", "v").coalesce(1).writeTo("graftmv.q.ev").append()
+    batch(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L)))
+
+    val q = """SELECT k, count(*) AS cnt, sum(v) AS sv, min(n) AS mn, max(n) AS mx
+              |FROM graftmv.q.ev GROUP BY k""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mv AS $q")
+    assert(spark.table("graftmv.q.mv").collect().toSet ==
+      recompute(q.replace("graftmv.q.ev", "graftmv.q.ev")))
+
+    // append a second batch (new keys AND updates to old keys)
+    batch(Seq(("a", 0L, 100L), ("c", 9L, 7L)))
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv").collect()
+    assert(r.getString(0) == "incremental", s"expected incremental, got $r")
+    assert(spark.table("graftmv.q.mv").collect().toSet == recompute(q))
+
+    // second refresh with no source change: noop
+    val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv").collect()
+    assert(r2.getString(0) == "noop")
+  }
+
+  test("a delete in the window forces a FULL refresh that still matches") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.ev2 (k STRING, v BIGINT)")
+    def batch(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").coalesce(1).writeTo("graftmv.q.ev2").append()
+    batch(Seq(("a", 1L), ("a", 2L)))
+    batch(Seq(("b", 3L), ("b", 4L)))
+    val q = "SELECT k, sum(v) AS sv FROM graftmv.q.ev2 GROUP BY k"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mv2 AS $q")
+
+    // drop a whole file (aligned delete) — the old snapshot's entry set is
+    // no longer a subset of the current one
+    spark.sql("DELETE FROM graftmv.q.ev2 WHERE v <= 2")
+    batch(Seq(("c", 9L)))
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv2").collect()
+    assert(r.getString(0) == "full", s"expected full, got $r")
+    assert(spark.table("graftmv.q.mv2").collect().toSet == recompute(q))
+  }
+
+  test("non-decomposable queries (AVG) always recompute and stay correct") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.ev3 (k STRING, v BIGINT)")
+    Seq(("a", 10L), ("b", 20L)).toDF("k", "v")
+      .writeTo("graftmv.q.ev3").append()
+    val q = "SELECT k, avg(v) AS av FROM graftmv.q.ev3 GROUP BY k"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mv3 AS $q")
+    Seq(("a", 30L)).toDF("k", "v").writeTo("graftmv.q.ev3").append()
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv3").collect()
+    assert(r.getString(0) == "full")
+    assert(spark.table("graftmv.q.mv3").collect().toSet == recompute(q))
+  }
+
+  test("the MV is self-describing and survives filters and grouping expressions") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.ev4 (k STRING, ts TIMESTAMP, v BIGINT)")
+    def batch(rows: Seq[(String, String, Long)]): Unit =
+      rows.map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("k", "ts", "v").coalesce(1).writeTo("graftmv.q.ev4").append()
+    batch(Seq(("a", "2024-01-03 10:00:00", 5L), ("a", "2024-02-01 10:00:00", 6L)))
+    val q = """SELECT k, year(ts) AS y, month(ts) AS m, count(*) AS cnt, sum(v) AS sv
+              |FROM graftmv.q.ev4 WHERE v > 0 GROUP BY k, year(ts), month(ts)""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mv4 AS $q")
+    batch(Seq(("a", "2024-02-10 11:00:00", 7L), ("b", "2024-03-01 00:00:00", -1L)))
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv4").collect()
+    assert(r.getString(0) == "incremental")
+    assert(spark.table("graftmv.q.mv4").collect().toSet == recompute(q))
+
+    // the stored metadata is inspectable engine-side
+    val props = Manifest.read(Paths.get(rootDir, "q", "mv4")).get.props
+    assert(props.contains(MaterializedView.QueryProp))
+    assert(props(MaterializedView.SourceDirProp).endsWith("q/ev4"))
+  }
+
+  test("CREATE rejects a query that does not read exactly one manifest table") {
+    rootDir
+    val df = Seq((1L, "x")).toDF("id", "s")
+    df.createOrReplaceTempView("mv_plain")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE MATERIALIZED VIEW graftmv.q.bad AS SELECT * FROM mv_plain")
+    }
+    assert(e.getMessage.contains("exactly ONE"))
+  }
+}
