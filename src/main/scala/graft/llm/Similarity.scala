@@ -145,6 +145,40 @@ object Similarity extends QueryModule {
         (count(lit(1)).cast(DoubleType) / TopK).as("recall_at_10"))
     }),
 
+    // HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (BM25,
+    // Text.bm25PerDoc) and dense (fixed-point cosine vs probe vec_id=0)
+    // rankers: rrf = Σ 1/(60 + rank) over the rankers that surfaced the
+    // id in their top-50 (the Cormack/Clarke RRF constant). The fusion a
+    // RAG stack actually serves. Scale shape: each side reduces to a
+    // bounded top-50 FIRST (TakeOrdered — no global sort survives), ranks
+    // assign inside the 50-row candidate set (a deliberate tiny global
+    // window), and the fusion is a 50×50 full-outer join. The RRF doubles
+    // are two exact unit fractions added once — engine-portable, so the
+    // whole fused ranking sits under the oracle gate.
+    "q_search_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 50
+      val bmW = Window.orderBy(desc("score_fx"), col("doc_id"))
+      val bm = graft.llm.Text.bm25PerDoc(s, d)
+        .orderBy(desc("score_fx"), col("doc_id")).limit(K)
+        .withColumn("r_bm25", row_number().over(bmW).cast(IntegerType))
+        .select(col("doc_id").as("id"), col("r_bm25"))
+      val emb = Tables(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+      val cosW = Window.orderBy(desc("sim"), col("vec_id"))
+      val cos = emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"), dotFixed(col("embedding"), col("pv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(K)
+        .withColumn("r_cos", row_number().over(cosW).cast(IntegerType))
+        .select(col("vec_id").as("id"), col("r_cos"))
+      bm.join(cos, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+        .orderBy(desc("rrf"), col("id")).limit(10)
+        .select(col("id"), col("r_bm25"), col("r_cos"), col("rrf"))
+    }),
+
     // Centroid computation per label — the custom-AGGREGATE tier: one
     // fixed-point vector-sum aggregate per group (partial+final merge of a
     // 64-long buffer) instead of exploding to (row × dim) before the
@@ -418,6 +452,26 @@ object Similarity extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q_similarity_topk" -> sqlExactTopk,
+    // Hybrid fusion: both top-50 candidate sets independently mirrored,
+    // fused with the same two unit fractions.
+    "q_search_hybrid" ->
+      s"""WITH bm AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INTEGER) AS r_bm25
+         |  FROM (SELECT * FROM (${graft.llm.Text.sqlBm25PerDoc}) pd
+         |        ORDER BY score_fx DESC, doc_id LIMIT 50)),
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |cosr AS (
+         |  SELECT vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS r_cos
+         |  FROM (SELECT vec_id, ${sqlDotFixed("embedding", "pv")} AS sim
+         |        FROM embeddings, probe
+         |        ORDER BY sim DESC, vec_id LIMIT 50))
+         |SELECT COALESCE(bm.id, cosr.id) AS id, r_bm25, r_cos,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_bm25), CAST(0.0 AS DOUBLE)) +
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_cos), CAST(0.0 AS DOUBLE)) AS rrf
+         |FROM bm FULL OUTER JOIN cosr ON bm.id = cosr.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "q_embed_project" ->
       """WITH pr AS (
         |  SELECT vec_id, label,

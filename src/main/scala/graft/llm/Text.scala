@@ -35,6 +35,59 @@ object Text extends QueryModule {
   private def hits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => markers.map(m => t === m).reduce(_ || _))).cast(LongType)
 
+  /** BM25 query terms (all present in the synthetic corpus vocabulary). */
+  private val Bm25Terms: Seq[String] = Seq("vector", "join", "scan")
+
+  /** Per-document BM25 score vs [[Bm25Terms]] in fixed point: (doc_id,
+    * score_fx, n_terms). Shared by `q_text_bm25` and the hybrid-retrieval
+    * fusion (`q_search_hybrid` in [[Similarity]]). */
+  private[llm] def bm25PerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tokens.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part_fx",
+        floor(lit(1e9) * col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast(LongType))
+    scored.groupBy("doc_id")
+      .agg(sum(col("part_fx")).as("score_fx"), count(lit(1)).as("n_terms"))
+  }
+
+  /** The DuckDB mirror of [[bm25PerDoc]] — (doc_id, score_fx, n_terms). */
+  private[llm] lazy val sqlBm25PerDoc: String = {
+    val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tokens AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+       |       WHERE term IN ($terms) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(1000000000.0
+       |      * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+       |      AS BIGINT) AS part_fx
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+       |SELECT doc_id, CAST(SUM(part_fx) AS BIGINT) AS score_fx,
+       |  COUNT(*) AS n_terms
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   private def sqlHits(markers: Seq[String]): String =
     s"CAST(len(list_filter(t, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x))) AS BIGINT)"
 
@@ -266,6 +319,23 @@ object Text extends QueryModule {
           (col("score_fx").cast(DoubleType) / 1e9).as("score"), col("df"))
         .orderBy("source", "rank")
     }),
+
+    // BM25 ranking — the lexical retrieval scorer a RAG / decontamination
+    // pipeline runs against its corpus (k1 = 1.2, b = 0.75, idf =
+    // ln(1 + (N − df + 0.5)/(df + 0.5)) — the Robertson/Sparck-Jones form).
+    // Shape at scale: tokens explode map-only; per-doc length and
+    // per-(doc, query-term) tf are two hash aggregations — the tf side
+    // filters to the QUERY terms before aggregating, so its shuffle
+    // carries only matching postings; df and the corpus stats broadcast
+    // (bounded by |query| and 1 row); the doc-keyed tf⋈dl join shuffles on
+    // doc_id once. Per-term partial scores land in FIXED POINT
+    // (floor(x·1e9) longs) so the per-doc sum is order-independent and the
+    // DuckDB oracle exact (same ln bit-parity argument as q_text_tfidf).
+    "q_text_bm25" -> ((s, d) =>
+      bm25PerDoc(s, d)
+        .orderBy(desc("score_fx"), col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_terms"),
+          (col("score_fx").cast(DoubleType) / 1e9).as("score"))),
 
     // Unicode NFC normalization — the canonical-composition ingest pass
     // (custom codegen expression graft.functions.NfcNormalize; DuckDB's
@@ -509,6 +579,11 @@ object Text extends QueryModule {
          |    ELSE 0 END AS cov_fp
          |FROM t LEFT JOIN oov o USING (doc_id) LEFT JOIN cov c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    "q_text_bm25" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM ($sqlBm25PerDoc) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
     "q_text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
