@@ -380,8 +380,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 ranges = renKey(e.stats.ranges),
                 incomplete = e.stats.incomplete.map(c => if (c == from) to else c),
                 strRanges = renKey(e.stats.strRanges))
-                .withBlooms(renKey(e.stats.blooms))
-                .withNdv(renKey(e.stats.ndvSketches)))
+                .withBlooms(renKey(e.stats.bloomRefs)) // refs, not payloads —
+                .withNdv(renKey(e.stats.ndvRefs))) // sidecar pointers survive
             },
             props = cur.props.map {
               case (k, v) if k == Manifest.PartitionColsProp ||
@@ -442,8 +442,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                   ranges = e.stats.ranges - from,
                   incomplete = e.stats.incomplete - from,
                   strRanges = e.stats.strRanges - from)
-                  .withBlooms(e.stats.blooms - from)
-                  .withNdv(e.stats.ndvSketches - from))
+                  .withBlooms(e.stats.bloomRefs - from) // refs, not payloads
+                  .withNdv(e.stats.ndvRefs - from))
             },
             props = cur.props.map {
               case (k, v) if k == Manifest.BloomColsProp ||

@@ -213,27 +213,55 @@ object GraftManifestSink {
 private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecimal)],
     incomplete: Set[String] = Set.empty,
     strRanges: Map[String, (String, String)] = Map.empty,
-    bloomsRaw: String = "", ndvRaw: String = "") {
-  /** The bloom section splits LAZILY: it is by far the largest part of a
-    * stats line (~22 KB base64 per bloom'd column per file), and a plan
-    * that never probes a bloom'd column must not pay a per-column
-    * substring copy across a million-file manifest. */
-  lazy val blooms: Map[String, String] =
-    if (bloomsRaw.isEmpty) Map.empty
-    else bloomsRaw.split(";").iterator.map { cell =>
+    bloomsRaw: String = "", ndvRaw: String = "",
+    blobsName: String = "", blobsDir: Path = null) {
+
+  private def kv(raw: String): Map[String, String] =
+    if (raw.isEmpty) Map.empty
+    else raw.split(";").iterator.map { cell =>
       val Array(c, b) = cell.split("=", 2); c -> b
     }.toMap
-  /** Per-column KMV distinct sketches (base64 of [[KmvSketch]] hashes),
-    * split as lazily as the blooms — only CBO planning consults them. */
-  lazy val ndvSketches: Map[String, String] =
-    if (ndvRaw.isEmpty) Map.empty
-    else ndvRaw.split(";").iterator.map { cell =>
-      val Array(c, b) = cell.split("=", 2); c -> b
-    }.toMap
-  /** Replace the bloom set (rename/drop column maintenance). */
+
+  /** Per-column bloom REFS, split lazily: either inline base64 (legacy
+    * manifests) or `@<slot>` pointers into this file's blobs SIDECAR
+    * (`blobs-<dataFile>`) — the round-8 form that keeps multi-KB payloads
+    * OUT of the manifest (a 1 M-file manifest stays list-sized; sidecars
+    * are shared by every snapshot that references the data file). Use
+    * refs for existence checks and metadata maintenance (rename/drop stay
+    * manifest-only — slots are positional, names live here); use
+    * [[blooms]] only when a payload is actually consulted. */
+  lazy val bloomRefs: Map[String, String] = kv(bloomsRaw)
+  lazy val ndvRefs: Map[String, String] = kv(ndvRaw)
+
+  /** Sidecar slots, read lazily ONCE per entry and only when some payload
+    * is consulted; the file resolves through the shallow-clone chain like
+    * data files do. A missing sidecar yields no payloads — absent stats
+    * never prune, so the degradation is sound. */
+  private lazy val slots: Map[Int, String] =
+    if (blobsName.isEmpty || blobsDir == null) Map.empty
+    else {
+      val p = Manifest.resolveData(Manifest.resolveChain(blobsDir), blobsName)
+      if (!Files.exists(p)) Map.empty
+      else Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty).map { l =>
+        val Array(slot, b64) = l.split("\t", 2); slot.toInt -> b64
+      }.toMap
+    }
+  private def resolved(refs: Map[String, String]): Map[String, String] =
+    refs.flatMap { case (c, v) =>
+      if (v.startsWith("@")) slots.get(v.drop(1).toInt).map(c -> _)
+      else Some(c -> v)
+    }
+  /** Materialized per-column bloom payloads (sidecar-loading — see
+    * [[bloomRefs]] for the cheap existence view). */
+  lazy val blooms: Map[String, String] = resolved(bloomRefs)
+  /** Materialized per-column KMV distinct sketches. */
+  lazy val ndvSketches: Map[String, String] = resolved(ndvRefs)
+
+  /** Replace the bloom REF set (rename/drop column maintenance — pass
+    * refs, so sidecar pointers survive and the edit stays metadata-only). */
   def withBlooms(m: Map[String, String]): ColumnStats =
     copy(bloomsRaw = ColumnStats.renderBlooms(m))
-  /** Replace the NDV sketch set (rename/drop column maintenance). */
+  /** Replace the NDV REF set (rename/drop column maintenance). */
   def withNdv(m: Map[String, String]): ColumnStats =
     copy(ndvRaw = ColumnStats.renderBlooms(m))
   def render: String = {
@@ -246,11 +274,13 @@ private[graft] case class ColumnStats(ranges: Map[String, (BigDecimal, BigDecima
       if (strRanges.isEmpty) withInc
       else withInc + "$" + strRanges.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
-    // '^' and '%' never occur in base64 or identifier-safe column names,
-    // so the NDV and bloom sections are unambiguous and older manifests
-    // (carrying neither) still parse
+    // '^', '%' and '&' never occur in base64 or identifier-safe column
+    // names, so the NDV / bloom / blobs-file sections are unambiguous and
+    // older manifests (carrying none of them) still parse
     val withNdvSec = if (ndvRaw.isEmpty) withStr else withStr + "^" + ndvRaw
-    if (bloomsRaw.isEmpty) withNdvSec else withNdvSec + "%" + bloomsRaw
+    val withBloomSec =
+      if (bloomsRaw.isEmpty) withNdvSec else withNdvSec + "%" + bloomsRaw
+    if (blobsName.isEmpty) withBloomSec else withBloomSec + "&" + blobsName
   }
 }
 
@@ -305,11 +335,15 @@ private[graft] object ColumnStats {
       else { t(i) = ((t(i) & 0xff) + 1).toByte; Some(java.util.Arrays.copyOf(t, i + 1)) }
     }
 
-  def parse(s: String): ColumnStats =
+  def parse(s: String, dir: Path = null): ColumnStats =
     if (s.isEmpty) empty
     else {
       parseCount.incrementAndGet()
-      val (nonBloom, bloomPart) = s.split("%", 2) match {
+      val (nonBlobs, blobsPart) = s.split("&", 2) match {
+        case Array(m, bp) => (m, bp)
+        case Array(m) => (m, "")
+      }
+      val (nonBloom, bloomPart) = nonBlobs.split("%", 2) match {
         case Array(m, bp) => (m, bp)
         case Array(m) => (m, "")
       }
@@ -334,7 +368,8 @@ private[graft] object ColumnStats {
         }
       val ranges = pairs(rangesPart)
         .map { case (c, (lo, hi)) => c -> ((BigDecimal(lo), BigDecimal(hi))) }.toMap
-      ColumnStats(ranges, incPart, pairs(strPart).toMap, bloomPart, ndvPart)
+      ColumnStats(ranges, incPart, pairs(strPart).toMap, bloomPart, ndvPart,
+        blobsPart, dir)
     }
 }
 
@@ -379,6 +414,14 @@ private[graft] class ManifestFile(val name: String, val rows: Long,
   /** The stats field as the manifest line stores it — lets a commit
     * re-render untouched entries without forcing their parse. */
   def renderStats: String = if (rawStats != null) rawStats else stats.render
+  /** This file's blobs sidecar (bloom/NDV payloads), extracted from the
+    * raw stats string WITHOUT forcing a parse — vacuum reachability and
+    * copy-on-write moves need only the name. */
+  def blobsFile: Option[String] = {
+    val s = renderStats
+    val i = s.lastIndexOf('&')
+    if (i < 0) None else Some(s.substring(i + 1)).filter(_.nonEmpty)
+  }
   /** Physical cell index storing schema column `schemaPos`; −1 = NULL. */
   def physIdx(schemaPos: Int): Int = colMap match {
     case Some(m) => if (schemaPos < m.length) m(schemaPos) else -1
@@ -401,11 +444,14 @@ private[graft] object ManifestFile {
   def apply(name: String, rows: Long, stats: ColumnStats, cols: Int,
       colMap: Option[Seq[Int]] = None): ManifestFile =
     new ManifestFile(name, rows, () => stats, cols, colMap)
-  /** Entry from a manifest line's raw stats field — parsed lazily. */
+  /** Entry from a manifest line's raw stats field — parsed lazily. `dir`
+    * is the table directory blobs sidecars resolve against (null for
+    * legacy inline-stats entries, which never consult one). */
   def raw(name: String, rows: Long, statsRaw: String, cols: Int,
       colMap: Option[Seq[Int]] = None,
-      dv: Option[(String, Long)] = None, indexRaw: String = null): ManifestFile =
-    new ManifestFile(name, rows, () => ColumnStats.parse(statsRaw), cols,
+      dv: Option[(String, Long)] = None, indexRaw: String = null,
+      dir: Path = null): ManifestFile =
+    new ManifestFile(name, rows, () => ColumnStats.parse(statsRaw, dir), cols,
       colMap, statsRaw, dv, indexRaw)
 }
 
@@ -574,7 +620,7 @@ private[graft] object Manifest {
     * COLUMN` checks before widening a schema. */
   private[sources] def supportedType(dt: DataType): Boolean = TypeNames.contains(dt)
 
-  private def parse(lines: Seq[String]): Manifest = {
+  private def parse(lines: Seq[String], dir: Path = null): Manifest = {
     val schema = StructType(lines.head.split("\t").filter(_.nonEmpty).map { cell =>
       val Array(n, t) = cell.split(":", 2)
       StructField(n, ByName(t.stripSuffix("!")), nullable = !t.endsWith("!"))
@@ -596,14 +642,16 @@ private[graft] object Manifest {
     val entries = entryLines.map { l =>
       l.split("\t") match {
         case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
-        case Array(f, n, st) => ManifestFile.raw(f, n.toLong, st, schema.length)
-        case Array(f, n, st, c) => ManifestFile.raw(f, n.toLong, st, c.toInt)
+        case Array(f, n, st) => ManifestFile.raw(f, n.toLong, st, schema.length,
+          dir = dir)
+        case Array(f, n, st, c) => ManifestFile.raw(f, n.toLong, st, c.toInt,
+          dir = dir)
         case Array(f, n, st, c, mp) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, cmap(mp))
+          c.toInt, cmap(mp), dir = dir)
         case Array(f, n, st, c, mp, dvs) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, cmap(mp), dvOf(dvs))
+          c.toInt, cmap(mp), dvOf(dvs), dir = dir)
         case Array(f, n, st, c, mp, dvs, idx) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, cmap(mp), dvOf(dvs), idx)
+          c.toInt, cmap(mp), dvOf(dvs), idx, dir = dir)
       }
     }
     Manifest(schema, entries, props)
@@ -651,7 +699,7 @@ private[graft] object Manifest {
     val lines = try Files.readAllLines(mf).asScala.toSeq
       catch { case _: java.io.IOException => return None } // swapped mid-read
     fileParseCount.incrementAndGet()
-    val m = parse(lines)
+    val m = parse(lines, mf.toAbsolutePath.getParent)
     // cache only when the file provably did not change while we read it —
     // a concurrent swap between stat and read must never pin stale content
     val a2 = try attrs() catch { case _: java.io.IOException => return Some(m) }
@@ -1059,6 +1107,8 @@ private[graft] object ManifestTable {
     val moved = entries.map { e =>
       Files.move(scratch.resolve(e.name), dir.resolve(e.name),
         StandardCopyOption.REPLACE_EXISTING)
+      e.blobsFile.foreach(b => Files.move(scratch.resolve(b), dir.resolve(b),
+        StandardCopyOption.REPLACE_EXISTING))
       e
     }
     // scratch holds only the manifest + snapshots now — reap it
@@ -1560,7 +1610,7 @@ private[sources] object Constraints {
 }
 
 private[sources] case class StagedFile(name: String, rows: Long, stats: String,
-    cols: Int, index: String = "") extends WriterCommitMessage
+    cols: Int, index: String = "", blobs: String = "") extends WriterCommitMessage
 
 /** One task's commit when it wrote SEVERAL files — the bucket fanout
   * writer's message (one staged file per bucket id the task saw). */
@@ -1575,10 +1625,13 @@ private[sources] object ManifestCommit {
     messages.toSeq.flatMap {
       case s: StagedFile => Seq(s)
       case StagedFiles(ms) => ms
-    }.map { case StagedFile(name, rows, stats, cols, index) =>
+    }.map { case StagedFile(name, rows, stats, cols, index, blobs) =>
       Files.move(dir.resolve("_staging").resolve(name), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
-      ManifestFile.raw(name, rows, stats, cols, indexRaw = index)
+      if (blobs.nonEmpty) // the bloom/NDV sidecar promotes with its file
+        Files.move(dir.resolve("_staging").resolve(blobs), dir.resolve(blobs),
+          StandardCopyOption.REPLACE_EXISTING)
+      ManifestFile.raw(name, rows, stats, cols, indexRaw = index, dir = dir)
     }
 
   /** Shared abort step: this query's staged files (all attempts) are garbage. */
@@ -1696,8 +1749,11 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
         messages.toSeq.flatMap {
           case s: StagedFile => Seq(s)
           case StagedFiles(ms) => ms
-        }.foreach(s =>
-          Files.deleteIfExists(dir.resolve("_staging").resolve(s.name)))
+        }.foreach { s =>
+          Files.deleteIfExists(dir.resolve("_staging").resolve(s.name))
+          if (s.blobs.nonEmpty)
+            Files.deleteIfExists(dir.resolve("_staging").resolve(s.blobs))
+        }
       } else {
         val committed = ManifestCommit.promote(dir, messages)
         // complete-mode streaming (truncate()) REPLACES the table every epoch
@@ -1941,16 +1997,35 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
           ((ColumnStats.b64(ColumnStats.truncLower(minB(i))), ColumnStats.b64(hi)))
       }
     }.toMap
+    // bloom/NDV payloads go to a per-file SIDECAR (`blobs-<file>`, one
+    // `slot\tbase64` line each); the stats line stores only `col=@slot`
+    // refs — a million-file manifest stays list-sized, snapshots share
+    // sidecars by reference, and rename/drop stay manifest-only because
+    // the column names live in the refs, not the sidecar
+    val bloomPairs: Seq[(String, String)] =
+      bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _))
+    val ndvPairs: Seq[(String, String)] =
+      ndvIdx.map(i => schema.fields(i).name -> FileBloom.ser(ndvB(i).result()))
+    val blobsName =
+      if (bloomPairs.isEmpty && ndvPairs.isEmpty) ""
+      else {
+        val bn = s"blobs-$name"
+        val lines = (bloomPairs ++ ndvPairs).zipWithIndex
+          .map { case ((_, b64), slot) => s"$slot\t$b64" }
+        Files.write(staging.resolve(bn), lines.mkString("\n").getBytes(UTF_8))
+        bn
+      }
     val stats = ColumnStats(
       numIdx.collect {
         case i if mins(i) != null => schema.fields(i).name -> ((mins(i), maxs(i)))
       }.toMap ++ extraRanges, // e.g. the fanout writer's @bucket purity tag
       (numIdx ++ strIdx).collect { case i if partial(i) => schema.fields(i).name }.toSet,
       strRanges,
-      ColumnStats.renderBlooms(
-        bloomIdx.flatMap(i => bloomB(i).result().map(schema.fields(i).name -> _)).toMap),
-      ColumnStats.renderBlooms(
-        ndvIdx.map(i => schema.fields(i).name -> FileBloom.ser(ndvB(i).result())).toMap))
+      ColumnStats.renderBlooms(bloomPairs.zipWithIndex
+        .map { case ((c, _), slot) => c -> s"@$slot" }.toMap),
+      ColumnStats.renderBlooms(ndvPairs.zipWithIndex
+        .map { case ((c, _), i) => c -> s"@${bloomPairs.length + i}" }.toMap),
+      blobsName)
     // serialized as [stride, offset0, offset1, ...] — the stride is the
     // ground truth for the line number each offset belongs to
     val pts = lineIndex.result()
@@ -1961,9 +2036,13 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         all.foreach(bb.putLong)
         java.util.Base64.getEncoder.encodeToString(bb.array())
-      } else "")
+      } else "", blobsName)
   }
-  override def abort(): Unit = { out.close(); Files.deleteIfExists(staging.resolve(name)) }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staging.resolve(name))
+    Files.deleteIfExists(staging.resolve(s"blobs-$name"))
+  }
   override def close(): Unit = ()
 }
 
@@ -2546,7 +2625,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
         // values shared across files
         val ndv: Option[Long] =
           if (entries.nonEmpty &&
-            entries.forall(e => e.stats.ndvSketches.contains(f.name)))
+            entries.forall(e => e.stats.ndvRefs.contains(f.name)))
             Some(KmvSketch.estimate(
               entries.map(e => FileBloom.deser(e.stats.ndvSketches(f.name)))))
           else None

@@ -564,7 +564,7 @@ class ManifestSinkSpec extends SparkSuite {
     assert(e.stats.ranges("score") == ((BigDecimal(2.5), BigDecimal(2.5))))
     assert(e.stats.incomplete == Set("score"))
     // round-trips through the manifest text format
-    assert(ColumnStats.parse(e.stats.render) == e.stats)
+    assert(ColumnStats.parse(e.stats.render, Paths.get(dir)) == e.stats)
     // an incomplete column can still PRUNE (NaN/NULL rows match nothing)…
     import org.apache.spark.sql.sources.GreaterThan
     assert(!ManifestScanBuilder.mightMatch(GreaterThan("score", 9.0), e.stats))
@@ -662,7 +662,7 @@ class ManifestSinkSpec extends SparkSuite {
       .write.format(Fmt).option("path", dir).mode("append").save()
     val e = Manifest.read(Paths.get(dir)).get.entries.head
     assert(e.stats.strRanges.contains("s") && e.stats.incomplete == Set("s"))
-    assert(ColumnStats.parse(e.stats.render) == e.stats)
+    assert(ColumnStats.parse(e.stats.render, Paths.get(dir)) == e.stats)
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     // range ["alpha","beta"] prunes s > "zzz"…
     assert(!ManifestScanBuilder.mightMatch(GreaterThanOrEqual("s", "zzz"), e.stats))
