@@ -497,7 +497,7 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     val reachable: Set[String] =
       manifests.flatMap(m =>
         m.files.map(_._1) ++ m.entries.flatMap(_.dv.map(_._1)) ++
-          m.entries.flatMap(_.blobsFile)).toSet
+          m.entries.flatMap(_.blobsFile) ++ m.segments.map(_._1)).toSet
     def listed[T](d: Path)(f: Iterator[Path] => T): T = {
       val s = Files.list(d)
       try f(s.iterator().asScala) finally s.close()
@@ -523,7 +523,8 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     val orphans = listed(root)(_.toSeq)
       .filter(p => Files.isRegularFile(p))
       .filter { p => val n = p.getFileName.toString
-        n.startsWith("part-") || n.startsWith("dv-") || n.startsWith("blobs-") }
+        n.startsWith("part-") || n.startsWith("dv-") ||
+          n.startsWith("blobs-") || n.startsWith("seg-") }
       .filterNot(p => reachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unreachable") }

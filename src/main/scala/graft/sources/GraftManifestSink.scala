@@ -467,7 +467,8 @@ private[graft] object ManifestFile {
   * manifest's schema width, which is exactly the schema it was written
   * under). */
 private[graft] case class Manifest(schema: StructType, entries: Seq[ManifestFile],
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    segments: Seq[(String, Seq[ManifestFile])] = Seq.empty) {
   def files: Seq[(String, Long)] = entries.map(e => (e.name, e.rows))
 }
 
@@ -620,6 +621,95 @@ private[graft] object Manifest {
     * COLUMN` checks before widening a schema. */
   private[sources] def supportedType(dt: DataType): Boolean = TypeNames.contains(dt)
 
+  /** One entry line → [[ManifestFile]]. Field 5 is the cell map ('-' =
+    * prefix layout), field 6 the deletion vector as `sidecar:count` — both
+    * optional, so older manifests parse. */
+  private def entryOf(l: String, schemaLen: Int, dir: Path): ManifestFile = {
+    def cmap(mp: String): Option[Seq[Int]] =
+      if (mp == "-") None else Some(mp.split(",").toSeq.map(_.toInt))
+    def dvOf(s: String): Option[(String, Long)] =
+      if (s == "-") None
+      else { val Array(f, c) = s.split(":", 2); Some((f, c.toLong)) }
+    l.split("\t") match {
+      case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schemaLen)
+      case Array(f, n, st) => ManifestFile.raw(f, n.toLong, st, schemaLen,
+        dir = dir)
+      case Array(f, n, st, c) => ManifestFile.raw(f, n.toLong, st, c.toInt,
+        dir = dir)
+      case Array(f, n, st, c, mp) => ManifestFile.raw(f, n.toLong, st,
+        c.toInt, cmap(mp), dir = dir)
+      case Array(f, n, st, c, mp, dvs) => ManifestFile.raw(f, n.toLong, st,
+        c.toInt, cmap(mp), dvOf(dvs), dir = dir)
+      case Array(f, n, st, c, mp, dvs, idx) => ManifestFile.raw(f, n.toLong, st,
+        c.toInt, cmap(mp), dvOf(dvs), idx, dir = dir)
+    }
+  }
+
+  /** One [[ManifestFile]] → its manifest/segment line (the inverse of
+    * [[entryOf]]; untouched entries re-render byte-identically via the raw
+    * stats passthrough — what lets commits prove a segment unchanged). */
+  private def entryLine(e: ManifestFile): String = {
+    val hasIdx = e.indexRaw != null && e.indexRaw.nonEmpty
+    val mapField = e.colMap.map(_.mkString(","))
+      .getOrElse(if (e.dv.isDefined || hasIdx) "-" else "")
+    val dvField = e.dv.map { case (f, c) => s"$f:$c" }
+      .getOrElse(if (hasIdx) "-" else "")
+    s"${e.name}\t${e.rows}\t${e.renderStats}\t${e.cols}" +
+      (if (mapField.nonEmpty) s"\t$mapField" else "") +
+      (if (dvField.nonEmpty) s"\t$dvField" else "") +
+      (if (hasIdx) s"\t${e.indexRaw}" else "")
+  }
+
+  /** Segment cache: published `seg-*.list` files are immutable, but the
+    * PATH is not unique forever (DROP TABLE + re-CREATE reuses the
+    * directory, and version numbers restart) — so a hit validates the
+    * file's (inode, size, mtime) like the root cache does. Entries'
+    * lazily-forced stats stay forced across every plan that shares the
+    * segment (the C118 contract, now across versions too). Bounded LRU. */
+  private val SegCacheCap = 512
+  private val segCache = new java.util.LinkedHashMap[
+    String, (Object, Long, java.nio.file.attribute.FileTime, Seq[ManifestFile])](
+    SegCacheCap, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      String, (Object, Long, java.nio.file.attribute.FileTime, Seq[ManifestFile])])
+      : Boolean = size() > SegCacheCap
+  }
+  /** Segment-file parses since JVM start — the segment cache's test hook. */
+  private[graft] val segParseCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Read one segment's entries; `chain` is the clone-resolution chain
+    * (computed from the ROOT's props by the caller — resolving through
+    * `resolveChain(dir)` here would recurse into the read in progress). */
+  private def segEntries(chain: Seq[Path], name: String,
+      schemaLen: Int, dir: Path): Seq[ManifestFile] = {
+    import java.nio.file.attribute.BasicFileAttributes
+    val p = chain.map(_.resolve(name)).find(Files.exists(_))
+      .getOrElse(chain.head.resolve(name))
+    val key = p.toAbsolutePath.toString
+    def attrs(): BasicFileAttributes =
+      Files.readAttributes(p, classOf[BasicFileAttributes])
+    val a1 = attrs()
+    if (a1.fileKey() != null) segCache.synchronized {
+      segCache.get(key) match {
+        case (fk, size, mt, es) if fk == a1.fileKey() && size == a1.size() &&
+          mt == a1.lastModifiedTime() => return es
+        case _ => ()
+      }
+    }
+    segParseCount.incrementAndGet()
+    val es = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      .map(entryOf(_, schemaLen, dir))
+    if (a1.fileKey() != null)
+      segCache.synchronized {
+        segCache.put(key, (a1.fileKey(), a1.size(), a1.lastModifiedTime(), es))
+      }
+    es
+  }
+
+  /** Test hook: drop cached segments (pairs with [[clearReadCache]]). */
+  private[graft] def clearSegCache(): Unit =
+    segCache.synchronized(segCache.clear())
+
   private def parse(lines: Seq[String], dir: Path = null): Manifest = {
     val schema = StructType(lines.head.split("\t").filter(_.nonEmpty).map { cell =>
       val Array(n, t) = cell.split(":", 2)
@@ -632,29 +722,26 @@ private[graft] object Manifest {
         }.toMap, rest)
       case rest => (Map.empty[String, String], rest)
     }
-    // field 5 is the cell map ('-' = prefix layout), field 6 the deletion
-    // vector as `sidecar:count` — both optional, so older manifests parse
-    def cmap(mp: String): Option[Seq[Int]] =
-      if (mp == "-") None else Some(mp.split(",").toSeq.map(_.toInt))
-    def dvOf(s: String): Option[(String, Long)] =
-      if (s == "-") None
-      else { val Array(f, c) = s.split(":", 2); Some((f, c.toLong)) }
-    val entries = entryLines.map { l =>
-      l.split("\t") match {
-        case Array(f, n) => ManifestFile(f, n.toLong, ColumnStats.empty, schema.length)
-        case Array(f, n, st) => ManifestFile.raw(f, n.toLong, st, schema.length,
-          dir = dir)
-        case Array(f, n, st, c) => ManifestFile.raw(f, n.toLong, st, c.toInt,
-          dir = dir)
-        case Array(f, n, st, c, mp) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, cmap(mp), dir = dir)
-        case Array(f, n, st, c, mp, dvs) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, cmap(mp), dvOf(dvs), dir = dir)
-        case Array(f, n, st, c, mp, dvs, idx) => ManifestFile.raw(f, n.toLong, st,
-          c.toInt, cmap(mp), dvOf(dvs), idx, dir = dir)
-      }
+    // '>' lines are SEGMENT REFS (`>segName\tentryCount`) — the manifest
+    // tree form: the root stays list-of-segments-sized and commits rewrite
+    // only the segments they touch. Data-file names start with `part-`,
+    // never '>', so the marker is unambiguous; inline entry lines (legacy
+    // manifests, scratch fixtures) still parse.
+    val (refLines, inlineLines) = entryLines.partition(_.startsWith(">"))
+    // clone chain for segment resolution, from the props at hand (NOT
+    // resolveChain(dir) — that re-reads the manifest being parsed)
+    lazy val chain: Seq[Path] = props.get(CloneSourceProp) match {
+      case Some(src) if dir != null => dir +: resolveChain(Paths.get(src))
+      case _ if dir != null => Seq(dir)
+      case _ => Seq.empty
     }
-    Manifest(schema, entries, props)
+    val segments: Seq[(String, Seq[ManifestFile])] = refLines.map { r =>
+      val name = r.drop(1).split("\t")(0)
+      name -> segEntries(chain, name, schema.length, dir)
+    }
+    val entries = segments.flatMap(_._2) ++
+      inlineLines.map(entryOf(_, schema.length, dir))
+    Manifest(schema, entries, props, segments)
   }
 
   /** Manifest-file parses since JVM start (cache misses) — the caching
@@ -678,10 +765,12 @@ private[graft] object Manifest {
       size() > ReadCacheCap
   }
 
-  /** Test hook: drop every cached manifest (laziness specs need fresh
-    * entry instances whose stats are provably unforced). */
-  private[graft] def clearReadCache(): Unit =
+  /** Test hook: drop every cached manifest AND segment (laziness specs
+    * need fresh entry instances whose stats are provably unforced). */
+  private[graft] def clearReadCache(): Unit = {
     readCache.synchronized(readCache.clear())
+    clearSegCache()
+  }
 
   private def readCached(mf: Path): Option[Manifest] = {
     import java.nio.file.attribute.BasicFileAttributes
@@ -741,11 +830,30 @@ private[graft] object Manifest {
       finally s.close()
     }
 
+  /** Past this many segment refs a commit coalesces everything into one
+    * fresh segment — O(#entries) once every ≥SegMax commits keeps the root
+    * bounded at amortized O(#entries / SegMax) per commit (geometric
+    * merging is the production refinement; this is the simple bound). */
+  private val SegMax = 64
+
   /** Atomic publish: archive the new state as `_manifest.v{n+1}` (time
     * travel), then move a tmp copy over `_manifest` (current). BOTH files
     * are published via tmp + ATOMIC_MOVE so a concurrent snapshot reader —
     * or VACUUM computing its reachable-file set — can never observe a
-    * torn-but-parseable prefix and mistake live files for unreachable. */
+    * torn-but-parseable prefix and mistake live files for unreachable.
+    *
+    * THE MANIFEST TREE (Iceberg's metadata-tree model): entries live in
+    * IMMUTABLE `seg-*.list` files; the root stores one `>segName\tcount`
+    * ref per segment. A commit reuses every previous segment whose entries
+    * all survive byte-identically (the raw-stats passthrough makes
+    * untouched entries re-render byte-equal), writes the remaining entries
+    * as ONE new segment, and swaps the tiny root — so an append to a
+    * million-file table writes O(new entries + #segments), not the whole
+    * list, archived snapshots share segments by reference (a version costs
+    * a root, not a copy of every entry line), and a shallow clone or
+    * RESTORE that hands back an already-segmented state re-publishes refs
+    * with zero entry I/O. Segments referenced by no surviving version are
+    * reaped by VACUUM like data files. */
   def write(dir: Path, m: Manifest): Unit = {
     // `!` suffix = NOT NULL (absent on old manifests → nullable, so the
     // codec change is read-back-compatible both directions)
@@ -755,20 +863,45 @@ private[graft] object Manifest {
       (if (m.props.isEmpty) Seq.empty
        else Seq("!" + m.props.toSeq.sortBy(_._1)
          .map { case (k, v) => s"$k=$v" }.mkString("\t")))
-    val body = (header ++
-      m.entries.map { e =>
-        val hasIdx = e.indexRaw != null && e.indexRaw.nonEmpty
-        val mapField = e.colMap.map(_.mkString(","))
-          .getOrElse(if (e.dv.isDefined || hasIdx) "-" else "")
-        val dvField = e.dv.map { case (f, c) => s"$f:$c" }
-          .getOrElse(if (hasIdx) "-" else "")
-        s"${e.name}\t${e.rows}\t${e.renderStats}\t${e.cols}" +
-          (if (mapField.nonEmpty) s"\t$mapField" else "") +
-          (if (dvField.nonEmpty) s"\t$dvField" else "") +
-          (if (hasIdx) s"\t${e.indexRaw}" else "")
-      })
-      .mkString("\n").getBytes(UTF_8)
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
+
+    // segment composition: prefer the state's OWN segments (clone/restore
+    // re-publish), then the previous version's; a candidate survives iff
+    // every one of its entries re-renders byte-identically in the new
+    // state and no earlier candidate already covers the name
+    val lineOf: Map[String, String] =
+      m.entries.map(e => e.name -> entryLine(e)).toMap
+    val covered = scala.collection.mutable.Set.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    // order-preserving distinct-by-name: entry order is commit order, and
+    // it must survive segment reuse (groupBy would scramble it)
+    val candidates = (m.segments ++
+      read(dir).map(_.segments).getOrElse(Seq.empty))
+      .filter(s => seen.add(s._1))
+    val kept = candidates.filter { case (_, es) =>
+      val ok = es.nonEmpty &&
+        es.forall(e => !covered(e.name) && lineOf.get(e.name).contains(entryLine(e)))
+      if (ok) es.foreach(e => covered += e.name)
+      ok
+    }
+    val remaining = m.entries.filterNot(e => covered(e.name))
+    def writeSeg(name: String, es: Seq[ManifestFile]): (String, Int) = {
+      val tmp = dir.resolve(s"$name.tmp")
+      Files.write(tmp, es.map(entryLine).mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      (name, es.length)
+    }
+    val refs: Seq[(String, Int)] =
+      if (m.entries.isEmpty) Seq.empty
+      else if (kept.length + 1 > SegMax) // coalesce: one fresh full segment
+        Seq(writeSeg(s"seg-v$next-all.list", m.entries))
+      else kept.map { case (n, es) => (n, es.length) } ++
+        (if (remaining.isEmpty) Seq.empty
+         else Seq(writeSeg(s"seg-v$next-0.list", remaining)))
+
+    val body = (header ++ refs.map { case (n, c) => s">$n\t$c" })
+      .mkString("\n").getBytes(UTF_8)
     // `.tmp` LAST keeps the name outside SnapshotName even for substring
     // matching — `_manifest.tmp.v3` was only ignored because the regex
     // pattern match anchors full-string, a trap for future edits
