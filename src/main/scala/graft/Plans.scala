@@ -50,7 +50,11 @@ object Plans {
     "q_agg_udaf" -> "typed Aggregator UDAF: partial/final ObjectHashAggregate carrying one (sum(wx), sum(w)) pair per group",
     "q_anomaly_mad" -> "MAD outliers: two percentile aggregates with 5-row stats frames broadcast back, count_if residual",
     "q_partitioned_table" -> "partitioned managed table: range-clustered write layout; the partition predicate plans a strict file subset (scan shows files=k/N)",
-    "q_bloom_lookup" -> "bloom point lookup: per-file blooms prune the IN-probe where min/max ranges keep every file (scan shows files=k/N)")
+    "q_bloom_lookup" -> "bloom point lookup: per-file blooms prune the IN-probe where min/max ranges keep every file (scan shows files=k/N)",
+    "q_join_spj" -> "storage-partitioned join: co-bucketed manifest scans under KeyGroupedPartitioning — SortMergeJoin with NO exchange on either side",
+    "q_text_bm25" -> "BM25: query-term-filtered postings aggregate + broadcast df/stats, fixed-point per-doc sum",
+    "q_search_hybrid" -> "hybrid retrieval: bounded top-50 per ranker (TakeOrdered), 50x50 full-outer RRF fusion",
+    "q_dedup_url" -> "URL canonicalization dedup: per-row codegen regex chain, grouped count on canonical keys only")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

@@ -385,6 +385,48 @@ object Dedup extends QueryModule {
     // B12 — exact dedup keeping the latest event per (user_id, event_type):
     // deterministic row_number over a total order (ts DESC, event_id DESC).
     // One hash shuffle on the business key; scale-safe for any key cardinality.
+    // URL canonicalization + dedup — the web-corpus ingest pass that
+    // collapses scheme/host case, default ports, fragments, tracking
+    // params and trailing slashes BEFORE any content hashing: the same
+    // page crawled as HTTPS://Example.COM:443/a/?utm_source=x#top and
+    // https://example.com/a must count once. URLs synthesize
+    // deterministically from doc_id (the pii_redact pattern) so every
+    // canonicalization rule is exercised; the whole pass is per-row
+    // codegen'd regex/lower projections (no shuffle) followed by one
+    // grouped count — at 100 TB the shuffle carries canonical keys, never
+    // raw crawl records. No regex backreferences: the pattern chain stays
+    // in the Java ∩ RE2 portable subset both engines compile identically.
+    "q_dedup_url" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        // scheme + host case varies by id; port/fragment/utm appear on cycles
+        when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(id % 3 === 0, lit("Docs.Example.COM")).otherwise(lit("docs.example.com")),
+        when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), (id % 10).cast("string"),
+        when(id % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), (id % 20).cast("string"),
+        when(id % 2 === 0, lit("&utm_source=feed&utm_medium=rss")).otherwise(lit("")),
+        when(id % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      val noFrag = regexp_replace(raw, "#.*", "")
+      val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+      val host = regexp_replace( // lowercase host, strip default ports
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/]+)", 1)),
+        ":(443|80)$", "")
+      val pathq0 = regexp_replace(noFrag, "^[A-Za-z]+://[^/]*", "")
+      val noUtm = regexp_replace( // drop tracking params wherever they sit
+        regexp_replace(pathq0, "utm_[a-z]+=[^&]*&?", ""), "[?&]$", "")
+      // trailing slash before query / at end — literal replace + anchored
+      // regex, NO backreferences ($1 vs \1 differs across engines)
+      val pathq = regexp_replace(replace(noUtm, lit("/?"), lit("?")), "/$", "")
+      val canon = concat(scheme, lit("://"), host, pathq)
+      Tables(s, d, "documents")
+        .select(id, canon.as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("first_doc"))
+        .orderBy("url")
+    }),
+
     "q_dedup_exact" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id", "event_type")
@@ -709,6 +751,39 @@ object Dedup extends QueryModule {
          |             / len(tk)) AS BIGINT) AS dup_fp
          |FROM t LEFT JOIN cnt c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    // Same synthesis + canonicalization chain, mirrored step for step.
+    // DuckDB's regexp_replace is first-match by default — the 'g' flag on
+    // the utm strip matches Spark's replace-all semantics.
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example.COM' ELSE 'docs.example.com' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/page/' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_medium=rss' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS u
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS s FROM raw),
+        |canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(s, '^([A-Za-z]+)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(s, '^[A-Za-z]+://([^/]+)', 1)),
+        |                   ':(443|80)$', '') ||
+        |    regexp_replace(
+        |      replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(s, '^[A-Za-z]+://[^/]*', ''),
+        |            'utm_[a-z]+=[^&]*&?', '', 'g'),
+        |          '[?&]$', ''),
+        |        '/?', '?'),
+        |      '/$', '') AS url
+        |  FROM nf)
+        |SELECT url, CAST(COUNT(*) AS BIGINT) AS n_dups, min(doc_id) AS first_doc
+        |FROM canon GROUP BY url ORDER BY url""".stripMargin,
     "q_dedup_exact" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,
