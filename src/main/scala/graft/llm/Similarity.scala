@@ -145,6 +145,31 @@ object Similarity extends QueryModule {
         (count(lit(1)).cast(DoubleType) / TopK).as("recall_at_10"))
     }),
 
+    // FILTERED VECTOR SEARCH — ANN under a metadata predicate (the
+    // retrieval shape every RAG deployment actually serves: "nearest
+    // docs WHERE label ∈ …"). The predicate composes BEFORE the
+    // candidate join — it lands on the scan side of the list equi-join,
+    // so the search costs O(matching rows in the probed list), never a
+    // post-filter of an unfiltered top-k (which silently returns < k
+    // when the filter is selective — the classic filtered-ANN bug).
+    // Same broadcast-centroid assignment as the IVF tier; the ORACLE
+    // mirrors assignment + filter + probe join exactly, so a wrong
+    // pre/post-filter order changes the returned set and hash-fails.
+    "q_similarity_filtered" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val seed = emb.filter(col("vec_id") < NumLists)
+        .select(col("vec_id").cast(IntegerType).as("c_id"),
+          col("embedding").as("c_emb"))
+      val assigned = assignLists(emb, seed)
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"), col("list_id").as("p_list"))
+      assigned.filter(col("label").isin(2, 5, 7)) // the metadata predicate
+        .join(broadcast(probe), col("list_id") === col("p_list"))
+        .select(col("vec_id"), col("label"),
+          dotFixed(col("embedding"), col("pv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(TopK)
+    }),
+
     // HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (BM25,
     // Text.bm25PerDoc) and dense (fixed-point cosine vs probe vec_id=0)
     // rankers: rrf = Σ 1/(60 + rank) over the rankers that surfaced the
@@ -452,6 +477,25 @@ object Similarity extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q_similarity_topk" -> sqlExactTopk,
+    // Filtered ANN: seed assignment + metadata filter + probe-list join,
+    // mirrored exactly — filter BEFORE the candidate join.
+    "q_similarity_filtered" ->
+      s"""WITH seed AS (
+         |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
+         |         list(embedding ORDER BY vec_id) AS cl
+         |  FROM embeddings WHERE vec_id < $NumLists),
+         |a0 AS (
+         |  SELECT e.vec_id, e.label, e.embedding,
+         |         s.ids[list_position(dots, list_max(dots))] AS list_id
+         |  FROM (
+         |    SELECT e0.vec_id, e0.label, e0.embedding,
+         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |    FROM embeddings e0, seed s0) e, seed s),
+         |probe AS (SELECT embedding AS pv, list_id AS p_list FROM a0 WHERE vec_id = 0)
+         |SELECT a.vec_id, a.label, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |FROM a0 a JOIN probe p ON a.list_id = p.p_list
+         |WHERE a.label IN (2, 5, 7)
+         |ORDER BY sim DESC, a.vec_id LIMIT $TopK""".stripMargin,
     // Hybrid fusion: both top-50 candidate sets independently mirrored,
     // fused with the same two unit fractions.
     "q_search_hybrid" ->

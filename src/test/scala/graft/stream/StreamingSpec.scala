@@ -403,4 +403,66 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamKeys === batchKeys)
   }
+
+  test("transformWithState event-time timers close gap sessions and clear state") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def tstamp(h: Int, m: Int): java.sql.Timestamp =
+        java.sql.Timestamp.from(java.time.LocalDateTime.of(2000, 3, 1, h, m)
+          .toInstant(java.time.ZoneOffset.UTC))
+      def writeFile(dir: String, name: String,
+          rows: Seq[(Long, Long, java.sql.Timestamp)]): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("tws_stage_").toString
+        rows.map { case (id, u, ts) => (id, ts, u, "view", 1.0, "{}") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val src = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/$name"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("tws_data_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt_").toString
+      val sink = java.nio.file.Files.createTempDirectory("tws_sink_").toString
+      def run(): Unit = Streaming.runIncrement(spark,
+        StatefulSessions.sessions(
+          Streaming.readEvents(spark, dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .as[StatefulDedup.EventRow],
+          gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds").toDF(),
+        sink, ckpt)
+
+      // batch 1: u1 opens a session (2 events), u2 opens one (1 event)
+      writeFile(dir, "a.parquet",
+        Seq((1L, 1L, tstamp(10, 0)), (2L, 1L, tstamp(10, 10)),
+          (3L, 2L, tstamp(10, 5))))
+      run()
+      // batch 2: u1 EXTENDS its session (10:25 < 10:10 + 30 min — the timer
+      // re-arms to 10:55); the sentinel pushes the watermark to 13:00
+      writeFile(dir, "b.parquet",
+        Seq((4L, 1L, tstamp(10, 25)), (5L, 99L, tstamp(13, 0))))
+      run()
+      // batch 3 evaluates timers against watermark 13:00: u1 (10:55) and
+      // u2 (10:35) fire and emit their CLOSED sessions; the sentinel's own
+      // timer (13:30) stays armed — its session is still open
+      writeFile(dir, "c.parquet", Seq((6L, 98L, tstamp(13, 5))))
+      run()
+
+      val out = spark.read.parquet(sink)
+        .select("user_id", "n_events", "start_ms", "end_ms").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(out.keySet == Set(1L, 2L),
+        s"exactly the closed sessions must emit, got $out")
+      assert(out(1L) == ((3L, tstamp(10, 0).getTime, tstamp(10, 25).getTime)),
+        s"u1's cross-batch session must merge: ${out(1L)}")
+      assert(out(2L) == ((1L, tstamp(10, 5).getTime, tstamp(10, 5).getTime)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
