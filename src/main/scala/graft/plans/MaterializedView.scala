@@ -163,21 +163,28 @@ object MaterializedView {
 
   def create(spark: SparkSession, target: String, query: String): Unit = {
     val analyzed = spark.sql(query).queryExecution.analyzed
-    val src = soleSource(analyzed).getOrElse(throw new UnsupportedOperationException(
-      "CREATE MATERIALIZED VIEW: the query must read exactly ONE graft " +
-        "manifest table (the incremental-refresh source)"))
-    val srcDir = src._2.dir
-    // pin the evaluation to the source's newest snapshot so the recorded
-    // version is EXACTLY what the stored result reflects — a commit landing
-    // mid-CTAS must not leak rows the next refresh would re-add
-    val v0 = Manifest.snapshotVersions(srcDir).lastOption
-    val df = pinned(spark, analyzed, v0, None)
+    val anyManifest = analyzed.collect {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] => r
+    }
+    if (anyManifest.isEmpty) throw new UnsupportedOperationException(
+      "CREATE MATERIALIZED VIEW: the query must read at least one graft " +
+        "manifest table (the refresh machinery rides the snapshot trail)")
+    // ONE manifest source → the incremental contract: pin the evaluation to
+    // its newest snapshot so the recorded version is EXACTLY what the
+    // stored result reflects (a commit landing mid-CTAS must not leak rows
+    // the next refresh would re-add). Multi-source queries (joins) are
+    // full-refresh MVs: no pinning, no recorded version.
+    val single = soleSource(analyzed)
+    val v0 = single.map(s => Manifest.snapshotVersions(s._2.dir).lastOption)
+    val df = single match {
+      case Some(_) => pinned(spark, analyzed, v0.flatten, None)
+      case None => GraftExpressionBridge.ofRows(spark, analyzed)
+    }
     df.writeTo(target).create()
     val mvDir = ManifestTarget.of(spark, target, "CREATE MATERIALIZED VIEW").dir
-    stamp(mvDir, Map(
-      QueryProp -> b64(query),
-      SourceDirProp -> srcDir.toAbsolutePath.toString,
-      SourceVersionProp -> v0.getOrElse(0).toString))
+    stamp(mvDir, Map(QueryProp -> b64(query)) ++ single.map(s =>
+      SourceDirProp -> s._2.dir.toAbsolutePath.toString) ++
+      v0.map(v => SourceVersionProp -> v.getOrElse(0).toString))
   }
 
   /** Metadata-only props update through the same atomic swap as every

@@ -830,10 +830,13 @@ private[graft] object Manifest {
       finally s.close()
     }
 
-  /** Past this many segment refs a commit coalesces everything into one
-    * fresh segment — O(#entries) once every ≥SegMax commits keeps the root
-    * bounded at amortized O(#entries / SegMax) per commit (geometric
-    * merging is the production refinement; this is the simple bound). */
+  /** Past this many segment refs a commit compacts the BACK HALF of the
+    * ref list (order-contiguous — entry order is commit order and must
+    * survive) plus the new entries into one segment. Older, larger
+    * segments at the front are never touched, and each merged segment
+    * grows geometrically toward the front — log-structured behavior: a
+    * commit's metadata write is O(new entries + recent-half), amortized
+    * logarithmic in table size, never a periodic full rewrite. */
   private val SegMax = 64
 
   /** Atomic publish: archive the new state as `_manifest.v{n+1}` (time
@@ -894,9 +897,14 @@ private[graft] object Manifest {
     }
     val refs: Seq[(String, Int)] =
       if (m.entries.isEmpty) Seq.empty
-      else if (kept.length + 1 > SegMax) // coalesce: one fresh full segment
-        Seq(writeSeg(s"seg-v$next-all.list", m.entries))
-      else kept.map { case (n, es) => (n, es.length) } ++
+      else if (kept.length + 1 > SegMax) {
+        // log-structured compaction: merge the order-contiguous BACK HALF
+        // (the recent small commits) plus the new entries into one
+        // segment; the older, larger front segments are reused untouched
+        val (front, back) = kept.splitAt(kept.length / 2)
+        front.map { case (n, es) => (n, es.length) } :+
+          writeSeg(s"seg-v$next-m.list", back.flatMap(_._2) ++ remaining)
+      } else kept.map { case (n, es) => (n, es.length) } ++
         (if (remaining.isEmpty) Seq.empty
          else Seq(writeSeg(s"seg-v$next-0.list", remaining)))
 

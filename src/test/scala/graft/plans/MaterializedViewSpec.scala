@@ -100,13 +100,31 @@ class MaterializedViewSpec extends SparkSuite {
     assert(props(MaterializedView.SourceDirProp).endsWith("q/ev4"))
   }
 
-  test("CREATE rejects a query that does not read exactly one manifest table") {
+  test("CREATE rejects a query that reads no manifest table at all") {
     rootDir
     val df = Seq((1L, "x")).toDF("id", "s")
     df.createOrReplaceTempView("mv_plain")
     val e = intercept[UnsupportedOperationException] {
       spark.sql("CREATE MATERIALIZED VIEW graftmv.q.bad AS SELECT * FROM mv_plain")
     }
-    assert(e.getMessage.contains("exactly ONE"))
+    assert(e.getMessage.contains("at least one"))
+  }
+
+  test("a JOIN materialized view creates and refreshes as a FULL-refresh MV") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.f (k STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graftmv.q.dim (k STRING, grp STRING)")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v").writeTo("graftmv.q.f").append()
+    Seq(("a", "g1"), ("b", "g2")).toDF("k", "grp").writeTo("graftmv.q.dim").append()
+    val q = """SELECT grp, sum(v) AS sv
+              |FROM graftmv.q.f JOIN graftmv.q.dim USING (k) GROUP BY grp""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mvj AS $q")
+    assert(spark.table("graftmv.q.mvj").collect().toSet == recompute(q))
+    // both sides change; the multi-source MV always recomputes — and stays right
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "v").writeTo("graftmv.q.f").append()
+    Seq(("c", "g1")).toDF("k", "grp").writeTo("graftmv.q.dim").append()
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvj").collect()
+    assert(r.getString(0) == "full")
+    assert(spark.table("graftmv.q.mvj").collect().toSet == recompute(q))
   }
 }

@@ -61,11 +61,17 @@ class ManifestTreeSpec extends SparkSuite {
       .option("snapshot", "1").load().count() == 100L)
   }
 
-  test("segment count stays bounded under many commits (coalescing)") {
+  test("segment count stays bounded under many commits (log-structured merge)") {
     val dir = freshDir()
     (0 until 70).foreach(i => append(dir, i * 10L, i * 10L + 10L))
     val segs = segNames(dir)
-    assert(segs.length <= 64, s"segments must coalesce, got ${segs.length}")
+    assert(segs.length <= 64, s"segments must compact, got ${segs.length}")
+    // compaction merges the order-contiguous back half: entry order (=
+    // commit order) survives, and no row is lost or duplicated
+    val m = Manifest.read(Paths.get(dir)).get
+    assert(m.entries.length == 70)
+    assert(m.entries.head.stats.ranges("id")._1 == BigDecimal(0))
+    assert(m.entries.last.stats.ranges("id")._2 == BigDecimal(699))
     assert(spark.read.format(Fmt).option("path", dir).load().count() == 700L)
   }
 
