@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder64", "zorder64(a, b) - Morton interleave of two int keys for Z-order clustering"),
       (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
 
+    e.injectFunction((FunctionIdentifier("zorder3"),
+      info("zorder3", "zorder3(a, b, c) - 3-D Morton interleave (21 bits/dim) for Z-order clustering"),
+      (args: Seq[Expression]) => ZOrder3(args(0), args(1), args(2))))
+
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
       (args: Seq[Expression]) => NfcNormalize(args(0))))

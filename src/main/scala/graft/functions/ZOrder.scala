@@ -35,6 +35,27 @@ object ZOrder {
     val ub = (b.toLong - Int.MinValue.toLong) & 0xffffffffL
     (spread(ua) << 1) | spread(ub)
   }
+
+  /** Spread the low 21 bits of v so bit i lands at bit 3i. */
+  def spread3(v: Long): Long = {
+    var x = v & 0x1fffffL
+    x = (x | (x << 32)) & 0x001f00000000ffffL
+    x = (x | (x << 16)) & 0x001f0000ff0000ffL
+    x = (x | (x << 8)) & 0x100f00f00f00f00fL
+    x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
+
+  /** Three-dimensional Morton code: each int offsets to unsigned order and
+    * keeps its TOP 21 bits (a clustering key — the truncated low bits only
+    * blur within-file order, never the per-file min-max ranges pruning
+    * reads). 63 bits total, a's bits most significant per triple. */
+  def interleave3(a: Int, b: Int, c: Int): Long = {
+    def top21(v: Int): Long =
+      (((v.toLong - Int.MinValue.toLong) & 0xffffffffL) >>> 11)
+    (spread3(top21(a)) << 2) | (spread3(top21(b)) << 1) | spread3(top21(c))
+  }
 }
 
 case class ZOrder64(left: Expression, right: Expression) extends BinaryExpression {
@@ -58,4 +79,30 @@ case class ZOrder64(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrder64 =
     copy(left = newLeft, right = newRight)
+}
+
+/** 3-dimensional Morton interleave (`OPTIMIZE … ZORDER BY (a, b, c)`) —
+  * same contract as [[ZOrder64]] with 21 bits per dimension. */
+case class ZOrder3(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (IntegerType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int, int, int), got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder3"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    ZOrder.interleave3(a.asInstanceOf[Int], b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.ZOrder.interleave3($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZOrder3 =
+    copy(first = f, second = s, third = t)
 }

@@ -86,7 +86,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\))?\s*;?\s*""").r
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)""" +
+      """(?:\s*,\s*([\w.]+))?\s*\))?\s*;?\s*""").r
 
   /** `RESTORE TABLE t TO VERSION AS OF n` — metadata-only rollback to an
     * archived snapshot (Delta's statement). The pre-restore state archives
@@ -157,12 +158,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else delegate.parsePlan(sqlText)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
-    case Optimize(target, targetBytes, where, zc1, zc2)
+    case Optimize(target, targetBytes, where, zc1, zc2, zc3)
       if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       OptimizeManifestCommand(target,
         Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024),
         for (a <- Option(zc1); b <- Option(zc2))
-          yield (a.split("\\.").last, b.split("\\.").last),
+          yield (Seq(a, b) ++ Option(zc3).toSeq).map(_.split("\\.").last),
         Option(where))
     case Restore(target, version) => RestoreTableCommand(target, version.toInt)
     case Clone(target, source, version) =>
@@ -260,7 +261,8 @@ case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
     AttributeReference("num_snapshots", IntegerType, nullable = false)(),
     AttributeReference("num_properties", IntegerType, nullable = false)(),
     AttributeReference("num_deletion_vectors", IntegerType, nullable = false)(),
-    AttributeReference("num_deleted_rows", LongType, nullable = false)())
+    AttributeReference("num_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("num_segments", IntegerType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "DESCRIBE DETAIL")
@@ -278,17 +280,18 @@ case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
       Manifest.snapshotVersions(dir).length,
       m.props.count(_._1.startsWith(graft.sources.GraftCatalog.TblPropPrefix)),
       m.entries.count(_.dv.isDefined),
-      m.entries.map(e => e.rows - e.liveRows).sum))
+      m.entries.map(e => e.rows - e.liveRows).sum,
+      m.segments.length))
   }
 }
 
 /** The lowered OPTIMIZE: one distributed rewrite of the table's live files
   * into ~targetBytes outputs via [[graft.sources.ManifestTable.optimize]],
-  * Z-order-clustered when `zorderBy` names two numeric columns. Reports
+  * Z-order-clustered when `zorderBy` names two or three numeric columns (zorder64 / zorder3). Reports
   * (files_before, files_after); a plain compaction already at or under the
   * target count is a no-op with before == after. */
 case class OptimizeManifestCommand(target: String, targetBytes: Long,
-    zorderBy: Option[(String, String)] = None, whereSql: Option[String] = None)
+    zorderBy: Option[Seq[String]] = None, whereSql: Option[String] = None)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.types.IntegerType
   override val output: Seq[Attribute] = Seq(

@@ -1392,7 +1392,7 @@ private[graft] object ManifestTable {
     * layout is already at or under the target file count. Returns
     * (files before, files after). */
   private[graft] def optimize(dir: Path, targetBytes: Long,
-      zorderBy: Option[(String, String)] = None,
+      zorderBy: Option[Seq[String]] = None,
       whereSql: Option[String] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, expr}
     val m = Manifest.read(dir).getOrElse(
@@ -1422,8 +1422,14 @@ private[graft] object ManifestTable {
     val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       zorderBy match {
         case None => _.repartition(n)
-        case Some((c1, c2)) =>
-          val key = s"zorder64(${zScaleKey(m, live, c1)}, ${zScaleKey(m, live, c2)})"
+        case Some(cols) =>
+          val keys = cols.map(zScaleKey(m, live, _))
+          val key = keys.length match {
+            case 2 => s"zorder64(${keys(0)}, ${keys(1)})"
+            case 3 => s"zorder3(${keys(0)}, ${keys(1)}, ${keys(2)})"
+            case k => throw new IllegalArgumentException(
+              s"ZORDER BY takes 2 or 3 columns, got $k")
+          }
           df => df.withColumn("__graft_z", expr(key))
             .repartitionByRange(n, col("__graft_z"))
             .sortWithinPartitions("__graft_z")

@@ -28,6 +28,28 @@ class ZOrderSpec extends SparkSuite {
     assert(rows.map(_._3).distinct.length === rows.map(r => (r._1, r._2)).distinct.length)
   }
 
+  test("interleave3: monotone per dimension at 21-bit granularity, SQL = driver impl") {
+    // monotone per dimension for steps that survive the top-21-bit cut
+    val step = 1 << 11 // one unit of the kept granularity
+    for (a <- Seq(Int.MinValue, -(1 << 20), 0, 1 << 20);
+         b <- Seq(Int.MinValue, -3 * step, 0, 5 * step);
+         c <- Seq(Int.MinValue, -step, 0, 7 * step)) {
+      assert(ZOrder.interleave3(a, b, c) < ZOrder.interleave3(a + step, b, c))
+      assert(ZOrder.interleave3(a, b, c) < ZOrder.interleave3(a, b + step, c))
+      assert(ZOrder.interleave3(a, b, c) < ZOrder.interleave3(a, b, c + step))
+    }
+    // truncation is order-preserving, never order-breaking
+    assert(ZOrder.interleave3(0, 0, 0) <= ZOrder.interleave3(1, 0, 0))
+    // SQL function parity (codegen path)
+    val g = Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    val triples = (0 until 200).flatMap(i =>
+      Gen.zip(g, g, g).apply(Gen.Parameters.default, Seed(97L + i)))
+    triples.toDF("a", "b", "c")
+      .selectExpr("a", "b", "c", "zorder3(a, b, c) AS z")
+      .as[(Int, Int, Int, Long)].collect()
+      .foreach { case (a, b, c, z) => assert(z === ZOrder.interleave3(a, b, c)) }
+  }
+
   test("z-ordered layout narrows per-file ranges on BOTH dimensions; single-sort only on one") {
     val grid = spark.range(256L * 256L).select(
       (col("id") / 256).cast("int").as("d1"),

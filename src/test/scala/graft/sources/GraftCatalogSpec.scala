@@ -235,6 +235,30 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       spark.sql("OPTIMIZE graftcat.zo.s ZORDER BY (k, v)")
     }
+
+    // THREE-dimensional clustering: zorder3 (21 bits/dim) must prune on
+    // every one of the three columns after the rewrite
+    spark.sql("CREATE TABLE graftcat.zo.g3 (a BIGINT, b BIGINT, c BIGINT)")
+    spark.range(0, 16L * 16 * 16)
+      .selectExpr("id DIV 256 AS a", "(id DIV 16) % 16 AS b", "id % 16 AS c")
+      .repartitionByRange(8, $"a").writeTo("graftcat.zo.g3").append()
+    val dir3 = Paths.get(s"$rootDir/zo/g3")
+    def entries3 = Manifest.read(dir3).get.entries
+    def overlapping3(col: String, v: Long) = entries3.count { e =>
+      e.stats.ranges.get(col).forall { case (lo, hi) => lo <= v && v <= hi }
+    }
+    assert(overlapping3("c", 3L) == entries3.length,
+      "row-major layout cannot prune on the innermost dimension")
+    spark.sql("OPTIMIZE graftcat.zo.g3 TARGET 2048 BYTES ZORDER BY (a, b, c)")
+    assert(entries3.length > 1)
+    Seq("a", "b", "c").foreach { cn =>
+      assert(overlapping3(cn, 3L) < entries3.length,
+        s"$cn must prune after 3-D zorder: ${entries3.map(_.stats.ranges.get(cn))}")
+    }
+    assert(spark.table("graftcat.zo.g3").count() == 16L * 16 * 16)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.zo.g3 WHERE a = 3 AND b = 3 AND c = 3")
+      .head().getLong(0) == 1L)
     // timestamps cluster through the zone maps' own epoch-micros encoding
     spark.sql("CREATE TABLE graftcat.zo.ts (ts TIMESTAMP, v BIGINT)")
     spark.range(0, 512)
