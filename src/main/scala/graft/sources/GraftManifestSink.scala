@@ -1295,8 +1295,26 @@ private[graft] object ManifestTable {
   private[graft] def publishReplacing(dir: Path, base: Manifest,
       replaced: Seq[String], rewritten: Seq[ManifestFile]): Unit = {
     val gone = replaced.toSet
+    // optimistic CONFLICT DETECTION (the Delta ConcurrentDeleteRead rule):
+    // the op computed its rewrite against `base`; if any file it replaces
+    // was itself replaced, dropped, or deletion-vectored by a CONCURRENT
+    // operation (same name but different rows/vector, or absent), blindly
+    // publishing would co-publish two divergent rewrites of one file —
+    // rows matching neither predicate would DUPLICATE. Fail the loser
+    // loudly instead; appends never conflict (names are disjoint) and
+    // still commute.
+    def key(e: ManifestFile) = (e.rows, e.dv)
+    val baseKey = base.entries.filter(e => gone(e.name))
+      .map(e => e.name -> key(e)).toMap
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(base)
+      val curKey = cur.entries.map(e => e.name -> key(e)).toMap
+      val conflicted = replaced.filter(n => curKey.get(n) != baseKey.get(n))
+      if (conflicted.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"concurrent update conflict on $dir: file(s) " +
+          s"${conflicted.mkString(", ")} changed since this operation's " +
+          "snapshot (a concurrent DELETE/UPDATE/MERGE/OPTIMIZE replaced " +
+          "them) — re-run the operation against the current state")
       Manifest.write(dir, Manifest(cur.schema,
         cur.entries.filterNot(e => gone(e.name)) ++ rewritten, cur.props))
     }
