@@ -87,6 +87,30 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("one-side shuffle: a plain side shuffles INTO the bucket layout via the V2 function") {
+    rootDir
+    spark.sql("""CREATE TABLE graftspj.q.fact (ck BIGINT, amt DOUBLE)
+                 PARTITIONED BY (bucket(4, ck))""")
+    (1L to 300L).map(i => (i % 80L + 1L, i * 1.0)).toDF("ck", "amt")
+      .repartition(3).writeTo("graftspj.q.fact").append()
+    // the OTHER side is a plain in-memory frame — no bucket layout at all
+    val dim = (1L to 80L).map(i => (i, s"d$i")).toDF("ck", "name")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val j = spark.table("graftspj.q.fact").join(dim, "ck")
+      val plan = j.queryExecution.executedPlan.toString
+      // the bucketed side reads in place; ONLY the plain side exchanges —
+      // Spark EVALUATES the catalog's bucket function to route its rows,
+      // which is the end-to-end proof the V2 function and the fanout
+      // writer share one hash (a mismatch would lose every misrouted row)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly the plain side's exchange, got $exchanges:\n$plan")
+      assert(j.count() == 300L, "every fact row must find its dim row")
+    }
+  }
+
   test("a file without the purity tag withholds SPJ and the join still works") {
     rootDir
     spark.sql("""CREATE TABLE graftspj.q.mix (ck BIGINT, v DOUBLE)
