@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // Optimizer rule: year(ts) = Y → sargable timestamp range (pushdown).
     e.injectOptimizerRule(_ => graft.plans.YearPredicateRewrite)
+    // transparent MV rewriting (opt-in per view via MvRewrite.register);
+    // post-hoc resolution: both sides compare as plain ANALYZED trees,
+    // before scan pushdown manufactures never-equal per-query scans
+    e.injectPostHocResolutionRule(_ => graft.plans.MvRewrite)
 
     // Planner strategy: native two-phase bounded-heap top-k per group.
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -51,7 +51,7 @@ object MaterializedView {
 
   private def b64(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
-  private def unb64(s: String): String =
+  private[plans] def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
   /** The ONE manifest-table relation of a plan, when the plan reads exactly

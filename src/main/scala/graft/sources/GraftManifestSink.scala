@@ -933,6 +933,19 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
 
   override def name(): String = s"graft_manifest($dir)"
 
+  /** SEMANTIC identity — two loads of the same table directory (at the
+    * same pinned snapshot) are the same table, the way path-addressed
+    * Delta/parquet relations compare. This is what lets canonicalized
+    * PLAN equality work across separately-analyzed queries (the MV
+    * rewrite's match, cache lookups). */
+  override def equals(o: Any): Boolean = o match {
+    case t: ManifestTable =>
+      t.dir.toAbsolutePath == dir.toAbsolutePath && t.pinnedSnapshot == snapshot
+    case _ => false
+  }
+  override def hashCode(): Int = dir.toAbsolutePath.hashCode ^ snapshot.hashCode
+  private[sources] def pinnedSnapshot: Option[Int] = snapshot
+
   /** `_file` metadata column (the Iceberg idiom): the committed manifest
     * entry name of the row's data file — constant per scan partition, so
     * selecting it costs one string per row and no extra I/O. Powers

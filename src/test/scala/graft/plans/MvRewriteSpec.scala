@@ -1,0 +1,70 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** Transparent MV rewriting: a query whose plan equals a registered MV's
+  * definition is answered from the stored result — and ONLY while the MV
+  * is fresh (its recorded source version is the source's current one). */
+class MvRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val rootDir = {
+    val d = Files.createTempDirectory("graft_mvr_").toString
+    spark.conf.set("spark.sql.catalog.graftmvr", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmvr.root", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftmvr.q")
+    d
+  }
+
+  private val Q =
+    "SELECT source, count(*) AS n, sum(n_chars) AS sc FROM graftmvr.q.docs GROUP BY source"
+
+  private def plansFromMv(sql: String): Boolean =
+    spark.sql(sql).queryExecution.optimizedPlan.toString.contains("q.mv")
+
+  test("an equal query is answered from the MV; staleness and mismatch are not") {
+    rootDir
+    spark.sql("CREATE TABLE graftmvr.q.docs (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    (1L to 300L).map(i => (i, s"s${i % 5}", i * 3L)).toDF("doc_id", "source", "n_chars")
+      .writeTo("graftmvr.q.docs").append()
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmvr.q.mv AS $Q")
+    val expected = spark.sql(Q).collect().toSet
+    MvRewrite.register(spark, "graftmvr.q.mv")
+    try {
+      // the SAME query (even spelled differently) now scans the MV
+      assert(plansFromMv(Q), "equal query must plan from the stored MV")
+      assert(plansFromMv(
+        """SELECT source, count(*) AS cnt, sum(n_chars) AS total
+          |FROM graftmvr.q.docs GROUP BY source""".stripMargin),
+        "alias spelling must not defeat the match (canonicalized compare)")
+      assert(spark.sql(Q).collect().toSet == expected)
+      // a DIFFERENT query is untouched
+      assert(!plansFromMv(
+        "SELECT source, count(*) AS n FROM graftmvr.q.docs GROUP BY source"))
+      assert(!plansFromMv(
+        s"SELECT source, count(*) AS n, sum(n_chars) AS sc " +
+          "FROM graftmvr.q.docs WHERE n_chars > 10 GROUP BY source"))
+      // and the MV composes as a SUBTREE of a bigger query
+      val top = spark.sql(s"SELECT max(sc) AS m FROM ($Q)")
+      assert(top.queryExecution.optimizedPlan.toString.contains("q.mv"))
+      assert(top.head().getLong(0) ==
+        expected.map(_.getLong(2)).max)
+
+      // STALENESS GUARD: a new source commit makes the MV stale — the
+      // query silently recomputes from the source (fresh answer, no MV)
+      (301L to 310L).map(i => (i, "s0", 1L)).toDF("doc_id", "source", "n_chars")
+        .writeTo("graftmvr.q.docs").append()
+      assert(!plansFromMv(Q), "a stale MV must never answer a query")
+      val freshExpected = spark.sql(Q).collect().toSet
+      assert(freshExpected != expected)
+      // REFRESH restores freshness and the rewrite resumes
+      spark.sql("REFRESH MATERIALIZED VIEW graftmvr.q.mv")
+      assert(plansFromMv(Q), "a refreshed MV must answer again")
+      assert(spark.sql(Q).collect().toSet == freshExpected)
+    } finally MvRewrite.unregister("graftmvr.q.mv")
+    // unregistered: back to the source
+    assert(!plansFromMv(Q))
+  }
+}
