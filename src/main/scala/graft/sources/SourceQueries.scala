@@ -419,6 +419,32 @@ object SourceQueries extends QueryModule {
       s.table("graftmvq.q.mv").orderBy("source")
     }),
 
+    // TRANSPARENT MV REWRITING through the oracle gate: after
+    // MvRewrite.register, the SAME aggregate query plans from the STORED
+    // view (MvRewriteSpec pins the substitution); the oracle recomputes
+    // from scratch in DuckDB, so a rewrite that serves a wrong or stale
+    // result hash-fails the driver gate — the stored-result path itself
+    // is correctness-checked, not just the plan shape.
+    "q_mv_rewrite" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_mvwq_")
+      s.conf.set("spark.sql.catalog.graftmvw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmvw.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmvw.q")
+      s.sql("DROP TABLE IF EXISTS graftmvw.q.mv")
+      s.sql("DROP TABLE IF EXISTS graftmvw.q.docs")
+      graft.plans.MvRewrite.unregister("graftmvw.q.mv") // re-invokable
+      Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+        .writeTo("graftmvw.q.docs").create()
+      val q = """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+                |FROM graftmvw.q.docs GROUP BY source""".stripMargin
+      s.sql(s"CREATE MATERIALIZED VIEW graftmvw.q.mv AS $q")
+      graft.plans.MvRewrite.register(s, "graftmvw.q.mv")
+      val out = s.sql(q).orderBy("source")
+      assert(out.queryExecution.optimizedPlan.toString.contains("q.mv"),
+        "the declared query must actually plan from the stored MV")
+      out
+    }),
+
     // Bloom-filter point lookup through the oracle gate: documents land in
     // 8 hash-random shards (every file spans the whole doc_id range, so
     // min/max ranges cannot prune a point probe) with per-file blooms on
@@ -774,6 +800,13 @@ object SourceQueries extends QueryModule {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // The MV-served aggregate, recomputed from scratch — a wrong or stale
+    // stored result hash-fails.
+    "q_mv_rewrite" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
     // The bloom probe's rows, straight off the source parquet — a false
