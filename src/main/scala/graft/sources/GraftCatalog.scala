@@ -178,7 +178,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         p._1 == Manifest.LastEpochProp ||
         p._1.startsWith(Manifest.LastEpochProp + ".")) +
       (Manifest.CloneSourceProp -> srcDir.toAbsolutePath.toString)
-    Manifest.write(dir, Manifest(src.schema, src.entries, props))
+    // carry the SOURCE's segment composition: the clone's root then
+    // re-publishes those segment files BY REFERENCE (resolved through the
+    // clone chain at read time) — cloning a million-entry table writes one
+    // ref-holding root, zero entry I/O
+    Manifest.write(dir, Manifest(src.schema, src.entries, props, src.segments))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSuite
 
 /** The manifest tree: entries live in immutable `seg-*.list` files and the
@@ -106,6 +108,36 @@ class ManifestTreeSpec extends SparkSuite {
     }
     assert(Manifest.segParseCount.get() == p0,
       "unchanged segments must be served from cache")
+  }
+
+  test("a shallow clone re-publishes segment refs with zero entry I/O") {
+    val root = Files.createTempDirectory("graft_tree_cat_").toString
+    spark.conf.set("spark.sql.catalog.gtree", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtree.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtree.q")
+    spark.sql("CREATE TABLE gtree.q.src (id BIGINT, v DOUBLE)")
+    val src = Paths.get(root, "q", "src").toString
+    (0L until 2000L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("gtree.q.src").append()
+    (2000L until 2100L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("gtree.q.src").append()
+    val srcSegs = segNames(src).toSet
+    assert(srcSegs.size == 2)
+    spark.sql("CREATE TABLE gtree.q.clone SHALLOW CLONE gtree.q.src")
+
+    val cdir = Paths.get(root, "q", "clone")
+    val cm = Manifest.read(cdir).get
+    // the clone's root references the SOURCE's segments by name — no
+    // segment (and no data) file was copied into the clone directory
+    assert(cm.segments.map(_._1).toSet == srcSegs)
+    val s = Files.list(cdir)
+    try assert(!s.iterator().asScala.exists(p =>
+      p.getFileName.toString.startsWith("seg-") ||
+        p.getFileName.toString.startsWith("part-")),
+      "cloning must copy no segment or data files")
+    finally s.close()
+    // and reads resolve entries + data through the clone chain
+    assert(spark.table("gtree.q.clone").count() == 2100L)
   }
 
   test("legacy inline-entry manifests still read and upgrade on next commit") {
