@@ -48,6 +48,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private val registry = TrieMap.empty[String, Registered]
 
+  /** Registration analyzes the MV's own definition query — with the rule
+    * ACTIVE. Without a guard, re-registering a fresh MV (or registering a
+    * second MV whose definition equals an existing one) would substitute a
+    * registered MV into the stored defn itself, so future user queries no
+    * longer canonically match. The flag makes apply() a no-op on this
+    * thread while the defn is being captured. */
+  private val registering = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
   /** Register `mvTable` (a `CREATE MATERIALIZED VIEW` product) for
     * transparent rewriting in this JVM's sessions. */
   def register(spark: SparkSession, mvTable: String): Unit = {
@@ -56,11 +66,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     val query = props.get(MaterializedView.QueryProp)
       .map(MaterializedView.unb64).getOrElse(throw new IllegalArgumentException(
         s"MV REWRITE: $mvTable is not a materialized view"))
-    val defn = spark.sql(query).queryExecution.analyzed
-    val rel = spark.table(mvTable).queryExecution.analyzed.collectFirst {
-      case r: DataSourceV2Relation => r
-    }.getOrElse(throw new IllegalStateException(
-      s"MV REWRITE: $mvTable did not analyze to a DSv2 relation"))
+    registering.set(true)
+    val (defn, rel) = try {
+      val d = spark.sql(query).queryExecution.analyzed
+      val r = spark.table(mvTable).queryExecution.analyzed.collectFirst {
+        case r: DataSourceV2Relation => r
+      }.getOrElse(throw new IllegalStateException(
+        s"MV REWRITE: $mvTable did not analyze to a DSv2 relation"))
+      (d, r)
+    } finally registering.set(false)
     registry.put(mvTable, Registered(mvTable, defn, rel, mvDir))
   }
 
@@ -78,25 +92,34 @@ object MvRewrite extends Rule[LogicalPlan] {
       .lastOption.getOrElse(0) == ver.toInt).getOrElse(false)
   }
 
-  private def matches(p: LogicalPlan, r: Registered): Boolean =
+  private def matches(p: LogicalPlan, r: Registered,
+      fresh: Registered => Boolean): Boolean =
     p.output.length == r.defn.output.length &&
       p.output.zip(r.defn.output).forall { case (a, b) => a.dataType == b.dataType } &&
       p.canonicalized == r.defn.canonicalized &&
       fresh(r)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (registry.isEmpty || registering.get()) return plan
+    // freshness (a manifest stat read) memoized per apply() invocation —
+    // a plan with many candidate subtrees checks each MV's version once
+    val freshness = scala.collection.mutable.Map.empty[String, Boolean]
+    val cachedFresh: Registered => Boolean =
+      r => freshness.getOrElseUpdate(r.mvTable, fresh(r))
     plan.transformUp {
-      case p if p.resolved && registry.values.exists(matches(p, _)) =>
-        val r = registry.values.find(matches(p, _)).get
-        logInfo(s"MV rewrite: answering a subtree from ${r.mvTable}")
-        // re-bind the MV's columns to the ORIGINAL output exprIds so every
-        // parent reference resolves unchanged; a fresh relation instance
-        // keeps attribute ids unique across multiple substitutions
-        val rel = r.relation.newInstance()
-        Project(p.output.zip(rel.output).map { case (orig, c) =>
-          Alias(c, orig.name)(exprId = orig.exprId)
-        }, rel)
+      case p if p.resolved =>
+        registry.values.find(matches(p, _, cachedFresh)) match {
+          case Some(r) =>
+            logInfo(s"MV rewrite: answering a subtree from ${r.mvTable}")
+            // re-bind the MV's columns to the ORIGINAL output exprIds so
+            // every parent reference resolves unchanged; a fresh relation
+            // instance keeps attribute ids unique across substitutions
+            val rel = r.relation.newInstance()
+            Project(p.output.zip(rel.output).map { case (orig, c) =>
+              Alias(c, orig.name)(exprId = orig.exprId)
+            }, rel)
+          case None => p
+        }
     }
   }
 }

@@ -537,12 +537,15 @@ private[graft] object Manifest {
     * appear in a data column's name (the codec requires identifier-safe
     * names), so the key never collides, and rename/drop stats maintenance —
     * keyed by real column names — never touches it. The key CARRIES the
-    * bucket count (`@bucket16`), so if partition evolution ever changes the
-    * count, every stale tag self-invalidates (the scan looks up the key for
-    * ITS count) instead of silently mislabeling files. A file without the
-    * key (pre-bucketing commit, path-addressed append missing the column)
+    * bucket count AND the bucket column (`@bucket16:id`), so if partition
+    * evolution ever changes either — same count over a DIFFERENT column is
+    * the subtle case — every stale tag self-invalidates (the scan looks up
+    * the key for ITS count+column) instead of silently mislabeling files as
+    * pure in a column they were never hashed on. A file without the key
+    * (pre-bucketing commit, path-addressed append missing the column)
     * simply withholds the table's SPJ claim; never unsound. */
-  private[sources] def bucketStatKey(n: Int): String = s"@bucket$n"
+  private[sources] def bucketStatKey(n: Int, col: String): String =
+    s"@bucket$n:${col.toLowerCase(java.util.Locale.ROOT)}"
 
   /** The table's `bucket(n, col)` transform, when it declares EXACTLY one
     * bucket transform — the layout contract behind bucket-pure files and
@@ -869,25 +872,31 @@ private[graft] object Manifest {
     val next = snapshotVersions(dir).lastOption.getOrElse(0) + 1
 
     // segment composition: prefer the state's OWN segments (clone/restore
-    // re-publish), then the previous version's; a candidate survives iff
-    // every one of its entries re-renders byte-identically in the new
-    // state and no earlier candidate already covers the name
-    val lineOf: Map[String, String] =
-      m.entries.map(e => e.name -> entryLine(e)).toMap
-    val covered = scala.collection.mutable.Set.empty[String]
+    // re-publish), then the previous version's. A candidate survives iff
+    // its entries re-render byte-identically as the next CONTIGUOUS run of
+    // m.entries at the reuse cursor — not merely "all present somewhere".
+    // The cursor rule is what keeps `entry order is commit order` true
+    // through reuse: if an early segment is invalidated (one entry
+    // rewritten) its survivors land in the new tail segment, and a later
+    // segment may only be reused if it still lines up where reconstruction
+    // will place it. Without it, [reused later segment, early survivors]
+    // would silently reorder the table — breaking the order-contiguous
+    // back-half compaction below.
+    val entryLines = m.entries.map(e => (e.name, entryLine(e)))
     val seen = scala.collection.mutable.Set.empty[String]
-    // order-preserving distinct-by-name: entry order is commit order, and
-    // it must survive segment reuse (groupBy would scramble it)
     val candidates = (m.segments ++
       read(dir).map(_.segments).getOrElse(Seq.empty))
       .filter(s => seen.add(s._1))
+    var cursor = 0
     val kept = candidates.filter { case (_, es) =>
-      val ok = es.nonEmpty &&
-        es.forall(e => !covered(e.name) && lineOf.get(e.name).contains(entryLine(e)))
-      if (ok) es.foreach(e => covered += e.name)
+      val ok = es.nonEmpty && cursor + es.length <= entryLines.length &&
+        es.iterator.zipWithIndex.forall { case (e, i) =>
+          entryLines(cursor + i) == ((e.name, entryLine(e)))
+        }
+      if (ok) cursor += es.length
       ok
     }
-    val remaining = m.entries.filterNot(e => covered(e.name))
+    val remaining = m.entries.drop(cursor)
     def writeSeg(name: String, es: Seq[ManifestFile]): (String, Int) = {
       val tmp = dir.resolve(s"$name.tmp")
       Files.write(tmp, es.map(entryLine).mkString("\n").getBytes(UTF_8))
@@ -1643,7 +1652,7 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
       case (n, c) =>
         val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
         if (i >= 0 && BucketHash.supported(schema.fields(i).dataType))
-          Some((n, i))
+          Some((n, i, c))
         else None
     }
     new ManifestWrite(dir, schema, queryId, overwrite, partCols,
@@ -1667,7 +1676,7 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
     advisoryBytes: Long = 0L,
-    bucketSpec: Option[(Int, Int)] = None)
+    bucketSpec: Option[(Int, Int, String)] = None)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -1830,7 +1839,7 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    bucketSpec: Option[(Int, Int)] = None)
+    bucketSpec: Option[(Int, Int, String)] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1900,7 +1909,7 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    bucketSpec: Option[(Int, Int)] = None)
+    bucketSpec: Option[(Int, Int, String)] = None)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1958,11 +1967,11 @@ private[sources] case class ManifestWriterFactory(dir: String, schema: StructTyp
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    bucketSpec: Option[(Int, Int)] = None) // (numBuckets, column index)
+    bucketSpec: Option[(Int, Int, String)] = None) // (numBuckets, colIdx, declared col)
   extends DataWriterFactory with StreamingDataWriterFactory {
   private def writer(base: String): DataWriter[InternalRow] = bucketSpec match {
-    case Some((n, i)) =>
-      new BucketFanoutWriter(Paths.get(dir), schema, base, n, i, bloomCols,
+    case Some((n, i, c)) =>
+      new BucketFanoutWriter(Paths.get(dir), schema, base, n, i, c, bloomCols,
         ndvCols, notNull, checks)
     case None =>
       new ManifestDataWriter(Paths.get(dir), schema, s"$base.tsv", bloomCols,
@@ -1984,7 +1993,7 @@ private[sources] case class ManifestWriterFactory(dir: String, schema: StructTyp
   * input distribution — the table's range-clustering contract keeps each
   * one's VALUE zone maps narrow, this writer keeps each one BUCKET-pure. */
 private[sources] class BucketFanoutWriter(dir: Path, schema: StructType,
-    baseName: String, numBuckets: Int, colIdx: Int,
+    baseName: String, numBuckets: Int, colIdx: Int, bucketCol: String,
     bloomCols: Seq[String], ndvCols: Seq[String],
     notNull: Seq[(Int, String)],
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
@@ -1998,7 +2007,8 @@ private[sources] class BucketFanoutWriter(dir: Path, schema: StructType,
     if (w == null) {
       w = new ManifestDataWriter(dir, schema, s"$baseName-b$b.tsv", bloomCols,
         ndvCols, notNull, checks,
-        Map(Manifest.bucketStatKey(numBuckets) -> ((BigDecimal(b), BigDecimal(b)))))
+        Map(Manifest.bucketStatKey(numBuckets, bucketCol) ->
+          ((BigDecimal(b), BigDecimal(b)))))
       writers.put(b, w)
     }
     w.write(row)
@@ -2869,8 +2879,9 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * only ever evaluated for bucket-partitioned tables, so the lazy
     * planning contract for ordinary tables is untouched. */
   private lazy val bucketIds: Option[Map[String, Int]] = spjBucket.flatMap {
-    case (n, _) =>
-      val ids = entries.map(e => e.name -> e.stats.ranges.get(Manifest.bucketStatKey(n)))
+    case (n, col) =>
+      val ids = entries.map(e =>
+        e.name -> e.stats.ranges.get(Manifest.bucketStatKey(n, col)))
       if (ids.nonEmpty && ids.forall(_._2.exists(r =>
         r._1 == r._2 && r._1 >= 0 && r._1 < n)))
         Some(ids.map { case (nm, r) => nm -> r.get._1.toInt }.toMap)

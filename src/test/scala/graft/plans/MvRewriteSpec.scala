@@ -67,4 +67,36 @@ class MvRewriteSpec extends SparkSuite {
     // unregistered: back to the source
     assert(!plansFromMv(Q))
   }
+
+  test("re-registration and equal-definition MVs don't poison the registry") {
+    rootDir
+    spark.sql("CREATE TABLE graftmvr.q.docs2 (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    (1L to 100L).map(i => (i, s"s${i % 3}", i)).toDF("doc_id", "source", "n_chars")
+      .writeTo("graftmvr.q.docs2").append()
+    val q = "SELECT source, count(*) AS n FROM graftmvr.q.docs2 GROUP BY source"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmvr.q.mv2 AS $q")
+    val expected = spark.sql(q).collect().toSet
+    MvRewrite.register(spark, "graftmvr.q.mv2")
+    try {
+      assert(plansFromMv(q))
+      // RE-registering a fresh, registered MV analyzes its own definition
+      // while the rule is live: without the reentrancy guard the stored
+      // defn would itself be substituted, and user queries would stop
+      // matching canonically from then on
+      MvRewrite.register(spark, "graftmvr.q.mv2")
+      assert(plansFromMv(q),
+        "re-registration must not substitute the MV into its own stored defn")
+      assert(spark.sql(q).collect().toSet == expected)
+
+      // a SECOND MV with the SAME definition: registration must capture the
+      // raw source plan, not a rewrite through mv2
+      spark.sql(s"CREATE MATERIALIZED VIEW graftmvr.q.mv2b AS $q")
+      MvRewrite.register(spark, "graftmvr.q.mv2b")
+      try {
+        val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+        assert(plan.contains("q.mv2"), s"query must still plan from an MV:\n$plan")
+        assert(spark.sql(q).collect().toSet == expected)
+      } finally MvRewrite.unregister("graftmvr.q.mv2b")
+    } finally MvRewrite.unregister("graftmvr.q.mv2")
+  }
 }

@@ -20,6 +20,16 @@ class PartitionEvolutionSpec extends SparkSuite {
     d
   }
 
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def transformsOf(table: String): Seq[String] =
     spark.sessionState.catalogManager.catalog("graftpe")
       .asInstanceOf[GraftCatalog]
@@ -62,9 +72,9 @@ class PartitionEvolutionSpec extends SparkSuite {
       .repartition(2).writeTo("graftpe.q.b").append()
 
     val dirA = Paths.get(rootDir, "q", "a")
-    // files are tagged for count 4
+    // files are tagged for count 4 on ck
     assert(Manifest.read(dirA).get.entries.forall(
-      _.stats.ranges.contains(Manifest.bucketStatKey(4))))
+      _.stats.ranges.contains(Manifest.bucketStatKey(4, "ck"))))
 
     spark.sql("ALTER TABLE graftpe.q.a SET PARTITIONING (bucket(8, ck))")
     val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
@@ -82,7 +92,7 @@ class PartitionEvolutionSpec extends SparkSuite {
       // carries the bucket transform) and re-tags every file for count 8
       spark.sql("OPTIMIZE graftpe.q.a")
       assert(Manifest.read(dirA).get.entries.forall(
-        _.stats.ranges.contains(Manifest.bucketStatKey(8))))
+        _.stats.ranges.contains(Manifest.bucketStatKey(8, "ck"))))
       // both sides now co-bucketed at 8: zero shuffles again
       assert(!joinPlan.contains("Exchange hashpartitioning"),
         s"post-OPTIMIZE join must be shuffle-free:\n$joinPlan")
@@ -93,6 +103,44 @@ class PartitionEvolutionSpec extends SparkSuite {
     } finally old match {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("same-count bucket-COLUMN evolution also withholds SPJ until re-tagged") {
+    rootDir
+    spark.sql("""CREATE TABLE graftpe.q.colswap (ck BIGINT, ok BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(4, ck))""")
+    spark.sql("""CREATE TABLE graftpe.q.colother (ok BIGINT, w DOUBLE)
+                 PARTITIONED BY (bucket(4, ok))""")
+    (1L to 200L).map(i => (i, 1000L - i, i * 1.0)).toDF("ck", "ok", "v")
+      .repartition(2).writeTo("graftpe.q.colswap").append()
+    (801L to 999L).map(i => (i, i * 2.0)).toDF("ok", "w")
+      .repartition(2).writeTo("graftpe.q.colother").append()
+    val dir = Paths.get(rootDir, "q", "colswap")
+    // tags were written for bucket(4, ck)
+    assert(Manifest.read(dir).get.entries.forall(
+      _.stats.ranges.contains(Manifest.bucketStatKey(4, "ck"))))
+
+    // evolve to the SAME count over a DIFFERENT column: the count matches
+    // but the files were hashed on ck, not ok — a purity claim here would
+    // silently drop rows from a storage-partitioned join on ok
+    spark.sql("ALTER TABLE graftpe.q.colswap SET PARTITIONING (bucket(4, ok))")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def join = spark.table("graftpe.q.colswap")
+        .join(spark.table("graftpe.q.colother"), "ok")
+      assert(join.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "ck-hashed files must withhold SPJ under bucket(4, ok)")
+      assert(join.count() == 199L) // and the join stays complete
+
+      // OPTIMIZE re-buckets on ok; SPJ comes back shuffle-free and complete
+      spark.sql("OPTIMIZE graftpe.q.colswap")
+      assert(Manifest.read(dir).get.entries.forall(
+        _.stats.ranges.contains(Manifest.bucketStatKey(4, "ok"))))
+      assert(!join.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "post-OPTIMIZE join on ok must be shuffle-free")
+      assert(join.count() == 199L)
     }
   }
 

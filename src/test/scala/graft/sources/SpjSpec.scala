@@ -43,7 +43,7 @@ class SpjSpec extends SparkSuite {
     assert(m.entries.nonEmpty)
     // every file carries the purity tag with lo == hi in [0, 4)
     val tags = m.entries.map { e =>
-      val r = e.stats.ranges.get(Manifest.bucketStatKey(4))
+      val r = e.stats.ranges.get(Manifest.bucketStatKey(4, "id"))
       assert(r.isDefined, s"${e.name} lacks the bucket tag")
       assert(r.get._1 == r.get._2 && r.get._1 >= 0 && r.get._1 < 4)
       e.name -> r.get._1.toInt
@@ -123,7 +123,7 @@ class SpjSpec extends SparkSuite {
     val m = Manifest.read(dir).get
     val untagged = m.entries.head
     val stripped = untagged.copy(stats = ColumnStats(
-      untagged.stats.ranges - Manifest.bucketStatKey(4),
+      untagged.stats.ranges - Manifest.bucketStatKey(4, "ck"),
       untagged.stats.incomplete, untagged.stats.strRanges,
       untagged.stats.bloomsRaw, untagged.stats.ndvRaw))
     Manifest.write(dir, Manifest(m.schema,
