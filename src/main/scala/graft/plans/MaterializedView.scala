@@ -6,7 +6,8 @@ import java.util.Base64
 import org.apache.spark.sql.{DataFrame, GraftExpressionBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -19,15 +20,19 @@ import graft.sources.{GraftCatalog, Manifest, ManifestTable}
   *    the source's current snapshot, stores the result as an ordinary
   *    manifest table, and records (query, source dir, source version) in
   *    the MV table's own manifest props — the MV is fully self-describing.
-  *  - `REFRESH MATERIALIZED VIEW t` diffs the source's snapshot trail
-  *    against the recorded version. When the window is APPEND-ONLY (every
-  *    old file still live, byte-identical entry, no new deletion vectors)
-  *    and the query is a DECOMPOSABLE aggregate (GROUP BY + COUNT / SUM /
-  *    MIN / MAX over Project/Filter of the one source), the refresh
-  *    aggregates ONLY the files added since the last refresh and merges the
-  *    partials into the stored result: counts and sums add, mins and maxes
-  *    fold — cost O(|MV| + |new data|), NEVER a rescan of the 100 TB
-  *    source. Any other shape (joins, AVG, DISTINCT, a rewrite in the
+  *  - `REFRESH MATERIALIZED VIEW t` diffs each source's snapshot trail
+  *    against the recorded versions. When EXACTLY ONE source changed, its
+  *    window is APPEND-ONLY (every old file still live, byte-identical
+  *    entry, no new deletion vectors) and the query is a DECOMPOSABLE
+  *    aggregate (GROUP BY + COUNT / SUM / MIN / MAX over Project / Filter /
+  *    INNER-join of manifest sources), the refresh aggregates ONLY the
+  *    files added since the last refresh — each unchanged source pinned to
+  *    its recorded snapshot — and merges the partials into the stored
+  *    result: counts and sums add, mins and maxes fold — cost
+  *    O(|MV| + |new data| ⋈ dims), NEVER a rescan of the 100 TB source.
+  *    The flagship join shape: append-only fact ⋈ static dims refreshes
+  *    from the new fact files only. Any other shape (outer joins, AVG,
+  *    DISTINCT, several changed sources, a changed dim, a rewrite in the
   *    window, a recreated source) falls back to a full recompute — a
   *    correctness-first downgrade, never a wrong incremental answer.
   *
@@ -44,7 +49,10 @@ import graft.sources.{GraftCatalog, Manifest, ManifestTable}
 object MaterializedView {
   /** MV metadata keys (raw manifest props — engine-owned, so they never
     * surface through SHOW TBLPROPERTIES). The query stores base64ed: SQL
-    * text carries newlines the line-oriented manifest cannot hold. */
+    * text carries newlines the line-oriented manifest cannot hold.
+    * Multi-source MVs (joins) record every manifest source as
+    * `mv.src.<i>.dir` / `mv.src.<i>.version` (i over dir-sorted sources);
+    * the legacy single-source pair stays for sole-source MVs. */
   private[graft] val QueryProp = "mv.query64"
   private[graft] val SourceDirProp = "mv.sourceDir"
   private[graft] val SourceVersionProp = "mv.sourceVersion"
@@ -54,24 +62,55 @@ object MaterializedView {
   private[plans] def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
-  /** The ONE manifest-table relation of a plan, when the plan reads exactly
-    * one (the incremental contract's source). */
-  private def soleSource(plan: LogicalPlan): Option[(DataSourceV2Relation, ManifestTable)] =
+  /** Every manifest-table relation of the plan, in plan order (a dir may
+    * repeat — self-joins — which the incremental path must notice). */
+  private def manifestSources(plan: LogicalPlan): Seq[(DataSourceV2Relation, ManifestTable)] =
     plan.collect {
       case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] =>
         (r, r.table.asInstanceOf[ManifestTable])
-    } match {
+    }
+
+  /** The ONE manifest-table relation of a plan, when the plan reads exactly
+    * one (the legacy-props contract). */
+  private def soleSource(plan: LogicalPlan): Option[(DataSourceV2Relation, ManifestTable)] =
+    manifestSources(plan) match {
       case Seq(one) => Some(one)
       case _ => None
     }
 
-  /** Re-pin the plan's (sole) manifest relation to an explicit snapshot
-    * and/or file subset — plan surgery via the relation's own read options,
-    * so the aggregate/filter/project structure above evaluates unchanged. */
+  /** Props recording the MV's manifest sources: (abs dir, version), dir
+    * sorted. Reads the multi-source keys, falling back to the legacy
+    * single-source pair. Shared with [[MvRewrite]]'s freshness guard. */
+  private[plans] def recordedSources(props: Map[String, String]): Seq[(String, Int)] = {
+    val multi = Iterator.from(0).map { i =>
+      for {
+        d <- props.get(s"mv.src.$i.dir")
+        v <- props.get(s"mv.src.$i.version")
+      } yield (d, v.toInt)
+    }.takeWhile(_.isDefined).flatten.toSeq
+    if (multi.nonEmpty) multi
+    else (for {
+      d <- props.get(SourceDirProp)
+      v <- props.get(SourceVersionProp)
+    } yield (d, v.toInt)).toSeq
+  }
+
+  private def sourceProps(versions: Seq[(String, Int)]): Map[String, String] =
+    versions.sortBy(_._1).zipWithIndex.flatMap { case ((d, v), i) =>
+      Seq(s"mv.src.$i.dir" -> d, s"mv.src.$i.version" -> v.toString)
+    }.toMap
+
+  /** Re-pin the plan's manifest relations to explicit snapshots and/or file
+    * subsets, PER SOURCE DIRECTORY — plan surgery via each relation's own
+    * read options, so the aggregate/filter/project/join structure above
+    * evaluates unchanged. */
   private def pinned(spark: SparkSession, plan: LogicalPlan,
-      snapshot: Option[Int], files: Option[Seq[String]]): DataFrame = {
+      pins: Map[String, (Option[Int], Option[Seq[String]])]): DataFrame = {
     val surgered = plan.transform {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] =>
+      case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] &&
+          pins.contains(r.table.asInstanceOf[ManifestTable].dir.toAbsolutePath.toString) =>
+        val (snapshot, files) =
+          pins(r.table.asInstanceOf[ManifestTable].dir.toAbsolutePath.toString)
         val opts = new java.util.HashMap[String, String](r.options)
         snapshot.foreach(v => opts.put("snapshot", v.toString))
         files.foreach(fs => opts.put("files", fs.mkString(",")))
@@ -80,16 +119,23 @@ object MaterializedView {
     GraftExpressionBridge.ofRows(spark, surgered)
   }
 
-  /** Decomposable-aggregate shape: Aggregate over Project/Filter/alias of
-    * one relation, every output either a grouping expression or an alias
-    * of an unfiltered COUNT/SUM/MIN/MAX. Returns the per-output merge plan:
-    * (output column name, merge function name) — "key" groups, the rest
-    * fold with the named SQL aggregate. */
+  /** Decomposable-aggregate shape: Aggregate over Project/Filter/alias/
+    * INNER-join of manifest relations, every output either a grouping
+    * expression or an alias of an unfiltered COUNT/SUM/MIN/MAX. Inner joins
+    * are delta-linear in each input (J(F∪Δ, D) = J(F, D) ∪ J(Δ, D)), so an
+    * append-only change to ONE side re-aggregates only that side's new
+    * files joined to the others' pinned snapshots; outer joins are not
+    * (a new fact row can flip a previously unmatched dim row), so they fall
+    * back to a full refresh. Returns the per-output merge plan: (output
+    * column name, merge function name) — "key" groups, the rest fold with
+    * the named SQL aggregate. */
   private def decompose(plan: LogicalPlan): Option[Seq[(String, String)]] = {
     def okChild(p: LogicalPlan): Boolean = p match {
       case f: Filter => f.condition.deterministic && okChild(f.child)
       case pr: Project => pr.projectList.forall(_.deterministic) && okChild(pr.child)
       case s: SubqueryAlias => okChild(s.child)
+      case j: Join => j.joinType == Inner &&
+        j.condition.forall(_.deterministic) && okChild(j.left) && okChild(j.right)
       case r: DataSourceV2Relation => r.table.isInstanceOf[ManifestTable]
       case _ => false
     }
@@ -163,28 +209,25 @@ object MaterializedView {
 
   def create(spark: SparkSession, target: String, query: String): Unit = {
     val analyzed = spark.sql(query).queryExecution.analyzed
-    val anyManifest = analyzed.collect {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] => r
-    }
-    if (anyManifest.isEmpty) throw new UnsupportedOperationException(
+    val sources = manifestSources(analyzed)
+    if (sources.isEmpty) throw new UnsupportedOperationException(
       "CREATE MATERIALIZED VIEW: the query must read at least one graft " +
         "manifest table (the refresh machinery rides the snapshot trail)")
-    // ONE manifest source → the incremental contract: pin the evaluation to
-    // its newest snapshot so the recorded version is EXACTLY what the
-    // stored result reflects (a commit landing mid-CTAS must not leak rows
-    // the next refresh would re-add). Multi-source queries (joins) are
-    // full-refresh MVs: no pinning, no recorded version.
-    val single = soleSource(analyzed)
-    val v0 = single.map(s => Manifest.snapshotVersions(s._2.dir).lastOption)
-    val df = single match {
-      case Some(_) => pinned(spark, analyzed, v0.flatten, None)
-      case None => GraftExpressionBridge.ofRows(spark, analyzed)
-    }
+    // Pin the evaluation to every source's newest snapshot so the recorded
+    // versions are EXACTLY what the stored result reflects (a commit
+    // landing mid-CTAS must not leak rows the next refresh would re-add).
+    val versions = sources.map(_._2.dir.toAbsolutePath.toString).distinct
+      .map(d => d -> Manifest.snapshotVersions(java.nio.file.Paths.get(d))
+        .lastOption.getOrElse(0))
+    val df = pinned(spark, analyzed,
+      versions.map { case (d, v) => d -> ((Some(v).filter(_ > 0), None)) }.toMap)
     df.writeTo(target).create()
     val mvDir = ManifestTarget.of(spark, target, "CREATE MATERIALIZED VIEW").dir
-    stamp(mvDir, Map(QueryProp -> b64(query)) ++ single.map(s =>
-      SourceDirProp -> s._2.dir.toAbsolutePath.toString) ++
-      v0.map(v => SourceVersionProp -> v.getOrElse(0).toString))
+    stamp(mvDir, Map(QueryProp -> b64(query)) ++ sourceProps(versions) ++
+      soleSource(analyzed).map(s =>
+        SourceDirProp -> s._2.dir.toAbsolutePath.toString) ++
+      (if (sources.length == 1)
+        Map(SourceVersionProp -> versions.head._2.toString) else Map.empty))
   }
 
   /** Metadata-only props update through the same atomic swap as every
@@ -198,7 +241,18 @@ object MaterializedView {
 
   // --------------------------------------------------------------- refresh --
 
-  /** Refresh; returns (mode, rows) where mode ∈ {noop, incremental, full}. */
+  /** Refresh; returns (mode, rows) where mode ∈ {noop, incremental, full}.
+    *
+    * Incremental fires when the query decomposes ([[decompose]] — now
+    * including inner-join trees), the recorded source set matches the
+    * query's, and EXACTLY ONE source changed with an append-only window:
+    * the delta aggregates only that source's added files, each OTHER
+    * source pinned to its recorded (unchanged) snapshot, and the partials
+    * fold into the stored result. The classic shape this buys: an
+    * append-only fact ⋈ static dims rollup refreshes from the new fact
+    * files only — never a rescan of the 100 TB join. Several changed
+    * sources, a changed dim, outer joins, or a dir read twice (self-join)
+    * fall back to a full recompute — a correctness-first downgrade. */
   def refresh(spark: SparkSession, target: String): (String, Long) = {
     val mvDir = ManifestTarget.of(spark, target, "REFRESH MATERIALIZED VIEW").dir
     val props = Manifest.read(mvDir).map(_.props).getOrElse(Map.empty)
@@ -206,27 +260,36 @@ object MaterializedView {
       throw new UnsupportedOperationException(
         s"REFRESH MATERIALIZED VIEW: $target is not a materialized view " +
           "(no stored query)"))
-    val v0 = props.get(SourceVersionProp).map(_.toInt).getOrElse(0)
-    val recordedDir = props.get(SourceDirProp)
+    val recorded = recordedSources(props).toMap
 
     val analyzed = spark.sql(query).queryExecution.analyzed
-    val src = soleSource(analyzed)
-    val srcDir = src.map(_._2.dir)
-    val v1 = srcDir.flatMap(d => Manifest.snapshotVersions(d).lastOption).getOrElse(0)
-    if (src.isDefined &&
-      recordedDir.contains(srcDir.get.toAbsolutePath.toString) && v1 == v0)
+    val sources = manifestSources(analyzed)
+    val dirs = sources.map(_._2.dir.toAbsolutePath.toString)
+    val current: Seq[(String, Int)] = dirs.distinct
+      .map(d => d -> Manifest.snapshotVersions(java.nio.file.Paths.get(d))
+        .lastOption.getOrElse(0))
+    if (sources.nonEmpty && recorded.keySet == current.map(_._1).toSet &&
+      current.forall { case (d, v) => recorded(d) == v })
       return ("noop", spark.table(target).count())
 
-    // append-only window: the recorded snapshot still exists, every entry of
-    // it survives byte-identically in the current manifest, and the source
-    // is still the table the MV was defined over
+    // append-only window on the ONE changed source: its recorded snapshot
+    // still exists and every entry of it survives byte-identically in the
+    // current manifest; every other source is byte-for-byte the version
+    // the stored result was computed from
     val incremental: Option[DataFrame] = for {
-      (_, tbl) <- src
-      if recordedDir.contains(tbl.dir.toAbsolutePath.toString)
       cols <- decompose(analyzed)
-      m1 <- Manifest.read(tbl.dir)
+      if recorded.keySet == current.map(_._1).toSet
+      changed = current.filter { case (d, v) => recorded(d) != v }
+      if changed.length == 1
+      (changedDir, v1) = changed.head
+      // the changed dir must feed exactly ONE relation: a self-join's delta
+      // is not linear in its input (Δ⋈Δ cross terms), so it recomputes
+      if dirs.count(_ == changedDir) == 1
+      v0 = recorded(changedDir)
+      changedPath = java.nio.file.Paths.get(changedDir)
+      m1 <- Manifest.read(changedPath)
       m0 <- if (v0 == 0) Some(Manifest(m1.schema, Seq.empty))
-            else Manifest.readSnapshot(tbl.dir, v0)
+            else Manifest.readSnapshot(changedPath, v0)
       oldKeys = m0.entries.map(entryKey).toSet
       curKeys = m1.entries.map(entryKey).toSet
       if oldKeys.subsetOf(curKeys)
@@ -239,16 +302,24 @@ object MaterializedView {
       mvSnap <- Manifest.snapshotVersions(mvDir).lastOption
       oldMv = spark.read.format("graft.sources.GraftManifestSink")
         .option("path", mvDir.toString).option("snapshot", mvSnap.toString).load()
-      delta = pinned(spark, analyzed, Some(v1), Some(added.map(_.name)))
+      delta = pinned(spark, analyzed,
+        current.map { case (d, v) =>
+          if (d == changedDir) d -> ((Some(v1), Some(added.map(_.name))))
+          else d -> ((Some(v).filter(_ > 0), None))
+        }.toMap)
     } yield merge(oldMv, delta, cols)
 
     val (mode, result) = incremental match {
       case Some(df) => ("incremental", df)
-      case None => ("full", pinned(spark, analyzed, Some(v1).filter(_ > 0), None))
+      case None => ("full", pinned(spark, analyzed,
+        current.map { case (d, v) => d -> ((Some(v).filter(_ > 0), None)) }.toMap))
     }
     result.writeTo(target).overwrite(org.apache.spark.sql.functions.lit(true))
-    stamp(mvDir, Map(SourceVersionProp -> v1.toString) ++
-      src.map(s => SourceDirProp -> s._2.dir.toAbsolutePath.toString))
+    stamp(mvDir, sourceProps(current) ++
+      soleSource(analyzed).map(s =>
+        SourceDirProp -> s._2.dir.toAbsolutePath.toString) ++
+      (if (sources.length == 1)
+        Map(SourceVersionProp -> current.head._2.toString) else Map.empty))
     (mode, spark.table(target).count()) // metadata-only count pushdown
   }
 }

@@ -431,10 +431,12 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
         // MERGE-ON-READ tier: kept rows stay in their files. Job 1 appends
         // ONLY the changed output (updated rows + inserts) through the
         // normal staging writer; job 2 re-runs the same deterministic join
-        // over the same pinned file set to collect the MODIFIED target
-        // ordinals (updates AND deletes) into per-file deletion vectors.
-        // A selective MERGE into a 100 TB table appends its deltas and
-        // vectors a few ordinals instead of rewriting every touched file.
+        // over the same pinned file set to fold the MODIFIED target
+        // ordinals (updates AND deletes) into per-file deletion vectors,
+        // written executor-side — the driver handles one sidecar ref per
+        // touched file, never the ordinals. A selective MERGE into a
+        // 100 TB table appends its deltas and vectors a few ordinals
+        // instead of rewriting every touched file.
         val appended = ManifestTable.rewriteFiles(dir, m, touchedEntries,
           df => projectMerged(actioned(df), excludeKeep = true))
         val tdfMeta = spark.read.format("graft.sources.GraftManifestSink")
@@ -446,7 +448,6 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           .filter(coalesce(col("__graft_t"), lit(false)) &&
             col("__graft_action") =!= "keep")
           .select(col("__graft_file"), col("__graft_pos"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         val dvUpdated = ManifestTable.vectorize(dir, touchedEntries, hits)
         ManifestTable.publishReplacing(dir, m, dvUpdated.map(_._1),
           dvUpdated.flatMap(_._2) ++ appended)

@@ -81,15 +81,16 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Drop a registration (tests; or after DROP TABLE). */
   def unregister(mvTable: String): Unit = registry.remove(mvTable)
 
-  /** The MV reflects its source's CURRENT state: recorded version ==
-    * source's newest snapshot (both reads hit the manifest cache). */
+  /** The MV reflects its sources' CURRENT state: every recorded version ==
+    * that source's newest snapshot (all reads hit the manifest cache).
+    * Join MVs record several sources; ALL must be unchanged. */
   private def fresh(r: Registered): Boolean = {
     val props = Manifest.read(r.mvDir).map(_.props).getOrElse(Map.empty)
-    (for {
-      src <- props.get(MaterializedView.SourceDirProp)
-      ver <- props.get(MaterializedView.SourceVersionProp)
-    } yield Manifest.snapshotVersions(java.nio.file.Paths.get(src))
-      .lastOption.getOrElse(0) == ver.toInt).getOrElse(false)
+    val recorded = MaterializedView.recordedSources(props)
+    recorded.nonEmpty && recorded.forall { case (d, v) =>
+      Manifest.snapshotVersions(java.nio.file.Paths.get(d))
+        .lastOption.getOrElse(0) == v
+    }
   }
 
   private def matches(p: LogicalPlan, r: Registered,

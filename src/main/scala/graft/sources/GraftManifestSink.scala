@@ -904,6 +904,14 @@ private[graft] object Manifest {
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       (name, es.length)
     }
+    // segment names carry a random component: a SHALLOW CLONE's refs
+    // resolve through the clone chain PREFERRING the local dir, so a
+    // clone-local segment named by version alone (`seg-v2-0.list`) would
+    // SHADOW the source's same-named segment the manifest still
+    // references — silently swapping one commit's entries for another's.
+    // Version numbering restarts per directory (clones start at v1, DROP
+    // + re-CREATE reuses paths), so only uniqueness de-collides.
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
     val refs: Seq[(String, Int)] =
       if (m.entries.isEmpty) Seq.empty
       else if (kept.length + 1 > SegMax) {
@@ -912,10 +920,10 @@ private[graft] object Manifest {
         // segment; the older, larger front segments are reused untouched
         val (front, back) = kept.splitAt(kept.length / 2)
         front.map { case (n, es) => (n, es.length) } :+
-          writeSeg(s"seg-v$next-m.list", back.flatMap(_._2) ++ remaining)
+          writeSeg(s"seg-v$next-m-$uniq.list", back.flatMap(_._2) ++ remaining)
       } else kept.map { case (n, es) => (n, es.length) } ++
         (if (remaining.isEmpty) Seq.empty
-         else Seq(writeSeg(s"seg-v$next-0.list", remaining)))
+         else Seq(writeSeg(s"seg-v$next-0-$uniq.list", remaining)))
 
     val body = (header ++ refs.map { case (n, c) => s">$n\t$c" })
       .mkString("\n").getBytes(UTF_8)
@@ -1082,12 +1090,11 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
       // ordinals in a per-file deletion-vector sidecar the reader skips —
       // a selective delete becomes O(matched rows) metadata. One
       // distributed job over ONLY the cut files finds (file, ordinal)
-      // pairs; the collect is O(deleted rows), the shape metadata-only
-      // deletes are FOR (a mass delete should not set the property, or
-      // should OPTIMIZE after). Existing vectors merge (the scan below
-      // reads through them, so rediscovered ordinals are impossible —
-      // union by construction); a file whose vector reaches its row count
-      // drops from the manifest entirely.
+      // pairs and writes each file's sidecar executor-side; the driver
+      // sees one ref per touched file. Existing vectors merge (the scan
+      // below reads through them, so rediscovered ordinals are impossible
+      // — union by construction); a file whose vector reaches its row
+      // count drops from the manifest entirely.
       val spark = org.apache.spark.sql.SparkSession.active
       val hits = spark.read.format("graft.sources.GraftManifestSink")
         .option("path", dir.toString)
@@ -1095,8 +1102,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
         .load()
         .where(coalesce(pred, lit(false)))
         .select(col("_file"), col("_pos"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val updated = ManifestTable.vectorize(dir, cut, hits.toSeq)
+      val updated = ManifestTable.vectorize(dir, cut, hits)
       ManifestTable.publishReplacing(dir, m,
         drop.map(_.name) ++ updated.map(_._1), updated.flatMap(_._2))
     } else {
@@ -1282,27 +1288,76 @@ private[graft] object ManifestTable {
     moved
   }
 
-  /** Fold row-level hits (entry name, physical ordinal) into per-entry
-    * deletion vectors: each hit entry gets a NEW sidecar merging its
-    * existing vector with the new ordinals (old snapshots keep theirs),
-    * and an entry whose vector reaches its row count is dropped outright.
+  /** Rows the most recent DV construction brought back to the driver —
+    * after the distributed rewrite this is ALWAYS one row per touched
+    * file, never one per matched row. Tests pin the O(#files) contract
+    * on this counter so a future edit can't quietly reintroduce the
+    * driver-side ordinal collect. */
+  private[graft] val lastDvDriverRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Fold row-level hits into per-entry deletion vectors, DISTRIBUTED:
+    * `hits` is a DataFrame whose first column is the entry name (string)
+    * and second the physical ordinal (long). Hits shuffle once on the
+    * entry name; each task merges its files' ordinals with any existing
+    * sidecar (resolved through the clone chain) and writes the NEW
+    * `dv-*.bin` from the executor — unreferenced until the manifest swap,
+    * so a failed task leaves only an orphan VACUUM reaps. The driver
+    * receives one `(file, sidecar, count)` ref per touched file: DV DML
+    * memory is O(#touched files), never O(matched rows) — a selective
+    * MERGE that still hits 10⁸ rows at 100 TB no longer funnels every
+    * ordinal through the driver. An entry whose merged vector reaches its
+    * row count is dropped outright (the task skips the sidecar write).
     * Returns (replaced entry name, replacement or None=fully deleted) —
     * the shape [[publishReplacing]] takes. Shared by the DV tiers of
     * DELETE, UPDATE and MERGE. */
   private[graft] def vectorize(dir: Path, entries: Seq[ManifestFile],
-      hits: Seq[(String, Long)]): Seq[(String, Option[ManifestFile])] = {
-    val byFile = hits.groupBy(_._1)
+      hits: org.apache.spark.sql.DataFrame): Seq[(String, Option[ManifestFile])] = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    // planner metadata into the closure: existing sidecar per file (reads
+    // merge through it) and row counts (full-coverage detection) — both
+    // O(#touched files)
+    val existingDv: Map[String, String] =
+      entries.flatMap(e => e.dv.map(d => e.name -> d._1)).toMap
+    val rowsOf: Map[String, Long] = entries.map(e => e.name -> e.rows).toMap
+    val dirStr = dir.toString
+    val cols = hits.columns
+    val refs = hits
+      .select(F.col(cols(0)).cast("string").as("f"),
+        F.col(cols(1)).cast("long").as("p"))
+      .repartition(F.col("f"))
+      .sortWithinPartitions("f", "p")
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .mapPartitions { it =>
+        val d = Paths.get(dirStr)
+        lazy val chain = Manifest.resolveChain(d)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cur: String = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def flush(): Unit = if (cur != null) {
+          val existing = existingDv.get(cur)
+            .map(n => DeletionVector.read(Manifest.resolveData(chain, n)))
+            .getOrElse(Array.emptyLongArray)
+          val merged = (existing ++ buf).distinct.sorted
+          val full = rowsOf.get(cur).exists(merged.length >= _)
+          out += ((cur, if (full) "" else DeletionVector.write(d, merged),
+            merged.length.toLong))
+          buf.clear()
+        }
+        it.foreach { case (f, p) =>
+          if (f != cur) { flush(); cur = f }
+          buf += p
+        }
+        flush()
+        out.iterator
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
+      .collect()
+    lastDvDriverRows.set(refs.length.toLong)
+    val byFile = refs.map(r => r._1 -> ((r._2, r._3))).toMap
     entries.flatMap { e =>
       byFile.get(e.name) match {
         case None => None // conservative candidate; nothing matched
-        case Some(pairs) =>
-          val existing = e.dv
-            .map(d => DeletionVector.read(dir.resolve(d._1)))
-            .getOrElse(Array.emptyLongArray)
-          val merged = (existing ++ pairs.map(_._2)).distinct.sorted
-          if (merged.length >= e.rows) Some(e.name -> None)
-          else Some(e.name -> Some(e.copy(
-            dv = Some((DeletionVector.write(dir, merged), merged.length.toLong)))))
+        case Some(("", _)) => Some(e.name -> None) // vector covers every row
+        case Some((dvName, n)) => Some(e.name -> Some(e.copy(dv = Some((dvName, n)))))
       }
     }
   }
@@ -1404,8 +1459,7 @@ private[graft] object ManifestTable {
         .option("files", touch.map(_.name).mkString(","))
         .load().where(cond)
         .select(col("_file"), col("_pos"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val dvUpdated = vectorize(dir, touch, hits.toSeq)
+      val dvUpdated = vectorize(dir, touch, hits)
       publishReplacing(dir, m, dvUpdated.map(_._1),
         dvUpdated.flatMap(_._2) ++ appended)
     } else {

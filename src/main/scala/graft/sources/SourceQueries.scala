@@ -419,6 +419,43 @@ object SourceQueries extends QueryModule {
       s.table("graftmvq.q.mv").orderBy("source")
     }),
 
+    // Incremental JOIN-MV maintenance through the oracle gate: an
+    // append-only FACT joined to a static DIM, aggregated by a dim
+    // attribute. The MV is CREATEd after the first fact batch; the
+    // REFRESH after the second batch must take the INCREMENTAL path
+    // (asserted here — a silent full-recompute fallback fails the gate
+    // loudly): it aggregates ONLY the new fact files joined to the
+    // PINNED dim snapshot and folds the partials. The oracle recomputes
+    // the whole join-aggregate from scratch in DuckDB, so a wrong delta
+    // join (missed dim match, double-counted group) hash-fails.
+    "q_mv_incremental_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val root = graft.Scratch.dir("graft_mvjq_")
+      s.conf.set("spark.sql.catalog.graftmvj", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmvj.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmvj.q")
+      s.sql("DROP TABLE IF EXISTS graftmvj.q.fact")
+      s.sql("DROP TABLE IF EXISTS graftmvj.q.dim")
+      s.sql("DROP TABLE IF EXISTS graftmvj.q.mv")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      docs.select(col("source")).distinct()
+        .withColumn("tier",
+          expr("concat('tier', cast(cast(substring(source, 4) as int) % 3 as string))"))
+        .writeTo("graftmvj.q.dim").create()
+      docs.filter(col("doc_id") % 3 =!= 0).writeTo("graftmvj.q.fact").create()
+      s.sql(
+        """CREATE MATERIALIZED VIEW graftmvj.q.mv AS
+          |SELECT tier, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  max(doc_id) AS max_id
+          |FROM graftmvj.q.fact JOIN graftmvj.q.dim USING (source)
+          |GROUP BY tier""".stripMargin)
+      docs.filter(col("doc_id") % 3 === 0).writeTo("graftmvj.q.fact").append()
+      val Array(r) = s.sql("REFRESH MATERIALIZED VIEW graftmvj.q.mv").collect()
+      assert(r.getString(0) == "incremental",
+        s"join-MV refresh must take the incremental path, got $r")
+      s.table("graftmvj.q.mv").orderBy("tier")
+    }),
+
     // TRANSPARENT MV REWRITING through the oracle gate: after
     // MvRewrite.register, the SAME aggregate query plans from the STORED
     // view (MvRewriteSpec pins the substitution); the oracle recomputes
@@ -802,6 +839,16 @@ object SourceQueries extends QueryModule {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // The refreshed JOIN MV's rows, recomputed from scratch off the source
+    // parquet (dim derived from the same sources) — a wrong delta join or
+    // partial fold hash-fails.
+    "q_mv_incremental_join" ->
+      """SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
+        |FROM (SELECT doc_id, n_chars,
+        |        'tier' || CAST(CAST(SUBSTR(source, 4) AS INT) % 3 AS VARCHAR) AS tier
+        |      FROM documents)
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     // The MV-served aggregate, recomputed from scratch — a wrong or stale
     // stored result hash-fails.
     "q_mv_rewrite" ->

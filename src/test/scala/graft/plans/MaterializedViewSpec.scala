@@ -110,6 +110,66 @@ class MaterializedViewSpec extends SparkSuite {
     assert(e.getMessage.contains("at least one"))
   }
 
+  test("fact ⋈ dim MV refreshes INCREMENTALLY from appended fact files; a dim change falls back to full") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.fact (k STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graftmv.q.d (k STRING, grp STRING)")
+    Seq(("a", "g1"), ("b", "g2"), ("c", "g1")).toDF("k", "grp")
+      .coalesce(1).writeTo("graftmv.q.d").append()
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v").coalesce(1)
+      .writeTo("graftmv.q.fact").append()
+    val q = """SELECT grp, count(*) AS cnt, sum(v) AS sv, max(v) AS mx
+              |FROM graftmv.q.fact JOIN graftmv.q.d USING (k)
+              |GROUP BY grp""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mvfj AS $q")
+    assert(spark.table("graftmv.q.mvfj").collect().toSet == recompute(q))
+
+    // append-only fact growth, dim untouched: the refresh must aggregate
+    // only the new fact files joined to the pinned dim and fold partials
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "v").coalesce(1)
+      .writeTo("graftmv.q.fact").append()
+    val Array(r1) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
+    assert(r1.getString(0) == "incremental", s"expected incremental, got $r1")
+    assert(spark.table("graftmv.q.mvfj").collect().toSet == recompute(q))
+
+    // noop when neither side moved
+    val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
+    assert(r2.getString(0) == "noop")
+
+    // a DIM change (even an append) cannot refresh incrementally — new dim
+    // rows re-match OLD fact rows the delta never reads
+    Seq(("d", "g2")).toDF("k", "grp").coalesce(1).writeTo("graftmv.q.d").append()
+    Seq(("d", 100L)).toDF("k", "v").coalesce(1).writeTo("graftmv.q.fact").append()
+    val Array(r3) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
+    assert(r3.getString(0) == "full", s"expected full, got $r3")
+    assert(spark.table("graftmv.q.mvfj").collect().toSet == recompute(q))
+
+    // fact-only growth resumes incrementally after the full refresh
+    Seq(("d", 7L), ("b", 3L)).toDF("k", "v").coalesce(1)
+      .writeTo("graftmv.q.fact").append()
+    val Array(r4) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
+    assert(r4.getString(0) == "incremental", s"expected incremental, got $r4")
+    assert(spark.table("graftmv.q.mvfj").collect().toSet == recompute(q))
+  }
+
+  test("an OUTER-join MV always refreshes full (delta is not linear)") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.fo (k STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graftmv.q.do (k STRING, grp STRING)")
+    Seq(("a", "g1"), ("z", "g9")).toDF("k", "grp").writeTo("graftmv.q.do").append()
+    Seq(("a", 1L)).toDF("k", "v").writeTo("graftmv.q.fo").append()
+    // RIGHT join keyed on the dim: an appended fact row can flip a
+    // previously-unmatched dim row — delta aggregation would double-count
+    val q = """SELECT grp, count(v) AS cnt
+              |FROM graftmv.q.fo RIGHT JOIN graftmv.q.do USING (k)
+              |GROUP BY grp""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mvoj AS $q")
+    Seq(("z", 5L)).toDF("k", "v").writeTo("graftmv.q.fo").append()
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvoj").collect()
+    assert(r.getString(0) == "full", s"outer joins must recompute, got $r")
+    assert(spark.table("graftmv.q.mvoj").collect().toSet == recompute(q))
+  }
+
   test("a JOIN materialized view creates and refreshes as a FULL-refresh MV") {
     rootDir
     spark.sql("CREATE TABLE graftmv.q.f (k STRING, v BIGINT)")

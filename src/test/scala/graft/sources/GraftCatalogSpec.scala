@@ -1510,6 +1510,52 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getLong(0) == 0L)
   }
 
+  test("DV construction is distributed: the driver sees one ref per touched file, not per matched row") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dvd")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dvd.t")
+    spark.sql("CREATE TABLE graftcat.dvd.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO graftcat.dvd.t " +
+        s"SELECT /*+ COALESCE(1) */ id, CAST(id AS DOUBLE) " +
+        s"FROM RANGE(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val dir = Paths.get(rootDir, "dvd", "t")
+    assert(Manifest.read(dir).get.entries.length == 3)
+
+    // a delete matching ~1800 rows across 2 files (neither fully covered,
+    // so both take the DV path): the driver-rows spy must report 2 — the
+    // per-file sidecar refs — never the 1800 matched ordinals
+    ManifestTable.lastDvDriverRows.set(-1L)
+    spark.sql("DELETE FROM graftcat.dvd.t WHERE id >= 100 AND id <= 1899")
+    assert(spark.table("graftcat.dvd.t").count() == 1200L)
+    assert(ManifestTable.lastDvDriverRows.get() == 2L,
+      s"driver must see O(#touched files) refs, got ${ManifestTable.lastDvDriverRows.get()}")
+    // and the sidecars really carry the 1800 ordinals
+    assert(Manifest.read(dir).get.entries
+      .map(e => e.dv.map(_._2).getOrElse(0L)).sum == 1800L)
+
+    // DV UPDATE goes through the same distributed fold
+    ManifestTable.lastDvDriverRows.set(-1L)
+    spark.sql("UPDATE graftcat.dvd.t SET v = v + 0.5 WHERE id >= 2000 AND id <= 2499")
+    assert(ManifestTable.lastDvDriverRows.get() == 1L)
+    assert(spark.sql("SELECT sum(CASE WHEN v = id + 0.5 THEN 1 ELSE 0 END) " +
+      "FROM graftcat.dvd.t").head().getLong(0) == 500L)
+
+    // DV MERGE too: 300 modified rows in one file → one driver ref
+    spark.range(2500, 2800).selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS nv")
+      .createOrReplaceTempView("dvd_src")
+    ManifestTable.lastDvDriverRows.set(-1L)
+    spark.sql(
+      """MERGE INTO graftcat.dvd.t t USING dvd_src s ON t.id = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(ManifestTable.lastDvDriverRows.get() == 1L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.dvd.t WHERE v = -1.0")
+      .head().getLong(0) == 300L)
+    assert(spark.table("graftcat.dvd.t").count() == 1200L)
+  }
+
   test("MERGE cardinality counts SOURCE rows per key: duplicate target keys are legal") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg3")

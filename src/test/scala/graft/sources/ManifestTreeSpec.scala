@@ -138,6 +138,23 @@ class ManifestTreeSpec extends SparkSuite {
     finally s.close()
     // and reads resolve entries + data through the clone chain
     assert(spark.table("gtree.q.clone").count() == 2100L)
+
+    // REGRESSION (segment name collision): the clone's version numbering
+    // restarts at 1, so its first local commit used to write a segment
+    // named like one of the SOURCE's — and the chain resolution prefers
+    // the local dir, silently swapping the source segment's entries for
+    // the new commit's. Random name components de-collide; every row of
+    // both lineages must survive a clone-local append.
+    (9000L until 9010L).map(i => (i, 0.0)).toDF("id", "v").coalesce(1)
+      .writeTo("gtree.q.clone").append()
+    val cm2 = Manifest.read(cdir).get
+    assert(cm2.entries.length == 3, cm2.entries.map(_.name).mkString(", "))
+    assert(srcSegs.subsetOf(cm2.segments.map(_._1).toSet),
+      "source segments must stay referenced after a clone-local commit")
+    assert(spark.table("gtree.q.clone").count() == 2110L)
+    assert(spark.sql("SELECT sum(id) FROM gtree.q.clone").head().getLong(0) ==
+      (0L until 2100L).sum + (9000L until 9010L).sum)
+    assert(spark.table("gtree.q.src").count() == 2100L)
   }
 
   test("legacy inline-entry manifests still read and upgrade on next commit") {
