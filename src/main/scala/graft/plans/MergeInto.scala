@@ -408,6 +408,9 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       // MERGE rewrites none (pure append).
       import graft.sources.{Manifest, ManifestTable}
       val dir = mt.dir
+      // the whole snapshot→discover→rewrite→publish sequence retries
+      // against the fresh manifest on optimistic conflict
+      ManifestTable.withConflictRetry("MERGE") {
       val m = Manifest.read(dir).getOrElse(Manifest(targetSchema, Seq.empty))
       // Pin the discovery scan to m's snapshot (the exact file list read
       // above): without the pin, a concurrent commit landing between
@@ -454,6 +457,7 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       } else {
         val rewritten = ManifestTable.rewriteFiles(dir, m, touchedEntries, mergeResult)
         ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten)
+      }
       }
     } else {
       // NOT MATCHED BY SOURCE touches every unmatched target row — the

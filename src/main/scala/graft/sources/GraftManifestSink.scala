@@ -1069,7 +1069,8 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => ManifestScanBuilder.filterColumn(f).isDefined)
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    ManifestTable.withConflictRetry("DELETE") {
     // ONE manifest read for the whole compound decision — schema, entries
     // and props must come from the same published version
     val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
@@ -1209,6 +1210,33 @@ private[sources] object DeletionVector {
 }
 
 private[graft] object ManifestTable {
+  /** AUTOMATIC RETRY on optimistic conflict (the Delta/Iceberg commit
+    * loop): a row-level operation that loses the publish race recomputes
+    * against the FRESH snapshot and tries again — `body` must be the
+    * WHOLE operation (snapshot read → rewrite → publish), so each attempt
+    * sees every concurrent commit's effects and the ops compose instead
+    * of failing by default. Bounded by `spark.graft.commit.maxRetries`
+    * (default 3; 0 = surface every conflict immediately, the old
+    * behavior); exhaustion rethrows the conflict — livelock under
+    * pathological contention fails loudly rather than spinning. A failed
+    * attempt's staged/rewritten files are unreferenced orphans VACUUM
+    * reaps; attempt re-runs stage under fresh query ids, never colliding. */
+  private[graft] def withConflictRetry[T](what: String)(body: => T): T = {
+    val max = scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.commit.maxRetries").map(_.toInt)).toOption
+      .flatten.getOrElse(3)
+    var attempt = 0
+    while (attempt < max) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= max) throw e
+      }
+    }
+    body // max <= 0: single un-retried attempt
+  }
+
   /** See [[ManifestTable.metadataColumns]]. */
   val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
     new org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -1412,7 +1440,7 @@ private[graft] object ManifestTable {
     * the result publishes in ONE atomic manifest swap. Assignments cast to
     * the column's declared type so the table schema never drifts. */
   private[graft] def updateWhere(dir: Path, sets: Seq[(String, String)],
-      whereSql: Option[String]): Unit = {
+      whereSql: Option[String]): Unit = withConflictRetry("UPDATE") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     val spark = org.apache.spark.sql.SparkSession.active
     val m = Manifest.read(dir).getOrElse(
@@ -1487,7 +1515,7 @@ private[graft] object ManifestTable {
     * (files before, files after). */
   private[graft] def optimize(dir: Path, targetBytes: Long,
       zorderBy: Option[Seq[String]] = None,
-      whereSql: Option[String] = None): (Int, Int) = {
+      whereSql: Option[String] = None): (Int, Int) = withConflictRetry("OPTIMIZE") {
     import org.apache.spark.sql.functions.{col, expr}
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))

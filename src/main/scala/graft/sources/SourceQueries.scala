@@ -482,6 +482,41 @@ object SourceQueries extends QueryModule {
       out
     }),
 
+    // AGGREGATE-ROLLUP MV REWRITING through the oracle gate: the MV stores
+    // the FINE grain (source, lang); the declared query asks the COARSE
+    // grain (source) with COUNT/SUM/MIN/MAX/AVG — the rule must fold the
+    // stored partials (counts and sums re-sum, min/max re-fold, avg from
+    // stored sum+count) instead of scanning the source (asserted on the
+    // plan). The oracle recomputes the coarse aggregate from scratch in
+    // DuckDB, so a wrong fold (double-counted group, avg from the wrong
+    // pair) hash-fails the driver gate.
+    "q_mv_rewrite_rollup" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_mvruq_")
+      s.conf.set("spark.sql.catalog.graftmvu", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmvu.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmvu.q")
+      s.sql("DROP TABLE IF EXISTS graftmvu.q.mv")
+      s.sql("DROP TABLE IF EXISTS graftmvu.q.docs")
+      graft.plans.MvRewrite.unregister("graftmvu.q.mv") // re-invokable
+      Tables(s, d, "documents").select("doc_id", "source", "lang", "n_chars")
+        .writeTo("graftmvu.q.docs").create()
+      s.sql(
+        """CREATE MATERIALIZED VIEW graftmvu.q.mv AS
+          |SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id, count(n_chars) AS n_chars_cnt
+          |FROM graftmvu.q.docs GROUP BY source, lang""".stripMargin)
+      graft.plans.MvRewrite.register(s, "graftmvu.q.mv")
+      val out = s.sql(
+        """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+          |  avg(n_chars) AS avg_chars
+          |FROM graftmvu.q.docs GROUP BY source ORDER BY source""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("q.mv"), s"the coarse grain must roll up from the MV:\n$plan")
+      assert(!plan.contains("q.docs"), "the rollup must not scan the source")
+      out
+    }),
+
     // Bloom-filter point lookup through the oracle gate: documents land in
     // 8 hash-random shards (every file spans the whole doc_id range, so
     // min/max ranges cannot prune a point probe) with per-file blooms on
@@ -854,6 +889,15 @@ object SourceQueries extends QueryModule {
     "q_mv_rewrite" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // The rolled-up aggregate, recomputed from scratch off the source
+    // parquet — a wrong partial fold hash-fails.
+    "q_mv_rewrite_rollup" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  avg(n_chars) AS avg_chars
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
     // The bloom probe's rows, straight off the source parquet — a false

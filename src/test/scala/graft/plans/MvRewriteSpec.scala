@@ -40,9 +40,16 @@ class MvRewriteSpec extends SparkSuite {
           |FROM graftmvr.q.docs GROUP BY source""".stripMargin),
         "alias spelling must not defeat the match (canonicalized compare)")
       assert(spark.sql(Q).collect().toSet == expected)
-      // a DIFFERENT query is untouched
+      // an aggregate SUBSET of the MV's outputs rolls up from it (the
+      // rollup tier — same keys are a subset of themselves) and matches
+      val sub = "SELECT source, count(*) AS n FROM graftmvr.q.docs GROUP BY source"
+      assert(plansFromMv(sub), "an output-subset aggregate must fold from the MV")
+      assert(spark.sql(sub).collect().toSet ==
+        expected.map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(1))))
+      // a genuinely DIFFERENT query is untouched: un-stored aggregate...
       assert(!plansFromMv(
-        "SELECT source, count(*) AS n FROM graftmvr.q.docs GROUP BY source"))
+        "SELECT source, min(doc_id) AS m FROM graftmvr.q.docs GROUP BY source"))
+      // ...or a different input (filter below the aggregate)
       assert(!plansFromMv(
         s"SELECT source, count(*) AS n, sum(n_chars) AS sc " +
           "FROM graftmvr.q.docs WHERE n_chars > 10 GROUP BY source"))
@@ -66,6 +73,60 @@ class MvRewriteSpec extends SparkSuite {
     } finally MvRewrite.unregister("graftmvr.q.mv")
     // unregistered: back to the source
     assert(!plansFromMv(Q))
+  }
+
+  test("rollup rewrite: a coarser GROUP BY re-aggregates the stored MV") {
+    rootDir
+    spark.sql("CREATE TABLE graftmvr.q.ev (k STRING, d STRING, n BIGINT, v BIGINT)")
+    (1L to 400L).map(i => (s"k${i % 4}", s"d${i % 10}", i, i * 2L))
+      .toDF("k", "d", "n", "v").writeTo("graftmvr.q.ev").append()
+    // fine-grain MV: keys (k, d), all four fold families + the AVG inputs
+    val mvQ = """SELECT k, d, count(*) AS cnt, sum(v) AS sv, min(n) AS mn,
+                |  max(n) AS mx, sum(n) AS sn, count(n) AS cn
+                |FROM graftmvr.q.ev GROUP BY k, d""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmvr.q.mvr AS $mvQ")
+    MvRewrite.register(spark, "graftmvr.q.mvr")
+    try {
+      // coarser grain (k only): every aggregate folds from the MV
+      val roll = """SELECT k, count(*) AS c, sum(v) AS s, min(n) AS lo,
+                   |  max(n) AS hi, avg(n) AS an
+                   |FROM graftmvr.q.ev GROUP BY k""".stripMargin
+      val expected = {
+        MvRewrite.unregister("graftmvr.q.mvr")
+        try spark.sql(roll).collect().toSet
+        finally MvRewrite.register(spark, "graftmvr.q.mvr")
+      }
+      assert(plansFromMv(roll), "subset GROUP BY must roll up from the MV")
+      assert(spark.sql(roll).collect().toSet == expected)
+      // and the rolled-up plan no longer reads the source table
+      assert(!spark.sql(roll).queryExecution.optimizedPlan.toString
+        .contains("q.ev"), "rollup must not scan the source")
+
+      // the global grain is NOT rolled up (empty GROUP BY has the
+      // empty-input row-count edge); it recomputes and stays correct
+      val global = "SELECT count(*) AS c FROM graftmvr.q.ev"
+      assert(!plansFromMv(global))
+
+      // non-subset keys (d not needed — n is no MV key) are untouched
+      assert(!plansFromMv(
+        "SELECT n, count(*) AS c FROM graftmvr.q.ev GROUP BY n"))
+      // non-decomposable aggregates are untouched (no sum(v*v) stored)
+      assert(!plansFromMv(
+        "SELECT k, sum(v * v) AS s2 FROM graftmvr.q.ev GROUP BY k"))
+      // a different source (filter) is untouched
+      assert(!plansFromMv(
+        "SELECT k, sum(v) AS s FROM graftmvr.q.ev WHERE n > 10 GROUP BY k"))
+
+      // freshness guards the rollup too: append → stale → recompute
+      Seq(("k1", "d3", 1000L, 1L)).toDF("k", "d", "n", "v")
+        .writeTo("graftmvr.q.ev").append()
+      assert(!plansFromMv(roll), "a stale MV must not serve rollups")
+      val freshExpected = spark.sql(roll).collect().toSet
+      assert(freshExpected != expected)
+      spark.sql("REFRESH MATERIALIZED VIEW graftmvr.q.mvr")
+      assert(plansFromMv(roll))
+      assert(spark.sql(roll).collect().toSet == freshExpected)
+    } finally MvRewrite.unregister("graftmvr.q.mvr")
   }
 
   test("re-registration and equal-definition MVs don't poison the registry") {
