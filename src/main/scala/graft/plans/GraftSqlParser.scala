@@ -40,7 +40,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * owned by [[Vacuum]]; Spark's own grammar has no VACUUM, so neither
     * form shadows delegate syntax. */
   private val VacuumTable =
-    ("""(?is)\s*VACUUM\s+(?!MANIFEST\s)([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
+    ("""(?is)\s*VACUUM\s+(?!MANIFEST\s)((?:[\w.]+|`[^`]+`)+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
       """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
 
   /** `UPDATE t SET c = expr [, …] [WHERE pred]` — like MERGE, Spark's own
@@ -55,7 +55,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * literal could hide a WHERE from this regex) falls through to the
     * delegate verbatim and fails with Spark's own row-level-ops error. */
   private val Update =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+((?:[\w.]+|`[^`]+`)+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val Assign = """(?s)\s*([\w.]+)\s*=\s*(.+?)\s*""".r
 
   /** `DESCRIBE HISTORY t` — one row per committed snapshot of a manifest
@@ -63,13 +63,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * statement; Spark's grammar has no HISTORY form, so this never shadows
     * delegate syntax. */
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
 
   /** `DESCRIBE DETAIL t` — one-row physical summary of a manifest table
     * (Delta's statement): location, live file count/bytes/rows, partition
     * columns, snapshot count, user property count. Metadata-only. */
   private val Detail =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+DETAIL\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
 
   /** `OPTIMIZE t [TARGET n BYTES] [WHERE pred] [ZORDER BY (c1, c2)]` —
     * compact a manifest table's current data files into ~n-byte outputs
@@ -84,7 +84,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * shape; Spark's grammar has no OPTIMIZE, so the regex never shadows
     * delegate syntax. */
   private val Optimize =
-    ("""(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
+    ("""(?is)\s*OPTIMIZE\s+((?:[\w.]+|`[^`]+`)+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)""" +
       """(?:\s*,\s*([\w.]+))?\s*\))?\s*;?\s*""").r
@@ -121,6 +121,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * SET PARTITIONING form, so the regex never shadows delegate syntax. */
   private val AlterPartitioning =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONING\s*\(\s*(.*?)\s*\)\s*;?\s*""".r
+
+  /** Branch refs + write-audit-publish ([[graft.sources.Branch]]):
+    * `ALTER TABLE t CREATE BRANCH b` forks the current snapshot as the
+    * addressable table `` t@b ``; `FAST FORWARD BRANCH b` publishes the
+    * branch state as main's next version iff main never advanced;
+    * `DROP BRANCH b` abandons it. Spark's ALTER grammar has none of
+    * these forms, so the regexes never shadow delegate syntax. */
+  private val CreateBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+(\w+)\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+(\w+)\s*;?\s*""".r
+  private val FastForward =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+FAST\s+FORWARD\s+BRANCH\s+(\w+)\s*;?\s*""".r
 
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
@@ -174,6 +187,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterPartitioning(target, spec) =>
       AlterPartitioningCommand(target,
         splitTop(spec, ',').map(_.trim).filter(_.nonEmpty))
+    case CreateBranch(target, branch) => BranchCommand(target, branch, "create")
+    case DropBranch(target, branch) => BranchCommand(target, branch, "drop")
+    case FastForward(target, branch) => BranchCommand(target, branch, "fastforward")
     case _ => mergeOrDelegate(sqlText)
   }
 
@@ -322,6 +338,37 @@ case class RestoreTableCommand(target: String, version: Int)
     val mt = ManifestTarget.of(spark, target, "RESTORE TABLE")
     val (files, rows) = graft.sources.ManifestTable.restore(mt.dir, version)
     Seq(Row(files, rows))
+  }
+}
+
+/** The lowered branch statements ([[graft.sources.Branch]]): CREATE forks
+  * the table's current snapshot as `` t@b ``, FAST FORWARD publishes the
+  * branch as main's next version (refused loudly if main diverged), DROP
+  * abandons it. Reports (branch, action, version) — version is the fork
+  * base on create, the published version on fast-forward, -1 on drop. */
+case class BranchCommand(target: String, branch: String, action: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, s"ALTER TABLE ... $action BRANCH")
+    import graft.sources.{Branch, Manifest}
+    val v = action match {
+      case "create" =>
+        Branch.create(mt.dir, branch)
+        Manifest.snapshotVersions(mt.dir).lastOption.getOrElse(0)
+      case "drop" =>
+        Branch.drop(mt.dir, branch); -1
+      case "fastforward" =>
+        Branch.fastForward(mt.dir, branch)
+    }
+    // the catalog caches loaded tables per identifier inside Spark's own
+    // V2 relation cache only per-query; nothing to invalidate here
+    Seq(Row(branch, action, v))
   }
 }
 

@@ -146,8 +146,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private def nsDir(namespace: Array[String]): Path =
     namespace.foldLeft(root)(_.resolve(_))
+  /** BRANCH ADDRESSING: `` `t@b` `` resolves to table t's branch b — a
+    * directory under the table's own (`_branch_b/`), created by
+    * `ALTER TABLE t CREATE BRANCH b` ([[Branch]]). Every surface that
+    * loads tables by identifier (reads, writes, DML, OPTIMIZE, DESCRIBE)
+    * therefore works on branches unchanged. `@` can't appear in an
+    * ordinary table name (it needs backticks even to parse), so the split
+    * is unambiguous. */
   private def tableDir(ident: Identifier): Path =
-    nsDir(ident.namespace()).resolve(ident.name())
+    ident.name().split("@") match {
+      case Array(t, b) => Branch.branchDir(nsDir(ident.namespace()).resolve(t), b)
+      case _ => nsDir(ident.namespace()).resolve(ident.name())
+    }
 
   // ----- tables -----
 
@@ -468,23 +478,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               s"ALTER TABLE ALTER COLUMN TYPE: no column ${up.fieldNames()(0)} " +
                 s"in (${cur.schema.fieldNames.mkString(", ")})")
           val f = cur.schema.fields(idx)
-          // METADATA-ONLY type WIDENING (the Iceberg rule): INT → BIGINT.
-          // Sound without touching a byte because the TSV codec parses
-          // cells by the DECLARED type ("123" reads as long as happily as
-          // int), zone-map ranges are stored as decimals (type-agnostic),
-          // and blooms/NDV hash ints through their long encoding — so
-          // every existing stat stays VALID under the widened type.
-          // Everything else (narrowing, cross-family changes, long→double
-          // which silently loses precision past 2^53) is rejected.
+          // METADATA-ONLY type WIDENING (the Iceberg ladder): INT → BIGINT,
+          // FLOAT → DOUBLE, DECIMAL(p,s) → DECIMAL(p+,s). Sound without
+          // touching a byte because the TSV codec parses cells by the
+          // DECLARED type ("123" reads as long as happily as int; a float's
+          // shortest-round-trip rendering parses to the double the probe
+          // side widens the float to; a decimal cell re-reads unchanged
+          // under more precision), zone-map ranges are stored as decimals
+          // (type-agnostic, float bounds already gathered in the double
+          // widening), and blooms never serve these columns — so every
+          // existing stat stays VALID under the widened type. Everything
+          // else (narrowing, scale changes, cross-family moves, long →
+          // double which silently loses precision past 2^53) is rejected.
+          import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
           val ok = (f.dataType, up.newDataType()) match {
             case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case (from: DecimalType, to: DecimalType) =>
+              to.precision > from.precision && to.scale == from.scale
             case _ => false
           }
           if (!ok)
             throw new UnsupportedOperationException(
               s"ALTER TABLE ALTER COLUMN TYPE: ${f.name} " +
                 s"${f.dataType.simpleString} → ${up.newDataType().simpleString} " +
-                "is not a supported widening (only INT → BIGINT is " +
+                "is not a supported widening (INT → BIGINT, FLOAT → DOUBLE " +
+                "and DECIMAL precision growth at the same scale are " +
                 "metadata-only; anything else would need a rewrite or lose " +
                 "precision)")
           cur.copy(schema = StructType(cur.schema.fields.updated(idx,

@@ -138,6 +138,9 @@ object GraftManifestSink {
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
         case DoubleType => row.getDouble(i).toString
+        case org.apache.spark.sql.types.FloatType => row.getFloat(i).toString
+        case d: org.apache.spark.sql.types.DecimalType =>
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
         case BooleanType => row.getBoolean(i).toString
         case StringType => escape(row.getUTF8String(i).toString)
         case DateType => row.getInt(i).toString // days since epoch (internal repr)
@@ -173,6 +176,10 @@ object GraftManifestSink {
           case LongType => raw.toLong
           case IntegerType => raw.toInt
           case DoubleType => raw.toDouble
+          case org.apache.spark.sql.types.FloatType => raw.toFloat
+          case d: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(raw), d.precision, d.scale)
           case BooleanType => raw.toBoolean
           case StringType => UTF8String.fromString(unescape(raw))
           case DateType => raw.toInt
@@ -473,11 +480,30 @@ private[graft] case class Manifest(schema: StructType, entries: Seq[ManifestFile
 }
 
 private[graft] object Manifest {
-  private val TypeNames: Map[DataType, String] = Map(
+  private val SimpleTypeNames: Map[DataType, String] = Map(
     LongType -> "long", IntegerType -> "int", DoubleType -> "double",
+    org.apache.spark.sql.types.FloatType -> "float",
     BooleanType -> "boolean", StringType -> "string",
     DateType -> "date", TimestampType -> "timestamp")
-  private val ByName = TypeNames.map(_.swap)
+  private val SimpleByName = SimpleTypeNames.map(_.swap)
+  private val DecimalName = """decimal\((\d+),(\d+)\)""".r
+
+  /** The codec's type vocabulary: the simple types plus parameterized
+    * DECIMAL(p,s) — cells render as plain decimal strings, so a DECIMAL
+    * round-trips exactly and a widened precision re-reads the same cells
+    * unchanged. */
+  private def TypeNames(dt: DataType): String = dt match {
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"decimal(${d.precision},${d.scale})"
+    case other => SimpleTypeNames.getOrElse(other,
+      throw new UnsupportedOperationException(s"manifest codec: type $other"))
+  }
+  private def ByName(s: String): DataType = s match {
+    case DecimalName(p, sc) =>
+      org.apache.spark.sql.types.DecimalType(p.toInt, sc.toInt)
+    case other => SimpleByName.getOrElse(other,
+      throw new UnsupportedOperationException(s"manifest codec: type name $other"))
+  }
 
   /** Manifest property recording the highest streaming epoch committed to
     * this table — the idempotence watermark [[ManifestStreamingWrite]]
@@ -622,7 +648,9 @@ private[graft] object Manifest {
 
   /** Types the TSV codec + zone maps support — the gate `ALTER TABLE ADD
     * COLUMN` checks before widening a schema. */
-  private[sources] def supportedType(dt: DataType): Boolean = TypeNames.contains(dt)
+  private[sources] def supportedType(dt: DataType): Boolean =
+    SimpleTypeNames.contains(dt) ||
+      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
   /** One entry line → [[ManifestFile]]. Field 5 is the cell map ('-' =
     * prefix layout), field 6 the deletion vector as `sidecar:count` — both
@@ -1505,6 +1533,89 @@ private[graft] object ManifestTable {
     }
   }
 
+  /** ROW-LEVEL CHANGE-DATA-FEED with pre/post images, derived at read
+    * time (Delta's CDC-without-change-files mode): walk the snapshot
+    * trail inside (from, to], and for each commit diff the files it
+    * REPLACED (gone names, or same name with a changed row count /
+    * deletion vector) against the files it ADDED — two bounded scans and
+    * a multiset `exceptAll` each way, so rows a copy-on-write rewrite
+    * merely CARRIED cancel out and only genuinely changed rows surface:
+    *
+    *  - pure append  → added rows as `insert`;
+    *  - pure delete (files dropped / vectors grown, nothing new) →
+    *    removed rows as `delete`;
+    *  - a rewrite    → `update_preimage` / `update_postimage` pairs.
+    *
+    * Cost is O(files touched by the window's commits), never a full-table
+    * scan — the per-commit file sets come straight from the archived
+    * manifests. Approximation stated plainly: inside ONE mixed commit
+    * (e.g. a MERGE that inserts and updates) row-level insert-vs-update
+    * attribution is not derivable without per-row change files; all
+    * non-cancelled added rows of such a commit surface as
+    * `update_postimage`. Output = data columns + `_change_type` +
+    * `_commit_version`. */
+  private[graft] def changes(spark: org.apache.spark.sql.SparkSession,
+      dir: Path, from: Int, to: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(from <= to, s"changes: from=$from > to=$to")
+    val trail = Manifest.snapshotVersions(dir)
+      .filter(v => v >= from && v <= to)
+    if (from > 0 && !trail.headOption.contains(from))
+      throw new IllegalArgumentException(
+        s"changes: snapshot $from expired or never existed at $dir")
+    def keyed(v: Int): Map[String, (Long, Option[String])] =
+      if (v == 0) Map.empty
+      else Manifest.readSnapshot(dir, v).map(_.entries.map(e =>
+        e.name -> ((e.rows, e.dv.map(_._1)))).toMap).getOrElse(Map.empty)
+    def scan(v: Int, files: Iterable[String]) =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString).option("snapshot", v.toString)
+        .option("files", files.mkString(",")).load()
+    val base = if (from == 0) 0 +: trail else trail
+    val frames = base.zip(base.drop(1)).flatMap { case (a, b) =>
+      val prev = keyed(a)
+      val curr = keyed(b)
+      val changed = curr.keySet.intersect(prev.keySet)
+        .filter(n => curr(n) != prev(n))
+      val removed = (prev.keySet -- curr.keySet) ++ changed
+      val added = (curr.keySet -- prev.keySet) ++ changed
+      val cols = Manifest.readSnapshot(dir, b).get.schema.fieldNames.toSeq
+      def tag(df: org.apache.spark.sql.DataFrame, t: String) =
+        df.select(cols.map(col): _*)
+          .withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(b))
+      (removed.isEmpty, added.isEmpty) match {
+        case (true, true) => None // props-only commit
+        case (true, false) => Some(tag(scan(b, added), "insert"))
+        case (false, true) => Some(tag(scan(a, removed), "delete"))
+        case (false, false) =>
+          // a rewrite commit: metadata alone cannot tell a COW DELETE (old
+          // file out, thinner file in) from a COW UPDATE — the diff can: a
+          // one-sided diff IS a pure delete / pure insert. Each emptiness
+          // probe is one bounded job over this commit's own files.
+          val pre = scan(a, removed).select(cols.map(col): _*)
+          val post = scan(b, added).select(cols.map(col): _*)
+          val preD = pre.exceptAll(post)
+          val postD = post.exceptAll(pre)
+          val preEmpty = preD.isEmpty
+          val postEmpty = postD.isEmpty
+          if (preEmpty && postEmpty) None // carried rows only (compaction)
+          else if (postEmpty) Some(tag(preD, "delete"))
+          else if (preEmpty) Some(tag(postD, "insert"))
+          else Some(tag(preD, "update_preimage")
+            .unionByName(tag(postD, "update_postimage")))
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      val sch = Manifest.read(dir).map(_.schema).getOrElse(
+        new StructType(Array.empty))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(sch.fields :+
+          StructField("_change_type", StringType, nullable = false) :+
+          StructField("_commit_version", IntegerType, nullable = false)))
+    }
+  }
+
   /** Compact the table's CURRENT data files into ~`targetBytes`-sized
     * outputs (the streaming sink's one-file-per-epoch trail is the usual
     * victim). One distributed rewrite of the live files, one atomic swap;
@@ -2140,12 +2251,17 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
   private var rows = 0L
   // zone map, gathered in the same pass that writes the rows: min/max per
   // numeric column (null cells skipped — absent range never prunes)
-  // numeric-ordered columns: long/int/double plus date (int days) and
-  // timestamp (long micros) — min/max in the internal numeric encoding
+  // numeric-ordered columns: long/int/double/float/decimal plus date (int
+  // days) and timestamp (long micros) — min/max in the internal numeric
+  // encoding. Float bounds use the float's EXACT double widening —
+  // the same mapping the probe side's num() applies to float literals,
+  // so range comparisons agree bit-for-bit.
   private val numIdx = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-      f.dataType == DoubleType || f.dataType == DateType ||
-      f.dataType == TimestampType => i
+      f.dataType == DoubleType ||
+      f.dataType == org.apache.spark.sql.types.FloatType ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] ||
+      f.dataType == DateType || f.dataType == TimestampType => i
   }
   // string columns: min/max in raw UTF-8 byte order (bounded at commit by
   // ColumnStats' widening truncation)
@@ -2216,6 +2332,12 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
             val d = row.getDouble(i)
             if (java.lang.Double.isFinite(d)) Some(BigDecimal(d))
             else { partial(i) = true; None } // NaN/Inf: no BigDecimal, no range update
+          case org.apache.spark.sql.types.FloatType =>
+            val fl = row.getFloat(i)
+            if (java.lang.Float.isFinite(fl)) Some(BigDecimal(fl.toDouble))
+            else { partial(i) = true; None }
+          case d: org.apache.spark.sql.types.DecimalType =>
+            Some(BigDecimal(row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal))
         }
         v.foreach { x =>
           if (mins(i) == null || x < mins(i)) mins(i) = x

@@ -1301,6 +1301,55 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("ALTER TABLE graftcat.wide.t ALTER COLUMN s TYPE BIGINT") }
   }
 
+  test("FLOAT->DOUBLE and DECIMAL precision widening are metadata-only; post-widen pruning holds") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.wide2")
+    spark.sql("DROP TABLE IF EXISTS graftcat.wide2.t")
+    spark.sql("CREATE TABLE graftcat.wide2.t (id BIGINT, f FLOAT, d DECIMAL(8,2))")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO graftcat.wide2.t SELECT /*+ COALESCE(1) */ id, " +
+        "CAST(id * 0.1 AS FLOAT), CAST(id AS DECIMAL(8,2)) / 4 " +
+        s"FROM RANGE(${i * 100}, ${i * 100 + 100})")
+    }
+    val dir = Paths.get(rootDir, "wide2", "t")
+    val preFiles = Manifest.read(dir).get.entries.map(_.name).toSet
+    // pre-widen: float and decimal zone maps prune range predicates
+    val dec = spark.table("graftcat.wide2.t").where("d >= 60.25")
+    assert(dec.count() == 59L) // d = id/4 >= 60.25 → id >= 241
+    assert(dec.queryExecution.executedPlan.toString.contains("files=1/3"),
+      dec.queryExecution.executedPlan.toString)
+
+    spark.sql("ALTER TABLE graftcat.wide2.t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE graftcat.wide2.t ALTER COLUMN d TYPE DECIMAL(12,2)")
+    assert(Manifest.read(dir).get.entries.map(_.name).toSet == preFiles,
+      "widening must not rewrite data files")
+    val sch = spark.table("graftcat.wide2.t").schema
+    assert(sch("f").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(sch("d").dataType == org.apache.spark.sql.types.DecimalType(12, 2))
+    // old cells read under the widened types; values intact (float 0.1
+    // grid re-reads as the shortest-round-trip doubles)
+    assert(spark.sql("SELECT count(*) FROM graftcat.wide2.t WHERE f = CAST(CAST(1.5 AS FLOAT) AS DOUBLE)")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT sum(d) FROM graftcat.wide2.t").head()
+      .getDecimal(0) == new java.math.BigDecimal("11212.50"))
+    // post-widen zone maps still prune the same strict file subset
+    val dec2 = spark.table("graftcat.wide2.t").where("d >= 60.25")
+    assert(dec2.count() == 59L)
+    assert(dec2.queryExecution.executedPlan.toString.contains("files=1/3"),
+      dec2.queryExecution.executedPlan.toString)
+    // values only the wider types hold land beside the old files
+    spark.sql("INSERT INTO graftcat.wide2.t VALUES (9999, 1e300, 9999999999.25)")
+    assert(spark.sql("SELECT f, d FROM graftcat.wide2.t WHERE id = 9999").head()
+      .getDouble(0) == 1e300)
+    // rejection: scale change, precision narrowing, cross-family
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.wide2.t ALTER COLUMN d TYPE DECIMAL(14,4)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.wide2.t ALTER COLUMN d TYPE DECIMAL(6,2)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.wide2.t ALTER COLUMN f TYPE DECIMAL(12,2)") }
+  }
+
   test("OPTIMIZE WHERE compacts only the files the predicate can touch") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ow")
