@@ -134,6 +134,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+(\w+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+FAST\s+FORWARD\s+BRANCH\s+(\w+)\s*;?\s*""".r
+  private val ShowBranches =
+    """(?is)\s*SHOW\s+BRANCHES\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
 
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
@@ -190,6 +192,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateBranch(target, branch) => BranchCommand(target, branch, "create")
     case DropBranch(target, branch) => BranchCommand(target, branch, "drop")
     case FastForward(target, branch) => BranchCommand(target, branch, "fastforward")
+    case ShowBranches(target) => ShowBranchesCommand(target)
     case _ => mergeOrDelegate(sqlText)
   }
 
@@ -369,6 +372,29 @@ case class BranchCommand(target: String, branch: String, action: String)
     // the catalog caches loaded tables per identifier inside Spark's own
     // V2 relation cache only per-query; nothing to invalidate here
     Seq(Row(branch, action, v))
+  }
+}
+
+/** `SHOW BRANCHES t` — one row per outstanding branch ref: name, the main
+  * version it forked at, and its current live row count (metadata-only —
+  * the count pushes down to the branch manifest). */
+case class ShowBranchesCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("fork_version", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{Branch, Manifest}
+    val mt = ManifestTarget.of(spark, target, "SHOW BRANCHES")
+    Branch.list(mt.dir).map { b =>
+      val bdir = Branch.branchDir(mt.dir, b)
+      val m = Manifest.read(bdir)
+      Row(b,
+        m.flatMap(_.props.get(Branch.BaseProp)).map(_.toInt).getOrElse(0),
+        m.map(_.entries.map(_.liveRows).sum).getOrElse(0L))
+    }
   }
 }
 

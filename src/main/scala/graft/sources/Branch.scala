@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   * drop branches before deep vacuums. */
 private[graft] object Branch {
   /** Fork version prop in the branch's own manifest. */
-  private[sources] val BaseProp = "branchBase"
+  private[graft] val BaseProp = "branchBase"
 
   private val NamePat = """[A-Za-z_][A-Za-z0-9_]*""".r
 

@@ -359,6 +359,37 @@ object SourceQueries extends QueryModule {
         .load().orderBy("doc_id")
     }),
 
+    // WRITE-AUDIT-PUBLISH through the oracle gate: main takes the
+    // documents base; a BRANCH takes the risky changes (an append of
+    // derived rows AND a row-level DELETE) invisibly; the audit query
+    // runs on the branch; FAST FORWARD publishes; MAIN is read back.
+    // The oracle derives the published state from the raw parquet — a
+    // publish that leaks early, loses the branch's delete, misses the
+    // appended rows, or re-reads pre-branch state hash-fails.
+    "q_branch_wap" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_wapq_")
+      s.conf.set("spark.sql.catalog.graftwap", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftwap.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftwap.q")
+      s.sql("DROP TABLE IF EXISTS graftwap.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.writeTo("graftwap.q.docs").create()
+      s.sql("ALTER TABLE graftwap.q.docs CREATE BRANCH stage")
+      // risky writes land on the branch only
+      docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("lang"),
+          col("source"), (col("n_chars") * 2).as("n_chars"))
+        .writeTo("graftwap.q.`docs@stage`").append()
+      s.sql("DELETE FROM graftwap.q.`docs@stage` WHERE lang = 'en' AND n_chars < 200")
+      // AUDIT: main must still serve the pre-branch state
+      assert(s.table("graftwap.q.docs").count() == docs.count(),
+        "main must not see unpublished branch writes")
+      // PUBLISH, then read main
+      s.sql("ALTER TABLE graftwap.q.docs FAST FORWARD BRANCH stage")
+      s.table("graftwap.q.docs").orderBy("doc_id")
+    }),
+
     // Row-level CDF with PRE/POST IMAGES through the oracle gate: the
     // table takes an UPDATE (a copy-on-write rewrite), and the changes
     // read over the window must surface EXACTLY the changed rows twice —
@@ -377,7 +408,14 @@ object SourceQueries extends QueryModule {
       Tables(s, d, "documents").select("doc_id", "source", "n_chars")
         .filter(col("doc_id") % 5 =!= 0)
         .writeTo("graftcdfu.q.docs").create()
-      val dir = java.nio.file.Paths.get(root, "q", "docs")
+      // resolve the dir through the LOADED table — the catalog instance
+      // keeps its first root for the JVM's lifetime, so a re-invocation's
+      // fresh scratch root must not be assumed to be where the table lives
+      val dir = s.table("graftcdfu.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
       val fromV = Manifest.snapshotVersions(dir).last
       s.sql("UPDATE graftcdfu.q.docs SET n_chars = n_chars + 1000000 " +
         "WHERE source = 'src3'")
@@ -948,6 +986,18 @@ object SourceQueries extends QueryModule {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // The published (post-fast-forward) state, derived from the raw
+    // parquet: base plus the branch's appends, minus the branch's delete —
+    // the delete ran AFTER the append on the branch, so the predicate
+    // filters the union (appended rows that match it are deleted too).
+    "q_branch_wap" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, lang, source, n_chars * 2
+        |  FROM documents WHERE doc_id % 10 = 4
+        |) WHERE NOT (lang = 'en' AND n_chars < 200)
+        |ORDER BY doc_id""".stripMargin,
     // Both images of every changed row, derived from the raw parquet —
     // a carried row leaking through the diff, or a wrong image, hash-fails.
     "q_table_changes_update" ->

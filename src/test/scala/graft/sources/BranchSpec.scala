@@ -96,6 +96,10 @@ class BranchSpec extends SparkSuite {
     Seq(1L, 2L).toDF("id").writeTo("graftbr.q.b").append()
     spark.sql("ALTER TABLE graftbr.q.b CREATE BRANCH x")
     assert(Branch.list(Paths.get(rootDir, "q", "b")) == Seq("x"))
+    // SHOW BRANCHES: name, fork version, live rows (metadata-only)
+    val rows = spark.sql("SHOW BRANCHES graftbr.q.b").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "x" &&
+      rows.head.getLong(2) == 2L, rows.mkString(", "))
     intercept[Exception] { spark.sql("ALTER TABLE graftbr.q.b CREATE BRANCH x") }
     intercept[Exception] { spark.sql("ALTER TABLE graftbr.q.b DROP BRANCH nope") }
     intercept[Exception] { spark.sql("ALTER TABLE graftbr.q.b FAST FORWARD BRANCH nope") }
