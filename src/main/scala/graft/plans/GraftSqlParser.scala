@@ -568,8 +568,17 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
         Row(s"_manifest.v$v", "snapshot-expired")
       }
     }
+    // branch refs PIN: a branch lives INSIDE the table directory, so —
+    // unlike cross-directory clones, which pin nothing by design — its
+    // references are discoverable and MUST count as reachable, or a deep
+    // vacuum on main would corrupt every outstanding branch. Only each
+    // branch's CURRENT state pins (branch snapshots are working history,
+    // spent on publish).
+    val branchManifests = graft.sources.Branch.list(root)
+      .flatMap(b => Manifest.read(graft.sources.Branch.branchDir(root, b)))
     val manifests = Manifest.read(root).toSeq ++
-      Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _))
+      Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _)) ++
+      branchManifests
     val reachable: Set[String] =
       manifests.flatMap(m =>
         m.files.map(_._1) ++ m.entries.flatMap(_.dv.map(_._1)) ++

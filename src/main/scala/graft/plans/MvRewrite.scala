@@ -189,22 +189,48 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
   /** The rollup substitution: `p` is an Aggregate whose input subtree
-    * canonically equals the MV's, whose every grouping expression maps to
-    * a stored key column, and whose every aggregate folds from a stored
-    * aggregate column. Returns the re-aggregation over the MV relation,
-    * output-bound to `p`'s exprIds. */
+    * canonically equals the MV's — optionally under a deterministic WHERE
+    * over KEY expressions only (`WHERE year(ts) = 2024 GROUP BY month`
+    * against a (year, month)-grain MV: a key-only predicate is constant
+    * per fine-grain group, so filtering rows before aggregation equals
+    * filtering MV rows before the re-fold) — whose every grouping
+    * expression maps to a stored key column, and whose every aggregate
+    * folds from a stored aggregate column. Returns the re-aggregation
+    * over the (filtered) MV relation, output-bound to `p`'s exprIds. */
   private def rollupSubstitute(p: LogicalPlan, r: Registered,
       fresh: Registered => Boolean): Option[LogicalPlan] = {
     val info = r.rollup.getOrElse(return None)
     p match {
-      case Aggregate(gq, aq, childQ, _)
-        if gq.nonEmpty && childQ.canonicalized == info.childCanon =>
+      case Aggregate(gq, aq, childQ0, _) if gq.nonEmpty =>
+        val (childQ, pred) = childQ0 match {
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch)
+            if c.deterministic => (ch, Some(c))
+          case ch => (ch, None)
+        }
+        if (childQ.canonicalized != info.childCanon) return None
         val rel = r.relation.newInstance()
         def mvCol(name: String): Attribute =
           rel.output.find(_.name == name).getOrElse(
             throw new IllegalStateException(s"MV ${r.mvTable} lost column $name"))
         def keyCol(e: Expression): Option[Attribute] =
           rebase(e, childQ).flatMap(info.keys.get).map(mvCol)
+        // the WHERE predicate re-bound onto MV columns: every maximal
+        // subexpression matching a stored KEY swaps in its column; a bare
+        // reference to any NON-key column aborts the rollup (the predicate
+        // would not be constant per fine-grain group)
+        def mapPred(e: Expression): Option[Expression] =
+          keyCol(e) match {
+            case Some(c) => Some(c)
+            case None => e match {
+              case _: AttributeReference => None
+              case _ =>
+                val kids = e.children.map(mapPred)
+                if (kids.nonEmpty && kids.forall(_.isDefined))
+                  Some(e.withNewChildren(kids.map(_.get)))
+                else if (e.children.isEmpty) Some(e) // literal
+                else None
+            }
+          }
         // fold of one stored aggregate column, cast back to the query's
         // type when re-folding widens (sum of sum-widened decimals) — a
         // value the fold overflows is one the full recompute overflows too
@@ -269,11 +295,17 @@ object MvRewrite extends Rule[LogicalPlan] {
             }
           case _ => None
         }
+        val input: Option[LogicalPlan] = pred match {
+          case None => Some(rel)
+          case Some(c) => mapPred(c).map(
+            org.apache.spark.sql.catalyst.plans.logical.Filter(_, rel))
+        }
         for {
           g <- groups
           o <- outs
+          in <- input
           if fresh(r) // structural match first; freshness I/O last
-        } yield Aggregate(g, o, rel) // Catalyst prunes the unused MV cols
+        } yield Aggregate(g, o, in) // Catalyst prunes the unused MV cols
       case _ => None
     }
   }

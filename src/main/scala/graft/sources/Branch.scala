@@ -26,9 +26,10 @@ import scala.jdk.CollectionConverters._
   *  - `ALTER TABLE t DROP BRANCH b` abandons the branch: its local files
   *    die with its directory; nothing in main ever referenced them.
   *
-  * Caveat (the clone caveat, inherited): VACUUM on MAIN can reap files an
-  * outstanding branch still references through the chain — publish or
-  * drop branches before deep vacuums. */
+  * Unlike cross-directory clones (which pin nothing by design), a branch
+  * lives INSIDE the table directory — so VACUUM discovers every
+  * outstanding branch's references and keeps them reachable: deep vacuums
+  * on main are safe with branches open. */
 private[graft] object Branch {
   /** Fork version prop in the branch's own manifest. */
   private[graft] val BaseProp = "branchBase"

@@ -2514,12 +2514,18 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
         full.fields.find(_.name == nr.fieldNames()(0))
       case _ => None
     }
-    val numeric: Set[DataType] =
-      Set(LongType, IntegerType, DoubleType, DateType, TimestampType)
+    def numeric(dt: DataType): Boolean =
+      Set[DataType](LongType, IntegerType, DoubleType, DateType,
+        TimestampType, org.apache.spark.sql.types.FloatType)(dt) ||
+        dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    def fractional(dt: DataType): Boolean =
+      dt == DoubleType || dt == org.apache.spark.sql.types.FloatType
     def rangeAll(f: StructField): Option[(BigDecimal, BigDecimal)] =
       if (entries.nonEmpty && numeric(f.dataType) &&
         entries.forall(e => e.dv.isEmpty && e.stats.ranges.contains(f.name)) &&
-        (f.dataType != DoubleType ||
+        // a NaN outranks every range bound, so float/double ranges only
+        // answer MIN/MAX when no file flagged the column incomplete
+        (!fractional(f.dataType) ||
           entries.forall(e => !e.stats.incomplete(f.name))))
         Some((entries.map(_.stats.ranges(f.name)._1).min,
           entries.map(_.stats.ranges(f.name)._2).max))
@@ -2527,6 +2533,9 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
     def internal(f: StructField, x: BigDecimal): Any = f.dataType match {
       case LongType | TimestampType => x.toLong
       case IntegerType | DateType => x.toInt
+      case org.apache.spark.sql.types.FloatType => x.toFloat
+      case d: org.apache.spark.sql.types.DecimalType =>
+        org.apache.spark.sql.types.Decimal(x.underlying, d.precision, d.scale)
       case _ => x.toDouble
     }
     val total = entries.map(_.liveRows).sum

@@ -107,6 +107,21 @@ class MvRewriteSpec extends SparkSuite {
       val global = "SELECT count(*) AS c FROM graftmvr.q.ev"
       assert(!plansFromMv(global))
 
+      // a KEY-ONLY WHERE composes with the rollup: the predicate is
+      // constant per fine-grain group, so it filters MV rows pre-fold
+      val filtered = """SELECT d, count(*) AS c, sum(v) AS s
+                       |FROM graftmvr.q.ev WHERE k IN ('k1', 'k3')
+                       |GROUP BY d""".stripMargin
+      val filteredExpected = {
+        MvRewrite.unregister("graftmvr.q.mvr")
+        try spark.sql(filtered).collect().toSet
+        finally MvRewrite.register(spark, "graftmvr.q.mvr")
+      }
+      assert(plansFromMv(filtered), "a key-only WHERE must roll up from the MV")
+      assert(!spark.sql(filtered).queryExecution.optimizedPlan.toString
+        .contains("q.ev"))
+      assert(spark.sql(filtered).collect().toSet == filteredExpected)
+
       // non-subset keys (d not needed — n is no MV key) are untouched
       assert(!plansFromMv(
         "SELECT n, count(*) AS c FROM graftmvr.q.ev GROUP BY n"))

@@ -90,6 +90,38 @@ class BranchSpec extends SparkSuite {
     assert(spark.table("graftbr.q.d").count() == 60L)
   }
 
+  test("VACUUM on main keeps files an outstanding branch references; drop frees them") {
+    rootDir
+    spark.sql("CREATE TABLE graftbr.q.v (id BIGINT, x DOUBLE)")
+    (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1)
+      .writeTo("graftbr.q.v").append()
+    val dir = Paths.get(rootDir, "q", "v")
+    val origFiles = Manifest.read(dir).get.entries.map(_.name)
+    spark.sql("ALTER TABLE graftbr.q.v CREATE BRANCH keepme")
+    // main REPLACES the original file; only the branch references it now
+    spark.sql("UPDATE graftbr.q.v SET x = 0 WHERE id = 1")
+    assert(!Manifest.read(dir).get.entries.map(_.name).toSet
+      .exists(origFiles.contains), "main must have moved off the original file")
+
+    spark.conf.set("spark.graft.vacuum.stagingMinAgeMs", "0")
+    try {
+      spark.sql("VACUUM graftbr.q.v RETAIN 1 SNAPSHOTS")
+      // the branch still reads its fork state — its files survived
+      assert(spark.table("graftbr.q.`v@keepme`").count() == 30L)
+      assert(spark.sql("SELECT x FROM graftbr.q.`v@keepme` WHERE id = 1")
+        .head().getDouble(0) == 1.0)
+      origFiles.foreach(f => assert(Files.exists(dir.resolve(f)),
+        s"branch-referenced $f must survive vacuum"))
+
+      // abandoned branch: its pins lift and the next vacuum reaps
+      spark.sql("ALTER TABLE graftbr.q.v DROP BRANCH keepme")
+      spark.sql("VACUUM graftbr.q.v RETAIN 1 SNAPSHOTS")
+      origFiles.foreach(f => assert(!Files.exists(dir.resolve(f)),
+        s"unreferenced $f must be reaped after the branch drops"))
+      assert(spark.table("graftbr.q.v").count() == 30L)
+    } finally spark.conf.unset("spark.graft.vacuum.stagingMinAgeMs")
+  }
+
   test("branch bookkeeping: double create refused, unknown branch refused, names validated") {
     rootDir
     spark.sql("CREATE TABLE graftbr.q.b (id BIGINT)")

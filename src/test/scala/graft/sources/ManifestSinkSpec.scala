@@ -384,6 +384,35 @@ class ManifestSinkSpec extends SparkSuite {
     assert(q4.head().getLong(0) == 2L)
   }
 
+  test("aggregate pushdown covers FLOAT and DECIMAL min/max exactly") {
+    val dir = freshDir()
+    spark.sql(
+      """SELECT id, CAST(id * 0.5 AS FLOAT) AS f,
+        |  CAST(CAST(id AS DECIMAL(10,2)) / 8 AS DECIMAL(10,2)) AS d
+        |FROM RANGE(1, 101)""".stripMargin)
+      .repartitionByRange(4, $"id")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val q = spark.read.format(Fmt).option("path", dir).load()
+      .agg(min($"f").as("flo"), max($"f").as("fhi"),
+        min($"d").as("dlo"), max($"d").as("dhi"))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftManifestAggScan"),
+      q.queryExecution.executedPlan.toString)
+    val r = q.head()
+    assert(r.getFloat(0) == 0.5f && r.getFloat(1) == 50.0f)
+    assert(r.getDecimal(2) == new java.math.BigDecimal("0.13") ||
+      r.getDecimal(2) == new java.math.BigDecimal("0.12"), r.getDecimal(2))
+    assert(r.getDecimal(3) == new java.math.BigDecimal("12.50"))
+    // a float NaN flags the range incomplete and blocks min/max soundly
+    spark.sql("SELECT CAST(200 AS BIGINT) AS id, CAST('NaN' AS FLOAT) AS f, " +
+      "CAST(1 AS DECIMAL(10,2)) AS d").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val qn = spark.read.format(Fmt).option("path", dir).load()
+      .agg(max($"f").as("fhi"))
+    assert(!qn.queryExecution.executedPlan.toString.contains("GraftManifestAggScan"),
+      "NaN must block float min/max pushdown")
+    assert(qn.head().getFloat(0).isNaN)
+  }
+
   test("sparse line index splits a large file into exact byte-range partitions") {
     val dir = freshDir()
     System.setProperty("graft.write.indexStride", "100")
