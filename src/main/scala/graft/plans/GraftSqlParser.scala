@@ -137,6 +137,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ShowBranches =
     """(?is)\s*SHOW\s+BRANCHES\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
 
+  /** `REORG TABLE t APPLY (PURGE)` — Delta's statement: materialize the
+    * deletion vectors by rewriting ONLY the DV-bearing files
+    * ([[graft.sources.ManifestTable.reorgPurge]]). Spark's grammar has no
+    * REORG form, so the regex never shadows delegate syntax. */
+  private val Reorg =
+    """(?is)\s*REORG\s+TABLE\s+((?:[\w.]+|`[^`]+`)+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
   private def splitTop(s: String, sep: Char): Seq[String] =
@@ -193,6 +200,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropBranch(target, branch) => BranchCommand(target, branch, "drop")
     case FastForward(target, branch) => BranchCommand(target, branch, "fastforward")
     case ShowBranches(target) => ShowBranchesCommand(target)
+    case Reorg(target) => ReorgTableCommand(target)
     case _ => mergeOrDelegate(sqlText)
   }
 
@@ -323,6 +331,25 @@ case class OptimizeManifestCommand(target: String, targetBytes: Long,
     val (before, after) =
       graft.sources.ManifestTable.optimize(mt.dir, targetBytes, zorderBy, whereSql)
     Seq(Row(before, after))
+  }
+}
+
+/** The lowered REORG … APPLY (PURGE): one scoped distributed rewrite of the
+  * table's deletion-vector-bearing files via
+  * [[graft.sources.ManifestTable.reorgPurge]] — live rows re-emit
+  * vector-free, every other file keeps its name and layout. Reports
+  * (files_purged, files_rewritten); a table with no vectors is a (0, 0)
+  * no-op. */
+case class ReorgTableCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_purged", IntegerType, nullable = false)(),
+    AttributeReference("files_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "REORG TABLE")
+    val (purged, rewritten) = graft.sources.ManifestTable.reorgPurge(mt.dir)
+    Seq(Row(purged, rewritten))
   }
 }
 

@@ -1673,6 +1673,26 @@ private[graft] object ManifestTable {
     (live.length, rewritten.length)
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's statement): materialize the
+    * deletion vectors by rewriting ONLY the files that carry `dv-*.bin`
+    * sidecars — each rewritten file re-emits its live rows vector-free.
+    * OPTIMIZE also purges vectors, but compacts every live file; REORG is
+    * the scoped variant a 100 TB table needs — dropping the vectors from
+    * a handful of DV-bearing files must not re-cluster the other million.
+    * Untouched files keep their names (and so their zone maps, bucket
+    * purity and OS cache locality); archived snapshots keep referencing
+    * the vectored originals, so time travel still reads through the DVs
+    * until VACUUM reaps them. Returns (files_purged, files_rewritten). */
+  private[graft] def reorgPurge(dir: Path): (Int, Int) = withConflictRetry("REORG") {
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"REORG: no manifest at $dir"))
+    val vectored = m.entries.filter(_.dv.isDefined)
+    if (vectored.isEmpty) return (0, 0)
+    val rewritten = rewriteFiles(dir, m, vectored, identity)
+    publishReplacing(dir, m, vectored.map(_.name), rewritten)
+    (vectored.length, rewritten.length)
+  }
+
   /** Order-preserving map of a numeric-ordered column onto the int key
     * `zorder64` interleaves: linear scale from the column's GLOBAL
     * [lo, hi] — read from the manifest's own zone maps, zero data scans —

@@ -284,6 +284,43 @@ object SourceQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // REORG TABLE … APPLY (PURGE) through the oracle gate: a DV-mode table
+    // takes one selective DELETE (vectors, no rewrites), then REORG
+    // rewrites ONLY the vector-bearing files — the untouched majority
+    // keeps its file names. Half the result is read through the vectors
+    // (materialized pre-REORG), half after the purge; both halves must
+    // hash to the same complement, so a purge that resurrects a deleted
+    // ordinal, drops a live row, or touches the wrong file set fails the
+    // gate. The in-query asserts pin the SCOPED contract: every
+    // non-vectored file survives by name, and the post-REORG table carries
+    // zero vectors.
+    "q_reorg_purge" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_reorgq_")
+      s.conf.set("spark.sql.catalog.graftreorg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftreorg.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftreorg.q")
+      s.sql("DROP TABLE IF EXISTS graftreorg.q.docs")
+      s.sql("CREATE TABLE graftreorg.q.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('delete.dv' = 'true')")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      // one file per source → the DELETE's vectors land in a strict subset
+      docs.repartition(10, docs("source")).writeTo("graftreorg.q.docs").append()
+      s.sql("DELETE FROM graftreorg.q.docs WHERE source = 'src3' AND n_chars < 300")
+      val dir = java.nio.file.Paths.get(root).resolve("q").resolve("docs")
+      val before = graft.sources.Manifest.read(dir).get.entries
+      val untouched = before.filter(_.dv.isEmpty).map(_.name).toSet
+      val viaDv = s.table("graftreorg.q.docs").where("doc_id % 2 = 0")
+        .localCheckpoint(true)
+      s.sql("REORG TABLE graftreorg.q.docs APPLY (PURGE)")
+      val after = graft.sources.Manifest.read(dir).get.entries
+      assert(after.forall(_.dv.isEmpty), "REORG left deletion vectors behind")
+      assert(untouched.subsetOf(after.map(_.name).toSet),
+        "REORG rewrote a file that carried no deletion vector")
+      viaDv.unionAll(s.table("graftreorg.q.docs").where("doc_id % 2 = 1"))
+        .orderBy("doc_id")
+    }),
+
     // SQL UPDATE through the driver's oracle gate: two sequential UPDATEs
     // over a catalog-managed manifest table — zone maps bound the rewrite
     // to the files each predicate can touch, every touched file rewrites
@@ -842,6 +879,11 @@ object SourceQueries extends QueryModule {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
+        |ORDER BY doc_id""".stripMargin,
+    // The purge must re-emit exactly the vectors' complement.
+    "q_reorg_purge" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (source = 'src3' AND n_chars < 300)
         |ORDER BY doc_id""".stripMargin,
     // The clone-divergence twin: src = documents verbatim; dev = documents
     // minus the deleted slice plus the appended batch.
