@@ -207,6 +207,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // METADATA TABLES ([[MetadataTables]]): `` `t$files` `` / `` `t$snapshots` ``
+    // resolve to queryable relations over t's manifest state. `$` needs
+    // backticks even to parse, so the suffix never shadows a real name;
+    // the base resolves through the same tableDir, so branch addressing
+    // composes (`` `t@b$files` ``).
+    MetadataTables.split(ident.name()) match {
+      case Some((base, kind)) =>
+        val dir = tableDir(Identifier.of(ident.namespace(), base))
+        if (!Files.exists(dir.resolve("_manifest"))) throw new NoSuchTableException(ident)
+        return new MetadataTable(dir, kind)
+      case None =>
+    }
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve("_manifest"))) throw new NoSuchTableException(ident)
     new ManifestTable(dir, Manifest.read(dir).get.schema)

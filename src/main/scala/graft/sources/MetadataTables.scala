@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES over the manifest sink: a table's
+  * physical state as ordinary queryable RELATIONS — joinable, filterable,
+  * aggregatable SQL, where `DESCRIBE HISTORY` / `DESCRIBE DETAIL` are
+  * one-shot command outputs.
+  *
+  *  - `` t$files ``     — one row per LIVE data file: name, physical rows,
+  *    live rows (through its deletion vector), on-disk bytes, vector flag.
+  *  - `` t$snapshots `` — one row per archived version: file/row counts
+  *    and the commit timestamp (the atomic swap's file mtime).
+  *
+  * `$` needs backticks even to parse, so the suffix can never shadow a
+  * real table name; branch addressing composes (`` `t@b$files` `` reads
+  * the branch's metadata). Planning is driver-side manifest metadata —
+  * O(#files) like every other planner path here, zero data-file opens;
+  * at 100 TB `` t$files `` is a million-row metadata scan, not a table
+  * scan (Iceberg's own metadata tables read manifests the same way). */
+object MetadataTables {
+  val Kinds = Set("files", "snapshots")
+
+  /** `name$kind` → (name, kind) when kind is a known metadata suffix. */
+  def split(ident: String): Option[(String, String)] =
+    ident.lastIndexOf('$') match {
+      case -1 => None
+      case i =>
+        val kind = ident.substring(i + 1)
+        if (Kinds(kind) && i > 0) Some((ident.substring(0, i), kind)) else None
+    }
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("has_dv", BooleanType, nullable = false)))
+    case "snapshots" => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false)))
+  }
+
+  /** Materialize the rows at scan-planning time (InternalRow-shaped).
+    * Metadata freshness follows statement semantics: each query plans its
+    * own scan, so each sees the manifest current at ITS planning. */
+  private[sources] def rows(dir: Path, kind: String): Array[Array[Any]] = kind match {
+    case "files" =>
+      val m = Manifest.read(dir).getOrElse(
+        throw new IllegalStateException(s"metadata table: no manifest at $dir"))
+      val chain = Manifest.resolveChain(dir)
+      // live data files only: a 0-row entry (an empty write partition)
+      // carries no physical state worth listing
+      m.entries.filter(_.rows > 0).map { e =>
+        val p = Manifest.resolveData(chain, e.name)
+        Array[Any](UTF8String.fromString(e.name), e.rows, e.liveRows,
+          if (Files.exists(p)) Files.size(p) else 0L, e.dv.isDefined)
+      }.toArray
+    case "snapshots" =>
+      Manifest.snapshotVersions(dir).flatMap { v =>
+        Manifest.readSnapshot(dir, v).map { m =>
+          val mtime = Files.getLastModifiedTime(
+            dir.resolve(s"_manifest.v$v")).toMillis
+          Array[Any](v, m.entries.length, m.entries.map(_.liveRows).sum,
+            mtime * 1000L) // epoch micros
+        }
+      }.toArray
+  }
+}
+
+/** The V2 table for one metadata relation — batch-read only (writes to a
+  * metadata table are nonsense and refused by the missing capability). */
+class MetadataTable(dir: Path, kind: String) extends Table with SupportsRead {
+  override def name(): String = s"${dir.getFileName}$$$kind"
+  override def schema(): StructType = MetadataTables.schemaOf(kind)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MetadataScan(dir, kind)
+    }
+}
+
+private[sources] class MetadataScan(dir: Path, kind: String) extends Scan with Batch {
+  override def readSchema(): StructType = MetadataTables.schemaOf(kind)
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftMetadataScan dir=$dir kind=$kind"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetadataRowsPartition(MetadataTables.rows(dir, kind)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    MetadataReaderFactory
+}
+
+/** The planned rows ride the partition into the (single) task — metadata
+  * volume, not data volume. */
+private[sources] case class MetadataRowsPartition(rows: Array[Array[Any]])
+  extends InputPartition
+
+private[sources] object MetadataReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[MetadataRowsPartition].rows.iterator
+      private var cur: Array[Any] = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = InternalRow.fromSeq(cur.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+}

@@ -284,6 +284,48 @@ object SourceQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Metadata tables through the oracle gate ([[MetadataTables]]): one
+    // file per source (coalesce(1) per commit) makes the PER-FILE physical
+    // metadata oracle-derivable — `docs$files` must report each source's
+    // exact row count, and after a DV delete the vectored file's live_rows
+    // must drop by exactly the deleted-slice size while has_dv flips. A
+    // file-skipping bug, a stale manifest read, or a vector miscount all
+    // hash-fail against DuckDB's per-source aggregation of the raw parquet.
+    "q_meta_files" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_metaq_")
+      s.conf.set("spark.sql.catalog.graftmeta", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmeta.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmeta.q")
+      s.sql("DROP TABLE IF EXISTS graftmeta.q.docs")
+      s.sql("CREATE TABLE graftmeta.q.docs " +
+        "(doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('delete.dv' = 'true')")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo("graftmeta.q.docs").append()
+        }
+      s.sql("DELETE FROM graftmeta.q.docs WHERE source = 'src3' AND n_chars < 300")
+      s.sql("SELECT n_rows, live_rows, has_dv FROM graftmeta.q.`docs$files` " +
+        "ORDER BY n_rows, live_rows")
+    }),
+
+    // The snapshots metadata RELATION — the point over DESCRIBE HISTORY is
+    // that it composes as SQL: a window over `docs$snapshots` derives each
+    // commit's ADDED row count from consecutive snapshot totals, which must
+    // replay the per-source counts DuckDB aggregates from the raw parquet.
+    "q_meta_snapshots" -> ((s, d) => {
+      val (cat, _) = stageDocsBySource(s, d)
+      s.sql(
+        s"""WITH snap AS (
+           |  SELECT version, n_rows FROM $cat.q.`docs$$snapshots` WHERE n_rows > 0)
+           |SELECT CAST(row_number() OVER (ORDER BY version) AS BIGINT) AS step,
+           |       n_rows - coalesce(lag(n_rows) OVER (ORDER BY version),
+           |                         CAST(0 AS BIGINT)) AS added
+           |FROM snap ORDER BY step""".stripMargin)
+    }),
+
     // REORG TABLE … APPLY (PURGE) through the oracle gate: a DV-mode table
     // takes one selective DELETE (vectors, no rewrites), then REORG
     // rewrites ONLY the vector-bearing files — the untouched majority
@@ -880,6 +922,22 @@ object SourceQueries extends QueryModule {
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
         |ORDER BY doc_id""".stripMargin,
+    // Per-source counts are per-FILE physical metadata in the fixture.
+    "q_meta_files" ->
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN NOT (source = 'src3' AND n_chars < 300)
+        |                  THEN 1 END) AS live_rows,
+        |       count(CASE WHEN source = 'src3' AND n_chars < 300
+        |                  THEN 1 END) > 0 AS has_dv
+        |FROM documents GROUP BY source
+        |ORDER BY n_rows, live_rows""".stripMargin,
+    // Consecutive snapshot totals difference back to per-source counts.
+    "q_meta_snapshots" ->
+      """WITH per AS (SELECT source, count(*) AS added
+        |             FROM documents GROUP BY source)
+        |SELECT CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS step,
+        |       added
+        |FROM per ORDER BY step""".stripMargin,
     // The purge must re-emit exactly the vectors' complement.
     "q_reorg_purge" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+
+/** Metadata tables (`` t$files `` / `` t$snapshots ``): queryable
+  * relations over manifest state — totals agree with the data, sizes are
+  * physical, snapshots are monotone in time, branch addressing composes,
+  * and a `$`-suffixed name that is NOT a known kind stays an ordinary
+  * (missing) table. */
+class MetadataTablesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCatalog(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_meta_$tag").toString
+    spark.conf.set(s"spark.sql.catalog.$tag", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$tag.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $tag.ns")
+    tag
+  }
+
+  test("$files totals agree with the table; sizes are physical") {
+    val cat = freshCatalog("metaspec1")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, grp STRING)")
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    df.repartition(3, df("grp")).writeTo(s"$cat.ns.t").append()
+    val files = spark.sql(s"SELECT * FROM $cat.ns.`t$$files`").collect()
+    // hash collisions may fold 3 groups into fewer partitions; every
+    // listed file is non-empty either way
+    assert(files.nonEmpty && files.forall(_.getLong(1) > 0L))
+    assert(files.map(_.getLong(1)).sum == 300L) // n_rows
+    assert(files.map(_.getLong(2)).sum == spark.table(s"$cat.ns.t").count())
+    assert(files.forall(_.getLong(3) > 0L)) // size_bytes
+    assert(files.forall(!_.getBoolean(4))) // no vectors yet
+  }
+
+  test("$files reflects deletion vectors; $snapshots is monotone") {
+    val cat = freshCatalog("metaspec2")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    (0L until 100L).toDF("id").coalesce(1).writeTo(s"$cat.ns.t").append()
+    (100L until 200L).toDF("id").coalesce(1).writeTo(s"$cat.ns.t").append()
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id < 20")
+    val files = spark.sql(
+      s"SELECT n_rows, live_rows, has_dv FROM $cat.ns.`t$$files` ORDER BY n_rows, live_rows")
+      .collect()
+    assert(files.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      == Seq((100L, 80L, true), (100L, 100L, false)))
+    val snaps = spark.sql(
+      s"SELECT version, n_rows, committed_at FROM $cat.ns.`t$$snapshots` ORDER BY version")
+      .collect()
+    // create (0 rows) + 2 appends + delete — totals replay the history
+    assert(snaps.map(_.getLong(1)).toSeq == Seq(0L, 100L, 200L, 180L))
+    val times = snaps.map(_.getTimestamp(2).getTime)
+    assert(times.zip(times.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("metadata relations compose as SQL (join files to snapshots)") {
+    val cat = freshCatalog("metaspec3")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
+    (0L until 50L).toDF("id").coalesce(1).writeTo(s"$cat.ns.t").append()
+    val joined = spark.sql(
+      s"""SELECT s.n_rows AS snap_rows, sum(f.live_rows) AS file_rows
+         |FROM $cat.ns.`t$$snapshots` s CROSS JOIN $cat.ns.`t$$files` f
+         |WHERE s.version = (SELECT max(version) FROM $cat.ns.`t$$snapshots`)
+         |GROUP BY s.n_rows""".stripMargin).collect()(0)
+    assert(joined.getLong(0) == joined.getLong(1))
+  }
+
+  test("branch addressing composes: t@b$files reads the branch state") {
+    val cat = freshCatalog("metaspec4")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
+    (0L until 30L).toDF("id").coalesce(1).writeTo(s"$cat.ns.t").append()
+    spark.sql(s"ALTER TABLE $cat.ns.t CREATE BRANCH dev")
+    (30L until 40L).toDF("id").coalesce(1).writeTo(s"$cat.ns.`t@dev`").append()
+    assert(spark.sql(s"SELECT sum(live_rows) FROM $cat.ns.`t@dev$$files`")
+      .collect()(0).getLong(0) == 40L)
+    assert(spark.sql(s"SELECT sum(live_rows) FROM $cat.ns.`t$$files`")
+      .collect()(0).getLong(0) == 30L)
+  }
+
+  test("an unknown $suffix stays an ordinary missing table") {
+    val cat = freshCatalog("metaspec5")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.`t$$bogus`").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("not") ||
+      e.getMessage.toLowerCase.contains("cannot"))
+  }
+}
