@@ -245,6 +245,27 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, spec.target, "MERGE INTO")
+
+    // SCHEMA EVOLUTION (Delta's autoMerge rule): under
+    // `spark.graft.schema.autoMerge=true`, a star action's SOURCE-ONLY
+    // columns are ADDED to the target up front (a metadata-only ALTER —
+    // existing files read the new column as NULL) instead of failing the
+    // star validation; and a target column the source lacks is legal —
+    // UPDATE SET * keeps the target's value, INSERT * NULL-fills. Off by
+    // default: silent schema drift must be opted into.
+    val autoMerge =
+      spark.conf.getOption("spark.graft.schema.autoMerge").contains("true")
+    if (autoMerge &&
+        spec.clauses.exists(c => c.action == UpdateStar || c.action == InsertStar)) {
+      val have = spark.table(spec.target).schema.fieldNames
+      spark.table(spec.source).schema.fields
+        .filterNot(f => have.exists(_.equalsIgnoreCase(f.name)))
+        .foreach { f =>
+          spark.sql(
+            s"ALTER TABLE ${spec.target} ADD COLUMN ${f.name} ${f.dataType.sql}")
+        }
+    }
+
     val targetSchema = spark.table(spec.target).schema
     val names = targetSchema.fieldNames
 
@@ -258,8 +279,9 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
     spec.keyPairs.foreach(p => checkCol(p._1, "ON key"))
     val srcCols = spark.table(spec.source).columns
     spec.clauses.foreach {
-      case Clause(_, _, UpdateStar | InsertStar) =>
+      case Clause(_, _, UpdateStar | InsertStar) if !autoMerge =>
         // a star action must never silently NULL a column the source lacks
+        // (autoMerge makes the rule explicit: keep on update, NULL on insert)
         val missing = names.filterNot(n => srcCols.exists(_.equalsIgnoreCase(n)))
         if (missing.nonEmpty)
           throw new IllegalArgumentException(
@@ -348,13 +370,15 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
 
     def colValue(f: StructField): Column = {
       val tcol = col(s"$tA.${f.name}")
+      val srcHas =
+        spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name))
       val scol: Column = // the source may not carry every target column
-        if (spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name)))
-          col(s"$sA.${f.name}")
-        else lit(null)
+        if (srcHas) col(s"$sA.${f.name}") else lit(null)
       val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
         c.action match {
-          case UpdateStar => Some(s"c$i" -> scol)
+          // a source-missing column under UPDATE SET * KEEPS the target's
+          // value (reachable only under autoMerge — validated otherwise)
+          case UpdateStar => Some(s"c$i" -> (if (srcHas) scol else tcol))
           case UpdateSet(sets) => Some(s"c$i" ->
             sets.find(_._1.equalsIgnoreCase(f.name)).map(s => expr(s._2))
               .getOrElse(tcol))

@@ -823,6 +823,42 @@ object SourceQueries extends QueryModule {
       s.table("graftmdv.q.docs").orderBy("doc_id")
     }),
 
+    // MERGE schema evolution through the oracle gate: under
+    // spark.graft.schema.autoMerge the star merge's source-only `score`
+    // column ADDS to the target (metadata-only — pre-merge rows read it as
+    // NULL), matched rows take every source value, inserts land with the
+    // new column populated. The oracle is the FULL OUTER JOIN + CASE with
+    // the evolved column spelled as s.score (NULL off-match), so a miss on
+    // the keep/null-fill rules, a dropped pre-merge row, or a wrong
+    // evolved value hash-fails the gate.
+    "q_merge_evolve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scat = stageMergeBases(s, d)
+      val root = graft.Scratch.dir("graft_mrgevq_")
+      s.conf.set("spark.sql.catalog.graftmev", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmev.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmev.q")
+      s.sql("DROP TABLE IF EXISTS graftmev.q.docs")
+      s.sql(s"CREATE TABLE graftmev.q.docs SHALLOW CLONE $scat.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+          (col("n_chars") + 10000).as("n_chars"),
+          (col("n_chars") * 0.5).as("score"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("source"), (col("n_chars") + 1).as("n_chars"),
+            lit(2.5).as("score")))
+        .createOrReplaceTempView("mev_src")
+      s.conf.set("spark.graft.schema.autoMerge", "true")
+      try s.sql(
+        """MERGE INTO graftmev.q.docs t USING mev_src s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      finally s.conf.set("spark.graft.schema.autoMerge", "false")
+      s.table("graftmev.q.docs").orderBy("doc_id")
+    }),
+
     // SHALLOW CLONE through the oracle gate: documents land in a catalog
     // table, a metadata-only clone branches it (zero data copy), then the
     // clone DIVERGES — a row-level DELETE and an appended batch — while
@@ -942,6 +978,25 @@ object SourceQueries extends QueryModule {
     "q_reorg_purge" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT (source = 'src3' AND n_chars < 300)
+        |ORDER BY doc_id""".stripMargin,
+    // The evolved star merge: every source value applies on match, the
+    // new score column is s.score everywhere (NULL off-match).
+    "q_merge_evolve" ->
+      """WITH src AS (
+        |  SELECT doc_id, 'xx' AS lang, source, n_chars + 10000 AS n_chars,
+        |         CAST(n_chars * 0.5 AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars + 1,
+        |         CAST(2.5 AS DOUBLE)
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+        |       CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+        |       COALESCE(t.source, s.source) AS source,
+        |       CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars
+        |            ELSE t.n_chars END AS n_chars,
+        |       s.score AS score
+        |FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
         |ORDER BY doc_id""".stripMargin,
     // The clone-divergence twin: src = documents verbatim; dev = documents
     // minus the deleted slice plus the appended batch.
