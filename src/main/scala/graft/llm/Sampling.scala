@@ -116,6 +116,42 @@ object Sampling extends QueryModule {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).cast("long").as("sum_doc_id"))
         .orderBy("source")
+    }),
+
+    // TEMPERATURE-SCALED mixture (the multilingual-LM standard: quota_i ∝
+    // n_i^α with α = 0.5, flattening the source distribution so small
+    // sources over-sample relative to their share): per-source quotas are
+    // derived in FIXED POINT (w_fx = floor(√n·1e9) — √ is IEEE
+    // correctly-rounded, so both engines agree bitwise; the quota split is
+    // integer/exact-double arithmetic after that), and each source keeps
+    // its quota of docs with the smallest key hash — the same
+    // deterministic LCG machinery as every sampler here, so the EXACT
+    // selected set is oracle-certified via sum(doc_id). Scale shape: the
+    // quota table is |sources| rows (a broadcast); the per-source rank is
+    // the bounded-window top-k the plans/TopKPerGroup operator serves
+    // natively at scale; the scan filters after one rank — no second pass
+    // over the corpus.
+    "q_sample_temperature" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val quota = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w_fx",
+          floor(sqrt(col("n").cast("double")) * 1e9).cast("long"))
+        .withColumn("k", least(col("n"),
+          floor(lit(200.0) * col("w_fx") / sum("w_fx").over(all)).cast("long")))
+        .select("source", "n", "k")
+      val ranked = docs
+        .withColumn("hk", lcg(col("doc_id"), Seed))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("hk", "doc_id")).cast("long"))
+      ranked.join(broadcast(quota), Seq("source"))
+        .filter(col("rk") <= col("k"))
+        .groupBy("source")
+        .agg(first(col("n")).as("n_docs"), first(col("k")).as("k_quota"),
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("sum_doc_id"))
+        .orderBy("source")
     })
   )
 
@@ -149,6 +185,24 @@ object Sampling extends QueryModule {
          |FROM documents
          |WHERE (${sqlLcg("doc_id", 0L)}) % 10000
          |      < 2000 + 500 * (CAST(substring(source, 4) AS INT) % 8)
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_temperature" ->
+      s"""WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n,
+         |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) AS w_fx
+         |      FROM counts),
+         |q AS (SELECT source, n,
+         |        least(n, CAST(floor(200.0 * w_fx /
+         |          CAST((SELECT SUM(w_fx) FROM w) AS DOUBLE)) AS BIGINT)) AS k
+         |      FROM w),
+         |r AS (SELECT doc_id, source,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY ${sqlLcg("doc_id", Seed)}, doc_id) AS BIGINT) AS rk
+         |      FROM documents)
+         |SELECT q.source, q.n AS n_docs, q.k AS k_quota,
+         |       COUNT(*) AS n_kept, CAST(SUM(r.doc_id) AS BIGINT) AS sum_doc_id
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE r.rk <= q.k
+         |GROUP BY q.source, q.n, q.k ORDER BY q.source""".stripMargin
   )
 }

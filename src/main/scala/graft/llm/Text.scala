@@ -280,6 +280,42 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM cross-entropy (the KenLM-style perplexity quality filter,
+    // unigram order): train the LM on the corpus itself — p(t) = cnt(t)/T
+    // — then score each doc by Σ tf·(−ln p(t)) and its per-token mean.
+    // High score = improbable tokens = boilerplate/noise; the standard
+    // "does this doc look like the corpus" ranker, complementary to the
+    // integer OOV/bigram-coverage gate above. Portability: −ln p is
+    // floored into 1e9 FIXED POINT once per DISTINCT token (the ratio
+    // cnt/T is an exact-rounded double division of <2^53 ints, identical
+    // on both engines; ln beyond that is the same bit-identical-probe
+    // argument as q_text_tfidf), after which every per-doc number is
+    // integer arithmetic — the double sum would have been order-dependent,
+    // the long sum is exact. Scale shape: one map-side-combined tf
+    // aggregate, a vocab-bounded weight table joined back BY KEY (AQE
+    // broadcasts while it fits), one per-doc rollup; the mean divides two
+    // longs under 2^53 — exact-rounded, same floor both engines.
+    "q_text_ngram_lm" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
+      val toks = docs.select(col("doc_id"), explode(col("tk")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val w = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .withColumn("w_fx",
+          floor(-log(col("cnt").cast(DoubleType) /
+            sum("cnt").over(all).cast(DoubleType)) * 1e9).cast(LongType))
+        .select("token", "w_fx")
+      tf.join(w, Seq("token"))
+        .groupBy("doc_id")
+        .agg(sum("tf").cast(LongType).as("n_tok"),
+          sum(col("tf") * col("w_fx")).cast(LongType).as("xent_fx"))
+        .withColumn("mean_fx",
+          floor(col("xent_fx").cast(DoubleType) / col("n_tok")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF: the classic term-weighting pipeline — term frequencies per
     // doc, document frequencies, idf = ln((N+1)/(df+1)) (smoothed; a term
     // present in every document weighs ~zero),
@@ -579,6 +615,25 @@ object Text extends QueryModule {
          |    ELSE 0 END AS cov_fp
          |FROM t LEFT JOIN oov o USING (doc_id) LEFT JOIN cov c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    "q_text_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                                    x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+        |uni AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS n FROM t),
+        |w AS (SELECT token,
+        |        CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+        |                   * 1000000000) AS BIGINT) AS w_fx
+        |      FROM uni, tot),
+        |per_doc AS (
+        |  SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+        |         CAST(SUM(tf * w_fx) AS BIGINT) AS xent_fx
+        |  FROM tf JOIN w ON tf.token = w.token GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tok, xent_fx,
+        |       CAST(floor(CAST(xent_fx AS DOUBLE) / n_tok) AS BIGINT) AS mean_fx
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
     "q_text_bm25" ->
       s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
