@@ -640,6 +640,24 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
       .filterNot(p => reachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unreachable") }
-    expired ++ staged ++ orphans
+    // a `_cdc_*` dir is reachable iff some SURVIVING snapshot's (or open
+    // branch's) cdcDir prop names it — expired-snapshot and torn-commit
+    // CDC dirs reap whole, behind the same age guard (a DML may have
+    // written its CDC rows and not yet swapped its manifest in)
+    val cdcReachable: Set[String] =
+      manifests.flatMap(_.props.get(Manifest.CdcDirProp)).toSet
+    val cdcOrphans = listed(root)(_.toSeq)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("_cdc_"))
+      .filterNot(p => cdcReachable(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .map { p =>
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+        Row(p.getFileName.toString, "cdc-unreachable")
+      }
+    expired ++ staged ++ orphans ++ cdcOrphans
   }
 }

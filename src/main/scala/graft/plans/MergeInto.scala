@@ -452,6 +452,40 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       val touched = tKeys.join(sKeys, kCond, "left_semi")
         .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
       val touchedEntries = m.entries.filter(e => touched(e.name))
+      // commit-time CDC ([[graft.sources.ManifestTable.writeCdc]]): the
+      // merge's exact change rows, attributed per CLAUSE KIND — updates
+      // yield both images, deletes the preimage, inserts the projected
+      // row. One extra bounded job over the same pinned file set and the
+      // same deterministic routing as the rewrite itself, so the recorded
+      // rows and the committed state can never disagree.
+      val updateCodes = spec.clauses.zipWithIndex.collect {
+        case (Clause(_, _, UpdateStar | _: UpdateSet), i) => s"c$i" }
+      val deleteCodes = spec.clauses.zipWithIndex.collect {
+        case (Clause(_, _, Delete), i) => s"c$i" }
+      val insertCodes = spec.clauses.zipWithIndex.collect {
+        case (Clause(NotMatched, _, InsertStar | _: Insert), i) => s"c$i" }
+      def inCodes(codes: Seq[String]): Column =
+        if (codes.isEmpty) lit(false)
+        else col("__graft_action").isin(codes: _*)
+      val cdcProps = ManifestTable.writeCdc(dir, m, {
+        val tdf = spark.read.format("graft.sources.GraftManifestSink")
+          .option("path", dir.toString)
+          .option("files", touchedEntries.map(_.name).mkString(",")).load()
+        val acts = actioned(tdf)
+        val tP = coalesce(col("__graft_t"), lit(false))
+        val tCols = targetSchema.fields
+          .map(f => col(s"$tA.${f.name}").as(f.name)).toIndexedSeq
+        val outCols = targetSchema.fields.map(colValue).toIndexedSeq
+        acts.filter(tP && inCodes(updateCodes)).select(tCols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(acts.filter(tP && inCodes(updateCodes))
+            .select(outCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(acts.filter(tP && inCodes(deleteCodes))
+            .select(tCols: _*).withColumn("_change_type", lit("delete")))
+          .unionByName(acts.filter(!tP && inCodes(insertCodes))
+            .select(outCols: _*).withColumn("_change_type", lit("insert")))
+      })
       val dvMode = m.props.get("tbl.delete.dv").contains("true") &&
         !names.exists(_.equalsIgnoreCase("_pos"))
       if (dvMode && touchedEntries.nonEmpty) {
@@ -477,10 +511,11 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           .select(col("__graft_file"), col("__graft_pos"))
         val dvUpdated = ManifestTable.vectorize(dir, touchedEntries, hits)
         ManifestTable.publishReplacing(dir, m, dvUpdated.map(_._1),
-          dvUpdated.flatMap(_._2) ++ appended)
+          dvUpdated.flatMap(_._2) ++ appended, cdcProps)
       } else {
         val rewritten = ManifestTable.rewriteFiles(dir, m, touchedEntries, mergeResult)
-        ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten)
+        ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten,
+          cdcProps)
       }
       }
     } else {

@@ -56,7 +56,8 @@ private[graft] object Branch {
     // ride into the branch (a resumed query would drop epochs as replays)
     val props = m.props.filterNot(p =>
         p._1 == Manifest.LastEpochProp ||
-        p._1.startsWith(Manifest.LastEpochProp + ".")) +
+        p._1.startsWith(Manifest.LastEpochProp + ".") ||
+        p._1 == Manifest.CdcDirProp) +
       (Manifest.CloneSourceProp -> dir.toAbsolutePath.toString) +
       (BaseProp -> base.toString)
     Manifest.write(bdir, Manifest(m.schema, m.entries, props, m.segments))
@@ -102,7 +103,10 @@ private[graft] object Branch {
         e.dv.foreach(d => moveHome(d._1))
       }
       bm.segments.foreach { case (n, _) => moveHome(n) }
-      val props = bm.props - Manifest.CloneSourceProp - BaseProp
+      // the branch's last DML CDC pointer dies with the ref — a published
+      // fast-forward's change semantics are the read-time NET diff
+      val props = bm.props - Manifest.CloneSourceProp - BaseProp -
+        Manifest.CdcDirProp
       Manifest.write(dir, Manifest(bm.schema, bm.entries, props, bm.segments))
     }
     // the published state is live; the branch ref is spent

@@ -184,9 +184,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // `lastEpoch.<queryId>` keys — strip the whole prefix, or a query
     // resumed against the clone inherits the source's watermark and
     // silently drops its first epochs as replays.
+    // the CDC pointer is commit-scoped: inherited into a clone it would
+    // claim the source's last DML rows as the clone's first commit
     val props = src.props.filterNot(p =>
         p._1 == Manifest.LastEpochProp ||
-        p._1.startsWith(Manifest.LastEpochProp + ".")) +
+        p._1.startsWith(Manifest.LastEpochProp + ".") ||
+        p._1 == Manifest.CdcDirProp) +
       (Manifest.CloneSourceProp -> srcDir.toAbsolutePath.toString)
     // carry the SOURCE's segment composition: the clone's root then
     // re-publishes those segment files BY REFERENCE (resolved through the

@@ -510,6 +510,17 @@ private[graft] object Manifest {
     * checks on replay. */
   private[sources] val LastEpochProp = "lastEpoch"
 
+  /** Manifest property naming the CDC sub-table (`_cdc_*`) holding the
+    * EXACT change rows of the commit that archived this snapshot — set by
+    * the row-level DML publishes of a `TBLPROPERTIES ('changeFeed' =
+    * 'true')` table, INHERITED (not re-set) by every other commit.
+    * [[ManifestTable.changes]] attributes a CDC dir to a commit iff the
+    * value CHANGED from the previous snapshot — inheritance self-heals
+    * without prop-stripping on appends/OPTIMIZE. Clone / restore /
+    * fast-forward strip it (their change semantics are the read-time
+    * diff's, not some older commit's recorded rows). */
+  private[graft] val CdcDirProp = "cdcDir"
+
   /** Manifest property recording the table's identity partition columns
     * (comma-joined; column names in this sink are identifier-safe).
     * Partitioning here is a CLUSTERING contract, not a directory layout:
@@ -1104,15 +1115,32 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
     val (drop, keep, cut) = classify(m.entries, filters)
     val _ = keep
-    if (cut.isEmpty) {
-      ManifestTable.publishReplacing(dir, m, drop.map(_.name), Seq.empty)
-      return
-    }
     val pred = filters.map(f => ManifestScanBuilder.filterColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"DELETE FROM: cannot evaluate pushed filter $f row-by-row")))
       .reduce(_ && _)
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    // commit-time CDC: the deleted rows, exactly — drop files contribute
+    // every row (zone-proven all-matching), cut files their matching rows.
+    // The filter re-evaluates over both, so the tag never over-claims.
+    // Note CDC turns the metadata-only drop tier into a bounded scan of
+    // the dropped files — the Delta trade, paid only when the feed is on.
+    def cdcDeletes: Map[String, String] =
+      ManifestTable.writeCdc(dir, m, {
+        val spark = org.apache.spark.sql.SparkSession.active
+        spark.read.format("graft.sources.GraftManifestSink")
+          .option("path", dir.toString)
+          .option("files", (drop ++ cut).map(_.name).mkString(","))
+          .load()
+          .where(coalesce(pred, lit(false)))
+          .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
+      })
+    if (cut.isEmpty) {
+      ManifestTable.publishReplacing(dir, m, drop.map(_.name), Seq.empty,
+        if (drop.isEmpty) Map.empty else cdcDeletes)
+      return
+    }
     if (m.props.get("tbl.delete.dv").contains("true")) {
       // MERGE-ON-READ tier (TBLPROPERTIES 'delete.dv'='true'): instead of
       // rewriting each cut file, record the matching rows' physical
@@ -1133,13 +1161,15 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
         .select(col("_file"), col("_pos"))
       val updated = ManifestTable.vectorize(dir, cut, hits)
       ManifestTable.publishReplacing(dir, m,
-        drop.map(_.name) ++ updated.map(_._1), updated.flatMap(_._2))
+        drop.map(_.name) ++ updated.map(_._1), updated.flatMap(_._2),
+        cdcDeletes)
     } else {
       // DELETE removes rows where the predicate is TRUE; NULL/FALSE rows
       // survive — hence the coalesce, not a bare negation
       val rewritten = ManifestTable.rewriteFiles(dir, m, cut,
         df => df.filter(not(coalesce(pred, lit(false)))))
-      ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name), rewritten)
+      ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name), rewritten,
+        cdcDeletes)
     }
   }
 }
@@ -1425,8 +1455,37 @@ private[graft] object ManifestTable {
     * commute with appends instead of silently un-publishing them. The op's
     * row semantics stay snapshot-isolated: it read `base`, and files it
     * never saw are left for the next operation. */
+  /** COMMIT-TIME CDC (Delta's change-data files): under `TBLPROPERTIES
+    * ('changeFeed' = 'true')`, each row-level DML records its EXACT change
+    * rows — data columns + `_change_type` — as a self-contained mini
+    * manifest table under `dir/_cdc_<uuid>/`, written by the normal sink
+    * (distributed, atomic, TSV-codec'd). The commit then carries
+    * [[Manifest.CdcDirProp]] → that dir, and [[changes]] replays the
+    * recorded rows instead of diffing — making insert-vs-update
+    * attribution EXACT inside mixed commits (the one shape the read-time
+    * diff cannot attribute). The rows are computed by one extra bounded
+    * job over the op's own touched files — the Delta trade: CDF costs the
+    * change volume at write time, never a table scan at read time. A
+    * crash between the CDC write and the publish leaves an orphan dir
+    * VACUUM reaps. Returns the props entry to attach, empty when the
+    * feature is off (`changeRows` is by-name — never built then). */
+  private[graft] def writeCdc(dir: Path, m: Manifest,
+      changeRows: => org.apache.spark.sql.DataFrame): Map[String, String] =
+    if (!m.props.get("tbl.changeFeed").contains("true")) Map.empty
+    else {
+      val name = s"_cdc_${java.util.UUID.randomUUID().toString.take(13)}"
+      val sub = dir.resolve(name)
+      Files.createDirectories(sub)
+      Manifest.write(sub, Manifest(StructType(m.schema.fields :+
+        StructField("_change_type", StringType, nullable = false)), Seq.empty))
+      changeRows.write.format("graft.sources.GraftManifestSink")
+        .option("path", sub.toString).mode("append").save()
+      Map(Manifest.CdcDirProp -> name)
+    }
+
   private[graft] def publishReplacing(dir: Path, base: Manifest,
-      replaced: Seq[String], rewritten: Seq[ManifestFile]): Unit = {
+      replaced: Seq[String], rewritten: Seq[ManifestFile],
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val gone = replaced.toSet
     // optimistic CONFLICT DETECTION (the Delta ConcurrentDeleteRead rule):
     // the op computed its rewrite against `base`; if any file it replaces
@@ -1449,7 +1508,8 @@ private[graft] object ManifestTable {
           "snapshot (a concurrent DELETE/UPDATE/MERGE/OPTIMIZE replaced " +
           "them) — re-run the operation against the current state")
       Manifest.write(dir, Manifest(cur.schema,
-        cur.entries.filterNot(e => gone(e.name)) ++ rewritten, cur.props))
+        cur.entries.filterNot(e => gone(e.name)) ++ rewritten,
+        cur.props ++ extraProps))
     }
   }
 
@@ -1493,6 +1553,26 @@ private[graft] object ManifestTable {
     if (touch.isEmpty) return
     val cond = coalesce(whereSql.map(expr).getOrElse(lit(true)), lit(false))
     val _ = keep
+    val updCols = m.schema.fields.map { f =>
+      sets.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    // commit-time CDC: both images of every matching row — the preimage is
+    // the old row verbatim, the postimage the same row through the SET
+    // list (one bounded scan of the touched files, same pinned set and
+    // deterministic predicate as the rewrite itself)
+    def cdcUpdates: Map[String, String] = writeCdc(dir, m, {
+      val base = spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString)
+        .option("files", touch.map(_.name).mkString(","))
+        .load().where(cond)
+      base.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(base.select(updCols.toIndexedSeq: _*)
+          .withColumn("_change_type", lit("update_postimage")))
+    })
     if (m.props.get("tbl.delete.dv").contains("true")) {
       // MERGE-ON-READ update (the Delta DV-update shape): append the
       // UPDATED copies of matching rows as new files, and mark the old
@@ -1502,12 +1582,6 @@ private[graft] object ManifestTable {
       // ordinals never enter a vector). Both jobs scan the SAME pinned
       // file set with the same deterministic predicate, so the appended
       // set and the deleted set describe the same rows.
-      val updCols = m.schema.fields.map { f =>
-        sets.find(_._1.equalsIgnoreCase(f.name)) match {
-          case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }
       val appended = rewriteFiles(dir, m, touch,
         df => df.filter(cond).select(updCols.toIndexedSeq: _*))
       val hits = spark.read.format("graft.sources.GraftManifestSink")
@@ -1517,7 +1591,7 @@ private[graft] object ManifestTable {
         .select(col("_file"), col("_pos"))
       val dvUpdated = vectorize(dir, touch, hits)
       publishReplacing(dir, m, dvUpdated.map(_._1),
-        dvUpdated.flatMap(_._2) ++ appended)
+        dvUpdated.flatMap(_._2) ++ appended, cdcUpdates)
     } else {
       val rewritten = rewriteFiles(dir, m, touch, df => {
         val cols = m.schema.fields.map { f =>
@@ -1529,7 +1603,7 @@ private[graft] object ManifestTable {
         }
         df.select(cols.toIndexedSeq: _*)
       })
-      publishReplacing(dir, m, touch.map(_.name), rewritten)
+      publishReplacing(dir, m, touch.map(_.name), rewritten, cdcUpdates)
     }
   }
 
@@ -1571,8 +1645,32 @@ private[graft] object ManifestTable {
       spark.read.format("graft.sources.GraftManifestSink")
         .option("path", dir.toString).option("snapshot", v.toString)
         .option("files", files.mkString(",")).load()
-    val base = if (from == 0) 0 +: trail else trail
-    val frames = base.zip(base.drop(1)).flatMap { case (a, b) =>
+    // commit-time CDC preference: a commit whose snapshot carries a CDC
+    // dir DIFFERENT from its predecessor's recorded its exact change rows
+    // at write time ([[writeCdc]]) — replay them verbatim (insert-vs-
+    // update attribution inside mixed commits is exact there, where the
+    // diff below cannot attribute). An INHERITED value (appends, OPTIMIZE
+    // carry the prop forward untouched) never claims the old rows.
+    def cdcOf(v: Int): Option[String] =
+      if (v == 0) None
+      else Manifest.readSnapshot(dir, v).flatMap(_.props.get(Manifest.CdcDirProp))
+    def cdcReplay(a: Int, b: Int): Option[org.apache.spark.sql.DataFrame] = {
+      val bCdc = cdcOf(b)
+      if (bCdc.isEmpty || bCdc == cdcOf(a)) None
+      else {
+        val sub = dir.resolve(bCdc.get)
+        if (!Files.exists(sub.resolve("_manifest")))
+          throw new IllegalStateException(
+            s"changes: commit $b's CDC dir ${bCdc.get} was vacuumed — " +
+              "that window is no longer exactly replayable")
+        val cols = Manifest.readSnapshot(dir, b).get.schema.fieldNames.toSeq
+        val df = spark.read.format("graft.sources.GraftManifestSink")
+          .option("path", sub.toString).load()
+        Some(df.select((cols :+ "_change_type").map(col): _*)
+          .withColumn("_commit_version", lit(b)))
+      }
+    }
+    def changeDiff(a: Int, b: Int): Option[org.apache.spark.sql.DataFrame] = {
       val prev = keyed(a)
       val curr = keyed(b)
       val changed = curr.keySet.intersect(prev.keySet)
@@ -1605,6 +1703,10 @@ private[graft] object ManifestTable {
           else Some(tag(preD, "update_preimage")
             .unionByName(tag(postD, "update_postimage")))
       }
+    }
+    val base = if (from == 0) 0 +: trail else trail
+    val frames = base.zip(base.drop(1)).flatMap { case (a, b) =>
+      cdcReplay(a, b).orElse(changeDiff(a, b))
     }
     frames.reduceOption(_.unionByName(_)).getOrElse {
       val sch = Manifest.read(dir).map(_.schema).getOrElse(
@@ -1759,7 +1861,10 @@ private[graft] object ManifestTable {
       val snapEpoch = snap.props.get(Manifest.LastEpochProp).map(_.toLong)
       val props = curEpoch.filter(c => snapEpoch.forall(_ < c))
         .map(c => snap.props + (Manifest.LastEpochProp -> c.toString))
-        .getOrElse(snap.props)
+        .getOrElse(snap.props) -
+        // commit-scoped: the restored snapshot's old CDC pointer would
+        // claim that era's DML rows as the RESTORE's own changes
+        Manifest.CdcDirProp
       Manifest.write(dir, Manifest(snap.schema, snap.entries, props))
       (snap.entries.length, snap.entries.map(_.liveRows).sum)
     }

@@ -504,6 +504,49 @@ object SourceQueries extends QueryModule {
         .orderBy("doc_id", "_change_type")
     }),
 
+    // Commit-time CDC through the oracle gate: a TBLPROPERTIES
+    // ('changeFeed'='true') table takes ONE mixed MERGE (updates + inserts
+    // in the same commit — the shape the read-time diff cannot attribute),
+    // and the feed must replay exact per-clause attribution: both images
+    // for every updated row, plain inserts for the new keys, nothing else.
+    // The oracle derives all three row sets from the raw parquet and the
+    // merge spec, so a misattributed insert, a lost preimage, or an
+    // over-claimed carried row hash-fails the gate.
+    "q_table_changes_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val root = graft.Scratch.dir("graft_cdfm_")
+      s.conf.set("spark.sql.catalog.graftcdfm", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcdfm.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcdfm.q")
+      s.sql("DROP TABLE IF EXISTS graftcdfm.q.docs")
+      s.sql("CREATE TABLE graftcdfm.q.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('changeFeed' = 'true')")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.writeTo("graftcdfm.q.docs").append()
+      val dir = s.table("graftcdfm.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val fromV = Manifest.snapshotVersions(dir).last
+      docs.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+          (col("n_chars") + 10000).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("source"), (col("n_chars") + 1).as("n_chars")))
+        .createOrReplaceTempView("cdfm_src")
+      s.sql(
+        """MERGE INTO graftcdfm.q.docs t USING cdfm_src s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val toV = Manifest.snapshotVersions(dir).last
+      ManifestTable.changes(s, dir, fromV, toV)
+        .select("doc_id", "lang", "source", "n_chars", "_change_type")
+        .orderBy("_change_type", "doc_id")
+    }),
+
     // Partitioned managed table through the oracle gate: CREATE TABLE …
     // PARTITIONED BY (source) persists the clustering contract, the CTAS
     // append range-clusters rows by source (RequiresDistributionAndOrdering
@@ -1155,6 +1198,18 @@ object SourceQueries extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     // Both images of every changed row, derived from the raw parquet —
     // a carried row leaking through the diff, or a wrong image, hash-fails.
+    // The recorded mixed-commit feed: exact per-clause attribution.
+    "q_table_changes_merge" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       'update_preimage' AS _change_type
+        |FROM documents WHERE doc_id % 10 = 2
+        |UNION ALL
+        |SELECT doc_id, 'xx', source, n_chars + 10000, 'update_postimage'
+        |FROM documents WHERE doc_id % 10 = 2
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, source, n_chars + 1, 'insert'
+        |FROM documents WHERE doc_id % 10 = 5
+        |ORDER BY _change_type, doc_id""".stripMargin,
     "q_table_changes_update" ->
       """SELECT doc_id, source, n_chars, 'update_preimage' AS _change_type
         |FROM documents WHERE doc_id % 5 <> 0 AND source = 'src3'

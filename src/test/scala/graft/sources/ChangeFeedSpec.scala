@@ -59,6 +59,87 @@ class ChangeFeedSpec extends SparkSuite {
     assert(all.size == 7)
   }
 
+  test("changeFeed tables record exact CDC: mixed MERGE attributes " +
+    "insert vs update") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.cf (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('changeFeed' = 'true')")
+    val dir = Paths.get(rootDir, "q", "cf")
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.cf").append()
+    val v1 = Manifest.snapshotVersions(dir).last
+    // ONE commit mixing updates (id 3) and inserts (id 30) — the diff
+    // fallback cannot attribute these; the recorded CDC must
+    Seq((3L, 300.0), (30L, 30.0)).toDF("id", "v")
+      .createOrReplaceTempView("cf_src")
+    spark.sql(
+      """MERGE INTO graftcdf.q.cf t USING cf_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val v2 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v1, v2) == Set(
+      (3L, 3.0, "update_preimage", v2), (3L, 300.0, "update_postimage", v2),
+      (30L, 30.0, "insert", v2)))
+    // a MERGE delete clause records delete pre-images
+    Seq((5L, 0.0)).toDF("id", "v").createOrReplaceTempView("cf_src2")
+    spark.sql(
+      """MERGE INTO graftcdf.q.cf t USING cf_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val v3 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v2, v3) == Set((5L, 5.0, "delete", v3)))
+    // table state agrees with the recorded feed
+    assert(spark.table("graftcdf.q.cf").count() == 10)
+  }
+
+  test("changeFeed CDC for UPDATE/DELETE matches the diff exactly; " +
+    "appends stay derived") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.cf2 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('changeFeed' = 'true')")
+    val dir = Paths.get(rootDir, "q", "cf2")
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.cf2").append()
+    val v1 = Manifest.snapshotVersions(dir).last
+    // the APPEND commit inherited no cdc claim: window (0, v1] = inserts
+    assert(changes(dir, 0, v1).count(_._3 == "insert") == 10)
+    spark.sql("UPDATE graftcdf.q.cf2 SET v = v * 2 WHERE id <= 2")
+    val v2 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v1, v2) == Set(
+      (1L, 1.0, "update_preimage", v2), (1L, 2.0, "update_postimage", v2),
+      (2L, 2.0, "update_preimage", v2), (2L, 4.0, "update_postimage", v2)))
+    spark.sql("DELETE FROM graftcdf.q.cf2 WHERE id = 9")
+    val v3 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v2, v3) == Set((9L, 9.0, "delete", v3)))
+    // a later append INHERITS the cdcDir prop and must NOT re-claim it
+    (11L to 12L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.cf2").append()
+    val v4 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v3, v4) ==
+      Set((11L, 11.0, "insert", v4), (12L, 12.0, "insert", v4)))
+  }
+
+  test("VACUUM reaps orphan CDC dirs, keeps referenced ones") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.cf3 (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('changeFeed' = 'true')")
+    val dir = Paths.get(rootDir, "q", "cf3")
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.cf3").append()
+    spark.sql("DELETE FROM graftcdf.q.cf3 WHERE id = 2")
+    val orphan = dir.resolve("_cdc_orphan")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk"), "x")
+    val reaped = spark.sql(
+      s"VACUUM MANIFEST '$dir' OLDER THAN 0 MINUTES").collect()
+      .map(_.getString(0)).toSet
+    assert(reaped.contains("_cdc_orphan"))
+    assert(!Files.exists(orphan))
+    // the referenced CDC dir survives and still replays
+    val vs = Manifest.snapshotVersions(dir)
+    assert(changes(dir, vs.init.last, vs.last) ==
+      Set((2L, 2.0, "delete", vs.last)))
+  }
+
   test("deletion-vector deletes surface as delete pre-images too") {
     rootDir
     spark.sql("CREATE TABLE graftcdf.q.dv (id BIGINT, v DOUBLE) " +
