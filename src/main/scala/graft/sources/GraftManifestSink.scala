@@ -84,14 +84,23 @@ class GraftManifestSink extends TableProvider {
       case Some(v) => Manifest.readSnapshot(dir, v.toInt)
       case None => Manifest.read(dir)
     }
-    m.map(_.schema).getOrElse(throw new IllegalArgumentException(
+    val schema = m.map(_.schema).getOrElse(throw new IllegalArgumentException(
       s"no _manifest at $dir: write first, or pass a schema"))
+    // streaming change feed ([[ManifestCdfStream]]): the relation carries
+    // the change columns
+    if (options.getBoolean("changeFeed", false))
+      StructType(schema.fields :+
+        StructField("_change_type", StringType, nullable = false) :+
+        StructField("_commit_version", IntegerType, nullable = false))
+    else schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val dir = properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("graft-manifest table requires option 'path'"))
-    new ManifestTable(Paths.get(dir), schema,
+    if (properties.asScala.get("changeFeed").contains("true"))
+      new ManifestCdfTable(Paths.get(dir), schema)
+    else new ManifestTable(Paths.get(dir), schema,
       properties.asScala.get("snapshot").map(_.toInt))
   }
   override def supportsExternalMetadata(): Boolean = true
@@ -2993,7 +3002,12 @@ private[sources] case class ManifestFilePartition(file: String, dir: String,
     wanted: StructType, phys: Array[Int],
     entry: String = "", fileColAt: Option[Int] = None,
     posColAt: Option[Int] = None, dvPath: String = null,
-    startByte: Long = 0L, startLine: Long = 0L, numLines: Long = -1L)
+    startByte: Long = 0L, startLine: Long = 0L, numLines: Long = -1L,
+    // streaming change feed ([[ManifestCdfStream]]): splice a CONSTANT
+    // `_change_type` (when not physical in the file) and `_commit_version`
+    // at these output positions
+    chgTypeAt: Option[Int] = None, chgTypeConst: String = null,
+    commitVerAt: Option[Int] = None, commitVer: Int = 0)
   extends InputPartition
 
 /** A file partition of a bucket-pure file, keyed by its bucket id — what
@@ -3062,6 +3076,118 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
   override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** STREAMING CHANGE FEED (Delta's `readChangeFeed` stream): `readStream
+  * .format(…).option("changeFeed", "true")` delivers every commit's change
+  * rows — data columns + `_change_type` + `_commit_version` — one commit
+  * at a time, exactly-once (versions are the checkpointed offsets;
+  * manifests and CDC dirs are immutable once archived, so a replanned
+  * window reproduces the same rows).
+  *
+  * Per commit in the window:
+  *  - a commit with RECORDED CDC ([[ManifestTable.writeCdc]] — its cdcDir
+  *    prop changed) plans the CDC sub-table's files directly: `_change_type`
+  *    is a physical column there, attribution is exact;
+  *  - a pure append plans its added files with a constant `insert` tag —
+  *    no CDC is ever written for appends (the Delta rule: inserts derive
+  *    from the added files, costing zero extra write);
+  *  - a rewrite commit WITHOUT recorded CDC refuses loudly: a streaming
+  *    consumer must never silently receive surviving-row approximations —
+  *    enable `TBLPROPERTIES ('changeFeed'='true')` before row-level DML on
+  *    a streamed table (the batch `changes` read stays available with its
+  *    documented diff semantics).
+  *
+  * Planning is per-commit manifest metadata; each task reads only its own
+  * commit's files — at 100 TB a micro-batch costs the change volume, never
+  * a table scan. */
+private[sources] class ManifestCdfStream(dir: Path, output: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  // output = data columns + _change_type + _commit_version
+  private val dataCols = StructType(output.fields.dropRight(2))
+
+  private def manifestAt(v: Int): Manifest =
+    Manifest.readSnapshot(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"streaming change feed: snapshot $v expired (VACUUM RETAIN) at $dir — " +
+          "reset the checkpoint to reprocess"))
+
+  override def initialOffset(): SOffset = SnapOffset(0)
+  override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
+  override def latestOffset(): SOffset =
+    SnapOffset(Manifest.snapshotVersions(dir).lastOption.getOrElse(0))
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapOffset].v
+    val e = end.asInstanceOf[SnapOffset].v
+    if (e <= s) return Array.empty
+    val trail = Manifest.snapshotVersions(dir).filter(v => v > s && v <= e)
+    def cdcOf(v: Int): Option[String] =
+      if (v == 0) None
+      else Manifest.readSnapshot(dir, v).flatMap(_.props.get(Manifest.CdcDirProp))
+    val chain = Manifest.resolveChain(dir)
+    (s +: trail).zip(trail).flatMap { case (a, b) =>
+      val bCdc = cdcOf(b)
+      if (bCdc.isDefined && bCdc != cdcOf(a)) {
+        val sub = dir.resolve(bCdc.get)
+        val cm = Manifest.read(sub).getOrElse(throw new IllegalStateException(
+          s"streaming change feed: commit $b's CDC dir ${bCdc.get} was " +
+            "vacuumed — reset the checkpoint to reprocess"))
+        val wanted = StructType(dataCols.fields :+
+          StructField("_change_type", StringType, nullable = false))
+        cm.entries.filter(_.rows > 0).map(f =>
+          ManifestFilePartition(sub.resolve(f.name).toString, dir.toString,
+            wanted, GraftManifestSink.wantedPhys(cm.schema, wanted, f),
+            commitVerAt = Some(wanted.length), commitVer = b))
+      } else {
+        val prev = if (a == 0) Map.empty[String, (Long, Option[String])]
+          else manifestAt(a).entries.map(e2 =>
+            e2.name -> ((e2.rows, e2.dv.map(_._1)))).toMap
+        val bm = manifestAt(b)
+        val curr = bm.entries.map(e2 =>
+          e2.name -> ((e2.rows, e2.dv.map(_._1)))).toMap
+        val removed = prev.keySet.filterNot(n => curr.get(n).contains(prev(n)))
+        if (removed.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"streaming change feed: commit $b rewrote or removed files " +
+              "without recorded CDC — set TBLPROPERTIES " +
+              "('changeFeed'='true') before running row-level DML on a " +
+              "streamed table, or use the batch changesFrom/changesTo read")
+        bm.entries.filter(f => !prev.contains(f.name) && f.rows > 0).map(f =>
+          ManifestFilePartition(Manifest.resolveData(chain, f.name).toString,
+            dir.toString, dataCols,
+            GraftManifestSink.wantedPhys(bm.schema, dataCols, f),
+            chgTypeAt = Some(dataCols.length), chgTypeConst = "insert",
+            commitVerAt = Some(dataCols.length + 1), commitVer = b))
+      }
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The table variant the provider serves under `option("changeFeed",
+  * "true")`: streaming-read-only, schema = data + change columns. */
+private[sources] class ManifestCdfTable(dir: Path, output: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-cdf-$dir"
+  override def schema(): StructType = output
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = output
+        override def description(): String = s"GraftCdfScan dir=$dir"
+        override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new ManifestCdfStream(dir, output)
+      }
+    }
 }
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
@@ -3291,12 +3417,13 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
 
 private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val ManifestFilePartition(file, dir, wanted, phys, entry, fileColAt,
-      posColAt, dvPath, startByte, startLine, numLines) = partition match {
+    val p = partition match {
       case b: ManifestBucketedPartition => b.inner // key is planning metadata
       case p => p.asInstanceOf[ManifestFilePartition]
     }
-    val _ = dir // file is the pre-resolved absolute path (clone chain)
+    import p.{file, wanted, phys, entry, fileColAt, posColAt, dvPath,
+      startByte, startLine, numLines, chgTypeAt, commitVerAt, commitVer}
+    // p.file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
       // byte-range split support: seek straight to this partition's first
       // line (an offset the writer's sparse line index recorded — always
@@ -3332,16 +3459,22 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
       }
       private var lineNo = startLine - 1
       private var row: InternalRow = _
+      private val chgVal =
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.chgTypeConst)
       private def withMeta(r: InternalRow): InternalRow =
-        if (fileColAt.isEmpty && posColAt.isEmpty) r
+        if (fileColAt.isEmpty && posColAt.isEmpty &&
+          chgTypeAt.isEmpty && commitVerAt.isEmpty) r
         else {
-          val total = wanted.length + fileColAt.size + posColAt.size
+          val total = wanted.length + fileColAt.size + posColAt.size +
+            chgTypeAt.size + commitVerAt.size
           val vals = new Array[Any](total)
           var j = 0 // next data ordinal; meta positions index the FULL row
           var at = 0
           while (at < total) {
             if (fileColAt.contains(at)) vals(at) = fileVal
             else if (posColAt.contains(at)) vals(at) = lineNo
+            else if (chgTypeAt.contains(at)) vals(at) = chgVal
+            else if (commitVerAt.contains(at)) vals(at) = commitVer
             else { vals(at) = r.get(j, wanted.fields(j).dataType); j += 1 }
             at += 1
           }
