@@ -255,19 +255,19 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
     // default: silent schema drift must be opted into.
     val autoMerge =
       spark.conf.getOption("spark.graft.schema.autoMerge").contains("true")
-    if (autoMerge &&
-        spec.clauses.exists(c => c.action == UpdateStar || c.action == InsertStar)) {
-      val have = spark.table(spec.target).schema.fieldNames
-      spark.table(spec.source).schema.fields
-        .filterNot(f => have.exists(_.equalsIgnoreCase(f.name)))
-        .foreach { f =>
-          spark.sql(
-            s"ALTER TABLE ${spec.target} ADD COLUMN ${f.name} ${f.dataType.sql}")
-        }
-    }
+    val pendingAdd: Seq[org.apache.spark.sql.types.StructField] =
+      if (autoMerge &&
+          spec.clauses.exists(c => c.action == UpdateStar || c.action == InsertStar)) {
+        val have = spark.table(spec.target).schema.fieldNames
+        spark.table(spec.source).schema.fields
+          .filterNot(f => have.exists(_.equalsIgnoreCase(f.name))).toSeq
+      } else Seq.empty
 
-    val targetSchema = spark.table(spec.target).schema
-    val names = targetSchema.fieldNames
+    // names = the POST-evolution schema; the ALTERs themselves run only
+    // after every clause validates (below) — a merge that fails its
+    // validation must not leave half its schema change committed
+    val names = spark.table(spec.target).schema.fieldNames ++
+      pendingAdd.map(_.name)
 
     // validate every referenced TARGET column up front — a typo must fail
     // in MERGE terms, not as a mid-write analysis error
@@ -298,6 +298,16 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       case Clause(_, _, Insert(cols, _)) => cols.foreach(checkCol(_, "INSERT"))
       case _ => ()
     }
+
+    // SCHEMA EVOLUTION commits only now, with every clause validated
+    // (a metadata-only ALTER per source-only column — existing files read
+    // it as NULL); names needing quoting are backtick-escaped
+    pendingAdd.foreach { f =>
+      val q = f.name.replace("`", "``")
+      spark.sql(
+        s"ALTER TABLE ${spec.target} ADD COLUMN `$q` ${f.dataType.sql}")
+    }
+    val targetSchema = spark.table(spec.target).schema
 
     val tA = spec.tAlias
     val sA = spec.sAlias
@@ -418,7 +428,17 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
     // to the whole-table rewrite for such tables.
     val fileColShadowed = names.exists(_.equalsIgnoreCase("_file"))
 
-    if (nmbs.isEmpty && !fileColShadowed) {
+    // WHOLE-TABLE shape: a NOT MATCHED BY SOURCE clause touches every
+    // unmatched target row, so no file can be excluded up front; a
+    // shadowed `_file` column defeats the metadata-column discovery. Both
+    // route through the same rewrite/publish machinery below with the
+    // touched set = EVERY entry — so commit-time CDC still records (the
+    // actioned frame carries per-clause codes either way; the old
+    // truncate-overwrite fallback silently dropped CDC on changeFeed
+    // tables).
+    val wholeTable = nmbs.nonEmpty || fileColShadowed
+
+    {
       // FILE-BOUNDED path (the Delta merge algorithm): without
       // NOT-MATCHED-BY-SOURCE clauses, rows in files holding NO matched
       // key are untouched by every clause — so (1) one semi-join over the
@@ -429,35 +449,40 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       // the touched set), and (3) the rewrite publishes atomically,
       // replacing exactly the touched files. A selective MERGE over a
       // 100 TB table rewrites only the files it touches; an insert-only
-      // MERGE rewrites none (pure append).
+      // MERGE rewrites none (pure append). The whole-table shape skips
+      // the discovery and takes every entry.
       import graft.sources.{Manifest, ManifestTable}
       val dir = mt.dir
       // the whole snapshot→discover→rewrite→publish sequence retries
       // against the fresh manifest on optimistic conflict
       ManifestTable.withConflictRetry("MERGE") {
       val m = Manifest.read(dir).getOrElse(Manifest(targetSchema, Seq.empty))
-      // Pin the discovery scan to m's snapshot (the exact file list read
-      // above): without the pin, a concurrent commit landing between
-      // Manifest.read and scan planning could surface `_file` names
-      // absent from m.entries, which the touched-set filter below would
-      // silently drop — their matched rows would never rewrite.
-      val tKeys = spark.read.format("graft.sources.GraftManifestSink")
-        .option("path", dir.toString)
-        .option("files", m.entries.map(_.name).mkString(",")).load()
-        .select(spec.keyPairs.map(p => col(p._1)) :+ col("_file"): _*).as("__mt")
-      val sKeys = spark.table(spec.source).as("__ms")
-      val kCond = spec.keyPairs
-        .map { case (tc, sc) => col(s"__mt.$tc") === col(s"__ms.$sc") }
-        .reduce(_ && _)
-      val touched = tKeys.join(sKeys, kCond, "left_semi")
-        .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
-      val touchedEntries = m.entries.filter(e => touched(e.name))
+      val touchedEntries = if (wholeTable) m.entries else {
+        // Pin the discovery scan to m's snapshot (the exact file list read
+        // above): without the pin, a concurrent commit landing between
+        // Manifest.read and scan planning could surface `_file` names
+        // absent from m.entries, which the touched-set filter below would
+        // silently drop — their matched rows would never rewrite.
+        val tKeys = spark.read.format("graft.sources.GraftManifestSink")
+          .option("path", dir.toString)
+          .option("files", m.entries.map(_.name).mkString(",")).load()
+          .select(spec.keyPairs.map(p => col(p._1)) :+ col("_file"): _*).as("__mt")
+        val sKeys = spark.table(spec.source).as("__ms")
+        val kCond = spec.keyPairs
+          .map { case (tc, sc) => col(s"__mt.$tc") === col(s"__ms.$sc") }
+          .reduce(_ && _)
+        val touched = tKeys.join(sKeys, kCond, "left_semi")
+          .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
+        m.entries.filter(e => touched(e.name))
+      }
       // commit-time CDC ([[graft.sources.ManifestTable.writeCdc]]): the
       // merge's exact change rows, attributed per CLAUSE KIND — updates
       // yield both images, deletes the preimage, inserts the projected
       // row. One extra bounded job over the same pinned file set and the
-      // same deterministic routing as the rewrite itself, so the recorded
-      // rows and the committed state can never disagree.
+      // same routing as the rewrite itself (exact for deterministic
+      // clause expressions; a nondeterministic rhs — rand(),
+      // current_timestamp — can record postimages differing from the
+      // committed rows, the same caveat Delta documents).
       val updateCodes = spec.clauses.zipWithIndex.collect {
         case (Clause(_, _, UpdateStar | _: UpdateSet), i) => s"c$i" }
       val deleteCodes = spec.clauses.zipWithIndex.collect {
@@ -486,8 +511,11 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           .unionByName(acts.filter(!tP && inCodes(insertCodes))
             .select(outCols: _*).withColumn("_change_type", lit("insert")))
       })
+      // the DV tier needs BOTH metadata columns un-shadowed (`_file` +
+      // `_pos` drive the hit discovery); whole-table-by-shadowing falls
+      // back to copy-on-write
       val dvMode = m.props.get("tbl.delete.dv").contains("true") &&
-        !names.exists(_.equalsIgnoreCase("_pos"))
+        !names.exists(_.equalsIgnoreCase("_pos")) && !fileColShadowed
       if (dvMode && touchedEntries.nonEmpty) {
         // MERGE-ON-READ tier: kept rows stay in their files. Job 1 appends
         // ONLY the changed output (updated rows + inserts) through the
@@ -518,11 +546,6 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           cdcProps)
       }
       }
-    } else {
-      // NOT MATCHED BY SOURCE touches every unmatched target row — the
-      // rewrite is inherently whole-table; one atomic truncate-overwrite
-      // (safe self-reference: the scan plans from the pre-swap manifest)
-      mergeResult(spark.table(spec.target)).writeTo(spec.target).overwrite(lit(true))
     }
     Seq.empty
   }

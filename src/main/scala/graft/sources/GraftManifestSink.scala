@@ -530,6 +530,22 @@ private[graft] object Manifest {
     * diff's, not some older commit's recorded rows). */
   private[graft] val CdcDirProp = "cdcDir"
 
+  /** Manifest property stamping a commit as NO-DATA-CHANGE (Delta's
+    * `dataChange=false` file flag, lifted to commit granularity — this
+    * engine's layout ops are whole commits): OPTIMIZE and REORG APPLY
+    * (PURGE) rearrange bytes without changing table CONTENT, so the
+    * change feed must emit NOTHING for them instead of falling into the
+    * rewrite-diff branch (streaming CDF used to refuse such commits on
+    * changeFeed tables, permanently wedging the stream — the table
+    * property was already set; there was nothing else to enable). The
+    * value is a fresh UUID per layout commit: like [[CdcDirProp]], the
+    * prop is INHERITED by later commits, and a commit is a layout commit
+    * iff the value CHANGED from its predecessor. */
+  private[graft] val DataChangeStampProp = "dataChangeStamp"
+  private[graft] def noDataChangeStamp(): Map[String, String] =
+    Map(DataChangeStampProp ->
+      java.util.UUID.randomUUID().toString.take(13))
+
   /** Manifest property recording the table's identity partition columns
     * (comma-joined; column names in this sink are identifier-safe).
     * Partitioning here is a CLUSTERING contract, not a directory layout:
@@ -1571,7 +1587,12 @@ private[graft] object ManifestTable {
     // commit-time CDC: both images of every matching row — the preimage is
     // the old row verbatim, the postimage the same row through the SET
     // list (one bounded scan of the touched files, same pinned set and
-    // deterministic predicate as the rewrite itself)
+    // predicate as the rewrite itself). Caveat, stated plainly: this is a
+    // SEPARATE job re-evaluating the SET expressions, so a
+    // NON-DETERMINISTIC rhs (rand(), current_timestamp) records
+    // postimages that can differ from the rows the rewrite committed —
+    // exact CDC is guaranteed for deterministic SET lists only (the same
+    // caveat Delta documents for CDF + nondeterministic expressions).
     def cdcUpdates: Map[String, String] = writeCdc(dir, m, {
       val base = spark.read.format("graft.sources.GraftManifestSink")
         .option("path", dir.toString)
@@ -1660,9 +1681,15 @@ private[graft] object ManifestTable {
     // update attribution inside mixed commits is exact there, where the
     // diff below cannot attribute). An INHERITED value (appends, OPTIMIZE
     // carry the prop forward untouched) never claims the old rows.
-    def cdcOf(v: Int): Option[String] =
+    // strict prop read: `None` must mean "no prop", never "snapshot
+    // vacuumed" — an expired predecessor with an INHERITED cdcDir on b
+    // would otherwise misattribute an older commit's recorded rows to b
+    def propOf(v: Int, p: String): Option[String] =
       if (v == 0) None
-      else Manifest.readSnapshot(dir, v).flatMap(_.props.get(Manifest.CdcDirProp))
+      else Manifest.readSnapshot(dir, v).getOrElse(throw new IllegalStateException(
+        s"changes: snapshot $v expired (VACUUM RETAIN) at $dir — " +
+          "that window is no longer exactly replayable")).props.get(p)
+    def cdcOf(v: Int): Option[String] = propOf(v, Manifest.CdcDirProp)
     def cdcReplay(a: Int, b: Int): Option[org.apache.spark.sql.DataFrame] = {
       val bCdc = cdcOf(b)
       if (bCdc.isEmpty || bCdc == cdcOf(a)) None
@@ -1680,6 +1707,11 @@ private[graft] object ManifestTable {
       }
     }
     def changeDiff(a: Int, b: Int): Option[org.apache.spark.sql.DataFrame] = {
+      // a layout commit (OPTIMIZE / REORG PURGE — fresh dataChange stamp)
+      // carries rows without changing content: skip it outright instead
+      // of proving emptiness with two exceptAll jobs
+      if (propOf(b, Manifest.DataChangeStampProp) !=
+          propOf(a, Manifest.DataChangeStampProp)) return None
       val prev = keyed(a)
       val curr = keyed(b)
       val changed = curr.keySet.intersect(prev.keySet)
@@ -1780,7 +1812,8 @@ private[graft] object ManifestTable {
             .drop("__graft_z")
       }
     val rewritten = rewriteFiles(dir, m, live, transform)
-    publishReplacing(dir, m, live.map(_.name), rewritten)
+    publishReplacing(dir, m, live.map(_.name), rewritten,
+      Manifest.noDataChangeStamp())
     (live.length, rewritten.length)
   }
 
@@ -1800,7 +1833,8 @@ private[graft] object ManifestTable {
     val vectored = m.entries.filter(_.dv.isDefined)
     if (vectored.isEmpty) return (0, 0)
     val rewritten = rewriteFiles(dir, m, vectored, identity)
-    publishReplacing(dir, m, vectored.map(_.name), rewritten)
+    publishReplacing(dir, m, vectored.map(_.name), rewritten,
+      Manifest.noDataChangeStamp())
     (vectored.length, rewritten.length)
   }
 
@@ -3124,13 +3158,25 @@ private[sources] class ManifestCdfStream(dir: Path, output: StructType)
     val e = end.asInstanceOf[SnapOffset].v
     if (e <= s) return Array.empty
     val trail = Manifest.snapshotVersions(dir).filter(v => v > s && v <= e)
-    def cdcOf(v: Int): Option[String] =
-      if (v == 0) None
-      else Manifest.readSnapshot(dir, v).flatMap(_.props.get(Manifest.CdcDirProp))
+    // strict per-version prop read: `None` must mean "no prop", never
+    // "snapshot vacuumed" — if the predecessor snapshot expired, an
+    // INHERITED cdcDir would otherwise be misattributed to commit b and
+    // the stream would silently replay an OLDER commit's recorded rows
+    def propOf(v: Int, p: String): Option[String] =
+      if (v == 0) None else manifestAt(v).props.get(p)
+    def cdcOf(v: Int): Option[String] = propOf(v, Manifest.CdcDirProp)
+    def stampOf(v: Int): Option[String] =
+      propOf(v, Manifest.DataChangeStampProp)
     val chain = Manifest.resolveChain(dir)
     (s +: trail).zip(trail).flatMap { case (a, b) =>
       val bCdc = cdcOf(b)
-      if (bCdc.isDefined && bCdc != cdcOf(a)) {
+      // a layout commit (OPTIMIZE / REORG PURGE — fresh dataChange stamp)
+      // rearranged bytes without changing content: the feed emits nothing
+      // for it, matching Delta's dataChange=false CDF rule (falling into
+      // the diff branch below would wedge the stream on a rewrite the
+      // user can do nothing about)
+      if (stampOf(b) != stampOf(a)) Seq.empty[InputPartition]
+      else if (bCdc.isDefined && bCdc != cdcOf(a)) {
         val sub = dir.resolve(bCdc.get)
         val cm = Manifest.read(sub).getOrElse(throw new IllegalStateException(
           s"streaming change feed: commit $b's CDC dir ${bCdc.get} was " +

@@ -153,4 +153,107 @@ class ChangeFeedSpec extends SparkSuite {
     assert(changes(dir, v1, v2) ==
       Set((4L, 4.0, "delete", v2), (9L, 9.0, "delete", v2)))
   }
+
+  /** Drain the STREAMING change feed of `dir` into a memory sink (fresh
+    * checkpoint → full trail) and return (id, v, type, version) rows. */
+  private def streamFeed(dir: java.nio.file.Path): Set[(Long, Double, String, Int)] = {
+    val sink = s"cdfstream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft.sources.GraftManifestSink")
+      .option("path", dir.toString).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdfstr_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table(sink)
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3))).toSet
+  }
+
+  test("layout commits (OPTIMIZE / REORG PURGE) emit nothing and do not " +
+    "wedge the streaming feed") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.lay (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('changeFeed' = 'true', 'delete.dv' = 'true')")
+    val dir = Paths.get(rootDir, "q", "lay")
+    // two small files → OPTIMIZE has something to compact
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.lay").append()
+    (6L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.lay").append()
+    spark.sql("DELETE FROM graftcdf.q.lay WHERE id = 3") // DV + recorded CDC
+    val vDel = Manifest.snapshotVersions(dir).last
+    spark.sql("REORG TABLE graftcdf.q.lay APPLY (PURGE)")
+    val vReorg = Manifest.snapshotVersions(dir).last
+    spark.sql("OPTIMIZE graftcdf.q.lay")
+    val vOpt = Manifest.snapshotVersions(dir).last
+    (11L to 12L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.lay").append()
+    val vApp = Manifest.snapshotVersions(dir).last
+    // batch: the layout commits contribute NOTHING (no exceptAll probes
+    // needed — the dataChange stamp short-circuits them)
+    assert(changes(dir, vDel, vReorg).isEmpty)
+    assert(changes(dir, vReorg, vOpt).isEmpty)
+    assert(changes(dir, vOpt, vApp) ==
+      Set((11L, 11.0, "insert", vApp), (12L, 12.0, "insert", vApp)))
+    // streaming: the full trail drains without the rewrite-without-CDC
+    // refusal (this used to permanently wedge the stream after OPTIMIZE)
+    val rows = streamFeed(dir)
+    assert(rows.count(_._3 == "insert") == 12)
+    assert(rows.filter(_._3 == "delete") == Set((3L, 3.0, "delete", vDel)))
+    assert(!rows.exists(r => r._4 == vReorg || r._4 == vOpt),
+      "layout commits must emit no change rows")
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE records commit-time CDC on " +
+    "changeFeed tables (whole-table path)") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.nmbs (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('changeFeed' = 'true')")
+    val dir = Paths.get(rootDir, "q", "nmbs")
+    (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.nmbs").append()
+    val v1 = Manifest.snapshotVersions(dir).last
+    // one commit: update id 2 (matched), insert id 20, delete every
+    // unmatched target row with id > 4 (NMBS) — only recorded CDC can
+    // attribute all three
+    Seq((2L, 200.0), (20L, 20.0)).toDF("id", "v")
+      .createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      """MERGE INTO graftcdf.q.nmbs t USING nmbs_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.id > 4 THEN DELETE""".stripMargin)
+    val v2 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v1, v2) == Set(
+      (2L, 2.0, "update_preimage", v2), (2L, 200.0, "update_postimage", v2),
+      (20L, 20.0, "insert", v2),
+      (5L, 5.0, "delete", v2), (6L, 6.0, "delete", v2)))
+    // table state agrees: 1..4 (2 updated), plus 20
+    assert(spark.table("graftcdf.q.nmbs").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 200.0), (3L, 3.0), (4L, 4.0), (20L, 20.0)))
+  }
+
+  test("autoMerge schema evolution is deferred past clause validation — " +
+    "a failing merge adds no columns") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.am (id BIGINT, v DOUBLE)")
+    (1L to 3L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.am").append()
+    Seq((1L, 9.0, 0.5)).toDF("id", "v", "score")
+      .createOrReplaceTempView("am_src")
+    spark.conf.set("spark.graft.schema.autoMerge", "true")
+    try {
+      intercept[IllegalArgumentException] {
+        spark.sql(
+          """MERGE INTO graftcdf.q.am t USING am_src s ON t.no_such_key = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(spark.table("graftcdf.q.am").columns.toSeq == Seq("id", "v"),
+        "a merge failing validation must not commit its schema evolution")
+    } finally spark.conf.set("spark.graft.schema.autoMerge", "false")
+  }
 }
