@@ -154,9 +154,97 @@ object GraftManifestSink {
         case StringType => escape(row.getUTF8String(i).toString)
         case DateType => row.getInt(i).toString // days since epoch (internal repr)
         case TimestampType => row.getLong(i).toString // micros since epoch (internal repr)
+        case org.apache.spark.sql.types.BinaryType =>
+          java.util.Base64.getEncoder.encodeToString(row.getBinary(i))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          val bos = new java.io.ByteArrayOutputStream()
+          writeArray(new java.io.DataOutputStream(bos),
+            row.getArray(i), a.elementType)
+          java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
         case dt => throw new UnsupportedOperationException(s"type $dt")
       }
     }.mkString("\t")
+
+  // --- ARRAY cell frame (base64 in the TSV cell) --------------------------
+  // [n: int4][null bitmap ceil(n/8), bit set = NULL][non-null elements in
+  // order]. Fixed-width elements write their INTERNAL binary repr exactly
+  // (IEEE 754 bits for float/double — the FLOAT tier's exact-rendering
+  // argument, per element); var-width (string/binary/decimal/nested
+  // array) are length-prefixed. Base64 keeps the cell free of tabs and
+  // backslashes, so the TSV line codec and its sparse line index are
+  // untouched.
+  private[sources] def writeArray(o: java.io.DataOutputStream,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      et: DataType): Unit = {
+    val n = arr.numElements()
+    o.writeInt(n)
+    val bm = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    o.write(bm)
+    i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) et match {
+        case IntegerType | DateType => o.writeInt(arr.getInt(i))
+        case LongType | TimestampType => o.writeLong(arr.getLong(i))
+        case org.apache.spark.sql.types.FloatType => o.writeFloat(arr.getFloat(i))
+        case DoubleType => o.writeDouble(arr.getDouble(i))
+        case BooleanType => o.writeBoolean(arr.getBoolean(i))
+        case StringType =>
+          val b = arr.getUTF8String(i).getBytes
+          o.writeInt(b.length); o.write(b)
+        case org.apache.spark.sql.types.BinaryType =>
+          val b = arr.getBinary(i)
+          o.writeInt(b.length); o.write(b)
+        case d: org.apache.spark.sql.types.DecimalType =>
+          val b = arr.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.toPlainString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          o.writeInt(b.length); o.write(b)
+        case na: org.apache.spark.sql.types.ArrayType =>
+          writeArray(o, arr.getArray(i), na.elementType)
+        case dt => throw new UnsupportedOperationException(s"array<$dt>")
+      }
+      i += 1
+    }
+  }
+
+  private[sources] def readArray(in: java.io.DataInputStream,
+      et: DataType): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = in.readInt()
+    val bm = new Array[Byte]((n + 7) / 8)
+    in.readFully(bm)
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if ((bm(i >> 3) & (1 << (i & 7))) == 0) vals(i) = et match {
+        case IntegerType | DateType => in.readInt()
+        case LongType | TimestampType => in.readLong()
+        case org.apache.spark.sql.types.FloatType => in.readFloat()
+        case DoubleType => in.readDouble()
+        case BooleanType => in.readBoolean()
+        case StringType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          UTF8String.fromBytes(b)
+        case org.apache.spark.sql.types.BinaryType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          b
+        case d: org.apache.spark.sql.types.DecimalType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)),
+            d.precision, d.scale)
+        case na: org.apache.spark.sql.types.ArrayType =>
+          readArray(in, na.elementType)
+        case dt => throw new UnsupportedOperationException(s"array<$dt>")
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
 
   /** Wanted column → physical cell index in one file (−1 = NULL-fill),
     * composing the reader's column pruning with the file's own layout
@@ -193,6 +281,12 @@ object GraftManifestSink {
           case StringType => UTF8String.fromString(unescape(raw))
           case DateType => raw.toInt
           case TimestampType => raw.toLong
+          case org.apache.spark.sql.types.BinaryType =>
+            java.util.Base64.getDecoder.decode(raw)
+          case a: org.apache.spark.sql.types.ArrayType =>
+            readArray(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(raw))), a.elementType)
           case dt => throw new UnsupportedOperationException(s"type $dt")
         }
       }
@@ -493,23 +587,34 @@ private[graft] object Manifest {
     LongType -> "long", IntegerType -> "int", DoubleType -> "double",
     org.apache.spark.sql.types.FloatType -> "float",
     BooleanType -> "boolean", StringType -> "string",
-    DateType -> "date", TimestampType -> "timestamp")
+    DateType -> "date", TimestampType -> "timestamp",
+    org.apache.spark.sql.types.BinaryType -> "binary")
   private val SimpleByName = SimpleTypeNames.map(_.swap)
   private val DecimalName = """decimal\((\d+),(\d+)\)""".r
+  private val ArrayName = """array<(.+)>""".r
 
   /** The codec's type vocabulary: the simple types plus parameterized
     * DECIMAL(p,s) — cells render as plain decimal strings, so a DECIMAL
     * round-trips exactly and a widened precision re-reads the same cells
-    * unchanged. */
+    * unchanged — plus ARRAY<elem> over any supported element type
+    * (recursively; `!` marks containsNull=false) and BINARY. Arrays and
+    * binary render as base64 frames ([[GraftManifestSink.render]]), so
+    * the engine's own lakehouse tier can hold the LLM-pipeline tables it
+    * processes: `embedding array<float>`, opaque image/audio payloads. */
   private def TypeNames(dt: DataType): String = dt match {
     case d: org.apache.spark.sql.types.DecimalType =>
       s"decimal(${d.precision},${d.scale})"
+    case a: org.apache.spark.sql.types.ArrayType =>
+      s"array<${TypeNames(a.elementType)}${if (a.containsNull) "" else "!"}>"
     case other => SimpleTypeNames.getOrElse(other,
       throw new UnsupportedOperationException(s"manifest codec: type $other"))
   }
   private def ByName(s: String): DataType = s match {
     case DecimalName(p, sc) =>
       org.apache.spark.sql.types.DecimalType(p.toInt, sc.toInt)
+    case ArrayName(inner) =>
+      org.apache.spark.sql.types.ArrayType(
+        ByName(inner.stripSuffix("!")), containsNull = !inner.endsWith("!"))
     case other => SimpleByName.getOrElse(other,
       throw new UnsupportedOperationException(s"manifest codec: type name $other"))
   }
@@ -686,7 +791,12 @@ private[graft] object Manifest {
     * COLUMN` checks before widening a schema. */
   private[sources] def supportedType(dt: DataType): Boolean =
     SimpleTypeNames.contains(dt) ||
-      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType] ||
+      (dt match {
+        case a: org.apache.spark.sql.types.ArrayType =>
+          supportedType(a.elementType)
+        case _ => false
+      })
 
   /** One entry line → [[ManifestFile]]. Field 5 is the cell map ('-' =
     * prefix layout), field 6 the deletion vector as `sidecar:count` — both

@@ -965,6 +965,33 @@ object SourceQueries extends QueryModule {
         .orderBy("tbl", "doc_id")
     }),
 
+    // ARRAY columns in a CATALOG-MANAGED table through the oracle gate:
+    // the embeddings table (embedding array<float>) lives in a manifest
+    // table — the codec's base64 frame must round-trip every IEEE 754
+    // float bit exactly, because the exact-top-k query runs over the
+    // MANAGED copy while the oracle computes the same fixed-point cosine
+    // from the RAW parquet. One lost bit anywhere in write→manifest→read
+    // changes a dot product and hash-fails the gate. This closes the
+    // round-9 north-star gap: the engine's own lakehouse tier can now
+    // hold the vector tables its LLM pipeline processes.
+    "q_embed_table" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.Scratch.dir("graft_embq_")
+      s.conf.set("spark.sql.catalog.graftemb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftemb.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftemb.q")
+      s.sql("DROP TABLE IF EXISTS graftemb.q.emb")
+      Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
+        .writeTo("graftemb.q.emb").create()
+      val emb = s.table("graftemb.q.emb")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"))
+      emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), col("pv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1035,6 +1062,14 @@ object SourceQueries extends QueryModule {
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
         |ORDER BY doc_id""".stripMargin,
+    // The managed array<float> table must reproduce the raw parquet's
+    // exact fixed-point cosine top-k — one lost float bit hash-fails.
+    "q_embed_table" ->
+      s"""WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  ${graft.llm.PortableHash.sqlDotFixed("embedding", "pv")} AS sim
+         |FROM embeddings, probe
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     // Per-source counts are per-FILE physical metadata in the fixture.
     "q_meta_files" ->
       """SELECT count(*) AS n_rows,
