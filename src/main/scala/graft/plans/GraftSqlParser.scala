@@ -137,6 +137,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ShowBranches =
     """(?is)\s*SHOW\s+BRANCHES\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
 
+  /** Immutable tag refs ([[graft.sources.Tag]]): `ALTER TABLE t CREATE
+    * TAG r [AS OF VERSION n]` pins a snapshot as the read-only table
+    * `` t@r `` — the reproducible-data-release primitive; `DROP TAG r`
+    * reaps the ref (VACUUM then collects what nothing else reaches).
+    * Spark's ALTER grammar has no TAG forms, so the regexes never shadow
+    * delegate syntax. */
+  private val CreateTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+(\w+)\s*;?\s*""".r
+  private val ShowTags =
+    """(?is)\s*SHOW\s+TAGS\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
+
   /** `REORG TABLE t APPLY (PURGE)` — Delta's statement: materialize the
     * deletion vectors by rewriting ONLY the DV-bearing files
     * ([[graft.sources.ManifestTable.reorgPurge]]). Spark's grammar has no
@@ -200,6 +213,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropBranch(target, branch) => BranchCommand(target, branch, "drop")
     case FastForward(target, branch) => BranchCommand(target, branch, "fastforward")
     case ShowBranches(target) => ShowBranchesCommand(target)
+    case CreateTag(target, tag, version) =>
+      TagCommand(target, tag, "create", Option(version).map(_.toInt))
+    case DropTag(target, tag) => TagCommand(target, tag, "drop", None)
+    case ShowTags(target) => ShowTagsCommand(target)
     case Reorg(target) => ReorgTableCommand(target)
     case _ => mergeOrDelegate(sqlText)
   }
@@ -399,6 +416,51 @@ case class BranchCommand(target: String, branch: String, action: String)
     // the catalog caches loaded tables per identifier inside Spark's own
     // V2 relation cache only per-query; nothing to invalidate here
     Seq(Row(branch, action, v))
+  }
+}
+
+/** The lowered tag statements ([[graft.sources.Tag]]): CREATE pins a
+  * snapshot (current, or `AS OF VERSION n`) as the immutable read-only
+  * table `` t@r ``, DROP reaps the ref. Reports (tag, action, version) —
+  * the pinned version on create, -1 on drop. */
+case class TagCommand(target: String, tag: String, action: String,
+    version: Option[Int])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, s"ALTER TABLE ... $action TAG")
+    import graft.sources.Tag
+    val v = action match {
+      case "create" => Tag.create(mt.dir, tag, version)
+      case "drop" => Tag.drop(mt.dir, tag); -1
+    }
+    Seq(Row(tag, action, v))
+  }
+}
+
+/** `SHOW TAGS t` — one row per tag ref: name, pinned version, live row
+  * count (metadata-only: the count reads the tag's own manifest). */
+case class ShowTagsCommand(target: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("pinned_version", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{Manifest, Tag}
+    val mt = ManifestTarget.of(spark, target, "SHOW TAGS")
+    Tag.list(mt.dir).map { t =>
+      val m = Manifest.read(Tag.tagDir(mt.dir, t))
+      Row(t,
+        m.flatMap(_.props.get(Tag.PinProp)).map(_.toInt).getOrElse(0),
+        m.map(_.entries.map(_.liveRows).sum).getOrElse(0L))
+    }
   }
 }
 
@@ -603,9 +665,13 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     // spent on publish).
     val branchManifests = graft.sources.Branch.list(root)
       .flatMap(b => Manifest.read(graft.sources.Branch.branchDir(root, b)))
+    // tag refs pin too: an immutable tag must outlive snapshot expiry —
+    // its own manifest copy is the reachability root until DROP TAG
+    val tagManifests = graft.sources.Tag.list(root)
+      .flatMap(t => Manifest.read(graft.sources.Tag.tagDir(root, t)))
     val manifests = Manifest.read(root).toSeq ++
       Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _)) ++
-      branchManifests
+      branchManifests ++ tagManifests
     val reachable: Set[String] =
       manifests.flatMap(m =>
         m.files.map(_._1) ++ m.entries.flatMap(_.dv.map(_._1)) ++

@@ -48,6 +48,9 @@ private[graft] object Branch {
     val bdir = branchDir(dir, name)
     if (Files.exists(bdir.resolve("_manifest")))
       throw new IllegalArgumentException(s"branch $name already exists")
+    if (Files.exists(Tag.tagDir(dir, name).resolve("_manifest")))
+      throw new IllegalArgumentException(
+        s"a tag named $name already exists — refs share the @ namespace")
     val m = Manifest.read(dir).getOrElse(throw new IllegalStateException(
       s"CREATE BRANCH: no manifest at $dir"))
     Files.createDirectories(bdir)
@@ -123,6 +126,94 @@ private[graft] object Branch {
         .map(_.getFileName.toString)
         .filter(_.startsWith("_branch_"))
         .map(_.stripPrefix("_branch_"))
+        .toSeq.sorted
+      finally s.close()
+    }
+}
+
+/** IMMUTABLE TAGS (Iceberg's tag refs): `ALTER TABLE t CREATE TAG r [AS OF
+  * VERSION n]` pins snapshot n (default: current) under the name `r`,
+  * readable forever as `` `t@r` `` — the reproducible-release primitive a
+  * training-data pipeline needs ("run X read tag Y"). Properties:
+  *
+  *  - metadata-only: the tag holds its OWN manifest copy under the
+  *    table's directory (`_tag_r/`), resolving data files through the
+  *    clone chain — zero data movement, and snapshot-manifest expiry
+  *    (`VACUUM … RETAIN n SNAPSHOTS`) cannot invalidate it;
+  *  - IMMUTABLE: every write surface refuses a tag target (the manifest
+  *    carries [[Tag.PinProp]]; [[ManifestTable.assertWritable]] gates
+  *    appends/overwrites/streaming, [[ManifestTable.publishReplacing]]
+  *    gates every row-level op, the catalog gates ALTER) — unlike a
+  *    branch, a tag can never diverge;
+  *  - VACUUM-pinned: tag manifests count as reachable roots, so a deep
+  *    vacuum on main keeps every tagged snapshot's files until
+  *    `DROP TAG` reaps the ref (then the ordinary unreachable-file
+  *    collection applies). */
+private[graft] object Tag {
+  /** Marks a tag manifest (value = the pinned version). Present ⇒ the
+    * directory is read-only. */
+  private[graft] val PinProp = "tagPinnedVersion"
+
+  private val NamePat = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  private[graft] def tagDir(dir: Path, name: String): Path =
+    dir.resolve(s"_tag_$name")
+
+  private def checkName(name: String): Unit =
+    if (!NamePat.matches(name)) throw new IllegalArgumentException(
+      s"tag name must be an identifier, got '$name'")
+
+  /** Pin `version` (or the current snapshot) as tag `name`. Returns the
+    * pinned version. */
+  def create(dir: Path, name: String, version: Option[Int]): Int = {
+    checkName(name)
+    val tdir = tagDir(dir, name)
+    if (Files.exists(tdir.resolve("_manifest")))
+      throw new IllegalArgumentException(s"tag $name already exists")
+    if (Files.exists(Branch.branchDir(dir, name).resolve("_manifest")))
+      throw new IllegalArgumentException(
+        s"a branch named $name already exists — refs share the @ namespace")
+    val cur = Manifest.snapshotVersions(dir).lastOption.getOrElse(0)
+    val (m, v) = version match {
+      case Some(n) =>
+        (Manifest.readSnapshot(dir, n).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TAG: snapshot $n expired or never existed at $dir")), n)
+      case None =>
+        (Manifest.read(dir).getOrElse(throw new IllegalStateException(
+          s"CREATE TAG: no manifest at $dir")), cur)
+    }
+    Files.createDirectories(tdir)
+    val props = m.props.filterNot(p =>
+        p._1 == Manifest.LastEpochProp ||
+        p._1.startsWith(Manifest.LastEpochProp + ".") ||
+        p._1 == Manifest.CdcDirProp) +
+      (Manifest.CloneSourceProp -> dir.toAbsolutePath.toString) +
+      (PinProp -> v.toString)
+    Manifest.write(tdir, Manifest(m.schema, m.entries, props, m.segments))
+    v
+  }
+
+  def drop(dir: Path, name: String): Unit = {
+    checkName(name)
+    val tdir = tagDir(dir, name)
+    if (!Files.exists(tdir.resolve("_manifest")))
+      throw new IllegalArgumentException(s"no tag $name at $dir")
+    val walk = Files.walk(tdir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  /** Tags of `dir`, by name. */
+  def list(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("_tag_"))
+        .map(_.stripPrefix("_tag_"))
         .toSeq.sorted
       finally s.close()
     }

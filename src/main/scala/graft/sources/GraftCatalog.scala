@@ -155,7 +155,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * is unambiguous. */
   private def tableDir(ident: Identifier): Path =
     ident.name().split("@") match {
-      case Array(t, b) => Branch.branchDir(nsDir(ident.namespace()).resolve(t), b)
+      case Array(t, b) =>
+        val base = nsDir(ident.namespace()).resolve(t)
+        val bdir = Branch.branchDir(base, b)
+        // `@` refs share one namespace: a branch if one exists, else an
+        // immutable tag ([[Tag]] — `t@r` reads the pinned snapshot);
+        // neither existing falls through to the branch dir so the caller
+        // raises the ordinary no-such-table error
+        if (!Files.exists(bdir.resolve("_manifest")) &&
+            Files.exists(Tag.tagDir(base, b).resolve("_manifest")))
+          Tag.tagDir(base, b)
+        else bdir
       case _ => nsDir(ident.namespace()).resolve(ident.name())
     }
 
@@ -333,6 +343,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // is never un-published
     ManifestLock.withLock(tableDir(ident)) {
     val dir = tableDir(ident)
+    ManifestTable.assertWritable(dir, "ALTER TABLE")
     val m = Manifest.read(dir).getOrElse(throw new NoSuchTableException(ident))
     // every change folds over the WHOLE manifest (schema + entries +
     // props) and publishes in one atomic swap. SET/UNSET TBLPROPERTIES

@@ -1212,8 +1212,10 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
           .entries.map(_.name).toSet
       })
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    ManifestTable.assertWritable(dir, "write")
     new ManifestWriteBuilder(dir, info.schema(), info.queryId())
+  }
 
   /** DELETE in two tiers (the Iceberg/Delta split): the zone maps classify
     * every file as PROVABLY all-matching (range entirely inside the
@@ -1245,6 +1247,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     ManifestTable.withConflictRetry("DELETE") {
+    ManifestTable.assertWritable(dir, "DELETE")
     // ONE manifest read for the whole compound decision — schema, entries
     // and props must come from the same published version
     val m = Manifest.read(dir).getOrElse(Manifest(writeSchema, Seq.empty))
@@ -1618,9 +1621,20 @@ private[graft] object ManifestTable {
       Map(Manifest.CdcDirProp -> name)
     }
 
+  /** Refuse any mutation of an IMMUTABLE TAG directory ([[Tag]]): the
+    * pinned manifest carries [[Tag.PinProp]], and a tag must never
+    * diverge — that is the whole reproducible-release contract. */
+  private[graft] def assertWritable(dir: Path, op: String): Unit =
+    Manifest.read(dir).flatMap(_.props.get(Tag.PinProp)).foreach { v =>
+      throw new UnsupportedOperationException(
+        s"$op: $dir is an immutable TAG (pinned at version $v) — tags " +
+          "never change; write to the table itself, or DROP TAG first")
+    }
+
   private[graft] def publishReplacing(dir: Path, base: Manifest,
       replaced: Seq[String], rewritten: Seq[ManifestFile],
       extraProps: Map[String, String] = Map.empty): Unit = {
+    assertWritable(dir, "commit")
     val gone = replaced.toSet
     // optimistic CONFLICT DETECTION (the Delta ConcurrentDeleteRead rule):
     // the op computed its rewrite against `base`; if any file it replaces
@@ -1665,6 +1679,7 @@ private[graft] object ManifestTable {
   private[graft] def updateWhere(dir: Path, sets: Seq[(String, String)],
       whereSql: Option[String]): Unit = withConflictRetry("UPDATE") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    assertWritable(dir, "UPDATE")
     val spark = org.apache.spark.sql.SparkSession.active
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"UPDATE: no manifest at $dir"))
@@ -1881,6 +1896,7 @@ private[graft] object ManifestTable {
       zorderBy: Option[Seq[String]] = None,
       whereSql: Option[String] = None): (Int, Int) = withConflictRetry("OPTIMIZE") {
     import org.apache.spark.sql.functions.{col, expr}
+    assertWritable(dir, "OPTIMIZE")
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))
     // `OPTIMIZE … WHERE pred` scopes the rewrite to the FILES the zone
@@ -1938,6 +1954,7 @@ private[graft] object ManifestTable {
     * the vectored originals, so time travel still reads through the DVs
     * until VACUUM reaps them. Returns (files_purged, files_rewritten). */
   private[graft] def reorgPurge(dir: Path): (Int, Int) = withConflictRetry("REORG") {
+    assertWritable(dir, "REORG")
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"REORG: no manifest at $dir"))
     val vectored = m.entries.filter(_.dv.isDefined)
@@ -1997,7 +2014,8 @@ private[graft] object ManifestTable {
     * watermark stays MONOTONE: restoring data must not re-open the door to
     * replayed epochs, so the higher of (current, snapshot) lastEpoch
     * survives. Returns (files, rows) of the restored state. */
-  private[graft] def restore(dir: Path, version: Int): (Int, Long) =
+  private[graft] def restore(dir: Path, version: Int): (Int, Long) = {
+    assertWritable(dir, "RESTORE")
     ManifestLock.withLock(dir) {
       val snap = Manifest.readSnapshot(dir, version).getOrElse(
         throw new IllegalArgumentException(
@@ -2021,6 +2039,7 @@ private[graft] object ManifestTable {
       Manifest.write(dir, Manifest(snap.schema, snap.entries, props))
       (snap.entries.length, snap.entries.map(_.liveRows).sum)
     }
+  }
 
   private[sources] def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {

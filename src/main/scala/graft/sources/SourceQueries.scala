@@ -965,6 +965,32 @@ object SourceQueries extends QueryModule {
         .orderBy("tbl", "doc_id")
     }),
 
+    // IMMUTABLE TAGS through the oracle gate (the reproducible-release
+    // primitive): documents land in a catalog table, `CREATE TAG rel`
+    // pins the snapshot, then the table DIVERGES — an append of derived
+    // rows AND a row-level DELETE. Reading `t@rel` must replay EXACTLY
+    // the pre-divergence state the oracle derives from the raw parquet —
+    // a tag that leaks later writes, loses a pinned row, or reads through
+    // the delete hash-fails. (Immutability itself is TagSpec's contract.)
+    "q_tag_read" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_tagq_")
+      s.conf.set("spark.sql.catalog.grafttagq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grafttagq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS grafttagq.q")
+      s.sql("DROP TABLE IF EXISTS grafttagq.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.writeTo("grafttagq.q.docs").create()
+      s.sql("ALTER TABLE grafttagq.q.docs CREATE TAG rel")
+      // the table moves on; the tag must not
+      docs.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("lang"),
+          col("source"), (col("n_chars") * 3).as("n_chars"))
+        .writeTo("grafttagq.q.docs").append()
+      s.sql("DELETE FROM grafttagq.q.docs WHERE lang = 'en' AND n_chars < 200")
+      s.table("grafttagq.q.`docs@rel`").orderBy("doc_id")
+    }),
+
     // ARRAY columns in a CATALOG-MANAGED table through the oracle gate:
     // the embeddings table (embedding array<float>) lives in a manifest
     // table — the codec's base64 frame must round-trip every IEEE 754
@@ -1061,6 +1087,11 @@ object SourceQueries extends QueryModule {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT (lang = 'en' AND n_chars < 250)
         |  AND NOT (source = 'src7' AND n_chars > 300)
+        |ORDER BY doc_id""".stripMargin,
+    // The tag pins the PRE-divergence snapshot: the plain documents
+    // projection, untouched by the later append and delete.
+    "q_tag_read" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // The managed array<float> table must reproduce the raw parquet's
     // exact fixed-point cosine top-k — one lost float bit hash-fails.
