@@ -272,28 +272,43 @@ object MaterializedView {
       current.forall { case (d, v) => recorded(d) == v })
       return ("noop", spark.table(target).count())
 
-    // append-only window on the ONE changed source: its recorded snapshot
-    // still exists and every entry of it survives byte-identically in the
-    // current manifest; every other source is byte-for-byte the version
-    // the stored result was computed from
+    // append-only window on EVERY changed source: each one's recorded
+    // snapshot still exists and every entry of it survives byte-identically
+    // in the current manifest; every unchanged source is byte-for-byte the
+    // version the stored result was computed from. An inner join is
+    // delta-linear in EACH input, so for K changed sources the delta is
+    // the inclusion–exclusion expansion — e.g. two changed sides of F⋈D:
+    //   J(F∪Δ₁, D∪Δ₂) − J(F, D) = J(Δ₁, D) ∪ J(F, Δ₂) ∪ J(Δ₁, Δ₂)
+    // — one pinned term per nonempty subset of the changed set (2ᴷ−1
+    // terms; each term joins at least one added-files-only scan, so the
+    // cost is delta-sized, never a rescan of the 100 TB base). K is
+    // capped: past 3 changed sources the 2ᴷ−1 fan-out stops paying for
+    // itself against one recompute.
+    /** (v0, v1, added file names) when `d`'s window is append-only. */
+    def appendWindow(d: String): Option[(Int, Int, Seq[String])] = {
+      val p = java.nio.file.Paths.get(d)
+      for {
+        m1 <- Manifest.read(p)
+        v0 = recorded(d)
+        m0 <- if (v0 == 0) Some(Manifest(m1.schema, Seq.empty))
+              else Manifest.readSnapshot(p, v0)
+        oldKeys = m0.entries.map(entryKey).toSet
+        if oldKeys.subsetOf(m1.entries.map(entryKey).toSet)
+      } yield (v0, current.toMap.apply(d),
+        m1.entries.filterNot(e => oldKeys(entryKey(e))).map(_.name))
+    }
     val incremental: Option[DataFrame] = for {
       cols <- decompose(analyzed)
       if recorded.keySet == current.map(_._1).toSet
-      changed = current.filter { case (d, v) => recorded(d) != v }
-      if changed.length == 1
-      (changedDir, v1) = changed.head
-      // the changed dir must feed exactly ONE relation: a self-join's delta
-      // is not linear in its input (Δ⋈Δ cross terms), so it recomputes
-      if dirs.count(_ == changedDir) == 1
-      v0 = recorded(changedDir)
-      changedPath = java.nio.file.Paths.get(changedDir)
-      m1 <- Manifest.read(changedPath)
-      m0 <- if (v0 == 0) Some(Manifest(m1.schema, Seq.empty))
-            else Manifest.readSnapshot(changedPath, v0)
-      oldKeys = m0.entries.map(entryKey).toSet
-      curKeys = m1.entries.map(entryKey).toSet
-      if oldKeys.subsetOf(curKeys)
-      added = m1.entries.filterNot(e => oldKeys(entryKey(e)))
+      changed = current.collect { case (d, v) if recorded(d) != v => d }
+      if changed.nonEmpty && changed.length <= 3
+      // each changed dir must feed exactly ONE relation: a self-join's
+      // delta is not linear in its input (Δ⋈Δ cross terms), so it recomputes
+      if changed.forall(d => dirs.count(_ == d) == 1)
+      windows <- changed.foldLeft(
+          Option(Map.empty[String, (Int, Int, Seq[String])])) { (acc, d) =>
+        acc.flatMap(m => appendWindow(d).map(w => m + (d -> w)))
+      }
       // the stored result, PINNED to its newest archived snapshot: the
       // truncate-overwrite below swaps the manifest, but the pinned scan
       // resolved its file list against the immutable archived version and
@@ -302,11 +317,19 @@ object MaterializedView {
       mvSnap <- Manifest.snapshotVersions(mvDir).lastOption
       oldMv = spark.read.format("graft.sources.GraftManifestSink")
         .option("path", mvDir.toString).option("snapshot", mvSnap.toString).load()
-      delta = pinned(spark, analyzed,
-        current.map { case (d, v) =>
-          if (d == changedDir) d -> ((Some(v1), Some(added.map(_.name))))
-          else d -> ((Some(v).filter(_ > 0), None))
+      terms = changed.toSet.subsets().filter(_.nonEmpty).map { subset =>
+        pinned(spark, analyzed, current.map { case (d, v) =>
+          windows.get(d) match {
+            case Some((_, v1, added)) if subset(d) =>
+              d -> ((Some(v1), Some(added)))         // this term's Δ side
+            case Some((v0, _, _)) =>                  // changed, but the
+              if (v0 > 0) d -> ((Some(v0), None))     // OLD state this term
+              else d -> ((None, Some(Seq.empty[String]))) // (empty at create)
+            case None => d -> ((Some(v).filter(_ > 0), None)) // unchanged
+          }
         }.toMap)
+      }.toSeq
+      delta = terms.reduce(_.unionByName(_))
     } yield merge(oldMv, delta, cols)
 
     val (mode, result) = incremental match {

@@ -702,6 +702,49 @@ object SourceQueries extends QueryModule {
       s.table("graftmvj.q.mv").orderBy("tier")
     }),
 
+    // TWO-SOURCE incremental MV maintenance through the oracle gate
+    // (r10): BOTH the fact AND the dim append between refreshes — the
+    // inclusion–exclusion delta (Δf⋈D ∪ F⋈Δd ∪ Δf⋈Δd) must cover every
+    // cross term, notably the new dim rows re-matching OLD fact rows that
+    // had no match at create time. The refresh asserts the incremental
+    // path; the oracle recomputes the whole join-aggregate from scratch
+    // in DuckDB, so a missing delta term (the classic
+    // forgot-the-cross-product bug) hash-fails the gate.
+    "q_mv_incremental_2src" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val root = graft.Scratch.dir("graft_mv2q_")
+      s.conf.set("spark.sql.catalog.graftmv2", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmv2.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmv2.q")
+      s.sql("DROP TABLE IF EXISTS graftmv2.q.fact")
+      s.sql("DROP TABLE IF EXISTS graftmv2.q.dim")
+      s.sql("DROP TABLE IF EXISTS graftmv2.q.mv")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      val dim = docs.select(col("source")).distinct()
+        .withColumn("tier",
+          expr("concat('tier', cast(cast(substring(source, 4) as int) % 3 as string))"))
+      // create-time: HALF the dims, two-thirds of the facts — so the
+      // held-back fact rows reference dims that do not exist yet
+      dim.filter(expr("cast(substring(source, 4) as int) % 2 = 0"))
+        .writeTo("graftmv2.q.dim").create()
+      docs.filter(col("doc_id") % 3 =!= 0).writeTo("graftmv2.q.fact").create()
+      s.sql(
+        """CREATE MATERIALIZED VIEW graftmv2.q.mv AS
+          |SELECT tier, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  max(doc_id) AS max_id
+          |FROM graftmv2.q.fact JOIN graftmv2.q.dim USING (source)
+          |GROUP BY tier""".stripMargin)
+      // BOTH sides move: the rest of the dims (re-matching old facts) and
+      // the rest of the facts (matching old and new dims)
+      dim.filter(expr("cast(substring(source, 4) as int) % 2 = 1"))
+        .writeTo("graftmv2.q.dim").append()
+      docs.filter(col("doc_id") % 3 === 0).writeTo("graftmv2.q.fact").append()
+      val Array(r) = s.sql("REFRESH MATERIALIZED VIEW graftmv2.q.mv").collect()
+      assert(r.getString(0) == "incremental",
+        s"two-source append refresh must take the incremental path, got $r")
+      s.table("graftmv2.q.mv").orderBy("tier")
+    }),
+
     // TRANSPARENT MV REWRITING through the oracle gate: after
     // MvRewrite.register, the SAME aggregate query plans from the STORED
     // view (MvRewriteSpec pins the substitution); the oracle recomputes
@@ -1271,6 +1314,16 @@ object SourceQueries extends QueryModule {
     // parquet (dim derived from the same sources) — a wrong delta join or
     // partial fold hash-fails.
     "q_mv_incremental_join" ->
+      """SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
+        |FROM (SELECT doc_id, n_chars,
+        |        'tier' || CAST(CAST(SUBSTR(source, 4) AS INT) % 3 AS VARCHAR) AS tier
+        |      FROM documents)
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    // The two-source refreshed MV, recomputed from scratch — after both
+    // appends the dim is COMPLETE, so the join-aggregate equals the plain
+    // derived-tier aggregate over all documents.
+    "q_mv_incremental_2src" ->
       """SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
         |FROM (SELECT doc_id, n_chars,

@@ -136,20 +136,55 @@ class MaterializedViewSpec extends SparkSuite {
     val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
     assert(r2.getString(0) == "noop")
 
-    // a DIM change (even an append) cannot refresh incrementally — new dim
-    // rows re-match OLD fact rows the delta never reads
+    // BOTH sides appended (r10): the inclusion–exclusion expansion
+    // Δf⋈D ∪ F⋈Δd ∪ Δf⋈Δd covers every cross term — the new dim row must
+    // pick up the OLD fact rows it matches ("d" matches nothing old here,
+    // but "g2"-group folding exercises F⋈Δd) and the new fact row joins
+    // the new dim row through Δf⋈Δd
     Seq(("d", "g2")).toDF("k", "grp").coalesce(1).writeTo("graftmv.q.d").append()
     Seq(("d", 100L)).toDF("k", "v").coalesce(1).writeTo("graftmv.q.fact").append()
     val Array(r3) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
-    assert(r3.getString(0) == "full", s"expected full, got $r3")
+    assert(r3.getString(0) == "incremental", s"expected incremental, got $r3")
     assert(spark.table("graftmv.q.mvfj").collect().toSet == recompute(q))
 
-    // fact-only growth resumes incrementally after the full refresh
+    // fact-only growth still refreshes incrementally
     Seq(("d", 7L), ("b", 3L)).toDF("k", "v").coalesce(1)
       .writeTo("graftmv.q.fact").append()
     val Array(r4) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvfj").collect()
     assert(r4.getString(0) == "incremental", s"expected incremental, got $r4")
     assert(spark.table("graftmv.q.mvfj").collect().toSet == recompute(q))
+  }
+
+  test("two-source append window: new dim rows re-match OLD fact rows " +
+    "through the F⋈Δ cross term") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.f2 (k STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graftmv.q.d2 (k STRING, grp STRING)")
+    Seq(("a", "g1")).toDF("k", "grp").coalesce(1).writeTo("graftmv.q.d2").append()
+    // "b" has NO dim match at create time
+    Seq(("a", 1L), ("b", 2L), ("b", 4L)).toDF("k", "v").coalesce(1)
+      .writeTo("graftmv.q.f2").append()
+    val q = """SELECT grp, count(*) AS cnt, sum(v) AS sv
+              |FROM graftmv.q.f2 JOIN graftmv.q.d2 USING (k)
+              |GROUP BY grp""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mv2s AS $q")
+    assert(spark.table("graftmv.q.mv2s").collect().toSet == recompute(q))
+    // the new dim row RESURRECTS the old unmatched fact rows (F⋈Δd), the
+    // new fact rows join old and new dims (Δf⋈D, Δf⋈Δd) — a delta missing
+    // any term diverges from the recompute
+    Seq(("b", "g2"), ("c", "g1")).toDF("k", "grp").coalesce(1)
+      .writeTo("graftmv.q.d2").append()
+    Seq(("a", 10L), ("b", 20L), ("c", 30L)).toDF("k", "v").coalesce(1)
+      .writeTo("graftmv.q.f2").append()
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv2s").collect()
+    assert(r.getString(0) == "incremental", s"expected incremental, got $r")
+    assert(spark.table("graftmv.q.mv2s").collect().toSet == recompute(q))
+    // a rewrite in either window (DELETE) still falls back to full
+    spark.sql("DELETE FROM graftmv.q.f2 WHERE k = 'a' AND v = 1")
+    Seq(("d", "g2")).toDF("k", "grp").coalesce(1).writeTo("graftmv.q.d2").append()
+    val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv2s").collect()
+    assert(r2.getString(0) == "full", s"expected full, got $r2")
+    assert(spark.table("graftmv.q.mv2s").collect().toSet == recompute(q))
   }
 
   test("an OUTER-join MV always refreshes full (delta is not linear)") {
@@ -170,7 +205,8 @@ class MaterializedViewSpec extends SparkSuite {
     assert(spark.table("graftmv.q.mvoj").collect().toSet == recompute(q))
   }
 
-  test("a JOIN materialized view creates and refreshes as a FULL-refresh MV") {
+  test("a JOIN materialized view refreshes incrementally when both sides " +
+    "append, and stays right") {
     rootDir
     spark.sql("CREATE TABLE graftmv.q.f (k STRING, v BIGINT)")
     spark.sql("CREATE TABLE graftmv.q.dim (k STRING, grp STRING)")
@@ -180,11 +216,12 @@ class MaterializedViewSpec extends SparkSuite {
               |FROM graftmv.q.f JOIN graftmv.q.dim USING (k) GROUP BY grp""".stripMargin
     spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mvj AS $q")
     assert(spark.table("graftmv.q.mvj").collect().toSet == recompute(q))
-    // both sides change; the multi-source MV always recomputes — and stays right
+    // both sides append: the r10 inclusion–exclusion delta fires — and
+    // stays right
     Seq(("a", 10L), ("c", 5L)).toDF("k", "v").writeTo("graftmv.q.f").append()
     Seq(("c", "g1")).toDF("k", "grp").writeTo("graftmv.q.dim").append()
     val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mvj").collect()
-    assert(r.getString(0) == "full")
+    assert(r.getString(0) == "incremental", s"expected incremental, got $r")
     assert(spark.table("graftmv.q.mvj").collect().toSet == recompute(q))
   }
 }
