@@ -581,6 +581,49 @@ object SourceQueries extends QueryModule {
         .orderBy("_change_type", "doc_id")
     }),
 
+    // MIXED-COMMIT CDF WITHOUT THE CHANGE FEED through the oracle gate
+    // (r10): a table with a DECLARED ROW KEY (TBLPROPERTIES
+    // ('key'='doc_id')) but NO recorded CDC takes ONE mixed MERGE
+    // (updates + inserts in the same commit) — the read-time diff
+    // anti/semi-joins its two exceptAll sides on the key, so attribution
+    // is exact: both images for updated keys, plain inserts for fresh
+    // keys. The oracle derives the same three row sets from the raw
+    // parquet, so a misattributed insert (the pre-r10 approximation
+    // surfaced it as update_postimage) hash-fails.
+    "q_table_changes_mixed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val scat = stageMergeBases(s, d)
+      val root = graft.Scratch.dir("graft_cdfx_")
+      s.conf.set("spark.sql.catalog.graftcdfx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcdfx.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcdfx.q")
+      s.sql("DROP TABLE IF EXISTS graftcdfx.q.docs")
+      s.sql(s"CREATE TABLE graftcdfx.q.docs SHALLOW CLONE $scat.q.docs")
+      s.sql("ALTER TABLE graftcdfx.q.docs SET TBLPROPERTIES ('key' = 'doc_id')")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      val dir = s.table("graftcdfx.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val fromV = Manifest.snapshotVersions(dir).last
+      docs.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+          (col("n_chars") + 10000).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("source"), (col("n_chars") + 1).as("n_chars")))
+        .createOrReplaceTempView("cdfx_src")
+      s.sql(
+        """MERGE INTO graftcdfx.q.docs t USING cdfx_src s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val toV = Manifest.snapshotVersions(dir).last
+      ManifestTable.changes(s, dir, fromV, toV)
+        .select("doc_id", "lang", "source", "n_chars", "_change_type")
+        .orderBy("_change_type", "doc_id")
+    }),
+
     // Partitioned managed table through the oracle gate: CREATE TABLE …
     // PARTITIONED BY (source) persists the clustering contract, the CTAS
     // append range-clusters rows by source (RequiresDistributionAndOrdering
@@ -803,6 +846,50 @@ object SourceQueries extends QueryModule {
       val plan = out.queryExecution.optimizedPlan.toString
       assert(plan.contains("q.mv"), s"the coarse grain must roll up from the MV:\n$plan")
       assert(!plan.contains("q.docs"), "the rollup must not scan the source")
+      out
+    }),
+
+    // ROLLUP REWRITING OVER A JOIN MV through the oracle gate (r10): the
+    // MV stores the FINE grain (tier, lang) of fact⋈dim; the declared
+    // query asks the COARSE grain (tier) over the SAME join — the C143
+    // grain-subset fold composing with the C142 canonically-equal
+    // inner-join admission (the warehouse-standard daily-MV-answers-
+    // monthly case). The plan asserts MV-only (neither fact nor dim
+    // scanned); the oracle recomputes the coarse join-aggregate from
+    // scratch in DuckDB, so a wrong fold or a stale serve hash-fails.
+    "q_mv_rewrite_join_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val root = graft.Scratch.dir("graft_mvjrq_")
+      s.conf.set("spark.sql.catalog.graftmvjr", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmvjr.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmvjr.q")
+      s.sql("DROP TABLE IF EXISTS graftmvjr.q.mv")
+      s.sql("DROP TABLE IF EXISTS graftmvjr.q.fact")
+      s.sql("DROP TABLE IF EXISTS graftmvjr.q.dim")
+      graft.plans.MvRewrite.unregister("graftmvjr.q.mv") // re-invokable
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "lang", "n_chars")
+      docs.select(col("source")).distinct()
+        .withColumn("tier",
+          expr("concat('tier', cast(cast(substring(source, 4) as int) % 3 as string))"))
+        .writeTo("graftmvjr.q.dim").create()
+      docs.writeTo("graftmvjr.q.fact").create()
+      s.sql(
+        """CREATE MATERIALIZED VIEW graftmvjr.q.mv AS
+          |SELECT tier, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  max(doc_id) AS max_id, count(n_chars) AS n_chars_cnt
+          |FROM graftmvjr.q.fact JOIN graftmvjr.q.dim USING (source)
+          |GROUP BY tier, lang""".stripMargin)
+      graft.plans.MvRewrite.register(s, "graftmvjr.q.mv")
+      val out = s.sql(
+        """SELECT tier, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  max(doc_id) AS max_id, avg(n_chars) AS avg_chars
+          |FROM graftmvjr.q.fact JOIN graftmvjr.q.dim USING (source)
+          |GROUP BY tier ORDER BY tier""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("q.mv"),
+        s"the coarse grain must roll up from the join MV:\n$plan")
+      assert(!plan.contains("q.fact") && !plan.contains("q.dim"),
+        "the join rollup must scan neither join input")
       out
     }),
 
@@ -1320,6 +1407,16 @@ object SourceQueries extends QueryModule {
         |        'tier' || CAST(CAST(SUBSTR(source, 4) AS INT) % 3 AS VARCHAR) AS tier
         |      FROM documents)
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    // The coarse join-aggregate recomputed from scratch (dim derived from
+    // the sources) — a wrong MV fold or a stale serve hash-fails.
+    "q_mv_rewrite_join_rollup" ->
+      """SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
+        |FROM (SELECT doc_id, n_chars,
+        |        'tier' || CAST(CAST(SUBSTR(source, 4) AS INT) % 3 AS VARCHAR) AS tier
+        |      FROM documents)
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     // The two-source refreshed MV, recomputed from scratch — after both
     // appends the dim is COMPLETE, so the join-aggregate equals the plain
     // derived-tier aggregate over all documents.
@@ -1353,6 +1450,20 @@ object SourceQueries extends QueryModule {
     // a carried row leaking through the diff, or a wrong image, hash-fails.
     // The recorded mixed-commit feed: exact per-clause attribution.
     "q_table_changes_merge" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       'update_preimage' AS _change_type
+        |FROM documents WHERE doc_id % 10 = 2
+        |UNION ALL
+        |SELECT doc_id, 'xx', source, n_chars + 10000, 'update_postimage'
+        |FROM documents WHERE doc_id % 10 = 2
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, source, n_chars + 1, 'insert'
+        |FROM documents WHERE doc_id % 10 = 5
+        |ORDER BY _change_type, doc_id""".stripMargin,
+    // The same mixed commit attributed by the DECLARED KEY (no recorded
+    // CDC): key anti/semi joins on the delta sides must reproduce the
+    // exact per-clause attribution.
+    "q_table_changes_mixed" ->
       """SELECT doc_id, lang, source, n_chars,
         |       'update_preimage' AS _change_type
         |FROM documents WHERE doc_id % 10 = 2

@@ -144,6 +144,56 @@ class MvRewriteSpec extends SparkSuite {
     } finally MvRewrite.unregister("graftmvr.q.mvr")
   }
 
+  test("rollup over a JOIN MV: the fine-grain fact⋈dim MV answers the " +
+    "coarse grain; staleness and non-subset stay untouched") {
+    rootDir
+    spark.sql("CREATE TABLE graftmvr.q.jf (k STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graftmvr.q.jd (k STRING, grp STRING, sub STRING)")
+    Seq(("a", "g1", "x"), ("b", "g2", "y"), ("c", "g1", "z"))
+      .toDF("k", "grp", "sub").writeTo("graftmvr.q.jd").append()
+    (1L to 300L).map(i => (s"${('a' + (i % 3).toInt).toChar}", i * 2L))
+      .toDF("k", "v").writeTo("graftmvr.q.jf").append()
+    // fine-grain JOIN MV: keys (grp, sub) over fact⋈dim
+    val mvQ = """SELECT grp, sub, count(*) AS cnt, sum(v) AS sv, max(v) AS mx
+                |FROM graftmvr.q.jf JOIN graftmvr.q.jd USING (k)
+                |GROUP BY grp, sub""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmvr.q.mvjr AS $mvQ")
+    MvRewrite.register(spark, "graftmvr.q.mvjr")
+    try {
+      // the coarse grain folds from the stored join result — the C142
+      // (canonically-equal inner-join input) admission composing with the
+      // C143 grain-subset matcher
+      val roll = """SELECT grp, count(*) AS c, sum(v) AS s, max(v) AS hi
+                   |FROM graftmvr.q.jf JOIN graftmvr.q.jd USING (k)
+                   |GROUP BY grp""".stripMargin
+      val expected = {
+        MvRewrite.unregister("graftmvr.q.mvjr")
+        try spark.sql(roll).collect().toSet
+        finally MvRewrite.register(spark, "graftmvr.q.mvjr")
+      }
+      assert(plansFromMv(roll), "join rollup must plan from the stored MV")
+      assert(!spark.sql(roll).queryExecution.optimizedPlan.toString.contains("q.jf"),
+        "join rollup must not rescan the fact")
+      assert(spark.sql(roll).collect().toSet == expected)
+      // non-subset: grouping by a non-key aborts the rollup
+      assert(!plansFromMv(
+        """SELECT k, count(*) AS c FROM graftmvr.q.jf JOIN graftmvr.q.jd
+          |USING (k) GROUP BY k""".stripMargin))
+      // a DIFFERENT join input (filtered fact) is untouched
+      assert(!plansFromMv(
+        """SELECT grp, count(*) AS c FROM graftmvr.q.jf JOIN graftmvr.q.jd
+          |USING (k) WHERE v > 100 GROUP BY grp""".stripMargin))
+      // staleness: EITHER side moving kills the rewrite (dim append here)
+      Seq(("d", "g2", "w")).toDF("k", "grp", "sub")
+        .writeTo("graftmvr.q.jd").append()
+      assert(!plansFromMv(roll), "a stale join MV must not serve rollups")
+      assert(spark.sql(roll).collect().toSet == expected) // d matches no fact
+      spark.sql("REFRESH MATERIALIZED VIEW graftmvr.q.mvjr")
+      assert(plansFromMv(roll), "a refreshed join MV must serve again")
+      assert(spark.sql(roll).collect().toSet == expected)
+    } finally MvRewrite.unregister("graftmvr.q.mvjr")
+  }
+
   test("re-registration and equal-definition MVs don't poison the registry") {
     rootDir
     spark.sql("CREATE TABLE graftmvr.q.docs2 (doc_id BIGINT, source STRING, n_chars BIGINT)")

@@ -236,6 +236,31 @@ class ChangeFeedSpec extends SparkSuite {
       Seq((1L, 1.0), (2L, 200.0), (3L, 3.0), (4L, 4.0), (20L, 20.0)))
   }
 
+  test("a declared row key makes mixed-commit attribution exact without " +
+    "recorded CDC — updates, inserts AND deletes in one commit") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.keyed (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    val dir = Paths.get(rootDir, "q", "keyed")
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.keyed").append()
+    val v1 = Manifest.snapshotVersions(dir).last
+    // ONE commit mixing all three shapes via MERGE: update id 3, insert
+    // id 30, delete id 7 — no change feed, only the key prop
+    Seq((3L, 300.0, "U"), (30L, 30.0, "I"), (7L, 0.0, "D"))
+      .toDF("id", "v", "op").createOrReplaceTempView("keyed_src")
+    spark.sql(
+      """MERGE INTO graftcdf.q.keyed t USING keyed_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val v2 = Manifest.snapshotVersions(dir).last
+    assert(changes(dir, v1, v2) == Set(
+      (3L, 3.0, "update_preimage", v2), (3L, 300.0, "update_postimage", v2),
+      (30L, 30.0, "insert", v2),
+      (7L, 7.0, "delete", v2)))
+  }
+
   test("autoMerge schema evolution is deferred past clause validation — " +
     "a failing merge adds no columns") {
     rootDir
