@@ -54,7 +54,17 @@ object Plans {
     "q_join_spj" -> "storage-partitioned join: co-bucketed manifest scans under KeyGroupedPartitioning — SortMergeJoin with NO exchange on either side",
     "q_text_bm25" -> "BM25: query-term-filtered postings aggregate + broadcast df/stats, fixed-point per-doc sum",
     "q_search_hybrid" -> "hybrid retrieval: bounded top-50 per ranker (TakeOrdered), 50x50 full-outer RRF fusion",
-    "q_dedup_url" -> "URL canonicalization dedup: per-row codegen regex chain, grouped count on canonical keys only")
+    "q_dedup_url" -> "URL canonicalization dedup: per-row codegen regex chain, grouped count on canonical keys only",
+    "q_meta_files" -> "metadata table `docs$files`: per-file physical metadata, zero data-file scans",
+    "q_reorg_purge" -> "REORG APPLY (PURGE): DV materialization scoped to vector-bearing files; untouched files keep their names",
+    "q_table_changes_merge" -> "commit-time CDC replay: the recorded _cdc_ sub-table scanned directly, no diff jobs",
+    "q_table_changes_mixed" -> "key-exact mixed-commit CDF: exceptAll delta sides attributed by key anti/semi joins",
+    "q_text_ngram_lm" -> "unigram-LM cross-entropy: map-side-combined LM broadcast back, per-row HOF scoring",
+    "q_sample_temperature" -> "temperature mixture: |sources|-row mass aggregate, alpha-scaled thresholds broadcast, scan-side hash filter",
+    "q_embed_table" -> "managed array<float> table: base64-frame codec scan + broadcast probe + fixed-point dot + top-k heap",
+    "q_tag_read" -> "immutable tag read: the pinned _tag_ manifest resolves files through the clone chain, plain scan",
+    "q_mv_incremental_2src" -> "two-source MV refresh: inclusion-exclusion delta union (Δf⋈D ∪ F⋈Δd ∪ Δf⋈Δd) folded into the stored MV",
+    "q_mv_rewrite_join_rollup" -> "join-MV rollup: coarse grain re-aggregates the |groups|-row MV; neither join input scanned")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
