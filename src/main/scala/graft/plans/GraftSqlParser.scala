@@ -150,6 +150,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
 
+  /** `DELETE FROM t WHERE pred` with a predicate the v1 Filter dialect
+    * cannot express (`id % 3 = 0`, function-of-column shapes): Spark's
+    * native DSv2 DELETE refuses such predicates outright
+    * (`cannotDeleteTableWhereFiltersError`), so the parser lowers them to
+    * the expression tier ([[graft.sources.ManifestTable.deleteWhereSql]]).
+    * Translatable predicates (and bare DELETE FROM t) DELEGATE — Spark's
+    * own path drives the same deleteWhere with its metadata-only drop
+    * tier, and non-manifest targets keep their native behavior. */
+  private val DeleteStmt =
+    """(?is)\s*DELETE\s+FROM\s+((?:[\w.]+|`[^`]+`)+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+
   /** `REORG TABLE t APPLY (PURGE)` — Delta's statement: materialize the
     * deletion vectors by rewriting ONLY the DV-bearing files
     * ([[graft.sources.ManifestTable.reorgPurge]]). Spark's grammar has no
@@ -218,6 +229,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropTag(target, tag) => TagCommand(target, tag, "drop", None)
     case ShowTags(target) => ShowTagsCommand(target)
     case Reorg(target) => ReorgTableCommand(target)
+    case DeleteStmt(target, where) if where.count(_ == '\'') % 2 == 0 &&
+        (try {
+          import graft.sources.ManifestTable
+          !ManifestTable.conjuncts(delegate.parseExpression(where))
+            .forall(c => ManifestTable.exprFilter(c).isDefined)
+        } catch { case _: Exception => false }) =>
+      // only the untranslatable-predicate shape lowers here; everything
+      // else (translatable, unparseable, non-WHERE) delegates verbatim
+      DeleteManifestCommand(target, where)
     case _ => mergeOrDelegate(sqlText)
   }
 
@@ -265,6 +285,20 @@ case class UpdateManifestCommand(target: String, sets: Seq[(String, String)],
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "UPDATE")
     graft.sources.ManifestTable.updateWhere(mt.dir, sets, where)
+    Seq.empty
+  }
+}
+
+/** The lowered expression-tier DELETE ([[graft.sources.ManifestTable
+  * .deleteWhereSql]]) — reached only for predicates the v1 Filter dialect
+  * cannot express; translatable DELETEs keep Spark's native path. */
+case class DeleteManifestCommand(target: String, where: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "DELETE")
+    graft.sources.ManifestTable.deleteWhereSql(mt.dir, where)
     Seq.empty
   }
 }

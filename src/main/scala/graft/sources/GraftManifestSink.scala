@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -1155,8 +1156,8 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** The DECLARED partitioning (DESCRIBE / SHOW CREATE show it; new
     * writes cluster by the transforms' source columns — see
@@ -1662,6 +1663,54 @@ private[graft] object ManifestTable {
     }
   }
 
+  /** Execute `DELETE FROM <table at dir> WHERE pred` for predicates the
+    * v1 Filter dialect CANNOT express exactly (`id % 3 = 0`,
+    * `length(s) > k`, function-of-column shapes) — the expression tier
+    * the SQL parser lowers to when [[exprFilter]] refuses a conjunct
+    * (translatable predicates keep Spark's native DSv2 path and its
+    * metadata-only drop tier).
+    *
+    * Scale shape mirrors [[updateWhere]]: the translatable SUBSET of the
+    * conjuncts prunes provably-unaffected files via the zone maps; every
+    * surviving file either vectors its matching ordinals (DV mode) or
+    * rewrites copy-on-write keeping rows where the predicate is FALSE or
+    * NULL (ANSI DELETE removes TRUE rows only). One atomic publish;
+    * commit-time CDC records the deleted rows when the feed is on. */
+  private[graft] def deleteWhereSql(dir: Path, whereSql: String): Unit =
+    withConflictRetry("DELETE") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    assertWritable(dir, "DELETE")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"DELETE: no manifest at $dir"))
+    val pruning = conjuncts(
+      spark.sessionState.sqlParser.parseExpression(whereSql)).flatMap(exprFilter)
+    val touch = m.entries.filter(e => e.rows > 0 &&
+      pruning.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+    if (touch.isEmpty) return
+    val cond = coalesce(expr(whereSql), lit(false))
+    def scanTouch = spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir.toString)
+      .option("files", touch.map(_.name).mkString(","))
+      .load()
+    def cdcDeletes: Map[String, String] = writeCdc(dir, m,
+      scanTouch.where(cond)
+        .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit("delete")))
+    val dvMode = m.props.get("tbl.delete.dv").contains("true") &&
+      !m.schema.fieldNames.exists(n =>
+        n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos"))
+    if (dvMode) {
+      val hits = scanTouch.where(cond).select(col("_file"), col("_pos"))
+      val updated = vectorize(dir, touch, hits)
+      publishReplacing(dir, m, updated.map(_._1), updated.flatMap(_._2),
+        cdcDeletes)
+    } else {
+      val rewritten = rewriteFiles(dir, m, touch, df => df.filter(not(cond)))
+      publishReplacing(dir, m, touch.map(_.name), rewritten, cdcDeletes)
+    }
+  }
+
   /** Execute `UPDATE <table at dir> SET col = expr, … [WHERE pred]`
     * (SQL strings for every right-hand side and the predicate — evaluated
     * by Spark's own expression engine inside the rewrite job, so the full
@@ -2066,7 +2115,7 @@ private[graft] object ManifestTable {
     }
   }
 
-  private[sources] def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  private[graft] def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       conjuncts(l) ++ conjuncts(r)
@@ -2079,7 +2128,7 @@ private[graft] object ManifestTable {
     * [[org.apache.spark.sql.catalyst.CatalystTypeConverters]] to the same
     * external values scan pushdown delivers, so the zone-map comparators
     * see the types they were property-tested against. */
-  private[sources] def exprFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  private[graft] def exprFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
     : Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -2144,9 +2193,27 @@ private[graft] object ManifestTable {
 // ---------------------------------------------------------------- write ----
 
 private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, queryId: String)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  private var replaceFilters: Option[Array[Filter]] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  /** `df.writeTo(t).overwrite(cond)` — Delta's replaceWhere: atomically
+    * replace exactly the rows matching `cond` with this write's data.
+    * At commit, the predicate classifies the CURRENT entries via the
+    * zone maps — provably-all-matching files drop metadata-only, cut
+    * files rewrite keeping their non-matching rows — and the new files
+    * land in the SAME atomic swap (a partition-overwrite rebuild of one
+    * day touches that day's files, nothing else). `AlwaysTrue` is the
+    * plain truncate. Spark only offers filters the source accepts, so an
+    * untranslatable condition falls back to its own error path. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) overwrite = true
+    else replaceFilters = Some(filters)
+    this
+  }
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => ManifestScanBuilder.filterColumn(f).isDefined)
   override def build(): Write = {
     // partition columns come from the CURRENT manifest (they are table-level
     // metadata, not per-write state); columns the incoming schema lacks are
@@ -2174,7 +2241,7 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
       Manifest.bloomCols(dir), Manifest.ndvCols(dir), notNull, checks,
       m.flatMap(_.props.get("tbl.write.targetFileSize"))
         .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
-        .getOrElse(0L), bucketSpec)
+        .getOrElse(0L), bucketSpec, replaceFilters)
   }
 }
 
@@ -2191,7 +2258,8 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
     advisoryBytes: Long = 0L,
-    bucketSpec: Option[(Int, Int, String)] = None)
+    bucketSpec: Option[(Int, Int, String)] = None,
+    replaceFilters: Option[Array[Filter]] = None)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -2220,10 +2288,13 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
-      notNull, checks, bucketSpec)
-  override def toStreaming: StreamingWrite =
+      notNull, checks, bucketSpec, replaceFilters)
+  override def toStreaming: StreamingWrite = {
+    replaceFilters.foreach(_ => throw new UnsupportedOperationException(
+      "replaceWhere overwrite is a batch operation"))
     new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
       notNull, checks, bucketSpec)
+  }
 }
 
 /** Write-time data-quality contracts on managed tables:
@@ -2354,7 +2425,8 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     ndvCols: Seq[String] = Seq.empty,
     notNull: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    bucketSpec: Option[(Int, Int, String)] = None)
+    bucketSpec: Option[(Int, Int, String)] = None,
+    replaceFilters: Option[Array[Filter]] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -2366,6 +2438,35 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     * manifest or the new one — never a partial file set. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = ManifestCommit.promote(dir, messages)
+    // replaceWhere (Delta's predicate overwrite): drop the current files
+    // the zone maps PROVE all-matching, rewrite the cut files keeping
+    // their non-matching rows (one bounded job), and land the new files —
+    // all in the single conflict-checked swap publishReplacing performs.
+    // A partition-overwrite rebuild of one day touches that day's files,
+    // never the other 10^6. New rows are NOT validated against the
+    // predicate (Delta's optional constraintCheck) — the caller owns the
+    // contract. CDF of such a commit uses the read-time diff (exact with
+    // a declared tbl.key, documented approximation otherwise).
+    replaceFilters.foreach { filters =>
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val m = Manifest.read(dir).getOrElse(
+        Manifest(Manifest.relaxNullability(schema), Seq.empty))
+      val (drop, rest) = m.entries.partition(e =>
+        filters.forall(f => ManifestScanBuilder.mustMatchAll(f, e.stats)))
+      val (cut, _) = rest.partition(e => e.rows > 0 &&
+        filters.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+      val pred = filters.map(f => ManifestScanBuilder.filterColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"replaceWhere: cannot evaluate pushed filter $f row-by-row")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val rewritten =
+        if (cut.isEmpty) Seq.empty
+        else ManifestTable.rewriteFiles(dir, m, cut,
+          df => df.filter(not(coalesce(pred, lit(false)))))
+      ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name),
+        rewritten ++ committed)
+      return
+    }
     // truncate drops old files from the CURRENT manifest only — they stay
     // on disk because archived snapshots still reference them (time travel);
     // `VACUUM MANIFEST ... RETAIN n SNAPSHOTS` expires them later. Table

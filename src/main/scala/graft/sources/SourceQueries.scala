@@ -581,6 +581,50 @@ object SourceQueries extends QueryModule {
         .orderBy("_change_type", "doc_id")
     }),
 
+    // replaceWhere through the oracle gate (r10): documents land one file
+    // per source, then ONE `writeTo(t).overwrite(source = 'src3')` rebuilds
+    // that source's slice with transformed rows — the partition-rebuild
+    // primitive. The zone maps drop the all-matching file metadata-only
+    // and every other file keeps its identity; the oracle derives the
+    // post-rebuild state from the raw parquet, so a leaked old row, a
+    // lost unaffected row, or a rebuild that touched the wrong slice
+    // hash-fails.
+    "q_replace_where" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_rwq_")
+      s.conf.set("spark.sql.catalog.graftrwq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftrwq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftrwq.q")
+      s.sql("DROP TABLE IF EXISTS graftrwq.q.docs")
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      docs.repartition(10, col("source")).writeTo("graftrwq.q.docs").create()
+      docs.filter(col("source") === "src3")
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+          col("source"), (col("n_chars") * 2).as("n_chars"))
+        .writeTo("graftrwq.q.docs").overwrite(col("source") === "src3")
+      s.table("graftrwq.q.docs").orderBy("doc_id")
+    }),
+
+    // EXPRESSION-TIER DELETE through the oracle gate (r10): predicates
+    // the v1 Filter dialect cannot express — a modulo and a
+    // function-of-column conjunct — used to fail Spark's DSv2 DELETE
+    // outright; the parser now lowers them to the expression rewrite
+    // (translatable conjuncts still prune via zone maps). The oracle is
+    // the complement SELECT on the raw parquet, so a row deleted under
+    // NULL/FALSE semantics, or one that survives wrongly, hash-fails.
+    "q_delete_expr" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_delxq_")
+      s.conf.set("spark.sql.catalog.graftdelq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdelq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftdelq.q")
+      s.sql("DROP TABLE IF EXISTS graftdelq.q.docs")
+      Tables(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .writeTo("graftdelq.q.docs").create()
+      s.sql("DELETE FROM graftdelq.q.docs " +
+        "WHERE doc_id % 3 = 0 AND length(source) + n_chars % 7 > 6")
+      s.table("graftdelq.q.docs").orderBy("doc_id")
+    }),
+
     // MIXED-COMMIT CDF WITHOUT THE CHANGE FEED through the oracle gate
     // (r10): a table with a DECLARED ROW KEY (TBLPROPERTIES
     // ('key'='doc_id')) but NO recorded CDC takes ONE mixed MERGE
@@ -1460,6 +1504,21 @@ object SourceQueries extends QueryModule {
         |SELECT doc_id + 1000000, lang, source, n_chars + 1, 'insert'
         |FROM documents WHERE doc_id % 10 = 5
         |ORDER BY _change_type, doc_id""".stripMargin,
+    // The post-rebuild state: every non-src3 row untouched, src3 replaced
+    // by its transformed twin.
+    "q_replace_where" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE source <> 'src3'
+        |UNION ALL
+        |SELECT doc_id + 4000000, lang, source, n_chars * 2
+        |FROM documents WHERE source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    // The expression-delete complement: NULL/FALSE predicate rows survive.
+    "q_delete_expr" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT coalesce(doc_id % 3 = 0 AND length(source) + n_chars % 7 > 6,
+        |                   FALSE)
+        |ORDER BY doc_id""".stripMargin,
     // The same mixed commit attributed by the DECLARED KEY (no recorded
     // CDC): key anti/semi joins on the delta sides must reproduce the
     // exact per-clause attribution.
