@@ -1201,10 +1201,14 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   // without CDF).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val changesFrom = Option(options.get("changesFrom")).map(_.toInt)
+    val streamOpts = Seq("maxFilesPerTrigger", "maxRowsPerTrigger",
+        "startingVersion")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
     new ManifestScanBuilder(dir,
       Option(options.get("changesTo")).map(_.toInt)
         .orElse(Option(options.get("snapshot")).map(_.toInt)).orElse(snapshot),
       Option(options.get("files")).map(_.split(",").toSet),
+      streamOpts,
       changesFrom.map { v =>
         if (v == 0) Set.empty[String]
         else Manifest.readSnapshot(dir, v).getOrElse(
@@ -2864,7 +2868,9 @@ private[sources] class ManifestDataWriter(dir: Path, schema: StructType, name: S
 // ----------------------------------------------------------------- read ----
 
 private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
-    only: Option[Set[String]] = None, exclude: Option[Set[String]] = None)
+    only: Option[Set[String]] = None,
+    streamOpts: Map[String, String] = Map.empty,
+    exclude: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -3019,7 +3025,7 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
           f.name.equalsIgnoreCase(c) && BucketHash.supported(f.dataType))
       }
       new ManifestScan(dir, full, required, kept, entries.length, fileColAt,
-        posColAt, spj)
+        posColAt, spj, streamOpts)
   }
 }
 
@@ -3328,9 +3334,22 @@ private[sources] case class SnapOffset(v: Int)
   * a checkpointed version fails the query loudly instead of silently
   * replaying the whole table. */
 private[sources] class ManifestChangeStream(dir: Path, full: StructType,
-    wanted: StructType)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+    wanted: StructType, streamOpts: Map[String, String] = Map.empty)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  // Trigger.AvailableNow: pin the drain target ONCE — without this Spark
+  // wraps the source and the wrapper bypasses admission control, so
+  // maxFilesPerTrigger would silently deliver one giant batch
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Manifest.snapshotVersions(dir).lastOption.getOrElse(0))
+  private def newestVisible: Int = {
+    val n = Manifest.snapshotVersions(dir).lastOption.getOrElse(0)
+    availableNowCap.map(math.min(n, _)).getOrElse(n)
+  }
 
   private def manifestAt(v: Int): Manifest =
     if (v == 0) Manifest(full, Seq.empty)
@@ -3339,10 +3358,57 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
         s"streaming read: snapshot $v expired (VACUUM RETAIN) at $dir — " +
           "reset the checkpoint to reprocess"))
 
-  override def initialOffset(): SOffset = SnapOffset(0)
+  // `startingVersion` = the FIRST version whose changes are delivered
+  // (the Delta option): offsets are exclusive lower bounds, so v-1
+  override def initialOffset(): SOffset =
+    SnapOffset(streamOpts.get("startingVersion")
+      .map(v => math.max(0, v.toInt - 1)).getOrElse(0))
   override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
-  override def latestOffset(): SOffset =
-    SnapOffset(Manifest.snapshotVersions(dir).lastOption.getOrElse(0))
+  override def latestOffset(): SOffset = SnapOffset(newestVisible)
+
+  /** ADMISSION CONTROL (`maxFilesPerTrigger` / `maxRowsPerTrigger`): a
+    * backfill over a large table must not plan its entire history as ONE
+    * micro-batch. Versions admit WHOLE (a commit is the atomic unit — a
+    * split batch would publish half a transaction downstream), newest
+    * first budget-checked: walk the pending versions accumulating each
+    * one's ADDED files/rows (manifest metadata, zero data I/O) and stop
+    * past the budget — always admitting at least one version, so a
+    * single oversized commit still progresses. */
+  override def getDefaultReadLimit: ReadLimit =
+    streamOpts.get("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
+      .orElse(streamOpts.get("maxRowsPerTrigger")
+        .map(n => ReadLimit.maxRows(n.toLong)))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
+    val s = start.asInstanceOf[SnapOffset].v
+    val newest = newestVisible
+    limit match {
+      case _: ReadAllAvailable => SnapOffset(newest)
+      case l =>
+        val budget: (Int, Long) => Boolean = l match {
+          case f: ReadMaxFiles => (files, _) => files <= f.maxFiles()
+          case r: ReadMaxRows => (_, rows) => rows <= r.maxRows()
+          case _ => (_, _) => true
+        }
+        val versions = Manifest.snapshotVersions(dir)
+          .filter(v => v > s && v <= newest)
+        var prev = manifestAt(s).entries.map(_.name).toSet
+        var files = 0; var rows = 0L; var admitted = s; var over = false
+        versions.foreach { v =>
+          if (!over) {
+            val m = manifestAt(v)
+            val added = m.entries.filterNot(e => prev(e.name))
+            files += added.length; rows += added.map(_.liveRows).sum
+            if (admitted == s || budget(files, rows)) admitted = v
+            else over = true
+            prev = m.entries.map(_.name).toSet
+          }
+        }
+        SnapOffset(admitted)
+    }
+  }
 
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapOffset].v
@@ -3390,9 +3456,21 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
   * Planning is per-commit manifest metadata; each task reads only its own
   * commit's files — at 100 TB a micro-batch costs the change volume, never
   * a table scan. */
-private[sources] class ManifestCdfStream(dir: Path, output: StructType)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+private[sources] class ManifestCdfStream(dir: Path, output: StructType,
+    streamOpts: Map[String, String] = Map.empty)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  // see ManifestChangeStream: the AvailableNow wrapper bypasses admission
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Manifest.snapshotVersions(dir).lastOption.getOrElse(0))
+  private def newestVisible: Int = {
+    val n = Manifest.snapshotVersions(dir).lastOption.getOrElse(0)
+    availableNowCap.map(math.min(n, _)).getOrElse(n)
+  }
 
   // output = data columns + _change_type + _commit_version
   private val dataCols = StructType(output.fields.dropRight(2))
@@ -3403,10 +3481,45 @@ private[sources] class ManifestCdfStream(dir: Path, output: StructType)
         s"streaming change feed: snapshot $v expired (VACUUM RETAIN) at $dir — " +
           "reset the checkpoint to reprocess"))
 
-  override def initialOffset(): SOffset = SnapOffset(0)
+  // `startingVersion` = the FIRST version whose changes are delivered
+  override def initialOffset(): SOffset =
+    SnapOffset(streamOpts.get("startingVersion")
+      .map(v => math.max(0, v.toInt - 1)).getOrElse(0))
   override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
-  override def latestOffset(): SOffset =
-    SnapOffset(Manifest.snapshotVersions(dir).lastOption.getOrElse(0))
+  override def latestOffset(): SOffset = SnapOffset(newestVisible)
+
+  /** ADMISSION CONTROL (`maxFilesPerTrigger`): commits admit WHOLE (a
+    * transaction never splits across micro-batches), counted by each
+    * commit's ADDED data files — manifest metadata only. At least one
+    * commit always admits, so an oversized commit still progresses. */
+  override def getDefaultReadLimit: ReadLimit =
+    streamOpts.get("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val s = start.asInstanceOf[SnapOffset].v
+    val newest = newestVisible
+    limit match {
+      case f: ReadMaxFiles =>
+        val versions = Manifest.snapshotVersions(dir)
+          .filter(v => v > s && v <= newest)
+        var prev = if (s == 0) Set.empty[String]
+          else manifestAt(s).entries.map(_.name).toSet
+        var files = 0; var admitted = s; var over = false
+        versions.foreach { v =>
+          if (!over) {
+            val m = manifestAt(v)
+            files += m.entries.count(e => !prev(e.name))
+            if (admitted == s || files <= f.maxFiles()) admitted = v
+            else over = true
+            prev = m.entries.map(_.name).toSet
+          }
+        }
+        SnapOffset(admitted)
+      case _ => SnapOffset(newest)
+    }
+  }
 
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapOffset].v
@@ -3479,22 +3592,26 @@ private[sources] class ManifestCdfTable(dir: Path, output: StructType)
   override def schema(): StructType = output
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val streamOpts = Seq("maxFilesPerTrigger", "startingVersion")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = output
         override def description(): String = s"GraftCdfScan dir=$dir"
         override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-          new ManifestCdfStream(dir, output)
+          new ManifestCdfStream(dir, output, streamOpts)
       }
     }
+  }
 }
 
 private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructType,
     entries: Seq[ManifestFile], totalFiles: Int,
     fileColAt: Option[Int] = None, posColAt: Option[Int] = None,
-    spjBucket: Option[(Int, String)] = None)
+    spjBucket: Option[(Int, String)] = None,
+    streamOpts: Map[String, String] = Map.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -3532,7 +3649,7 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     * transform → `writeStream`. */
   override def toMicroBatchStream(checkpointLocation: String)
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestChangeStream(dir, full, wanted)
+    new ManifestChangeStream(dir, full, wanted, streamOpts)
   override def description(): String =
     s"GraftManifestScan dir=$dir cols=${wanted.fieldNames.mkString(",")} " +
       s"files=${entries.length}/$totalFiles"
