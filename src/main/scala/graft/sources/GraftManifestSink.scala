@@ -1914,25 +1914,23 @@ private[graft] object ManifestTable {
           val post = scan(b, added).select(cols.map(col): _*)
           val preD = pre.exceptAll(post)
           val postD = post.exceptAll(pre)
-          val preEmpty = preD.isEmpty
-          val postEmpty = postD.isEmpty
           // a DECLARED row key (`TBLPROPERTIES ('key' = 'c1[,c2…]')`)
           // makes a MIXED commit's attribution exact WITHOUT the change
           // feed: a post-side row whose key exists on the pre side is an
           // update (both images); a fresh key is an insert; a vanished
           // key a delete — the key-anti/semi joins run over the two
-          // delta-sized sides only. Declared keys are assumed unique per
-          // row (the same contract MERGE's ON key carries); without the
-          // prop the undeclared-key approximation below stands.
+          // delta-sized sides only, and SUBSUME the emptiness probes (a
+          // pure append keys everything to `insert`, a pure delete to
+          // `delete`, a carried-only rewrite to nothing) — two fewer
+          // driver jobs per keyed commit. Declared keys are assumed
+          // unique per row (the same contract MERGE's ON key carries);
+          // without the prop the probe-classified approximation stands.
           val keyCols = Manifest.readSnapshot(dir, b)
             .flatMap(_.props.get("tbl.key"))
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .filter(ks => ks.nonEmpty &&
               ks.forall(k => cols.exists(_.equalsIgnoreCase(k))))
-          if (preEmpty && postEmpty) None // carried rows only (compaction)
-          else if (postEmpty) Some(tag(preD, "delete"))
-          else if (preEmpty) Some(tag(postD, "insert"))
-          else keyCols match {
+          keyCols match {
             case Some(ks) =>
               val preKeys = preD.select(ks.map(col): _*).distinct()
               val postKeys = postD.select(ks.map(col): _*).distinct()
@@ -1943,7 +1941,12 @@ private[graft] object ManifestTable {
                 tag(preD.join(postKeys, ks, "left_anti"), "delete"))
               Some(frames.reduce(_.unionByName(_)))
             case None =>
-              Some(tag(preD, "update_preimage")
+              val preEmpty = preD.isEmpty
+              val postEmpty = postD.isEmpty
+              if (preEmpty && postEmpty) None // carried rows only (compaction)
+              else if (postEmpty) Some(tag(preD, "delete"))
+              else if (preEmpty) Some(tag(postD, "insert"))
+              else Some(tag(preD, "update_preimage")
                 .unionByName(tag(postD, "update_postimage")))
           }
       }
