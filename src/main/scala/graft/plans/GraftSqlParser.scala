@@ -161,6 +161,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+((?:[\w.]+|`[^`]+`)+)\s+WHERE\s+(.+?)\s*;?\s*""".r
 
+  /** `INSERT INTO t REPLACE WHERE cond <query>` (Delta's SQL spelling of
+    * replaceWhere): atomically replace exactly the rows matching `cond`
+    * with the query's result — the partition-rebuild statement. Lowers to
+    * the DSv2 `SupportsOverwrite` path the DataFrame
+    * `writeTo(t).overwrite(cond)` API drives. Spark's grammar has no
+    * REPLACE WHERE form, so the regex never shadows delegate syntax. */
+  private val InsertReplaceWhere =
+    """(?is)\s*INSERT\s+INTO\s+((?:[\w.]+|`[^`]+`)+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+?|FROM\s.+?|VALUES\s.+?)\s*;?\s*""".r
+
   /** `REORG TABLE t APPLY (PURGE)` — Delta's statement: materialize the
     * deletion vectors by rewriting ONLY the DV-bearing files
     * ([[graft.sources.ManifestTable.reorgPurge]]). Spark's grammar has no
@@ -229,6 +238,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropTag(target, tag) => TagCommand(target, tag, "drop", None)
     case ShowTags(target) => ShowTagsCommand(target)
     case Reorg(target) => ReorgTableCommand(target)
+    case InsertReplaceWhere(target, cond, query)
+      if cond.count(_ == '\'') % 2 == 0 && query.count(_ == '\'') % 2 == 0 =>
+      InsertReplaceWhereCommand(target, cond, query)
     case DeleteStmt(target, where) if where.count(_ == '\'') % 2 == 0 &&
         (try {
           import graft.sources.ManifestTable
@@ -285,6 +297,32 @@ case class UpdateManifestCommand(target: String, sets: Seq[(String, String)],
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "UPDATE")
     graft.sources.ManifestTable.updateWhere(mt.dir, sets, where)
+    Seq.empty
+  }
+}
+
+/** The lowered `INSERT INTO t REPLACE WHERE cond <query>`: evaluates the
+  * query and drives the DSv2 SupportsOverwrite path — drop provably
+  * all-matching files metadata-only, rewrite cut files keeping
+  * non-matching rows, land the new files, one conflict-checked swap. */
+case class InsertReplaceWhereCommand(target: String, cond: String,
+    query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // resolve-first: a non-manifest target must fail in REPLACE WHERE
+    // terms, not as a confusing overwrite-capability error
+    ManifestTarget.of(spark, target, "INSERT INTO ... REPLACE WHERE")
+    // INSERT is positional: align the query's output to the target's
+    // columns by position (a bare VALUES list arrives as col1, col2, …)
+    val df = spark.sql(query)
+    val tcols = spark.table(target).columns
+    if (df.columns.length != tcols.length)
+      throw new IllegalArgumentException(
+        s"INSERT INTO ... REPLACE WHERE: query produces ${df.columns.length} " +
+          s"columns, target $target has ${tcols.length}")
+    df.toDF(tcols.toIndexedSeq: _*).writeTo(target)
+      .overwrite(org.apache.spark.sql.functions.expr(cond))
     Seq.empty
   }
 }

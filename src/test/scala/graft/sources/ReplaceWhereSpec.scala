@@ -69,6 +69,24 @@ class ReplaceWhereSpec extends SparkSuite {
       .load().count() == 4)
   }
 
+  test("INSERT INTO … REPLACE WHERE is the SQL spelling of the same op") {
+    rootDir
+    spark.sql("CREATE TABLE graftrw.q.s (day BIGINT, v BIGINT)")
+    Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)).toDF("day", "v")
+      .coalesce(1).writeTo("graftrw.q.s").append()
+    spark.sql(
+      "INSERT INTO graftrw.q.s REPLACE WHERE day = 1 " +
+        "SELECT 1L AS day, 99L AS v")
+    assert(spark.table("graftrw.q.s").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 99L), (2L, 20L), (3L, 30L)))
+    // VALUES form parses too
+    spark.sql(
+      "INSERT INTO graftrw.q.s REPLACE WHERE day = 2 VALUES (2, 7)")
+    assert(spark.table("graftrw.q.s").where("day = 2").collect()
+      .map(_.getLong(1)).toSeq == Seq(7L))
+  }
+
   test("replaceWhere on an immutable tag refuses") {
     rootDir
     spark.sql("CREATE TABLE graftrw.q.tg (k STRING, v BIGINT)")
