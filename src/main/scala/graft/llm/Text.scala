@@ -476,6 +476,42 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CORPUS-BOILERPLATE detection (the C4/Dolma pipeline step this
+    // engine's other text filters don't cover): documents dominated by
+    // corpus-COMMON word trigrams — navigation chrome, license headers,
+    // templated footers — rank by the fraction of their trigram
+    // occurrences that fall in the corpus's top-30 most frequent
+    // trigrams. Scale shape: trigrams materialize PER ROW (zip_with over
+    // two slices — no self-join), the frequency table shuffles bounded by
+    // the distinct-trigram vocabulary, the top-30 is a bounded
+    // TakeOrdered collapsed to ONE broadcast array row, and the scoring
+    // pass is per-row membership arithmetic against that broadcast —
+    // the corpus text never shuffles. Top-50 output is a bounded heap.
+    "q_text_boilerplate" -> ((s, d) => {
+      val len2 = greatest(size(col("tk")) - 2, lit(0))
+      val trigrams = zip_with(
+        zip_with(slice(col("tk"), lit(1), len2), slice(col("tk"), lit(2), len2),
+          (x, y) => concat_ws(" ", x, y)),
+        slice(col("tk"), lit(3), len2),
+        (xy, z) => concat_ws(" ", xy, z))
+      val tris = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), trigrams.as("tg"))
+      val common = tris.select(explode(col("tg")).as("tri"))
+        .groupBy("tri").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tri")).limit(30)
+        .agg(collect_list(col("tri")).as("commons"))
+      tris.crossJoin(broadcast(common))
+        .select(col("doc_id"),
+          size(col("tg")).cast(LongType).as("n_tri"),
+          size(filter(col("tg"),
+            t => array_contains(col("commons"), t))).cast(LongType).as("n_common"))
+        .filter(col("n_tri") > 0)
+        .withColumn("boiler_frac",
+          col("n_common").cast(DoubleType) / col("n_tri"))
+        .orderBy(desc("boiler_frac"), col("doc_id")).limit(50)
+    }),
+
     // Winnowing fingerprints (MOSS-style): rolling polynomial hash over
     // 8-char k-grams, minimum per 4-hash window, distinct minima = the
     // document fingerprint set. Per-row, no shuffle; portable hash → oracle.
@@ -531,6 +567,24 @@ object Text extends QueryModule {
          |FROM tr JOIN ev USING (gh)
          |GROUP BY tr.doc_id
          |ORDER BY tr.doc_id""".stripMargin,
+    // The boilerplate ranking, re-derived from scratch: same top-30
+    // common-trigram set (count desc, trigram tie-break), same per-doc
+    // occurrence fractions.
+    "q_text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id,
+        |  [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |     for i in range(1, greatest(len(t) - 2, 0) + 1)] AS tg FROM toks),
+        |e AS (SELECT doc_id, unnest(tg) AS tri FROM tri),
+        |c AS (SELECT tri FROM (
+        |  SELECT tri, count(*) AS n FROM e GROUP BY tri
+        |  ORDER BY n DESC, tri LIMIT 30)),
+        |st AS (SELECT doc_id, count(*) AS n_tri,
+        |  count(CASE WHEN tri IN (SELECT tri FROM c) THEN 1 END) AS n_common
+        |  FROM e GROUP BY doc_id)
+        |SELECT doc_id, n_tri, n_common,
+        |  CAST(n_common AS DOUBLE) / n_tri AS boiler_frac
+        |FROM st ORDER BY boiler_frac DESC, doc_id LIMIT 50""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (SELECT doc_id, t,

@@ -2061,14 +2061,43 @@ private[graft] object ManifestTable {
     val field = m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
       throw new IllegalArgumentException(
         s"ZORDER BY: column $c not in table (${m.schema.fieldNames.mkString(", ")})"))
+    // STRING clustering key: the first 7 UTF-8 bytes as an unsigned
+    // big-endian integer — monotone in UTF8_BINARY order (the order the
+    // string zone maps store), so after the clustered rewrite each file
+    // covers a narrow byte-prefix range and StartsWith/equality prune
+    // sharply. Strings agreeing on their first 7 bytes share a key —
+    // a clustering (not uniqueness) property, exactly what Z-order needs.
+    if (field.dataType == StringType) {
+      val ranges = live.flatMap(_.stats.strRanges.get(field.name))
+      if (ranges.isEmpty)
+        throw new IllegalArgumentException(
+          s"ZORDER BY: $c has no zone-map stats to derive the key scale from")
+      def key7(b64: String): Long = {
+        val b = ColumnStats.unb64(b64)
+        var v = 0L; var i = 0
+        while (i < 7) {
+          v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1
+        }
+        v
+      }
+      val lo = ranges.map(r => key7(r._1)).min
+      val hi = ranges.map(r => key7(r._2)).max
+      val numExpr = s"CAST(conv(hex(rpad(CAST(${field.name} AS BINARY), 7, " +
+        s"x'00')), 16, 10) AS BIGINT)"
+      return if (hi <= lo) "0" else {
+        val scaled = s"((CAST($numExpr AS DOUBLE) - ${lo.toDouble}) / " +
+          s"${(hi - lo).toDouble}) * 4.0E9 - 2.0E9"
+        s"CAST(least(greatest(nanvl($scaled, 2.0E9), -2.0E9), 2.0E9) AS INT)"
+      }
+    }
     // the column's value in the zone maps' numeric unit
     val numExpr = field.dataType match {
       case LongType | IntegerType | DoubleType => field.name
       case DateType => s"unix_date(${field.name})"
       case TimestampType => s"unix_micros(${field.name})"
       case dt => throw new IllegalArgumentException(
-        s"ZORDER BY: $c is ${dt.simpleString}; only " +
-          "long/int/double/date/timestamp columns cluster")
+        s"ZORDER BY: $c is ${dt.simpleString}; only long/int/double/date/" +
+          "timestamp/string columns cluster")
     }
     val ranges = live.flatMap(_.stats.ranges.get(field.name))
     if (ranges.isEmpty) // no file carries stats → no spread to exploit

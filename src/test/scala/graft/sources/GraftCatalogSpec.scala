@@ -229,12 +229,31 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graftcat.zo.grid WHERE d1 = 5 AND d2 = 5")
       .head().getLong(0) == 1L)
-    // string columns refuse to cluster
+    // STRING columns cluster too (r10): the first-7-byte key is monotone
+    // in UTF8_BINARY order, so after the rewrite a point predicate on the
+    // string dimension prunes through the string zone maps
     spark.sql("CREATE TABLE graftcat.zo.s (k STRING, v BIGINT)")
-    Seq(("a", 1L)).toDF("k", "v").writeTo("graftcat.zo.s").append()
-    intercept[IllegalArgumentException] {
-      spark.sql("OPTIMIZE graftcat.zo.s ZORDER BY (k, v)")
+    (0 until 32).flatMap(i => (0L until 32L).map(v =>
+        (f"key$i%02d", v)))
+      .toDF("k", "v").repartition(8) // hash-random: no dimension pruned
+      .writeTo("graftcat.zo.s").append()
+    spark.sql("OPTIMIZE graftcat.zo.s TARGET 2048 BYTES ZORDER BY (k, v)")
+    val sDir = Paths.get(s"$rootDir/zo/s")
+    val sEntries = Manifest.read(sDir).get.entries
+    assert(sEntries.length > 2, "the string grid must stay multi-file")
+    val probe = "key07".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sOverlap = sEntries.count { e =>
+      e.stats.strRanges.get("k").forall { case (lo, hi) =>
+        ColumnStats.cmpBytes(probe, ColumnStats.unb64(lo)) >= 0 &&
+          ColumnStats.cmpBytes(probe, ColumnStats.unb64(hi)) <= 0
+      }
     }
+    assert(sOverlap < sEntries.length,
+      s"the string dimension must prune after zorder ($sOverlap/${sEntries.length})")
+    assert(spark.table("graftcat.zo.s").count() == 32L * 32)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.zo.s WHERE k = 'key07' AND v = 5")
+      .head().getLong(0) == 1L)
 
     // THREE-dimensional clustering: zorder3 (21 bits/dim) must prune on
     // every one of the three columns after the rewrite
