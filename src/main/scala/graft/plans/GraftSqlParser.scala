@@ -32,7 +32,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+MANIFEST\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
-      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?(\s+DRY\s+RUN)?\s*;?\s*""").r
 
   /** `VACUUM <catalog table name> …` — same maintenance pass addressed the
     * way every other statement addresses tables (the Delta spelling). The
@@ -41,7 +41,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * form shadows delegate syntax. */
   private val VacuumTable =
     ("""(?is)\s*VACUUM\s+(?!MANIFEST\s)((?:[\w.]+|`[^`]+`)+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?""" +
-      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?(\s+DRY\s+RUN)?\s*;?\s*""").r
 
   /** `UPDATE t SET c = expr [, …] [WHERE pred]` — like MERGE, Spark's own
     * parser accepts this but executing it needs row-level-operation
@@ -94,6 +94,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * too, so RESTORE is itself undoable. */
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  /** `RESTORE TABLE t TO TIMESTAMP AS OF 'ts'` — the time-addressed twin:
+    * rolls back to the NEWEST snapshot committed at or before `ts` (the
+    * same commit-mtime authority the read-side `TIMESTAMP AS OF` uses). */
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]` — metadata-only
     * copy of a manifest table (Delta's statement shape; Spark's CREATE
@@ -183,7 +189,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     MergeParse.splitTop(s, sep)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(dir, retain, olderMin) =>
+    case Vacuum(dir, retain, olderMin, dry) =>
       val keep = Option(retain).map(_.toInt)
       // RETAIN 0 would silently behave as RETAIN 1 (the current manifest is
       // always reachable) — reject instead of diverging from what was asked.
@@ -192,15 +198,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"VACUUM MANIFEST: RETAIN $k SNAPSHOTS is invalid — at least 1 " +
             "snapshot (the current version) is always retained")
       }
-      VacuumManifestCommand(dir, keep, Option(olderMin).map(_.toLong))
-    case VacuumTable(target, retain, olderMin) =>
+      VacuumManifestCommand(dir, keep, Option(olderMin).map(_.toLong),
+        dryRun = dry != null)
+    case VacuumTable(target, retain, olderMin, dry) =>
       val keep = Option(retain).map(_.toInt)
       keep.filter(_ < 1).foreach { k =>
         throw new IllegalArgumentException(
           s"VACUUM: RETAIN $k SNAPSHOTS is invalid — at least 1 snapshot " +
             "(the current version) is always retained")
       }
-      VacuumTableCommand(target, keep, Option(olderMin).map(_.toLong))
+      VacuumTableCommand(target, keep, Option(olderMin).map(_.toLong),
+        dryRun = dry != null)
     case Update(target, setList, where) =>
       val assigns = splitTop(setList, ',').map {
         case Assign(c, rhs) => Some(c.split("\\.").last -> rhs)
@@ -237,6 +245,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TagCommand(target, tag, "create", Option(version).map(_.toInt))
     case DropTag(target, tag) => TagCommand(target, tag, "drop", None)
     case ShowTags(target) => ShowTagsCommand(target)
+    case RestoreTs(target, ts) => RestoreTimestampCommand(target, ts)
     case Reorg(target) => ReorgTableCommand(target)
     case InsertReplaceWhere(target, cond, query)
       if cond.count(_ == '\'') % 2 == 0 && query.count(_ == '\'') % 2 == 0 =>
@@ -457,6 +466,36 @@ case class RestoreTableCommand(target: String, version: Int)
     val mt = ManifestTarget.of(spark, target, "RESTORE TABLE")
     val (files, rows) = graft.sources.ManifestTable.restore(mt.dir, version)
     Seq(Row(files, rows))
+  }
+}
+
+/** The time-addressed RESTORE: resolve 'ts' to the NEWEST snapshot whose
+  * archived manifest was committed at or before it (the same mtime
+  * authority the read-side `TIMESTAMP AS OF` uses), then run the
+  * version-addressed restore. */
+case class RestoreTimestampCommand(target: String, ts: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.Manifest
+    val mt = ManifestTarget.of(spark, target, "RESTORE TABLE")
+    val cutoff = try java.sql.Timestamp.valueOf(ts).getTime
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"RESTORE TABLE: cannot parse timestamp '$ts' " +
+            "(expected yyyy-MM-dd HH:mm:ss[.fff])")
+      }
+    val v = Manifest.snapshotVersions(mt.dir).reverse.find { sv =>
+      Files.getLastModifiedTime(mt.dir.resolve(s"_manifest.v$sv")).toMillis <= cutoff
+    }.getOrElse(throw new IllegalArgumentException(
+      s"RESTORE TABLE: no snapshot of $target committed at or before $ts"))
+    val (files, rows) = graft.sources.ManifestTable.restore(mt.dir, v)
+    Seq(Row(v, files, rows))
   }
 }
 
@@ -683,7 +722,7 @@ private[plans] object ManifestTarget {
   * directory (with the same only-a-manifest-table guard every lowered
   * statement uses), then run the path-form command's logic verbatim. */
 case class VacuumTableCommand(target: String, retainSnapshots: Option[Int],
-    stagingOlderThanMinutes: Option[Long] = None)
+    stagingOlderThanMinutes: Option[Long] = None, dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("file", StringType, nullable = false)(),
@@ -692,7 +731,7 @@ case class VacuumTableCommand(target: String, retainSnapshots: Option[Int],
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "VACUUM")
     VacuumManifestCommand(mt.dir.toString, retainSnapshots,
-      stagingOlderThanMinutes).run(spark)
+      stagingOlderThanMinutes, dryRun).run(spark)
   }
 }
 
@@ -713,7 +752,7 @@ case class VacuumTableCommand(target: String, retainSnapshots: Option[Int],
   *    of staging BEFORE the manifest swap, so a freshly-promoted file is
   *    momentarily unreachable and must survive a concurrent vacuum. */
 case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
-    stagingOlderThanMinutes: Option[Long] = None)
+    stagingOlderThanMinutes: Option[Long] = None, dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("file", StringType, nullable = false)(),
@@ -723,11 +762,14 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Seq.empty
     import graft.sources.Manifest
-    val expired = retainSnapshots.toSeq.flatMap { keep =>
-      Manifest.snapshotVersions(root).dropRight(keep).map { v => // keep ≥ 1, parser-enforced
-        Files.deleteIfExists(root.resolve(s"_manifest.v$v"))
-        Row(s"_manifest.v$v", "snapshot-expired")
-      }
+    // DRY RUN: report every file the same pass WOULD reap, delete nothing
+    // (the would-expire snapshots are excluded from the reachability roots
+    // below, so the reported orphan set matches the real run's exactly)
+    val expireSet = retainSnapshots.toSeq.flatMap(keep =>
+      Manifest.snapshotVersions(root).dropRight(keep)).toSet
+    val expired = expireSet.toSeq.sorted.map { v => // keep ≥ 1, parser-enforced
+      if (!dryRun) Files.deleteIfExists(root.resolve(s"_manifest.v$v"))
+      Row(s"_manifest.v$v", "snapshot-expired")
     }
     // branch refs PIN: a branch lives INSIDE the table directory, so —
     // unlike cross-directory clones, which pin nothing by design — its
@@ -742,7 +784,8 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     val tagManifests = graft.sources.Tag.list(root)
       .flatMap(t => Manifest.read(graft.sources.Tag.tagDir(root, t)))
     val manifests = Manifest.read(root).toSeq ++
-      Manifest.snapshotVersions(root).flatMap(Manifest.readSnapshot(root, _)) ++
+      Manifest.snapshotVersions(root).filterNot(expireSet)
+        .flatMap(Manifest.readSnapshot(root, _)) ++
       branchManifests ++ tagManifests
     val reachable: Set[String] =
       manifests.flatMap(m =>
@@ -763,7 +806,8 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
         listed(staging)(_.toSeq)
           .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
           .map { p =>
-            Files.deleteIfExists(p); Row(s"_staging/${p.getFileName}", "staged-uncommitted")
+            if (!dryRun) Files.deleteIfExists(p)
+            Row(s"_staging/${p.getFileName}", "staged-uncommitted")
           }
       else Seq.empty
     // the same age guard applies to root-level orphans: commit() PROMOTES
@@ -777,7 +821,10 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
           n.startsWith("blobs-") || n.startsWith("seg-") }
       .filterNot(p => reachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .map { p => Files.deleteIfExists(p); Row(p.getFileName.toString, "unreachable") }
+      .map { p =>
+        if (!dryRun) Files.deleteIfExists(p)
+        Row(p.getFileName.toString, "unreachable")
+      }
     // a `_cdc_*` dir is reachable iff some SURVIVING snapshot's (or open
     // branch's) cdcDir prop names it — expired-snapshot and torn-commit
     // CDC dirs reap whole, behind the same age guard (a DML may have
@@ -790,10 +837,12 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
       .filterNot(p => cdcReachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p =>
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
+        if (!dryRun) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
         Row(p.getFileName.toString, "cdc-unreachable")
       }
     expired ++ staged ++ orphans ++ cdcOrphans

@@ -1,6 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSuite
 
@@ -369,6 +371,52 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       spark.sql("RESTORE TABLE graftcat.rst.t TO VERSION AS OF 9999")
     }
+
+    // TIMESTAMP AS OF (r10): restore to the newest snapshot committed at
+    // or before a wall-clock instant — resolve "now" (all snapshots are
+    // in the past) back to the just-restored empty state, then pin the
+    // resolved version in the report
+    val rts = spark.sql("RESTORE TABLE graftcat.rst.t TO TIMESTAMP AS OF " +
+      "'2099-01-01 00:00:00'").head()
+    assert(rts.getInt(0) == Manifest.snapshotVersions(dir).dropRight(1).last)
+    // a pre-creation timestamp finds nothing
+    intercept[IllegalArgumentException] {
+      spark.sql("RESTORE TABLE graftcat.rst.t TO TIMESTAMP AS OF " +
+        "'1999-01-01 00:00:00'")
+    }
+    // an unparseable literal fails in RESTORE terms
+    intercept[IllegalArgumentException] {
+      spark.sql("RESTORE TABLE graftcat.rst.t TO TIMESTAMP AS OF 'nonsense'")
+    }
+  }
+
+  test("VACUUM DRY RUN reports exactly the real pass's reap set, deletes nothing") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vdr")
+    spark.sql("CREATE TABLE graftcat.vdr.t (id BIGINT)")
+    Seq(1L, 2L).toDF("id").coalesce(1).writeTo("graftcat.vdr.t").append()
+    spark.sql("DELETE FROM graftcat.vdr.t WHERE id = 1") // superseded file
+    val dir = Paths.get(s"$rootDir/vdr/t")
+    def listDir(): Set[String] = {
+      val st = Files.list(dir)
+      try st.iterator().asScala.map(_.toString).toSet
+      finally st.close()
+    }
+    val filesBefore = listDir()
+    spark.conf.set("spark.graft.vacuum.stagingMinAgeMs", "0")
+    try {
+      val dry = spark.sql("VACUUM graftcat.vdr.t RETAIN 1 SNAPSHOTS DRY RUN")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(dry.nonEmpty, "the superseded snapshot chain must report")
+      // nothing deleted
+      assert(listDir() == filesBefore)
+      assert(spark.table("graftcat.vdr.t").count() == 1)
+      // the real pass reaps exactly the reported set
+      val real = spark.sql("VACUUM graftcat.vdr.t RETAIN 1 SNAPSHOTS")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(real == dry, s"dry run must preview the real pass:\n$dry\nvs\n$real")
+      assert(spark.table("graftcat.vdr.t").count() == 1)
+    } finally spark.conf.unset("spark.graft.vacuum.stagingMinAgeMs")
   }
 
   test("concurrent appends all land: the commit lock serializes the manifest RMW") {
