@@ -86,7 +86,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+((?:[\w.]+|`[^`]+`)+)(?:\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)\s*,\s*([\w.]+)""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w.]+)(?:\s*,\s*([\w.]+))?""" +
       """(?:\s*,\s*([\w.]+))?\s*\))?\s*;?\s*""").r
 
   /** `RESTORE TABLE t TO VERSION AS OF n` — metadata-only rollback to an
@@ -155,6 +155,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+(\w+)\s*;?\s*""".r
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+((?:[\w.]+|`[^`]+`)+)\s*;?\s*""".r
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` / `DROP CONSTRAINT
+    * name` — Delta's constraint DDL, lowered to the engine's `check.*`
+    * table properties (validated at DDL time, enforced per row at every
+    * write — [[graft.sources.Constraints]]). Spark's ALTER grammar has no
+    * CONSTRAINT form, so the regexes never shadow delegate syntax. */
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** `DELETE FROM t WHERE pred` with a predicate the v1 Filter dialect
     * cannot express (`id % 3 = 0`, function-of-column shapes): Spark's
@@ -225,8 +235,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       OptimizeManifestCommand(target,
         Option(targetBytes).map(_.toLong).getOrElse(128L * 1024 * 1024),
-        for (a <- Option(zc1); b <- Option(zc2))
-          yield (Seq(a, b) ++ Option(zc3).toSeq).map(_.split("\\.").last),
+        Option(zc1).map(a =>
+          (Seq(a) ++ Option(zc2).toSeq ++ Option(zc3).toSeq)
+            .map(_.split("\\.").last)),
         Option(where))
     case Restore(target, version) => RestoreTableCommand(target, version.toInt)
     case Clone(target, source, version) =>
@@ -246,6 +257,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropTag(target, tag) => TagCommand(target, tag, "drop", None)
     case ShowTags(target) => ShowTagsCommand(target)
     case RestoreTs(target, ts) => RestoreTimestampCommand(target, ts)
+    case AddConstraint(target, name, pred) if pred.count(_ == '\'') % 2 == 0 =>
+      // lower to the property form the catalog already validates/enforces
+      delegate.parsePlan(s"ALTER TABLE $target SET TBLPROPERTIES " +
+        s"('check.$name' = '${pred.trim.replace("'", "''")}')")
+    case DropConstraint(target, name) =>
+      delegate.parsePlan(
+        s"ALTER TABLE $target UNSET TBLPROPERTIES ('check.$name')")
     case Reorg(target) => ReorgTableCommand(target)
     case InsertReplaceWhere(target, cond, query)
       if cond.count(_ == '\'') % 2 == 0 && query.count(_ == '\'') % 2 == 0 =>

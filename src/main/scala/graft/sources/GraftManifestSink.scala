@@ -2007,11 +2007,15 @@ private[graft] object ManifestTable {
         case None => _.repartition(n)
         case Some(cols) =>
           val keys = cols.map(zScaleKey(m, live, _))
+          // ONE column degenerates to plain range clustering (liquid-
+          // clustering-style sort by the column itself — no interleave
+          // needed when there is nothing to interleave with)
           val key = keys.length match {
+            case 1 => keys(0)
             case 2 => s"zorder64(${keys(0)}, ${keys(1)})"
             case 3 => s"zorder3(${keys(0)}, ${keys(1)}, ${keys(2)})"
             case k => throw new IllegalArgumentException(
-              s"ZORDER BY takes 2 or 3 columns, got $k")
+              s"ZORDER BY takes 1 to 3 columns, got $k")
           }
           df => df.withColumn("__graft_z", expr(key))
             .repartitionByRange(n, col("__graft_z"))

@@ -256,6 +256,16 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graftcat.zo.s WHERE k = 'key07' AND v = 5")
       .head().getLong(0) == 1L)
+    // ONE-column ZORDER (r10) degenerates to plain range clustering —
+    // same pruning contract on the single dimension, content intact
+    spark.sql("OPTIMIZE graftcat.zo.s TARGET 2048 BYTES ZORDER BY (v)")
+    val vEntries = Manifest.read(sDir).get.entries
+    val vOverlap = vEntries.count(e =>
+      e.stats.ranges.get("v").forall { case (lo, hi) =>
+        lo <= BigDecimal(5) && BigDecimal(5) <= hi })
+    assert(vOverlap < vEntries.length,
+      s"single-column clustering must prune v ($vOverlap/${vEntries.length})")
+    assert(spark.table("graftcat.zo.s").count() == 32L * 32)
 
     // THREE-dimensional clustering: zorder3 (21 bits/dim) must prune on
     // every one of the three columns after the rewrite
@@ -741,6 +751,21 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("UPDATE graftcat.dq.t SET v = -5.0 WHERE k = 1") }
     assert(spark.sql("SELECT v FROM graftcat.dq.t WHERE k = 1").head().getDouble(0)
       == 1.0)
+    // the Delta DDL spelling lowers to the same properties (r10):
+    // ADD CONSTRAINT enforces, DROP CONSTRAINT lifts
+    spark.sql("ALTER TABLE graftcat.dq.t ADD CONSTRAINT v_cap CHECK (v < 100)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.dq.t VALUES (9, 500.0, 'x')") }
+    spark.sql("ALTER TABLE graftcat.dq.t DROP CONSTRAINT v_cap")
+    spark.sql("INSERT INTO graftcat.dq.t VALUES (9, 500.0, 'x')")
+    assert(spark.sql("SELECT v FROM graftcat.dq.t WHERE k = 9").head().getDouble(0)
+      == 500.0)
+    // a predicate with string literals survives the lowering's re-quoting
+    spark.sql("ALTER TABLE graftcat.dq.t ADD CONSTRAINT tag_ok " +
+      "CHECK (tag <> 'banned')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.dq.t VALUES (10, 1.0, 'banned')") }
+    spark.sql("ALTER TABLE graftcat.dq.t DROP CONSTRAINT tag_ok")
   }
 
   test("DESCRIBE DETAIL summarizes the table's physical state metadata-only") {
