@@ -1990,17 +1990,27 @@ private[graft] object ManifestTable {
       conjuncts(org.apache.spark.sql.SparkSession.active
         .sessionState.sqlParser.parseExpression(w)).flatMap(exprFilter)
     }
-    val live = m.entries.filter(e => e.rows > 0 &&
+    val scoped = m.entries.filter(e => e.rows > 0 &&
       pruning.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
-    if (live.isEmpty) return (0, 0)
+    if (scoped.isEmpty) return (0, 0)
     val chain = Manifest.resolveChain(dir)
-    val bytes = live.map { e =>
+    def sizeOf(e: ManifestFile): Long = {
       val p = Manifest.resolveData(chain, e.name)
       if (Files.exists(p)) Files.size(p) else 0L
-    }.sum
+    }
+    // PLAIN compaction is BIN PACKING (the Delta rule): only files BELOW
+    // ~the target participate — an at-size file is already optimal, and
+    // rewriting it to merge a few stragglers would make compacting a
+    // 100 TB table cost 100 TB. DV-bearing files join regardless of size
+    // (compaction is the purge opportunity). A ZORDER request re-clusters
+    // EVERY scoped file — the point is layout, not size.
+    val live =
+      if (zorderBy.isDefined) scoped
+      else scoped.filter(e => e.dv.isDefined || sizeOf(e) < targetBytes * 9 / 10)
+    if (live.isEmpty) return (scoped.length, scoped.length)
+    val bytes = live.map(sizeOf).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    // a ZORDER request re-clusters even at/below the target count (the
-    // point is layout, not just size); a plain compaction is a no-op there
+    // no-op when the small-file set is already at or under the target count
     if (live.length <= n && zorderBy.isEmpty) return (live.length, live.length)
     val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       zorderBy match {

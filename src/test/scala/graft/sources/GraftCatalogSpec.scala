@@ -400,6 +400,29 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("plain OPTIMIZE bin-packs: at-target files stay untouched by name") {
+    rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.bp")
+    spark.sql("CREATE TABLE graftcat.bp.t (id BIGINT, pad STRING)")
+    // one LARGE file (well over the target) and a trail of small ones
+    (1L to 600L).map(i => (i, "x" * 50)).toDF("id", "pad").coalesce(1)
+      .writeTo("graftcat.bp.t").append()
+    (1 to 4).foreach { c =>
+      Seq((10000L + c, "y")).toDF("id", "pad").coalesce(1)
+        .writeTo("graftcat.bp.t").append()
+    }
+    val dir = Paths.get(s"$rootDir/bp/t")
+    val before = Manifest.read(dir).get.entries
+    val large = before.maxBy(_.rows).name
+    spark.sql("OPTIMIZE graftcat.bp.t TARGET 8192 BYTES")
+    val after = Manifest.read(dir).get.entries
+    assert(after.map(_.name).contains(large),
+      "the at-target file must keep its identity — compacting stragglers " +
+        "must never rewrite the 100 TB bulk")
+    assert(after.length < before.length, "the small files must merge")
+    assert(spark.table("graftcat.bp.t").count() == 604)
+  }
+
   test("VACUUM DRY RUN reports exactly the real pass's reap set, deletes nothing") {
     rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vdr")
