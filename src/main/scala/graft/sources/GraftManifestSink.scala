@@ -162,90 +162,145 @@ object GraftManifestSink {
           writeArray(new java.io.DataOutputStream(bos),
             row.getArray(i), a.elementType)
           java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        case st: StructType =>
+          val bos = new java.io.ByteArrayOutputStream()
+          writeStruct(new java.io.DataOutputStream(bos),
+            row.getStruct(i, st.length), st)
+          java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        case mt: org.apache.spark.sql.types.MapType =>
+          val bos = new java.io.ByteArrayOutputStream()
+          writeMap(new java.io.DataOutputStream(bos), row.getMap(i), mt)
+          java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
         case dt => throw new UnsupportedOperationException(s"type $dt")
       }
     }.mkString("\t")
 
-  // --- ARRAY cell frame (base64 in the TSV cell) --------------------------
-  // [n: int4][null bitmap ceil(n/8), bit set = NULL][non-null elements in
-  // order]. Fixed-width elements write their INTERNAL binary repr exactly
+  // --- COMPLEX-TYPE cell frames (base64 in the TSV cell) ------------------
+  // ARRAY:  [n: int4][null bitmap ceil(n/8), bit set = NULL][non-null
+  //         elements in order]
+  // STRUCT: the same frame over its fields (a struct IS a fixed-width
+  //         "array" of heterogeneous slots)
+  // MAP:    key array frame, then value array frame
+  // Fixed-width elements write their INTERNAL binary repr exactly
   // (IEEE 754 bits for float/double — the FLOAT tier's exact-rendering
-  // argument, per element); var-width (string/binary/decimal/nested
-  // array) are length-prefixed. Base64 keeps the cell free of tabs and
-  // backslashes, so the TSV line codec and its sparse line index are
-  // untouched.
-  private[sources] def writeArray(o: java.io.DataOutputStream,
-      arr: org.apache.spark.sql.catalyst.util.ArrayData,
-      et: DataType): Unit = {
-    val n = arr.numElements()
+  // argument, per element); var-width (string/binary/decimal) are
+  // length-prefixed; nested complex types recurse. Base64 keeps the cell
+  // free of tabs and backslashes, so the TSV line codec and its sparse
+  // line index are untouched.
+  private def writeValue(o: java.io.DataOutputStream,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType): Unit = dt match {
+    case IntegerType | DateType => o.writeInt(g.getInt(i))
+    case LongType | TimestampType => o.writeLong(g.getLong(i))
+    case org.apache.spark.sql.types.FloatType => o.writeFloat(g.getFloat(i))
+    case DoubleType => o.writeDouble(g.getDouble(i))
+    case BooleanType => o.writeBoolean(g.getBoolean(i))
+    case StringType =>
+      val b = g.getUTF8String(i).getBytes
+      o.writeInt(b.length); o.write(b)
+    case org.apache.spark.sql.types.BinaryType =>
+      val b = g.getBinary(i)
+      o.writeInt(b.length); o.write(b)
+    case d: org.apache.spark.sql.types.DecimalType =>
+      val b = g.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toPlainString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      o.writeInt(b.length); o.write(b)
+    case na: org.apache.spark.sql.types.ArrayType =>
+      writeArray(o, g.getArray(i), na.elementType)
+    case st: StructType => writeStruct(o, g.getStruct(i, st.length), st)
+    case mt: org.apache.spark.sql.types.MapType => writeMap(o, g.getMap(i), mt)
+    case other => throw new UnsupportedOperationException(s"cell type $other")
+  }
+
+  private def readValue(in: java.io.DataInputStream, dt: DataType): Any =
+    dt match {
+      case IntegerType | DateType => in.readInt()
+      case LongType | TimestampType => in.readLong()
+      case org.apache.spark.sql.types.FloatType => in.readFloat()
+      case DoubleType => in.readDouble()
+      case BooleanType => in.readBoolean()
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      case org.apache.spark.sql.types.BinaryType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        b
+      case d: org.apache.spark.sql.types.DecimalType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)),
+          d.precision, d.scale)
+      case na: org.apache.spark.sql.types.ArrayType =>
+        readArray(in, na.elementType)
+      case st: StructType => readStruct(in, st)
+      case mt: org.apache.spark.sql.types.MapType => readMap(in, mt)
+      case other => throw new UnsupportedOperationException(s"cell type $other")
+    }
+
+  private def writeSlots(o: java.io.DataOutputStream,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      n: Int, typeAt: Int => DataType): Unit = {
     o.writeInt(n)
     val bm = new Array[Byte]((n + 7) / 8)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+      if (g.isNullAt(i)) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
       i += 1
     }
     o.write(bm)
     i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) et match {
-        case IntegerType | DateType => o.writeInt(arr.getInt(i))
-        case LongType | TimestampType => o.writeLong(arr.getLong(i))
-        case org.apache.spark.sql.types.FloatType => o.writeFloat(arr.getFloat(i))
-        case DoubleType => o.writeDouble(arr.getDouble(i))
-        case BooleanType => o.writeBoolean(arr.getBoolean(i))
-        case StringType =>
-          val b = arr.getUTF8String(i).getBytes
-          o.writeInt(b.length); o.write(b)
-        case org.apache.spark.sql.types.BinaryType =>
-          val b = arr.getBinary(i)
-          o.writeInt(b.length); o.write(b)
-        case d: org.apache.spark.sql.types.DecimalType =>
-          val b = arr.getDecimal(i, d.precision, d.scale)
-            .toJavaBigDecimal.toPlainString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          o.writeInt(b.length); o.write(b)
-        case na: org.apache.spark.sql.types.ArrayType =>
-          writeArray(o, arr.getArray(i), na.elementType)
-        case dt => throw new UnsupportedOperationException(s"array<$dt>")
-      }
+      if (!g.isNullAt(i)) writeValue(o, g, i, typeAt(i))
       i += 1
     }
   }
 
-  private[sources] def readArray(in: java.io.DataInputStream,
-      et: DataType): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  private def readSlots(in: java.io.DataInputStream,
+      typeAt: Int => DataType): Array[Any] = {
     val n = in.readInt()
     val bm = new Array[Byte]((n + 7) / 8)
     in.readFully(bm)
     val vals = new Array[Any](n)
     var i = 0
     while (i < n) {
-      if ((bm(i >> 3) & (1 << (i & 7))) == 0) vals(i) = et match {
-        case IntegerType | DateType => in.readInt()
-        case LongType | TimestampType => in.readLong()
-        case org.apache.spark.sql.types.FloatType => in.readFloat()
-        case DoubleType => in.readDouble()
-        case BooleanType => in.readBoolean()
-        case StringType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          UTF8String.fromBytes(b)
-        case org.apache.spark.sql.types.BinaryType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          b
-        case d: org.apache.spark.sql.types.DecimalType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
-            new String(b, java.nio.charset.StandardCharsets.UTF_8)),
-            d.precision, d.scale)
-        case na: org.apache.spark.sql.types.ArrayType =>
-          readArray(in, na.elementType)
-        case dt => throw new UnsupportedOperationException(s"array<$dt>")
-      }
+      if ((bm(i >> 3) & (1 << (i & 7))) == 0) vals(i) = readValue(in, typeAt(i))
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+    vals
   }
+
+  private[sources] def writeArray(o: java.io.DataOutputStream,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      et: DataType): Unit =
+    writeSlots(o, arr, arr.numElements(), _ => et)
+
+  private[sources] def readArray(in: java.io.DataInputStream,
+      et: DataType): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      readSlots(in, _ => et))
+
+  private[sources] def writeStruct(o: java.io.DataOutputStream,
+      row: InternalRow, st: StructType): Unit =
+    writeSlots(o, row, st.length, i => st.fields(i).dataType)
+
+  private[sources] def readStruct(in: java.io.DataInputStream,
+      st: StructType): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      readSlots(in, i => st.fields(i).dataType))
+
+  private[sources] def writeMap(o: java.io.DataOutputStream,
+      map: org.apache.spark.sql.catalyst.util.MapData,
+      mt: org.apache.spark.sql.types.MapType): Unit = {
+    writeArray(o, map.keyArray(), mt.keyType)
+    writeArray(o, map.valueArray(), mt.valueType)
+  }
+
+  private[sources] def readMap(in: java.io.DataInputStream,
+      mt: org.apache.spark.sql.types.MapType)
+    : org.apache.spark.sql.catalyst.util.ArrayBasedMapData =
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      readArray(in, mt.keyType), readArray(in, mt.valueType))
 
   /** Wanted column → physical cell index in one file (−1 = NULL-fill),
     * composing the reader's column pruning with the file's own layout
@@ -288,6 +343,14 @@ object GraftManifestSink {
             readArray(new java.io.DataInputStream(
               new java.io.ByteArrayInputStream(
                 java.util.Base64.getDecoder.decode(raw))), a.elementType)
+          case st: StructType =>
+            readStruct(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(raw))), st)
+          case mt: org.apache.spark.sql.types.MapType =>
+            readMap(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(raw))), mt)
           case dt => throw new UnsupportedOperationException(s"type $dt")
         }
       }
@@ -597,27 +660,83 @@ private[graft] object Manifest {
   /** The codec's type vocabulary: the simple types plus parameterized
     * DECIMAL(p,s) — cells render as plain decimal strings, so a DECIMAL
     * round-trips exactly and a widened precision re-reads the same cells
-    * unchanged — plus ARRAY<elem> over any supported element type
-    * (recursively; `!` marks containsNull=false) and BINARY. Arrays and
-    * binary render as base64 frames ([[GraftManifestSink.render]]), so
-    * the engine's own lakehouse tier can hold the LLM-pipeline tables it
-    * processes: `embedding array<float>`, opaque image/audio payloads. */
+    * unchanged — plus the full COMPLEX-TYPE tier (each rendered as a
+    * base64 frame — [[GraftManifestSink.render]]):
+    * `array<elem>`, `struct<f1:T1,f2:T2,…>`, `map<K,V>`, `binary`
+    * (recursively composable; a `!` suffix on an element/field/value type
+    * marks it non-nullable). The engine's own lakehouse tier can hold
+    * every LLM-pipeline shape: `embedding array<float>`, opaque
+    * image/audio payloads, `meta struct<width:int,height:int>`,
+    * `headers map<string,string>`. Struct field names must be free of
+    * the grammar's delimiters (`:<>,!` and tab). */
   private def TypeNames(dt: DataType): String = dt match {
     case d: org.apache.spark.sql.types.DecimalType =>
       s"decimal(${d.precision},${d.scale})"
     case a: org.apache.spark.sql.types.ArrayType =>
       s"array<${TypeNames(a.elementType)}${if (a.containsNull) "" else "!"}>"
+    case st: StructType =>
+      val fs = st.fields.map { f =>
+        if (f.name.exists(":<>,!\t".contains(_)))
+          throw new UnsupportedOperationException(
+            s"manifest codec: struct field name '${f.name}' carries a " +
+              "type-grammar delimiter (:<>,! or tab)")
+        s"${f.name}:${TypeNames(f.dataType)}${if (f.nullable) "" else "!"}"
+      }
+      s"struct<${fs.mkString(",")}>"
+    case mt: org.apache.spark.sql.types.MapType =>
+      s"map<${TypeNames(mt.keyType)},${TypeNames(mt.valueType)}" +
+        s"${if (mt.valueContainsNull) "" else "!"}>"
     case other => SimpleTypeNames.getOrElse(other,
       throw new UnsupportedOperationException(s"manifest codec: type $other"))
   }
-  private def ByName(s: String): DataType = s match {
-    case DecimalName(p, sc) =>
-      org.apache.spark.sql.types.DecimalType(p.toInt, sc.toInt)
-    case ArrayName(inner) =>
-      org.apache.spark.sql.types.ArrayType(
-        ByName(inner.stripSuffix("!")), containsNull = !inner.endsWith("!"))
-    case other => SimpleByName.getOrElse(other,
-      throw new UnsupportedOperationException(s"manifest codec: type name $other"))
+
+  /** Split a type-argument list on commas at angle-bracket depth 0. */
+  private def splitTypeArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' => depth += 1
+        case '>' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private def ByName(s0: String): DataType = {
+    val s = s0.trim
+    def inner(of: String): String = s.substring(of.length, s.length - 1)
+    def nn(t: String): Boolean = t.endsWith("!")
+    def strip(t: String): String = t.stripSuffix("!")
+    s match {
+      case DecimalName(p, sc) =>
+        org.apache.spark.sql.types.DecimalType(p.toInt, sc.toInt)
+      case _ if s.startsWith("array<") && s.endsWith(">") =>
+        val e = inner("array<")
+        org.apache.spark.sql.types.ArrayType(ByName(strip(e)), !nn(e))
+      case _ if s.startsWith("map<") && s.endsWith(">") =>
+        splitTypeArgs(inner("map<")) match {
+          case Seq(k, v) =>
+            org.apache.spark.sql.types.MapType(ByName(k), ByName(strip(v)), !nn(v))
+          case other => throw new UnsupportedOperationException(
+            s"manifest codec: map takes 2 type args, got ${other.length} in $s")
+        }
+      case _ if s.startsWith("struct<") && s.endsWith(">") =>
+        StructType(splitTypeArgs(inner("struct<")).filter(_.nonEmpty).map { f =>
+          val i = f.indexOf(':')
+          if (i < 0) throw new UnsupportedOperationException(
+            s"manifest codec: struct field '$f' lacks a :type")
+          val t = f.substring(i + 1)
+          StructField(f.substring(0, i), ByName(strip(t)), nullable = !nn(t))
+        })
+      case other => SimpleByName.getOrElse(other,
+        throw new UnsupportedOperationException(
+          s"manifest codec: type name $other"))
+    }
   }
 
   /** Manifest property recording the highest streaming epoch committed to
@@ -796,6 +915,11 @@ private[graft] object Manifest {
       (dt match {
         case a: org.apache.spark.sql.types.ArrayType =>
           supportedType(a.elementType)
+        case st: StructType =>
+          st.fields.forall(f => supportedType(f.dataType) &&
+            !f.name.exists(":<>,!\t".contains(_)))
+        case mt: org.apache.spark.sql.types.MapType =>
+          supportedType(mt.keyType) && supportedType(mt.valueType)
         case _ => false
       })
 

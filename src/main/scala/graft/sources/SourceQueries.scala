@@ -1192,6 +1192,38 @@ object SourceQueries extends QueryModule {
         .orderBy(desc("sim"), col("vec_id")).limit(10)
     }),
 
+    // STRUCT + MAP + BINARY in a managed table through the oracle gate
+    // (r10): a multimodal-style table — opaque binary payload, typed
+    // struct metadata, string map headers — lives in a catalog table,
+    // takes a row-level DELETE (complex cells must ride the rewrite),
+    // and is read back through scalar projections (struct field access,
+    // map lookup, payload length). The oracle derives every scalar from
+    // the raw parquet, so a codec that loses a struct slot, reorders a
+    // map, or corrupts payload bytes hash-fails.
+    "q_complex_table" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_cxq_")
+      s.conf.set("spark.sql.catalog.graftcx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcx.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcx.q")
+      s.sql("DROP TABLE IF EXISTS graftcx.q.media")
+      Tables(s, d, "documents").createOrReplaceTempView("cx_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(substring(text, 1, 16) AS BINARY) AS payload,
+          |  named_struct('width', CAST(n_chars % 640 AS INT),
+          |               'height', CAST(n_chars % 480 AS INT),
+          |               'label', lang) AS meta,
+          |  map('source', source, 'lang', lang) AS hdr
+          |FROM cx_docs""".stripMargin)
+        .writeTo("graftcx.q.media").create()
+      s.sql("DELETE FROM graftcx.q.media WHERE doc_id % 7 = 3")
+      s.sql(
+        """SELECT doc_id, length(payload) AS payload_len,
+          |  meta.width + meta.height AS wh, meta.label AS label,
+          |  hdr['source'] AS src
+          |FROM graftcx.q.media ORDER BY doc_id""".stripMargin)
+    }),
+
     "q_stream_dsv2" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val sink = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1512,6 +1544,16 @@ object SourceQueries extends QueryModule {
         |UNION ALL
         |SELECT doc_id + 4000000, lang, source, n_chars * 2
         |FROM documents WHERE source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    // Scalar derivations of the complex cells, straight off the raw
+    // parquet — any codec loss in payload/struct/map hash-fails.
+    "q_complex_table" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(substring(text, 1, 16) AS BLOB)) AS INTEGER)
+        |    AS payload_len,
+        |  CAST(n_chars % 640 AS INT) + CAST(n_chars % 480 AS INT) AS wh,
+        |  lang AS label, source AS src
+        |FROM documents WHERE doc_id % 7 <> 3
         |ORDER BY doc_id""".stripMargin,
     // The expression-delete complement: NULL/FALSE predicate rows survive.
     "q_delete_expr" ->

@@ -102,6 +102,37 @@ class ArrayCodecSpec extends SparkSuite {
     assert(spark.table("graftarr.q.dml").where("tags IS NULL").count() == 7)
   }
 
+  test("struct and map columns round-trip, with nulls and nesting") {
+    rootDir
+    spark.sql("CREATE TABLE graftarr.q.sm (id BIGINT, " +
+      "meta STRUCT<width: INT, height: INT, label: STRING>, " +
+      "hdr MAP<STRING, STRING>, " +
+      "deep STRUCT<tags: ARRAY<STRING>, score: DOUBLE>)")
+    spark.sql(
+      """INSERT INTO graftarr.q.sm VALUES
+        |  (1, named_struct('width', 640, 'height', 480, 'label', 'cat'),
+        |   map('a', '1', 'tab', 'x\ty'),
+        |   named_struct('tags', array('x', 'y'), 'score', 0.5)),
+        |  (2, named_struct('width', CAST(NULL AS INT), 'height', 7,
+        |      'label', CAST(NULL AS STRING)),
+        |   map('only', CAST(NULL AS STRING)), CAST(NULL AS
+        |   STRUCT<tags: ARRAY<STRING>, score: DOUBLE>))""".stripMargin)
+    val r = spark.table("graftarr.q.sm").orderBy("id").collect()
+    val m1 = r(0).getStruct(1)
+    assert((m1.getInt(0), m1.getInt(1), m1.getString(2)) == (640, 480, "cat"))
+    assert(r(0).getMap[String, String](2) == Map("a" -> "1", "tab" -> "x\ty"))
+    assert(r(0).getStruct(3).getSeq[String](0) == Seq("x", "y"))
+    val m2 = r(1).getStruct(1)
+    assert(m2.isNullAt(0) && m2.getInt(1) == 7 && m2.isNullAt(2))
+    assert(r(1).getMap[String, String](2) == Map("only" -> null))
+    assert(r(1).isNullAt(3))
+    // DML carries complex cells through COW rewrites
+    spark.sql("UPDATE graftarr.q.sm SET id = id + 10 WHERE id = 1")
+    val u = spark.table("graftarr.q.sm").where("id = 11").collect().head
+    assert(u.getStruct(1).getString(2) == "cat")
+    assert(u.getMap[String, String](2)("tab") == "x\ty")
+  }
+
   test("schema header round-trips array/binary names incl. containsNull") {
     rootDir
     spark.sql("CREATE TABLE graftarr.q.hdr " +
@@ -114,5 +145,15 @@ class ArrayCodecSpec extends SparkSuite {
     assert(m.schema("b").dataType == ArrayType(ArrayType(StringType)))
     assert(m.schema("c").dataType == BinaryType)
     assert(m.schema("d").dataType == ArrayType(DecimalType(10, 2)))
+    // struct/map names round-trip through the recursive grammar too
+    spark.sql("CREATE TABLE graftarr.q.hdr2 " +
+      "(s STRUCT<a: INT, b: ARRAY<STRING>, c: MAP<STRING, DOUBLE>>, " +
+      "m MAP<BIGINT, STRUCT<x: INT>>)")
+    val m2 = Manifest.read(java.nio.file.Paths.get(rootDir, "q", "hdr2")).get
+    assert(m2.schema("s").dataType == StructType(Seq(
+      StructField("a", IntegerType), StructField("b", ArrayType(StringType)),
+      StructField("c", MapType(StringType, DoubleType)))))
+    assert(m2.schema("m").dataType ==
+      MapType(LongType, StructType(Seq(StructField("x", IntegerType)))))
   }
 }
