@@ -64,7 +64,11 @@ object Plans {
     "q_embed_table" -> "managed array<float> table: base64-frame codec scan + broadcast probe + fixed-point dot + top-k heap",
     "q_tag_read" -> "immutable tag read: the pinned _tag_ manifest resolves files through the clone chain, plain scan",
     "q_mv_incremental_2src" -> "two-source MV refresh: inclusion-exclusion delta union (Δf⋈D ∪ F⋈Δd ∪ Δf⋈Δd) folded into the stored MV",
-    "q_mv_rewrite_join_rollup" -> "join-MV rollup: coarse grain re-aggregates the |groups|-row MV; neither join input scanned")
+    "q_mv_rewrite_join_rollup" -> "join-MV rollup: coarse grain re-aggregates the |groups|-row MV; neither join input scanned",
+    "q_delete_expr" -> "expression-tier DELETE: zone-map-pruned scan, COW rewrite keeping FALSE/NULL rows",
+    "q_replace_where" -> "replaceWhere: proven files drop metadata-only, cut files rewrite, new data lands in one swap",
+    "q_text_boilerplate" -> "boilerplate: per-row trigrams, vocab-bounded frequency shuffle, broadcast top-30, membership scoring",
+    "q_complex_table" -> "managed struct/map/binary table: slot-frame codec scan + scalar projections")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
