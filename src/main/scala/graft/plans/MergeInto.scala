@@ -70,9 +70,12 @@ object MergeParse {
 
   final case class Clause(group: Group, cond: Option[String], action: Action)
 
-  /** Parsed statement: aliases default to the table names' last part. */
+  /** Parsed statement: aliases default to the table names' last part.
+    * `sourceQuery` carries a `USING (subquery)` source's SQL text — the
+    * command evaluates it instead of resolving `source` as a table. */
   final case class Spec(target: String, tAlias: String, source: String,
-      sAlias: String, keyPairs: Seq[(String, String)], clauses: Seq[Clause])
+      sAlias: String, keyPairs: Seq[(String, String)], clauses: Seq[Clause],
+      sourceQuery: Option[String] = None)
 
   private val Head =
     ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z]\w*))?""" +
@@ -207,10 +210,43 @@ object MergeParse {
     case _ => None
   }
 
+  /** A `USING (subquery)` source: find the balanced paren group after
+    * USING (paren counting outside single-quoted literals) and substitute
+    * a placeholder table name, returning (rewritten sql, subquery text).
+    * None when the source is a plain table name. */
+  private def extractUsingSubquery(sql: String): Option[(String, String)] = {
+    val m = "(?is)\\bUSING\\s*\\(".r.findFirstMatchIn(sql).getOrElse(return None)
+    val open = m.end - 1
+    var depth = 0; var i = open; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) {
+            val sub = sql.substring(open + 1, i).trim
+            val rewritten = sql.substring(0, m.start) +
+              "USING __graft_merge_src" + sql.substring(i + 1)
+            return Some((rewritten, sub))
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    None // unbalanced — let the delegate report it
+  }
+
   /** Parse the full MERGE shape; None → the caller delegates VERBATIM. */
-  def parse(sql: String): Option[Spec] = {
-    if (!sql.matches("(?is)\\s*MERGE\\s+INTO\\s.*")) return None
-    if (sql.count(_ == '\'') % 2 != 0) return None // a quoted literal could hide structure
+  def parse(sql0: String): Option[Spec] = {
+    if (!sql0.matches("(?is)\\s*MERGE\\s+INTO\\s.*")) return None
+    if (sql0.count(_ == '\'') % 2 != 0) return None // a quoted literal could hide structure
+    val (sql, sourceQuery) = extractUsingSubquery(sql0) match {
+      case Some((rw, sub)) => (rw, Some(sub))
+      case None => (sql0, None)
+    }
     sql match {
       case Head(target, tAliasOpt, source, sAliasOpt, rest) =>
         val tA = Option(tAliasOpt).getOrElse(target.split("\\.").last)
@@ -232,7 +268,7 @@ object MergeParse {
         for {
           ks <- keys
           cs <- Some(clauses) if cs.forall(_.isDefined)
-        } yield Spec(target, tA, source, sA, ks, cs.flatten)
+        } yield Spec(target, tA, source, sA, ks, cs.flatten, sourceQuery)
       case _ => None
     }
   }
@@ -245,6 +281,8 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
 
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, spec.target, "MERGE INTO")
+    // the source, resolved ONCE: a table name, or a USING (subquery)
+    def sourceDf = spec.sourceQuery.map(spark.sql).getOrElse(spark.table(spec.source))
 
     // SCHEMA EVOLUTION (Delta's autoMerge rule): under
     // `spark.graft.schema.autoMerge=true`, a star action's SOURCE-ONLY
@@ -259,7 +297,7 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
       if (autoMerge &&
           spec.clauses.exists(c => c.action == UpdateStar || c.action == InsertStar)) {
         val have = spark.table(spec.target).schema.fieldNames
-        spark.table(spec.source).schema.fields
+        sourceDf.schema.fields
           .filterNot(f => have.exists(_.equalsIgnoreCase(f.name))).toSeq
       } else Seq.empty
 
@@ -277,7 +315,7 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           s"MERGE INTO: $what column $c not in target ${spec.target} " +
             s"(${names.mkString(", ")})")
     spec.keyPairs.foreach(p => checkCol(p._1, "ON key"))
-    val srcCols = spark.table(spec.source).columns
+    val srcCols = sourceDf.columns
     spec.clauses.foreach {
       case Clause(_, _, UpdateStar | InsertStar) if !autoMerge =>
         // a star action must never silently NULL a column the source lacks
@@ -319,7 +357,7 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
     // Counting per SOURCE key (not per matched pair grouped by target key)
     // is what makes duplicate target keys legal when each target row
     // still matches at most one source row — the ANSI/Delta rule.
-    val src = spark.table(spec.source)
+    val src = sourceDf
       .withColumn("__graft_s", lit(true))
       .withColumn("__graft_scnt", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
@@ -381,7 +419,7 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
     def colValue(f: StructField): Column = {
       val tcol = col(s"$tA.${f.name}")
       val srcHas =
-        spark.table(spec.source).columns.exists(_.equalsIgnoreCase(f.name))
+        sourceDf.columns.exists(_.equalsIgnoreCase(f.name))
       val scol: Column = // the source may not carry every target column
         if (srcHas) col(s"$sA.${f.name}") else lit(null)
       val branches = spec.clauses.zipWithIndex.flatMap { case (c, i) =>
@@ -467,7 +505,7 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
           .option("path", dir.toString)
           .option("files", m.entries.map(_.name).mkString(",")).load()
           .select(spec.keyPairs.map(p => col(p._1)) :+ col("_file"): _*).as("__mt")
-        val sKeys = spark.table(spec.source).as("__ms")
+        val sKeys = sourceDf.as("__ms")
         val kCond = spec.keyPairs
           .map { case (tc, sc) => col(s"__mt.$tc") === col(s"__ms.$sc") }
           .reduce(_ && _)
