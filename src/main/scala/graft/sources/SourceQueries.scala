@@ -1192,6 +1192,47 @@ object SourceQueries extends QueryModule {
         .orderBy(desc("sim"), col("vec_id")).limit(10)
     }),
 
+    // The STREAMING change feed through the oracle gate (r10): a
+    // changeFeed table takes an append and an UPDATE; a fresh-checkpoint
+    // AvailableNow drain of `readStream.option("changeFeed")` must
+    // deliver EXACTLY the append's inserts plus the update's recorded
+    // pre/post images — exactly-once, commit-at-a-time, no carried rows.
+    // The oracle derives the same row set from the raw parquet, so a
+    // stream that replays, leaks a carried row, or drops a commit
+    // hash-fails the driver gate (the wedge class C161 fixed is pinned
+    // by ChangeFeedSpec; this gates the HAPPY path end-to-end).
+    "q_stream_cdf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_scdfq_")
+      s.conf.set("spark.sql.catalog.graftscdf", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftscdf.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftscdf.q")
+      s.sql("DROP TABLE IF EXISTS graftscdf.q.docs")
+      s.sql("CREATE TABLE graftscdf.q.docs " +
+        "(doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('changeFeed' = 'true')")
+      Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+        .filter(col("doc_id") % 2 === 0)
+        .writeTo("graftscdf.q.docs").append()
+      s.sql("UPDATE graftscdf.q.docs SET n_chars = n_chars + 500000 " +
+        "WHERE source = 'src4'")
+      val dir = s.table("graftscdf.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val sink = s"scdf_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = s.readStream.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString).option("changeFeed", "true").load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", graft.Scratch.dir("graft_scdf_ck_"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select("doc_id", "source", "n_chars", "_change_type")
+        .orderBy("doc_id", "_change_type")
+    }),
+
     // STRUCT + MAP + BINARY in a managed table through the oracle gate
     // (r10): a multimodal-style table — opaque binary payload, typed
     // struct metadata, string map headers — lives in a catalog table,
@@ -1545,6 +1586,18 @@ object SourceQueries extends QueryModule {
         |SELECT doc_id + 4000000, lang, source, n_chars * 2
         |FROM documents WHERE source = 'src3'
         |ORDER BY doc_id""".stripMargin,
+    // The streamed feed: every initial insert, plus both images of the
+    // updated slice — nothing else.
+    "q_stream_cdf" ->
+      """SELECT doc_id, source, n_chars, 'insert' AS _change_type
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 'update_preimage'
+        |FROM documents WHERE doc_id % 2 = 0 AND source = 'src4'
+        |UNION ALL
+        |SELECT doc_id, source, n_chars + 500000, 'update_postimage'
+        |FROM documents WHERE doc_id % 2 = 0 AND source = 'src4'
+        |ORDER BY doc_id, _change_type""".stripMargin,
     // Scalar derivations of the complex cells, straight off the raw
     // parquet — any codec loss in payload/struct/map hash-fails.
     "q_complex_table" ->
