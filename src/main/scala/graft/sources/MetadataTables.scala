@@ -19,6 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    live rows (through its deletion vector), on-disk bytes, vector flag.
   *  - `` t$snapshots `` — one row per archived version: file/row counts
   *    and the commit timestamp (the atomic swap's file mtime).
+  *  - `` t$refs ``      — one row per named ref: branches (kind 'branch',
+  *    pinned = fork version, mutable) and tags (kind 'tag', pinned =
+  *    snapshot, immutable) with their current live row counts — the
+  *    SQL-composable union of SHOW BRANCHES and SHOW TAGS.
   *
   * `$` needs backticks even to parse, so the suffix can never shadow a
   * real table name; branch addressing composes (`` `t@b$files` `` reads
@@ -27,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB `` t$files `` is a million-row metadata scan, not a table
   * scan (Iceberg's own metadata tables read manifests the same way). */
 object MetadataTables {
-  val Kinds = Set("files", "snapshots")
+  val Kinds = Set("files", "snapshots", "refs")
 
   /** `name$kind` → (name, kind) when kind is a known metadata suffix. */
   def split(ident: String): Option[(String, String)] =
@@ -50,6 +54,11 @@ object MetadataTables {
       StructField("n_files", IntegerType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("committed_at", TimestampType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("pinned_version", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
   }
 
   /** Materialize the rows at scan-planning time (InternalRow-shaped).
@@ -76,6 +85,22 @@ object MetadataTables {
             mtime * 1000L) // epoch micros
         }
       }.toArray
+    case "refs" =>
+      val branches = Branch.list(dir).flatMap { b =>
+        Manifest.read(Branch.branchDir(dir, b)).map { m =>
+          Array[Any](UTF8String.fromString(b), UTF8String.fromString("branch"),
+            m.props.get(Branch.BaseProp).map(_.toInt).getOrElse(0),
+            m.entries.map(_.liveRows).sum)
+        }
+      }
+      val tags = Tag.list(dir).flatMap { t =>
+        Manifest.read(Tag.tagDir(dir, t)).map { m =>
+          Array[Any](UTF8String.fromString(t), UTF8String.fromString("tag"),
+            m.props.get(Tag.PinProp).map(_.toInt).getOrElse(0),
+            m.entries.map(_.liveRows).sum)
+        }
+      }
+      (branches ++ tags).toArray
   }
 }
 

@@ -80,6 +80,22 @@ class MetadataTablesSpec extends SparkSuite {
       .collect()(0).getLong(0) == 30L)
   }
 
+  test("$refs lists branches and tags with pins and live counts") {
+    val cat = freshCatalog("metaspec6")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
+    (0L until 20L).toDF("id").coalesce(1).writeTo(s"$cat.ns.t").append()
+    spark.sql(s"ALTER TABLE $cat.ns.t CREATE TAG rel")
+    spark.sql(s"ALTER TABLE $cat.ns.t CREATE BRANCH dev")
+    (20L until 25L).toDF("id").coalesce(1).writeTo(s"$cat.ns.`t@dev`").append()
+    val refs = spark.sql(
+      s"SELECT name, kind, n_rows FROM $cat.ns.`t$$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs == Seq(("dev", "branch", 25L), ("rel", "tag", 20L)))
+    // composes as SQL: total rows pinned by immutable refs
+    assert(spark.sql(s"SELECT sum(n_rows) FROM $cat.ns.`t$$refs` " +
+      "WHERE kind = 'tag'").head().getLong(0) == 20L)
+  }
+
   test("an unknown $suffix stays an ordinary missing table") {
     val cat = freshCatalog("metaspec5")
     spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
