@@ -3584,18 +3584,33 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
     val s = start.asInstanceOf[SnapOffset].v
     val e = end.asInstanceOf[SnapOffset].v
     if (e <= s) return Array.empty
-    val before = manifestAt(s).entries.map(_.name).toSet
     val chain = Manifest.resolveChain(dir)
-    // each added file's layout resolves against ITS snapshot's schema by
-    // name — a column added/dropped between the snapshot and the current
-    // table schema must not shift cell positions
-    val endManifest = manifestAt(e)
-    endManifest.entries.filterNot(f => before(f.name))
-      .map(f => ManifestFilePartition(Manifest.resolveData(chain, f.name).toString,
-        dir.toString, wanted,
-        GraftManifestSink.wantedPhys(endManifest.schema, wanted, f),
-        dvPath = f.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull))
-      .toArray[InputPartition]
+    // walk the window COMMIT BY COMMIT: a layout commit (OPTIMIZE / REORG
+    // — fresh dataChange stamp) adds files that carry only rows already
+    // delivered, so it plans NOTHING (the single-window diff this
+    // replaced would have re-delivered every compacted row as new);
+    // an append mid-window still delivers even if a later layout commit
+    // compacted its file away (archived data files survive until VACUUM).
+    // Each added file's layout resolves against ITS commit's schema by
+    // name — a column added/dropped later must not shift cell positions.
+    def stampOf(v: Int): Option[String] =
+      manifestAt(v).props.get(Manifest.DataChangeStampProp)
+    val versions = Manifest.snapshotVersions(dir).filter(v => v > s && v <= e)
+    (s +: versions).zip(versions).flatMap { case (a, b) =>
+      if (stampOf(b) != (if (a == 0) None else stampOf(a)))
+        Seq.empty[InputPartition]
+      else {
+        val before = manifestAt(a).entries.map(_.name).toSet
+        val mb = manifestAt(b)
+        mb.entries.filterNot(f => before(f.name))
+          .map(f => ManifestFilePartition(
+            Manifest.resolveData(chain, f.name).toString,
+            dir.toString, wanted,
+            GraftManifestSink.wantedPhys(mb.schema, wanted, f),
+            dvPath = f.dv.map(d =>
+              Manifest.resolveData(chain, d._1).toString).orNull))
+      }
+    }.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestReaderFactory

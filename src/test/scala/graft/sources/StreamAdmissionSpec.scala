@@ -83,6 +83,50 @@ class StreamAdmissionSpec extends SparkSuite {
     assert(batches == 2, s"4x10 rows at 20/trigger = 2 batches, got $batches")
   }
 
+  test("layout commits deliver nothing to the data stream — no duplicate " +
+    "rows after OPTIMIZE") {
+    rootDir
+    spark.sql("CREATE TABLE graftadm.q.oc (id BIGINT)")
+    val dir = Paths.get(rootDir, "q", "oc").toString
+    (1 to 3).foreach { c =>
+      Seq.tabulate(5)(i => c * 100L + i).toDF("id").coalesce(1)
+        .writeTo("graftadm.q.oc").append()
+    }
+    // persistent checkpoint: drain into a manifest sink (memory sinks
+    // refuse checkpoint recovery), compact, append, drain again
+    val outDir = Files.createTempDirectory("graft_adm_oc_out_").toString
+    val ckpt = Files.createTempDirectory("graft_adm_oc_").toString
+    def drainTo(): Long = {
+      val q = spark.readStream.format("graft.sources.GraftManifestSink")
+        .option("path", dir).load()
+        .writeStream.format("graft.sources.GraftManifestSink")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", outDir).load().count()
+    }
+    assert(drainTo() == 15)
+    spark.sql("OPTIMIZE graftadm.q.oc") // 3 files -> 1, pure layout
+    Seq(999L).toDF("id").coalesce(1).writeTo("graftadm.q.oc").append()
+    assert(drainTo() == 16,
+      "the resumed drain must deliver ONLY the new append — compacted " +
+        "outputs carry rows the consumer already has")
+    // a FRESH checkpoint over the whole trail (append+optimize+append)
+    // also delivers each row exactly once
+    val sink2 = s"adm_oc2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q2 = spark.readStream.format("graft.sources.GraftManifestSink")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_adm_oc2_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.table(sink2).count() == 16)
+    assert(spark.table(sink2).select("id").distinct().count() == 16)
+  }
+
   test("startingVersion skips history for data and CDF streams") {
     rootDir
     spark.sql("CREATE TABLE graftadm.q.sv (id BIGINT) " +
