@@ -1326,7 +1326,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val changesFrom = Option(options.get("changesFrom")).map(_.toInt)
     val streamOpts = Seq("maxFilesPerTrigger", "maxRowsPerTrigger",
-        "startingVersion")
+        "startingVersion", "skipChangeCommits", "ignoreChanges")
       .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
     new ManifestScanBuilder(dir,
       Option(options.get("changesTo")).map(_.toInt)
@@ -3595,14 +3595,37 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
     // name — a column added/dropped later must not shift cell positions.
     def stampOf(v: Int): Option[String] =
       manifestAt(v).props.get(Manifest.DataChangeStampProp)
+    // row-level DML commits (files rewritten, dropped, or newly
+    // vectored): re-delivering the rewrite's outputs would duplicate
+    // every carried row downstream, and deletes are silently invisible —
+    // so by default the stream REFUSES loudly (the Delta source's rule),
+    // with the two documented opt-outs: `skipChangeCommits` skips such
+    // commits whole, `ignoreChanges` delivers the added files
+    // (re-delivered carried rows become the consumer's contract).
+    val skipChanges = streamOpts.get("skipChangeCommits").contains("true")
+    val ignoreChanges = streamOpts.get("ignoreChanges").contains("true")
     val versions = Manifest.snapshotVersions(dir).filter(v => v > s && v <= e)
     (s +: versions).zip(versions).flatMap { case (a, b) =>
       if (stampOf(b) != (if (a == 0) None else stampOf(a)))
-        Seq.empty[InputPartition]
+        Seq.empty[InputPartition] // layout commit: carried rows only
       else {
-        val before = manifestAt(a).entries.map(_.name).toSet
+        val ma = manifestAt(a)
         val mb = manifestAt(b)
-        mb.entries.filterNot(f => before(f.name))
+        val prevKey = ma.entries.map(e2 =>
+          e2.name -> ((e2.rows, e2.dv.map(_._1)))).toMap
+        val currKey = mb.entries.map(e2 =>
+          e2.name -> ((e2.rows, e2.dv.map(_._1)))).toMap
+        val changed = prevKey.keySet.exists(n => !currKey.get(n).contains(prevKey(n)))
+        if (changed && skipChanges) Seq.empty[InputPartition]
+        else if (changed && !ignoreChanges)
+          throw new UnsupportedOperationException(
+            s"streaming read: commit $b rewrote or removed files (row-level " +
+              "DML) — a plain data stream would duplicate carried rows and " +
+              "miss deletes. Set option skipChangeCommits=true to skip such " +
+              "commits, ignoreChanges=true to deliver the rewritten files " +
+              "anyway, or stream the change feed (changeFeed=true) for " +
+              "exact row-level changes")
+        else mb.entries.filterNot(f => prevKey.contains(f.name))
           .map(f => ManifestFilePartition(
             Manifest.resolveData(chain, f.name).toString,
             dir.toString, wanted,

@@ -127,6 +127,36 @@ class StreamAdmissionSpec extends SparkSuite {
     assert(spark.table(sink2).select("id").distinct().count() == 16)
   }
 
+  test("DML commits refuse by default; skipChangeCommits and " +
+    "ignoreChanges opt out explicitly") {
+    rootDir
+    spark.sql("CREATE TABLE graftadm.q.dml (id BIGINT)")
+    val dir = Paths.get(rootDir, "q", "dml").toString
+    (1L to 10L).toDF("id").coalesce(1).writeTo("graftadm.q.dml").append()
+    spark.sql("DELETE FROM graftadm.q.dml WHERE id IN (3, 7)")
+    (11L to 12L).toDF("id").coalesce(1).writeTo("graftadm.q.dml").append()
+    // default: the rewrite commit fails the stream loudly
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft.sources.GraftManifestSink")
+        .option("path", dir).load()
+        .writeStream.format("memory")
+        .queryName(s"dml_${java.util.UUID.randomUUID().toString.take(8)}")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_adm_dml_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("skipChangeCommits")) || msg(t.getCause))
+    assert(msg(e), s"expected the skipChangeCommits guidance, got $e")
+    // skipChangeCommits: the DELETE commit skips whole; appends deliver
+    val (skipRows, _) = drain(dir, Map("skipChangeCommits" -> "true"))
+    assert(skipRows == 12, s"10 initial + 2 appended, got $skipRows")
+    // ignoreChanges: the rewrite's files deliver (carried rows and all)
+    val (ignRows, _) = drain(dir, Map("ignoreChanges" -> "true"))
+    assert(ignRows == 20, s"10 initial + 8 surviving + 2 appended, got $ignRows")
+  }
+
   test("startingVersion skips history for data and CDF streams") {
     rootDir
     spark.sql("CREATE TABLE graftadm.q.sv (id BIGINT) " +
