@@ -561,7 +561,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (Files.exists(tableDir(newIdent)))
       throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(tableDir(newIdent).getParent)
-    Files.move(tableDir(oldIdent), tableDir(newIdent))
+    val from = tableDir(oldIdent).toAbsolutePath
+    val to = tableDir(newIdent)
+    Files.move(from, to)
+    // nested refs (branches, tags) record their PARENT as an absolute
+    // cloneSource path — re-point them at the moved directory, or every
+    // ref's data-file resolution would chase the old path and break.
+    // TEXTUAL surgery on the props line (current manifest + archived
+    // snapshots): parsing the ref manifest here would itself resolve
+    // segments through the dead chain.
+    val oldTok = s"${Manifest.CloneSourceProp}=${from}"
+    val newTok = s"${Manifest.CloneSourceProp}=${to.toAbsolutePath}"
+    for (name <- Branch.list(to) ++ Tag.list(to)) {
+      val rdir =
+        if (Files.exists(Branch.branchDir(to, name).resolve("_manifest")))
+          Branch.branchDir(to, name)
+        else Tag.tagDir(to, name)
+      val s2 = Files.list(rdir)
+      try s2.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_manifest"))
+        .foreach { mf =>
+          val txt = Files.readString(mf)
+          if (txt.contains(oldTok))
+            Files.writeString(mf, txt.replace(oldTok, newTok))
+        }
+      finally s2.close()
+    }
+    Manifest.clearReadCache()
   }
 
   // ----- namespaces -----

@@ -81,6 +81,22 @@ class TagSpec extends SparkSuite {
     assert(spark.table("grafttag.q.`im@rel`").count() == 3)
   }
 
+  test("RENAME TABLE re-points nested refs: tags and branches survive") {
+    rootDir
+    spark.sql("CREATE TABLE grafttag.q.rn (id BIGINT)")
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).writeTo("grafttag.q.rn").append()
+    spark.sql("ALTER TABLE grafttag.q.rn CREATE TAG rel")
+    spark.sql("ALTER TABLE grafttag.q.rn CREATE BRANCH dev")
+    Seq(4L).toDF("id").coalesce(1).writeTo("grafttag.q.`rn@dev`").append()
+    spark.sql("ALTER TABLE grafttag.q.rn RENAME TO q.rn2")
+    // both refs resolve their data through the MOVED parent
+    assert(spark.table("grafttag.q.`rn2@rel`").count() == 3,
+      "the tag must survive the rename")
+    assert(spark.table("grafttag.q.`rn2@dev`").count() == 4,
+      "the branch must survive the rename")
+    assert(spark.table("grafttag.q.rn2").count() == 3)
+  }
+
   test("AS OF VERSION pins an archived snapshot; ref names are exclusive") {
     rootDir
     spark.sql("CREATE TABLE grafttag.q.v (id BIGINT)")
