@@ -105,7 +105,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * copy of a manifest table (Delta's statement shape; Spark's CREATE
     * grammar has no CLONE, so the regex never shadows delegate syntax). */
   private val Clone =
-    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+    ("""(?is)\s*CREATE\s+TABLE\s+((?:[\w.]+|`[^`]+`)+)\s+SHALLOW\s+CLONE\s+((?:[\w.]+|`[^`]+`)+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
   /** `CREATE MATERIALIZED VIEW t AS <query>` / `REFRESH MATERIALIZED VIEW

@@ -196,10 +196,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // silently drops its first epochs as replays.
     // the CDC pointer is commit-scoped: inherited into a clone it would
     // claim the source's last DML rows as the clone's first commit
+    // the ref-state props stay behind too: cloning a TAG must yield a
+    // WRITABLE table pinned at the tagged state (the reproducible-
+    // experiment fork), not a second immutable ref; a branch's fork
+    // version is meaningless outside its parent directory
     val props = src.props.filterNot(p =>
         p._1 == Manifest.LastEpochProp ||
         p._1.startsWith(Manifest.LastEpochProp + ".") ||
-        p._1 == Manifest.CdcDirProp) +
+        p._1 == Manifest.CdcDirProp ||
+        p._1 == Tag.PinProp || p._1 == Branch.BaseProp) +
       (Manifest.CloneSourceProp -> srcDir.toAbsolutePath.toString)
     // carry the SOURCE's segment composition: the clone's root then
     // re-publishes those segment files BY REFERENCE (resolved through the

@@ -97,6 +97,25 @@ class TagSpec extends SparkSuite {
     assert(spark.table("grafttag.q.rn2").count() == 3)
   }
 
+  test("SHALLOW CLONE of a tag yields a WRITABLE fork of the pinned state") {
+    rootDir
+    spark.sql("CREATE TABLE grafttag.q.cl (id BIGINT)")
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).writeTo("grafttag.q.cl").append()
+    spark.sql("ALTER TABLE grafttag.q.cl CREATE TAG rel")
+    Seq(4L).toDF("id").coalesce(1).writeTo("grafttag.q.cl").append()
+    // fork the tagged state: the reproducible-experiment workflow
+    spark.sql("CREATE TABLE grafttag.q.exp SHALLOW CLONE grafttag.q.`cl@rel`")
+    assert(spark.table("grafttag.q.exp").count() == 3,
+      "the clone must read the PINNED state, not the moved-on table")
+    // ...and it is writable (the pin prop must not ride into the clone)
+    Seq(99L).toDF("id").coalesce(1).writeTo("grafttag.q.exp").append()
+    spark.sql("DELETE FROM grafttag.q.exp WHERE id = 1")
+    assert(spark.table("grafttag.q.exp").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 99L))
+    // the tag itself stays immutable and intact
+    assert(spark.table("grafttag.q.`cl@rel`").count() == 3)
+  }
+
   test("AS OF VERSION pins an archived snapshot; ref names are exclusive") {
     rootDir
     spark.sql("CREATE TABLE grafttag.q.v (id BIGINT)")
