@@ -182,6 +182,25 @@ class PlanSpec extends SparkSuite {
       "fact scan carries no dynamic-pruning subquery:\n" + p.take(1500))
   }
 
+  test("boilerplate detection broadcasts the top-30 and bounds its output heap") {
+    val p = plan("q_text_boilerplate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the common-trigram array must broadcast:\n" + p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-50 output must be a bounded heap, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the membership test")
+  }
+
+  test("the managed embeddings table plans like the raw one: broadcast " +
+    "probe + bounded top-k heap") {
+    val p = plan("q_embed_table")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the probe row must broadcast:\n" + p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a bounded heap")
+    assert(!p.contains("SortMergeJoin"), "the vector scan must not shuffle")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // q_etl_gold excluded: building its DataFrame executes the pipeline
     // writes (covered by EtlSpec); everything else must plan shuffle- or
