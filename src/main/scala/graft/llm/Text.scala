@@ -476,6 +476,49 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CONTAINMENT DEDUP over winnowing fingerprints (the quote/snippet
+    // shape MinHash misses: a short document pasted INSIDE a long one has
+    // low Jaccard but high containment |F(A)∩F(B)| / min(|F(A)|,|F(B)|)).
+    // Scale shape — NOTHING is all-pairs: fingerprint sets are per-row
+    // (the q_text_fingerprint winnowing), candidates come from a POSTING
+    // equi-join on the fingerprint value with hot fingerprints dropped
+    // first (df > 20 — corpus-common fragments carry no identity signal
+    // and would explode the join quadratically; the cap is the standard
+    // posting-list bound), and the output is a bounded top-25 heap.
+    "q_dedup_containment" -> ((s, d) => {
+      val emptyLongs = array().cast("array<bigint>")
+      val khLen = length(col("text")) - (KGram - 1)
+      val kh = when(khLen >= 1,
+        transform(sequence(lit(1), khLen),
+          i => polyChar(col("text").substr(i, lit(KGram))))).otherwise(emptyLongs)
+      val winLen = size(col("kh")) - (WinnowWindow - 1)
+      val wins = when(winLen >= 1,
+        transform(sequence(lit(1), winLen),
+          i => array_min(slice(col("kh"), i, lit(WinnowWindow))))).otherwise(emptyLongs)
+      val fps = Tables(s, d, "documents")
+        .select(col("doc_id"), kh.as("kh"))
+        .select(col("doc_id"), array_distinct(wins).as("fps"))
+        .localCheckpoint(true) // fingerprints feed postings AND both size joins
+      val nf = fps.select(col("doc_id"), size(col("fps")).cast(LongType).as("n"))
+      val post = fps.filter(size(col("fps")) >= 5)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val rare = post.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("fp")
+      val bounded = post.join(rare, "fp")
+      bounded.as("a").join(bounded.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(nf.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(nf.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn("containment",
+          col("shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b", "containment")
+        .orderBy(desc("containment"), col("doc_a"), col("doc_b")).limit(25)
+    }),
+
     // CORPUS-BOILERPLATE detection (the C4/Dolma pipeline step this
     // engine's other text filters don't cover): documents dominated by
     // corpus-COMMON word trigrams — navigation chrome, license headers,
@@ -567,6 +610,30 @@ object Text extends QueryModule {
          |FROM tr JOIN ev USING (gh)
          |GROUP BY tr.doc_id
          |ORDER BY tr.doc_id""".stripMargin,
+    // The containment ranking, re-derived from scratch with the same
+    // winnowing, posting cap, and pair arithmetic.
+    "q_dedup_containment" ->
+      s"""WITH kg AS (
+         |  SELECT doc_id,
+         |    [${graft.llm.PortableHash.sqlPolyChar(s"substr(text, i, $KGram)")} for i in range(1, length(text) - ${KGram - 2})] AS kh
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_distinct([list_min(kh[i:i+${WinnowWindow - 1}]) for i in range(1, len(kh) - ${WinnowWindow - 2})]) AS fps
+         |  FROM kg),
+         |post AS (SELECT doc_id, unnest(fps) AS fp FROM fp WHERE len(fps) >= 5),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM post GROUP BY fp) WHERE df <= 20),
+         |b AS (SELECT * FROM post WHERE fp IN (SELECT fp FROM rare)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS shared
+         |  FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2),
+         |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n FROM fp)
+         |SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+         |  CAST(shared AS DOUBLE) / least(na.n, nb.n) AS containment
+         |FROM pairs JOIN nf na ON doc_a = na.doc_id
+         |           JOIN nf nb ON doc_b = nb.doc_id
+         |ORDER BY containment DESC, doc_a, doc_b LIMIT 25""".stripMargin,
     // The boilerplate ranking, re-derived from scratch: same top-30
     // common-trigram set (count desc, trigram tie-break), same per-doc
     // occurrence fractions.
