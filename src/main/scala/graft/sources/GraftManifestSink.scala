@@ -739,6 +739,15 @@ private[graft] object Manifest {
     }
   }
 
+  /** The newest snapshot committed at or before epoch-millis `cutoff`
+    * (commit time = the archived manifest's mtime — the same authority
+    * the read-side TIMESTAMP AS OF uses); None when every snapshot is
+    * newer. */
+  private[sources] def versionAtOrBefore(dir: Path, cutoff: Long): Option[Int] =
+    snapshotVersions(dir).reverse.find { v =>
+      Files.getLastModifiedTime(dir.resolve(s"_manifest.v$v")).toMillis <= cutoff
+    }
+
   /** Manifest property recording the highest streaming epoch committed to
     * this table — the idempotence watermark [[ManifestStreamingWrite]]
     * checks on replay. */
@@ -1326,7 +1335,8 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val changesFrom = Option(options.get("changesFrom")).map(_.toInt)
     val streamOpts = Seq("maxFilesPerTrigger", "maxRowsPerTrigger",
-        "startingVersion", "skipChangeCommits", "ignoreChanges")
+        "startingVersion", "startingTimestamp", "skipChangeCommits",
+        "ignoreChanges")
       .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
     new ManifestScanBuilder(dir,
       Option(options.get("changesTo")).map(_.toInt)
@@ -3529,10 +3539,15 @@ private[sources] class ManifestChangeStream(dir: Path, full: StructType,
           "reset the checkpoint to reprocess"))
 
   // `startingVersion` = the FIRST version whose changes are delivered
-  // (the Delta option): offsets are exclusive lower bounds, so v-1
+  // (the Delta option): offsets are exclusive lower bounds, so v-1;
+  // `startingTimestamp` resolves to the first version committed AFTER it
   override def initialOffset(): SOffset =
     SnapOffset(streamOpts.get("startingVersion")
-      .map(v => math.max(0, v.toInt - 1)).getOrElse(0))
+      .map(v => math.max(0, v.toInt - 1))
+      .orElse(streamOpts.get("startingTimestamp").map(ts =>
+        Manifest.versionAtOrBefore(dir,
+          java.sql.Timestamp.valueOf(ts).getTime).getOrElse(0)))
+      .getOrElse(0))
   override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
   override def latestOffset(): SOffset = SnapOffset(newestVisible)
 
@@ -3689,10 +3704,15 @@ private[sources] class ManifestCdfStream(dir: Path, output: StructType,
         s"streaming change feed: snapshot $v expired (VACUUM RETAIN) at $dir — " +
           "reset the checkpoint to reprocess"))
 
-  // `startingVersion` = the FIRST version whose changes are delivered
+  // `startingVersion` = the FIRST version whose changes are delivered;
+  // `startingTimestamp` resolves to the first version committed AFTER it
   override def initialOffset(): SOffset =
     SnapOffset(streamOpts.get("startingVersion")
-      .map(v => math.max(0, v.toInt - 1)).getOrElse(0))
+      .map(v => math.max(0, v.toInt - 1))
+      .orElse(streamOpts.get("startingTimestamp").map(ts =>
+        Manifest.versionAtOrBefore(dir,
+          java.sql.Timestamp.valueOf(ts).getTime).getOrElse(0)))
+      .getOrElse(0))
   override def deserializeOffset(json: String): SOffset = SnapOffset(json.toInt)
   override def latestOffset(): SOffset = SnapOffset(newestVisible)
 
@@ -3801,7 +3821,8 @@ private[sources] class ManifestCdfTable(dir: Path, output: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val streamOpts = Seq("maxFilesPerTrigger", "startingVersion")
+    val streamOpts = Seq("maxFilesPerTrigger", "startingVersion",
+        "startingTimestamp")
       .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
     new ScanBuilder {
       override def build(): Scan = new Scan {

@@ -174,5 +174,13 @@ class StreamAdmissionSpec extends SparkSuite {
     val (cdfRows, _) = drain(dir.toString,
       Map("startingVersion" -> lastV.toString), cdf = true)
     assert(cdfRows == 4)
+    // startingTimestamp: everything already committed is BEFORE a future
+    // instant (nothing delivers); a pre-creation instant delivers all
+    val (futRows, _) = drain(dir.toString,
+      Map("startingTimestamp" -> "2099-01-01 00:00:00"))
+    assert(futRows == 0, s"a future start must deliver nothing, got $futRows")
+    val (pastRows, _) = drain(dir.toString,
+      Map("startingTimestamp" -> "1999-01-01 00:00:00"))
+    assert(pastRows == 12, s"a pre-creation start must deliver all, got $pastRows")
   }
 }
