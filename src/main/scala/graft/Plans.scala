@@ -68,7 +68,9 @@ object Plans {
     "q_delete_expr" -> "expression-tier DELETE: zone-map-pruned scan, COW rewrite keeping FALSE/NULL rows",
     "q_replace_where" -> "replaceWhere: proven files drop metadata-only, cut files rewrite, new data lands in one swap",
     "q_text_boilerplate" -> "boilerplate: per-row trigrams, vocab-bounded frequency shuffle, broadcast top-30, membership scoring",
-    "q_complex_table" -> "managed struct/map/binary table: slot-frame codec scan + scalar projections")
+    "q_complex_table" -> "managed struct/map/binary table: slot-frame codec scan + scalar projections",
+    "q_dedup_containment" -> "containment dedup: per-row winnow fingerprints, capped posting equi-join, bounded top-25 heap",
+    "q_stream_cdf" -> "streaming CDF drain: per-commit file partitions, recorded CDC replayed, appends tagged insert")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
