@@ -3053,7 +3053,8 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
     exclude: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private val manifest = snapshot match {
@@ -3092,6 +3093,18 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
 
   private var sawFilters = false
   private var aggResult: Option[(StructType, InternalRow)] = None
+  private var limitN: Option[Int] = None
+
+  /** LIMIT pushdown: a bare `LIMIT n` plans only enough files (in manifest
+    * order) for their LIVE row counts to cover n — `SELECT * FROM t LIMIT
+    * 10` over a million-file table plans O(1) files instead of the whole
+    * table. PARTIAL push (the default `isPartiallyPushed`): Spark keeps
+    * its own Limit node for the exact cut, the source only bounds what it
+    * plans. Refused whenever filters reached the scan — residual
+    * predicates may eliminate every row of the selected prefix, so a
+    * filtered query must keep planning all surviving files. */
+  override def pushLimit(limit: Int): Boolean =
+    if (sawFilters) false else { limitN = Some(limit); true }
 
   private def liveEntries: Seq[ManifestFile] =
     manifest.map(_.entries).getOrElse(Seq.empty)
@@ -3196,8 +3209,19 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
     case Some((schema, row)) => new ManifestAggScan(dir, schema, row)
     case None =>
       val entries = liveEntries
-      val kept = entries.filter(e =>
+      val survived = entries.filter(e =>
         skipping.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+      // limit-bounded planning: the shortest file prefix whose live rows
+      // cover the pushed limit (liveRows already nets out deletion
+      // vectors, so a DV-heavy prefix keeps extending until enough
+      // surviving rows are provably planned)
+      val kept = limitN match {
+        case Some(n) =>
+          var acc = 0L
+          survived.takeWhile { e =>
+            val need = acc < n; acc += e.liveRows; need }
+        case None => survived
+      }
       // the table's SPJ contract, when it declares one bucket transform on
       // a column the current schema still carries bucketable
       val spj = manifest.flatMap(m => Manifest.bucketSpec(m.props)).filter {

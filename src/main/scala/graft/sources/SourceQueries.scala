@@ -336,6 +336,55 @@ object SourceQueries extends QueryModule {
         "ORDER BY n_rows, live_rows")
     }),
 
+    // LIMIT pushdown through the oracle gate: a bare LIMIT over the
+    // one-file-per-source managed base must plan only the file PREFIX
+    // whose live rows cover the limit — at a million files, `LIMIT 100`
+    // plans O(1) files, never the table. In-query asserts pin the planning
+    // contract (planned files == the minimal covering prefix, recomputed
+    // from the manifest's own live-row counts) and row integrity (exactly
+    // 100 DISTINCT doc_ids, every one present in the raw parquet). The
+    // declared result is the deterministic aggregate the oracle replays.
+    "q_limit_pushdown" -> ((s, d) => {
+      val cat = stageMetaBase(s, d)
+      val lim = s.sql(s"SELECT doc_id FROM $cat.q.docs LIMIT 100")
+      val ids = lim.collect().map(_.getLong(0))
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val live = Manifest.read(dir).get.entries.map(_.liveRows)
+      val total = live.sum
+      val want = math.min(100L, total)
+      // minimal covering prefix in manifest (= commit) order
+      var acc = 0L
+      val prefix = live.takeWhile { r => val need = acc < want; acc += r; need }.length
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(lim.queryExecution.executedPlan).head.plannedFiles
+      assert(planned == prefix,
+        s"LIMIT should plan the $prefix-file covering prefix of ${live.length}, planned $planned")
+      assert(ids.length == want && ids.distinct.length == want,
+        s"LIMIT returned ${ids.length} rows (${ids.distinct.length} distinct), wanted $want")
+      val present = Tables(s, d, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id").isin(ids.toSeq: _*)).count()
+      assert(present == want, s"LIMIT surfaced $present known doc_ids of $want")
+      import s.implicits._
+      Seq(ids.length.toLong).toDF("n_rows")
+    }),
+
     // The snapshots metadata RELATION — the point over DESCRIBE HISTORY is
     // that it composes as SQL: a window over `docs$snapshots` derives each
     // commit's ADDED row count from consecutive snapshot totals, which must
@@ -1357,6 +1406,11 @@ object SourceQueries extends QueryModule {
         |                  THEN 1 END) > 0 AS has_dv
         |FROM documents GROUP BY source
         |ORDER BY n_rows, live_rows""".stripMargin,
+    // The limit's deterministic aggregate (which rows is the scan's
+    // choice; the in-query asserts pin distinctness + membership).
+    "q_limit_pushdown" ->
+      """SELECT count(*) AS n_rows
+        |FROM (SELECT doc_id FROM documents LIMIT 100)""".stripMargin,
     // Consecutive snapshot totals difference back to per-source counts.
     "q_meta_snapshots" ->
       """WITH per AS (SELECT source, count(*) AS added

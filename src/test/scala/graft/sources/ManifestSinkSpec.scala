@@ -213,6 +213,80 @@ class ManifestSinkSpec extends SparkSuite {
     assert(scan2.planInputPartitions().length == 3)
   }
 
+  test("LIMIT pushdown plans the minimal covering file prefix; filters refuse it") {
+    // a DV-mode CATALOG table: deletes keep file identity and manifest
+    // order, so the covering-prefix arithmetic is observable end to end
+    val root = freshDir()
+    spark.conf.set("spark.sql.catalog.graftlim", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftlim.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftlim.q")
+    spark.sql("CREATE TABLE graftlim.q.t (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    // 3 files × 30 rows, in a known commit order
+    (0 until 3).foreach { b =>
+      (1L to 30L).map(i => (b * 30 + i, s"v$i")).toDF("id", "name")
+        .coalesce(1).writeTo("graftlim.q.t").append()
+    }
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[ManifestScan] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def t = spark.table("graftlim.q.t")
+
+    // LIMIT 10 < one file's rows → exactly 1 file planned, 10 rows out
+    val l10 = t.limit(10)
+    assert(l10.collect().length == 10)
+    assert(scansOf(l10).head.plannedFiles == 1)
+
+    // LIMIT 45 spans two files → 2 planned; Spark's Limit still cuts to 45
+    val l45 = t.limit(45)
+    assert(l45.collect().length == 45)
+    assert(scansOf(l45).head.plannedFiles == 2)
+
+    // LIMIT beyond the table plans everything and returns everything
+    val lBig = t.limit(500)
+    assert(lBig.collect().length == 90)
+    assert(scansOf(lBig).head.plannedFiles == 3)
+
+    // a filter below the limit refuses the push: residual predicates may
+    // kill the whole prefix, so every surviving file must stay planned —
+    // and the rows must be the FILTERED rows, never a prefix artifact
+    val fl = t.filter($"id" > 80L).limit(5)
+    val got = fl.collect().map(_.getLong(0)).toSet
+    assert(got.size == 5 && got.forall(_ > 80L), got.toString)
+    assert(scansOf(fl).head.plannedFiles >= 1) // zone maps may still prune
+
+    // deletion vectors: liveRows (not physical rows) drive the prefix.
+    // The vectorized file re-publishes at the END of the manifest, so
+    // recompute the covering prefix from the live counts in manifest order
+    spark.sql("DELETE FROM graftlim.q.t WHERE id <= 25")
+    val live = Manifest.read(Paths.get(root, "q", "t")).get.entries.map(_.liveRows)
+    assert(live.sum == 65L && live.contains(5L), live.toString) // 25 vectored away
+    def prefix(n: Long): Int = {
+      var acc = 0L
+      live.takeWhile { r => val need = acc < n; acc += r; need }.length
+    }
+    for (n <- Seq(25, 32, 61)) {
+      val l = t.limit(n)
+      assert(l.collect().length == n)
+      assert(scansOf(l).head.plannedFiles == prefix(n),
+        s"LIMIT $n planned ${scansOf(l).head.plannedFiles}, want ${prefix(n)} of $live")
+    }
+  }
+
   test("broadcast-join DPP prunes manifest files at runtime, end to end") {
     import org.apache.spark.sql.functions.broadcast
     val dir = freshDir()
