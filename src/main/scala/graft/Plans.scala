@@ -70,7 +70,8 @@ object Plans {
     "q_text_boilerplate" -> "boilerplate: per-row trigrams, vocab-bounded frequency shuffle, broadcast top-30, membership scoring",
     "q_complex_table" -> "managed struct/map/binary table: slot-frame codec scan + scalar projections",
     "q_dedup_containment" -> "containment dedup: per-row winnow fingerprints, capped posting equi-join, bounded top-25 heap",
-    "q_stream_cdf" -> "streaming CDF drain: per-commit file partitions, recorded CDC replayed, appends tagged insert")
+    "q_stream_cdf" -> "streaming CDF drain: per-commit file partitions, recorded CDC replayed, appends tagged insert",
+    "q_limit_pushdown" -> "LIMIT pushdown: the scan plans only the covering live-row file prefix (partial push, Spark keeps the exact cut)")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
