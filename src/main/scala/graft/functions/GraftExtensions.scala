@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc resolution: both sides compare as plain ANALYZED trees,
     // before scan pushdown manufactures never-equal per-query scans
     e.injectPostHocResolutionRule(_ => graft.plans.MvRewrite)
+    // output resolution for writes into generated/identity-column manifest
+    // tables (they declare ACCEPT_ANY_SCHEMA, so Spark's own output
+    // resolution stands down and this rule computes the omitted columns)
+    e.injectResolutionRule(_ => graft.plans.ResolveGeneratedWrites)
 
     // Planner strategy: native two-phase bounded-heap top-k per group.
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -297,15 +297,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * pruning on `col` — hash-scattering would defeat both. The DECLARED
     * transforms persist verbatim ([[Manifest.PartitionTransformsProp]])
     * so DESCRIBE / SHOW CREATE reproduce the user's DDL. */
+  /** DDL-tier column features Spark gates on a catalog capability:
+    * `GENERATED ALWAYS AS (expr)` and `GENERATED [ALWAYS|BY DEFAULT] AS
+    * IDENTITY` — Spark validates the declarations (determinism, type
+    * match, no identity+default combination) and hands them to the
+    * v2-`Column` [[createTable]] overload. */
+  override def capabilities()
+    : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    java.util.EnumSet.of(SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
+
+  /** The overload SQL DDL actually reaches: generation expressions and
+    * identity specs ride the v2 `Column` objects (the default
+    * `TableCatalog` bridge to the StructType overload DROPS them — a
+    * catalog that claims the capabilities must read them here). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val gens = columns.collect {
+      case c if c.generationExpression != null => c.name -> c.generationExpression
+    }.toMap
+    val ids = columns.collect {
+      case c if c.identityColumnSpec != null =>
+        if (c.dataType != LongType && c.dataType != IntegerType)
+          throw new UnsupportedOperationException(
+            s"IDENTITY column ${c.name}: only BIGINT/INT supported, " +
+              s"got ${c.dataType.simpleString}")
+        val s = c.identityColumnSpec
+        if (s.getStep == 0) throw new IllegalArgumentException(
+          s"IDENTITY column ${c.name}: INCREMENT BY must be non-zero")
+        c.name -> Manifest.IdentitySpec(s.getStart, s.getStep, s.isAllowExplicitInsert)
+    }.toMap
+    val schema = StructType(columns.map { c =>
+      val md = Option(c.metadataInJSON())
+        .map(org.apache.spark.sql.types.Metadata.fromJson)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      val f = StructField(c.name, c.dataType, c.nullable, md)
+      Option(c.comment()).map(f.withComment).getOrElse(f)
+    })
+    createWithContracts(ident, schema, partitions, properties, gens, ids)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    // programmatic path (no SQL DDL): accept field-metadata declarations
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    val gens = schema.fields.collect {
+      case f if GeneratedColumn.isGeneratedColumn(f) =>
+        f.name -> GeneratedColumn.getGenerationExpression(f).get
+    }.toMap
+    val ids = schema.fields.collect {
+      case f if IdentityColumn.isIdentityColumn(f) =>
+        val s = IdentityColumn.getIdentityInfo(f).get
+        f.name -> Manifest.IdentitySpec(s.getStart, s.getStep, s.isAllowExplicitInsert)
+    }.toMap
+    val plain = StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY)
+        .remove(IdentityColumn.IDENTITY_INFO_START)
+        .remove(IdentityColumn.IDENTITY_INFO_STEP)
+        .remove(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
+      f.copy(metadata = mb.build())
+    })
+    createWithContracts(ident, plain, partitions, properties, gens, ids)
+  }
+
+  /** Shared CREATE: generated/identity declarations become TABLE contracts
+    * (manifest props), so the stored schema is plain — the manifest codec
+    * never round-trips Spark metadata. Each generated column also
+    * auto-registers a CHECK property pinning the invariant
+    * (`col <=> CAST(expr AS t)`): explicit inserts validate per row, and
+    * the existing CHECK-reference guards block renaming either the column
+    * or its sources from under the stored expression. */
+  private def createWithContracts(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      gens: Map[String, String], ids: Map[String, Manifest.IdentitySpec]): Table = {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("_manifest")))
       throw new TableAlreadyExistsException(ident)
     val (partCols, transforms) = GraftCatalog.validateTransforms(schema, partitions)
+    val genProps = gens.map { case (c, sql) => (Manifest.GenColPrefix + c) -> sql }
+    val genChecks = gens.map { case (c, sql) =>
+      val t = schema.fields.find(_.name == c).get.dataType.sql
+      (Constraints.CheckPropPrefix + "gen_" + c) -> s"`$c` <=> CAST(($sql) AS $t)"
+    }
+    val idProps = ids.map { case (c, spec) => (Manifest.IdColPrefix + c) -> spec.render }
     Files.createDirectories(dir)
     val props = GraftCatalog.partitionProps(partCols, transforms) ++
-      GraftCatalog.userProps(properties.asScala.toMap)
+      GraftCatalog.userProps(properties.asScala.toMap) ++
+      genProps ++ genChecks ++ idProps
     // a CHECK property that cannot bind is rejected at CREATE, never
     // stored to fail every future write
     props.foreach { case (k, v) => Constraints.validate(schema, k, v) }
@@ -433,6 +516,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 k == Manifest.BloomColsProp || k == Manifest.NdvColsProp =>
                 k -> v.split(",").map(_.trim).filter(_.nonEmpty)
                   .map(c => if (c == from) to else c).mkString(",")
+              // identity contract + high-water mark follow the rename
+              // (generated columns can't reach here — their CHECK
+              // property's reference guard above refuses first)
+              case (k, v) if k == Manifest.IdColPrefix + from =>
+                (Manifest.IdColPrefix + to) -> v
+              case (k, v) if k == Manifest.IdHwmPrefix + from =>
+                (Manifest.IdHwmPrefix + to) -> v
               case kv => kv
             })
         case del: TableChange.DeleteColumn =>
@@ -450,9 +540,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             throw new UnsupportedOperationException(
               "ALTER TABLE DROP COLUMN: cannot drop the table's only column")
           // a CHECK constraint referencing the column would fail every
-          // future write once it can no longer bind — reject with the fix
+          // future write once it can no longer bind — reject with the fix.
+          // Auto-registered generation checks are exempt: they live and die
+          // with their generated column (the guard below owns that story).
+          val autoGenChecks = Manifest.generatedCols(cur.props).keySet
+            .map(g => (Constraints.CheckPropPrefix + "gen_" + g).toLowerCase)
           cur.props.foreach { case (k, sql) =>
             if (k.startsWith(Constraints.CheckPropPrefix) &&
+              !autoGenChecks.contains(k.toLowerCase) &&
               Constraints.referencedColumns(sql).exists(_.equalsIgnoreCase(from)))
               throw new IllegalArgumentException(
                 s"ALTER TABLE DROP COLUMN: $from is referenced by CHECK " +
@@ -466,6 +561,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             throw new IllegalArgumentException(
               s"ALTER TABLE DROP COLUMN: $from is a declared partition " +
                 "column — repartition the table (CREATE + INSERT) instead")
+          // a generated column computing FROM this column would dangle —
+          // every future insert would fail resolving the stored expression
+          Manifest.generatedCols(cur.props).foreach { case (g, sql) =>
+            if (!g.equalsIgnoreCase(from) &&
+              Constraints.referencedColumns(sql).exists(_.equalsIgnoreCase(from)))
+              throw new IllegalArgumentException(
+                s"ALTER TABLE DROP COLUMN: $from is a source of generated " +
+                  s"column $g (GENERATED ALWAYS AS ($sql)) — drop $g first")
+          }
           // METADATA-ONLY drop: no data file is rewritten. Each entry's
           // layout becomes an explicit cell map skipping the dropped cell
           // (normalized back to the prefix form when the drop was the
@@ -497,6 +601,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                   .filter(c => c.nonEmpty && !c.equalsIgnoreCase(from))
                   .mkString(",")
               case kv => kv
+            }.filterNot { case (k, _) => // dropped column's own contracts go
+              k.equalsIgnoreCase(Manifest.GenColPrefix + from) ||
+              k.equalsIgnoreCase(Manifest.IdColPrefix + from) ||
+              k.equalsIgnoreCase(Manifest.IdHwmPrefix + from) ||
+              k.equalsIgnoreCase(Constraints.CheckPropPrefix + "gen_" + from)
             })
         case up: TableChange.UpdateColumnType =>
           if (up.fieldNames().length != 1)

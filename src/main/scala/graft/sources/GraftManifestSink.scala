@@ -795,6 +795,77 @@ private[graft] object Manifest {
     read(dir).flatMap(_.props.get(PartitionColsProp))
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  /** GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`): one prop
+    * per column, `gencol.<name> = <expr sql>`. The stored schema is plain —
+    * generation is a TABLE contract, not a field annotation — and writes
+    * that omit the column compute it through [[graft.plans.ResolveGeneratedWrites]]
+    * (the injected resolution rule); explicit values are validated by the
+    * auto-registered `check.gen_<name>` property (`col <=> CAST(expr AS t)`),
+    * which also blocks RENAME/DROP of the column or its sources through the
+    * existing CHECK-reference guards. */
+  private[graft] val GenColPrefix = "gencol."
+
+  /** IDENTITY COLUMNS (`GENERATED ALWAYS/BY DEFAULT AS IDENTITY`): one
+    * prop per column, `idcol.<name> = start,step,allowExplicitInsert`,
+    * plus a monotone high-water mark `idhwm.<name>` advanced at every
+    * commit from the committed files' OWN zone maps (zero extra work —
+    * the writer already records per-file min/max). Values are unique and
+    * monotone per partition with GAPS (the Delta identity contract):
+    * id = base + step · monotonically_increasing_id(), assigned in the
+    * write's projection, fully distributed. */
+  private[graft] val IdColPrefix = "idcol."
+  private[graft] val IdHwmPrefix = "idhwm."
+
+  private[graft] case class IdentitySpec(start: Long, step: Long,
+      allowExplicit: Boolean) {
+    def render: String = s"$start,$step,$allowExplicit"
+  }
+
+  /** Generated-column specs of a props map: name → generation expr SQL. */
+  private[graft] def generatedCols(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(GenColPrefix) =>
+      k.stripPrefix(GenColPrefix) -> v }
+
+  /** Identity-column specs of a props map. */
+  private[graft] def identityCols(props: Map[String, String]): Map[String, IdentitySpec] =
+    props.collect { case (k, v) if k.startsWith(IdColPrefix) =>
+      val Array(s, st, ae) = v.split(",", 3)
+      k.stripPrefix(IdColPrefix) -> IdentitySpec(s.toLong, st.toLong, ae.toBoolean) }
+
+  /** Identity bookkeeping for a commit: the advanced high-water marks,
+    * read from the committed files' OWN zone maps (the writer already
+    * records exact per-file min/max — zero extra work), plus the
+    * duplicate-range guard: a strict (ALWAYS) identity write planned its
+    * base from the hwm at ANALYSIS time; if the committed hwm has since
+    * moved past that base (a concurrent identity writer won the race),
+    * publishing would co-commit overlapping id ranges — fail the loser
+    * loudly (the staged files drop, the table is untouched). BY DEFAULT
+    * tables accept arbitrary explicit values, so they advance the hwm but
+    * never collision-check. */
+  private[sources] def identityCommitProps(prev: Map[String, String],
+      committed: Seq[ManifestFile]): Map[String, String] = {
+    identityCols(prev).flatMap { case (c, spec) =>
+      val ranges = committed.filter(_.rows > 0).flatMap(_.stats.ranges.get(c))
+      if (ranges.isEmpty) None
+      else {
+        val lo = ranges.map(_._1).min
+        val hi = ranges.map(_._2).max
+        val hwm = prev.get(IdHwmPrefix + c).map(BigDecimal(_))
+        if (!spec.allowExplicit) hwm.foreach { h =>
+          val collided = if (spec.step > 0) lo <= h else hi >= h
+          if (collided) throw new java.util.ConcurrentModificationException(
+            s"identity collision on column $c: this write assigned [$lo, $hi] " +
+              s"but the committed high-water mark is already $h — a concurrent " +
+              "writer advanced the sequence after this write planned its base; " +
+              "re-run the insert")
+        }
+        val next = if (spec.step > 0) hwm.map(_ max hi).getOrElse(hi)
+                   else hwm.map(_ min lo).getOrElse(lo)
+        Some(IdHwmPrefix + c -> next.toBigInt.toString)
+      }
+    }
+  }
+
   /** Manifest property recording the user's DECLARED partition transforms
     * verbatim (`days(ts)`, `bucket(16,id)`; ';'-joined — bucket renders
     * contain commas), present only when some transform is non-identity.
@@ -1287,10 +1358,23 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     case Some(v) => Manifest.readSnapshot(dir, v).map(_.schema).getOrElse(writeSchema)
     case None => Manifest.read(dir).map(_.schema).getOrElse(writeSchema)
   }
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+    // generated/identity columns: Spark's strict output resolution cannot
+    // accept a write that legitimately OMITS the computed columns, so such
+    // tables opt out (Delta's architecture) and the injected
+    // [[graft.plans.ResolveGeneratedWrites]] rule performs output
+    // resolution + computation instead; the write builder's exact-schema
+    // guard backstops any path the rule doesn't cover.
+    val props = Manifest.read(dir).map(_.props).getOrElse(Map.empty)
+    if (Manifest.generatedCols(props).nonEmpty ||
+        Manifest.identityCols(props).nonEmpty)
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   /** The DECLARED partitioning (DESCRIBE / SHOW CREATE show it; new
     * writes cluster by the transforms' source columns — see
@@ -1890,6 +1974,32 @@ private[graft] object ManifestTable {
     if (touch.isEmpty) return
     val cond = coalesce(whereSql.map(expr).getOrElse(lit(true)), lit(false))
     val _ = keep
+    // generated columns recompute from the POST-SET row (Delta's UPDATE
+    // rule) — assigning one directly is rejected, like identity columns
+    val gens = Manifest.generatedCols(m.props)
+    val idSpecs = Manifest.identityCols(m.props)
+    sets.foreach { case (c, _) =>
+      gens.collectFirst { case (n, g) if n.equalsIgnoreCase(c) => g }.foreach { g =>
+        throw new IllegalArgumentException(
+          s"UPDATE: column $c is GENERATED ALWAYS AS ($g) — it recomputes " +
+            "automatically; update its source columns instead")
+      }
+      if (idSpecs.keys.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"UPDATE: identity column $c cannot be assigned")
+    }
+    // second projection over the post-SET row: recomputing an untouched
+    // row's generated column reproduces its value exactly (generation
+    // expressions are deterministic by DDL contract), so applying it
+    // unconditionally is sound and keeps one codegen stage
+    val regen = m.schema.fields.toIndexedSeq.map { f =>
+      gens.collectFirst { case (n, g) if n.equalsIgnoreCase(f.name) => g } match {
+        case Some(g) => expr(g).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    def regenerated(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (gens.isEmpty) df else df.select(regen: _*)
     val updCols = m.schema.fields.map { f =>
       sets.find(_._1.equalsIgnoreCase(f.name)) match {
         case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
@@ -1912,7 +2022,7 @@ private[graft] object ManifestTable {
         .load().where(cond)
       base.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
         .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(base.select(updCols.toIndexedSeq: _*)
+        .unionByName(regenerated(base.select(updCols.toIndexedSeq: _*))
           .withColumn("_change_type", lit("update_postimage")))
     })
     if (m.props.get("tbl.delete.dv").contains("true")) {
@@ -1925,7 +2035,7 @@ private[graft] object ManifestTable {
       // file set with the same deterministic predicate, so the appended
       // set and the deleted set describe the same rows.
       val appended = rewriteFiles(dir, m, touch,
-        df => df.filter(cond).select(updCols.toIndexedSeq: _*))
+        df => regenerated(df.filter(cond).select(updCols.toIndexedSeq: _*)))
       val hits = spark.read.format("graft.sources.GraftManifestSink")
         .option("path", dir.toString)
         .option("files", touch.map(_.name).mkString(","))
@@ -1943,7 +2053,7 @@ private[graft] object ManifestTable {
             case None => col(f.name)
           }
         }
-        df.select(cols.toIndexedSeq: _*)
+        regenerated(df.select(cols.toIndexedSeq: _*))
       })
       publishReplacing(dir, m, touch.map(_.name), rewritten, cdcUpdates)
     }
@@ -2410,6 +2520,26 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
     val (notNull, checks) = Constraints.compile(
       m.map(_.schema).getOrElse(schema), schema,
       m.map(_.props).getOrElse(Map.empty))
+    // generated/identity tables declare ACCEPT_ANY_SCHEMA (Spark skips its
+    // output resolution), so the ONLY schema contract is the resolution
+    // rule's output — this guard backstops any write path that bypassed it
+    // (a session without the graft extensions, a hand-built plan): the
+    // incoming schema must BE the table schema, column for column.
+    m.map(_.props).foreach { props =>
+      if (Manifest.generatedCols(props).nonEmpty ||
+          Manifest.identityCols(props).nonEmpty) {
+        val tbl = m.get.schema
+        val exact = schema.length == tbl.length &&
+          tbl.fields.zip(schema.fields).forall { case (t, w) =>
+            t.name.equalsIgnoreCase(w.name) && t.dataType == w.dataType }
+        if (!exact) throw new IllegalArgumentException(
+          s"write to a generated/identity-column table must carry exactly " +
+            s"the table schema (${tbl.fieldNames.mkString(", ")}), got " +
+            s"(${schema.fieldNames.mkString(", ")}) — computed columns " +
+            "resolve through graft.functions.GraftExtensions; ensure " +
+            "spark.sql.extensions is set")
+      }
+    }
     // bucket-partitioned table: every write fans rows out to bucket-pure
     // files (the SPJ layout contract); a write schema missing the bucket
     // column (or carrying an unbucketable type) falls back to plain files,
@@ -2476,6 +2606,19 @@ private[sources] class ManifestWrite(dir: Path, schema: StructType, queryId: Str
   override def toStreaming: StreamingWrite = {
     replaceFilters.foreach(_ => throw new UnsupportedOperationException(
       "replaceWhere overwrite is a batch operation"))
+    // a streaming write bypasses the batch resolution rule, so the only
+    // way rows could arrive is with EXPLICIT identity values — which a
+    // GENERATED ALWAYS AS IDENTITY column forbids (BY DEFAULT tables
+    // accept the stream's own values; generated expression columns are
+    // fine either way, their CHECK property validates each row)
+    Manifest.read(dir).map(_.props).foreach { p =>
+      val strict = Manifest.identityCols(p).collect {
+        case (c, s) if !s.allowExplicit => c }
+      if (strict.nonEmpty) throw new UnsupportedOperationException(
+        s"streaming write: identity column(s) ${strict.mkString(", ")} are " +
+          "GENERATED ALWAYS AS IDENTITY — streaming writes cannot compute " +
+          "them; declare GENERATED BY DEFAULT AS IDENTITY to stream explicit values")
+    }
     new ManifestStreamingWrite(dir, schema, queryId, overwrite, bloomCols, ndvCols,
       notNull, checks, bucketSpec)
   }
@@ -2648,7 +2791,8 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
         else ManifestTable.rewriteFiles(dir, m, cut,
           df => df.filter(not(coalesce(pred, lit(false)))))
       ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name),
-        rewritten ++ committed)
+        rewritten ++ committed,
+        Manifest.identityCommitProps(m.props, committed))
       return
     }
     // truncate drops old files from the CURRENT manifest only — they stay
@@ -2668,9 +2812,11 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
       // reason: the NOT NULL contract comes from catalog DDL (which
       // writes the manifest before any data), never from the accident of
       // a first batch's tuple encoding.
+      val prevProps = prevM.map(_.props).getOrElse(Map.empty)
       Manifest.write(dir,
         Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),
-          prev ++ committed, prevM.map(_.props).getOrElse(Map.empty)))
+          prev ++ committed,
+          prevProps ++ Manifest.identityCommitProps(prevProps, committed)))
     }
   }
 
@@ -2749,8 +2895,12 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
         val prev =
           if (overwrite) Seq.empty
           else prevM.map(_.entries).getOrElse(Seq.empty)
-        val props = prevM.map(_.props).getOrElse(Map.empty) +
-          (epochProp -> epochId.toString)
+        // BY DEFAULT identity streams carry explicit values — advance the
+        // high-water mark so later batch inserts never reuse their range
+        val prevProps = prevM.map(_.props).getOrElse(Map.empty)
+        val props = prevProps +
+          (epochProp -> epochId.toString) ++
+          Manifest.identityCommitProps(prevProps, committed)
         // keep the TABLE schema, as in the batch commit
         Manifest.write(dir,
           Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),

@@ -467,6 +467,60 @@ object SourceQueries extends QueryModule {
       s.table("graftupd.q.docs").orderBy("doc_id")
     }),
 
+    // GENERATED ALWAYS AS (expr) through the oracle gate: the write OMITS
+    // both computed columns — [[graft.plans.ResolveGeneratedWrites]]
+    // computes them inside the write's own projection (per-row, codegen'd,
+    // no extra pass) — and the read-back must hash-match DuckDB evaluating
+    // the same expressions over the raw parquet. A generation expression
+    // that misbinds a source column, skips rows, or casts differently
+    // hash-fails.
+    "q_generated_cols" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_genq_")
+      s.conf.set("spark.sql.catalog.graftgenq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftgenq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftgenq.q")
+      s.sql("DROP TABLE IF EXISTS graftgenq.q.docs")
+      s.sql("""CREATE TABLE graftgenq.q.docs (
+        |  doc_id BIGINT, lang STRING, n_chars BIGINT,
+        |  lang_up STRING GENERATED ALWAYS AS (upper(lang)),
+        |  n_bytes BIGINT GENERATED ALWAYS AS (n_chars * 2 + 1))""".stripMargin)
+      Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .writeTo("graftgenq.q.docs").append()
+      s.table("graftgenq.q.docs").orderBy("doc_id")
+    }),
+
+    // GENERATED ALWAYS AS IDENTITY through the oracle gate: two commits
+    // write rows with NO id column — the resolution rule assigns
+    // base + step·monotonically_increasing_id() per task (distributed,
+    // nothing serializes through the driver), and the commit advances the
+    // table's high-water mark from the files' own zone maps. The in-query
+    // asserts pin the contract the hash can't (global uniqueness and
+    // cross-commit monotonicity); the oracle pins row count and the
+    // deterministic START WITH floor.
+    "q_identity_cols" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_idq_")
+      s.conf.set("spark.sql.catalog.graftidq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftidq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftidq.q")
+      s.sql("DROP TABLE IF EXISTS graftidq.q.docs")
+      s.sql("""CREATE TABLE graftidq.q.docs (
+        |  row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+        |  doc_id BIGINT, source STRING)""".stripMargin)
+      val docs = Tables(s, d, "documents").select("doc_id", "source")
+      docs.filter(docs("doc_id") % 2 === 0).writeTo("graftidq.q.docs").append()
+      val firstMax = s.table("graftidq.q.docs")
+        .agg(org.apache.spark.sql.functions.max("row_id")).collect().head.getLong(0)
+      docs.filter(docs("doc_id") % 2 === 1).writeTo("graftidq.q.docs").append()
+      val t = s.table("graftidq.q.docs")
+      val late = t.where(t("doc_id") % 2 === 1)
+        .agg(org.apache.spark.sql.functions.min("row_id")).collect().head.getLong(0)
+      assert(late > firstMax,
+        s"second commit's ids must extend past the first commit's max " +
+          s"($late <= $firstMax) — the high-water mark did not advance")
+      t.selectExpr("count(*) AS n_rows", "count(DISTINCT row_id) AS n_ids",
+        "min(row_id) AS min_id")
+    }),
+
     // OPTIMIZE through the oracle gate: documents land as one small file
     // per source (the streaming-epoch trail shape), then one distributed
     // Z-order-clustered rewrite compacts them under an atomic swap. The
@@ -1533,6 +1587,20 @@ object SourceQueries extends QueryModule {
     "q_optimize_roundtrip" ->
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // DuckDB evaluates the generation expressions over the raw parquet;
+    // the table must have computed the same values at write time.
+    "q_generated_cols" ->
+      """SELECT doc_id, lang, n_chars, upper(lang) AS lang_up,
+        |  n_chars * 2 + 1 AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Identity values are partitioning-dependent; the deterministic facts
+    // are the row count, one DISTINCT id per row, and the START WITH floor
+    // (partition 0's first row takes exactly `start`).
+    "q_identity_cols" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id
+        |FROM documents""".stripMargin,
     // The change window (2nd → 5th non-empty version) is the 3rd-5th
     // sources in sorted order.
     "q_table_changes" ->
