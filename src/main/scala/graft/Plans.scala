@@ -71,7 +71,9 @@ object Plans {
     "q_complex_table" -> "managed struct/map/binary table: slot-frame codec scan + scalar projections",
     "q_dedup_containment" -> "containment dedup: per-row winnow fingerprints, capped posting equi-join, bounded top-25 heap",
     "q_stream_cdf" -> "streaming CDF drain: per-commit file partitions, recorded CDC replayed, appends tagged insert",
-    "q_limit_pushdown" -> "LIMIT pushdown: the scan plans only the covering live-row file prefix (partial push, Spark keeps the exact cut)")
+    "q_limit_pushdown" -> "LIMIT pushdown: the scan plans only the covering live-row file prefix (partial push, Spark keeps the exact cut)",
+    "q_generated_cols" -> "generated columns: omitted columns computed in the write's own projection (resolution rule; per-row, codegen'd, no extra pass)",
+    "q_identity_cols" -> "identity columns: distributed base + step * monotonically_increasing_id assignment; hwm advances from commit zone maps")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
