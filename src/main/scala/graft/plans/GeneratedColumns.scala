@@ -147,9 +147,21 @@ object ResolveGeneratedWrites extends Rule[LogicalPlan] {
               val expr: Expression = Add(Literal(base, LongType),
                 Multiply(Literal(spec.step, LongType), MonotonicallyIncreasingID()))
               Alias(Cast(expr, f.dataType), f.name)()
-            case None => throw new IllegalArgumentException(
-              s"write to ${t.name()}: no data for column ${f.name} " +
-                s"(write provides ${query.output.map(_.name).mkString(", ")})")
+            case None =>
+              // a DEFAULT contract fills the omission (Spark's own output
+              // resolution is stood down on ACCEPT_ANY_SCHEMA tables, so
+              // this rule owns defaults here too)
+              Manifest.defaultCols(props).collectFirst {
+                case (n, sql) if n.equalsIgnoreCase(f.name) => sql
+              } match {
+                case Some(sql) =>
+                  Alias(Literal.create(
+                    Manifest.foldDefault(sql, f.dataType, f.name), f.dataType),
+                    f.name)()
+                case None => throw new IllegalArgumentException(
+                  s"write to ${t.name()}: no data for column ${f.name} " +
+                    s"(write provides ${query.output.map(_.name).mkString(", ")})")
+              }
           }
         }
       }

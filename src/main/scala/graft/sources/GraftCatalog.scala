@@ -306,7 +306,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
     import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
     java.util.EnumSet.of(SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      SUPPORT_COLUMN_DEFAULT_VALUE)
   }
 
   /** The overload SQL DDL actually reaches: generation expressions and
@@ -330,6 +331,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"IDENTITY column ${c.name}: INCREMENT BY must be non-zero")
         c.name -> Manifest.IdentitySpec(s.getStart, s.getStep, s.isAllowExplicitInsert)
     }.toMap
+    val defaults = columns.collect {
+      case c if c.defaultValue != null =>
+        val sql = Option(c.defaultValue.getSql).getOrElse(
+          throw new UnsupportedOperationException(
+            s"DEFAULT for column ${c.name}: only SQL-expressed defaults " +
+              "are supported"))
+        // fold NOW: a non-constant or non-castable default fails the
+        // CREATE, never a future INSERT
+        Manifest.foldDefault(sql, c.dataType, c.name)
+        c.name -> sql
+    }.toMap
     val schema = StructType(columns.map { c =>
       val md = Option(c.metadataInJSON())
         .map(org.apache.spark.sql.types.Metadata.fromJson)
@@ -337,7 +349,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val f = StructField(c.name, c.dataType, c.nullable, md)
       Option(c.comment()).map(f.withComment).getOrElse(f)
     })
-    createWithContracts(ident, schema, partitions, properties, gens, ids)
+    createWithContracts(ident, schema, partitions, properties, gens, ids, defaults)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -374,7 +386,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * or its sources from under the stored expression. */
   private def createWithContracts(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String],
-      gens: Map[String, String], ids: Map[String, Manifest.IdentitySpec]): Table = {
+      gens: Map[String, String], ids: Map[String, Manifest.IdentitySpec],
+      defaults: Map[String, String] = Map.empty): Table = {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("_manifest")))
       throw new TableAlreadyExistsException(ident)
@@ -385,10 +398,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       (Constraints.CheckPropPrefix + "gen_" + c) -> s"`$c` <=> CAST(($sql) AS $t)"
     }
     val idProps = ids.map { case (c, spec) => (Manifest.IdColPrefix + c) -> spec.render }
+    val defProps = defaults.map { case (c, sql) => (Manifest.DefColPrefix + c) -> sql }
     Files.createDirectories(dir)
     val props = GraftCatalog.partitionProps(partCols, transforms) ++
       GraftCatalog.userProps(properties.asScala.toMap) ++
-      genProps ++ genChecks ++ idProps
+      genProps ++ genChecks ++ idProps ++ defProps
     // a CHECK property that cannot bind is rejected at CREATE, never
     // stored to fail every future write
     props.foreach { case (k, v) => Constraints.validate(schema, k, v) }
@@ -465,8 +479,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             throw new UnsupportedOperationException(
               s"ALTER TABLE ADD COLUMN: type ${add.dataType().simpleString} not " +
                 "supported by this sink")
+          if (add.defaultValue() != null)
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ADD COLUMN: $colName cannot carry a DEFAULT — " +
+                "existing rows NULL-fill a new column (the Delta rule); ADD " +
+                "the column, then ALTER COLUMN … SET DEFAULT for future inserts")
           cur.copy(schema =
             cur.schema.add(StructField(colName, add.dataType(), nullable = true)))
+        case ud: TableChange.UpdateColumnDefaultValue =>
+          if (ud.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ALTER COLUMN SET DEFAULT: nested fields not supported")
+          val idx = cur.schema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(ud.fieldNames()(0)))
+          if (idx < 0)
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN SET DEFAULT: no column ${ud.fieldNames()(0)} in " +
+                s"(${cur.schema.fieldNames.mkString(", ")})")
+          val f = cur.schema.fields(idx)
+          if (Manifest.generatedCols(cur.props).keys.exists(_.equalsIgnoreCase(f.name)) ||
+              Manifest.identityCols(cur.props).keys.exists(_.equalsIgnoreCase(f.name)))
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN SET DEFAULT: ${f.name} is a generated/identity " +
+                "column — its values are computed, not defaulted")
+          val sql = Option(ud.newCurrentDefault()).flatMap(d => Option(d.getSql))
+            .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+          sql match {
+            case Some(s) => // SET DEFAULT: fold now so a bad constant fails the DDL
+              Manifest.foldDefault(s, f.dataType, f.name)
+              cur.copy(props = cur.props + ((Manifest.DefColPrefix + f.name) -> s))
+            case None => // DROP DEFAULT
+              cur.copy(props = cur.props.filterNot(
+                _._1.equalsIgnoreCase(Manifest.DefColPrefix + f.name)))
+          }
         case rn: TableChange.RenameColumn =>
           if (rn.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -523,6 +568,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 (Manifest.IdColPrefix + to) -> v
               case (k, v) if k == Manifest.IdHwmPrefix + from =>
                 (Manifest.IdHwmPrefix + to) -> v
+              case (k, v) if k == Manifest.DefColPrefix + from =>
+                (Manifest.DefColPrefix + to) -> v
               case kv => kv
             })
         case del: TableChange.DeleteColumn =>
@@ -605,6 +652,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               k.equalsIgnoreCase(Manifest.GenColPrefix + from) ||
               k.equalsIgnoreCase(Manifest.IdColPrefix + from) ||
               k.equalsIgnoreCase(Manifest.IdHwmPrefix + from) ||
+              k.equalsIgnoreCase(Manifest.DefColPrefix + from) ||
               k.equalsIgnoreCase(Constraints.CheckPropPrefix + "gen_" + from)
             })
         case up: TableChange.UpdateColumnType =>

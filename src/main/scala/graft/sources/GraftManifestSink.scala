@@ -816,6 +816,45 @@ private[graft] object Manifest {
   private[graft] val IdColPrefix = "idcol."
   private[graft] val IdHwmPrefix = "idhwm."
 
+  /** DEFAULT COLUMN VALUES (`c INT DEFAULT 42`): one prop per column,
+    * `defcol.<name> = <literal sql>`. Restricted to CONSTANT expressions
+    * (the Delta rule — a non-deterministic default would make INSERT
+    * retries non-idempotent); surfaced through [[ManifestTable.columns]]
+    * so Spark's own output resolution fills omitted columns, DEFAULT
+    * keywords, and `SET c = DEFAULT` assignments. Applies to FUTURE
+    * writes only: rows committed before a SET DEFAULT keep their values,
+    * and ADD COLUMN refuses a default outright (existing rows NULL-fill;
+    * also the Delta behavior). */
+  private[graft] val DefColPrefix = "defcol."
+
+  /** Default-value specs of a props map: name → literal SQL. */
+  private[graft] def defaultCols(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(DefColPrefix) =>
+      k.stripPrefix(DefColPrefix) -> v }
+
+  /** Parse + constant-fold a default's SQL to the value of the declared
+    * type. Throws (in DEFAULT terms) when the expression isn't a constant
+    * or doesn't cast — used at DDL time so a bad default fails the CREATE
+    * /ALTER, never a future INSERT. */
+  private[graft] def foldDefault(sql: String, dt: DataType, col: String): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val parsed =
+      try org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+        .parseExpression(sql)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT for column $col: cannot parse '$sql': ${e.getMessage}") }
+    val cast = Cast(parsed, dt, Some(java.time.ZoneOffset.UTC.getId))
+    if (!parsed.resolved || !cast.foldable)
+      throw new IllegalArgumentException(
+        s"DEFAULT for column $col: '$sql' is not a constant expression — " +
+          "defaults must be literals (functions and column references are " +
+          "not supported)")
+    try cast.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"DEFAULT for column $col: '$sql' does not cast to ${dt.simpleString}: " +
+        e.getMessage) }
+  }
+
   private[graft] case class IdentitySpec(start: Long, step: Long,
       allowExplicit: Boolean) {
     def render: String = s"$start,$step,$allowExplicit"
@@ -1357,6 +1396,38 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   override def schema(): StructType = snapshot match {
     case Some(v) => Manifest.readSnapshot(dir, v).map(_.schema).getOrElse(writeSchema)
     case None => Manifest.read(dir).map(_.schema).getOrElse(writeSchema)
+  }
+
+  /** Column-level DEFAULT surfacing: the stored schema stays plain (the
+    * codec never round-trips metadata), but the v2 columns carry each
+    * `defcol.` contract as a [[ColumnDefaultValue]] — which is where
+    * Spark's own output resolution reads defaults from when an INSERT
+    * omits the column, writes the DEFAULT keyword, or a DataFrame write
+    * under-specifies. Current and existence defaults are the same
+    * constant: defaults here apply to future writes only (rows committed
+    * before a SET DEFAULT already materialized their values). */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => ColumnV2, ColumnDefaultValue}
+    import org.apache.spark.sql.connector.expressions.LiteralValue
+    val defs = Manifest.defaultCols(
+      Manifest.read(dir).map(_.props).getOrElse(Map.empty))
+    schema().fields.map { f =>
+      defs.collectFirst { case (n, sql) if n.equalsIgnoreCase(f.name) => sql } match {
+        case Some(sql) =>
+          val v = Manifest.foldDefault(sql, f.dataType, f.name)
+          // the connector Literal is a public interface; its stock
+          // implementation (LiteralValue) is private[sql], so carry the
+          // folded constant through a minimal instance
+          val litV = new org.apache.spark.sql.connector.expressions.Literal[Any] {
+            override def value(): Any = v
+            override def dataType(): DataType = f.dataType
+            override def toString: String = sql
+          }
+          ColumnV2.create(f.name, f.dataType, f.nullable, null,
+            new ColumnDefaultValue(sql, litV), null)
+        case None => ColumnV2.create(f.name, f.dataType, f.nullable)
+      }
+    }
   }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(
@@ -1947,13 +2018,23 @@ private[graft] object ManifestTable {
     * unchanged; every assignment reads the OLD row, per ANSI UPDATE), and
     * the result publishes in ONE atomic manifest swap. Assignments cast to
     * the column's declared type so the table schema never drifts. */
-  private[graft] def updateWhere(dir: Path, sets: Seq[(String, String)],
+  private[graft] def updateWhere(dir: Path, rawSets: Seq[(String, String)],
       whereSql: Option[String]): Unit = withConflictRetry("UPDATE") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     assertWritable(dir, "UPDATE")
     val spark = org.apache.spark.sql.SparkSession.active
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"UPDATE: no manifest at $dir"))
+    // SET c = DEFAULT substitutes the declared default's SQL (NULL when
+    // none — the ANSI rule) ONCE, so every downstream path (COW rewrite,
+    // DV append, CDC postimages) evaluates the same expression
+    val sets = rawSets.map {
+      case (c, rhs) if rhs.trim.equalsIgnoreCase("default") =>
+        c -> Manifest.defaultCols(m.props).collectFirst {
+          case (n, sql) if n.equalsIgnoreCase(c) => sql
+        }.getOrElse("NULL")
+      case kv => kv
+    }
     sets.foreach { case (c, _) =>
       if (!m.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
         throw new IllegalArgumentException(

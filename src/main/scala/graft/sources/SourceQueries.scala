@@ -521,6 +521,38 @@ object SourceQueries extends QueryModule {
         "min(row_id) AS min_id")
     }),
 
+    // DEFAULT column values through the oracle gate: inserts with a
+    // column LIST omit the defaulted columns (Spark's own output
+    // resolution fills them from the `defcol.` contract surfaced on the
+    // v2 columns), a SET DEFAULT applies to future inserts only, and an
+    // UPDATE … = DEFAULT resets explicit values. The oracle replays the
+    // same per-batch defaulting over the raw parquet, so a default that
+    // leaks backward onto committed rows, fills the wrong constant, or
+    // skips the update hash-fails.
+    "q_default_cols" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_defq_")
+      s.conf.set("spark.sql.catalog.graftdefq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftdefq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftdefq.q")
+      s.sql("DROP TABLE IF EXISTS graftdefq.q.docs")
+      s.sql("""CREATE TABLE graftdefq.q.docs (
+        |  doc_id BIGINT, lang STRING,
+        |  quality STRING DEFAULT 'unreviewed',
+        |  boost DOUBLE DEFAULT 1.0)""".stripMargin)
+      Tables(s, d, "documents").select("doc_id", "lang")
+        .createOrReplaceTempView("docs_src_def")
+      s.sql("""INSERT INTO graftdefq.q.docs (doc_id, lang)
+        |SELECT doc_id, lang FROM docs_src_def WHERE doc_id % 3 = 0""".stripMargin)
+      s.sql("""INSERT INTO graftdefq.q.docs
+        |SELECT doc_id, lang, 'reviewed', 2.0
+        |FROM docs_src_def WHERE doc_id % 3 = 1""".stripMargin)
+      s.sql("ALTER TABLE graftdefq.q.docs ALTER COLUMN quality SET DEFAULT 'auto'")
+      s.sql("""INSERT INTO graftdefq.q.docs (doc_id, lang)
+        |SELECT doc_id, lang FROM docs_src_def WHERE doc_id % 3 = 2""".stripMargin)
+      s.sql("UPDATE graftdefq.q.docs SET boost = DEFAULT WHERE lang = 'pt'")
+      s.table("graftdefq.q.docs").orderBy("doc_id")
+    }),
+
     // OPTIMIZE through the oracle gate: documents land as one small file
     // per source (the streaming-epoch trail shape), then one distributed
     // Z-order-clustered rewrite compacts them under an atomic swap. The
@@ -1592,6 +1624,18 @@ object SourceQueries extends QueryModule {
     "q_generated_cols" ->
       """SELECT doc_id, lang, n_chars, upper(lang) AS lang_up,
         |  n_chars * 2 + 1 AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Per-batch defaulting replayed over the raw parquet: %3=0 rows took
+    // the CREATE-time defaults, %3=1 explicit values, %3=2 the post-ALTER
+    // default; the UPDATE then reset every pt row's boost to its default.
+    "q_default_cols" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'unreviewed'
+        |       WHEN doc_id % 3 = 1 THEN 'reviewed'
+        |       ELSE 'auto' END AS quality,
+        |  CASE WHEN lang = 'pt' THEN CAST(1.0 AS DOUBLE)
+        |       WHEN doc_id % 3 = 1 THEN CAST(2.0 AS DOUBLE)
+        |       ELSE CAST(1.0 AS DOUBLE) END AS boost
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Identity values are partitioning-dependent; the deterministic facts
     // are the row count, one DISTINCT id per row, and the START WITH floor
