@@ -3285,7 +3285,8 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
 
   private val manifest = snapshot match {
@@ -3336,6 +3337,69 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
     * filtered query must keep planning all surviving files. */
   override def pushLimit(limit: Int): Boolean =
     if (sawFilters) false else { limitN = Some(limit); true }
+
+  private var topNSpec: Option[(String, Boolean, Int)] = None // key, desc?, n
+
+  /** TOP-N pushdown (`ORDER BY c [DESC] LIMIT n`): zone maps prove a
+    * BOUND on the n-th ranked value — sort files by their best-possible
+    * key (min for DESC, max for ASC) and accumulate LIVE rows of files
+    * with COMPLETE stats until they cover n; every accumulated row ranks
+    * at least as well as the last file's worst bound B, so ≥ n rows beat
+    * B and any file provably ENTIRELY beyond B (max < B for DESC,
+    * min > B for ASC — and provably free of nulls/NaN, which rank
+    * outside the ranges) cannot contribute and is not planned.
+    * `ORDER BY ts DESC LIMIT 100` over a time-clustered table plans only
+    * the newest files. PARTIAL push: Spark keeps its own TakeOrdered for
+    * the exact sort + cut; the source only bounds what it plans. Refused
+    * under filters (residuals could eliminate the counted rows) — the
+    * same fence as LIMIT. Pruning uses the LEADING key only, sound for
+    * any tie-breakers: a row strictly beyond B on the leading key loses
+    * to ≥ n rows regardless of later keys. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (sawFilters || orders.isEmpty) return false
+    orders.head.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          full.fields.exists(_.name.equalsIgnoreCase(nr.fieldNames()(0))) =>
+        val f = full.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0))).get
+        topNSpec = Some((f.name,
+          orders.head.direction() == SortDirection.DESCENDING, limit))
+        true
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** The files a pushed top-n cannot exclude (see [[pushTopN]]). */
+  private def topNPrune(survived: Seq[ManifestFile],
+      spec: (String, Boolean, Int)): Seq[ManifestFile] = {
+    val (c, desc, n) = spec
+    // accumulation candidates: complete stats (no nulls/NaN hiding
+    // outside the ranges), live rows to count
+    val known = survived.filter(e => e.liveRows > 0 &&
+      e.stats.ranges.contains(c) && !e.stats.incomplete(c))
+    val sorted =
+      if (desc) known.sortBy(_.stats.ranges(c)._1)(Ordering[BigDecimal].reverse)
+      else known.sortBy(_.stats.ranges(c)._2)
+    var acc = 0L
+    var bound: Option[BigDecimal] = None
+    val it = sorted.iterator
+    while (acc < n && it.hasNext) {
+      val e = it.next()
+      acc += e.liveRows
+      bound = Some(if (desc) e.stats.ranges(c)._1 else e.stats.ranges(c)._2)
+    }
+    if (acc < n) return survived // not enough provable rows — no pruning
+    val b = bound.get
+    survived.filter { e =>
+      // prune only files that provably cannot reach the bound: complete
+      // stats (a null/NaN row would rank outside the ranges) and a range
+      // strictly beyond B
+      !(e.stats.ranges.contains(c) && !e.stats.incomplete(c) &&
+        (if (desc) e.stats.ranges(c)._2 < b else e.stats.ranges(c)._1 > b))
+    }
+  }
 
   private def liveEntries: Seq[ManifestFile] =
     manifest.map(_.entries).getOrElse(Seq.empty)
@@ -3446,12 +3510,16 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
       // cover the pushed limit (liveRows already nets out deletion
       // vectors, so a DV-heavy prefix keeps extending until enough
       // surviving rows are provably planned)
+      val topped = topNSpec match {
+        case Some(spec) => topNPrune(survived, spec)
+        case None => survived
+      }
       val kept = limitN match {
         case Some(n) =>
           var acc = 0L
-          survived.takeWhile { e =>
+          topped.takeWhile { e =>
             val need = acc < n; acc += e.liveRows; need }
-        case None => survived
+        case None => topped
       }
       // the table's SPJ contract, when it declares one bucket transform on
       // a column the current schema still carries bucketable

@@ -81,6 +81,37 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The VALUE-CLUSTERED documents base `q_topn_pushdown` reads: ten
+    * commits, each a contiguous doc_id range (the layout OPTIMIZE ZORDER
+    * or a time-ordered ingest produces naturally), staged ONCE per
+    * (JVM, sfDir). Disjoint per-file ranges are what make the top-n
+    * bound arithmetic observable: without clustering nothing can prune. */
+  private val stagedTopN =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTopNBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedTopN.computeIfAbsent(d, _ => {
+      val root = graft.Scratch.dir("graft_stagetn_")
+      val cat = s"graftstgt${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs (doc_id BIGINT, n_chars BIGINT)")
+      val docs = Tables(s, d, "documents").select("doc_id", "n_chars")
+      val (lo, hi) = {
+        val r = docs.agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val step = math.max(1L, (hi - lo + 10) / 10)
+      (0 until 10).foreach { k =>
+        val (a, b) = (lo + k * step, lo + (k + 1) * step)
+        docs.filter(docs("doc_id") >= a && docs("doc_id") < b)
+          .coalesce(1).writeTo(s"$cat.q.docs").append()
+      }
+      cat
+    })
+
   /** The MERGE queries' base tables (documents / orders projections),
     * staged ONCE per (JVM, sfDir). Each invocation SHALLOW-CLONES the
     * staged table (metadata-only) and merges into the clone — so the
@@ -383,6 +414,65 @@ object SourceQueries extends QueryModule {
       assert(present == want, s"LIMIT surfaced $present known doc_ids of $want")
       import s.implicits._
       Seq(ids.length.toLong).toDF("n_rows")
+    }),
+
+    // TOP-N pushdown through the oracle gate: `ORDER BY doc_id DESC LIMIT
+    // 100` over the value-clustered base must plan ONLY the files whose
+    // zone maps can reach the provable rank bound (the newest-ids files),
+    // recomputed here independently from the manifest's own ranges + live
+    // counts — a planner that keeps extra files, prunes a contributing
+    // one, or miscounts under deletion vectors fails the assert; the
+    // oracle pins the exact top-100 rows.
+    "q_topn_pushdown" -> ((s, d) => {
+      val cat = stageTopNBase(s, d)
+      val q = s.sql(
+        s"SELECT doc_id, n_chars FROM $cat.q.docs ORDER BY doc_id DESC LIMIT 100")
+      val got = q.collect()
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val entries = Manifest.read(dir).get.entries
+      // the documented bound: files sorted by min DESC, live rows
+      // accumulated to n, bound = last accumulated file's min; a file
+      // prunes iff its max is strictly below the bound
+      val known = entries.filter(e => e.liveRows > 0 &&
+        e.stats.ranges.contains("doc_id") && !e.stats.incomplete("doc_id"))
+      val sorted = known.sortBy(_.stats.ranges("doc_id")._1)(
+        Ordering[BigDecimal].reverse)
+      var acc = 0L
+      var bound: Option[BigDecimal] = None
+      val it = sorted.iterator
+      while (acc < 100 && it.hasNext) {
+        val e = it.next(); acc += e.liveRows
+        bound = Some(e.stats.ranges("doc_id")._1)
+      }
+      val expected =
+        if (acc < 100) entries.length
+        else entries.count(e => !(e.stats.ranges.contains("doc_id") &&
+          !e.stats.incomplete("doc_id") &&
+          e.stats.ranges("doc_id")._2 < bound.get))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q2: QueryStageExec => Seq(q2.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(q.queryExecution.executedPlan).head.plannedFiles
+      assert(planned == expected,
+        s"top-100 should plan $expected of ${entries.length} files, planned $planned")
+      assert(got.length == math.min(100L, entries.map(_.liveRows).sum),
+        s"top-100 returned ${got.length} rows")
+      q
     }),
 
     // The snapshots metadata RELATION — the point over DESCRIBE HISTORY is
@@ -1625,6 +1715,10 @@ object SourceQueries extends QueryModule {
       """SELECT doc_id, lang, n_chars, upper(lang) AS lang_up,
         |  n_chars * 2 + 1 AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The deterministic top-100 by doc_id (unique key ⇒ unique order).
+    "q_topn_pushdown" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id DESC LIMIT 100""".stripMargin,
     // Per-batch defaulting replayed over the raw parquet: %3=0 rows took
     // the CREATE-time defaults, %3=1 explicit values, %3=2 the post-ALTER
     // default; the UPDATE then reset every pt row's boost to its default.

@@ -287,6 +287,85 @@ class ManifestSinkSpec extends SparkSuite {
     }
   }
 
+  test("TopN pushdown prunes files provably outside the rank bound") {
+    val root = freshDir()
+    spark.conf.set("spark.sql.catalog.grafttop", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grafttop.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grafttop.q")
+    spark.sql("CREATE TABLE grafttop.q.t (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('delete.dv' = 'true')")
+    // 3 value-clustered files: [1,30], [31,60], [61,90]
+    (0 until 3).foreach { b =>
+      (1L to 30L).map(i => (b * 30 + i, s"v$i")).toDF("id", "name")
+        .coalesce(1).writeTo("grafttop.q.t").append()
+    }
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[ManifestScan] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def t = spark.table("grafttop.q.t")
+
+    // DESC top-10 lives entirely in the last file — 1 of 3 planned
+    val d10 = t.orderBy($"id".desc).limit(10)
+    assert(d10.collect().map(_.getLong(0)).toSeq == (90L to 81L by -1))
+    assert(scansOf(d10).head.plannedFiles == 1,
+      s"DESC LIMIT 10 planned ${scansOf(d10).head.plannedFiles} of 3")
+
+    // ASC top-10 lives in the first — 1 of 3
+    val a10 = t.orderBy($"id".asc).limit(10)
+    assert(a10.collect().map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(scansOf(a10).head.plannedFiles == 1)
+
+    // DESC top-40 spans two files — 2 of 3
+    val d40 = t.orderBy($"id".desc).limit(40)
+    assert(d40.collect().map(_.getLong(0)).toSeq == (90L to 51L by -1))
+    assert(scansOf(d40).head.plannedFiles == 2)
+
+    // a tie-breaker after the leading key keeps leading-key pruning sound
+    val tie = t.orderBy($"id".desc, $"name".asc).limit(5)
+    assert(tie.collect().map(_.getLong(0)).toSeq == (90L to 86L by -1))
+    assert(scansOf(tie).head.plannedFiles == 1)
+
+    // a filter refuses the push — residuals could kill the counted rows
+    val fl = t.filter($"name" =!= "v1").orderBy($"id".desc).limit(5)
+    assert(fl.collect().map(_.getLong(0)).toSeq ==
+      Seq(90L, 89L, 88L, 87L, 86L))
+    assert(scansOf(fl).head.plannedFiles == 3)
+
+    // deletion vectors: live rows drive the accumulation, physical ranges
+    // stay sound — after deleting the top 5, the last file still covers
+    spark.sql("DELETE FROM grafttop.q.t WHERE id > 85")
+    val d10b = t.orderBy($"id".desc).limit(10)
+    assert(d10b.collect().map(_.getLong(0)).toSeq == (85L to 76L by -1))
+    assert(scansOf(d10b).head.plannedFiles == 1,
+      "DV'd last file still covers the top-10 alone")
+
+    // an OVERLAPPING layout prunes nothing and stays correct
+    spark.sql("DROP TABLE grafttop.q.t")
+    spark.sql("CREATE TABLE grafttop.q.t (id BIGINT, name STRING)")
+    (0 until 3).foreach { b =>
+      (1L to 30L).map(i => (i * 3 + b, s"w$i")).toDF("id", "name")
+        .coalesce(1).writeTo("grafttop.q.t").append()
+    }
+    val ov = t.orderBy($"id".desc).limit(4)
+    assert(ov.collect().map(_.getLong(0)).toSeq == Seq(92L, 91L, 90L, 89L))
+    assert(scansOf(ov).head.plannedFiles == 3,
+      "overlapping ranges cannot be pruned")
+  }
+
   test("broadcast-join DPP prunes manifest files at runtime, end to end") {
     import org.apache.spark.sql.functions.broadcast
     val dir = freshDir()
