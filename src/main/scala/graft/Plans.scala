@@ -73,7 +73,9 @@ object Plans {
     "q_stream_cdf" -> "streaming CDF drain: per-commit file partitions, recorded CDC replayed, appends tagged insert",
     "q_limit_pushdown" -> "LIMIT pushdown: the scan plans only the covering live-row file prefix (partial push, Spark keeps the exact cut)",
     "q_generated_cols" -> "generated columns: omitted columns computed in the write's own projection (resolution rule; per-row, codegen'd, no extra pass)",
-    "q_identity_cols" -> "identity columns: distributed base + step * monotonically_increasing_id assignment; hwm advances from commit zone maps")
+    "q_identity_cols" -> "identity columns: distributed base + step * monotonically_increasing_id assignment; hwm advances from commit zone maps",
+    "q_default_cols" -> "DEFAULT columns: Spark's own output resolution fills the defcol. contracts surfaced on the v2 columns",
+    "q_topn_pushdown" -> "top-N pushdown: rank-bound file pruning — only files that can reach the provable n-th-value bound plan")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
