@@ -100,21 +100,58 @@ object MaterializedView {
       Seq(s"mv.src.$i.dir" -> d, s"mv.src.$i.version" -> v.toString)
     }.toMap
 
-  /** Re-pin the plan's manifest relations to explicit snapshots and/or file
-    * subsets, PER SOURCE DIRECTORY — plan surgery via each relation's own
-    * read options, so the aggregate/filter/project/join structure above
-    * evaluates unchanged. */
+  /** How a term's scan of one source directory is bounded. */
+  private sealed trait Pin
+  /** An explicit snapshot and/or file subset (the append-only machinery). */
+  private case class SnapPin(snapshot: Option[Int],
+      files: Option[Seq[String]]) extends Pin
+  /** One SIGN of the source's change feed over (from, to]: the + rows
+    * (insert / update_postimage) or the − rows (delete / update_preimage)
+    * — the CDF-driven refresh's delta relations. */
+  private case class CdfPin(from: Int, to: Int, plus: Boolean) extends Pin
+
+  /** Re-pin the plan's manifest relations PER SOURCE DIRECTORY — snapshot/
+    * file-subset pins are plan surgery via each relation's own read
+    * options; CDF pins SPLICE a change-feed scan in the relation's place,
+    * aliased to the original output attribute ids so the aggregate/
+    * filter/project/join structure above evaluates unchanged. */
   private def pinned(spark: SparkSession, plan: LogicalPlan,
-      pins: Map[String, (Option[Int], Option[Seq[String]])]): DataFrame = {
+      pins: Map[String, Pin]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // pin the ORIGINAL plan's relations only, matched by object identity —
+    // a CDF splice's replacement subtree scans the SAME directory, and a
+    // directory-keyed match would re-splice inside it forever
+    val targets = plan.collect {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] => r
+    }
     val surgered = plan.transform {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[ManifestTable] &&
+      case r: DataSourceV2Relation if targets.exists(_ eq r) &&
           pins.contains(r.table.asInstanceOf[ManifestTable].dir.toAbsolutePath.toString) =>
-        val (snapshot, files) =
-          pins(r.table.asInstanceOf[ManifestTable].dir.toAbsolutePath.toString)
-        val opts = new java.util.HashMap[String, String](r.options)
-        snapshot.foreach(v => opts.put("snapshot", v.toString))
-        files.foreach(fs => opts.put("files", fs.mkString(",")))
-        r.copy(options = new CaseInsensitiveStringMap(opts))
+        val dirStr = r.table.asInstanceOf[ManifestTable].dir.toAbsolutePath.toString
+        pins(dirStr) match {
+          case SnapPin(snapshot, files) =>
+            val opts = new java.util.HashMap[String, String](r.options)
+            snapshot.foreach(v => opts.put("snapshot", v.toString))
+            files.foreach(fs => opts.put("files", fs.mkString(",")))
+            r.copy(options = new CaseInsensitiveStringMap(opts))
+          case CdfPin(from, to, plus) =>
+            val wanted =
+              if (plus) Seq("insert", "update_postimage")
+              else Seq("delete", "update_preimage")
+            val cdf = graft.sources.ManifestTable
+              .changes(spark, java.nio.file.Paths.get(dirStr), from, to)
+              .where(col("_change_type").isin(wanted: _*))
+              .select(r.output.map(a => col(a.name)): _*)
+            val rep = cdf.queryExecution.analyzed
+            // alias the spliced subtree back to the ORIGINAL attribute ids
+            // so references above the relation keep resolving
+            Project(r.output.map { a =>
+              val src = rep.output.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+                throw new IllegalStateException(
+                  s"CDF splice: change feed of $dirStr lacks column ${a.name}"))
+              Alias(src, a.name)(exprId = a.exprId)
+            }, rep)
+        }
     }
     GraftExpressionBridge.ofRows(spark, surgered)
   }
@@ -163,6 +200,10 @@ object MaterializedView {
         if (child.deterministic) Some(name -> "key") else None
       else if (aggs.length == 1 && child == aggs.head) aggs.head match {
         case AggregateExpression(fn, Complete, false, None, _) => fn match {
+          // count(*)/count(1) is tagged "cnt" (still folds by addition):
+          // it doubles as the GROUP-LIVENESS witness the CDF-driven
+          // refresh needs to drop fully-deleted groups
+          case c: Count if c.children.forall(_.foldable) => Some(name -> "cnt")
           case _: Count => Some(name -> "sum") // counts add
           case _: Sum => Some(name -> "sum")
           case _: Min => Some(name -> "min")
@@ -184,7 +225,7 @@ object MaterializedView {
     val keys = cols.collect { case (n, "key") => n }
     val folds = cols.collect { case (n, f) if f != "key" =>
       (f match {
-        case "sum" => sum(col(n))
+        case "sum" | "cnt" => sum(col(n))
         case "min" => min(col(n))
         case "max" => max(col(n))
       }).as(n)
@@ -220,7 +261,8 @@ object MaterializedView {
       .map(d => d -> Manifest.snapshotVersions(java.nio.file.Paths.get(d))
         .lastOption.getOrElse(0))
     val df = pinned(spark, analyzed,
-      versions.map { case (d, v) => d -> ((Some(v).filter(_ > 0), None)) }.toMap)
+      versions.map { case (d, v) =>
+        d -> (SnapPin(Some(v).filter(_ > 0), None): Pin) }.toMap)
     df.writeTo(target).create()
     val mvDir = ManifestTarget.of(spark, target, "CREATE MATERIALIZED VIEW").dir
     stamp(mvDir, Map(QueryProp -> b64(query)) ++ sourceProps(versions) ++
@@ -297,7 +339,24 @@ object MaterializedView {
       } yield (v0, current.toMap.apply(d),
         m1.entries.filterNot(e => oldKeys(entryKey(e))).map(_.name))
     }
-    val incremental: Option[DataFrame] = for {
+    // a changed source refreshes incrementally through one of two windows:
+    //  - APPEND-ONLY ([[appendWindow]]): aggregate only the added files;
+    //  - CHANGE-FEED: when commits in the window deleted or rewrote rows,
+    //    the batch change feed ([[graft.sources.ManifestTable.changes]])
+    //    yields the EXACT multiset delta — + rows (insert/update_postimage)
+    //    and − rows (delete/update_preimage) — and the classic IVM fold
+    //    applies: aggregate each sign separately with the ORIGINAL plan,
+    //    negate the − partials, fold both into the stored result. Sound
+    //    only for addition-folded aggregates (COUNT/SUM — retracting the
+    //    current MIN would need a group rescan) and needs a COUNT(*)
+    //    column as the group-liveness witness: a group whose count folds
+    //    to 0 was fully deleted and leaves the MV, exactly as a recompute
+    //    would drop it. Cost stays delta-sized: the feed reads only files
+    //    the window's commits touched.
+    sealed trait Win { def v0: Int }
+    case class AppendW(v0: Int, v1: Int, added: Seq[String]) extends Win
+    case class CdfW(v0: Int, v1: Int) extends Win
+    val incremental: Option[DataFrame] = try for {
       cols <- decompose(analyzed)
       if recorded.keySet == current.map(_._1).toSet
       changed = current.collect { case (d, v) if recorded(d) != v => d }
@@ -305,10 +364,16 @@ object MaterializedView {
       // each changed dir must feed exactly ONE relation: a self-join's
       // delta is not linear in its input (Δ⋈Δ cross terms), so it recomputes
       if changed.forall(d => dirs.count(_ == d) == 1)
-      windows <- changed.foldLeft(
-          Option(Map.empty[String, (Int, Int, Seq[String])])) { (acc, d) =>
-        acc.flatMap(m => appendWindow(d).map(w => m + (d -> w)))
-      }
+      windows = changed.map { d =>
+        d -> appendWindow(d).map { case (v0, v1, a) => AppendW(v0, v1, a): Win }
+          .getOrElse(CdfW(recorded(d), current.toMap.apply(d)))
+      }.toMap
+      cdfDirs = windows.collect { case (d, _: CdfW) => d }.toSet
+      // CDF-driven terms double per sign: keep the fan-out bounded
+      if cdfDirs.isEmpty || changed.length <= 2
+      // CDF eligibility: addition-only folds + a liveness count
+      if cdfDirs.isEmpty || (cols.forall { case (_, f) =>
+        f == "key" || f == "sum" || f == "cnt" } && cols.exists(_._2 == "cnt"))
       // the stored result, PINNED to its newest archived snapshot: the
       // truncate-overwrite below swaps the manifest, but the pinned scan
       // resolved its file list against the immutable archived version and
@@ -317,25 +382,53 @@ object MaterializedView {
       mvSnap <- Manifest.snapshotVersions(mvDir).lastOption
       oldMv = spark.read.format("graft.sources.GraftManifestSink")
         .option("path", mvDir.toString).option("snapshot", mvSnap.toString).load()
-      terms = changed.toSet.subsets().filter(_.nonEmpty).map { subset =>
-        pinned(spark, analyzed, current.map { case (d, v) =>
-          windows.get(d) match {
-            case Some((_, v1, added)) if subset(d) =>
-              d -> ((Some(v1), Some(added)))         // this term's Δ side
-            case Some((v0, _, _)) =>                  // changed, but the
-              if (v0 > 0) d -> ((Some(v0), None))     // OLD state this term
-              else d -> ((None, Some(Seq.empty[String]))) // (empty at create)
-            case None => d -> ((Some(v).filter(_ > 0), None)) // unchanged
-          }
-        }.toMap)
+      terms = changed.toSet.subsets().filter(_.nonEmpty).flatMap { subset =>
+        val cdfInS = subset.intersect(cdfDirs).toSeq.sorted
+        (0 until (1 << cdfInS.length)).map { mask =>
+          val minus = cdfInS.zipWithIndex.collect {
+            case (d, i) if (mask & (1 << i)) != 0 => d }.toSet
+          val pins: Map[String, Pin] = current.map { case (d, v) =>
+            windows.get(d) match {
+              case Some(AppendW(_, v1, added)) if subset(d) =>
+                d -> SnapPin(Some(v1), Some(added))   // this term's Δ side
+              case Some(CdfW(v0, v1)) if subset(d) =>
+                d -> CdfPin(v0, v1, plus = !minus(d))
+              case Some(w) =>                          // changed, but the
+                if (w.v0 > 0) d -> SnapPin(Some(w.v0), None) // OLD state
+                else d -> SnapPin(None, Some(Seq.empty))     // (empty at create)
+              case None => d -> SnapPin(Some(v).filter(_ > 0), None) // unchanged
+            }
+          }.toMap
+          (pinned(spark, analyzed, pins), minus.size % 2 == 1)
+        }
       }.toSeq
-      delta = terms.reduce(_.unionByName(_))
-    } yield merge(oldMv, delta, cols)
+      signed = terms.map { case (df, negative) =>
+        if (!negative) df
+        else df.select(cols.map {
+          case (n, "key") => org.apache.spark.sql.functions.col(n)
+          case (n, _) => (-org.apache.spark.sql.functions.col(n)).as(n)
+        }: _*)
+      }
+      delta = signed.reduce(_.unionByName(_))
+      merged = merge(oldMv, delta, cols)
+      keys = cols.collect { case (n, "key") => n }
+      live = if (cdfDirs.nonEmpty && keys.nonEmpty)
+        merged.filter(org.apache.spark.sql.functions
+          .col(cols.find(_._2 == "cnt").get._1) > 0)
+      else merged
+    } yield live
+    catch {
+      // the change feed refuses exactness driver-side at CONSTRUCTION
+      // (expired snapshot, vacuumed CDC sidecar — IllegalState/Argument):
+      // downgrade to a full recompute instead of failing the refresh
+      case _: IllegalStateException | _: IllegalArgumentException => None
+    }
 
     val (mode, result) = incremental match {
       case Some(df) => ("incremental", df)
       case None => ("full", pinned(spark, analyzed,
-        current.map { case (d, v) => d -> ((Some(v).filter(_ > 0), None)) }.toMap))
+        current.map { case (d, v) =>
+          d -> (SnapPin(Some(v).filter(_ > 0), None): Pin) }.toMap))
     }
     result.writeTo(target).overwrite(org.apache.spark.sql.functions.lit(true))
     stamp(mvDir, sourceProps(current) ++

@@ -611,6 +611,35 @@ object SourceQueries extends QueryModule {
         "min(row_id) AS min_id")
     }),
 
+    // CDF-DRIVEN incremental MV refresh through the oracle gate: a
+    // COUNT/SUM rollup MV is maintained through a window containing a
+    // DELETE and an UPDATE — no append-only window exists, so the refresh
+    // rides the change feed's exact multiset delta (+postimages/inserts,
+    // −preimages/deletes) and folds it into the stored result; the
+    // in-query assert pins mode == incremental (a silent full-recompute
+    // downgrade fails), and the oracle replays the same DML over the raw
+    // parquet — one dropped retraction or double-counted image hash-fails.
+    "q_mv_cdf_refresh" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_mvcdfq_")
+      s.conf.set("spark.sql.catalog.graftmvcdf", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmvcdf.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmvcdf.q")
+      s.sql("DROP TABLE IF EXISTS graftmvcdf.q.mv")
+      s.sql("DROP TABLE IF EXISTS graftmvcdf.q.docs")
+      Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+        .writeTo("graftmvcdf.q.docs").create()
+      s.sql("""CREATE MATERIALIZED VIEW graftmvcdf.q.mv AS
+        |SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graftmvcdf.q.docs GROUP BY source""".stripMargin)
+      s.sql("DELETE FROM graftmvcdf.q.docs WHERE n_chars < 150")
+      s.sql("UPDATE graftmvcdf.q.docs SET n_chars = n_chars + 10 " +
+        "WHERE source = 'src1'")
+      val Array(r) = s.sql("REFRESH MATERIALIZED VIEW graftmvcdf.q.mv").collect()
+      assert(r.getString(0) == "incremental",
+        s"DML window must refresh through the change feed, got $r")
+      s.table("graftmvcdf.q.mv").orderBy("source")
+    }),
+
     // DEFAULT column values through the oracle gate: inserts with a
     // column LIST omit the defaulted columns (Spark's own output
     // resolution fills them from the `defcol.` contract surfaced on the
@@ -1715,6 +1744,14 @@ object SourceQueries extends QueryModule {
       """SELECT doc_id, lang, n_chars, upper(lang) AS lang_up,
         |  n_chars * 2 + 1 AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The post-DML rollup recomputed from scratch: survivors of the
+    // DELETE, src1 shifted by the UPDATE, grouped per source.
+    "q_mv_cdf_refresh" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars + CASE WHEN source = 'src1' THEN 10 ELSE 0 END)
+        |       AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 150
+        |GROUP BY source ORDER BY source""".stripMargin,
     // The deterministic top-100 by doc_id (unique key ⇒ unique order).
     "q_topn_pushdown" ->
       """SELECT doc_id, n_chars FROM documents

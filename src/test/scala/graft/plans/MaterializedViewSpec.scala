@@ -100,6 +100,81 @@ class MaterializedViewSpec extends SparkSuite {
     assert(props(MaterializedView.SourceDirProp).endsWith("q/ev4"))
   }
 
+  test("CDF-driven refresh: deletes and updates maintain a COUNT/SUM MV incrementally") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.cev (k STRING, v BIGINT)")
+    def batch(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").coalesce(1).writeTo("graftmv.q.cev").append()
+    batch(Seq(("a", 1L), ("a", 2L), ("b", 3L)))
+    batch(Seq(("b", 4L), ("c", 5L)))
+    val q = """SELECT k, count(*) AS cnt, sum(v) AS sv
+              |FROM graftmv.q.cev GROUP BY k""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.cmv AS $q")
+
+    // a window with a DELETE, an UPDATE (group-moving), and an append —
+    // no append-only window exists, but the change feed replays the exact
+    // multiset delta and the IVM fold applies
+    spark.sql("DELETE FROM graftmv.q.cev WHERE k = 'c'") // whole group gone
+    spark.sql("UPDATE graftmv.q.cev SET k = 'b', v = v + 100 WHERE v = 1")
+    batch(Seq(("d", 9L)))
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.cmv").collect()
+    assert(r.getString(0) == "incremental", s"expected incremental, got $r")
+    assert(spark.table("graftmv.q.cmv").collect().toSet == recompute(q))
+    // the fully-deleted group must LEAVE the MV, as a recompute would
+    assert(!spark.table("graftmv.q.cmv").collect().exists(_.getString(0) == "c"),
+      "fully-deleted group 'c' must disappear from the MV")
+
+    // and a later plain append still refreshes incrementally on top
+    batch(Seq(("a", 50L)))
+    val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.cmv").collect()
+    assert(r2.getString(0) == "incremental")
+    assert(spark.table("graftmv.q.cmv").collect().toSet == recompute(q))
+  }
+
+  test("CDF-driven refresh maintains a fact ⋈ dim MV through a fact DELETE") {
+    rootDir
+    spark.sql("CREATE TABLE graftmv.q.cfact (k STRING, v BIGINT)")
+    spark.sql("CREATE TABLE graftmv.q.cdim (k STRING, grp STRING)")
+    Seq(("a", "g1"), ("b", "g1"), ("c", "g2")).toDF("k", "grp")
+      .writeTo("graftmv.q.cdim").append()
+    Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L)).toDF("k", "v")
+      .coalesce(1).writeTo("graftmv.q.cfact").append()
+    val q = """SELECT d.grp, count(*) AS cnt, sum(f.v) AS sv
+              |FROM graftmv.q.cfact f JOIN graftmv.q.cdim d ON f.k = d.k
+              |GROUP BY d.grp""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.cjmv AS $q")
+    spark.sql("DELETE FROM graftmv.q.cfact WHERE v IN (2, 4)") // g2 vanishes
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.cjmv").collect()
+    assert(r.getString(0) == "incremental", s"expected incremental, got $r")
+    assert(spark.table("graftmv.q.cjmv").collect().toSet == recompute(q))
+    assert(!spark.table("graftmv.q.cjmv").collect().exists(_.getString(0) == "g2"))
+  }
+
+  test("CDF refresh refuses MIN/MAX (retraction needs a rescan) and missing COUNT(*)") {
+    rootDir
+    // count(*) present but a MIN rides along: a delete forces full
+    spark.sql("CREATE TABLE graftmv.q.mev (k STRING, v BIGINT)")
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .coalesce(1).writeTo("graftmv.q.mev").append()
+    val q = """SELECT k, count(*) AS cnt, min(v) AS mv
+              |FROM graftmv.q.mev GROUP BY k""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.mmv AS $q")
+    spark.sql("DELETE FROM graftmv.q.mev WHERE v = 1")
+    val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mmv").collect()
+    assert(r.getString(0) == "full", s"MIN under retraction must recompute, got $r")
+    assert(spark.table("graftmv.q.mmv").collect().toSet == recompute(q))
+    // sums only, no count(*): no liveness witness → full
+    spark.sql("CREATE TABLE graftmv.q.sev (k STRING, v BIGINT)")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .coalesce(1).writeTo("graftmv.q.sev").append()
+    val q2 = "SELECT k, sum(v) AS sv FROM graftmv.q.sev GROUP BY k"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftmv.q.smv AS $q2")
+    spark.sql("DELETE FROM graftmv.q.sev WHERE k = 'a'")
+    val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.smv").collect()
+    assert(r2.getString(0) == "full", s"no COUNT(*) witness must recompute, got $r2")
+    assert(spark.table("graftmv.q.smv").collect().toSet == recompute(q2))
+  }
+
   test("CREATE rejects a query that reads no manifest table at all") {
     rootDir
     val df = Seq((1L, "x")).toDF("id", "s")
@@ -179,11 +254,13 @@ class MaterializedViewSpec extends SparkSuite {
     val Array(r) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv2s").collect()
     assert(r.getString(0) == "incremental", s"expected incremental, got $r")
     assert(spark.table("graftmv.q.mv2s").collect().toSet == recompute(q))
-    // a rewrite in either window (DELETE) still falls back to full
+    // a rewrite in one window (DELETE) composes with the other side's
+    // append through the CDF terms: count(*)+sum only, so the change-feed
+    // delta applies and the refresh STAYS incremental — and exact
     spark.sql("DELETE FROM graftmv.q.f2 WHERE k = 'a' AND v = 1")
     Seq(("d", "g2")).toDF("k", "grp").coalesce(1).writeTo("graftmv.q.d2").append()
     val Array(r2) = spark.sql("REFRESH MATERIALIZED VIEW graftmv.q.mv2s").collect()
-    assert(r2.getString(0) == "full", s"expected full, got $r2")
+    assert(r2.getString(0) == "incremental", s"expected incremental, got $r2")
     assert(spark.table("graftmv.q.mv2s").collect().toSet == recompute(q))
   }
 
