@@ -75,7 +75,8 @@ object Plans {
     "q_generated_cols" -> "generated columns: omitted columns computed in the write's own projection (resolution rule; per-row, codegen'd, no extra pass)",
     "q_identity_cols" -> "identity columns: distributed base + step * monotonically_increasing_id assignment; hwm advances from commit zone maps",
     "q_default_cols" -> "DEFAULT columns: Spark's own output resolution fills the defcol. contracts surfaced on the v2 columns",
-    "q_topn_pushdown" -> "top-N pushdown: rank-bound file pruning — only files that can reach the provable n-th-value bound plan")
+    "q_topn_pushdown" -> "top-N pushdown: rank-bound file pruning — only files that can reach the provable n-th-value bound plan",
+    "q_mv_cdf_refresh" -> "CDF-driven MV refresh: signed change-feed partials folded into the stored rollup, delta-sized")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

@@ -58,6 +58,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*UPDATE\s+((?:[\w.]+|`[^`]+`)+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val Assign = """(?s)\s*([\w.]+)\s*=\s*(.+?)\s*""".r
 
+  /** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET [PATTERN = '<glob>']`
+    * — idempotent file-level ingestion (each source file loads exactly
+    * once; see [[graft.sources.ManifestTable.copyInto]]). Spark's grammar
+    * has no COPY, so nothing shadows the delegate. */
+  private val CopyInto =
+    ("""(?is)\s*COPY\s+INTO\s+((?:[\w.]+|`[^`]+`)+)\s+FROM\s+'([^']+)'""" +
+      """\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
+
   /** `DESCRIBE HISTORY t` — one row per committed snapshot of a manifest
     * table (version, file count, row count), newest last. The Delta
     * statement; Spark's grammar has no HISTORY form, so this never shadows
@@ -265,6 +273,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       delegate.parsePlan(
         s"ALTER TABLE $target UNSET TBLPROPERTIES ('check.$name')")
     case Reorg(target) => ReorgTableCommand(target)
+    case CopyInto(target, source, format, pattern) =>
+      CopyIntoCommand(target, source, format, Option(pattern))
     case InsertReplaceWhere(target, cond, query)
       if cond.count(_ == '\'') % 2 == 0 && query.count(_ == '\'') % 2 == 0 =>
       InsertReplaceWhereCommand(target, cond, query)
@@ -456,6 +466,27 @@ case class OptimizeManifestCommand(target: String, targetBytes: Long,
   * vector-free, every other file keeps its name and layout. Reports
   * (files_purged, files_rewritten); a table with no vectors is a (0, 0)
   * no-op. */
+/** The lowered COPY INTO: list the source directory, drop already-loaded
+  * paths (the `copy.log` sidecar), ingest the rest, and commit data +
+  * advanced log in ONE atomic manifest swap —
+  * [[graft.sources.ManifestTable.copyInto]]. */
+case class CopyIntoCommand(target: String, source: String, format: String,
+    pattern: Option[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_copied", LongType, nullable = false)(),
+    AttributeReference("rows_copied", LongType, nullable = false)(),
+    AttributeReference("files_skipped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "COPY INTO")
+    val (copied, rows, skipped) = graft.sources.ManifestTable.copyInto(
+      spark, mt.dir, source, format, pattern)
+    spark.catalog.refreshTable(target)
+    Seq(Row(copied, rows, skipped))
+  }
+}
+
 case class ReorgTableCommand(target: String) extends LeafRunnableCommand {
   import org.apache.spark.sql.types.IntegerType
   override val output: Seq[Attribute] = Seq(
@@ -808,7 +839,8 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
     val reachable: Set[String] =
       manifests.flatMap(m =>
         m.files.map(_._1) ++ m.entries.flatMap(_.dv.map(_._1)) ++
-          m.entries.flatMap(_.blobsFile) ++ m.segments.map(_._1)).toSet
+          m.entries.flatMap(_.blobsFile) ++ m.segments.map(_._1) ++
+          m.props.get(graft.sources.Manifest.CopyLogProp)).toSet
     def listed[T](d: Path)(f: Iterator[Path] => T): T = {
       val s = Files.list(d)
       try f(s.iterator().asScala) finally s.close()
@@ -836,7 +868,8 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
       .filter(p => Files.isRegularFile(p))
       .filter { p => val n = p.getFileName.toString
         n.startsWith("part-") || n.startsWith("dv-") ||
-          n.startsWith("blobs-") || n.startsWith("seg-") }
+          n.startsWith("blobs-") || n.startsWith("seg-") ||
+          n.startsWith("copylog-") }
       .filterNot(p => reachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p =>

@@ -816,6 +816,15 @@ private[graft] object Manifest {
   private[graft] val IdColPrefix = "idcol."
   private[graft] val IdHwmPrefix = "idhwm."
 
+  /** COPY INTO's loaded-file log: the prop names a `copylog-*.txt`
+    * sidecar (one already-ingested source path per line). The sidecar is
+    * content-complete per commit — each COPY writes a NEW sidecar holding
+    * the full union and swaps the prop IN THE SAME manifest commit as the
+    * data entries, so idempotency and data are atomic: a crash before the
+    * swap leaves an orphan sidecar (vacuumable) and no state change, and
+    * a re-run re-copies nothing it didn't commit. */
+  private[graft] val CopyLogProp = "copy.log"
+
   /** DEFAULT COLUMN VALUES (`c INT DEFAULT 42`): one prop per column,
     * `defcol.<name> = <literal sql>`. Restricted to CONSTANT expressions
     * (the Delta rule — a non-deterministic default would make INSERT
@@ -1804,6 +1813,110 @@ private[graft] object ManifestTable {
       .forEach(p => Files.deleteIfExists(p))
     finally walk.close()
     moved
+  }
+
+  /** Write `df` as NEW entries of the table at `dir` WITHOUT publishing:
+    * the rows land in a scratch manifest (inheriting the table's user
+    * props + transform contract, so blooms/constraints/bucket layout
+    * apply), the files move into the table directory unreferenced, and
+    * the returned entries are what [[publishReplacing]] commits — letting
+    * a caller bind extra props (e.g. the COPY INTO idempotency log) into
+    * the SAME atomic swap as the data. */
+  private[graft] def stageAppend(dir: Path, m: Manifest,
+      df: org.apache.spark.sql.DataFrame): Seq[ManifestFile] = {
+    val scratch = Files.createTempDirectory("graft_copy_")
+    val carried = m.props.filter(_._1.startsWith(GraftCatalog.TblPropPrefix)) ++
+      m.props.get(Manifest.PartitionTransformsProp)
+        .map(Manifest.PartitionTransformsProp -> _) ++
+      m.props.get(Manifest.PartitionColsProp)
+        .map(Manifest.PartitionColsProp -> _)
+    Manifest.write(scratch, Manifest(m.schema, Seq.empty, carried))
+    df.write.format("graft.sources.GraftManifestSink")
+      .option("path", scratch.toString).mode("append").save()
+    val entries = Manifest.read(scratch).map(_.entries).getOrElse(Seq.empty)
+    val moved = entries.map { e =>
+      Files.move(scratch.resolve(e.name), dir.resolve(e.name),
+        StandardCopyOption.REPLACE_EXISTING)
+      e.blobsFile.foreach(b => Files.move(scratch.resolve(b), dir.resolve(b),
+        StandardCopyOption.REPLACE_EXISTING))
+      e
+    }
+    val walk = Files.walk(scratch)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    moved
+  }
+
+  /** `COPY INTO <table> FROM '<dir>'` — idempotent FILE-LEVEL ingestion
+    * (the Delta/lakehouse loading idiom): each source file loads EXACTLY
+    * ONCE; re-running the statement copies only files that appeared since,
+    * so a scheduled loader needs no bookkeeping of its own. Identity is
+    * the source path (a rewritten file does not re-copy — point a new
+    * path at reprocessed data). The loaded-set sidecar swaps in the SAME
+    * commit as the data entries, so a crash anywhere leaves either both
+    * or neither. Returns (files copied, rows copied, files skipped). */
+  private[graft] def copyInto(spark: org.apache.spark.sql.SparkSession,
+      dir: Path, source: String, format: String,
+      pattern: Option[String]): (Long, Long, Long) = withConflictRetry("COPY INTO") {
+    import org.apache.spark.sql.functions.col
+    assertWritable(dir, "COPY INTO")
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"COPY INTO: no manifest at $dir"))
+    val loaded: Set[String] = m.props.get(Manifest.CopyLogProp).map { log =>
+      Files.readAllLines(dir.resolve(log)).asScala.filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty)
+    val src = Paths.get(source)
+    if (!Files.isDirectory(src)) throw new IllegalArgumentException(
+      s"COPY INTO: source '$source' is not a directory")
+    val matcher = pattern.map(p =>
+      src.getFileSystem.getPathMatcher("glob:" + p))
+    val candidates = {
+      val s = Files.list(src)
+      try s.iterator().asScala.toSeq finally s.close()
+    }.filter(Files.isRegularFile(_))
+      .filter(p => !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .filter(p => matcher.forall(_.matches(p.getFileName)))
+      .map(_.toAbsolutePath.toString).sorted
+    val fresh = candidates.filterNot(loaded)
+    if (fresh.isEmpty) (0L, 0L, candidates.length.toLong)
+    else copyFresh(spark, dir, m, fresh, candidates.length, format)
+  }
+
+  private def copyFresh(spark: org.apache.spark.sql.SparkSession, dir: Path,
+      m: Manifest, fresh: Seq[String], nCandidates: Int,
+      format: String): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val loaded: Set[String] = m.props.get(Manifest.CopyLogProp).map { log =>
+      Files.readAllLines(dir.resolve(log)).asScala.filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty)
+    val reader = format.toLowerCase match {
+      case "parquet" => spark.read.parquet(fresh: _*)
+      case "csv" => spark.read.option("header", "true")
+        .schema(Manifest.relaxNullability(m.schema)).csv(fresh: _*)
+      case "json" => spark.read
+        .schema(Manifest.relaxNullability(m.schema)).json(fresh: _*)
+      case other => throw new UnsupportedOperationException(
+        s"COPY INTO: FILEFORMAT = $other not supported (PARQUET, CSV, JSON)")
+    }
+    // resolve BY NAME against the table schema, casting to declared types;
+    // a source missing a table column fails in COPY terms, not mid-write
+    val projected = reader.select(m.schema.fields.toIndexedSeq.map { f =>
+      if (!reader.columns.exists(_.equalsIgnoreCase(f.name)))
+        throw new IllegalArgumentException(
+          s"COPY INTO: source lacks table column ${f.name} " +
+            s"(source columns: ${reader.columns.mkString(", ")})")
+      col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
+    val entries = stageAppend(dir, m, projected)
+    val log = s"copylog-${java.util.UUID.randomUUID.toString.take(8)}.txt"
+    Files.write(dir.resolve(log),
+      (loaded ++ fresh).toSeq.sorted.mkString("\n").getBytes(UTF_8))
+    publishReplacing(dir, m, Seq.empty, entries,
+      Map(Manifest.CopyLogProp -> log))
+    (fresh.length.toLong, entries.map(_.rows).sum,
+      (nCandidates - fresh.length).toLong)
   }
 
   /** Rows the most recent DV construction brought back to the driver —

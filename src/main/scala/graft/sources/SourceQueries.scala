@@ -611,6 +611,29 @@ object SourceQueries extends QueryModule {
         "min(row_id) AS min_id")
     }),
 
+    // COPY INTO through the oracle gate: idempotent file-level ingestion
+    // of the testdata parquet itself — the first statement loads
+    // documents.parquet, the second is asserted a 0-copy no-op (the
+    // loaded-set sidecar committed atomically with the data), and the
+    // table must hash-match the raw parquet.
+    "q_copy_into" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_cpq_")
+      s.conf.set("spark.sql.catalog.graftcpq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcpq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcpq.q")
+      s.sql("DROP TABLE IF EXISTS graftcpq.q.docs")
+      s.sql("""CREATE TABLE graftcpq.q.docs (
+        |  doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)""".stripMargin)
+      val Array(r1) = s.sql(s"COPY INTO graftcpq.q.docs FROM '$d' " +
+        "FILEFORMAT = PARQUET PATTERN = 'documents.parquet'").collect()
+      assert(r1.getLong(0) == 1L, s"first COPY must load the file, got $r1")
+      val Array(r2) = s.sql(s"COPY INTO graftcpq.q.docs FROM '$d' " +
+        "FILEFORMAT = PARQUET PATTERN = 'documents.parquet'").collect()
+      assert(r2.getLong(0) == 0L && r2.getLong(2) == 1L,
+        s"second COPY must skip the loaded file, got $r2")
+      s.table("graftcpq.q.docs").orderBy("doc_id")
+    }),
+
     // CDF-DRIVEN incremental MV refresh through the oracle gate: a
     // COUNT/SUM rollup MV is maintained through a window containing a
     // DELETE and an UPDATE — no append-only window exists, so the refresh
@@ -1744,6 +1767,9 @@ object SourceQueries extends QueryModule {
       """SELECT doc_id, lang, n_chars, upper(lang) AS lang_up,
         |  n_chars * 2 + 1 AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_copy_into" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // The post-DML rollup recomputed from scratch: survivors of the
     // DELETE, src1 shifted by the UPDATE, grouped per source.
     "q_mv_cdf_refresh" ->
