@@ -1919,6 +1919,39 @@ private[graft] object ManifestTable {
       (nCandidates - fresh.length).toLong)
   }
 
+  /** POST-COMMIT AUTO-COMPACTION (Delta's autoOptimize.autoCompact): a
+    * table with TBLPROPERTIES('autoCompact'='true') compacts itself
+    * synchronously after a write commit once its sub-target live files
+    * reach `spark.graft.autoCompact.minFiles` (default 50) — the
+    * streaming one-file-per-epoch trail and trickle-append pipelines
+    * stop degrading scans without a scheduled OPTIMIZE. Amortized O(1):
+    * below the threshold this is one manifest read + size stats; the
+    * compaction itself is the bin-packing OPTIMIZE (sub-target files
+    * only), committed as a dataChange=false layout commit that data
+    * streams already skip. Best-effort by contract: a compaction failure
+    * (e.g. losing a concurrent-writer race) never fails the write that
+    * triggered it. */
+  private[sources] def maybeAutoCompact(dir: Path): Unit = try {
+    val spark = org.apache.spark.sql.SparkSession.active
+    Manifest.read(dir).foreach { m =>
+      if (m.props.get(GraftCatalog.TblPropPrefix + "autoCompact").contains("true")) {
+        val minFiles = spark.conf.getOption("spark.graft.autoCompact.minFiles")
+          .map(_.toInt).getOrElse(50)
+        val target = spark.conf.getOption("spark.graft.autoCompact.targetBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        val chain = Manifest.resolveChain(dir)
+        val small = m.entries.count(e => e.rows > 0 && {
+          val p = Manifest.resolveData(chain, e.name)
+          Files.exists(p) && Files.size(p) < target * 9 / 10
+        })
+        if (small >= minFiles) { optimize(dir, target); () }
+      }
+    }
+  } catch {
+    case e: Exception =>
+      System.err.println(s"[graft] auto-compact at $dir skipped: ${e.getMessage}")
+  }
+
   /** Rows the most recent DV construction brought back to the driver —
     * after the distributed rewrite this is ALWAYS one row per touched
     * file, never one per matched row. Tests pin the O(#files) contract
@@ -2987,6 +3020,7 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
       ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name),
         rewritten ++ committed,
         Manifest.identityCommitProps(m.props, committed))
+      ManifestTable.maybeAutoCompact(dir)
       return
     }
     // truncate drops old files from the CURRENT manifest only — they stay
@@ -3012,6 +3046,7 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
           prev ++ committed,
           prevProps ++ Manifest.identityCommitProps(prevProps, committed)))
     }
+    ManifestTable.maybeAutoCompact(dir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3065,10 +3100,10 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
   // loses nothing
   private val epochProp = s"${Manifest.LastEpochProp}.$queryId"
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // the idempotence check and the publish must be one critical section —
     // same commit lock as batch writes
-    ManifestLock.withLock(dir) {
+    val published = ManifestLock.withLock(dir) {
       val prevM = Manifest.read(dir)
       val last = prevM.flatMap(_.props.get(epochProp)).map(_.toLong)
       if (last.exists(_ >= epochId)) {
@@ -3081,6 +3116,7 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
           if (s.blobs.nonEmpty)
             Files.deleteIfExists(dir.resolve("_staging").resolve(s.blobs))
         }
+        false
       } else {
         val committed = ManifestCommit.promote(dir, messages)
         // complete-mode streaming (truncate()) REPLACES the table every epoch
@@ -3099,8 +3135,12 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
         Manifest.write(dir,
           Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),
             prev ++ committed, props))
+        true
       }
     }
+    // OUTSIDE the commit lock: compaction takes the same lock itself
+    if (published) ManifestTable.maybeAutoCompact(dir)
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     ManifestCommit.dropStaged(dir, queryId)
