@@ -61,7 +61,13 @@ object ResolveGeneratedWrites extends Rule[LogicalPlan] {
       rewrite(o, r, query, isByName)
   }
 
-  /** The table's (generated, identity) contract, when it has one. */
+  private def autoMergeOn: Boolean =
+    conf.getConfString("spark.graft.schema.autoMerge", "false") == "true"
+
+  /** The table's (generated, identity) contract, when it has one — or any
+    * manifest table when write-time schema evolution is on (the rule then
+    * owns by-name alignment, since ACCEPT_ANY_SCHEMA stood Spark's
+    * resolution down). */
   private def eligible(r: DataSourceV2Relation)
     : Option[(Map[String, String], Map[String, Manifest.IdentitySpec])] =
     r.table match {
@@ -69,7 +75,8 @@ object ResolveGeneratedWrites extends Rule[LogicalPlan] {
         val props = Manifest.read(t.dir).map(_.props).getOrElse(Map.empty)
         val gens = Manifest.generatedCols(props)
         val ids = Manifest.identityCols(props)
-        if (gens.nonEmpty || ids.nonEmpty) Some((gens, ids)) else None
+        if (gens.nonEmpty || ids.nonEmpty || autoMergeOn) Some((gens, ids))
+        else None
       case _ => None
     }
 
@@ -85,14 +92,23 @@ object ResolveGeneratedWrites extends Rule[LogicalPlan] {
     def idOf(f: StructField): Option[Manifest.IdentitySpec] =
       ids.collectFirst { case (n, s) if n.equalsIgnoreCase(f.name) => s }
 
-    // which table column each incoming attribute provides
+    // which table column each incoming attribute provides; under
+    // autoMerge, SOURCE-ONLY columns ride along as extras — the write
+    // builder ADDs them to the table at execution (write-time evolution)
+    val extras: Seq[Attribute] =
+      if (isByName && autoMergeOn)
+        query.output.filterNot(qa =>
+          fields.exists(_.name.equalsIgnoreCase(qa.name)))
+      else Seq.empty
     val provided: Map[String, Attribute] =
       if (isByName) {
-        query.output.map { qa =>
+        query.output.filterNot(qa =>
+          extras.exists(_.exprId == qa.exprId)).map { qa =>
           val f = fields.find(_.name.equalsIgnoreCase(qa.name)).getOrElse(
             throw new IllegalArgumentException(
               s"write to ${t.name()}: column ${qa.name} is not in the table " +
-                s"schema (${fields.map(_.name).mkString(", ")})"))
+                s"schema (${fields.map(_.name).mkString(", ")}) — set " +
+                "spark.graft.schema.autoMerge=true to evolve the table"))
           f.name.toLowerCase -> qa
         }.toMap
       } else {
@@ -166,7 +182,8 @@ object ResolveGeneratedWrites extends Rule[LogicalPlan] {
         }
       }
     }
-    val out = cmd.withNewQuery(Project(projections, query))
+    val out = cmd.withNewQuery(Project(
+      projections ++ extras.map(a => Alias(a, a.name)()), query))
     out.setTagValue(Rewritten, true)
     out
   }

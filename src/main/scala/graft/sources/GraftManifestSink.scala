@@ -1453,6 +1453,14 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     if (Manifest.generatedCols(props).nonEmpty ||
         Manifest.identityCols(props).nonEmpty)
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // write-time schema evolution: when the session opts in, writes with
+    // source-only columns must reach the write builder (which evolves the
+    // table) instead of failing Spark's strict output resolution; the
+    // injected rule performs by-name alignment in Spark's place
+    if (scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.schema.autoMerge")).toOption.flatten
+        .contains("true"))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
 
@@ -1917,6 +1925,32 @@ private[graft] object ManifestTable {
       Map(Manifest.CopyLogProp -> log))
     (fresh.length.toLong, entries.map(_.rows).sum,
       (nCandidates - fresh.length).toLong)
+  }
+
+  /** Append write-schema-only columns to the table schema — the
+    * metadata-only half of write-time schema evolution (the write builder
+    * calls this under `spark.graft.schema.autoMerge`). Nullable always:
+    * existing rows NULL-fill through the codec's short-row rule. */
+  private[sources] def evolveForWrite(dir: Path, writeSchema: StructType): Unit = {
+    val extras0 = Manifest.read(dir).map { m =>
+      writeSchema.fields.filterNot(f =>
+        m.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))).toSeq
+    }.getOrElse(Seq.empty)
+    if (extras0.nonEmpty) ManifestLock.withLock(dir) {
+      Manifest.read(dir).foreach { m =>
+        val extras = extras0.filterNot(f =>
+          m.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        extras.foreach { f =>
+          if (!Manifest.supportedType(f.dataType))
+            throw new UnsupportedOperationException(
+              s"schema evolution: type ${f.dataType.simpleString} of " +
+                s"source column ${f.name} not supported by this sink")
+        }
+        if (extras.nonEmpty)
+          Manifest.write(dir, m.copy(schema = StructType(m.schema.fields ++
+            extras.map(f => StructField(f.name, f.dataType, nullable = true)))))
+      }
+    }
   }
 
   /** POST-COMMIT AUTO-COMPACTION (Delta's autoOptimize.autoCompact): a
@@ -2736,6 +2770,15 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   override def canOverwrite(filters: Array[Filter]): Boolean =
     filters.forall(f => ManifestScanBuilder.filterColumn(f).isDefined)
   override def build(): Write = {
+    // WRITE-TIME SCHEMA EVOLUTION (Delta's mergeSchema, gated by the same
+    // flag as MERGE evolution): under spark.graft.schema.autoMerge=true a
+    // write carrying source-only columns ADDs them to the table first — a
+    // metadata-only ALTER in the evolution's own commit; existing files
+    // read the new columns as NULL. Execution-time by design: EXPLAIN of
+    // the write must never mutate the table.
+    if (org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.schema.autoMerge").contains("true"))
+      ManifestTable.evolveForWrite(dir, schema)
     // partition columns come from the CURRENT manifest (they are table-level
     // metadata, not per-write state); columns the incoming schema lacks are
     // skipped defensively — better an unclustered write than a failed one

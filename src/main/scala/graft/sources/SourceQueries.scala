@@ -611,6 +611,31 @@ object SourceQueries extends QueryModule {
         "min(row_id) AS min_id")
     }),
 
+    // Write-time schema evolution through the oracle gate: the first
+    // append writes the 2-column table, the second (under
+    // spark.graft.schema.autoMerge) CARRIES a new n_chars column — the
+    // table evolves metadata-only and the earlier rows read the new
+    // column as NULL. The oracle replays the per-half shape from raw
+    // parquet, so a leaked value on an old row, a dropped column, or a
+    // misaligned by-name write hash-fails.
+    "q_append_evolve" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_aevq_")
+      s.conf.set("spark.sql.catalog.graftaev", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftaev.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftaev.q")
+      s.sql("DROP TABLE IF EXISTS graftaev.q.docs")
+      s.sql("CREATE TABLE graftaev.q.docs (doc_id BIGINT, source STRING)")
+      val docs = Tables(s, d, "documents")
+      docs.select("doc_id", "source").filter(docs("doc_id") % 2 === 0)
+        .writeTo("graftaev.q.docs").append()
+      s.conf.set("spark.graft.schema.autoMerge", "true")
+      try docs.select("doc_id", "source", "n_chars")
+        .filter(docs("doc_id") % 2 === 1)
+        .writeTo("graftaev.q.docs").append()
+      finally s.conf.unset("spark.graft.schema.autoMerge")
+      s.table("graftaev.q.docs").orderBy("doc_id")
+    }),
+
     // COPY INTO through the oracle gate: idempotent file-level ingestion
     // of the testdata parquet itself — the first statement loads
     // documents.parquet, the second is asserted a 0-copy no-op (the
@@ -1770,6 +1795,12 @@ object SourceQueries extends QueryModule {
     "q_copy_into" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // Pre-evolution rows read the evolved column as NULL; post-evolution
+    // rows carry their written values.
+    "q_append_evolve" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The post-DML rollup recomputed from scratch: survivors of the
     // DELETE, src1 shifted by the UPDATE, grouped per source.
     "q_mv_cdf_refresh" ->

@@ -19,7 +19,8 @@ class BenchIdempotenceSpec extends SparkSuite {
     "q_mv_incremental_2src", "q_mv_rewrite_join_rollup",
     "q_delete_expr", "q_replace_where", "q_complex_table", "q_stream_cdf",
     "q_limit_pushdown", "q_generated_cols", "q_identity_cols",
-    "q_default_cols", "q_topn_pushdown", "q_mv_cdf_refresh", "q_copy_into")
+    "q_default_cols", "q_topn_pushdown", "q_mv_cdf_refresh", "q_copy_into",
+    "q_append_evolve")
 
   doubled.foreach { name =>
     test(s"$name survives a second invocation in the same JVM") {
