@@ -83,6 +83,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"random_project_signs: n must be an integer literal, got $other")
       }))
 
+    e.injectFunction((FunctionIdentifier("char_gram_hashes"),
+      info("char_gram_hashes",
+        "char_gram_hashes(s, k) - polynomial hashes of all k-character grams"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(k) => CharGramHashes(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"char_gram_hashes: k must be an integer literal, got $other")
+      }))
+
+    e.injectFunction((FunctionIdentifier("window_mins"),
+      info("window_mins",
+        "window_mins(arr, w) - sliding-window minima of a bigint array"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(w) => WindowMins(args(0), w)
+        case other => throw new IllegalArgumentException(
+          s"window_mins: w must be an integer literal, got $other")
+      }))
+
     e.injectFunction((FunctionIdentifier("sorted_array_intersect_count"),
       info("sorted_array_intersect_count",
         "sorted_array_intersect_count(a, b) - |A∩B| of sorted distinct bigint arrays"),

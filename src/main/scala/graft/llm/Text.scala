@@ -486,15 +486,11 @@ object Text extends QueryModule {
     // and would explode the join quadratically; the cap is the standard
     // posting-list bound), and the output is a bounded top-25 heap.
     "q_dedup_containment" -> ((s, d) => {
-      val emptyLongs = array().cast("array<bigint>")
-      val khLen = length(col("text")) - (KGram - 1)
-      val kh = when(khLen >= 1,
-        transform(sequence(lit(1), khLen),
-          i => polyChar(col("text").substr(i, lit(KGram))))).otherwise(emptyLongs)
-      val winLen = size(col("kh")) - (WinnowWindow - 1)
-      val wins = when(winLen >= 1,
-        transform(sequence(lit(1), winLen),
-          i => array_min(slice(col("kh"), i, lit(WinnowWindow))))).otherwise(emptyLongs)
+      // one generated loop per stage (the HOF formulation paid an
+      // interpreted lambda frame per character and a slice allocation per
+      // window — ~95% of this query's time at sf0.1; see CharGramHashes)
+      val kh = graft.functions.CharGrams.charGramHashes(col("text"), KGram)
+      val wins = graft.functions.CharGrams.windowMins(col("kh"), WinnowWindow)
       val fps = Tables(s, d, "documents")
         .select(col("doc_id"), kh.as("kh"))
         .select(col("doc_id"), array_distinct(wins).as("fps"))
@@ -559,21 +555,13 @@ object Text extends QueryModule {
     // 8-char k-grams, minimum per 4-hash window, distinct minima = the
     // document fingerprint set. Per-row, no shuffle; portable hash → oracle.
     "q_text_fingerprint" -> ((s, d) => {
-      // Both position sequences are guarded: for a doc shorter than one
-      // k-gram (or fewer k-grams than a winnow window) Spark's sequence()
-      // defaults to step −1 when start > stop — a DESCENDING garbage range
-      // whose 0 index makes slice() throw — while DuckDB's range() is just
-      // empty. The guard makes short docs yield empty fingerprint sets on
-      // both engines (latent on testdata: every doc is ≥ 47 chars).
-      val emptyLongs = array().cast("array<bigint>")
-      val khLen = length(col("text")) - (KGram - 1)
-      val kh = when(khLen >= 1,
-        transform(sequence(lit(1), khLen),
-          i => polyChar(col("text").substr(i, lit(KGram))))).otherwise(emptyLongs)
-      val winLen = size(col("kh")) - (WinnowWindow - 1)
-      val wins = when(winLen >= 1,
-        transform(sequence(lit(1), winLen),
-          i => array_min(slice(col("kh"), i, lit(WinnowWindow))))).otherwise(emptyLongs)
+      // One generated loop per stage (the HOF formulation paid an
+      // interpreted lambda frame per character — see CharGramHashes);
+      // docs shorter than one k-gram (or one winnow window) yield empty
+      // arrays from the expressions themselves, matching DuckDB's empty
+      // range() comprehension.
+      val kh = graft.functions.CharGrams.charGramHashes(col("text"), KGram)
+      val wins = graft.functions.CharGrams.windowMins(col("kh"), WinnowWindow)
       Tables(s, d, "documents")
         .select(col("doc_id"), kh.as("kh"))
         .select(col("doc_id"), array_distinct(wins).as("fps"))
