@@ -76,7 +76,9 @@ object Plans {
     "q_identity_cols" -> "identity columns: distributed base + step * monotonically_increasing_id assignment; hwm advances from commit zone maps",
     "q_default_cols" -> "DEFAULT columns: Spark's own output resolution fills the defcol. contracts surfaced on the v2 columns",
     "q_topn_pushdown" -> "top-N pushdown: rank-bound file pruning — only files that can reach the provable n-th-value bound plan",
-    "q_mv_cdf_refresh" -> "CDF-driven MV refresh: signed change-feed partials folded into the stored rollup, delta-sized")
+    "q_mv_cdf_refresh" -> "CDF-driven MV refresh: signed change-feed partials folded into the stored rollup, delta-sized",
+    "q_copy_into" -> "COPY INTO: idempotent file-level ingestion, loaded-set sidecar atomic with the data commit",
+    "q_append_evolve" -> "write-time schema evolution: source-only column added metadata-only, old rows NULL-fill")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
