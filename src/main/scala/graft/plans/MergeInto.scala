@@ -579,6 +579,8 @@ case class MergeIntoFullCommand(spec: MergeParse.Spec) extends LeafRunnableComma
         ManifestTable.publishReplacing(dir, m, dvUpdated.map(_._1),
           dvUpdated.flatMap(_._2) ++ appended, cdcProps)
       } else {
+        ManifestTable.refuseRewriteUnderRowTracking(m.props,
+          "MERGE INTO (copy-on-write)")
         val rewritten = ManifestTable.rewriteFiles(dir, m, touchedEntries, mergeResult)
         ManifestTable.publishReplacing(dir, m, touchedEntries.map(_.name), rewritten,
           cdcProps)

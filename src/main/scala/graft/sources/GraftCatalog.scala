@@ -701,7 +701,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             s"ALTER TABLE: unsupported change $other")
       }
     }
-    Manifest.write(dir, next)
+    // enabling rowTracking via SET TBLPROPERTIES assigns every existing
+    // entry its base in this same DDL commit (no-op otherwise)
+    Manifest.write(dir, next.copy(
+      props = Manifest.sealRowTracking(next.props, next.entries)))
     new ManifestTable(dir, next.schema)
     }
 

@@ -825,6 +825,49 @@ private[graft] object Manifest {
     * a re-run re-copies nothing it didn't commit. */
   private[graft] val CopyLogProp = "copy.log"
 
+  /** ROW TRACKING (`TBLPROPERTIES('rowTracking'='true')` — Delta's row
+    * tracking / Iceberg v3 row lineage): every row gets a STABLE logical
+    * id surfaced as the `_row_id` metadata column, `base(file) + _pos`.
+    * Bases are per-entry props (`rowbase.<entry> = b`) assigned at commit
+    * from a monotone high-water mark (`rowhwm`); files are immutable and
+    * deletion vectors never move surviving rows, so ids survive appends,
+    * DV DELETEs, and DV UPDATE/MERGE of untouched rows (updated rows
+    * re-land in new files with fresh ids — the Iceberg rule). Layout
+    * rewrites (OPTIMIZE, REORG PURGE, copy-on-write DML) would REASSIGN
+    * ids, so they refuse on a tracking table instead of silently breaking
+    * every downstream consumer keyed on `_row_id`. Bases of entries no
+    * longer in the CURRENT manifest are dropped at commit (archived
+    * snapshots keep their own props, so time travel still resolves). */
+  private[graft] val RowBasePrefix = "rowbase."
+  private[graft] val RowHwmProp = "rowhwm"
+  private[graft] val RowTrackingProp = GraftCatalog.TblPropPrefix + "rowTracking"
+
+  private[graft] def rowTracking(props: Map[String, String]): Boolean =
+    props.get(RowTrackingProp).contains("true")
+
+  /** Final props for a commit publishing `entries`: assign a base to every
+    * base-less entry (hwm order = entry order), advance the hwm, and drop
+    * bases of entries that left the manifest. Identity when tracking is
+    * off. */
+  private[graft] def sealRowTracking(props: Map[String, String],
+      entries: Seq[ManifestFile]): Map[String, String] = {
+    if (!rowTracking(props)) props
+    else {
+      val names = entries.map(_.name).toSet
+      val kept = props.filterNot { case (k, _) =>
+        k.startsWith(RowBasePrefix) && !names(k.stripPrefix(RowBasePrefix)) }
+      var hwm = props.get(RowHwmProp).map(_.toLong).getOrElse(0L)
+      val fresh = entries.filterNot(e => kept.contains(RowBasePrefix + e.name))
+        .map { e => val b = hwm; hwm += e.rows; (RowBasePrefix + e.name) -> b.toString }
+      kept ++ fresh + (RowHwmProp -> hwm.toString)
+    }
+  }
+
+  /** Per-entry row-id bases of a props map. */
+  private[graft] def rowBases(props: Map[String, String]): Map[String, Long] =
+    props.collect { case (k, v) if k.startsWith(RowBasePrefix) =>
+      k.stripPrefix(RowBasePrefix) -> v.toLong }
+
   /** DEFAULT COLUMN VALUES (`c INT DEFAULT 42`): one prop per column,
     * `defcol.<name> = <literal sql>`. Restricted to CONSTANT expressions
     * (the Delta rule — a non-deterministic default would make INSERT
@@ -1397,8 +1440,13 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     * touched-file discovery). Hidden unless selected; a data column of
     * the same name wins (Spark's metadata-conflict rule). */
   override def metadataColumns()
-    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(ManifestTable.FileMetaCol, ManifestTable.PosMetaCol)
+    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val base = Array(ManifestTable.FileMetaCol, ManifestTable.PosMetaCol)
+    // `_row_id` surfaces only on tracking tables — see [[Manifest.RowBasePrefix]]
+    if (Manifest.rowTracking(Manifest.read(dir).map(_.props).getOrElse(Map.empty)))
+      base :+ ManifestTable.RowIdMetaCol
+    else base
+  }
   /** The selected SNAPSHOT's schema when time-traveling (a pre-ALTER
     * version must read under the schema it was committed with), else the
     * current manifest's. */
@@ -1613,6 +1661,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
         drop.map(_.name) ++ updated.map(_._1), updated.flatMap(_._2),
         cdcDeletes)
     } else {
+      ManifestTable.refuseRewriteUnderRowTracking(m.props, "DELETE (copy-on-write)")
       // DELETE removes rows where the predicate is TRUE; NULL/FALSE rows
       // survive — hence the coalesce, not a bare negation
       val rewritten = ManifestTable.rewriteFiles(dir, m, cut,
@@ -1766,6 +1815,34 @@ private[graft] object ManifestTable {
       override def comment(): String =
         "physical row ordinal within the row's data file"
     }
+
+  /** `_row_id` metadata column (rowTracking tables only): the row's STABLE
+    * logical id, `rowbase(file) + _pos` — survives appends and
+    * deletion-vector DML of untouched rows; see
+    * [[Manifest.RowBasePrefix]]. NULL for an entry committed before the
+    * table enabled tracking and not yet re-sealed. */
+  val RowIdMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_row_id"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "stable logical row id (file base + physical position)"
+    }
+
+  /** Refuse an operation that would REWRITE surviving rows into new files
+    * on a rowTracking table — `_row_id` is `base(file) + position`, so a
+    * layout rewrite silently reassigns every id a downstream consumer
+    * holds. Deletion-vector DML never moves a surviving row and stays
+    * allowed. */
+  private[graft] def refuseRewriteUnderRowTracking(
+      props: Map[String, String], op: String): Unit =
+    if (Manifest.rowTracking(props)) throw new UnsupportedOperationException(
+      s"$op: this table has rowTracking=true — row ids are file-base + " +
+        "position, and rewriting surviving rows into new files would " +
+        "reassign them. Use deletion-vector DML " +
+        "(TBLPROPERTIES('delete.dv'='true')) or UNSET " +
+        "TBLPROPERTIES('rowTracking') first")
 
   /** COPY-ON-WRITE rewrite step shared by row-level DELETE and UPDATE: run
     * `transform` over ONLY the given files of table `dir` (a distributed
@@ -2130,9 +2207,9 @@ private[graft] object ManifestTable {
           s"${conflicted.mkString(", ")} changed since this operation's " +
           "snapshot (a concurrent DELETE/UPDATE/MERGE/OPTIMIZE replaced " +
           "them) — re-run the operation against the current state")
-      Manifest.write(dir, Manifest(cur.schema,
-        cur.entries.filterNot(e => gone(e.name)) ++ rewritten,
-        cur.props ++ extraProps))
+      val ents = cur.entries.filterNot(e => gone(e.name)) ++ rewritten
+      Manifest.write(dir, Manifest(cur.schema, ents,
+        Manifest.sealRowTracking(cur.props ++ extraProps, ents)))
     }
   }
 
@@ -2179,6 +2256,7 @@ private[graft] object ManifestTable {
       publishReplacing(dir, m, updated.map(_._1), updated.flatMap(_._2),
         cdcDeletes)
     } else {
+      refuseRewriteUnderRowTracking(m.props, "DELETE (copy-on-write)")
       val rewritten = rewriteFiles(dir, m, touch, df => df.filter(not(cond)))
       publishReplacing(dir, m, touch.map(_.name), rewritten, cdcDeletes)
     }
@@ -2306,6 +2384,7 @@ private[graft] object ManifestTable {
       publishReplacing(dir, m, dvUpdated.map(_._1),
         dvUpdated.flatMap(_._2) ++ appended, cdcUpdates)
     } else {
+      refuseRewriteUnderRowTracking(m.props, "UPDATE (copy-on-write)")
       val rewritten = rewriteFiles(dir, m, touch, df => {
         val cols = m.schema.fields.map { f =>
           sets.find(_._1.equalsIgnoreCase(f.name)) match {
@@ -2537,6 +2616,7 @@ private[graft] object ManifestTable {
             .sortWithinPartitions("__graft_z")
             .drop("__graft_z")
       }
+    refuseRewriteUnderRowTracking(m.props, "OPTIMIZE")
     val rewritten = rewriteFiles(dir, m, live, transform)
     publishReplacing(dir, m, live.map(_.name), rewritten,
       Manifest.noDataChangeStamp())
@@ -2559,6 +2639,7 @@ private[graft] object ManifestTable {
       throw new IllegalStateException(s"REORG: no manifest at $dir"))
     val vectored = m.entries.filter(_.dv.isDefined)
     if (vectored.isEmpty) return (0, 0)
+    refuseRewriteUnderRowTracking(m.props, "REORG TABLE ... APPLY (PURGE)")
     val rewritten = rewriteFiles(dir, m, vectored, identity)
     publishReplacing(dir, m, vectored.map(_.name), rewritten,
       Manifest.noDataChangeStamp())
@@ -3058,8 +3139,12 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
         .reduceOption(_ && _).getOrElse(lit(true))
       val rewritten =
         if (cut.isEmpty) Seq.empty
-        else ManifestTable.rewriteFiles(dir, m, cut,
-          df => df.filter(not(coalesce(pred, lit(false)))))
+        else {
+          ManifestTable.refuseRewriteUnderRowTracking(m.props,
+            "replaceWhere (partial-file rewrite)")
+          ManifestTable.rewriteFiles(dir, m, cut,
+            df => df.filter(not(coalesce(pred, lit(false)))))
+        }
       ManifestTable.publishReplacing(dir, m, (drop ++ cut).map(_.name),
         rewritten ++ committed,
         Manifest.identityCommitProps(m.props, committed))
@@ -3087,7 +3172,9 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
       Manifest.write(dir,
         Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),
           prev ++ committed,
-          prevProps ++ Manifest.identityCommitProps(prevProps, committed)))
+          Manifest.sealRowTracking(
+            prevProps ++ Manifest.identityCommitProps(prevProps, committed),
+            prev ++ committed)))
     }
     ManifestTable.maybeAutoCompact(dir)
   }
@@ -3177,7 +3264,8 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
         // keep the TABLE schema, as in the batch commit
         Manifest.write(dir,
           Manifest(prevM.map(_.schema).getOrElse(Manifest.relaxNullability(schema)),
-            prev ++ committed, props))
+            prev ++ committed,
+            Manifest.sealRowTracking(props, prev ++ committed)))
         true
       }
     }
@@ -3497,15 +3585,19 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
   // schema (None unless selected); the data columns prune around it
   private var fileColAt: Option[Int] = None
   private var posColAt: Option[Int] = None
+  private var rowIdColAt: Option[Int] = None
   private var skipping: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     fileColAt = Some(requiredSchema.fieldNames.indexOf("_file")).filter(_ >= 0)
       .filterNot(_ => full.fieldNames.contains("_file")) // data column wins
     posColAt = Some(requiredSchema.fieldNames.indexOf("_pos")).filter(_ >= 0)
       .filterNot(_ => full.fieldNames.contains("_pos"))
+    rowIdColAt = Some(requiredSchema.fieldNames.indexOf("_row_id")).filter(_ >= 0)
+      .filterNot(_ => full.fieldNames.contains("_row_id"))
     required = StructType(requiredSchema.fields.filterNot(f =>
       (fileColAt.isDefined && f.name == "_file") ||
-        (posColAt.isDefined && f.name == "_pos")))
+        (posColAt.isDefined && f.name == "_pos") ||
+        (rowIdColAt.isDefined && f.name == "_row_id")))
   }
 
   /** Zone-map pushdown: filters are used to SKIP whole files via the
@@ -3724,7 +3816,10 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
           f.name.equalsIgnoreCase(c) && BucketHash.supported(f.dataType))
       }
       new ManifestScan(dir, full, required, kept, entries.length, fileColAt,
-        posColAt, spj, streamOpts)
+        posColAt, spj, streamOpts, rowIdColAt,
+        if (rowIdColAt.isDefined)
+          Manifest.rowBases(manifest.map(_.props).getOrElse(Map.empty))
+        else Map.empty)
   }
 }
 
@@ -4001,7 +4096,10 @@ private[sources] case class ManifestFilePartition(file: String, dir: String,
     // `_change_type` (when not physical in the file) and `_commit_version`
     // at these output positions
     chgTypeAt: Option[Int] = None, chgTypeConst: String = null,
-    commitVerAt: Option[Int] = None, commitVer: Int = 0)
+    commitVerAt: Option[Int] = None, commitVer: Int = 0,
+    // row tracking: splice `_row_id` = rowBase + physical ordinal at this
+    // output position (rowBase < 0 → NULL: entry never sealed)
+    rowIdColAt: Option[Int] = None, rowBase: Long = -1L)
   extends InputPartition
 
 /** A file partition of a bucket-pure file, keyed by its bucket id — what
@@ -4359,7 +4457,9 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
     entries: Seq[ManifestFile], totalFiles: Int,
     fileColAt: Option[Int] = None, posColAt: Option[Int] = None,
     spjBucket: Option[(Int, String)] = None,
-    streamOpts: Map[String, String] = Map.empty)
+    streamOpts: Map[String, String] = Map.empty,
+    rowIdColAt: Option[Int] = None,
+    rowBases: Map[String, Long] = Map.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -4379,11 +4479,13 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
   override def readSchema(): StructType = {
     // splice the selected metadata columns back at their requested
     // positions — mirrors the reader's withMeta exactly
-    val total = wanted.length + fileColAt.size + posColAt.size
+    val total = wanted.length + fileColAt.size + posColAt.size + rowIdColAt.size
     var j = 0
     val out = (0 until total).map { at =>
       if (fileColAt.contains(at)) StructField("_file", StringType, nullable = false)
       else if (posColAt.contains(at)) StructField("_pos", LongType, nullable = false)
+      else if (rowIdColAt.contains(at))
+        StructField("_row_id", LongType, nullable = true)
       else { val f = wanted.fields(j); j += 1; f }
     }
     StructType(out)
@@ -4554,10 +4656,12 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
       val dvp = e.dv.map(d => Manifest.resolveData(chain, d._1).toString).orNull
       val phys = GraftManifestSink.wantedPhys(full, wanted, e)
       val idx = e.lineIndex
+      val base = rowBases.getOrElse(e.name, -1L)
       val raw: Seq[ManifestFilePartition] =
         if (e.rows <= splitRows || idx.length < 3) // [stride, o0, o1] minimum
           Seq(ManifestFilePartition(resolved, dir.toString, wanted, phys,
-            e.name, fileColAt, posColAt, dvp))
+            e.name, fileColAt, posColAt, dvp,
+            rowIdColAt = rowIdColAt, rowBase = base))
         else {
           val stride = idx(0) // recorded at write time, never estimated
           val offsets = idx.drop(1) // offsets(j) = first byte of line j*stride
@@ -4566,7 +4670,8 @@ private[sources] class ManifestScan(dir: Path, full: StructType, wanted: StructT
             val startLine = j.toLong * stride
             val n = math.min(group.toLong * stride, e.rows - startLine)
             ManifestFilePartition(resolved, dir.toString, wanted, phys,
-              e.name, fileColAt, posColAt, dvp, offsets(j), startLine, n)
+              e.name, fileColAt, posColAt, dvp, offsets(j), startLine, n,
+              rowIdColAt = rowIdColAt, rowBase = base)
           }
         }
       // keyed layout: every partition (splits included — same file, same
@@ -4588,7 +4693,8 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
       case p => p.asInstanceOf[ManifestFilePartition]
     }
     import p.{file, wanted, phys, entry, fileColAt, posColAt, dvPath,
-      startByte, startLine, numLines, chgTypeAt, commitVerAt, commitVer}
+      startByte, startLine, numLines, chgTypeAt, commitVerAt, commitVer,
+      rowIdColAt, rowBase}
     // p.file is the pre-resolved absolute path (clone chain)
     new PartitionReader[InternalRow] {
       // byte-range split support: seek straight to this partition's first
@@ -4628,17 +4734,19 @@ private[sources] object ManifestReaderFactory extends PartitionReaderFactory {
       private val chgVal =
         org.apache.spark.unsafe.types.UTF8String.fromString(p.chgTypeConst)
       private def withMeta(r: InternalRow): InternalRow =
-        if (fileColAt.isEmpty && posColAt.isEmpty &&
+        if (fileColAt.isEmpty && posColAt.isEmpty && rowIdColAt.isEmpty &&
           chgTypeAt.isEmpty && commitVerAt.isEmpty) r
         else {
           val total = wanted.length + fileColAt.size + posColAt.size +
-            chgTypeAt.size + commitVerAt.size
+            rowIdColAt.size + chgTypeAt.size + commitVerAt.size
           val vals = new Array[Any](total)
           var j = 0 // next data ordinal; meta positions index the FULL row
           var at = 0
           while (at < total) {
             if (fileColAt.contains(at)) vals(at) = fileVal
             else if (posColAt.contains(at)) vals(at) = lineNo
+            else if (rowIdColAt.contains(at))
+              vals(at) = if (rowBase < 0) null else rowBase + lineNo
             else if (chgTypeAt.contains(at)) vals(at) = chgVal
             else if (commitVerAt.contains(at)) vals(at) = commitVer
             else { vals(at) = r.get(j, wanted.fields(j).dataType); j += 1 }

@@ -611,6 +611,32 @@ object SourceQueries extends QueryModule {
         "min(row_id) AS min_id")
     }),
 
+    // ROW TRACKING through the oracle gate: two deterministic sorted
+    // commits assign row ids (file base + position), then a DV DELETE
+    // removes rows WITHOUT moving survivors — every surviving row must
+    // still carry the id its commit assigned, which DuckDB re-derives as
+    // rank-within-half + half offset. A rewrite that reassigns ids, a
+    // base that drifts, or a DV that shifts positions hash-fails.
+    "q_row_tracking" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_rtq_")
+      s.conf.set("spark.sql.catalog.graftrtq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftrtq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftrtq.q")
+      s.sql("DROP TABLE IF EXISTS graftrtq.q.docs")
+      s.sql("""CREATE TABLE graftrtq.q.docs (doc_id BIGINT, n_chars BIGINT)
+        |TBLPROPERTIES ('rowTracking' = 'true', 'delete.dv' = 'true')""".stripMargin)
+      val docs = Tables(s, d, "documents").select("doc_id", "n_chars")
+      docs.filter(docs("doc_id") % 2 === 0)
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .writeTo("graftrtq.q.docs").append()
+      docs.filter(docs("doc_id") % 2 === 1)
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .writeTo("graftrtq.q.docs").append()
+      s.sql("DELETE FROM graftrtq.q.docs WHERE n_chars < 150")
+      s.sql("""SELECT doc_id, n_chars, _row_id AS row_id
+        |FROM graftrtq.q.docs ORDER BY doc_id""".stripMargin)
+    }),
+
     // Write-time schema evolution through the oracle gate: the first
     // append writes the 2-column table, the second (under
     // spark.graft.schema.autoMerge) CARRIES a new n_chars column — the
@@ -1795,6 +1821,21 @@ object SourceQueries extends QueryModule {
     "q_copy_into" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // The id each commit assigned: rank within the sorted half, offset by
+    // the first half's row count for the second commit; DV survivors
+    // keep theirs.
+    "q_row_tracking" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 2
+        |                            ORDER BY doc_id) - 1 AS BIGINT) AS rk,
+        |    doc_id % 2 AS half
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  rk + CASE WHEN half = 1 THEN (SELECT CAST(count(*) AS BIGINT)
+        |                                FROM documents WHERE doc_id % 2 = 0)
+        |       ELSE CAST(0 AS BIGINT) END AS row_id
+        |FROM ranked WHERE n_chars >= 150 ORDER BY doc_id""".stripMargin,
     // Pre-evolution rows read the evolved column as NULL; post-evolution
     // rows carry their written values.
     "q_append_evolve" ->
