@@ -78,6 +78,30 @@ object GraftCatalog {
             s"(${schema.fieldNames.mkString(", ")})")).name
     }
     val TimeTransforms = Set("years", "months", "days", "hours")
+    // `CLUSTER BY (a, b)` — Delta's liquid-clustering DDL: ONE transform
+    // carrying every clustering column. This sink's "partitioning" IS
+    // value clustering, so the spec lowers onto the same machinery
+    // (range-clustered writes + zone-map pruning) with its own rendering,
+    // so DESCRIBE / SHOW CREATE reproduce CLUSTER BY, not PARTITIONED BY.
+    partitions.toSeq.collectFirst {
+      case t: org.apache.spark.sql.connector.expressions.ClusterByTransform => t
+    }.foreach { cb =>
+      if (partitions.length != 1) throw new UnsupportedOperationException(
+        "CLUSTER BY cannot combine with PARTITIONED BY transforms")
+      val cols = cb.columnNames.map { nr =>
+        if (nr.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "CLUSTER BY: nested fields not supported")
+        val c = nr.fieldNames()(0)
+        schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"CLUSTER BY: column $c not in schema " +
+              s"(${schema.fieldNames.mkString(", ")})")).name
+      }
+      if (cols.distinct.length != cols.length)
+        throw new IllegalArgumentException(
+          s"CLUSTER BY: duplicate column in (${cols.mkString(", ")})")
+      return (cols, Seq(s"cluster_by(${cols.mkString(",")})"))
+    }
     // (clustering column, declared-transform rendering)
     val parsed: Seq[(String, String)] = partitions.toSeq.map { t =>
       t.name() match {

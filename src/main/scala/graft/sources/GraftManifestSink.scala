@@ -957,6 +957,17 @@ private[graft] object Manifest {
     }
   }
 
+  /** The CLUSTER BY spec of a props map, when the table declared one
+    * (stored as a `cluster_by(a,b)` rendering in the transforms prop). */
+  private[graft] def clusterByCols(props: Map[String, String]): Option[Seq[String]] =
+    props.get(PartitionTransformsProp).flatMap { ts =>
+      ts.split(";").collectFirst {
+        case s if s.startsWith("cluster_by(") =>
+          s.stripPrefix("cluster_by(").stripSuffix(")")
+            .split(",").toSeq.filter(_.nonEmpty)
+      }
+    }
+
   /** Manifest property recording the user's DECLARED partition transforms
     * verbatim (`days(ts)`, `bucket(16,id)`; ';'-joined — bucket renders
     * contain commas), present only when some transform is non-identity.
@@ -1519,6 +1530,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     import org.apache.spark.sql.connector.expressions.Expressions
     val TimeT = """(years|months|days|hours)\((\w+)\)""".r
     val BucketT = """bucket\((\d+),(\w+)\)""".r
+    val ClusterT = """cluster_by\(([\w,]+)\)""".r
     Manifest.partitionTransforms(dir) match {
       case Some(ts) => ts.map {
         case TimeT("years", c) => Expressions.years(c)
@@ -1526,6 +1538,9 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
         case TimeT("days", c) => Expressions.days(c)
         case TimeT("hours", c) => Expressions.hours(c)
         case BucketT(n, c) => Expressions.bucket(n.toInt, c)
+        case ClusterT(cols) =>
+          org.apache.spark.sql.connector.expressions.ClusterByTransform(
+            cols.split(",").toIndexedSeq.map(Expressions.column))
         case c => Expressions.identity(c)
       }.toArray
       case None => Manifest.partitionCols(dir)
@@ -2558,12 +2573,17 @@ private[graft] object ManifestTable {
     * layout is already at or under the target file count. Returns
     * (files before, files after). */
   private[graft] def optimize(dir: Path, targetBytes: Long,
-      zorderBy: Option[Seq[String]] = None,
+      zorderByReq: Option[Seq[String]] = None,
       whereSql: Option[String] = None): (Int, Int) = withConflictRetry("OPTIMIZE") {
     import org.apache.spark.sql.functions.{col, expr}
     assertWritable(dir, "OPTIMIZE")
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"OPTIMIZE: no manifest at $dir"))
+    // a CLUSTER BY table re-clusters by its declared spec when OPTIMIZE
+    // names no explicit ZORDER (the liquid-clustering maintenance rule);
+    // the Z-interleave takes at most 3 dimensions
+    val zorderBy = zorderByReq.orElse(
+      Manifest.clusterByCols(m.props).map(_.take(3)))
     // `OPTIMIZE … WHERE pred` scopes the rewrite to the FILES the zone
     // maps cannot exclude for pred (file granularity — the Delta
     // partition-scoped OPTIMIZE shape): compacting one day of a 100 TB

@@ -611,6 +611,57 @@ object SourceQueries extends QueryModule {
         "min(row_id) AS min_id")
     }),
 
+    // CLUSTER BY (liquid clustering) through the oracle gate: the
+    // declared spec range-clusters every write, so a selective predicate
+    // plans a strict file subset with NO partition columns declared —
+    // the in-query assert pins the pruning, the oracle the row content.
+    "q_cluster_by" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_cbq_")
+      s.conf.set("spark.sql.catalog.graftcbq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcbq.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcbq.q")
+      s.sql("DROP TABLE IF EXISTS graftcbq.q.docs")
+      s.sql("""CREATE TABLE graftcbq.q.docs
+        |(doc_id BIGINT, source STRING, n_chars BIGINT)
+        |CLUSTER BY (n_chars)""".stripMargin)
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      // four value-range commits: every file of commit k lies inside k's
+      // n_chars quartile, so the zone maps can prune whole quartiles
+      // deterministically at ANY parallelism (one AQE-sized write can
+      // collapse to a single file on a small SF, which proves nothing)
+      Seq((Long.MinValue, 150L), (150L, 300L), (300L, 450L),
+        (450L, Long.MaxValue)).foreach { case (lo, hi) =>
+        docs.filter(docs("n_chars") >= lo && docs("n_chars") < hi)
+          .writeTo("graftcbq.q.docs").append()
+      }
+      val sel = s.table("graftcbq.q.docs").where("n_chars < 150")
+      sel.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q2: QueryStageExec => Seq(q2.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val dir = s.table("graftcbq.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val total = Manifest.read(dir).get.entries.count(_.rows > 0)
+      val planned = scans(sel.queryExecution.executedPlan).head.plannedFiles
+      assert(total > 1 && planned < total,
+        s"clustered layout must prune: planned $planned of $total files")
+      s.table("graftcbq.q.docs").orderBy("doc_id")
+    }),
+
     // ROW TRACKING through the oracle gate: two deterministic sorted
     // commits assign row ids (file base + position), then a DV DELETE
     // removes rows WITHOUT moving survivors — every surviving row must
@@ -1820,6 +1871,9 @@ object SourceQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_copy_into" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_cluster_by" ->
+      """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // The id each commit assigned: rank within the sorted half, offset by
     // the first half's row count for the second commit; DV survivors

@@ -20,7 +20,7 @@ class BenchIdempotenceSpec extends SparkSuite {
     "q_delete_expr", "q_replace_where", "q_complex_table", "q_stream_cdf",
     "q_limit_pushdown", "q_generated_cols", "q_identity_cols",
     "q_default_cols", "q_topn_pushdown", "q_mv_cdf_refresh", "q_copy_into",
-    "q_append_evolve", "q_row_tracking")
+    "q_append_evolve", "q_row_tracking", "q_cluster_by")
 
   doubled.foreach { name =>
     test(s"$name survives a second invocation in the same JVM") {
