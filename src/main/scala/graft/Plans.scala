@@ -78,7 +78,9 @@ object Plans {
     "q_topn_pushdown" -> "top-N pushdown: rank-bound file pruning — only files that can reach the provable n-th-value bound plan",
     "q_mv_cdf_refresh" -> "CDF-driven MV refresh: signed change-feed partials folded into the stored rollup, delta-sized",
     "q_copy_into" -> "COPY INTO: idempotent file-level ingestion, loaded-set sidecar atomic with the data commit",
-    "q_append_evolve" -> "write-time schema evolution: source-only column added metadata-only, old rows NULL-fill")
+    "q_append_evolve" -> "write-time schema evolution: source-only column added metadata-only, old rows NULL-fill",
+    "q_row_tracking" -> "row tracking: _row_id = file base + position spliced in the scan, DV delete preserves survivors",
+    "q_cluster_by" -> "CLUSTER BY: declared-spec value clustering, selective predicate plans a file subset")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
