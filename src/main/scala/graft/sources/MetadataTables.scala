@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB `` t$files `` is a million-row metadata scan, not a table
   * scan (Iceberg's own metadata tables read manifests the same way). */
 object MetadataTables {
-  val Kinds = Set("files", "snapshots", "refs")
+  val Kinds = Set("files", "snapshots", "refs", "properties")
 
   /** `name$kind` → (name, kind) when kind is a known metadata suffix. */
   def split(ident: String): Option[(String, String)] =
@@ -59,6 +59,9 @@ object MetadataTables {
       StructField("kind", StringType, nullable = false),
       StructField("pinned_version", IntegerType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
+    case "properties" => StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
   }
 
   /** Materialize the rows at scan-planning time (InternalRow-shaped).
@@ -101,6 +104,19 @@ object MetadataTables {
         }
       }
       (branches ++ tags).toArray
+    case "properties" =>
+      // USER properties only (the SHOW TBLPROPERTIES surface, as a
+      // composable relation) — engine bookkeeping (row bases, epoch
+      // watermarks, MV metadata) stays internal
+      val m = Manifest.read(dir).getOrElse(
+        throw new IllegalStateException(s"metadata table: no manifest at $dir"))
+      m.props.toSeq
+        .collect { case (k, v) if k.startsWith(GraftCatalog.TblPropPrefix) =>
+          (k.stripPrefix(GraftCatalog.TblPropPrefix), v) }
+        .sortBy(_._1)
+        .map { case (k, v) =>
+          Array[Any](UTF8String.fromString(k), UTF8String.fromString(v)) }
+        .toArray
   }
 }
 

@@ -96,6 +96,31 @@ class MetadataTablesSpec extends SparkSuite {
       "WHERE kind = 'tag'").head().getLong(0) == 20L)
   }
 
+  test("$properties lists USER props only, as a composable relation") {
+    val cat = freshCatalog("metaspec6")
+    spark.sql(s"CREATE TABLE $cat.ns.p (id BIGINT) " +
+      "TBLPROPERTIES ('team' = 'data-eng', 'delete.dv' = 'true')")
+    Seq(1L).toDF("id").writeTo(s"$cat.ns.p").append()
+    val props = spark.sql(s"SELECT * FROM $cat.ns.`p$$properties`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("data-eng"))
+    assert(props.get("delete.dv").contains("true"))
+    // engine bookkeeping (epoch watermarks, row bases, partition contract)
+    // must NOT leak into the user-facing relation
+    assert(props.keys.forall(k => !k.contains("rowbase") &&
+      !k.startsWith("mv.") && !k.contains("epoch")), props.toString)
+    // composes as SQL
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.ns.`p$$properties` " +
+      "WHERE key LIKE 'delete%'").collect().head.getLong(0)
+    assert(n == 1L)
+    // SET/UNSET round-trips through the relation
+    spark.sql(s"ALTER TABLE $cat.ns.p SET TBLPROPERTIES ('tier' = 'gold')")
+    spark.sql(s"ALTER TABLE $cat.ns.p UNSET TBLPROPERTIES ('team')")
+    val props2 = spark.sql(s"SELECT * FROM $cat.ns.`p$$properties`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("tier").contains("gold") && !props2.contains("team"))
+  }
+
   test("an unknown $suffix stays an ordinary missing table") {
     val cat = freshCatalog("metaspec5")
     spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
