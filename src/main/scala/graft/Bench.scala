@@ -38,7 +38,7 @@ object Bench {
     "q_dedup_incremental", "q_agg_udaf",
     "q_join_spj", "q_mv_incremental", "q_text_bm25", "q_search_hybrid",
     "q_merge_dv", "q_mv_rewrite_rollup", "q_mv_incremental_join",
-    "q_table_changes_update")
+    "q_table_changes_update", "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

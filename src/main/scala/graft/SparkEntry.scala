@@ -10,7 +10,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Core, Joins, Aggs, SetsScalars, TimeSeries, Features, Graph, Analytics, TypedOps,
     graft.llm.Dedup, graft.llm.Text, graft.llm.Similarity, graft.llm.Multimodal,
-    graft.llm.Sampling, graft.llm.Corpus, graft.llm.Packing,
+    graft.llm.Sampling, graft.llm.Corpus, graft.llm.Packing, graft.llm.Clustering,
     graft.stream.Windows, graft.etl.EtlQueries, graft.sources.SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

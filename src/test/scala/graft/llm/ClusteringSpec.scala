@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Unit pins for the semantic-clustering tier ([[Clustering]]): the Lloyd
+  * loop's convergence direction, the SemDeDup drop rule (threshold,
+  * keep-the-outlier survivor, tie-break), and the size-derived k. The
+  * cell-exact end-to-end results are driver-oracle-gated
+  * (`q_embed_kmeans`, `q_dedup_semantic`); these tests pin the properties
+  * a hash compare can't name. */
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 64
+  private def vec(xs: (Int, Float)*): Array[Float] = {
+    val a = new Array[Float](dim)
+    xs.foreach { case (i, v) => a(i) = v }
+    a
+  }
+
+  test("kFor: corpus-size-derived cluster count, floor 8") {
+    assert(Clustering.kFor(0L) === 8L)
+    assert(Clustering.kFor(500L) === 8L)
+    assert(Clustering.kFor(4096L) === 64L)
+    assert(Clustering.kFor(1000000L) === 15625L)
+  }
+
+  test("kmeansAssign: refinement separates two blobs the anchor split mixes") {
+    // two tight blobs on axes 0 and 1; anchors are the two LOWEST vec_ids,
+    // which both sit in blob A — after refinement the centroids migrate and
+    // the final assignment splits the blobs cleanly.
+    val blobA = (0L to 5L).map(i => (i, vec(0 -> 1f, (i % 3 + 10).toInt -> 0.05f), 0))
+    val blobB = (6L to 11L).map(i => (i, vec(1 -> 1f, (i % 3 + 20).toInt -> 0.05f), 1))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding", "label")
+    val (assigned, _) = Clustering.kmeansAssign(emb, k = 2L, iters = 3)
+    val byList = assigned.select($"list_id", $"label").distinct()
+      .as[(Int, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // every cluster is label-pure and both labels are covered
+    assert(byList.values.forall(_.size === 1))
+    assert(byList.values.flatten.toSet === Set(0, 1))
+  }
+
+  test("semSurvivors: keeps the outlier, drops the centroid-adjacent dup") {
+    // one cluster: u and v are near-dups (cos ≈ 1); w is ORTHOGONAL filler
+    // (cos 0 to both, below τ). The centroid sits on axis 0, so v (larger
+    // axis-0 component) is closer to it than u → the SemDeDup rule keeps u.
+    val u = vec(0 -> 0.8f, 1 -> 0.6f)
+    val v = vec(0 -> 0.81f, 1 -> 0.586f)
+    val w = vec(2 -> 1f)
+    val emb = Seq((10L, u, 0), (11L, v, 0), (12L, w, 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, vec(0 -> 1f))).toDF("c_id", "c_emb")
+    val assigned = Similarity.assignLists(emb, cents)
+    val kept = Clustering.semSurvivors(assigned, cents)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L)) // u survives (lower c2c), filler untouched
+  }
+
+  test("semSurvivors: equal c2c ties break to the lower vec_id") {
+    val a = vec(0 -> 1f)
+    val emb = Seq((1L, a, 0), (2L, a, 0)).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, a)).toDF("c_id", "c_emb")
+    val assigned = Similarity.assignLists(emb, cents)
+    val kept = Clustering.semSurvivors(assigned, cents)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("q_dedup_semantic on testdata: drops planted near-dups, partitions the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, d, "embeddings").count()
+    val kept = Clustering.queries("q_dedup_semantic")(spark, d).count()
+    assert(kept > 0 && kept < n) // some drops, never total collapse
+  }
+}
