@@ -23,6 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pinned = fork version, mutable) and tags (kind 'tag', pinned =
   *    snapshot, immutable) with their current live row counts — the
   *    SQL-composable union of SHOW BRANCHES and SHOW TAGS.
+  *  - `` t$partitions `` — per-file key-range coverage of the DECLARED
+  *    layout columns (PARTITIONED BY sources / CLUSTER BY spec): one row
+  *    per live file × layout column with the file's zone-map range for
+  *    that column, its completeness flag, and live rows. Partitioning in
+  *    this sink is a clustering contract (range-distributed writes +
+  *    zone-map pruning), so "which keys live where" IS the per-file range
+  *    map — the Iceberg `partitions` table's question answered in this
+  *    engine's own terms. Values render in the manifest's storage form
+  *    (numeric/date columns as their zone-map decimal encoding, strings
+  *    verbatim). Empty when the table declares no layout.
   *
   * `$` needs backticks even to parse, so the suffix can never shadow a
   * real table name; branch addressing composes (`` `t@b$files` `` reads
@@ -31,7 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB `` t$files `` is a million-row metadata scan, not a table
   * scan (Iceberg's own metadata tables read manifests the same way). */
 object MetadataTables {
-  val Kinds = Set("files", "snapshots", "refs", "properties")
+  val Kinds = Set("files", "snapshots", "refs", "properties", "partitions")
 
   /** `name$kind` → (name, kind) when kind is a known metadata suffix. */
   def split(ident: String): Option[(String, String)] =
@@ -62,6 +72,14 @@ object MetadataTables {
     case "properties" => StructType(Seq(
       StructField("key", StringType, nullable = false),
       StructField("value", StringType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("min_value", StringType, nullable = true),
+      StructField("max_value", StringType, nullable = true),
+      StructField("complete", BooleanType, nullable = false),
+      StructField("live_rows", LongType, nullable = false)))
   }
 
   /** Materialize the rows at scan-planning time (InternalRow-shaped).
@@ -117,6 +135,37 @@ object MetadataTables {
         .map { case (k, v) =>
           Array[Any](UTF8String.fromString(k), UTF8String.fromString(v)) }
         .toArray
+    case "partitions" =>
+      val m = Manifest.read(dir).getOrElse(
+        throw new IllegalStateException(s"metadata table: no manifest at $dir"))
+      val cluster = Manifest.clusterByCols(m.props).getOrElse(Seq.empty).toSet
+      val cols = Manifest.partitionCols(dir)
+      // one row per live file × declared layout column; a column with no
+      // recorded stats for a file still lists (NULL range, incomplete) —
+      // absence of pruning metadata is itself reportable state
+      m.entries.filter(_.rows > 0).flatMap { e =>
+        cols.map { c =>
+          // string bounds are stored base64 over raw UTF-8 bytes — decode
+          // for the relation (a truncation-widened upper bound can be a
+          // non-UTF-8 byte string; fromBytes carries it verbatim)
+          val rng: Option[(UTF8String, UTF8String)] =
+            e.stats.strRanges.get(c).map { case (lo, hi) =>
+              (UTF8String.fromBytes(ColumnStats.unb64(lo)),
+                UTF8String.fromBytes(ColumnStats.unb64(hi)))
+            }.orElse(
+              e.stats.ranges.get(c).map { case (lo, hi) =>
+                (UTF8String.fromString(lo.bigDecimal.toPlainString),
+                  UTF8String.fromString(hi.bigDecimal.toPlainString)) })
+          Array[Any](
+            UTF8String.fromString(c),
+            UTF8String.fromString(if (cluster(c)) "cluster" else "partition"),
+            UTF8String.fromString(e.name),
+            rng.map(_._1).orNull,
+            rng.map(_._2).orNull,
+            rng.isDefined && !e.stats.incomplete.contains(c),
+            e.liveRows)
+        }
+      }.toArray
   }
 }
 

@@ -81,6 +81,32 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The PARTITIONED documents base `q_meta_partitions` reads: declared
+    * `PARTITIONED BY (source)` with one commit per source value, staged
+    * ONCE per (JVM, sfDir) — the per-file layout metadata the `$partitions`
+    * relation reports is then oracle-derivable as per-source aggregation
+    * of the raw parquet. */
+  private val stagedPartBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagePartBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedPartBase.computeIfAbsent(d, _ => {
+      val root = graft.Scratch.dir("graft_stagep_")
+      val cat = s"graftstgp${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, n_chars BIGINT) PARTITIONED BY (source)")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "n_chars")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      cat
+    })
+
   /** The VALUE-CLUSTERED documents base `q_topn_pushdown` reads: ten
     * commits, each a contiguous doc_id range (the layout OPTIMIZE ZORDER
     * or a time-ordered ingest produces naturally), staged ONCE per
@@ -365,6 +391,19 @@ object SourceQueries extends QueryModule {
       s.sql("DELETE FROM graftmeta.q.docs WHERE source = 'src3' AND n_chars < 300")
       s.sql("SELECT n_rows, live_rows, has_dv FROM graftmeta.q.`docs$files` " +
         "ORDER BY n_rows, live_rows")
+    }),
+
+    // `t$partitions` through the oracle gate ([[MetadataTables]]): the
+    // PARTITIONED BY (source) base commits one file per source value, so
+    // each live file's zone-map range for the layout column must be the
+    // degenerate [src, src] with that source's exact row count — a range
+    // widening, a completeness false-positive, or a layout-column mixup
+    // hash-fails against DuckDB's per-source aggregation of the raw
+    // parquet. Planning is driver-side manifest metadata, zero file opens.
+    "q_meta_partitions" -> ((s, d) => {
+      val cat = stagePartBase(s, d)
+      s.sql(s"SELECT col, kind, min_value, max_value, complete, live_rows " +
+        s"FROM $cat.q.`docs$$partitions` ORDER BY min_value")
     }),
 
     // LIMIT pushdown through the oracle gate: a bare LIMIT over the
@@ -1736,6 +1775,13 @@ object SourceQueries extends QueryModule {
         |                  THEN 1 END) > 0 AS has_dv
         |FROM documents GROUP BY source
         |ORDER BY n_rows, live_rows""".stripMargin,
+    // One file per source value → degenerate per-file ranges.
+    "q_meta_partitions" ->
+      """SELECT 'source' AS col, 'partition' AS kind,
+        |       source AS min_value, source AS max_value,
+        |       TRUE AS complete, count(*) AS live_rows
+        |FROM documents GROUP BY source
+        |ORDER BY min_value""".stripMargin,
     // The limit's deterministic aggregate (which rows is the scan's
     // choice; the in-query asserts pin distinctness + membership).
     "q_limit_pushdown" ->

@@ -121,6 +121,39 @@ class MetadataTablesSpec extends SparkSuite {
     assert(props2.get("tier").contains("gold") && !props2.contains("team"))
   }
 
+  test("$partitions: per-file ranges of the declared layout columns") {
+    val cat = freshCatalog("metaspec7")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    // two commits with disjoint group ranges → degenerate-per-commit ranges
+    Seq((1L, "a"), (2L, "a")).toDF("id", "grp").coalesce(1)
+      .writeTo(s"$cat.ns.t").append()
+    Seq((3L, "b")).toDF("id", "grp").coalesce(1).writeTo(s"$cat.ns.t").append()
+    val rows = spark.sql(s"SELECT col, kind, min_value, max_value, complete, " +
+      s"live_rows FROM $cat.ns.`t$$partitions` ORDER BY min_value").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getBoolean(4), r.getLong(5))).toSeq ==
+      Seq(("grp", "partition", "a", "a", true, 2L),
+        ("grp", "partition", "b", "b", true, 1L)))
+    // numeric layout column renders its decimal zone-map encoding
+    spark.sql(s"CREATE TABLE $cat.ns.n (id BIGINT) PARTITIONED BY (id)")
+    Seq(5L, 9L).toDF("id").coalesce(1).writeTo(s"$cat.ns.n").append()
+    val nr = spark.sql(s"SELECT col, min_value, max_value " +
+      s"FROM $cat.ns.`n$$partitions`").collect()
+    assert(nr.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      == Seq(("id", "5", "9")))
+    // CLUSTER BY tables report kind 'cluster'
+    spark.sql(s"CREATE TABLE $cat.ns.c (id BIGINT, g STRING) CLUSTER BY (g)")
+    Seq((1L, "x")).toDF("id", "g").writeTo(s"$cat.ns.c").append()
+    val cr = spark.sql(s"SELECT col, kind FROM $cat.ns.`c$$partitions`").collect()
+    assert(cr.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("g", "cluster")))
+    // an unpartitioned table has no layout to report
+    spark.sql(s"CREATE TABLE $cat.ns.u (id BIGINT)")
+    Seq(1L).toDF("id").writeTo(s"$cat.ns.u").append()
+    assert(spark.sql(s"SELECT * FROM $cat.ns.`u$$partitions`").count() == 0L)
+  }
+
   test("an unknown $suffix stays an ordinary missing table") {
     val cat = freshCatalog("metaspec5")
     spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")
