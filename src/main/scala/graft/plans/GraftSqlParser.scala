@@ -201,6 +201,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Reorg =
     """(?is)\s*REORG\s+TABLE\s+((?:[\w.]+|`[^`]+`)+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
 
+  /** `CREATE TEXT INDEX ON t (col)` / `DROP TEXT INDEX ON t (col)` —
+    * file-level inverted token index ([[graft.sources.TextIndex]]): a
+    * token-match query plans only the posting list's files; a stale index
+    * (file set changed) silently falls back to a full scan. Spark's
+    * grammar has no TEXT INDEX form, so the regexes never shadow delegate
+    * syntax. */
+  private val CreateTextIdx =
+    """(?is)\s*CREATE\s+TEXT\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+  private val DropTextIdx =
+    """(?is)\s*DROP\s+TEXT\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
   private def splitTop(s: String, sep: Char): Seq[String] =
@@ -237,6 +248,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (balanced && assigns.nonEmpty && assigns.forall(_.isDefined))
         UpdateManifestCommand(target, assigns.flatten, Option(where))
       else delegate.parsePlan(sqlText)
+    case CreateTextIdx(target, colName) => CreateTextIndexCommand(target, colName)
+    case DropTextIdx(target, colName) => DropTextIndexCommand(target, colName)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -751,6 +764,35 @@ case class AlterPartitioningCommand(target: String, items: Seq[String])
   }
 }
 
+/** `CREATE TEXT INDEX ON t (col)` — build the file-level inverted token
+  * index ([[graft.sources.TextIndex.build]]); reports the files and
+  * distinct tokens indexed. */
+case class CreateTextIndexCommand(target: String, colName: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_files", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("n_tokens", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "CREATE TEXT INDEX")
+    val (nf, nt) = graft.sources.TextIndex.build(spark, mt.dir, colName)
+    Seq(Row(nf, nt))
+  }
+}
+
+/** `DROP TEXT INDEX ON t (col)` — unpublish the index prop (idempotent);
+  * the orphaned `_tokenidx_*` dir is VACUUM-reapable. */
+case class DropTextIndexCommand(target: String, colName: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "DROP TEXT INDEX")
+    graft.sources.TextIndex.drop(spark, mt.dir, colName)
+    Seq.empty
+  }
+}
+
 /** Shared target resolution for the lowered DML/metadata statements: the
   * named table must analyze to a graft [[graft.sources.ManifestTable]]
   * relation — only that table carries the atomic snapshot machinery the
@@ -896,6 +938,27 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
         }
         Row(p.getFileName.toString, "cdc-unreachable")
       }
-    expired ++ staged ++ orphans ++ cdcOrphans
+    // a `_tokenidx_*` dir is reachable iff some surviving manifest's
+    // `tokenidx.<col>` prop names it — dropped/superseded text indexes
+    // reap whole, behind the same age guard (a build may have written its
+    // parquet and not yet swapped its props commit in)
+    val idxReachable: Set[String] = manifests.flatMap(_.props.collect {
+      case (k, v) if k.startsWith("tokenidx.") => v.split(";", 2)(0)
+    }).toSet
+    val idxOrphans = listed(root)(_.toSeq)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("_tokenidx_"))
+      .filterNot(p => idxReachable(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .map { p =>
+        if (!dryRun) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+        Row(p.getFileName.toString, "tokenidx-unreachable")
+      }
+    expired ++ staged ++ orphans ++ cdcOrphans ++ idxOrphans
   }
 }

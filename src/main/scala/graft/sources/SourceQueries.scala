@@ -107,6 +107,33 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The TEXT base `q_text_search_indexed` reads: full documents rows,
+    * one commit per source value (so posting lists span few files), with
+    * the token index built as part of staging — staged ONCE per
+    * (JVM, sfDir). The base is never modified, so the index digest stays
+    * fresh across invocations. */
+  private val stagedTextBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTextBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedTextBase.computeIfAbsent(d, _ => {
+      val root = graft.Scratch.dir("graft_staget_")
+      val cat = s"graftstgx${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, text STRING)")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "text")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      cat
+    })
+
   /** The VALUE-CLUSTERED documents base `q_topn_pushdown` reads: ten
     * commits, each a contiguous doc_id range (the layout OPTIMIZE ZORDER
     * or a time-ordered ingest produces naturally), staged ONCE per
@@ -404,6 +431,59 @@ object SourceQueries extends QueryModule {
       val cat = stagePartBase(s, d)
       s.sql(s"SELECT col, kind, min_value, max_value, complete, live_rows " +
         s"FROM $cat.q.`docs$$partitions` ORDER BY min_value")
+    }),
+
+    // Token-index search through the oracle gate ([[TextIndex]]): the
+    // corpus-rarest token (min distinct-doc frequency, alphabetical
+    // tie-break — data-derived, so the probe is stable at any SF) must
+    // return exactly the docs whose whitespace tokenization contains it,
+    // while the scan plans ONLY the posting list's files. In-query asserts
+    // pin the planning contract (planned files == the index's candidate
+    // count, strictly under the table's file count); the oracle recomputes
+    // term choice AND result from the raw parquet — an index that loses a
+    // posting or a stale-digest false-positive hash-fails the gate.
+    "q_text_search_indexed" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions._
+      val term = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0).distinct()
+        .groupBy("token").count()
+        .orderBy(col("count"), col("token")).limit(1)
+        .collect().head.getString(0)
+      val res = TextIndex.search(s, s"$cat.q.docs", "text", term)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+      // planning contract: candidate files only, never the table
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val idx = Manifest.read(dir).get.props(TextIndex.PropPrefix + "text")
+        .split(";", 2)(0)
+      val nCand = s.read.parquet(dir.resolve(idx).toString)
+        .where(col("token") === term).select("file").distinct().count()
+      val nTotal = Manifest.read(dir).get.entries.count(_.rows > 0)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(nCand < nTotal,
+        s"rarest-token posting list should not cover the table ($nCand/$nTotal)")
+      assert(planned == nCand,
+        s"index search should plan the $nCand candidate files, planned $planned")
+      res
     }),
 
     // LIMIT pushdown through the oracle gate: a bare LIMIT over the
@@ -1782,6 +1862,20 @@ object SourceQueries extends QueryModule {
         |       TRUE AS complete, count(*) AS live_rows
         |FROM documents GROUP BY source
         |ORDER BY min_value""".stripMargin,
+    // Rarest-token search recomputed from the raw parquet: same
+    // tokenizer, same term choice, same result set.
+    "q_text_search_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |term AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+        |    WHERE token <> '' GROUP BY token)
+        |  ORDER BY df, token LIMIT 1)
+        |SELECT DISTINCT t.doc_id, t.source
+        |FROM toks t, term WHERE t.token = term.token
+        |ORDER BY doc_id""".stripMargin,
     // The limit's deterministic aggregate (which rows is the scan's
     // choice; the in-query asserts pin distinctness + membership).
     "q_limit_pushdown" ->

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The file-level inverted token index ([[TextIndex]]): planning prunes to
+  * the posting list, staleness falls back (correctness never depends on
+  * rebuild discipline), DVs keep the index fresh, DROP + VACUUM reap. */
+class TextIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCatalog(tag: String): (String, java.nio.file.Path) = {
+    val root = Files.createTempDirectory(s"graft_tix_$tag")
+    spark.conf.set(s"spark.sql.catalog.$tag", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$tag.root", root.toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $tag.ns")
+    (tag, root)
+  }
+
+  private def stage(cat: String): String = {
+    val t = s"$cat.ns.docs"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, text STRING)")
+    // three commits → three files; 'needle' lives in exactly one
+    Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("id", "text").coalesce(1).writeTo(t).append()
+    Seq((3L, "needle in the hay"), (4L, "gamma hay"))
+      .toDF("id", "text").coalesce(1).writeTo(t).append()
+    Seq((5L, "alpha delta"), (6L, "delta hay"))
+      .toDF("id", "text").coalesce(1).writeTo(t).append()
+    t
+  }
+
+  private def dirOf(t: String): java.nio.file.Path =
+    spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan).map(_.plannedFiles).sum
+  }
+
+  test("fresh index plans only the posting list's files") {
+    val (cat, _) = freshCatalog("tix1")
+    val t = stage(cat)
+    val built = spark.sql(s"CREATE TEXT INDEX ON $t (text)").collect().head
+    assert(built.getLong(0) == 3L && built.getLong(1) > 0L)
+    val one = TextIndex.search(spark, t, "text", "needle")
+    assert(one.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(one) == 1, "needle lives in one file")
+    val three = TextIndex.search(spark, t, "text", "gamma")
+    assert(three.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(plannedFiles(three) == 2, "gamma spans two files")
+    // absent token: zero files, zero rows
+    val none = TextIndex.search(spark, t, "text", "zzz")
+    assert(none.count() == 0L)
+  }
+
+  test("stale index (appended file set) falls back to a correct full scan") {
+    val (cat, _) = freshCatalog("tix2")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    Seq((7L, "fresh needle")).toDF("id", "text").coalesce(1).writeTo(t).append()
+    val res = TextIndex.search(spark, t, "text", "needle")
+    // the new row surfaces even though the index predates it
+    assert(res.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+    assert(plannedFiles(res) == 4, "stale index must not prune")
+  }
+
+  test("deletion vectors keep the index fresh and the result exact") {
+    val (cat, _) = freshCatalog("tix3")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    val res = TextIndex.search(spark, t, "text", "needle")
+    // file names unchanged → index still admissible; DV'd row is gone
+    assert(res.count() == 0L)
+    assert(plannedFiles(res) == 1, "DV must not invalidate the index")
+  }
+
+  test("DROP TEXT INDEX unpublishes; VACUUM reaps the orphan dir") {
+    val (cat, root) = freshCatalog("tix4")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val dir = dirOf(t)
+    val idxDirs = { val s = Files.list(dir); try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("_tokenidx_")).toSeq
+    } finally s.close() }
+    assert(idxDirs.size == 1)
+    spark.sql(s"DROP TEXT INDEX ON $t (text)")
+    val res = TextIndex.search(spark, t, "text", "needle")
+    assert(res.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(res) == 3, "no index → full scan")
+    // archived snapshots still reference the index prop (time travel to
+    // them could legitimately use it) — the dir reaps only once they expire
+    spark.sql(s"VACUUM $t OLDER THAN 0 MINUTES")
+    assert(Files.isDirectory(idxDirs.head), "snapshot-pinned dir survives")
+    spark.sql(s"VACUUM $t RETAIN 1 SNAPSHOTS OLDER THAN 0 MINUTES")
+    assert(!Files.isDirectory(idxDirs.head), "orphan index dir reaped")
+  }
+
+  test("non-string columns refuse to index") {
+    val (cat, _) = freshCatalog("tix5")
+    val t = stage(cat)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TEXT INDEX ON $t (id)").collect()
+    }
+    assert(e.getMessage.contains("only STRING columns"))
+  }
+}
