@@ -80,7 +80,11 @@ object Plans {
     "q_copy_into" -> "COPY INTO: idempotent file-level ingestion, loaded-set sidecar atomic with the data commit",
     "q_append_evolve" -> "write-time schema evolution: source-only column added metadata-only, old rows NULL-fill",
     "q_row_tracking" -> "row tracking: _row_id = file base + position spliced in the scan, DV delete preserves survivors",
-    "q_cluster_by" -> "CLUSTER BY: declared-spec value clustering, selective predicate plans a file subset")
+    "q_cluster_by" -> "CLUSTER BY: declared-spec value clustering, selective predicate plans a file subset",
+    "q_embed_kmeans" -> "Lloyd k-means: per-round broadcast centroid assign + fixed-point VectorSumFixed aggregate, zero vector-table shuffle",
+    "q_dedup_semantic" -> "SemDeDup: cluster-id equi-join candidates only, keep-the-outlier anti-join, exact fixed-point cosines",
+    "q_meta_partitions" -> "metadata table `docs$partitions`: per-file layout-column ranges, zero data-file scans",
+    "q_text_search_indexed" -> "token-index search: posting-list lookup pins .option(files), exact predicate re-check scan-side")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
