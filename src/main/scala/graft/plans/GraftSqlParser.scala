@@ -212,6 +212,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropTextIdx =
     """(?is)\s*DROP\s+TEXT\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
+  /** `CREATE VECTOR INDEX ON t (col) ANCHORS (idCol)` / `DROP VECTOR INDEX
+    * ON t (col)` — file-level IVF index ([[graft.sources.VectorIndex]]):
+    * ANN probes plan only the probe cluster's files; the declared anchor
+    * column makes the trained geometry oracle-replayable. */
+  private val CreateVecIdx =
+    ("""(?is)\s*CREATE\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+ANCHORS\s*\(\s*(\w+)\s*\)\s*;?\s*""").r
+  private val DropVecIdx =
+    """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
   private def splitTop(s: String, sep: Char): Seq[String] =
@@ -250,6 +260,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else delegate.parsePlan(sqlText)
     case CreateTextIdx(target, colName) => CreateTextIndexCommand(target, colName)
     case DropTextIdx(target, colName) => DropTextIndexCommand(target, colName)
+    case CreateVecIdx(target, colName, idCol) =>
+      CreateVectorIndexCommand(target, colName, idCol)
+    case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -793,6 +806,35 @@ case class DropTextIndexCommand(target: String, colName: String)
   }
 }
 
+/** `CREATE VECTOR INDEX ON t (col) ANCHORS (idCol)` — train + publish the
+  * file-level IVF index ([[graft.sources.VectorIndex.build]]); reports the
+  * files indexed and clusters trained. */
+case class CreateVectorIndexCommand(target: String, colName: String,
+    idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_files", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("n_clusters", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "CREATE VECTOR INDEX")
+    val (nf, nc) = graft.sources.VectorIndex.build(spark, mt.dir, colName, idCol)
+    Seq(Row(nf, nc))
+  }
+}
+
+/** `DROP VECTOR INDEX ON t (col)` — unpublish (idempotent); the orphaned
+  * `_vecidx_*` dir is VACUUM-reapable. */
+case class DropVectorIndexCommand(target: String, colName: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, "DROP VECTOR INDEX")
+    graft.sources.VectorIndex.drop(spark, mt.dir, colName)
+    Seq.empty
+  }
+}
+
 /** Shared target resolution for the lowered DML/metadata statements: the
   * named table must analyze to a graft [[graft.sources.ManifestTable]]
   * relation — only that table carries the atomic snapshot machinery the
@@ -938,16 +980,20 @@ case class VacuumManifestCommand(dir: String, retainSnapshots: Option[Int],
         }
         Row(p.getFileName.toString, "cdc-unreachable")
       }
-    // a `_tokenidx_*` dir is reachable iff some surviving manifest's
-    // `tokenidx.<col>` prop names it — dropped/superseded text indexes
-    // reap whole, behind the same age guard (a build may have written its
-    // parquet and not yet swapped its props commit in)
+    // a `_tokenidx_*` / `_vecidx_*` dir is reachable iff some surviving
+    // manifest's `tokenidx.<col>` / `vecidx.<col>` prop names it —
+    // dropped/superseded secondary indexes reap whole, behind the same
+    // age guard (a build may have written its parquet and not yet swapped
+    // its props commit in)
     val idxReachable: Set[String] = manifests.flatMap(_.props.collect {
-      case (k, v) if k.startsWith("tokenidx.") => v.split(";", 2)(0)
+      case (k, v) if k.startsWith("tokenidx.") || k.startsWith("vecidx.") =>
+        v.split(";")(0)
     }).toSet
     val idxOrphans = listed(root)(_.toSeq)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("_tokenidx_"))
+      .filter(p => Files.isDirectory(p) && {
+        val n = p.getFileName.toString
+        n.startsWith("_tokenidx_") || n.startsWith("_vecidx_")
+      })
       .filterNot(p => idxReachable(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p =>

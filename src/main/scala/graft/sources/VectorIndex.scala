@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+
+/** FILE-LEVEL IVF VECTOR INDEX over a managed table's `array<float>`
+  * column — ANN with file skipping, the embedding twin of [[TextIndex]]:
+  * the corpus is k-means-clustered once at build time, and a probe search
+  * plans ONLY the files containing its cluster's members.
+  *
+  * The index stores two parquet sidecars under `_vecidx_<id>/` inside the
+  * table directory:
+  *  - `cents/` — the trained centroids `(c_id, c_emb)` (k×dim floats);
+  *  - `posts/` — the list→file posting `(list_id, file)`: which files
+  *    hold at least one vector of each cluster.
+  * published by a props-only commit `vecidx.<col> = <dir>;<idCol>;<digest>`
+  * (digest = SHA-256 over the indexed file names, the [[TextIndex]]
+  * freshness contract).
+  *
+  * SEARCH SEMANTICS ARE EXACT IVF, file pruning is only I/O: a probe
+  * assigns to its nearest stored centroid, candidate files come from the
+  * posting list, and the scan re-derives each row's cluster from the SAME
+  * broadcast centroids before filtering to the probe's list — so the
+  * result equals the IVF query computed without any index (and the DuckDB
+  * oracle replays it from the raw data). A stale index (file set changed)
+  * RETRAINS on the fly from the declared anchor column — same output as a
+  * fresh rebuild, no pruning — so correctness never depends on rebuild
+  * discipline. Deletion vectors change no file names: the posting just
+  * over-approximates and the scan-side filter is exact either way.
+  *
+  * Anchors are declared DDL-side (`CREATE VECTOR INDEX ON t (col)
+  * ANCHORS (idCol)`): the k lowest idCol rows seed the one-refinement
+  * Lloyd loop ([[graft.llm.Clustering.kmeansAssign]]), k corpus-derived
+  * (~n/64, floor 8). Deterministic anchors are what make the trained
+  * geometry replayable by an external oracle — the engine's reproducible-
+  * training-data story applied to the index itself.
+  *
+  * Scale: build is the Lloyd loop's cost (broadcast assign + k×dim
+  * fixed-point aggregate) plus one distinct over (list, file) — metadata
+  * volume. Search reads k centroids and one posting list driver-side
+  * (the usual planning class), then scans candidate files only: at 100 TB
+  * a probe touches ~1/k of the table's files. */
+object VectorIndex {
+  private[sources] val PropPrefix = "vecidx."
+  private val Iters = 1 // one Lloyd refinement — the IVF training standard
+
+  private def sha256(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private def digestOf(m: Manifest): String =
+    sha256(m.entries.filter(_.rows > 0).map(_.name).sorted.mkString("\n"))
+
+  private def scanFiles(spark: SparkSession, dir: Path,
+      names: Seq[String]): DataFrame =
+    spark.read.format("graft.sources.GraftManifestSink")
+      .option("path", dir.toString)
+      .option("files", names.mkString(","))
+      .load()
+
+  private def checkCols(m: Manifest, colName: String, idCol: String): Unit = {
+    def field(c: String) =
+      m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE VECTOR INDEX: column $c not in table schema " +
+            s"(${m.schema.fieldNames.mkString(", ")})"))
+    field(colName).dataType match {
+      case ArrayType(FloatType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"CREATE VECTOR INDEX: column $colName is ${t.sql}, " +
+          "only ARRAY<FLOAT> columns index")
+    }
+    field(idCol) // anchors column must exist; any orderable type works
+  }
+
+  /** Train (k-means, one refinement, anchors = k lowest `idCol` rows) and
+    * publish. Returns (files indexed, clusters trained). */
+  def build(spark: SparkSession, dir: Path, colName: String,
+      idCol: String): (Long, Long) = {
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"CREATE VECTOR INDEX: no manifest at $dir"))
+    checkCols(m, colName, idCol)
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
+    val idxDir = dir.resolve(idxName)
+    val k = if (names.isEmpty) 0L else {
+      val base = scanFiles(spark, dir, names)
+        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"), col("_file").as("file"))
+      val k = graft.llm.Clustering.kFor(base.count())
+      val (assigned, cents) = graft.llm.Clustering.kmeansAssign(
+        base.select("vec_id", "label", "embedding"), k, Iters)
+      cents.write.parquet(idxDir.resolve("cents").toString)
+      // re-join the assignment to its files via the id column (the Lloyd
+      // helper's schema is fixed); one shuffle on the id, distinct postings
+      assigned.select(col("vec_id"), col("list_id"))
+        .join(base.select(col("vec_id"), col("file")), "vec_id")
+        .select(col("list_id"), col("file")).distinct()
+        .write.parquet(idxDir.resolve("posts").toString)
+      k
+    }
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).getOrElse(m)
+      Manifest.write(dir, cur.copy(props = cur.props +
+        (PropPrefix + colName.toLowerCase -> s"$idxName;$idCol;${digestOf(m)}")))
+    }
+    (names.length.toLong, k)
+  }
+
+  /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
+  def drop(spark: SparkSession, dir: Path, colName: String): Unit =
+    ManifestLock.withLock(dir) {
+      Manifest.read(dir).foreach { cur =>
+        val key = PropPrefix + colName.toLowerCase
+        if (cur.props.contains(key))
+          Manifest.write(dir, cur.copy(props = cur.props - key))
+      }
+    }
+
+  /** IVF top-k for `probe` over the indexed column: rows of the probe's
+    * cluster ranked by exact fixed-point dot. Fresh index → candidate
+    * files from the posting list; stale → retrain on the fly (same
+    * result, no pruning). Output: the id column, `sim`, `list_id`. */
+  def search(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int): DataFrame = {
+    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable]
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"VECTOR SEARCH: $table is not a graft manifest table"))
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"VECTOR SEARCH: no manifest at ${mt.dir}"))
+    val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"VECTOR SEARCH: no vector index on $table ($colName) — " +
+          s"CREATE VECTOR INDEX ON $table ($colName) ANCHORS (<idCol>) first"))
+    val Array(idxName, idCol, dig) = prop.split(";", 3)
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+
+    def ranked(rows: DataFrame, cents: DataFrame): DataFrame = {
+      val assigned = graft.llm.Similarity.assignLists(rows, cents)
+      val pv = typedLit(probe.toSeq)
+      val pList = cents.select(col("c_id"),
+          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
+        .orderBy(desc("pd"), col("c_id")).limit(1)
+        .collect().head.getInt(0)
+      assigned.where(col("list_id") === pList)
+        .select(col("vec_id"), col("list_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(topK)
+    }
+
+    if (dig == digestOf(m)) {
+      val idxDir = mt.dir.resolve(idxName)
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      // probe's list, then its posting files — two small metadata reads
+      val pv = typedLit(probe.toSeq)
+      val pList = cents.select(col("c_id"),
+          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
+        .orderBy(desc("pd"), col("c_id")).limit(1)
+        .collect().head.getInt(0)
+      val cand = spark.read.parquet(idxDir.resolve("posts").toString)
+        .where(col("list_id") === pList)
+        .select("file").distinct().collect().map(_.getString(0))
+      if (cand.isEmpty) return spark.range(0)
+        .select(col("id").as("vec_id"), lit(0).as("list_id"),
+          lit(0.0).as("sim")).limit(0)
+      val rows = scanFiles(spark, mt.dir, cand.toSeq)
+        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"))
+      ranked(rows, cents)
+    } else {
+      // stale: retrain from the declared anchors over the CURRENT rows —
+      // exactly what a rebuild would answer, minus the file pruning
+      val rows = scanFiles(spark, mt.dir, names)
+        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"))
+      val (_, cents) = graft.llm.Clustering.kmeansAssign(
+        rows, graft.llm.Clustering.kFor(rows.count()), Iters)
+      ranked(rows, cents)
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The file-level IVF vector index ([[VectorIndex]]): exact-IVF search
+  * semantics with file pruning, stale-index retrain fallback, DV
+  * admissibility, DROP + VACUUM reap, type refusal. */
+class VectorIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 64
+  private def vec(hot: Int, jitter: (Int, Float)* ): Array[Float] = {
+    val a = new Array[Float](dim)
+    a(hot) = 1f
+    jitter.foreach { case (i, x) => a(i) = x }
+    a
+  }
+
+  private def freshCatalog(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_vix_$tag").toString
+    spark.conf.set(s"spark.sql.catalog.$tag", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$tag.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $tag.ns")
+    tag
+  }
+
+  /** Two orthogonal blobs, one commit each: blob A (axis 0) holds vec_ids
+    * 0-5, blob B (axis 1) 6-11, each blob's vectors identical — so every
+    * blob collapses into ONE cluster (equal dots tie-break to the first
+    * anchor) and each posting list covers exactly its blob's file. */
+  private def stage(cat: String): String = {
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>)")
+    val blobA = (0 to 5).map(i => (i.toLong, 0, vec(0, (10, 0.05f))))
+    val blobB = (6 to 11).map(i => (i.toLong, 1, vec(1, (20, 0.05f))))
+    blobA.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    blobB.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    t
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan).map(_.plannedFiles).sum
+  }
+
+  test("fresh index: exact IVF result, one blob file planned") {
+    val cat = freshCatalog("vix1")
+    val t = stage(cat)
+    val built = spark.sql(
+      s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)").collect().head
+    assert(built.getLong(0) == 2L && built.getLong(1) == 8L)
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 5)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf((0L to 5L).toSet) && ids.size == 5,
+      s"probe on blob A must rank only blob-A vectors, got $ids")
+    assert(plannedFiles(res) == 1, "posting list covers one blob file")
+    // the stale/no-pruning path answers identically (exact-IVF contract)
+    val resB = VectorIndex.search(spark, t, "embedding", vec(1), 5)
+    assert(resB.select("vec_id").as[Long].collect().toSet
+      .subsetOf((6L to 11L).toSet))
+  }
+
+  test("stale index retrains on the fly: new rows surface, no pruning") {
+    val cat = freshCatalog("vix2")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // a new near-probe vector lands after the build
+    Seq((12L, 0, vec(0, (30, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 7)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(12L), "stale index must not hide the new vector")
+    // the retrain lineage scans the table more than once (anchors +
+    // assignment + ranking); the point is that SOME scan covers all 3
+    // files — nothing pruned to the stale posting list
+    assert(plannedFiles(res) >= 3, "stale path scans the whole table")
+  }
+
+  test("deletion vectors keep the index fresh and the ranking exact") {
+    val cat = freshCatalog("vix3")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    spark.sql(s"DELETE FROM $t WHERE vec_id = 3")
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 6)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(3L) && ids.nonEmpty, s"DV'd row must not rank: $ids")
+    assert(plannedFiles(res) == 1, "DV must not invalidate the index")
+  }
+
+  test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
+    val cat = freshCatalog("vix4")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val idxDirs = { val s = Files.list(dir); try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("_vecidx_")).toSeq
+    } finally s.close() }
+    assert(idxDirs.size == 1)
+    spark.sql(s"DROP VECTOR INDEX ON $t (embedding)")
+    val e = intercept[Exception] {
+      VectorIndex.search(spark, t, "embedding", vec(0), 3).collect()
+    }
+    assert(e.getMessage.contains("no vector index"))
+    spark.sql(s"VACUUM $t RETAIN 1 SNAPSHOTS OLDER THAN 0 MINUTES")
+    assert(!Files.isDirectory(idxDirs.head), "orphan index dir reaped")
+  }
+
+  test("non-array<float> columns refuse to index") {
+    val cat = freshCatalog("vix5")
+    val t = stage(cat)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VECTOR INDEX ON $t (label) ANCHORS (vec_id)").collect()
+    }
+    assert(e.getMessage.contains("only ARRAY<FLOAT>"))
+  }
+}
