@@ -222,6 +222,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropVecIdx =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
+  /** `REFRESH TEXT|VECTOR INDEX ON t (col)` — incremental when the
+    * staleness is append-only (only the new files index; IVF keeps its
+    * trained geometry), full rebuild otherwise. */
+  private val RefreshIdx =
+    ("""(?is)\s*REFRESH\s+(TEXT|VECTOR)\s+INDEX\s+ON\s+""" +
+      """((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""").r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
   private def splitTop(s: String, sep: Char): Seq[String] =
@@ -263,6 +270,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateVecIdx(target, colName, idCol) =>
       CreateVectorIndexCommand(target, colName, idCol)
     case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
+    case RefreshIdx(kind, target, colName) =>
+      RefreshIndexCommand(kind.toLowerCase, target, colName)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -832,6 +841,26 @@ case class DropVectorIndexCommand(target: String, colName: String)
     val mt = ManifestTarget.of(spark, target, "DROP VECTOR INDEX")
     graft.sources.VectorIndex.drop(spark, mt.dir, colName)
     Seq.empty
+  }
+}
+
+/** `REFRESH TEXT|VECTOR INDEX ON t (col)` — delegate to the index tier's
+  * incremental refresh; reports the newly-indexed file count and whether a
+  * full rebuild was needed. */
+case class RefreshIndexCommand(kind: String, target: String, colName: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_new_files", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("full_rebuild", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = ManifestTarget.of(spark, target, s"REFRESH ${kind.toUpperCase} INDEX")
+    val (n, full) = kind match {
+      case "text" => graft.sources.TextIndex.refresh(spark, mt.dir, colName)
+      case _ => graft.sources.VectorIndex.refresh(spark, mt.dir, colName)
+    }
+    Seq(Row(n, full))
   }
 }
 

@@ -33,6 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    engine's own terms. Values render in the manifest's storage form
   *    (numeric/date columns as their zone-map decimal encoding, strings
   *    verbatim). Empty when the table declares no layout.
+  *  - `` t$indexes ``   — one row per secondary index (text / vector) with
+  *    its column, storage dir, and LIVE FRESHNESS: `fresh` recomputes the
+  *    digest against the current manifest, so the relation answers "will
+  *    the next search prune?" — the monitoring question an index tier
+  *    exists to answer. Empty when no index is published.
   *
   * `$` needs backticks even to parse, so the suffix can never shadow a
   * real table name; branch addressing composes (`` `t@b$files` `` reads
@@ -41,7 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB `` t$files `` is a million-row metadata scan, not a table
   * scan (Iceberg's own metadata tables read manifests the same way). */
 object MetadataTables {
-  val Kinds = Set("files", "snapshots", "refs", "properties", "partitions")
+  val Kinds = Set("files", "snapshots", "refs", "properties", "partitions",
+    "indexes")
 
   /** `name$kind` → (name, kind) when kind is a known metadata suffix. */
   def split(ident: String): Option[(String, String)] =
@@ -80,6 +86,11 @@ object MetadataTables {
       StructField("max_value", StringType, nullable = true),
       StructField("complete", BooleanType, nullable = false),
       StructField("live_rows", LongType, nullable = false)))
+    case "indexes" => StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("col", StringType, nullable = false),
+      StructField("dir", StringType, nullable = false),
+      StructField("fresh", BooleanType, nullable = false)))
   }
 
   /** Materialize the rows at scan-planning time (InternalRow-shaped).
@@ -165,6 +176,22 @@ object MetadataTables {
             rng.isDefined && !e.stats.incomplete.contains(c),
             e.liveRows)
         }
+      }.toArray
+    case "indexes" =>
+      val m = Manifest.read(dir).getOrElse(
+        throw new IllegalStateException(s"metadata table: no manifest at $dir"))
+      val curDigest = TextIndex.digestOf(m) // same digest contract both kinds
+      m.props.toSeq.sortBy(_._1).collect {
+        case (k, v) if k.startsWith(TextIndex.PropPrefix) =>
+          val Array(idxDir, dig) = v.split(";", 2)
+          Array[Any](UTF8String.fromString("text"),
+            UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
+            UTF8String.fromString(idxDir), dig == curDigest)
+        case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>
+          val Array(idxDir, _, dig) = v.split(";", 3)
+          Array[Any](UTF8String.fromString("vector"),
+            UTF8String.fromString(k.stripPrefix(VectorIndex.PropPrefix)),
+            UTF8String.fromString(idxDir), dig == curDigest)
       }.toArray
   }
 }

@@ -92,6 +92,46 @@ object TextIndex {
     (names.length.toLong, nTokens)
   }
 
+  /** Refresh a stale index. APPEND-ONLY staleness (every indexed file
+    * still live) refreshes INCREMENTALLY: only the new files tokenize, the
+    * delta postings union with the stored ones into a new sidecar — at
+    * 100 TB a daily ingest re-indexes the day, not the corpus. Any other
+    * divergence (OPTIMIZE/DELETE rewrote files) falls back to a full
+    * [[build]]. A fresh index is a no-op. Returns (files newly indexed,
+    * full-rebuild?). */
+  def refresh(spark: SparkSession, dir: Path, colName: String): (Long, Boolean) = {
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"REFRESH TEXT INDEX: no manifest at $dir"))
+    val key = m.props.keys.find(_.equalsIgnoreCase(PropPrefix + colName))
+      .getOrElse(throw new IllegalStateException(
+        s"REFRESH TEXT INDEX: no text index on $colName — CREATE it first"))
+    val Array(oldIdx, oldDig) = m.props(key).split(";", 2)
+    if (oldDig == digestOf(m)) return (0L, false)
+    // which files did the stored index cover? Recorded nowhere — recover
+    // them from the posting sidecar itself (distinct file, a metadata read)
+    val indexedFiles = spark.read.parquet(dir.resolve(oldIdx).toString)
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val live = m.entries.filter(_.rows > 0).map(_.name)
+    val appended = live.filterNot(indexedFiles)
+    if (!indexedFiles.subsetOf(live.toSet))
+      // an indexed file left the live set: rewrite happened — full rebuild
+      return (build(spark, dir, colName)._1, true)
+    val idxName = s"_tokenidx_${java.util.UUID.randomUUID.toString.take(8)}"
+    val delta = scanFiles(spark, dir, appended)
+      .select(col("_file").as("file"),
+        explode(split(col(colName), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .select(col("token"), col("file")).distinct()
+    spark.read.parquet(dir.resolve(oldIdx).toString).unionByName(delta)
+      .write.parquet(dir.resolve(idxName).toString)
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).getOrElse(m)
+      Manifest.write(dir, cur.copy(props =
+        cur.props + (key -> s"$idxName;${digestOf(m)}")))
+    }
+    (appended.length.toLong, false)
+  }
+
   /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
   def drop(spark: SparkSession, dir: Path, colName: String): Unit =
     ManifestLock.withLock(dir) {

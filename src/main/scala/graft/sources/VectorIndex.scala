@@ -110,6 +110,52 @@ object VectorIndex {
     (names.length.toLong, k)
   }
 
+  /** Refresh a stale index. APPEND-ONLY staleness keeps the trained
+    * geometry and extends the postings: only the NEW files' vectors assign
+    * (against the STORED centroids — per-row broadcast math), their
+    * (list, file) postings union in — how a production IVF index absorbs
+    * inserts without retraining; search stays exact w.r.t. those
+    * centroids because rows re-derive their cluster from the same stored
+    * array. Any other divergence (rewrite/delete of indexed files) falls
+    * back to a full retrain via [[build]]. Returns (files newly indexed,
+    * full-rebuild?). */
+  def refresh(spark: SparkSession, dir: Path, colName: String): (Long, Boolean) = {
+    val m = Manifest.read(dir).getOrElse(
+      throw new IllegalStateException(s"REFRESH VECTOR INDEX: no manifest at $dir"))
+    val key = PropPrefix + colName.toLowerCase
+    val prop = m.props.getOrElse(key, throw new IllegalStateException(
+      s"REFRESH VECTOR INDEX: no vector index on $colName — CREATE it first"))
+    val Array(oldIdx, idCol, oldDig) = prop.split(";", 3)
+    if (oldDig == digestOf(m)) return (0L, false)
+    val oldDir = dir.resolve(oldIdx)
+    val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val live = m.entries.filter(_.rows > 0).map(_.name)
+    val appended = live.filterNot(indexedFiles)
+    if (!indexedFiles.subsetOf(live.toSet))
+      return (build(spark, dir, colName, idCol)._1, true)
+    val cents = spark.read.parquet(oldDir.resolve("cents").toString)
+    val rows = scanFiles(spark, dir, appended)
+      .select(col(idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"), col("_file").as("file"))
+    val assigned = graft.llm.Similarity.assignLists(
+      rows.select("vec_id", "label", "embedding"), cents)
+    val delta = assigned.select(col("vec_id"), col("list_id"))
+      .join(rows.select(col("vec_id"), col("file")), "vec_id")
+      .select(col("list_id"), col("file")).distinct()
+    val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
+    val idxDir = dir.resolve(idxName)
+    cents.write.parquet(idxDir.resolve("cents").toString)
+    spark.read.parquet(oldDir.resolve("posts").toString).unionByName(delta)
+      .write.parquet(idxDir.resolve("posts").toString)
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).getOrElse(m)
+      Manifest.write(dir, cur.copy(props =
+        cur.props + (key -> s"$idxName;$idCol;${digestOf(m)}")))
+    }
+    (appended.length.toLong, false)
+  }
+
   /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
   def drop(spark: SparkSession, dir: Path, colName: String): Unit =
     ManifestLock.withLock(dir) {

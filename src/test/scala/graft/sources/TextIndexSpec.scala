@@ -120,6 +120,46 @@ class TextIndexSpec extends SparkSuite {
     assert(!Files.isDirectory(idxDirs.head), "orphan index dir reaped")
   }
 
+  test("REFRESH: append-only staleness re-indexes only the new files") {
+    val (cat, _) = freshCatalog("tix6")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    Seq((7L, "fresh needle"), (8L, "more hay")).toDF("id", "text")
+      .coalesce(1).writeTo(t).append()
+    val r = spark.sql(s"REFRESH TEXT INDEX ON $t (text)").collect().head
+    assert(r.getLong(0) == 1L && !r.getBoolean(1),
+      s"one appended file, incremental: $r")
+    val res = TextIndex.search(spark, t, "text", "needle")
+    assert(res.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+    assert(plannedFiles(res) == 2, "refreshed index prunes again")
+    // fresh → no-op
+    val r2 = spark.sql(s"REFRESH TEXT INDEX ON $t (text)").collect().head
+    assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
+    // a rewrite (OPTIMIZE) breaks the append-only shape → full rebuild
+    spark.sql(s"OPTIMIZE $t")
+    val r3 = spark.sql(s"REFRESH TEXT INDEX ON $t (text)").collect().head
+    assert(r3.getBoolean(1), s"post-OPTIMIZE refresh must rebuild: $r3")
+    val res3 = TextIndex.search(spark, t, "text", "needle")
+    assert(res3.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+  }
+
+  test("t\\$indexes reports kind, column, and live freshness") {
+    val (cat, _) = freshCatalog("tix7")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val rows = spark.sql(s"SELECT kind, col, fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.toSeq == Seq(("text", "text", true)))
+    Seq((9L, "stale maker")).toDF("id", "text").writeTo(t).append()
+    val rows2 = spark.sql(s"SELECT kind, fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(rows2.toSeq == Seq(("text", false)), "append flips freshness")
+    spark.sql(s"REFRESH TEXT INDEX ON $t (text)")
+    val rows3 = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(_.getBoolean(0))
+    assert(rows3.toSeq == Seq(true), "refresh restores freshness")
+  }
+
   test("non-string columns refuse to index") {
     val (cat, _) = freshCatalog("tix5")
     val t = stage(cat)

@@ -130,6 +130,28 @@ class VectorIndexSpec extends SparkSuite {
     assert(!Files.isDirectory(idxDirs.head), "orphan index dir reaped")
   }
 
+  test("REFRESH: append-only keeps trained geometry, extends postings") {
+    val cat = freshCatalog("vix6")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // new blob-A vectors land in their own file after the build
+    Seq((12L, 0, vec(0, (10, 0.05f))), (13L, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    val r = spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)").collect().head
+    assert(r.getLong(0) == 1L && !r.getBoolean(1),
+      s"one appended file, incremental: $r")
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 10)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(Set(12L, 13L).subsetOf(ids),
+      s"new vectors join the stored-centroid list: $ids")
+    assert(ids.subsetOf((0L to 5L).toSet + 12L + 13L))
+    assert(plannedFiles(res) == 2,
+      "posting list = blob-A file + the appended file")
+    // fresh → no-op
+    val r2 = spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)").collect().head
+    assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
+  }
+
   test("non-array<float> columns refuse to index") {
     val cat = freshCatalog("vix5")
     val t = stage(cat)
