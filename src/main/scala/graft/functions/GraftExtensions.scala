@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc resolution: both sides compare as plain ANALYZED trees,
     // before scan pushdown manufactures never-equal per-query scans
     e.injectPostHocResolutionRule(_ => graft.plans.MvRewrite)
+    // transparent token-index pruning: array_contains(split(col,' '), t)
+    // filters over manifest tables pin the posting list's files
+    e.injectPostHocResolutionRule(_ => graft.plans.IndexedFilterRewrite)
     // output resolution for writes into generated/identity-column manifest
     // tables (they declare ACCEPT_ANY_SCHEMA, so Spark's own output
     // resolution stands down and this rule computes the omitted columns)

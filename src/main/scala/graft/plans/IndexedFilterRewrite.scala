@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, AttributeReference, Expression, Literal, PredicateHelper, StringSplit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{ManifestTable, TextIndex}
+
+/** TRANSPARENT token-index pruning (the secondary-index experience — no
+  * special search API): a filter carrying the engine's own token-match
+  * idiom,
+  *
+  * {{{ WHERE array_contains(split(col, ' '), 'term') }}}
+  *
+  * over a manifest table with a FRESH text index on `col` is rewritten to
+  * scan only the posting list's files — plain SQL gets the same file
+  * skipping [[graft.sources.TextIndex.search]] provides. The predicate
+  * itself is NEVER removed: candidate files over-approximate (a file can
+  * hold the token only in rows other conjuncts reject), so the scan-side
+  * re-check keeps the rewrite purely an I/O optimization — semantics are
+  * untouched even if the index lied.
+  *
+  * Post-hoc resolution tier (the [[MvRewrite]] pattern): the analyzed
+  * tree still has plain `DataSourceV2Relation`s whose options the rewrite
+  * can pin (`files=`), before scan planning. Freshness is re-checked per
+  * query against the CURRENT manifest digest
+  * ([[graft.sources.TextIndex.candidateFiles]]) — a stale index simply
+  * does not rewrite, correctness never depends on rebuild discipline.
+  * Time-travel / branch / already-pinned scans are left alone: their
+  * snapshot's file set is not the digest's.
+  *
+  * The posting lookup is one small driver-side parquet read per matching
+  * query — the same planning-cost class as zone-map pruning. */
+object IndexedFilterRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The manifest relation under a Filter's (possibly alias-wrapped)
+    * child — catalog tables analyze as `SubqueryAlias(DataSourceV2Relation)`. */
+  private def relationOf(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p match {
+      case r: DataSourceV2Relation => Some(r)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        relationOf(a.child)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) if relationOf(child).exists { r =>
+          r.table.isInstanceOf[ManifestTable] &&
+            !r.options.containsKey("files") &&
+            !r.options.containsKey("snapshot") &&
+            !r.options.containsKey("changesFrom")
+        } =>
+      val r = relationOf(child).get
+      val mt = r.table.asInstanceOf[ManifestTable]
+      val hit: Option[Seq[String]] =
+        splitConjunctivePredicates(cond).collectFirst {
+          case ArrayContains(
+              StringSplit(a: AttributeReference,
+                Literal(sep, StringType), Literal(_, _)),
+              Literal(term, StringType))
+            if sep != null && sep.toString == " " && term != null &&
+              r.output.exists(_.exprId == a.exprId) =>
+            (a.name, term.toString)
+        }.flatMap { case (colName, term) =>
+          TextIndex.candidateFiles(spark, mt.dir, colName, term)
+        }
+      hit match {
+        case Some(cand) =>
+          val names = if (cand.isEmpty) "" else cand.mkString(",")
+          val withFiles = new java.util.HashMap[String, String](r.options)
+          // an empty posting list still pins (files= matches nothing):
+          // the absent-token query plans ZERO files
+          withFiles.put("files", names)
+          val pinned = r.copy(options = new CaseInsensitiveStringMap(withFiles))
+          f.copy(child = child.transformUp {
+            case rel: DataSourceV2Relation if rel eq r => pinned
+          })
+        case None => f
+      }
+  }
+}

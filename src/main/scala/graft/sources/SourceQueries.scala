@@ -567,6 +567,51 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // The TRANSPARENT rewrite through the oracle gate
+    // ([[graft.plans.IndexedFilterRewrite]]): the same rarest-token search
+    // as q_text_search_indexed but spelled as PLAIN SQL — no search API.
+    // The post-hoc rule must pin the posting list's files while the
+    // re-checked predicate keeps semantics exact; result hash-matches the
+    // same DuckDB recomputation, planned files pinned in-query.
+    "q_text_search_sql" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions._
+      val term = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0).distinct()
+        .groupBy("token").count()
+        .orderBy(col("count"), col("token")).limit(1)
+        .collect().head.getString(0)
+      val esc = term.replace("'", "''")
+      val res = s.sql(s"SELECT doc_id, source FROM $cat.q.docs " +
+        s"WHERE array_contains(split(text, ' '), '$esc') ORDER BY doc_id")
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val nCand = TextIndex.candidateFiles(s, dir, "text", term)
+        .map(_.length).getOrElse(-1)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(nCand >= 0 && planned == nCand,
+        s"transparent rewrite should plan the $nCand posting files, planned $planned")
+      res
+    }),
+
     // LIMIT pushdown through the oracle gate: a bare LIMIT over the
     // one-file-per-source managed base must plan only the file PREFIX
     // whose live rows cover the limit — at a million files, `LIMIT 100`
@@ -1958,6 +2003,20 @@ object SourceQueries extends QueryModule {
     // Rarest-token search recomputed from the raw parquet: same
     // tokenizer, same term choice, same result set.
     "q_text_search_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |term AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+        |    WHERE token <> '' GROUP BY token)
+        |  ORDER BY df, token LIMIT 1)
+        |SELECT DISTINCT t.doc_id, t.source
+        |FROM toks t, term WHERE t.token = term.token
+        |ORDER BY doc_id""".stripMargin,
+    // Same recomputation as q_text_search_indexed — the two queries differ
+    // only in the engine path (search API vs transparent SQL rewrite).
+    "q_text_search_sql" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
         |  FROM documents),

@@ -141,6 +141,26 @@ object TextIndex {
       }
     }
 
+  /** The posting list for `term` when a FRESH index exists on `colName`:
+    * `Some(candidate file names)` (possibly empty — the token is absent
+    * from the corpus), `None` when no index is published or it is stale.
+    * One small driver-side parquet read — planning-class work, shared by
+    * [[search]] and the transparent rewrite rule
+    * ([[graft.plans.IndexedFilterRewrite]]). */
+  def candidateFiles(spark: SparkSession, dir: Path, colName: String,
+      term: String): Option[Seq[String]] = {
+    val m = Manifest.read(dir).getOrElse(return None)
+    m.props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val Array(idxName, dig) = v.split(";", 2)
+      if (dig != digestOf(m)) None
+      else Some(spark.read.parquet(dir.resolve(idxName).toString)
+        .where(col("token") === term)
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSeq)
+    }
+  }
+
   /** All rows whose tokenized `colName` contains `term`. Index-assisted
     * when a FRESH index exists (candidate files from the posting list,
     * exact predicate re-applied scan-side); full scan otherwise. */
@@ -153,19 +173,9 @@ object TextIndex {
     }.getOrElse(throw new UnsupportedOperationException(
       s"TEXT SEARCH: $table is not a graft manifest table"))
     val pred = array_contains(split(col(colName), " "), term)
-    val m = Manifest.read(mt.dir).getOrElse(
-      throw new IllegalStateException(s"TEXT SEARCH: no manifest at ${mt.dir}"))
-    val fresh = m.props.get(PropPrefix + colName).flatMap { v =>
-      val Array(idxName, dig) = v.split(";", 2)
-      if (dig == digestOf(m)) Some(idxName) else None
-    }
-    fresh match {
-      case Some(idxName) =>
-        val cand = spark.read.parquet(mt.dir.resolve(idxName).toString)
-          .where(col("token") === term)
-          .select(col("file")).distinct().collect().map(_.getString(0))
-        if (cand.isEmpty) spark.table(table).where(lit(false))
-        else scanFiles(spark, mt.dir, cand.toSeq).where(pred)
+    candidateFiles(spark, mt.dir, colName, term) match {
+      case Some(cand) if cand.isEmpty => spark.table(table).where(lit(false))
+      case Some(cand) => scanFiles(spark, mt.dir, cand).where(pred)
       case None => spark.table(table).where(pred)
     }
   }

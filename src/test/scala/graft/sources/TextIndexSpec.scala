@@ -160,6 +160,36 @@ class TextIndexSpec extends SparkSuite {
     assert(rows3.toSeq == Seq(true), "refresh restores freshness")
   }
 
+  test("transparent rewrite: plain SQL token match plans the posting list") {
+    val (cat, _) = freshCatalog("tix8")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val q = spark.sql(
+      s"SELECT id FROM $t WHERE array_contains(split(text, ' '), 'needle')")
+    assert(q.as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(q) == 1, "SQL idiom must prune like TextIndex.search")
+    // composes with other conjuncts: the extra predicate rides scan-side
+    val q2 = spark.sql(s"SELECT id FROM $t WHERE id < 100 AND " +
+      "array_contains(split(text, ' '), 'gamma')")
+    assert(q2.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(plannedFiles(q2) == 2)
+    // absent token: zero files planned, zero rows — semantics intact
+    val q3 = spark.sql(
+      s"SELECT id FROM $t WHERE array_contains(split(text, ' '), 'zzz')")
+    assert(q3.count() == 0L && plannedFiles(q3) == 0)
+    // a non-space separator is NOT the indexed tokenizer — untouched
+    val q4 = spark.sql(
+      s"SELECT id FROM $t WHERE array_contains(split(text, ','), 'needle in the hay')")
+    assert(plannedFiles(q4) == 3, "different tokenizer must not prune")
+    assert(q4.as[Long].collect().toSeq == Seq(3L))
+    // stale index: plain SQL falls back to the full scan silently
+    Seq((9L, "late needle")).toDF("id", "text").coalesce(1).writeTo(t).append()
+    val q5 = spark.sql(
+      s"SELECT id FROM $t WHERE array_contains(split(text, ' '), 'needle')")
+    assert(q5.as[Long].collect().sorted.toSeq == Seq(3L, 9L))
+    assert(plannedFiles(q5) == 4, "stale index must not prune SQL either")
+  }
+
   test("non-string columns refuse to index") {
     val (cat, _) = freshCatalog("tix5")
     val t = stage(cat)
