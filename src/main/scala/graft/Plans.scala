@@ -85,7 +85,8 @@ object Plans {
     "q_dedup_semantic" -> "SemDeDup: cluster-id equi-join candidates only, keep-the-outlier anti-join, exact fixed-point cosines",
     "q_meta_partitions" -> "metadata table `docs$partitions`: per-file layout-column ranges, zero data-file scans",
     "q_text_search_indexed" -> "token-index search: posting-list lookup pins .option(files), exact predicate re-check scan-side",
-    "q_vector_search" -> "IVF vector-index search: probe's posting list pins one file, cluster re-derived from broadcast centroids, top-k heap")
+    "q_vector_search" -> "IVF vector-index search: probe's posting list pins one file, cluster re-derived from broadcast centroids, top-k heap",
+    "q_text_search_sql" -> "transparent index rewrite: plain SQL token match pins posting files post-hoc, predicate re-checked scan-side")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
