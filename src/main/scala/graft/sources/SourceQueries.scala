@@ -567,6 +567,40 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // MULTI-PROBE vector search (PROBES 2) — the IVF recall knob through
+    // the oracle gate: the probe's TWO nearest stored centroids' lists
+    // rank together (boundary-straddling neighbors surface at 2× candidate
+    // cost); the cluster-per-file staging makes that exactly two planned
+    // files. The oracle derives the runner-up list with the same
+    // first-max-then-masked-max tie-break as the engine.
+    "q_vector_search_mp" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val res = VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 2)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(planned == 2,
+        s"two probed lists over cluster-per-file staging = 2 files, planned $planned")
+      res
+    }),
+
     // The TRANSPARENT rewrite through the oracle gate
     // ([[graft.plans.IndexedFilterRewrite]]): the same rarest-token search
     // as q_text_search_indexed but spelled as PLAIN SQL — no search API.
@@ -1998,6 +2032,32 @@ object SourceQueries extends QueryModule {
          |SELECT a.vec_id, a.list_id,
          |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+    },
+    // Multi-probe IVF replay: the runner-up list via the masked-max
+    // pattern (first-position tie-break both times, as the engine).
+    "q_vector_search_mp" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed("e.embedding", "r.cl[ci]")
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |pd AS (
+         |  SELECT r.ids AS ids,
+         |    [$dot for ci in range(1, len(r.cl) + 1)] AS dots
+         |  FROM embeddings e, ref1 r WHERE e.vec_id = 0),
+         |pm AS (
+         |  SELECT ids, dots, list_position(dots, list_max(dots)) AS p1
+         |  FROM pd),
+         |pl AS (
+         |  SELECT ids[p1] AS l1,
+         |    ids[list_position(md, list_max(md))] AS l2
+         |  FROM (SELECT ids, p1,
+         |      [CASE WHEN i = p1 THEN -1e18 ELSE dots[i] END
+         |       for i in range(1, len(dots) + 1)] AS md
+         |    FROM pm)),
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+         |SELECT a.vec_id, a.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |FROM a1 a, probe p, pl
+         |WHERE a.list_id = pl.l1 OR a.list_id = pl.l2
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
     },
     // Rarest-token search recomputed from the raw parquet: same

@@ -167,11 +167,14 @@ object VectorIndex {
     }
 
   /** IVF top-k for `probe` over the indexed column: rows of the probe's
-    * cluster ranked by exact fixed-point dot. Fresh index → candidate
-    * files from the posting list; stale → retrain on the fly (same
-    * result, no pruning). Output: the id column, `sim`, `list_id`. */
+    * `probes` nearest clusters ranked by exact fixed-point dot (multi-
+    * probe is the standard IVF recall knob: boundary-straddling neighbors
+    * surface at ~probes× candidate cost, still Σ\|list\| — never the
+    * table). Fresh index → candidate files from the union of the probed
+    * posting lists; stale → retrain on the fly (same result, no pruning).
+    * Output: the id column, `sim`, `list_id`. */
   def search(spark: SparkSession, table: String, colName: String,
-      probe: Array[Float], topK: Int): DataFrame = {
+      probe: Array[Float], topK: Int, probes: Int = 1): DataFrame = {
     val mt = spark.table(table).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         if r.table.isInstanceOf[ManifestTable] =>
@@ -187,14 +190,20 @@ object VectorIndex {
     val Array(idxName, idCol, dig) = prop.split(";", 3)
     val names = m.entries.filter(_.rows > 0).map(_.name)
 
+    // the probe's `probes` nearest stored centroids (dot desc, c_id asc —
+    // the same first-max tie-break as row assignment)
+    def probeLists(cents: DataFrame): Seq[Int] = {
+      val pv = typedLit(probe.toSeq)
+      cents.select(col("c_id"),
+          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
+        .orderBy(desc("pd"), col("c_id")).limit(probes)
+        .collect().map(_.getInt(0)).toSeq
+    }
+
     def ranked(rows: DataFrame, cents: DataFrame): DataFrame = {
       val assigned = graft.llm.Similarity.assignLists(rows, cents)
       val pv = typedLit(probe.toSeq)
-      val pList = cents.select(col("c_id"),
-          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
-        .orderBy(desc("pd"), col("c_id")).limit(1)
-        .collect().head.getInt(0)
-      assigned.where(col("list_id") === pList)
+      assigned.where(col("list_id").isin(probeLists(cents): _*))
         .select(col("vec_id"), col("list_id"),
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
@@ -203,14 +212,10 @@ object VectorIndex {
     if (dig == digestOf(m)) {
       val idxDir = mt.dir.resolve(idxName)
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
-      // probe's list, then its posting files — two small metadata reads
-      val pv = typedLit(probe.toSeq)
-      val pList = cents.select(col("c_id"),
-          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
-        .orderBy(desc("pd"), col("c_id")).limit(1)
-        .collect().head.getInt(0)
+      // probe lists, then their posting files — two small metadata reads
+      val pLists = probeLists(cents)
       val cand = spark.read.parquet(idxDir.resolve("posts").toString)
-        .where(col("list_id") === pList)
+        .where(col("list_id").isin(pLists: _*))
         .select("file").distinct().collect().map(_.getString(0))
       if (cand.isEmpty) return spark.range(0)
         .select(col("id").as("vec_id"), lit(0).as("list_id"),

@@ -152,6 +152,20 @@ class VectorIndexSpec extends SparkSuite {
     assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
   }
 
+  test("multi-probe: a boundary probe ranks both blobs, plans both files") {
+    val cat = freshCatalog("vix7")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // equidistant probe between the blobs
+    val between = { val a = new Array[Float](dim); a(0) = 0.7f; a(1) = 0.7f; a }
+    val one = VectorIndex.search(spark, t, "embedding", between, 12)
+    assert(plannedFiles(one) == 1, "single probe stays in one list")
+    val two = VectorIndex.search(spark, t, "embedding", between, 12, probes = 2)
+    val ids = two.select("vec_id").as[Long].collect().toSet
+    assert(ids == (0L to 11L).toSet, s"two probes must cover both blobs: $ids")
+    assert(plannedFiles(two) == 2, "two probed lists = two files")
+  }
+
   test("non-array<float> columns refuse to index") {
     val cat = freshCatalog("vix5")
     val t = stage(cat)
