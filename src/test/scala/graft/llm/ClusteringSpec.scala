@@ -68,6 +68,16 @@ class ClusteringSpec extends SparkSuite {
     assert(kept === Set(1L))
   }
 
+  test("q_sample_cluster: per-cluster cap holds, sample is deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val s1 = Clustering.queries("q_sample_cluster")(spark, d).collect()
+    val s2 = Clustering.queries("q_sample_cluster")(spark, d).collect()
+    assert(s1.toSeq == s2.toSeq, "hash-ordered sample must be reproducible")
+    val perCluster = s1.groupBy(_.getInt(0)).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ <= 8), "cap is 8 per cluster")
+    assert(perCluster.size > 1, "sample spans clusters")
+  }
+
   test("q_dedup_semantic on testdata: drops planted near-dups, partitions the corpus") {
     val d = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, d, "embeddings").count()
