@@ -178,6 +178,34 @@ object Text extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // PER-DOMAIN QUALITY FILTERING (the production rule: thresholds are
+    // set per source, because a uniform global cutoff lets a high-quality
+    // domain's floor evict a noisy domain entirely): keep each source's
+    // top half by the q_text_quality score, the cut at the per-source
+    // quality MEDIAN via percent_rank (doc_id tie-break — a score tie
+    // never makes the sample engine-dependent). One window over one
+    // source-keyed exchange; the score itself is scan-side per-row math.
+    "q_text_quality_stratified" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast(LongType).as("len"), toks.as("t"))
+      val nTok = size(col("t")).cast(LongType)
+      val stopRatio = hits(col("t"), Seq("the", "a", "of")).cast(DoubleType) / nTok
+      val longRatio = size(filter(col("t"), t => length(t) >= 5))
+        .cast(DoubleType) / nTok
+      val scored = base.select(col("doc_id"), col("source"),
+        (stopRatio * 0.3 + longRatio * 0.5 +
+          when(col("len") >= 200, 0.2).otherwise(0.0)).as("quality"))
+      scored
+        .withColumn("pr", percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("quality", "doc_id")))
+        .filter(col("pr") >= 0.5)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens vs a BPE-ish regex segmentation
     // (letter runs | digit runs | single punctuation) — regex kept to a
     // dialect-neutral subset so Java and RE2-style engines agree.
@@ -814,6 +842,29 @@ object Text extends QueryModule {
         |    (CAST(long_toks AS DOUBLE) / n_tokens) * 0.5 +
         |    (CASE WHEN len >= 200 THEN 0.2 ELSE 0.0 END) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_quality_stratified" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, len,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of'], x))) AS BIGINT) AS stop_hits,
+        |    CAST(len(list_filter(t, x -> length(x) >= 5)) AS BIGINT) AS long_toks
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3 +
+        |      (CAST(long_toks AS DOUBLE) / n_tokens) * 0.5 +
+        |      (CASE WHEN len >= 200 THEN 0.2 ELSE 0.0 END) AS quality
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+        |  FROM scored)
+        |SELECT doc_id, source, quality FROM r WHERE pr >= 0.5
+        |ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
