@@ -86,7 +86,9 @@ object Plans {
     "q_meta_partitions" -> "metadata table `docs$partitions`: per-file layout-column ranges, zero data-file scans",
     "q_text_search_indexed" -> "token-index search: posting-list lookup pins .option(files), exact predicate re-check scan-side",
     "q_vector_search" -> "IVF vector-index search: probe's posting list pins one file, cluster re-derived from broadcast centroids, top-k heap",
-    "q_text_search_sql" -> "transparent index rewrite: plain SQL token match pins posting files post-hoc, predicate re-checked scan-side")
+    "q_text_search_sql" -> "transparent index rewrite: plain SQL token match pins posting files post-hoc, predicate re-checked scan-side",
+    "q_sample_cluster" -> "diversity sampling: bounded per-cluster window over the broadcast-assigned clustering, hash-ordered cap",
+    "q_decontaminate_semantic" -> "semantic decontamination: broadcast eval panel exploded per row, hit set anti-joined, zero corpus shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
