@@ -52,6 +52,10 @@ object IndexedFilterRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) if relationOf(child).exists { r =>
           r.table.isInstanceOf[ManifestTable] &&
+            // a VERSION AS OF table pins its snapshot INTERNALLY — the
+            // current-manifest digest says nothing about that file set,
+            // so time travel never rewrites (same for option-pinned reads)
+            r.table.asInstanceOf[ManifestTable].pinnedSnapshot.isEmpty &&
             !r.options.containsKey("files") &&
             !r.options.containsKey("snapshot") &&
             !r.options.containsKey("changesFrom")

@@ -1442,7 +1442,7 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
     case _ => false
   }
   override def hashCode(): Int = dir.toAbsolutePath.hashCode ^ snapshot.hashCode
-  private[sources] def pinnedSnapshot: Option[Int] = snapshot
+  private[graft] def pinnedSnapshot: Option[Int] = snapshot
 
   /** `_file` metadata column (the Iceberg idiom): the committed manifest
     * entry name of the row's data file — constant per scan partition, so
@@ -2076,6 +2076,35 @@ private[graft] object ManifestTable {
   } catch {
     case e: Exception =>
       System.err.println(s"[graft] auto-compact at $dir skipped: ${e.getMessage}")
+  }
+
+  /** POST-COMMIT INDEX AUTO-REFRESH: a table with
+    * TBLPROPERTIES('index.autoRefresh'='true') refreshes every published
+    * secondary index after a write commit — incremental for append-only
+    * staleness ([[TextIndex.refresh]] / [[VectorIndex.refresh]]: only the
+    * new files index), full rebuild after a layout rewrite. A FRESH index
+    * is one manifest read + digest compare (no-op), so the amortized cost
+    * tracks the ingest, not the corpus. Best-effort like auto-compaction:
+    * a refresh failure never fails the write that triggered it (searches
+    * just fall back until the next refresh). Runs AFTER auto-compaction
+    * so one pass covers both the data and any layout commit. */
+  private[sources] def maybeAutoRefreshIndexes(dir: Path): Unit = try {
+    val spark = org.apache.spark.sql.SparkSession.active
+    Manifest.read(dir).foreach { m =>
+      if (m.props.get(GraftCatalog.TblPropPrefix + "index.autoRefresh")
+          .contains("true")) {
+        m.props.keys.toSeq.sorted.foreach {
+          case k if k.startsWith(TextIndex.PropPrefix) =>
+            TextIndex.refresh(spark, dir, k.stripPrefix(TextIndex.PropPrefix))
+          case k if k.startsWith(VectorIndex.PropPrefix) =>
+            VectorIndex.refresh(spark, dir, k.stripPrefix(VectorIndex.PropPrefix))
+          case _ => ()
+        }
+      }
+    }
+  } catch {
+    case e: Exception =>
+      System.err.println(s"[graft] index auto-refresh at $dir skipped: ${e.getMessage}")
   }
 
   /** Rows the most recent DV construction brought back to the driver —
@@ -3169,6 +3198,7 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
         rewritten ++ committed,
         Manifest.identityCommitProps(m.props, committed))
       ManifestTable.maybeAutoCompact(dir)
+      ManifestTable.maybeAutoRefreshIndexes(dir)
       return
     }
     // truncate drops old files from the CURRENT manifest only — they stay
@@ -3197,6 +3227,7 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
             prev ++ committed)))
     }
     ManifestTable.maybeAutoCompact(dir)
+    ManifestTable.maybeAutoRefreshIndexes(dir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3290,7 +3321,10 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
       }
     }
     // OUTSIDE the commit lock: compaction takes the same lock itself
-    if (published) ManifestTable.maybeAutoCompact(dir)
+    if (published) {
+      ManifestTable.maybeAutoCompact(dir)
+      ManifestTable.maybeAutoRefreshIndexes(dir)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -190,6 +190,37 @@ class TextIndexSpec extends SparkSuite {
     assert(plannedFiles(q5) == 4, "stale index must not prune SQL either")
   }
 
+  test("transparent rewrite never touches time-travel reads") {
+    val (cat, _) = freshCatalog("tixA")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    // pin the newest archived snapshot (same data as current, so the
+    // CURRENT-state digest matches) — the rule must STILL leave the
+    // pinned read alone: without the guard it would prune this scan to
+    // the posting list's single file
+    val v = spark.sql(s"SELECT max(version) FROM $cat.ns.`docs$$snapshots`")
+      .collect().head.getInt(0)
+    val tt = spark.sql(s"SELECT id FROM $t VERSION AS OF $v " +
+      "WHERE array_contains(split(text, ' '), 'needle')")
+    assert(tt.as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(tt) == 3, "snapshot read scans ITS files, unpruned")
+  }
+
+  test("index.autoRefresh: an append keeps the index fresh without REFRESH") {
+    val (cat, _) = freshCatalog("tix9")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('index.autoRefresh' = 'true')")
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    Seq((7L, "auto needle")).toDF("id", "text").coalesce(1).writeTo(t).append()
+    // the post-commit hook already refreshed: search prunes to 2 files
+    val res = TextIndex.search(spark, t, "text", "needle")
+    assert(res.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+    assert(plannedFiles(res) == 2, "auto-refreshed index prunes the append")
+    val fresh = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(_.getBoolean(0))
+    assert(fresh.toSeq == Seq(true))
+  }
+
   test("non-string columns refuse to index") {
     val (cat, _) = freshCatalog("tix5")
     val t = stage(cat)
