@@ -36,7 +36,7 @@ object Text extends QueryModule {
     size(filter(toks, t => markers.map(m => t === m).reduce(_ || _))).cast(LongType)
 
   /** BM25 query terms (all present in the synthetic corpus vocabulary). */
-  private val Bm25Terms: Seq[String] = Seq("vector", "join", "scan")
+  private[graft] val Bm25Terms: Seq[String] = Seq("vector", "join", "scan")
 
   /** Per-document BM25 score vs [[Bm25Terms]] in fixed point: (doc_id,
     * score_fx, n_terms). Shared by `q_text_bm25` and the hybrid-retrieval
@@ -66,7 +66,7 @@ object Text extends QueryModule {
   }
 
   /** The DuckDB mirror of [[bm25PerDoc]] — (doc_id, score_fx, n_terms). */
-  private[llm] lazy val sqlBm25PerDoc: String = {
+  private[graft] lazy val sqlBm25PerDoc: String = {
     val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
     s"""WITH tokens AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -495,10 +495,9 @@ object SourceQueries extends QueryModule {
           if r.table.isInstanceOf[ManifestTable] =>
           r.table.asInstanceOf[ManifestTable].dir
       }.get
-      val idx = Manifest.read(dir).get.props(TextIndex.PropPrefix + "text")
-        .split(";", 2)(0)
-      val nCand = s.read.parquet(dir.resolve(idx).toString)
-        .where(col("token") === term).select("file").distinct().count()
+      val nCand = TextIndex.candidateFiles(s, dir, "text", term)
+        .map(_.length.toLong).getOrElse(
+          sys.error("q_text_search_indexed: index unexpectedly stale"))
       val nTotal = Manifest.read(dir).get.entries.count(_.rows > 0)
       def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
         import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -644,6 +643,49 @@ object SourceQueries extends QueryModule {
       assert(nCand >= 0 && planned == nCand,
         s"transparent rewrite should plan the $nCand posting files, planned $planned")
       res
+    }),
+
+    // Index-accelerated BM25 through the oracle gate ([[TextIndex.bm25TopK]]):
+    // the search-engine top-k with NO corpus-wide aggregation — df per
+    // query term and the corpus stats (N, avgdl) ride the index, scoring
+    // is per-row math over ONLY the files whose posting lists carry a
+    // query term (docs with no term score 0 and can never rank, so the
+    // pruning is exact). Oracle = the full q_text_bm25 recomputation from
+    // raw parquet; in-query assert pins the planned files to the posting
+    // union.
+    "q_text_bm25_indexed" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val terms = graft.llm.Text.Bm25Terms
+      val res = TextIndex.bm25TopK(s, s"$cat.q.docs", "text", "doc_id",
+        terms, 10)
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val nCand = terms.flatMap(t =>
+        TextIndex.candidateFiles(s, dir, "text", t).getOrElse(
+          sys.error("q_text_bm25_indexed: index unexpectedly stale")))
+        .distinct.length
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(planned == nCand,
+        s"BM25 should plan the $nCand posting-union files, planned $planned")
+      res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
     }),
 
     // LIMIT pushdown through the oracle gate: a bare LIMIT over the
@@ -2060,6 +2102,13 @@ object SourceQueries extends QueryModule {
          |WHERE a.list_id = pl.l1 OR a.list_id = pl.l2
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
     },
+    // The full BM25 recomputation — identical to q_text_bm25's oracle:
+    // the index only changes WHICH files scan, never the answer.
+    "q_text_bm25_indexed" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
     // Rarest-token search recomputed from the raw parquet: same
     // tokenizer, same term choice, same result set.
     "q_text_search_indexed" ->

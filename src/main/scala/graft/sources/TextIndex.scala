@@ -6,36 +6,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** FILE-LEVEL INVERTED TOKEN INDEX over a managed table's string column —
-  * the text-search analog of the zone-map/bloom tier: a sidecar relation
-  * `(token, file)` that lets a token-match query plan ONLY the files that
-  * can contain the token (Hudi's metadata-table indexing idea, applied to
+  * the text-search analog of the zone-map/bloom tier: a posting-list
+  * sidecar that lets a token-match query plan ONLY the files that can
+  * contain the token (Hudi's metadata-table indexing idea, applied to
   * whitespace tokens; the engine's tokenizer — `split(col, ' ')` — is the
   * same one the text-analysis family declares, so index admission equals
   * query semantics).
   *
-  * Storage + freshness contract:
-  *  - the index is a parquet directory `_tokenidx_<id>` INSIDE the table
-  *    directory (written distributed, one shuffle on token), published by
-  *    a props-only manifest commit `tokenidx.<col> = <dir>;<digest>` where
-  *    digest = SHA-256 over the SORTED indexed file names;
-  *  - a read recomputes the digest from the CURRENT manifest: equal →
-  *    candidates come from the index and the scan pins `.option("files")`;
-  *    different (append/OPTIMIZE/DELETE rewrote the file set) → silent
-  *    full-scan fallback, so CORRECTNESS NEVER DEPENDS ON REBUILD
-  *    DISCIPLINE (the MV freshness-guard rule). Deletion vectors change no
-  *    file names: a DV'd row just makes the index over-approximate, and
-  *    the exact predicate re-applies scan-side either way;
-  *  - `DROP TEXT INDEX` removes the prop; the orphaned `_tokenidx_*` dir
-  *    (and any superseded rebuild) is reaped by VACUUM's reachability
-  *    pass, never inline — maintenance must not race a concurrent reader
-  *    that already resolved the prop.
+  * Storage: a directory `_tokenidx_<id>` INSIDE the table directory with
+  * two parquet sidecars,
+  *  - `posts/` — `(token, file, n_docs)`: which files hold the token and
+  *    in how many of their rows (so df per token = SUM(n_docs) — the
+  *    ranking statistic rides the index);
+  *  - `stats/` — one row `(n_docs, sum_dl)` of corpus-level BM25 stats
+  *    (row count, total whitespace-token count);
+  * published by a props-only manifest commit `tokenidx.<col> =
+  * <dir>;<digest>` where digest = SHA-256 over the SORTED indexed file
+  * names.
+  *
+  * Freshness contract: a read recomputes the digest from the CURRENT
+  * manifest — equal → candidates come from the index and the scan pins
+  * `.option("files")`; different (append/OPTIMIZE/DELETE rewrote the file
+  * set) → silent full-scan fallback, so CORRECTNESS NEVER DEPENDS ON
+  * REBUILD DISCIPLINE (the MV freshness-guard rule). Deletion vectors
+  * change no file names: a DV'd row just makes the index over-approximate,
+  * and the exact predicate re-applies scan-side either way. `DROP TEXT
+  * INDEX` removes the prop; orphaned `_tokenidx_*` dirs are reaped by
+  * VACUUM's reachability pass, never inline.
   *
   * Scale: the index is ~(distinct tokens × covering files) rows — metadata
-  * volume. Lookup reads one token's posting list (file names, O(#files)
-  * worst case for a stop-word — the same driver-side planning class as
-  * every metadata path here); the data scan then touches only candidate
-  * files. At 100 TB a rare-token search plans a handful of files instead
-  * of the table. */
+  * volume. Lookup reads one token's posting list (O(#files) worst case for
+  * a stop-word — the same driver-side planning class as every metadata
+  * path here); the data scan then touches only candidate files. At 100 TB
+  * a rare-token search plans a handful of files instead of the table, and
+  * a BM25 top-k ([[bm25TopK]]) scores candidates per-row against
+  * index-derived statistics with no corpus-wide aggregation at all. */
 object TextIndex {
   private[sources] val PropPrefix = "tokenidx."
 
@@ -55,6 +60,35 @@ object TextIndex {
       .option("files", names.mkString(","))
       .load()
 
+  /** Postings for the given files: (token, file, n_docs-with-token) and
+    * the corpus-stat increment (rows, total whitespace tokens — empties
+    * INCLUDED, matching the text family's `size(split(col, ' '))` doc
+    * length). Row identity inside a file is its `_pos`. */
+  private def deltaOf(spark: SparkSession, dir: Path, colName: String,
+      names: Seq[String]): (DataFrame, (Long, Long)) = {
+    val base = scanFiles(spark, dir, names)
+      .select(col("_file").as("file"), col("_pos").as("pos"),
+        split(col(colName), " ").as("toks"))
+    val stats = base
+      .agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("dl"))
+      .collect().head
+    val posts = base
+      .select(col("file"), col("pos"), explode(col("toks")).as("token"))
+      .where(length(col("token")) > 0)
+      .select(col("token"), col("file"), col("pos")).distinct()
+      .groupBy(col("token"), col("file"))
+      .agg(count(lit(1)).as("n_docs"))
+    (posts, (stats.getLong(0), stats.getLong(1)))
+  }
+
+  private def writeIndex(spark: SparkSession, idxDir: Path,
+      posts: DataFrame, nDocs: Long, sumDl: Long): Unit = {
+    posts.write.parquet(idxDir.resolve("posts").toString)
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.parquet(idxDir.resolve("stats").toString)
+  }
+
   /** Build (or rebuild) the index for `colName`: one distributed pass over
     * the current live rows, one shuffle keyed on token, one props-only
     * commit. Returns (files indexed, distinct tokens). */
@@ -71,17 +105,20 @@ object TextIndex {
           "only STRING columns index")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val idxName = s"_tokenidx_${java.util.UUID.randomUUID.toString.take(8)}"
-    val postings =
-      if (names.isEmpty) spark.emptyDataFrame
-        .select(lit("").as("token"), lit("").as("file")).limit(0)
-      else scanFiles(spark, dir, names)
-        .select(col("_file").as("file"),
-          explode(split(col(field.name), " ")).as("token"))
-        .where(length(col("token")) > 0)
-        .select(col("token"), col("file")).distinct()
-    postings.write.parquet(dir.resolve(idxName).toString)
-    val nTokens = spark.read.parquet(dir.resolve(idxName).toString)
-      .select(col("token")).distinct().count()
+    val idxDir = dir.resolve(idxName)
+    val nTokens =
+      if (names.isEmpty) {
+        import spark.implicits._
+        writeIndex(spark,
+          idxDir, Seq.empty[(String, String, Long)]
+            .toDF("token", "file", "n_docs"), 0L, 0L)
+        0L
+      } else {
+        val (posts, (n, dl)) = deltaOf(spark, dir, field.name, names)
+        writeIndex(spark, idxDir, posts, n, dl)
+        spark.read.parquet(idxDir.resolve("posts").toString)
+          .select(col("token")).distinct().count()
+      }
     // props-only publish under the table's commit lock: the index dir and
     // the file-set digest it covers swap in atomically
     ManifestLock.withLock(dir) {
@@ -94,11 +131,11 @@ object TextIndex {
 
   /** Refresh a stale index. APPEND-ONLY staleness (every indexed file
     * still live) refreshes INCREMENTALLY: only the new files tokenize, the
-    * delta postings union with the stored ones into a new sidecar — at
-    * 100 TB a daily ingest re-indexes the day, not the corpus. Any other
-    * divergence (OPTIMIZE/DELETE rewrote files) falls back to a full
-    * [[build]]. A fresh index is a no-op. Returns (files newly indexed,
-    * full-rebuild?). */
+    * delta postings and stat increments union with the stored ones into a
+    * new sidecar — at 100 TB a daily ingest re-indexes the day, not the
+    * corpus. Any other divergence (OPTIMIZE/DELETE rewrote files) falls
+    * back to a full [[build]]. A fresh index is a no-op. Returns (files
+    * newly indexed, full-rebuild?). */
   def refresh(spark: SparkSession, dir: Path, colName: String): (Long, Boolean) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"REFRESH TEXT INDEX: no manifest at $dir"))
@@ -109,7 +146,8 @@ object TextIndex {
     if (oldDig == digestOf(m)) return (0L, false)
     // which files did the stored index cover? Recorded nowhere — recover
     // them from the posting sidecar itself (distinct file, a metadata read)
-    val indexedFiles = spark.read.parquet(dir.resolve(oldIdx).toString)
+    val oldDir = dir.resolve(oldIdx)
+    val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val live = m.entries.filter(_.rows > 0).map(_.name)
     val appended = live.filterNot(indexedFiles)
@@ -117,13 +155,15 @@ object TextIndex {
       // an indexed file left the live set: rewrite happened — full rebuild
       return (build(spark, dir, colName)._1, true)
     val idxName = s"_tokenidx_${java.util.UUID.randomUUID.toString.take(8)}"
-    val delta = scanFiles(spark, dir, appended)
-      .select(col("_file").as("file"),
-        explode(split(col(colName), " ")).as("token"))
-      .where(length(col("token")) > 0)
-      .select(col("token"), col("file")).distinct()
-    spark.read.parquet(dir.resolve(oldIdx).toString).unionByName(delta)
-      .write.parquet(dir.resolve(idxName).toString)
+    val idxDir = dir.resolve(idxName)
+    val (delta, (dn, ddl)) = deltaOf(spark, dir, colName, appended)
+    val old = spark.read.parquet(oldDir.resolve("stats").toString)
+      .collect().head
+    // appended files are disjoint from indexed ones, so the (token, file)
+    // posting rows union without conflict and the stats add
+    writeIndex(spark, idxDir,
+      spark.read.parquet(oldDir.resolve("posts").toString).unionByName(delta),
+      old.getLong(0) + dn, old.getLong(1) + ddl)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
@@ -141,6 +181,16 @@ object TextIndex {
       }
     }
 
+  /** The index dir name when a FRESH index exists on `colName`. */
+  private def freshIdx(spark: SparkSession, m: Manifest,
+      colName: String): Option[String] =
+    m.props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val Array(idxName, dig) = v.split(";", 2)
+      if (dig == digestOf(m)) Some(idxName) else None
+    }
+
   /** The posting list for `term` when a FRESH index exists on `colName`:
     * `Some(candidate file names)` (possibly empty — the token is absent
     * from the corpus), `None` when no index is published or it is stale.
@@ -150,33 +200,107 @@ object TextIndex {
   def candidateFiles(spark: SparkSession, dir: Path, colName: String,
       term: String): Option[Seq[String]] = {
     val m = Manifest.read(dir).getOrElse(return None)
-    m.props.collectFirst {
-      case (k, v) if k.equalsIgnoreCase(PropPrefix + colName) => v
-    }.flatMap { v =>
-      val Array(idxName, dig) = v.split(";", 2)
-      if (dig != digestOf(m)) None
-      else Some(spark.read.parquet(dir.resolve(idxName).toString)
+    freshIdx(spark, m, colName).map { idxName =>
+      spark.read.parquet(dir.resolve(idxName).resolve("posts").toString)
         .where(col("token") === term)
-        .select(col("file")).distinct().collect().map(_.getString(0)).toSeq)
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSeq
     }
   }
+
+  private def resolveManifestTable(spark: SparkSession,
+      table: String, op: String): ManifestTable =
+    spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable]
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"$op: $table is not a graft manifest table"))
 
   /** All rows whose tokenized `colName` contains `term`. Index-assisted
     * when a FRESH index exists (candidate files from the posting list,
     * exact predicate re-applied scan-side); full scan otherwise. */
   def search(spark: SparkSession, table: String, colName: String,
       term: String): DataFrame = {
-    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if r.table.isInstanceOf[ManifestTable] =>
-        r.table.asInstanceOf[ManifestTable]
-    }.getOrElse(throw new UnsupportedOperationException(
-      s"TEXT SEARCH: $table is not a graft manifest table"))
+    val mt = resolveManifestTable(spark, table, "TEXT SEARCH")
     val pred = array_contains(split(col(colName), " "), term)
     candidateFiles(spark, mt.dir, colName, term) match {
       case Some(cand) if cand.isEmpty => spark.table(table).where(lit(false))
       case Some(cand) => scanFiles(spark, mt.dir, cand).where(pred)
       case None => spark.table(table).where(pred)
     }
+  }
+
+  /** BM25 top-k over the indexed column — the search-engine query shape
+    * with NO corpus-wide aggregation: df per query term and the corpus
+    * stats (N, avgdl) come from the index, so scoring is pure per-row
+    * math (tf from the row's own token list, dl = its length) over ONLY
+    * the files whose posting lists carry a query term; docs containing no
+    * term score 0 and can never rank, so candidate pruning is exact.
+    * Falls back to computing df/stats/candidates with full scans when the
+    * index is stale or absent — same answer, no pruning. Caveat (the
+    * Lucene deleted-docs rule): a deletion-vectored row no longer RANKS
+    * (the scan drops it) but still counts in df/N/avgdl until the next
+    * rebuild — DVs change no file names, so the digest can't see them;
+    * ranking statistics reflect the indexed state, result membership is
+    * always live-exact. Output: `idCol, n_terms (query terms present),
+    * score` — the q_text_bm25 formula (k1=1.2, b=0.75, fixed-point 1e9
+    * floor). */
+  def bm25TopK(spark: SparkSession, table: String, colName: String,
+      idCol: String, terms: Seq[String], k: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "BM25 SEARCH")
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"BM25 SEARCH: no manifest at ${mt.dir}"))
+    // (df per term, N, sum_dl, candidate rows)
+    val (dfs, nDocs, sumDl, rows) = freshIdx(spark, m, colName) match {
+      case Some(idxName) =>
+        val idxDir = mt.dir.resolve(idxName)
+        val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+          .where(col("token").isin(terms: _*))
+          .groupBy("token")
+          .agg(sum(col("n_docs")).as("df"),
+            collect_set(col("file")).as("files"))
+          .collect()
+        val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+          .collect().head
+        val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+        val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows =
+          if (cand.isEmpty) spark.table(table).where(lit(false))
+          else scanFiles(spark, mt.dir, cand)
+        (dfMap, stats.getLong(0), stats.getLong(1), rows)
+      case None =>
+        val all = spark.table(table)
+        val stats = all.agg(count(lit(1)),
+          sum(size(split(col(colName), " ")))).collect().head
+        val dfMap = terms.map { t =>
+          t -> all.where(array_contains(split(col(colName), " "), t)).count()
+        }.toMap
+        (dfMap, stats.getLong(0), stats.getLong(1), all)
+    }
+    val avgdl = sumDl.toDouble / math.max(1L, nDocs)
+    val toks = split(col(colName), " ")
+    val dl = size(toks).cast("double")
+    val parts = terms.filter(t => dfs.getOrElse(t, 0L) > 0L).map { t =>
+      val df = dfs(t).toDouble
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      (floor(lit(1e9) * lit(idf) * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl))))
+        .cast("long"),
+        when(tf > 0, 1L).otherwise(0L))
+    }
+    if (parts.isEmpty)
+      return spark.range(0).select(col("id").as(idCol),
+        lit(0L).as("n_terms"), lit(0.0).as("score")).limit(0)
+    val scoreFx = parts.map { case (p, hit) => when(hit > 0, p).otherwise(0L) }
+      .reduce(_ + _)
+    val nTerms = parts.map(_._2).reduce(_ + _)
+    rows
+      .select(col(idCol), nTerms.as("n_terms"), scoreFx.as("score_fx"))
+      .where(col("n_terms") > 0)
+      .orderBy(desc("score_fx"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_terms"),
+        (col("score_fx").cast("double") / 1e9).as("score"))
   }
 }
