@@ -88,7 +88,8 @@ object Plans {
     "q_vector_search" -> "IVF vector-index search: probe's posting list pins one file, cluster re-derived from broadcast centroids, top-k heap",
     "q_text_search_sql" -> "transparent index rewrite: plain SQL token match pins posting files post-hoc, predicate re-checked scan-side",
     "q_sample_cluster" -> "diversity sampling: bounded per-cluster window over the broadcast-assigned clustering, hash-ordered cap",
-    "q_decontaminate_semantic" -> "semantic decontamination: broadcast eval panel exploded per row, hit set anti-joined, zero corpus shuffle")
+    "q_decontaminate_semantic" -> "semantic decontamination: broadcast eval panel exploded per row, hit set anti-joined, zero corpus shuffle",
+    "q_text_bm25_indexed" -> "indexed BM25: df/stats from the index, per-row scoring over posting-union files, top-k heap — zero corpus aggregation")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
