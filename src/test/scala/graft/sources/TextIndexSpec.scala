@@ -221,6 +221,32 @@ class TextIndexSpec extends SparkSuite {
     assert(fresh.toSeq == Seq(true))
   }
 
+  test("bm25TopK: indexed ranking equals the stale-fallback recomputation") {
+    val (cat, _) = freshCatalog("tixB")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val terms = Seq("gamma", "needle")
+    val fresh = TextIndex.bm25TopK(spark, t, "text", "id", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fresh.nonEmpty && fresh.forall(_._3 > 0.0))
+    // doc 3 holds the corpus-rarest query term → top score
+    assert(fresh.head._1 == 3L, s"needle doc should rank first: ${fresh.toSeq}")
+    // staleness (an append of an unrelated doc) flips to the full-scan
+    // fallback: df/N/avgdl now INCLUDE the new doc, matching a recompute
+    Seq((7L, "nothing relevant")).toDF("id", "text").coalesce(1)
+      .writeTo(t).append()
+    val stale = TextIndex.bm25TopK(spark, t, "text", "id", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(stale.map(_._1).toSet == fresh.map(_._1).toSet,
+      "membership unchanged: the new doc carries no query term")
+    // after REFRESH the indexed stats match the fallback's exactly
+    spark.sql(s"REFRESH TEXT INDEX ON $t (text)")
+    val refreshed = TextIndex.bm25TopK(spark, t, "text", "id", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(refreshed.toSeq == stale.toSeq,
+      "indexed stats after refresh == full-scan stats")
+  }
+
   test("non-string columns refuse to index") {
     val (cat, _) = freshCatalog("tix5")
     val t = stage(cat)
