@@ -91,6 +91,15 @@ object VectorIndex {
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file"))
       val k = graft.llm.Clustering.kFor(base.count())
+      // the Lloyd loop seeds from rows with id < k (what makes the trained
+      // geometry replayable by an external oracle) — a sparse id column
+      // that leaves the anchor range empty must fail loudly, not train a
+      // zero-centroid index
+      if (base.filter(col("vec_id") < k).limit(1).count() == 0L)
+        throw new IllegalArgumentException(
+          s"CREATE VECTOR INDEX: anchor column $idCol has no values below " +
+            s"k=$k — anchors are the k lowest-id rows, so the id range " +
+            "must start at 0 (dense ids; re-key or pick another column)")
       val (assigned, cents) = graft.llm.Clustering.kmeansAssign(
         base.select("vec_id", "label", "embedding"), k, Iters)
       cents.write.parquet(idxDir.resolve("cents").toString)

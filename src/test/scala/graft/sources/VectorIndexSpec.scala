@@ -170,6 +170,20 @@ class VectorIndexSpec extends SparkSuite {
     assert(meta.toSeq == Seq(("vector", "embedding", true)))
   }
 
+  test("sparse anchor ids refuse loudly instead of training zero centroids") {
+    val cat = freshCatalog("vix8")
+    val t = s"$cat.ns.sparse"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>)")
+    Seq((1000L, 0, vec(0)), (1001L, 0, vec(1)))
+      .toDF("vec_id", "label", "embedding").writeTo(t).append()
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+        .collect()
+    }
+    assert(e.getMessage.contains("no values below"))
+  }
+
   test("non-array<float> columns refuse to index") {
     val cat = freshCatalog("vix5")
     val t = stage(cat)
