@@ -566,6 +566,19 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // SemDeDup over the vector index's TRAINED geometry ([[VectorIndex
+    // .semDedup]]) — the amortization composition: ONE clustering pays
+    // for search, diversity sampling, and near-dup pruning. A fresh index
+    // reduces dedup to a broadcast assignment + the bounded within-cluster
+    // pair join (no Lloyd loop in the query). The oracle replays the FULL
+    // pipeline (1-iter kmeans + the keep-the-outlier rule) from raw
+    // parquet, so a geometry or survivor-rule regression hash-fails.
+    "q_dedup_semantic_indexed" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      VectorIndex.semDedup(s, s"$cat.q.emb", "embedding", "label")
+        .orderBy("vec_id")
+    }),
+
     // MULTI-PROBE vector search (PROBES 2) — the IVF recall knob through
     // the oracle gate: the probe's TWO nearest stored centroids' lists
     // rank together (boundary-straddling neighbors surface at 2× candidate
@@ -2076,6 +2089,8 @@ object SourceQueries extends QueryModule {
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
     },
+    // The full SemDeDup pipeline replayed at the index's training depth.
+    "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

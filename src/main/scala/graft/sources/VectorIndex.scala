@@ -165,6 +165,41 @@ object VectorIndex {
     (appended.length.toLong, false)
   }
 
+  /** SemDeDup over the index's TRAINED geometry — the amortization story:
+    * one clustering pays for search ([[search]]), diversity sampling, AND
+    * near-dup pruning. No file pruning here (dedup reads every row); the
+    * saving is skipping the Lloyd loop — a fresh index reduces dedup to
+    * one broadcast assignment plus the bounded within-cluster pair join.
+    * Stale index retrains on the fly (identical output to a rebuild).
+    * Output: (vec_id, label, list_id, c2c) survivors — the
+    * [[graft.llm.Clustering.semSurvivors]] keep-the-outlier rule. */
+  def semDedup(spark: SparkSession, table: String, colName: String,
+      labelCol: String): DataFrame = {
+    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable]
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"SEMANTIC DEDUP: $table is not a graft manifest table"))
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"SEMANTIC DEDUP: no manifest at ${mt.dir}"))
+    val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"SEMANTIC DEDUP: no vector index on $table ($colName)"))
+    val Array(idxName, idCol, dig) = prop.split(";", 3)
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    val rows = scanFiles(spark, mt.dir, names)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(colName).as("embedding"))
+    val cents =
+      if (dig == digestOf(m))
+        spark.read.parquet(mt.dir.resolve(idxName).resolve("cents").toString)
+      else graft.llm.Clustering.kmeansAssign(
+        rows, graft.llm.Clustering.kFor(rows.count()), Iters)._2
+    val assigned = graft.llm.Similarity.assignLists(rows, cents)
+    graft.llm.Clustering.semSurvivors(assigned, cents)
+  }
+
   /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
   def drop(spark: SparkSession, dir: Path, colName: String): Unit =
     ManifestLock.withLock(dir) {
