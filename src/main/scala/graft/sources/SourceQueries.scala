@@ -579,6 +579,16 @@ object SourceQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Diversity sampling over the index's trained geometry — the third
+    // leg of the amortization (search C193, dedup C202): each stored
+    // cluster's capped hash-ordered members, zero clustering work in the
+    // query. Oracle = the full depth-1 replay (identical to
+    // q_sample_cluster's, which recomputes the same geometry).
+    "q_sample_cluster_indexed" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      VectorIndex.clusterSample(s, s"$cat.q.emb", "embedding", "label")
+    }),
+
     // MULTI-PROBE vector search (PROBES 2) — the IVF recall knob through
     // the oracle gate: the probe's TWO nearest stored centroids' lists
     // rank together (boundary-straddling neighbors surface at 2× candidate
@@ -2091,6 +2101,8 @@ object SourceQueries extends QueryModule {
     },
     // The full SemDeDup pipeline replayed at the index's training depth.
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
+    // The full diversity-sample replay at the index's training depth.
+    "q_sample_cluster_indexed" -> graft.llm.Clustering.sqlClusterSample(1),
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

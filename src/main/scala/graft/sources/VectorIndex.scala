@@ -175,17 +175,42 @@ object VectorIndex {
     * [[graft.llm.Clustering.semSurvivors]] keep-the-outlier rule. */
   def semDedup(spark: SparkSession, table: String, colName: String,
       labelCol: String): DataFrame = {
+    val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
+      "SEMANTIC DEDUP")
+    graft.llm.Clustering.semSurvivors(
+      graft.llm.Similarity.assignLists(rows, cents), cents)
+  }
+
+  /** Diversity-balanced sampling over the index's TRAINED geometry — the
+    * third leg of the amortization ([[search]], [[semDedup]]): each stored
+    * cluster's capped hash-ordered members, with zero clustering work in
+    * the query when the index is fresh. Stale index retrains (identical
+    * output to a rebuild). Output: (list_id, rk, vec_id, label). */
+  def clusterSample(spark: SparkSession, table: String, colName: String,
+      labelCol: String): DataFrame = {
+    val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
+      "CLUSTER SAMPLE")
+    graft.llm.Clustering.clusterSample(
+      graft.llm.Similarity.assignLists(rows, cents))
+  }
+
+  /** Shared resolution for the trained-geometry compositions: all live
+    * rows re-keyed to the Lloyd helper's schema, plus the stored (fresh)
+    * or retrained (stale) centroids. */
+  private def rowsAndCents(spark: SparkSession, table: String,
+      colName: String, labelCol: String, op: String)
+      : (DataFrame, DataFrame) = {
     val mt = spark.table(table).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         if r.table.isInstanceOf[ManifestTable] =>
         r.table.asInstanceOf[ManifestTable]
     }.getOrElse(throw new UnsupportedOperationException(
-      s"SEMANTIC DEDUP: $table is not a graft manifest table"))
+      s"$op: $table is not a graft manifest table"))
     val m = Manifest.read(mt.dir).getOrElse(
-      throw new IllegalStateException(s"SEMANTIC DEDUP: no manifest at ${mt.dir}"))
+      throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
     val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
       throw new IllegalStateException(
-        s"SEMANTIC DEDUP: no vector index on $table ($colName)"))
+        s"$op: no vector index on $table ($colName)"))
     val Array(idxName, idCol, dig) = prop.split(";", 3)
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val rows = scanFiles(spark, mt.dir, names)
@@ -196,8 +221,7 @@ object VectorIndex {
         spark.read.parquet(mt.dir.resolve(idxName).resolve("cents").toString)
       else graft.llm.Clustering.kmeansAssign(
         rows, graft.llm.Clustering.kFor(rows.count()), Iters)._2
-    val assigned = graft.llm.Similarity.assignLists(rows, cents)
-    graft.llm.Clustering.semSurvivors(assigned, cents)
+    (rows, cents)
   }
 
   /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
