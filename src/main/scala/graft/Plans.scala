@@ -89,7 +89,10 @@ object Plans {
     "q_text_search_sql" -> "transparent index rewrite: plain SQL token match pins posting files post-hoc, predicate re-checked scan-side",
     "q_sample_cluster" -> "diversity sampling: bounded per-cluster window over the broadcast-assigned clustering, hash-ordered cap",
     "q_decontaminate_semantic" -> "semantic decontamination: broadcast eval panel exploded per row, hit set anti-joined, zero corpus shuffle",
-    "q_text_bm25_indexed" -> "indexed BM25: df/stats from the index, per-row scoring over posting-union files, top-k heap — zero corpus aggregation")
+    "q_text_bm25_indexed" -> "indexed BM25: df/stats from the index, per-row scoring over posting-union files, top-k heap — zero corpus aggregation",
+    "q_vector_search_mp" -> "multi-probe IVF: two posting lists pin two files, rows re-derive clusters from broadcast centroids",
+    "q_dedup_semantic_indexed" -> "indexed SemDeDup: stored-centroid assignment + bounded within-cluster pair join — no Lloyd loop in the query",
+    "q_sample_cluster_indexed" -> "indexed diversity sampling: stored-centroid assignment + bounded per-cluster hash-capped window")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
