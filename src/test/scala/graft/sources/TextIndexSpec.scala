@@ -247,6 +247,44 @@ class TextIndexSpec extends SparkSuite {
       "indexed stats after refresh == full-scan stats")
   }
 
+  test("streaming ingest keeps an autoRefresh index fresh per epoch") {
+    val (cat, _) = freshCatalog("tixC")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('index.autoRefresh' = 'true')")
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    // the streaming-ingest-into-lakehouse loop: file-source stream,
+    // foreachBatch appends into the managed table — the post-commit hook
+    // must refresh the index each epoch, no scheduler anywhere
+    val base = Files.createTempDirectory("tix_stream_")
+    val landing = base.resolve("landing")
+    Files.createDirectories(landing)
+    Seq((20L, "streamed needle"), (21L, "streamed hay"))
+      .toDF("id", "text").coalesce(1)
+      .write.parquet(base.resolve("tmp").toString)
+    val part = { val s = Files.list(base.resolve("tmp")); try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    } finally s.close() }
+    Files.copy(part, landing.resolve("batch1.parquet"))
+    val q = spark.readStream.schema("id BIGINT, text STRING")
+      .parquet(landing.toString)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.coalesce(1).writeTo(t).append()
+      }
+      .start()
+    q.awaitTermination()
+    // no manual REFRESH: the epoch's commit already refreshed the index
+    val res = TextIndex.search(spark, t, "text", "needle")
+    assert(res.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 20L))
+    assert(plannedFiles(res) == 2, "streamed epoch indexed incrementally")
+    val fresh = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(_.getBoolean(0))
+    assert(fresh.toSeq == Seq(true))
+  }
+
   test("non-string columns refuse to index") {
     val (cat, _) = freshCatalog("tix5")
     val t = stage(cat)
