@@ -579,6 +579,21 @@ object SourceQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // FILTERED vector search — the classic filtered-ANN correctness trap
+    // through the oracle gate: the metadata predicate narrows CANDIDATES
+    // before the top-k (filtering a top-k's output under-fills it), and
+    // composes with the index's file pruning. The oracle replays the
+    // same order: filter, then rank within the probe's list.
+    "q_vector_search_filtered" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.searchWhere(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 1, col("label") % 2 === 0)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
     // Diversity sampling over the index's trained geometry — the third
     // leg of the amortization (search C193, dedup C202): each stored
     // cluster's capped hash-ordered members, zero clustering work in the
@@ -2103,6 +2118,17 @@ object SourceQueries extends QueryModule {
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
     // The full diversity-sample replay at the index's training depth.
     "q_sample_cluster_indexed" -> graft.llm.Clustering.sqlClusterSample(1),
+    // Filtered IVF replay: predicate before the top-k, as the engine.
+    "q_vector_search_filtered" -> {
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |probe AS (SELECT embedding AS pv, list_id AS p_list
+         |          FROM a1 WHERE vec_id = 0)
+         |SELECT a.vec_id, a.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |FROM a1 a JOIN probe p ON a.list_id = p.p_list
+         |WHERE a.label % 2 = 0
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+    },
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

@@ -242,7 +242,18 @@ object VectorIndex {
     * posting lists; stale → retrain on the fly (same result, no pruning).
     * Output: the id column, `sim`, `list_id`. */
   def search(spark: SparkSession, table: String, colName: String,
-      probe: Array[Float], topK: Int, probes: Int = 1): DataFrame = {
+      probe: Array[Float], topK: Int, probes: Int = 1): DataFrame =
+    searchWhere(spark, table, colName, probe, topK, probes, lit(true))
+
+  /** FILTERED IVF search — the predicate composes BEFORE the top-k (the
+    * classic filtered-ANN correctness trap: filtering a top-k's output
+    * under-fills the result; the filter must narrow the CANDIDATES). The
+    * predicate references the table's own columns and is evaluated
+    * scan-side over the probed lists' files — file pruning and metadata
+    * filtering stack. */
+  def searchWhere(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int, probes: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
     val mt = spark.table(table).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         if r.table.isInstanceOf[ManifestTable] =>
@@ -288,19 +299,26 @@ object VectorIndex {
       if (cand.isEmpty) return spark.range(0)
         .select(col("id").as("vec_id"), lit(0).as("list_id"),
           lit(0.0).as("sim")).limit(0)
-      val rows = scanFiles(spark, mt.dir, cand.toSeq)
+      // the metadata predicate narrows CANDIDATES, before the top-k —
+      // applied on the raw scan so it sees the table's own column names
+      val rows = scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"))
       ranked(rows, cents)
     } else {
       // stale: retrain from the declared anchors over the CURRENT rows —
-      // exactly what a rebuild would answer, minus the file pruning
-      val rows = scanFiles(spark, mt.dir, names)
+      // exactly what a rebuild would answer, minus the file pruning. The
+      // geometry trains on the UNFILTERED corpus (it is a corpus-level
+      // artifact); the predicate narrows only the ranked candidates.
+      val all = scanFiles(spark, mt.dir, names)
+      val rows = all
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"))
       val (_, cents) = graft.llm.Clustering.kmeansAssign(
         rows, graft.llm.Clustering.kFor(rows.count()), Iters)
-      ranked(rows, cents)
+      ranked(all.where(predicate)
+        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding")), cents)
     }
   }
 }
