@@ -683,6 +683,60 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // PHRASE search through the oracle gate ([[TextIndex.phraseSearch]]):
+    // the single-token index answers the contiguous-token query by
+    // posting-list INTERSECTION (every phrase token must appear in a
+    // file), exact contiguity re-checked scan-side. The probe is the
+    // corpus-rarest ATTESTED bigram (min distinct-doc frequency,
+    // alphabetical tie-break — SF-stable); in-query asserts pin planning
+    // to the intersection.
+    "q_text_phrase_search" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions._
+      val t = split(col("text"), " ")
+      val bgs = filter(
+        zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => when(length(a) > 0 && length(b) > 0,
+            concat(a, lit(" "), b))),
+        x => x.isNotNull)
+      val phrase = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(bgs).as("bigram")).distinct()
+        .groupBy("bigram").count()
+        .orderBy(col("count"), col("bigram")).limit(1)
+        .collect().head.getString(0)
+      val res = TextIndex.phraseSearch(s, s"$cat.q.docs", "text", phrase)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val nCand = phrase.split(" ").toSeq
+        .map(t0 => TextIndex.candidateFiles(s, dir, "text", t0).getOrElse(
+          sys.error("q_text_phrase_search: index unexpectedly stale")).toSet)
+        .reduce(_ intersect _).size
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(planned == nCand,
+        s"phrase search should plan the $nCand intersection files, planned $planned")
+      res
+    }),
+
     // Index-accelerated BM25 through the oracle gate ([[TextIndex.bm25TopK]]):
     // the search-engine top-k with NO corpus-wide aggregation — df per
     // query term and the corpus stats (N, avgdl) ride the index, scoring
@@ -2155,6 +2209,23 @@ object SourceQueries extends QueryModule {
          |WHERE a.list_id = pl.l1 OR a.list_id = pl.l2
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
     },
+    // Rarest-attested-bigram phrase match recomputed from raw parquet:
+    // same bigram derivation, same contiguity semantics.
+    "q_text_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))
+        |            if t[i] <> '' and t[i+1] <> '']) AS bigram
+        |  FROM toks WHERE len(t) > 1),
+        |rb AS (
+        |  SELECT bigram FROM (
+        |    SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM bg GROUP BY bigram)
+        |  ORDER BY df, bigram LIMIT 1)
+        |SELECT d.doc_id, d.source FROM documents d, rb
+        |WHERE contains(' ' || d.text || ' ', ' ' || rb.bigram || ' ')
+        |ORDER BY doc_id""".stripMargin,
     // The full BM25 recomputation — identical to q_text_bm25's oracle:
     // the index only changes WHICH files scan, never the answer.
     "q_text_bm25_indexed" ->

@@ -230,6 +230,29 @@ object TextIndex {
     }
   }
 
+  /** PHRASE search — contiguous-token match over the indexed column. The
+    * single-token index answers phrase queries by INTERSECTION: every
+    * phrase token must appear in a file for the phrase to, so candidates
+    * = ∩ of the tokens' posting lists (often far smaller than any single
+    * list), and the exact contiguity re-check runs scan-side
+    * (`' '||col||' ' contains ' '||phrase||' '` — whitespace-tokenizer
+    * phrase semantics). Stale/absent index falls back to the full scan
+    * with the same predicate. */
+  def phraseSearch(spark: SparkSession, table: String, colName: String,
+      phrase: String): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "PHRASE SEARCH")
+    val tokens = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(tokens.nonEmpty, "PHRASE SEARCH: empty phrase")
+    val pred = concat(lit(" "), col(colName), lit(" "))
+      .contains(" " + phrase + " ")
+    val lists = tokens.map(t => candidateFiles(spark, mt.dir, colName, t))
+    if (lists.exists(_.isEmpty)) // stale or no index
+      return spark.table(table).where(pred)
+    val cand = lists.flatten.map(_.toSet).reduce(_ intersect _)
+    if (cand.isEmpty) spark.table(table).where(lit(false))
+    else scanFiles(spark, mt.dir, cand.toSeq).where(pred)
+  }
+
   /** BM25 top-k over the indexed column — the search-engine query shape
     * with NO corpus-wide aggregation: df per query term and the corpus
     * stats (N, avgdl) come from the index, so scoring is pure per-row

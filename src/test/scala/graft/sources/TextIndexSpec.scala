@@ -285,6 +285,30 @@ class TextIndexSpec extends SparkSuite {
     assert(fresh.toSeq == Seq(true))
   }
 
+  test("phraseSearch: intersection pruning, contiguity exactness, fallbacks") {
+    val (cat, _) = freshCatalog("tixD")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    // 'needle in' is contiguous only in doc 3; the token intersection is
+    // exactly that doc's file
+    val hit = TextIndex.phraseSearch(spark, t, "text", "needle in")
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(hit) == 1)
+    // both tokens exist ('gamma' files 1+2, 'hay' files 2+3) but never
+    // contiguously in intersection file 2 — zero rows, one file planned
+    val miss = TextIndex.phraseSearch(spark, t, "text", "gamma needle")
+    assert(miss.count() == 0L)
+    // disjoint postings → empty intersection → zero files planned
+    val none = TextIndex.phraseSearch(spark, t, "text", "alpha zzz")
+    assert(none.count() == 0L && plannedFiles(none) == 0)
+    // stale → full scan, still exact
+    Seq((8L, "a needle in time")).toDF("id", "text").coalesce(1)
+      .writeTo(t).append()
+    val stale = TextIndex.phraseSearch(spark, t, "text", "needle in")
+    assert(stale.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 8L))
+    assert(plannedFiles(stale) == 4)
+  }
+
   test("non-string columns refuse to index") {
     val (cat, _) = freshCatalog("tix5")
     val t = stage(cat)
