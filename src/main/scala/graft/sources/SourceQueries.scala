@@ -170,6 +170,39 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The HYBRID corpus `q_search_hybrid_indexed` reads: documents joined
+    * to their embeddings (one row per id with BOTH modalities — at sf0.1
+    * only 2000 of 5000 docs embed, so the corpus is the join by
+    * definition), one commit per source, BOTH secondary indexes built at
+    * staging — staged ONCE per (JVM, sfDir). */
+  private val stagedHybridBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageHybridBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedHybridBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stageh_")
+      val cat = s"graftstgh${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.corpus " +
+        "(id BIGINT, source STRING, text STRING, embedding ARRAY<FLOAT>)")
+      val corpus = Tables(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"), col("text"))
+        .join(Tables(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")), "id")
+      corpus.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          corpus.filter(corpus("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.corpus").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.corpus (text)").collect()
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.corpus (embedding) ANCHORS (id)")
+        .collect()
+      cat
+    })
+
   /** The VALUE-CLUSTERED documents base `q_topn_pushdown` reads: ten
     * commits, each a contiguous doc_id range (the layout OPTIMIZE ZORDER
     * or a time-ordered ingest produces naturally), staged ONCE per
@@ -681,6 +714,38 @@ object SourceQueries extends QueryModule {
       assert(nCand >= 0 && planned == nCand,
         s"transparent rewrite should plan the $nCand posting files, planned $planned")
       res
+    }),
+
+    // INDEXED hybrid retrieval — the capstone composition: BOTH indexes
+    // on ONE managed corpus, RRF-fusing indexed BM25 (df/stats from the
+    // token index, posting-union scan) with IVF vector search (probe's
+    // posting list) — bounded top-50 per ranker, 50×50 fusion, exactly
+    // the q_search_hybrid dataflow with both rankers index-accelerated.
+    // The oracle replays both rankers from raw parquet (the BM25 side
+    // over the JOINED corpus — the hybrid table's definition).
+    "q_search_hybrid_indexed" -> ((s, d) => {
+      val cat = stageHybridBase(s, d)
+      val t = s"$cat.q.corpus"
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.IntegerType
+      val bm = TextIndex.bm25TopK(s, t, "text", "id",
+          graft.llm.Text.Bm25Terms, 50)
+        .withColumn("r_bm25", row_number().over(
+          Window.orderBy(desc("score"), col("id"))).cast(IntegerType))
+        .select(col("id"), col("r_bm25"))
+      val probe = s.table(t).where(col("id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val cos = VectorIndex.search(s, t, "embedding", probe, 50)
+        .withColumn("r_cos", row_number().over(
+          Window.orderBy(desc("sim"), col("vec_id"))).cast(IntegerType))
+        .select(col("vec_id").as("id"), col("r_cos"))
+      bm.join(cos, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+        .orderBy(desc("rrf"), col("id")).limit(10)
+        .select(col("id"), col("r_bm25"), col("r_cos"), col("rrf"))
     }),
 
     // PHRASE search through the oracle gate ([[TextIndex.phraseSearch]]):
@@ -2208,6 +2273,38 @@ object SourceQueries extends QueryModule {
          |FROM a1 a, probe p, pl
          |WHERE a.list_id = pl.l1 OR a.list_id = pl.l2
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+    },
+    // Both rankers replayed from raw parquet and RRF-fused. The BM25 side
+    // reads the JOINED corpus (the hybrid table's definition — at sf0.1
+    // only embedded docs participate); the vector side is plain
+    // embeddings (every vec_id has a doc at all SFs, so the join is the
+    // identity there).
+    "q_search_hybrid_indexed" -> {
+      val joinedBm25 = graft.llm.Text.sqlBm25PerDoc.replace(
+        "FROM documents",
+        "FROM (SELECT d.doc_id, d.text FROM documents d " +
+          "JOIN embeddings e ON d.doc_id = e.vec_id)")
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |probe AS (SELECT embedding AS pv, list_id AS p_list
+         |          FROM a1 WHERE vec_id = 0),
+         |cosr AS (
+         |  SELECT vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS r_cos
+         |  FROM (
+         |    SELECT a.vec_id,
+         |      ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |    FROM a1 a JOIN probe p ON a.list_id = p.p_list
+         |    ORDER BY sim DESC, a.vec_id LIMIT 50)),
+         |bmr AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INTEGER) AS r_bm25
+         |  FROM (SELECT * FROM ($joinedBm25) pd
+         |        ORDER BY score_fx DESC, doc_id LIMIT 50))
+         |SELECT COALESCE(b.id, c.id) AS id, b.r_bm25, c.r_cos,
+         |  COALESCE(1.0 / (60 + b.r_bm25), 0.0) +
+         |    COALESCE(1.0 / (60 + c.r_cos), 0.0) AS rrf
+         |FROM bmr b FULL OUTER JOIN cosr c ON b.id = c.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
     },
     // Rarest-attested-bigram phrase match recomputed from raw parquet:
     // same bigram derivation, same contiguity semantics.
