@@ -92,7 +92,10 @@ object Plans {
     "q_text_bm25_indexed" -> "indexed BM25: df/stats from the index, per-row scoring over posting-union files, top-k heap — zero corpus aggregation",
     "q_vector_search_mp" -> "multi-probe IVF: two posting lists pin two files, rows re-derive clusters from broadcast centroids",
     "q_dedup_semantic_indexed" -> "indexed SemDeDup: stored-centroid assignment + bounded within-cluster pair join — no Lloyd loop in the query",
-    "q_sample_cluster_indexed" -> "indexed diversity sampling: stored-centroid assignment + bounded per-cluster hash-capped window")
+    "q_sample_cluster_indexed" -> "indexed diversity sampling: stored-centroid assignment + bounded per-cluster hash-capped window",
+    "q_vector_search_filtered" -> "filtered IVF: metadata predicate narrows candidates BEFORE the top-k, scan-side over the probed list's files",
+    "q_text_phrase_search" -> "phrase search: posting-list intersection pins files, scan-side contiguity re-check",
+    "q_search_hybrid_indexed" -> "indexed hybrid: RRF fusion of indexed BM25 + IVF search, bounded top-50 per ranker, zero corpus-wide work")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
