@@ -1568,6 +1568,10 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   // surviving rows (the without-change-files approximation, as Delta
   // without CDF).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // feature gate on READS too: a table requiring semantics this engine
+    // does not implement must refuse, not silently misread
+    Manifest.read(dir).foreach(m =>
+      ManifestTable.assertFeatures(m.props, "scan"))
     val changesFrom = Option(options.get("changesFrom")).map(_.toInt)
     val streamOpts = Seq("maxFilesPerTrigger", "maxRowsPerTrigger",
         "startingVersion", "startingTimestamp", "skipChangeCommits",
@@ -2219,12 +2223,47 @@ private[graft] object ManifestTable {
   /** Refuse any mutation of an IMMUTABLE TAG directory ([[Tag]]): the
     * pinned manifest carries [[Tag.PinProp]], and a tag must never
     * diverge — that is the whole reproducible-release contract. */
-  private[graft] def assertWritable(dir: Path, op: String): Unit =
-    Manifest.read(dir).flatMap(_.props.get(Tag.PinProp)).foreach { v =>
+  /** TABLE FEATURES this engine implements (the Delta table-features
+    * protocol idea): a table may declare
+    * `TBLPROPERTIES('feature.required.<name>' = 'true')` and every reader
+    * and writer must refuse the table unless it KNOWS <name> — forward
+    * compatibility done honestly: an older engine fails loudly instead of
+    * silently misreading state written under semantics it predates. */
+  private[graft] val SupportedFeatures: Set[String] = Set(
+    "deletionvectors", "rowtracking", "changefeed", "clusterby",
+    "tokenindex", "vectorindex", "generatedcolumns", "identitycolumns",
+    "defaults", "constraints", "branches", "tags", "copyinto",
+    "autocompact", "autorefresh")
+
+  private val FeatureReqPrefix = GraftCatalog.TblPropPrefix + "feature.required."
+
+  /** Refuse tables that REQUIRE a feature this engine does not implement
+    * — checked on every scan and every write admission. */
+  private[graft] def assertFeatures(props: Map[String, String],
+      op: String): Unit = {
+    val unknown = props.keys
+      .filter(_.startsWith(FeatureReqPrefix))
+      .map(_.stripPrefix(FeatureReqPrefix))
+      .filterNot(f => SupportedFeatures(f.toLowerCase))
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"$op: table requires feature(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        "this engine does not implement — upgrade the engine, or UNSET " +
+        "TBLPROPERTIES ('feature.required.<name>') if the requirement was " +
+        "declared in error")
+  }
+
+  private[graft] def assertWritable(dir: Path, op: String): Unit = {
+    val m = Manifest.read(dir)
+    // ALTER TABLE stays allowed on a feature-gated table — it is the
+    // escape hatch that UNSETs a mistaken requirement (Delta's protocol
+    // downgrade); data reads/writes stay refused until then
+    if (op != "ALTER TABLE") m.foreach(mm => assertFeatures(mm.props, op))
+    m.flatMap(_.props.get(Tag.PinProp)).foreach { v =>
       throw new UnsupportedOperationException(
         s"$op: $dir is an immutable TAG (pinned at version $v) — tags " +
           "never change; write to the table itself, or DROP TAG first")
     }
+  }
 
   private[graft] def publishReplacing(dir: Path, base: Manifest,
       replaced: Seq[String], rewritten: Seq[ManifestFile],
