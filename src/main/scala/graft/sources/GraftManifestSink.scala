@@ -1568,10 +1568,6 @@ private[graft] class ManifestTable(val dir: Path, writeSchema: StructType,
   // surviving rows (the without-change-files approximation, as Delta
   // without CDF).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // feature gate on READS too: a table requiring semantics this engine
-    // does not implement must refuse, not silently misread
-    Manifest.read(dir).foreach(m =>
-      ManifestTable.assertFeatures(m.props, "scan"))
     val changesFrom = Option(options.get("changesFrom")).map(_.toInt)
     val streamOpts = Seq("maxFilesPerTrigger", "maxRowsPerTrigger",
         "startingVersion", "startingTimestamp", "skipChangeCommits",
@@ -3672,6 +3668,10 @@ private[sources] class ManifestScanBuilder(dir: Path, snapshot: Option[Int],
         s"(have: ${Manifest.snapshotVersions(dir).mkString(", ")})"))
     case None => Manifest.read(dir)
   }
+  // feature gate on READS, against the manifest THIS scan resolves: a
+  // pinned snapshot may require features the current version no longer
+  // declares — data written under newer semantics refuses older readers
+  manifest.foreach(m => ManifestTable.assertFeatures(m.props, "scan"))
   private val full = manifest.map(_.schema).getOrElse(StructType(Nil))
   private var required: StructType = full
   // position of the requested `_file` METADATA column in the required
