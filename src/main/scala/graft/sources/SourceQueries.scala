@@ -612,6 +612,31 @@ object SourceQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // RECALL AUDIT for the vector index through the oracle gate (the
+    // number a production ANN deployment monitors, kept oracle-certified
+    // like q_similarity_recall): recall@10 of the INDEX path vs the exact
+    // brute-force top-10 over the same managed corpus. A trained-geometry
+    // regression (anchor drift, posting loss, tie-break change) moves the
+    // recall and hash-fails the driver gate.
+    "q_vector_search_recall" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions._
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val approx = VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10)
+        .select(col("vec_id"))
+      val pv = typedLit(probe.toSeq)
+      val exact = t.select(col("vec_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // FILTERED vector search — the classic filtered-ANN correctness trap
     // through the oracle gate: the metadata predicate narrows CANDIDATES
     // before the top-k (filtering a top-k's output under-fills it), and
@@ -2237,6 +2262,28 @@ object SourceQueries extends QueryModule {
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
     // The full diversity-sample replay at the index's training depth.
     "q_sample_cluster_indexed" -> graft.llm.Clustering.sqlClusterSample(1),
+    // Exact top-10 vs the IVF replay's top-10, joined — recall as data.
+    "q_vector_search_recall" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed("embedding", "p.pv")
+      val ivf = graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |p AS (SELECT embedding AS pv, list_id AS p_list
+         |      FROM a1 WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, $dot AS sim FROM embeddings e, p
+         |    ORDER BY sim DESC, vec_id LIMIT 10)),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT a.vec_id, $ivf AS sim
+         |    FROM a1 a JOIN p ON a.list_id = p.p_list
+         |    ORDER BY sim DESC, a.vec_id LIMIT 10))
+         |SELECT COUNT(*) AS n_true,
+         |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
+         |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin
+    },
     // Filtered IVF replay: predicate before the top-k, as the engine.
     "q_vector_search_filtered" -> {
       s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
