@@ -637,6 +637,30 @@ object SourceQueries extends QueryModule {
           (col("n_found").cast("double") / col("n_true")).as("recall"))
     }),
 
+    // The recall KNOB proven through the gate: the same audit at
+    // probes=2 — multi-probe must not lower recall, and on this fixture
+    // it raises it; both numbers are oracle-certified, so the knob's
+    // effect is itself regression-gated.
+    "q_vector_search_recall_mp" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions._
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val approx = VectorIndex.search(s, s"$cat.q.emb", "embedding", probe,
+          10, probes = 2)
+        .select(col("vec_id"))
+      val pv = typedLit(probe.toSeq)
+      val exact = t.select(col("vec_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // FILTERED vector search — the classic filtered-ANN correctness trap
     // through the oracle gate: the metadata predicate narrows CANDIDATES
     // before the top-k (filtering a top-k's output under-fills it), and
@@ -2277,6 +2301,43 @@ object SourceQueries extends QueryModule {
          |  SELECT vec_id FROM (
          |    SELECT a.vec_id, $ivf AS sim
          |    FROM a1 a JOIN p ON a.list_id = p.p_list
+         |    ORDER BY sim DESC, a.vec_id LIMIT 10))
+         |SELECT COUNT(*) AS n_true,
+         |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
+         |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin
+    },
+    // Exact top-10 vs the TWO-LIST replay's top-10 (masked-max runner-up).
+    "q_vector_search_recall_mp" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed("embedding", "pl.pv")
+      val ivf = graft.llm.PortableHash.sqlDotFixed("a.embedding", "pl.pv")
+      val pdot = graft.llm.PortableHash.sqlDotFixed("e.embedding", "r.cl[ci]")
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |pd AS (
+         |  SELECT r.ids AS ids,
+         |    [$pdot for ci in range(1, len(r.cl) + 1)] AS dots
+         |  FROM embeddings e, ref1 r WHERE e.vec_id = 0),
+         |pm AS (
+         |  SELECT ids, dots, list_position(dots, list_max(dots)) AS p1
+         |  FROM pd),
+         |pl2 AS (
+         |  SELECT ids[p1] AS l1,
+         |    ids[list_position(md, list_max(md))] AS l2
+         |  FROM (SELECT ids, p1,
+         |      [CASE WHEN i = p1 THEN -1e18 ELSE dots[i] END
+         |       for i in range(1, len(dots) + 1)] AS md
+         |    FROM pm)),
+         |pl AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, $dot AS sim FROM embeddings e, pl
+         |    ORDER BY sim DESC, vec_id LIMIT 10)),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT a.vec_id, $ivf AS sim
+         |    FROM a1 a, pl, pl2
+         |    WHERE a.list_id = pl2.l1 OR a.list_id = pl2.l2
          |    ORDER BY sim DESC, a.vec_id LIMIT 10))
          |SELECT COUNT(*) AS n_true,
          |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
