@@ -170,6 +170,29 @@ class VectorIndexSpec extends SparkSuite {
     assert(meta.toSeq == Seq(("vector", "embedding", true)))
   }
 
+  test("searchWhere: the predicate narrows candidates before the top-k") {
+    val cat = freshCatalog("vix9")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // probe blob A; its list is all label 0 — a label=1 predicate empties
+    // the CANDIDATES (it must not fall through to blob B's list)
+    val none = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, col("label") === 1)
+    assert(none.count() == 0L,
+      "filter empties the probed list; no spillover to other lists")
+    // a matching predicate behaves like the unfiltered search
+    val same = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, col("label") === 0)
+    assert(same.select("vec_id").as[Long].collect().toSet ==
+      VectorIndex.search(spark, t, "embedding", vec(0), 5)
+        .select("vec_id").as[Long].collect().toSet)
+    // a partial predicate under-fills rather than back-fills: only the
+    // matching members rank (the filtered-ANN contract)
+    val part = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, col("vec_id") < 2)
+    assert(part.select("vec_id").as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("sparse anchor ids refuse loudly instead of training zero centroids") {
     val cat = freshCatalog("vix8")
     val t = s"$cat.ns.sparse"
