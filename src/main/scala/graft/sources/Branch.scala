@@ -56,11 +56,15 @@ private[graft] object Branch {
     Files.createDirectories(bdir)
     val base = Manifest.snapshotVersions(dir).lastOption.getOrElse(0)
     // same prop hygiene as SHALLOW CLONE: streaming epoch fences must not
-    // ride into the branch (a resumed query would drop epochs as replays)
+    // ride into the branch (a resumed query would drop epochs as replays),
+    // and the predecessor-relative layout-commit stamp must not either —
+    // inherited, the branch's first state vs its empty predecessor would
+    // misclassify as a layout commit and branch CDF would emit nothing
     val props = m.props.filterNot(p =>
         p._1 == Manifest.LastEpochProp ||
         p._1.startsWith(Manifest.LastEpochProp + ".") ||
-        p._1 == Manifest.CdcDirProp) +
+        p._1 == Manifest.CdcDirProp ||
+        p._1 == Manifest.DataChangeStampProp) +
       (Manifest.CloneSourceProp -> dir.toAbsolutePath.toString) +
       (BaseProp -> base.toString)
     Manifest.write(bdir, Manifest(m.schema, m.entries, props, m.segments))
@@ -107,9 +111,16 @@ private[graft] object Branch {
       }
       bm.segments.foreach { case (n, _) => moveHome(n) }
       // the branch's last DML CDC pointer dies with the ref — a published
-      // fast-forward's change semantics are the read-time NET diff
+      // fast-forward's change semantics are the read-time NET diff. The
+      // layout-commit stamp is predecessor-relative ON MAIN'S CHAIN: the
+      // published manifest must carry main's CURRENT stamp (a branch-side
+      // OPTIMIZE's fresh stamp would misclassify this genuine data-change
+      // publish as a layout commit and CDF would silently skip it)
+      val mainStamp = Manifest.read(dir)
+        .flatMap(_.props.get(Manifest.DataChangeStampProp))
       val props = bm.props - Manifest.CloneSourceProp - BaseProp -
-        Manifest.CdcDirProp
+        Manifest.CdcDirProp - Manifest.DataChangeStampProp ++
+        mainStamp.map(Manifest.DataChangeStampProp -> _)
       Manifest.write(dir, Manifest(bm.schema, bm.entries, props, bm.segments))
     }
     // the published state is live; the branch ref is spent
@@ -187,7 +198,8 @@ private[graft] object Tag {
     val props = m.props.filterNot(p =>
         p._1 == Manifest.LastEpochProp ||
         p._1.startsWith(Manifest.LastEpochProp + ".") ||
-        p._1 == Manifest.CdcDirProp) +
+        p._1 == Manifest.CdcDirProp ||
+        p._1 == Manifest.DataChangeStampProp) +
       (Manifest.CloneSourceProp -> dir.toAbsolutePath.toString) +
       (PinProp -> v.toString)
     Manifest.write(tdir, Manifest(m.schema, m.entries, props, m.segments))

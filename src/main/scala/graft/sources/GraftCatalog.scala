@@ -224,10 +224,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // WRITABLE table pinned at the tagged state (the reproducible-
     // experiment fork), not a second immutable ref; a branch's fork
     // version is meaningless outside its parent directory
+    // the layout-commit stamp is PREDECESSOR-RELATIVE (a commit is a
+    // layout commit iff the stamp CHANGED vs its predecessor): inherited
+    // into a clone whose predecessor is "no table", the clone's first
+    // state would misclassify as a layout commit and CDF/streaming reads
+    // from v0 would silently emit nothing
     val props = src.props.filterNot(p =>
         p._1 == Manifest.LastEpochProp ||
         p._1.startsWith(Manifest.LastEpochProp + ".") ||
         p._1 == Manifest.CdcDirProp ||
+        p._1 == Manifest.DataChangeStampProp ||
         p._1 == Tag.PinProp || p._1 == Branch.BaseProp) +
       (Manifest.CloneSourceProp -> srcDir.toAbsolutePath.toString)
     // carry the SOURCE's segment composition: the clone's root then

@@ -2824,12 +2824,20 @@ private[graft] object ManifestTable {
       val curEpoch = Manifest.read(dir)
         .flatMap(_.props.get(Manifest.LastEpochProp)).map(_.toLong)
       val snapEpoch = snap.props.get(Manifest.LastEpochProp).map(_.toLong)
+      // the layout-commit stamp is predecessor-relative: the restored
+      // manifest must carry the CURRENT head's stamp value, not the
+      // snapshot-era one — a RESTORE across an OPTIMIZE would otherwise
+      // read as "stamp changed" = layout commit and be invisible to the
+      // change feed (a restore IS a data change; the content diff must run)
+      val curStamp = Manifest.read(dir)
+        .flatMap(_.props.get(Manifest.DataChangeStampProp))
       val props = curEpoch.filter(c => snapEpoch.forall(_ < c))
         .map(c => snap.props + (Manifest.LastEpochProp -> c.toString))
         .getOrElse(snap.props) -
         // commit-scoped: the restored snapshot's old CDC pointer would
         // claim that era's DML rows as the RESTORE's own changes
-        Manifest.CdcDirProp
+        Manifest.CdcDirProp - Manifest.DataChangeStampProp ++
+        curStamp.map(Manifest.DataChangeStampProp -> _)
       Manifest.write(dir, Manifest(snap.schema, snap.entries, props))
       (snap.entries.length, snap.entries.map(_.liveRows).sum)
     }

@@ -281,4 +281,69 @@ class ChangeFeedSpec extends SparkSuite {
         "a merge failing validation must not commit its schema evolution")
     } finally spark.conf.set("spark.graft.schema.autoMerge", "false")
   }
+
+  // --- the layout-commit stamp is predecessor-relative: it must NOT be
+  // --- inherited across table-lineage boundaries (clone / restore / FF)
+
+  test("CDF of a SHALLOW CLONE of an optimized table emits the clone's rows") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.st (id BIGINT, v DOUBLE)")
+    val srcDir = Paths.get(rootDir, "q", "st")
+    (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(3)
+      .writeTo("graftcdf.q.st").append()
+    // OPTIMIZE stamps the source's manifest as a layout commit
+    spark.sql("OPTIMIZE graftcdf.q.st")
+    assert(Manifest.read(srcDir).get.props.contains(Manifest.DataChangeStampProp))
+    spark.sql("CREATE TABLE graftcdf.q.stc SHALLOW CLONE graftcdf.q.st")
+    val cloneDir = Paths.get(rootDir, "q", "stc")
+    // the clone must NOT inherit the stamp: its first commit vs the empty
+    // predecessor is a genuine data change, so CDF from v0 sees every row
+    assert(!Manifest.read(cloneDir).get.props.contains(Manifest.DataChangeStampProp))
+    val v = Manifest.snapshotVersions(cloneDir).last
+    assert(changes(cloneDir, 0, v).count(_._3 == "insert") == 6,
+      "clone-of-optimized-table CDF from v0 must emit the rows as inserts")
+  }
+
+  test("RESTORE after OPTIMIZE is visible to the change feed") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.rs (id BIGINT, v DOUBLE)")
+    val dir = Paths.get(rootDir, "q", "rs")
+    (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(3)
+      .writeTo("graftcdf.q.rs").append()
+    val preDelete = Manifest.snapshotVersions(dir).last
+    spark.sql("DELETE FROM graftcdf.q.rs WHERE id = 4")
+    spark.sql("OPTIMIZE graftcdf.q.rs") // fresh layout stamp at head
+    val preRestore = Manifest.snapshotVersions(dir).last
+    spark.sql(s"RESTORE TABLE graftcdf.q.rs TO VERSION AS OF $preDelete")
+    val postRestore = Manifest.snapshotVersions(dir).last
+    // the restore brings id=4 back: a data change — the stamp must carry
+    // the pre-restore head's value so the diff branch runs, not the
+    // layout-commit skip
+    val cs = changes(dir, preRestore, postRestore)
+    assert(cs.exists(c => c._1 == 4L && c._3 == "insert"),
+      s"RESTORE across an OPTIMIZE must surface in CDF, got $cs")
+  }
+
+  test("FAST FORWARD of a branch that optimized is still a data change on main") {
+    rootDir
+    spark.sql("CREATE TABLE graftcdf.q.ff (id BIGINT, v DOUBLE)")
+    val dir = Paths.get(rootDir, "q", "ff")
+    (1L to 4L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(2)
+      .writeTo("graftcdf.q.ff").append()
+    spark.sql("OPTIMIZE graftcdf.q.ff") // main carries stamp S0
+    val mainStamp = Manifest.read(dir).get.props(Manifest.DataChangeStampProp)
+    val preFF = Manifest.snapshotVersions(dir).last
+    spark.sql("ALTER TABLE graftcdf.q.ff CREATE BRANCH wip")
+    Seq((10L, 10.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graftcdf.q.`ff@wip`").append()
+    // a branch-side OPTIMIZE must not leak its stamp into the publish
+    spark.sql("OPTIMIZE graftcdf.q.`ff@wip`")
+    spark.sql("ALTER TABLE graftcdf.q.ff FAST FORWARD BRANCH wip")
+    val postFF = Manifest.snapshotVersions(dir).last
+    assert(Manifest.read(dir).get.props(Manifest.DataChangeStampProp) == mainStamp,
+      "the published manifest must carry MAIN's stamp, not the branch's")
+    val cs = changes(dir, preFF, postFF)
+    assert(cs.exists(c => c._1 == 10L && c._3 == "insert"),
+      s"the fast-forwarded insert must surface in main's CDF, got $cs")
+  }
 }
