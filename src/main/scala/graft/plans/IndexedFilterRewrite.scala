@@ -62,18 +62,31 @@ object IndexedFilterRewrite extends Rule[LogicalPlan] with PredicateHelper {
         } =>
       val r = relationOf(child).get
       val mt = r.table.asInstanceOf[ManifestTable]
-      val hit: Option[Seq[String]] =
-        splitConjunctivePredicates(cond).collectFirst {
+      // EVERY token-match conjunct participates: a row matching
+      // `has(t1) AND has(t2)` can only live in a file holding BOTH tokens,
+      // so the candidate set is the INTERSECTION of the posting lists —
+      // multi-term SQL filters skip the union's complement too. Only the
+      // default full split (limit = -1) matches the index's tokenizer: an
+      // explicit limit (split(col, ' ', 2)) leaves spaces inside the
+      // trailing token, so a spaced "term" could match rows the single-
+      // token posting lookup would wrongly pin to zero files.
+      val tokenPreds: Seq[(String, String)] =
+        splitConjunctivePredicates(cond).collect {
           case ArrayContains(
               StringSplit(a: AttributeReference,
-                Literal(sep, StringType), Literal(_, _)),
+                Literal(sep, StringType), Literal(lim, _)),
               Literal(term, StringType))
             if sep != null && sep.toString == " " && term != null &&
-              r.output.exists(_.exprId == a.exprId) =>
+              lim == -1 && r.output.exists(_.exprId == a.exprId) =>
             (a.name, term.toString)
-        }.flatMap { case (colName, term) =>
-          TextIndex.candidateFiles(spark, mt.dir, colName, term)
         }
+      val lists: Seq[Seq[String]] = tokenPreds.flatMap {
+        case (colName, term) =>
+          TextIndex.candidateFiles(spark, mt.dir, colName, term)
+      }
+      val hit: Option[Seq[String]] =
+        if (lists.isEmpty) None
+        else Some(lists.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
       hit match {
         case Some(cand) =>
           val names = if (cand.isEmpty) "" else cand.mkString(",")

@@ -182,6 +182,29 @@ class TextIndexSpec extends SparkSuite {
       s"SELECT id FROM $t WHERE array_contains(split(text, ','), 'needle in the hay')")
     assert(plannedFiles(q4) == 3, "different tokenizer must not prune")
     assert(q4.as[Long].collect().toSeq == Seq(3L))
+    // an explicit split LIMIT is not the indexed tokenizer either: the
+    // trailing token keeps its spaces, so a spaced "term" can match rows
+    // while the single-token posting lookup would pin zero files
+    val qLim = spark.sql(s"SELECT id FROM $t WHERE " +
+      "array_contains(split(text, ' ', 2), 'in the hay')")
+    assert(plannedFiles(qLim) == 3, "split with explicit limit must not prune")
+    assert(qLim.as[Long].collect().toSeq == Seq(3L),
+      "spaced trailing token must still match under an explicit limit")
+    // TWO token conjuncts: candidates = the INTERSECTION of both posting
+    // lists. 'alpha' spans files {1,3}, 'delta' spans {1,3} minus...
+    // concretely: alpha∈{f1,f3}, beta∈{f1} → intersection is ONE file
+    val qAnd = spark.sql(s"SELECT id FROM $t WHERE " +
+      "array_contains(split(text, ' '), 'alpha') AND " +
+      "array_contains(split(text, ' '), 'beta')")
+    assert(qAnd.as[Long].collect().toSeq == Seq(1L))
+    assert(plannedFiles(qAnd) == 1,
+      "conjunct token filters must intersect posting lists")
+    // disjoint tokens co-occur in NO file: zero files planned, zero rows
+    val qDisj = spark.sql(s"SELECT id FROM $t WHERE " +
+      "array_contains(split(text, ' '), 'needle') AND " +
+      "array_contains(split(text, ' '), 'alpha')")
+    assert(qDisj.count() == 0L && plannedFiles(qDisj) == 0,
+      "tokens never co-located in a file must plan zero files")
     // stale index: plain SQL falls back to the full scan silently
     Seq((9L, "late needle")).toDF("id", "text").coalesce(1).writeTo(t).append()
     val q5 = spark.sql(
