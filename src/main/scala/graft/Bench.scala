@@ -101,8 +101,12 @@ object Bench {
     val sf = sfDir.split("/").filter(_.nonEmpty).lastOption
       .map(_.stripPrefix("sf")).flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(0.0)
+    // LIKE-FOR-LIKE guard: the pinned headline subset's total as its own
+    // field — round-over-round comparison reads THIS number, so adding
+    // queries to the suite no longer moves the comparable total.
+    val headlineTotal = totalOf(results.filter(r => headline.contains(r._1)))
     def line(rs: Seq[(String, Double, Boolean)]): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"nq":${results.size},"queries":${entries(rs)},"failed":$failed,"sf":$sf}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"runs":$runs,"nq":${results.size},"queries":${entries(rs)},"failed":$failed,"sf":$sf}"""
     // Full map → file (stdout would overflow the driver's tail window; the
     // stack traces in round 2 showed stderr is merged into the same capture).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),

@@ -234,6 +234,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def splitTop(s: String, sep: Char): Seq[String] =
     MergeParse.splitTop(s, sep)
 
+  /** Best-effort parse-time check that `target` resolves to one of this
+    * engine's manifest tables. A statement this parser would lower based
+    * on SHAPE alone must still DELEGATE when the target belongs to
+    * another connector (which may have its own row-level DELETE path) or
+    * does not resolve at all (the delegate produces the proper error). */
+  private def resolvesToManifestTable(target: String): Boolean =
+    try {
+      org.apache.spark.sql.SparkSession.active.table(target)
+        .queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.isInstanceOf[graft.sources.ManifestTable] => true
+        }.getOrElse(false)
+    } catch { case _: Exception => false }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, retain, olderMin, dry) =>
       val keep = Option(retain).map(_.toInt)
@@ -318,9 +332,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           import graft.sources.ManifestTable
           !ManifestTable.conjuncts(delegate.parseExpression(where))
             .forall(c => ManifestTable.exprFilter(c).isDefined)
-        } catch { case _: Exception => false }) =>
-      // only the untranslatable-predicate shape lowers here; everything
-      // else (translatable, unparseable, non-WHERE) delegates verbatim
+        } catch { case _: Exception => false }) &&
+        resolvesToManifestTable(target) =>
+      // only the untranslatable-predicate shape ON A MANIFEST TABLE lowers
+      // here; everything else (translatable, unparseable, non-WHERE, or a
+      // non-graft target whose own connector may support the DELETE)
+      // delegates verbatim
       DeleteManifestCommand(target, where)
     case _ => mergeOrDelegate(sqlText)
   }

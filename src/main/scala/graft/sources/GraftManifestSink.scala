@@ -2943,15 +2943,11 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
   override def canOverwrite(filters: Array[Filter]): Boolean =
     filters.forall(f => ManifestScanBuilder.filterColumn(f).isDefined)
   override def build(): Write = {
-    // WRITE-TIME SCHEMA EVOLUTION (Delta's mergeSchema, gated by the same
-    // flag as MERGE evolution): under spark.graft.schema.autoMerge=true a
-    // write carrying source-only columns ADDs them to the table first — a
-    // metadata-only ALTER in the evolution's own commit; existing files
-    // read the new columns as NULL. Execution-time by design: EXPLAIN of
-    // the write must never mutate the table.
-    if (org.apache.spark.sql.SparkSession.active.conf
-        .getOption("spark.graft.schema.autoMerge").contains("true"))
-      ManifestTable.evolveForWrite(dir, schema)
+    // NOTE: write-time schema evolution (spark.graft.schema.autoMerge)
+    // deliberately does NOT run here — Spark's V2Writes rule executes
+    // build() during query planning, so an EXPLAIN of the write would
+    // mutate the table. Evolution runs at writer-factory creation
+    // (execution time, driver-side, before any task writes) instead.
     // partition columns come from the CURRENT manifest (they are table-level
     // metadata, not per-write state); columns the incoming schema lacks are
     // skipped defensively — better an unclustered write than a failed one
@@ -2972,9 +2968,19 @@ private[sources] class ManifestWriteBuilder(dir: Path, schema: StructType, query
       if (Manifest.generatedCols(props).nonEmpty ||
           Manifest.identityCols(props).nonEmpty) {
         val tbl = m.get.schema
-        val exact = schema.length == tbl.length &&
+        val prefixOk = schema.length >= tbl.length &&
           tbl.fields.zip(schema.fields).forall { case (t, w) =>
             t.name.equalsIgnoreCase(w.name) && t.dataType == w.dataType }
+        // under autoMerge the resolution rule appends SOURCE-ONLY columns
+        // after the table schema; evolution happens at execution (the
+        // factory hook), so the guard must accept that exact shape here
+        val autoMergeOn = org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.graft.schema.autoMerge").contains("true")
+        val exact =
+          if (autoMergeOn)
+            prefixOk && schema.fields.drop(tbl.length).forall(w =>
+              !tbl.fieldNames.exists(_.equalsIgnoreCase(w.name)))
+          else schema.length == tbl.length && prefixOk
         if (!exact) throw new IllegalArgumentException(
           s"write to a generated/identity-column table must carry exactly " +
             s"the table schema (${tbl.fieldNames.mkString(", ")}), got " +
@@ -3199,9 +3205,20 @@ private[sources] class ManifestBatchWrite(dir: Path, schema: StructType,
     replaceFilters: Option[Array[Filter]] = None)
   extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // WRITE-TIME SCHEMA EVOLUTION (Delta's mergeSchema, gated by the same
+    // flag as MERGE evolution): under spark.graft.schema.autoMerge=true a
+    // write carrying source-only columns ADDs them to the table first — a
+    // metadata-only ALTER in the evolution's own commit; existing files
+    // read the new columns as NULL. This hook runs at EXECUTION time on
+    // the driver (job start), never during planning — EXPLAIN of the
+    // write must not mutate the table. Idempotent across task retries.
+    if (org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.schema.autoMerge").contains("true"))
+      ManifestTable.evolveForWrite(dir, schema)
     ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, ndvCols,
       notNull, checks, bucketSpec)
+  }
 
   /** Driver-side atomic publish: promote exactly the surviving attempts'
     * staged files, then swap the manifest. Readers either see the old
@@ -3312,9 +3329,15 @@ private[sources] class ManifestStreamingWrite(dir: Path, schema: StructType,
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // execution-time schema evolution, mirroring the batch factory (the
+    // write builder must stay mutation-free — it runs during planning)
+    if (org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.schema.autoMerge").contains("true"))
+      ManifestTable.evolveForWrite(dir, schema)
     ManifestWriterFactory(dir.toString, schema, queryId, bloomCols, ndvCols,
       notNull, checks, bucketSpec)
+  }
 
   // the watermark is KEYED BY STREAMING QUERY ID (stable across restarts —
   // Spark persists it in the checkpoint and passes it as the write's

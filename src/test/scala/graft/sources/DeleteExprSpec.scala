@@ -77,4 +77,20 @@ class DeleteExprSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(rows == Set((2L, 2.0, "delete"), (7L, 7.0, "delete")))
   }
+
+  test("a non-manifest target with an untranslatable predicate DELEGATES") {
+    // the lowering is shape-triggered; a target owned by another
+    // connector must reach Spark's native DELETE path (and ITS error),
+    // never DeleteManifestCommand's "not a graft manifest table"
+    val tmp = Files.createTempDirectory("graft_delx_pq_")
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(tmp.resolve("t").toString)
+    spark.read.parquet(tmp.resolve("t").toString)
+      .createOrReplaceTempView("delx_pq")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM delx_pq WHERE id % 3 = 0")
+    }
+    assert(!e.getMessage.contains("not a graft manifest table"),
+      s"non-graft target must take the delegate's path, got: ${e.getMessage}")
+  }
 }

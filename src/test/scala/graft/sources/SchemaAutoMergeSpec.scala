@@ -74,4 +74,23 @@ class SchemaAutoMergeSpec extends SparkSuite {
     val r = spark.table("graftsam.q.p").collect().head
     assert(r.getLong(0) == 10L && r.getString(1) == "x", s"got $r")
   }
+
+  test("EXPLAIN of an evolving write never mutates the table schema") {
+    rootDir
+    spark.sql("CREATE TABLE graftsam.q.ex (id BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("id", "v").writeTo("graftsam.q.ex").append()
+    withAutoMerge {
+      // planning the write (EXPLAIN runs the V2Writes rule, which builds
+      // the Write) must NOT add the source-only column
+      spark.sql("EXPLAIN EXTENDED INSERT INTO graftsam.q.ex BY NAME " +
+        "SELECT 2L AS id, 'b' AS v, 9.5D AS score").collect()
+      assert(spark.table("graftsam.q.ex").columns.toSeq == Seq("id", "v"),
+        "EXPLAIN of the write must leave the schema untouched")
+      // EXECUTING the same write evolves it
+      spark.sql("INSERT INTO graftsam.q.ex BY NAME " +
+        "SELECT 2L AS id, 'b' AS v, 9.5D AS score")
+      assert(spark.table("graftsam.q.ex").columns.toSeq == Seq("id", "v", "score"),
+        "executing the write must evolve the schema")
+    }
+  }
 }
