@@ -74,4 +74,14 @@ object PortableHash {
   def sqlDotFixed(a: String, b: String): String =
     s"(CAST(CAST(list_sum([CAST(floor(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) * ${FixedScale.toLong}) AS BIGINT) " +
       s"for z in list_zip($a, $b)]) AS BIGINT) AS DOUBLE) / ${FixedScale.toLong})"
+
+  /** Force every CTE in a generated oracle to `AS MATERIALIZED`: DuckDB
+    * (1.0) INLINES each CTE reference, so a deep chain whose blocks are
+    * referenced 2-3× (the two-level kmeans replay: a→gl→cg→anc→cc→…)
+    * re-evaluates exponentially — q_embed_kmeans at sf0.01 went from
+    * 11+ min inlined to 0.3 s materialized. Semantics are identical; only
+    * the evaluation strategy changes. Safe textually because generated
+    * CTE headers are the only place ` AS (` appears (column/array aliases
+    * are `AS name`, casts are `AS TYPE)`). */
+  def sqlMat(sql: String): String = sql.replace(" AS (", " AS MATERIALIZED (")
 }

@@ -71,6 +71,79 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
+  /** TWO-LEVEL (coarse-quantizer) assignment — the 100 TB shape of
+    * [[assignLists]] for CORPUS-DERIVED k (k ≈ √n,
+    * [[Clustering.kFor]]): a flat assignment does k dots per row against
+    * one broadcast array row — O(n·k) work and an unbounded broadcast
+    * as k grows with the corpus. Here the only per-row broadcast is the
+    * ⌈√k⌉ COARSE anchors (the ⌈√k⌉ lowest-c_id centroids); each row
+    * takes its max-dot coarse anchor, then an EQUI-JOIN on that coarse
+    * id against the grouped centroid table resolves the fine argmax
+    * within the row's coarse cell — O(n·√k) work, broadcast bounded by
+    * the centroid table itself (√n rows at k = √n). Deterministic and
+    * oracle-replayable: anchors are a pure function of the centroid set
+    * (lowest ids), every argmax is first-position tie-break on the
+    * c_id-sorted array, and an anchor centroid always self-assigns (so
+    * no coarse cell a row can map to is ever empty). Assignment is
+    * hierarchical-IVF approximate — a row sees only the fine centroids
+    * of its TOP-2 coarse cells (masked-max runner-up, the
+    * [[assignLists2]] idiom applied at the coarse level) — probing two
+    * cells instead of one is the standard fidelity knob for a coarse
+    * quantizer and keeps boundary rows from landing in the wrong list;
+    * the oracle replays the same two-cell rule, so results stay
+    * cell-exact. */
+  def assignListsHier(emb: org.apache.spark.sql.DataFrame,
+                      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // coarse anchors: the ⌈√k⌉ lowest-c_id centroids, one broadcast row
+    val anch = cents
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("all"))
+      .select(slice(col("all"), lit(1),
+        ceil(sqrt(size(col("all")))).cast(IntegerType)).as("anc"))
+    def ancDots(embCol: org.apache.spark.sql.Column) =
+      transform(col("anc"), st => dotFixed(embCol, st.getField("c_emb")))
+    // fine centroid → coarse cell; an anchor ALWAYS self-assigns, so
+    // every reachable coarse id holds at least its own anchor centroid
+    val centsG = cents.crossJoin(broadcast(anch))
+      .withColumn("adots", ancDots(col("c_emb")))
+      .withColumn("g",
+        when(exists(col("anc"), st => st.getField("c_id") === col("c_id")),
+          col("c_id"))
+        .otherwise(element_at(col("anc"),
+          array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
+          .getField("c_id")))
+      .select(col("c_id"), col("c_emb"), col("g"))
+    // per-cell centroid arrays (≈√k entries each), keyed by coarse id —
+    // the TABLE side of the assignment equi-join
+    val byG = centsG.groupBy("g")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("gc"))
+    // rows → top-2 coarse cells (per-row masked-max against the bounded
+    // anchor row; with a single anchor g2 degenerates to g1)
+    val rowsG = emb.crossJoin(broadcast(anch))
+      .withColumn("adots", ancDots(col("embedding")))
+      .withColumn("p1",
+        array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
+      .withColumn("md", zip_with(col("adots"),
+        sequence(lit(1), size(col("adots"))),
+        (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
+      .withColumn("p2", array_position(col("md"), array_max(col("md"))).cast(IntegerType))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        element_at(col("anc"), col("p1")).getField("c_id").as("g1"),
+        element_at(col("anc"), col("p2")).getField("c_id").as("g2"))
+    // the coarse EQUI-JOINs (both broadcast) + fine argmax over the
+    // union of the two cells' centroids, c_id-sorted for the tie-break
+    val b1 = byG.select(col("g").as("g1"), col("gc").as("gc1"))
+    val b2 = byG.select(col("g").as("g2"), col("gc").as("gc2"))
+    rowsG.join(broadcast(b1), "g1").join(broadcast(b2), "g2")
+      .withColumn("cand",
+        when(col("g1") === col("g2"), col("gc1"))
+          .otherwise(array_sort(concat(col("gc1"), col("gc2")))))
+      .withColumn("dots",
+        transform(col("cand"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
+      .withColumn("pos", array_position(col("dots"), array_max(col("dots"))).cast(IntegerType))
+      .withColumn("list_id", element_at(col("cand"), col("pos")).getField("c_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+  }
+
   /** Top-2 list assignment: like [[assignLists]] but keeps BOTH the nearest
     * and the second-nearest centroid id — the standard multi-assignment
     * recall knob for blocked ANN (a vector near a list boundary is indexed

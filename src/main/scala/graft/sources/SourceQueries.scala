@@ -2189,6 +2189,21 @@ object SourceQueries extends QueryModule {
     })
   )
 
+  /** The probe's searched list in the index oracles: the FLAT argmax of
+    * the probe vector over ALL stored centroids (ref1 — exactly
+    * `VectorIndex.probeLists` with probes = 1). Under the two-level row
+    * assignment this can differ from the probe ROW's own list_id in a1,
+    * so the oracle must derive it the way the engine's probe planner
+    * does, not read it off the assignment. Emits `probe(pv, p_list)`. */
+  private def sqlProbeFlat(alias: String): String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed("e0.embedding", "r0.cl[ci]")
+    s"""$alias AS (
+       |  SELECT e.pv, r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
+       |  FROM (SELECT e0.embedding AS pv,
+       |          [$dot for ci in range(1, len(r0.cl) + 1)] AS dots
+       |        FROM embeddings e0, ref1 r0 WHERE e0.vec_id = 0) e, ref1 r)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" -> oracleSelect,
     "q_source_json_roundtrip" -> oracleSelect,
@@ -2274,13 +2289,12 @@ object SourceQueries extends QueryModule {
     // Lloyd loop (shared unrolled generator), same probe list, same
     // fixed-point ranking — file layout and index never enter the answer.
     "q_vector_search" -> {
-      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |probe AS (SELECT embedding AS pv, list_id AS p_list
-         |          FROM a1 WHERE vec_id = 0)
+      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |${sqlProbeFlat("probe")}
          |SELECT a.vec_id, a.list_id,
          |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
-         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
     },
     // The full SemDeDup pipeline replayed at the index's training depth.
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
@@ -2290,9 +2304,8 @@ object SourceQueries extends QueryModule {
     "q_vector_search_recall" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed("embedding", "p.pv")
       val ivf = graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")
-      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |p AS (SELECT embedding AS pv, list_id AS p_list
-         |      FROM a1 WHERE vec_id = 0),
+      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |${sqlProbeFlat("p")},
          |exact AS (
          |  SELECT vec_id FROM (
          |    SELECT e.vec_id, $dot AS sim FROM embeddings e, p
@@ -2306,14 +2319,14 @@ object SourceQueries extends QueryModule {
          |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
          |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
          |    / COUNT(*) AS recall
-         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin
+         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin)
     },
     // Exact top-10 vs the TWO-LIST replay's top-10 (masked-max runner-up).
     "q_vector_search_recall_mp" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed("embedding", "pl.pv")
       val ivf = graft.llm.PortableHash.sqlDotFixed("a.embedding", "pl.pv")
       val pdot = graft.llm.PortableHash.sqlDotFixed("e.embedding", "r.cl[ci]")
-      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
          |pd AS (
          |  SELECT r.ids AS ids,
          |    [$pdot for ci in range(1, len(r.cl) + 1)] AS dots
@@ -2343,24 +2356,23 @@ object SourceQueries extends QueryModule {
          |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
          |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
          |    / COUNT(*) AS recall
-         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin
+         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin)
     },
     // Filtered IVF replay: predicate before the top-k, as the engine.
     "q_vector_search_filtered" -> {
-      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |probe AS (SELECT embedding AS pv, list_id AS p_list
-         |          FROM a1 WHERE vec_id = 0)
+      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |${sqlProbeFlat("probe")}
          |SELECT a.vec_id, a.list_id,
          |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |WHERE a.label % 2 = 0
-         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
     },
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed("e.embedding", "r.cl[ci]")
-      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
          |pd AS (
          |  SELECT r.ids AS ids,
          |    [$dot for ci in range(1, len(r.cl) + 1)] AS dots
@@ -2380,7 +2392,7 @@ object SourceQueries extends QueryModule {
          |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a, probe p, pl
          |WHERE a.list_id = pl.l1 OR a.list_id = pl.l2
-         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
     },
     // Both rankers replayed from raw parquet and RRF-fused. The BM25 side
     // reads the JOINED corpus (the hybrid table's definition — at sf0.1
@@ -2392,9 +2404,8 @@ object SourceQueries extends QueryModule {
         "FROM documents",
         "FROM (SELECT d.doc_id, d.text FROM documents d " +
           "JOIN embeddings e ON d.doc_id = e.vec_id)")
-      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |probe AS (SELECT embedding AS pv, list_id AS p_list
-         |          FROM a1 WHERE vec_id = 0),
+      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |${sqlProbeFlat("probe")},
          |cosr AS (
          |  SELECT vec_id AS id,
          |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS r_cos
@@ -2412,7 +2423,7 @@ object SourceQueries extends QueryModule {
          |  COALESCE(1.0 / (60 + b.r_bm25), 0.0) +
          |    COALESCE(1.0 / (60 + c.r_cos), 0.0) AS rrf
          |FROM bmr b FULL OUTER JOIN cosr c ON b.id = c.id
-         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)
     },
     // Rarest-attested-bigram phrase match recomputed from raw parquet:
     // same bigram derivation, same contiguity semantics.

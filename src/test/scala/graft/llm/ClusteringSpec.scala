@@ -20,11 +20,15 @@ class ClusteringSpec extends SparkSuite {
     a
   }
 
-  test("kFor: corpus-size-derived cluster count, floor 8") {
+  test("kFor: n/64 capped at √n, floor 8 — centroid table stays bounded") {
     assert(Clustering.kFor(0L) === 8L)
-    assert(Clustering.kFor(500L) === 8L)
-    assert(Clustering.kFor(4096L) === 64L)
-    assert(Clustering.kFor(1000000L) === 15625L)
+    assert(Clustering.kFor(50L) === 8L)
+    assert(Clustering.kFor(500L) === 8L)     // n/64 regime (small corpus)
+    assert(Clustering.kFor(4096L) === 64L)   // crossover: n/64 = √n
+    assert(Clustering.kFor(1000000L) === 1000L) // √n cap regime
+    // the 100 TB argument: at 1 B vectors the uncapped n/64 policy meant
+    // ~16 M centroids (multi-GB broadcast); the √n cap keeps it ~32 k rows
+    assert(Clustering.kFor(1000000000L) === 31623L)
   }
 
   test("kmeansAssign: refinement separates two blobs the anchor split mixes") {
