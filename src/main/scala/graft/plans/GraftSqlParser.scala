@@ -222,9 +222,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropVecIdx =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
-  /** `REFRESH TEXT|VECTOR INDEX ON t (col)` — incremental when the
-    * staleness is append-only (only the new files index; IVF keeps its
-    * trained geometry), full rebuild otherwise. */
+  /** `REFRESH TEXT|VECTOR INDEX ON t (col)` — always incremental: dead
+    * files' postings drop, only files not previously indexed (appends,
+    * compaction output) tokenize/assign; the IVF index keeps its trained
+    * geometry across any divergence (CREATE retrains on demand). */
   private val RefreshIdx =
     ("""(?is)\s*REFRESH\s+(TEXT|VECTOR)\s+INDEX\s+ON\s+""" +
       """((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""").r
@@ -862,14 +863,15 @@ case class DropVectorIndexCommand(target: String, colName: String)
 }
 
 /** `REFRESH TEXT|VECTOR INDEX ON t (col)` — delegate to the index tier's
-  * incremental refresh; reports the newly-indexed file count and whether a
-  * full rebuild was needed. */
+  * incremental refresh; reports the newly-indexed file count and whether
+  * rewritten/deleted files' postings were dropped (a remap, vs a pure
+  * append extension). */
 case class RefreshIndexCommand(kind: String, target: String, colName: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_new_files", org.apache.spark.sql.types.LongType,
       nullable = false)(),
-    AttributeReference("full_rebuild", org.apache.spark.sql.types.BooleanType,
+    AttributeReference("remapped", org.apache.spark.sql.types.BooleanType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, s"REFRESH ${kind.toUpperCase} INDEX")

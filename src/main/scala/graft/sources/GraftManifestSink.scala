@@ -2080,9 +2080,9 @@ private[graft] object ManifestTable {
 
   /** POST-COMMIT INDEX AUTO-REFRESH: a table with
     * TBLPROPERTIES('index.autoRefresh'='true') refreshes every published
-    * secondary index after a write commit — incremental for append-only
-    * staleness ([[TextIndex.refresh]] / [[VectorIndex.refresh]]: only the
-    * new files index), full rebuild after a layout rewrite. A FRESH index
+    * secondary index after a write commit — always incremental
+    * ([[TextIndex.refresh]] / [[VectorIndex.refresh]]: dead files'
+    * postings drop, only new files index). A FRESH index
     * is one manifest read + digest compare (no-op), so the amortized cost
     * tracks the ingest, not the corpus. Best-effort like auto-compaction:
     * a refresh failure never fails the write that triggered it (searches

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *  - `posts/` — `(token, file, n_docs)`: which files hold the token and
   *    in how many of their rows (so df per token = SUM(n_docs) — the
   *    ranking statistic rides the index);
-  *  - `stats/` — one row `(n_docs, sum_dl)` of corpus-level BM25 stats
-  *    (row count, total whitespace-token count);
+  *  - `stats/` — PER-FILE BM25 stats `(file, n_docs, sum_dl)` (row
+  *    count, total whitespace-token count); corpus totals are their sum,
+  *    and keying by file is what lets a refresh drop a rewritten file's
+  *    contribution without re-tokenizing the corpus;
   * published by a props-only manifest commit `tokenidx.<col> =
   * <dir>;<digest>` where digest = SHA-256 over the SORTED indexed file
   * names.
@@ -61,32 +63,29 @@ object TextIndex {
       .load()
 
   /** Postings for the given files: (token, file, n_docs-with-token) and
-    * the corpus-stat increment (rows, total whitespace tokens — empties
-    * INCLUDED, matching the text family's `size(split(col, ' '))` doc
-    * length). Row identity inside a file is its `_pos`. */
+    * the PER-FILE stat rows (file, n_docs, sum_dl — empties INCLUDED,
+    * matching the text family's `size(split(col, ' '))` doc length).
+    * Row identity inside a file is its `_pos`. */
   private def deltaOf(spark: SparkSession, dir: Path, colName: String,
-      names: Seq[String]): (DataFrame, (Long, Long)) = {
+      names: Seq[String]): (DataFrame, DataFrame) = {
     val base = scanFiles(spark, dir, names)
       .select(col("_file").as("file"), col("_pos").as("pos"),
         split(col(colName), " ").as("toks"))
-    val stats = base
-      .agg(count(lit(1)).as("n"), sum(size(col("toks"))).as("dl"))
-      .collect().head
+    val stats = base.groupBy(col("file"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
     val posts = base
       .select(col("file"), col("pos"), explode(col("toks")).as("token"))
       .where(length(col("token")) > 0)
       .select(col("token"), col("file"), col("pos")).distinct()
       .groupBy(col("token"), col("file"))
       .agg(count(lit(1)).as("n_docs"))
-    (posts, (stats.getLong(0), stats.getLong(1)))
+    (posts, stats)
   }
 
-  private def writeIndex(spark: SparkSession, idxDir: Path,
-      posts: DataFrame, nDocs: Long, sumDl: Long): Unit = {
+  private def writeIndex(idxDir: Path, posts: DataFrame,
+      stats: DataFrame): Unit = {
     posts.write.parquet(idxDir.resolve("posts").toString)
-    import spark.implicits._
-    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
-      .coalesce(1).write.parquet(idxDir.resolve("stats").toString)
+    stats.coalesce(1).write.parquet(idxDir.resolve("stats").toString)
   }
 
   /** Build (or rebuild) the index for `colName`: one distributed pass over
@@ -109,13 +108,13 @@ object TextIndex {
     val nTokens =
       if (names.isEmpty) {
         import spark.implicits._
-        writeIndex(spark,
-          idxDir, Seq.empty[(String, String, Long)]
-            .toDF("token", "file", "n_docs"), 0L, 0L)
+        writeIndex(idxDir,
+          Seq.empty[(String, String, Long)].toDF("token", "file", "n_docs"),
+          Seq.empty[(String, Long, Long)].toDF("file", "n_docs", "sum_dl"))
         0L
       } else {
-        val (posts, (n, dl)) = deltaOf(spark, dir, field.name, names)
-        writeIndex(spark, idxDir, posts, n, dl)
+        val (posts, stats) = deltaOf(spark, dir, field.name, names)
+        writeIndex(idxDir, posts, stats)
         spark.read.parquet(idxDir.resolve("posts").toString)
           .select(col("token")).distinct().count()
       }
@@ -129,13 +128,16 @@ object TextIndex {
     (names.length.toLong, nTokens)
   }
 
-  /** Refresh a stale index. APPEND-ONLY staleness (every indexed file
-    * still live) refreshes INCREMENTALLY: only the new files tokenize, the
-    * delta postings and stat increments union with the stored ones into a
-    * new sidecar — at 100 TB a daily ingest re-indexes the day, not the
-    * corpus. Any other divergence (OPTIMIZE/DELETE rewrote files) falls
-    * back to a full [[build]]. A fresh index is a no-op. Returns (files
-    * newly indexed, full-rebuild?). */
+  /** Refresh a stale index INCREMENTALLY for ANY file-set divergence:
+    * both the posting and stat sidecars are keyed by file, so dead files'
+    * rows DROP (OPTIMIZE/DELETE/MERGE rewrote or removed them) and only
+    * the files not previously indexed tokenize — at 100 TB a daily
+    * ingest re-indexes the day and a compaction re-indexes the compacted
+    * output, never the corpus. After any refresh the index is exactly
+    * what a full [[build]] of the current file set would produce (unlike
+    * the vector index there is no trained state — postings and stats are
+    * pure per-file derivations). A fresh index is a no-op. Returns
+    * (files newly indexed, remapped-after-rewrite?). */
   def refresh(spark: SparkSession, dir: Path, colName: String): (Long, Boolean) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"REFRESH TEXT INDEX: no manifest at $dir"))
@@ -145,31 +147,34 @@ object TextIndex {
     val Array(oldIdx, oldDig) = m.props(key).split(";", 2)
     if (oldDig == digestOf(m)) return (0L, false)
     // which files did the stored index cover? Recorded nowhere — recover
-    // them from the posting sidecar itself (distinct file, a metadata read)
+    // them from the stat sidecar itself (one file column, a metadata read;
+    // stats carry empty files too, unlike postings)
     val oldDir = dir.resolve(oldIdx)
-    val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
+    val indexedFiles = spark.read.parquet(oldDir.resolve("stats").toString)
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val live = m.entries.filter(_.rows > 0).map(_.name)
-    val appended = live.filterNot(indexedFiles)
-    if (!indexedFiles.subsetOf(live.toSet))
-      // an indexed file left the live set: rewrite happened — full rebuild
-      return (build(spark, dir, colName)._1, true)
+    val newFiles = live.filterNot(indexedFiles)
+    val dead = (indexedFiles -- live.toSet).toSeq.sorted
+    val keptPosts = spark.read.parquet(oldDir.resolve("posts").toString)
+      .where(!col("file").isin(dead: _*))
+    val keptStats = spark.read.parquet(oldDir.resolve("stats").toString)
+      .where(!col("file").isin(dead: _*))
     val idxName = s"_tokenidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
-    val (delta, (dn, ddl)) = deltaOf(spark, dir, colName, appended)
-    val old = spark.read.parquet(oldDir.resolve("stats").toString)
-      .collect().head
-    // appended files are disjoint from indexed ones, so the (token, file)
-    // posting rows union without conflict and the stats add
-    writeIndex(spark, idxDir,
-      spark.read.parquet(oldDir.resolve("posts").toString).unionByName(delta),
-      old.getLong(0) + dn, old.getLong(1) + ddl)
+    if (newFiles.isEmpty) writeIndex(idxDir, keptPosts, keptStats)
+    else {
+      // new files are disjoint from kept ones, so the (token, file)
+      // posting rows and (file) stat rows union without conflict
+      val (delta, dStats) = deltaOf(spark, dir, colName, newFiles)
+      writeIndex(idxDir, keptPosts.unionByName(delta),
+        keptStats.unionByName(dStats))
+    }
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
         cur.props + (key -> s"$idxName;${digestOf(m)}")))
     }
-    (appended.length.toLong, false)
+    (newFiles.length.toLong, dead.nonEmpty)
   }
 
   /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
@@ -283,7 +288,10 @@ object TextIndex {
           .agg(sum(col("n_docs")).as("df"),
             collect_set(col("file")).as("files"))
           .collect()
+        // corpus totals = sum of the per-file stat rows (metadata volume)
         val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("sum_dl")), lit(0L)))
           .collect().head
         val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
         val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap

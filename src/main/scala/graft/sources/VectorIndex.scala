@@ -34,9 +34,13 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
   * Anchors are declared DDL-side (`CREATE VECTOR INDEX ON t (col)
   * ANCHORS (idCol)`): the k lowest idCol rows seed the one-refinement
   * Lloyd loop ([[graft.llm.Clustering.kmeansAssign]]), k corpus-derived
-  * (~n/64, floor 8). Deterministic anchors are what make the trained
-  * geometry replayable by an external oracle — the engine's reproducible-
-  * training-data story applied to the index itself.
+  * (n/64 capped at ⌈√n⌉, floor 8 — [[graft.llm.Clustering.kFor]]); row
+  * assignment is the two-level coarse-quantizer join
+  * ([[graft.llm.Similarity.assignListsHier]]), so build work is O(n·√k)
+  * per Lloyd round and no broadcast exceeds the ≤√n-row centroid table.
+  * Deterministic anchors are what make the trained geometry replayable
+  * by an external oracle — the engine's reproducible-training-data story
+  * applied to the index itself.
   *
   * Scale: build is the Lloyd loop's cost (broadcast assign + k×dim
   * fixed-point aggregate) plus one distinct over (list, file) — metadata
@@ -119,15 +123,22 @@ object VectorIndex {
     (names.length.toLong, k)
   }
 
-  /** Refresh a stale index. APPEND-ONLY staleness keeps the trained
-    * geometry and extends the postings: only the NEW files' vectors assign
-    * (against the STORED centroids — per-row broadcast math), their
-    * (list, file) postings union in — how a production IVF index absorbs
-    * inserts without retraining; search stays exact w.r.t. those
-    * centroids because rows re-derive their cluster from the same stored
-    * array. Any other divergence (rewrite/delete of indexed files) falls
-    * back to a full retrain via [[build]]. Returns (files newly indexed,
-    * full-rebuild?). */
+  /** Refresh a stale index KEEPING the trained geometry — how a
+    * production IVF index absorbs table churn without retraining.
+    * Postings are (list, file) pairs, so ANY file-set divergence remaps
+    * in one bounded pass: dead files' postings DROP (their rows left the
+    * live set — OPTIMIZE/DELETE/MERGE rewrote or removed them), new
+    * files' rows assign against the STORED centroids (per-row broadcast
+    * math over the new files only) and their postings union in. Search
+    * stays exact w.r.t. the stored centroids because rows re-derive
+    * their cluster from the same array — after a pure compaction
+    * (identical rows, new layout) the refreshed index answers exactly
+    * what a full retrain would, at the cost of scanning only the
+    * rewritten files. After a DELETE/MERGE the kept geometry is a
+    * corpus-level approximation (standard IVF operations practice); the
+    * oracle-certified recall audits monitor the drift, and CREATE VECTOR
+    * INDEX retrains on demand. Returns (files newly indexed,
+    * remapped-after-rewrite?). */
   def refresh(spark: SparkSession, dir: Path, colName: String): (Long, Boolean) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"REFRESH VECTOR INDEX: no manifest at $dir"))
@@ -140,29 +151,32 @@ object VectorIndex {
     val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val live = m.entries.filter(_.rows > 0).map(_.name)
-    val appended = live.filterNot(indexedFiles)
-    if (!indexedFiles.subsetOf(live.toSet))
-      return (build(spark, dir, colName, idCol)._1, true)
+    val newFiles = live.filterNot(indexedFiles)
+    val dead = (indexedFiles -- live.toSet).toSeq.sorted
     val cents = spark.read.parquet(oldDir.resolve("cents").toString)
-    val rows = scanFiles(spark, dir, appended)
-      .select(col(idCol).as("vec_id"), lit(0).as("label"),
-        col(colName).as("embedding"), col("_file").as("file"))
-    val assigned = graft.llm.Similarity.assignLists(
-      rows.select("vec_id", "label", "embedding"), cents)
-    val delta = assigned.select(col("vec_id"), col("list_id"))
-      .join(rows.select(col("vec_id"), col("file")), "vec_id")
-      .select(col("list_id"), col("file")).distinct()
+    val kept = spark.read.parquet(oldDir.resolve("posts").toString)
+      .where(!col("file").isin(dead: _*))
+    val posts = if (newFiles.isEmpty) kept else {
+      val rows = scanFiles(spark, dir, newFiles)
+        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"), col("_file").as("file"))
+      val assigned = graft.llm.Similarity.assignListsHier(
+        rows.select("vec_id", "label", "embedding"), cents)
+      val delta = assigned.select(col("vec_id"), col("list_id"))
+        .join(rows.select(col("vec_id"), col("file")), "vec_id")
+        .select(col("list_id"), col("file")).distinct()
+      kept.unionByName(delta)
+    }
     val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
     cents.write.parquet(idxDir.resolve("cents").toString)
-    spark.read.parquet(oldDir.resolve("posts").toString).unionByName(delta)
-      .write.parquet(idxDir.resolve("posts").toString)
+    posts.write.parquet(idxDir.resolve("posts").toString)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
         cur.props + (key -> s"$idxName;$idCol;${digestOf(m)}")))
     }
-    (appended.length.toLong, false)
+    (newFiles.length.toLong, dead.nonEmpty)
   }
 
   /** SemDeDup over the index's TRAINED geometry — the amortization story:
@@ -178,7 +192,7 @@ object VectorIndex {
     val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
       "SEMANTIC DEDUP")
     graft.llm.Clustering.semSurvivors(
-      graft.llm.Similarity.assignLists(rows, cents), cents)
+      graft.llm.Similarity.assignListsHier(rows, cents), cents)
   }
 
   /** Diversity-balanced sampling over the index's TRAINED geometry — the
@@ -191,7 +205,7 @@ object VectorIndex {
     val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
       "CLUSTER SAMPLE")
     graft.llm.Clustering.clusterSample(
-      graft.llm.Similarity.assignLists(rows, cents))
+      graft.llm.Similarity.assignListsHier(rows, cents))
   }
 
   /** Shared resolution for the trained-geometry compositions: all live
@@ -280,7 +294,7 @@ object VectorIndex {
     }
 
     def ranked(rows: DataFrame, cents: DataFrame): DataFrame = {
-      val assigned = graft.llm.Similarity.assignLists(rows, cents)
+      val assigned = graft.llm.Similarity.assignListsHier(rows, cents)
       val pv = typedLit(probe.toSeq)
       assigned.where(col("list_id").isin(probeLists(cents): _*))
         .select(col("vec_id"), col("list_id"),

@@ -135,12 +135,16 @@ class TextIndexSpec extends SparkSuite {
     // fresh → no-op
     val r2 = spark.sql(s"REFRESH TEXT INDEX ON $t (text)").collect().head
     assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
-    // a rewrite (OPTIMIZE) breaks the append-only shape → full rebuild
+    // a rewrite (OPTIMIZE) remaps: dead files' postings drop, only the
+    // compacted output re-tokenizes — never the whole corpus
     spark.sql(s"OPTIMIZE $t")
     val r3 = spark.sql(s"REFRESH TEXT INDEX ON $t (text)").collect().head
-    assert(r3.getBoolean(1), s"post-OPTIMIZE refresh must rebuild: $r3")
+    assert(r3.getBoolean(1), s"post-OPTIMIZE refresh must remap: $r3")
+    assert(r3.getLong(0) == 1L,
+      s"only the compacted output file re-indexes: $r3")
     val res3 = TextIndex.search(spark, t, "text", "needle")
     assert(res3.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+    assert(plannedFiles(res3) == 1, "post-OPTIMIZE index prunes again")
   }
 
   test("t\\$indexes reports kind, column, and live freshness") {

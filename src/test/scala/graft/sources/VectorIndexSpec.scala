@@ -152,6 +152,27 @@ class VectorIndexSpec extends SparkSuite {
     assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
   }
 
+  test("REFRESH after OPTIMIZE: geometry kept, postings remap to the " +
+      "compacted file") {
+    val cat = freshCatalog("vix8")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val before = VectorIndex.search(spark, t, "embedding", vec(0), 10)
+      .select("vec_id").as[Long].collect().toSet
+    // compaction rewrites every file; rows are identical, so the kept
+    // geometry is exactly what a retrain would produce
+    spark.sql(s"OPTIMIZE $t")
+    val r = spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)").collect().head
+    assert(r.getBoolean(1), s"post-OPTIMIZE refresh must remap: $r")
+    assert(r.getLong(0) == 1L,
+      s"only the compacted output file re-assigns: $r")
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 10)
+    assert(res.select("vec_id").as[Long].collect().toSet == before,
+      "same result as before the rewrite (identical rows)")
+    assert(plannedFiles(res) == 1,
+      "postings now point at the single compacted file")
+  }
+
   test("multi-probe: a boundary probe ranks both blobs, plans both files") {
     val cat = freshCatalog("vix7")
     val t = stage(cat)
