@@ -230,6 +230,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*REFRESH\s+(TEXT|VECTOR)\s+INDEX\s+ON\s+""" +
       """((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""").r
 
+  /** `VECTOR SEARCH ON t (col) PROBE (f, f, …) TOP k [PROBES p]
+    * [WHERE pred]` — the index tier's ANN reachable from plain SQL
+    * ([[graft.sources.VectorIndex.searchWhere]]): exact IVF over the
+    * probe's p nearest stored clusters, file pruning via the posting
+    * list, the optional predicate narrowing CANDIDATES before the top-k.
+    * An EXPLICIT statement rather than a transparent `ORDER BY
+    * dot(…) LIMIT k` rewrite on purpose: IVF is approximate (it ranks
+    * the probed lists, not the corpus), and an optimizer rule must never
+    * silently trade exactness for speed. Spark's grammar has no VECTOR
+    * SEARCH form, so the regex never shadows delegate syntax. */
+  private val VecSearch =
+    ("""(?is)\s*VECTOR\s+SEARCH\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+PROBE\s*\(([^)]+)\)\s+TOP\s+(\d+)""" +
+      """(?:\s+PROBES\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
   private def splitTop(s: String, sep: Char): Seq[String] =
@@ -287,6 +302,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
     case RefreshIdx(kind, target, colName) =>
       RefreshIndexCommand(kind.toLowerCase, target, colName)
+    case VecSearch(target, colName, probeList, topK, probes, where)
+      if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
+      VectorSearchCommand(target, colName, probeList,
+        topK.toInt, Option(probes).map(_.toInt).getOrElse(1), Option(where))
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -880,6 +899,44 @@ case class RefreshIndexCommand(kind: String, target: String, colName: String)
       case _ => graft.sources.VectorIndex.refresh(spark, mt.dir, colName)
     }
     Seq(Row(n, full))
+  }
+}
+
+/** `VECTOR SEARCH ON t (col) PROBE (…) TOP k [PROBES p] [WHERE pred]` —
+  * ANN over the published IVF index from plain SQL
+  * ([[graft.sources.VectorIndex.searchWhere]]). The WHERE text compiles
+  * against the table's own columns and narrows CANDIDATES before the
+  * top-k (the filtered-ANN rule). Output is the anchor id (cast BIGINT),
+  * the matched cluster, and the exact fixed-point dot — top-k rows,
+  * ranked (sim DESC, vec_id). */
+case class VectorSearchCommand(target: String, colName: String,
+    probeList: String, topK: Int, probes: Int, where: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("list_id", org.apache.spark.sql.types.IntegerType,
+      nullable = true)(),
+    AttributeReference("sim", org.apache.spark.sql.types.DoubleType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val probe = probeList.split(",").map { s =>
+      try s.trim.toFloat catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VECTOR SEARCH: PROBE component '${s.trim}' is not a float " +
+            "literal — PROBE takes a comma-separated float vector")
+      }
+    }
+    val pred = where.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    import org.apache.spark.sql.functions.{col, desc}
+    graft.sources.VectorIndex
+      .searchWhere(spark, target, colName, probe, topK, probes, pred)
+      .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+        col("list_id").cast(org.apache.spark.sql.types.IntegerType),
+        col("sim").cast(org.apache.spark.sql.types.DoubleType))
+      .orderBy(desc("sim"), col("vec_id"))
+      .collect().toSeq
   }
 }
 

@@ -599,6 +599,29 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // The SAME search through the SQL statement surface (`VECTOR SEARCH
+    // ON t (col) PROBE (…) TOP k`) — proves plain SQL reaches the index
+    // tier and answers exactly what the Scala API does (shared oracle).
+    "q_vector_search_sql" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) TOP 10")
+    }),
+
+    // Filtered ANN from plain SQL: the WHERE narrows CANDIDATES before
+    // the top-k (the filtered-ANN rule), same oracle as the Scala API's
+    // q_vector_search_filtered.
+    "q_vector_search_sql_filtered" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) " +
+        "TOP 10 WHERE label % 2 = 0")
+    }),
+
     // SemDeDup over the vector index's TRAINED geometry ([[VectorIndex
     // .semDedup]]) — the amortization composition: ONE clustering pays
     // for search, diversity sampling, and near-dup pruning. A fresh index
@@ -2204,6 +2227,20 @@ object SourceQueries extends QueryModule {
        |        FROM embeddings e0, ref1 r0 WHERE e0.vec_id = 0) e, ref1 r)""".stripMargin
   }
 
+  /** The IVF search replay shared by the Scala-API query
+    * (`q_vector_search`) and its SQL-statement twin
+    * (`q_vector_search_sql[_filtered]`) — one search semantics, two
+    * engine surfaces, one oracle. */
+  private def sqlVectorSearchOracle(where: String): String =
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |${sqlProbeFlat("probe")}
+         |SELECT a.vec_id, a.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |FROM a1 a JOIN probe p ON a.list_id = p.p_list
+         |$where
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
+
   def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" -> oracleSelect,
     "q_source_json_roundtrip" -> oracleSelect,
@@ -2288,14 +2325,12 @@ object SourceQueries extends QueryModule {
     // The IVF result replayed from the raw parquet: same deterministic
     // Lloyd loop (shared unrolled generator), same probe list, same
     // fixed-point ranking — file layout and index never enter the answer.
-    "q_vector_search" -> {
-      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |${sqlProbeFlat("probe")}
-         |SELECT a.vec_id, a.list_id,
-         |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
-         |FROM a1 a JOIN probe p ON a.list_id = p.p_list
-         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
-    },
+    "q_vector_search" -> sqlVectorSearchOracle(""),
+    // The SQL-statement surface answers EXACTLY what the Scala API does —
+    // same oracle, zero drift between the two surfaces.
+    "q_vector_search_sql" -> sqlVectorSearchOracle(""),
+    "q_vector_search_sql_filtered" ->
+      sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // The full SemDeDup pipeline replayed at the index's training depth.
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
     // The full diversity-sample replay at the index's training depth.
@@ -2359,15 +2394,8 @@ object SourceQueries extends QueryModule {
          |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin)
     },
     // Filtered IVF replay: predicate before the top-k, as the engine.
-    "q_vector_search_filtered" -> {
-      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |${sqlProbeFlat("probe")}
-         |SELECT a.vec_id, a.list_id,
-         |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
-         |FROM a1 a JOIN probe p ON a.list_id = p.p_list
-         |WHERE a.label % 2 = 0
-         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
-    },
+    "q_vector_search_filtered" ->
+      sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

@@ -221,12 +221,37 @@ object TextIndex {
     }.getOrElse(throw new UnsupportedOperationException(
       s"$op: $table is not a graft manifest table"))
 
+  /** Apply the stale-index query policy (`spark.graft.index.onStale`)
+    * when a PUBLISHED text index on `colName` is stale: `refresh`
+    * catches it up first (bounded — dead postings drop, only new files
+    * tokenize) so the query serves indexed; `fail` refuses loudly;
+    * `retrain` (the default) keeps the silent full-scan fallback — a
+    * text index has no trained state, so the fallback is already what a
+    * rebuild would answer. The transparent planner rewrite
+    * ([[graft.plans.IndexedFilterRewrite]]) deliberately ignores the
+    * policy: an optimizer rule must never mutate state or throw. */
+  private def applyStalePolicy(spark: SparkSession, dir: Path,
+      colName: String, op: String): Unit =
+    Manifest.read(dir).foreach { m =>
+      val published =
+        m.props.keys.exists(_.equalsIgnoreCase(PropPrefix + colName))
+      if (published && freshIdx(spark, m, colName).isEmpty)
+        spark.conf.get("spark.graft.index.onStale", "retrain") match {
+          case "refresh" => refresh(spark, dir, colName)
+          case "fail" => throw new IllegalStateException(
+            s"$op: the text index on $colName is STALE and " +
+              "spark.graft.index.onStale=fail — run REFRESH TEXT INDEX first")
+          case _ => ()
+        }
+    }
+
   /** All rows whose tokenized `colName` contains `term`. Index-assisted
     * when a FRESH index exists (candidate files from the posting list,
     * exact predicate re-applied scan-side); full scan otherwise. */
   def search(spark: SparkSession, table: String, colName: String,
       term: String): DataFrame = {
     val mt = resolveManifestTable(spark, table, "TEXT SEARCH")
+    applyStalePolicy(spark, mt.dir, colName, "TEXT SEARCH")
     val pred = array_contains(split(col(colName), " "), term)
     candidateFiles(spark, mt.dir, colName, term) match {
       case Some(cand) if cand.isEmpty => spark.table(table).where(lit(false))
@@ -246,6 +271,7 @@ object TextIndex {
   def phraseSearch(spark: SparkSession, table: String, colName: String,
       phrase: String): DataFrame = {
     val mt = resolveManifestTable(spark, table, "PHRASE SEARCH")
+    applyStalePolicy(spark, mt.dir, colName, "PHRASE SEARCH")
     val tokens = phrase.split(" ").filter(_.nonEmpty).toSeq
     require(tokens.nonEmpty, "PHRASE SEARCH: empty phrase")
     val pred = concat(lit(" "), col(colName), lit(" "))
@@ -276,6 +302,7 @@ object TextIndex {
   def bm25TopK(spark: SparkSession, table: String, colName: String,
       idCol: String, terms: Seq[String], k: Int): DataFrame = {
     val mt = resolveManifestTable(spark, table, "BM25 SEARCH")
+    applyStalePolicy(spark, mt.dir, colName, "BM25 SEARCH")
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"BM25 SEARCH: no manifest at ${mt.dir}"))
     // (df per term, N, sum_dl, candidate rows)

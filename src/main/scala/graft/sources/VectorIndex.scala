@@ -51,6 +51,28 @@ object VectorIndex {
   private[sources] val PropPrefix = "vecidx."
   private val Iters = 1 // one Lloyd refinement — the IVF training standard
 
+  /** What a QUERY does when it meets a stale index
+    * (`spark.graft.index.onStale`): `retrain` (default) recomputes the
+    * geometry from the declared anchors inside the query — always correct
+    * and oracle-replayable from the current corpus, but at scale that is
+    * a surprise full-table clustering per probe; `refresh` runs the
+    * bounded incremental [[refresh]] first (dead postings drop, new files
+    * assign against the stored geometry) and then serves from the index —
+    * the production posture; `fail` refuses loudly, for deployments that
+    * want rebuild discipline enforced rather than absorbed. */
+  private def onStale(spark: SparkSession): String =
+    spark.conf.get("spark.graft.index.onStale", "retrain") match {
+      case p @ ("retrain" | "refresh" | "fail") => p
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.index.onStale=$other — expected retrain|refresh|fail")
+    }
+
+  private def staleRefused(op: String, table: String): Nothing =
+    throw new IllegalStateException(
+      s"$op: the vector index on $table is STALE and " +
+        "spark.graft.index.onStale=fail — run REFRESH VECTOR INDEX (or " +
+        "CREATE VECTOR INDEX to retrain) first")
+
   private def sha256(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -230,11 +252,19 @@ object VectorIndex {
     val rows = scanFiles(spark, mt.dir, names)
       .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         col(colName).as("embedding"))
+    def stored(idx: String) =
+      spark.read.parquet(mt.dir.resolve(idx).resolve("cents").toString)
     val cents =
-      if (dig == digestOf(m))
-        spark.read.parquet(mt.dir.resolve(idxName).resolve("cents").toString)
-      else graft.llm.Clustering.kmeansAssign(
-        rows, graft.llm.Clustering.kFor(rows.count()), Iters)._2
+      if (dig == digestOf(m)) stored(idxName)
+      else onStale(spark) match {
+        case "fail" => staleRefused(op, table)
+        case "refresh" =>
+          refresh(spark, mt.dir, colName)
+          val cur = Manifest.read(mt.dir).getOrElse(m)
+          stored(cur.props(PropPrefix + colName.toLowerCase).split(";", 3)(0))
+        case _ => graft.llm.Clustering.kmeansAssign(
+          rows, graft.llm.Clustering.kFor(rows.count()), Iters)._2
+      }
     (rows, cents)
   }
 
@@ -319,20 +349,28 @@ object VectorIndex {
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"))
       ranked(rows, cents)
-    } else {
-      // stale: retrain from the declared anchors over the CURRENT rows —
-      // exactly what a rebuild would answer, minus the file pruning. The
-      // geometry trains on the UNFILTERED corpus (it is a corpus-level
-      // artifact); the predicate narrows only the ranked candidates.
-      val all = scanFiles(spark, mt.dir, names)
-      val rows = all
-        .select(col(idCol).as("vec_id"), lit(0).as("label"),
-          col(colName).as("embedding"))
-      val (_, cents) = graft.llm.Clustering.kmeansAssign(
-        rows, graft.llm.Clustering.kFor(rows.count()), Iters)
-      ranked(all.where(predicate)
-        .select(col(idCol).as("vec_id"), lit(0).as("label"),
-          col(colName).as("embedding")), cents)
+    } else onStale(spark) match {
+      case "fail" => staleRefused("VECTOR SEARCH", table)
+      case "refresh" =>
+        // bounded catch-up (dead postings drop, new files assign against
+        // the stored geometry), then serve from the now-fresh index —
+        // pruning included
+        refresh(spark, mt.dir, colName)
+        searchWhere(spark, table, colName, probe, topK, probes, predicate)
+      case _ =>
+        // retrain from the declared anchors over the CURRENT rows —
+        // exactly what a rebuild would answer, minus the file pruning. The
+        // geometry trains on the UNFILTERED corpus (it is a corpus-level
+        // artifact); the predicate narrows only the ranked candidates.
+        val all = scanFiles(spark, mt.dir, names)
+        val rows = all
+          .select(col(idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"))
+        val (_, cents) = graft.llm.Clustering.kmeansAssign(
+          rows, graft.llm.Clustering.kFor(rows.count()), Iters)
+        ranked(all.where(predicate)
+          .select(col(idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding")), cents)
     }
   }
 }

@@ -147,6 +147,29 @@ class TextIndexSpec extends SparkSuite {
     assert(plannedFiles(res3) == 1, "post-OPTIMIZE index prunes again")
   }
 
+  test("onStale policy: fail refuses a stale index, refresh catches up " +
+      "and prunes again") {
+    val (cat, _) = freshCatalog("tix11")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    Seq((7L, "fresh needle")).toDF("id", "text").coalesce(1)
+      .writeTo(t).append() // stale now
+    try {
+      spark.conf.set("spark.graft.index.onStale", "fail")
+      val e = intercept[IllegalStateException] {
+        TextIndex.search(spark, t, "text", "needle").collect()
+      }
+      assert(e.getMessage.contains("STALE"), e.getMessage)
+      spark.conf.set("spark.graft.index.onStale", "refresh")
+      val res = TextIndex.search(spark, t, "text", "needle")
+      assert(res.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+      assert(plannedFiles(res) == 2, "served from the refreshed index")
+      val meta = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
+        .collect().map(_.getBoolean(0))
+      assert(meta.toSeq == Seq(true), "refresh policy republished the index")
+    } finally spark.conf.unset("spark.graft.index.onStale")
+  }
+
   test("t\\$indexes reports kind, column, and live freshness") {
     val (cat, _) = freshCatalog("tix7")
     val t = stage(cat)

@@ -152,9 +152,68 @@ class VectorIndexSpec extends SparkSuite {
     assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
   }
 
+  test("VECTOR SEARCH SQL statement: the index tier from plain SQL") {
+    val cat = freshCatalog("vix11")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val probe = vec(0).mkString(", ")
+    val res = spark.sql(
+      s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) TOP 3")
+    assert(res.columns.toSeq == Seq("vec_id", "list_id", "sim"))
+    val ids = res.select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == 3 && ids.forall(_ <= 5L),
+      s"top-3 must come from blob A: $ids")
+    // the WHERE narrows candidates BEFORE the top-k (filtered-ANN rule)
+    val odd = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
+      "TOP 3 WHERE vec_id % 2 = 1")
+    assert(odd.select("vec_id").as[Long].collect().toSeq
+      .forall(i => i % 2 == 1 && i <= 5L))
+    // PROBES reaches the second blob's list
+    val both = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
+      "TOP 12 PROBES 2")
+    assert(both.count() == 12L, "two probed lists cover both blobs")
+    // a malformed probe component refuses with the statement's own error
+    val e = intercept[Exception] {
+      spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE (1.0, oops) TOP 3")
+        .collect()
+    }
+    assert(e.getMessage.contains("not a float literal"), e.getMessage)
+  }
+
+  test("onStale policy: fail refuses, refresh catches up and serves " +
+      "from the index") {
+    val cat = freshCatalog("vix12")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // make it stale: new blob-A vectors in their own file
+    Seq((12L, 0, vec(0, (10, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    try {
+      spark.conf.set("spark.graft.index.onStale", "fail")
+      val e = intercept[IllegalStateException] {
+        VectorIndex.search(spark, t, "embedding", vec(0), 10).collect()
+      }
+      assert(e.getMessage.contains("STALE"), e.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        VectorIndex.semDedup(spark, t, "embedding", "label").collect()
+      }
+      assert(e2.getMessage.contains("STALE"), e2.getMessage)
+      spark.conf.set("spark.graft.index.onStale", "refresh")
+      val res = VectorIndex.search(spark, t, "embedding", vec(0), 10)
+      assert(res.select("vec_id").as[Long].collect().contains(12L),
+        "refresh policy serves the appended vector")
+      assert(plannedFiles(res) == 2,
+        "served from the refreshed index: blob-A file + appended file")
+      // the refresh persisted — the index is fresh for everyone now
+      val meta = spark.sql(s"SELECT fresh FROM $cat.ns.`emb$$indexes`")
+        .collect().map(_.getBoolean(0))
+      assert(meta.toSeq == Seq(true), "refresh policy republished the index")
+    } finally spark.conf.unset("spark.graft.index.onStale")
+  }
+
   test("REFRESH after OPTIMIZE: geometry kept, postings remap to the " +
       "compacted file") {
-    val cat = freshCatalog("vix8")
+    val cat = freshCatalog("vix13")
     val t = stage(cat)
     spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
     val before = VectorIndex.search(spark, t, "embedding", vec(0), 10)
