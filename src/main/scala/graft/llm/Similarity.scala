@@ -35,9 +35,36 @@ object Similarity extends QueryModule {
   private val TopPerProbe = 3
   private val ProbeSalt = 32  // phase-1 buckets per probe (bounds collect_list)
   private val KnnK = 3        // q_knn_graph neighbors per vector
-  private val PqM = 8         // q_embed_pq: subspace blocks
-  private val PqDim = 8       // dims per block (PqM × PqDim = 64)
-  private val PqK = 4         // centroids per subspace codebook
+  private[graft] val PqM = 8   // q_embed_pq: subspace blocks
+  private[graft] val PqDim = 8 // dims per block (PqM × PqDim = 64)
+  private[graft] val PqK = 4   // centroids per subspace codebook
+
+  /** PQ primitives shared by `q_embed_pq` and the vector index's
+    * PQ-candidate tier ([[graft.sources.VectorIndex]]): one 8-dim block
+    * of a 64-dim vector, its min-L2 codebook code ((x·x − 2·x·c) + c·c
+    * fixed-point assembly, first-min tie-break), and the asymmetric
+    * (ADC) probe score — Σ_b dot(probe_b, centroid[code_b]_b),
+    * left-assoc, every double op in the oracle's order. `cents` is an
+    * array<struct<c_id, c_emb>> column sorted by c_id. */
+  private[graft] def pqBlock(c: org.apache.spark.sql.Column, b: Int) =
+    slice(c, b * PqDim + 1, PqDim)
+  private[graft] def pqCode(cents: org.apache.spark.sql.Column,
+      emb: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column = {
+    val xb = pqBlock(emb, b)
+    val d2s = transform(cents, st => {
+      val cb = pqBlock(st.getField("c_emb"), b)
+      (dotFixed(xb, xb) - lit(2.0) * dotFixed(xb, cb)) + dotFixed(cb, cb)
+    })
+    (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType)
+  }
+  private[graft] def pqAdc(cents: org.apache.spark.sql.Column,
+      probe: org.apache.spark.sql.Column,
+      code: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until PqM).map { b =>
+      val cb = pqBlock(
+        element_at(cents, code(b) + lit(1)).getField("c_emb"), b)
+      dotFixed(pqBlock(probe, b), cb)
+    }.reduce(_ + _)
 
   /** Exact per-group mean vectors via [[graft.functions.VectorSumFixed]]:
     * one 64-long buffer per group through the partial/final aggregate —
@@ -445,23 +472,11 @@ object Similarity extends QueryModule {
           col("vec_id").cast(IntegerType).as("c_id"),
           col("embedding").as("c_emb")))).as("cents"))
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
-      def blockOf(c: org.apache.spark.sql.Column, b: Int) =
-        slice(c, b * PqDim + 1, PqDim)
       val base = emb.crossJoin(broadcast(anchors)).crossJoin(broadcast(probe))
       val withCodes = (0 until PqM).foldLeft(base) { (df, b) =>
-        val xb = blockOf(col("embedding"), b)
-        val d2s = transform(col("cents"), st => {
-          val cb = blockOf(st.getField("c_emb"), b)
-          (dotFixed(xb, xb) - lit(2.0) * dotFixed(xb, cb)) + dotFixed(cb, cb)
-        })
-        df.withColumn(s"code$b",
-          (array_position(d2s, array_min(d2s)) - 1).cast(IntegerType))
+        df.withColumn(s"code$b", pqCode(col("cents"), col("embedding"), b))
       }
-      val adc = (0 until PqM).map { b =>
-        val cb = blockOf(
-          element_at(col("cents"), col(s"code$b") + 1).getField("c_emb"), b)
-        dotFixed(blockOf(col("pv"), b), cb)
-      }.reduce(_ + _)
+      val adc = pqAdc(col("cents"), col("pv"), b => col(s"code$b"))
       withCodes.select(
         col("vec_id") +: col("label") +:
           (0 until PqM).map(b => col(s"code$b")) :+

@@ -610,6 +610,22 @@ object SourceQueries extends QueryModule {
       s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) TOP 10")
     }),
 
+    // IVF-PQ search ([[VectorIndex.searchPq]]): ADC pre-rank over the
+    // stored PQ codes (the narrow sidecar — embeddings never read at that
+    // stage), exact fixed-point rerank over only the top-`rerank`
+    // survivors. The oracle replays codebook, codes, ADC order and the
+    // rerank cutoff from raw parquet, so the whole compression tier is
+    // hash-gated, not just spot-checked.
+    "q_vector_search_pq" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.searchPq(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 1, rerank = 50)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
     // Filtered ANN from plain SQL: the WHERE narrows CANDIDATES before
     // the top-k (the filtered-ANN rule), same oracle as the Scala API's
     // q_vector_search_filtered.
@@ -2396,6 +2412,48 @@ object SourceQueries extends QueryModule {
     // Filtered IVF replay: predicate before the top-k, as the engine.
     "q_vector_search_filtered" ->
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
+    // IVF-PQ replay: same geometry (a1), same deterministic codebook (the
+    // PqK lowest-anchor rows), same (x·x − 2·x·c) + c·c code assembly and
+    // left-assoc ADC sum as q_embed_pq, ADC-top-50 cutoff (sim_adc DESC,
+    // vec_id), exact fixed-point rerank of the survivors.
+    "q_vector_search_pq" -> {
+      import graft.llm.Similarity.{PqM, PqDim, PqK}
+      val dot = graft.llm.PortableHash.sqlDotFixed _
+      def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
+      def d2s(b: Int) = {
+        val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
+        s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
+          s"for pq_ci in range(1, ${PqK + 1})]"
+      }
+      val codeCols = (0 until PqM).map(b =>
+        s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
+        .mkString(",\n    ")
+      val adc = (0 until PqM).map(b =>
+        dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+           |${sqlProbeFlat("probe")},
+           |cbl AS (
+           |  SELECT list(embedding ORDER BY vec_id) AS cl
+           |  FROM embeddings WHERE vec_id < $PqK),
+           |candpq AS (
+           |  SELECT a.vec_id, a.list_id, a.embedding
+           |  FROM a1 a JOIN probe p ON a.list_id = p.p_list),
+           |kc AS (
+           |  SELECT e.vec_id, e.list_id, e.embedding,
+           |    $codeCols
+           |  FROM candpq e, cbl c),
+           |adct AS (
+           |  SELECT k.vec_id, k.list_id, k.embedding, $adc AS sim_adc
+           |  FROM kc k, cbl c, probe p),
+           |survivors AS (
+           |  SELECT vec_id, list_id, embedding FROM adct
+           |  ORDER BY sim_adc DESC, vec_id LIMIT 50)
+           |SELECT t.vec_id, t.list_id,
+           |  ${dot("t.embedding", "p.pv")} AS sim
+           |FROM survivors t, probe p
+           |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+    },
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

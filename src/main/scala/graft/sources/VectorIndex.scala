@@ -135,6 +135,8 @@ object VectorIndex {
         .join(base.select(col("vec_id"), col("file")), "vec_id")
         .select(col("list_id"), col("file")).distinct()
         .write.parquet(idxDir.resolve("posts").toString)
+      writePqSidecars(spark, idxDir, base,
+        assigned.select(col("vec_id"), col("list_id")))
       k
     }
     ManifestLock.withLock(dir) {
@@ -143,6 +145,36 @@ object VectorIndex {
         (PropPrefix + colName.toLowerCase -> s"$idxName;$idCol;${digestOf(m)}")))
     }
     (names.length.toLong, k)
+  }
+
+  /** PQ candidate-compression sidecars ([[searchPq]]): `pqcb/` — the
+    * deterministic codebook (the [[graft.llm.Similarity.PqK]] lowest-
+    * anchor rows, so the compression is oracle-replayable like the
+    * centroids) — and `codes/` — per-row `(vec_id, list_id, file,
+    * code0..7)`, ~PqM small ints instead of dim floats. At 100 TB the
+    * ADC pre-rank reads this narrow sidecar instead of the embedding
+    * column — the 4-16× candidate-I/O cut of the standard IVF-PQ
+    * architecture. Skipped (with no published marker) when the anchor id
+    * range has no rows below PqK — [[searchPq]] then refuses loudly. */
+  private def writePqSidecars(spark: SparkSession, idxDir: Path,
+      base: DataFrame, lists: DataFrame): Unit = {
+    import graft.llm.Similarity
+    val cb = base.filter(col("vec_id") < Similarity.PqK)
+      .select(col("vec_id").cast(IntegerType).as("c_id"),
+        col("embedding").as("c_emb"))
+    if (cb.limit(1).count() == 0) return
+    cb.coalesce(1).write.parquet(idxDir.resolve("pqcb").toString)
+    val cbArr = cb.agg(
+      array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+    val coded = (0 until Similarity.PqM)
+      .foldLeft(base.crossJoin(broadcast(cbArr))) { (df, b) =>
+        df.withColumn(s"code$b",
+          Similarity.pqCode(col("cents"), col("embedding"), b))
+      }
+    coded.join(lists, "vec_id")
+      .select(Seq(col("vec_id"), col("list_id"), col("file")) ++
+        (0 until Similarity.PqM).map(b => col(s"code$b")): _*)
+      .write.parquet(idxDir.resolve("codes").toString)
   }
 
   /** Refresh a stale index KEEPING the trained geometry — how a
@@ -178,21 +210,49 @@ object VectorIndex {
     val cents = spark.read.parquet(oldDir.resolve("cents").toString)
     val kept = spark.read.parquet(oldDir.resolve("posts").toString)
       .where(!col("file").isin(dead: _*))
-    val posts = if (newFiles.isEmpty) kept else {
-      val rows = scanFiles(spark, dir, newFiles)
+    val newRows =
+      if (newFiles.isEmpty) None
+      else Some(scanFiles(spark, dir, newFiles)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
-          col(colName).as("embedding"), col("_file").as("file"))
-      val assigned = graft.llm.Similarity.assignListsHier(
-        rows.select("vec_id", "label", "embedding"), cents)
-      val delta = assigned.select(col("vec_id"), col("list_id"))
+          col(colName).as("embedding"), col("_file").as("file")))
+    val newLists = newRows.map { rows =>
+      graft.llm.Similarity.assignListsHier(
+          rows.select("vec_id", "label", "embedding"), cents)
+        .select(col("vec_id"), col("list_id"))
         .join(rows.select(col("vec_id"), col("file")), "vec_id")
-        .select(col("list_id"), col("file")).distinct()
-      kept.unionByName(delta)
     }
+    val posts = newLists.fold(kept)(nl =>
+      kept.unionByName(nl.select(col("list_id"), col("file")).distinct()))
     val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
     cents.write.parquet(idxDir.resolve("cents").toString)
     posts.write.parquet(idxDir.resolve("posts").toString)
+    // the PQ sidecars ride the refresh: the codebook is trained state
+    // (carried, like the centroids); codes remap like postings — dead
+    // files' rows drop, new files' rows code against the stored codebook
+    if (java.nio.file.Files.exists(oldDir.resolve("pqcb"))) {
+      import graft.llm.Similarity
+      val cbDf = spark.read.parquet(oldDir.resolve("pqcb").toString)
+      cbDf.coalesce(1).write.parquet(idxDir.resolve("pqcb").toString)
+      val keptCodes = spark.read.parquet(oldDir.resolve("codes").toString)
+        .where(!col("file").isin(dead: _*))
+      val codes = (newRows, newLists) match {
+        case (Some(rows), Some(nl)) =>
+          val cbArr = cbDf.agg(array_sort(
+            collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+          val coded = (0 until Similarity.PqM)
+            .foldLeft(rows.crossJoin(broadcast(cbArr))) { (df, b) =>
+              df.withColumn(s"code$b",
+                Similarity.pqCode(col("cents"), col("embedding"), b))
+            }
+          keptCodes.unionByName(
+            coded.join(nl.select(col("vec_id"), col("list_id")), "vec_id")
+              .select(Seq(col("vec_id"), col("list_id"), col("file")) ++
+                (0 until Similarity.PqM).map(b => col(s"code$b")): _*))
+        case _ => keptCodes
+      }
+      codes.write.parquet(idxDir.resolve("codes").toString)
+    }
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
@@ -371,6 +431,115 @@ object VectorIndex {
         ranked(all.where(predicate)
           .select(col(idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding")), cents)
+    }
+  }
+
+  /** IVF-PQ top-k — the candidate-COMPRESSION path of the standard 100 TB
+    * ANN architecture: the probe's `probes` lists' rows are pre-ranked by
+    * the asymmetric (ADC) score over the stored PQ codes — a scan of the
+    * NARROW `codes/` sidecar (PqM small ints per row), never the embedding
+    * column — and only the top `rerank` survivors have their embeddings
+    * fetched (broadcast id semi-join against the posting files) for the
+    * exact fixed-point rerank. Approximation is explicit and bounded: the
+    * result is the exact top-k AMONG the ADC-top-`rerank` candidates of
+    * the probed lists (raise `rerank` toward the list size and it
+    * converges on [[search]]); every step is deterministic — codebook =
+    * the PqK lowest-anchor rows, first-min/first-max tie-breaks,
+    * fixed-point scores — so the DuckDB oracle replays the whole pipeline
+    * from raw data. Stale index: the onStale policy applies; `retrain`
+    * replays geometry + codes in-query (same answer a rebuild would give,
+    * no pruning). Output: (vec_id, list_id, sim). */
+  def searchPq(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int, probes: Int = 1,
+      rerank: Int = 50): DataFrame = {
+    import graft.llm.Similarity
+    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable]
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"VECTOR SEARCH PQ: $table is not a graft manifest table"))
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"VECTOR SEARCH PQ: no manifest at ${mt.dir}"))
+    val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"VECTOR SEARCH PQ: no vector index on $table ($colName)"))
+    val Array(idxName, idCol, dig) = prop.split(";", 3)
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    val pv = typedLit(probe.toSeq)
+
+    def probeLists(cents: DataFrame): Seq[Int] =
+      cents.select(col("c_id"),
+          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
+        .orderBy(desc("pd"), col("c_id")).limit(probes)
+        .collect().map(_.getInt(0)).toSeq
+
+    def exactTop(cand: DataFrame): DataFrame =
+      cand.select(col("vec_id"), col("list_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(topK)
+
+    if (dig == digestOf(m)) {
+      val idxDir = mt.dir.resolve(idxName)
+      if (!java.nio.file.Files.exists(idxDir.resolve("pqcb")))
+        throw new IllegalStateException(
+          s"VECTOR SEARCH PQ: the index on $table ($colName) has no PQ " +
+            s"sidecars — the anchor id range had no rows below " +
+            s"${Similarity.PqK} at build time")
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      val pLists = probeLists(cents)
+      val cbArr = spark.read.parquet(idxDir.resolve("pqcb").toString)
+        .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+          .as("cents"))
+      // ADC pre-rank over the NARROW codes sidecar (list filter pushed to
+      // the parquet scan) — the embedding column is never read here
+      val top = spark.read.parquet(idxDir.resolve("codes").toString)
+        .where(col("list_id").isin(pLists: _*))
+        .crossJoin(broadcast(cbArr))
+        .withColumn("sim_adc",
+          Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+        .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
+        .select(col("vec_id"), col("list_id"))
+      val cand = spark.read.parquet(idxDir.resolve("posts").toString)
+        .where(col("list_id").isin(pLists: _*))
+        .select("file").distinct().collect().map(_.getString(0))
+      if (cand.isEmpty) return spark.range(0)
+        .select(col("id").as("vec_id"), lit(0).as("list_id"),
+          lit(0.0).as("sim")).limit(0)
+      // exact rerank touches ONLY the rerank survivors' embeddings
+      val rows = scanFiles(spark, mt.dir, cand.toSeq)
+        .select(col(idCol).as("vec_id"), col(colName).as("embedding"))
+        .join(broadcast(top), "vec_id")
+      exactTop(rows)
+    } else onStale(spark) match {
+      case "fail" => staleRefused("VECTOR SEARCH PQ", table)
+      case "refresh" =>
+        refresh(spark, mt.dir, colName)
+        searchPq(spark, table, colName, probe, topK, probes, rerank)
+      case _ =>
+        // in-query replay of the WHOLE pipeline (geometry + codes), so the
+        // answer matches a fresh rebuild's — no pruning, same determinism
+        val rows = scanFiles(spark, mt.dir, names)
+          .select(col(idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"))
+        val (assigned, cents) = graft.llm.Clustering.kmeansAssign(
+          rows, graft.llm.Clustering.kFor(rows.count()), Iters)
+        val cb = rows.filter(col("vec_id") < Similarity.PqK)
+          .select(col("vec_id").cast(IntegerType).as("c_id"),
+            col("embedding").as("c_emb"))
+        val cbArr = cb.agg(array_sort(
+          collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+        val coded = (0 until Similarity.PqM).foldLeft(
+          assigned.where(col("list_id").isin(probeLists(cents): _*))
+            .crossJoin(broadcast(cbArr))) { (df, b) =>
+          df.withColumn(s"code$b",
+            Similarity.pqCode(col("cents"), col("embedding"), b))
+        }
+        val top = coded
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+          .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
+        exactTop(top)
     }
   }
 }

@@ -180,6 +180,35 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("not a float literal"), e.getMessage)
   }
 
+  test("searchPq: ADC pre-rank bounds the exact rerank, converges on " +
+      "search as rerank grows") {
+    val cat = freshCatalog("vix14")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // rerank below topK: the cutoff is real — only the ADC survivors rank
+    val tight = VectorIndex.searchPq(spark, t, "embedding", vec(0), 5,
+      probes = 1, rerank = 2)
+    assert(tight.count() == 2L, "rerank=2 leaves two candidates for top-5")
+    // rerank past the list size: identical to the exact IVF search
+    val wide = VectorIndex.searchPq(spark, t, "embedding", vec(0), 12,
+      probes = 2, rerank = 100)
+    val exact = VectorIndex.search(spark, t, "embedding", vec(0), 12,
+      probes = 2)
+    assert(wide.select("vec_id").as[Long].collect().toSeq ==
+      exact.select("vec_id").as[Long].collect().toSeq,
+      "wide rerank converges on the exact IVF ranking")
+    // the ADC stage reads the codes sidecar, never the embedding column:
+    // the only ManifestScan files are the exact-rerank candidates
+    assert(plannedFiles(wide) == 2, "exact rerank scans the 2 posting files")
+    // stale + default policy (retrain): full in-query replay, same shape
+    Seq((12L, 0, vec(0, (10, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val stale = VectorIndex.searchPq(spark, t, "embedding", vec(0), 8,
+      probes = 1, rerank = 100)
+    assert(stale.select("vec_id").as[Long].collect().contains(12L),
+      "stale replay must surface the appended vector")
+  }
+
   test("onStale policy: fail refuses, refresh catches up and serves " +
       "from the index") {
     val cat = freshCatalog("vix12")
@@ -230,6 +259,12 @@ class VectorIndexSpec extends SparkSuite {
       "same result as before the rewrite (identical rows)")
     assert(plannedFiles(res) == 1,
       "postings now point at the single compacted file")
+    // the PQ sidecars remapped with the postings: codebook kept, codes
+    // re-derived for the compacted file — the ADC path serves fresh
+    val pq = VectorIndex.searchPq(spark, t, "embedding", vec(0), 10,
+      probes = 1, rerank = 100)
+    assert(pq.select("vec_id").as[Long].collect().toSet == before,
+      "PQ path serves the remapped index")
   }
 
   test("multi-probe: a boundary probe ranks both blobs, plans both files") {
