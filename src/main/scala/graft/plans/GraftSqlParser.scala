@@ -231,19 +231,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""").r
 
   /** `VECTOR SEARCH ON t (col) PROBE (f, f, …) TOP k [PROBES p]
-    * [WHERE pred]` — the index tier's ANN reachable from plain SQL
-    * ([[graft.sources.VectorIndex.searchWhere]]): exact IVF over the
-    * probe's p nearest stored clusters, file pruning via the posting
-    * list, the optional predicate narrowing CANDIDATES before the top-k.
-    * An EXPLICIT statement rather than a transparent `ORDER BY
-    * dot(…) LIMIT k` rewrite on purpose: IVF is approximate (it ranks
-    * the probed lists, not the corpus), and an optimizer rule must never
-    * silently trade exactness for speed. Spark's grammar has no VECTOR
-    * SEARCH form, so the regex never shadows delegate syntax. */
+    * [RERANK r USING PQ] [WHERE pred]` — the index tier's ANN reachable
+    * from plain SQL ([[graft.sources.VectorIndex.searchWhere]]): exact
+    * IVF over the probe's p nearest stored clusters, file pruning via
+    * the posting list, the optional predicate narrowing CANDIDATES
+    * before the top-k. `RERANK r USING PQ` routes through the
+    * compression tier ([[graft.sources.VectorIndex.searchPq]]): ADC
+    * pre-rank over the stored codes, exact rerank of the top-r
+    * survivors (mutually exclusive with WHERE — the codes sidecar
+    * carries no table columns to filter on). An EXPLICIT statement
+    * rather than a transparent `ORDER BY dot(…) LIMIT k` rewrite on
+    * purpose: IVF is approximate (it ranks the probed lists, not the
+    * corpus), and an optimizer rule must never silently trade exactness
+    * for speed. Spark's grammar has no VECTOR SEARCH form, so the regex
+    * never shadows delegate syntax. */
   private val VecSearch =
     ("""(?is)\s*VECTOR\s+SEARCH\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+PROBE\s*\(([^)]+)\)\s+TOP\s+(\d+)""" +
-      """(?:\s+PROBES\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+      """(?:\s+PROBES\s+(\d+))?(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   /** Split on `sep` at paren depth 0 outside single-quoted literals
     * (shared with the MERGE clause parser). */
@@ -302,10 +308,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
     case RefreshIdx(kind, target, colName) =>
       RefreshIndexCommand(kind.toLowerCase, target, colName)
-    case VecSearch(target, colName, probeList, topK, probes, where)
+    case VecSearch(target, colName, probeList, topK, probes, rerank, where)
       if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       VectorSearchCommand(target, colName, probeList,
-        topK.toInt, Option(probes).map(_.toInt).getOrElse(1), Option(where))
+        topK.toInt, Option(probes).map(_.toInt).getOrElse(1),
+        Option(rerank).map(_.toInt), Option(where))
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -902,15 +909,18 @@ case class RefreshIndexCommand(kind: String, target: String, colName: String)
   }
 }
 
-/** `VECTOR SEARCH ON t (col) PROBE (…) TOP k [PROBES p] [WHERE pred]` —
-  * ANN over the published IVF index from plain SQL
-  * ([[graft.sources.VectorIndex.searchWhere]]). The WHERE text compiles
-  * against the table's own columns and narrows CANDIDATES before the
-  * top-k (the filtered-ANN rule). Output is the anchor id (cast BIGINT),
-  * the matched cluster, and the exact fixed-point dot — top-k rows,
-  * ranked (sim DESC, vec_id). */
+/** `VECTOR SEARCH ON t (col) PROBE (…) TOP k [PROBES p]
+  * [RERANK r USING PQ] [WHERE pred]` — ANN over the published IVF index
+  * from plain SQL ([[graft.sources.VectorIndex.searchWhere]], or
+  * [[graft.sources.VectorIndex.searchPq]] when RERANK … USING PQ is
+  * given). The WHERE text compiles against the table's own columns and
+  * narrows CANDIDATES before the top-k (the filtered-ANN rule); it is
+  * mutually exclusive with the PQ path (codes carry no table columns).
+  * Output is the anchor id (cast BIGINT), the matched cluster, and the
+  * exact fixed-point dot — top-k rows, ranked (sim DESC, vec_id). */
 case class VectorSearchCommand(target: String, colName: String,
-    probeList: String, topK: Int, probes: Int, where: Option[String])
+    probeList: String, topK: Int, probes: Int, rerank: Option[Int],
+    where: Option[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
@@ -927,11 +937,22 @@ case class VectorSearchCommand(target: String, colName: String,
             "literal — PROBE takes a comma-separated float vector")
       }
     }
-    val pred = where.map(org.apache.spark.sql.functions.expr)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
     import org.apache.spark.sql.functions.{col, desc}
-    graft.sources.VectorIndex
-      .searchWhere(spark, target, colName, probe, topK, probes, pred)
+    val res = rerank match {
+      case Some(r) =>
+        if (where.isDefined) throw new IllegalArgumentException(
+          "VECTOR SEARCH: RERANK … USING PQ and WHERE are mutually " +
+            "exclusive — the PQ codes sidecar carries no table columns " +
+            "to filter on; drop one of the two clauses")
+        graft.sources.VectorIndex
+          .searchPq(spark, target, colName, probe, topK, probes, r)
+      case None =>
+        val pred = where.map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        graft.sources.VectorIndex
+          .searchWhere(spark, target, colName, probe, topK, probes, pred)
+    }
+    res
       .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
         col("list_id").cast(org.apache.spark.sql.types.IntegerType),
         col("sim").cast(org.apache.spark.sql.types.DoubleType))

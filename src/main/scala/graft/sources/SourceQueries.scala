@@ -626,6 +626,18 @@ object SourceQueries extends QueryModule {
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
     }),
 
+    // The PQ path from plain SQL (`RERANK 50 USING PQ`) — shares
+    // q_vector_search_pq's oracle: one compression pipeline, two
+    // surfaces, zero drift.
+    "q_vector_search_sql_pq" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) " +
+        "TOP 10 RERANK 50 USING PQ")
+    }),
+
     // Filtered ANN from plain SQL: the WHERE narrows CANDIDATES before
     // the top-k (the filtered-ANN rule), same oracle as the Scala API's
     // q_vector_search_filtered.
@@ -2257,6 +2269,51 @@ object SourceQueries extends QueryModule {
          |$where
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
 
+  /** The IVF-PQ replay shared by the Scala-API query
+    * (`q_vector_search_pq`) and its SQL-statement twin
+    * (`q_vector_search_sql_pq`): same geometry (a1), same deterministic
+    * codebook (the PqK lowest-anchor rows), same (x·x − 2·x·c) + c·c code
+    * assembly and left-assoc ADC sum as q_embed_pq, ADC-top-50 cutoff
+    * (sim_adc DESC, vec_id), exact fixed-point rerank of the survivors. */
+  private lazy val sqlVectorSearchPqOracle: String = {
+      import graft.llm.Similarity.{PqM, PqDim, PqK}
+      val dot = graft.llm.PortableHash.sqlDotFixed _
+      def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
+      def d2s(b: Int) = {
+        val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
+        s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
+          s"for pq_ci in range(1, ${PqK + 1})]"
+      }
+      val codeCols = (0 until PqM).map(b =>
+        s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
+        .mkString(",\n    ")
+      val adc = (0 until PqM).map(b =>
+        dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+           |${sqlProbeFlat("probe")},
+           |cbl AS (
+           |  SELECT list(embedding ORDER BY vec_id) AS cl
+           |  FROM embeddings WHERE vec_id < $PqK),
+           |candpq AS (
+           |  SELECT a.vec_id, a.list_id, a.embedding
+           |  FROM a1 a JOIN probe p ON a.list_id = p.p_list),
+           |kc AS (
+           |  SELECT e.vec_id, e.list_id, e.embedding,
+           |    $codeCols
+           |  FROM candpq e, cbl c),
+           |adct AS (
+           |  SELECT k.vec_id, k.list_id, k.embedding, $adc AS sim_adc
+           |  FROM kc k, cbl c, probe p),
+           |survivors AS (
+           |  SELECT vec_id, list_id, embedding FROM adct
+           |  ORDER BY sim_adc DESC, vec_id LIMIT 50)
+           |SELECT t.vec_id, t.list_id,
+           |  ${dot("t.embedding", "p.pv")} AS sim
+           |FROM survivors t, probe p
+           |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+  }
+
   def oracles: Map[String, String] = Map(
     "q_source_csv_roundtrip" -> oracleSelect,
     "q_source_json_roundtrip" -> oracleSelect,
@@ -2416,44 +2473,8 @@ object SourceQueries extends QueryModule {
     // PqK lowest-anchor rows), same (x·x − 2·x·c) + c·c code assembly and
     // left-assoc ADC sum as q_embed_pq, ADC-top-50 cutoff (sim_adc DESC,
     // vec_id), exact fixed-point rerank of the survivors.
-    "q_vector_search_pq" -> {
-      import graft.llm.Similarity.{PqM, PqDim, PqK}
-      val dot = graft.llm.PortableHash.sqlDotFixed _
-      def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
-      def d2s(b: Int) = {
-        val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
-        s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
-          s"for pq_ci in range(1, ${PqK + 1})]"
-      }
-      val codeCols = (0 until PqM).map(b =>
-        s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
-        .mkString(",\n    ")
-      val adc = (0 until PqM).map(b =>
-        dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
-      graft.llm.PortableHash.sqlMat(
-        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-           |${sqlProbeFlat("probe")},
-           |cbl AS (
-           |  SELECT list(embedding ORDER BY vec_id) AS cl
-           |  FROM embeddings WHERE vec_id < $PqK),
-           |candpq AS (
-           |  SELECT a.vec_id, a.list_id, a.embedding
-           |  FROM a1 a JOIN probe p ON a.list_id = p.p_list),
-           |kc AS (
-           |  SELECT e.vec_id, e.list_id, e.embedding,
-           |    $codeCols
-           |  FROM candpq e, cbl c),
-           |adct AS (
-           |  SELECT k.vec_id, k.list_id, k.embedding, $adc AS sim_adc
-           |  FROM kc k, cbl c, probe p),
-           |survivors AS (
-           |  SELECT vec_id, list_id, embedding FROM adct
-           |  ORDER BY sim_adc DESC, vec_id LIMIT 50)
-           |SELECT t.vec_id, t.list_id,
-           |  ${dot("t.embedding", "p.pv")} AS sim
-           |FROM survivors t, probe p
-           |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
-    },
+    "q_vector_search_pq" -> sqlVectorSearchPqOracle,
+    "q_vector_search_sql_pq" -> sqlVectorSearchPqOracle,
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

@@ -178,6 +178,17 @@ class VectorIndexSpec extends SparkSuite {
         .collect()
     }
     assert(e.getMessage.contains("not a float literal"), e.getMessage)
+    // RERANK … USING PQ routes through the compression tier: rerank=2
+    // bounds the exact pool below TOP (the cutoff is real in SQL too)
+    val pq = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
+      "TOP 5 RERANK 2 USING PQ")
+    assert(pq.count() == 2L, "PQ rerank cutoff applies through SQL")
+    // PQ + WHERE refuse together (codes carry no table columns)
+    val e2 = intercept[Exception] {
+      spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
+        "TOP 3 RERANK 50 USING PQ WHERE vec_id % 2 = 1").collect()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
   }
 
   test("searchPq: ADC pre-rank bounds the exact rerank, converges on " +
