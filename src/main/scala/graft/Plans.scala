@@ -95,7 +95,8 @@ object Plans {
     "q_sample_cluster_indexed" -> "indexed diversity sampling: stored-centroid assignment + bounded per-cluster hash-capped window",
     "q_vector_search_filtered" -> "filtered IVF: metadata predicate narrows candidates BEFORE the top-k, scan-side over the probed list's files",
     "q_text_phrase_search" -> "phrase search: posting-list intersection pins files, scan-side contiguity re-check",
-    "q_search_hybrid_indexed" -> "indexed hybrid: RRF fusion of indexed BM25 + IVF search, bounded top-50 per ranker, zero corpus-wide work")
+    "q_search_hybrid_indexed" -> "indexed hybrid: RRF fusion of indexed BM25 + IVF search, bounded top-50 per ranker, zero corpus-wide work",
+    "q_vector_search_pq" -> "IVF-PQ: ADC pre-rank over the narrow codes sidecar (embeddings unread), broadcast id semi-join fetches only the rerank survivors for the exact top-k")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

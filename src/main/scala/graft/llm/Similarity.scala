@@ -121,11 +121,15 @@ object Similarity extends QueryModule {
     * cell-exact. */
   def assignListsHier(emb: org.apache.spark.sql.DataFrame,
                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // coarse anchors: the ⌈√k⌉ lowest-c_id centroids, one broadcast row
+    // coarse anchors: the ⌈√k⌉ lowest-c_id centroids, one broadcast row.
+    // anch and byG are each referenced twice downstream — materialize
+    // both (1 row / ≤√k rows) so the centroid grouping shuffle and the
+    // anchor aggregate run once per assignment, not once per reference.
     val anch = cents
       .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("all"))
       .select(slice(col("all"), lit(1),
         ceil(sqrt(size(col("all")))).cast(IntegerType)).as("anc"))
+      .localCheckpoint()
     def ancDots(embCol: org.apache.spark.sql.Column) =
       transform(col("anc"), st => dotFixed(embCol, st.getField("c_emb")))
     // fine centroid → coarse cell; an anchor ALWAYS self-assigns, so
@@ -143,6 +147,7 @@ object Similarity extends QueryModule {
     // the TABLE side of the assignment equi-join
     val byG = centsG.groupBy("g")
       .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("gc"))
+      .localCheckpoint()
     // rows → top-2 coarse cells (per-row masked-max against the bounded
     // anchor row; with a single anchor g2 degenerates to g1)
     val rowsG = emb.crossJoin(broadcast(anch))

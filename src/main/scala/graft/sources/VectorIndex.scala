@@ -103,9 +103,13 @@ object VectorIndex {
   }
 
   /** Train (k-means, one refinement, anchors = k lowest `idCol` rows) and
-    * publish. Returns (files indexed, clusters trained). */
+    * publish. `lists` overrides the corpus-derived k
+    * ([[graft.llm.Clustering.kFor]]) — the geometry is a POLICY: a
+    * deployment whose SemDeDup/pair-join work dominates raises k for
+    * smaller cells, one tuning recall-per-probe lowers it. Returns
+    * (files indexed, clusters trained). */
   def build(spark: SparkSession, dir: Path, colName: String,
-      idCol: String): (Long, Long) = {
+      idCol: String, lists: Option[Long] = None): (Long, Long) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"CREATE VECTOR INDEX: no manifest at $dir"))
     checkCols(m, colName, idCol)
@@ -116,7 +120,11 @@ object VectorIndex {
       val base = scanFiles(spark, dir, names)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file"))
-      val k = graft.llm.Clustering.kFor(base.count())
+      val k = lists.map { l =>
+        if (l < 1) throw new IllegalArgumentException(
+          s"CREATE VECTOR INDEX: LISTS $l is invalid — at least 1 cluster")
+        l
+      }.getOrElse(graft.llm.Clustering.kFor(base.count()))
       // the Lloyd loop seeds from rows with id < k (what makes the trained
       // geometry replayable by an external oracle) — a sparse id column
       // that leaves the anchor range empty must fail loudly, not train a
@@ -448,7 +456,10 @@ object VectorIndex {
     * fixed-point scores — so the DuckDB oracle replays the whole pipeline
     * from raw data. Stale index: the onStale policy applies; `retrain`
     * replays geometry + codes in-query (same answer a rebuild would give,
-    * no pruning). Output: (vec_id, list_id, sim). */
+    * no pruning). Deletion vectors (the BM25 deleted-docs rule's analog):
+    * a DV'd row never RANKS — the exact-rerank scan drops it — but its
+    * stored code can occupy a rerank slot until the next refresh; result
+    * membership is always live-exact. Output: (vec_id, list_id, sim). */
   def searchPq(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, probes: Int = 1,
       rerank: Int = 50): DataFrame = {

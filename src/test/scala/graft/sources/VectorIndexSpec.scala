@@ -191,6 +191,23 @@ class VectorIndexSpec extends SparkSuite {
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
   }
 
+  test("LISTS overrides the cluster-count policy") {
+    val cat = freshCatalog("vix15")
+    val t = stage(cat)
+    val built = spark.sql(
+      s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) LISTS 2")
+      .collect().head
+    assert(built.getLong(1) == 2L, s"LISTS 2 must train 2 clusters: $built")
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 5)
+    assert(res.select("vec_id").as[Long].collect().toSet
+      .subsetOf((0L to 5L).toSet), "blob-A probe ranks only blob A")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+        "LISTS 0").collect()
+    }
+    assert(e.getMessage.contains("LISTS 0 is invalid"), e.getMessage)
+  }
+
   test("searchPq: ADC pre-rank bounds the exact rerank, converges on " +
       "search as rerank grows") {
     val cat = freshCatalog("vix14")
