@@ -219,7 +219,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateVecIdx =
     ("""(?is)\s*CREATE\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+ANCHORS\s*\(\s*(\w+)\s*\)""" +
-      """(?:\s+LISTS\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+LISTS\s+(\d+))?(?:\s+SAMPLE\s+(\d+))?\s*;?\s*""").r
   private val DropVecIdx =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
@@ -304,9 +304,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else delegate.parsePlan(sqlText)
     case CreateTextIdx(target, colName) => CreateTextIndexCommand(target, colName)
     case DropTextIdx(target, colName) => DropTextIndexCommand(target, colName)
-    case CreateVecIdx(target, colName, idCol, lists) =>
+    case CreateVecIdx(target, colName, idCol, lists, sample) =>
       CreateVectorIndexCommand(target, colName, idCol,
-        Option(lists).map(_.toLong))
+        Option(lists).map(_.toLong), Option(sample).map(_.toLong))
     case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
     case RefreshIdx(kind, target, colName) =>
       RefreshIndexCommand(kind.toLowerCase, target, colName)
@@ -861,13 +861,17 @@ case class DropTextIndexCommand(target: String, colName: String)
   }
 }
 
-/** `CREATE VECTOR INDEX ON t (col) ANCHORS (idCol) [LISTS k]` — train +
-  * publish the file-level IVF index ([[graft.sources.VectorIndex.build]]);
-  * LISTS overrides the corpus-derived cluster-count policy (smaller cells
-  * for dedup-dominated deployments, fewer lists for recall-per-probe).
-  * Reports the files indexed and clusters trained. */
+/** `CREATE VECTOR INDEX ON t (col) ANCHORS (idCol) [LISTS k] [SAMPLE n]`
+  * — train + publish the file-level IVF index
+  * ([[graft.sources.VectorIndex.build]]); LISTS overrides the
+  * corpus-derived cluster-count policy (smaller cells for
+  * dedup-dominated deployments, fewer lists for recall-per-probe);
+  * SAMPLE trains the quantizer on a deterministic ~n-row subset and
+  * assigns the full corpus once (bounded training cost at any corpus
+  * size). Reports the files indexed and clusters trained. */
 case class CreateVectorIndexCommand(target: String, colName: String,
-    idCol: String, lists: Option[Long] = None) extends LeafRunnableCommand {
+    idCol: String, lists: Option[Long] = None,
+    sample: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_files", org.apache.spark.sql.types.LongType,
       nullable = false)(),
@@ -876,7 +880,7 @@ case class CreateVectorIndexCommand(target: String, colName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "CREATE VECTOR INDEX")
     val (nf, nc) = graft.sources.VectorIndex.build(spark, mt.dir, colName,
-      idCol, lists)
+      idCol, lists, sample)
     Seq(Row(nf, nc))
   }
 }

@@ -170,6 +170,35 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The SAMPLED-build corpus `q_vector_search_sampled` reads: the same
+    * embeddings in three range commits, indexed with `SAMPLE 200` — the
+    * quantizer trains on the deterministic decimation, the full corpus
+    * assigns once. Staged ONCE per (JVM, sfDir). */
+  private val stagedVecSampleBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageVecSampleBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedVecSampleBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stagevs_")
+      val cat = s"graftstgvs${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>)")
+      val emb = Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
+      val n = emb.count()
+      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).foreach {
+        case (lo, hi) =>
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+            .writeTo(s"$cat.q.emb").append()
+      }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) " +
+        "ANCHORS (vec_id) SAMPLE 200").collect()
+      cat
+    })
+
   /** The HYBRID corpus `q_search_hybrid_indexed` reads: documents joined
     * to their embeddings (one row per id with BOTH modalities — at sf0.1
     * only 2000 of 5000 docs embed, so the corpus is the join by
@@ -623,6 +652,20 @@ object SourceQueries extends QueryModule {
         .select("embedding").collect().head.getSeq[Float](0).toArray
       VectorIndex.searchPq(s, s"$cat.q.emb", "embedding", probe, 10,
           probes = 1, rerank = 50)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
+    // SAMPLED-training build ([[Clustering.kmeansAssignSampled]] via
+    // `CREATE VECTOR INDEX … SAMPLE 200`): the quantizer trains on the
+    // deterministic ~200-row decimation (anchors force-included), the
+    // corpus assigns once — the FAISS-style bounded-cost build, searched
+    // and hash-gated like the full build.
+    "q_vector_search_sampled" -> ((s, d) => {
+      val cat = stageVecSampleBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10)
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
     }),
 
@@ -2475,6 +2518,16 @@ object SourceQueries extends QueryModule {
     // vec_id), exact fixed-point rerank of the survivors.
     "q_vector_search_pq" -> sqlVectorSearchPqOracle,
     "q_vector_search_sql_pq" -> sqlVectorSearchPqOracle,
+    // Sampled-build replay: Lloyd over the deterministic decimation
+    // (anchors force-included), ONE full-corpus assignment (af), probe
+    // list from the trained centroids — file layout never enters.
+    "q_vector_search_sampled" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH ${graft.llm.Clustering.sqlKmeansSampled(1, 200)},
+         |${sqlProbeFlat("probe")}
+         |SELECT a.vec_id, a.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
+         |FROM af a JOIN probe p ON a.list_id = p.p_list
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin),
     // Multi-probe IVF replay: the runner-up list via the masked-max
     // pattern (first-position tie-break both times, as the engine).
     "q_vector_search_mp" -> {

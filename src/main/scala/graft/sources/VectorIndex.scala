@@ -106,10 +106,15 @@ object VectorIndex {
     * publish. `lists` overrides the corpus-derived k
     * ([[graft.llm.Clustering.kFor]]) — the geometry is a POLICY: a
     * deployment whose SemDeDup/pair-join work dominates raises k for
-    * smaller cells, one tuning recall-per-probe lowers it. Returns
-    * (files indexed, clusters trained). */
+    * smaller cells, one tuning recall-per-probe lowers it. `sample`
+    * trains the quantizer on a deterministic ~sample-row subset and
+    * assigns the full corpus once
+    * ([[graft.llm.Clustering.kmeansAssignSampled]]) — the FAISS-style
+    * build whose training cost is bounded regardless of corpus size.
+    * Returns (files indexed, clusters trained). */
   def build(spark: SparkSession, dir: Path, colName: String,
-      idCol: String, lists: Option[Long] = None): (Long, Long) = {
+      idCol: String, lists: Option[Long] = None,
+      sample: Option[Long] = None): (Long, Long) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"CREATE VECTOR INDEX: no manifest at $dir"))
     checkCols(m, colName, idCol)
@@ -134,8 +139,14 @@ object VectorIndex {
           s"CREATE VECTOR INDEX: anchor column $idCol has no values below " +
             s"k=$k — anchors are the k lowest-id rows, so the id range " +
             "must start at 0 (dense ids; re-key or pick another column)")
-      val (assigned, cents) = graft.llm.Clustering.kmeansAssign(
-        base.select("vec_id", "label", "embedding"), k, Iters)
+      val rows = base.select("vec_id", "label", "embedding")
+      val (assigned, cents) = sample match {
+        case Some(cap) =>
+          if (cap < 1) throw new IllegalArgumentException(
+            s"CREATE VECTOR INDEX: SAMPLE $cap is invalid — at least 1 row")
+          graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap)
+        case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters)
+      }
       cents.write.parquet(idxDir.resolve("cents").toString)
       // re-join the assignment to its files via the id column (the Lloyd
       // helper's schema is fixed); one shuffle on the id, distinct postings

@@ -208,6 +208,30 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("LISTS 0 is invalid"), e.getMessage)
   }
 
+  test("SAMPLE trains on the decimation, assigns the full corpus") {
+    val cat = freshCatalog("vix16")
+    val t = stage(cat)
+    // cap 4 over 12 rows: training sees roughly a third of the corpus
+    // (anchors force-included), yet EVERY row lands in a posting list
+    val built = spark.sql(
+      s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) SAMPLE 4")
+      .collect().head
+    assert(built.getLong(0) == 2L && built.getLong(1) == 8L, s"$built")
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 12)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf((0L to 5L).toSet) && ids.nonEmpty,
+      s"blob-A probe ranks only blob-A vectors: $ids")
+    val resB = VectorIndex.search(spark, t, "embedding", vec(1), 12)
+    assert(resB.select("vec_id").as[Long].collect().toSet
+      .subsetOf((6L to 11L).toSet) && resB.count() > 0,
+      "blob-B rows were assigned even if training never sampled them")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+        "SAMPLE 0").collect()
+    }
+    assert(e.getMessage.contains("SAMPLE 0 is invalid"), e.getMessage)
+  }
+
   test("searchPq: ADC pre-rank bounds the exact rerank, converges on " +
       "search as rerank grows") {
     val cat = freshCatalog("vix14")
