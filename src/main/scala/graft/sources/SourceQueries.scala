@@ -669,6 +669,31 @@ object SourceQueries extends QueryModule {
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
     }),
 
+    // RECALL AUDIT for the PQ tier (the C208 audit-as-data pattern
+    // applied to the compression path): recall@10 of searchPq vs the
+    // exact brute-force top-10 — quantifies what the ADC pre-rank +
+    // rerank cutoff costs on this corpus, oracle-certified so a codebook
+    // or cutoff regression moves the number and hash-fails.
+    "q_vector_search_recall_pq" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions._
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val approx = VectorIndex.searchPq(s, s"$cat.q.emb", "embedding",
+          probe, 10, probes = 1, rerank = 50)
+        .select(col("vec_id"))
+      val pv = typedLit(probe.toSeq)
+      val exact = t.select(col("vec_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // The PQ path from plain SQL (`RERANK 50 USING PQ`) — shares
     // q_vector_search_pq's oracle: one compression pipeline, two
     // surfaces, zero drift.
@@ -2318,7 +2343,10 @@ object SourceQueries extends QueryModule {
     * codebook (the PqK lowest-anchor rows), same (x·x − 2·x·c) + c·c code
     * assembly and left-assoc ADC sum as q_embed_pq, ADC-top-50 cutoff
     * (sim_adc DESC, vec_id), exact fixed-point rerank of the survivors. */
-  private lazy val sqlVectorSearchPqOracle: String = {
+  /** The IVF-PQ pipeline's WITH-blocks through `survivors` (the
+    * ADC-top-50 candidates), shared by the search twins and the PQ
+    * recall audit. */
+  private lazy val sqlPqBlocks: String = {
       import graft.llm.Similarity.{PqM, PqDim, PqK}
       val dot = graft.llm.PortableHash.sqlDotFixed _
       def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
@@ -2332,8 +2360,7 @@ object SourceQueries extends QueryModule {
         .mkString(",\n    ")
       val adc = (0 until PqM).map(b =>
         dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
-      graft.llm.PortableHash.sqlMat(
-        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+        s"""${graft.llm.Clustering.sqlKmeans(1)},
            |${sqlProbeFlat("probe")},
            |cbl AS (
            |  SELECT list(embedding ORDER BY vec_id) AS cl
@@ -2350,11 +2377,45 @@ object SourceQueries extends QueryModule {
            |  FROM kc k, cbl c, probe p),
            |survivors AS (
            |  SELECT vec_id, list_id, embedding FROM adct
-           |  ORDER BY sim_adc DESC, vec_id LIMIT 50)
-           |SELECT t.vec_id, t.list_id,
-           |  ${dot("t.embedding", "p.pv")} AS sim
-           |FROM survivors t, probe p
-           |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+           |  ORDER BY sim_adc DESC, vec_id LIMIT 50)""".stripMargin
+  }
+
+  /** The IVF-PQ replay shared by the Scala-API query
+    * (`q_vector_search_pq`) and its SQL-statement twin
+    * (`q_vector_search_sql_pq`): same geometry (a1), same deterministic
+    * codebook (the PqK lowest-anchor rows), same (x·x − 2·x·c) + c·c code
+    * assembly and left-assoc ADC sum as q_embed_pq, ADC-top-50 cutoff
+    * (sim_adc DESC, vec_id), exact fixed-point rerank of the survivors. */
+  private lazy val sqlVectorSearchPqOracle: String =
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH $sqlPqBlocks
+         |SELECT t.vec_id, t.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("t.embedding", "p.pv")} AS sim
+         |FROM survivors t, probe p
+         |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+
+  /** Recall@10 of the PQ path vs the exact brute-force top-10 — the
+    * compression tier's quality number as oracle-certified data (the
+    * C208 audit pattern). */
+  private lazy val sqlVectorSearchPqRecallOracle: String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH $sqlPqBlocks,
+         |pqtop AS (
+         |  SELECT vec_id FROM (
+         |    SELECT t.vec_id, ${dot("t.embedding", "p.pv")} AS sim
+         |    FROM survivors t, probe p
+         |    ORDER BY sim DESC, t.vec_id LIMIT 10)),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${dot("e.embedding", "p.pv")} AS sim
+         |    FROM embeddings e, probe p
+         |    ORDER BY sim DESC, vec_id LIMIT 10))
+         |SELECT COUNT(*) AS n_true,
+         |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
+         |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM exact LEFT JOIN pqtop x ON exact.vec_id = x.vec_id""".stripMargin)
   }
 
   def oracles: Map[String, String] = Map(
@@ -2518,6 +2579,7 @@ object SourceQueries extends QueryModule {
     // vec_id), exact fixed-point rerank of the survivors.
     "q_vector_search_pq" -> sqlVectorSearchPqOracle,
     "q_vector_search_sql_pq" -> sqlVectorSearchPqOracle,
+    "q_vector_search_recall_pq" -> sqlVectorSearchPqRecallOracle,
     // Sampled-build replay: Lloyd over the deterministic decimation
     // (anchors force-included), ONE full-corpus assignment (af), probe
     // list from the trained centroids — file layout never enters.
