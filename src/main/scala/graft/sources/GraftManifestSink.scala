@@ -2290,6 +2290,13 @@ private[graft] object ManifestTable {
       Manifest.write(dir, Manifest(cur.schema, ents,
         Manifest.sealRowTracking(cur.props ++ extraProps, ents)))
     }
+    // layout/DML rewrites keep autoRefresh indexes fresh too: since the
+    // refresh is always incremental (dead postings drop, only rewritten
+    // output re-indexes), running it after OPTIMIZE/DELETE/MERGE/REORG
+    // costs the rewritten files, never the corpus. Fresh index → one
+    // digest compare, a no-op. (Outside the commit lock, best-effort,
+    // like the append path's.)
+    maybeAutoRefreshIndexes(dir)
   }
 
   /** Execute `DELETE FROM <table at dir> WHERE pred` for predicates the

@@ -271,6 +271,28 @@ class TextIndexSpec extends SparkSuite {
     assert(fresh.toSeq == Seq(true))
   }
 
+  test("index.autoRefresh: OPTIMIZE and DELETE keep the index fresh " +
+      "(incremental remap, no rebuild)") {
+    val (cat, _) = freshCatalog("tix10")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('index.autoRefresh' = 'true')")
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    spark.sql(s"OPTIMIZE $t")
+    val fresh = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(_.getBoolean(0))
+    assert(fresh.toSeq == Seq(true), "post-OPTIMIZE hook remapped the index")
+    val res = TextIndex.search(spark, t, "text", "needle")
+    assert(res.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(res) == 1, "remapped index prunes to the compacted file")
+    // a row-level DELETE rewrites files too; the hook keeps up
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    val fresh2 = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
+      .collect().map(_.getBoolean(0))
+    assert(fresh2.toSeq == Seq(true), "post-DELETE hook remapped the index")
+    val res2 = TextIndex.search(spark, t, "text", "needle")
+    assert(res2.count() == 0L, "deleted row no longer matches")
+  }
+
   test("bm25TopK: indexed ranking equals the stale-fallback recomputation") {
     val (cat, _) = freshCatalog("tixB")
     val t = stage(cat)
