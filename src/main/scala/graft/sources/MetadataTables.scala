@@ -90,7 +90,9 @@ object MetadataTables {
       StructField("kind", StringType, nullable = false),
       StructField("col", StringType, nullable = false),
       StructField("dir", StringType, nullable = false),
-      StructField("fresh", BooleanType, nullable = false)))
+      StructField("fresh", BooleanType, nullable = false),
+      // vector: declared anchor column + whether the PQ sidecars exist
+      StructField("details", StringType, nullable = true)))
   }
 
   /** Materialize the rows at scan-planning time (InternalRow-shaped).
@@ -186,12 +188,15 @@ object MetadataTables {
           val Array(idxDir, dig) = v.split(";", 2)
           Array[Any](UTF8String.fromString("text"),
             UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
-            UTF8String.fromString(idxDir), dig == curDigest)
+            UTF8String.fromString(idxDir), dig == curDigest, null)
         case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>
-          val Array(idxDir, _, dig) = v.split(";", 3)
+          val Array(idxDir, anchor, dig) = v.split(";", 3)
+          val pq = java.nio.file.Files.exists(
+            dir.resolve(idxDir).resolve("pqcb"))
           Array[Any](UTF8String.fromString("vector"),
             UTF8String.fromString(k.stripPrefix(VectorIndex.PropPrefix)),
-            UTF8String.fromString(idxDir), dig == curDigest)
+            UTF8String.fromString(idxDir), dig == curDigest,
+            UTF8String.fromString(s"anchors=$anchor pq=$pq"))
       }.toArray
   }
 }

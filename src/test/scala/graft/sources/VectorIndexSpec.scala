@@ -331,10 +331,14 @@ class VectorIndexSpec extends SparkSuite {
     val ids = two.select("vec_id").as[Long].collect().toSet
     assert(ids == (0L to 11L).toSet, s"two probes must cover both blobs: $ids")
     assert(plannedFiles(two) == 2, "two probed lists = two files")
-    // the vector index surfaces in t$indexes with live freshness
-    val meta = spark.sql(s"SELECT kind, col, fresh FROM $cat.ns.`emb$$indexes`")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
-    assert(meta.toSeq == Seq(("vector", "embedding", true)))
+    // the vector index surfaces in t$indexes with live freshness and its
+    // build details (anchor column, PQ sidecar presence)
+    val meta = spark.sql(
+        s"SELECT kind, col, fresh, details FROM $cat.ns.`emb$$indexes`")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(meta.toSeq ==
+      Seq(("vector", "embedding", true, "anchors=vec_id pq=true")))
   }
 
   test("searchWhere: the predicate narrows candidates before the top-k") {
