@@ -150,7 +150,12 @@ object TextIndex {
     // them from the stat sidecar itself (one file column, a metadata read;
     // stats carry empty files too, unlike postings)
     val oldDir = dir.resolve(oldIdx)
-    val indexedFiles = spark.read.parquet(oldDir.resolve("stats").toString)
+    val oldStats = spark.read.parquet(oldDir.resolve("stats").toString)
+    if (!oldStats.schema.fieldNames.contains("file"))
+      // an index persisted by the pre-per-file stats format (one
+      // corpus-total row) can't remap — rebuild once, migrating it
+      return (build(spark, dir, colName)._1, true)
+    val indexedFiles = oldStats
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val live = m.entries.filter(_.rows > 0).map(_.name)
     val newFiles = live.filterNot(indexedFiles)
@@ -236,12 +241,14 @@ object TextIndex {
       val published =
         m.props.keys.exists(_.equalsIgnoreCase(PropPrefix + colName))
       if (published && freshIdx(spark, m, colName).isEmpty)
-        spark.conf.get("spark.graft.index.onStale", "retrain") match {
+        VectorIndex.onStale(spark) match { // shared validation: a typo'd
+          // policy value must refuse, not silently disable the guard
           case "refresh" => refresh(spark, dir, colName)
           case "fail" => throw new IllegalStateException(
             s"$op: the text index on $colName is STALE and " +
               "spark.graft.index.onStale=fail — run REFRESH TEXT INDEX first")
-          case _ => ()
+          case _ => () // retrain: text has no trained state — the silent
+          // full-scan fallback already answers what a rebuild would
         }
     }
 

@@ -60,7 +60,7 @@ object VectorIndex {
     * assign against the stored geometry) and then serves from the index —
     * the production posture; `fail` refuses loudly, for deployments that
     * want rebuild discipline enforced rather than absorbed. */
-  private def onStale(spark: SparkSession): String =
+  private[sources] def onStale(spark: SparkSession): String =
     spark.conf.get("spark.graft.index.onStale", "retrain") match {
       case p @ ("retrain" | "refresh" | "fail") => p
       case other => throw new IllegalArgumentException(
@@ -125,11 +125,12 @@ object VectorIndex {
       val base = scanFiles(spark, dir, names)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file"))
+      val n = base.count()
       val k = lists.map { l =>
         if (l < 1) throw new IllegalArgumentException(
           s"CREATE VECTOR INDEX: LISTS $l is invalid — at least 1 cluster")
         l
-      }.getOrElse(graft.llm.Clustering.kFor(base.count()))
+      }.getOrElse(graft.llm.Clustering.kFor(n))
       // the Lloyd loop seeds from rows with id < k (what makes the trained
       // geometry replayable by an external oracle) — a sparse id column
       // that leaves the anchor range empty must fail loudly, not train a
@@ -144,18 +145,24 @@ object VectorIndex {
         case Some(cap) =>
           if (cap < 1) throw new IllegalArgumentException(
             s"CREATE VECTOR INDEX: SAMPLE $cap is invalid — at least 1 row")
-          graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap)
+          graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap, n)
         case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters)
       }
       cents.write.parquet(idxDir.resolve("cents").toString)
+      // MATERIALIZE the (vec_id, list_id) assignment once: both the
+      // postings write and the PQ codes write consume it, and the
+      // assignment lineage is a full O(n·√k) pass — without the cut the
+      // codes write would re-run it over the whole corpus. Two narrow
+      // columns, spill-capable.
+      val listsDf = assigned.select(col("vec_id"), col("list_id"))
+        .localCheckpoint()
       // re-join the assignment to its files via the id column (the Lloyd
       // helper's schema is fixed); one shuffle on the id, distinct postings
-      assigned.select(col("vec_id"), col("list_id"))
+      listsDf
         .join(base.select(col("vec_id"), col("file")), "vec_id")
         .select(col("list_id"), col("file")).distinct()
         .write.parquet(idxDir.resolve("posts").toString)
-      writePqSidecars(spark, idxDir, base,
-        assigned.select(col("vec_id"), col("list_id")))
+      writePqSidecars(idxDir, base, listsDf)
       k
     }
     ManifestLock.withLock(dir) {
@@ -175,7 +182,24 @@ object VectorIndex {
     * column — the 4-16× candidate-I/O cut of the standard IVF-PQ
     * architecture. Skipped (with no published marker) when the anchor id
     * range has no rows below PqK — [[searchPq]] then refuses loudly. */
-  private def writePqSidecars(spark: SparkSession, idxDir: Path,
+  /** One-row codebook array from a (c_id, c_emb) relation. */
+  private def pqCbArr(cb: DataFrame): DataFrame =
+    cb.agg(
+      array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+
+  /** PQ-encode `rows` (needs an `embedding` column) against the one-row
+    * codebook array — adds code0..code{PqM-1}. Shared by build, refresh
+    * and the stale-retrain replay. */
+  private def encodePq(rows: DataFrame, cbArr: DataFrame): DataFrame = {
+    import graft.llm.Similarity
+    (0 until Similarity.PqM)
+      .foldLeft(rows.crossJoin(broadcast(cbArr))) { (df, b) =>
+        df.withColumn(s"code$b",
+          Similarity.pqCode(col("cents"), col("embedding"), b))
+      }
+  }
+
+  private def writePqSidecars(idxDir: Path,
       base: DataFrame, lists: DataFrame): Unit = {
     import graft.llm.Similarity
     val cb = base.filter(col("vec_id") < Similarity.PqK)
@@ -183,13 +207,7 @@ object VectorIndex {
         col("embedding").as("c_emb"))
     if (cb.limit(1).count() == 0) return
     cb.coalesce(1).write.parquet(idxDir.resolve("pqcb").toString)
-    val cbArr = cb.agg(
-      array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
-    val coded = (0 until Similarity.PqM)
-      .foldLeft(base.crossJoin(broadcast(cbArr))) { (df, b) =>
-        df.withColumn(s"code$b",
-          Similarity.pqCode(col("cents"), col("embedding"), b))
-      }
+    val coded = encodePq(base, pqCbArr(cb))
     coded.join(lists, "vec_id")
       .select(Seq(col("vec_id"), col("list_id"), col("file")) ++
         (0 until Similarity.PqM).map(b => col(s"code$b")): _*)
@@ -234,11 +252,14 @@ object VectorIndex {
       else Some(scanFiles(spark, dir, newFiles)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file")))
+    // MATERIALIZE the new-file assignment once (bounded by the new
+    // files): the postings write and the PQ codes write both consume it
     val newLists = newRows.map { rows =>
       graft.llm.Similarity.assignListsHier(
           rows.select("vec_id", "label", "embedding"), cents)
         .select(col("vec_id"), col("list_id"))
         .join(rows.select(col("vec_id"), col("file")), "vec_id")
+        .localCheckpoint()
     }
     val posts = newLists.fold(kept)(nl =>
       kept.unionByName(nl.select(col("list_id"), col("file")).distinct()))
@@ -257,13 +278,7 @@ object VectorIndex {
         .where(!col("file").isin(dead: _*))
       val codes = (newRows, newLists) match {
         case (Some(rows), Some(nl)) =>
-          val cbArr = cbDf.agg(array_sort(
-            collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
-          val coded = (0 until Similarity.PqM)
-            .foldLeft(rows.crossJoin(broadcast(cbArr))) { (df, b) =>
-              df.withColumn(s"code$b",
-                Similarity.pqCode(col("cents"), col("embedding"), b))
-            }
+          val coded = encodePq(rows, pqCbArr(cbDf))
           keptCodes.unionByName(
             coded.join(nl.select(col("vec_id"), col("list_id")), "vec_id")
               .select(Seq(col("vec_id"), col("list_id"), col("file")) ++
@@ -309,18 +324,36 @@ object VectorIndex {
       graft.llm.Similarity.assignListsHier(rows, cents))
   }
 
+  /** The named table must analyze to this engine's [[ManifestTable]] —
+    * shared by every index-tier query surface. */
+  private def resolveTable(spark: SparkSession, table: String,
+      op: String): ManifestTable =
+    spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable]
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"$op: $table is not a graft manifest table"))
+
+  /** The probe's `probes` nearest centroids of `cents` (dot desc, c_id
+    * asc — the same first-max tie-break as row assignment). One small
+    * driver-side collect; planning-class work. */
+  private def probeListsOf(cents: DataFrame, probe: Array[Float],
+      probes: Int): Seq[Int] = {
+    val pv = typedLit(probe.toSeq)
+    cents.select(col("c_id"),
+        graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
+      .orderBy(desc("pd"), col("c_id")).limit(probes)
+      .collect().map(_.getInt(0)).toSeq
+  }
+
   /** Shared resolution for the trained-geometry compositions: all live
     * rows re-keyed to the Lloyd helper's schema, plus the stored (fresh)
     * or retrained (stale) centroids. */
   private def rowsAndCents(spark: SparkSession, table: String,
       colName: String, labelCol: String, op: String)
       : (DataFrame, DataFrame) = {
-    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if r.table.isInstanceOf[ManifestTable] =>
-        r.table.asInstanceOf[ManifestTable]
-    }.getOrElse(throw new UnsupportedOperationException(
-      s"$op: $table is not a graft manifest table"))
+    val mt = resolveTable(spark, table, op)
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
     val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
@@ -377,12 +410,7 @@ object VectorIndex {
   def searchWhere(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, probes: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
-    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if r.table.isInstanceOf[ManifestTable] =>
-        r.table.asInstanceOf[ManifestTable]
-    }.getOrElse(throw new UnsupportedOperationException(
-      s"VECTOR SEARCH: $table is not a graft manifest table"))
+    val mt = resolveTable(spark, table, "VECTOR SEARCH")
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"VECTOR SEARCH: no manifest at ${mt.dir}"))
     val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
@@ -392,20 +420,11 @@ object VectorIndex {
     val Array(idxName, idCol, dig) = prop.split(";", 3)
     val names = m.entries.filter(_.rows > 0).map(_.name)
 
-    // the probe's `probes` nearest stored centroids (dot desc, c_id asc —
-    // the same first-max tie-break as row assignment)
-    def probeLists(cents: DataFrame): Seq[Int] = {
-      val pv = typedLit(probe.toSeq)
-      cents.select(col("c_id"),
-          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
-        .orderBy(desc("pd"), col("c_id")).limit(probes)
-        .collect().map(_.getInt(0)).toSeq
-    }
-
-    def ranked(rows: DataFrame, cents: DataFrame): DataFrame = {
+    def ranked(rows: DataFrame, cents: DataFrame,
+        pLists: Seq[Int]): DataFrame = {
       val assigned = graft.llm.Similarity.assignListsHier(rows, cents)
       val pv = typedLit(probe.toSeq)
-      assigned.where(col("list_id").isin(probeLists(cents): _*))
+      assigned.where(col("list_id").isin(pLists: _*))
         .select(col("vec_id"), col("list_id"),
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
@@ -415,7 +434,7 @@ object VectorIndex {
       val idxDir = mt.dir.resolve(idxName)
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       // probe lists, then their posting files — two small metadata reads
-      val pLists = probeLists(cents)
+      val pLists = probeListsOf(cents, probe, probes)
       val cand = spark.read.parquet(idxDir.resolve("posts").toString)
         .where(col("list_id").isin(pLists: _*))
         .select("file").distinct().collect().map(_.getString(0))
@@ -427,7 +446,7 @@ object VectorIndex {
       val rows = scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"))
-      ranked(rows, cents)
+      ranked(rows, cents, pLists)
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH", table)
       case "refresh" =>
@@ -449,7 +468,8 @@ object VectorIndex {
           rows, graft.llm.Clustering.kFor(rows.count()), Iters)
         ranked(all.where(predicate)
           .select(col(idCol).as("vec_id"), lit(0).as("label"),
-            col(colName).as("embedding")), cents)
+            col(colName).as("embedding")), cents,
+          probeListsOf(cents, probe, probes))
     }
   }
 
@@ -475,12 +495,7 @@ object VectorIndex {
       probe: Array[Float], topK: Int, probes: Int = 1,
       rerank: Int = 50): DataFrame = {
     import graft.llm.Similarity
-    val mt = spark.table(table).queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if r.table.isInstanceOf[ManifestTable] =>
-        r.table.asInstanceOf[ManifestTable]
-    }.getOrElse(throw new UnsupportedOperationException(
-      s"VECTOR SEARCH PQ: $table is not a graft manifest table"))
+    val mt = resolveTable(spark, table, "VECTOR SEARCH PQ")
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"VECTOR SEARCH PQ: no manifest at ${mt.dir}"))
     val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
@@ -490,11 +505,10 @@ object VectorIndex {
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val pv = typedLit(probe.toSeq)
 
-    def probeLists(cents: DataFrame): Seq[Int] =
-      cents.select(col("c_id"),
-          graft.llm.PortableHash.dotFixed(col("c_emb"), pv).as("pd"))
-        .orderBy(desc("pd"), col("c_id")).limit(probes)
-        .collect().map(_.getInt(0)).toSeq
+    def noPqCodebook(): Nothing = throw new IllegalStateException(
+      s"VECTOR SEARCH PQ: the index on $table ($colName) has no PQ " +
+        s"codebook — the anchor id range had no rows below " +
+        s"${Similarity.PqK}; re-key the ids or use search/searchWhere")
 
     def exactTop(cand: DataFrame): DataFrame =
       cand.select(col("vec_id"), col("list_id"),
@@ -503,35 +517,33 @@ object VectorIndex {
 
     if (dig == digestOf(m)) {
       val idxDir = mt.dir.resolve(idxName)
-      if (!java.nio.file.Files.exists(idxDir.resolve("pqcb")))
-        throw new IllegalStateException(
-          s"VECTOR SEARCH PQ: the index on $table ($colName) has no PQ " +
-            s"sidecars — the anchor id range had no rows below " +
-            s"${Similarity.PqK} at build time")
+      if (!java.nio.file.Files.exists(idxDir.resolve("pqcb"))) noPqCodebook()
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
-      val pLists = probeLists(cents)
-      val cbArr = spark.read.parquet(idxDir.resolve("pqcb").toString)
-        .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
-          .as("cents"))
+      val pLists = probeListsOf(cents, probe, probes)
+      val cbArr = pqCbArr(spark.read.parquet(idxDir.resolve("pqcb").toString))
       // ADC pre-rank over the NARROW codes sidecar (list filter pushed to
-      // the parquet scan) — the embedding column is never read here
+      // the parquet scan) — the embedding column is never read here. The
+      // survivors are MATERIALIZED (≤rerank rows): they drive both the
+      // file pruning and the broadcast id semi-join below.
       val top = spark.read.parquet(idxDir.resolve("codes").toString)
         .where(col("list_id").isin(pLists: _*))
         .crossJoin(broadcast(cbArr))
         .withColumn("sim_adc",
           Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
         .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
-        .select(col("vec_id"), col("list_id"))
-      val cand = spark.read.parquet(idxDir.resolve("posts").toString)
-        .where(col("list_id").isin(pLists: _*))
-        .select("file").distinct().collect().map(_.getString(0))
+        .select(col("vec_id"), col("list_id"), col("file"))
+        .localCheckpoint()
+      // exact rerank touches ONLY the survivors: their ≤rerank FILES are
+      // the scan (codes carry the file column), and the broadcast id
+      // semi-join narrows rows within them
+      val cand = top.select("file").distinct()
+        .collect().map(_.getString(0))
       if (cand.isEmpty) return spark.range(0)
         .select(col("id").as("vec_id"), lit(0).as("list_id"),
           lit(0.0).as("sim")).limit(0)
-      // exact rerank touches ONLY the rerank survivors' embeddings
       val rows = scanFiles(spark, mt.dir, cand.toSeq)
         .select(col(idCol).as("vec_id"), col(colName).as("embedding"))
-        .join(broadcast(top), "vec_id")
+        .join(broadcast(top.select(col("vec_id"), col("list_id"))), "vec_id")
       exactTop(rows)
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH PQ", table)
@@ -549,14 +561,13 @@ object VectorIndex {
         val cb = rows.filter(col("vec_id") < Similarity.PqK)
           .select(col("vec_id").cast(IntegerType).as("c_id"),
             col("embedding").as("c_emb"))
-        val cbArr = cb.agg(array_sort(
-          collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
-        val coded = (0 until Similarity.PqM).foldLeft(
-          assigned.where(col("list_id").isin(probeLists(cents): _*))
-            .crossJoin(broadcast(cbArr))) { (df, b) =>
-          df.withColumn(s"code$b",
-            Similarity.pqCode(col("cents"), col("embedding"), b))
-        }
+        // same loud refusal as the fresh path: an empty codebook would
+        // NULL every ADC score and silently rank garbage candidates
+        if (cb.limit(1).count() == 0) noPqCodebook()
+        val cbArr = pqCbArr(cb)
+        val coded = encodePq(
+          assigned.where(col("list_id").isin(
+            probeListsOf(cents, probe, probes): _*)), cbArr)
         val top = coded
           .withColumn("sim_adc",
             Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))

@@ -241,6 +241,8 @@ class VectorIndexSpec extends SparkSuite {
     val tight = VectorIndex.searchPq(spark, t, "embedding", vec(0), 5,
       probes = 1, rerank = 2)
     assert(tight.count() == 2L, "rerank=2 leaves two candidates for top-5")
+    assert(plannedFiles(tight) == 1,
+      "the exact rerank scans only the survivors' files")
     // rerank past the list size: identical to the exact IVF search
     val wide = VectorIndex.searchPq(spark, t, "embedding", vec(0), 12,
       probes = 2, rerank = 100)
