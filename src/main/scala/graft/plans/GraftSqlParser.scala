@@ -371,6 +371,41 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => mergeOrDelegate(sqlText)
   }
 
+  /** Statements that unambiguously target THIS engine's custom grammar
+    * (no Spark statement starts with these keywords) but failed their
+    * full pattern — raise a targeted syntax error describing the
+    * expected clause shape instead of delegating into a generic Spark
+    * ParseException that never mentions the statement. Checked from
+    * [[mergeOrDelegate]] so every custom-shaped miss lands here. */
+  private val CustomSyntax: Seq[(String, String)] = Seq(
+    "VECTOR SEARCH" ->
+      ("VECTOR SEARCH ON <table> (<col>) PROBE (f, f, …) TOP <k> " +
+        "[PROBES <p>] [RERANK <r> USING PQ] [WHERE <pred>] — clauses in " +
+        "this order; WHERE quotes must balance"),
+    "CREATE VECTOR INDEX" ->
+      ("CREATE VECTOR INDEX ON <table> (<col>) ANCHORS (<idCol>) " +
+        "[LISTS <k>] [SAMPLE <n>] — clauses in this order"),
+    "DROP VECTOR INDEX" -> "DROP VECTOR INDEX ON <table> (<col>)",
+    "CREATE TEXT INDEX" -> "CREATE TEXT INDEX ON <table> (<col>)",
+    "DROP TEXT INDEX" -> "DROP TEXT INDEX ON <table> (<col>)",
+    "REFRESH TEXT INDEX" -> "REFRESH TEXT INDEX ON <table> (<col>)",
+    "REFRESH VECTOR INDEX" -> "REFRESH VECTOR INDEX ON <table> (<col>)",
+    "VACUUM MANIFEST" ->
+      ("VACUUM MANIFEST '<dir>' [RETAIN <n> SNAPSHOTS] " +
+        "[STAGING OLDER THAN <m> MINUTES] [DRY RUN]"),
+    "COPY INTO" ->
+      "COPY INTO <table> FROM '<dir>' FILEFORMAT = <fmt> [PATTERN = '<glob>']")
+
+  private def customSyntaxError(sqlText: String): Option[Nothing] = {
+    val head = sqlText.trim.replaceAll("\\s+", " ").toUpperCase
+    CustomSyntax.collectFirst {
+      case (kw, expected) if head.startsWith(kw) =>
+        throw new IllegalArgumentException(
+          s"$kw: statement matched this engine's $kw keyword but not its " +
+            s"clause shape — expected: $expected")
+    }
+  }
+
   /** MERGE lowering: the full clause surface (whole-row `UPDATE SET * /
     * INSERT *` included, plus conditional matched clauses, column-level
     * SET, DELETE actions, INSERT column lists, NOT MATCHED BY SOURCE —
@@ -382,7 +417,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def mergeOrDelegate(sqlText: String): LogicalPlan =
     MergeParse.parse(sqlText) match {
       case Some(spec) => MergeIntoFullCommand(spec)
-      case None => delegate.parsePlan(sqlText)
+      case None =>
+        customSyntaxError(sqlText)
+        delegate.parsePlan(sqlText)
     }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

@@ -190,13 +190,14 @@ object MetadataTables {
             UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
             UTF8String.fromString(idxDir), dig == curDigest, null)
         case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>
-          val Array(idxDir, anchor, dig) = v.split(";", 3)
+          val p = VectorIndex.parseProp(v)
           val pq = java.nio.file.Files.exists(
-            dir.resolve(idxDir).resolve("pqcb"))
+            dir.resolve(p.idxName).resolve("pqcb"))
+          // a legacy-assigner index reports stale: serving treats it so
           Array[Any](UTF8String.fromString("vector"),
             UTF8String.fromString(k.stripPrefix(VectorIndex.PropPrefix)),
-            UTF8String.fromString(idxDir), dig == curDigest,
-            UTF8String.fromString(s"anchors=$anchor pq=$pq"))
+            UTF8String.fromString(p.idxName), p.isCurrent(curDigest),
+            UTF8String.fromString(s"anchors=${p.idCol} pq=$pq"))
       }.toArray
   }
 }

@@ -51,6 +51,58 @@ object VectorIndex {
   private[sources] val PropPrefix = "vecidx."
   private val Iters = 1 // one Lloyd refinement — the IVF training standard
 
+  /** Row-assignment algorithm version stamped into the prop: `h2` = the
+    * two-level coarse-quantizer assignment
+    * ([[graft.llm.Similarity.assignListsHier]]). Serving re-derives each
+    * row's cluster with the CURRENT assigner, so an index whose postings
+    * were written by a different assigner (the pre-h2 flat argmax) can
+    * silently lose rows — a row in stored list A that re-derives to list
+    * B never passes the list filter. A version mismatch therefore makes
+    * the index STALE (the onStale policy applies) and [[refresh]]
+    * migrates it with a full rebuild — the [[TextIndex]]
+    * legacy-stats-format rule applied to geometry. */
+  private[sources] val AssignVersion = "h2"
+
+  /** Decoded `vecidx.<col>` prop. Legacy 3-field props (flat-assigner
+    * builds) parse with `version = "flat"` and no build options; current
+    * props carry the assignment version plus the build's LISTS/SAMPLE
+    * policy so stale in-query retrains replay what a rebuild would
+    * actually do, not the defaults. */
+  private[sources] final case class Prop(idxName: String, idCol: String,
+      digest: String, version: String, lists: Option[Long],
+      sample: Option[Long]) {
+    def isCurrent(curDigest: String): Boolean =
+      digest == curDigest && version == AssignVersion
+  }
+  private[sources] def parseProp(v: String): Prop = v.split(";", -1) match {
+    case Array(i, c, d) => Prop(i, c, d, "flat", None, None)
+    case Array(i, c, d, ver, l, s) => Prop(i, c, d, ver,
+      Some(l).filter(_ != "-").map(_.toLong),
+      Some(s).filter(_ != "-").map(_.toLong))
+    case _ => throw new IllegalStateException(
+      s"unreadable vecidx prop '$v' — expected 3 (legacy) or 6 fields")
+  }
+  private def renderProp(idxName: String, idCol: String, digest: String,
+      lists: Option[Long], sample: Option[Long]): String =
+    Seq(idxName, idCol, digest, AssignVersion,
+      lists.map(_.toString).getOrElse("-"),
+      sample.map(_.toString).getOrElse("-")).mkString(";")
+
+  /** The stale/legacy retrain shared by every in-query replay path:
+    * exactly what a CREATE VECTOR INDEX rebuild would train — the
+    * PERSISTED LISTS/SAMPLE policy (not the defaults), corpus-derived k
+    * otherwise. */
+  private def retrainGeometry(rows: DataFrame,
+      p: Prop): (DataFrame, DataFrame) = {
+    val n = rows.count()
+    val k = p.lists.getOrElse(graft.llm.Clustering.kFor(n))
+    p.sample match {
+      case Some(cap) =>
+        graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap, n)
+      case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters)
+    }
+  }
+
   /** What a QUERY does when it meets a stale index
     * (`spark.graft.index.onStale`): `retrain` (default) recomputes the
     * geometry from the declared anchors inside the query — always correct
@@ -168,7 +220,8 @@ object VectorIndex {
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
-        (PropPrefix + colName.toLowerCase -> s"$idxName;$idCol;${digestOf(m)}")))
+        (PropPrefix + colName.toLowerCase ->
+          renderProp(idxName, idCol, digestOf(m), lists, sample))))
     }
     (names.length.toLong, k)
   }
@@ -236,8 +289,15 @@ object VectorIndex {
     val key = PropPrefix + colName.toLowerCase
     val prop = m.props.getOrElse(key, throw new IllegalStateException(
       s"REFRESH VECTOR INDEX: no vector index on $colName — CREATE it first"))
-    val Array(oldIdx, idCol, oldDig) = prop.split(";", 3)
-    if (oldDig == digestOf(m)) return (0L, false)
+    val p = parseProp(prop)
+    if (p.isCurrent(digestOf(m))) return (0L, false)
+    if (p.version != AssignVersion)
+      // postings written by a different row assigner don't commute with
+      // the serve-time re-derivation — migrate with a full rebuild under
+      // the build's own LISTS/SAMPLE policy (the TextIndex
+      // legacy-stats-format rule applied to geometry)
+      return (build(spark, dir, colName, p.idCol, p.lists, p.sample)._1, true)
+    val (oldIdx, idCol) = (p.idxName, p.idCol)
     val oldDir = dir.resolve(oldIdx)
     val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
@@ -289,8 +349,8 @@ object VectorIndex {
     }
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
-      Manifest.write(dir, cur.copy(props =
-        cur.props + (key -> s"$idxName;$idCol;${digestOf(m)}")))
+      Manifest.write(dir, cur.copy(props = cur.props +
+        (key -> renderProp(idxName, idCol, digestOf(m), p.lists, p.sample))))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -359,23 +419,22 @@ object VectorIndex {
     val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
       throw new IllegalStateException(
         s"$op: no vector index on $table ($colName)"))
-    val Array(idxName, idCol, dig) = prop.split(";", 3)
+    val p = parseProp(prop)
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val rows = scanFiles(spark, mt.dir, names)
-      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      .select(col(p.idCol).as("vec_id"), col(labelCol).as("label"),
         col(colName).as("embedding"))
     def stored(idx: String) =
       spark.read.parquet(mt.dir.resolve(idx).resolve("cents").toString)
     val cents =
-      if (dig == digestOf(m)) stored(idxName)
+      if (p.isCurrent(digestOf(m))) stored(p.idxName)
       else onStale(spark) match {
         case "fail" => staleRefused(op, table)
         case "refresh" =>
           refresh(spark, mt.dir, colName)
           val cur = Manifest.read(mt.dir).getOrElse(m)
-          stored(cur.props(PropPrefix + colName.toLowerCase).split(";", 3)(0))
-        case _ => graft.llm.Clustering.kmeansAssign(
-          rows, graft.llm.Clustering.kFor(rows.count()), Iters)._2
+          stored(parseProp(cur.props(PropPrefix + colName.toLowerCase)).idxName)
+        case _ => retrainGeometry(rows, p)._2
       }
     (rows, cents)
   }
@@ -409,7 +468,19 @@ object VectorIndex {
     * filtering stack. */
   def searchWhere(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, probes: Int,
-      predicate: org.apache.spark.sql.Column): DataFrame = {
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    searchWhereAttempt(spark, table, colName, probe, topK, probes,
+      predicate, allowRefresh = true)
+
+  /** One serve attempt. `allowRefresh` bounds the stale→refresh→re-serve
+    * recursion to a SINGLE catch-up: if a concurrent writer re-stales
+    * the table between the refresh's digest stamp and this re-check, the
+    * second attempt falls through to the in-query retrain (or the fail
+    * policy) instead of chasing the writer unboundedly. */
+  private def searchWhereAttempt(spark: SparkSession, table: String,
+      colName: String, probe: Array[Float], topK: Int, probes: Int,
+      predicate: org.apache.spark.sql.Column,
+      allowRefresh: Boolean): DataFrame = {
     val mt = resolveTable(spark, table, "VECTOR SEARCH")
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"VECTOR SEARCH: no manifest at ${mt.dir}"))
@@ -417,7 +488,7 @@ object VectorIndex {
       throw new IllegalStateException(
         s"VECTOR SEARCH: no vector index on $table ($colName) — " +
           s"CREATE VECTOR INDEX ON $table ($colName) ANCHORS (<idCol>) first"))
-    val Array(idxName, idCol, dig) = prop.split(";", 3)
+    val p = parseProp(prop)
     val names = m.entries.filter(_.rows > 0).map(_.name)
 
     def ranked(rows: DataFrame, cents: DataFrame,
@@ -430,47 +501,59 @@ object VectorIndex {
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
     }
 
-    if (dig == digestOf(m)) {
-      val idxDir = mt.dir.resolve(idxName)
+    if (p.isCurrent(digestOf(m))) {
+      val idxDir = mt.dir.resolve(p.idxName)
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       // probe lists, then their posting files — two small metadata reads
       val pLists = probeListsOf(cents, probe, probes)
       val cand = spark.read.parquet(idxDir.resolve("posts").toString)
         .where(col("list_id").isin(pLists: _*))
         .select("file").distinct().collect().map(_.getString(0))
-      if (cand.isEmpty) return spark.range(0)
-        .select(col("id").as("vec_id"), lit(0).as("list_id"),
-          lit(0.0).as("sim")).limit(0)
+      if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
       // the metadata predicate narrows CANDIDATES, before the top-k —
       // applied on the raw scan so it sees the table's own column names
       val rows = scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
-        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+        .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"))
       ranked(rows, cents, pLists)
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH", table)
-      case "refresh" =>
+      case "refresh" if allowRefresh =>
         // bounded catch-up (dead postings drop, new files assign against
-        // the stored geometry), then serve from the now-fresh index —
-        // pruning included
+        // the stored geometry; a legacy-assigner index rebuilds), then
+        // serve from the now-fresh index — pruning included
         refresh(spark, mt.dir, colName)
-        searchWhere(spark, table, colName, probe, topK, probes, predicate)
+        searchWhereAttempt(spark, table, colName, probe, topK, probes,
+          predicate, allowRefresh = false)
       case _ =>
-        // retrain from the declared anchors over the CURRENT rows —
-        // exactly what a rebuild would answer, minus the file pruning. The
-        // geometry trains on the UNFILTERED corpus (it is a corpus-level
+        // retrain from the declared anchors over the CURRENT rows under
+        // the build's persisted LISTS/SAMPLE policy — exactly what a
+        // rebuild would answer, minus the file pruning. The geometry
+        // trains on the UNFILTERED corpus (it is a corpus-level
         // artifact); the predicate narrows only the ranked candidates.
         val all = scanFiles(spark, mt.dir, names)
         val rows = all
-          .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"))
-        val (_, cents) = graft.llm.Clustering.kmeansAssign(
-          rows, graft.llm.Clustering.kFor(rows.count()), Iters)
+        val (_, cents) = retrainGeometry(rows, p)
         ranked(all.where(predicate)
-          .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding")), cents,
           probeListsOf(cents, probe, probes))
     }
+  }
+
+  /** The zero-candidate result, in the SAME schema as the ranked path:
+    * vec_id in the ID COLUMN'S declared type (not a hard-coded BIGINT —
+    * callers unioning across calls would hit a type mismatch on an
+    * INT-keyed table), list_id INT, sim DOUBLE. */
+  private def emptyResult(spark: SparkSession, m: Manifest,
+      idCol: String): DataFrame = {
+    val idType = m.schema.fields
+      .find(_.name.equalsIgnoreCase(idCol)).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    spark.range(0).select(col("id").cast(idType).as("vec_id"),
+      lit(0).as("list_id"), lit(0.0).as("sim"))
   }
 
   /** IVF-PQ top-k — the candidate-COMPRESSION path of the standard 100 TB
@@ -493,7 +576,16 @@ object VectorIndex {
     * membership is always live-exact. Output: (vec_id, list_id, sim). */
   def searchPq(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, probes: Int = 1,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50): DataFrame =
+    searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
+      allowRefresh = true)
+
+  /** One PQ serve attempt — `allowRefresh` bounds the
+    * stale→refresh→re-serve recursion exactly as in
+    * [[searchWhereAttempt]]. */
+  private def searchPqAttempt(spark: SparkSession, table: String,
+      colName: String, probe: Array[Float], topK: Int, probes: Int,
+      rerank: Int, allowRefresh: Boolean): DataFrame = {
     import graft.llm.Similarity
     val mt = resolveTable(spark, table, "VECTOR SEARCH PQ")
     val m = Manifest.read(mt.dir).getOrElse(
@@ -501,7 +593,7 @@ object VectorIndex {
     val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
       throw new IllegalStateException(
         s"VECTOR SEARCH PQ: no vector index on $table ($colName)"))
-    val Array(idxName, idCol, dig) = prop.split(";", 3)
+    val p = parseProp(prop)
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val pv = typedLit(probe.toSeq)
 
@@ -515,8 +607,8 @@ object VectorIndex {
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
 
-    if (dig == digestOf(m)) {
-      val idxDir = mt.dir.resolve(idxName)
+    if (p.isCurrent(digestOf(m))) {
+      val idxDir = mt.dir.resolve(p.idxName)
       if (!java.nio.file.Files.exists(idxDir.resolve("pqcb"))) noPqCodebook()
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       val pLists = probeListsOf(cents, probe, probes)
@@ -538,26 +630,25 @@ object VectorIndex {
       // semi-join narrows rows within them
       val cand = top.select("file").distinct()
         .collect().map(_.getString(0))
-      if (cand.isEmpty) return spark.range(0)
-        .select(col("id").as("vec_id"), lit(0).as("list_id"),
-          lit(0.0).as("sim")).limit(0)
+      if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
       val rows = scanFiles(spark, mt.dir, cand.toSeq)
-        .select(col(idCol).as("vec_id"), col(colName).as("embedding"))
+        .select(col(p.idCol).as("vec_id"), col(colName).as("embedding"))
         .join(broadcast(top.select(col("vec_id"), col("list_id"))), "vec_id")
       exactTop(rows)
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH PQ", table)
-      case "refresh" =>
+      case "refresh" if allowRefresh =>
         refresh(spark, mt.dir, colName)
-        searchPq(spark, table, colName, probe, topK, probes, rerank)
+        searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
+          allowRefresh = false)
       case _ =>
-        // in-query replay of the WHOLE pipeline (geometry + codes), so the
-        // answer matches a fresh rebuild's — no pruning, same determinism
+        // in-query replay of the WHOLE pipeline (geometry + codes) under
+        // the build's persisted LISTS/SAMPLE policy, so the answer
+        // matches a fresh rebuild's — no pruning, same determinism
         val rows = scanFiles(spark, mt.dir, names)
-          .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"))
-        val (assigned, cents) = graft.llm.Clustering.kmeansAssign(
-          rows, graft.llm.Clustering.kFor(rows.count()), Iters)
+        val (assigned, cents) = retrainGeometry(rows, p)
         val cb = rows.filter(col("vec_id") < Similarity.PqK)
           .select(col("vec_id").cast(IntegerType).as("c_id"),
             col("embedding").as("c_emb"))

@@ -388,4 +388,95 @@ class VectorIndexSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("only ARRAY<FLOAT>"))
   }
+
+  test("legacy flat-assigner prop: served as stale, REFRESH migrates " +
+      "with a full rebuild") {
+    val cat = freshCatalog("vixleg")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    // rewrite the prop to the 3-field legacy format (what a pre-h2 build
+    // published): same index dir, same digest, NO assignment version
+    val m = Manifest.read(dir).get
+    val p = VectorIndex.parseProp(m.props("vecidx.embedding"))
+    assert(p.version == VectorIndex.AssignVersion)
+    Manifest.write(dir, m.copy(props = m.props +
+      ("vecidx.embedding" -> s"${p.idxName};${p.idCol};${p.digest}")))
+    // t$indexes reports the legacy index stale even though the digest
+    // matches — the postings' row assignments aren't trustworthy
+    val fresh = spark.sql(
+      s"SELECT fresh FROM $cat.ns.`emb$$indexes`").collect().head.getBoolean(0)
+    assert(!fresh, "legacy-assigner index must report stale")
+    // onStale=fail refuses it like any stale index
+    spark.conf.set("spark.graft.index.onStale", "fail")
+    try {
+      val e = intercept[Exception] {
+        VectorIndex.search(spark, t, "embedding", vec(0), 5).collect()
+      }
+      assert(e.getMessage.contains("STALE"))
+    } finally spark.conf.unset("spark.graft.index.onStale")
+    // default retrain path still answers exactly (no pruning)
+    val ids = VectorIndex.search(spark, t, "embedding", vec(0), 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf((0L to 5L).toSet) && ids.size == 5)
+    // REFRESH migrates: full rebuild (remapped=true), prop is versioned
+    // again, and search prunes to one file like a fresh build
+    val r = spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)").collect().head
+    assert(r.getBoolean(1), "legacy migration reports a remap")
+    val p2 = VectorIndex.parseProp(
+      Manifest.read(dir).get.props("vecidx.embedding"))
+    assert(p2.version == VectorIndex.AssignVersion)
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 5)
+    assert(res.select("vec_id").as[Long].collect().toSet == ids)
+    assert(plannedFiles(res) == 1, "migrated index prunes again")
+  }
+
+  test("LISTS/SAMPLE persist in the prop and survive refresh") {
+    val cat = freshCatalog("vixpol")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "LISTS 2 SAMPLE 6")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val p = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    assert(p.lists.contains(2L) && p.sample.contains(6L),
+      s"build policy must ride the prop, got $p")
+    // stale the table; the incremental refresh must carry the policy
+    Seq((12L, 0, vec(0, (30, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    val p2 = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    assert(p2.lists.contains(2L) && p2.sample.contains(6L),
+      s"refresh must preserve the build policy, got $p2")
+    // stale again: the in-query retrain replays the persisted LISTS k —
+    // with LISTS 2 on this fixture both searches stay blob-exact
+    Seq((13L, 1, vec(1, (31, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val ids = VectorIndex.search(spark, t, "embedding", vec(0), 7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(12L) && ids.subsetOf(Set(0L, 1L, 2L, 3L, 4L, 5L, 12L)),
+      s"stale retrain under the persisted policy ranks blob A: $ids")
+  }
+
+  test("malformed custom statements raise a targeted syntax error") {
+    // clauses out of order: SAMPLE before LISTS
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql("CREATE VECTOR INDEX ON t (c) ANCHORS (id) SAMPLE 5 LISTS 2")
+    }
+    assert(e1.getMessage.contains("clauses in this order"),
+      s"got: ${e1.getMessage}")
+    // TOP before PROBE
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("VECTOR SEARCH ON t (c) TOP 5 PROBE (0.1, 0.2)")
+    }
+    assert(e2.getMessage.contains("VECTOR SEARCH ON <table>"),
+      s"got: ${e2.getMessage}")
+  }
 }
