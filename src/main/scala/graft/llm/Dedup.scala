@@ -113,10 +113,12 @@ object Dedup extends QueryModule {
   private def embeddingLshPairs(emb: DataFrame): DataFrame =
     embeddingLshPairs(emb, emb.count())
 
-  /** Variant taking a pre-computed corpus count, so callers that already
-    * sized something else from n (the recall audit's probe modulus) reuse
-    * one scan instead of counting twice. */
-  private def embeddingLshPairs(emb: DataFrame, n: Long): DataFrame = {
+  /** (vec_id, band, bkey) hyperplane-sign bucket rows for an embeddings
+    * frame with size-derived geometry ([[embeddingLshParams]]) — the
+    * per-row derivation shared by the corpus-wide LSH dedup and the
+    * banded SemDeDup pair join ([[Clustering.semSurvivors]], which
+    * buckets the same way but pairs within clusters). */
+  private[llm] def embeddingBandRows(emb: DataFrame, n: Long): DataFrame = {
     val (nBands, bits) = embeddingLshParams(n)
     val anchorArr = emb.filter(col("vec_id") < nBands * bits)
       .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
@@ -135,8 +137,15 @@ object Dedup extends QueryModule {
       }.reduce(_ + _)
     val sigs = withAnchors.select(col("vec_id"), col("embedding"),
       array((0 until nBands).map(j => bandKey(j * bits)): _*).as("bks"))
-    val bands = sigs.select(col("vec_id"),
+    sigs.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
+  }
+
+  /** Variant taking a pre-computed corpus count, so callers that already
+    * sized something else from n (the recall audit's probe modulus) reuse
+    * one scan instead of counting twice. */
+  private def embeddingLshPairs(emb: DataFrame, n: Long): DataFrame = {
+    val bands = embeddingBandRows(emb, n)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -690,10 +699,11 @@ object Dedup extends QueryModule {
        |  CAST(list_sum([CASE WHEN bs[b+1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
        |                 for b in range(0, 31)]) AS BIGINT) AS simhash FROM bits)""".stripMargin
 
-  /** Shared CTE chain for the embedding-LSH oracles: size-derived geometry
-    * (same integer search as [[embeddingLshParams]]) → sign-bit band keys →
-    * bucket candidates → `lshp` = (vec_a, vec_b, cosine ≥ threshold). */
-  private def sqlEmbeddingLshCtes: String =
+  /** The sign-band derivation CTEs alone (`nn`/`prm`/`anchors`/`sigs`/
+    * `bands`) — shared by the embedding-LSH dedup oracles here and the
+    * banded-SemDeDup replay ([[Clustering.sqlSemDedup]]), which buckets
+    * the SAME way but pairs within clusters instead of corpus-wide. */
+  private[llm] def sqlEmbeddingBandCtes: String =
     s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |prm AS (
        |  SELECT
@@ -712,7 +722,13 @@ object Dedup extends QueryModule {
        |  FROM embeddings e, anchors a, prm p),
        |bands AS (
        |  SELECT vec_id, j AS band, bks[j + 1] AS bkey
-       |  FROM sigs, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands),
+       |  FROM sigs, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands)""".stripMargin
+
+  /** Shared CTE chain for the embedding-LSH oracles: size-derived geometry
+    * (same integer search as [[embeddingLshParams]]) → sign-bit band keys →
+    * bucket candidates → `lshp` = (vec_a, vec_b, cosine ≥ threshold). */
+  private def sqlEmbeddingLshCtes: String =
+    s"""$sqlEmbeddingBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),

@@ -367,8 +367,10 @@ object VectorIndex {
       labelCol: String): DataFrame = {
     val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
       "SEMANTIC DEDUP")
+    // the corpus count sizes the banded pair join's LSH geometry — the
+    // same pre-planning cardinality read the LSH dedup tier does
     graft.llm.Clustering.semSurvivors(
-      graft.llm.Similarity.assignListsHier(rows, cents), cents)
+      graft.llm.Similarity.assignListsHier(rows, cents), cents, rows.count())
   }
 
   /** Diversity-balanced sampling over the index's TRAINED geometry — the

@@ -57,7 +57,7 @@ class ClusteringSpec extends SparkSuite {
       .toDF("vec_id", "embedding", "label")
     val cents = Seq((0, vec(0 -> 1f))).toDF("c_id", "c_emb")
     val assigned = Similarity.assignLists(emb, cents)
-    val kept = Clustering.semSurvivors(assigned, cents)
+    val kept = Clustering.semSurvivors(assigned, cents, n = 3L)
       .select($"vec_id").as[Long].collect().toSet
     assert(kept === Set(10L, 12L)) // u survives (lower c2c), filler untouched
   }
@@ -67,9 +67,35 @@ class ClusteringSpec extends SparkSuite {
     val emb = Seq((1L, a, 0), (2L, a, 0)).toDF("vec_id", "embedding", "label")
     val cents = Seq((0, a)).toDF("c_id", "c_emb")
     val assigned = Similarity.assignLists(emb, cents)
-    val kept = Clustering.semSurvivors(assigned, cents)
+    val kept = Clustering.semSurvivors(assigned, cents, n = 2L)
       .select($"vec_id").as[Long].collect().toSet
     assert(kept === Set(1L))
+  }
+
+  test("semSurvivors: banding bounds candidates — same-cluster near-dups " +
+      "in disjoint buckets both survive") {
+    // n = 10 → band geometry (bands = 2, bits = 4): sign anchors are ids
+    // 0..7. Anchor 0 (band 0) and anchor 4 (band 1) sit on axis 2; u (id
+    // 8) and v (id 9) mirror each other across that hyperplane, so their
+    // band keys differ in EVERY band — no shared bucket, no candidate
+    // pair — while their mutual cosine (≈0.766) is far above τ and both
+    // share cluster 0. The pre-banding cluster-only join would drop id 9
+    // (equal c2c, lower-id witness); the banded join keeps both. This is
+    // the structural candidate bound, pinned behaviorally.
+    val e2 = vec(2 -> 1f)
+    val anchors = Seq(
+      0L -> e2, 1L -> vec(3 -> 1f), 2L -> vec(4 -> 1f), 3L -> vec(5 -> 1f),
+      4L -> e2, 5L -> vec(6 -> 1f), 6L -> vec(7 -> 1f), 7L -> vec(8 -> 1f))
+    val u = vec(0 -> 0.94f, 2 -> 0.342f)  // cos(u, e2) = 0.342 < τ
+    val v = vec(0 -> 0.94f, 2 -> -0.342f) // cos(u, v) ≈ 0.766 ≥ τ
+    val emb = (anchors ++ Seq(8L -> u, 9L -> v))
+      .map { case (id, e) => (id, e, 0) }.toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, vec(0 -> 1f))).toDF("c_id", "c_emb")
+    val assigned = Similarity.assignLists(emb, cents)
+    val kept = Clustering.semSurvivors(assigned, cents, n = 10L)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(Set(8L, 9L).subsetOf(kept),
+      s"no shared band bucket → no candidate pair → both survive: $kept")
   }
 
   test("q_sample_cluster: per-cluster cap holds, sample is deterministic") {
