@@ -37,7 +37,17 @@ object Similarity extends QueryModule {
   private val KnnK = 3        // q_knn_graph neighbors per vector
   private[graft] val PqM = 8   // q_embed_pq: subspace blocks
   private[graft] val PqDim = 8 // dims per block (PqM × PqDim = 64)
-  private[graft] val PqK = 4   // centroids per subspace codebook
+  private[graft] val PqK = 4   // centroids per subspace codebook (q_embed_pq)
+  /** The index tier's TRAINED codebook geometry
+    * ([[graft.sources.VectorIndex]]): 16 Lloyd-trained codewords per
+    * subspace (production PQ trains 256 per 8-dim block; 16 keeps the
+    * oracle replay tractable while exercising the same machinery), seeded
+    * from the PqCbK lowest-anchor rows, trained on a deterministic
+    * ~PqTrainCap-row decimation (permute stream PqTrainJ — distinct from
+    * clusterSample's 3 and the IVF training sample's 11). */
+  private[graft] val PqCbK = 16
+  private[graft] val PqTrainCap = 1024L
+  private[graft] val PqTrainJ = 13
 
   /** PQ primitives shared by `q_embed_pq` and the vector index's
     * PQ-candidate tier ([[graft.sources.VectorIndex]]): one 8-dim block

@@ -2345,26 +2345,76 @@ object SourceQueries extends QueryModule {
     * (sim_adc DESC, vec_id), exact fixed-point rerank of the survivors. */
   /** The IVF-PQ pipeline's WITH-blocks through `survivors` (the
     * ADC-top-50 candidates), shared by the search twins and the PQ
-    * recall audit. */
+    * recall audit. Replays the TRAINED codebook
+    * ([[VectorIndex.trainPqCodebook]]) block for block: seed composite
+    * rows = the PqCbK lowest-anchor rows (`cb0`), training sample = the
+    * deterministic decimation with anchors force-included (`pqtr`),
+    * per-subspace min-L2 assignment against the seeds (`pqk0`, same
+    * (x·x − 2·x·c) + c·c fixed-point assembly as encoding), per-(b, code)
+    * fixed-point means float-narrowed (`pqc8`), empty codewords keep the
+    * seed block (`pqseed`/`pqrow`), composite rows reassemble into the
+    * ordered codebook `cbl` — then codes, ADC and the rerank cutoff as
+    * before. */
   private lazy val sqlPqBlocks: String = {
-      import graft.llm.Similarity.{PqM, PqDim, PqK}
+      import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
       val dot = graft.llm.PortableHash.sqlDotFixed _
       def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
+      // codes of e.embedding vs codebook alias c (column cl) — the
+      // codeword count is len-derived, so the SAME text codes against the
+      // seed rows (cb0, training) and the trained rows (cbl, encoding)
       def d2s(b: Int) = {
         val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
         s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
-          s"for pq_ci in range(1, ${PqK + 1})]"
+          s"for pq_ci in range(1, len(c.cl) + 1)]"
       }
       val codeCols = (0 until PqM).map(b =>
         s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
         .mkString(",\n    ")
       val adc = (0 until PqM).map(b =>
         dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
+      val caseCode = (0 until PqM).map(b => s"WHEN $b THEN k.code$b")
+        .mkString(" ")
         s"""${graft.llm.Clustering.sqlKmeans(1)},
            |${sqlProbeFlat("probe")},
-           |cbl AS (
+           |cb0 AS (
            |  SELECT list(embedding ORDER BY vec_id) AS cl
-           |  FROM embeddings WHERE vec_id < $PqK),
+           |  FROM embeddings WHERE vec_id < $PqCbK),
+           |pqm AS (SELECT GREATEST(1, COUNT(*) // $PqTrainCap) AS m
+           |        FROM embeddings),
+           |pqtr AS (
+           |  SELECT e.vec_id, e.embedding FROM embeddings e, pqm
+           |  WHERE ${graft.llm.PortableHash.sqlPermute("e.vec_id", PqTrainJ)} % pqm.m = 0
+           |     OR e.vec_id < $PqCbK),
+           |pqk0 AS (
+           |  SELECT e.vec_id, e.embedding,
+           |    $codeCols
+           |  FROM pqtr e, cb0 c),
+           |pqflat AS (
+           |  SELECT bb.b AS b, CASE bb.b $caseCode END AS code, ii.i AS i,
+           |    CAST(floor(CAST(k.embedding[bb.b * $PqDim + ii.i] AS DOUBLE)
+           |               * 1000000000000) AS BIGINT) AS v
+           |  FROM pqk0 k, (SELECT unnest(range(0, $PqM)) AS b) bb,
+           |       (SELECT unnest(range(1, ${PqDim + 1})) AS i) ii),
+           |pqsv AS (
+           |  SELECT b, code, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nv
+           |  FROM pqflat GROUP BY b, code, i),
+           |pqc8 AS (
+           |  SELECT b, code,
+           |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT)
+           |         ORDER BY i) AS c8
+           |  FROM pqsv GROUP BY b, code),
+           |pqseed AS (
+           |  SELECT jj.j - 1 AS code, bb.b AS b,
+           |    c.cl[jj.j][bb.b * $PqDim + 1 : (bb.b + 1) * $PqDim] AS sblk
+           |  FROM cb0 c, (SELECT unnest(range(1, $PqCbK + 1)) AS j) jj,
+           |       (SELECT unnest(range(0, $PqM)) AS b) bb
+           |  WHERE jj.j <= len(c.cl)),
+           |pqrow AS (
+           |  SELECT s.code AS c_id,
+           |    flatten(list(COALESCE(t.c8, s.sblk) ORDER BY s.b)) AS c_emb
+           |  FROM pqseed s LEFT JOIN pqc8 t ON t.b = s.b AND t.code = s.code
+           |  GROUP BY s.code),
+           |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow),
            |candpq AS (
            |  SELECT a.vec_id, a.list_id, a.embedding
            |  FROM a1 a JOIN probe p ON a.list_id = p.p_list),

@@ -93,8 +93,10 @@ object VectorIndex {
     * PERSISTED LISTS/SAMPLE policy (not the defaults), corpus-derived k
     * otherwise. */
   private def retrainGeometry(rows: DataFrame,
-      p: Prop): (DataFrame, DataFrame) = {
-    val n = rows.count()
+      p: Prop): (DataFrame, DataFrame) = retrainGeometry(rows, p, rows.count())
+
+  private def retrainGeometry(rows: DataFrame, p: Prop,
+      n: Long): (DataFrame, DataFrame) = {
     val k = p.lists.getOrElse(graft.llm.Clustering.kFor(n))
     p.sample match {
       case Some(cap) =>
@@ -214,7 +216,7 @@ object VectorIndex {
         .join(base.select(col("vec_id"), col("file")), "vec_id")
         .select(col("list_id"), col("file")).distinct()
         .write.parquet(idxDir.resolve("posts").toString)
-      writePqSidecars(idxDir, base, listsDf)
+      writePqSidecars(idxDir, base, listsDf, n)
       k
     }
     ManifestLock.withLock(dir) {
@@ -227,14 +229,15 @@ object VectorIndex {
   }
 
   /** PQ candidate-compression sidecars ([[searchPq]]): `pqcb/` — the
-    * deterministic codebook (the [[graft.llm.Similarity.PqK]] lowest-
-    * anchor rows, so the compression is oracle-replayable like the
-    * centroids) — and `codes/` — per-row `(vec_id, list_id, file,
-    * code0..7)`, ~PqM small ints instead of dim floats. At 100 TB the
-    * ADC pre-rank reads this narrow sidecar instead of the embedding
-    * column — the 4-16× candidate-I/O cut of the standard IVF-PQ
-    * architecture. Skipped (with no published marker) when the anchor id
-    * range has no rows below PqK — [[searchPq]] then refuses loudly. */
+    * TRAINED codebook ([[trainPqCodebook]]: per-subspace Lloyd over a
+    * deterministic sample, seeded from the lowest-anchor rows, so the
+    * compression is oracle-replayable like the centroids) — and
+    * `codes/` — per-row `(vec_id, list_id, file, code0..7)`, ~PqM small
+    * ints instead of dim floats. At 100 TB the ADC pre-rank reads this
+    * narrow sidecar instead of the embedding column — the 4-16×
+    * candidate-I/O cut of the standard IVF-PQ architecture. Skipped
+    * (with no published marker) when the anchor id range has no rows
+    * below PqCbK — [[searchPq]] then refuses loudly. */
   /** One-row codebook array from a (c_id, c_emb) relation. */
   private def pqCbArr(cb: DataFrame): DataFrame =
     cb.agg(
@@ -252,12 +255,73 @@ object VectorIndex {
       }
   }
 
-  private def writePqSidecars(idxDir: Path,
-      base: DataFrame, lists: DataFrame): Unit = {
-    import graft.llm.Similarity
-    val cb = base.filter(col("vec_id") < Similarity.PqK)
+  /** TRAIN the per-subspace PQ codebook: production PQ (Jégou et al.
+    * 2011) runs k-means per 8-dim block; this is that, made
+    * deterministic and oracle-replayable like every trained artifact in
+    * the index tier. Seeds = the blocks of the PqCbK lowest-anchor rows;
+    * training rows = a deterministic hash decimation to ~PqTrainCap rows
+    * (anchors force-included — the C214 bounded-build rule, so codebook
+    * training cost is constant at any corpus size); ONE Lloyd refinement:
+    * every training row's block takes its min-L2 seed codeword (the same
+    * fixed-point (x·x − 2·x·c) + c·c assembly as encoding, first-min
+    * tie-break), then each (subspace, code) cell re-centers to its
+    * fixed-point mean (float-narrowed); a codeword no training block
+    * chose keeps its seed value. The codewords assemble back into
+    * COMPOSITE 64-dim rows (row j's block b = codeword j of subspace b),
+    * so the stored `pqcb/` sidecar, [[encodePq]] and the ADC scorer are
+    * unchanged — only the geometry the codes quantize against improves.
+    * Dataflow: one codegen pass over the sample + one (PqM × PqCbK)-cell
+    * aggregate — never a per-row collect. Returns (c_id = 0-based
+    * codeword position, c_emb); empty when no row sits below PqCbK. */
+  private[sources] def trainPqCodebook(base: DataFrame, n: Long): DataFrame = {
+    import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ,
+      pqBlock, pqCode}
+    import graft.llm.PortableHash.permute
+    val seeds = base.filter(col("vec_id") < PqCbK)
       .select(col("vec_id").cast(IntegerType).as("c_id"),
         col("embedding").as("c_emb"))
+    if (seeds.limit(1).count() == 0) return seeds
+    // one broadcast row, referenced by the coding pass AND the
+    // empty-codeword fallback — materialize once
+    val seedArr = pqCbArr(seeds).localCheckpoint()
+    val m = math.max(1L, n / PqTrainCap)
+    val train = base.where(
+      permute(col("vec_id"), PqTrainJ) % m === 0 || col("vec_id") < PqCbK)
+    val coded = (0 until PqM).foldLeft(train.crossJoin(broadcast(seedArr))) {
+      (df, b) => df.withColumn(s"code$b",
+        pqCode(col("cents"), col("embedding"), b))
+    }
+    val flat = coded.select(posexplode(array((0 until PqM).map(b =>
+        struct(lit(b).as("b"), col(s"code$b").as("code"),
+          pqBlock(col("embedding"), b).as("blk"))): _*)).as(Seq("p", "s")))
+      .select(col("s.b").as("b"), col("s.code").as("code"),
+        col("s.blk").as("blk"))
+    val means = flat.groupBy("b", "code")
+      .agg(count(lit(1)).as("nv"),
+        graft.functions.VectorSumFixed.sum(col("blk"), PqDim).as("vs"))
+      .select(col("b"), col("code"),
+        transform(col("vs"), x => (x / col("nv")).cast(FloatType)).as("c8"))
+    val seedFlat = seedArr
+      .select(posexplode(col("cents")).as(Seq("j", "st")))
+      .select(col("j").cast(IntegerType).as("code"),
+        col("st.c_emb").as("emb"))
+      .select(col("code"), posexplode(array((0 until PqM).map(b =>
+          struct(lit(b).as("b"), pqBlock(col("emb"), b).as("sblk"))): _*))
+        .as(Seq("p", "s")))
+      .select(col("code"), col("s.b").as("b"), col("s.sblk").as("sblk"))
+    seedFlat.join(means, Seq("b", "code"), "left")
+      .select(col("code"),
+        struct(col("b"), coalesce(col("c8"), col("sblk")).as("cblk")).as("bb"))
+      .groupBy("code")
+      .agg(flatten(transform(array_sort(collect_list(col("bb"))),
+        st => st.getField("cblk"))).as("c_emb"))
+      .select(col("code").as("c_id"), col("c_emb"))
+  }
+
+  private def writePqSidecars(idxDir: Path,
+      base: DataFrame, lists: DataFrame, n: Long): Unit = {
+    import graft.llm.Similarity
+    val cb = trainPqCodebook(base, n)
     if (cb.limit(1).count() == 0) return
     cb.coalesce(1).write.parquet(idxDir.resolve("pqcb").toString)
     val coded = encodePq(base, pqCbArr(cb))
@@ -602,7 +666,7 @@ object VectorIndex {
     def noPqCodebook(): Nothing = throw new IllegalStateException(
       s"VECTOR SEARCH PQ: the index on $table ($colName) has no PQ " +
         s"codebook — the anchor id range had no rows below " +
-        s"${Similarity.PqK}; re-key the ids or use search/searchWhere")
+        s"${Similarity.PqCbK}; re-key the ids or use search/searchWhere")
 
     def exactTop(cand: DataFrame): DataFrame =
       cand.select(col("vec_id"), col("list_id"),
@@ -644,16 +708,16 @@ object VectorIndex {
         searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
           allowRefresh = false)
       case _ =>
-        // in-query replay of the WHOLE pipeline (geometry + codes) under
-        // the build's persisted LISTS/SAMPLE policy, so the answer
-        // matches a fresh rebuild's — no pruning, same determinism
+        // in-query replay of the WHOLE pipeline (geometry + codebook
+        // training + codes) under the build's persisted LISTS/SAMPLE
+        // policy, so the answer matches a fresh rebuild's — no pruning,
+        // same determinism
         val rows = scanFiles(spark, mt.dir, names)
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"))
-        val (assigned, cents) = retrainGeometry(rows, p)
-        val cb = rows.filter(col("vec_id") < Similarity.PqK)
-          .select(col("vec_id").cast(IntegerType).as("c_id"),
-            col("embedding").as("c_emb"))
+        val n = rows.count()
+        val (assigned, cents) = retrainGeometry(rows, p, n)
+        val cb = trainPqCodebook(rows, n)
         // same loud refusal as the fresh path: an empty codebook would
         // NULL every ADC score and silently rank garbage candidates
         if (cb.limit(1).count() == 0) noPqCodebook()

@@ -465,6 +465,58 @@ class VectorIndexSpec extends SparkSuite {
       s"stale retrain under the persisted policy ranks blob A: $ids")
   }
 
+  test("trained PQ codebook: recall off the anchor span beats the " +
+      "anchor-row codebook") {
+    import graft.llm.Similarity
+    // THE HARD FIXTURE: the 4 lowest-anchor rows (the pre-trained
+    // codebook) live entirely in subspace block 0, while the corpus bulk
+    // lives in blocks 1-2 — an anchor-ROW codebook has all-zero codewords
+    // there, so ADC collapses to a constant and the pre-rank degenerates
+    // to vec_id order. The trained codebook seeds from 16 rows (ids 4..15
+    // span the bulk directions) and Lloyd-refines per subspace, so ADC
+    // separates the groups.
+    def mk(xs: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](dim); xs.foreach { case (i, v) => a(i) = v }; a
+    }
+    val lowAnchors = (0 to 3).map(j => (j.toLong, mk(0 -> 1f, (1 + j) -> 0.05f)))
+    val directions = (4 to 15).map(j => (j.toLong, mk((8 + (j - 4)) -> 1f)))
+    val bulk = for (g <- 0 to 11; t <- 0 to 9) yield
+      ((16 + g * 10 + t).toLong,
+        mk((8 + g) -> 0.995f, (24 + t) -> 0.0999f))
+    val base = (lowAnchors ++ directions ++ bulk)
+      .toDF("vec_id", "embedding")
+    val n = base.count()
+    val probe = bulk.last._2 // a member of the HIGHEST-id group (g = 11)
+    val pv = typedLit(probe.toSeq)
+    val exact = base.select(col("vec_id"),
+        graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    def adcTop(cb: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val cbArr = cb.agg(array_sort(
+        collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+      val coded = (0 until Similarity.PqM)
+        .foldLeft(base.crossJoin(broadcast(cbArr))) { (df, b) =>
+          df.withColumn(s"code$b",
+            Similarity.pqCode(col("cents"), col("embedding"), b))
+        }
+      coded.withColumn("adc",
+          Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+        .orderBy(desc("adc"), col("vec_id")).limit(12)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val anchorCb = base.filter(col("vec_id") < Similarity.PqK)
+      .select(col("vec_id").cast("int").as("c_id"),
+        col("embedding").as("c_emb"))
+    val trainedCb = VectorIndex.trainPqCodebook(base, n)
+    val anchorRecall = (adcTop(anchorCb) & exact).size
+    val trainedRecall = (adcTop(trainedCb) & exact).size
+    assert(anchorRecall <= 2,
+      s"anchor-row ADC should collapse off the anchor span: $anchorRecall")
+    assert(trainedRecall >= 7 && trainedRecall > anchorRecall,
+      s"trained codebook must separate the bulk: $trainedRecall vs $anchorRecall")
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
