@@ -239,8 +239,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * before the top-k. `RERANK r USING PQ` routes through the
     * compression tier ([[graft.sources.VectorIndex.searchPq]]): ADC
     * pre-rank over the stored codes, exact rerank of the top-r
-    * survivors (mutually exclusive with WHERE — the codes sidecar
-    * carries no table columns to filter on). An EXPLICIT statement
+    * survivors; combined with WHERE, the predicate-matching ids
+    * semi-join the codes BEFORE the cutoff
+    * ([[graft.sources.VectorIndex.searchPqWhere]]). An EXPLICIT statement
     * rather than a transparent `ORDER BY dot(…) LIMIT k` rewrite on
     * purpose: IVF is approximate (it ranks the probed lists, not the
     * corpus), and an optimizer rule must never silently trade exactness
@@ -958,11 +959,12 @@ case class RefreshIndexCommand(kind: String, target: String, colName: String)
 /** `VECTOR SEARCH ON t (col) PROBE (…) TOP k [PROBES p]
   * [RERANK r USING PQ] [WHERE pred]` — ANN over the published IVF index
   * from plain SQL ([[graft.sources.VectorIndex.searchWhere]], or
-  * [[graft.sources.VectorIndex.searchPq]] when RERANK … USING PQ is
-  * given). The WHERE text compiles against the table's own columns and
-  * narrows CANDIDATES before the top-k (the filtered-ANN rule); it is
-  * mutually exclusive with the PQ path (codes carry no table columns).
-  * Output is the anchor id (cast BIGINT), the matched cluster, and the
+  * [[graft.sources.VectorIndex.searchPq]]/`searchPqWhere` when
+  * RERANK … USING PQ is given). The WHERE text compiles against the
+  * table's own columns and narrows CANDIDATES before the top-k — and,
+  * on the PQ path, before the ADC rerank cutoff (the filtered-ANN rule
+  * at both tiers). Output is the anchor id (cast BIGINT), the matched
+  * cluster, and the
   * exact fixed-point dot — top-k rows, ranked (sim DESC, vec_id). */
 case class VectorSearchCommand(target: String, colName: String,
     probeList: String, topK: Int, probes: Int, rerank: Option[Int],
@@ -984,19 +986,19 @@ case class VectorSearchCommand(target: String, colName: String,
       }
     }
     import org.apache.spark.sql.functions.{col, desc}
-    val res = rerank match {
-      case Some(r) =>
-        if (where.isDefined) throw new IllegalArgumentException(
-          "VECTOR SEARCH: RERANK … USING PQ and WHERE are mutually " +
-            "exclusive — the PQ codes sidecar carries no table columns " +
-            "to filter on; drop one of the two clauses")
+    val res = (rerank, where.map(org.apache.spark.sql.functions.expr)) match {
+      case (Some(r), Some(pred)) =>
+        // filtered PQ: the predicate narrows the codes BEFORE the rerank
+        // cutoff (metadata predicate + compressed candidates — the RAG
+        // serving shape)
+        graft.sources.VectorIndex
+          .searchPqWhere(spark, target, colName, probe, topK, probes, r, pred)
+      case (Some(r), None) =>
         graft.sources.VectorIndex
           .searchPq(spark, target, colName, probe, topK, probes, r)
-      case None =>
-        val pred = where.map(org.apache.spark.sql.functions.expr)
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-        graft.sources.VectorIndex
-          .searchWhere(spark, target, colName, probe, topK, probes, pred)
+      case (None, pred) =>
+        graft.sources.VectorIndex.searchWhere(spark, target, colName, probe,
+          topK, probes, pred.getOrElse(org.apache.spark.sql.functions.lit(true)))
     }
     res
       .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),

@@ -706,6 +706,21 @@ object SourceQueries extends QueryModule {
         "TOP 10 RERANK 50 USING PQ")
     }),
 
+    // FILTERED PQ from plain SQL (`WHERE` + `RERANK … USING PQ` in one
+    // statement — the RAG serving shape: metadata predicate + compressed
+    // candidates): the predicate-matching ids semi-join the narrow codes
+    // sidecar BEFORE the ADC rerank cutoff, so a selective filter never
+    // under-fills the rerank budget. The oracle replays the same order
+    // (filter → ADC → cutoff → exact top-k).
+    "q_vector_search_sql_pq_filtered" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) " +
+        "TOP 10 RERANK 50 USING PQ WHERE label % 2 = 0")
+    }),
+
     // Filtered ANN from plain SQL: the WHERE narrows CANDIDATES before
     // the top-k (the filtered-ANN rule), same oracle as the Scala API's
     // q_vector_search_filtered.
@@ -2354,8 +2369,9 @@ object SourceQueries extends QueryModule {
     * fixed-point means float-narrowed (`pqc8`), empty codewords keep the
     * seed block (`pqseed`/`pqrow`), composite rows reassemble into the
     * ordered codebook `cbl` — then codes, ADC and the rerank cutoff as
-    * before. */
-  private lazy val sqlPqBlocks: String = {
+    * before. `where` (a predicate over `a.…` columns) narrows the
+    * candidates BEFORE the ADC cutoff — the filtered-PQ rule. */
+  private def sqlPqBlocks(where: String = ""): String = {
       import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
       val dot = graft.llm.PortableHash.sqlDotFixed _
       def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
@@ -2417,7 +2433,8 @@ object SourceQueries extends QueryModule {
            |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow),
            |candpq AS (
            |  SELECT a.vec_id, a.list_id, a.embedding
-           |  FROM a1 a JOIN probe p ON a.list_id = p.p_list),
+           |  FROM a1 a JOIN probe p ON a.list_id = p.p_list
+           |  $where),
            |kc AS (
            |  SELECT e.vec_id, e.list_id, e.embedding,
            |    $codeCols
@@ -2438,7 +2455,19 @@ object SourceQueries extends QueryModule {
     * (sim_adc DESC, vec_id), exact fixed-point rerank of the survivors. */
   private lazy val sqlVectorSearchPqOracle: String =
     graft.llm.PortableHash.sqlMat(
-      s"""WITH $sqlPqBlocks
+      s"""WITH ${sqlPqBlocks()}
+         |SELECT t.vec_id, t.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("t.embedding", "p.pv")} AS sim
+         |FROM survivors t, probe p
+         |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+
+  /** Filtered-PQ replay: the SAME pipeline with the predicate applied to
+    * the probed lists' candidates BEFORE the ADC rerank cutoff — the
+    * engine's searchPqWhere order, so a post-filter regression (cutoff
+    * before predicate) under-fills the survivor set and hash-fails. */
+  private lazy val sqlVectorSearchPqFilteredOracle: String =
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH ${sqlPqBlocks("WHERE a.label % 2 = 0")}
          |SELECT t.vec_id, t.list_id,
          |  ${graft.llm.PortableHash.sqlDotFixed("t.embedding", "p.pv")} AS sim
          |FROM survivors t, probe p
@@ -2450,7 +2479,7 @@ object SourceQueries extends QueryModule {
   private lazy val sqlVectorSearchPqRecallOracle: String = {
     val dot = graft.llm.PortableHash.sqlDotFixed _
     graft.llm.PortableHash.sqlMat(
-      s"""WITH $sqlPqBlocks,
+      s"""WITH ${sqlPqBlocks()},
          |pqtop AS (
          |  SELECT vec_id FROM (
          |    SELECT t.vec_id, ${dot("t.embedding", "p.pv")} AS sim
@@ -2629,6 +2658,7 @@ object SourceQueries extends QueryModule {
     // vec_id), exact fixed-point rerank of the survivors.
     "q_vector_search_pq" -> sqlVectorSearchPqOracle,
     "q_vector_search_sql_pq" -> sqlVectorSearchPqOracle,
+    "q_vector_search_sql_pq_filtered" -> sqlVectorSearchPqFilteredOracle,
     "q_vector_search_recall_pq" -> sqlVectorSearchPqRecallOracle,
     // Sampled-build replay: Lloyd over the deterministic decimation
     // (anchors force-included), ONE full-corpus assignment (af), probe

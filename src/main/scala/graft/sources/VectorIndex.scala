@@ -644,14 +644,33 @@ object VectorIndex {
       probe: Array[Float], topK: Int, probes: Int = 1,
       rerank: Int = 50): DataFrame =
     searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
-      allowRefresh = true)
+      predicate = None, allowRefresh = true)
+
+  /** FILTERED IVF-PQ search — the RAG serving shape at 100 TB: a
+    * metadata predicate AND compressed candidates in one query. The
+    * predicate composes BEFORE the ADC rerank cutoff (the filtered-ANN
+    * rule, applied at the compression tier: filtering the ADC top-r's
+    * OUTPUT would under-fill the rerank budget whenever the filter is
+    * selective). Dataflow: the probed lists' files are scanned once for
+    * the predicate columns ONLY (pushdown applies; the embedding column
+    * is not read), the matching ids semi-join the narrow codes sidecar,
+    * ADC pre-ranks the survivors, and only the top-`rerank` fetch
+    * embeddings for the exact rerank — so the result is the exact top-k
+    * among the ADC-top-`rerank` of the PREDICATE-MATCHING rows of the
+    * probed lists, deterministic and oracle-replayable. */
+  def searchPqWhere(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int, probes: Int, rerank: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
+      predicate = Some(predicate), allowRefresh = true)
 
   /** One PQ serve attempt — `allowRefresh` bounds the
     * stale→refresh→re-serve recursion exactly as in
     * [[searchWhereAttempt]]. */
   private def searchPqAttempt(spark: SparkSession, table: String,
       colName: String, probe: Array[Float], topK: Int, probes: Int,
-      rerank: Int, allowRefresh: Boolean): DataFrame = {
+      rerank: Int, predicate: Option[org.apache.spark.sql.Column],
+      allowRefresh: Boolean): DataFrame = {
     import graft.llm.Similarity
     val mt = resolveTable(spark, table, "VECTOR SEARCH PQ")
     val m = Manifest.read(mt.dir).getOrElse(
@@ -680,11 +699,27 @@ object VectorIndex {
       val pLists = probeListsOf(cents, probe, probes)
       val cbArr = pqCbArr(spark.read.parquet(idxDir.resolve("pqcb").toString))
       // ADC pre-rank over the NARROW codes sidecar (list filter pushed to
-      // the parquet scan) — the embedding column is never read here. The
-      // survivors are MATERIALIZED (≤rerank rows): they drive both the
-      // file pruning and the broadcast id semi-join below.
-      val top = spark.read.parquet(idxDir.resolve("codes").toString)
+      // the parquet scan) — the embedding column is never read here. A
+      // predicate narrows the codes FIRST (before the rerank cutoff):
+      // the probed lists' files are scanned for the predicate columns
+      // only and the matching ids semi-join the codes — at 100 TB that
+      // scan touches ~1/k of the files and never the embedding column.
+      // The survivors are MATERIALIZED (≤rerank rows): they drive both
+      // the file pruning and the broadcast id semi-join below.
+      val codes0 = spark.read.parquet(idxDir.resolve("codes").toString)
         .where(col("list_id").isin(pLists: _*))
+      val codes = predicate match {
+        case None => codes0
+        case Some(pred) =>
+          val pFiles = spark.read.parquet(idxDir.resolve("posts").toString)
+            .where(col("list_id").isin(pLists: _*))
+            .select("file").distinct().collect().map(_.getString(0))
+          if (pFiles.isEmpty) return emptyResult(spark, m, p.idCol)
+          val matching = scanFiles(spark, mt.dir, pFiles.toSeq).where(pred)
+            .select(col(p.idCol).as("vec_id"))
+          codes0.join(matching, Seq("vec_id"), "left_semi")
+      }
+      val top = codes
         .crossJoin(broadcast(cbArr))
         .withColumn("sim_adc",
           Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
@@ -706,13 +741,14 @@ object VectorIndex {
       case "refresh" if allowRefresh =>
         refresh(spark, mt.dir, colName)
         searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
-          allowRefresh = false)
+          predicate, allowRefresh = false)
       case _ =>
         // in-query replay of the WHOLE pipeline (geometry + codebook
         // training + codes) under the build's persisted LISTS/SAMPLE
         // policy, so the answer matches a fresh rebuild's — no pruning,
         // same determinism
-        val rows = scanFiles(spark, mt.dir, names)
+        val all = scanFiles(spark, mt.dir, names)
+        val rows = all
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"))
         val n = rows.count()
@@ -722,9 +758,16 @@ object VectorIndex {
         // NULL every ADC score and silently rank garbage candidates
         if (cb.limit(1).count() == 0) noPqCodebook()
         val cbArr = pqCbArr(cb)
-        val coded = encodePq(
-          assigned.where(col("list_id").isin(
-            probeListsOf(cents, probe, probes): _*)), cbArr)
+        val inLists = assigned.where(col("list_id").isin(
+          probeListsOf(cents, probe, probes): _*))
+        // predicate before the cutoff, as in the fresh path
+        val candRows = predicate match {
+          case None => inLists
+          case Some(pred) => inLists.join(
+            all.where(pred).select(col(p.idCol).as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        }
+        val coded = encodePq(candRows, cbArr)
         val top = coded
           .withColumn("sim_adc",
             Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))

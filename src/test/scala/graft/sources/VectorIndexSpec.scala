@@ -517,6 +517,30 @@ class VectorIndexSpec extends SparkSuite {
       s"trained codebook must separate the bulk: $trainedRecall vs $anchorRecall")
   }
 
+  test("searchPqWhere: the predicate narrows codes before the rerank cutoff") {
+    val cat = freshCatalog("vixpqf")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // probe blob A (all label 0): a label=1 predicate empties the probed
+    // list's candidates — no spillover to blob B, no under-filled rerank
+    val none = VectorIndex.searchPqWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, rerank = 3, col("label") === 1)
+    assert(none.count() == 0L, "filter empties the probed list's codes")
+    // a matching predicate with a TIGHT rerank budget: the budget must be
+    // spent on predicate-matching candidates (filter-then-cutoff), so the
+    // result still fills k from blob A
+    val same = VectorIndex.searchPqWhere(spark, t, "embedding", vec(0), 3,
+      probes = 1, rerank = 3, col("label") === 0)
+    val ids = same.select("vec_id").as[Long].collect().toSet
+    assert(ids.size == 3 && ids.subsetOf((0L to 5L).toSet),
+      s"rerank budget spent on matching candidates only: $ids")
+    // SQL surface: WHERE + RERANK USING PQ compose in one statement
+    val viaSql = spark.sql(s"VECTOR SEARCH ON $t (embedding) " +
+      s"PROBE (${vec(0).mkString(", ")}) TOP 3 RERANK 3 USING PQ " +
+      "WHERE label = 0")
+    assert(viaSql.select("vec_id").as[Long].collect().toSet == ids)
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
