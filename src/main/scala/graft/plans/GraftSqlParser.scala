@@ -272,7 +272,57 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }.getOrElse(false)
     } catch { case _: Exception => false }
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  /** A `(VECTOR SEARCH …)` group INSIDE a larger statement — the
+    * composable-relation form. The rewrite finds the balanced
+    * parenthesized group, builds the search DataFrame ([[VectorSearchDf]]
+    * — plan construction plus the index tier's small metadata reads, no
+    * corpus work), registers it as a session temp view, and substitutes
+    * the view name so the surrounding SELECT/JOIN/CTE parses through the
+    * delegate untouched: `SELECT d.text, v.sim FROM (VECTOR SEARCH ON t
+    * (emb) PROBE (…) TOP 10) v JOIN docs d ON v.vec_id = d.id` works
+    * like any relation. Multiple groups rewrite one per recursion. The
+    * standalone statement form stays a command (it prints ranked rows). */
+  private val VecSubOpen = """(?i)\(\s*VECTOR\s+SEARCH\s+ON""".r
+
+  private def rewriteVecSearchSubqueries(sql: String): Option[String] = {
+    val m = VecSubOpen.findFirstMatchIn(sql).getOrElse(return None)
+    val open = m.start
+    var depth = 0
+    var i = open
+    var close = -1
+    while (i < sql.length && close < 0) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (close < 0) return None // unbalanced — let the delegate error
+    val inner = sql.substring(open + 1, close)
+    inner match {
+      case VecSearch(target, colName, probeList, topK, probes, rerank, where)
+        if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val view = s"graft_vecsearch_${java.util.UUID.randomUUID.toString.take(8)}"
+        VectorSearchDf.of(spark, target, colName, probeList, topK.toInt,
+            Option(probes).map(_.toInt).getOrElse(1),
+            Option(rerank).map(_.toInt), Option(where))
+          .createOrReplaceTempView(view)
+        Some(sql.substring(0, open) + view + sql.substring(close + 1))
+      case _ =>
+        customSyntaxError(inner.trim)
+        None
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewriteVecSearchSubqueries(sqlText) match {
+      case Some(rewritten) => parsePlan(rewritten)
+      case None => parsePlanMatched(sqlText)
+    }
+
+  private def parsePlanMatched(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(dir, retain, olderMin, dry) =>
       val keep = Option(retain).map(_.toInt)
       // RETAIN 0 would silently behave as RETAIN 1 (the current manifest is
@@ -978,6 +1028,24 @@ case class VectorSearchCommand(target: String, colName: String,
     AttributeReference("sim", org.apache.spark.sql.types.DoubleType,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, desc}
+    VectorSearchDf.of(spark, target, colName, probeList, topK, probes,
+        rerank, where)
+      .orderBy(desc("sim"), col("vec_id"))
+      .collect().toSeq
+  }
+}
+
+/** The VECTOR SEARCH dataflow as a DataFrame — shared by the standalone
+  * statement ([[VectorSearchCommand]], which orders and collects it) and
+  * the COMPOSABLE subquery form (`SELECT … FROM (VECTOR SEARCH …) v JOIN
+  * …`, which registers it as a relation — see
+  * [[GraftSqlParser.parsePlan]]). Normalized schema (vec_id BIGINT,
+  * list_id INT, sim DOUBLE) at both surfaces. */
+private[plans] object VectorSearchDf {
+  def of(spark: SparkSession, target: String, colName: String,
+      probeList: String, topK: Int, probes: Int, rerank: Option[Int],
+      where: Option[String]): org.apache.spark.sql.DataFrame = {
     val probe = probeList.split(",").map { s =>
       try s.trim.toFloat catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -985,7 +1053,7 @@ case class VectorSearchCommand(target: String, colName: String,
             "literal — PROBE takes a comma-separated float vector")
       }
     }
-    import org.apache.spark.sql.functions.{col, desc}
+    import org.apache.spark.sql.functions.col
     val res = (rerank, where.map(org.apache.spark.sql.functions.expr)) match {
       case (Some(r), Some(pred)) =>
         // filtered PQ: the predicate narrows the codes BEFORE the rerank
@@ -1000,12 +1068,9 @@ case class VectorSearchCommand(target: String, colName: String,
         graft.sources.VectorIndex.searchWhere(spark, target, colName, probe,
           topK, probes, pred.getOrElse(org.apache.spark.sql.functions.lit(true)))
     }
-    res
-      .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
-        col("list_id").cast(org.apache.spark.sql.types.IntegerType),
-        col("sim").cast(org.apache.spark.sql.types.DoubleType))
-      .orderBy(desc("sim"), col("vec_id"))
-      .collect().toSeq
+    res.select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+      col("list_id").cast(org.apache.spark.sql.types.IntegerType),
+      col("sim").cast(org.apache.spark.sql.types.DoubleType))
   }
 }
 

@@ -706,6 +706,27 @@ object SourceQueries extends QueryModule {
         "TOP 10 RERANK 50 USING PQ")
     }),
 
+    // COMPOSABLE VECTOR SEARCH: the statement as a RELATION inside a
+    // larger query — `(VECTOR SEARCH …) v JOIN t e ON …` selects table
+    // columns alongside the ranked sim in ONE SQL statement (the parser
+    // lowers the balanced group to a temp-view relation; the surrounding
+    // SELECT/JOIN parses through the delegate untouched). The join back
+    // to the indexed table is the canonical RAG read: ranked ids → full
+    // rows. The oracle replays the search AND the label join from raw
+    // parquet.
+    "q_vector_search_join" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(
+        s"""SELECT v.vec_id, e.label, v.list_id, v.sim
+           |FROM (VECTOR SEARCH ON $cat.q.emb (embedding)
+           |      PROBE ($probe) TOP 10) v
+           |JOIN $cat.q.emb e ON v.vec_id = e.vec_id
+           |ORDER BY v.sim DESC, v.vec_id""".stripMargin)
+    }),
+
     // FILTERED PQ from plain SQL (`WHERE` + `RERANK … USING PQ` in one
     // statement — the RAG serving shape: metadata predicate + compressed
     // candidates): the predicate-matching ids semi-join the narrow codes
@@ -2342,11 +2363,12 @@ object SourceQueries extends QueryModule {
     * (`q_vector_search`) and its SQL-statement twin
     * (`q_vector_search_sql[_filtered]`) — one search semantics, two
     * engine surfaces, one oracle. */
-  private def sqlVectorSearchOracle(where: String): String =
+  private def sqlVectorSearchOracle(where: String,
+      cols: String = "a.vec_id, a.list_id"): String =
     graft.llm.PortableHash.sqlMat(
       s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
          |${sqlProbeFlat("probe")}
-         |SELECT a.vec_id, a.list_id,
+         |SELECT $cols,
          |  ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
          |FROM a1 a JOIN probe p ON a.list_id = p.p_list
          |$where
@@ -2585,6 +2607,11 @@ object SourceQueries extends QueryModule {
     // The SQL-statement surface answers EXACTLY what the Scala API does —
     // same oracle, zero drift between the two surfaces.
     "q_vector_search_sql" -> sqlVectorSearchOracle(""),
+    // The composable form: search + label join in one statement — the
+    // oracle selects the label straight off the assignment (a1 carries
+    // it), which IS the join's result on a unique id.
+    "q_vector_search_join" ->
+      sqlVectorSearchOracle("", "a.vec_id, a.label, a.list_id"),
     "q_vector_search_sql_filtered" ->
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // The full SemDeDup pipeline replayed at the index's training depth.

@@ -541,6 +541,31 @@ class VectorIndexSpec extends SparkSuite {
     assert(viaSql.select("vec_id").as[Long].collect().toSet == ids)
   }
 
+  test("composable VECTOR SEARCH: joins, CTEs and aggregates over the " +
+      "relation form") {
+    val cat = freshCatalog("vixrel")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val probe = vec(0).mkString(", ")
+    // join back to table columns in one statement
+    val joined = spark.sql(
+      s"""SELECT e.label, v.vec_id, v.sim
+         |FROM (VECTOR SEARCH ON $t (embedding) PROBE ($probe) TOP 5) v
+         |JOIN $t e ON v.vec_id = e.vec_id
+         |ORDER BY v.sim DESC, v.vec_id""".stripMargin)
+    val rows = joined.collect()
+    assert(rows.length == 5 && rows.forall(_.getInt(0) == 0),
+      "blob-A probe joins back to label-0 rows only")
+    // CTE + aggregate over the relation; WHERE variant composes too
+    val agg = spark.sql(
+      s"""WITH hits AS (
+         |  SELECT * FROM (VECTOR SEARCH ON $t (embedding)
+         |                 PROBE ($probe) TOP 5 WHERE label = 0) )
+         |SELECT COUNT(*) AS n, MIN(sim) AS worst FROM hits""".stripMargin)
+      .collect().head
+    assert(agg.getLong(0) == 5L)
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
