@@ -123,14 +123,24 @@ object Similarity extends QueryModule {
     * c_id-sorted array, and an anchor centroid always self-assigns (so
     * no coarse cell a row can map to is ever empty). Assignment is
     * hierarchical-IVF approximate — a row sees only the fine centroids
-    * of its TOP-2 coarse cells (masked-max runner-up, the
-    * [[assignLists2]] idiom applied at the coarse level) — probing two
-    * cells instead of one is the standard fidelity knob for a coarse
+    * of its TOP-`coarseProbes` coarse cells (masked-max runner-up, the
+    * [[assignLists2]] idiom applied at the coarse level). Probing two
+    * cells (the default) is the standard fidelity knob for a coarse
     * quantizer and keeps boundary rows from landing in the wrong list;
-    * the oracle replays the same two-cell rule, so results stay
+    * `coarseProbes = 1` halves the per-row fine work for geometries
+    * where boundary drift is acceptable — a DECLARED policy (`CREATE
+    * VECTOR INDEX … COARSE PROBES c`) like LISTS/SAMPLE/PROBES, with
+    * its recall cost oracle-certified by `q_vector_search_recall_coarse`.
+    * The oracle replays the same c-cell rule, so results stay
     * cell-exact. */
   def assignListsHier(emb: org.apache.spark.sql.DataFrame,
-                      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                      cents: org.apache.spark.sql.DataFrame,
+                      coarseProbes: Int = 2): org.apache.spark.sql.DataFrame = {
+    if (coarseProbes < 1 || coarseProbes > 2)
+      throw new IllegalArgumentException(
+        s"COARSE PROBES $coarseProbes — the two-level assigner probes 1 " +
+          "or 2 coarse cells (more cells trades toward a flat assignment; " +
+          "tune LISTS for finer geometry instead)")
     // coarse anchors: the ⌈√k⌉ lowest-c_id centroids, one broadcast row.
     // anch and byG are each referenced twice downstream — materialize
     // both (1 row / ≤√k rows) so the centroid grouping shuffle and the
@@ -158,16 +168,21 @@ object Similarity extends QueryModule {
     val byG = centsG.groupBy("g")
       .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("gc"))
       .localCheckpoint()
-    // rows → top-2 coarse cells (per-row masked-max against the bounded
-    // anchor row; with a single anchor g2 degenerates to g1)
-    val rowsG = emb.crossJoin(broadcast(anch))
+    // rows → top-c coarse cells (per-row masked-max against the bounded
+    // anchor row; with a single anchor — or COARSE PROBES 1 — g2
+    // degenerates to g1 and the fine argmax sees one cell)
+    val withP1 = emb.crossJoin(broadcast(anch))
       .withColumn("adots", ancDots(col("embedding")))
       .withColumn("p1",
         array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
-      .withColumn("md", zip_with(col("adots"),
-        sequence(lit(1), size(col("adots"))),
-        (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
-      .withColumn("p2", array_position(col("md"), array_max(col("md"))).cast(IntegerType))
+    val withP2 =
+      if (coarseProbes == 1) withP1.withColumn("p2", col("p1"))
+      else withP1
+        .withColumn("md", zip_with(col("adots"),
+          sequence(lit(1), size(col("adots"))),
+          (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
+        .withColumn("p2", array_position(col("md"), array_max(col("md"))).cast(IntegerType))
+    val rowsG = withP2
       .select(col("vec_id"), col("label"), col("embedding"),
         element_at(col("anc"), col("p1")).getField("c_id").as("g1"),
         element_at(col("anc"), col("p2")).getField("c_id").as("g2"))

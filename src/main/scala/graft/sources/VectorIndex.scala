@@ -65,12 +65,15 @@ object VectorIndex {
 
   /** Decoded `vecidx.<col>` prop. Legacy 3-field props (flat-assigner
     * builds) parse with `version = "flat"` and no build options; current
-    * props carry the assignment version plus the build's LISTS/SAMPLE
-    * policy so stale in-query retrains replay what a rebuild would
-    * actually do, not the defaults. */
+    * props carry the assignment version plus the build's
+    * LISTS/SAMPLE/COARSE-PROBES policy so serve-time re-derivation and
+    * stale in-query retrains replay what THIS build did, not the
+    * defaults (a coarse-probe mismatch between build and serve would
+    * silently drop rows, the same failure mode as the assigner-version
+    * mismatch). */
   private[sources] final case class Prop(idxName: String, idCol: String,
       digest: String, version: String, lists: Option[Long],
-      sample: Option[Long]) {
+      sample: Option[Long], coarse: Int = 2) {
     def isCurrent(curDigest: String): Boolean =
       digest == curDigest && version == AssignVersion
   }
@@ -79,14 +82,17 @@ object VectorIndex {
     case Array(i, c, d, ver, l, s) => Prop(i, c, d, ver,
       Some(l).filter(_ != "-").map(_.toLong),
       Some(s).filter(_ != "-").map(_.toLong))
+    case Array(i, c, d, ver, l, s, cp) => Prop(i, c, d, ver,
+      Some(l).filter(_ != "-").map(_.toLong),
+      Some(s).filter(_ != "-").map(_.toLong), cp.toInt)
     case _ => throw new IllegalStateException(
-      s"unreadable vecidx prop '$v' — expected 3 (legacy) or 6 fields")
+      s"unreadable vecidx prop '$v' — expected 3 (legacy), 6 or 7 fields")
   }
   private def renderProp(idxName: String, idCol: String, digest: String,
-      lists: Option[Long], sample: Option[Long]): String =
+      lists: Option[Long], sample: Option[Long], coarse: Int): String =
     Seq(idxName, idCol, digest, AssignVersion,
       lists.map(_.toString).getOrElse("-"),
-      sample.map(_.toString).getOrElse("-")).mkString(";")
+      sample.map(_.toString).getOrElse("-"), coarse.toString).mkString(";")
 
   /** The stale/legacy retrain shared by every in-query replay path:
     * exactly what a CREATE VECTOR INDEX rebuild would train — the
@@ -100,8 +106,9 @@ object VectorIndex {
     val k = p.lists.getOrElse(graft.llm.Clustering.kFor(n))
     p.sample match {
       case Some(cap) =>
-        graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap, n)
-      case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters)
+        graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap, n,
+          p.coarse)
+      case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters, p.coarse)
     }
   }
 
@@ -168,7 +175,7 @@ object VectorIndex {
     * Returns (files indexed, clusters trained). */
   def build(spark: SparkSession, dir: Path, colName: String,
       idCol: String, lists: Option[Long] = None,
-      sample: Option[Long] = None): (Long, Long) = {
+      sample: Option[Long] = None, coarse: Int = 2): (Long, Long) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"CREATE VECTOR INDEX: no manifest at $dir"))
     checkCols(m, colName, idCol)
@@ -199,8 +206,9 @@ object VectorIndex {
         case Some(cap) =>
           if (cap < 1) throw new IllegalArgumentException(
             s"CREATE VECTOR INDEX: SAMPLE $cap is invalid — at least 1 row")
-          graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap, n)
-        case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters)
+          graft.llm.Clustering.kmeansAssignSampled(rows, k, Iters, cap, n,
+            coarse)
+        case None => graft.llm.Clustering.kmeansAssign(rows, k, Iters, coarse)
       }
       cents.write.parquet(idxDir.resolve("cents").toString)
       // MATERIALIZE the (vec_id, list_id) assignment once: both the
@@ -223,7 +231,7 @@ object VectorIndex {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
         (PropPrefix + colName.toLowerCase ->
-          renderProp(idxName, idCol, digestOf(m), lists, sample))))
+          renderProp(idxName, idCol, digestOf(m), lists, sample, coarse))))
     }
     (names.length.toLong, k)
   }
@@ -360,7 +368,8 @@ object VectorIndex {
       // the serve-time re-derivation — migrate with a full rebuild under
       // the build's own LISTS/SAMPLE policy (the TextIndex
       // legacy-stats-format rule applied to geometry)
-      return (build(spark, dir, colName, p.idCol, p.lists, p.sample)._1, true)
+      return (build(spark, dir, colName, p.idCol, p.lists, p.sample,
+        p.coarse)._1, true)
     val (oldIdx, idCol) = (p.idxName, p.idCol)
     val oldDir = dir.resolve(oldIdx)
     val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
@@ -380,7 +389,7 @@ object VectorIndex {
     // files): the postings write and the PQ codes write both consume it
     val newLists = newRows.map { rows =>
       graft.llm.Similarity.assignListsHier(
-          rows.select("vec_id", "label", "embedding"), cents)
+          rows.select("vec_id", "label", "embedding"), cents, p.coarse)
         .select(col("vec_id"), col("list_id"))
         .join(rows.select(col("vec_id"), col("file")), "vec_id")
         .localCheckpoint()
@@ -414,7 +423,8 @@ object VectorIndex {
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
-        (key -> renderProp(idxName, idCol, digestOf(m), p.lists, p.sample))))
+        (key -> renderProp(idxName, idCol, digestOf(m), p.lists, p.sample,
+          p.coarse))))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -429,12 +439,13 @@ object VectorIndex {
     * [[graft.llm.Clustering.semSurvivors]] keep-the-outlier rule. */
   def semDedup(spark: SparkSession, table: String, colName: String,
       labelCol: String): DataFrame = {
-    val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
+    val (rows, cents, coarse) = rowsAndCents(spark, table, colName, labelCol,
       "SEMANTIC DEDUP")
     // the corpus count sizes the banded pair join's LSH geometry — the
     // same pre-planning cardinality read the LSH dedup tier does
     graft.llm.Clustering.semSurvivors(
-      graft.llm.Similarity.assignListsHier(rows, cents), cents, rows.count())
+      graft.llm.Similarity.assignListsHier(rows, cents, coarse), cents,
+      rows.count())
   }
 
   /** Diversity-balanced sampling over the index's TRAINED geometry — the
@@ -444,10 +455,10 @@ object VectorIndex {
     * output to a rebuild). Output: (list_id, rk, vec_id, label). */
   def clusterSample(spark: SparkSession, table: String, colName: String,
       labelCol: String): DataFrame = {
-    val (rows, cents) = rowsAndCents(spark, table, colName, labelCol,
+    val (rows, cents, coarse) = rowsAndCents(spark, table, colName, labelCol,
       "CLUSTER SAMPLE")
     graft.llm.Clustering.clusterSample(
-      graft.llm.Similarity.assignListsHier(rows, cents))
+      graft.llm.Similarity.assignListsHier(rows, cents, coarse))
   }
 
   /** The named table must analyze to this engine's [[ManifestTable]] —
@@ -474,11 +485,12 @@ object VectorIndex {
   }
 
   /** Shared resolution for the trained-geometry compositions: all live
-    * rows re-keyed to the Lloyd helper's schema, plus the stored (fresh)
-    * or retrained (stale) centroids. */
+    * rows re-keyed to the Lloyd helper's schema, the stored (fresh) or
+    * retrained (stale) centroids, and the build's coarse-probe count
+    * (serve-time re-derivation must assign exactly as the build did). */
   private def rowsAndCents(spark: SparkSession, table: String,
       colName: String, labelCol: String, op: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Int) = {
     val mt = resolveTable(spark, table, op)
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
@@ -502,7 +514,7 @@ object VectorIndex {
           stored(parseProp(cur.props(PropPrefix + colName.toLowerCase)).idxName)
         case _ => retrainGeometry(rows, p)._2
       }
-    (rows, cents)
+    (rows, cents, p.coarse)
   }
 
   /** Drop the index prop (idempotent); the dir becomes VACUUM-reapable. */
@@ -559,7 +571,7 @@ object VectorIndex {
 
     def ranked(rows: DataFrame, cents: DataFrame,
         pLists: Seq[Int]): DataFrame = {
-      val assigned = graft.llm.Similarity.assignListsHier(rows, cents)
+      val assigned = graft.llm.Similarity.assignListsHier(rows, cents, p.coarse)
       val pv = typedLit(probe.toSeq)
       assigned.where(col("list_id").isin(pLists: _*))
         .select(col("vec_id"), col("list_id"),

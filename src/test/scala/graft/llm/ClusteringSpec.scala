@@ -98,6 +98,30 @@ class ClusteringSpec extends SparkSuite {
       s"no shared band bucket → no candidate pair → both survive: $kept")
   }
 
+  test("assignListsHier: COARSE PROBES trades fidelity — a boundary row " +
+      "lands differently under c = 1") {
+    // k = 4 centroids → coarse anchors are the 2 lowest c_ids (c0 = e0,
+    // c1 = e1); c2 sits in c0's coarse cell, c3 in c1's. Row x's TOP
+    // coarse cell is c0's, but its true nearest FINE centroid is c3 —
+    // only visible through the runner-up cell. c = 2 finds it; c = 1
+    // assigns x to its top cell's best (c0). The knob's fidelity trade,
+    // pinned behaviorally (its recall cost at corpus scale is the
+    // oracle-certified q_vector_search_recall_coarse).
+    val cents = Seq(
+      (0, vec(0 -> 1f)), (1, vec(1 -> 1f)),
+      (2, vec(0 -> 0.9f, 2 -> 0.435f)), (3, vec(1 -> 0.6f, 3 -> 0.8f)))
+      .toDF("c_id", "c_emb")
+    val x = vec(0 -> 0.66f, 1 -> 0.2f, 3 -> 0.72f)
+    val emb = Seq((100L, x, 0)).toDF("vec_id", "embedding", "label")
+    def listOf(c: Int) = Similarity.assignListsHier(emb, cents, c)
+      .select($"list_id").as[Int].collect().head
+    assert(listOf(2) === 3, "two coarse cells surface the true argmax")
+    assert(listOf(1) === 0, "one coarse cell misses the runner-up's cell")
+    intercept[IllegalArgumentException] {
+      Similarity.assignListsHier(emb, cents, 3)
+    }
+  }
+
   test("q_sample_cluster: per-cluster cap holds, sample is deterministic") {
     val d = "/root/testdata/sf0.001"
     val s1 = Clustering.queries("q_sample_cluster")(spark, d).collect()

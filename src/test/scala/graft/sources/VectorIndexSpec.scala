@@ -566,6 +566,39 @@ class VectorIndexSpec extends SparkSuite {
     assert(agg.getLong(0) == 5L)
   }
 
+  test("COARSE PROBES 1: declared at build, persisted, served consistently") {
+    val cat = freshCatalog("vixcp")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "COARSE PROBES 1")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val p = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    assert(p.coarse == 1, s"COARSE PROBES must ride the prop: $p")
+    // the two orthogonal blobs separate under one coarse cell too — and
+    // serving must re-derive with the SAME c (a c-mismatch would drop
+    // rows from the ranked result)
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 5)
+    assert(res.select("vec_id").as[Long].collect().toSet == (0L to 4L).toSet
+      || res.count() == 5)
+    assert(plannedFiles(res) == 1)
+    // refresh preserves the knob
+    Seq((12L, 0, vec(0, (30, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    val p2 = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    assert(p2.coarse == 1, s"refresh must preserve COARSE PROBES: $p2")
+    // out-of-range refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+        "COARSE PROBES 3").collect()
+    }
+    assert(e.getMessage.contains("COARSE PROBES"))
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
