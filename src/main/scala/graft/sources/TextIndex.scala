@@ -243,7 +243,9 @@ object TextIndex {
       if (published && freshIdx(spark, m, colName).isEmpty)
         VectorIndex.onStale(spark) match { // shared validation: a typo'd
           // policy value must refuse, not silently disable the guard
-          case "refresh" => refresh(spark, dir, colName)
+          case "refresh" =>
+            VectorIndex.refuseRefreshIfReadOnly(spark, op)
+            refresh(spark, dir, colName)
           case "fail" => throw new IllegalStateException(
             s"$op: the text index on $colName is STALE and " +
               "spark.graft.index.onStale=fail — run REFRESH TEXT INDEX first")

@@ -128,6 +128,24 @@ object VectorIndex {
         s"spark.graft.index.onStale=$other — expected retrain|refresh|fail")
     }
 
+  /** `onStale=refresh` makes a READ publish: the catch-up takes the
+    * table's commit lock and writes a new `_manifest` version (index
+    * prop swap) from inside a SELECT-shaped query. That is the intended
+    * production posture — one reader absorbs the churn, every later
+    * reader serves indexed — but it surprises deployments whose query
+    * path holds read-only storage credentials (the publish would fail
+    * halfway through a commit). `spark.graft.index.readOnly = true`
+    * declares such a deployment: the refresh policy then refuses UP
+    * FRONT with guidance, shared by both index tiers. */
+  private[sources] def refuseRefreshIfReadOnly(spark: SparkSession,
+      op: String): Unit =
+    if (spark.conf.get("spark.graft.index.readOnly", "false").toBoolean)
+      throw new IllegalStateException(
+        s"$op: spark.graft.index.onStale=refresh would PUBLISH a new " +
+          "index version from inside a read (commit lock + _manifest " +
+          "write), but spark.graft.index.readOnly=true — use " +
+          "onStale=retrain|fail, or run REFRESH … INDEX from a writer")
+
   private def staleRefused(op: String, table: String): Nothing =
     throw new IllegalStateException(
       s"$op: the vector index on $table is STALE and " +
@@ -509,6 +527,7 @@ object VectorIndex {
       else onStale(spark) match {
         case "fail" => staleRefused(op, table)
         case "refresh" =>
+          refuseRefreshIfReadOnly(spark, op)
           refresh(spark, mt.dir, colName)
           val cur = Manifest.read(mt.dir).getOrElse(m)
           stored(parseProp(cur.props(PropPrefix + colName.toLowerCase)).idxName)
@@ -600,6 +619,7 @@ object VectorIndex {
         // bounded catch-up (dead postings drop, new files assign against
         // the stored geometry; a legacy-assigner index rebuilds), then
         // serve from the now-fresh index — pruning included
+        refuseRefreshIfReadOnly(spark, "VECTOR SEARCH")
         refresh(spark, mt.dir, colName)
         searchWhereAttempt(spark, table, colName, probe, topK, probes,
           predicate, allowRefresh = false)
@@ -751,6 +771,7 @@ object VectorIndex {
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH PQ", table)
       case "refresh" if allowRefresh =>
+        refuseRefreshIfReadOnly(spark, "VECTOR SEARCH PQ")
         refresh(spark, mt.dir, colName)
         searchPqAttempt(spark, table, colName, probe, topK, probes, rerank,
           predicate, allowRefresh = false)

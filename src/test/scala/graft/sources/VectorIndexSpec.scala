@@ -599,6 +599,31 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("COARSE PROBES"))
   }
 
+  test("spark.graft.index.readOnly gates onStale=refresh's write-from-read") {
+    val cat = freshCatalog("vixro")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    Seq((12L, 0, vec(0, (30, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append() // stale the index
+    spark.conf.set("spark.graft.index.onStale", "refresh")
+    spark.conf.set("spark.graft.index.readOnly", "true")
+    try {
+      // the read would take the commit lock and publish — refuse up front
+      val e = intercept[IllegalStateException] {
+        VectorIndex.search(spark, t, "embedding", vec(0), 5).collect()
+      }
+      assert(e.getMessage.contains("readOnly"), e.getMessage)
+      // a writer-credentialed session (readOnly unset) absorbs the churn
+      spark.conf.unset("spark.graft.index.readOnly")
+      val ids = VectorIndex.search(spark, t, "embedding", vec(0), 7)
+        .select("vec_id").as[Long].collect().toSet
+      assert(ids.contains(12L))
+    } finally {
+      spark.conf.unset("spark.graft.index.onStale")
+      spark.conf.unset("spark.graft.index.readOnly")
+    }
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
