@@ -220,7 +220,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+ANCHORS\s*\(\s*(\w+)\s*\)""" +
       """(?:\s+LISTS\s+(\d+))?(?:\s+SAMPLE\s+(\d+))?""" +
-      """(?:\s+COARSE\s+PROBES\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+COARSE\s+PROBES\s+(\d+))?(?:\s+(BY\s+PARTITION))?\s*;?\s*""").r
   private val DropVecIdx =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
@@ -356,10 +356,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else delegate.parsePlan(sqlText)
     case CreateTextIdx(target, colName) => CreateTextIndexCommand(target, colName)
     case DropTextIdx(target, colName) => DropTextIndexCommand(target, colName)
-    case CreateVecIdx(target, colName, idCol, lists, sample, coarse) =>
+    case CreateVecIdx(target, colName, idCol, lists, sample, coarse, byPart) =>
       CreateVectorIndexCommand(target, colName, idCol,
         Option(lists).map(_.toLong), Option(sample).map(_.toLong),
-        Option(coarse).map(_.toInt).getOrElse(2))
+        Option(coarse).map(_.toInt).getOrElse(2), byPart != null)
     case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
     case RefreshIdx(kind, target, colName) =>
       RefreshIndexCommand(kind.toLowerCase, target, colName)
@@ -437,8 +437,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "this order; WHERE quotes must balance"),
     "CREATE VECTOR INDEX" ->
       ("CREATE VECTOR INDEX ON <table> (<col>) ANCHORS (<idCol>) " +
-        "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] — clauses in " +
-        "this order"),
+        "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] [BY PARTITION] — " +
+        "clauses in this order"),
     "DROP VECTOR INDEX" -> "DROP VECTOR INDEX ON <table> (<col>)",
     "CREATE TEXT INDEX" -> "CREATE TEXT INDEX ON <table> (<col>)",
     "DROP TEXT INDEX" -> "DROP TEXT INDEX ON <table> (<col>)",
@@ -962,7 +962,8 @@ case class DropTextIndexCommand(target: String, colName: String)
   * size). Reports the files indexed and clusters trained. */
 case class CreateVectorIndexCommand(target: String, colName: String,
     idCol: String, lists: Option[Long] = None,
-    sample: Option[Long] = None, coarse: Int = 2)
+    sample: Option[Long] = None, coarse: Int = 2,
+    byPartition: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_files", org.apache.spark.sql.types.LongType,
@@ -972,7 +973,7 @@ case class CreateVectorIndexCommand(target: String, colName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "CREATE VECTOR INDEX")
     val (nf, nc) = graft.sources.VectorIndex.build(spark, mt.dir, colName,
-      idCol, lists, sample, coarse)
+      idCol, lists, sample, coarse, byPartition)
     Seq(Row(nf, nc))
   }
 }

@@ -199,6 +199,36 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The PARTITIONED embeddings base `q_vector_search_partitioned`
+    * reads: PARTITIONED BY (label), one partition-pure commit per label,
+    * with a BY PARTITION vector index (one sub-geometry per label) built
+    * at staging — staged ONCE per (JVM, sfDir). */
+  private val stagedVecPartBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageVecPartBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedVecPartBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stagevp_")
+      val cat = s"graftstgvp${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) " +
+        "PARTITIONED BY (label)")
+      val emb = Tables(s, d, "embeddings")
+        .select("vec_id", "label", "embedding")
+      emb.select("label").distinct().orderBy("label")
+        .collect().map(_.getInt(0)).foreach { l =>
+          emb.filter(col("label") === l).coalesce(1)
+            .writeTo(s"$cat.q.emb").append()
+        }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) " +
+        "ANCHORS (vec_id) BY PARTITION").collect()
+      cat
+    })
+
   /** The HYBRID corpus `q_search_hybrid_indexed` reads: documents joined
     * to their embeddings (one row per id with BOTH modalities — at sf0.1
     * only 2000 of 5000 docs embed, so the corpus is the join by
@@ -704,6 +734,50 @@ object SourceQueries extends QueryModule {
         .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
       s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) " +
         "TOP 10 RERANK 50 USING PQ")
+    }),
+
+    // PER-PARTITION SUB-INDEX search (BY PARTITION): a partition-pinned
+    // probe routes to THAT partition's trained sub-geometry — its
+    // centroids probe, its postings prune — so partition pruning
+    // composes with list pruning (the DiskANN/Milvus partition-key
+    // serving shape). In-query pin: exactly ONE of the table's
+    // one-file-per-label files plans. The oracle replays the ranked-seed
+    // Lloyd loop over ONLY the pinned partition's rows from raw parquet.
+    "q_vector_search_partitioned" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("label") === 3)
+        .orderBy("vec_id").limit(1)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val res = VectorIndex.searchWhere(s, s"$cat.q.emb", "embedding",
+          probe, 10, probes = 1, col("label") === 3)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      val dir = s.table(s"$cat.q.emb").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val nTotal = Manifest.read(dir).get.entries.count(_.rows > 0)
+      assert(planned == 1 && nTotal > 2,
+        s"partition pruning composes with list pruning: 1 of $nTotal " +
+          s"label-pure files, planned $planned")
+      res
     }),
 
     // COMPOSABLE VECTOR SEARCH: the statement as a RELATION inside a
@@ -2612,6 +2686,27 @@ object SourceQueries extends QueryModule {
     // it), which IS the join's result on a unique id.
     "q_vector_search_join" ->
       sqlVectorSearchOracle("", "a.vec_id, a.label, a.list_id"),
+    // BY PARTITION replay: ranked-seed Lloyd over ONLY the pinned
+    // partition's rows (sub-corpus ids need not start at 0), probe =
+    // the partition's lowest-id row, probe list from the trained
+    // sub-geometry — file layout and the sub-index never enter.
+    "q_vector_search_partitioned" -> {
+      val pdot = graft.llm.PortableHash.sqlDotFixed("e0.embedding", "r0.cl[ci]")
+      val sdot = graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH p3 AS (
+           |  SELECT vec_id, label, embedding FROM embeddings WHERE label = 3),
+           |${graft.llm.Clustering.sqlKmeansRanked(1, "p3")},
+           |probe AS (
+           |  SELECT e.pv, r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
+           |  FROM (SELECT e0.embedding AS pv,
+           |          [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
+           |        FROM p3 e0, ref1 r0
+           |        WHERE e0.vec_id = (SELECT MIN(vec_id) FROM p3)) e, ref1 r)
+           |SELECT a.vec_id, a.list_id, $sdot AS sim
+           |FROM a1 a JOIN probe p ON a.list_id = p.p_list
+           |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
+    },
     "q_vector_search_sql_filtered" ->
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // The full SemDeDup pipeline replayed at the index's training depth.

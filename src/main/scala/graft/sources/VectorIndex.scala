@@ -73,7 +73,8 @@ object VectorIndex {
     * mismatch). */
   private[sources] final case class Prop(idxName: String, idCol: String,
       digest: String, version: String, lists: Option[Long],
-      sample: Option[Long], coarse: Int = 2) {
+      sample: Option[Long], coarse: Int = 2,
+      partCol: Option[String] = None) {
     def isCurrent(curDigest: String): Boolean =
       digest == curDigest && version == AssignVersion
   }
@@ -85,14 +86,20 @@ object VectorIndex {
     case Array(i, c, d, ver, l, s, cp) => Prop(i, c, d, ver,
       Some(l).filter(_ != "-").map(_.toLong),
       Some(s).filter(_ != "-").map(_.toLong), cp.toInt)
+    case Array(i, c, d, ver, l, s, cp, pc) => Prop(i, c, d, ver,
+      Some(l).filter(_ != "-").map(_.toLong),
+      Some(s).filter(_ != "-").map(_.toLong), cp.toInt,
+      Some(pc).filter(_ != "-"))
     case _ => throw new IllegalStateException(
-      s"unreadable vecidx prop '$v' — expected 3 (legacy), 6 or 7 fields")
+      s"unreadable vecidx prop '$v' — expected 3 (legacy) or 6-8 fields")
   }
   private def renderProp(idxName: String, idCol: String, digest: String,
-      lists: Option[Long], sample: Option[Long], coarse: Int): String =
+      lists: Option[Long], sample: Option[Long], coarse: Int,
+      partCol: Option[String] = None): String =
     Seq(idxName, idCol, digest, AssignVersion,
       lists.map(_.toString).getOrElse("-"),
-      sample.map(_.toString).getOrElse("-"), coarse.toString).mkString(";")
+      sample.map(_.toString).getOrElse("-"), coarse.toString,
+      partCol.getOrElse("-")).mkString(";")
 
   /** The stale/legacy retrain shared by every in-query replay path:
     * exactly what a CREATE VECTOR INDEX rebuild would train — the
@@ -190,13 +197,19 @@ object VectorIndex {
     * assigns the full corpus once
     * ([[graft.llm.Clustering.kmeansAssignSampled]]) — the FAISS-style
     * build whose training cost is bounded regardless of corpus size.
-    * Returns (files indexed, clusters trained). */
+    * `byPartition` trains ONE GEOMETRY PER PARTITION VALUE
+    * ([[buildByPartition]]) so partition pruning composes with list
+    * pruning. Returns (files indexed, clusters trained). */
   def build(spark: SparkSession, dir: Path, colName: String,
       idCol: String, lists: Option[Long] = None,
-      sample: Option[Long] = None, coarse: Int = 2): (Long, Long) = {
+      sample: Option[Long] = None, coarse: Int = 2,
+      byPartition: Boolean = false): (Long, Long) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"CREATE VECTOR INDEX: no manifest at $dir"))
     checkCols(m, colName, idCol)
+    if (byPartition)
+      return buildByPartition(spark, dir, m, colName, idCol, lists, sample,
+        coarse)
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
@@ -252,6 +265,144 @@ object VectorIndex {
           renderProp(idxName, idCol, digestOf(m), lists, sample, coarse))))
     }
     (names.length.toLong, k)
+  }
+
+  /** PER-PARTITION SUB-INDEXES (`CREATE VECTOR INDEX … BY PARTITION`):
+    * one trained geometry + posting set per partition VALUE of the
+    * table's declared partition column, so partition pruning composes
+    * with list pruning — a partition-pinned probe loads ~k_p centroids
+    * and plans ~1/k_p of ONE partition's files, never touching the rest
+    * of the table (the DiskANN/Milvus partition-key serving shape).
+    * Storage: the same `cents/`/`posts/` sidecars with a `part` string
+    * column (the partition value through Spark's string cast) — the
+    * whole centroid table is Σ_p k_p rows, still metadata-class.
+    * Seeding is RANKED ([[graft.llm.Clustering.kmeansAssignRanked]]):
+    * a sub-corpus's ids need not start at 0, so anchors are the k_p
+    * lowest-id rows by rank — deterministic and oracle-replayable like
+    * the dense-anchor rule. The driver loop is bounded by the partition
+    * count (the usual planning-class iteration); each partition's Lloyd
+    * work is the standard O(n_p·√k_p). SAMPLE does not compose (the
+    * decimation is a whole-corpus policy; per-partition training is
+    * already bounded by the partition); PQ sidecars are not built
+    * (probe → one partition's lists is already the candidate cut —
+    * [[searchPq]] refuses with guidance). */
+  private def buildByPartition(spark: SparkSession, dir: Path, m: Manifest,
+      colName: String, idCol: String, lists: Option[Long],
+      sample: Option[Long], coarse: Int): (Long, Long) = {
+    if (sample.isDefined) throw new IllegalArgumentException(
+      "CREATE VECTOR INDEX: SAMPLE does not compose with BY PARTITION — " +
+        "per-partition training is already bounded by the partition size")
+    val partCols = Manifest.partitionCols(dir)
+    if (partCols.size != 1) throw new IllegalArgumentException(
+      "CREATE VECTOR INDEX … BY PARTITION: the table must be PARTITIONED " +
+        s"BY exactly one column (found: ${partCols.mkString(", ")})")
+    val partCol = partCols.head
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
+    val idxDir = dir.resolve(idxName)
+    var totalK = 0L
+    if (names.nonEmpty) {
+      val base = scanFiles(spark, dir, names)
+        .select(col(idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"), col("_file").as("file"),
+          col(partCol).cast("string").as("part"))
+      val (cents, posts) = buildPartitionSlices(spark, base,
+        base.select("part").distinct().orderBy("part")
+          .collect().map(_.getString(0)).toSeq,
+        lists, coarse)
+      totalK = cents.map(_._2).sum
+      cents.map(_._1).reduce(_ unionByName _)
+        .write.parquet(idxDir.resolve("cents").toString)
+      posts.reduce(_ unionByName _)
+        .write.parquet(idxDir.resolve("posts").toString)
+    }
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).getOrElse(m)
+      Manifest.write(dir, cur.copy(props = cur.props +
+        (PropPrefix + colName.toLowerCase ->
+          renderProp(idxName, idCol, digestOf(m), lists, None, coarse,
+            Some(partCol)))))
+    }
+    (names.length.toLong, totalK)
+  }
+
+  /** Train the given partition values' sub-geometries from `base`
+    * (vec_id, label, embedding, file, part) — shared by the BY PARTITION
+    * build and the partition-scoped refresh. Returns ((cents-with-part,
+    * k), posts-with-part) per value. */
+  private def buildPartitionSlices(spark: SparkSession, base: DataFrame,
+      parts: Seq[String], lists: Option[Long], coarse: Int)
+      : (Seq[(DataFrame, Long)], Seq[DataFrame]) = {
+    val slices = parts.map { pv =>
+      val rows = base.where(col("part") === pv)
+      val n = rows.count()
+      if (n == 0) ((spark.emptyDataFrame, 0L), None)
+      else {
+        val k = lists.map { l =>
+          if (l < 1) throw new IllegalArgumentException(
+            s"CREATE VECTOR INDEX: LISTS $l is invalid — at least 1 cluster")
+          l
+        }.getOrElse(graft.llm.Clustering.kFor(n))
+        val (assigned, cents) = graft.llm.Clustering.kmeansAssignRanked(
+          rows.select("vec_id", "label", "embedding"), k, Iters, coarse)
+        val listsDf = assigned.select(col("vec_id"), col("list_id"))
+          .localCheckpoint()
+        val posts = listsDf
+          .join(rows.select(col("vec_id"), col("file")), "vec_id")
+          .select(lit(pv).as("part"), col("list_id"), col("file")).distinct()
+        ((cents.withColumn("part", lit(pv)), k), Some(posts))
+      }
+    }
+    (slices.map(_._1).filter(_._2 > 0), slices.flatMap(_._2))
+  }
+
+  /** The equality pin a BY PARTITION probe must carry: some conjunct of
+    * the predicate of shape `<partCol> = <literal>` (either side). The
+    * literal routes to the sub-index through the SAME string cast the
+    * build rendered the partition value with. */
+  private def partitionPin(predicate: org.apache.spark.sql.Column,
+      partCol: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
+      Expression, Literal}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedFunction}
+    def fname(f: UnresolvedFunction): String =
+      f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    // the Column AST arrives two ways: parsed SQL (`EqualTo`/`And`) or
+    // the operator DSL (ColumnNode → `UnresolvedFunction("=" | "and")`)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction if fname(f) == "and" =>
+        f.arguments.flatMap(conjuncts)
+      case x => Seq(x)
+    }
+    def eqSides(e: Expression): Option[(Expression, Expression)] = e match {
+      case EqualTo(l, r) => Some((l, r))
+      case f: UnresolvedFunction if fname(f) == "=" || fname(f) == "==" =>
+        f.arguments match {
+          case Seq(l, r) => Some((l, r))
+          case _ => None
+        }
+      case _ => None
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    def litStr(v: Any): String = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => String.valueOf(x)
+    }
+    conjuncts(org.apache.spark.sql.GraftExpressionBridge
+        .catalystExpression(predicate))
+      .flatMap(eqSides).collectFirst {
+        case (a, Literal(v, _))
+          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(v)
+        case (Literal(v, _), a)
+          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(v)
+      }
   }
 
   /** PQ candidate-compression sidecars ([[searchPq]]): `pqcb/` — the
@@ -387,7 +538,9 @@ object VectorIndex {
       // the build's own LISTS/SAMPLE policy (the TextIndex
       // legacy-stats-format rule applied to geometry)
       return (build(spark, dir, colName, p.idCol, p.lists, p.sample,
-        p.coarse)._1, true)
+        p.coarse, byPartition = p.partCol.isDefined)._1, true)
+    if (p.partCol.isDefined)
+      return refreshByPartition(spark, dir, key, colName, m, p)
     val (oldIdx, idCol) = (p.idxName, p.idCol)
     val oldDir = dir.resolve(oldIdx)
     val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
@@ -443,6 +596,71 @@ object VectorIndex {
       Manifest.write(dir, cur.copy(props = cur.props +
         (key -> renderProp(idxName, idCol, digestOf(m), p.lists, p.sample,
           p.coarse))))
+    }
+    (newFiles.length.toLong, dead.nonEmpty)
+  }
+
+  /** Partition-scoped refresh of a BY PARTITION index: only partitions
+    * whose file set changed retrain (dead files' partitions ∪ new files'
+    * partitions); every other partition's sub-geometry and postings
+    * carry over untouched — the bounded-churn story specialized to
+    * partitions: compacting or appending one day of a date-partitioned
+    * table retrains ONE day's sub-index, never the table's. (Unlike the
+    * global index, a changed partition RETRAINS rather than remaps: its
+    * geometry is partition-local, so retraining it is already bounded by
+    * the partition — the same argument that lets BY PARTITION skip
+    * SAMPLE.) */
+  private def refreshByPartition(spark: SparkSession, dir: Path,
+      key: String, colName: String, m: Manifest, p: Prop): (Long, Boolean) = {
+    val partCol = p.partCol.get
+    val oldDir = dir.resolve(p.idxName)
+    val oldCents = spark.read.parquet(oldDir.resolve("cents").toString)
+    val oldPosts = spark.read.parquet(oldDir.resolve("posts").toString)
+    val indexedFiles = oldPosts.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val live = m.entries.filter(_.rows > 0).map(_.name)
+    val newFiles = live.filterNot(indexedFiles)
+    val dead = (indexedFiles -- live.toSet).toSeq.sorted
+    val deadParts =
+      if (dead.isEmpty) Seq.empty[String]
+      else oldPosts.where(col("file").isin(dead: _*))
+        .select("part").distinct().collect().map(_.getString(0)).toSeq
+    val newParts =
+      if (newFiles.isEmpty) Seq.empty[String]
+      else scanFiles(spark, dir, newFiles)
+        .select(col(partCol).cast("string").as("part"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    val affected = (deadParts ++ newParts).distinct.sorted
+    val keptCents = oldCents.where(!col("part").isin(affected: _*))
+    val keptPosts = oldPosts.where(!col("part").isin(affected: _*))
+    // the affected partitions' CURRENT rows: their surviving old files
+    // plus the new files (each partition-pure by the clustering contract)
+    val affOldFiles = oldPosts.where(col("part").isin(affected: _*))
+      .select("file").distinct().collect().map(_.getString(0))
+      .filter(live.contains).toSeq
+    val affFiles = (affOldFiles ++ newFiles).distinct
+    val (rebuiltC, rebuiltP) =
+      if (affFiles.isEmpty) (Seq.empty[DataFrame], Seq.empty[DataFrame])
+      else {
+        val base = scanFiles(spark, dir, affFiles)
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"), col("_file").as("file"),
+            col(partCol).cast("string").as("part"))
+        val (c, ps) = buildPartitionSlices(spark, base, affected,
+          p.lists, p.coarse)
+        (c.map(_._1), ps)
+      }
+    val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
+    val idxDir = dir.resolve(idxName)
+    (keptCents +: rebuiltC).reduce(_ unionByName _)
+      .write.parquet(idxDir.resolve("cents").toString)
+    (keptPosts +: rebuiltP).reduce(_ unionByName _)
+      .write.parquet(idxDir.resolve("posts").toString)
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).getOrElse(m)
+      Manifest.write(dir, cur.copy(props = cur.props +
+        (key -> renderProp(idxName, p.idCol, digestOf(m), p.lists, None,
+          p.coarse, p.partCol))))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -516,6 +734,10 @@ object VectorIndex {
       throw new IllegalStateException(
         s"$op: no vector index on $table ($colName)"))
     val p = parseProp(prop)
+    if (p.partCol.isDefined) throw new UnsupportedOperationException(
+      s"$op: the index on $table ($colName) is BY PARTITION — the " +
+        "trained-geometry compositions serve the GLOBAL geometry; build " +
+        "without BY PARTITION for corpus-wide dedup/sampling")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val rows = scanFiles(spark, mt.dir, names)
       .select(col(p.idCol).as("vec_id"), col(labelCol).as("label"),
@@ -600,11 +822,26 @@ object VectorIndex {
 
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
-      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      // BY PARTITION: route to the pinned partition's sub-geometry —
+      // its centroids probe, its postings prune, and NOTHING of any
+      // other partition is read (partition pruning composes with list
+      // pruning). The pin is required: without one there is no
+      // sub-index to probe.
+      val partPin = p.partCol.map(pc =>
+        partitionPin(predicate, pc).getOrElse(requirePin(table, colName, pc)))
+      val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
+      val cents = partPin match {
+        case Some(pin) => cents0.where(col("part") === pin)
+          .select("c_id", "c_emb")
+        case None => cents0
+      }
+      if (partPin.isDefined && cents.limit(1).count() == 0)
+        return emptyResult(spark, m, p.idCol) // fresh + unseen value = no rows
       // probe lists, then their posting files — two small metadata reads
       val pLists = probeListsOf(cents, probe, probes)
-      val cand = spark.read.parquet(idxDir.resolve("posts").toString)
-        .where(col("list_id").isin(pLists: _*))
+      val posts0 = spark.read.parquet(idxDir.resolve("posts").toString)
+      val posts = partPin.fold(posts0)(pin => posts0.where(col("part") === pin))
+      val cand = posts.where(col("list_id").isin(pLists: _*))
         .select("file").distinct().collect().map(_.getString(0))
       if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
       // the metadata predicate narrows CANDIDATES, before the top-k —
@@ -628,18 +865,40 @@ object VectorIndex {
         // the build's persisted LISTS/SAMPLE policy — exactly what a
         // rebuild would answer, minus the file pruning. The geometry
         // trains on the UNFILTERED corpus (it is a corpus-level
-        // artifact); the predicate narrows only the ranked candidates.
+        // artifact) — or, BY PARTITION, on the pinned partition's rows
+        // (ranked seeding, the sub-index rule); the predicate narrows
+        // only the ranked candidates.
         val all = scanFiles(spark, mt.dir, names)
-        val rows = all
-          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-            col(colName).as("embedding"))
-        val (_, cents) = retrainGeometry(rows, p)
+        val cents = p.partCol match {
+          case Some(pc) =>
+            val pin = partitionPin(predicate, pc)
+              .getOrElse(requirePin(table, colName, pc))
+            val partRows = all.where(col(pc).cast("string") === pin)
+              .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+                col(colName).as("embedding"))
+            val k = p.lists.getOrElse(
+              graft.llm.Clustering.kFor(partRows.count()))
+            graft.llm.Clustering.kmeansAssignRanked(partRows, k, Iters,
+              p.coarse)._2
+          case None =>
+            val rows = all
+              .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+                col(colName).as("embedding"))
+            retrainGeometry(rows, p)._2
+        }
         ranked(all.where(predicate)
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding")), cents,
           probeListsOf(cents, probe, probes))
     }
   }
+
+  private def requirePin(table: String, colName: String,
+      partCol: String): Nothing =
+    throw new IllegalArgumentException(
+      s"VECTOR SEARCH: the index on $table ($colName) is BY PARTITION — " +
+        s"the WHERE must pin $partCol = <literal> (which sub-index to " +
+        "probe); build without BY PARTITION for partition-spanning probes")
 
   /** The zero-candidate result, in the SAME schema as the ranked path:
     * vec_id in the ID COLUMN'S declared type (not a hard-coded BIGINT —
@@ -711,6 +970,11 @@ object VectorIndex {
       throw new IllegalStateException(
         s"VECTOR SEARCH PQ: no vector index on $table ($colName)"))
     val p = parseProp(prop)
+    if (p.partCol.isDefined) throw new UnsupportedOperationException(
+      s"VECTOR SEARCH PQ: the index on $table ($colName) is BY PARTITION " +
+        "and carries no PQ sidecars — the partition pin is already the " +
+        "candidate cut; use search/searchWhere, or build without BY " +
+        "PARTITION for the PQ tier")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val pv = typedLit(probe.toSeq)
 

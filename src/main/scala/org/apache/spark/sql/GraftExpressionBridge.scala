@@ -13,6 +13,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** EAGER Catalyst tree of a Column. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper whose children are invisible to
+    * pattern matches; this converts the ColumnNode fully (operators
+    * arrive as `UnresolvedFunction("=", …)` etc.), for callers that
+    * INSPECT predicates rather than evaluate them. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

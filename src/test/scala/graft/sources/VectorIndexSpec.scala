@@ -183,12 +183,13 @@ class VectorIndexSpec extends SparkSuite {
     val pq = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
       "TOP 5 RERANK 2 USING PQ")
     assert(pq.count() == 2L, "PQ rerank cutoff applies through SQL")
-    // PQ + WHERE refuse together (codes carry no table columns)
-    val e2 = intercept[Exception] {
-      spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
-        "TOP 3 RERANK 50 USING PQ WHERE vec_id % 2 = 1").collect()
-    }
-    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+    // PQ + WHERE compose (filtered PQ): the predicate narrows the codes
+    // before the rerank cutoff, so the result is all-odd AND still fills
+    // from the probed list
+    val pqf = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($probe) " +
+      "TOP 3 RERANK 50 USING PQ WHERE vec_id % 2 = 1")
+    assert(pqf.select("vec_id").as[Long].collect()
+      .forall(i => i % 2 == 1 && i <= 5L))
   }
 
   test("LISTS overrides the cluster-count policy") {
@@ -622,6 +623,66 @@ class VectorIndexSpec extends SparkSuite {
       spark.conf.unset("spark.graft.index.onStale")
       spark.conf.unset("spark.graft.index.readOnly")
     }
+  }
+
+  test("BY PARTITION: pinned probes compose partition pruning with list " +
+      "pruning; refresh is partition-scoped") {
+    val cat = freshCatalog("vixbp")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    // two partitions, one partition-pure file each; ids do NOT start at 0
+    // in partition 1 — the ranked seeding must handle that
+    val blobA = (100L to 105L).map(i => (i, 0, vec(0, (10, 0.05f))))
+    val blobB = (200L to 205L).map(i => (i, 1, vec(1, (20, 0.05f))))
+    blobA.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    blobB.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val p = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    assert(p.partCol.contains("label"), s"partition column rides the prop: $p")
+    // pinned probe: only partition 0's file plans, only its rows rank
+    val res = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, col("label") === 0)
+    assert(res.select("vec_id").as[Long].collect().toSet
+      .subsetOf((100L to 105L).toSet))
+    assert(plannedFiles(res) == 1, "1 of 2 partition-pure files planned")
+    // an unpinned probe has no sub-index to route to — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.search(spark, t, "embedding", vec(0), 5).collect()
+    }
+    assert(e.getMessage.contains("BY PARTITION"))
+    // the SQL statement pins through its WHERE text
+    val viaSql = spark.sql(s"VECTOR SEARCH ON $t (embedding) " +
+      s"PROBE (${vec(1).mkString(", ")}) TOP 5 WHERE label = 1")
+    assert(viaSql.select("vec_id").as[Long].collect().toSet
+      .subsetOf((200L to 205L).toSet))
+    // refresh is partition-scoped: append to partition 1 only — partition
+    // 0's sub-geometry rows carry over IDENTICALLY (no retrain)
+    val idxDir0 = dir.resolve(p.idxName)
+    val cents0 = spark.read.parquet(idxDir0.resolve("cents").toString)
+      .where(col("part") === "0").orderBy("c_id").collect().toSeq
+    // the appended row clones the blob vector, so the rebuilt partition-1
+    // geometry keeps it in the probe's list (a distinct vector would earn
+    // its own centroid and a single probe would — correctly — miss it)
+    Seq((206L, 1, vec(1, (20, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val r = spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)").collect().head
+    assert(r.getLong(0) == 1L, "one new file indexed")
+    val p2 = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    val cents1 = spark.read.parquet(
+        dir.resolve(p2.idxName).resolve("cents").toString)
+      .where(col("part") === "0").orderBy("c_id").collect().toSeq
+    assert(cents1 == cents0, "unaffected partition's geometry carries over")
+    // and the refreshed partition serves its new row
+    val res1 = VectorIndex.searchWhere(spark, t, "embedding", vec(1), 7,
+      probes = 1, col("label") === 1)
+    assert(res1.select("vec_id").as[Long].collect().toSet.contains(206L))
   }
 
   test("malformed custom statements raise a targeted syntax error") {
