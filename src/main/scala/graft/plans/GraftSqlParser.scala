@@ -285,27 +285,47 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * standalone statement form stays a command (it prints ranked rows). */
   private val VecSubOpen = """(?i)\(\s*VECTOR\s+SEARCH\s+ON""".r
 
-  private def rewriteVecSearchSubqueries(sql: String): Option[String] = {
-    val m = VecSubOpen.findFirstMatchIn(sql).getOrElse(return None)
-    val open = m.start
+  /** The first `(VECTOR SEARCH` group start that is OUTSIDE any
+    * single-quoted literal, plus its balanced close (quote-aware: parens
+    * inside literals don't count, `''` escapes honored). A match inside
+    * a string literal — `SELECT '(VECTOR SEARCH …)'` — must parse as the
+    * literal it is, and a WHERE containing `')'` in a literal must not
+    * close the group early. */
+  private def vecSubGroup(sql: String): Option[(Int, Int)] = {
+    val starts = VecSubOpen.findAllMatchIn(sql).map(_.start).toSet
+    var i = 0
+    var inQuote = false
+    var open = -1
     var depth = 0
-    var i = open
-    var close = -1
-    while (i < sql.length && close < 0) {
-      sql.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) close = i
-        case _ => ()
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (inQuote) { if (ch == '\'') inQuote = false }
+      else if (ch == '\'') inQuote = true
+      else if (open < 0 && starts.contains(i)) { open = i; depth = 1 }
+      else if (open >= 0 && ch == '(') depth += 1
+      else if (open >= 0 && ch == ')') {
+        depth -= 1
+        if (depth == 0) return Some((open, i))
       }
       i += 1
     }
-    if (close < 0) return None // unbalanced — let the delegate error
+    None
+  }
+
+  private def rewriteVecSearchSubqueries(sql: String): Option[String] = {
+    if (VecSubOpen.findFirstIn(sql).isEmpty) return None
+    val (open, close) = vecSubGroup(sql).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
       case VecSearch(target, colName, probeList, topK, probes, rerank, where)
         if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val view = s"graft_vecsearch_${java.util.UUID.randomUUID.toString.take(8)}"
+        // deterministic name (hash of the inner text): a session serving
+        // the same statement repeatedly reuses ONE temp view instead of
+        // leaking a fresh one per parse — the view count is bounded by
+        // the distinct statements parsed
+        val view = "graft_vecsearch_" +
+          java.lang.Integer.toHexString(inner.trim.hashCode)
         VectorSearchDf.of(spark, target, colName, probeList, topK.toInt,
             Option(probes).map(_.toInt).getOrElse(1),
             Option(rerank).map(_.toInt), Option(where))
@@ -451,7 +471,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "COPY INTO <table> FROM '<dir>' FILEFORMAT = <fmt> [PATTERN = '<glob>']")
 
   private def customSyntaxError(sqlText: String): Option[Nothing] = {
-    val head = sqlText.trim.replaceAll("\\s+", " ").toUpperCase
+    // normalize only the statement HEAD (longest keyword is 19 chars):
+    // this runs on every delegate-bound parse, so a multi-MB generated
+    // SELECT must not pay a whole-string regex for a startsWith check
+    var s = 0
+    while (s < sqlText.length && sqlText.charAt(s).isWhitespace) s += 1
+    val head = sqlText.substring(s, math.min(sqlText.length, s + 64))
+      .replaceAll("\\s+", " ").toUpperCase
     CustomSyntax.collectFirst {
       case (kw, expected) if head.startsWith(kw) =>
         throw new IllegalArgumentException(

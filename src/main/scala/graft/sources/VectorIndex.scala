@@ -213,7 +213,15 @@ object VectorIndex {
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
-    val k = if (names.isEmpty) 0L else {
+    val k = if (names.isEmpty) {
+      // the index invariant: published ⇒ cents/posts exist (empty here),
+      // so fresh searches answer empty and refresh remaps cleanly
+      emptyCents(spark, withPart = false)
+        .write.parquet(idxDir.resolve("cents").toString)
+      emptyPosts(spark, withPart = false)
+        .write.parquet(idxDir.resolve("posts").toString)
+      0L
+    } else {
       val base = scanFiles(spark, dir, names)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file"))
@@ -302,18 +310,34 @@ object VectorIndex {
     val idxDir = dir.resolve(idxName)
     var totalK = 0L
     if (names.nonEmpty) {
+      // the slice filter runs on the TYPED partition column (file-stats
+      // pruning matches it, so each slice's Lloyd pass reads only its
+      // own partition's files); the string twin is what the sidecars
+      // store and the serve-time pin compares against
       val base = scanFiles(spark, dir, names)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file"),
+          col(partCol).as("partv"),
           col(partCol).cast("string").as("part"))
-      val (cents, posts) = buildPartitionSlices(spark, base,
-        base.select("part").distinct().orderBy("part")
-          .collect().map(_.getString(0)).toSeq,
+      val parts = base.select(col("partv"), col("part")).distinct()
+        .orderBy("part").collect()
+        .map(r => (col("partv") === lit(r.get(0)), r.getString(1))).toSeq
+      val (cents, posts) = buildPartitionSlices(spark, base, parts,
         lists, coarse)
       totalK = cents.map(_._2).sum
-      cents.map(_._1).reduce(_ unionByName _)
+      (emptyCents(spark, withPart = true) +: cents.map(_._1))
+        .reduce(_ unionByName _)
         .write.parquet(idxDir.resolve("cents").toString)
-      posts.reduce(_ unionByName _)
+      (emptyPosts(spark, withPart = true) +: posts)
+        .reduce(_ unionByName _)
+        .write.parquet(idxDir.resolve("posts").toString)
+    } else {
+      // a published index ALWAYS has cents/posts sidecars — an empty
+      // table publishes empty ones, so fresh searches answer empty and
+      // refreshes remap cleanly instead of dying on a missing path
+      emptyCents(spark, withPart = true)
+        .write.parquet(idxDir.resolve("cents").toString)
+      emptyPosts(spark, withPart = true)
         .write.parquet(idxDir.resolve("posts").toString)
     }
     ManifestLock.withLock(dir) {
@@ -326,15 +350,37 @@ object VectorIndex {
     (names.length.toLong, totalK)
   }
 
+  /** Empty sidecar frames with the exact stored schemas — what an empty
+    * table's build publishes (the index invariant: published ⇒ cents/
+    * posts exist), and the schema anchor for the slice unions. */
+  private def emptyCents(spark: SparkSession, withPart: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = Seq(StructField("c_id", IntegerType),
+      StructField("c_emb", ArrayType(FloatType))) ++
+      (if (withPart) Seq(StructField("part", StringType)) else Nil)
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+  }
+  private def emptyPosts(spark: SparkSession, withPart: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = (if (withPart) Seq(StructField("part", StringType)) else Nil) ++
+      Seq(StructField("list_id", IntegerType), StructField("file", StringType))
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+  }
+
   /** Train the given partition values' sub-geometries from `base`
-    * (vec_id, label, embedding, file, part) — shared by the BY PARTITION
-    * build and the partition-scoped refresh. Returns ((cents-with-part,
-    * k), posts-with-part) per value. */
+    * (vec_id, label, embedding, file, [partv,] part) — shared by the BY
+    * PARTITION build (typed filter condition: file-stats-prunable) and
+    * the partition-scoped refresh (string filter over its already
+    * file-bounded scan). Each value is (slice filter, stored string).
+    * Returns ((cents-with-part, k), posts-with-part) per value. */
   private def buildPartitionSlices(spark: SparkSession, base: DataFrame,
-      parts: Seq[String], lists: Option[Long], coarse: Int)
+      parts: Seq[(org.apache.spark.sql.Column, String)],
+      lists: Option[Long], coarse: Int)
       : (Seq[(DataFrame, Long)], Seq[DataFrame]) = {
-    val slices = parts.map { pv =>
-      val rows = base.where(col("part") === pv)
+    val slices = parts.map { case (cond, pv) =>
+      val rows = base.where(cond)
       val n = rows.count()
       if (n == 0) ((spark.emptyDataFrame, 0L), None)
       else {
@@ -358,10 +404,15 @@ object VectorIndex {
 
   /** The equality pin a BY PARTITION probe must carry: some conjunct of
     * the predicate of shape `<partCol> = <literal>` (either side). The
-    * literal routes to the sub-index through the SAME string cast the
-    * build rendered the partition value with. */
+    * literal routes to the sub-index through the SAME rendering the
+    * build used: cast to the TABLE's partition-column type, then to
+    * string — so a DATE pin renders "2024-06-01" (not the internal day
+    * count), and an integer literal against a DOUBLE partition renders
+    * "1.0". A literal that cannot cast to the partition type pins
+    * nothing (falls through to the loud no-pin refusal). */
   private def partitionPin(predicate: org.apache.spark.sql.Column,
-      partCol: String): Option[String] = {
+      partCol: String,
+      partType: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
       Expression, Literal}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
@@ -391,18 +442,24 @@ object VectorIndex {
         Some(a.name)
       case _ => None
     }
-    def litStr(v: Any): String = v match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case x => String.valueOf(x)
-    }
+    def litStr(l: Literal): Option[String] =
+      try {
+        val tz = Some(org.apache.spark.sql.internal.SQLConf.get
+          .sessionLocalTimeZone)
+        Option(org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Cast(l, partType, tz),
+          org.apache.spark.sql.types.StringType, tz).eval(null))
+          .map(_.toString)
+      } catch { case _: Exception => None }
     conjuncts(org.apache.spark.sql.GraftExpressionBridge
         .catalystExpression(predicate))
-      .flatMap(eqSides).collectFirst {
-        case (a, Literal(v, _))
-          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(v)
-        case (Literal(v, _), a)
-          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(v)
-      }
+      .flatMap(eqSides).flatMap {
+        case (a, l: Literal)
+          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(l)
+        case (l: Literal, a)
+          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(l)
+        case _ => None
+      }.headOption
   }
 
   /** PQ candidate-compression sidecars ([[searchPq]]): `pqcb/` — the
@@ -646,7 +703,8 @@ object VectorIndex {
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"), col("_file").as("file"),
             col(partCol).cast("string").as("part"))
-        val (c, ps) = buildPartitionSlices(spark, base, affected,
+        val (c, ps) = buildPartitionSlices(spark, base,
+          affected.map(pv => (col("part") === pv, pv)),
           p.lists, p.coarse)
         (c.map(_._1), ps)
       }
@@ -828,7 +886,8 @@ object VectorIndex {
       // pruning). The pin is required: without one there is no
       // sub-index to probe.
       val partPin = p.partCol.map(pc =>
-        partitionPin(predicate, pc).getOrElse(requirePin(table, colName, pc)))
+        partitionPin(predicate, pc, partTypeOf(m, pc))
+          .getOrElse(requirePin(table, colName, pc)))
       val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
       val cents = partPin match {
         case Some(pin) => cents0.where(col("part") === pin)
@@ -871,7 +930,7 @@ object VectorIndex {
         val all = scanFiles(spark, mt.dir, names)
         val cents = p.partCol match {
           case Some(pc) =>
-            val pin = partitionPin(predicate, pc)
+            val pin = partitionPin(predicate, pc, partTypeOf(m, pc))
               .getOrElse(requirePin(table, colName, pc))
             val partRows = all.where(col(pc).cast("string") === pin)
               .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
@@ -892,6 +951,11 @@ object VectorIndex {
           probeListsOf(cents, probe, probes))
     }
   }
+
+  private def partTypeOf(m: Manifest,
+      pc: String): org.apache.spark.sql.types.DataType =
+    m.schema.fields.find(_.name.equalsIgnoreCase(pc)).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
 
   private def requirePin(table: String, colName: String,
       partCol: String): Nothing =

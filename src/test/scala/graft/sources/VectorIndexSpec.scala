@@ -685,6 +685,43 @@ class VectorIndexSpec extends SparkSuite {
     assert(res1.select("vec_id").as[Long].collect().toSet.contains(206L))
   }
 
+  test("review edges: literal-safe rewrite, typed partition pins, " +
+      "empty-table builds") {
+    // a '(VECTOR SEARCH …)' INSIDE a string literal is data, not syntax —
+    // the quote-aware rewrite must leave it alone
+    val lit0 = spark.sql(
+      "SELECT '(VECTOR SEARCH ON t (c) PROBE (1.0) TOP 1)' AS s")
+      .collect().head.getString(0)
+    assert(lit0.startsWith("(VECTOR SEARCH"), s"literal corrupted: $lit0")
+    // empty-table build publishes EMPTY sidecars: fresh search answers
+    // empty instead of dying on a missing path (both layouts)
+    val cat = freshCatalog("vixedge")
+    val tEmpty = s"$cat.ns.e1"
+    spark.sql(s"CREATE TABLE $tEmpty (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>)")
+    spark.sql(s"CREATE VECTOR INDEX ON $tEmpty (embedding) ANCHORS (vec_id)")
+    assert(VectorIndex.search(spark, tEmpty, "embedding", vec(0), 3)
+      .count() == 0L)
+    // typed partition pin: a DATE literal routes through the same string
+    // cast the build rendered with ("2024-06-01", never the day count)
+    val tD = s"$cat.ns.e2"
+    spark.sql(s"CREATE TABLE $tD (vec_id BIGINT, d DATE, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (d)")
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    val d2 = java.sql.Date.valueOf("2024-06-02")
+    (0 to 5).map(i => (i.toLong, d1, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "d", "embedding").coalesce(1).writeTo(tD).append()
+    (6 to 11).map(i => (i.toLong, d2, vec(1, (20, 0.05f))))
+      .toDF("vec_id", "d", "embedding").coalesce(1).writeTo(tD).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $tD (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    val hits = spark.sql(s"VECTOR SEARCH ON $tD (embedding) " +
+      s"PROBE (${vec(1).mkString(", ")}) TOP 5 WHERE d = DATE'2024-06-02'")
+    assert(hits.select("vec_id").as[Long].collect().toSet
+      .subsetOf((6L to 11L).toSet) && hits.count() == 5,
+      "DATE pin must route to the right sub-index")
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
