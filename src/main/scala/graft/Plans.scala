@@ -96,7 +96,11 @@ object Plans {
     "q_vector_search_filtered" -> "filtered IVF: metadata predicate narrows candidates BEFORE the top-k, scan-side over the probed list's files",
     "q_text_phrase_search" -> "phrase search: posting-list intersection pins files, scan-side contiguity re-check",
     "q_search_hybrid_indexed" -> "indexed hybrid: RRF fusion of indexed BM25 + IVF search, bounded top-50 per ranker, zero corpus-wide work",
-    "q_vector_search_pq" -> "IVF-PQ: ADC pre-rank over the narrow codes sidecar (embeddings unread), broadcast id semi-join fetches only the rerank survivors for the exact top-k")
+    "q_vector_search_pq" -> "IVF-PQ: ADC pre-rank over the narrow codes sidecar (embeddings unread), broadcast id semi-join fetches only the rerank survivors for the exact top-k",
+    "q_vector_search_sql_pq_filtered" -> "filtered PQ: predicate columns scanned over probed files only, matching ids semi-join the codes BEFORE the rerank cutoff",
+    "q_vector_search_join" -> "composable VECTOR SEARCH: the ranked relation joined back to table columns in one statement",
+    "q_vector_search_partitioned" -> "BY PARTITION sub-index: the pinned partition's centroids probe, its postings pin 1 of the label-pure files — partition pruning composes with list pruning",
+    "q_vector_search_recall_coarse" -> "coarse-probe audit: c=1 two-level assignment (one coarse cell's fine work per row), recall vs exact as data")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

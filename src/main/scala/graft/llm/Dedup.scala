@@ -113,12 +113,17 @@ object Dedup extends QueryModule {
   private def embeddingLshPairs(emb: DataFrame): DataFrame =
     embeddingLshPairs(emb, emb.count())
 
-  /** (vec_id, band, bkey) hyperplane-sign bucket rows for an embeddings
-    * frame with size-derived geometry ([[embeddingLshParams]]) — the
-    * per-row derivation shared by the corpus-wide LSH dedup and the
-    * banded SemDeDup pair join ([[Clustering.semSurvivors]], which
-    * buckets the same way but pairs within clusters). */
-  private[llm] def embeddingBandRows(emb: DataFrame, n: Long): DataFrame = {
+  /** (vec_id [, carry…], band, bkey) hyperplane-sign bucket rows for an
+    * embeddings frame with size-derived geometry
+    * ([[embeddingLshParams]]) — the per-row derivation shared by the
+    * corpus-wide LSH dedup and the banded SemDeDup pair join
+    * ([[Clustering.semSurvivors]], which buckets the same way but pairs
+    * within clusters). `carry` columns of the input ride along through
+    * the explode — band keys are pure per-row math, so a caller that
+    * needs payloads on the bucket rows carries them here instead of
+    * re-joining by id afterwards. */
+  private[llm] def embeddingBandRows(emb: DataFrame, n: Long,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val (nBands, bits) = embeddingLshParams(n)
     val anchorArr = emb.filter(col("vec_id") < nBands * bits)
       .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
@@ -135,10 +140,12 @@ object Dedup extends QueryModule {
           try_element_at(col("anchors"), lit(lo + i + 1)).getField("a_emb")) > 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val sigs = withAnchors.select(col("vec_id"), col("embedding"),
-      array((0 until nBands).map(j => bandKey(j * bits)): _*).as("bks"))
-    sigs.select(col("vec_id"),
-      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val sigs = withAnchors.select(
+      (col("vec_id") +: carry.map(col)) :+
+        array((0 until nBands).map(j => bandKey(j * bits)): _*).as("bks"): _*)
+    sigs.select(
+      (col("vec_id") +: carry.map(col)) :+
+        posexplode(col("bks")).as(Seq("band", "bkey")): _*)
   }
 
   /** Variant taking a pre-computed corpus count, so callers that already
