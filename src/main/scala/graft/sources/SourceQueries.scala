@@ -780,6 +780,20 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // MULTI-PIN sub-index search (`WHERE label IN (3, 5)`): one
+    // sub-search per pinned partition against its OWN geometry, global
+    // top-k over the union (per-pin top-k first — the union is ≤ pins×k
+    // rows). "Nearest within these two dates" without a global index.
+    "q_vector_search_partitioned_multi" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.searchWhere(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 1, col("label").isin(3, 5))
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
     // COMPOSABLE VECTOR SEARCH: the statement as a RELATION inside a
     // larger query — `(VECTOR SEARCH …) v JOIN t e ON …` selects table
     // columns alongside the ranked sim in ONE SQL statement (the parser
@@ -2706,6 +2720,39 @@ object SourceQueries extends QueryModule {
            |SELECT a.vec_id, a.list_id, $sdot AS sim
            |FROM a1 a JOIN probe p ON a.list_id = p.p_list
            |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
+    },
+    // Multi-pin replay: TWO independent ranked-seed chains (prefixed
+    // block names), each pinned partition's probe list from ITS trained
+    // geometry, per-pin top-10, global top-10 over the union.
+    "q_vector_search_partitioned_multi" -> {
+      def chain(label: Int, pfx: String): String = {
+        val pdot = graft.llm.PortableHash.sqlDotFixed(
+          "e0.embedding", "r0.cl[ci]")
+        s"""p$label AS (
+           |  SELECT vec_id, label, embedding FROM embeddings
+           |  WHERE label = $label),
+           |${graft.llm.Clustering.sqlKmeansRanked(1, s"p$label", pfx = pfx)},
+           |pl$label AS (
+           |  SELECT r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
+           |  FROM (SELECT [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
+           |        FROM embeddings e0, ref${pfx}1 r0
+           |        WHERE e0.vec_id = 0) e, ref${pfx}1 r),
+           |c$label AS (
+           |  SELECT * FROM (
+           |    SELECT a.vec_id, a.list_id,
+           |      ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "pv.pv")} AS sim
+           |    FROM a${pfx}1 a JOIN pl$label ON a.list_id = pl$label.p_list,
+           |         pv
+           |    ORDER BY sim DESC, a.vec_id LIMIT 10))""".stripMargin
+      }
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH pv AS (
+           |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+           |${chain(3, "m3x")},
+           |${chain(5, "m5x")}
+           |SELECT vec_id, list_id, sim
+           |FROM (SELECT * FROM c3 UNION ALL SELECT * FROM c5)
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
     },
     "q_vector_search_sql_filtered" ->
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),

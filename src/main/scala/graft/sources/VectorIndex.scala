@@ -402,44 +402,61 @@ object VectorIndex {
     (slices.map(_._1).filter(_._2 > 0), slices.flatMap(_._2))
   }
 
-  /** The equality pin a BY PARTITION probe must carry: some conjunct of
-    * the predicate of shape `<partCol> = <literal>` (either side). The
-    * literal routes to the sub-index through the SAME rendering the
-    * build used: cast to the TABLE's partition-column type, then to
-    * string — so a DATE pin renders "2024-06-01" (not the internal day
-    * count), and an integer literal against a DOUBLE partition renders
-    * "1.0". A literal that cannot cast to the partition type pins
-    * nothing (falls through to the loud no-pin refusal). */
-  private def partitionPin(predicate: org.apache.spark.sql.Column,
+  /** The pin(s) a BY PARTITION probe must carry: some conjunct of the
+    * predicate of shape `<partCol> = <literal>` (either side) or
+    * `<partCol> IN (<literals>)` — the multi-pin serving shape ("search
+    * these two dates"). Literals route to sub-indexes through the SAME
+    * rendering the build used: cast to the TABLE's partition-column
+    * type, then to string — so a DATE pin renders "2024-06-01" (not the
+    * internal day count), and an integer literal against a DOUBLE
+    * partition renders "1.0". A literal that cannot cast to the
+    * partition type pins nothing (it can match no partition); a
+    * predicate with no pinning conjunct returns None (the loud no-pin
+    * refusal). */
+  private def partitionPins(predicate: org.apache.spark.sql.Column,
       partCol: String,
-      partType: org.apache.spark.sql.types.DataType): Option[String] = {
+      partType: org.apache.spark.sql.types.DataType): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
-      Expression, Literal}
+      Expression, In, Literal}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
       UnresolvedFunction}
     def fname(f: UnresolvedFunction): String =
       f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
-    // the Column AST arrives two ways: parsed SQL (`EqualTo`/`And`) or
-    // the operator DSL (ColumnNode → `UnresolvedFunction("=" | "and")`)
+    // the Column AST arrives two ways: parsed SQL (`EqualTo`/`In`/`And`)
+    // or the operator DSL (ColumnNode → `UnresolvedFunction("=" | "in" |
+    // "and")`)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case f: UnresolvedFunction if fname(f) == "and" =>
         f.arguments.flatMap(conjuncts)
       case x => Seq(x)
     }
-    def eqSides(e: Expression): Option[(Expression, Expression)] = e match {
-      case EqualTo(l, r) => Some((l, r))
-      case f: UnresolvedFunction if fname(f) == "=" || fname(f) == "==" =>
-        f.arguments match {
-          case Seq(l, r) => Some((l, r))
-          case _ => None
-        }
-      case _ => None
-    }
     def nameOf(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
         Some(a.name)
+      case _ => None
+    }
+    def isPart(e: Expression): Boolean =
+      nameOf(e).exists(_.equalsIgnoreCase(partCol))
+    def lits(es: Seq[Expression]): Option[Seq[Literal]] =
+      if (es.forall(_.isInstanceOf[Literal]))
+        Some(es.map(_.asInstanceOf[Literal]))
+      else None
+    def pinsOf(e: Expression): Option[Seq[Literal]] = e match {
+      case EqualTo(a, l: Literal) if isPart(a) => Some(Seq(l))
+      case EqualTo(l: Literal, a) if isPart(a) => Some(Seq(l))
+      case In(a, vs) if isPart(a) => lits(vs)
+      case f: UnresolvedFunction
+        if (fname(f) == "=" || fname(f) == "==") && f.arguments.size == 2 =>
+        f.arguments match {
+          case Seq(a, l: Literal) if isPart(a) => Some(Seq(l))
+          case Seq(l: Literal, a) if isPart(a) => Some(Seq(l))
+          case _ => None
+        }
+      case f: UnresolvedFunction
+        if fname(f) == "in" && f.arguments.headOption.exists(isPart) =>
+        lits(f.arguments.tail)
       case _ => None
     }
     def litStr(l: Literal): Option[String] =
@@ -453,13 +470,8 @@ object VectorIndex {
       } catch { case _: Exception => None }
     conjuncts(org.apache.spark.sql.GraftExpressionBridge
         .catalystExpression(predicate))
-      .flatMap(eqSides).flatMap {
-        case (a, l: Literal)
-          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(l)
-        case (l: Literal, a)
-          if nameOf(a).exists(_.equalsIgnoreCase(partCol)) => litStr(l)
-        case _ => None
-      }.headOption
+      .flatMap(pinsOf).headOption
+      .map(_.flatMap(litStr).distinct)
   }
 
   /** PQ candidate-compression sidecars ([[searchPq]]): `pqcb/` — the
@@ -880,35 +892,56 @@ object VectorIndex {
 
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
-      // BY PARTITION: route to the pinned partition's sub-geometry —
-      // its centroids probe, its postings prune, and NOTHING of any
-      // other partition is read (partition pruning composes with list
-      // pruning). The pin is required: without one there is no
-      // sub-index to probe.
-      val partPin = p.partCol.map(pc =>
-        partitionPin(predicate, pc, partTypeOf(m, pc))
-          .getOrElse(requirePin(table, colName, pc)))
-      val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
-      val cents = partPin match {
-        case Some(pin) => cents0.where(col("part") === pin)
-          .select("c_id", "c_emb")
-        case None => cents0
+      p.partCol match {
+        case Some(pc) =>
+          // BY PARTITION: route to each pinned partition's OWN
+          // sub-geometry — its centroids probe, its postings prune, and
+          // NOTHING of any other partition is read (partition pruning
+          // composes with list pruning). A pin set is required: without
+          // one there is no sub-index to probe. Multi-pin (IN): one
+          // sub-search per pin, global top-k over the union — per-pin
+          // top-k first, so the union is ≤ pins×k rows.
+          val pins = partitionPins(predicate, pc, partTypeOf(m, pc))
+            .getOrElse(requirePin(table, colName, pc))
+          val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
+          val posts0 = spark.read.parquet(idxDir.resolve("posts").toString)
+          val perPin = pins.flatMap { pin =>
+            val cents = cents0.where(col("part") === pin)
+              .select("c_id", "c_emb")
+            if (cents.limit(1).count() == 0) None // unseen value = no rows
+            else {
+              val pLists = probeListsOf(cents, probe, probes)
+              val cand = posts0.where(col("part") === pin &&
+                  col("list_id").isin(pLists: _*))
+                .select("file").distinct().collect().map(_.getString(0))
+              if (cand.isEmpty) None
+              else Some(ranked(
+                scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
+                  .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+                    col(colName).as("embedding")),
+                cents, pLists))
+            }
+          }
+          if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
+          else perPin.reduce(_ unionByName _)
+            .orderBy(desc("sim"), col("vec_id")).limit(topK)
+        case None =>
+          val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+          // probe lists, then their posting files — two small metadata
+          // reads
+          val pLists = probeListsOf(cents, probe, probes)
+          val cand = spark.read.parquet(idxDir.resolve("posts").toString)
+            .where(col("list_id").isin(pLists: _*))
+            .select("file").distinct().collect().map(_.getString(0))
+          if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
+          // the metadata predicate narrows CANDIDATES, before the top-k
+          // — applied on the raw scan so it sees the table's own column
+          // names
+          val rows = scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
+            .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+              col(colName).as("embedding"))
+          ranked(rows, cents, pLists)
       }
-      if (partPin.isDefined && cents.limit(1).count() == 0)
-        return emptyResult(spark, m, p.idCol) // fresh + unseen value = no rows
-      // probe lists, then their posting files — two small metadata reads
-      val pLists = probeListsOf(cents, probe, probes)
-      val posts0 = spark.read.parquet(idxDir.resolve("posts").toString)
-      val posts = partPin.fold(posts0)(pin => posts0.where(col("part") === pin))
-      val cand = posts.where(col("list_id").isin(pLists: _*))
-        .select("file").distinct().collect().map(_.getString(0))
-      if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
-      // the metadata predicate narrows CANDIDATES, before the top-k —
-      // applied on the raw scan so it sees the table's own column names
-      val rows = scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
-        .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-          col(colName).as("embedding"))
-      ranked(rows, cents, pLists)
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH", table)
       case "refresh" if allowRefresh =>
@@ -928,27 +961,45 @@ object VectorIndex {
         // (ranked seeding, the sub-index rule); the predicate narrows
         // only the ranked candidates.
         val all = scanFiles(spark, mt.dir, names)
-        val cents = p.partCol match {
+        p.partCol match {
           case Some(pc) =>
-            val pin = partitionPin(predicate, pc, partTypeOf(m, pc))
+            // per pinned partition: ranked retrain of ITS rows, ranking
+            // of its predicate-matching candidates against its own
+            // geometry; global top-k over the union (the fresh path's
+            // multi-pin semantics, replayed)
+            val pins = partitionPins(predicate, pc, partTypeOf(m, pc))
               .getOrElse(requirePin(table, colName, pc))
-            val partRows = all.where(col(pc).cast("string") === pin)
-              .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-                col(colName).as("embedding"))
-            val k = p.lists.getOrElse(
-              graft.llm.Clustering.kFor(partRows.count()))
-            graft.llm.Clustering.kmeansAssignRanked(partRows, k, Iters,
-              p.coarse)._2
+            val perPin = pins.flatMap { pin =>
+              val partRows = all.where(col(pc).cast("string") === pin)
+                .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+                  col(colName).as("embedding"))
+              val n = partRows.count()
+              if (n == 0) None
+              else {
+                val k = p.lists.getOrElse(graft.llm.Clustering.kFor(n))
+                val cents = graft.llm.Clustering.kmeansAssignRanked(
+                  partRows, k, Iters, p.coarse)._2
+                Some(ranked(
+                  all.where(predicate)
+                    .where(col(pc).cast("string") === pin)
+                    .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+                      col(colName).as("embedding")),
+                  cents, probeListsOf(cents, probe, probes)))
+              }
+            }
+            if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
+            else perPin.reduce(_ unionByName _)
+              .orderBy(desc("sim"), col("vec_id")).limit(topK)
           case None =>
             val rows = all
               .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
                 col(colName).as("embedding"))
-            retrainGeometry(rows, p)._2
+            val cents = retrainGeometry(rows, p)._2
+            ranked(all.where(predicate)
+              .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+                col(colName).as("embedding")), cents,
+              probeListsOf(cents, probe, probes))
         }
-        ranked(all.where(predicate)
-          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-            col(colName).as("embedding")), cents,
-          probeListsOf(cents, probe, probes))
     }
   }
 
@@ -961,8 +1012,9 @@ object VectorIndex {
       partCol: String): Nothing =
     throw new IllegalArgumentException(
       s"VECTOR SEARCH: the index on $table ($colName) is BY PARTITION — " +
-        s"the WHERE must pin $partCol = <literal> (which sub-index to " +
-        "probe); build without BY PARTITION for partition-spanning probes")
+        s"the WHERE must pin $partCol = <literal> or $partCol IN (…) " +
+        "(which sub-indexes to probe); build without BY PARTITION for " +
+        "unpinned probes")
 
   /** The zero-candidate result, in the SAME schema as the ranked path:
     * vec_id in the ID COLUMN'S declared type (not a hard-coded BIGINT —

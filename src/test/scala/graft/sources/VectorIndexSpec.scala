@@ -657,6 +657,15 @@ class VectorIndexSpec extends SparkSuite {
       VectorIndex.search(spark, t, "embedding", vec(0), 5).collect()
     }
     assert(e.getMessage.contains("BY PARTITION"))
+    // MULTI-PIN (IN): one sub-search per pinned partition against its
+    // own geometry, global top-k over the union — a probe between the
+    // blobs surfaces rows of BOTH partitions, through SQL too
+    val between = vec(0, (1, 1f))
+    val multi = spark.sql(s"VECTOR SEARCH ON $t (embedding) " +
+      s"PROBE (${between.mkString(", ")}) TOP 12 WHERE label IN (0, 1)")
+      .select("vec_id").as[Long].collect().toSet
+    assert(multi.exists(_ <= 105L) && multi.exists(_ >= 200L),
+      s"IN pin must rank both partitions' rows: $multi")
     // the SQL statement pins through its WHERE text
     val viaSql = spark.sql(s"VECTOR SEARCH ON $t (embedding) " +
       s"PROBE (${vec(1).mkString(", ")}) TOP 5 WHERE label = 1")
