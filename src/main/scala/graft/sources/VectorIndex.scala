@@ -13,12 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
   *
   * The index stores two parquet sidecars under `_vecidx_<id>/` inside the
   * table directory:
-  *  - `cents/` — the trained centroids `(c_id, c_emb)` (k×dim floats);
+  *  - `cents/` — the trained centroids `(c_id, c_emb)` (k×dim floats;
+  *    plus a `part` column for BY PARTITION sub-indexes);
   *  - `posts/` — the list→file posting `(list_id, file)`: which files
   *    hold at least one vector of each cluster.
-  * published by a props-only commit `vecidx.<col> = <dir>;<idCol>;<digest>`
-  * (digest = SHA-256 over the indexed file names, the [[TextIndex]]
-  * freshness contract).
+  * published by a props-only commit `vecidx.<col>` ([[Prop]]: index dir,
+  * anchor column, SHA-256 digest over the indexed file names — the
+  * [[TextIndex]] freshness contract — the assignment-algorithm version,
+  * and the build's LISTS/SAMPLE/COARSE-PROBES/BY-PARTITION policy, so
+  * serving always re-derives exactly as the build did).
   *
   * SEARCH SEMANTICS ARE EXACT IVF, file pruning is only I/O: a probe
   * assigns to its nearest stored centroid, candidate files come from the
