@@ -462,19 +462,26 @@ object VectorIndex {
         lits(f.arguments.tail)
       case _ => None
     }
-    def litStr(l: Literal): Option[String] =
+    // a pin literal that cannot cast to the partition type refuses
+    // LOUDLY: a plain ANSI scan would raise the same cast error at
+    // evaluation, and silently answering empty would hide the typo
+    def litStr(l: Literal): String =
       try {
         val tz = Some(org.apache.spark.sql.internal.SQLConf.get
           .sessionLocalTimeZone)
         Option(org.apache.spark.sql.catalyst.expressions.Cast(
           org.apache.spark.sql.catalyst.expressions.Cast(l, partType, tz),
           org.apache.spark.sql.types.StringType, tz).eval(null))
-          .map(_.toString)
-      } catch { case _: Exception => None }
+          .map(_.toString).getOrElse(throw new IllegalArgumentException(""))
+      } catch {
+        case _: Exception => throw new IllegalArgumentException(
+          s"VECTOR SEARCH: partition pin value $l does not cast to " +
+            s"$partCol's type (${partType.sql})")
+      }
     conjuncts(org.apache.spark.sql.GraftExpressionBridge
         .catalystExpression(predicate))
       .flatMap(pinsOf).headOption
-      .map(_.flatMap(litStr).distinct)
+      .map(_.map(litStr).distinct)
   }
 
   /** PQ candidate-compression sidecars ([[searchPq]]): `pqcb/` — the
@@ -892,6 +899,15 @@ object VectorIndex {
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
     }
+    // the Lloyd helper's fixed input schema
+    def rekey(df: DataFrame): DataFrame =
+      df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"))
+    // global top-k over the per-pin top-ks (the union is ≤ pins×k rows)
+    def unionTopK(perPin: Seq[DataFrame]): DataFrame =
+      if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
+      else perPin.reduce(_ unionByName _)
+        .orderBy(desc("sim"), col("vec_id")).limit(topK)
 
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
@@ -911,23 +927,27 @@ object VectorIndex {
           val perPin = pins.flatMap { pin =>
             val cents = cents0.where(col("part") === pin)
               .select("c_id", "c_emb")
-            if (cents.limit(1).count() == 0) None // unseen value = no rows
+            // an unseen value yields no probe lists and drops out here
+            val pLists = probeListsOf(cents, probe, probes)
+            if (pLists.isEmpty) None
             else {
-              val pLists = probeListsOf(cents, probe, probes)
               val cand = posts0.where(col("part") === pin &&
                   col("list_id").isin(pLists: _*))
                 .select("file").distinct().collect().map(_.getString(0))
               if (cand.isEmpty) None
+              // the pin filter on the scan matters for MULTI-pin: the
+              // partition-pure layout is best-effort (an unclustered
+              // append can mix values in one file), and under IN the
+              // predicate alone no longer isolates this pin's rows —
+              // without it a mixed file's rows would rank under BOTH
+              // pins' geometries and duplicate in the union
               else Some(ranked(
-                scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
-                  .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-                    col(colName).as("embedding")),
+                rekey(scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
+                  .where(col(pc).cast("string") === pin)),
                 cents, pLists))
             }
           }
-          if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
-          else perPin.reduce(_ unionByName _)
-            .orderBy(desc("sim"), col("vec_id")).limit(topK)
+          unionTopK(perPin)
         case None =>
           val cents = spark.read.parquet(idxDir.resolve("cents").toString)
           // probe lists, then their posting files — two small metadata
@@ -940,10 +960,8 @@ object VectorIndex {
           // the metadata predicate narrows CANDIDATES, before the top-k
           // — applied on the raw scan so it sees the table's own column
           // names
-          val rows = scanFiles(spark, mt.dir, cand.toSeq).where(predicate)
-            .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-              col(colName).as("embedding"))
-          ranked(rows, cents, pLists)
+          ranked(rekey(scanFiles(spark, mt.dir, cand.toSeq)
+            .where(predicate)), cents, pLists)
       }
     } else onStale(spark) match {
       case "fail" => staleRefused("VECTOR SEARCH", table)
@@ -973,9 +991,7 @@ object VectorIndex {
             val pins = partitionPins(predicate, pc, partTypeOf(m, pc))
               .getOrElse(requirePin(table, colName, pc))
             val perPin = pins.flatMap { pin =>
-              val partRows = all.where(col(pc).cast("string") === pin)
-                .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-                  col(colName).as("embedding"))
+              val partRows = rekey(all.where(col(pc).cast("string") === pin))
               val n = partRows.count()
               if (n == 0) None
               else {
@@ -983,24 +999,15 @@ object VectorIndex {
                 val cents = graft.llm.Clustering.kmeansAssignRanked(
                   partRows, k, Iters, p.coarse)._2
                 Some(ranked(
-                  all.where(predicate)
-                    .where(col(pc).cast("string") === pin)
-                    .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-                      col(colName).as("embedding")),
+                  rekey(all.where(predicate)
+                    .where(col(pc).cast("string") === pin)),
                   cents, probeListsOf(cents, probe, probes)))
               }
             }
-            if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
-            else perPin.reduce(_ unionByName _)
-              .orderBy(desc("sim"), col("vec_id")).limit(topK)
+            unionTopK(perPin)
           case None =>
-            val rows = all
-              .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-                col(colName).as("embedding"))
-            val cents = retrainGeometry(rows, p)._2
-            ranked(all.where(predicate)
-              .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
-                col(colName).as("embedding")), cents,
+            val cents = retrainGeometry(rekey(all), p)._2
+            ranked(rekey(all.where(predicate)), cents,
               probeListsOf(cents, probe, probes))
         }
     }
