@@ -193,11 +193,19 @@ object MetadataTables {
           val p = VectorIndex.parseProp(v)
           val pq = java.nio.file.Files.exists(
             dir.resolve(p.idxName).resolve("pqcb"))
+          // non-default build knobs ride the details column so an
+          // operator reads the index's POLICY off t$indexes
+          val extras = Seq(
+            p.lists.map(l => s"lists=$l"),
+            p.sample.map(s => s"sample=$s"),
+            Some(p.coarse).filter(_ != 2).map(c => s"coarse=$c"),
+            p.partCol.map(pc => s"by=$pc")).flatten
           // a legacy-assigner index reports stale: serving treats it so
           Array[Any](UTF8String.fromString("vector"),
             UTF8String.fromString(k.stripPrefix(VectorIndex.PropPrefix)),
             UTF8String.fromString(p.idxName), p.isCurrent(curDigest),
-            UTF8String.fromString(s"anchors=${p.idCol} pq=$pq"))
+            UTF8String.fromString(
+              (s"anchors=${p.idCol} pq=$pq" +: extras).mkString(" ")))
       }.toArray
   }
 }

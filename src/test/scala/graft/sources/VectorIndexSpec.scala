@@ -646,6 +646,10 @@ class VectorIndexSpec extends SparkSuite {
     }.get
     val p = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
     assert(p.partCol.contains("label"), s"partition column rides the prop: $p")
+    // the policy is readable off t$indexes
+    val det = spark.sql(s"SELECT details FROM $cat.ns.`emb$$indexes`")
+      .collect().head.getString(0)
+    assert(det.contains("by=label"), s"details must carry the knobs: $det")
     // pinned probe: only partition 0's file plans, only its rows rank
     val res = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 5,
       probes = 1, col("label") === 0)
