@@ -780,6 +780,17 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // The t$indexes metadata table through the ORACLE gate: the staged
+    // vector base's published index surfaces as one deterministic row
+    // (kind, column, live freshness, build-policy details) — a prop
+    // format or freshness-contract regression changes the row and
+    // hash-fails, not just a unit test.
+    "q_meta_indexes" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      s.sql(s"SELECT kind, col, fresh, details FROM $cat.q.`emb$$indexes` " +
+        "ORDER BY col")
+    }),
+
     // MULTI-PIN sub-index search (`WHERE label IN (3, 5)`): one
     // sub-search per pinned partition against its OWN geometry, global
     // top-k over the union (per-pin top-k first — the union is ≤ pins×k
@@ -2681,6 +2692,10 @@ object SourceQueries extends QueryModule {
         |                  THEN 1 END) > 0 AS has_dv
         |FROM documents GROUP BY source
         |ORDER BY n_rows, live_rows""".stripMargin,
+    // The staged base's one published vector index, as constants.
+    "q_meta_indexes" ->
+      """SELECT 'vector' AS kind, 'embedding' AS col, TRUE AS fresh,
+        |  'anchors=vec_id pq=true' AS details""".stripMargin,
     // One file per source value → degenerate per-file ranges.
     "q_meta_partitions" ->
       """SELECT 'source' AS col, 'partition' AS kind,
