@@ -132,6 +132,22 @@ class ClusteringSpec extends SparkSuite {
     assert(perCluster.size > 1, "sample spans clusters")
   }
 
+  test("q_dedup_semantic_incremental: batch-only output, corpus witnesses, " +
+      "deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val r1 = Clustering.queries("q_dedup_semantic_incremental")(spark, d)
+      .collect()
+    val r2 = Clustering.queries("q_dedup_semantic_incremental")(spark, d)
+      .collect()
+    assert(r1.toSeq == r2.toSeq, "incremental dedup must be reproducible")
+    // every output row is a BATCH row (odd id); every witness is a
+    // CORPUS row (even id)
+    assert(r1.forall(_.getLong(0) % 2 == 1), "output rows are the batch")
+    val dups = r1.filter(!_.isNullAt(1))
+    assert(dups.forall(_.getLong(1) % 2 == 0), "witnesses come from the corpus")
+    assert(dups.forall(r => r.getBoolean(2)), "is_dup tracks dup_of")
+  }
+
   test("q_dedup_semantic on testdata: drops planted near-dups, partitions the corpus") {
     val d = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, d, "embeddings").count()
