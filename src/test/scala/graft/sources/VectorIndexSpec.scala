@@ -735,6 +735,45 @@ class VectorIndexSpec extends SparkSuite {
       "DATE pin must route to the right sub-index")
   }
 
+  test("BY PARTITION survives DML: a COW DELETE retrains only the " +
+      "touched partition") {
+    val cat = freshCatalog("vixbpd")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    (100L to 105L).map(i => (i, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    (200L to 205L).map(i => (i, 1, vec(1, (20, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val p0 = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    val cents0 = spark.read.parquet(
+        dir.resolve(p0.idxName).resolve("cents").toString)
+      .where(col("part") === "0").orderBy("c_id").collect().toSeq
+    // COW DELETE rewrites partition 1's file (dead + replacement)
+    spark.sql(s"DELETE FROM $t WHERE vec_id = 203")
+    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    val p1 = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
+    val cents1 = spark.read.parquet(
+        dir.resolve(p1.idxName).resolve("cents").toString)
+      .where(col("part") === "0").orderBy("c_id").collect().toSeq
+    assert(cents1 == cents0,
+      "the untouched partition's geometry carries over byte-identical")
+    // the refreshed index serves the post-DELETE truth with pruning
+    val res = VectorIndex.searchWhere(spark, t, "embedding", vec(1), 6,
+      probes = 1, col("label") === 1)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(203L) && ids.subsetOf(Set(200L, 201L, 202L, 204L, 205L)),
+      s"deleted row must not rank: $ids")
+    assert(plannedFiles(res) == 1, "still 1 partition file planned")
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
