@@ -82,7 +82,7 @@ object Plans {
     "q_row_tracking" -> "row tracking: _row_id = file base + position spliced in the scan, DV delete preserves survivors",
     "q_cluster_by" -> "CLUSTER BY: declared-spec value clustering, selective predicate plans a file subset",
     "q_embed_kmeans" -> "Lloyd k-means: per-round broadcast centroid assign + fixed-point VectorSumFixed aggregate, zero vector-table shuffle",
-    "q_dedup_semantic" -> "SemDeDup: cluster-id equi-join candidates only, keep-the-outlier anti-join, exact fixed-point cosines",
+    "q_dedup_semantic" -> "banded SemDeDup: (band, bucket, cluster)-keyed pair self-join over the materialized c2c frame (candidate volume near-linear at any k), keep-the-outlier anti-join, exact fixed-point cosines",
     "q_meta_partitions" -> "metadata table `docs$partitions`: per-file layout-column ranges, zero data-file scans",
     "q_text_search_indexed" -> "token-index search: posting-list lookup pins .option(files), exact predicate re-check scan-side",
     "q_vector_search" -> "IVF vector-index search: probe's posting list pins one file, cluster re-derived from broadcast centroids, top-k heap",
@@ -100,7 +100,8 @@ object Plans {
     "q_vector_search_sql_pq_filtered" -> "filtered PQ: predicate columns scanned over probed files only, matching ids semi-join the codes BEFORE the rerank cutoff",
     "q_vector_search_join" -> "composable VECTOR SEARCH: the ranked relation joined back to table columns in one statement",
     "q_vector_search_partitioned" -> "BY PARTITION sub-index: the pinned partition's centroids probe, its postings pin 1 of the label-pure files — partition pruning composes with list pruning",
-    "q_vector_search_recall_coarse" -> "coarse-probe audit: c=1 two-level assignment (one coarse cell's fine work per row), recall vs exact as data")
+    "q_vector_search_recall_coarse" -> "coarse-probe audit: c=1 two-level assignment (one coarse cell's fine work per row), recall vs exact as data",
+    "q_dedup_semantic_incremental" -> "incremental SemDeDup: batch assigns against corpus geometry, batch x corpus bucket candidates only — no self-join on either side")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
