@@ -144,6 +144,12 @@ class ClusteringSpec extends SparkSuite {
     // CORPUS row (even id)
     assert(r1.forall(_.getLong(0) % 2 == 1), "output rows are the batch")
     val dups = r1.filter(!_.isNullAt(1))
+    // non-vacuous: the fixture plants batch-corpus near-dups (131 raw
+    // cosine-qualifying pairs at sf0.001) — an emptied candidate join
+    // (mismatched band anchors, inverted parity split) must FAIL here,
+    // not pass a forall-over-empty
+    assert(dups.nonEmpty, "planted batch-corpus near-dups must surface")
+    assert(dups.length < r1.length, "never total collapse")
     assert(dups.forall(_.getLong(1) % 2 == 0), "witnesses come from the corpus")
     assert(dups.forall(r => r.getBoolean(2)), "is_dup tracks dup_of")
   }

@@ -758,7 +758,12 @@ class VectorIndexSpec extends SparkSuite {
       .where(col("part") === "0").orderBy("c_id").collect().toSeq
     // COW DELETE rewrites partition 1's file (dead + replacement)
     spark.sql(s"DELETE FROM $t WHERE vec_id = 203")
-    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    val r = spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)").collect().head
+    // the WORK counter proves the scoping (identical partition-0 cents
+    // alone wouldn't — a deterministic full retrain reproduces them):
+    // exactly ONE file (partition 1's rewrite) re-assigned, remapped=true
+    assert(r.getLong(0) == 1L && r.getBoolean(1),
+      s"partition-scoped refresh re-assigns only the rewritten file: $r")
     val p1 = VectorIndex.parseProp(Manifest.read(dir).get.props("vecidx.embedding"))
     val cents1 = spark.read.parquet(
         dir.resolve(p1.idxName).resolve("cents").toString)
