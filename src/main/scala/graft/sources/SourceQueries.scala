@@ -699,6 +699,21 @@ object SourceQueries extends QueryModule {
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
     }),
 
+    // MULTI-PROBE + PQ composed — the standard high-recall compressed
+    // config: the probe's TWO nearest lists' codes union BEFORE the ADC
+    // cutoff (boundary neighbors compete for the rerank budget instead
+    // of being invisible), then the exact rerank as usual. Both knobs
+    // are independently certified; this pins their COMPOSITION.
+    "q_vector_search_pq_mp" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.searchPq(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 2, rerank = 50)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
     // RECALL AUDIT for the PQ tier (the C208 audit-as-data pattern
     // applied to the compression path): recall@10 of searchPq vs the
     // exact brute-force top-10 — quantifies what the ADC pre-rank +
@@ -2491,8 +2506,11 @@ object SourceQueries extends QueryModule {
     * seed block (`pqseed`/`pqrow`), composite rows reassemble into the
     * ordered codebook `cbl` — then codes, ADC and the rerank cutoff as
     * before. `where` (a predicate over `a.…` columns) narrows the
-    * candidates BEFORE the ADC cutoff — the filtered-PQ rule. */
-  private def sqlPqBlocks(where: String = ""): String = {
+    * candidates BEFORE the ADC cutoff — the filtered-PQ rule. `probes`
+    * (1 or 2) sets the candidate lists: at 2 the runner-up probe list
+    * derives via the masked-max pattern (the q_vector_search_mp rule)
+    * and candidates union BOTH lists before the ADC cutoff. */
+  private def sqlPqBlocks(where: String = "", probes: Int = 1): String = {
       import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
       val dot = graft.llm.PortableHash.sqlDotFixed _
       def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
@@ -2511,8 +2529,33 @@ object SourceQueries extends QueryModule {
         dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
       val caseCode = (0 until PqM).map(b => s"WHEN $b THEN k.code$b")
         .mkString(" ")
+      val probeBlocks =
+        if (probes == 1) sqlProbeFlat("probe")
+        else {
+          // the TWO-list probe (masked-max runner-up — the
+          // q_vector_search_mp rule); `probe` carries pv only
+          val pdot = dot("e0.embedding", "r0.cl[ci]")
+          s"""pqpd AS (
+             |  SELECT r0.ids AS ids,
+             |    [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
+             |  FROM embeddings e0, ref1 r0 WHERE e0.vec_id = 0),
+             |pqpm AS (
+             |  SELECT ids, dots, list_position(dots, list_max(dots)) AS p1
+             |  FROM pqpd),
+             |pqpl AS (
+             |  SELECT ids[p1] AS l1, ids[list_position(md, list_max(md))] AS l2
+             |  FROM (SELECT ids, p1,
+             |      [CASE WHEN i = p1 THEN -1e18 ELSE dots[i] END
+             |       for i in range(1, len(dots) + 1)] AS md
+             |    FROM pqpm)),
+             |probe AS (
+             |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)""".stripMargin
+        }
+      val candJoin =
+        if (probes == 1) "FROM a1 a JOIN probe p ON a.list_id = p.p_list"
+        else "FROM a1 a JOIN pqpl ON a.list_id = pqpl.l1 OR a.list_id = pqpl.l2"
         s"""${graft.llm.Clustering.sqlKmeans(1)},
-           |${sqlProbeFlat("probe")},
+           |$probeBlocks,
            |cb0 AS (
            |  SELECT list(embedding ORDER BY vec_id) AS cl
            |  FROM embeddings WHERE vec_id < $PqCbK),
@@ -2554,7 +2597,7 @@ object SourceQueries extends QueryModule {
            |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow),
            |candpq AS (
            |  SELECT a.vec_id, a.list_id, a.embedding
-           |  FROM a1 a JOIN probe p ON a.list_id = p.p_list
+           |  $candJoin
            |  $where),
            |kc AS (
            |  SELECT e.vec_id, e.list_id, e.embedding,
@@ -2841,6 +2884,14 @@ object SourceQueries extends QueryModule {
     // left-assoc ADC sum as q_embed_pq, ADC-top-50 cutoff (sim_adc DESC,
     // vec_id), exact fixed-point rerank of the survivors.
     "q_vector_search_pq" -> sqlVectorSearchPqOracle,
+    // Multi-probe + PQ: the two-list candidate union before the ADC
+    // cutoff, then the exact rerank — the knobs' composition replayed.
+    "q_vector_search_pq_mp" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH ${sqlPqBlocks(probes = 2)}
+         |SELECT t.vec_id, t.list_id,
+         |  ${graft.llm.PortableHash.sqlDotFixed("t.embedding", "p.pv")} AS sim
+         |FROM survivors t, probe p
+         |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin),
     "q_vector_search_sql_pq" -> sqlVectorSearchPqOracle,
     "q_vector_search_sql_pq_filtered" -> sqlVectorSearchPqFilteredOracle,
     "q_vector_search_recall_pq" -> sqlVectorSearchPqRecallOracle,
