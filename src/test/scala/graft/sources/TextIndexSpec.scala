@@ -167,7 +167,20 @@ class TextIndexSpec extends SparkSuite {
       val meta = spark.sql(s"SELECT fresh FROM $cat.ns.`docs$$indexes`")
         .collect().map(_.getBoolean(0))
       assert(meta.toSeq == Seq(true), "refresh policy republished the index")
-    } finally spark.conf.unset("spark.graft.index.onStale")
+      // the read-only gate applies to the TEXT tier's refresh-from-read
+      // path too: stale the table again, declare read-only credentials,
+      // and the refresh policy must refuse UP FRONT
+      Seq((8L, "another needle")).toDF("id", "text").coalesce(1)
+        .writeTo(t).append()
+      spark.conf.set("spark.graft.index.readOnly", "true")
+      val e2 = intercept[IllegalStateException] {
+        TextIndex.search(spark, t, "text", "needle").collect()
+      }
+      assert(e2.getMessage.contains("readOnly"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.index.onStale")
+      spark.conf.unset("spark.graft.index.readOnly")
+    }
   }
 
   test("t\\$indexes reports kind, column, and live freshness") {
