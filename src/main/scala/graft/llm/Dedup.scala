@@ -79,7 +79,7 @@ object Dedup extends QueryModule {
     *    bands as bands get wider, recovering recall.
     * At sf0.01 (n = 500) this is the familiar 2 × 4-bit layout; at n = 10⁹
     * it becomes 4 × 16-bit bands — 65 536 buckets per band. */
-  private[llm] def embeddingLshParams(n: Long): (Int, Int) = {
+  private[graft] def embeddingLshParams(n: Long): (Int, Int) = {
     val bits = (4 to 16).find(b => (32L << b) >= n).getOrElse(16)
     // probe stops at 7: 8·8 = 64 would overflow the Long shift on both engines
     val bands = (2 to 7).find(l => (1L << (8 * l)) >= n).getOrElse(8)
@@ -125,9 +125,40 @@ object Dedup extends QueryModule {
   private[llm] def embeddingBandRows(emb: DataFrame, n: Long,
       carry: Seq[String] = Seq.empty): DataFrame = {
     val (nBands, bits) = embeddingLshParams(n)
-    val anchorArr = emb.filter(col("vec_id") < nBands * bits)
-      .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"), col("embedding").as("a_emb"))))
-        .as("anchors"))
+    embeddingBandRowsWith(emb, bandAnchors(emb, nBands, bits), nBands, bits,
+      carry)
+  }
+
+  /** The anchor panel for a band derivation: the `nBands × bits`
+    * lowest-vec_id rows of `src` as ONE sorted struct array — what the
+    * vector-index tier persists at build time (`lshanch/`) so incremental
+    * batches band against the SAME hyperplanes the corpus did. */
+  private[graft] def bandAnchors(src: DataFrame, nBands: Int,
+      bits: Int): DataFrame =
+    src.filter(col("vec_id") < nBands * bits)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")))).as("anchors"))
+
+  /** RANKED anchor panel — the `nBands × bits` lowest-id rows BY RANK
+    * (TakeOrdered, never a sort), for corpora whose id range is sparse:
+    * the id-bounded rule above leaves hyperplane slots empty there (an
+    * even-ids-only corpus fills half the panel and every row collides in
+    * the degenerate all-zero band). This is what the vector-index build
+    * PERSISTS (`lshanch/`) — the stored artifact rule is ranked, like the
+    * per-partition sub-index seeds ([[Clustering.kmeansAssignRanked]]). */
+  private[graft] def bandAnchorsRanked(src: DataFrame, nBands: Int,
+      bits: Int): DataFrame =
+    src.orderBy("vec_id").limit(nBands * bits)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")))).as("anchors"))
+
+  /** The band derivation from an EXPLICIT anchor panel + geometry — the
+    * per-row half of [[embeddingBandRows]], shared with the vector-index
+    * incremental tier where the anchors are a STORED artifact (batch rows
+    * must hash against the corpus's hyperplanes, not their own). */
+  private[graft] def embeddingBandRowsWith(emb: DataFrame,
+      anchorArr: DataFrame, nBands: Int, bits: Int,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val withAnchors = emb.crossJoin(broadcast(anchorArr))
     // try_element_at: an anchor slot past the collected array (corpus
     // smaller than bands × bits, or sparse vec_ids) yields NULL → the
@@ -711,25 +742,53 @@ object Dedup extends QueryModule {
     * banded-SemDeDup replay ([[Clustering.sqlSemDedup]]), which buckets
     * the SAME way but pairs within clusters instead of corpus-wide. */
   private[llm] def sqlEmbeddingBandCtes: String =
-    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
-       |prm AS (
-       |  SELECT
-       |    COALESCE((SELECT MIN(b) FROM (SELECT unnest(range(4, 17)) AS b) rb, nn
-       |              WHERE (CAST(32 AS BIGINT) << b) >= n), 16) AS bits,
-       |    COALESCE((SELECT MIN(l) FROM (SELECT unnest(range(2, 8)) AS l) rl, nn
-       |              WHERE (CAST(1 AS BIGINT) << (8 * l)) >= n), 8) AS bands),
-       |anchors AS (
-       |  SELECT list(embedding ORDER BY vec_id) AS al
-       |  FROM embeddings, prm WHERE vec_id < bands * bits),
-       |sigs AS (
-       |  SELECT e.vec_id, e.embedding,
-       |    [list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[j * p.bits + i + 1]")} > 0
-       |               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, p.bits)])
-       |     for j in range(0, p.bands)] AS bks
-       |  FROM embeddings e, anchors a, prm p),
-       |bands AS (
-       |  SELECT vec_id, j AS band, bks[j + 1] AS bkey
-       |  FROM sigs, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands)""".stripMargin
+    sqlEmbeddingBandSides("embeddings", Seq(("", "embeddings")))
+
+  /** The band derivation with the GEOMETRY + ANCHORS from `anchorSrc` and
+    * one `sigs<alias>`/`bands<alias>` block pair per (alias, relation)
+    * side — the SQL twin of [[embeddingBandRowsWith]]: the vector-index
+    * incremental replay derives corpus and batch band keys against the
+    * corpus's hyperplanes in one WITH. An anchor slot past the panel
+    * (sparse ids) reads NULL → sign bit 0 on both engines. */
+  private[graft] def sqlEmbeddingBandSides(anchorSrc: String,
+      sides: Seq[(String, String)],
+      rankedAnchors: Boolean = false): String = {
+    // ranked = the stored-artifact rule ([[bandAnchorsRanked]]): the
+    // panel is the bands×bits LOWEST ids by row_number, not id-bounded
+    val anchorsBlock =
+      if (rankedAnchors)
+        s"""anchors AS (
+           |  SELECT list(embedding ORDER BY vec_id) AS al
+           |  FROM (SELECT e.vec_id, e.embedding,
+           |          row_number() OVER (ORDER BY e.vec_id) AS a_rn
+           |        FROM $anchorSrc e), prm
+           |  WHERE a_rn <= bands * bits)""".stripMargin
+      else
+        s"""anchors AS (
+           |  SELECT list(embedding ORDER BY vec_id) AS al
+           |  FROM $anchorSrc, prm WHERE vec_id < bands * bits)""".stripMargin
+    val head =
+      s"""nn AS (SELECT COUNT(*) AS n FROM $anchorSrc),
+         |prm AS (
+         |  SELECT
+         |    COALESCE((SELECT MIN(b) FROM (SELECT unnest(range(4, 17)) AS b) rb, nn
+         |              WHERE (CAST(32 AS BIGINT) << b) >= n), 16) AS bits,
+         |    COALESCE((SELECT MIN(l) FROM (SELECT unnest(range(2, 8)) AS l) rl, nn
+         |              WHERE (CAST(1 AS BIGINT) << (8 * l)) >= n), 8) AS bands),
+         |$anchorsBlock""".stripMargin
+    val sideBlocks = sides.map { case (alias, src) =>
+      s"""sigs$alias AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    [list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[j * p.bits + i + 1]")} > 0
+         |               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, p.bits)])
+         |     for j in range(0, p.bands)] AS bks
+         |  FROM $src e, anchors a, prm p),
+         |bands$alias AS (
+         |  SELECT vec_id, j AS band, bks[j + 1] AS bkey
+         |  FROM sigs$alias, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands)""".stripMargin
+    }
+    (head +: sideBlocks).mkString(",\n")
+  }
 
   /** Shared CTE chain for the embedding-LSH oracles: size-derived geometry
     * (same integer search as [[embeddingLshParams]]) → sign-bit band keys →

@@ -229,6 +229,44 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The INCREMENTAL-DEDUP corpus `q_dedup_semantic_indexed_incremental`
+    * reads: the EVEN-id half of the embeddings as a managed table (the
+    * curated corpus a daily pipeline holds), cluster-per-file layout like
+    * the main vec base, indexed at staging — the build trains the
+    * depth-1 geometry AND writes the band sidecars the incremental serve
+    * path joins. The odd half plays the daily batch, read straight from
+    * the raw parquet at query time. Staged ONCE per (JVM, sfDir). */
+  private val stagedVecIncBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageVecIncBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedVecIncBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = graft.Scratch.dir("graft_stagevi_")
+      val cat = s"graftstgvi${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>)")
+      val corpus = Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(2)) === 0)
+        .select("vec_id", "label", "embedding")
+      val (assigned, _) = graft.llm.Clustering.kmeansAssign(
+        corpus, graft.llm.Clustering.kFor(corpus.count()), 1)
+      val cached = assigned.localCheckpoint(true)
+      val lists = cached.select("list_id").distinct()
+        .orderBy("list_id").collect().map(_.getInt(0))
+      lists.foreach { l =>
+        cached.filter(col("list_id") === l)
+          .select("vec_id", "label", "embedding").coalesce(1)
+          .writeTo(s"$cat.q.emb").append()
+      }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) ANCHORS (vec_id)")
+        .collect()
+      cat
+    })
+
   /** The HYBRID corpus `q_search_hybrid_indexed` reads: documents joined
     * to their embeddings (one row per id with BOTH modalities — at sf0.1
     * only 2000 of 5000 docs embed, so the corpus is the join by
@@ -820,6 +858,22 @@ object SourceQueries extends QueryModule {
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
     }),
 
+    // GLOBAL (unpinned) search over a BY PARTITION index: pins = ALL
+    // partitions through the multi-pin union — each partition's
+    // sub-geometry contributes its own top-k, global top-k over the
+    // ≤ parts×k union. Corpus-wide search without maintaining a second
+    // global index; planned work = Σ per-pin posting files. The oracle
+    // replays TEN prefixed ranked-seed Lloyd chains (one per label) in
+    // one DuckDB WITH, unioned exactly like the engine.
+    "q_vector_search_partitioned_global" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = s.table(s"$cat.q.emb").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
     // COMPOSABLE VECTOR SEARCH: the statement as a RELATION inside a
     // larger query — `(VECTOR SEARCH …) v JOIN t e ON …` selects table
     // columns alongside the ranked sim in ONE SQL statement (the parser
@@ -879,6 +933,24 @@ object SourceQueries extends QueryModule {
       val cat = stageVecBase(s, d)
       VectorIndex.semDedup(s, s"$cat.q.emb", "embedding", "label")
         .orderBy("vec_id")
+    }),
+
+    // INDEX-BACKED incremental SemDeDup ([[VectorIndex
+    // .semDedupIncremental]]) — the r12 verdict's weak item resolved:
+    // the corpus (the staged even-id table) was curated ONCE; the daily
+    // batch (odd ids off the raw parquet) assigns against the STORED
+    // centroids, hashes against the STORED anchor panel, joins the
+    // STORED corpus band sidecar, and fetches corpus embeddings from
+    // candidate-bucket FILES only — nothing corpus-sized recomputes in
+    // the query. The oracle replays geometry, ranked panel, both band
+    // derivations and the min-id witness from raw parquet.
+    "q_dedup_semantic_indexed_incremental" -> ((s, d) => {
+      val cat = stageVecIncBase(s, d)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val batch = Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("embedding"))
+      VectorIndex.semDedupIncremental(s, s"$cat.q.emb", "embedding", batch)
     }),
 
     // RECALL AUDIT for the vector index through the oracle gate (the
@@ -2473,6 +2545,33 @@ object SourceQueries extends QueryModule {
        |        FROM embeddings e0, ref1 r0 WHERE e0.vec_id = 0) e, ref1 r)""".stripMargin
   }
 
+  /** One pinned-partition ranked-seed search chain for the BY PARTITION
+    * oracles: `p<label>` = the partition's rows, a `pfx`-prefixed ranked
+    * Lloyd chain, `pl<label>` = the probe's list from ITS trained
+    * geometry, `c<label>` = the per-pin top-10. Shared by the multi-pin
+    * (2 chains) and the global / pins-are-all-partitions (10 chains)
+    * replays; `pv` (the probe row) is the caller's shared block. */
+  private def sqlPartChain(label: Int, pfx: String): String = {
+    val pdot = graft.llm.PortableHash.sqlDotFixed(
+      "e0.embedding", "r0.cl[ci]")
+    s"""p$label AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE label = $label),
+       |${graft.llm.Clustering.sqlKmeansRanked(1, s"p$label", pfx = pfx)},
+       |pl$label AS (
+       |  SELECT r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
+       |  FROM (SELECT [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
+       |        FROM embeddings e0, ref${pfx}1 r0
+       |        WHERE e0.vec_id = 0) e, ref${pfx}1 r),
+       |c$label AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id, a.list_id,
+       |      ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "pv.pv")} AS sim
+       |    FROM a${pfx}1 a JOIN pl$label ON a.list_id = pl$label.p_list,
+       |         pv
+       |    ORDER BY sim DESC, a.vec_id LIMIT 10))""".stripMargin
+  }
+
   /** The IVF search replay shared by the Scala-API query
     * (`q_vector_search`) and its SQL-statement twin
     * (`q_vector_search_sql[_filtered]`) — one search semantics, two
@@ -2782,40 +2881,35 @@ object SourceQueries extends QueryModule {
     // Multi-pin replay: TWO independent ranked-seed chains (prefixed
     // block names), each pinned partition's probe list from ITS trained
     // geometry, per-pin top-10, global top-10 over the union.
-    "q_vector_search_partitioned_multi" -> {
-      def chain(label: Int, pfx: String): String = {
-        val pdot = graft.llm.PortableHash.sqlDotFixed(
-          "e0.embedding", "r0.cl[ci]")
-        s"""p$label AS (
-           |  SELECT vec_id, label, embedding FROM embeddings
-           |  WHERE label = $label),
-           |${graft.llm.Clustering.sqlKmeansRanked(1, s"p$label", pfx = pfx)},
-           |pl$label AS (
-           |  SELECT r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
-           |  FROM (SELECT [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
-           |        FROM embeddings e0, ref${pfx}1 r0
-           |        WHERE e0.vec_id = 0) e, ref${pfx}1 r),
-           |c$label AS (
-           |  SELECT * FROM (
-           |    SELECT a.vec_id, a.list_id,
-           |      ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "pv.pv")} AS sim
-           |    FROM a${pfx}1 a JOIN pl$label ON a.list_id = pl$label.p_list,
-           |         pv
-           |    ORDER BY sim DESC, a.vec_id LIMIT 10))""".stripMargin
-      }
-      graft.llm.PortableHash.sqlMat(
-        s"""WITH pv AS (
-           |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
-           |${chain(3, "m3x")},
-           |${chain(5, "m5x")}
-           |SELECT vec_id, list_id, sim
-           |FROM (SELECT * FROM c3 UNION ALL SELECT * FROM c5)
-           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
-    },
+    "q_vector_search_partitioned_multi" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH pv AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |${sqlPartChain(3, "m3x")},
+         |${sqlPartChain(5, "m5x")}
+         |SELECT vec_id, list_id, sim
+         |FROM (SELECT * FROM c3 UNION ALL SELECT * FROM c5)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    // Global replay: ONE chain PER PARTITION VALUE (labels 0-9 in the
+    // testdata at every SF), per-pin top-10, global top-10 over the
+    // 10-way union — the engine's pins-are-all-partitions union.
+    "q_vector_search_partitioned_global" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH pv AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |${(0 to 9).map(l => sqlPartChain(l, s"g${l}x")).mkString(",\n")}
+         |SELECT vec_id, list_id, sim
+         |FROM (${(0 to 9).map(l => s"SELECT * FROM c$l")
+               .mkString(" UNION ALL ")})
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
     "q_vector_search_sql_filtered" ->
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // The full SemDeDup pipeline replayed at the index's training depth.
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
+    // The incremental serve path replayed from raw parquet: corpus-only
+    // depth-1 Lloyd (k sized from the corpus), batch assignment block,
+    // ranked anchor panel, both band derivations against the corpus's
+    // hyperplanes, batch×corpus bucket∩cluster candidates, min-id witness.
+    "q_dedup_semantic_indexed_incremental" ->
+      graft.llm.Clustering.sqlSemDedupIndexedIncremental,
     // The full diversity-sample replay at the index's training depth.
     "q_sample_cluster_indexed" -> graft.llm.Clustering.sqlClusterSample(1),
     // Exact top-10 vs the IVF replay's top-10, joined — recall as data.

@@ -152,6 +152,97 @@ class VectorIndexSpec extends SparkSuite {
     assert(r2.getLong(0) == 0L && !r2.getBoolean(1))
   }
 
+  test("incremental SemDeDup: stored sidecars, candidate-bucket files only") {
+    val cat = freshCatalog("vix20")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // a single batch row near blob A: the serve path must read corpus
+    // embeddings ONLY from blob A's file (the candidate bucket), never
+    // blob B's — the no-corpus-recompute contract, pinned on the plan
+    val near = Seq((100L, vec(0, (11, 0.04f))))
+      .toDF("vec_id", "embedding")
+    val one = VectorIndex.semDedupIncremental(spark, t, "embedding", near)
+    val row = one.collect().head
+    assert(row.getLong(0) == 100L && row.getLong(1) == 0L &&
+      row.getBoolean(2), s"near-A batch row dups against min-id 0: $row")
+    assert(plannedFiles(one) == 1,
+      "embedding fetch scans the candidate bucket's ONE file of 2")
+    // three rows: near-A, near-B, orthogonal — per-row witnesses; the
+    // orthogonal row shares no (cluster ∩ bucket) and is not a dup
+    val batch = Seq(
+      (100L, vec(0, (11, 0.04f))),
+      (101L, vec(1, (21, 0.04f))),
+      (102L, vec(2))).toDF("vec_id", "embedding")
+    val res = VectorIndex.semDedupIncremental(spark, t, "embedding", batch)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(res.toSeq == Seq(
+      (100L, Some(0L), true), (101L, Some(6L), true), (102L, None, false)),
+      s"per-row witnesses: ${res.toSeq}")
+  }
+
+  test("incremental SemDeDup: refresh remaps bands; stale retrain matches") {
+    val cat = freshCatalog("vix21")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // a new blob-A row lands in its own file → index stale
+    Seq((13L, 0, vec(0, (10, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val batch = Seq((100L, vec(0, (11, 0.04f)))).toDF("vec_id", "embedding")
+    // stale default (retrain): in-query replay still answers the dup
+    val stale = VectorIndex.semDedupIncremental(spark, t, "embedding", batch)
+      .collect().head
+    assert(stale.getLong(1) == 0L && stale.getBoolean(2),
+      s"stale retrain answers like a rebuild: $stale")
+    // refresh: stored panel carried, new file's rows band-mapped in —
+    // the fresh serve now fetches from BOTH blob-A files (13 is a
+    // candidate too), still never blob B's
+    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    val fresh = VectorIndex.semDedupIncremental(spark, t, "embedding", batch)
+    val row = fresh.collect().head
+    assert(row.getLong(1) == 0L && row.getBoolean(2),
+      s"refreshed serve keeps the min-id witness: $row")
+    assert(plannedFiles(fresh) == 2,
+      "candidate buckets = blob-A's original file + the appended file")
+    // the fail policy refuses a stale index loudly
+    Seq((14L, 0, vec(0, (10, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    spark.conf.set("spark.graft.index.onStale", "fail")
+    try {
+      val e = intercept[Exception] {
+        VectorIndex.semDedupIncremental(spark, t, "embedding", batch)
+          .collect()
+      }
+      assert(e.getMessage.contains("STALE"))
+    } finally spark.conf.unset("spark.graft.index.onStale")
+  }
+
+  test("incremental SemDeDup: pre-sidecar index refuses with guidance") {
+    val cat = freshCatalog("vix22")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    // simulate an index built before the incremental tier: drop lshanch/
+    val idx = { val s = Files.list(dir); try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("_vecidx_")).toSeq.head
+    } finally s.close() }
+    val anch = idx.resolve("lshanch")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(anch)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walk.close()
+    val batch = Seq((100L, vec(0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      VectorIndex.semDedupIncremental(spark, t, "embedding", batch).collect()
+    }
+    assert(e.getMessage.contains("band sidecars"), e.getMessage)
+  }
+
   test("VECTOR SEARCH SQL statement: the index tier from plain SQL") {
     val cat = freshCatalog("vix11")
     val t = stage(cat)
@@ -656,11 +747,17 @@ class VectorIndexSpec extends SparkSuite {
     assert(res.select("vec_id").as[Long].collect().toSet
       .subsetOf((100L to 105L).toSet))
     assert(plannedFiles(res) == 1, "1 of 2 partition-pure files planned")
-    // an unpinned probe has no sub-index to route to — refuse loudly
-    val e = intercept[IllegalArgumentException] {
-      VectorIndex.search(spark, t, "embedding", vec(0), 5).collect()
-    }
-    assert(e.getMessage.contains("BY PARTITION"))
+    // an UNPINNED probe searches globally: pins = all partitions through
+    // the multi-pin union — per-partition top-k against each
+    // sub-geometry, global top-k over the ≤ parts×k union. Planned work
+    // is bounded by Σ per-pin posting files (here: each partition's one
+    // candidate file — 2 of 2), never more.
+    val glob = VectorIndex.search(spark, t, "embedding", vec(0), 5)
+    assert(glob.select("vec_id").as[Long].collect().toSet
+      .subsetOf((100L to 105L).toSet),
+      "the blob-A probe's global top-5 comes from partition 0")
+    assert(plannedFiles(glob) == 2,
+      "global = Σ per-pin candidate files (one per partition)")
     // MULTI-PIN (IN): one sub-search per pinned partition against its
     // own geometry, global top-k over the union — a probe between the
     // blobs surfaces rows of BOTH partitions, through SQL too
