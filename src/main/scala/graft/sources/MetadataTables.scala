@@ -37,7 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    its column, storage dir, and LIVE FRESHNESS: `fresh` recomputes the
   *    digest against the current manifest, so the relation answers "will
   *    the next search prune?" — the monitoring question an index tier
-  *    exists to answer. Empty when no index is published.
+  *    exists to answer. A BY PARTITION vector index additionally yields
+  *    one `vector-part` row per partition VALUE (its k, indexed file
+  *    count, and PER-PARTITION freshness — only partitions whose file
+  *    set changed go stale, matching the partition-scoped REFRESH), so
+  *    operators monitor the sub-geometries they actually serve. Empty
+  *    when no index is published.
   *
   * `$` needs backticks even to parse, so the suffix can never shadow a
   * real table name; branch addressing composes (`` `t@b$files` `` reads
@@ -186,9 +191,9 @@ object MetadataTables {
       m.props.toSeq.sortBy(_._1).collect {
         case (k, v) if k.startsWith(TextIndex.PropPrefix) =>
           val Array(idxDir, dig) = v.split(";", 2)
-          Array[Any](UTF8String.fromString("text"),
+          Seq(Array[Any](UTF8String.fromString("text"),
             UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
-            UTF8String.fromString(idxDir), dig == curDigest, null)
+            UTF8String.fromString(idxDir), dig == curDigest, null))
         case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>
           val p = VectorIndex.parseProp(v)
           val pq = java.nio.file.Files.exists(
@@ -205,9 +210,64 @@ object MetadataTables {
             UTF8String.fromString(k.stripPrefix(VectorIndex.PropPrefix)),
             UTF8String.fromString(p.idxName), p.isCurrent(curDigest),
             UTF8String.fromString(
-              (s"anchors=${p.idCol} pq=$pq" +: extras).mkString(" ")))
-      }.toArray
+              (s"anchors=${p.idCol} pq=$pq" +: extras).mkString(" "))) +:
+            vectorPartRows(dir, m, curDigest,
+              k.stripPrefix(VectorIndex.PropPrefix), p)
+      }.flatten.toArray
   }
+
+  /** The per-partition rows of a BY PARTITION vector index — one
+    * `vector-part` row per partition VALUE with its sub-geometry's k,
+    * indexed file count, and PER-PARTITION freshness: a partition is
+    * stale iff the whole index is stale AND its own file set changed
+    * (dead indexed files, new unindexed files, or a new partition value
+    * entirely) — exactly the partitions the partition-scoped REFRESH
+    * would retrain. Reads the cents/posts sidecars (Σ k_p + Σ postings
+    * rows — metadata-class) plus, when unindexed files exist, one
+    * part-column-projected scan of ONLY those files (the refresh path's
+    * own attribution read, bounded by churn). */
+  private def vectorPartRows(dir: Path, m: Manifest, curDigest: String,
+      colName: String, p: VectorIndex.Prop): Seq[Array[Any]] =
+    p.partCol match {
+      case None => Seq.empty
+      case Some(pc) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val idxDir = dir.resolve(p.idxName)
+        if (!java.nio.file.Files.exists(idxDir.resolve("cents")))
+          return Seq.empty
+        val kByPart = spark.read.parquet(idxDir.resolve("cents").toString)
+          .groupBy("part").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val postRows = spark.read.parquet(idxDir.resolve("posts").toString)
+          .select("part", "file").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val live = m.entries.filter(_.rows > 0).map(_.name).toSet
+        val filesByPart = postRows.groupBy(_._1).map { case (pv, fs) =>
+          pv -> fs.map(_._2).toSet
+        }
+        val indexed = postRows.map(_._2).toSet
+        val newFiles = (live -- indexed).toSeq.sorted
+        val newParts: Set[String] =
+          if (newFiles.isEmpty) Set.empty
+          else spark.read.format("graft.sources.GraftManifestSink")
+            .option("path", dir.toString)
+            .option("files", newFiles.mkString(","))
+            .load()
+            .select(org.apache.spark.sql.functions.col(pc).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+        val allStale = p.version != VectorIndex.AssignVersion
+        val fresh = p.isCurrent(curDigest)
+        (kByPart.keySet ++ newParts).toSeq.sorted.map { pv =>
+          val files = filesByPart.getOrElse(pv, Set.empty)
+          val partFresh = fresh || (!allStale && !newParts(pv) &&
+            files.subsetOf(live))
+          Array[Any](UTF8String.fromString("vector-part"),
+            UTF8String.fromString(colName),
+            UTF8String.fromString(p.idxName), partFresh,
+            UTF8String.fromString(s"part=$pv k=${kByPart.getOrElse(pv, 0L)} " +
+              s"files=${files.count(live)}"))
+        }
+    }
 }
 
 /** The V2 table for one metadata relation — batch-read only (writes to a

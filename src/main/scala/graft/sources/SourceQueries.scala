@@ -229,6 +229,37 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The SAMPLED partitioned base `q_vector_search_partitioned_sampled`
+    * reads: the same label-partitioned layout as the plain partitioned
+    * base, indexed `BY PARTITION SAMPLE 20` — every slice trains on its
+    * own ranked-seeded decimation and assigns its full slice once.
+    * Staged ONCE per (JVM, sfDir). */
+  private val stagedVecPartSampleBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageVecPartSampleBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedVecPartSampleBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stagevps_")
+      val cat = s"graftstgvps${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) " +
+        "PARTITIONED BY (label)")
+      val emb = Tables(s, d, "embeddings")
+        .select("vec_id", "label", "embedding")
+      emb.select("label").distinct().orderBy("label")
+        .collect().map(_.getInt(0)).foreach { l =>
+          emb.filter(emb("label") === l).coalesce(1)
+            .writeTo(s"$cat.q.emb").append()
+        }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) " +
+        "ANCHORS (vec_id) SAMPLE 20 BY PARTITION").collect()
+      cat
+    })
+
   /** The INCREMENTAL-DEDUP corpus `q_dedup_semantic_indexed_incremental`
     * reads: the EVEN-id half of the embeddings as a managed table (the
     * curated corpus a daily pipeline holds), cluster-per-file layout like
@@ -844,6 +875,18 @@ object SourceQueries extends QueryModule {
         "ORDER BY col")
     }),
 
+    // PER-PARTITION index freshness through the ORACLE gate (r13): the
+    // BY PARTITION staged base's t$indexes yields one vector-part row
+    // per label with its sub-geometry's k (corpus-derived per slice),
+    // indexed file count (1 — label-pure staging) and freshness — a
+    // prop, sidecar-schema or staleness-attribution regression changes
+    // the rows and hash-fails.
+    "q_meta_indexes_partitioned" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      s.sql(s"SELECT kind, col, fresh, details FROM $cat.q.`emb$$indexes` " +
+        "WHERE kind = 'vector-part' ORDER BY details")
+    }),
+
     // MULTI-PIN sub-index search (`WHERE label IN (3, 5)`): one
     // sub-search per pinned partition against its OWN geometry, global
     // top-k over the union (per-pin top-k first — the union is ≤ pins×k
@@ -855,6 +898,40 @@ object SourceQueries extends QueryModule {
         .select("embedding").collect().head.getSeq[Float](0).toArray
       VectorIndex.searchWhere(s, s"$cat.q.emb", "embedding", probe, 10,
           probes = 1, col("label").isin(3, 5))
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
+    // PQ on a BY PARTITION index (r13): the pin routes to the
+    // partition's OWN ranked codebook and codes — ADC pre-ranks the
+    // pinned slice's probed list, the exact rerank touches only survivor
+    // files. The oracle replays the ranked chain + ranked codebook
+    // training + codes + cutoff from raw parquet.
+    "q_vector_search_partitioned_pq" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("label") === 3)
+        .orderBy("vec_id").limit(1)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.searchPqWhere(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 1, rerank = 50, col("label") === 3)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
+    // SAMPLE on a BY PARTITION index (r13): every slice trains on its
+    // own ranked-seeded decimation (force-include = the k lowest ids by
+    // rank, so the sampled seed equals the unsampled build's) and
+    // assigns its full slice once. The oracle replays the per-slice
+    // decimation + ranked Lloyd + full-slice assignment.
+    "q_vector_search_partitioned_sampled" -> ((s, d) => {
+      val cat = stageVecPartSampleBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("label") === 3)
+        .orderBy("vec_id").limit(1)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      VectorIndex.searchWhere(s, s"$cat.q.emb", "embedding", probe, 10,
+          probes = 1, col("label") === 3)
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
     }),
 
@@ -2710,6 +2787,105 @@ object SourceQueries extends QueryModule {
            |  ORDER BY sim_adc DESC, vec_id LIMIT 50)""".stripMargin
   }
 
+  /** The per-partition IVF-PQ replay (`q_vector_search_partitioned_pq`):
+    * one pinned partition's RANKED-seeded Lloyd chain, its RANKED PQ
+    * codebook (seeds = the PqCbK lowest ids BY RANK; the training
+    * decimation force-includes them via the ranked id cap), codes, ADC
+    * cutoff and exact rerank — the engine's per-pin pipeline from raw
+    * parquet. Probe = the pinned partition's lowest-id row. */
+  private def sqlPqRankedOracle(label: Int): String = {
+    import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    val pfx = s"q${label}x"
+    val src = s"p$label"
+    def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
+    def d2s(b: Int) = {
+      val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
+      s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
+        s"for pq_ci in range(1, len(c.cl) + 1)]"
+    }
+    val codeCols = (0 until PqM).map(b =>
+      s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
+      .mkString(",\n    ")
+    val adc = (0 until PqM).map(b =>
+      dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
+    val pdot = dot("e0.embedding", "r0.cl[ci]")
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH $src AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE label = $label),
+         |${graft.llm.Clustering.sqlKmeansRanked(1, src, pfx = pfx)},
+         |probe AS (
+         |  SELECT e.pv, r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
+         |  FROM (SELECT e0.embedding AS pv,
+         |          [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
+         |        FROM $src e0, ref${pfx}1 r0
+         |        WHERE e0.vec_id = (SELECT MIN(vec_id) FROM $src)) e,
+         |       ref${pfx}1 r),
+         |cb0 AS (
+         |  SELECT list(embedding ORDER BY vec_id) AS cl
+         |  FROM (SELECT vec_id, embedding FROM $src
+         |        ORDER BY vec_id LIMIT $PqCbK)),
+         |pqm AS (SELECT GREATEST(1, COUNT(*) // $PqTrainCap) AS m
+         |        FROM $src),
+         |pqthr AS (
+         |  SELECT MAX(vec_id) AS t FROM (
+         |    SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqCbK)),
+         |pqtr AS (
+         |  SELECT e.vec_id, e.embedding FROM $src e, pqm, pqthr
+         |  WHERE ${graft.llm.PortableHash.sqlPermute("e.vec_id", PqTrainJ)} % pqm.m = 0
+         |     OR e.vec_id <= pqthr.t),
+         |pqk0 AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    $codeCols
+         |  FROM pqtr e, cb0 c),
+         |pqflat AS (
+         |  SELECT bb.b AS b, CASE bb.b ${(0 until PqM)
+           .map(b => s"WHEN $b THEN k.code$b").mkString(" ")} END AS code,
+         |    ii.i AS i,
+         |    CAST(floor(CAST(k.embedding[bb.b * $PqDim + ii.i] AS DOUBLE)
+         |               * 1000000000000) AS BIGINT) AS v
+         |  FROM pqk0 k, (SELECT unnest(range(0, $PqM)) AS b) bb,
+         |       (SELECT unnest(range(1, ${PqDim + 1})) AS i) ii),
+         |pqsv AS (
+         |  SELECT b, code, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nv
+         |  FROM pqflat GROUP BY b, code, i),
+         |pqc8 AS (
+         |  SELECT b, code,
+         |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT)
+         |         ORDER BY i) AS c8
+         |  FROM pqsv GROUP BY b, code),
+         |pqseed AS (
+         |  SELECT jj.j - 1 AS code, bb.b AS b,
+         |    c.cl[jj.j][bb.b * $PqDim + 1 : (bb.b + 1) * $PqDim] AS sblk
+         |  FROM cb0 c, (SELECT unnest(range(1, $PqCbK + 1)) AS j) jj,
+         |       (SELECT unnest(range(0, $PqM)) AS b) bb
+         |  WHERE jj.j <= len(c.cl)),
+         |pqrow AS (
+         |  SELECT s.code AS c_id,
+         |    flatten(list(COALESCE(t.c8, s.sblk) ORDER BY s.b)) AS c_emb
+         |  FROM pqseed s LEFT JOIN pqc8 t ON t.b = s.b AND t.code = s.code
+         |  GROUP BY s.code),
+         |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow),
+         |candpq AS (
+         |  SELECT a.vec_id, a.list_id, a.embedding
+         |  FROM a${pfx}1 a JOIN probe p ON a.list_id = p.p_list),
+         |kc AS (
+         |  SELECT e.vec_id, e.list_id, e.embedding,
+         |    $codeCols
+         |  FROM candpq e, cbl c),
+         |adct AS (
+         |  SELECT k.vec_id, k.list_id, k.embedding, $adc AS sim_adc
+         |  FROM kc k, cbl c, probe p),
+         |survivors AS (
+         |  SELECT vec_id, list_id, embedding FROM adct
+         |  ORDER BY sim_adc DESC, vec_id LIMIT 50)
+         |SELECT t.vec_id, t.list_id,
+         |  ${dot("t.embedding", "p.pv")} AS sim
+         |FROM survivors t, probe p
+         |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+  }
+
   /** The IVF-PQ replay shared by the Scala-API query
     * (`q_vector_search_pq`) and its SQL-statement twin
     * (`q_vector_search_sql_pq`): same geometry (a1), same deterministic
@@ -2838,6 +3014,16 @@ object SourceQueries extends QueryModule {
     "q_meta_indexes" ->
       """SELECT 'vector' AS kind, 'embedding' AS col, TRUE AS fresh,
         |  'anchors=vec_id pq=true' AS details""".stripMargin,
+    // One vector-part row per label: k derives per slice (the kFor
+    // policy over the label's count), one label-pure file each, fresh.
+    "q_meta_indexes_partitioned" ->
+      """SELECT 'vector-part' AS kind, 'embedding' AS col, TRUE AS fresh,
+        |  'part=' || CAST(label AS VARCHAR) || ' k=' ||
+        |  CAST(GREATEST(8, LEAST(c // 64,
+        |    CAST(CEIL(SQRT(c)) AS BIGINT))) AS VARCHAR) ||
+        |  ' files=1' AS details
+        |FROM (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label)
+        |ORDER BY details""".stripMargin,
     // One file per source value → degenerate per-file ranges.
     "q_meta_partitions" ->
       """SELECT 'source' AS col, 'partition' AS kind,
@@ -2889,6 +3075,35 @@ object SourceQueries extends QueryModule {
          |SELECT vec_id, list_id, sim
          |FROM (SELECT * FROM c3 UNION ALL SELECT * FROM c5)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    // Per-partition PQ replay: the pinned slice's ranked chain, ranked
+    // codebook, codes, ADC cutoff and exact rerank from raw parquet.
+    "q_vector_search_partitioned_pq" -> sqlPqRankedOracle(3),
+    // Per-slice sampled-training replay: ranked decimation (force-include
+    // via the ranked id cap), ranked Lloyd over the sample, one full-
+    // slice assignment, probe list from the trained sub-geometry.
+    "q_vector_search_partitioned_sampled" -> {
+      val pdot = graft.llm.PortableHash.sqlDotFixed(
+        "e0.embedding", "r0.cl[ci]")
+      val sdot = graft.llm.PortableHash.sqlDotFixed(
+        "a.embedding", "p.pv")
+      val pfx = "s3x"
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH p3 AS (
+           |  SELECT vec_id, label, embedding FROM embeddings
+           |  WHERE label = 3),
+           |${graft.llm.Clustering.sqlKmeansRankedSampled(1, "p3", 20,
+                pfx = pfx)},
+           |probe AS (
+           |  SELECT e.pv, r.ids[list_position(e.dots, list_max(e.dots))] AS p_list
+           |  FROM (SELECT e0.embedding AS pv,
+           |          [$pdot for ci in range(1, len(r0.cl) + 1)] AS dots
+           |        FROM p3 e0, ref${pfx}1 r0
+           |        WHERE e0.vec_id = (SELECT MIN(vec_id) FROM p3)) e,
+           |       ref${pfx}1 r)
+           |SELECT a.vec_id, a.list_id, $sdot AS sim
+           |FROM a${pfx}f a JOIN probe p ON a.list_id = p.p_list
+           |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)
+    },
     // Global replay: ONE chain PER PARTITION VALUE (labels 0-9 in the
     // testdata at every SF), per-pin top-10, global top-10 over the
     // 10-way union — the engine's pins-are-all-partitions union.

@@ -1395,27 +1395,98 @@ object VectorIndex {
       throw new IllegalStateException(
         s"VECTOR SEARCH PQ: no vector index on $table ($colName)"))
     val p = parseProp(prop)
-    if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"VECTOR SEARCH PQ: the index on $table ($colName) is BY PARTITION " +
-        "and carries no PQ sidecars — the partition pin is already the " +
-        "candidate cut; use search/searchWhere, or build without BY " +
-        "PARTITION for the PQ tier")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val pv = typedLit(probe.toSeq)
 
     def noPqCodebook(): Nothing = throw new IllegalStateException(
       s"VECTOR SEARCH PQ: the index on $table ($colName) has no PQ " +
-        s"codebook — the anchor id range had no rows below " +
-        s"${Similarity.PqCbK}; re-key the ids or use search/searchWhere")
+        s"codebook — either the anchor id range had no rows below " +
+        s"${Similarity.PqCbK}, or a BY PARTITION index predates the " +
+        "per-partition PQ tier; re-run CREATE VECTOR INDEX, or use " +
+        "search/searchWhere")
 
     def exactTop(cand: DataFrame): DataFrame =
       cand.select(col("vec_id"), col("list_id"),
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
 
+    // per-pin exact rerank of the ≤rerank ADC survivors `top` (vec_id,
+    // list_id, file): their files are the scan, the broadcast id
+    // semi-join narrows rows within them; `partFilter` isolates a pin's
+    // rows in mixed files (the searchWhere multi-pin rule)
+    def rerankTop(top: DataFrame,
+        partFilter: DataFrame => DataFrame): Option[DataFrame] = {
+      val cand = top.select("file").distinct()
+        .collect().map(_.getString(0))
+      if (cand.isEmpty) None
+      else Some(exactTop(
+        partFilter(scanFiles(spark, mt.dir, cand.toSeq))
+          .select(col(p.idCol).as("vec_id"), col(colName).as("embedding"))
+          .join(broadcast(top.select(col("vec_id"), col("list_id"))),
+            "vec_id")))
+    }
+    def unionTopK(perPin: Seq[DataFrame]): DataFrame =
+      if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
+      else perPin.reduce(_ unionByName _)
+        .orderBy(desc("sim"), col("vec_id")).limit(topK)
+
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
       if (!java.nio.file.Files.exists(idxDir.resolve("pqcb"))) noPqCodebook()
+      p.partCol match {
+        case Some(pc) =>
+          // BY PARTITION (r13): every pin ADC-ranks ITS OWN codes against
+          // ITS OWN ranked codebook, reranks exactly within its files,
+          // and the global top-k ranks the ≤ pins×k union — the same
+          // multi-pin shape as searchWhere, with the compression tier's
+          // two-stage candidate cut inside each pin. No pin = all
+          // partitions (the C225 union).
+          val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
+          val posts0 = spark.read.parquet(idxDir.resolve("posts").toString)
+          val cb0 = spark.read.parquet(idxDir.resolve("pqcb").toString)
+          val codesAll = spark.read.parquet(idxDir.resolve("codes").toString)
+          val pins = predicate
+            .flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
+            .getOrElse(cents0.select("part").distinct().orderBy("part")
+              .collect().map(_.getString(0)).toSeq)
+          val perPin = pins.flatMap { pin =>
+            val cents = cents0.where(col("part") === pin)
+              .select("c_id", "c_emb")
+            val pLists = probeListsOf(cents, probe, probes)
+            if (pLists.isEmpty) None
+            else {
+              val cbArr = pqCbArr(cb0.where(col("part") === pin)
+                .select(col("c_id"), col("c_emb")))
+              val codes0 = codesAll.where(col("part") === pin &&
+                col("list_id").isin(pLists: _*))
+              // the predicate narrows the pin's codes BEFORE the rerank
+              // cutoff (the filtered-PQ rule, per pin)
+              val codes = predicate match {
+                case None => codes0
+                case Some(pred) =>
+                  val pFiles = posts0.where(col("part") === pin &&
+                      col("list_id").isin(pLists: _*))
+                    .select("file").distinct()
+                    .collect().map(_.getString(0))
+                  if (pFiles.isEmpty) codes0.where(lit(false))
+                  else codes0.join(
+                    scanFiles(spark, mt.dir, pFiles.toSeq).where(pred)
+                      .where(col(pc).cast("string") === pin)
+                      .select(col(p.idCol).as("vec_id")),
+                    Seq("vec_id"), "left_semi")
+              }
+              val top = codes.crossJoin(broadcast(cbArr))
+                .withColumn("sim_adc",
+                  Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+                .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
+                .select(col("vec_id"), col("list_id"), col("file"))
+                .localCheckpoint()
+              rerankTop(top, _.where(col(pc).cast("string") === pin))
+            }
+          }
+          return unionTopK(perPin)
+        case None => ()
+      }
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       val pLists = probeListsOf(cents, probe, probes)
       val cbArr = pqCbArr(spark.read.parquet(idxDir.resolve("pqcb").toString))
@@ -1470,6 +1541,43 @@ object VectorIndex {
         // policy, so the answer matches a fresh rebuild's — no pruning,
         // same determinism
         val all = scanFiles(spark, mt.dir, names)
+        p.partCol match {
+          case Some(pc) =>
+            // per pinned partition: ranked slice retrain + ranked
+            // codebook + codes + ADC cutoff + exact top-k, union — the
+            // fresh path's per-pin semantics replayed in-query
+            val pins = predicate
+              .flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
+              .getOrElse(all.select(col(pc).cast("string").as("part"))
+                .distinct().orderBy("part")
+                .collect().map(_.getString(0)).toSeq)
+            val perPin = pins.flatMap { pin =>
+              val partAll = all.where(col(pc).cast("string") === pin)
+              val rows = partAll.select(col(p.idCol).as("vec_id"),
+                lit(0).as("label"), col(colName).as("embedding"))
+              val n = rows.count()
+              if (n == 0) None
+              else {
+                val (assigned, cents) = retrainGeometryRanked(rows, p, n)
+                val cbArr = pqCbArr(trainPqCodebookRanked(rows, n))
+                val inLists = assigned.where(col("list_id").isin(
+                  probeListsOf(cents, probe, probes): _*))
+                val candRows = predicate match {
+                  case None => inLists
+                  case Some(pred) => inLists.join(
+                    partAll.where(pred).select(col(p.idCol).as("vec_id")),
+                    Seq("vec_id"), "left_semi")
+                }
+                val top = encodePq(candRows, cbArr)
+                  .withColumn("sim_adc",
+                    Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+                  .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
+                Some(exactTop(top))
+              }
+            }
+            return unionTopK(perPin)
+          case None => ()
+        }
         val rows = all
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"))

@@ -154,6 +154,46 @@ class MetadataTablesSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.ns.`u$$partitions`").count() == 0L)
   }
 
+  test("$indexes: per-partition rows attribute staleness to the " +
+      "partitions whose file set changed") {
+    val cat = freshCatalog("metaspec8")
+    val t = s"$cat.ns.v"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    def vec(hot: Int): Array[Float] = {
+      val a = new Array[Float](64); a(hot) = 1f; a
+    }
+    (0L to 5L).map(i => (i, 0, vec(0))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    (6L to 11L).map(i => (i, 1, vec(1))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    def partRows() = spark.sql(s"SELECT fresh, details FROM " +
+        s"$cat.ns.`v$$indexes` WHERE kind = 'vector-part' ORDER BY details")
+      .collect().map(r => (r.getBoolean(0), r.getString(1))).toSeq
+    // k reports the LIVE sub-geometry (stored non-empty centroids): a
+    // slice of identical vectors collapses to one cluster
+    assert(partRows() == Seq(
+      (true, "part=0 k=1 files=1"), (true, "part=1 k=1 files=1")))
+    // churn partition 1 AND introduce a brand-new partition value: only
+    // those two attribute stale; partition 0 stays fresh
+    Seq((12L, 1, vec(1))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    Seq((13L, 2, vec(2))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    assert(partRows() == Seq(
+      (true, "part=0 k=1 files=1"),
+      (false, "part=1 k=1 files=1"),
+      (false, "part=2 k=0 files=0")),
+      s"stale attribution: ${partRows()}")
+    // the partition-scoped refresh brings every row back fresh
+    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    assert(partRows() == Seq(
+      (true, "part=0 k=1 files=1"), (true, "part=1 k=1 files=2"),
+      (true, "part=2 k=1 files=1")))
+  }
+
   test("an unknown $suffix stays an ordinary missing table") {
     val cat = freshCatalog("metaspec5")
     spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT)")

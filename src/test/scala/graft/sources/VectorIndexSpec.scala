@@ -795,6 +795,81 @@ class VectorIndexSpec extends SparkSuite {
     assert(res1.select("vec_id").as[Long].collect().toSet.contains(206L))
   }
 
+  test("BY PARTITION × PQ × SAMPLE: per-partition codebooks serve pinned, " +
+      "filtered and global searches; refresh carries untouched slices") {
+    val cat = freshCatalog("vixbpq")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    val blobA = (100L to 105L).map(i => (i, 0, vec(0, (10, 0.05f))))
+    val blobB = (200L to 205L).map(i => (i, 1, vec(1, (20, 0.05f))))
+    blobA.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    blobB.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    // pinned PQ: partition 0's ranked codebook + codes serve the probe
+    val pin0 = VectorIndex.searchPqWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, rerank = 50, col("label") === 0)
+    assert(pin0.select("vec_id").as[Long].collect().toSet
+      .subsetOf((100L to 105L).toSet) && pin0.count() == 5)
+    // filtered PQ per pin: the extra conjunct narrows codes BEFORE the
+    // cutoff — only odd ids of partition 0 rank
+    val oddPin = VectorIndex.searchPqWhere(spark, t, "embedding", vec(0), 5,
+      probes = 1, rerank = 50, col("label") === 0 && col("vec_id") % 2 === 1)
+    assert(oddPin.select("vec_id").as[Long].collect().toSet ==
+      Set(101L, 103L, 105L), "filter composes with the pin")
+    // UNPINNED PQ: the global union over per-partition codebooks
+    val globPq = VectorIndex.searchPq(spark, t, "embedding", vec(1), 5)
+    assert(globPq.select("vec_id").as[Long].collect().toSet
+      .subsetOf((200L to 205L).toSet) && globPq.count() == 5,
+      "the blob-B probe's global PQ top-5 comes from partition 1")
+    // refresh: new file in partition 1 only — partition 0's codebook
+    // rows carry over byte-identical, partition 1's codes see the row
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val p0 = VectorIndex.parseProp(
+      Manifest.read(dir).get.props("vecidx.embedding"))
+    val cb0 = spark.read.parquet(
+        dir.resolve(p0.idxName).resolve("pqcb").toString)
+      .where(col("part") === "0").orderBy("c_id").collect().toSeq
+    Seq((206L, 1, vec(1, (20, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"REFRESH VECTOR INDEX ON $t (embedding)")
+    val p1 = VectorIndex.parseProp(
+      Manifest.read(dir).get.props("vecidx.embedding"))
+    val cb1 = spark.read.parquet(
+        dir.resolve(p1.idxName).resolve("pqcb").toString)
+      .where(col("part") === "0").orderBy("c_id").collect().toSeq
+    assert(cb1 == cb0, "untouched partition's codebook carries over")
+    val afterPq = VectorIndex.searchPqWhere(spark, t, "embedding", vec(1), 7,
+      probes = 1, rerank = 50, col("label") === 1)
+    assert(afterPq.select("vec_id").as[Long].collect().toSet.contains(206L),
+      "the refreshed partition's PQ codes include the new row")
+    // SAMPLE BY PARTITION: per-slice ranked decimation builds and serves
+    val t2 = s"$cat.ns.emb2"
+    spark.sql(s"CREATE TABLE $t2 (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    blobA.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t2).append()
+    blobB.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t2).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t2 (embedding) ANCHORS (vec_id) " +
+      "SAMPLE 3 BY PARTITION")
+    val pS = VectorIndex.parseProp(
+      Manifest.read(spark.table(t2).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get).get.props("vecidx.embedding"))
+    assert(pS.sample.contains(3L) && pS.partCol.contains("label"),
+      s"SAMPLE persists beside BY PARTITION in the prop: $pS")
+    val sPin = VectorIndex.searchWhere(spark, t2, "embedding", vec(1), 5,
+      probes = 1, col("label") === 1)
+    assert(sPin.select("vec_id").as[Long].collect().toSet
+      .subsetOf((200L to 205L).toSet) && sPin.count() == 5)
+  }
+
   test("review edges: literal-safe rewrite, typed partition pins, " +
       "empty-table builds") {
     // a '(VECTOR SEARCH …)' INSIDE a string literal is data, not syntax —
