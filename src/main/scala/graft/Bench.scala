@@ -54,12 +54,13 @@ object Bench {
     // (scan → shuffle → count action).
     // A failure in EITHER run marks the query failed: the round-2 bench
     // swallowed a timed-run throw and reported a bogus "success" timing.
-    def pass(): Seq[(String, Double, Boolean)] = qs.map { case (name, fn) =>
-      val warmOk =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}"); false
-        }
+    def pass(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        warm: Boolean): Seq[(String, Double, Boolean)] = queries.map { case (name, fn) =>
+      val warmOk = !warm ||
+        (try { fn(spark, sfDir).count(); true }
+         catch { case e: Throwable =>
+           System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}"); false
+         })
       val t0 = System.nanoTime()
       val ok = warmOk &&
         (try { fn(spark, sfDir).count(); true }
@@ -72,17 +73,27 @@ object Bench {
     // number is the per-query MIN across passes (round-6 advice: this VM's
     // 0.3-14 s single-sample jitter whipsawed verdict totals across rounds
     // with zero code changes — two samples bound the noise). "runs" carries
-    // both pass totals so a reader can see the spread.
-    val pass1 = pass()
-    val pass2 = pass()
+    // both pass totals so a reader can see the spread. The HEADLINE subset
+    // gets a THIRD timed sample (round-12 advice: a 0.54→0.73 s headline
+    // regression was unattributable without a full re-run) — headline
+    // numbers are min-of-3, and bench_full.json carries every per-query
+    // sample so spread is readable without re-benching.
+    val pass1 = pass(qs, warm = true)
+    val pass2 = pass(qs, warm = true)
+    val hlSet = headline.toSet
+    val pass3 = pass(qs.filter(q => hlSet(q._1)), warm = false)
+      .map(r => r._1 -> r).toMap
     val results = pass1.zip(pass2).map { case ((name, v1, ok1), (_, v2, ok2)) =>
-      (name, (ok1, ok2) match {
-        case (true, true) => math.min(v1, v2)
-        case (true, false) => v1
-        case (false, true) => v2
-        case _ => -1.0
-      }, ok1 || ok2)
+      val extra = pass3.get(name).filter(_._3).map(_._2)
+      val cands = Seq(v1 -> ok1, v2 -> ok2).filter(_._2).map(_._1) ++ extra
+      (name, if (cands.isEmpty) -1.0 else cands.min,
+        ok1 || ok2 || extra.isDefined)
     }
+    val samples = pass1.zip(pass2).map { case ((name, v1, ok1), (_, v2, ok2)) =>
+      val vs = Seq(if (ok1) v1 else -1.0, if (ok2) v2 else -1.0) ++
+        pass3.get(name).map(r => if (r._3) r._2 else -1.0)
+      name -> vs
+    }.toMap
     def entries(rs: Seq[(String, Double, Boolean)]): String =
       rs.map { case (k, v, ok) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
@@ -109,8 +120,14 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"runs":$runs,"nq":${results.size},"queries":${entries(rs)},"failed":$failed,"sf":$sf}"""
     // Full map → file (stdout would overflow the driver's tail window; the
     // stack traces in round 2 showed stderr is merged into the same capture).
+    // "samples" carries EVERY per-query timing ([pass1, pass2] — headline
+    // queries add the third sample), so a regression's spread is readable
+    // from the committed artifact without a re-bench.
+    val samplesJson = samples.toSeq.sortBy(_._1).map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      line(results))
+      line(results).stripSuffix("}") + s""","samples":$samplesJson}""")
     // Emitted line: headline subset only, defensively trimmed to stay well
     // inside the 2000-char tail even if the subset grows.
     var head = results.filter(r => headline.contains(r._1))

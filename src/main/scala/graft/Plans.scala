@@ -101,7 +101,10 @@ object Plans {
     "q_vector_search_join" -> "composable VECTOR SEARCH: the ranked relation joined back to table columns in one statement",
     "q_vector_search_partitioned" -> "BY PARTITION sub-index: the pinned partition's centroids probe, its postings pin 1 of the label-pure files — partition pruning composes with list pruning",
     "q_vector_search_recall_coarse" -> "coarse-probe audit: c=1 two-level assignment (one coarse cell's fine work per row), recall vs exact as data",
-    "q_dedup_semantic_incremental" -> "incremental SemDeDup: batch assigns against corpus geometry, batch x corpus bucket candidates only — no self-join on either side")
+    "q_dedup_semantic_incremental" -> "incremental SemDeDup: batch assigns against corpus geometry, batch x corpus bucket candidates only — no self-join on either side",
+    "q_dedup_semantic_indexed_incremental" -> "index-backed incremental SemDeDup: stored centroids + stored band sidecar, fused cluster∩bucket∩τ join, corpus embeddings fetched from candidate-bucket FILES only",
+    "q_vector_search_partitioned_global" -> "global search over BY PARTITION: per-partition top-k against each sub-geometry, global top-k over the ≤ parts×k union — no second global index",
+    "q_vector_search_partitioned_pq" -> "per-partition PQ: the pin's ranked codebook ADC-ranks its codes sidecar, exact rerank touches survivor files only")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

@@ -142,14 +142,17 @@ object Similarity extends QueryModule {
           "or 2 coarse cells (more cells trades toward a flat assignment; " +
           "tune LISTS for finer geometry instead)")
     // coarse anchors: the ⌈√k⌉ lowest-c_id centroids, one broadcast row.
-    // anch and byG are each referenced twice downstream — materialize
-    // both (1 row / ≤√k rows) so the centroid grouping shuffle and the
-    // anchor aggregate run once per assignment, not once per reference.
+    // anch and byG are each referenced twice downstream but NOT
+    // materialized here: every caller hands in a cents frame that is
+    // already bounded-source (a checkpointed k-row loop table or a
+    // parquet sidecar), so the worst-case re-evaluation is a k-row
+    // aggregate — while an eager localCheckpoint is a full Spark JOB,
+    // and this function runs 3× per 2-round Lloyd build. Identical
+    // broadcast subtrees also reuse their exchange within a query.
     val anch = cents
       .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("all"))
       .select(slice(col("all"), lit(1),
         ceil(sqrt(size(col("all")))).cast(IntegerType)).as("anc"))
-      .localCheckpoint()
     def ancDots(embCol: org.apache.spark.sql.Column) =
       transform(col("anc"), st => dotFixed(embCol, st.getField("c_emb")))
     // fine centroid → coarse cell; an anchor ALWAYS self-assigns, so
@@ -167,7 +170,6 @@ object Similarity extends QueryModule {
     // the TABLE side of the assignment equi-join
     val byG = centsG.groupBy("g")
       .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("gc"))
-      .localCheckpoint()
     // rows → top-c coarse cells (per-row masked-max against the bounded
     // anchor row; with a single anchor — or COARSE PROBES 1 — g2
     // degenerates to g1 and the fine argmax sees one cell)
