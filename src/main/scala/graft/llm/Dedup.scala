@@ -32,9 +32,9 @@ import PortableHash._
   */
 object Dedup extends QueryModule {
 
-  private[llm] val NumHashes = 16 // MinHash signature length
-  private[llm] val BandRows = 2   // rows per LSH band → 8 bands
-  private[llm] val MinhashJaccard = 0.05
+  private[graft] val NumHashes = 16 // MinHash signature length
+  private[graft] val BandRows = 2   // rows per LSH band → 8 bands
+  private[graft] val MinhashJaccard = 0.05
   private val NgramJaccard = 0.06
   private val CosineThreshold = 0.35
   private val HammingK = 3   // q_dedup_simhash_k near-dup radius
@@ -55,15 +55,36 @@ object Dedup extends QueryModule {
     * than string-set intersections in the candidate join, and the oracle
     * hashes identically so collisions (≈10⁻⁶ per pair) cannot diverge. */
   private def signatures(docs: DataFrame): DataFrame =
+    minhashSignatureRows(docs, "text", Seq("doc_id"))
+
+  /** (carry…, hv, mh) for an arbitrary frame/text column — the text
+    * index's STORED-SIGNATURE sidecar rows ([[graft.sources.TextIndex]]):
+    * the C69 "in production the corpus signatures live in a stored
+    * table" made real. Pure per-row codegen, no geometry to persist. */
+  private[graft] def minhashSignatureRows(docs: DataFrame, textCol: String,
+      carry: Seq[String]): DataFrame =
     docs
-      .select(col("doc_id"), hashedShingleSet(split(col("text"), " ")).as("hv"))
-      .withColumn("mh", graft.functions.ShingleHashes.minhashSignature(col("hv"), NumHashes))
+      .select(carry.map(col) :+
+        hashedShingleSet(split(col(textCol), " ")).as("hv"): _*)
+      .withColumn("mh",
+        graft.functions.ShingleHashes.minhashSignature(col("hv"), NumHashes))
+
+  /** (carry…, band, bkey) LSH bucket rows off a STORED `mh` column — the
+    * read-side half for signature sidecars; same banding arithmetic as
+    * [[bandsOf]]. */
+  private[graft] def minhashBandRows(sig: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val bandCols = array((0 until NumHashes / BandRows).map { b =>
+      element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2)
+    }: _*)
+    sig.select(carry.map(col) :+ posexplode(bandCols).as(Seq("band", "bkey")): _*)
+  }
 
   /** Exact Jaccard between two SORTED distinct long-array columns:
     * codegen'd merge intersection, union size derived arithmetically
     * (|A|+|B|−|A∩B| — sets, so no union materialization). int/int double
     * division — bit-identical on both engines. */
-  private[llm] def jaccard(a: Column, b: Column): Column = {
+  private[graft] def jaccard(a: Column, b: Column): Column = {
     val inter = graft.functions.SortedArrayIntersectCount.count(a, b)
     inter.cast(DoubleType) / (size(a) + size(b) - inter)
   }
@@ -805,6 +826,40 @@ object Dedup extends QueryModule {
        |  JOIN embeddings eb ON eb.vec_id = c.vec_b
        |  WHERE cosine >= $CosineThreshold)""".stripMargin
 
+  /** The incremental near-dup replay (corpus = even doc_ids, batch =
+    * odd): shared by the raw-table query (`q_dedup_incremental`, C69)
+    * and its INDEX-BACKED twin
+    * (`q_dedup_minhash_indexed_incremental`, C230 — served from the
+    * stored signature sidecar) — one dedup semantics, two surfaces,
+    * zero drift. */
+  private[graft] lazy val sqlDedupIncremental: String =
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),
+         |hs AS (SELECT doc_id, list_sort(list_distinct([${sqlPolyChar("s")} for s in shingles])) AS hv FROM sh),
+         |sig AS (SELECT doc_id, hv,
+         |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b, mh[2*b+1] * $P + mh[2*b+2] AS bkey
+         |  FROM sig, (SELECT unnest(range(0, ${NumHashes / BandRows})) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |  FROM bands n JOIN bands o ON n.b = o.b AND n.bkey = o.bkey
+         |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+         |m AS (
+         |  SELECT doc_new, min(doc_old) AS dup_of
+         |  FROM cand c JOIN sig sn ON sn.doc_id = c.doc_new
+         |              JOIN sig so ON so.doc_id = c.doc_old
+         |  WHERE CAST(len(list_intersect(sn.hv, so.hv)) AS DOUBLE) /
+         |        (len(sn.hv) + len(so.hv) - len(list_intersect(sn.hv, so.hv)))
+         |        >= $MinhashJaccard
+         |  GROUP BY doc_new)
+         |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN m ON m.doc_new = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
+
   def oracles: Map[String, String] = Map(
     // Same gram hashing as ShinglePolyHashes: polyChar over the k tokens
     // joined with single spaces; p0 (0-based) + 1 … p0 + K token coverage.
@@ -893,32 +948,7 @@ object Dedup extends QueryModule {
         |    PARTITION BY user_id, event_type, epoch
         |    ORDER BY ts_us, event_id) = 1 AS kept
         |FROM s ORDER BY event_id""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),
-         |hs AS (SELECT doc_id, list_sort(list_distinct([${sqlPolyChar("s")} for s in shingles])) AS hv FROM sh),
-         |sig AS (SELECT doc_id, hv,
-         |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b, mh[2*b+1] * $P + mh[2*b+2] AS bkey
-         |  FROM sig, (SELECT unnest(range(0, ${NumHashes / BandRows})) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-         |  FROM bands n JOIN bands o ON n.b = o.b AND n.bkey = o.bkey
-         |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
-         |m AS (
-         |  SELECT doc_new, min(doc_old) AS dup_of
-         |  FROM cand c JOIN sig sn ON sn.doc_id = c.doc_new
-         |              JOIN sig so ON so.doc_id = c.doc_old
-         |  WHERE CAST(len(list_intersect(sn.hv, so.hv)) AS DOUBLE) /
-         |        (len(sn.hv) + len(so.hv) - len(list_intersect(sn.hv, so.hv)))
-         |        >= $MinhashJaccard
-         |  GROUP BY doc_new)
-         |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-         |LEFT JOIN m ON m.doc_new = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_incremental" -> sqlDedupIncremental,
     "q_dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),

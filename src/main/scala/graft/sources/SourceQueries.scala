@@ -298,6 +298,38 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The TEXT incremental-dedup corpus
+    * `q_dedup_minhash_indexed_incremental` reads: the EVEN-id half of
+    * the documents as a managed table (one commit per source), text
+    * index built at staging — the build writes the MinHash signature
+    * sidecar the incremental serve path joins. The odd half plays the
+    * daily batch, read from raw parquet at query time. Staged ONCE per
+    * (JVM, sfDir). */
+  private val stagedTextIncBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTextIncBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedTextIncBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = graft.Scratch.dir("graft_stageti_")
+      val cat = s"graftstgti${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, text STRING)")
+      val docs = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "source", "text")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      cat
+    })
+
   /** The HYBRID corpus `q_search_hybrid_indexed` reads: documents joined
     * to their embeddings (one row per id with BOTH modalities — at sf0.1
     * only 2000 of 5000 docs embed, so the corpus is the join by
@@ -949,6 +981,92 @@ object SourceQueries extends QueryModule {
         .select("embedding").collect().head.getSeq[Float](0).toArray
       VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10)
         .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
+    // INDEX-BACKED incremental MinHash dedup ([[TextIndex
+    // .dedupIncremental]]) — C69's "in production the corpus signatures
+    // live in a stored table" made a real artifact: the corpus (staged
+    // even-id docs) was indexed ONCE (the build wrote the minhash/
+    // signature sidecar); the daily batch (odd docs off raw parquet)
+    // shingles + bands per-row, joins the STORED corpus bands with the
+    // exact Jaccard fused inline, and corpus TEXT is never re-read —
+    // only matched witnesses' files scan, projected to doc_id. Shares
+    // the raw-table C69 oracle: one dedup semantics, two surfaces.
+    "q_dedup_minhash_indexed_incremental" -> ((s, d) => {
+      val cat = stageTextIncBase(s, d)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val batch = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"))
+      TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id", batch)
+    }),
+
+    // STREAMING INGEST DEDUP against the stored index — the daily-ingest
+    // loop end-to-end: new embedding files LAND (three parquet files, one
+    // per micro-batch under maxFilesPerTrigger=1), each micro-batch runs
+    // the index-backed incremental SemDeDup (stored centroids + stored
+    // band sidecar — nothing corpus-sized recomputes per batch), and the
+    // per-row decisions append to the curation log. Decisions are
+    // row-independent (each batch row checks only batch-vs-corpus), so
+    // the drained log equals the one-shot incremental query — the SAME
+    // oracle gates both surfaces, zero drift.
+    "q_stream_semantic_dedup" -> ((s, d) => {
+      val cat = stageVecIncBase(s, d)
+      import org.apache.spark.sql.functions._
+      val odd = Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("embedding"))
+      val root = graft.Scratch.dir("graft_streamsem_")
+      // three deterministic "arrivals" (vec_id mod 6 = 1, 3, 5)
+      Seq(1L, 3L, 5L).foreach { b =>
+        odd.where(pmod(col("vec_id"), lit(6)) === b).coalesce(1)
+          .write.mode("append").parquet(s"$root/arrivals")
+      }
+      val q = s.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/arrivals")
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            VectorIndex.semDedupIncremental(s, s"$cat.q.emb", "embedding",
+                batch.toDF())
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/decisions")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/decisions")
+        .select(col("vec_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
+    // RECALL AUDIT for the global BY PARTITION union (the C208
+    // audit-as-data pattern applied to C225): recall@10 of the
+    // pins-are-all-partitions search vs the exact brute-force top-10 —
+    // quantifies what partition-sharded geometries trade vs a single
+    // corpus-wide index, oracle-certified so a union or sub-geometry
+    // regression moves the number and hash-fails.
+    "q_vector_search_partitioned_recall" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions._
+      val t = s.table(s"$cat.q.emb")
+      val probe = t.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val approx = VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10)
+        .select(col("vec_id"))
+      val pv = typedLit(probe.toSeq)
+      val exact = t.select(col("vec_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true")).as("recall"))
     }),
 
     // COMPOSABLE VECTOR SEARCH: the statement as a RELATION inside a
@@ -3115,6 +3233,28 @@ object SourceQueries extends QueryModule {
          |FROM (${(0 to 9).map(l => s"SELECT * FROM c$l")
                .mkString(" UNION ALL ")})
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    // Recall@10 of the 10-way union vs the exact brute-force top-10.
+    "q_vector_search_partitioned_recall" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH pv AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |${(0 to 9).map(l => sqlPartChain(l, s"r${l}x")).mkString(",\n")},
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, sim
+         |    FROM (${(0 to 9).map(l => s"SELECT * FROM c$l")
+                   .mkString(" UNION ALL ")})
+         |    ORDER BY sim DESC, vec_id LIMIT 10)),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      ${graft.llm.PortableHash.sqlDotFixed("e.embedding", "pv.pv")} AS sim
+         |    FROM embeddings e, pv
+         |    ORDER BY sim DESC, vec_id LIMIT 10))
+         |SELECT COUNT(*) AS n_true,
+         |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
+         |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM exact LEFT JOIN approx x ON exact.vec_id = x.vec_id""".stripMargin),
     "q_vector_search_sql_filtered" ->
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // The full SemDeDup pipeline replayed at the index's training depth.
@@ -3125,6 +3265,14 @@ object SourceQueries extends QueryModule {
     // hyperplanes, batch×corpus bucket∩cluster candidates, min-id witness.
     "q_dedup_semantic_indexed_incremental" ->
       graft.llm.Clustering.sqlSemDedupIndexedIncremental,
+    // The streamed surface answers exactly the one-shot incremental query
+    // (per-row decisions are batch-vs-corpus independent): shared replay.
+    "q_stream_semantic_dedup" ->
+      graft.llm.Clustering.sqlSemDedupIndexedIncremental,
+    // The index-backed surface answers exactly the raw-table C69 query
+    // (the sidecar is a materialization, not a semantics change).
+    "q_dedup_minhash_indexed_incremental" ->
+      graft.llm.Dedup.sqlDedupIncremental,
     // The full diversity-sample replay at the index's training depth.
     "q_sample_cluster_indexed" -> graft.llm.Clustering.sqlClusterSample(1),
     // Exact top-10 vs the IVF replay's top-10, joined — recall as data.

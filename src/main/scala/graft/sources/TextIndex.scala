@@ -88,6 +88,31 @@ object TextIndex {
     stats.coalesce(1).write.parquet(idxDir.resolve("stats").toString)
   }
 
+  /** The STORED-SIGNATURE sidecar rows for `names` — `(file, pos, hv,
+    * mh)` per live row ([[graft.llm.Dedup.minhashSignatureRows]]): the
+    * C69 incremental-dedup contract made a real artifact, so a daily
+    * batch near-dedups against the corpus without re-reading or
+    * re-hashing any corpus text ([[dedupIncremental]]). Narrow (hashed
+    * shingle longs + a 16-long signature), file-keyed like posts/stats
+    * so refresh remaps it the same way. */
+  private def minhashOf(spark: SparkSession, dir: Path, colName: String,
+      names: Seq[String]): DataFrame =
+    graft.llm.Dedup.minhashSignatureRows(
+      scanFiles(spark, dir, names)
+        .select(col("_file").as("file"), col("_pos").as("pos"),
+          col(colName).as("text")),
+      "text", Seq("file", "pos"))
+
+  private def emptyMinhash(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("file", StringType),
+        StructField("pos", LongType),
+        StructField("hv", ArrayType(LongType)),
+        StructField("mh", ArrayType(LongType)))))
+  }
+
   /** Build (or rebuild) the index for `colName`: one distributed pass over
     * the current live rows, one shuffle keyed on token, one props-only
     * commit. Returns (files indexed, distinct tokens). */
@@ -111,10 +136,14 @@ object TextIndex {
         writeIndex(idxDir,
           Seq.empty[(String, String, Long)].toDF("token", "file", "n_docs"),
           Seq.empty[(String, Long, Long)].toDF("file", "n_docs", "sum_dl"))
+        emptyMinhash(spark)
+          .write.parquet(idxDir.resolve("minhash").toString)
         0L
       } else {
         val (posts, stats) = deltaOf(spark, dir, field.name, names)
         writeIndex(idxDir, posts, stats)
+        minhashOf(spark, dir, field.name, names)
+          .write.parquet(idxDir.resolve("minhash").toString)
         spark.read.parquet(idxDir.resolve("posts").toString)
           .select(col("token")).distinct().count()
       }
@@ -173,6 +202,18 @@ object TextIndex {
       val (delta, dStats) = deltaOf(spark, dir, colName, newFiles)
       writeIndex(idxDir, keptPosts.unionByName(delta),
         keptStats.unionByName(dStats))
+    }
+    // the signature sidecar remaps exactly like posts/stats: dead files'
+    // rows drop, new files' rows hash in (an index built before the
+    // incremental-dedup tier has no sidecar and stays without one until
+    // a full rebuild)
+    if (java.nio.file.Files.exists(oldDir.resolve("minhash"))) {
+      val keptSig = spark.read.parquet(oldDir.resolve("minhash").toString)
+        .where(!col("file").isin(dead: _*))
+      val sig =
+        if (newFiles.isEmpty) keptSig
+        else keptSig.unionByName(minhashOf(spark, dir, colName, newFiles))
+      sig.write.parquet(idxDir.resolve("minhash").toString)
     }
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
@@ -266,6 +307,108 @@ object TextIndex {
       case Some(cand) if cand.isEmpty => spark.table(table).where(lit(false))
       case Some(cand) => scanFiles(spark, mt.dir, cand).where(pred)
       case None => spark.table(table).where(pred)
+    }
+  }
+
+  /** INCREMENTAL near-dup dedup against the index's STORED signature
+    * sidecar — the text twin of
+    * [[VectorIndex.semDedupIncremental]], closing C69's "in production
+    * the corpus signatures live in a stored table" IOU: batch rows
+    * shingle + MinHash per-row (pure codegen math, no geometry),
+    * candidates come from batch-bands × the stored `minhash/` sidecar,
+    * the exact Jaccard verifies INSIDE the same join (hv rides both
+    * sides — no refetch round trip), and corpus TEXT is never re-read:
+    * only the MATCHED witnesses' files are scanned, projected to the id
+    * column, to report `dup_of`. Per-batch cost O(\|batch\| × bucket);
+    * a daily ingest touches ~\|matches\| files, never the corpus.
+    *
+    * `batch` carries `idCol` + `colName`; output (doc_id, dup_of,
+    * is_dup) per batch row — min-id corpus witness, the C69 contract.
+    * Stale index: the shared onStale policy (`refresh` catches up and
+    * serves from the sidecar; `retrain` recomputes corpus signatures
+    * in-query — same answer, no bounded fetch; `fail` refuses).
+    * Pre-sidecar indexes refuse with rebuild guidance. */
+  def dedupIncremental(spark: SparkSession, table: String, colName: String,
+      idCol: String, batch: DataFrame): DataFrame = {
+    import graft.llm.Dedup
+    val op = "MINHASH DEDUP INCREMENTAL"
+    val mt = resolveManifestTable(spark, table, op)
+    if (!Manifest.read(mt.dir).exists(_.props.keys
+        .exists(_.equalsIgnoreCase(PropPrefix + colName))))
+      throw new IllegalStateException(
+        s"$op: no text index on $table ($colName) — CREATE TEXT INDEX " +
+          "first (its build writes the signature sidecar this serves from)")
+    applyStalePolicy(spark, mt.dir, colName, op)
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
+    val bSig = Dedup.minhashSignatureRows(
+      batch.select(col(idCol).as("doc_id"), col(colName).as("text")),
+      "text", Seq("doc_id"))
+    val bBands = Dedup.minhashBandRows(bSig, Seq("doc_id", "hv"))
+      .select(col("doc_id").as("vn"), col("hv").as("hv_n"),
+        col("band"), col("bkey"))
+    def result(matched: DataFrame): DataFrame =
+      bSig.select(col("doc_id"))
+        .join(matched, col("doc_id") === col("vn"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    freshIdx(spark, m, colName) match {
+      case Some(idxName) =>
+        val sigPath = mt.dir.resolve(idxName).resolve("minhash")
+        if (!java.nio.file.Files.exists(sigPath))
+          throw new IllegalStateException(
+            s"$op: the index on $table ($colName) predates the signature " +
+              "sidecar — re-run CREATE TEXT INDEX to materialize it")
+        val cBands = Dedup.minhashBandRows(
+            spark.read.parquet(sigPath.toString),
+            Seq("file", "pos", "hv"))
+          .select(col("band").as("oband"), col("bkey").as("obkey"),
+            col("file"), col("pos"), col("hv").as("hv_o"))
+        // bucket ∩ Jaccard fused in ONE join; the match set (bounded by
+        // real near-dups) is materialized once — it drives both the
+        // witness-file planning and the id fetch
+        val matchedRows = bBands.join(cBands,
+            col("band") === col("oband") && col("bkey") === col("obkey") &&
+              Dedup.jaccard(col("hv_n"), col("hv_o")) >=
+                Dedup.MinhashJaccard)
+          .select(col("vn"), col("file"), col("pos"))
+          .localCheckpoint()
+        val candFiles = matchedRows.select("file").distinct()
+          .collect().map(_.getString(0))
+        val matched =
+          if (candFiles.isEmpty) {
+            val idType = m.schema.fields
+              .find(_.name.equalsIgnoreCase(idCol)).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.LongType)
+            spark.range(0).select(col("id").cast(idType).as("vn"),
+              col("id").cast(idType).as("dup_of"))
+          } else {
+            // ONLY the matched witnesses' files scan, id column projected
+            val ids = scanFiles(spark, mt.dir, candFiles.toSeq)
+              .select(col(idCol).as("oid"), col("_file").as("file"),
+                col("_pos").as("pos"))
+            matchedRows.join(ids, Seq("file", "pos"))
+              .groupBy("vn").agg(min(col("oid")).as("dup_of"))
+          }
+        result(matched)
+      case None =>
+        // retrain fallback: corpus signatures recomputed in-query over
+        // the live files — same answer as a rebuilt sidecar, no pruning
+        val names = m.entries.filter(_.rows > 0).map(_.name)
+        val sig = Dedup.minhashSignatureRows(
+          scanFiles(spark, mt.dir, names)
+            .select(col(idCol).as("oid"), col(colName).as("text")),
+          "text", Seq("oid"))
+        val oBands = Dedup.minhashBandRows(sig, Seq("oid", "hv"))
+          .select(col("band").as("oband"), col("bkey").as("obkey"),
+            col("oid"), col("hv").as("hv_o"))
+        val matched = bBands.join(oBands,
+            col("band") === col("oband") && col("bkey") === col("obkey") &&
+              Dedup.jaccard(col("hv_n"), col("hv_o")) >=
+                Dedup.MinhashJaccard)
+          .groupBy("vn").agg(min(col("oid")).as("dup_of"))
+        result(matched)
     }
   }
 

@@ -74,6 +74,53 @@ class TextIndexSpec extends SparkSuite {
     assert(none.count() == 0L)
   }
 
+  test("incremental MinHash dedup: stored signatures, matched files only") {
+    val (cat, _) = freshCatalog("tix20")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    // an exact copy of doc 3 and an unrelated doc: only the witness's
+    // file (1 of 3) is ever scanned — corpus text never re-read
+    val batch = Seq((100L, "needle in the hay"),
+      (101L, "zulu yankee xray whiskey")).toDF("id", "text")
+    val res = TextIndex.dedupIncremental(spark, t, "text", "id", batch)
+    val rows = res.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSeq
+    assert(rows == Seq((100L, Some(3L), true), (101L, None, false)),
+      s"witness + non-dup: $rows")
+    assert(plannedFiles(res) == 1,
+      "id fetch scans the matched witness's ONE file of 3")
+    // refresh remaps the signature sidecar: a new file's rows are
+    // served from the sidecar (no corpus re-hash), old files untouched
+    Seq((7L, "quebec papa oscar november")).toDF("id", "text")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"REFRESH TEXT INDEX ON $t (text)")
+    val batch2 = Seq((102L, "quebec papa oscar november")).toDF("id", "text")
+    val res2 = TextIndex.dedupIncremental(spark, t, "text", "id", batch2)
+    val r2 = res2.collect().head
+    assert(r2.getLong(1) == 7L && r2.getBoolean(2),
+      s"refreshed sidecar serves the new file's signatures: $r2")
+    assert(plannedFiles(res2) == 1, "only the appended file fetches")
+    // stale default (retrain): in-query corpus signatures, same answer
+    Seq((8L, "tango sierra romeo")).toDF("id", "text")
+      .coalesce(1).writeTo(t).append()
+    val stale = TextIndex.dedupIncremental(spark, t, "text", "id",
+      Seq((103L, "tango sierra romeo")).toDF("id", "text")).collect().head
+    assert(stale.getLong(1) == 8L && stale.getBoolean(2), stale.toString)
+    // a pre-sidecar index refuses with rebuild guidance
+    spark.sql(s"REFRESH TEXT INDEX ON $t (text)")
+    val dir = dirOf(t)
+    val idx = Manifest.read(dir).get.props("tokenidx.text").split(";")(0)
+    val sigDir = dir.resolve(idx).resolve("minhash")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(sigDir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walk.close()
+    val e = intercept[IllegalStateException] {
+      TextIndex.dedupIncremental(spark, t, "text", "id", batch).collect()
+    }
+    assert(e.getMessage.contains("signature sidecar"), e.getMessage)
+  }
+
   test("stale index (appended file set) falls back to a correct full scan") {
     val (cat, _) = freshCatalog("tix2")
     val t = stage(cat)
