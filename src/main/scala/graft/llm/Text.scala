@@ -65,11 +65,17 @@ object Text extends QueryModule {
       .agg(sum(col("part_fx")).as("score_fx"), count(lit(1)).as("n_terms"))
   }
 
-  /** The DuckDB mirror of [[bm25PerDoc]] — (doc_id, score_fx, n_terms). */
-  private[graft] lazy val sqlBm25PerDoc: String = {
+  /** The DuckDB mirror of [[bm25PerDoc]] — (doc_id, score_fx, n_terms) —
+    * over the standard corpus; [[sqlBm25PerDocOver]] parameterizes the
+    * corpus (e.g. the live complement after a deletion-vectored DELETE,
+    * `q_text_bm25_dv`). */
+  private[graft] lazy val sqlBm25PerDoc: String =
+    sqlBm25PerDocOver("SELECT doc_id, text FROM documents")
+
+  private[graft] def sqlBm25PerDocOver(corpus: String): String = {
     val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
     s"""WITH tokens AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM ($corpus)),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens
        |       WHERE term IN ($terms) GROUP BY doc_id, term),

@@ -188,30 +188,42 @@ object MetadataTables {
       val m = Manifest.read(dir).getOrElse(
         throw new IllegalStateException(s"metadata table: no manifest at $dir"))
       val curDigest = TextIndex.digestOf(m) // same digest contract both kinds
+      val curDvDigest = TextIndex.dvDigestOf(m)
       m.props.toSeq.sortBy(_._1).collect {
         case (k, v) if k.startsWith(TextIndex.PropPrefix) =>
-          val Array(idxDir, dig) = v.split(";", 2)
+          val fields = v.split(";", -1)
+          // `fresh` is serving admissibility (names-only digest — DVs
+          // never flip it); DV-only drift (ranking statistics counting
+          // dead rows until REFRESH re-derives the touched files)
+          // surfaces in details so operators see the catch-up debt
+          val drifted = fields.length > 2 && fields(2) != curDvDigest
           Seq(Array[Any](UTF8String.fromString("text"),
             UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
-            UTF8String.fromString(idxDir), dig == curDigest, null))
+            UTF8String.fromString(fields(0)), fields(1) == curDigest,
+            if (drifted) UTF8String.fromString("dv_drift=true") else null))
         case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>
           val p = VectorIndex.parseProp(v)
           val pq = java.nio.file.Files.exists(
             dir.resolve(p.idxName).resolve("pqcb"))
           // non-default build knobs ride the details column so an
-          // operator reads the index's POLICY off t$indexes
+          // operator reads the index's POLICY off t$indexes; dv drift
+          // (sidecar rows still counting deletion-vectored vec_ids —
+          // rerank-budget waste until REFRESH) is catch-up debt, not a
+          // freshness flip, same as the text rule
           val extras = Seq(
             p.lists.map(l => s"lists=$l"),
             p.sample.map(s => s"sample=$s"),
             Some(p.coarse).filter(_ != 2).map(c => s"coarse=$c"),
-            p.partCol.map(pc => s"by=$pc")).flatten
+            p.partCol.map(pc => s"by=$pc"),
+            p.dvDigest.filter(_ != curDvDigest).map(_ => "dv_drift=true")
+          ).flatten
           // a legacy-assigner index reports stale: serving treats it so
           Array[Any](UTF8String.fromString("vector"),
             UTF8String.fromString(k.stripPrefix(VectorIndex.PropPrefix)),
             UTF8String.fromString(p.idxName), p.isCurrent(curDigest),
             UTF8String.fromString(
               (s"anchors=${p.idCol} pq=$pq" +: extras).mkString(" "))) +:
-            vectorPartRows(dir, m, curDigest,
+            vectorPartRows(dir, m, curDigest, curDvDigest,
               k.stripPrefix(VectorIndex.PropPrefix), p)
       }.flatten.toArray
   }
@@ -227,7 +239,8 @@ object MetadataTables {
     * part-column-projected scan of ONLY those files (the refresh path's
     * own attribution read, bounded by churn). */
   private def vectorPartRows(dir: Path, m: Manifest, curDigest: String,
-      colName: String, p: VectorIndex.Prop): Seq[Array[Any]] =
+      curDvDigest: String, colName: String,
+      p: VectorIndex.Prop): Seq[Array[Any]] =
     p.partCol match {
       case None => Seq.empty
       case Some(pc) =>
@@ -235,6 +248,24 @@ object MetadataTables {
         val idxDir = dir.resolve(p.idxName)
         if (!java.nio.file.Files.exists(idxDir.resolve("cents")))
           return Seq.empty
+        // dv-drifted files make THEIR partitions stale (the partition-
+        // scoped refresh would retrain exactly those slices); attribution
+        // reads the metadata-class coverage sidecar, and only when the
+        // dv digest actually diverged
+        val driftedFiles: Set[String] =
+          if (p.dvDigest.forall(_ == curDvDigest)) Set.empty
+          else {
+            val coveredPath = idxDir.resolve("covered")
+            if (java.nio.file.Files.exists(coveredPath))
+              spark.read.parquet(coveredPath.toString).collect()
+                .map(r => r.getString(0) -> r.getString(1)).toMap match {
+                  case rec => m.entries.filter(e => e.rows > 0 &&
+                    rec.contains(e.name) &&
+                    rec(e.name) != e.dv.map(_._1).orNull).map(_.name).toSet
+                }
+            else m.entries.filter(e => e.rows > 0 && e.dv.isDefined)
+              .map(_.name).toSet
+          }
         val kByPart = spark.read.parquet(idxDir.resolve("cents").toString)
           .groupBy("part").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -259,8 +290,8 @@ object MetadataTables {
         val fresh = p.isCurrent(curDigest)
         (kByPart.keySet ++ newParts).toSeq.sorted.map { pv =>
           val files = filesByPart.getOrElse(pv, Set.empty)
-          val partFresh = fresh || (!allStale && !newParts(pv) &&
-            files.subsetOf(live))
+          val partFresh = (fresh || (!allStale && !newParts(pv) &&
+            files.subsetOf(live))) && !files.exists(driftedFiles)
           Array[Any](UTF8String.fromString("vector-part"),
             UTF8String.fromString(colName),
             UTF8String.fromString(p.idxName), partFresh,

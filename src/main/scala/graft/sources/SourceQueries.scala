@@ -199,6 +199,75 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The DELETION-VECTORED embeddings base `q_vector_search_dv` reads:
+    * the same corpus in three range commits on a `delete.dv` table,
+    * indexed, then a merge-on-read `DELETE WHERE label = 3` (cuts every
+    * file — names unchanged, per-file DVs only) followed by `REFRESH
+    * VECTOR INDEX`, which sees the dv-digest divergence and re-derives
+    * the touched files' postings/codes/bands against the STORED geometry
+    * (trained pre-delete — the standard IVF DML posture). Staged ONCE
+    * per (JVM, sfDir). */
+  private val stagedVecDvBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageVecDvBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedVecDvBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stagevd_")
+      val cat = s"graftstgvd${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) " +
+        "TBLPROPERTIES ('delete.dv' = 'true')")
+      val emb = Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
+      val n = emb.count()
+      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).foreach {
+        case (lo, hi) =>
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+            .writeTo(s"$cat.q.emb").append()
+      }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) ANCHORS (vec_id)")
+        .collect()
+      s.sql(s"DELETE FROM $cat.q.emb WHERE label = 3")
+      s.sql(s"REFRESH VECTOR INDEX ON $cat.q.emb (embedding)").collect()
+      cat
+    })
+
+  /** The DELETION-VECTORED text base `q_text_bm25_dv` reads: full
+    * documents rows per-source on a `delete.dv` table, token-indexed,
+    * then a merge-on-read DELETE (cuts files — DVs only, names
+    * unchanged) followed by `REFRESH TEXT INDEX`, which sees the
+    * dv-digest divergence and re-derives the touched files' BM25
+    * stats/postings from their masked scans — live-exact ranking
+    * statistics without DROP + CREATE. Staged ONCE per (JVM, sfDir). */
+  private val stagedTextDvBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTextDvBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedTextDvBase.computeIfAbsent(d, _ => {
+      val root = graft.Scratch.dir("graft_stagetd_")
+      val cat = s"graftstgtd${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, " +
+        "text STRING) TBLPROPERTIES ('delete.dv' = 'true')")
+      val docs = Tables(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      s.sql(s"DELETE FROM $cat.q.docs WHERE lang = 'en' AND n_chars < 250")
+      s.sql(s"REFRESH TEXT INDEX ON $cat.q.docs (text)").collect()
+      cat
+    })
+
   /** The PARTITIONED embeddings base `q_vector_search_partitioned`
     * reads: PARTITIONED BY (label), one partition-pure commit per label,
     * with a BY PARTITION vector index (one sub-geometry per label) built
@@ -1434,6 +1503,49 @@ object SourceQueries extends QueryModule {
     // one-file-per-source managed base must plan only the file PREFIX
     // whose live rows cover the limit — at a million files, `LIMIT 100`
     // plans O(1) files, never the table. In-query asserts pin the planning
+    // DV-drift catch-up for BM25 through the ORACLE gate (r13): a
+    // merge-on-read DELETE leaves file names (and so the serving digest)
+    // unchanged while the per-file stats/postings still count the dead
+    // rows — the Lucene deleted-docs drift; REFRESH compares the prop's
+    // second DV-identity digest, re-derives exactly the touched files
+    // from their masked scans, and BM25 then ranks with LIVE-exact
+    // df/N/avgdl. The oracle recomputes BM25 from raw parquet over the
+    // live complement — a refresh that no-ops on DV-only churn (the old
+    // behavior: stats frozen at index time) hash-fails here.
+    "q_text_bm25_dv" -> ((s, d) => {
+      val cat = stageTextDvBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val res = TextIndex.bm25TopK(s, s"$cat.q.docs", "text", "doc_id",
+        graft.llm.Text.Bm25Terms, 10)
+      // staging REFRESHed after the DELETE: the drift must be cleared
+      val drift = s.sql(s"SELECT details FROM $cat.q.`docs$$indexes`")
+        .collect().head
+      assert(drift.get(0) == null, s"refresh must clear the dv drift: $drift")
+      res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
+    }),
+
+    // DV-drift catch-up for ANN through the ORACLE gate (r13): after the
+    // merge-on-read DELETE, the stored postings/codes/bands carry dead
+    // vec_ids until REFRESH sees the dv-digest divergence and re-derives
+    // the touched files against the STORED geometry (trained pre-delete
+    // — the standard IVF DML posture; C210's recall audits monitor the
+    // drift). The oracle replays the pre-delete Lloyd chain with the
+    // deleted label filtered from the candidates — a refresh that missed
+    // the drift (dead rows rank) or over-rotated (retrained geometry)
+    // hash-fails.
+    "q_vector_search_dv" -> ((s, d) => {
+      val cat = stageVecDvBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val drift = s.sql(s"SELECT details FROM $cat.q.`emb$$indexes`")
+        .collect().head.getString(0)
+      assert(!drift.contains("dv_drift"),
+        s"refresh must clear the dv drift: $drift")
+      VectorIndex.search(s, s"$cat.q.emb", "embedding", probe, 10)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+    }),
+
     // contract (planned files == the minimal covering prefix, recomputed
     // from the manifest's own live-row counts) and row integrity (exactly
     // 100 DISTINCT doc_ids, every one present in the raw parquet). The
@@ -3443,6 +3555,18 @@ object SourceQueries extends QueryModule {
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
          |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
          |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The full BM25 recomputation over the LIVE complement — what the
+    // dv-drift refresh must converge the stored stats to.
+    "q_text_bm25_dv" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDocOver(
+               "SELECT doc_id, text FROM documents " +
+                 "WHERE NOT (lang = 'en' AND n_chars < 250)")}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The pre-delete Lloyd chain (the geometry the refresh KEPT) with
+    // the deleted label filtered from the candidates.
+    "q_vector_search_dv" -> sqlVectorSearchOracle("WHERE a.label <> 3"),
     // Rarest-token search recomputed from the raw parquet: same
     // tokenizer, same term choice, same result set.
     "q_text_search_indexed" ->

@@ -31,10 +31,16 @@ import org.apache.spark.sql.functions._
   * `.option("files")`; different (append/OPTIMIZE/DELETE rewrote the file
   * set) → silent full-scan fallback, so CORRECTNESS NEVER DEPENDS ON
   * REBUILD DISCIPLINE (the MV freshness-guard rule). Deletion vectors
-  * change no file names: a DV'd row just makes the index over-approximate,
-  * and the exact predicate re-applies scan-side either way. `DROP TEXT
-  * INDEX` removes the prop; orphaned `_tokenidx_*` dirs are reaped by
-  * VACUUM's reachability pass, never inline.
+  * change no file names, so they never flip serving freshness: a DV'd row
+  * just makes the index over-approximate (the exact predicate re-applies
+  * scan-side, and the masked fetch keeps membership live-exact) — but the
+  * per-file STATISTICS drift, so the prop carries a second DV-identity
+  * digest ([[dvDigestOf]]) that [[refresh]] compares: DV-only churn
+  * re-derives exactly the touched files' rows via the `covered/`
+  * coverage sidecar, never the corpus, and `t$indexes` surfaces the debt
+  * as `dv_drift=true` until then. `DROP TEXT INDEX` removes the prop;
+  * orphaned `_tokenidx_*` dirs are reaped by VACUUM's reachability pass,
+  * never inline.
   *
   * Scale: the index is ~(distinct tokens × covering files) rows — metadata
   * volume. Lookup reads one token's posting list (O(#files) worst case for
@@ -51,9 +57,26 @@ object TextIndex {
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Digest of a manifest's indexed-file set (names only, order-free). */
+  /** Digest of a manifest's indexed-file set (names only, order-free).
+    * Deliberately BLIND to deletion vectors: a DV'd row never surfaces
+    * from a fetch (the reader masks it), so pruning through the index
+    * stays admissible — serving freshness must not flip on DV churn
+    * (the spec-pinned "DV must not invalidate the index" rule). */
   private[sources] def digestOf(m: Manifest): String =
     sha256(m.entries.filter(_.rows > 0).map(_.name).sorted.mkString("\n"))
+
+  /** DV-identity digest over the same file set (`name:dvName` pairs) —
+    * what REFRESH compares to see DV-ONLY churn: a row-level DELETE on a
+    * merge-on-read table changes no file names, but the per-file
+    * statistics the index stores (BM25 n_docs/sum_dl/df, the minhash
+    * signature rows) still count the dead rows until the touched files
+    * re-derive. Equal names digest + equal dv digest = nothing to
+    * refresh at all, one string compare (the auto-refresh fast path
+    * never opens a sidecar). */
+  private[sources] def dvDigestOf(m: Manifest): String =
+    sha256(m.entries.filter(_.rows > 0)
+      .map(e => e.name + ":" + e.dv.map(_._1).getOrElse("-"))
+      .sorted.mkString("\n"))
 
   private def scanFiles(spark: SparkSession, dir: Path,
       names: Seq[String]): DataFrame =
@@ -86,6 +109,24 @@ object TextIndex {
       stats: DataFrame): Unit = {
     posts.write.parquet(idxDir.resolve("posts").toString)
     stats.coalesce(1).write.parquet(idxDir.resolve("stats").toString)
+  }
+
+  /** The COVERAGE sidecar: one `(file, dv)` row per covered file — the
+    * dv sidecar name each file's index rows reflect (null = none at
+    * derivation time). Two jobs: (a) when the dv digest diverges,
+    * [[refresh]] reads this to find WHICH files drifted (re-derive
+    * those, carry the rest — bounded by DV churn, never the corpus);
+    * (b) it records coverage independently of the stat rows, so a file
+    * whose rows are ALL deletion-vectored (no stats row survives the
+    * masked scan) still counts as covered instead of re-deriving on
+    * every refresh. Metadata-class: one narrow row per file. */
+  private def writeCovered(spark: SparkSession, idxDir: Path, m: Manifest,
+      names: Seq[String]): Unit = {
+    import spark.implicits._
+    val byName = m.entries.map(e => e.name -> e.dv.map(_._1)).toMap
+    names.map(n => (n, byName.get(n).flatten.orNull))
+      .toDF("file", "dv")
+      .coalesce(1).write.parquet(idxDir.resolve("covered").toString)
   }
 
   /** The STORED-SIGNATURE sidecar rows for `names` — `(file, pos, hv,
@@ -147,12 +188,15 @@ object TextIndex {
         spark.read.parquet(idxDir.resolve("posts").toString)
           .select(col("token")).distinct().count()
       }
-    // props-only publish under the table's commit lock: the index dir and
-    // the file-set digest it covers swap in atomically
+    writeCovered(spark, idxDir, m, names)
+    // props-only publish under the table's commit lock: the index dir,
+    // the file-set digest it covers, and the DV-identity digest swap in
+    // atomically
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
-        cur.props + (PropPrefix + field.name -> s"$idxName;${digestOf(m)}")))
+        cur.props + (PropPrefix + field.name ->
+          s"$idxName;${digestOf(m)};${dvDigestOf(m)}")))
     }
     (names.length.toLong, nTokens)
   }
@@ -162,51 +206,93 @@ object TextIndex {
     * rows DROP (OPTIMIZE/DELETE/MERGE rewrote or removed them) and only
     * the files not previously indexed tokenize — at 100 TB a daily
     * ingest re-indexes the day and a compaction re-indexes the compacted
-    * output, never the corpus. After any refresh the index is exactly
-    * what a full [[build]] of the current file set would produce (unlike
-    * the vector index there is no trained state — postings and stats are
-    * pure per-file derivations). A fresh index is a no-op. Returns
-    * (files newly indexed, remapped-after-rewrite?). */
+    * output, never the corpus. DV-ONLY churn (a merge-on-read DELETE —
+    * names unchanged, dv digest diverged) remaps the same way: the
+    * drifted files re-derive from their masked scan (live rows only), the
+    * rest carry over — so ranking statistics catch up to the live corpus
+    * without DROP + CREATE, bounded by the DV'd files, and the serving
+    * digest stays names-only (pruning admissibility never flips on a
+    * DV). After any refresh the index is exactly what a full [[build]] of
+    * the current live state would produce (unlike the vector index there
+    * is no trained state — postings and stats are pure per-file
+    * derivations). A fresh index is a no-op. Returns (files re-derived,
+    * remapped-after-rewrite-or-drift?). */
   def refresh(spark: SparkSession, dir: Path, colName: String): (Long, Boolean) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"REFRESH TEXT INDEX: no manifest at $dir"))
     val key = m.props.keys.find(_.equalsIgnoreCase(PropPrefix + colName))
       .getOrElse(throw new IllegalStateException(
         s"REFRESH TEXT INDEX: no text index on $colName — CREATE it first"))
-    val Array(oldIdx, oldDig) = m.props(key).split(";", 2)
-    if (oldDig == digestOf(m)) return (0L, false)
-    // which files did the stored index cover? Recorded nowhere — recover
-    // them from the stat sidecar itself (one file column, a metadata read;
-    // stats carry empty files too, unlike postings)
+    val fields = m.props(key).split(";", -1)
+    val (oldIdx, oldDig) = (fields(0), fields(1))
+    val oldDvDig = if (fields.length > 2) Some(fields(2)) else None
+    val namesCurrent = oldDig == digestOf(m)
+    val dvCurrent = oldDvDig.contains(dvDigestOf(m))
+    if (namesCurrent && dvCurrent) return (0L, false)
     val oldDir = dir.resolve(oldIdx)
     val oldStats = spark.read.parquet(oldDir.resolve("stats").toString)
     if (!oldStats.schema.fieldNames.contains("file"))
       // an index persisted by the pre-per-file stats format (one
       // corpus-total row) can't remap — rebuild once, migrating it
       return (build(spark, dir, colName)._1, true)
-    val indexedFiles = oldStats
-      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
-    val live = m.entries.filter(_.rows > 0).map(_.name)
-    val newFiles = live.filterNot(indexedFiles)
-    val dead = (indexedFiles -- live.toSet).toSeq.sorted
+    // which files did the stored index cover, under which dv state? The
+    // coverage sidecar records both; a legacy index (no `covered/`)
+    // recovers names from the stat rows and treats any live covered file
+    // that CURRENTLY carries a dv as drifted (conservative — correct,
+    // bounded by the DV'd files; this refresh writes `covered/` so the
+    // next one compares exactly)
+    val liveEntries = m.entries.filter(_.rows > 0)
+    val liveDv = liveEntries.map(e => e.name -> e.dv.map(_._1).orNull).toMap
+    val coveredPath = oldDir.resolve("covered")
+    val recorded: Option[Map[String, String]] =
+      if (Files.exists(coveredPath))
+        Some(spark.read.parquet(coveredPath.toString).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap)
+      else None
+    val indexedFiles: Set[String] = recorded.map(_.keySet).getOrElse(
+      oldStats.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet)
+    val drift: Set[String] = recorded match {
+      case Some(rec) => liveEntries
+        .filter(e => rec.contains(e.name) &&
+          rec(e.name) != liveDv(e.name)).map(_.name).toSet
+      case None => liveEntries
+        .filter(e => indexedFiles(e.name) && e.dv.isDefined)
+        .map(_.name).toSet
+    }
+    val live = liveEntries.map(_.name)
+    val newFiles = live.filterNot(f => indexedFiles(f) && !drift(f))
+    val dead = ((indexedFiles -- live.toSet) ++ drift).toSeq.sorted
+    if (namesCurrent && newFiles.isEmpty && dead.isEmpty) {
+      // names fresh, nothing drifted — the dv digest was just unknown
+      // (pre-dv-digest prop): upgrade the prop (and missing coverage) in
+      // place, no sidecar rewrite
+      if (recorded.isEmpty) writeCovered(spark, oldDir, m, live)
+      ManifestLock.withLock(dir) {
+        val cur = Manifest.read(dir).getOrElse(m)
+        Manifest.write(dir, cur.copy(props =
+          cur.props + (key -> s"$oldIdx;${digestOf(m)};${dvDigestOf(m)}")))
+      }
+      return (0L, false)
+    }
     val keptPosts = spark.read.parquet(oldDir.resolve("posts").toString)
       .where(!col("file").isin(dead: _*))
-    val keptStats = spark.read.parquet(oldDir.resolve("stats").toString)
-      .where(!col("file").isin(dead: _*))
+    val keptStats = oldStats.where(!col("file").isin(dead: _*))
     val idxName = s"_tokenidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
     if (newFiles.isEmpty) writeIndex(idxDir, keptPosts, keptStats)
     else {
-      // new files are disjoint from kept ones, so the (token, file)
-      // posting rows and (file) stat rows union without conflict
+      // re-derived files are excluded from the kept side, so the
+      // (token, file) posting rows and (file) stat rows union without
+      // conflict
       val (delta, dStats) = deltaOf(spark, dir, colName, newFiles)
       writeIndex(idxDir, keptPosts.unionByName(delta),
         keptStats.unionByName(dStats))
     }
-    // the signature sidecar remaps exactly like posts/stats: dead files'
-    // rows drop, new files' rows hash in (an index built before the
-    // incremental-dedup tier has no sidecar and stays without one until
-    // a full rebuild)
+    // the signature sidecar remaps exactly like posts/stats: dead and
+    // drifted files' rows drop, re-derived files' rows hash in (an index
+    // built before the incremental-dedup tier has no sidecar and stays
+    // without one until a full rebuild)
     if (java.nio.file.Files.exists(oldDir.resolve("minhash"))) {
       val keptSig = spark.read.parquet(oldDir.resolve("minhash").toString)
         .where(!col("file").isin(dead: _*))
@@ -215,10 +301,11 @@ object TextIndex {
         else keptSig.unionByName(minhashOf(spark, dir, colName, newFiles))
       sig.write.parquet(idxDir.resolve("minhash").toString)
     }
+    writeCovered(spark, idxDir, m, live)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
-        cur.props + (key -> s"$idxName;${digestOf(m)}")))
+        cur.props + (key -> s"$idxName;${digestOf(m)};${dvDigestOf(m)}")))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -232,14 +319,18 @@ object TextIndex {
       }
     }
 
-  /** The index dir name when a FRESH index exists on `colName`. */
+  /** The index dir name when a FRESH index exists on `colName`.
+    * Freshness = the names-only digest (field 2): DV churn never flips
+    * serving admissibility — membership stays live-exact through the
+    * masked fetch, and the dv digest (field 3, when present) only drives
+    * [[refresh]]'s statistics catch-up. */
   private def freshIdx(spark: SparkSession, m: Manifest,
       colName: String): Option[String] =
     m.props.collectFirst {
       case (k, v) if k.equalsIgnoreCase(PropPrefix + colName) => v
     }.flatMap { v =>
-      val Array(idxName, dig) = v.split(";", 2)
-      if (dig == digestOf(m)) Some(idxName) else None
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m)) Some(fields(0)) else None
     }
 
   /** The posting list for `term` when a FRESH index exists on `colName`:
@@ -444,11 +535,13 @@ object TextIndex {
     * term score 0 and can never rank, so candidate pruning is exact.
     * Falls back to computing df/stats/candidates with full scans when the
     * index is stale or absent — same answer, no pruning. Caveat (the
-    * Lucene deleted-docs rule): a deletion-vectored row no longer RANKS
-    * (the scan drops it) but still counts in df/N/avgdl until the next
-    * rebuild — DVs change no file names, so the digest can't see them;
-    * ranking statistics reflect the indexed state, result membership is
-    * always live-exact. Output: `idCol, n_terms (query terms present),
+    * Lucene deleted-docs rule, now BOUNDED by refresh discipline): a
+    * deletion-vectored row no longer RANKS (the scan drops it) but still
+    * counts in df/N/avgdl until the next REFRESH — which since the
+    * dv-digest tier catches DV-only churn and re-derives exactly the
+    * touched files' stats (no DROP + CREATE needed); `t$indexes` reports
+    * the interim drift. Result membership is always live-exact either
+    * way. Output: `idCol, n_terms (query terms present),
     * score` — the q_text_bm25 formula (k1=1.2, b=0.75, fixed-point 1e9
     * floor). */
   def bm25TopK(spark: SparkSession, table: String, colName: String,

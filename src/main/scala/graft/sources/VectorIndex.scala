@@ -77,7 +77,7 @@ object VectorIndex {
   private[sources] final case class Prop(idxName: String, idCol: String,
       digest: String, version: String, lists: Option[Long],
       sample: Option[Long], coarse: Int = 2,
-      partCol: Option[String] = None) {
+      partCol: Option[String] = None, dvDigest: Option[String] = None) {
     def isCurrent(curDigest: String): Boolean =
       digest == curDigest && version == AssignVersion
   }
@@ -93,16 +93,20 @@ object VectorIndex {
       Some(l).filter(_ != "-").map(_.toLong),
       Some(s).filter(_ != "-").map(_.toLong), cp.toInt,
       Some(pc).filter(_ != "-"))
+    case Array(i, c, d, ver, l, s, cp, pc, dvd) => Prop(i, c, d, ver,
+      Some(l).filter(_ != "-").map(_.toLong),
+      Some(s).filter(_ != "-").map(_.toLong), cp.toInt,
+      Some(pc).filter(_ != "-"), Some(dvd).filter(_ != "-"))
     case _ => throw new IllegalStateException(
-      s"unreadable vecidx prop '$v' — expected 3 (legacy) or 6-8 fields")
+      s"unreadable vecidx prop '$v' — expected 3 (legacy) or 6-9 fields")
   }
   private def renderProp(idxName: String, idCol: String, digest: String,
       lists: Option[Long], sample: Option[Long], coarse: Int,
-      partCol: Option[String] = None): String =
+      partCol: Option[String] = None, dvDigest: String = "-"): String =
     Seq(idxName, idCol, digest, AssignVersion,
       lists.map(_.toString).getOrElse("-"),
       sample.map(_.toString).getOrElse("-"), coarse.toString,
-      partCol.getOrElse("-")).mkString(";")
+      partCol.getOrElse("-"), dvDigest).mkString(";")
 
   /** The stale/legacy retrain shared by every in-query replay path:
     * exactly what a CREATE VECTOR INDEX rebuild would train — the
@@ -183,6 +187,54 @@ object VectorIndex {
   }
   private def digestOf(m: Manifest): String =
     sha256(m.entries.filter(_.rows > 0).map(_.name).sorted.mkString("\n"))
+
+  /** DV-identity digest — the [[TextIndex.dvDigestOf]] contract shared
+    * verbatim: serving freshness stays names-only (a DV'd row never
+    * surfaces from a fetch, so pruning is always admissible), but a
+    * dv-digest divergence tells [[refresh]] that posting/code/band rows
+    * still carry dead vec_ids (wasting PQ rerank budget and candidate
+    * fetches) until the touched files re-derive against the stored
+    * geometry. */
+  private def dvDigestOf(m: Manifest): String = TextIndex.dvDigestOf(m)
+
+  /** The `(file, dv)` coverage sidecar — same two jobs as the text
+    * tier's: drift attribution when the dv digest diverges, and coverage
+    * for files whose rows are all deletion-vectored (no posting survives
+    * the masked scan). */
+  private def writeCovered(spark: SparkSession, idxDir: Path, m: Manifest,
+      names: Seq[String]): Unit = {
+    import spark.implicits._
+    val byName = m.entries.map(e => e.name -> e.dv.map(_._1)).toMap
+    names.map(n => (n, byName.get(n).flatten.orNull))
+      .toDF("file", "dv")
+      .coalesce(1).write.parquet(idxDir.resolve("covered").toString)
+  }
+
+  /** (covered files, drifted files) for a refresh: coverage from the
+    * `covered/` sidecar when present (it alone records files whose rows
+    * are ALL deletion-vectored), else `fallbackIndexed` (the legacy
+    * posts-derived recovery); drift = covered files whose recorded dv
+    * identity no longer matches (legacy fallback: any live indexed file
+    * that currently carries a dv — conservative, bounded by the DV'd
+    * files, and this refresh writes `covered/` so the next compares
+    * exactly). */
+  private def coverageAndDrift(spark: SparkSession, oldDir: Path,
+      m: Manifest, fallbackIndexed: => Set[String])
+      : (Set[String], Set[String]) = {
+    val liveEntries = m.entries.filter(_.rows > 0)
+    val coveredPath = oldDir.resolve("covered")
+    if (java.nio.file.Files.exists(coveredPath)) {
+      val rec = spark.read.parquet(coveredPath.toString).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      (rec.keySet, liveEntries.filter(e => rec.contains(e.name) &&
+        rec(e.name) != e.dv.map(_._1).orNull).map(_.name).toSet)
+    } else {
+      val indexed = fallbackIndexed
+      (indexed, liveEntries
+        .filter(e => indexed(e.name) && e.dv.isDefined)
+        .map(_.name).toSet)
+    }
+  }
 
   private def scanFiles(spark: SparkSession, dir: Path,
       names: Seq[String]): DataFrame =
@@ -285,11 +337,13 @@ object VectorIndex {
       writeBandSidecars(idxDir, base, listsDf, n)
       k
     }
+    writeCovered(spark, idxDir, m, names)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
         (PropPrefix + colName.toLowerCase ->
-          renderProp(idxName, idCol, digestOf(m), lists, sample, coarse))))
+          renderProp(idxName, idCol, digestOf(m), lists, sample, coarse,
+            dvDigest = dvDigestOf(m)))))
     }
     (names.length.toLong, k)
   }
@@ -375,12 +429,13 @@ object VectorIndex {
       emptyPosts(spark, withPart = true)
         .write.parquet(idxDir.resolve("posts").toString)
     }
+    writeCovered(spark, idxDir, m, names)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
         (PropPrefix + colName.toLowerCase ->
           renderProp(idxName, idCol, digestOf(m), lists, sample, coarse,
-            Some(partCol)))))
+            Some(partCol), dvDigest = dvDigestOf(m)))))
     }
     (names.length.toLong, totalK)
   }
@@ -727,7 +782,8 @@ object VectorIndex {
     val prop = m.props.getOrElse(key, throw new IllegalStateException(
       s"REFRESH VECTOR INDEX: no vector index on $colName — CREATE it first"))
     val p = parseProp(prop)
-    if (p.isCurrent(digestOf(m))) return (0L, false)
+    if (p.isCurrent(digestOf(m)) && p.dvDigest.contains(dvDigestOf(m)))
+      return (0L, false)
     if (p.version != AssignVersion)
       // postings written by a different row assigner don't commute with
       // the serve-time re-derivation — migrate with a full rebuild under
@@ -739,11 +795,26 @@ object VectorIndex {
       return refreshByPartition(spark, dir, key, colName, m, p)
     val (oldIdx, idCol) = (p.idxName, p.idCol)
     val oldDir = dir.resolve(oldIdx)
-    val indexedFiles = spark.read.parquet(oldDir.resolve("posts").toString)
-      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val (indexedFiles, drift) = coverageAndDrift(spark, oldDir, m,
+      spark.read.parquet(oldDir.resolve("posts").toString)
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSet)
     val live = m.entries.filter(_.rows > 0).map(_.name)
-    val newFiles = live.filterNot(indexedFiles)
-    val dead = (indexedFiles -- live.toSet).toSeq.sorted
+    val newFiles = live.filterNot(f => indexedFiles(f) && !drift(f))
+    val dead = ((indexedFiles -- live.toSet) ++ drift).toSeq.sorted
+    if (p.isCurrent(digestOf(m)) && newFiles.isEmpty && dead.isEmpty) {
+      // names fresh, nothing drifted — the dv digest was just unknown
+      // (pre-dv-digest prop): upgrade the prop (and missing coverage) in
+      // place, no sidecar rewrite
+      if (!java.nio.file.Files.exists(oldDir.resolve("covered")))
+        writeCovered(spark, oldDir, m, live)
+      ManifestLock.withLock(dir) {
+        val cur = Manifest.read(dir).getOrElse(m)
+        Manifest.write(dir, cur.copy(props = cur.props +
+          (key -> renderProp(oldIdx, idCol, digestOf(m), p.lists, p.sample,
+            p.coarse, dvDigest = dvDigestOf(m)))))
+      }
+      return (0L, false)
+    }
     val cents = spark.read.parquet(oldDir.resolve("cents").toString)
     val kept = spark.read.parquet(oldDir.resolve("posts").toString)
       .where(!col("file").isin(dead: _*))
@@ -814,11 +885,12 @@ object VectorIndex {
       }
       bands.write.parquet(idxDir.resolve("bands").toString)
     }
+    writeCovered(spark, idxDir, m, live)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
         (key -> renderProp(idxName, idCol, digestOf(m), p.lists, p.sample,
-          p.coarse))))
+          p.coarse, dvDigest = dvDigestOf(m)))))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -839,11 +911,25 @@ object VectorIndex {
     val oldDir = dir.resolve(p.idxName)
     val oldCents = spark.read.parquet(oldDir.resolve("cents").toString)
     val oldPosts = spark.read.parquet(oldDir.resolve("posts").toString)
-    val indexedFiles = oldPosts.select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val (indexedFiles, drift) = coverageAndDrift(spark, oldDir, m,
+      oldPosts.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet)
     val live = m.entries.filter(_.rows > 0).map(_.name)
-    val newFiles = live.filterNot(indexedFiles)
-    val dead = (indexedFiles -- live.toSet).toSeq.sorted
+    val newFiles = live.filterNot(f => indexedFiles(f) && !drift(f))
+    val dead = ((indexedFiles -- live.toSet) ++ drift).toSeq.sorted
+    if (p.isCurrent(digestOf(m)) && newFiles.isEmpty && dead.isEmpty) {
+      // names fresh, nothing drifted — upgrade the pre-dv-digest prop
+      // (and missing coverage) in place, no slice retrain
+      if (!java.nio.file.Files.exists(oldDir.resolve("covered")))
+        writeCovered(spark, oldDir, m, live)
+      ManifestLock.withLock(dir) {
+        val cur = Manifest.read(dir).getOrElse(m)
+        Manifest.write(dir, cur.copy(props = cur.props +
+          (key -> renderProp(p.idxName, p.idCol, digestOf(m), p.lists,
+            p.sample, p.coarse, p.partCol, dvDigest = dvDigestOf(m)))))
+      }
+      return (0L, false)
+    }
     val deadParts =
       if (dead.isEmpty) Seq.empty[String]
       else oldPosts.where(col("file").isin(dead: _*))
@@ -896,11 +982,12 @@ object VectorIndex {
       (keptCodes +: rebuiltCodes).reduce(_ unionByName _)
         .write.parquet(idxDir.resolve("codes").toString)
     }
+    writeCovered(spark, idxDir, m, live)
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props = cur.props +
         (key -> renderProp(idxName, p.idCol, digestOf(m), p.lists, p.sample,
-          p.coarse, p.partCol))))
+          p.coarse, p.partCol, dvDigest = dvDigestOf(m)))))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -1354,8 +1441,11 @@ object VectorIndex {
     * replays geometry + codes in-query (same answer a rebuild would give,
     * no pruning). Deletion vectors (the BM25 deleted-docs rule's analog):
     * a DV'd row never RANKS — the exact-rerank scan drops it — but its
-    * stored code can occupy a rerank slot until the next refresh; result
-    * membership is always live-exact. Output: (vec_id, list_id, sim). */
+    * stored code can occupy a rerank slot until the next REFRESH, which
+    * since the dv-digest tier sees DV-only churn and re-derives exactly
+    * the touched files' codes (`t$indexes` reports the interim
+    * `dv_drift`); result membership is always live-exact either way.
+    * Output: (vec_id, list_id, sim). */
   def searchPq(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, probes: Int = 1,
       rerank: Int = 50): DataFrame =

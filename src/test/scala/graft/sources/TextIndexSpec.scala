@@ -144,6 +144,86 @@ class TextIndexSpec extends SparkSuite {
     assert(plannedFiles(res) == 1, "DV must not invalidate the index")
   }
 
+  test("DV-only churn: refresh re-derives exactly the touched file's rows") {
+    val (cat, _) = freshCatalog("tix30")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val dir = dirOf(t)
+    def idxOf() = Manifest.read(dir).get.props("tokenidx.text").split(";")(0)
+    val idx0 = idxOf()
+    def statsOf(idx: String) =
+      spark.read.parquet(dir.resolve(idx).resolve("stats").toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val before = statsOf(idx0)
+    assert(before.size == 3 && before.forall(_._2 == 2L), s"2 docs/file: $before")
+    // DV-delete doc 4 ("gamma hay" — the needle file's neighbor row):
+    // names unchanged, so serving stays fresh and pruning admissible…
+    spark.sql(s"DELETE FROM $t WHERE id = 4")
+    val res = TextIndex.search(spark, t, "text", "needle")
+    assert(res.count() == 1L && plannedFiles(res) == 1,
+      "DV must not invalidate the index")
+    // …but t$indexes reports the statistics catch-up debt
+    val meta = spark.sql(
+      s"SELECT fresh, details FROM $cat.ns.`docs$$indexes`").collect().head
+    assert(meta.getBoolean(0), "dv drift is debt, not a freshness flip")
+    assert(meta.getString(1) == "dv_drift=true", s"details: ${meta.get(1)}")
+    // refresh re-derives ONLY the dv'd file: its stats drop to the live
+    // row, the other two files' rows carry over identically
+    val (n, remapped) = TextIndex.refresh(spark, dir, "text")
+    assert(n == 1L && remapped, s"one drifted file re-derives: ($n, $remapped)")
+    val after = statsOf(idxOf())
+    val touched = after -- before
+    assert(touched.map(t3 => (t3._2, t3._3)) == Set((1L, 4L)),
+      s"the dv'd file re-derived to 1 live doc of 4 tokens: $touched")
+    assert((before intersect after).size == 2, "untouched files carried over")
+    // drift cleared; a second refresh is the fast-path no-op
+    val meta2 = spark.sql(
+      s"SELECT fresh, details FROM $cat.ns.`docs$$indexes`").collect().head
+    assert(meta2.getBoolean(0) && meta2.get(1) == null, s"cleared: $meta2")
+    assert(TextIndex.refresh(spark, dir, "text") == ((0L, false)))
+    // the signature sidecar dropped the dead row too: a batch copy of
+    // the deleted doc is no longer anyone's duplicate
+    val probe = Seq((200L, "gamma hay")).toDF("id", "text")
+    val dup = TextIndex.dedupIncremental(spark, t, "text", "id", probe)
+      .collect().head
+    assert(!dup.getBoolean(2), s"deleted corpus row can't witness: $dup")
+  }
+
+  test("legacy pre-dv-digest index: conservative drift catch-up, then exact") {
+    val (cat, _) = freshCatalog("tix31")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val dir = dirOf(t)
+    // rewrite the prop to the legacy 2-field format and remove the
+    // coverage sidecar — what an index persisted by the pre-dv code is
+    val m0 = Manifest.read(dir).get
+    val fields = m0.props("tokenidx.text").split(";")
+    ManifestLock.withLock(dir) {
+      val cur = Manifest.read(dir).get
+      Manifest.write(dir, cur.copy(props =
+        cur.props + ("tokenidx.text" -> s"${fields(0)};${fields(1)}")))
+    }
+    val coveredDir = dir.resolve(fields(0)).resolve("covered")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(coveredDir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally walk.close()
+    // no churn: refresh upgrades the prop + coverage IN PLACE (same dir)
+    assert(TextIndex.refresh(spark, dir, "text") == ((0L, false)))
+    val m1 = Manifest.read(dir).get
+    assert(m1.props("tokenidx.text").split(";").length == 3 &&
+      m1.props("tokenidx.text").split(";")(0) == fields(0),
+      "in-place prop upgrade, no sidecar rewrite")
+    assert(Files.exists(coveredDir), "coverage materialized")
+    // and DV churn now catches up exactly like a current-format index
+    spark.sql(s"DELETE FROM $t WHERE id = 4")
+    val (n, remapped) = TextIndex.refresh(spark, dir, "text")
+    assert(n == 1L && remapped, s"($n, $remapped)")
+    assert(TextIndex.refresh(spark, dir, "text") == ((0L, false)))
+  }
+
   test("DROP TEXT INDEX unpublishes; VACUUM reaps the orphan dir") {
     val (cat, root) = freshCatalog("tix4")
     val t = stage(cat)

@@ -106,6 +106,95 @@ class VectorIndexSpec extends SparkSuite {
     assert(plannedFiles(res) == 1, "DV must not invalidate the index")
   }
 
+  test("DV-only churn: refresh re-derives the touched file's sidecar rows") {
+    val cat = freshCatalog("vix30")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    def idxOf() = Manifest.read(dir).get.props("vecidx.embedding").split(";")(0)
+    val idx0 = idxOf()
+    def codeIds(idx: String): Set[Long] =
+      spark.read.parquet(dir.resolve(idx).resolve("codes").toString)
+        .select("vec_id").as[Long].collect().toSet
+    def bandFiles(idx: String): Map[String, Long] =
+      spark.read.parquet(dir.resolve(idx).resolve("bands").toString)
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(codeIds(idx0) == (0L to 11L).toSet)
+    val bandsBefore = bandFiles(idx0)
+    // DV-delete vec 3 (blob A's file): names unchanged → still fresh,
+    // but the stored codes/bands carry a dead vec_id (rerank-budget
+    // waste) — t$indexes reports the debt
+    spark.sql(s"DELETE FROM $t WHERE vec_id = 3")
+    val meta = spark.sql(s"SELECT fresh, details FROM $cat.ns.`emb$$indexes`")
+      .collect().head
+    assert(meta.getBoolean(0), "dv drift is debt, not a freshness flip")
+    assert(meta.getString(1).contains("dv_drift=true"), meta.getString(1))
+    // refresh: ONE drifted file re-derives against the STORED geometry
+    val (n, remapped) = VectorIndex.refresh(spark, dir, "embedding")
+    assert(n == 1L && remapped, s"($n, $remapped)")
+    val idx1 = idxOf()
+    assert(codeIds(idx1) == (0L to 11L).toSet - 3L,
+      "the dead vec_id's code dropped")
+    val bandsAfter = bandFiles(idx1)
+    val touched = bandsBefore.filter { case (f, c) => bandsAfter.get(f) != Some(c) }
+    assert(touched.size == 1 &&
+      bandsAfter(touched.keys.head) < touched.values.head,
+      s"only the dv'd file's band rows re-derived: $bandsBefore → $bandsAfter")
+    // drift cleared; fast-path no-op; geometry untouched (same cents)
+    val meta2 = spark.sql(s"SELECT details FROM $cat.ns.`emb$$indexes`")
+      .collect().head
+    assert(!meta2.getString(0).contains("dv_drift"), meta2.getString(0))
+    assert(VectorIndex.refresh(spark, dir, "embedding") == ((0L, false)))
+    val res = VectorIndex.search(spark, t, "embedding", vec(0), 6)
+    val ids = res.select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(3L) && ids.subsetOf((0L to 5L).toSet),
+      s"live-exact after catch-up: $ids")
+    assert(plannedFiles(res) == 1, "pruning still admissible")
+  }
+
+  test("BY PARTITION: dv drift retrains only the touched partition") {
+    val cat = freshCatalog("vix31")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    val blobA = (0 to 5).map(i => (i.toLong, 0, vec(0, (10, 0.05f))))
+    val blobB = (6 to 11).map(i => (i.toLong, 1, vec(1, (20, 0.05f))))
+    blobA.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    blobB.toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    spark.sql(s"DELETE FROM $t WHERE vec_id = 3")
+    // per-partition attribution: label 0's slice is stale, label 1's
+    // still serves
+    val parts = spark.sql(s"SELECT fresh, details FROM $cat.ns.`emb$$indexes` " +
+      "WHERE kind = 'vector-part' ORDER BY details").collect()
+    assert(parts.length == 2)
+    assert(!parts(0).getBoolean(0) && parts(0).getString(1).startsWith("part=0"),
+      s"dv'd partition stale: ${parts.toSeq}")
+    assert(parts(1).getBoolean(0) && parts(1).getString(1).startsWith("part=1"),
+      s"untouched partition fresh: ${parts.toSeq}")
+    // partition-scoped refresh retrains ONE slice; the untouched pin
+    // still answers, the touched pin no longer ranks the dead row
+    val (n, remapped) = VectorIndex.refresh(spark,
+      spark.table(t).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get, "embedding")
+    assert(n == 1L && remapped, s"($n, $remapped)")
+    val pinned = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 6,
+      1, col("label") === 0)
+    val ids = pinned.select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 4L, 5L), s"live-exact sub-index: $ids")
+  }
+
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
     val cat = freshCatalog("vix4")
     val t = stage(cat)
