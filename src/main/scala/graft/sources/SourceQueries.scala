@@ -1503,6 +1503,40 @@ object SourceQueries extends QueryModule {
     // one-file-per-source managed base must plan only the file PREFIX
     // whose live rows cover the limit — at a million files, `LIMIT 100`
     // plans O(1) files, never the table. In-query asserts pin the planning
+    // SCOPED BM25 through the ORACLE gate (r13): per-domain relevance —
+    // df/N/avgdl over ONE source's sub-corpus (a term common in one
+    // domain but rare in another must score against ITS domain's df).
+    // The staged base is source-pure per file, so the zone maps prove
+    // every file in or out of the scope and the statistics come from
+    // exactly the in-scope stat rows — metadata reads only; the ranking
+    // scan plans the in-scope posting files. The oracle recomputes BM25
+    // from raw parquet over the scoped corpus; the in-query assert pins
+    // the one-file plan.
+    "q_text_bm25_scoped" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val res = TextIndex.bm25TopKScoped(s, s"$cat.q.docs", "text",
+        "doc_id", graft.llm.Text.Bm25Terms, 10, col("source") === "src3")
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(planned <= 1,
+        s"scoped BM25 must plan at most src3's one file, planned $planned")
+      res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
+    }),
+
     // DV-drift catch-up for BM25 through the ORACLE gate (r13): a
     // merge-on-read DELETE leaves file names (and so the serving digest)
     // unchanged while the per-file stats/postings still count the dead
@@ -3554,6 +3588,15 @@ object SourceQueries extends QueryModule {
       s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
          |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // BM25 recomputed from raw parquet over the SCOPED corpus — the
+    // per-domain statistics the index-served scoping must equal.
+    "q_text_bm25_scoped" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDocOver(
+               "SELECT doc_id, text FROM documents " +
+                 "WHERE source = 'src3'")}) per_doc
          |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
     // The full BM25 recomputation over the LIVE complement — what the
     // dv-drift refresh must converge the stored stats to.

@@ -580,6 +580,165 @@ object TextIndex {
         }.toMap
         (dfMap, stats.getLong(0), stats.getLong(1), all)
     }
+    bm25Rank(spark, dfs, nDocs, sumDl, rows, colName, idCol, terms, k)
+  }
+
+  /** Best-effort translation of a scope predicate to V2 filters — the
+    * conjunct shapes the zone maps can classify (`=`, `IN`, `<`, `<=`,
+    * `>`, `>=`, `AND`; column vs literal, either side, both the parsed-
+    * SQL and the operator-DSL ASTs). None = some conjunct is outside the
+    * provable subset → callers fall back to the exact scoped recompute. */
+  private def scopeFilters(scope: org.apache.spark.sql.Column)
+      : Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe,
+      In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Expression,
+      Literal}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.sources._
+    def fname(f: UnresolvedFunction): String =
+      f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction if fname(f) == "and" =>
+        f.arguments.flatMap(conjuncts)
+      case x => Seq(x)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    def ext(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def cmp(op: String, a: Expression, l: Literal,
+        flipped: Boolean): Option[Filter] = nameOf(a).map { n =>
+      (op, flipped) match {
+        case ("=", _) | ("==", _) => EqualTo(n, ext(l))
+        case (">", false) => GreaterThan(n, ext(l))
+        case (">", true) => LessThan(n, ext(l))
+        case (">=", false) => GreaterThanOrEqual(n, ext(l))
+        case (">=", true) => LessThanOrEqual(n, ext(l))
+        case ("<", false) => LessThan(n, ext(l))
+        case ("<", true) => GreaterThan(n, ext(l))
+        case ("<=", false) => LessThanOrEqual(n, ext(l))
+        case ("<=", true) => GreaterThanOrEqual(n, ext(l))
+      }
+    }
+    val ops = Set("=", "==", ">", ">=", "<", "<=")
+    def one(e: Expression): Option[Filter] = e match {
+      case CEq(a, l: Literal) => cmp("=", a, l, flipped = false)
+      case CEq(l: Literal, a) => cmp("=", a, l, flipped = true)
+      case CGt(a, l: Literal) => cmp(">", a, l, flipped = false)
+      case CGt(l: Literal, a) => cmp(">", a, l, flipped = true)
+      case CGe(a, l: Literal) => cmp(">=", a, l, flipped = false)
+      case CGe(l: Literal, a) => cmp(">=", a, l, flipped = true)
+      case CLt(a, l: Literal) => cmp("<", a, l, flipped = false)
+      case CLt(l: Literal, a) => cmp("<", a, l, flipped = true)
+      case CLe(a, l: Literal) => cmp("<=", a, l, flipped = false)
+      case CLe(l: Literal, a) => cmp("<=", a, l, flipped = true)
+      case CIn(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        nameOf(a).map(In(_,
+          vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+      case f: UnresolvedFunction
+        if ops(fname(f)) && f.arguments.size == 2 =>
+        f.arguments match {
+          case Seq(a, l: Literal) => cmp(fname(f), a, l, flipped = false)
+          case Seq(l: Literal, a) => cmp(fname(f), a, l, flipped = true)
+          case _ => None
+        }
+      case f: UnresolvedFunction
+        if fname(f) == "in" && f.arguments.size >= 2 &&
+          f.arguments.tail.forall(_.isInstanceOf[Literal]) =>
+        nameOf(f.arguments.head).map(In(_,
+          f.arguments.tail.map(v => ext(v.asInstanceOf[Literal])).toArray))
+      case _ => None
+    }
+    val cs = conjuncts(org.apache.spark.sql.GraftExpressionBridge
+      .catalystExpression(scope)).map(one)
+    if (cs.nonEmpty && cs.forall(_.isDefined)) Some(cs.flatten) else None
+  }
+
+  /** SCOPED BM25 top-k — ranking statistics over a DECLARED sub-corpus:
+    * the per-domain relevance shape (per-language IDF, per-tenant
+    * ranking, "BM25 over the last 30 days"), where a term common in one
+    * domain but rare in another must score against ITS domain's df, not
+    * the corpus's. Index-served when every live file is PROVABLY inside
+    * or outside the scope by its zone maps (partition-pure or
+    * range-aligned layouts — the usual case when the scope is the
+    * partition column): df/N/avgdl sum over exactly the in-scope files'
+    * stat rows, candidates prune to in-scope posting files, and the
+    * statistics scoping costs metadata reads only — at 100 TB a
+    * per-domain ranking reads no row outside its domain. Any file the
+    * zone maps cannot decide (a CUT file, or a scope conjunct outside
+    * the provable subset) falls back to the exact scoped recompute —
+    * same answer, no pruning: correctness never depends on layout
+    * discipline. The scope re-applies row-level either way (a no-op on
+    * provable files; it guards membership, not statistics). */
+  def bm25TopKScoped(spark: SparkSession, table: String, colName: String,
+      idCol: String, terms: Seq[String], k: Int,
+      scope: org.apache.spark.sql.Column): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "BM25 SEARCH")
+    applyStalePolicy(spark, mt.dir, colName, "BM25 SEARCH")
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"BM25 SEARCH: no manifest at ${mt.dir}"))
+    def fallback(): DataFrame = {
+      val all = spark.table(table).where(scope)
+      val stats = all.agg(count(lit(1)),
+        coalesce(sum(size(split(col(colName), " "))), lit(0L)))
+        .collect().head
+      val dfMap = terms.map { t =>
+        t -> all.where(array_contains(split(col(colName), " "), t)).count()
+      }.toMap
+      bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1), all,
+        colName, idCol, terms, k)
+    }
+    (freshIdx(spark, m, colName), scopeFilters(scope)) match {
+      case (Some(idxName), Some(fs)) =>
+        val liveEntries = m.entries.filter(_.rows > 0)
+        val inF = liveEntries.filter(e =>
+          fs.forall(f => ManifestScanBuilder.mustMatchAll(f, e.stats)))
+          .map(_.name)
+        val inSet = inF.toSet
+        val cut = liveEntries.exists(e => !inSet(e.name) &&
+          fs.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+        if (cut) fallback()
+        else {
+          val idxDir = mt.dir.resolve(idxName)
+          val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+            .where(col("token").isin(terms: _*) &&
+              col("file").isin(inF: _*))
+            .groupBy("token")
+            .agg(sum(col("n_docs")).as("df"),
+              collect_set(col("file")).as("files"))
+            .collect()
+          val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+            .where(col("file").isin(inF: _*))
+            .agg(coalesce(sum(col("n_docs")), lit(0L)),
+              coalesce(sum(col("sum_dl")), lit(0L)))
+            .collect().head
+          val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+          val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+          val rows =
+            if (cand.isEmpty) spark.table(table).where(lit(false))
+            else scanFiles(spark, mt.dir, cand).where(scope)
+          bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1), rows,
+            colName, idCol, terms, k)
+        }
+      case _ => fallback()
+    }
+  }
+
+  /** The shared BM25 scoring tail: per-row tf/dl math against the given
+    * df/N/sum_dl statistics, top-k with the deterministic (score, id)
+    * tie-break — the q_text_bm25 formula (k1=1.2, b=0.75, fixed-point
+    * 1e9 floor). */
+  private def bm25Rank(spark: SparkSession, dfs: Map[String, Long],
+      nDocs: Long, sumDl: Long, rows: DataFrame, colName: String,
+      idCol: String, terms: Seq[String], k: Int): DataFrame = {
     val avgdl = sumDl.toDouble / math.max(1L, nDocs)
     val toks = split(col(colName), " ")
     val dl = size(toks).cast("double")

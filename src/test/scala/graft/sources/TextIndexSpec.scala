@@ -224,6 +224,58 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.refresh(spark, dir, "text") == ((0L, false)))
   }
 
+  test("scoped BM25: per-domain statistics, provable pruning, exact fallback") {
+    val (cat, _) = freshCatalog("tix40")
+    val t = s"$cat.ns.docs"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, dom STRING, text STRING)")
+    // 'rare' is common in domain a (2 of 3 docs), absent in b — its
+    // domain-a idf must be LOW while the corpus-wide idf is higher; the
+    // files are domain-pure so the zone maps prove the scope per-file
+    Seq((1L, "a", "rare alpha beta"), (2L, "a", "rare gamma"),
+      (3L, "a", "alpha beta gamma"))
+      .toDF("id", "dom", "text").coalesce(1).writeTo(t).append()
+    Seq((4L, "b", "alpha beta"), (5L, "b", "beta gamma"),
+      (6L, "b", "alpha alpha"))
+      .toDF("id", "dom", "text").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSeq
+    // index-served scoped ranking == the exact scoped recompute (forced
+    // through the fallback by an untranslatable conjunct)
+    val scoped = TextIndex.bm25TopKScoped(spark, t, "text", "id",
+      Seq("rare", "alpha"), 10, col("dom") === "a")
+    val exact = TextIndex.bm25TopKScoped(spark, t, "text", "id",
+      Seq("rare", "alpha"), 10,
+      col("dom") === "a" && length(col("text")) > lit(0))
+    assert(rows(scoped) == rows(exact),
+      s"index-served == exact fallback: ${rows(scoped)} vs ${rows(exact)}")
+    assert(plannedFiles(scoped) == 1, "scope prunes to domain a's file")
+    assert(rows(scoped).map(_._1).toSet == Set(1L, 2L, 3L))
+    // per-domain statistics genuinely differ from corpus-wide ones:
+    // within a, 'rare' (df 2/3) ranks BELOW 'alpha'-only docs scored by
+    // corpus stats — pin that the scoped score of doc 3 differs from its
+    // corpus-wide score
+    val global = TextIndex.bm25TopK(spark, t, "text", "id",
+      Seq("rare", "alpha"), 10)
+    val g3 = global.where(col("id") === 3L).collect().head.getDouble(2)
+    val s3 = scoped.where(col("id") === 3L).collect().head.getDouble(2)
+    assert(math.abs(g3 - s3) > 1e-9,
+      s"domain idf must differ from corpus idf: $g3 vs $s3")
+    // a CUT layout (mixed-domain file) falls back — same answer
+    val t2 = s"$cat.ns.docs2"
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, dom STRING, text STRING)")
+    Seq((1L, "a", "rare alpha beta"), (4L, "b", "alpha beta"),
+      (2L, "a", "rare gamma"), (5L, "b", "beta gamma"),
+      (3L, "a", "alpha beta gamma"), (6L, "b", "alpha alpha"))
+      .toDF("id", "dom", "text").coalesce(1).writeTo(t2).append()
+    spark.sql(s"CREATE TEXT INDEX ON $t2 (text)")
+    val cutScoped = TextIndex.bm25TopKScoped(spark, t2, "text", "id",
+      Seq("rare", "alpha"), 10, col("dom") === "a")
+    assert(rows(cutScoped) == rows(scoped),
+      "undecidable layout answers exactly through the fallback")
+  }
+
   test("DROP TEXT INDEX unpublishes; VACUUM reaps the orphan dir") {
     val (cat, root) = freshCatalog("tix4")
     val t = stage(cat)
