@@ -1558,6 +1558,48 @@ object SourceQueries extends QueryModule {
       res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
     }),
 
+    // INDEX-BACKED kNN JOIN through the ORACLE gate (r13): for each
+    // batch row, its top-3 nearest corpus rows off the STORED geometry —
+    // batch rows take their home list by broadcast math against the
+    // stored centroids (the flat probe rule), candidates fetch from only
+    // the probed lists' posting files, ranked window per batch row. The
+    // oracle replays the trained chain, the per-row flat probe
+    // assignment, and the ranked candidate join from raw parquet; the
+    // in-query assert pins the bounded fetch (a strict subset of the
+    // cluster-per-file staging's files).
+    "q_vector_knn_join" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val res = VectorIndex.knnJoin(s, s"$cat.q.emb", "embedding", batch, 3)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      val dir = s.table(s"$cat.q.emb").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val nTotal = Manifest.read(dir).get.entries.count(_.rows > 0)
+      assert(planned > 0 && planned < nTotal,
+        s"kNN join must fetch only the probed lists' files: $planned of $nTotal")
+      res
+    }),
+
     // DV-drift catch-up for ANN through the ORACLE gate (r13): after the
     // merge-on-read DELETE, the stored postings/codes/bands carry dead
     // vec_ids until REFRESH sees the dv-digest divergence and re-derives
@@ -3610,6 +3652,33 @@ object SourceQueries extends QueryModule {
     // The pre-delete Lloyd chain (the geometry the refresh KEPT) with
     // the deleted label filtered from the candidates.
     "q_vector_search_dv" -> sqlVectorSearchOracle("WHERE a.label <> 3"),
+    // The trained chain + per-batch-row flat probe assignment + ranked
+    // candidate join — the kNN-join replay.
+    "q_vector_knn_join" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed _
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+           |b AS (
+           |  SELECT vec_id + 1000000 AS bid, embedding
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |bd AS (
+           |  SELECT b.bid, b.embedding,
+           |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+           |  FROM b, ref1 r0),
+           |ba AS (
+           |  SELECT bd.bid, bd.embedding,
+           |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+           |  FROM bd, ref1 r)
+           |SELECT vec_id, rank, nn_id, sim FROM (
+           |  SELECT ba.bid AS vec_id, a.vec_id AS nn_id,
+           |    CAST(row_number() OVER (PARTITION BY ba.bid
+           |      ORDER BY ${dot("ba.embedding", "a.embedding")} DESC, a.vec_id)
+           |      AS INTEGER) AS rank,
+           |    ${dot("ba.embedding", "a.embedding")} AS sim
+           |  FROM ba JOIN a1 a ON a.list_id = ba.p_list) t
+           |WHERE rank <= 3
+           |ORDER BY vec_id, rank""".stripMargin)
+    },
     // Rarest-token search recomputed from the raw parquet: same
     // tokenizer, same term choice, same result set.
     "q_text_search_indexed" ->

@@ -1162,6 +1162,105 @@ object VectorIndex {
       graft.llm.Similarity.assignListsHier(rows, cents, coarse))
   }
 
+  /** INDEX-BACKED kNN JOIN — "for each batch row, its k nearest CORPUS
+    * rows": the retrieval/augmentation join (RAG candidate fetch, label
+    * propagation, hard-negative mining) served from the STORED geometry
+    * with NOTHING corpus-sized recomputed per batch. Each batch row
+    * takes its home list by per-row broadcast math against the stored
+    * centroids (flat argmax — the probe rule [[search]] uses), corpus
+    * candidates fetch from ONLY the probed lists' posting files (each
+    * fetched row re-derives its stored cluster, so the list equi-join is
+    * exact w.r.t. the kept geometry), and a ranked window per batch row
+    * takes the top-k. IVF-approximate like [[search]]: a neighbor
+    * outside a batch row's home list doesn't surface — the documented
+    * recall trade the audits monitor. Per-batch cost: Σ probed-list
+    * sizes of join work + a scan of the probed lists' files — a small
+    * batch reads a handful of the corpus's files, never the corpus.
+    * `batch` carries the table's own id + embedding columns; output
+    * `(vec_id, rank, nn_id, sim)`, rank 1..k per batch row (no
+    * self-exclusion: the batch is external — an exact corpus copy is
+    * legitimately rank 1). Stale index: the onStale policy (`retrain`
+    * replays geometry in-query — exactly a rebuild's answer, no pruning;
+    * `refresh` = the bounded catch-up; `fail` refuses). */
+  def knnJoin(spark: SparkSession, table: String, colName: String,
+      batch: DataFrame, k: Int): DataFrame =
+    knnJoinAttempt(spark, table, colName, batch, k, allowRefresh = true)
+
+  private def knnJoinAttempt(spark: SparkSession, table: String,
+      colName: String, batch: DataFrame, k: Int,
+      allowRefresh: Boolean): DataFrame = {
+    import graft.llm.Similarity
+    import graft.llm.PortableHash.dotFixed
+    val op = "KNN JOIN"
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
+    val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName) — CREATE VECTOR INDEX " +
+          "first"))
+    val p = parseProp(prop)
+    if (p.partCol.isDefined) throw new UnsupportedOperationException(
+      s"$op: the index on $table ($colName) is BY PARTITION — the " +
+        "trained-geometry compositions serve the GLOBAL geometry; build " +
+        "without BY PARTITION for corpus-wide kNN joins")
+    val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+      col(colName).as("embedding"))
+    def rekey(df: DataFrame): DataFrame =
+      df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"))
+    def ranked(bAssigned: DataFrame, corpusAssigned: DataFrame): DataFrame = {
+      val x = bAssigned.select(col("vec_id").as("bid"),
+        col("embedding").as("e_n"), col("list_id"))
+      val y = corpusAssigned.select(col("list_id"),
+        col("vec_id").as("nn_id"), col("embedding").as("e_o"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+      x.join(y, Seq("list_id"))
+        .select(col("bid"), col("nn_id"),
+          dotFixed(col("e_n"), col("e_o")).as("sim"))
+        .withColumn("rank", row_number().over(w)
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("rank") <= k)
+        .select(col("bid").as("vec_id"), col("rank"), col("nn_id"),
+          col("sim"))
+        .orderBy("vec_id", "rank")
+    }
+    if (p.isCurrent(digestOf(m))) {
+      val idxDir = mt.dir.resolve(p.idxName)
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      // MATERIALIZE the batch assignment once: it drives BOTH the probed-
+      // list planning and the candidate join (bounded by the batch)
+      val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
+      val probed = bAssigned.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val candFiles =
+        if (probed.isEmpty) Seq.empty[String]
+        else spark.read.parquet(idxDir.resolve("posts").toString)
+          .where(col("list_id").isin(probed: _*))
+          .select("file").distinct().collect().map(_.getString(0)).toSeq
+      val corpusAssigned = Similarity.assignListsHier(
+        rekey(
+          if (candFiles.isEmpty) spark.table(table).where(lit(false))
+          else scanFiles(spark, mt.dir, candFiles)),
+        cents, p.coarse)
+      ranked(bAssigned, corpusAssigned)
+    } else onStale(spark) match {
+      case "fail" => staleRefused(op, table)
+      case "refresh" if allowRefresh =>
+        refuseRefreshIfReadOnly(spark, op)
+        refresh(spark, mt.dir, colName)
+        knnJoinAttempt(spark, table, colName, batch, k, allowRefresh = false)
+      case _ =>
+        // in-query replay of the build geometry — exactly a rebuild's
+        // answer, minus the file-bounded fetch
+        val names = m.entries.filter(_.rows > 0).map(_.name)
+        val rows = rekey(scanFiles(spark, mt.dir, names))
+        val (corpusAssigned, cents) = retrainGeometry(rows, p, rows.count())
+        ranked(Similarity.assignLists(b0, cents), corpusAssigned)
+    }
+  }
+
   /** The named table must analyze to this engine's [[ManifestTable]] —
     * shared by every index-tier query surface. */
   private def resolveTable(spark: SparkSession, table: String,

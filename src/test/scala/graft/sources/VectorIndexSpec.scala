@@ -195,6 +195,41 @@ class VectorIndexSpec extends SparkSuite {
     assert(ids == Set(0L, 1L, 2L, 4L, 5L), s"live-exact sub-index: $ids")
   }
 
+  test("knnJoin: stored-geometry batch join fetches probed-list files only") {
+    val cat = freshCatalog("vix40")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    // a batch probe near blob A: its home list is blob A's, so ONLY
+    // blob A's posting file is fetched and every neighbor is a blob-A row
+    val batch = Seq((100L, vec(0, (30, 0.02f)))).toDF("vec_id", "embedding")
+    val res = VectorIndex.knnJoin(spark, t, "embedding", batch, 3)
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 3 && rows.forall(_._1 == 100L), rows.toSeq.toString)
+    assert(rows.map(_._3).toSet.subsetOf((0L to 5L).toSet),
+      s"blob-A neighbors only: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == Seq(1, 2, 3), "dense ranks")
+    assert(plannedFiles(res) == 1, "only the probed list's file fetches")
+    // stale index (append) under the default retrain: the new row ranks
+    Seq((12L, 0, vec(0, (31, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val stale = VectorIndex.knnJoin(spark, t, "embedding", batch, 12)
+    val ids = stale.select("nn_id").as[Long].collect().toSet
+    assert(ids.contains(12L), s"stale retrain must see the new row: $ids")
+    // BY PARTITION indexes refuse (global-geometry composition)
+    val cat2 = freshCatalog("vix41")
+    val t2 = s"$cat2.ns.emb"
+    spark.sql(s"CREATE TABLE $t2 (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    (0 to 5).map(i => (i.toLong, 0, vec(0))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t2).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t2 (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    val e = intercept[UnsupportedOperationException] {
+      VectorIndex.knnJoin(spark, t2, "embedding", batch, 3)
+    }
+    assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
+  }
+
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
     val cat = freshCatalog("vix4")
     val t = stage(cat)
