@@ -1600,6 +1600,23 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // PQ-COMPRESSED kNN JOIN through the ORACLE gate (r13): the batch
+    // join with the C213 two-stage candidate cut per batch row — ADC
+    // pre-rank over the narrow codes sidecar (embeddings unread), per-
+    // row top-50 survivors, exact rerank over only their fetched rows.
+    // The oracle replays chain + codebook training + per-row ADC cutoff
+    // + exact rerank from raw parquet, so the whole batch-compression
+    // tier is hash-gated.
+    "q_vector_knn_join_pq" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinPq(s, s"$cat.q.emb", "embedding", batch, 3,
+        rerank = 50)
+    }),
+
     // DV-drift catch-up for ANN through the ORACLE gate (r13): after the
     // merge-on-read DELETE, the stored postings/codes/bands carry dead
     // vec_ids until REFRESH sees the dv-digest divergence and re-derives
@@ -2992,25 +3009,87 @@ object SourceQueries extends QueryModule {
     * (1 or 2) sets the candidate lists: at 2 the runner-up probe list
     * derives via the masked-max pattern (the q_vector_search_mp rule)
     * and candidates union BOTH lists before the ADC cutoff. */
+  /** The PQ building blocks shared by the single-probe search oracles
+    * ([[sqlPqBlocks]]) and the batch kNN-join oracle
+    * ([[sqlPqKnnJoinOracle]]): subspace slicing, per-block code
+    * assignment text (len-derived codeword count — the same text codes
+    * against seed and trained rows), and the ADC sum against a caller-
+    * chosen query-vector expression. */
+  private def pqBlk(e: String, b: Int): String = {
+    import graft.llm.Similarity.PqDim
+    s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
+  }
+  private def pqD2s(b: Int): String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    val xb = pqBlk("e.embedding", b); val cb = pqBlk("c.cl[pq_ci]", b)
+    s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
+      s"for pq_ci in range(1, len(c.cl) + 1)]"
+  }
+  private lazy val pqCodeCols: String = {
+    import graft.llm.Similarity.PqM
+    (0 until PqM).map(b =>
+      s"CAST(list_position(${pqD2s(b)}, list_min(${pqD2s(b)})) - 1 AS INTEGER) AS code$b")
+      .mkString(",\n    ")
+  }
+  private def pqAdcExpr(pv: String): String = {
+    import graft.llm.Similarity.PqM
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    (0 until PqM).map(b =>
+      dot(pqBlk(pv, b), pqBlk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
+  }
+  /** The trained-codebook chain (`cb0` seeds → decimated training rows →
+    * per-cell fixed-point means → seed fallback → composite `cbl`) — the
+    * [[VectorIndex.trainPqCodebook]] replay, corpus-parameterized only
+    * through `embeddings`. */
+  private lazy val sqlPqCbChain: String = {
+    import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
+    val caseCode = (0 until PqM).map(b => s"WHEN $b THEN k.code$b")
+      .mkString(" ")
+    s"""cb0 AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS cl
+       |  FROM embeddings WHERE vec_id < $PqCbK),
+       |pqm AS (SELECT GREATEST(1, COUNT(*) // $PqTrainCap) AS m
+       |        FROM embeddings),
+       |pqtr AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e, pqm
+       |  WHERE ${graft.llm.PortableHash.sqlPermute("e.vec_id", PqTrainJ)} % pqm.m = 0
+       |     OR e.vec_id < $PqCbK),
+       |pqk0 AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    $pqCodeCols
+       |  FROM pqtr e, cb0 c),
+       |pqflat AS (
+       |  SELECT bb.b AS b, CASE bb.b $caseCode END AS code, ii.i AS i,
+       |    CAST(floor(CAST(k.embedding[bb.b * $PqDim + ii.i] AS DOUBLE)
+       |               * 1000000000000) AS BIGINT) AS v
+       |  FROM pqk0 k, (SELECT unnest(range(0, $PqM)) AS b) bb,
+       |       (SELECT unnest(range(1, ${PqDim + 1})) AS i) ii),
+       |pqsv AS (
+       |  SELECT b, code, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nv
+       |  FROM pqflat GROUP BY b, code, i),
+       |pqc8 AS (
+       |  SELECT b, code,
+       |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT)
+       |         ORDER BY i) AS c8
+       |  FROM pqsv GROUP BY b, code),
+       |pqseed AS (
+       |  SELECT jj.j - 1 AS code, bb.b AS b,
+       |    c.cl[jj.j][bb.b * $PqDim + 1 : (bb.b + 1) * $PqDim] AS sblk
+       |  FROM cb0 c, (SELECT unnest(range(1, $PqCbK + 1)) AS j) jj,
+       |       (SELECT unnest(range(0, $PqM)) AS b) bb
+       |  WHERE jj.j <= len(c.cl)),
+       |pqrow AS (
+       |  SELECT s.code AS c_id,
+       |    flatten(list(COALESCE(t.c8, s.sblk) ORDER BY s.b)) AS c_emb
+       |  FROM pqseed s LEFT JOIN pqc8 t ON t.b = s.b AND t.code = s.code
+       |  GROUP BY s.code),
+       |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow)""".stripMargin
+  }
+
   private def sqlPqBlocks(where: String = "", probes: Int = 1): String = {
-      import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
       val dot = graft.llm.PortableHash.sqlDotFixed _
-      def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
-      // codes of e.embedding vs codebook alias c (column cl) — the
-      // codeword count is len-derived, so the SAME text codes against the
-      // seed rows (cb0, training) and the trained rows (cbl, encoding)
-      def d2s(b: Int) = {
-        val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
-        s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
-          s"for pq_ci in range(1, len(c.cl) + 1)]"
-      }
-      val codeCols = (0 until PqM).map(b =>
-        s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
-        .mkString(",\n    ")
-      val adc = (0 until PqM).map(b =>
-        dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
-      val caseCode = (0 until PqM).map(b => s"WHEN $b THEN k.code$b")
-        .mkString(" ")
+      val codeCols = pqCodeCols
+      val adc = pqAdcExpr("p.pv")
       val probeBlocks =
         if (probes == 1) sqlProbeFlat("probe")
         else {
@@ -3038,45 +3117,7 @@ object SourceQueries extends QueryModule {
         else "FROM a1 a JOIN pqpl ON a.list_id = pqpl.l1 OR a.list_id = pqpl.l2"
         s"""${graft.llm.Clustering.sqlKmeans(1)},
            |$probeBlocks,
-           |cb0 AS (
-           |  SELECT list(embedding ORDER BY vec_id) AS cl
-           |  FROM embeddings WHERE vec_id < $PqCbK),
-           |pqm AS (SELECT GREATEST(1, COUNT(*) // $PqTrainCap) AS m
-           |        FROM embeddings),
-           |pqtr AS (
-           |  SELECT e.vec_id, e.embedding FROM embeddings e, pqm
-           |  WHERE ${graft.llm.PortableHash.sqlPermute("e.vec_id", PqTrainJ)} % pqm.m = 0
-           |     OR e.vec_id < $PqCbK),
-           |pqk0 AS (
-           |  SELECT e.vec_id, e.embedding,
-           |    $codeCols
-           |  FROM pqtr e, cb0 c),
-           |pqflat AS (
-           |  SELECT bb.b AS b, CASE bb.b $caseCode END AS code, ii.i AS i,
-           |    CAST(floor(CAST(k.embedding[bb.b * $PqDim + ii.i] AS DOUBLE)
-           |               * 1000000000000) AS BIGINT) AS v
-           |  FROM pqk0 k, (SELECT unnest(range(0, $PqM)) AS b) bb,
-           |       (SELECT unnest(range(1, ${PqDim + 1})) AS i) ii),
-           |pqsv AS (
-           |  SELECT b, code, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nv
-           |  FROM pqflat GROUP BY b, code, i),
-           |pqc8 AS (
-           |  SELECT b, code,
-           |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT)
-           |         ORDER BY i) AS c8
-           |  FROM pqsv GROUP BY b, code),
-           |pqseed AS (
-           |  SELECT jj.j - 1 AS code, bb.b AS b,
-           |    c.cl[jj.j][bb.b * $PqDim + 1 : (bb.b + 1) * $PqDim] AS sblk
-           |  FROM cb0 c, (SELECT unnest(range(1, $PqCbK + 1)) AS j) jj,
-           |       (SELECT unnest(range(0, $PqM)) AS b) bb
-           |  WHERE jj.j <= len(c.cl)),
-           |pqrow AS (
-           |  SELECT s.code AS c_id,
-           |    flatten(list(COALESCE(t.c8, s.sblk) ORDER BY s.b)) AS c_emb
-           |  FROM pqseed s LEFT JOIN pqc8 t ON t.b = s.b AND t.code = s.code
-           |  GROUP BY s.code),
-           |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow),
+           |$sqlPqCbChain,
            |candpq AS (
            |  SELECT a.vec_id, a.list_id, a.embedding
            |  $candJoin
@@ -3091,6 +3132,56 @@ object SourceQueries extends QueryModule {
            |survivors AS (
            |  SELECT vec_id, list_id, embedding FROM adct
            |  ORDER BY sim_adc DESC, vec_id LIMIT 50)""".stripMargin
+  }
+
+  /** The PQ kNN-join replay (`q_vector_knn_join_pq`): the trained chain
+    * (a1) + the trained codebook chain + per-batch-row flat probe
+    * assignment, per-candidate codes, the ADC sum against EACH batch
+    * row's own vector, a per-batch-row ADC-top-`rerank` cutoff, and the
+    * exact per-row rerank — [[sqlPqBlocks]]'s pipeline with the probe
+    * generalized to a batch relation. */
+  private lazy val sqlPqKnnJoinOracle: String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    val bdot = dot("b.embedding", "r0.cl[ci]")
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |b AS (
+         |  SELECT vec_id + 1000000 AS bid, embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |bd AS (
+         |  SELECT b.bid, b.embedding,
+         |    [$bdot for ci in range(1, len(r0.cl) + 1)] AS dots
+         |  FROM b, ref1 r0),
+         |ba AS (
+         |  SELECT bd.bid, bd.embedding AS bemb,
+         |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+         |  FROM bd, ref1 r),
+         |$sqlPqCbChain,
+         |candpq AS (
+         |  SELECT ba.bid, ba.bemb, a.vec_id, a.embedding
+         |  FROM a1 a JOIN ba ON a.list_id = ba.p_list),
+         |kc AS (
+         |  SELECT e.bid, e.bemb, e.vec_id, e.embedding,
+         |    $pqCodeCols
+         |  FROM candpq e, cbl c),
+         |adct AS (
+         |  SELECT k.bid, k.bemb, k.vec_id, k.embedding,
+         |    ${pqAdcExpr("k.bemb")} AS sim_adc
+         |  FROM kc k, cbl c),
+         |surv AS (
+         |  SELECT bid, bemb, vec_id, embedding FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY bid ORDER BY sim_adc DESC, vec_id) AS rk
+         |    FROM adct) WHERE rk <= 50)
+         |SELECT vec_id, rank, nn_id, sim FROM (
+         |  SELECT s.bid AS vec_id, s.vec_id AS nn_id,
+         |    CAST(row_number() OVER (PARTITION BY s.bid
+         |      ORDER BY ${dot("s.bemb", "s.embedding")} DESC, s.vec_id)
+         |      AS INTEGER) AS rank,
+         |    ${dot("s.bemb", "s.embedding")} AS sim
+         |  FROM surv s) t
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin)
   }
 
   /** The per-partition IVF-PQ replay (`q_vector_search_partitioned_pq`):
@@ -3652,6 +3743,7 @@ object SourceQueries extends QueryModule {
     // The pre-delete Lloyd chain (the geometry the refresh KEPT) with
     // the deleted label filtered from the candidates.
     "q_vector_search_dv" -> sqlVectorSearchOracle("WHERE a.label <> 3"),
+    "q_vector_knn_join_pq" -> sqlPqKnnJoinOracle,
     // The trained chain + per-batch-row flat probe assignment + ranked
     // candidate join — the kNN-join replay.
     "q_vector_knn_join" -> {

@@ -1261,6 +1261,143 @@ object VectorIndex {
     }
   }
 
+  /** PQ-COMPRESSED kNN JOIN — [[knnJoin]] with the C213 two-stage
+    * candidate cut applied per batch row: the ADC pre-rank runs over the
+    * NARROW codes sidecar of the probed lists (embeddings unread), each
+    * batch row keeps its ADC-top-`rerank` survivors, and ONLY the
+    * survivors' rows fetch embeddings (their ≤ \|batch\|×rerank files,
+    * broadcast id semi-join) for the exact fixed-point rerank. At 100 TB
+    * the candidate scan is the batch join's whole cost — reading PqM
+    * small ints per candidate instead of dim×4 B of floats is the same
+    * 4-16× I/O cut searchPq makes, here amortized across the batch.
+    * Approximation explicit and bounded exactly like [[searchPq]]: exact
+    * top-k among each row's ADC-top-rerank. Output and policies match
+    * [[knnJoin]]. */
+  def knnJoinPq(spark: SparkSession, table: String, colName: String,
+      batch: DataFrame, k: Int, rerank: Int = 50): DataFrame =
+    knnJoinPqAttempt(spark, table, colName, batch, k, rerank,
+      allowRefresh = true)
+
+  private def knnJoinPqAttempt(spark: SparkSession, table: String,
+      colName: String, batch: DataFrame, k: Int, rerank: Int,
+      allowRefresh: Boolean): DataFrame = {
+    import graft.llm.Similarity
+    import graft.llm.PortableHash.dotFixed
+    val op = "KNN JOIN PQ"
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
+    val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName) — CREATE VECTOR INDEX " +
+          "first"))
+    val p = parseProp(prop)
+    if (p.partCol.isDefined) throw new UnsupportedOperationException(
+      s"$op: the index on $table ($colName) is BY PARTITION — the " +
+        "trained-geometry compositions serve the GLOBAL geometry; build " +
+        "without BY PARTITION for corpus-wide kNN joins")
+    val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+      col(colName).as("embedding"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sim_adc"), col("vec_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+    def rankTop(pairs: DataFrame): DataFrame =
+      pairs
+        .withColumn("rank", row_number().over(wTop)
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("rank") <= k)
+        .select(col("bid").as("vec_id"), col("rank"), col("nn_id"),
+          col("sim"))
+        .orderBy("vec_id", "rank")
+    if (p.isCurrent(digestOf(m))) {
+      val idxDir = mt.dir.resolve(p.idxName)
+      if (!java.nio.file.Files.exists(idxDir.resolve("pqcb")))
+        throw new IllegalStateException(
+          s"$op: the index on $table ($colName) has no PQ codebook — " +
+            "re-run CREATE VECTOR INDEX, or use knnJoin")
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
+      val probed = bAssigned.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val cbArr = pqCbArr(spark.read.parquet(idxDir.resolve("pqcb").toString))
+      // ADC pre-rank per batch row over the narrow codes of the probed
+      // lists — embeddings unread; survivors MATERIALIZE once (≤
+      // |batch|×rerank rows) to drive the file pruning and the fetch
+      val codes0 =
+        if (probed.isEmpty)
+          spark.read.parquet(idxDir.resolve("codes").toString)
+            .where(lit(false))
+        else spark.read.parquet(idxDir.resolve("codes").toString)
+          .where(col("list_id").isin(probed: _*))
+      val top = bAssigned
+        .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
+          col("list_id"))
+        .join(codes0, Seq("list_id"))
+        .crossJoin(broadcast(cbArr))
+        .withColumn("sim_adc",
+          Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= rerank)
+        .select(col("bid"), col("e_n"), col("vec_id"), col("file"))
+        .localCheckpoint()
+      val candFiles = top.select("file").distinct()
+        .collect().map(_.getString(0))
+      val pairs =
+        if (candFiles.isEmpty)
+          top.select(col("bid"), col("vec_id").as("nn_id"),
+            lit(0L).as("sim")).where(lit(false))
+        else scanFiles(spark, mt.dir, candFiles.toSeq)
+          .select(col(p.idCol).as("vec_id"), col(colName).as("e_o"))
+          .join(broadcast(top), "vec_id")
+          .select(col("bid"), col("vec_id").as("nn_id"),
+            dotFixed(col("e_n"), col("e_o")).as("sim"))
+      rankTop(pairs)
+    } else onStale(spark) match {
+      case "fail" => staleRefused(op, table)
+      case "refresh" if allowRefresh =>
+        refuseRefreshIfReadOnly(spark, op)
+        refresh(spark, mt.dir, colName)
+        knnJoinPqAttempt(spark, table, colName, batch, k, rerank,
+          allowRefresh = false)
+      case _ =>
+        // in-query replay: geometry + codebook training + codes under
+        // the persisted policy — a fresh rebuild's answer, no pruning
+        val names = m.entries.filter(_.rows > 0).map(_.name)
+        val rows = scanFiles(spark, mt.dir, names)
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"))
+        val n = rows.count()
+        val (corpusAssigned, cents) = retrainGeometry(rows, p, n)
+        val cb = trainPqCodebook(
+          rows.select(col("vec_id"), col("embedding")), n)
+        if (cb.isEmpty) throw new IllegalStateException(
+          s"$op: no PQ codebook trains (no rows below the anchor cap) — " +
+            "use knnJoin")
+        val cbArr = pqCbArr(cb)
+        val coded = encodePq(
+          corpusAssigned.select(col("vec_id"), col("embedding"),
+            col("list_id")), cbArr)
+        val bAssigned = Similarity.assignLists(b0, cents)
+        val top = bAssigned
+          .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
+            col("list_id"))
+          .join(coded.drop("embedding", "cents"), Seq("list_id"))
+          .crossJoin(broadcast(cbArr))
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+          .withColumn("rk", row_number().over(wAdc))
+          .filter(col("rk") <= rerank)
+          .select(col("bid"), col("e_n"), col("vec_id"))
+        val pairs = top
+          .join(corpusAssigned.select(col("vec_id"), col("embedding")
+            .as("e_o")), "vec_id")
+          .select(col("bid"), col("vec_id").as("nn_id"),
+            dotFixed(col("e_n"), col("e_o")).as("sim"))
+        rankTop(pairs)
+    }
+  }
+
   /** The named table must analyze to this engine's [[ManifestTable]] —
     * shared by every index-tier query surface. */
   private def resolveTable(spark: SparkSession, table: String,

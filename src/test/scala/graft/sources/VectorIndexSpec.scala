@@ -230,6 +230,29 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
   }
 
+  test("knnJoinPq: per-row ADC cutoff, bounded fetch, converges on exact") {
+    val cat = freshCatalog("vix42")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val batch = Seq((100L, vec(0, (30, 0.02f))), (200L, vec(1, (40, 0.03f))))
+      .toDF("vec_id", "embedding")
+    val pq = VectorIndex.knnJoinPq(spark, t, "embedding", batch, 3,
+      rerank = 4)
+    val rows = pq.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.count(_._1 == 100L) == 3 && rows.count(_._1 == 200L) == 3)
+    assert(rows.filter(_._1 == 100L).map(_._3).toSet.subsetOf((0L to 5L).toSet))
+    assert(rows.filter(_._1 == 200L).map(_._3).toSet.subsetOf((6L to 11L).toSet))
+    assert(plannedFiles(pq) == 2,
+      "each row's survivors live in its own blob file — 2 files total")
+    // rerank ≥ list size converges on the exact knnJoin answer
+    val exact = VectorIndex.knnJoin(spark, t, "embedding", batch, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val conv = VectorIndex.knnJoinPq(spark, t, "embedding", batch, 3,
+      rerank = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(conv == exact, s"rerank ≥ list size must equal exact: $conv vs $exact")
+  }
+
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
     val cat = freshCatalog("vix4")
     val t = stage(cat)
