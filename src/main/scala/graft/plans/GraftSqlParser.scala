@@ -259,6 +259,54 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def splitTop(s: String, sep: Char): Seq[String] =
     MergeParse.splitTop(s, sep)
 
+  /** `VECTOR KNN JOIN ON t (col) USING (<query>) TOP k
+    * [RERANK r USING PQ]` — the batch ANN join
+    * ([[graft.sources.VectorIndex.knnJoin]] / `knnJoinPq`) from plain
+    * SQL: for each row of the USING subquery (any relation yielding the
+    * table's id + embedding columns), its k nearest corpus rows off the
+    * stored geometry. The USING group carries a full subquery (nested
+    * parens, quoted literals), so the head regex stops at its opening
+    * paren and a quote-aware balance scan finds the close; the tail
+    * parses separately. */
+  private val VecKnnHead =
+    ("""(?is)\s*VECTOR\s+KNN\s+JOIN\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
+  private val VecKnnTail =
+    """(?is)\s*TOP\s+(\d+)(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?\s*;?\s*""".r
+
+  /** The balanced close of the paren group OPENING at `open` —
+    * quote-aware like [[vecSubGroup]] (parens inside single-quoted
+    * literals don't count, `''` escapes honored by re-toggling). */
+  private def balancedCloseFrom(sql: String, open: Int): Option[Int] = {
+    var i = open
+    var depth = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (inQuote) { if (ch == '\'') inQuote = false }
+      else if (ch == '\'') inQuote = true
+      else if (ch == '(') depth += 1
+      else if (ch == ')') { depth -= 1; if (depth == 0) return Some(i) }
+      i += 1
+    }
+    None
+  }
+
+  private object VecKnn {
+    def unapply(sql: String): Option[(String, String, String, Int, Option[Int])] =
+      VecKnnHead.findPrefixMatchOf(sql).flatMap { m =>
+        val open = m.end - 1
+        balancedCloseFrom(sql, open).flatMap { close =>
+          sql.substring(close + 1) match {
+            case VecKnnTail(k, r) =>
+              Some((m.group(1), m.group(2), sql.substring(open + 1, close),
+                k.toInt, Option(r).map(_.toInt)))
+            case _ => None
+          }
+        }
+      }
+  }
+
   /** Best-effort parse-time check that `target` resolves to one of this
     * engine's manifest tables. A statement this parser would lower based
     * on SHAPE alone must still DELEGATE when the target belongs to
@@ -337,10 +385,51 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** A `(VECTOR KNN JOIN …)` group INSIDE a larger statement — the
+    * composable-relation form of the batch ANN join, same mechanics as
+    * the VECTOR SEARCH relation (balanced quote-aware group, temp-view
+    * substitution, surrounding statement delegates untouched). The
+    * group's OWN balanced close covers the nested USING subquery. */
+  private val VecKnnSubOpen = """(?i)\(\s*VECTOR\s+KNN\s+JOIN\s+ON""".r
+
+  private def rewriteVecKnnSubqueries(sql: String): Option[String] = {
+    val starts = VecKnnSubOpen.findAllMatchIn(sql).map(_.start).toSet
+    if (starts.isEmpty) return None
+    // first group start outside any single-quoted literal
+    var i = 0
+    var inQuote = false
+    var open = -1
+    while (i < sql.length && open < 0) {
+      val ch = sql.charAt(i)
+      if (inQuote) { if (ch == '\'') inQuote = false }
+      else if (ch == '\'') inQuote = true
+      else if (starts.contains(i)) open = i
+      i += 1
+    }
+    if (open < 0) return None
+    val close = balancedCloseFrom(sql, open).getOrElse(return None)
+    val inner = sql.substring(open + 1, close)
+    inner match {
+      case VecKnn(target, colName, batchSql, topK, rerank) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val view = "graft_vecknn_" +
+          java.lang.Integer.toHexString(inner.trim.hashCode)
+        VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank)
+          .createOrReplaceTempView(view)
+        Some(sql.substring(0, open) + view + sql.substring(close + 1))
+      case _ =>
+        customSyntaxError(inner.trim)
+        None
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     rewriteVecSearchSubqueries(sqlText) match {
       case Some(rewritten) => parsePlan(rewritten)
-      case None => parsePlanMatched(sqlText)
+      case None => rewriteVecKnnSubqueries(sqlText) match {
+        case Some(rewritten) => parsePlan(rewritten)
+        case None => parsePlanMatched(sqlText)
+      }
     }
 
   private def parsePlanMatched(sqlText: String): LogicalPlan = sqlText match {
@@ -388,6 +477,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VectorSearchCommand(target, colName, probeList,
         topK.toInt, Option(probes).map(_.toInt).getOrElse(1),
         Option(rerank).map(_.toInt), Option(where))
+    case VecKnn(target, colName, batchSql, topK, rerank) =>
+      VectorKnnJoinCommand(target, colName, batchSql, topK, rerank)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -455,6 +546,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ("VECTOR SEARCH ON <table> (<col>) PROBE (f, f, …) TOP <k> " +
         "[PROBES <p>] [RERANK <r> USING PQ] [WHERE <pred>] — clauses in " +
         "this order; WHERE quotes must balance"),
+    "VECTOR KNN JOIN" ->
+      ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
+        "[RERANK <r> USING PQ] — the USING subquery yields the table's " +
+        "id + embedding columns; clauses in this order"),
     "CREATE VECTOR INDEX" ->
       ("CREATE VECTOR INDEX ON <table> (<col>) ANCHORS (<idCol>) " +
         "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] [BY PARTITION] — " +
@@ -1064,6 +1159,56 @@ case class VectorSearchCommand(target: String, colName: String,
         rerank, where)
       .orderBy(desc("sim"), col("vec_id"))
       .collect().toSeq
+  }
+}
+
+/** `VECTOR KNN JOIN ON t (col) USING (<query>) TOP k [RERANK r USING
+  * PQ]` — the batch ANN join from plain SQL: for each USING row its k
+  * nearest corpus rows off the stored geometry
+  * ([[graft.sources.VectorIndex.knnJoin]]; RERANK … USING PQ routes
+  * through the per-row ADC cutoff, `knnJoinPq`). Normalized output
+  * (vec_id BIGINT = the batch row's id, rank INT, nn_id BIGINT,
+  * sim DOUBLE), ordered (vec_id, rank). */
+case class VectorKnnJoinCommand(target: String, colName: String,
+    batchSql: String, topK: Int, rerank: Option[Int])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("rank", org.apache.spark.sql.types.IntegerType,
+      nullable = true)(),
+    AttributeReference("nn_id", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("sim", org.apache.spark.sql.types.DoubleType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank)
+      .orderBy(col("vec_id"), col("rank"))
+      .collect().toSeq
+  }
+}
+
+/** The VECTOR KNN JOIN dataflow as a DataFrame — shared by the
+  * standalone statement and the composable `( … )` relation form. The
+  * USING text parses through `spark.sql` (a plain relation — nested
+  * custom groups rewrite first, like any statement). */
+private[plans] object VectorKnnJoinDf {
+  def of(spark: SparkSession, target: String, colName: String,
+      batchSql: String, topK: Int,
+      rerank: Option[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val batch = spark.sql(batchSql)
+    val res = rerank match {
+      case Some(r) => graft.sources.VectorIndex
+        .knnJoinPq(spark, target, colName, batch, topK, r)
+      case None => graft.sources.VectorIndex
+        .knnJoin(spark, target, colName, batch, topK)
+    }
+    res.select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+      col("rank").cast(org.apache.spark.sql.types.IntegerType),
+      col("nn_id").cast(org.apache.spark.sql.types.LongType),
+      col("sim").cast(org.apache.spark.sql.types.DoubleType))
   }
 }
 

@@ -1617,6 +1617,59 @@ object SourceQueries extends QueryModule {
         rerank = 50)
     }),
 
+    // The SAME kNN join through the SQL statement surface (`VECTOR KNN
+    // JOIN ON t (col) USING (<query>) TOP k`) — proves plain SQL reaches
+    // the batch join and answers exactly what the Scala API does
+    // (shared oracle, the C212 zero-drift rule).
+    "q_vector_knn_join_sql" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      Tables(s, d, "embeddings")
+        .createOrReplaceTempView("graft_knn_batch_src")
+      s.sql(s"VECTOR KNN JOIN ON $cat.q.emb (embedding) USING " +
+        "(SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM graft_knn_batch_src WHERE vec_id % 100 = 0) TOP 3")
+    }),
+
+    // STREAMING kNN enrichment (r13): the C229 loop applied to the batch
+    // join — files land, each micro-batch enriches against the stored
+    // index via foreachBatch(knnJoin) into an append-only log; per-batch
+    // cost is the C233 contract (stored centroids + probed-list file
+    // fetches). Neighbor sets are row-independent (batch-vs-corpus
+    // only), so the drained log equals the one-shot join and the SAME
+    // oracle gates both surfaces — a lost, duplicated or reordered
+    // micro-batch hash-fails.
+    "q_stream_knn_join" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val root = graft.Scratch.dir("graft_streamknn_")
+      // three deterministic "arrivals" ((vec_id/100) mod 3 = 0, 1, 2)
+      Seq(0L, 1L, 2L).foreach { b =>
+        batch.where(pmod(col("vec_id") / 100L, lit(3)) === b).coalesce(1)
+          .write.mode("append").parquet(s"$root/arrivals")
+      }
+      val q = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/arrivals")
+        .writeStream
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            VectorIndex.knnJoin(s, s"$cat.q.emb", "embedding", mb.toDF(), 3)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/decisions")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/decisions")
+        .select(col("vec_id"), col("rank"), col("nn_id"), col("sim"))
+        .orderBy("vec_id", "rank")
+    }),
+
     // DV-drift catch-up for ANN through the ORACLE gate (r13): after the
     // merge-on-read DELETE, the stored postings/codes/bands carry dead
     // vec_ids until REFRESH sees the dv-digest divergence and re-derives
@@ -3134,6 +3187,36 @@ object SourceQueries extends QueryModule {
            |  ORDER BY sim_adc DESC, vec_id LIMIT 50)""".stripMargin
   }
 
+  /** The exact kNN-join replay shared by the one-shot query
+    * (`q_vector_knn_join`) and its streaming twin (`q_stream_knn_join`
+    * — neighbor sets are batch-vs-corpus independent, so the drained
+    * micro-batch log must hash identically). */
+  private lazy val sqlKnnJoinOracle: String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+         |b AS (
+         |  SELECT vec_id + 1000000 AS bid, embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |bd AS (
+         |  SELECT b.bid, b.embedding,
+         |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+         |  FROM b, ref1 r0),
+         |ba AS (
+         |  SELECT bd.bid, bd.embedding,
+         |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+         |  FROM bd, ref1 r)
+         |SELECT vec_id, rank, nn_id, sim FROM (
+         |  SELECT ba.bid AS vec_id, a.vec_id AS nn_id,
+         |    CAST(row_number() OVER (PARTITION BY ba.bid
+         |      ORDER BY ${dot("ba.embedding", "a.embedding")} DESC, a.vec_id)
+         |      AS INTEGER) AS rank,
+         |    ${dot("ba.embedding", "a.embedding")} AS sim
+         |  FROM ba JOIN a1 a ON a.list_id = ba.p_list) t
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin)
+  }
+
   /** The PQ kNN-join replay (`q_vector_knn_join_pq`): the trained chain
     * (a1) + the trained codebook chain + per-batch-row flat probe
     * assignment, per-candidate codes, the ADC sum against EACH batch
@@ -3744,33 +3827,14 @@ object SourceQueries extends QueryModule {
     // the deleted label filtered from the candidates.
     "q_vector_search_dv" -> sqlVectorSearchOracle("WHERE a.label <> 3"),
     "q_vector_knn_join_pq" -> sqlPqKnnJoinOracle,
+    // The drained streaming log equals the one-shot join — zero drift
+    // between the batch API and the streaming loop.
+    "q_stream_knn_join" -> sqlKnnJoinOracle,
+    // The SQL statement shares the Scala-API replay (C212's rule).
+    "q_vector_knn_join_sql" -> sqlKnnJoinOracle,
     // The trained chain + per-batch-row flat probe assignment + ranked
     // candidate join — the kNN-join replay.
-    "q_vector_knn_join" -> {
-      val dot = graft.llm.PortableHash.sqlDotFixed _
-      graft.llm.PortableHash.sqlMat(
-        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-           |b AS (
-           |  SELECT vec_id + 1000000 AS bid, embedding
-           |  FROM embeddings WHERE vec_id % 100 = 0),
-           |bd AS (
-           |  SELECT b.bid, b.embedding,
-           |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
-           |  FROM b, ref1 r0),
-           |ba AS (
-           |  SELECT bd.bid, bd.embedding,
-           |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
-           |  FROM bd, ref1 r)
-           |SELECT vec_id, rank, nn_id, sim FROM (
-           |  SELECT ba.bid AS vec_id, a.vec_id AS nn_id,
-           |    CAST(row_number() OVER (PARTITION BY ba.bid
-           |      ORDER BY ${dot("ba.embedding", "a.embedding")} DESC, a.vec_id)
-           |      AS INTEGER) AS rank,
-           |    ${dot("ba.embedding", "a.embedding")} AS sim
-           |  FROM ba JOIN a1 a ON a.list_id = ba.p_list) t
-           |WHERE rank <= 3
-           |ORDER BY vec_id, rank""".stripMargin)
-    },
+    "q_vector_knn_join" -> sqlKnnJoinOracle,
     // Rarest-token search recomputed from the raw parquet: same
     // tokenizer, same term choice, same result set.
     "q_text_search_indexed" ->

@@ -253,6 +253,41 @@ class VectorIndexSpec extends SparkSuite {
     assert(conv == exact, s"rerank ≥ list size must equal exact: $conv vs $exact")
   }
 
+  test("VECTOR KNN JOIN SQL: standalone, PQ form, composable relation") {
+    val cat = freshCatalog("vix43")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val using = s"(SELECT vec_id + 100 AS vec_id, embedding FROM $t " +
+      "WHERE vec_id IN (0, 6))"
+    val res = spark.sql(
+      s"VECTOR KNN JOIN ON $t (embedding) USING $using TOP 2")
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 4 && rows.map(_._1).toSet == Set(100L, 106L),
+      rows.toSeq.toString)
+    assert(rows.filter(_._1 == 100L).map(_._3).forall(n => n >= 0L && n <= 5L))
+    assert(rows.filter(_._1 == 106L).map(_._3).forall(n => n >= 6L && n <= 11L))
+    // RERANK … USING PQ with rerank ≥ list size equals the exact form
+    val pq = spark.sql(
+      s"VECTOR KNN JOIN ON $t (embedding) USING $using TOP 2 " +
+        "RERANK 12 USING PQ")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(pq.toSeq == rows.toSeq, s"${pq.toSeq} vs ${rows.toSeq}")
+    // composable relation: join the output against the table in one
+    // statement
+    val j = spark.sql(
+      s"SELECT v.nn_id, e.label FROM (VECTOR KNN JOIN ON $t (embedding) " +
+        s"USING (SELECT vec_id + 100 AS vec_id, embedding FROM $t " +
+        s"WHERE vec_id = 0) TOP 2) v JOIN $t e ON v.nn_id = e.vec_id " +
+        "ORDER BY v.nn_id")
+    assert(j.collect().map(_.getInt(1)).forall(_ == 0), "blob-A labels")
+    // malformed statement: targeted clause-shape error, not a delegate
+    // ParseException
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"VECTOR KNN JOIN ON $t (embedding) TOP 2")
+    }
+    assert(e.getMessage.contains("VECTOR KNN JOIN"), e.getMessage)
+  }
+
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
     val cat = freshCatalog("vix4")
     val t = stage(cat)
