@@ -292,6 +292,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     None
   }
 
+  /** `BM25 SEARCH ON t (col) ID (idCol) TERMS ('a', 'b', …) TOP k
+    * [WHERE <scope>]` — index-accelerated BM25 from plain SQL
+    * ([[graft.sources.TextIndex.bm25TopK]]; a WHERE scope routes through
+    * the per-domain statistics tier, `bm25TopKScoped` — df/N/avgdl over
+    * the scoped sub-corpus, zone-map-served when the layout proves it).
+    * An EXPLICIT statement like VECTOR SEARCH: ranking statistics come
+    * from the index, which a transparent rewrite of an ORDER BY
+    * expression must never silently substitute. */
+  private val Bm25Search =
+    ("""(?is)\s*BM25\s+SEARCH\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+ID\s*\(\s*(\w+)\s*\)\s+TERMS\s*\(([^)]+)\)""" +
+      """\s+TOP\s+(\d+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+
   private object VecKnn {
     def unapply(sql: String): Option[(String, String, String, Int, Option[Int])] =
       VecKnnHead.findPrefixMatchOf(sql).flatMap { m =>
@@ -479,6 +492,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(rerank).map(_.toInt), Option(where))
     case VecKnn(target, colName, batchSql, topK, rerank) =>
       VectorKnnJoinCommand(target, colName, batchSql, topK, rerank)
+    case Bm25Search(target, colName, idCol, termsList, topK, where)
+      if termsList.count(_ == '\'') % 2 == 0 &&
+        Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
+      Bm25SearchCommand(target, colName, idCol, termsList, topK.toInt,
+        Option(where))
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -550,6 +568,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
         "[RERANK <r> USING PQ] — the USING subquery yields the table's " +
         "id + embedding columns; clauses in this order"),
+    "BM25 SEARCH" ->
+      ("BM25 SEARCH ON <table> (<col>) ID (<idCol>) TERMS ('a', 'b', …) " +
+        "TOP <k> [WHERE <scope>] — clauses in this order; TERMS takes " +
+        "single-quoted string literals, quotes must balance"),
     "CREATE VECTOR INDEX" ->
       ("CREATE VECTOR INDEX ON <table> (<col>) ANCHORS (<idCol>) " +
         "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] [BY PARTITION] — " +
@@ -1185,6 +1207,46 @@ case class VectorKnnJoinCommand(target: String, colName: String,
     import org.apache.spark.sql.functions.col
     VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank)
       .orderBy(col("vec_id"), col("rank"))
+      .collect().toSeq
+  }
+}
+
+/** `BM25 SEARCH ON t (col) ID (idCol) TERMS (…) TOP k [WHERE scope]` —
+  * the search-engine top-k from plain SQL: df per term and the corpus
+  * stats come from the token index (a WHERE scope routes through the
+  * per-domain statistics tier — [[graft.sources.TextIndex
+  * .bm25TopKScoped]]). Normalized output (<idCol> cast BIGINT — the
+  * VECTOR SEARCH anchor-id rule — n_terms BIGINT, score DOUBLE),
+  * ranked (score DESC, id). */
+case class Bm25SearchCommand(target: String, colName: String,
+    idCol: String, termsList: String, topK: Int, where: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference(idCol, org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("n_terms", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("score", org.apache.spark.sql.types.DoubleType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, desc, expr}
+    val terms = MergeParse.splitTop(termsList, ',').map(_.trim).map { t =>
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        t.substring(1, t.length - 1).replace("''", "'")
+      else throw new IllegalArgumentException(
+        s"BM25 SEARCH: TERMS component $t is not a single-quoted string " +
+          "literal")
+    }
+    val res = where match {
+      case Some(w) => graft.sources.TextIndex.bm25TopKScoped(spark, target,
+        colName, idCol, terms, topK, expr(w))
+      case None => graft.sources.TextIndex.bm25TopK(spark, target, colName,
+        idCol, terms, topK)
+    }
+    res.select(col(idCol).cast(org.apache.spark.sql.types.LongType),
+        col("n_terms").cast(org.apache.spark.sql.types.LongType),
+        col("score").cast(org.apache.spark.sql.types.DoubleType))
+      .orderBy(desc("score"), col(idCol))
       .collect().toSeq
   }
 }

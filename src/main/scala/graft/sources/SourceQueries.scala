@@ -1070,6 +1070,46 @@ object SourceQueries extends QueryModule {
       TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id", batch)
     }),
 
+    // STREAMING MinHash ingest dedup (r13): the C229 loop applied to the
+    // TEXT tier — document files land, each micro-batch near-dedups
+    // against the STORED signature sidecar (corpus text never re-read),
+    // decisions append to the curation log. Row-independent decisions →
+    // the drained log equals the one-shot incremental query and the SAME
+    // oracle gates both surfaces.
+    "q_stream_minhash_dedup" -> ((s, d) => {
+      val cat = stageTextIncBase(s, d)
+      import org.apache.spark.sql.functions._
+      val odd = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"))
+      val root = graft.Scratch.dir("graft_streammh_")
+      // three deterministic "arrivals" (doc_id mod 6 = 1, 3, 5)
+      Seq(1L, 3L, 5L).foreach { b =>
+        odd.where(pmod(col("doc_id"), lit(6)) === b).coalesce(1)
+          .write.mode("append").parquet(s"$root/arrivals")
+      }
+      val q = s.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/arrivals")
+        .writeStream
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id",
+                mb.toDF())
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$root/decisions")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/decisions")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING INGEST DEDUP against the stored index — the daily-ingest
     // loop end-to-end: new embedding files LAND (three parquet files, one
     // per micro-batch under maxFilesPerTrigger=1), each micro-batch runs
@@ -1503,6 +1543,22 @@ object SourceQueries extends QueryModule {
     // one-file-per-source managed base must plan only the file PREFIX
     // whose live rows cover the limit — at a million files, `LIMIT 100`
     // plans O(1) files, never the table. In-query asserts pin the planning
+    // The SAME BM25 rankings through the SQL statement surface
+    // (`BM25 SEARCH ON t (col) ID (id) TERMS (…) TOP k [WHERE scope]`)
+    // — plain SQL reaches the text ranking tier and answers exactly
+    // what the Scala API does (shared oracles, the C212 rule; the WHERE
+    // form routes through the per-domain statistics tier).
+    "q_text_bm25_sql" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
+        "TERMS ('vector', 'join', 'scan') TOP 10")
+    }),
+    "q_text_bm25_sql_scoped" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
+        "TERMS ('vector', 'join', 'scan') TOP 10 WHERE source = 'src3'")
+    }),
+
     // SCOPED BM25 through the ORACLE gate (r13): per-domain relevance —
     // df/N/avgdl over ONE source's sub-corpus (a term common in one
     // domain but rare in another must score against ITS domain's df).
@@ -3635,6 +3691,8 @@ object SourceQueries extends QueryModule {
     // (the sidecar is a materialization, not a semantics change).
     "q_dedup_minhash_indexed_incremental" ->
       graft.llm.Dedup.sqlDedupIncremental,
+    // The drained streaming log equals the one-shot incremental dedup.
+    "q_stream_minhash_dedup" -> graft.llm.Dedup.sqlDedupIncremental,
     // The full diversity-sample replay at the index's training depth.
     "q_sample_cluster_indexed" -> graft.llm.Clustering.sqlClusterSample(1),
     // Exact top-10 vs the IVF replay's top-10, joined — recall as data.
@@ -3804,6 +3862,19 @@ object SourceQueries extends QueryModule {
       s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
          |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The SQL statements share the Scala-API replays (C212's rule).
+    "q_text_bm25_sql" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    "q_text_bm25_sql_scoped" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDocOver(
+               "SELECT doc_id, text FROM documents " +
+                 "WHERE source = 'src3'")}) per_doc
          |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
     // BM25 recomputed from raw parquet over the SCOPED corpus — the
     // per-domain statistics the index-served scoping must equal.

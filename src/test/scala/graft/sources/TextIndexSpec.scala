@@ -276,6 +276,46 @@ class TextIndexSpec extends SparkSuite {
       "undecidable layout answers exactly through the fallback")
   }
 
+  test("BM25 SEARCH SQL: statement, scoped WHERE, targeted errors") {
+    val (cat, _) = freshCatalog("tix41")
+    val t = s"$cat.ns.docs"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, dom STRING, text STRING)")
+    Seq((1L, "a", "rare alpha beta"), (2L, "a", "rare gamma"),
+      (3L, "a", "alpha beta gamma"))
+      .toDF("id", "dom", "text").coalesce(1).writeTo(t).append()
+    Seq((4L, "b", "alpha beta"), (5L, "b", "beta gamma"),
+      (6L, "b", "alpha alpha"))
+      .toDF("id", "dom", "text").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSeq
+    // the statement answers exactly what the Scala API does
+    val sql = spark.sql(s"BM25 SEARCH ON $t (text) ID (id) " +
+      "TERMS ('rare', 'alpha') TOP 10")
+    val api = TextIndex.bm25TopK(spark, t, "text", "id",
+      Seq("rare", "alpha"), 10)
+    assert(rows(sql) == rows(api), s"${rows(sql)} vs ${rows(api)}")
+    // WHERE routes through the scoped-statistics tier
+    val scopedSql = spark.sql(s"BM25 SEARCH ON $t (text) ID (id) " +
+      "TERMS ('rare', 'alpha') TOP 10 WHERE dom = 'a'")
+    val scopedApi = TextIndex.bm25TopKScoped(spark, t, "text", "id",
+      Seq("rare", "alpha"), 10, col("dom") === "a")
+    assert(rows(scopedSql) == rows(scopedApi))
+    assert(rows(scopedSql) != rows(sql), "the scope changes the ranking")
+    // malformed statement → targeted clause-shape error
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"BM25 SEARCH ON $t (text) TERMS ('x') TOP 5")
+    }
+    assert(e1.getMessage.contains("BM25 SEARCH"), e1.getMessage)
+    // unquoted TERMS literal → targeted refusal
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"BM25 SEARCH ON $t (text) ID (id) TERMS (rare) TOP 5")
+        .collect()
+    }
+    assert(e2.getMessage.contains("single-quoted"), e2.getMessage)
+  }
+
   test("DROP TEXT INDEX unpublishes; VACUUM reaps the orphan dir") {
     val (cat, root) = freshCatalog("tix4")
     val t = stage(cat)
