@@ -398,17 +398,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  /** A `(VECTOR KNN JOIN …)` group INSIDE a larger statement — the
-    * composable-relation form of the batch ANN join, same mechanics as
-    * the VECTOR SEARCH relation (balanced quote-aware group, temp-view
+  /** A `(VECTOR KNN JOIN …)` / `(BM25 SEARCH …)` group INSIDE a larger
+    * statement — the composable-relation form, same mechanics as the
+    * VECTOR SEARCH relation (balanced quote-aware group, temp-view
     * substitution, surrounding statement delegates untouched). The
-    * group's OWN balanced close covers the nested USING subquery. */
+    * group's OWN balanced close covers nested subqueries (the KNN
+    * join's USING group). */
   private val VecKnnSubOpen = """(?i)\(\s*VECTOR\s+KNN\s+JOIN\s+ON""".r
+  private val Bm25SubOpen = """(?i)\(\s*BM25\s+SEARCH\s+ON""".r
 
-  private def rewriteVecKnnSubqueries(sql: String): Option[String] = {
-    val starts = VecKnnSubOpen.findAllMatchIn(sql).map(_.start).toSet
-    if (starts.isEmpty) return None
-    // first group start outside any single-quoted literal
+  /** The first start from `starts` that is OUTSIDE any single-quoted
+    * literal, with its balanced close. */
+  private def groupOutsideQuotes(sql: String,
+      starts: Set[Int]): Option[(Int, Int)] = {
     var i = 0
     var inQuote = false
     var open = -1
@@ -419,8 +421,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       else if (starts.contains(i)) open = i
       i += 1
     }
-    if (open < 0) return None
-    val close = balancedCloseFrom(sql, open).getOrElse(return None)
+    if (open < 0) None
+    else balancedCloseFrom(sql, open).map(open -> _)
+  }
+
+  private def rewriteVecKnnSubqueries(sql: String): Option[String] = {
+    val starts = VecKnnSubOpen.findAllMatchIn(sql).map(_.start).toSet
+    if (starts.isEmpty) return None
+    val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
       case VecKnn(target, colName, batchSql, topK, rerank) =>
@@ -436,13 +444,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  private def rewriteBm25Subqueries(sql: String): Option[String] = {
+    val starts = Bm25SubOpen.findAllMatchIn(sql).map(_.start).toSet
+    if (starts.isEmpty) return None
+    val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
+    val inner = sql.substring(open + 1, close)
+    inner match {
+      case Bm25Search(target, colName, idCol, termsList, topK, where)
+        if termsList.count(_ == '\'') % 2 == 0 &&
+          Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val view = "graft_bm25_" +
+          java.lang.Integer.toHexString(inner.trim.hashCode)
+        Bm25SearchDf.of(spark, target, colName, idCol, termsList,
+            topK.toInt, Option(where))
+          .createOrReplaceTempView(view)
+        Some(sql.substring(0, open) + view + sql.substring(close + 1))
+      case _ =>
+        customSyntaxError(inner.trim)
+        None
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewriteVecSearchSubqueries(sqlText) match {
+    rewriteVecSearchSubqueries(sqlText)
+      .orElse(rewriteVecKnnSubqueries(sqlText))
+      .orElse(rewriteBm25Subqueries(sqlText)) match {
       case Some(rewritten) => parsePlan(rewritten)
-      case None => rewriteVecKnnSubqueries(sqlText) match {
-        case Some(rewritten) => parsePlan(rewritten)
-        case None => parsePlanMatched(sqlText)
-      }
+      case None => parsePlanMatched(sqlText)
     }
 
   private def parsePlanMatched(sqlText: String): LogicalPlan = sqlText match {
@@ -1229,7 +1258,20 @@ case class Bm25SearchCommand(target: String, colName: String,
     AttributeReference("score", org.apache.spark.sql.types.DoubleType,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, desc, expr}
+    import org.apache.spark.sql.functions.{col, desc}
+    Bm25SearchDf.of(spark, target, colName, idCol, termsList, topK, where)
+      .orderBy(desc("score"), col(idCol))
+      .collect().toSeq
+  }
+}
+
+/** The BM25 SEARCH dataflow as a DataFrame — shared by the standalone
+  * statement and the composable `( … )` relation form. */
+private[plans] object Bm25SearchDf {
+  def of(spark: SparkSession, target: String, colName: String,
+      idCol: String, termsList: String, topK: Int,
+      where: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val terms = MergeParse.splitTop(termsList, ',').map(_.trim).map { t =>
       if (t.length >= 2 && t.head == '\'' && t.last == '\'')
         t.substring(1, t.length - 1).replace("''", "'")
@@ -1244,10 +1286,8 @@ case class Bm25SearchCommand(target: String, colName: String,
         idCol, terms, topK)
     }
     res.select(col(idCol).cast(org.apache.spark.sql.types.LongType),
-        col("n_terms").cast(org.apache.spark.sql.types.LongType),
-        col("score").cast(org.apache.spark.sql.types.DoubleType))
-      .orderBy(desc("score"), col(idCol))
-      .collect().toSeq
+      col("n_terms").cast(org.apache.spark.sql.types.LongType),
+      col("score").cast(org.apache.spark.sql.types.DoubleType))
   }
 }
 

@@ -1686,6 +1686,42 @@ object SourceQueries extends QueryModule {
         "FROM graft_knn_batch_src WHERE vec_id % 100 = 0) TOP 3")
     }),
 
+    // RECALL AUDIT for the kNN join (the C208 audit-as-data pattern
+    // applied to C233): pooled recall@3 of the stored-geometry batch
+    // join vs the exact brute-force top-3 per batch row — the number a
+    // deployment monitors before trusting the join's single-probe
+    // approximation. Oracle-certified, so a geometry or union
+    // regression moves it and hash-fails.
+    "q_vector_knn_join_recall" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val approx = VectorIndex.knnJoin(s, s"$cat.q.emb", "embedding",
+          batch, 3)
+        .select(col("vec_id").as("bid"), col("nn_id"))
+      // exact side: brute force per batch row — the batch is broadcast
+      // (the scalar-frame crossJoin pattern), corpus scanned once
+      val corpus = s.table(s"$cat.q.emb")
+        .select(col("vec_id").as("nn_id"), col("embedding").as("e_o"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+      val exact = corpus
+        .crossJoin(broadcast(batch
+          .select(col("vec_id").as("bid"), col("embedding").as("e_n"))))
+        .select(col("bid"), col("nn_id"),
+          graft.llm.PortableHash.dotFixed(col("e_n"), col("e_o")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("bid"), col("nn_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("bid", "nn_id"),
+          "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // STREAMING kNN enrichment (r13): the C229 loop applied to the batch
     // join — files land, each micro-batch enriches against the stored
     // index via foreachBatch(knnJoin) into an append-only log; per-batch
@@ -3903,6 +3939,43 @@ object SourceQueries extends QueryModule {
     "q_stream_knn_join" -> sqlKnnJoinOracle,
     // The SQL statement shares the Scala-API replay (C212's rule).
     "q_vector_knn_join_sql" -> sqlKnnJoinOracle,
+    // Pooled recall@3 of the batch join vs per-row exact brute force.
+    "q_vector_knn_join_recall" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed _
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+           |b AS (
+           |  SELECT vec_id + 1000000 AS bid, embedding
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |bd AS (
+           |  SELECT b.bid, b.embedding,
+           |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+           |  FROM b, ref1 r0),
+           |ba AS (
+           |  SELECT bd.bid, bd.embedding,
+           |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+           |  FROM bd, ref1 r),
+           |exact AS (
+           |  SELECT bid, vec_id FROM (
+           |    SELECT b.bid, e.vec_id,
+           |      row_number() OVER (PARTITION BY b.bid
+           |        ORDER BY ${dot("b.embedding", "e.embedding")} DESC,
+           |          e.vec_id) AS rk
+           |    FROM embeddings e, b) WHERE rk <= 3),
+           |approx AS (
+           |  SELECT bid, vec_id FROM (
+           |    SELECT ba.bid, a.vec_id,
+           |      row_number() OVER (PARTITION BY ba.bid
+           |        ORDER BY ${dot("ba.embedding", "a.embedding")} DESC,
+           |          a.vec_id) AS rk
+           |    FROM ba JOIN a1 a ON a.list_id = ba.p_list) WHERE rk <= 3)
+           |SELECT COUNT(*) AS n_true,
+           |  COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS n_found,
+           |  CAST(COUNT(CASE WHEN x.vec_id IS NOT NULL THEN 1 END) AS DOUBLE)
+           |    / COUNT(*) AS recall
+           |FROM exact LEFT JOIN approx x
+           |  ON exact.bid = x.bid AND exact.vec_id = x.vec_id""".stripMargin)
+    },
     // The trained chain + per-batch-row flat probe assignment + ranked
     // candidate join — the kNN-join replay.
     "q_vector_knn_join" -> sqlKnnJoinOracle,

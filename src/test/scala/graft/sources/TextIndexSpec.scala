@@ -303,6 +303,13 @@ class TextIndexSpec extends SparkSuite {
       Seq("rare", "alpha"), 10, col("dom") === "a")
     assert(rows(scopedSql) == rows(scopedApi))
     assert(rows(scopedSql) != rows(sql), "the scope changes the ranking")
+    // composable relation: BM25 output joins table columns in ONE
+    // statement (the C219 temp-view substitution applied to text)
+    val rel = spark.sql(
+      s"SELECT b.id, d.dom FROM (BM25 SEARCH ON $t (text) ID (id) " +
+        s"TERMS ('rare') TOP 5) b JOIN $t d ON b.id = d.id ORDER BY b.id")
+    assert(rel.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "only the 'rare' docs rank, joined back to their rows")
     // malformed statement → targeted clause-shape error
     val e1 = intercept[IllegalArgumentException] {
       spark.sql(s"BM25 SEARCH ON $t (text) TERMS ('x') TOP 5")
