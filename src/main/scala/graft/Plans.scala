@@ -104,7 +104,13 @@ object Plans {
     "q_dedup_semantic_incremental" -> "incremental SemDeDup: batch assigns against corpus geometry, batch x corpus bucket candidates only — no self-join on either side",
     "q_dedup_semantic_indexed_incremental" -> "index-backed incremental SemDeDup: stored centroids + stored band sidecar, fused cluster∩bucket∩τ join, corpus embeddings fetched from candidate-bucket FILES only",
     "q_vector_search_partitioned_global" -> "global search over BY PARTITION: per-partition top-k against each sub-geometry, global top-k over the ≤ parts×k union — no second global index",
-    "q_vector_search_partitioned_pq" -> "per-partition PQ: the pin's ranked codebook ADC-ranks its codes sidecar, exact rerank touches survivor files only")
+    "q_vector_search_partitioned_pq" -> "per-partition PQ: the pin's ranked codebook ADC-ranks its codes sidecar, exact rerank touches survivor files only",
+    "q_text_bm25_dv" -> "dv-drift-refreshed BM25: stats re-derived from the masked scans of only the DV'd files — live-exact df/N/avgdl, posting-union files planned",
+    "q_vector_search_dv" -> "dv-drift-refreshed IVF: kept geometry, dead vec_ids dropped from the touched files' postings, live-only candidates",
+    "q_text_bm25_scoped" -> "scoped BM25: zone maps prove every file in/out of the scope — per-domain df/N/avgdl from in-scope stat rows only, 1-file ranking scan",
+    "q_vector_knn_join" -> "index-backed kNN join: batch rows assign via broadcast stored centroids, candidates fetch from probed-list files only, per-row ranked window",
+    "q_vector_knn_join_pq" -> "PQ kNN join: per-row ADC cutoff over the narrow codes sidecar, exact rerank fetches only each row's survivors",
+    "q_vector_knn_join_filtered" -> "filtered kNN join: the predicate narrows candidates inside the probed files' scan BEFORE each row's top-k")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

@@ -272,7 +272,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*VECTOR\s+KNN\s+JOIN\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
   private val VecKnnTail =
-    """(?is)\s*TOP\s+(\d+)(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?\s*;?\s*""".r
+    ("""(?is)\s*TOP\s+(\d+)(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   /** The balanced close of the paren group OPENING at `open` —
     * quote-aware like [[vecSubGroup]] (parens inside single-quoted
@@ -306,14 +307,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+TOP\s+(\d+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private object VecKnn {
-    def unapply(sql: String): Option[(String, String, String, Int, Option[Int])] =
+    def unapply(sql: String)
+        : Option[(String, String, String, Int, Option[Int], Option[String])] =
       VecKnnHead.findPrefixMatchOf(sql).flatMap { m =>
         val open = m.end - 1
         balancedCloseFrom(sql, open).flatMap { close =>
           sql.substring(close + 1) match {
-            case VecKnnTail(k, r) =>
+            case VecKnnTail(k, r, w)
+              if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
               Some((m.group(1), m.group(2), sql.substring(open + 1, close),
-                k.toInt, Option(r).map(_.toInt)))
+                k.toInt, Option(r).map(_.toInt), Option(w)))
             case _ => None
           }
         }
@@ -431,11 +434,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
-      case VecKnn(target, colName, batchSql, topK, rerank) =>
+      case VecKnn(target, colName, batchSql, topK, rerank, where) =>
         val spark = org.apache.spark.sql.SparkSession.active
         val view = "graft_vecknn_" +
           java.lang.Integer.toHexString(inner.trim.hashCode)
-        VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank)
+        VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank,
+            where)
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -519,8 +523,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VectorSearchCommand(target, colName, probeList,
         topK.toInt, Option(probes).map(_.toInt).getOrElse(1),
         Option(rerank).map(_.toInt), Option(where))
-    case VecKnn(target, colName, batchSql, topK, rerank) =>
-      VectorKnnJoinCommand(target, colName, batchSql, topK, rerank)
+    case VecKnn(target, colName, batchSql, topK, rerank, where) =>
+      VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where)
     case Bm25Search(target, colName, idCol, termsList, topK, where)
       if termsList.count(_ == '\'') % 2 == 0 &&
         Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
@@ -595,8 +599,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "this order; WHERE quotes must balance"),
     "VECTOR KNN JOIN" ->
       ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
-        "[RERANK <r> USING PQ] — the USING subquery yields the table's " +
-        "id + embedding columns; clauses in this order"),
+        "[RERANK <r> USING PQ] [WHERE <pred>] — the USING subquery yields " +
+        "the table's id + embedding columns; clauses in this order"),
     "BM25 SEARCH" ->
       ("BM25 SEARCH ON <table> (<col>) ID (<idCol>) TERMS ('a', 'b', …) " +
         "TOP <k> [WHERE <scope>] — clauses in this order; TERMS takes " +
@@ -1221,7 +1225,8 @@ case class VectorSearchCommand(target: String, colName: String,
   * (vec_id BIGINT = the batch row's id, rank INT, nn_id BIGINT,
   * sim DOUBLE), ordered (vec_id, rank). */
 case class VectorKnnJoinCommand(target: String, colName: String,
-    batchSql: String, topK: Int, rerank: Option[Int])
+    batchSql: String, topK: Int, rerank: Option[Int],
+    where: Option[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
@@ -1234,7 +1239,8 @@ case class VectorKnnJoinCommand(target: String, colName: String,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
-    VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank)
+    VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank,
+        where)
       .orderBy(col("vec_id"), col("rank"))
       .collect().toSeq
   }
@@ -1297,14 +1303,18 @@ private[plans] object Bm25SearchDf {
   * custom groups rewrite first, like any statement). */
 private[plans] object VectorKnnJoinDf {
   def of(spark: SparkSession, target: String, colName: String,
-      batchSql: String, topK: Int,
-      rerank: Option[Int]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+      batchSql: String, topK: Int, rerank: Option[Int],
+      where: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val batch = spark.sql(batchSql)
-    val res = rerank match {
-      case Some(r) => graft.sources.VectorIndex
+    val res = (rerank, where.map(expr)) match {
+      case (Some(r), Some(pred)) => graft.sources.VectorIndex
+        .knnJoinPqWhere(spark, target, colName, batch, topK, r, pred)
+      case (Some(r), None) => graft.sources.VectorIndex
         .knnJoinPq(spark, target, colName, batch, topK, r)
-      case None => graft.sources.VectorIndex
+      case (None, Some(pred)) => graft.sources.VectorIndex
+        .knnJoinWhere(spark, target, colName, batch, topK, pred)
+      case (None, None) => graft.sources.VectorIndex
         .knnJoin(spark, target, colName, batch, topK)
     }
     res.select(col("vec_id").cast(org.apache.spark.sql.types.LongType),

@@ -1686,6 +1686,35 @@ object SourceQueries extends QueryModule {
         "FROM graft_knn_batch_src WHERE vec_id % 100 = 0) TOP 3")
     }),
 
+    // FILTERED kNN join (the filtered-ANN rule applied to the batch
+    // join): the predicate narrows CANDIDATES before each batch row's
+    // top-k — filtering the output would under-fill every row's k. The
+    // oracle applies the same predicate to the candidate join before
+    // the per-row ranking.
+    "q_vector_knn_join_filtered" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinWhere(s, s"$cat.q.emb", "embedding", batch, 3,
+        col("label") % 2 === 0)
+    }),
+
+    // FILTERED PQ kNN join from SQL (both clauses in one statement):
+    // the predicate semi-joins the codes BEFORE each row's ADC rerank
+    // cutoff — a selective filter can never under-fill any row's rerank
+    // budget (the filtered-PQ rule per batch row).
+    "q_vector_knn_join_pq_filtered" -> ((s, d) => {
+      val cat = stageVecBase(s, d)
+      Tables(s, d, "embeddings")
+        .createOrReplaceTempView("graft_knn_batch_src")
+      s.sql(s"VECTOR KNN JOIN ON $cat.q.emb (embedding) USING " +
+        "(SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM graft_knn_batch_src WHERE vec_id % 100 = 0) TOP 3 " +
+        "RERANK 50 USING PQ WHERE label % 2 = 0")
+    }),
+
     // RECALL AUDIT for the kNN join (the C208 audit-as-data pattern
     // applied to C233): pooled recall@3 of the stored-geometry batch
     // join vs the exact brute-force top-3 per batch row — the number a
@@ -3283,7 +3312,9 @@ object SourceQueries extends QueryModule {
     * (`q_vector_knn_join`) and its streaming twin (`q_stream_knn_join`
     * — neighbor sets are batch-vs-corpus independent, so the drained
     * micro-batch log must hash identically). */
-  private lazy val sqlKnnJoinOracle: String = {
+  private lazy val sqlKnnJoinOracle: String = sqlKnnJoinOracleWhere("")
+
+  private def sqlKnnJoinOracleWhere(where: String): String = {
     val dot = graft.llm.PortableHash.sqlDotFixed _
     graft.llm.PortableHash.sqlMat(
       s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
@@ -3304,7 +3335,7 @@ object SourceQueries extends QueryModule {
          |      ORDER BY ${dot("ba.embedding", "a.embedding")} DESC, a.vec_id)
          |      AS INTEGER) AS rank,
          |    ${dot("ba.embedding", "a.embedding")} AS sim
-         |  FROM ba JOIN a1 a ON a.list_id = ba.p_list) t
+         |  FROM ba JOIN a1 a ON a.list_id = ba.p_list $where) t
          |WHERE rank <= 3
          |ORDER BY vec_id, rank""".stripMargin)
   }
@@ -3315,7 +3346,9 @@ object SourceQueries extends QueryModule {
     * row's own vector, a per-batch-row ADC-top-`rerank` cutoff, and the
     * exact per-row rerank — [[sqlPqBlocks]]'s pipeline with the probe
     * generalized to a batch relation. */
-  private lazy val sqlPqKnnJoinOracle: String = {
+  private lazy val sqlPqKnnJoinOracle: String = sqlPqKnnJoinOracleWhere("")
+
+  private def sqlPqKnnJoinOracleWhere(where: String): String = {
     val dot = graft.llm.PortableHash.sqlDotFixed _
     val bdot = dot("b.embedding", "r0.cl[ci]")
     graft.llm.PortableHash.sqlMat(
@@ -3334,7 +3367,7 @@ object SourceQueries extends QueryModule {
          |$sqlPqCbChain,
          |candpq AS (
          |  SELECT ba.bid, ba.bemb, a.vec_id, a.embedding
-         |  FROM a1 a JOIN ba ON a.list_id = ba.p_list),
+         |  FROM a1 a JOIN ba ON a.list_id = ba.p_list $where),
          |kc AS (
          |  SELECT e.bid, e.bemb, e.vec_id, e.embedding,
          |    $pqCodeCols
@@ -3939,6 +3972,12 @@ object SourceQueries extends QueryModule {
     "q_stream_knn_join" -> sqlKnnJoinOracle,
     // The SQL statement shares the Scala-API replay (C212's rule).
     "q_vector_knn_join_sql" -> sqlKnnJoinOracle,
+    // The same ranked join with the predicate on the candidate side.
+    "q_vector_knn_join_filtered" ->
+      sqlKnnJoinOracleWhere("WHERE a.label % 2 = 0"),
+    // The PQ pipeline with the predicate before each row's cutoff.
+    "q_vector_knn_join_pq_filtered" ->
+      sqlPqKnnJoinOracleWhere("WHERE a.label % 2 = 0"),
     // Pooled recall@3 of the batch join vs per-row exact brute force.
     "q_vector_knn_join_recall" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _

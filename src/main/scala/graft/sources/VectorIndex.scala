@@ -1184,10 +1184,24 @@ object VectorIndex {
     * `refresh` = the bounded catch-up; `fail` refuses). */
   def knnJoin(spark: SparkSession, table: String, colName: String,
       batch: DataFrame, k: Int): DataFrame =
-    knnJoinAttempt(spark, table, colName, batch, k, allowRefresh = true)
+    knnJoinAttempt(spark, table, colName, batch, k, None,
+      allowRefresh = true)
+
+  /** FILTERED kNN JOIN — the predicate narrows the CANDIDATES before
+    * each batch row's top-k (the filtered-ANN rule applied to the batch
+    * join: filtering the output would under-fill every row's k). The
+    * predicate references the table's own columns and evaluates
+    * scan-side over the probed lists' files — pushdown and zone-map file
+    * skipping stack with the posting pruning. */
+  def knnJoinWhere(spark: SparkSession, table: String, colName: String,
+      batch: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    knnJoinAttempt(spark, table, colName, batch, k, Some(predicate),
+      allowRefresh = true)
 
   private def knnJoinAttempt(spark: SparkSession, table: String,
       colName: String, batch: DataFrame, k: Int,
+      predicate: Option[org.apache.spark.sql.Column],
       allowRefresh: Boolean): DataFrame = {
     import graft.llm.Similarity
     import graft.llm.PortableHash.dotFixed
@@ -1239,24 +1253,33 @@ object VectorIndex {
         else spark.read.parquet(idxDir.resolve("posts").toString)
           .where(col("list_id").isin(probed: _*))
           .select("file").distinct().collect().map(_.getString(0)).toSeq
+      // the predicate narrows the candidate rows INSIDE the probed
+      // files' scan (pushdown + zone-map skipping apply) BEFORE the
+      // re-derivation and the per-row top-k
+      val candScan =
+        if (candFiles.isEmpty) spark.table(table).where(lit(false))
+        else scanFiles(spark, mt.dir, candFiles)
       val corpusAssigned = Similarity.assignListsHier(
-        rekey(
-          if (candFiles.isEmpty) spark.table(table).where(lit(false))
-          else scanFiles(spark, mt.dir, candFiles)),
-        cents, p.coarse)
+        rekey(predicate.fold(candScan)(candScan.where)), cents, p.coarse)
       ranked(bAssigned, corpusAssigned)
     } else onStale(spark) match {
       case "fail" => staleRefused(op, table)
       case "refresh" if allowRefresh =>
         refuseRefreshIfReadOnly(spark, op)
         refresh(spark, mt.dir, colName)
-        knnJoinAttempt(spark, table, colName, batch, k, allowRefresh = false)
+        knnJoinAttempt(spark, table, colName, batch, k, predicate,
+          allowRefresh = false)
       case _ =>
         // in-query replay of the build geometry — exactly a rebuild's
-        // answer, minus the file-bounded fetch
+        // answer, minus the file-bounded fetch; the geometry trains on
+        // the FULL corpus (what a CREATE would), the predicate narrows
+        // candidates only
         val names = m.entries.filter(_.rows > 0).map(_.name)
         val rows = rekey(scanFiles(spark, mt.dir, names))
-        val (corpusAssigned, cents) = retrainGeometry(rows, p, rows.count())
+        val (_, cents) = retrainGeometry(rows, p, rows.count())
+        val candScan = scanFiles(spark, mt.dir, names)
+        val corpusAssigned = Similarity.assignListsHier(
+          rekey(predicate.fold(candScan)(candScan.where)), cents, p.coarse)
         ranked(Similarity.assignLists(b0, cents), corpusAssigned)
     }
   }
@@ -1275,11 +1298,22 @@ object VectorIndex {
     * [[knnJoin]]. */
   def knnJoinPq(spark: SparkSession, table: String, colName: String,
       batch: DataFrame, k: Int, rerank: Int = 50): DataFrame =
-    knnJoinPqAttempt(spark, table, colName, batch, k, rerank,
+    knnJoinPqAttempt(spark, table, colName, batch, k, rerank, None,
       allowRefresh = true)
+
+  /** FILTERED PQ kNN JOIN — the predicate semi-joins the codes BEFORE
+    * each row's ADC rerank cutoff (the filtered-PQ rule per batch row: a
+    * selective filter must never under-fill any row's rerank budget);
+    * the probed lists' files scan for the predicate columns only. */
+  def knnJoinPqWhere(spark: SparkSession, table: String, colName: String,
+      batch: DataFrame, k: Int, rerank: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    knnJoinPqAttempt(spark, table, colName, batch, k, rerank,
+      Some(predicate), allowRefresh = true)
 
   private def knnJoinPqAttempt(spark: SparkSession, table: String,
       colName: String, batch: DataFrame, k: Int, rerank: Int,
+      predicate: Option[org.apache.spark.sql.Column],
       allowRefresh: Boolean): DataFrame = {
     import graft.llm.Similarity
     import graft.llm.PortableHash.dotFixed
@@ -1324,12 +1358,29 @@ object VectorIndex {
       // ADC pre-rank per batch row over the narrow codes of the probed
       // lists — embeddings unread; survivors MATERIALIZE once (≤
       // |batch|×rerank rows) to drive the file pruning and the fetch
-      val codes0 =
+      val codesAll =
         if (probed.isEmpty)
           spark.read.parquet(idxDir.resolve("codes").toString)
             .where(lit(false))
         else spark.read.parquet(idxDir.resolve("codes").toString)
           .where(col("list_id").isin(probed: _*))
+      // the predicate narrows the codes BEFORE each row's rerank cutoff
+      // (the filtered-PQ rule): the probed lists' files scan for the
+      // predicate columns only, matching ids semi-join the codes
+      val codes0 = predicate match {
+        case None => codesAll
+        case Some(pred) =>
+          val pFiles =
+            if (probed.isEmpty) Array.empty[String]
+            else spark.read.parquet(idxDir.resolve("posts").toString)
+              .where(col("list_id").isin(probed: _*))
+              .select("file").distinct().collect().map(_.getString(0))
+          if (pFiles.isEmpty) codesAll.where(lit(false))
+          else codesAll.join(
+            scanFiles(spark, mt.dir, pFiles.toSeq).where(pred)
+              .select(col(p.idCol).as("vec_id")),
+            Seq("vec_id"), "left_semi")
+      }
       val top = bAssigned
         .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
           col("list_id"))
@@ -1359,10 +1410,12 @@ object VectorIndex {
         refuseRefreshIfReadOnly(spark, op)
         refresh(spark, mt.dir, colName)
         knnJoinPqAttempt(spark, table, colName, batch, k, rerank,
-          allowRefresh = false)
+          predicate, allowRefresh = false)
       case _ =>
         // in-query replay: geometry + codebook training + codes under
-        // the persisted policy — a fresh rebuild's answer, no pruning
+        // the persisted policy — a fresh rebuild's answer, no pruning;
+        // the predicate still narrows the coded candidates before each
+        // row's cutoff
         val names = m.entries.filter(_.rows > 0).map(_.name)
         val rows = scanFiles(spark, mt.dir, names)
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
@@ -1375,9 +1428,16 @@ object VectorIndex {
           s"$op: no PQ codebook trains (no rows below the anchor cap) — " +
             "use knnJoin")
         val cbArr = pqCbArr(cb)
-        val coded = encodePq(
+        val codedAll = encodePq(
           corpusAssigned.select(col("vec_id"), col("embedding"),
             col("list_id")), cbArr)
+        val coded = predicate match {
+          case None => codedAll
+          case Some(pred) => codedAll.join(
+            scanFiles(spark, mt.dir, names).where(pred)
+              .select(col(p.idCol).as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        }
         val bAssigned = Similarity.assignLists(b0, cents)
         val top = bAssigned
           .select(col("vec_id").as("bid"), col("embedding").as("e_n"),

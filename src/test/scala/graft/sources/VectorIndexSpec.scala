@@ -280,6 +280,15 @@ class VectorIndexSpec extends SparkSuite {
         s"WHERE vec_id = 0) TOP 2) v JOIN $t e ON v.nn_id = e.vec_id " +
         "ORDER BY v.nn_id")
     assert(j.collect().map(_.getInt(1)).forall(_ == 0), "blob-A labels")
+    // WHERE narrows CANDIDATES before each row's top-k (the filtered-
+    // ANN rule): blob A's ids 0-1 filtered out, the per-row k still fills
+    val filt = spark.sql(
+      s"VECTOR KNN JOIN ON $t (embedding) USING $using TOP 3 " +
+        "WHERE vec_id >= 2")
+    val fRows = filt.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(fRows.count(_._1 == 100L) == 3 &&
+      fRows.filter(_._1 == 100L).forall(x => x._2 >= 2L && x._2 <= 5L),
+      fRows.toSeq.toString)
     // malformed statement: targeted clause-shape error, not a delegate
     // ParseException
     val e = intercept[IllegalArgumentException] {
