@@ -137,6 +137,99 @@ object Text extends QueryModule {
           Det.davg(length(col("token")).cast(DoubleType)).as("avg_token_len"))
         .orderBy("source")),
 
+    // PER-DOCUMENT keyword extraction: each doc's top-3 TF-IDF terms —
+    // the document-fingerprint summary a curation pipeline attaches for
+    // clustering/retrieval diagnostics. Same smoothed idf as
+    // q_text_tfidf but ranked WITHIN each document (term tie-break);
+    // fixed-point scores. Bounded: tf shuffle on (doc, term), df
+    // aggregate broadcast back, one per-doc window. First 40 docs
+    // declared (120 rows — the comparator-friendly cut; the window is
+    // the operator, the cut is presentation).
+    "q_text_keywords" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // idf from the FULL corpus; the declared-doc cut applies after the
+      // statistics and before the per-doc window
+      val dfreq = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score_fx"), col("term"))
+      tf.where(col("doc_id") < 40)
+        .join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * lit(1e9) *
+            log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)))
+            .cast(LongType).as("score_fx"))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"),
+          (col("score_fx").cast(DoubleType) / 1e9).as("score"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // MODEL-BASED classification trained IN-QUERY (the fasttext/CCNet
+    // filtering pattern, as a fully-replayable dataflow): a multinomial
+    // Naive Bayes language classifier — per-(class, token) Laplace-
+    // smoothed log-likelihoods + class priors train on the EVEN-id half,
+    // the ODD half scores and argmaxes. Every log floors to fixed point
+    // per (class, token) BEFORE the per-doc sum (longs commute — the
+    // double-summation-order rule), so training and inference replay
+    // cell-exactly in DuckDB. Scale shape: the model is a
+    // (train-vocab × classes) relation — a bounded equi-join against the
+    // eval tokens, priors/defaults broadcast; nothing quadratic, no
+    // driver-side model state.
+    "q_text_classify_nb" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val train = toks.where(pmod(col("doc_id"), lit(2)) === 0)
+      val ct = train.groupBy("lang", "term").agg(count(lit(1)).as("n_ct"))
+      val tot = train.groupBy("lang").agg(count(lit(1)).as("n_c"))
+      val voc = train.agg(countDistinct(col("term")).as("v"))
+      val evenDocs = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val pri = evenDocs.groupBy("lang").agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(evenDocs.agg(count(lit(1)).as("nt"))))
+        .select(col("lang"),
+          floor(lit(1e9) * log(col("nd").cast(DoubleType) / col("nt")))
+            .cast(LongType).as("prior_fx"))
+      val clsInfo = tot.crossJoin(broadcast(voc))
+        .select(col("lang"),
+          floor(lit(1e9) * log(lit(1.0) / (col("n_c") + col("v"))))
+            .cast(LongType).as("d_fx"),
+          col("n_c"), col("v"))
+      val ll = ct.join(clsInfo, "lang")
+        .select(col("lang"), col("term"),
+          floor(lit(1e9) * log((col("n_ct") + lit(1.0)) /
+            (col("n_c") + col("v")))).cast(LongType).as("ll_fx"))
+      val ev = toks.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("lang").as("actual"), col("term"))
+      val scored = ev
+        .crossJoin(broadcast(clsInfo.select(col("lang"), col("d_fx"))))
+        .join(ll, Seq("lang", "term"), "left")
+        .select(col("doc_id"), col("actual"), col("lang"),
+          coalesce(col("ll_fx"), col("d_fx")).as("t_fx"))
+        .groupBy("doc_id", "actual", "lang")
+        .agg(sum(col("t_fx")).as("s_fx"))
+        .join(broadcast(pri), "lang")
+        .select(col("doc_id"), col("actual"), col("lang"),
+          (col("s_fx") + col("prior_fx")).as("score_fx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score_fx"), col("lang"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("actual"), col("lang").as("pred"),
+          (col("actual") === col("lang")).as("is_correct"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID: marker-stopword hit counts per language, argmax with
     // lexicographic tie-break. Pure per-row computation.
     "q_text_langid" -> ((s, d) => {
@@ -812,6 +905,74 @@ object Text extends QueryModule {
          |     / COUNT(CAST(length(token) AS DOUBLE))) AS avg_token_len
          |FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents) u
          |GROUP BY source ORDER BY source""".stripMargin,
+    // Per-doc keyword replay: same tokenizer, same smoothed idf, same
+    // within-doc ranking.
+    "q_text_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+        |          GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(floor(tf * 1000000000.0
+        |      * ln((n_docs + 1.0) / (df + 1))) AS BIGINT) AS score_fx
+        |  FROM tf JOIN dfreq USING (term), n
+        |  WHERE tf.doc_id < 40)
+        |SELECT doc_id, rk, term,
+        |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+        |FROM (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score_fx DESC, term)
+        |        AS INTEGER) AS rk
+        |      FROM sc)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // The full NB pipeline — training counts, smoothed fixed-point
+    // log-likelihoods, priors, per-doc sums and the argmax — recomputed
+    // from raw parquet.
+    "q_text_classify_nb" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, t AS term FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |ct AS (SELECT lang, term, COUNT(*) AS n_ct FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang, COUNT(*) AS n_c FROM train GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT term) AS v FROM train),
+        |pri AS (
+        |  SELECT lang, CAST(floor(1000000000 * ln(CAST(nd AS DOUBLE) / nt))
+        |    AS BIGINT) AS prior_fx
+        |  FROM (SELECT lang, COUNT(*) AS nd FROM documents
+        |        WHERE doc_id % 2 = 0 GROUP BY lang),
+        |       (SELECT COUNT(*) AS nt FROM documents WHERE doc_id % 2 = 0)),
+        |cls AS (
+        |  SELECT lang, n_c, v,
+        |    CAST(floor(1000000000 * ln(1.0 / (n_c + v))) AS BIGINT) AS d_fx
+        |  FROM tot, voc),
+        |ll AS (
+        |  SELECT ct.lang, ct.term,
+        |    CAST(floor(1000000000 * ln((n_ct + 1.0) / (n_c + v)))
+        |      AS BIGINT) AS ll_fx
+        |  FROM ct JOIN cls USING (lang)),
+        |ev AS (SELECT doc_id, lang AS actual, term FROM tk
+        |       WHERE doc_id % 2 = 1),
+        |sc AS (
+        |  SELECT e.doc_id, e.actual, c.lang,
+        |    SUM(COALESCE(l.ll_fx, c.d_fx)) AS s_fx
+        |  FROM ev e CROSS JOIN cls c
+        |  LEFT JOIN ll l ON l.lang = c.lang AND l.term = e.term
+        |  GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT sc.doc_id, sc.actual, sc.lang,
+        |    sc.s_fx + p.prior_fx AS score_fx
+        |  FROM sc JOIN pri p ON p.lang = sc.lang)
+        |SELECT doc_id, actual, lang AS pred, (actual = lang) AS is_correct
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score_fx DESC, lang) AS rk
+        |      FROM fin)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> {
       val langs = LangMarkers.map(_._1)
       val scoreCols = LangMarkers.map { case (l, ms) => s"${sqlHits(ms)} AS s_$l" }.mkString(",\n|  ")
