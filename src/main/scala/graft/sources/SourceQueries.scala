@@ -1715,6 +1715,21 @@ object SourceQueries extends QueryModule {
         "RERANK 50 USING PQ WHERE label % 2 = 0")
     }),
 
+    // PARTITION-PINNED kNN join (r13): the pin routes every batch row
+    // to label 3's OWN sub-geometry — its ranked-seeded centroids
+    // assign the batch, its postings prune, nothing of any other
+    // partition is read. The oracle replays the pinned slice's ranked
+    // chain + the per-batch-row flat probe + ranked join.
+    "q_vector_knn_join_partitioned" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinWhere(s, s"$cat.q.emb", "embedding", batch, 3,
+        col("label") === 3)
+    }),
+
     // RECALL AUDIT for the kNN join (the C208 audit-as-data pattern
     // applied to C233): pooled recall@3 of the stored-geometry batch
     // join vs the exact brute-force top-3 per batch row — the number a
@@ -3978,6 +3993,35 @@ object SourceQueries extends QueryModule {
     // The PQ pipeline with the predicate before each row's cutoff.
     "q_vector_knn_join_pq_filtered" ->
       sqlPqKnnJoinOracleWhere("WHERE a.label % 2 = 0"),
+    // The pinned slice's ranked chain + batch probe + ranked join.
+    "q_vector_knn_join_partitioned" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed _
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH p3 AS (
+           |  SELECT vec_id, label, embedding FROM embeddings
+           |  WHERE label = 3),
+           |${graft.llm.Clustering.sqlKmeansRanked(1, "p3", pfx = "kj")},
+           |b AS (
+           |  SELECT vec_id + 1000000 AS bid, embedding
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |bd AS (
+           |  SELECT b.bid, b.embedding,
+           |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+           |  FROM b, refkj1 r0),
+           |ba AS (
+           |  SELECT bd.bid, bd.embedding,
+           |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+           |  FROM bd, refkj1 r)
+           |SELECT vec_id, rank, nn_id, sim FROM (
+           |  SELECT ba.bid AS vec_id, a.vec_id AS nn_id,
+           |    CAST(row_number() OVER (PARTITION BY ba.bid
+           |      ORDER BY ${dot("ba.embedding", "a.embedding")} DESC,
+           |        a.vec_id) AS INTEGER) AS rank,
+           |    ${dot("ba.embedding", "a.embedding")} AS sim
+           |  FROM ba JOIN akj1 a ON a.list_id = ba.p_list) t
+           |WHERE rank <= 3
+           |ORDER BY vec_id, rank""".stripMargin)
+    },
     // Pooled recall@3 of the batch join vs per-row exact brute force.
     "q_vector_knn_join_recall" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _

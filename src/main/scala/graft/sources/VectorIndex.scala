@@ -1214,16 +1214,15 @@ object VectorIndex {
         s"$op: no vector index on $table ($colName) — CREATE VECTOR INDEX " +
           "first"))
     val p = parseProp(prop)
-    if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index on $table ($colName) is BY PARTITION — the " +
-        "trained-geometry compositions serve the GLOBAL geometry; build " +
-        "without BY PARTITION for corpus-wide kNN joins")
     val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
       col(colName).as("embedding"))
     def rekey(df: DataFrame): DataFrame =
       df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
         col(colName).as("embedding"))
-    def ranked(bAssigned: DataFrame, corpusAssigned: DataFrame): DataFrame = {
+    // per-(batch row, candidate) pairs with each row's local top-k — the
+    // building block both the global path and the per-pin sub-joins use
+    def rankedPairs(bAssigned: DataFrame,
+        corpusAssigned: DataFrame): DataFrame = {
       val x = bAssigned.select(col("vec_id").as("bid"),
         col("embedding").as("e_n"), col("list_id"))
       val y = corpusAssigned.select(col("list_id"),
@@ -1233,6 +1232,14 @@ object VectorIndex {
       x.join(y, Seq("list_id"))
         .select(col("bid"), col("nn_id"),
           dotFixed(col("e_n"), col("e_o")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("bid"), col("nn_id"), col("sim"))
+    }
+    def finish(pairs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+      pairs
         .withColumn("rank", row_number().over(w)
           .cast(org.apache.spark.sql.types.IntegerType))
         .filter(col("rank") <= k)
@@ -1240,28 +1247,81 @@ object VectorIndex {
           col("sim"))
         .orderBy("vec_id", "rank")
     }
+    def ranked(bAssigned: DataFrame, corpusAssigned: DataFrame): DataFrame =
+      finish(rankedPairs(bAssigned, corpusAssigned))
+    // one pin's sub-join: the batch assigns against THAT pin's
+    // sub-centroids, candidates come from its postings, the pin filter
+    // isolates its rows in mixed files (the searchWhere multi-pin rule)
+    def pinPairs(bAssignedOf: DataFrame => DataFrame,
+        cents: DataFrame, candScan: Option[DataFrame]): Option[DataFrame] =
+      candScan.map { scan =>
+        rankedPairs(bAssignedOf(cents),
+          Similarity.assignListsHier(rekey(scan), cents, p.coarse))
+      }
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
-      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
-      // MATERIALIZE the batch assignment once: it drives BOTH the probed-
-      // list planning and the candidate join (bounded by the batch)
-      val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
-      val probed = bAssigned.select("list_id").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val candFiles =
-        if (probed.isEmpty) Seq.empty[String]
-        else spark.read.parquet(idxDir.resolve("posts").toString)
-          .where(col("list_id").isin(probed: _*))
-          .select("file").distinct().collect().map(_.getString(0)).toSeq
-      // the predicate narrows the candidate rows INSIDE the probed
-      // files' scan (pushdown + zone-map skipping apply) BEFORE the
-      // re-derivation and the per-row top-k
-      val candScan =
-        if (candFiles.isEmpty) spark.table(table).where(lit(false))
-        else scanFiles(spark, mt.dir, candFiles)
-      val corpusAssigned = Similarity.assignListsHier(
-        rekey(predicate.fold(candScan)(candScan.where)), cents, p.coarse)
-      ranked(bAssigned, corpusAssigned)
+      p.partCol match {
+        case Some(pc) =>
+          // BY PARTITION (r13): pinned pins route to their OWN
+          // sub-geometries, each contributing a per-(batch row, pin)
+          // top-k; the global per-row top-k ranks the ≤ pins×k union.
+          // NO pin = all partitions (the C225 rule applied to the batch
+          // join — corpus-wide kNN joins without a second global index).
+          val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
+          val posts0 = spark.read.parquet(idxDir.resolve("posts").toString)
+          val pins = predicate
+            .flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
+            .getOrElse(cents0.select("part").distinct().orderBy("part")
+              .collect().map(_.getString(0)).toSeq)
+          val perPin = pins.flatMap { pin =>
+            val cents = cents0.where(col("part") === pin)
+              .select("c_id", "c_emb")
+            if (cents.limit(1).count() == 0L) None // unseen pin value
+            else {
+              val bAssigned = Similarity.assignLists(b0, cents)
+                .localCheckpoint()
+              val probed = bAssigned.select("list_id").distinct()
+                .collect().map(_.getInt(0)).toSeq
+              val cand = posts0.where(col("part") === pin &&
+                  col("list_id").isin(probed: _*))
+                .select("file").distinct().collect().map(_.getString(0))
+              if (cand.isEmpty) None
+              else {
+                val scan0 = scanFiles(spark, mt.dir, cand.toSeq)
+                  .where(col(pc).cast("string") === pin)
+                pinPairs(_ => bAssigned, cents,
+                  Some(predicate.fold(scan0)(scan0.where)))
+              }
+            }
+          }
+          if (perPin.isEmpty)
+            finish(b0.select(col("vec_id").as("bid"),
+              col("vec_id").as("nn_id"), lit(0L).as("sim"))
+              .where(lit(false)))
+          else finish(perPin.reduce(_ unionByName _))
+        case None =>
+          val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+          // MATERIALIZE the batch assignment once: it drives BOTH the
+          // probed-list planning and the candidate join (bounded by the
+          // batch)
+          val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
+          val probed = bAssigned.select("list_id").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val candFiles =
+            if (probed.isEmpty) Seq.empty[String]
+            else spark.read.parquet(idxDir.resolve("posts").toString)
+              .where(col("list_id").isin(probed: _*))
+              .select("file").distinct().collect().map(_.getString(0)).toSeq
+          // the predicate narrows the candidate rows INSIDE the probed
+          // files' scan (pushdown + zone-map skipping apply) BEFORE the
+          // re-derivation and the per-row top-k
+          val candScan =
+            if (candFiles.isEmpty) spark.table(table).where(lit(false))
+            else scanFiles(spark, mt.dir, candFiles)
+          val corpusAssigned = Similarity.assignListsHier(
+            rekey(predicate.fold(candScan)(candScan.where)), cents, p.coarse)
+          ranked(bAssigned, corpusAssigned)
+      }
     } else onStale(spark) match {
       case "fail" => staleRefused(op, table)
       case "refresh" if allowRefresh =>
@@ -1272,15 +1332,43 @@ object VectorIndex {
       case _ =>
         // in-query replay of the build geometry — exactly a rebuild's
         // answer, minus the file-bounded fetch; the geometry trains on
-        // the FULL corpus (what a CREATE would), the predicate narrows
+        // the FULL corpus (or, BY PARTITION, per pinned slice with
+        // ranked seeding — the sub-index rule), the predicate narrows
         // candidates only
         val names = m.entries.filter(_.rows > 0).map(_.name)
-        val rows = rekey(scanFiles(spark, mt.dir, names))
-        val (_, cents) = retrainGeometry(rows, p, rows.count())
-        val candScan = scanFiles(spark, mt.dir, names)
-        val corpusAssigned = Similarity.assignListsHier(
-          rekey(predicate.fold(candScan)(candScan.where)), cents, p.coarse)
-        ranked(Similarity.assignLists(b0, cents), corpusAssigned)
+        val all = scanFiles(spark, mt.dir, names)
+        p.partCol match {
+          case Some(pc) =>
+            val pins = predicate
+              .flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
+              .getOrElse(all.select(col(pc).cast("string").as("part"))
+                .distinct().orderBy("part")
+                .collect().map(_.getString(0)).toSeq)
+            val perPin = pins.flatMap { pin =>
+              val partRows = rekey(all.where(col(pc).cast("string") === pin))
+              val n = partRows.count()
+              if (n == 0) None
+              else {
+                val kp = p.lists.getOrElse(graft.llm.Clustering.kFor(n))
+                val cents = graft.llm.Clustering.kmeansAssignRanked(
+                  partRows, kp, Iters, p.coarse)._2
+                val scan0 = all.where(col(pc).cast("string") === pin)
+                pinPairs(c => Similarity.assignLists(b0, c), cents,
+                  Some(predicate.fold(scan0)(scan0.where)))
+              }
+            }
+            if (perPin.isEmpty)
+              finish(b0.select(col("vec_id").as("bid"),
+                col("vec_id").as("nn_id"), lit(0L).as("sim"))
+                .where(lit(false)))
+            else finish(perPin.reduce(_ unionByName _))
+          case None =>
+            val rows = rekey(all)
+            val (_, cents) = retrainGeometry(rows, p, rows.count())
+            val corpusAssigned = Similarity.assignListsHier(
+              rekey(predicate.fold(all)(all.where)), cents, p.coarse)
+            ranked(Similarity.assignLists(b0, cents), corpusAssigned)
+        }
     }
   }
 
@@ -1327,9 +1415,9 @@ object VectorIndex {
           "first"))
     val p = parseProp(prop)
     if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index on $table ($colName) is BY PARTITION — the " +
-        "trained-geometry compositions serve the GLOBAL geometry; build " +
-        "without BY PARTITION for corpus-wide kNN joins")
+      s"$op: the index on $table ($colName) is BY PARTITION — the PQ " +
+        "batch join serves the GLOBAL codebook only; use knnJoin (the " +
+        "exact per-pin join) or build without BY PARTITION")
     val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
       col(colName).as("embedding"))
     val wAdc = org.apache.spark.sql.expressions.Window

@@ -215,17 +215,31 @@ class VectorIndexSpec extends SparkSuite {
     val stale = VectorIndex.knnJoin(spark, t, "embedding", batch, 12)
     val ids = stale.select("nn_id").as[Long].collect().toSet
     assert(ids.contains(12L), s"stale retrain must see the new row: $ids")
-    // BY PARTITION indexes refuse (global-geometry composition)
+    // BY PARTITION: pinned pins route to their own sub-geometries, a
+    // multi-pin unions per-pin top-ks, and NO pin = all partitions (the
+    // C225 rule applied to the batch join); the PQ join still refuses
     val cat2 = freshCatalog("vix41")
     val t2 = s"$cat2.ns.emb"
     spark.sql(s"CREATE TABLE $t2 (vec_id BIGINT, label INT, " +
       "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
-    (0 to 5).map(i => (i.toLong, 0, vec(0))).toDF("vec_id", "label", "embedding")
-      .coalesce(1).writeTo(t2).append()
+    (0 to 5).map(i => (i.toLong, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t2).append()
+    (6 to 11).map(i => (i.toLong, 1, vec(1, (20, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t2).append()
     spark.sql(s"CREATE VECTOR INDEX ON $t2 (embedding) ANCHORS (vec_id) " +
       "BY PARTITION")
+    val pinned = VectorIndex.knnJoinWhere(spark, t2, "embedding", batch, 3,
+      col("label") === 1)
+    val pn = pinned.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pn.map(_._2).forall(n => n >= 6L && n <= 11L),
+      s"pin routes to label 1's sub-geometry only: ${pn.toSeq}")
+    assert(plannedFiles(pinned) == 1, "the pinned slice's one file plans")
+    val global = VectorIndex.knnJoin(spark, t2, "embedding", batch, 3)
+    val gl = global.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(gl.filter(_._1 == 100L).map(_._2).toSet.subsetOf((0L to 5L).toSet),
+      s"a blob-A probe's global top-k comes from label 0's slice: ${gl.toSeq}")
     val e = intercept[UnsupportedOperationException] {
-      VectorIndex.knnJoin(spark, t2, "embedding", batch, 3)
+      VectorIndex.knnJoinPq(spark, t2, "embedding", batch, 3)
     }
     assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
   }
