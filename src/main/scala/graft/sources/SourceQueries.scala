@@ -235,6 +235,57 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The TIME-TRAVEL base `q_vector_search_asof` reads: the vec-base
+    * layout (cluster-per-file, indexed), its post-index VERSION
+    * recorded, then a DECOY append — five copies of the probe row under
+    * shifted ids that would dominate any CURRENT top-10. The AS OF
+    * search must answer from the snapshot (historical posting pruning,
+    * snapshot-pinned scan) as if the append never happened. Staged ONCE
+    * per (JVM, sfDir); value = (catalog, version). */
+  private val stagedVecAsofBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def stageVecAsofBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int) =
+    stagedVecAsofBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stageva_")
+      val cat = s"graftstgva${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>)")
+      val emb = Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
+      val (assigned, _) = graft.llm.Clustering.kmeansAssign(
+        emb, graft.llm.Clustering.kFor(emb.count()), 1)
+      val cached = assigned.localCheckpoint(true)
+      val lists = cached.select("list_id").distinct()
+        .orderBy("list_id").collect().map(_.getInt(0))
+      lists.foreach { l =>
+        cached.filter(col("list_id") === l)
+          .select("vec_id", "label", "embedding").coalesce(1)
+          .writeTo(s"$cat.q.emb").append()
+      }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) ANCHORS (vec_id)")
+        .collect()
+      val dir = s.table(s"$cat.q.emb").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val v = Manifest.snapshotVersions(dir).max
+      // the decoys: exact probe copies — any current top-10 is theirs
+      emb.where(col("vec_id") === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+          col("embedding"))
+        .crossJoin(org.apache.spark.sql.functions.broadcast(
+          s.range(5).select(col("id"))))
+        .select((col("vec_id") + col("id")).as("vec_id"), col("label"),
+          col("embedding"))
+        .coalesce(1).writeTo(s"$cat.q.emb").append()
+      (cat, v)
+    })
+
   /** The DELETION-VECTORED text base `q_text_bm25_dv` reads: full
     * documents rows per-source on a `delete.dv` table, token-indexed,
     * then a merge-on-read DELETE (cuts files — DVs only, names
@@ -1713,6 +1764,46 @@ object SourceQueries extends QueryModule {
         "(SELECT vec_id + 1000000 AS vec_id, embedding " +
         "FROM graft_knn_batch_src WHERE vec_id % 100 = 0) TOP 3 " +
         "RERANK 50 USING PQ WHERE label % 2 = 0")
+    }),
+
+    // TIME-TRAVEL-CONSISTENT ANN (r13): VERSION AS OF + the index
+    // version that covered it — the snapshot manifest's own vecidx prop
+    // serves the historical posting lists, the candidate scan pins both
+    // the files and the snapshot, and five probe-copy decoys appended
+    // AFTER the version must not leak into the top-10. The oracle is
+    // the plain pre-append search replay; the in-query asserts pin the
+    // historical 1-file pruning and that a CURRENT search IS dominated
+    // by the decoys.
+    "q_vector_search_asof" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val res = VectorIndex.searchAsOf(s, s"$cat.q.emb", "embedding",
+          probe, 10, v)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[ManifestScan] => Seq(b.scan.asInstanceOf[ManifestScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
+      assert(planned == 1,
+        s"the SNAPSHOT's posting list must pin one file, planned $planned")
+      val decoys = s.table(s"$cat.q.emb")
+        .where(col("vec_id") >= 2000000L).count()
+      assert(decoys == 5L,
+        s"the current table must hold the 5 probe-copy decoys: $decoys")
+      res
     }),
 
     // PARTITION-PINNED kNN join (r13): the pin routes every batch row
@@ -3993,6 +4084,9 @@ object SourceQueries extends QueryModule {
     // The PQ pipeline with the predicate before each row's cutoff.
     "q_vector_knn_join_pq_filtered" ->
       sqlPqKnnJoinOracleWhere("WHERE a.label % 2 = 0"),
+    // The AS OF search must equal the plain pre-append replay — the
+    // snapshot IS the original corpus.
+    "q_vector_search_asof" -> sqlVectorSearchOracle(""),
     // The pinned slice's ranked chain + batch probe + ranked join.
     "q_vector_knn_join_partitioned" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _

@@ -1546,6 +1546,78 @@ object VectorIndex {
     }
   }
 
+  /** TIME-TRAVEL-CONSISTENT ANN — search a TABLE SNAPSHOT with the
+    * index version that covered it: the snapshot manifest carries the
+    * `vecidx.` prop AS OF that commit, so when its digest matches the
+    * snapshot's own file set (and the sidecar dir hasn't been VACUUMed)
+    * the HISTORICAL posting lists prune and the candidate scan pins
+    * both the files and the snapshot — DV state as of the version, so a
+    * later merge-on-read DELETE doesn't leak backward and a
+    * since-deleted row still ranks where it did. The text tier's C200
+    * guard solved the inverse hazard (a pinned scan must never prune
+    * against the CURRENT posting list); this is the positive
+    * capability: prune against the snapshot's OWN list. A snapshot
+    * whose index is stale or whose sidecars were reaped retrains
+    * in-query over the snapshot rows under the prop's persisted policy
+    * — always correct, no pruning (the retrain posture; `refresh` would
+    * mutate CURRENT state to serve the past, so the onStale policy
+    * deliberately does not apply). Global (non-partitioned) indexes
+    * only. Output: (vec_id, list_id, sim), like [[search]]. */
+  def searchAsOf(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int, version: Int,
+      probes: Int = 1): DataFrame = {
+    import graft.llm.Similarity
+    val op = "VECTOR SEARCH AS OF"
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: snapshot $version expired or never existed at ${mt.dir}"))
+    val p = parseProp(m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName) existed as of " +
+          s"version $version — the snapshot carries no vecidx prop")))
+    if (p.partCol.isDefined) throw new UnsupportedOperationException(
+      s"$op: the index as of version $version is BY PARTITION — " +
+        "time-travel serving covers global indexes")
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    val pv = typedLit(probe.toSeq)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    def rekey(df: DataFrame): DataFrame =
+      df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"))
+    def rank(rows: DataFrame, cents: DataFrame,
+        pLists: Seq[Int]): DataFrame =
+      Similarity.assignListsHier(rows, cents, p.coarse)
+        .where(col("list_id").isin(pLists: _*))
+        .select(col("vec_id"), col("list_id"),
+          graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(topK)
+    val idxDir = mt.dir.resolve(p.idxName)
+    val servable = p.isCurrent(digestOf(m)) &&
+      java.nio.file.Files.exists(idxDir.resolve("cents"))
+    if (servable) {
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      val pLists = probeListsOf(cents, probe, probes)
+      val cand = spark.read.parquet(idxDir.resolve("posts").toString)
+        .where(col("list_id").isin(pLists: _*))
+        .select("file").distinct().collect().map(_.getString(0))
+      if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
+      rank(rekey(snapScan(cand.toSeq)), cents, pLists)
+    } else {
+      // the snapshot's index was stale (or its sidecars reaped):
+      // retrain over the SNAPSHOT rows under the persisted policy —
+      // exactly what a rebuild at that version would have answered
+      val rows = rekey(snapScan(names))
+      val (_, cents) = retrainGeometry(rows, p, rows.count())
+      rank(rows, cents, probeListsOf(cents, probe, probes))
+    }
+  }
+
   /** The named table must analyze to this engine's [[ManifestTable]] —
     * shared by every index-tier query surface. */
   private def resolveTable(spark: SparkSession, table: String,

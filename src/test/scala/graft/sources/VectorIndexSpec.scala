@@ -311,6 +311,41 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("VECTOR KNN JOIN"), e.getMessage)
   }
 
+  test("searchAsOf: the snapshot's index serves; later DVs and appends " +
+    "don't leak back") {
+    val cat = freshCatalog("vix50")
+    val t = stage(cat)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val v = Manifest.snapshotVersions(dir).max
+    spark.sql(s"DELETE FROM $t WHERE vec_id = 3")
+    // current: the masked fetch drops the DV'd row
+    val cur = VectorIndex.search(spark, t, "embedding", vec(0), 6)
+    assert(!cur.select("vec_id").as[Long].collect().contains(3L))
+    // AS OF the pre-delete version: the row ranks where it did —
+    // snapshot DV state, historical posting pruning
+    val asof = VectorIndex.searchAsOf(spark, t, "embedding", vec(0), 6, v)
+    val ids = asof.select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(3L), s"snapshot must rank the deleted row: $ids")
+    assert(plannedFiles(asof) == 1, "the snapshot's posting list pins 1 file")
+    // an append after the version stays invisible AS OF it
+    Seq((12L, 0, vec(0, (31, 0.01f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val asof2 = VectorIndex.searchAsOf(spark, t, "embedding", vec(0), 12, v)
+    assert(!asof2.select("vec_id").as[Long].collect().contains(12L),
+      "a later append must not leak into the snapshot's ranking")
+    // a version that never existed refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.searchAsOf(spark, t, "embedding", vec(0), 5, 999)
+    }
+    assert(e.getMessage.contains("expired or never existed"), e.getMessage)
+  }
+
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
     val cat = freshCatalog("vix4")
     val t = stage(cat)
