@@ -286,6 +286,48 @@ object SourceQueries extends QueryModule {
       (cat, v)
     })
 
+  /** The TIME-TRAVEL text base `q_text_bm25_asof` reads: the per-source
+    * indexed docs layout, its post-index VERSION recorded, then a decoy
+    * append — five documents stuffed with the BM25 query terms that
+    * would dominate any CURRENT ranking (and shift everyone's df/avgdl).
+    * The AS OF ranking must answer from the snapshot's statistics and
+    * rows as if the append never happened. */
+  private val stagedTextAsofBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def stageTextAsofBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int) =
+    stagedTextAsofBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, lit, concat_ws}
+      val root = graft.Scratch.dir("graft_stageta_")
+      val cat = s"graftstgta${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, text STRING)")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "text")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val v = Manifest.snapshotVersions(dir).max
+      val stuffed = (graft.llm.Text.Bm25Terms ++ graft.llm.Text.Bm25Terms)
+        .mkString(" ")
+      s.range(5)
+        .select((col("id") + 3000000L).as("doc_id"),
+          lit("decoy").as("source"),
+          concat_ws(" ", lit(stuffed), lit(stuffed)).as("text"))
+        .coalesce(1).writeTo(s"$cat.q.docs").append()
+      (cat, v)
+    })
+
   /** The DELETION-VECTORED text base `q_text_bm25_dv` reads: full
     * documents rows per-source on a `delete.dv` table, token-indexed,
     * then a merge-on-read DELETE (cuts files — DVs only, names
@@ -1641,6 +1683,24 @@ object SourceQueries extends QueryModule {
       val planned = scans(res.queryExecution.executedPlan).map(_.plannedFiles).sum
       assert(planned <= 1,
         s"scoped BM25 must plan at most src3's one file, planned $planned")
+      res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
+    }),
+
+    // TIME-TRAVEL-CONSISTENT BM25 (r13): the snapshot's own statistics
+    // AND rows — five term-stuffed decoys appended after the recorded
+    // version would dominate any current ranking and shift everyone's
+    // df/avgdl, yet the AS OF top-10 must equal the plain pre-append
+    // replay (shared oracle). The in-query asserts pin the decoys'
+    // presence and the snapshot-posting-union plan.
+    "q_text_bm25_asof" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val res = TextIndex.bm25TopKAsOf(s, s"$cat.q.docs", "text", "doc_id",
+        graft.llm.Text.Bm25Terms, 10, v)
+      val decoys = s.table(s"$cat.q.docs")
+        .where(col("doc_id") >= 3000000L).count()
+      assert(decoys == 5L,
+        s"the current table must hold the 5 term-stuffed decoys: $decoys")
       res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
     }),
 
@@ -4034,6 +4094,12 @@ object SourceQueries extends QueryModule {
     // The full BM25 recomputation — identical to q_text_bm25's oracle:
     // the index only changes WHICH files scan, never the answer.
     "q_text_bm25_indexed" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The AS OF ranking equals the plain pre-append replay.
+    "q_text_bm25_asof" ->
       s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
          |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc

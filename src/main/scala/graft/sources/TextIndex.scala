@@ -732,6 +732,72 @@ object TextIndex {
     }
   }
 
+  /** TIME-TRAVEL-CONSISTENT BM25 — rank a TABLE SNAPSHOT with the index
+    * version that covered it (the [[graft.sources.VectorIndex.searchAsOf]]
+    * rule applied to the text tier): the snapshot manifest carries the
+    * `tokenidx.` prop as of that commit, so df/N/avgdl come from the
+    * HISTORICAL stat rows, candidates from the historical posting
+    * lists, and the ranking scan pins both the files and the snapshot —
+    * documents appended (or deletion-vectored) after the version
+    * neither rank nor shift anyone's score. A snapshot whose index was
+    * stale or reaped recomputes everything from the snapshot-pinned
+    * scan (text has no trained state, so the fallback IS what a rebuild
+    * at that version would answer — no index required at all). */
+  def bm25TopKAsOf(spark: SparkSession, table: String, colName: String,
+      idCol: String, terms: Seq[String], k: Int, version: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "BM25 SEARCH AS OF")
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"BM25 SEARCH AS OF: snapshot $version expired or never existed " +
+          s"at ${mt.dir}"))
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    val idx = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("posts")))
+        Some(fields(0))
+      else None
+    }
+    val (dfs, nDocs, sumDl, rows) = idx match {
+      case Some(idxName) =>
+        val idxDir = mt.dir.resolve(idxName)
+        val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+          .where(col("token").isin(terms: _*))
+          .groupBy("token")
+          .agg(sum(col("n_docs")).as("df"),
+            collect_set(col("file")).as("files"))
+          .collect()
+        val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("sum_dl")), lit(0L)))
+          .collect().head
+        val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+        val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows =
+          if (cand.isEmpty) spark.table(table).where(lit(false))
+          else snapScan(cand)
+        (dfMap, stats.getLong(0), stats.getLong(1), rows)
+      case None =>
+        val all = snapScan(names)
+        val stats = all.agg(count(lit(1)),
+          coalesce(sum(size(split(col(colName), " "))), lit(0L)))
+          .collect().head
+        val dfMap = terms.map { t =>
+          t -> all.where(array_contains(split(col(colName), " "), t)).count()
+        }.toMap
+        (dfMap, stats.getLong(0), stats.getLong(1), all)
+    }
+    bm25Rank(spark, dfs, nDocs, sumDl, rows, colName, idCol, terms, k)
+  }
+
   /** The shared BM25 scoring tail: per-row tf/dl math against the given
     * df/N/sum_dl statistics, top-k with the deterministic (score, id)
     * tie-break — the q_text_bm25 formula (k1=1.2, b=0.75, fixed-point
