@@ -110,7 +110,12 @@ object Plans {
     "q_text_bm25_scoped" -> "scoped BM25: zone maps prove every file in/out of the scope — per-domain df/N/avgdl from in-scope stat rows only, 1-file ranking scan",
     "q_vector_knn_join" -> "index-backed kNN join: batch rows assign via broadcast stored centroids, candidates fetch from probed-list files only, per-row ranked window",
     "q_vector_knn_join_pq" -> "PQ kNN join: per-row ADC cutoff over the narrow codes sidecar, exact rerank fetches only each row's survivors",
-    "q_vector_knn_join_filtered" -> "filtered kNN join: the predicate narrows candidates inside the probed files' scan BEFORE each row's top-k")
+    "q_vector_knn_join_filtered" -> "filtered kNN join: the predicate narrows candidates inside the probed files' scan BEFORE each row's top-k",
+    "q_vector_knn_join_partitioned" -> "BY PARTITION kNN join: the pin routes the batch to one slice's ranked sub-geometry; its postings pin its files only",
+    "q_vector_search_asof" -> "time-travel ANN: the SNAPSHOT's posting list pins 1 file; the candidate scan carries the snapshot's DV state",
+    "q_text_bm25_asof" -> "time-travel BM25: historical df/N/avgdl + snapshot-pinned ranking scan — later appends shift nothing",
+    "q_text_classify_nb" -> "in-query Naive Bayes: bounded (vocab x classes) model relation equi-joined to eval tokens, priors broadcast, per-doc argmax window",
+    "q_text_keywords" -> "per-doc TF-IDF keywords: corpus-wide df aggregate broadcast back, within-doc ranked window")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
