@@ -251,6 +251,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VecSearch =
     ("""(?is)\s*VECTOR\s+SEARCH\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+PROBE\s*\(([^)]+)\)\s+TOP\s+(\d+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+PROBES\s+(\d+))?(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?""" +
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
@@ -381,7 +382,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val (open, close) = vecSubGroup(sql).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
-      case VecSearch(target, colName, probeList, topK, probes, rerank, where)
+      case VecSearch(target, colName, probeList, topK, version, probes,
+          rerank, where)
         if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
         val spark = org.apache.spark.sql.SparkSession.active
         // deterministic name (hash of the inner text): a session serving
@@ -392,7 +394,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           java.lang.Integer.toHexString(inner.trim.hashCode)
         VectorSearchDf.of(spark, target, colName, probeList, topK.toInt,
             Option(probes).map(_.toInt).getOrElse(1),
-            Option(rerank).map(_.toInt), Option(where))
+            Option(rerank).map(_.toInt), Option(where),
+            Option(version).map(_.toInt))
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -518,11 +521,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropVecIdx(target, colName) => DropVectorIndexCommand(target, colName)
     case RefreshIdx(kind, target, colName) =>
       RefreshIndexCommand(kind.toLowerCase, target, colName)
-    case VecSearch(target, colName, probeList, topK, probes, rerank, where)
+    case VecSearch(target, colName, probeList, topK, version, probes,
+        rerank, where)
       if Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       VectorSearchCommand(target, colName, probeList,
         topK.toInt, Option(probes).map(_.toInt).getOrElse(1),
-        Option(rerank).map(_.toInt), Option(where))
+        Option(rerank).map(_.toInt), Option(where),
+        Option(version).map(_.toInt))
     case VecKnn(target, colName, batchSql, topK, rerank, where) =>
       VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where)
     case Bm25Search(target, colName, idCol, termsList, topK, where)
@@ -595,8 +600,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CustomSyntax: Seq[(String, String)] = Seq(
     "VECTOR SEARCH" ->
       ("VECTOR SEARCH ON <table> (<col>) PROBE (f, f, …) TOP <k> " +
-        "[PROBES <p>] [RERANK <r> USING PQ] [WHERE <pred>] — clauses in " +
-        "this order; WHERE quotes must balance"),
+        "[VERSION AS OF <v>] [PROBES <p>] [RERANK <r> USING PQ] " +
+        "[WHERE <pred>] — clauses in this order; WHERE quotes must " +
+        "balance; VERSION AS OF composes with PROBES only"),
     "VECTOR KNN JOIN" ->
       ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
         "[RERANK <r> USING PQ] [WHERE <pred>] — the USING subquery yields " +
@@ -1199,7 +1205,7 @@ case class RefreshIndexCommand(kind: String, target: String, colName: String)
   * exact fixed-point dot — top-k rows, ranked (sim DESC, vec_id). */
 case class VectorSearchCommand(target: String, colName: String,
     probeList: String, topK: Int, probes: Int, rerank: Option[Int],
-    where: Option[String])
+    where: Option[String], version: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
@@ -1211,7 +1217,7 @@ case class VectorSearchCommand(target: String, colName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, desc}
     VectorSearchDf.of(spark, target, colName, probeList, topK, probes,
-        rerank, where)
+        rerank, where, version)
       .orderBy(desc("sim"), col("vec_id"))
       .collect().toSeq
   }
@@ -1333,7 +1339,8 @@ private[plans] object VectorKnnJoinDf {
 private[plans] object VectorSearchDf {
   def of(spark: SparkSession, target: String, colName: String,
       probeList: String, topK: Int, probes: Int, rerank: Option[Int],
-      where: Option[String]): org.apache.spark.sql.DataFrame = {
+      where: Option[String],
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val probe = probeList.split(",").map { s =>
       try s.trim.toFloat catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -1342,6 +1349,17 @@ private[plans] object VectorSearchDf {
       }
     }
     import org.apache.spark.sql.functions.col
+    version.foreach { v =>
+      if (rerank.isDefined || where.isDefined)
+        throw new IllegalArgumentException(
+          "VECTOR SEARCH: VERSION AS OF serves the snapshot's own plain " +
+            "index — RERANK/WHERE do not compose with time travel")
+      return graft.sources.VectorIndex
+        .searchAsOf(spark, target, colName, probe, topK, v, probes)
+        .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+          col("list_id").cast(org.apache.spark.sql.types.IntegerType),
+          col("sim").cast(org.apache.spark.sql.types.DoubleType))
+    }
     val res = (rerank, where.map(org.apache.spark.sql.functions.expr)) match {
       case (Some(r), Some(pred)) =>
         // filtered PQ: the predicate narrows the codes BEFORE the rerank

@@ -1866,6 +1866,18 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // The SAME time-travel search through the SQL statement surface
+    // (`VECTOR SEARCH … TOP 10 VERSION AS OF v`) — shared oracle, the
+    // C212 zero-drift rule applied to C238.
+    "q_vector_search_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) " +
+        s"TOP 10 VERSION AS OF $v")
+    }),
+
     // PARTITION-PINNED kNN join (r13): the pin routes every batch row
     // to label 3's OWN sub-geometry — its ranked-seeded centroids
     // assign the batch, its postings prune, nothing of any other
@@ -4153,6 +4165,8 @@ object SourceQueries extends QueryModule {
     // The AS OF search must equal the plain pre-append replay — the
     // snapshot IS the original corpus.
     "q_vector_search_asof" -> sqlVectorSearchOracle(""),
+    // The SQL statement shares the Scala-API replay.
+    "q_vector_search_asof_sql" -> sqlVectorSearchOracle(""),
     // The pinned slice's ranked chain + batch probe + ranked join.
     "q_vector_knn_join_partitioned" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _

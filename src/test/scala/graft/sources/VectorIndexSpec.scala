@@ -344,6 +344,18 @@ class VectorIndexSpec extends SparkSuite {
       VectorIndex.searchAsOf(spark, t, "embedding", vec(0), 5, 999)
     }
     assert(e.getMessage.contains("expired or never existed"), e.getMessage)
+    // the SQL statement answers exactly what the API does; RERANK/WHERE
+    // refuse to compose with time travel
+    val pv = vec(0).mkString(", ")
+    val sqlIds = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 6 VERSION AS OF $v")
+      .select("vec_id").as[Long].collect().toSet
+    assert(sqlIds == ids, s"$sqlIds vs $ids")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) TOP 6 " +
+        s"VERSION AS OF $v WHERE vec_id > 1").collect()
+    }
+    assert(e2.getMessage.contains("do not compose"), e2.getMessage)
   }
 
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
