@@ -1893,6 +1893,22 @@ object SourceQueries extends QueryModule {
         col("label") === 3)
     }),
 
+    // MULTI-PIN partitioned kNN join ("nearest within these two
+    // labels"): one sub-join per pinned partition against its OWN
+    // ranked sub-geometry, per-(batch row, pin) top-3 first, global
+    // per-row top-3 over the ≤ pins×3 union. The oracle replays TWO
+    // prefixed ranked chains, each with its own batch probe assignment,
+    // unioned exactly like the engine.
+    "q_vector_knn_join_partitioned_multi" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinWhere(s, s"$cat.q.emb", "embedding", batch, 3,
+        col("label").isin(3, 5))
+    }),
+
     // RECALL AUDIT for the kNN join (the C208 audit-as-data pattern
     // applied to C233): pooled recall@3 of the stored-geometry batch
     // join vs the exact brute-force top-3 per batch row — the number a
@@ -4193,6 +4209,47 @@ object SourceQueries extends QueryModule {
            |        a.vec_id) AS INTEGER) AS rank,
            |    ${dot("ba.embedding", "a.embedding")} AS sim
            |  FROM ba JOIN akj1 a ON a.list_id = ba.p_list) t
+           |WHERE rank <= 3
+           |ORDER BY vec_id, rank""".stripMargin)
+    },
+    // TWO prefixed ranked chains, per-pin batch assignment + per-row
+    // top-3, global top-3 over the union.
+    "q_vector_knn_join_partitioned_multi" -> {
+      val dot = graft.llm.PortableHash.sqlDotFixed _
+      def chain(label: Int, pfx: String): String =
+        s"""p$label AS (
+           |  SELECT vec_id, label, embedding FROM embeddings
+           |  WHERE label = $label),
+           |${graft.llm.Clustering.sqlKmeansRanked(1, s"p$label", pfx = pfx)},
+           |bd$pfx AS (
+           |  SELECT b.bid, b.embedding,
+           |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+           |  FROM b, ref${pfx}1 r0),
+           |ba$pfx AS (
+           |  SELECT bd.bid, bd.embedding,
+           |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+           |  FROM bd$pfx bd, ref${pfx}1 r),
+           |c$pfx AS (
+           |  SELECT bid, nn_id, sim FROM (
+           |    SELECT ba.bid, a.vec_id AS nn_id,
+           |      row_number() OVER (PARTITION BY ba.bid
+           |        ORDER BY ${dot("ba.embedding", "a.embedding")} DESC,
+           |          a.vec_id) AS rk,
+           |      ${dot("ba.embedding", "a.embedding")} AS sim
+           |    FROM ba$pfx ba JOIN a${pfx}1 a ON a.list_id = ba.p_list)
+           |  WHERE rk <= 3)""".stripMargin
+      graft.llm.PortableHash.sqlMat(
+        s"""WITH b AS (
+           |  SELECT vec_id + 1000000 AS bid, embedding
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |${chain(3, "k3")},
+           |${chain(5, "k5")},
+           |u AS (SELECT * FROM ck3 UNION ALL SELECT * FROM ck5)
+           |SELECT vec_id, rank, nn_id, sim FROM (
+           |  SELECT bid AS vec_id, nn_id,
+           |    CAST(row_number() OVER (PARTITION BY bid
+           |      ORDER BY sim DESC, nn_id) AS INTEGER) AS rank, sim
+           |  FROM u) t
            |WHERE rank <= 3
            |ORDER BY vec_id, rank""".stripMargin)
     },
