@@ -833,7 +833,16 @@ object Dedup extends QueryModule {
     * stored signature sidecar) — one dedup semantics, two surfaces,
     * zero drift. */
   private[graft] lazy val sqlDedupIncremental: String =
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH $sqlDedupIncrementalCtes
+       |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN m ON m.doc_new = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The CTE chain through `m` (doc_new → min corpus witness) — shared
+    * with the ingest-pipeline composition (`q_corpus_ingest_pipeline`). */
+  private[graft] lazy val sqlDedupIncrementalCtes: String =
+      s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM toks),
          |hs AS (SELECT doc_id, list_sort(list_distinct([${sqlPolyChar("s")} for s in shingles])) AS hv FROM sh),
          |sig AS (SELECT doc_id, hv,
@@ -853,11 +862,7 @@ object Dedup extends QueryModule {
          |  WHERE CAST(len(list_intersect(sn.hv, so.hv)) AS DOUBLE) /
          |        (len(sn.hv) + len(so.hv) - len(list_intersect(sn.hv, so.hv)))
          |        >= $MinhashJaccard
-         |  GROUP BY doc_new)
-         |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-         |LEFT JOIN m ON m.doc_new = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |  GROUP BY doc_new)""".stripMargin
 
 
   def oracles: Map[String, String] = Map(

@@ -94,6 +94,52 @@ object Text extends QueryModule {
        |FROM scored GROUP BY doc_id""".stripMargin
   }
 
+  /** The NB chain through `nbp` (doc_id, actual, pred per eval doc) —
+    * shared by the classifier oracle and the ingest-pipeline
+    * composition. */
+  private[graft] lazy val sqlNbCtes: String =
+    """tk AS (
+      |  SELECT doc_id, lang, t AS term FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+      |ct AS (SELECT lang, term, COUNT(*) AS n_ct FROM train GROUP BY 1, 2),
+      |tot AS (SELECT lang, COUNT(*) AS n_c FROM train GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT term) AS v FROM train),
+      |pri AS (
+      |  SELECT lang, CAST(floor(1000000000 * ln(CAST(nd AS DOUBLE) / nt))
+      |    AS BIGINT) AS prior_fx
+      |  FROM (SELECT lang, COUNT(*) AS nd FROM documents
+      |        WHERE doc_id % 2 = 0 GROUP BY lang),
+      |       (SELECT COUNT(*) AS nt FROM documents WHERE doc_id % 2 = 0)),
+      |cls AS (
+      |  SELECT lang, n_c, v,
+      |    CAST(floor(1000000000 * ln(1.0 / (n_c + v))) AS BIGINT) AS d_fx
+      |  FROM tot, voc),
+      |ll AS (
+      |  SELECT ct.lang, ct.term,
+      |    CAST(floor(1000000000 * ln((n_ct + 1.0) / (n_c + v)))
+      |      AS BIGINT) AS ll_fx
+      |  FROM ct JOIN cls USING (lang)),
+      |ev AS (SELECT doc_id, lang AS actual, term FROM tk
+      |       WHERE doc_id % 2 = 1),
+      |sc AS (
+      |  SELECT e.doc_id, e.actual, c.lang,
+      |    SUM(COALESCE(l.ll_fx, c.d_fx)) AS s_fx
+      |  FROM ev e CROSS JOIN cls c
+      |  LEFT JOIN ll l ON l.lang = c.lang AND l.term = e.term
+      |  GROUP BY 1, 2, 3),
+      |fin AS (
+      |  SELECT sc.doc_id, sc.actual, sc.lang,
+      |    sc.s_fx + p.prior_fx AS score_fx
+      |  FROM sc JOIN pri p ON p.lang = sc.lang),
+      |nbp AS (
+      |  SELECT doc_id, actual, lang AS pred
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY doc_id ORDER BY score_fx DESC, lang) AS rk
+      |        FROM fin)
+      |  WHERE rk = 1)""".stripMargin
+
   private def sqlHits(markers: Seq[String]): String =
     s"CAST(len(list_filter(t, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x))) AS BIGINT)"
 
@@ -122,6 +168,56 @@ object Text extends QueryModule {
     "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
     "[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** The in-query Naive Bayes dataflow — (doc_id, actual, pred) per
+    * odd-id (eval) document. Shared by the declared classifier query
+    * (`q_text_classify_nb`) and the ingest-pipeline composition
+    * (`q_corpus_ingest_pipeline` — the model-based language gate). */
+  private[graft] def nbPredictions(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val train = toks.where(pmod(col("doc_id"), lit(2)) === 0)
+    val ct = train.groupBy("lang", "term").agg(count(lit(1)).as("n_ct"))
+    val tot = train.groupBy("lang").agg(count(lit(1)).as("n_c"))
+    val voc = train.agg(countDistinct(col("term")).as("v"))
+    val evenDocs = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val pri = evenDocs.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(evenDocs.agg(count(lit(1)).as("nt"))))
+      .select(col("lang"),
+        floor(lit(1e9) * log(col("nd").cast(DoubleType) / col("nt")))
+          .cast(LongType).as("prior_fx"))
+    val clsInfo = tot.crossJoin(broadcast(voc))
+      .select(col("lang"),
+        floor(lit(1e9) * log(lit(1.0) / (col("n_c") + col("v"))))
+          .cast(LongType).as("d_fx"),
+        col("n_c"), col("v"))
+    val ll = ct.join(clsInfo, "lang")
+      .select(col("lang"), col("term"),
+        floor(lit(1e9) * log((col("n_ct") + lit(1.0)) /
+          (col("n_c") + col("v")))).cast(LongType).as("ll_fx"))
+    val ev = toks.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang").as("actual"), col("term"))
+    val scored = ev
+      .crossJoin(broadcast(clsInfo.select(col("lang"), col("d_fx"))))
+      .join(ll, Seq("lang", "term"), "left")
+      .select(col("doc_id"), col("actual"), col("lang"),
+        coalesce(col("ll_fx"), col("d_fx")).as("t_fx"))
+      .groupBy("doc_id", "actual", "lang")
+      .agg(sum(col("t_fx")).as("s_fx"))
+      .join(broadcast(pri), "lang")
+      .select(col("doc_id"), col("actual"), col("lang"),
+        (col("s_fx") + col("prior_fx")).as("score_fx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_fx"), col("lang"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("actual"), col("lang").as("pred"))
+  }
 
   def queries: Map[String, Q] = Map(
     // B15 — corpus token statistics per source: explode tokens (Generate →
@@ -183,52 +279,11 @@ object Text extends QueryModule {
     // (train-vocab × classes) relation — a bounded equi-join against the
     // eval tokens, priors/defaults broadcast; nothing quadratic, no
     // driver-side model state.
-    "q_text_classify_nb" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val toks = docs
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("term"))
-        .where(length(col("term")) > 0)
-      val train = toks.where(pmod(col("doc_id"), lit(2)) === 0)
-      val ct = train.groupBy("lang", "term").agg(count(lit(1)).as("n_ct"))
-      val tot = train.groupBy("lang").agg(count(lit(1)).as("n_c"))
-      val voc = train.agg(countDistinct(col("term")).as("v"))
-      val evenDocs = docs.where(pmod(col("doc_id"), lit(2)) === 0)
-      val pri = evenDocs.groupBy("lang").agg(count(lit(1)).as("nd"))
-        .crossJoin(broadcast(evenDocs.agg(count(lit(1)).as("nt"))))
-        .select(col("lang"),
-          floor(lit(1e9) * log(col("nd").cast(DoubleType) / col("nt")))
-            .cast(LongType).as("prior_fx"))
-      val clsInfo = tot.crossJoin(broadcast(voc))
-        .select(col("lang"),
-          floor(lit(1e9) * log(lit(1.0) / (col("n_c") + col("v"))))
-            .cast(LongType).as("d_fx"),
-          col("n_c"), col("v"))
-      val ll = ct.join(clsInfo, "lang")
-        .select(col("lang"), col("term"),
-          floor(lit(1e9) * log((col("n_ct") + lit(1.0)) /
-            (col("n_c") + col("v")))).cast(LongType).as("ll_fx"))
-      val ev = toks.where(pmod(col("doc_id"), lit(2)) === 1)
-        .select(col("doc_id"), col("lang").as("actual"), col("term"))
-      val scored = ev
-        .crossJoin(broadcast(clsInfo.select(col("lang"), col("d_fx"))))
-        .join(ll, Seq("lang", "term"), "left")
-        .select(col("doc_id"), col("actual"), col("lang"),
-          coalesce(col("ll_fx"), col("d_fx")).as("t_fx"))
-        .groupBy("doc_id", "actual", "lang")
-        .agg(sum(col("t_fx")).as("s_fx"))
-        .join(broadcast(pri), "lang")
-        .select(col("doc_id"), col("actual"), col("lang"),
-          (col("s_fx") + col("prior_fx")).as("score_fx"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(desc("score_fx"), col("lang"))
-      scored
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("actual"), col("lang").as("pred"),
-          (col("actual") === col("lang")).as("is_correct"))
-        .orderBy("doc_id")
-    }),
+    "q_text_classify_nb" -> ((s, d) =>
+      nbPredictions(s, d)
+        .select(col("doc_id"), col("actual"), col("pred"),
+          (col("actual") === col("pred")).as("is_correct"))
+        .orderBy("doc_id")),
 
     // Language ID: marker-stopword hit counts per language, argmax with
     // lexicographic tie-break. Pure per-row computation.
@@ -933,46 +988,9 @@ object Text extends QueryModule {
     // log-likelihoods, priors, per-doc sums and the argmax — recomputed
     // from raw parquet.
     "q_text_classify_nb" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang, t AS term FROM (
-        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-        |    FROM documents) WHERE t <> ''),
-        |train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
-        |ct AS (SELECT lang, term, COUNT(*) AS n_ct FROM train GROUP BY 1, 2),
-        |tot AS (SELECT lang, COUNT(*) AS n_c FROM train GROUP BY 1),
-        |voc AS (SELECT COUNT(DISTINCT term) AS v FROM train),
-        |pri AS (
-        |  SELECT lang, CAST(floor(1000000000 * ln(CAST(nd AS DOUBLE) / nt))
-        |    AS BIGINT) AS prior_fx
-        |  FROM (SELECT lang, COUNT(*) AS nd FROM documents
-        |        WHERE doc_id % 2 = 0 GROUP BY lang),
-        |       (SELECT COUNT(*) AS nt FROM documents WHERE doc_id % 2 = 0)),
-        |cls AS (
-        |  SELECT lang, n_c, v,
-        |    CAST(floor(1000000000 * ln(1.0 / (n_c + v))) AS BIGINT) AS d_fx
-        |  FROM tot, voc),
-        |ll AS (
-        |  SELECT ct.lang, ct.term,
-        |    CAST(floor(1000000000 * ln((n_ct + 1.0) / (n_c + v)))
-        |      AS BIGINT) AS ll_fx
-        |  FROM ct JOIN cls USING (lang)),
-        |ev AS (SELECT doc_id, lang AS actual, term FROM tk
-        |       WHERE doc_id % 2 = 1),
-        |sc AS (
-        |  SELECT e.doc_id, e.actual, c.lang,
-        |    SUM(COALESCE(l.ll_fx, c.d_fx)) AS s_fx
-        |  FROM ev e CROSS JOIN cls c
-        |  LEFT JOIN ll l ON l.lang = c.lang AND l.term = e.term
-        |  GROUP BY 1, 2, 3),
-        |fin AS (
-        |  SELECT sc.doc_id, sc.actual, sc.lang,
-        |    sc.s_fx + p.prior_fx AS score_fx
-        |  FROM sc JOIN pri p ON p.lang = sc.lang)
-        |SELECT doc_id, actual, lang AS pred, (actual = lang) AS is_correct
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY doc_id ORDER BY score_fx DESC, lang) AS rk
-        |      FROM fin)
-        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $sqlNbCtes
+         |SELECT doc_id, actual, pred, (actual = pred) AS is_correct
+         |FROM nbp ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> {
       val langs = LangMarkers.map(_._1)
       val scoreCols = LangMarkers.map { case (l, ms) => s"${sqlHits(ms)} AS s_$l" }.mkString(",\n|  ")

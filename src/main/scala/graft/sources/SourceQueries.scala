@@ -1163,6 +1163,39 @@ object SourceQueries extends QueryModule {
       TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id", batch)
     }),
 
+    // THE DAILY-INGEST CURATION PIPELINE (r13 flagship composition):
+    // three of this round's operators wired end-to-end over one batch —
+    // (1) index-backed MinHash dedup against the stored corpus
+    // signature sidecar (C230: corpus text never re-read), (2) the
+    // in-query Naive Bayes language gate (C237: model trained on the
+    // curated half, batch rows argmax against the broadcast model), and
+    // (3) a token-count floor — producing the per-row curation verdict
+    // a production ingest writes to its decision log. One oracle
+    // replays ALL THREE stages from raw parquet, so the COMPOSITION
+    // (not just each stage) is hash-gated.
+    "q_corpus_ingest_pipeline" -> ((s, d) => {
+      val cat = stageTextIncBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"))
+      val dup = TextIndex.dedupIncremental(s, s"$cat.q.docs", "text",
+          "doc_id", batch)
+        .select(col("doc_id"), col("is_dup"))
+      val nb = graft.llm.Text.nbPredictions(s, d)
+        .select(col("doc_id"), col("pred"))
+      val ntok = batch.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      dup.join(nb, Seq("doc_id"), "left")
+        .join(ntok, "doc_id")
+        .select(col("doc_id"), col("is_dup"),
+          col("pred").as("pred_lang"), col("n_tokens"),
+          (!col("is_dup") &&
+            coalesce(col("pred") === "en", lit(false)) &&
+            col("n_tokens") >= 20).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING MinHash ingest dedup (r13): the C229 loop applied to the
     // TEXT tier — document files land, each micro-batch near-dedups
     // against the STORED signature sidecar (corpus text never re-read),
@@ -3954,6 +3987,26 @@ object SourceQueries extends QueryModule {
     // (the sidecar is a materialization, not a semantics change).
     "q_dedup_minhash_indexed_incremental" ->
       graft.llm.Dedup.sqlDedupIncremental,
+    // All three curation stages — stored-signature dedup, the NB
+    // language gate, the token floor — replayed in ONE statement.
+    "q_corpus_ingest_pipeline" ->
+      s"""WITH ${graft.llm.Dedup.sqlDedupIncrementalCtes},
+         |${graft.llm.Text.sqlNbCtes},
+         |ntok AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id % 2 = 1)
+         |SELECT d.doc_id,
+         |  m.dup_of IS NOT NULL AS is_dup,
+         |  nbp.pred AS pred_lang,
+         |  ntok.n_tokens,
+         |  (m.dup_of IS NULL AND COALESCE(nbp.pred = 'en', FALSE)
+         |    AND ntok.n_tokens >= 20) AS kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN m ON m.doc_new = d.doc_id
+         |LEFT JOIN nbp ON nbp.doc_id = d.doc_id
+         |JOIN ntok ON ntok.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // The drained streaming log equals the one-shot incremental dedup.
     "q_stream_minhash_dedup" -> graft.llm.Dedup.sqlDedupIncremental,
     // The full diversity-sample replay at the index's training depth.
