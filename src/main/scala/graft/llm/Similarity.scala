@@ -203,6 +203,74 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
+  /** PART-KEYED twin of [[assignListsHier]] — every partition's sub-
+    * geometry assigns in ONE dataflow (r14: the per-pin driver loop's
+    * replacement in the BY PARTITION serve paths). `emb` carries a
+    * `part` column beside (vec_id, label, embedding); `cents` is the
+    * sidecar shape (part, c_id, c_emb). Each row sees ONLY its own
+    * partition's centroids — anchors, coarse cells and the fine argmax
+    * are all derived per part, so the per-row result is cell-identical
+    * to running [[assignListsHier]] once per partition slice (what the
+    * serve-path hash contract depends on). The crossJoins of the flat
+    * shape become broadcast equi-joins on `part`: the anchor table is
+    * one row per partition and the cell map sums to the centroid
+    * sidecar itself — both metadata-class at any partition count, and
+    * the Spark-job count is zero (pure plan composition). */
+  def assignListsHierByPart(emb: org.apache.spark.sql.DataFrame,
+                            cents: org.apache.spark.sql.DataFrame,
+                            coarseProbes: Int = 2): org.apache.spark.sql.DataFrame = {
+    if (coarseProbes < 1 || coarseProbes > 2)
+      throw new IllegalArgumentException(
+        s"COARSE PROBES $coarseProbes — the two-level assigner probes 1 " +
+          "or 2 coarse cells (more cells trades toward a flat assignment; " +
+          "tune LISTS for finer geometry instead)")
+    val anch = cents.groupBy("part")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("all"))
+      .select(col("part"), slice(col("all"), lit(1),
+        ceil(sqrt(size(col("all")))).cast(IntegerType)).as("anc"))
+    def ancDots(embCol: org.apache.spark.sql.Column) =
+      transform(col("anc"), st => dotFixed(embCol, st.getField("c_emb")))
+    val centsG = cents.join(broadcast(anch), "part")
+      .withColumn("adots", ancDots(col("c_emb")))
+      .withColumn("g",
+        when(exists(col("anc"), st => st.getField("c_id") === col("c_id")),
+          col("c_id"))
+        .otherwise(element_at(col("anc"),
+          array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
+          .getField("c_id")))
+      .select(col("part"), col("c_id"), col("c_emb"), col("g"))
+    val byG = centsG.groupBy("part", "g")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("gc"))
+    val withP1 = emb.join(broadcast(anch), "part")
+      .withColumn("adots", ancDots(col("embedding")))
+      .withColumn("p1",
+        array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
+    val withP2 =
+      if (coarseProbes == 1) withP1.withColumn("p2", col("p1"))
+      else withP1
+        .withColumn("md", zip_with(col("adots"),
+          sequence(lit(1), size(col("adots"))),
+          (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
+        .withColumn("p2", array_position(col("md"), array_max(col("md"))).cast(IntegerType))
+    val rowsG = withP2
+      .select(col("part"), col("vec_id"), col("label"), col("embedding"),
+        element_at(col("anc"), col("p1")).getField("c_id").as("g1"),
+        element_at(col("anc"), col("p2")).getField("c_id").as("g2"))
+    val b1 = byG.select(col("part"), col("g").as("g1"), col("gc").as("gc1"))
+    val b2 = byG.select(col("part"), col("g").as("g2"), col("gc").as("gc2"))
+    rowsG.join(broadcast(b1), Seq("part", "g1"))
+      .join(broadcast(b2), Seq("part", "g2"))
+      .withColumn("cand",
+        when(col("g1") === col("g2"), col("gc1"))
+          .otherwise(array_sort(concat(col("gc1"), col("gc2")))))
+      .withColumn("dots",
+        transform(col("cand"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
+      .withColumn("pos", array_position(col("dots"), array_max(col("dots"))).cast(IntegerType))
+      .withColumn("list_id", element_at(col("cand"), col("pos")).getField("c_id"))
+      .select(col("part"), col("vec_id"), col("label"), col("embedding"),
+        col("list_id"))
+  }
+
   /** Top-2 list assignment: like [[assignLists]] but keeps BOTH the nearest
     * and the second-nearest centroid id — the standard multi-assignment
     * recall knob for blocked ANN (a vector near a list boundary is indexed

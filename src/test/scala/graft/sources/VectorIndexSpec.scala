@@ -1203,6 +1203,71 @@ class VectorIndexSpec extends SparkSuite {
     assert(plannedFiles(res) == 1, "still 1 partition file planned")
   }
 
+  test("BY PARTITION serving is one part-keyed dataflow: Spark-job count " +
+      "independent of the partition count") {
+    // the r13 weak item: unpinned BY PARTITION serving ran a sequential
+    // driver loop over partition values — ≥2 driver round-trips and a
+    // union-plan leg PER PARTITION. The r14 rewrite serves any pin count
+    // from one part-keyed dataflow; this pins the contract by counting
+    // Spark jobs at 3 vs 10 partitions — equal, or the loop is back.
+    def staged(tag: String, parts: Int): String = {
+      val cat = freshCatalog(tag)
+      val t = s"$cat.ns.emb"
+      spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+        "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+      (0 until parts).foreach { l =>
+        (0 until 6).map(i => ((l * 100 + i).toLong, l,
+            vec(l % dim, (32, 0.01f * (i + 1)))))
+          .toDF("vec_id", "label", "embedding")
+          .coalesce(1).writeTo(t).append()
+      }
+      spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+        "BY PARTITION").collect()
+      t
+    }
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body
+      finally {
+        // the listener bus is async — poll until the count stabilizes
+        var last = -1
+        var spins = 0
+        while (n.get() != last && spins < 50) {
+          last = n.get(); Thread.sleep(100); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get()
+    }
+    val t3 = staged("vixjc3", 3)
+    val t10 = staged("vixjc10", 10)
+    val s3 = jobsDuring {
+      VectorIndex.search(spark, t3, "embedding", vec(0), 5).collect()
+    }
+    val s10 = jobsDuring {
+      VectorIndex.search(spark, t10, "embedding", vec(0), 5).collect()
+    }
+    assert(s3 == s10, "unpinned BY PARTITION search must not scale its " +
+      s"job count with the partition count ($s3 jobs at 3 parts, $s10 at 10)")
+    val batch = Seq((1000L, 0, vec(0, (31, 0.02f))))
+      .toDF("vec_id", "label", "embedding")
+    val k3 = jobsDuring {
+      VectorIndex.knnJoin(spark, t3, "embedding", batch, 3).collect()
+    }
+    val k10 = jobsDuring {
+      VectorIndex.knnJoin(spark, t10, "embedding", batch, 3).collect()
+    }
+    assert(k3 == k10, "unpinned BY PARTITION kNN join must not scale its " +
+      s"job count with the partition count ($k3 jobs at 3 parts, $k10 at 10)")
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
