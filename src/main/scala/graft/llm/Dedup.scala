@@ -200,6 +200,38 @@ object Dedup extends QueryModule {
         posexplode(col("bks")).as(Seq("band", "bkey")): _*)
   }
 
+  /** PART-KEYED band derivation (r14): every partition's sign-band keys
+    * in ONE pass, for the BY PARTITION incremental-dedup tier. `emb`
+    * carries (part, vec_id, embedding [, carry…]); `geo` is one row per
+    * part — (part, n_bands, bits, anchors), the per-slice
+    * [[embeddingLshParams]] + RANKED panel the partitioned index stores
+    * (`lshanch/`). Geometry VARIES per part, so the unrolled 1<<i sum of
+    * [[embeddingBandRowsWith]] becomes a high-to-low `acc*2 + bit` fold
+    * over `sequence(bits-1, 0, -1)` — identical integers (Σ bit_i·2^i),
+    * no shifts by a column needed — and the per-row band array is a
+    * `transform` over `sequence(0, n_bands-1)`. Same NULL-propagation
+    * rule: an anchor slot past the panel yields sign bit 0 via
+    * `try_element_at`. Per-part rows equal the unrolled derivation run
+    * per slice — the hash contract of the serve paths built on it. */
+  private[graft] def embeddingBandRowsByPart(emb: DataFrame, geo: DataFrame,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    val withG = emb.join(broadcast(geo), "part")
+    def bit(lo: Column, i: Column): Column =
+      when(dotFixed(col("embedding"),
+        try_element_at(col("anchors"), lo + i + 1).getField("a_emb")) > 0,
+        lit(1L)).otherwise(lit(0L))
+    def bandKey(lo: Column): Column =
+      aggregate(sequence(col("bits") - 1, lit(0), lit(-1)), lit(0L),
+        (acc, i) => acc * 2 + bit(lo, i))
+    val sigs = withG.select(
+      (col("part") +: col("vec_id") +: carry.map(col)) :+
+        transform(sequence(lit(0), col("n_bands") - 1),
+          j => bandKey(j * col("bits"))).as("bks"): _*)
+    sigs.select(
+      (col("part") +: col("vec_id") +: carry.map(col)) :+
+        posexplode(col("bks")).as(Seq("band", "bkey")): _*)
+  }
+
   /** Variant taking a pre-computed corpus count, so callers that already
     * sized something else from n (the recall audit's probe modulus) reuse
     * one scan instead of counting twice. */
@@ -773,28 +805,32 @@ object Dedup extends QueryModule {
     * (sparse ids) reads NULL → sign bit 0 on both engines. */
   private[graft] def sqlEmbeddingBandSides(anchorSrc: String,
       sides: Seq[(String, String)],
-      rankedAnchors: Boolean = false): String = {
+      rankedAnchors: Boolean = false, pfx: String = ""): String = {
+    // `pfx` namespaces the geometry/panel blocks so SEVERAL derivations
+    // — one per partition slice of the BY PARTITION incremental replay —
+    // coexist in one WITH (the sqlKmeansRanked prefix rule)
+    val (nn, prm, anchors) = (s"nn$pfx", s"prm$pfx", s"anchors$pfx")
     // ranked = the stored-artifact rule ([[bandAnchorsRanked]]): the
     // panel is the bands×bits LOWEST ids by row_number, not id-bounded
     val anchorsBlock =
       if (rankedAnchors)
-        s"""anchors AS (
+        s"""$anchors AS (
            |  SELECT list(embedding ORDER BY vec_id) AS al
            |  FROM (SELECT e.vec_id, e.embedding,
            |          row_number() OVER (ORDER BY e.vec_id) AS a_rn
-           |        FROM $anchorSrc e), prm
+           |        FROM $anchorSrc e), $prm
            |  WHERE a_rn <= bands * bits)""".stripMargin
       else
-        s"""anchors AS (
+        s"""$anchors AS (
            |  SELECT list(embedding ORDER BY vec_id) AS al
-           |  FROM $anchorSrc, prm WHERE vec_id < bands * bits)""".stripMargin
+           |  FROM $anchorSrc, $prm WHERE vec_id < bands * bits)""".stripMargin
     val head =
-      s"""nn AS (SELECT COUNT(*) AS n FROM $anchorSrc),
-         |prm AS (
+      s"""$nn AS (SELECT COUNT(*) AS n FROM $anchorSrc),
+         |$prm AS (
          |  SELECT
-         |    COALESCE((SELECT MIN(b) FROM (SELECT unnest(range(4, 17)) AS b) rb, nn
+         |    COALESCE((SELECT MIN(b) FROM (SELECT unnest(range(4, 17)) AS b) rb, $nn
          |              WHERE (CAST(32 AS BIGINT) << b) >= n), 16) AS bits,
-         |    COALESCE((SELECT MIN(l) FROM (SELECT unnest(range(2, 8)) AS l) rl, nn
+         |    COALESCE((SELECT MIN(l) FROM (SELECT unnest(range(2, 8)) AS l) rl, $nn
          |              WHERE (CAST(1 AS BIGINT) << (8 * l)) >= n), 8) AS bands),
          |$anchorsBlock""".stripMargin
     val sideBlocks = sides.map { case (alias, src) =>
@@ -803,10 +839,10 @@ object Dedup extends QueryModule {
          |    [list_sum([CASE WHEN ${sqlDotFixed("e.embedding", "a.al[j * p.bits + i + 1]")} > 0
          |               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, p.bits)])
          |     for j in range(0, p.bands)] AS bks
-         |  FROM $src e, anchors a, prm p),
+         |  FROM $src e, $anchors a, $prm p),
          |bands$alias AS (
          |  SELECT vec_id, j AS band, bks[j + 1] AS bkey
-         |  FROM sigs$alias, prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands)""".stripMargin
+         |  FROM sigs$alias, $prm, (SELECT unnest(range(0, 8)) AS j) r WHERE j < bands)""".stripMargin
     }
     (head +: sideBlocks).mkString(",\n")
   }

@@ -273,20 +273,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*VECTOR\s+KNN\s+JOIN\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
   private val VecKnnTail =
-    ("""(?is)\s*TOP\s+(\d+)(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?""" +
+    ("""(?is)\s*TOP\s+(\d+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+RERANK\s+(\d+)\s+USING\s+PQ)?""" +
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   /** The balanced close of the paren group OPENING at `open` —
     * quote-aware like [[vecSubGroup]] (parens inside single-quoted
-    * literals don't count, `''` escapes honored by re-toggling). */
+    * literals don't count, `''` escapes honored by re-toggling), and —
+    * r14 advice — equally aware of double-quoted strings and backquoted
+    * identifiers inside the USING subquery: a ')' inside `"a)b"` or
+    * `` `a)b` `` must not unbalance the scan. */
   private def balancedCloseFrom(sql: String, open: Int): Option[Int] = {
     var i = open
     var depth = 0
-    var inQuote = false
+    var quote: Char = 0
     while (i < sql.length) {
       val ch = sql.charAt(i)
-      if (inQuote) { if (ch == '\'') inQuote = false }
-      else if (ch == '\'') inQuote = true
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"' || ch == '`') quote = ch
       else if (ch == '(') depth += 1
       else if (ch == ')') { depth -= 1; if (depth == 0) return Some(i) }
       i += 1
@@ -308,16 +312,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+TOP\s+(\d+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private object VecKnn {
-    def unapply(sql: String)
-        : Option[(String, String, String, Int, Option[Int], Option[String])] =
+    def unapply(sql: String): Option[(String, String, String, Int,
+        Option[Int], Option[Int], Option[String])] =
       VecKnnHead.findPrefixMatchOf(sql).flatMap { m =>
         val open = m.end - 1
         balancedCloseFrom(sql, open).flatMap { close =>
           sql.substring(close + 1) match {
-            case VecKnnTail(k, r, w)
+            case VecKnnTail(k, v, r, w)
               if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
               Some((m.group(1), m.group(2), sql.substring(open + 1, close),
-                k.toInt, Option(r).map(_.toInt), Option(w)))
+                k.toInt, Option(v).map(_.toInt), Option(r).map(_.toInt),
+                Option(w)))
             case _ => None
           }
         }
@@ -437,12 +442,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
-      case VecKnn(target, colName, batchSql, topK, rerank, where) =>
+      case VecKnn(target, colName, batchSql, topK, version, rerank, where) =>
         val spark = org.apache.spark.sql.SparkSession.active
         val view = "graft_vecknn_" +
           java.lang.Integer.toHexString(inner.trim.hashCode)
         VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank,
-            where)
+            where, version)
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -528,8 +533,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         topK.toInt, Option(probes).map(_.toInt).getOrElse(1),
         Option(rerank).map(_.toInt), Option(where),
         Option(version).map(_.toInt))
-    case VecKnn(target, colName, batchSql, topK, rerank, where) =>
-      VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where)
+    case VecKnn(target, colName, batchSql, topK, version, rerank, where) =>
+      VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where,
+        version)
     case Bm25Search(target, colName, idCol, termsList, topK, where)
       if termsList.count(_ == '\'') % 2 == 0 &&
         Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
@@ -605,8 +611,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "balance; VERSION AS OF composes with PROBES only"),
     "VECTOR KNN JOIN" ->
       ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
-        "[RERANK <r> USING PQ] [WHERE <pred>] — the USING subquery yields " +
-        "the table's id + embedding columns; clauses in this order"),
+        "[VERSION AS OF <v>] [RERANK <r> USING PQ] [WHERE <pred>] — the " +
+        "USING subquery yields the table's id + embedding columns; " +
+        "clauses in this order; VERSION AS OF serves the snapshot's own " +
+        "plain index (no RERANK/WHERE)"),
     "BM25 SEARCH" ->
       ("BM25 SEARCH ON <table> (<col>) ID (<idCol>) TERMS ('a', 'b', …) " +
         "TOP <k> [WHERE <scope>] — clauses in this order; TERMS takes " +
@@ -1232,7 +1240,7 @@ case class VectorSearchCommand(target: String, colName: String,
   * sim DOUBLE), ordered (vec_id, rank). */
 case class VectorKnnJoinCommand(target: String, colName: String,
     batchSql: String, topK: Int, rerank: Option[Int],
-    where: Option[String])
+    where: Option[String], version: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
@@ -1246,7 +1254,7 @@ case class VectorKnnJoinCommand(target: String, colName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     VectorKnnJoinDf.of(spark, target, colName, batchSql, topK, rerank,
-        where)
+        where, version)
       .orderBy(col("vec_id"), col("rank"))
       .collect().toSeq
   }
@@ -1310,9 +1318,22 @@ private[plans] object Bm25SearchDf {
 private[plans] object VectorKnnJoinDf {
   def of(spark: SparkSession, target: String, colName: String,
       batchSql: String, topK: Int, rerank: Option[Int],
-      where: Option[String]): org.apache.spark.sql.DataFrame = {
+      where: Option[String],
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val batch = spark.sql(batchSql)
+    version.foreach { v =>
+      if (rerank.isDefined || where.isDefined)
+        throw new IllegalArgumentException(
+          "VECTOR KNN JOIN: VERSION AS OF serves the snapshot's own " +
+            "plain index — RERANK/WHERE do not compose with time travel")
+      return graft.sources.VectorIndex
+        .knnJoinAsOf(spark, target, colName, batch, topK, v)
+        .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+          col("rank").cast(org.apache.spark.sql.types.IntegerType),
+          col("nn_id").cast(org.apache.spark.sql.types.LongType),
+          col("sim").cast(org.apache.spark.sql.types.DoubleType))
+    }
     val res = (rerank, where.map(expr)) match {
       case (Some(r), Some(pred)) => graft.sources.VectorIndex
         .knnJoinPqWhere(spark, target, colName, batch, topK, r, pred)

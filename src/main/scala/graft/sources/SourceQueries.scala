@@ -286,6 +286,53 @@ object SourceQueries extends QueryModule {
       (cat, v)
     })
 
+  /** The PARTITIONED time-travel base `q_vector_search_asof_partitioned`
+    * reads (r14): the label-partitioned layout with a BY PARTITION
+    * index, its post-index VERSION recorded, then the decoy append —
+    * five probe copies into ONE partition that would dominate any
+    * CURRENT global union. The AS OF search must serve every
+    * sub-geometry from the snapshot as if the append never happened.
+    * Staged ONCE per (JVM, sfDir); value = (catalog, version). */
+  private val stagedVecPartAsofBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def stageVecPartAsofBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int) =
+    stagedVecPartAsofBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.col
+      val root = graft.Scratch.dir("graft_stagevpa_")
+      val cat = s"graftstgvpa${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) " +
+        "PARTITIONED BY (label)")
+      val emb = Tables(s, d, "embeddings")
+        .select("vec_id", "label", "embedding")
+      emb.select("label").distinct().orderBy("label")
+        .collect().map(_.getInt(0)).foreach { l =>
+          emb.filter(col("label") === l).coalesce(1)
+            .writeTo(s"$cat.q.emb").append()
+        }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) " +
+        "ANCHORS (vec_id) BY PARTITION").collect()
+      val dir = s.table(s"$cat.q.emb").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val v = Manifest.snapshotVersions(dir).max
+      emb.where(col("vec_id") === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+          col("embedding"))
+        .crossJoin(org.apache.spark.sql.functions.broadcast(
+          s.range(5).select(col("id"))))
+        .select((col("vec_id") + col("id")).as("vec_id"), col("label"),
+          col("embedding"))
+        .coalesce(1).writeTo(s"$cat.q.emb").append()
+      (cat, v)
+    })
+
   /** The TIME-TRAVEL text base `q_text_bm25_asof` reads: the per-source
     * indexed docs layout, its post-index VERSION recorded, then a decoy
     * append — five documents stuffed with the BM25 query terms that
@@ -457,6 +504,41 @@ object SourceQueries extends QueryModule {
       }
       s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) ANCHORS (vec_id)")
         .collect()
+      cat
+    })
+
+  /** The PARTITIONED incremental-dedup corpus
+    * `q_dedup_semantic_indexed_incremental_partitioned` reads (r14): the
+    * even-id half of the embeddings, PARTITIONED BY (label) with one
+    * partition-pure commit per label and a BY PARTITION vector index —
+    * the build writes per-slice band sidecars (`lshanch/`/`bands/` keyed
+    * by part), the date-partitioned daily-ingest layout. The odd half
+    * plays the batch, routed to its own partition's geometry by the
+    * label column. Staged ONCE per (JVM, sfDir). */
+  private val stagedVecIncPartBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageVecIncPartBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedVecIncPartBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = graft.Scratch.dir("graft_stagevip_")
+      val cat = s"graftstgvip${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) " +
+        "PARTITIONED BY (label)")
+      val corpus = Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(2)) === 0)
+        .select("vec_id", "label", "embedding")
+      corpus.select("label").distinct().orderBy("label")
+        .collect().map(_.getInt(0)).foreach { l =>
+          corpus.filter(col("label") === l).coalesce(1)
+            .writeTo(s"$cat.q.emb").append()
+        }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) " +
+        "ANCHORS (vec_id) BY PARTITION").collect()
       cat
     })
 
@@ -1383,6 +1465,21 @@ object SourceQueries extends QueryModule {
       VectorIndex.semDedupIncremental(s, s"$cat.q.emb", "embedding", batch)
     }),
 
+    // Incremental SemDeDup × BY PARTITION (r14 — the r13 "most common
+    // 100 TB layout" gap): the corpus is date-partition-shaped (one
+    // sub-geometry + band sidecar per label), the batch carries the
+    // partition column, and every batch row deduplicates against ITS OWN
+    // partition's stored artifacts in one part-keyed dataflow — no
+    // second global index. The oracle replays ten per-slice chains.
+    "q_dedup_semantic_indexed_incremental_partitioned" -> ((s, d) => {
+      val cat = stageVecIncPartBase(s, d)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val batch = Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      VectorIndex.semDedupIncremental(s, s"$cat.q.emb", "embedding", batch)
+    }),
+
     // RECALL AUDIT for the vector index through the oracle gate (the
     // number a production ANN deployment monitors, kept oracle-certified
     // like q_similarity_recall): recall@10 of the INDEX path vs the exact
@@ -1911,6 +2008,55 @@ object SourceQueries extends QueryModule {
         s"TOP 10 VERSION AS OF $v")
     }),
 
+    // TIME-TRAVEL × BY PARTITION (r14 — the r13 refusal lifted): the
+    // snapshot's OWN sub-geometries serve the global union, part-keyed;
+    // the decoy partition append after the pinned version must never
+    // surface. The oracle is the partitioned-global replay over the raw
+    // corpus (= the snapshot state).
+    "q_vector_search_asof_partitioned" -> ((s, d) => {
+      val (cat, v) = stageVecPartAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val res = VectorIndex.searchAsOf(s, s"$cat.q.emb", "embedding",
+          probe, 10, v)
+        .orderBy(org.apache.spark.sql.functions.desc("sim"), col("vec_id"))
+      val decoys = s.table(s"$cat.q.emb")
+        .where(col("vec_id") >= 2000000L).count()
+      assert(decoys == 5L,
+        s"the current table must hold the 5 probe-copy decoys: $decoys")
+      res
+    }),
+
+    // TIME-TRAVEL kNN JOIN (r14 — the C238 motivation needs the JOIN):
+    // reproduce yesterday's RAG candidate fetch against the snapshot's
+    // own index. The five probe-copy decoys appended AFTER the pinned
+    // version would dominate any CURRENT join for the batch row nearest
+    // the probe — the AS OF join must never surface them; the oracle
+    // replays the plain kNN join over the raw corpus, which IS the
+    // snapshot state.
+    "q_vector_knn_join_asof" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinAsOf(s, s"$cat.q.emb", "embedding", batch, 3, v)
+    }),
+
+    // The SAME time-travel join through the SQL statement surface
+    // (`VECTOR KNN JOIN … TOP 3 VERSION AS OF v`) — shared oracle, the
+    // C212 zero-drift rule.
+    "q_vector_knn_join_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      Tables(s, d, "embeddings")
+        .createOrReplaceTempView("graft_knn_batch_src")
+      s.sql(s"VECTOR KNN JOIN ON $cat.q.emb (embedding) USING " +
+        "(SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM graft_knn_batch_src WHERE vec_id % 100 = 0) TOP 3 " +
+        s"VERSION AS OF $v")
+    }),
+
     // PARTITION-PINNED kNN join (r13): the pin routes every batch row
     // to label 3's OWN sub-geometry — its ranked-seeded centroids
     // assign the batch, its postings prune, nothing of any other
@@ -1940,6 +2086,22 @@ object SourceQueries extends QueryModule {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       VectorIndex.knnJoinWhere(s, s"$cat.q.emb", "embedding", batch, 3,
         col("label").isin(3, 5))
+    }),
+
+    // PQ × BY PARTITION kNN join (r14 — the C226 part-keyed codebooks
+    // serving the batch join, closing the r13 refusal): the pin routes
+    // the batch to partition 3's OWN ranked codebook and codes; the ADC
+    // pre-rank runs per batch row over the pinned slice's narrow codes,
+    // the exact rerank touches only survivor files. The oracle replays
+    // the slice's ranked chain + ranked codebook + per-row cutoff.
+    "q_vector_knn_join_pq_partitioned" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinPqWhere(s, s"$cat.q.emb", "embedding", batch, 3,
+        rerank = 50, col("label") === 3)
     }),
 
     // RECALL AUDIT for the kNN join (the C208 audit-as-data pattern
@@ -3373,6 +3535,20 @@ object SourceQueries extends QueryModule {
        |    ORDER BY sim DESC, a.vec_id LIMIT 10))""".stripMargin
   }
 
+  /** The pins-are-all-partitions union replay (ONE ranked chain per
+    * label, per-pin top-10, global top-10) — shared by the live global
+    * search over a BY PARTITION index and its AS OF twin (the snapshot
+    * state IS the raw corpus). */
+  private lazy val sqlPartitionedGlobalOracle: String =
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH pv AS (
+         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |${(0 to 9).map(l => sqlPartChain(l, s"g${l}x")).mkString(",\n")}
+         |SELECT vec_id, list_id, sim
+         |FROM (${(0 to 9).map(l => s"SELECT * FROM c$l")
+               .mkString(" UNION ALL ")})
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** The IVF search replay shared by the Scala-API query
     * (`q_vector_search`) and its SQL-statement twin
     * (`q_vector_search_sql[_filtered]`) — one search semantics, two
@@ -3619,6 +3795,61 @@ object SourceQueries extends QueryModule {
          |ORDER BY vec_id, rank""".stripMargin)
   }
 
+  /** The RANKED trained-codebook chain for a partition slice `src` —
+    * `cb0` = the slice's PqCbK lowest ids BY RANK, ranked-cap
+    * decimation, per-cell fixed-point means, seed fallback, composite
+    * `cbl` — the [[VectorIndex.trainPqCodebookRanked]] replay, shared
+    * by the pinned PQ search ([[sqlPqRankedOracle]]) and the pinned PQ
+    * kNN join (r14). */
+  private def sqlPqRankedCbChain(src: String): String = {
+    import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
+    s"""cb0 AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS cl
+       |  FROM (SELECT vec_id, embedding FROM $src
+       |        ORDER BY vec_id LIMIT $PqCbK)),
+       |pqm AS (SELECT GREATEST(1, COUNT(*) // $PqTrainCap) AS m
+       |        FROM $src),
+       |pqthr AS (
+       |  SELECT MAX(vec_id) AS t FROM (
+       |    SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqCbK)),
+       |pqtr AS (
+       |  SELECT e.vec_id, e.embedding FROM $src e, pqm, pqthr
+       |  WHERE ${graft.llm.PortableHash.sqlPermute("e.vec_id", PqTrainJ)} % pqm.m = 0
+       |     OR e.vec_id <= pqthr.t),
+       |pqk0 AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    $pqCodeCols
+       |  FROM pqtr e, cb0 c),
+       |pqflat AS (
+       |  SELECT bb.b AS b, CASE bb.b ${(0 until PqM)
+         .map(b => s"WHEN $b THEN k.code$b").mkString(" ")} END AS code,
+       |    ii.i AS i,
+       |    CAST(floor(CAST(k.embedding[bb.b * $PqDim + ii.i] AS DOUBLE)
+       |               * 1000000000000) AS BIGINT) AS v
+       |  FROM pqk0 k, (SELECT unnest(range(0, $PqM)) AS b) bb,
+       |       (SELECT unnest(range(1, ${PqDim + 1})) AS i) ii),
+       |pqsv AS (
+       |  SELECT b, code, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nv
+       |  FROM pqflat GROUP BY b, code, i),
+       |pqc8 AS (
+       |  SELECT b, code,
+       |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT)
+       |         ORDER BY i) AS c8
+       |  FROM pqsv GROUP BY b, code),
+       |pqseed AS (
+       |  SELECT jj.j - 1 AS code, bb.b AS b,
+       |    c.cl[jj.j][bb.b * $PqDim + 1 : (bb.b + 1) * $PqDim] AS sblk
+       |  FROM cb0 c, (SELECT unnest(range(1, $PqCbK + 1)) AS j) jj,
+       |       (SELECT unnest(range(0, $PqM)) AS b) bb
+       |  WHERE jj.j <= len(c.cl)),
+       |pqrow AS (
+       |  SELECT s.code AS c_id,
+       |    flatten(list(COALESCE(t.c8, s.sblk) ORDER BY s.b)) AS c_emb
+       |  FROM pqseed s LEFT JOIN pqc8 t ON t.b = s.b AND t.code = s.code
+       |  GROUP BY s.code),
+       |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow)""".stripMargin
+  }
+
   /** The per-partition IVF-PQ replay (`q_vector_search_partitioned_pq`):
     * one pinned partition's RANKED-seeded Lloyd chain, its RANKED PQ
     * codebook (seeds = the PqCbK lowest ids BY RANK; the training
@@ -3626,21 +3857,10 @@ object SourceQueries extends QueryModule {
     * cutoff and exact rerank — the engine's per-pin pipeline from raw
     * parquet. Probe = the pinned partition's lowest-id row. */
   private def sqlPqRankedOracle(label: Int): String = {
-    import graft.llm.Similarity.{PqM, PqDim, PqCbK, PqTrainCap, PqTrainJ}
     val dot = graft.llm.PortableHash.sqlDotFixed _
     val pfx = s"q${label}x"
     val src = s"p$label"
-    def blk(e: String, b: Int) = s"$e[${b * PqDim + 1} : ${(b + 1) * PqDim}]"
-    def d2s(b: Int) = {
-      val xb = blk("e.embedding", b); val cb = blk("c.cl[pq_ci]", b)
-      s"[(${dot(xb, xb)} - 2 * ${dot(xb, cb)}) + ${dot(cb, cb)} " +
-        s"for pq_ci in range(1, len(c.cl) + 1)]"
-    }
-    val codeCols = (0 until PqM).map(b =>
-      s"CAST(list_position(${d2s(b)}, list_min(${d2s(b)})) - 1 AS INTEGER) AS code$b")
-      .mkString(",\n    ")
-    val adc = (0 until PqM).map(b =>
-      dot(blk("p.pv", b), blk(s"c.cl[k.code$b + 1]", b))).mkString(" + ")
+    val adc = pqAdcExpr("p.pv")
     val pdot = dot("e0.embedding", "r0.cl[ci]")
     graft.llm.PortableHash.sqlMat(
       s"""WITH $src AS (
@@ -3654,57 +3874,13 @@ object SourceQueries extends QueryModule {
          |        FROM $src e0, ref${pfx}1 r0
          |        WHERE e0.vec_id = (SELECT MIN(vec_id) FROM $src)) e,
          |       ref${pfx}1 r),
-         |cb0 AS (
-         |  SELECT list(embedding ORDER BY vec_id) AS cl
-         |  FROM (SELECT vec_id, embedding FROM $src
-         |        ORDER BY vec_id LIMIT $PqCbK)),
-         |pqm AS (SELECT GREATEST(1, COUNT(*) // $PqTrainCap) AS m
-         |        FROM $src),
-         |pqthr AS (
-         |  SELECT MAX(vec_id) AS t FROM (
-         |    SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqCbK)),
-         |pqtr AS (
-         |  SELECT e.vec_id, e.embedding FROM $src e, pqm, pqthr
-         |  WHERE ${graft.llm.PortableHash.sqlPermute("e.vec_id", PqTrainJ)} % pqm.m = 0
-         |     OR e.vec_id <= pqthr.t),
-         |pqk0 AS (
-         |  SELECT e.vec_id, e.embedding,
-         |    $codeCols
-         |  FROM pqtr e, cb0 c),
-         |pqflat AS (
-         |  SELECT bb.b AS b, CASE bb.b ${(0 until PqM)
-           .map(b => s"WHEN $b THEN k.code$b").mkString(" ")} END AS code,
-         |    ii.i AS i,
-         |    CAST(floor(CAST(k.embedding[bb.b * $PqDim + ii.i] AS DOUBLE)
-         |               * 1000000000000) AS BIGINT) AS v
-         |  FROM pqk0 k, (SELECT unnest(range(0, $PqM)) AS b) bb,
-         |       (SELECT unnest(range(1, ${PqDim + 1})) AS i) ii),
-         |pqsv AS (
-         |  SELECT b, code, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nv
-         |  FROM pqflat GROUP BY b, code, i),
-         |pqc8 AS (
-         |  SELECT b, code,
-         |    list(CAST((CAST(s AS DOUBLE) / 1000000000000) / nv AS FLOAT)
-         |         ORDER BY i) AS c8
-         |  FROM pqsv GROUP BY b, code),
-         |pqseed AS (
-         |  SELECT jj.j - 1 AS code, bb.b AS b,
-         |    c.cl[jj.j][bb.b * $PqDim + 1 : (bb.b + 1) * $PqDim] AS sblk
-         |  FROM cb0 c, (SELECT unnest(range(1, $PqCbK + 1)) AS j) jj,
-         |       (SELECT unnest(range(0, $PqM)) AS b) bb
-         |  WHERE jj.j <= len(c.cl)),
-         |pqrow AS (
-         |  SELECT s.code AS c_id,
-         |    flatten(list(COALESCE(t.c8, s.sblk) ORDER BY s.b)) AS c_emb
-         |  FROM pqseed s LEFT JOIN pqc8 t ON t.b = s.b AND t.code = s.code
-         |  GROUP BY s.code),
-         |cbl AS (SELECT list(c_emb ORDER BY c_id) AS cl FROM pqrow),
+         |${sqlPqRankedCbChain(src)},
          |candpq AS (
          |  SELECT a.vec_id, a.list_id, a.embedding
          |  FROM a${pfx}1 a JOIN probe p ON a.list_id = p.p_list),
          |kc AS (
          |  SELECT e.vec_id, e.list_id, e.embedding,
-         |    $codeCols
+         |    $pqCodeCols
          |  FROM candpq e, cbl c),
          |adct AS (
          |  SELECT k.vec_id, k.list_id, k.embedding, $adc AS sim_adc
@@ -3716,6 +3892,61 @@ object SourceQueries extends QueryModule {
          |  ${dot("t.embedding", "p.pv")} AS sim
          |FROM survivors t, probe p
          |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin)
+  }
+
+  /** The pinned PQ kNN-join replay (`q_vector_knn_join_pq_partitioned`,
+    * r14): the pinned slice's RANKED chain + RANKED codebook, the batch
+    * assigned flat against the slice's trained geometry, per-candidate
+    * codes, per-batch-row ADC-top-50 cutoff against each row's own
+    * vector, exact per-row rerank — [[sqlPqKnnJoinOracleWhere]]'s
+    * pipeline with the slice's ranked artifacts. */
+  private def sqlPqRankedKnnJoinOracle(label: Int): String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    val pfx = "kq"
+    val src = s"p$label"
+    val bdot = dot("b.embedding", "r0.cl[ci]")
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH $src AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE label = $label),
+         |${graft.llm.Clustering.sqlKmeansRanked(1, src, pfx = pfx)},
+         |b AS (
+         |  SELECT vec_id + 1000000 AS bid, embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |bd AS (
+         |  SELECT b.bid, b.embedding,
+         |    [$bdot for ci in range(1, len(r0.cl) + 1)] AS dots
+         |  FROM b, ref${pfx}1 r0),
+         |ba AS (
+         |  SELECT bd.bid, bd.embedding AS bemb,
+         |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+         |  FROM bd, ref${pfx}1 r),
+         |${sqlPqRankedCbChain(src)},
+         |candpq AS (
+         |  SELECT ba.bid, ba.bemb, a.vec_id, a.embedding
+         |  FROM a${pfx}1 a JOIN ba ON a.list_id = ba.p_list),
+         |kc AS (
+         |  SELECT e.bid, e.bemb, e.vec_id, e.embedding,
+         |    $pqCodeCols
+         |  FROM candpq e, cbl c),
+         |adct AS (
+         |  SELECT k.bid, k.bemb, k.vec_id, k.embedding,
+         |    ${pqAdcExpr("k.bemb")} AS sim_adc
+         |  FROM kc k, cbl c),
+         |surv AS (
+         |  SELECT bid, bemb, vec_id, embedding FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY bid ORDER BY sim_adc DESC, vec_id) AS rk
+         |    FROM adct) WHERE rk <= 50)
+         |SELECT vec_id, rank, nn_id, sim FROM (
+         |  SELECT s.bid AS vec_id, s.vec_id AS nn_id,
+         |    CAST(row_number() OVER (PARTITION BY s.bid
+         |      ORDER BY ${dot("s.bemb", "s.embedding")} DESC, s.vec_id)
+         |      AS INTEGER) AS rank,
+         |    ${dot("s.bemb", "s.embedding")} AS sim
+         |  FROM surv s) t
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin)
   }
 
   /** The IVF-PQ replay shared by the Scala-API query
@@ -3939,14 +4170,10 @@ object SourceQueries extends QueryModule {
     // Global replay: ONE chain PER PARTITION VALUE (labels 0-9 in the
     // testdata at every SF), per-pin top-10, global top-10 over the
     // 10-way union — the engine's pins-are-all-partitions union.
-    "q_vector_search_partitioned_global" -> graft.llm.PortableHash.sqlMat(
-      s"""WITH pv AS (
-         |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
-         |${(0 to 9).map(l => sqlPartChain(l, s"g${l}x")).mkString(",\n")}
-         |SELECT vec_id, list_id, sim
-         |FROM (${(0 to 9).map(l => s"SELECT * FROM c$l")
-               .mkString(" UNION ALL ")})
-         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    "q_vector_search_partitioned_global" -> sqlPartitionedGlobalOracle,
+    // The AS OF partitioned union answers the same replay over the raw
+    // corpus (= the snapshot state; the decoys live only after v).
+    "q_vector_search_asof_partitioned" -> sqlPartitionedGlobalOracle,
     // Recall@10 of the 10-way union vs the exact brute-force top-10.
     "q_vector_search_partitioned_recall" -> graft.llm.PortableHash.sqlMat(
       s"""WITH pv AS (
@@ -3979,6 +4206,10 @@ object SourceQueries extends QueryModule {
     // hyperplanes, batch×corpus bucket∩cluster candidates, min-id witness.
     "q_dedup_semantic_indexed_incremental" ->
       graft.llm.Clustering.sqlSemDedupIndexedIncremental,
+    // Ten per-slice replays (ranked chain + per-slice band geometry per
+    // label), unioned — the BY PARTITION incremental serve's oracle.
+    "q_dedup_semantic_indexed_incremental_partitioned" ->
+      graft.llm.Clustering.sqlSemDedupIndexedIncrementalPartitioned,
     // The streamed surface answers exactly the one-shot incremental query
     // (per-row decisions are batch-vs-corpus independent): shared replay.
     "q_stream_semantic_dedup" ->
@@ -4236,6 +4467,10 @@ object SourceQueries extends QueryModule {
     "q_vector_search_asof" -> sqlVectorSearchOracle(""),
     // The SQL statement shares the Scala-API replay.
     "q_vector_search_asof_sql" -> sqlVectorSearchOracle(""),
+    // The AS OF batch join answers the plain kNN join over the raw
+    // corpus (= the snapshot state; the decoys live only after v).
+    "q_vector_knn_join_asof" -> sqlKnnJoinOracle,
+    "q_vector_knn_join_asof_sql" -> sqlKnnJoinOracle,
     // The pinned slice's ranked chain + batch probe + ranked join.
     "q_vector_knn_join_partitioned" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _
@@ -4265,6 +4500,9 @@ object SourceQueries extends QueryModule {
            |WHERE rank <= 3
            |ORDER BY vec_id, rank""".stripMargin)
     },
+    // The pinned slice's ranked chain + ranked codebook + per-row ADC
+    // cutoff + exact rerank — the PQ batch join on a BY PARTITION index.
+    "q_vector_knn_join_pq_partitioned" -> sqlPqRankedKnnJoinOracle(3),
     // TWO prefixed ranked chains, per-pin batch assignment + per-row
     // top-3, global top-3 over the union.
     "q_vector_knn_join_partitioned_multi" -> {

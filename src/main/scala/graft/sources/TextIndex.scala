@@ -267,8 +267,14 @@ object TextIndex {
       // names fresh, nothing drifted — the dv digest was just unknown
       // (pre-dv-digest prop): upgrade the prop (and missing coverage) in
       // place, no sidecar rewrite
-      if (recorded.isEmpty) writeCovered(spark, oldDir, m, live)
       ManifestLock.withLock(dir) {
+        // exists-check + sidecar write under the commit lock: with
+        // autoRefresh two concurrent readers could both observe
+        // covered/ missing and race the parquet write — the loser's
+        // "path already exists" failed that refresh spuriously (r14)
+        if (recorded.isEmpty &&
+            !Files.exists(oldDir.resolve("covered")))
+          writeCovered(spark, oldDir, m, live)
         val cur = Manifest.read(dir).getOrElse(m)
         Manifest.write(dir, cur.copy(props =
           cur.props + (key -> s"$oldIdx;${digestOf(m)};${dvDigestOf(m)}")))
@@ -761,8 +767,13 @@ object TextIndex {
       case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
     }.flatMap { v =>
       val fields = v.split(";", -1)
+      // servable = digest-fresh AND every sidecar this path reads
+      // present (posts/ AND stats/) — a partially reaped historical dir
+      // takes the retrain-from-snapshot fallback, not an opaque parquet
+      // path error (r14 advice)
       if (fields(1) == digestOf(m) &&
-        Files.exists(mt.dir.resolve(fields(0)).resolve("posts")))
+        Files.exists(mt.dir.resolve(fields(0)).resolve("posts")) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("stats")))
         Some(fields(0))
       else None
     }

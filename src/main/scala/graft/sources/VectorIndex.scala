@@ -402,8 +402,8 @@ object VectorIndex {
       val parts = base.select(col("partv"), col("part")).distinct()
         .orderBy("part").collect()
         .map(r => (col("partv") === lit(r.get(0)), r.getString(1))).toSeq
-      val (cents, posts, cbs, codes) = buildPartitionSlices(spark, base,
-        parts, lists, sample, coarse)
+      val (cents, posts, cbs, codes, anchs, bands) = buildPartitionSlices(
+        spark, base, parts, lists, sample, coarse)
       totalK = cents.map(_._2).sum
       (emptyCents(spark, withPart = true) +: cents.map(_._1))
         .reduce(_ unionByName _)
@@ -419,6 +419,15 @@ object VectorIndex {
           .write.parquet(idxDir.resolve("pqcb").toString)
         codes.reduce(_ unionByName _)
           .write.parquet(idxDir.resolve("codes").toString)
+      }
+      // per-partition incremental-dedup sidecars (r14): slice-keyed LSH
+      // panels + corpus band rows — what lets semDedupIncremental serve
+      // a date-partitioned corpus without a second global index
+      if (anchs.nonEmpty) {
+        anchs.reduce(_ unionByName _).coalesce(1)
+          .write.parquet(idxDir.resolve("lshanch").toString)
+        bands.reduce(_ unionByName _)
+          .write.parquet(idxDir.resolve("bands").toString)
       }
     } else {
       // a published index ALWAYS has cents/posts sidecars — an empty
@@ -464,17 +473,21 @@ object VectorIndex {
     * PARTITION build (typed filter condition: file-stats-prunable) and
     * the partition-scoped refresh (string filter over its already
     * file-bounded scan). Each value is (slice filter, stored string).
-    * Returns ((cents-with-part, k), posts-with-part) per value. */
+    * Returns per value: (cents-with-part, k), posts-with-part, PQ
+    * codebook + codes, and (r14) the incremental-dedup band sidecar
+    * pair — per-slice LSH geometry/anchor-panel rows (`lshanch/`) and
+    * corpus band rows (`bands/`), each keyed by `part`, so
+    * [[semDedupIncremental]] serves date-partitioned corpora. */
   private def buildPartitionSlices(spark: SparkSession, base: DataFrame,
       parts: Seq[(org.apache.spark.sql.Column, String)],
       lists: Option[Long], sample: Option[Long], coarse: Int)
       : (Seq[(DataFrame, Long)], Seq[DataFrame], Seq[DataFrame],
-         Seq[DataFrame]) = {
+         Seq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
     import graft.llm.Similarity
     val slices = parts.map { case (cond, pv) =>
       val rows = base.where(cond)
       val n = rows.count()
-      if (n == 0) ((spark.emptyDataFrame, 0L), None, None, None)
+      if (n == 0) ((spark.emptyDataFrame, 0L), None, None, None, None, None)
       else {
         val k = lists.map { l =>
           if (l < 1) throw new IllegalArgumentException(
@@ -504,12 +517,31 @@ object VectorIndex {
           .select(Seq(lit(pv).as("part"), col("vec_id"), col("list_id"),
             col("file")) ++
             (0 until Similarity.PqM).map(b => col(s"code$b")): _*)
+        // the slice's incremental-dedup pair: its OWN size-derived LSH
+        // geometry + RANKED anchor panel (slice ids are arbitrary), and
+        // its band rows — the [[writeBandSidecars]] artifacts keyed by
+        // part. The panel row is consumed twice (sidecar + derivation
+        // broadcast) — materialize once.
+        val (nBands, bits) = graft.llm.Dedup.embeddingLshParams(n)
+        val anch = graft.llm.Dedup.bandAnchorsRanked(
+            rows.select(col("vec_id"), col("embedding")), nBands, bits)
+          .select(lit(pv).as("part"), lit(nBands).as("n_bands"),
+            lit(bits).as("bits"), col("anchors"))
+          .localCheckpoint()
+        val bandRows = graft.llm.Dedup.embeddingBandRowsWith(
+            rows.select(col("vec_id"), col("embedding"), col("file")),
+            anch.select(col("anchors")), nBands, bits, carry = Seq("file"))
+          .join(listsDf, "vec_id")
+          .select(lit(pv).as("part"), col("vec_id"), col("band"),
+            col("bkey"), col("list_id"), col("file"))
         ((cents.withColumn("part", lit(pv)), k), Some(posts),
-          Some(cb.withColumn("part", lit(pv))), Some(codes))
+          Some(cb.withColumn("part", lit(pv))), Some(codes), Some(anch),
+          Some(bandRows))
       }
     }
     (slices.map(_._1).filter(_._2 > 0), slices.flatMap(_._2),
-      slices.flatMap(_._3), slices.flatMap(_._4))
+      slices.flatMap(_._3), slices.flatMap(_._4), slices.flatMap(_._5),
+      slices.flatMap(_._6))
   }
 
   /** The pin(s) a BY PARTITION probe must carry: some conjunct of the
@@ -711,6 +743,79 @@ object VectorIndex {
       .select(col("code").as("c_id"), col("c_emb"))
   }
 
+  /** [[trainPqCodebookRanked]] for EVERY partition slice in ONE
+    * part-keyed dataflow (r14 — the stale-replay path of the partitioned
+    * PQ tier): per-part ranked seeds (the PqCbK lowest-id rows by rank),
+    * per-part decimation with the ranked id cap, one coding pass + one
+    * (part × PqM × PqCbK)-cell aggregate. Each slice's rows equal
+    * [[trainPqCodebookRanked]] run per slice — the hash contract.
+    * `base` carries (part, vec_id, embedding); output
+    * (part, c_id, c_emb). */
+  private def trainPqCodebookRankedByPart(base: DataFrame): DataFrame = {
+    import graft.llm.Similarity.{PqCbK, PqTrainCap, PqTrainJ, PqM, PqDim,
+      pqBlock, pqCode}
+    import graft.llm.PortableHash.permute
+    import org.apache.spark.sql.types.LongType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("vec_id")
+    val ranked = base.select(col("part"), col("vec_id"), col("embedding"))
+      .withColumn("rk", row_number().over(w))
+    val seedRows = ranked.where(col("rk") <= PqCbK)
+    // one row per part: the decimation modulus + ranked force-include cap
+    val pol = base.groupBy("part").agg(count(lit(1)).as("n"))
+      .select(col("part"), greatest(lit(1L),
+        floor(col("n") / lit(PqTrainCap)).cast(LongType)).as("m"))
+      .join(seedRows.groupBy("part")
+        .agg(max(col("vec_id").cast(LongType)).as("idcap")), "part")
+    val train = base.join(broadcast(pol), "part")
+      .where(permute(col("vec_id"), PqTrainJ) % col("m") === 0 ||
+        col("vec_id") <= col("idcap"))
+      .select(col("part"), col("vec_id"), col("embedding"))
+    // per-part seed arrays — consumed by the coding pass AND the
+    // empty-codeword fallback; materialize once
+    val seedArr = seedRows
+      .select(col("part"), (col("rk") - 1).cast(IntegerType).as("c_id"),
+        col("embedding").as("c_emb"))
+      .groupBy("part")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+        .as("cents"))
+      .coalesce(1).localCheckpoint()
+    val coded = (0 until PqM).foldLeft(
+        train.join(broadcast(seedArr), "part")) { (df, b) =>
+      df.withColumn(s"code$b", pqCode(col("cents"), col("embedding"), b))
+    }
+    val flat = coded.select(col("part"),
+        posexplode(array((0 until PqM).map(b =>
+          struct(lit(b).as("b"), col(s"code$b").as("code"),
+            pqBlock(col("embedding"), b).as("blk"))): _*)).as(Seq("px", "s")))
+      .select(col("part"), col("s.b").as("b"), col("s.code").as("code"),
+        col("s.blk").as("blk"))
+    val means = flat.groupBy("part", "b", "code")
+      .agg(count(lit(1)).as("nv"),
+        graft.functions.VectorSumFixed.sum(col("blk"), PqDim).as("vs"))
+      .select(col("part"), col("b"), col("code"),
+        transform(col("vs"),
+          x => (x / col("nv")).cast(FloatType)).as("c8"))
+    val seedFlat = seedArr
+      .select(col("part"), posexplode(col("cents")).as(Seq("j", "st")))
+      .select(col("part"), col("j").cast(IntegerType).as("code"),
+        col("st.c_emb").as("emb"))
+      .select(col("part"), col("code"),
+        posexplode(array((0 until PqM).map(b =>
+          struct(lit(b).as("b"), pqBlock(col("emb"), b).as("sblk"))): _*))
+        .as(Seq("px", "s")))
+      .select(col("part"), col("code"), col("s.b").as("b"),
+        col("s.sblk").as("sblk"))
+    seedFlat.join(means, Seq("part", "b", "code"), "left")
+      .select(col("part"), col("code"),
+        struct(col("b"),
+          coalesce(col("c8"), col("sblk")).as("cblk")).as("bb"))
+      .groupBy("part", "code")
+      .agg(flatten(transform(array_sort(collect_list(col("bb"))),
+        st => st.getField("cblk"))).as("c_emb"))
+      .select(col("part"), col("code").as("c_id"), col("c_emb"))
+  }
+
   /** LSH band-key sidecars for the incremental-SemDeDup tier — the C69
     * stored-signature pattern applied to embeddings, so a daily batch
     * never re-hashes or re-clusters the corpus:
@@ -804,10 +909,12 @@ object VectorIndex {
     if (p.isCurrent(digestOf(m)) && newFiles.isEmpty && dead.isEmpty) {
       // names fresh, nothing drifted — the dv digest was just unknown
       // (pre-dv-digest prop): upgrade the prop (and missing coverage) in
-      // place, no sidecar rewrite
-      if (!java.nio.file.Files.exists(oldDir.resolve("covered")))
-        writeCovered(spark, oldDir, m, live)
+      // place, no sidecar rewrite. The exists-check + write runs UNDER
+      // the commit lock so concurrent auto-refresh readers never race
+      // the covered/ parquet write (r14 advice).
       ManifestLock.withLock(dir) {
+        if (!java.nio.file.Files.exists(oldDir.resolve("covered")))
+          writeCovered(spark, oldDir, m, live)
         val cur = Manifest.read(dir).getOrElse(m)
         Manifest.write(dir, cur.copy(props = cur.props +
           (key -> renderProp(oldIdx, idCol, digestOf(m), p.lists, p.sample,
@@ -919,10 +1026,11 @@ object VectorIndex {
     val dead = ((indexedFiles -- live.toSet) ++ drift).toSeq.sorted
     if (p.isCurrent(digestOf(m)) && newFiles.isEmpty && dead.isEmpty) {
       // names fresh, nothing drifted — upgrade the pre-dv-digest prop
-      // (and missing coverage) in place, no slice retrain
-      if (!java.nio.file.Files.exists(oldDir.resolve("covered")))
-        writeCovered(spark, oldDir, m, live)
+      // (and missing coverage) in place, no slice retrain; the
+      // exists-check + write runs UNDER the commit lock (r14 advice)
       ManifestLock.withLock(dir) {
+        if (!java.nio.file.Files.exists(oldDir.resolve("covered")))
+          writeCovered(spark, oldDir, m, live)
         val cur = Manifest.read(dir).getOrElse(m)
         Manifest.write(dir, cur.copy(props = cur.props +
           (key -> renderProp(p.idxName, p.idCol, digestOf(m), p.lists,
@@ -948,18 +1056,20 @@ object VectorIndex {
       .select("file").distinct().collect().map(_.getString(0))
       .filter(live.contains).toSeq
     val affFiles = (affOldFiles ++ newFiles).distinct
-    val (rebuiltC, rebuiltP, rebuiltCb, rebuiltCodes) =
+    val (rebuiltC, rebuiltP, rebuiltCb, rebuiltCodes, rebuiltAnch,
+        rebuiltBands) =
       if (affFiles.isEmpty) (Seq.empty[DataFrame], Seq.empty[DataFrame],
-        Seq.empty[DataFrame], Seq.empty[DataFrame])
+        Seq.empty[DataFrame], Seq.empty[DataFrame], Seq.empty[DataFrame],
+        Seq.empty[DataFrame])
       else {
         val base = scanFiles(spark, dir, affFiles)
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"), col("_file").as("file"),
             col(partCol).cast("string").as("part"))
-        val (c, ps, cbs, cds) = buildPartitionSlices(spark, base,
-          affected.map(pv => (col("part") === pv, pv)),
+        val (c, ps, cbs, cds, anchs, bnds) = buildPartitionSlices(spark,
+          base, affected.map(pv => (col("part") === pv, pv)),
           p.lists, p.sample, p.coarse)
-        (c.map(_._1), ps, cbs, cds)
+        (c.map(_._1), ps, cbs, cds, anchs, bnds)
       }
     val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
@@ -981,6 +1091,20 @@ object VectorIndex {
         .write.parquet(idxDir.resolve("pqcb").toString)
       (keptCodes +: rebuiltCodes).reduce(_ unionByName _)
         .write.parquet(idxDir.resolve("codes").toString)
+    }
+    // the incremental-dedup sidecars ride like the PQ pair: unaffected
+    // partitions' panels + band rows carry over, affected partitions'
+    // retrain with their slice (a pre-r14 partitioned index stays
+    // without them until a full rebuild — all-or-nothing presence)
+    if (java.nio.file.Files.exists(oldDir.resolve("lshanch"))) {
+      val keptAnch = spark.read.parquet(oldDir.resolve("lshanch").toString)
+        .where(!col("part").isin(affected: _*))
+      val keptBands = spark.read.parquet(oldDir.resolve("bands").toString)
+        .where(!col("part").isin(affected: _*))
+      (keptAnch +: rebuiltAnch).reduce(_ unionByName _).coalesce(1)
+        .write.parquet(idxDir.resolve("lshanch").toString)
+      (keptBands +: rebuiltBands).reduce(_ unionByName _)
+        .write.parquet(idxDir.resolve("bands").toString)
     }
     writeCovered(spark, idxDir, m, live)
     ManifestLock.withLock(dir) {
@@ -1049,10 +1173,6 @@ object VectorIndex {
         s"$op: no vector index on $table ($colName) — CREATE VECTOR INDEX " +
           "first (its build writes the band sidecars this serves from)"))
     val p = parseProp(prop)
-    if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index on $table ($colName) is BY PARTITION — the " +
-        "trained-geometry compositions serve the GLOBAL geometry; build " +
-        "without BY PARTITION for corpus-wide incremental dedup")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
       col(colName).as("embedding"))
@@ -1076,12 +1196,68 @@ object VectorIndex {
         .select(col("vec_id").as("vn"), col("band"), col("bkey"),
           col("embedding").as("e_n"), col("list_id").as("l_n"))
 
+    // the partitioned batch routes each row to ITS OWN partition's
+    // geometry by the table's partition column — candidates (and dup
+    // verdicts) stay within-partition, the date-partitioned corpus rule
+    def partKeyBatch(pc: String): DataFrame =
+      batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"), col(pc).cast("string").as("part"))
+
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
       if (!java.nio.file.Files.exists(idxDir.resolve("lshanch")))
         throw new IllegalStateException(
           s"$op: the index on $table ($colName) predates the band " +
             "sidecars — re-run CREATE VECTOR INDEX to materialize them")
+      p.partCol match {
+        case Some(pc) =>
+          // BY PARTITION (r14): batch rows assign against their own
+          // partition's stored centroids, derive band keys against its
+          // stored panel (per-slice geometry — the part-keyed fold), and
+          // join the part-keyed bands sidecar; only candidate buckets'
+          // files are scanned for corpus embeddings. ONE dataflow, one
+          // bounded driver collect — the C224 serving contract composed
+          // with partition routing.
+          val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+          val geo = spark.read.parquet(idxDir.resolve("lshanch").toString)
+          val batchBands = Dedup.embeddingBandRowsByPart(
+              Similarity.assignListsHierByPart(partKeyBatch(pc), cents,
+                p.coarse),
+              geo, carry = Seq("embedding", "list_id"))
+            .select(col("part"), col("vec_id").as("vn"), col("band"),
+              col("bkey"), col("embedding").as("e_n"),
+              col("list_id").as("l_n"))
+          val corpusBands = spark.read
+            .parquet(idxDir.resolve("bands").toString)
+            .select(col("part").as("opart"), col("vec_id").as("vo"),
+              col("band").as("oband"), col("bkey").as("obkey"),
+              col("list_id").as("l_o"), col("file"))
+          val cand = batchBands.join(corpusBands,
+              col("part") === col("opart") &&
+                col("band") === col("oband") &&
+                col("bkey") === col("obkey") && col("l_n") === col("l_o"))
+            .select(col("vn"), col("e_n"), col("vo"), col("file"))
+            .localCheckpoint()
+          val candFiles = cand.select("file").distinct()
+            .collect().map(_.getString(0))
+          val matched =
+            if (candFiles.isEmpty) {
+              val idType = m.schema.fields
+                .find(_.name.equalsIgnoreCase(p.idCol)).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.LongType)
+              spark.range(0).select(col("id").cast(idType).as("vn"),
+                col("id").cast(idType).as("dup_of"))
+            } else {
+              val corpusEmb = scanFiles(spark, mt.dir, candFiles.toSeq)
+                .select(col(p.idCol).as("vo"), col(colName).as("e_o"))
+              cand.join(corpusEmb, "vo")
+                .where(dotFixed(col("e_n"), col("e_o")) >=
+                  Clustering.SemThreshold)
+                .groupBy("vn").agg(min(col("vo")).as("dup_of"))
+            }
+          return result(matched)
+        case None => ()
+      }
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       val anchDf = spark.read.parquet(idxDir.resolve("lshanch").toString)
         .localCheckpoint() // 1 row; read for meta AND the broadcast panel
@@ -1127,6 +1303,53 @@ object VectorIndex {
         refresh(spark, mt.dir, colName)
         semDedupIncrementalAttempt(spark, table, colName, batch,
           allowRefresh = false)
+      case _ if p.partCol.isDefined =>
+        // in-query replay of the PARTITIONED build artifacts (per-slice
+        // ranked geometry + per-slice panel + bands), one part-keyed
+        // dataflow — exactly a partitioned rebuild's answer, minus the
+        // file-bounded fetch. The per-slice LSH geometry derives from
+        // slice sizes via ONE bounded collect (parts rows).
+        val pc = p.partCol.get
+        val rows = scanFiles(spark, mt.dir, names)
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"),
+            col(pc).cast("string").as("part"))
+        val geo0 = spark.createDataFrame(
+          rows.groupBy("part").count().collect().toSeq.map { r =>
+            val (nb, bt) = Dedup.embeddingLshParams(r.getLong(1))
+            (r.getString(0), nb, bt)
+          }).toDF("part", "n_bands", "bits")
+        // the ranked anchor panel per part — bandAnchorsRanked's
+        // orderBy-limit, replayed as a rank window bounded per part
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("part").orderBy("vec_id")
+        val anch = rows.select(col("part"), col("vec_id"), col("embedding"))
+          .withColumn("rk", row_number().over(wr))
+          .join(broadcast(geo0.select(col("part"),
+            (col("n_bands") * col("bits")).as("slots"))), "part")
+          .where(col("rk") <= col("slots"))
+          .groupBy("part")
+          .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"),
+            col("embedding").as("a_emb")))).as("anchors"))
+        val geo = geo0.join(anch, "part").coalesce(1).localCheckpoint()
+        val (corpusAssigned, cents) = retrainGeometryRankedByPart(rows, p)
+        val corpusBands = Dedup.embeddingBandRowsByPart(corpusAssigned,
+            geo, carry = Seq("embedding", "list_id"))
+          .select(col("part").as("opart"), col("vec_id").as("vo"),
+            col("band").as("oband"), col("bkey").as("obkey"),
+            col("embedding").as("e_o"), col("list_id").as("l_o"))
+        val batchBands = Dedup.embeddingBandRowsByPart(
+            Similarity.assignListsHierByPart(partKeyBatch(pc), cents,
+              p.coarse),
+            geo, carry = Seq("embedding", "list_id"))
+          .select(col("part"), col("vec_id").as("vn"), col("band"),
+            col("bkey"), col("embedding").as("e_n"),
+            col("list_id").as("l_n"))
+        result(batchBands.join(corpusBands,
+            col("part") === col("opart") && col("band") === col("oband") &&
+              col("bkey") === col("obkey") && col("l_n") === col("l_o") &&
+              dotFixed(col("e_n"), col("e_o")) >= Clustering.SemThreshold)
+          .groupBy("vn").agg(min(col("vo")).as("dup_of")))
       case _ =>
         // in-query replay of the build artifacts (geometry + ranked
         // panel + corpus bands) — exactly a rebuild's answer, minus the
@@ -1432,10 +1655,6 @@ object VectorIndex {
         s"$op: no vector index on $table ($colName) — CREATE VECTOR INDEX " +
           "first"))
     val p = parseProp(prop)
-    if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index on $table ($colName) is BY PARTITION — the PQ " +
-        "batch join serves the GLOBAL codebook only; use knnJoin (the " +
-        "exact per-pin join) or build without BY PARTITION")
     val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
       col(colName).as("embedding"))
     val wAdc = org.apache.spark.sql.expressions.Window
@@ -1456,6 +1675,78 @@ object VectorIndex {
         throw new IllegalStateException(
           s"$op: the index on $table ($colName) has no PQ codebook — " +
             "re-run CREATE VECTOR INDEX, or use knnJoin")
+      p.partCol match {
+        case Some(pc) =>
+          // BY PARTITION (r14): the batch fans out under every pin's
+          // geometry, its ADC pre-rank runs per (batch row, pin) over
+          // that pin's OWN codes against that pin's OWN ranked codebook
+          // (one part-keyed join — no per-pin loop), and only the
+          // per-pin survivors' files fetch embeddings for the exact
+          // per-row rerank — the C226 part-keyed codebooks serving the
+          // batch join.
+          val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
+          val posts0 = spark.read.parquet(idxDir.resolve("posts").toString)
+          val cb0 = spark.read.parquet(idxDir.resolve("pqcb").toString)
+          val codesAll = spark.read.parquet(
+            idxDir.resolve("codes").toString)
+          val pins = predicate.flatMap(
+            partitionPins(_, pc, partTypeOf(m, pc)))
+          val centsP = pins.fold(cents0)(ps =>
+            cents0.where(col("part").isin(ps: _*)))
+          val bAssigned = assignBatchAllParts(b0, centsP).localCheckpoint()
+          val bcodes = bAssigned
+            .select(col("part"), col("vec_id").as("bid"),
+              col("embedding").as("e_n"), col("list_id"))
+            .join(codesAll, Seq("part", "list_id"))
+          // the predicate narrows each pin's codes BEFORE the per-row
+          // rerank cutoff (the filtered-PQ rule per batch row and pin)
+          val bcodesF = predicate match {
+            case None => bcodes
+            case Some(pred) =>
+              val pFiles = posts0.join(
+                  bAssigned.select("part", "list_id").distinct(),
+                  Seq("part", "list_id"))
+                .select("file").distinct().collect().map(_.getString(0))
+              if (pFiles.isEmpty) bcodes.where(lit(false))
+              else {
+                val match0 = scanFiles(spark, mt.dir, pFiles.toSeq)
+                  .where(pred)
+                  .select(col(p.idCol).as("vec_id"),
+                    col(pc).cast("string").as("part"))
+                val matching = pins.fold(match0)(ps =>
+                  match0.where(col("part").isin(ps: _*)))
+                bcodes.join(matching, Seq("part", "vec_id"), "left_semi")
+              }
+          }
+          val cbByPart = cb0.groupBy("part")
+            .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+              .as("cents"))
+          val wAdcP = org.apache.spark.sql.expressions.Window
+            .partitionBy("bid", "part")
+            .orderBy(desc("sim_adc"), col("vec_id"))
+          val top = bcodesF.join(broadcast(cbByPart), "part")
+            .withColumn("sim_adc",
+              Similarity.pqAdc(col("cents"), col("e_n"),
+                b => col(s"code$b")))
+            .withColumn("rk", row_number().over(wAdcP))
+            .filter(col("rk") <= rerank)
+            .select(col("bid"), col("e_n"), col("part"), col("vec_id"),
+              col("file"))
+            .localCheckpoint()
+          val candFiles = top.select("file").distinct()
+            .collect().map(_.getString(0))
+          val pairs =
+            if (candFiles.isEmpty)
+              top.select(col("bid"), col("vec_id").as("nn_id"),
+                lit(0L).as("sim")).where(lit(false))
+            else scanFiles(spark, mt.dir, candFiles.toSeq)
+              .select(col(p.idCol).as("vec_id"), col(colName).as("e_o"))
+              .join(broadcast(top), "vec_id")
+              .select(col("bid"), col("vec_id").as("nn_id"),
+                dotFixed(col("e_n"), col("e_o")).as("sim"))
+          return rankTop(pairs)
+        case None => ()
+      }
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
       val probed = bAssigned.select("list_id").distinct()
@@ -1517,6 +1808,60 @@ object VectorIndex {
         refresh(spark, mt.dir, colName)
         knnJoinPqAttempt(spark, table, colName, batch, k, rerank,
           predicate, allowRefresh = false)
+      case _ if p.partCol.isDefined =>
+        // in-query replay of the PARTITIONED pipeline (r14): every
+        // pinned partition's ranked SAMPLE-aware geometry + ranked
+        // codebook + codes in ONE part-keyed dataflow, per-(row, pin)
+        // ADC cutoff, exact rerank, global per-row top-k — a
+        // partitioned rebuild's answer, no pruning.
+        val pc = p.partCol.get
+        val names = m.entries.filter(_.rows > 0).map(_.name)
+        val all = scanFiles(spark, mt.dir, names)
+        val pins = predicate.flatMap(
+          partitionPins(_, pc, partTypeOf(m, pc)))
+        def partKey(df: DataFrame): DataFrame = {
+          val keyed = df.select(col(p.idCol).as("vec_id"),
+            lit(0).as("label"), col(colName).as("embedding"),
+            col(pc).cast("string").as("part"))
+          pins.fold(keyed)(ps => keyed.where(col("part").isin(ps: _*)))
+        }
+        val rowsP = partKey(all)
+        val (corpusAssigned, cents) = retrainGeometryRankedByPart(rowsP, p)
+        val cbArrByPart = trainPqCodebookRankedByPart(
+            rowsP.select(col("part"), col("vec_id"), col("embedding")))
+          .groupBy("part")
+          .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+            .as("cents"))
+        val codedAll = (0 until graft.llm.Similarity.PqM).foldLeft(
+            corpusAssigned.join(broadcast(cbArrByPart), "part")) {
+          (df, b) => df.withColumn(s"code$b",
+            graft.llm.Similarity.pqCode(col("cents"), col("embedding"), b))
+        }.drop("cents")
+        val coded = predicate match {
+          case None => codedAll
+          case Some(pred) => codedAll.join(
+            partKey(all.where(pred)).select(col("part"), col("vec_id")),
+            Seq("part", "vec_id"), "left_semi")
+        }
+        val bAssigned = assignBatchAllParts(b0, cents)
+        val wAdcP = org.apache.spark.sql.expressions.Window
+          .partitionBy("bid", "part").orderBy(desc("sim_adc"), col("vec_id"))
+        val top = bAssigned
+          .select(col("part"), col("vec_id").as("bid"),
+            col("embedding").as("e_n"), col("list_id"))
+          .join(coded.drop("embedding", "label"), Seq("part", "list_id"))
+          .join(broadcast(cbArrByPart), "part")
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+          .withColumn("rk", row_number().over(wAdcP))
+          .filter(col("rk") <= rerank)
+          .select(col("bid"), col("e_n"), col("vec_id"))
+        val pairs = top
+          .join(corpusAssigned.select(col("vec_id"),
+            col("embedding").as("e_o")), "vec_id")
+          .select(col("bid"), col("vec_id").as("nn_id"),
+            dotFixed(col("e_n"), col("e_o")).as("sim"))
+        rankTop(pairs)
       case _ =>
         // in-query replay: geometry + codebook training + codes under
         // the persisted policy — a fresh rebuild's answer, no pruning;
@@ -1594,9 +1939,6 @@ object VectorIndex {
       throw new IllegalStateException(
         s"$op: no vector index on $table ($colName) existed as of " +
           s"version $version — the snapshot carries no vecidx prop")))
-    if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index as of version $version is BY PARTITION — " +
-        "time-travel serving covers global indexes")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val pv = typedLit(probe.toSeq)
     def snapScan(fs: Seq[String]): DataFrame =
@@ -1615,9 +1957,53 @@ object VectorIndex {
         .select(col("vec_id"), col("list_id"),
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
+    p.partCol.foreach { pc =>
+      // BY PARTITION time travel (r14 — formerly a refusal): the
+      // snapshot's OWN sub-geometries serve the pins-are-all-partitions
+      // union, one part-keyed dataflow over the snapshot-pinned scan;
+      // per-part top-k then the global top-k. Stale/reaped → part-keyed
+      // ranked SAMPLE-aware retrain over the snapshot rows.
+      def partKey(df: DataFrame): DataFrame =
+        df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"), col(pc).cast("string").as("part"))
+      def rankByPart(assigned: DataFrame, probed: DataFrame): DataFrame = {
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy("part").orderBy(desc("sim"), col("vec_id"))
+        assigned.join(broadcast(probed), Seq("part", "list_id"))
+          .select(col("part"), col("vec_id"), col("list_id"),
+            graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
+          .withColumn("prk", row_number().over(wp))
+          .where(col("prk") <= topK)
+          .select(col("vec_id"), col("list_id"), col("sim"))
+          .orderBy(desc("sim"), col("vec_id")).limit(topK)
+      }
+      val idxDirP = mt.dir.resolve(p.idxName)
+      val servableP = p.isCurrent(digestOf(m)) &&
+        java.nio.file.Files.exists(idxDirP.resolve("cents")) &&
+        java.nio.file.Files.exists(idxDirP.resolve("posts"))
+      if (servableP) {
+        val cents = spark.read.parquet(idxDirP.resolve("cents").toString)
+        val probed = probePairsOf(cents, probe, probes)
+        val cand = spark.read.parquet(idxDirP.resolve("posts").toString)
+          .join(probed, Seq("part", "list_id"))
+          .select("file").distinct().collect().map(_.getString(0))
+        if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
+        return rankByPart(graft.llm.Similarity.assignListsHierByPart(
+          partKey(snapScan(cand.toSeq)), cents, p.coarse), probed)
+      } else {
+        val rows = partKey(snapScan(names))
+        val (assigned, cents) = retrainGeometryRankedByPart(rows, p)
+        return rankByPart(assigned, probePairsOf(cents, probe, probes))
+      }
+    }
     val idxDir = mt.dir.resolve(p.idxName)
+    // servable = digest-fresh AND every sidecar the serve path reads is
+    // present (cents/ AND posts/) — a partially reaped or half-written
+    // historical dir takes the documented retrain fallback instead of
+    // an opaque parquet path error (r14 advice)
     val servable = p.isCurrent(digestOf(m)) &&
-      java.nio.file.Files.exists(idxDir.resolve("cents"))
+      java.nio.file.Files.exists(idxDir.resolve("cents")) &&
+      java.nio.file.Files.exists(idxDir.resolve("posts"))
     if (servable) {
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       val pLists = probeListsOf(cents, probe, probes)
@@ -1633,6 +2019,95 @@ object VectorIndex {
       val rows = rekey(snapScan(names))
       val (_, cents) = retrainGeometry(rows, p, rows.count())
       rank(rows, cents, probeListsOf(cents, probe, probes))
+    }
+  }
+
+  /** TIME-TRAVEL kNN JOIN (r14) — [[knnJoin]] against a TABLE SNAPSHOT
+    * with the index version that covered it: reproducing yesterday's
+    * RAG candidate fetch (the C238 motivation) needs the BATCH JOIN,
+    * not just the single-probe search. Snapshot resolution is
+    * [[searchAsOf]]'s — the snapshot manifest's OWN `vecidx.` prop, the
+    * candidate scan pinned to both the historical files and the
+    * snapshot's DV state, so later appends/deletes never leak backward.
+    * Servable = digest-fresh AND every sidecar the serve reads present
+    * (cents/ + posts/); otherwise the in-query retrain replays what a
+    * rebuild at that version would have trained (the retrain posture —
+    * refresh would mutate CURRENT state to serve the past). Global
+    * indexes only. Output (vec_id, rank, nn_id, sim) like [[knnJoin]]. */
+  def knnJoinAsOf(spark: SparkSession, table: String, colName: String,
+      batch: DataFrame, k: Int, version: Int): DataFrame = {
+    import graft.llm.Similarity
+    import graft.llm.PortableHash.dotFixed
+    val op = "VECTOR KNN JOIN AS OF"
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: snapshot $version expired or never existed at ${mt.dir}"))
+    val p = parseProp(m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName) existed as of " +
+          s"version $version — the snapshot carries no vecidx prop")))
+    if (p.partCol.isDefined) throw new UnsupportedOperationException(
+      s"$op: the index as of version $version is BY PARTITION — " +
+        "time-travel serving covers global indexes")
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    def rekey(df: DataFrame): DataFrame =
+      df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"))
+    val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+      col(colName).as("embedding"))
+    def finish(bAssigned: DataFrame, corpusAssigned: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+      bAssigned.select(col("vec_id").as("bid"),
+          col("embedding").as("e_n"), col("list_id"))
+        .join(corpusAssigned.select(col("list_id"),
+          col("vec_id").as("nn_id"), col("embedding").as("e_o")),
+          Seq("list_id"))
+        .select(col("bid"), col("nn_id"),
+          dotFixed(col("e_n"), col("e_o")).as("sim"))
+        .withColumn("rank", row_number().over(w)
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("rank") <= k)
+        .select(col("bid").as("vec_id"), col("rank"), col("nn_id"),
+          col("sim"))
+        .orderBy("vec_id", "rank")
+    }
+    val idxDir = mt.dir.resolve(p.idxName)
+    val servable = p.isCurrent(digestOf(m)) &&
+      java.nio.file.Files.exists(idxDir.resolve("cents")) &&
+      java.nio.file.Files.exists(idxDir.resolve("posts"))
+    if (servable) {
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      // MATERIALIZE the batch assignment once — probed-list planning AND
+      // the candidate join (bounded by the batch), as in [[knnJoin]]
+      val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
+      val probed = bAssigned.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val candFiles =
+        if (probed.isEmpty) Seq.empty[String]
+        else spark.read.parquet(idxDir.resolve("posts").toString)
+          .where(col("list_id").isin(probed: _*))
+          .select("file").distinct().collect().map(_.getString(0)).toSeq
+      if (candFiles.isEmpty)
+        finish(bAssigned.where(lit(false)),
+          bAssigned.select(col("vec_id"), col("embedding"), col("list_id"))
+            .where(lit(false)))
+      else finish(bAssigned, Similarity.assignListsHier(
+        rekey(snapScan(candFiles)), cents, p.coarse))
+    } else {
+      // stale snapshot index (or reaped sidecars): retrain over the
+      // SNAPSHOT rows under the persisted policy — a rebuild's answer
+      val rows = rekey(snapScan(names))
+      val (_, cents) = retrainGeometry(rows, p, rows.count())
+      finish(Similarity.assignLists(b0, cents),
+        Similarity.assignListsHier(rows, cents, p.coarse))
     }
   }
 
@@ -2039,11 +2514,6 @@ object VectorIndex {
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
 
-    def unionTopK(perPin: Seq[DataFrame]): DataFrame =
-      if (perPin.isEmpty) emptyResult(spark, m, p.idCol)
-      else perPin.reduce(_ unionByName _)
-        .orderBy(desc("sim"), col("vec_id")).limit(topK)
-
     if (p.isCurrent(digestOf(m))) {
       val idxDir = mt.dir.resolve(p.idxName)
       if (!java.nio.file.Files.exists(idxDir.resolve("pqcb"))) noPqCodebook()
@@ -2179,39 +2649,54 @@ object VectorIndex {
         val all = scanFiles(spark, mt.dir, names)
         p.partCol match {
           case Some(pc) =>
-            // per pinned partition: ranked slice retrain + ranked
-            // codebook + codes + ADC cutoff + exact top-k, union — the
-            // fresh path's per-pin semantics replayed in-query
-            val pins = predicate
-              .flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
-              .getOrElse(all.select(col(pc).cast("string").as("part"))
-                .distinct().orderBy("part")
-                .collect().map(_.getString(0)).toSeq)
-            val perPin = pins.flatMap { pin =>
-              val partAll = all.where(col(pc).cast("string") === pin)
-              val rows = partAll.select(col(p.idCol).as("vec_id"),
-                lit(0).as("label"), col(colName).as("embedding"))
-              val n = rows.count()
-              if (n == 0) None
-              else {
-                val (assigned, cents) = retrainGeometryRanked(rows, p, n)
-                val cbArr = pqCbArr(trainPqCodebookRanked(rows, n))
-                val inLists = assigned.where(col("list_id").isin(
-                  probeListsOf(cents, probe, probes): _*))
-                val candRows = predicate match {
-                  case None => inLists
-                  case Some(pred) => inLists.join(
-                    partAll.where(pred).select(col(p.idCol).as("vec_id")),
-                    Seq("vec_id"), "left_semi")
-                }
-                val top = encodePq(candRows, cbArr)
-                  .withColumn("sim_adc",
-                    Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
-                  .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
-                Some(exactTop(top))
-              }
+            // pinned partitions replay ranked slice retrain + ranked
+            // codebook + codes + per-pin ADC cutoff + per-pin exact
+            // top-k + global top-k in ONE part-keyed dataflow (r14 —
+            // formerly a sequential per-pin loop)
+            val pins = predicate.flatMap(
+              partitionPins(_, pc, partTypeOf(m, pc)))
+            def partKey(df: DataFrame): DataFrame = {
+              val keyed = df.select(col(p.idCol).as("vec_id"),
+                lit(0).as("label"), col(colName).as("embedding"),
+                col(pc).cast("string").as("part"))
+              pins.fold(keyed)(ps => keyed.where(col("part").isin(ps: _*)))
             }
-            return unionTopK(perPin)
+            val rowsP = partKey(all)
+            val (assigned, cents) = retrainGeometryRankedByPart(rowsP, p)
+            val cbArrByPart = trainPqCodebookRankedByPart(
+                rowsP.select(col("part"), col("vec_id"), col("embedding")))
+              .groupBy("part")
+              .agg(array_sort(collect_list(
+                struct(col("c_id"), col("c_emb")))).as("cents"))
+            val probed = probePairsOf(cents, probe, probes)
+            val inLists = assigned.join(broadcast(probed),
+              Seq("part", "list_id"))
+            val candRows = predicate match {
+              case None => inLists
+              case Some(pred) => inLists.join(
+                partKey(all.where(pred)).select(col("part"), col("vec_id")),
+                Seq("part", "vec_id"), "left_semi")
+            }
+            val wAdcP = org.apache.spark.sql.expressions.Window
+              .partitionBy("part").orderBy(desc("sim_adc"), col("vec_id"))
+            val wkP = org.apache.spark.sql.expressions.Window
+              .partitionBy("part").orderBy(desc("sim"), col("vec_id"))
+            return (0 until Similarity.PqM).foldLeft(
+                candRows.join(broadcast(cbArrByPart), "part")) { (df, b) =>
+                df.withColumn(s"code$b",
+                  Similarity.pqCode(col("cents"), col("embedding"), b))
+              }
+              .withColumn("sim_adc",
+                Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+              .withColumn("ark", row_number().over(wAdcP))
+              .where(col("ark") <= rerank)
+              .select(col("part"), col("vec_id"), col("list_id"),
+                graft.llm.PortableHash.dotFixed(col("embedding"), pv)
+                  .as("sim"))
+              .withColumn("prk", row_number().over(wkP))
+              .where(col("prk") <= topK)
+              .select(col("vec_id"), col("list_id"), col("sim"))
+              .orderBy(desc("sim"), col("vec_id")).limit(topK)
           case None => ()
         }
         val rows = all

@@ -217,7 +217,8 @@ class VectorIndexSpec extends SparkSuite {
     assert(ids.contains(12L), s"stale retrain must see the new row: $ids")
     // BY PARTITION: pinned pins route to their own sub-geometries, a
     // multi-pin unions per-pin top-ks, and NO pin = all partitions (the
-    // C225 rule applied to the batch join); the PQ join still refuses
+    // C225 rule applied to the batch join); since r14 the PQ join serves
+    // partitioned indexes too (per-pin codebooks, per-(row, pin) cutoff)
     val cat2 = freshCatalog("vix41")
     val t2 = s"$cat2.ns.emb"
     spark.sql(s"CREATE TABLE $t2 (vec_id BIGINT, label INT, " +
@@ -238,10 +239,11 @@ class VectorIndexSpec extends SparkSuite {
     val gl = global.collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(gl.filter(_._1 == 100L).map(_._2).toSet.subsetOf((0L to 5L).toSet),
       s"a blob-A probe's global top-k comes from label 0's slice: ${gl.toSeq}")
-    val e = intercept[UnsupportedOperationException] {
-      VectorIndex.knnJoinPq(spark, t2, "embedding", batch, 3)
-    }
-    assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
+    val pq = VectorIndex.knnJoinPq(spark, t2, "embedding", batch, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.filter(_._1 == 100L).map(_._2).toSet.subsetOf((0L to 5L).toSet),
+      "the partitioned PQ join serves per-pin codebooks (r14 — the " +
+        s"refusal is lifted): ${pq.toSeq}")
   }
 
   test("knnJoinPq: per-row ADC cutoff, bounded fetch, converges on exact") {
@@ -466,6 +468,60 @@ class VectorIndexSpec extends SparkSuite {
       }
       assert(e.getMessage.contains("STALE"))
     } finally spark.conf.unset("spark.graft.index.onStale")
+  }
+
+  test("incremental SemDeDup × BY PARTITION: per-slice sidecars, bounded " +
+      "fetch per pin, within-partition candidates") {
+    val cat = freshCatalog("vix23")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    // two partitions, two files each; partition 0 = axis-0 blobs, 1 =
+    // axis-1 — a near-axis-0 batch row in partition 1 must NOT dup
+    // (candidates stay within-partition)
+    (0 to 5).map(i => (i.toLong, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    (6 to 11).map(i => (i.toLong, 0, vec(0, (12, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    (20 to 25).map(i => (i.toLong, 1, vec(1, (20, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    (26 to 31).map(i => (i.toLong, 1, vec(1, (22, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    // one batch row near partition 0's blob: the fetch scans candidate
+    // bucket files of partition 0 ONLY — never partition 1's two files
+    val near0 = Seq((100L, 0, vec(0, (11, 0.04f))))
+      .toDF("vec_id", "label", "embedding")
+    val one = VectorIndex.semDedupIncremental(spark, t, "embedding", near0)
+    val row = one.collect().head
+    assert(row.getLong(0) == 100L && row.getLong(1) == 0L &&
+      row.getBoolean(2), s"near-0 batch row dups against min-id 0: $row")
+    assert(plannedFiles(one) <= 2,
+      s"fetch bounded to partition 0's candidate files, " +
+        s"planned ${plannedFiles(one)} of 4")
+    // the same vector CLAIMING partition 1 shares no within-partition
+    // bucket — not a dup (the partition is part of the identity)
+    val wrongPart = Seq((101L, 1, vec(0, (11, 0.04f))))
+      .toDF("vec_id", "label", "embedding")
+    val miss = VectorIndex.semDedupIncremental(spark, t, "embedding",
+      wrongPart).collect().head
+    assert(!miss.getBoolean(2),
+      s"cross-partition near-dup must NOT match: $miss")
+    // stale (append to partition 1) + default retrain policy: the
+    // in-query part-keyed replay answers like a rebuild for BOTH rows
+    Seq((32L, 1, vec(1, (22, 0.05f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    val batch = Seq(
+      (100L, 0, vec(0, (11, 0.04f))),
+      (102L, 1, vec(1, (21, 0.04f))))
+      .toDF("vec_id", "label", "embedding")
+    val stale = VectorIndex.semDedupIncremental(spark, t, "embedding",
+        batch).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(stale.toSeq == Seq(
+      (100L, Some(0L), true), (102L, Some(20L), true)),
+      s"stale part-keyed replay keeps per-partition witnesses: ${stale.toSeq}")
   }
 
   test("incremental SemDeDup: pre-sidecar index refuses with guidance") {
