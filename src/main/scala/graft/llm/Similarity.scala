@@ -203,6 +203,106 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
+  /** [[assignListsHier]] with the centroid-derived legs computed
+    * DRIVER-SIDE (r14): `cents` is collected (k ≈ √n rows — the
+    * probe-list metadata class, ≤ ~32k rows at 10⁹ vectors), the anchor
+    * slice, coarse-cell assignment and per-cell centroid arrays are
+    * built in Scala with the exact fixed-point argmax the DataFrame
+    * legs compute (⌊a·b·10¹²⌋ accumulation, first-max tie-break), and
+    * the row side joins BROADCAST LOCAL relations — the whole
+    * assignment becomes ONE codegen stage over `emb` with zero
+    * shuffles and zero AQE stage-job barriers, where the frame-derived
+    * version pays a job per broadcast leg. Per-row results are
+    * cell-identical to [[assignListsHier]] (the Lloyd family's hash
+    * contract); the row-side expressions are shared verbatim. */
+  def assignListsHierLocal(emb: org.apache.spark.sql.DataFrame,
+                           cents: org.apache.spark.sql.DataFrame,
+                           coarseProbes: Int = 2): org.apache.spark.sql.DataFrame = {
+    if (coarseProbes < 1 || coarseProbes > 2)
+      throw new IllegalArgumentException(
+        s"COARSE PROBES $coarseProbes — the two-level assigner probes 1 " +
+          "or 2 coarse cells (more cells trades toward a flat assignment; " +
+          "tune LISTS for finer geometry instead)")
+    val spark = emb.sparkSession
+    val all: Array[(Int, Array[Float])] =
+      cents.select(col("c_id"), col("c_emb")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    if (all.isEmpty)
+      return emb.where(lit(false))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          lit(0).as("list_id"))
+    // the exact fixed-point dot ([[graft.functions.FixedPointDotProduct]])
+    def dotFx(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(a(i).toDouble * b(i).toDouble * 1.0e12).toLong
+        i += 1
+      }
+      acc / 1.0e12
+    }
+    // first-max tie-break — array_position(dots, array_max(dots))
+    def argmaxFirst(ds: Array[Double]): Int = {
+      var bi = 0; var bv = ds(0); var i = 1
+      while (i < ds.length) { if (ds(i) > bv) { bv = ds(i); bi = i }; i += 1 }
+      bi
+    }
+    val nAnc = math.ceil(math.sqrt(all.length.toDouble)).toInt
+    val anc = all.take(nAnc)
+    val gOf: Map[Int, Int] = all.map { case (cid, cemb) =>
+      cid -> (if (anc.exists(_._1 == cid)) cid
+        else anc(argmaxFirst(anc.map(a => dotFx(cemb, a._2))))._1)
+    }.toMap
+    val byG: Seq[(Int, Array[(Int, Array[Float])])] =
+      all.groupBy(t => gOf(t._1)).toSeq.sortBy(_._1)
+        .map { case (g, arr) => (g, arr.sortBy(_._1)) }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val stT = StructType(Seq(StructField("c_id", IntegerType),
+      StructField("c_emb", ArrayType(FloatType))))
+    def cellRow(arr: Array[(Int, Array[Float])]): Seq[Row] =
+      arr.toSeq.map { case (i, e) => Row(i, e.toSeq) }
+    val anchDf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(cellRow(anc))),
+      StructType(Seq(StructField("anc", ArrayType(stT)))))
+    def gcDf(gname: String, aname: String) = spark.createDataFrame(
+      java.util.Arrays.asList(byG.map { case (g, arr) =>
+        Row(g, cellRow(arr))
+      }: _*),
+      StructType(Seq(StructField(gname, IntegerType),
+        StructField(aname, ArrayType(stT)))))
+    // the row side — [[assignListsHier]]'s expressions verbatim, over
+    // the local legs
+    def ancDots(embCol: org.apache.spark.sql.Column) =
+      transform(col("anc"), st => dotFixed(embCol, st.getField("c_emb")))
+    val withP1 = emb.crossJoin(broadcast(anchDf))
+      .withColumn("adots", ancDots(col("embedding")))
+      .withColumn("p1",
+        array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
+    val withP2 =
+      if (coarseProbes == 1) withP1.withColumn("p2", col("p1"))
+      else withP1
+        .withColumn("md", zip_with(col("adots"),
+          sequence(lit(1), size(col("adots"))),
+          (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
+        .withColumn("p2", array_position(col("md"), array_max(col("md"))).cast(IntegerType))
+    val rowsG = withP2
+      .select(col("vec_id"), col("label"), col("embedding"),
+        element_at(col("anc"), col("p1")).getField("c_id").as("g1"),
+        element_at(col("anc"), col("p2")).getField("c_id").as("g2"))
+    rowsG.join(broadcast(gcDf("g1", "gc1")), "g1")
+      .join(broadcast(gcDf("g2", "gc2")), "g2")
+      .withColumn("cand",
+        when(col("g1") === col("g2"), col("gc1"))
+          .otherwise(array_sort(concat(col("gc1"), col("gc2")))))
+      .withColumn("dots",
+        transform(col("cand"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
+      .withColumn("pos", array_position(col("dots"), array_max(col("dots"))).cast(IntegerType))
+      .withColumn("list_id", element_at(col("cand"), col("pos")).getField("c_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+  }
+
   /** PART-KEYED twin of [[assignListsHier]] — every partition's sub-
     * geometry assigns in ONE dataflow (r14: the per-pin driver loop's
     * replacement in the BY PARTITION serve paths). `emb` carries a
