@@ -933,7 +933,7 @@ object VectorIndex {
     // MATERIALIZE the new-file assignment once (bounded by the new
     // files): the postings write and the PQ codes write both consume it
     val newLists = newRows.map { rows =>
-      graft.llm.Similarity.assignListsHier(
+      graft.llm.Similarity.assignListsHierLocal(
           rows.select("vec_id", "label", "embedding"), cents, p.coarse)
         .select(col("vec_id"), col("list_id"))
         .join(rows.select(col("vec_id"), col("file")), "vec_id")
@@ -1131,7 +1131,7 @@ object VectorIndex {
     // the corpus count sizes the banded pair join's LSH geometry — the
     // same pre-planning cardinality read the LSH dedup tier does
     graft.llm.Clustering.semSurvivors(
-      graft.llm.Similarity.assignListsHier(rows, cents, coarse), cents,
+      graft.llm.Similarity.assignListsHierLocal(rows, cents, coarse), cents,
       rows.count())
   }
 
@@ -1191,7 +1191,7 @@ object VectorIndex {
     def batchBandsOf(cents: DataFrame, anchorArr: DataFrame,
         nBands: Int, bits: Int): DataFrame =
       Dedup.embeddingBandRowsWith(
-          Similarity.assignListsHier(b0, cents, p.coarse),
+          Similarity.assignListsHierLocal(b0, cents, p.coarse),
           anchorArr, nBands, bits, carry = Seq("embedding", "list_id"))
         .select(col("vec_id").as("vn"), col("band"), col("bkey"),
           col("embedding").as("e_n"), col("list_id").as("l_n"))
@@ -1382,7 +1382,7 @@ object VectorIndex {
     val (rows, cents, coarse) = rowsAndCents(spark, table, colName, labelCol,
       "CLUSTER SAMPLE")
     graft.llm.Clustering.clusterSample(
-      graft.llm.Similarity.assignListsHier(rows, cents, coarse))
+      graft.llm.Similarity.assignListsHierLocal(rows, cents, coarse))
   }
 
   /** INDEX-BACKED kNN JOIN — "for each batch row, its k nearest CORPUS
@@ -1551,7 +1551,7 @@ object VectorIndex {
           val candScan =
             if (candFiles.isEmpty) spark.table(table).where(lit(false))
             else scanFiles(spark, mt.dir, candFiles)
-          val corpusAssigned = Similarity.assignListsHier(
+          val corpusAssigned = Similarity.assignListsHierLocal(
             rekey(predicate.fold(candScan)(candScan.where)), cents, p.coarse)
           ranked(bAssigned, corpusAssigned)
       }
@@ -1606,7 +1606,7 @@ object VectorIndex {
           case None =>
             val rows = rekey(all)
             val (_, cents) = retrainGeometry(rows, p, rows.count())
-            val corpusAssigned = Similarity.assignListsHier(
+            val corpusAssigned = Similarity.assignListsHierLocal(
               rekey(predicate.fold(all)(all.where)), cents, p.coarse)
             ranked(Similarity.assignLists(b0, cents), corpusAssigned)
         }
@@ -1952,7 +1952,7 @@ object VectorIndex {
         col(colName).as("embedding"))
     def rank(rows: DataFrame, cents: DataFrame,
         pLists: Seq[Int]): DataFrame =
-      Similarity.assignListsHier(rows, cents, p.coarse)
+      Similarity.assignListsHierLocal(rows, cents, p.coarse)
         .where(col("list_id").isin(pLists: _*))
         .select(col("vec_id"), col("list_id"),
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
@@ -2099,7 +2099,7 @@ object VectorIndex {
         finish(bAssigned.where(lit(false)),
           bAssigned.select(col("vec_id"), col("embedding"), col("list_id"))
             .where(lit(false)))
-      else finish(bAssigned, Similarity.assignListsHier(
+      else finish(bAssigned, Similarity.assignListsHierLocal(
         rekey(snapScan(candFiles)), cents, p.coarse))
     } else {
       // stale snapshot index (or reaped sidecars): retrain over the
@@ -2107,7 +2107,7 @@ object VectorIndex {
       val rows = rekey(snapScan(names))
       val (_, cents) = retrainGeometry(rows, p, rows.count())
       finish(Similarity.assignLists(b0, cents),
-        Similarity.assignListsHier(rows, cents, p.coarse))
+        Similarity.assignListsHierLocal(rows, cents, p.coarse))
     }
   }
 
@@ -2279,7 +2279,7 @@ object VectorIndex {
 
     def ranked(rows: DataFrame, cents: DataFrame,
         pLists: Seq[Int]): DataFrame = {
-      val assigned = graft.llm.Similarity.assignListsHier(rows, cents, p.coarse)
+      val assigned = graft.llm.Similarity.assignListsHierLocal(rows, cents, p.coarse)
       val pv = typedLit(probe.toSeq)
       assigned.where(col("list_id").isin(pLists: _*))
         .select(col("vec_id"), col("list_id"),
