@@ -1440,6 +1440,27 @@ object SourceQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup × BY PARTITION (r14 — the last trained-geometry
+    // composition hole): near-dup pruning per partition slice against
+    // the stored sub-geometries in one part-keyed dataflow — candidates
+    // share a partition AND cluster AND sign-band bucket, each slice
+    // under its own size-derived banding + ranked panel. The oracle
+    // replays ten per-slice chains with within-slice candidates.
+    "q_dedup_semantic_partitioned" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      VectorIndex.semDedup(s, s"$cat.q.emb", "embedding", "label")
+        .orderBy("vec_id")
+    }),
+
+    // Diversity sampling × BY PARTITION (r14): every slice's clusters
+    // contribute their capped hash-ordered members; part rides the
+    // output (slice list ids collide across partitions).
+    "q_sample_cluster_partitioned" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      VectorIndex.clusterSample(s, s"$cat.q.emb", "embedding", "label")
+    }),
+
     // RECALL AUDIT for the global BY PARTITION union (the C208
     // audit-as-data pattern applied to C225): recall@10 of the
     // pins-are-all-partitions search vs the exact brute-force top-10 —
@@ -4369,6 +4390,13 @@ object SourceQueries extends QueryModule {
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     // The full SemDeDup pipeline replayed at the index's training depth.
     "q_dedup_semantic_indexed" -> graft.llm.Clustering.sqlSemDedup(1),
+    // Ten per-slice SemDeDup replays (ranked chain + per-slice banding),
+    // unioned — the part-keyed composition over a BY PARTITION index.
+    "q_dedup_semantic_partitioned" ->
+      graft.llm.Clustering.sqlSemDedupPartitioned,
+    // Ten per-slice diversity-sample replays, unioned.
+    "q_sample_cluster_partitioned" ->
+      graft.llm.Clustering.sqlClusterSamplePartitioned,
     // The incremental serve path replayed from raw parquet: corpus-only
     // depth-1 Lloyd (k sized from the corpus), batch assignment block,
     // ranked anchor panel, both band derivations against the corpus's

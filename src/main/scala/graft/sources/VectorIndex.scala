@@ -1125,15 +1125,27 @@ object VectorIndex {
     * Output: (vec_id, label, list_id, c2c) survivors — the
     * [[graft.llm.Clustering.semSurvivors]] keep-the-outlier rule. */
   def semDedup(spark: SparkSession, table: String, colName: String,
-      labelCol: String): DataFrame = {
-    val (rows, cents, coarse) = rowsAndCents(spark, table, colName, labelCol,
-      "SEMANTIC DEDUP")
-    // the corpus count sizes the banded pair join's LSH geometry — the
-    // same pre-planning cardinality read the LSH dedup tier does
-    graft.llm.Clustering.semSurvivors(
-      graft.llm.Similarity.assignListsHierLocal(rows, cents, coarse), cents,
-      rows.count())
-  }
+      labelCol: String): DataFrame =
+    rowsAndCentsByPart(spark, table, colName, labelCol,
+        "SEMANTIC DEDUP") match {
+      case Some((rows, cents, coarse)) =>
+        // BY PARTITION (r14 — the r13 refusal lifted): SemDeDup runs
+        // per slice against the stored sub-geometries in one
+        // part-keyed dataflow — candidates require a shared partition
+        // AND cluster AND sign-band bucket, each slice under its OWN
+        // size-derived banding
+        graft.llm.Clustering.semSurvivorsByPart(
+          graft.llm.Similarity.assignListsHierByPart(rows, cents, coarse),
+          cents)
+      case None =>
+        val (rows, cents, coarse) = rowsAndCents(spark, table, colName,
+          labelCol, "SEMANTIC DEDUP")
+        // the corpus count sizes the banded pair join's LSH geometry —
+        // the same pre-planning cardinality read the LSH dedup tier does
+        graft.llm.Clustering.semSurvivors(
+          graft.llm.Similarity.assignListsHierLocal(rows, cents, coarse),
+          cents, rows.count())
+    }
 
   /** INCREMENTAL SemDeDup against the index's STORED artifacts — the
     * daily-ingest shape with NOTHING corpus-sized recomputed per batch
@@ -1378,12 +1390,21 @@ object VectorIndex {
     * the query when the index is fresh. Stale index retrains (identical
     * output to a rebuild). Output: (list_id, rk, vec_id, label). */
   def clusterSample(spark: SparkSession, table: String, colName: String,
-      labelCol: String): DataFrame = {
-    val (rows, cents, coarse) = rowsAndCents(spark, table, colName, labelCol,
-      "CLUSTER SAMPLE")
-    graft.llm.Clustering.clusterSample(
-      graft.llm.Similarity.assignListsHierLocal(rows, cents, coarse))
-  }
+      labelCol: String): DataFrame =
+    rowsAndCentsByPart(spark, table, colName, labelCol,
+        "CLUSTER SAMPLE") match {
+      case Some((rows, cents, coarse)) =>
+        // BY PARTITION (r14): every SLICE's clusters contribute their
+        // capped hash-ordered members; part rides the output (slice
+        // list ids collide across partitions by construction)
+        graft.llm.Clustering.clusterSampleByPart(
+          graft.llm.Similarity.assignListsHierByPart(rows, cents, coarse))
+      case None =>
+        val (rows, cents, coarse) = rowsAndCents(spark, table, colName,
+          labelCol, "CLUSTER SAMPLE")
+        graft.llm.Clustering.clusterSample(
+          graft.llm.Similarity.assignListsHierLocal(rows, cents, coarse))
+    }
 
   /** INDEX-BACKED kNN JOIN — "for each batch row, its k nearest CORPUS
     * rows": the retrieval/augmentation join (RAG candidate fetch, label
@@ -2186,6 +2207,45 @@ object VectorIndex {
       p: Prop): (DataFrame, DataFrame) =
     graft.llm.Clustering.kmeansAssignRankedByPart(rows, Iters, p.coarse,
       p.lists, p.sample)
+
+  /** The PARTITIONED twin of [[rowsAndCents]] (r14): for a BY PARTITION
+    * index, all live rows part-keyed plus the stored (fresh) or
+    * part-keyed-retrained (stale, ranked + SAMPLE-aware) per-slice
+    * centroids. Returns None for a global index — callers fall through
+    * to the global resolution. */
+  private def rowsAndCentsByPart(spark: SparkSession, table: String,
+      colName: String, labelCol: String, op: String)
+      : Option[(DataFrame, DataFrame, Int)] = {
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
+    val prop = m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName)"))
+    val p = parseProp(prop)
+    val pc = p.partCol.getOrElse(return None)
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    val rows = scanFiles(spark, mt.dir, names)
+      .select(col(p.idCol).as("vec_id"), col(labelCol).as("label"),
+        col(colName).as("embedding"), col(pc).cast("string").as("part"))
+    def stored(idx: String) =
+      spark.read.parquet(mt.dir.resolve(idx).resolve("cents").toString)
+    val cents =
+      if (p.isCurrent(digestOf(m))) stored(p.idxName)
+      else onStale(spark) match {
+        case "fail" => staleRefused(op, table)
+        case "refresh" =>
+          refuseRefreshIfReadOnly(spark, op)
+          refresh(spark, mt.dir, colName)
+          val cur = Manifest.read(mt.dir).getOrElse(m)
+          stored(parseProp(cur.props(PropPrefix + colName.toLowerCase))
+            .idxName)
+        case _ => retrainGeometryRankedByPart(
+          rows.select(col("part"), col("vec_id"), lit(0).as("label"),
+            col("embedding")), p)._2
+      }
+    Some((rows, cents, p.coarse))
+  }
 
   /** Shared resolution for the trained-geometry compositions: all live
     * rows re-keyed to the Lloyd helper's schema, the stored (fresh) or
