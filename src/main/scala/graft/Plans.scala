@@ -115,7 +115,12 @@ object Plans {
     "q_vector_search_asof" -> "time-travel ANN: the SNAPSHOT's posting list pins 1 file; the candidate scan carries the snapshot's DV state",
     "q_text_bm25_asof" -> "time-travel BM25: historical df/N/avgdl + snapshot-pinned ranking scan — later appends shift nothing",
     "q_text_classify_nb" -> "in-query Naive Bayes: bounded (vocab x classes) model relation equi-joined to eval tokens, priors broadcast, per-doc argmax window",
-    "q_text_keywords" -> "per-doc TF-IDF keywords: corpus-wide df aggregate broadcast back, within-doc ranked window")
+    "q_text_keywords" -> "per-doc TF-IDF keywords: corpus-wide df aggregate broadcast back, within-doc ranked window",
+    "q_dedup_semantic_indexed_incremental_partitioned" -> "BY PARTITION incremental SemDeDup (r14): part-keyed batch assignment + per-slice stored panels/bands, candidates within-partition, candidate-bucket files only",
+    "q_vector_knn_join_pq_partitioned" -> "BY PARTITION PQ kNN join (r14): per-(row, pin) ADC cutoff over the pin's codes against its ranked codebook, exact rerank over survivor files",
+    "q_vector_search_asof_partitioned" -> "time-travel x BY PARTITION (r14): the snapshot's own sub-geometries serve the part-keyed union over the snapshot-pinned scan",
+    "q_dedup_semantic_partitioned" -> "BY PARTITION SemDeDup (r14): per-slice stored geometry, within-(partition, cluster, bucket) banded pair join, keep-the-outlier anti-join",
+    "q_vector_knn_join_asof" -> "time-travel kNN join (r14): batch assigns against the HISTORICAL centroids, candidates from the historical postings, snapshot-pinned DV state")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

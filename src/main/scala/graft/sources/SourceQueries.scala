@@ -2215,6 +2215,21 @@ object SourceQueries extends QueryModule {
         col("label").isin(3, 5))
     }),
 
+    // UNPINNED (global) partitioned kNN join (r14 — the C225 union for
+    // the batch join, now oracle-gated rather than spec-only): every
+    // batch row probes EVERY partition's sub-geometry in one part-keyed
+    // fan-out, per-(row, pin) top-3s union into the global per-row
+    // top-3. The oracle replays TEN prefixed ranked chains, each with
+    // its own batch assignment, unioned exactly like the engine.
+    "q_vector_knn_join_partitioned_all" -> ((s, d) => {
+      val cat = stageVecPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoin(s, s"$cat.q.emb", "embedding", batch, 3)
+    }),
+
     // PQ × BY PARTITION kNN join (r14 — the C226 part-keyed codebooks
     // serving the batch join, closing the r13 refusal): the pin routes
     // the batch to partition 3's OWN ranked codebook and codes; the ADC
@@ -3678,6 +3693,35 @@ object SourceQueries extends QueryModule {
                .mkString(" UNION ALL ")})
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** One partition's ranked chain + batch assignment + per-(row, pin)
+    * top-3 for the partitioned kNN-join oracles — shared by the
+    * two-pin and the ten-way unpinned unions. Expects a `b` CTE
+    * (bid, embedding) in scope. */
+  private def sqlKnnPartChain(label: Int, pfx: String): String = {
+    val dot = graft.llm.PortableHash.sqlDotFixed _
+    s"""p$label AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE label = $label),
+       |${graft.llm.Clustering.sqlKmeansRanked(1, s"p$label", pfx = pfx)},
+       |bd$pfx AS (
+       |  SELECT b.bid, b.embedding,
+       |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
+       |  FROM b, ref${pfx}1 r0),
+       |ba$pfx AS (
+       |  SELECT bd.bid, bd.embedding,
+       |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
+       |  FROM bd$pfx bd, ref${pfx}1 r),
+       |c$pfx AS (
+       |  SELECT bid, nn_id, sim FROM (
+       |    SELECT ba.bid, a.vec_id AS nn_id,
+       |      row_number() OVER (PARTITION BY ba.bid
+       |        ORDER BY ${dot("ba.embedding", "a.embedding")} DESC,
+       |          a.vec_id) AS rk,
+       |      ${dot("ba.embedding", "a.embedding")} AS sim
+       |    FROM ba$pfx ba JOIN a${pfx}1 a ON a.list_id = ba.p_list)
+       |  WHERE rk <= 3)""".stripMargin
+  }
+
   /** One partition's ranked chain with a THREE-list probe (r14 — PROBES
     * 3 composed into the partitioned union): the pin's nearest sub-list
     * plus two masked-max runners-up all rank (each mask step replays
@@ -4723,45 +4767,36 @@ object SourceQueries extends QueryModule {
     "q_vector_knn_join_pq_partitioned" -> sqlPqRankedKnnJoinOracle(3),
     // TWO prefixed ranked chains, per-pin batch assignment + per-row
     // top-3, global top-3 over the union.
-    "q_vector_knn_join_partitioned_multi" -> {
-      val dot = graft.llm.PortableHash.sqlDotFixed _
-      def chain(label: Int, pfx: String): String =
-        s"""p$label AS (
-           |  SELECT vec_id, label, embedding FROM embeddings
-           |  WHERE label = $label),
-           |${graft.llm.Clustering.sqlKmeansRanked(1, s"p$label", pfx = pfx)},
-           |bd$pfx AS (
-           |  SELECT b.bid, b.embedding,
-           |    [${dot("b.embedding", "r0.cl[ci]")} for ci in range(1, len(r0.cl) + 1)] AS dots
-           |  FROM b, ref${pfx}1 r0),
-           |ba$pfx AS (
-           |  SELECT bd.bid, bd.embedding,
-           |    r.ids[list_position(bd.dots, list_max(bd.dots))] AS p_list
-           |  FROM bd$pfx bd, ref${pfx}1 r),
-           |c$pfx AS (
-           |  SELECT bid, nn_id, sim FROM (
-           |    SELECT ba.bid, a.vec_id AS nn_id,
-           |      row_number() OVER (PARTITION BY ba.bid
-           |        ORDER BY ${dot("ba.embedding", "a.embedding")} DESC,
-           |          a.vec_id) AS rk,
-           |      ${dot("ba.embedding", "a.embedding")} AS sim
-           |    FROM ba$pfx ba JOIN a${pfx}1 a ON a.list_id = ba.p_list)
-           |  WHERE rk <= 3)""".stripMargin
-      graft.llm.PortableHash.sqlMat(
-        s"""WITH b AS (
-           |  SELECT vec_id + 1000000 AS bid, embedding
-           |  FROM embeddings WHERE vec_id % 100 = 0),
-           |${chain(3, "k3")},
-           |${chain(5, "k5")},
-           |u AS (SELECT * FROM ck3 UNION ALL SELECT * FROM ck5)
-           |SELECT vec_id, rank, nn_id, sim FROM (
-           |  SELECT bid AS vec_id, nn_id,
-           |    CAST(row_number() OVER (PARTITION BY bid
-           |      ORDER BY sim DESC, nn_id) AS INTEGER) AS rank, sim
-           |  FROM u) t
-           |WHERE rank <= 3
-           |ORDER BY vec_id, rank""".stripMargin)
-    },
+    "q_vector_knn_join_partitioned_multi" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH b AS (
+         |  SELECT vec_id + 1000000 AS bid, embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |${sqlKnnPartChain(3, "k3")},
+         |${sqlKnnPartChain(5, "k5")},
+         |u AS (SELECT * FROM ck3 UNION ALL SELECT * FROM ck5)
+         |SELECT vec_id, rank, nn_id, sim FROM (
+         |  SELECT bid AS vec_id, nn_id,
+         |    CAST(row_number() OVER (PARTITION BY bid
+         |      ORDER BY sim DESC, nn_id) AS INTEGER) AS rank, sim
+         |  FROM u) t
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin),
+    // TEN prefixed ranked chains — the unpinned union for the batch
+    // join, each batch row probing every partition's sub-geometry.
+    "q_vector_knn_join_partitioned_all" -> graft.llm.PortableHash.sqlMat(
+      s"""WITH b AS (
+         |  SELECT vec_id + 1000000 AS bid, embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |${(0 to 9).map(l => sqlKnnPartChain(l, s"ka$l")).mkString(",\n")},
+         |u AS (${(0 to 9).map(l => s"SELECT * FROM cka$l")
+               .mkString(" UNION ALL ")})
+         |SELECT vec_id, rank, nn_id, sim FROM (
+         |  SELECT bid AS vec_id, nn_id,
+         |    CAST(row_number() OVER (PARTITION BY bid
+         |      ORDER BY sim DESC, nn_id) AS INTEGER) AS rank, sim
+         |  FROM u) t
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin),
     // Pooled recall@3 of the batch join vs per-row exact brute force.
     "q_vector_knn_join_recall" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _
