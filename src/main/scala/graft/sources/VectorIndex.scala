@@ -390,45 +390,32 @@ object VectorIndex {
     val idxDir = dir.resolve(idxName)
     var totalK = 0L
     if (names.nonEmpty) {
-      // the slice filter runs on the TYPED partition column (file-stats
-      // pruning matches it, so each slice's Lloyd pass reads only its
-      // own partition's files); the string twin is what the sidecars
+      // ONE scan, every slice trained in one part-keyed dataflow (r14 —
+      // the build itself no longer loops the driver over partitions);
+      // the string form of the partition value is what the sidecars
       // store and the serve-time pin compares against
       val base = scanFiles(spark, dir, names)
         .select(col(idCol).as("vec_id"), lit(0).as("label"),
           col(colName).as("embedding"), col("_file").as("file"),
-          col(partCol).as("partv"),
           col(partCol).cast("string").as("part"))
-      val parts = base.select(col("partv"), col("part")).distinct()
-        .orderBy("part").collect()
-        .map(r => (col("partv") === lit(r.get(0)), r.getString(1))).toSeq
-      val (cents, posts, cbs, codes, anchs, bands) = buildPartitionSlices(
-        spark, base, parts, lists, sample, coarse)
-      totalK = cents.map(_._2).sum
-      (emptyCents(spark, withPart = true) +: cents.map(_._1))
-        .reduce(_ unionByName _)
+      val (cents, posts, cb, codes, lshanch, bands, k) =
+        buildPartitionSlices(spark, base, lists, sample, coarse)
+      totalK = k
+      emptyCents(spark, withPart = true).unionByName(cents)
         .write.parquet(idxDir.resolve("cents").toString)
-      (emptyPosts(spark, withPart = true) +: posts)
-        .reduce(_ unionByName _)
+      emptyPosts(spark, withPart = true).unionByName(posts)
         .write.parquet(idxDir.resolve("posts").toString)
       // per-partition PQ sidecars — every non-empty slice has a ranked
       // codebook (never empty, unlike the global id-bounded rule), so
       // presence is all-or-nothing per index version
-      if (cbs.nonEmpty) {
-        cbs.reduce(_ unionByName _).coalesce(1)
-          .write.parquet(idxDir.resolve("pqcb").toString)
-        codes.reduce(_ unionByName _)
-          .write.parquet(idxDir.resolve("codes").toString)
-      }
+      cb.coalesce(1).write.parquet(idxDir.resolve("pqcb").toString)
+      codes.write.parquet(idxDir.resolve("codes").toString)
       // per-partition incremental-dedup sidecars (r14): slice-keyed LSH
       // panels + corpus band rows — what lets semDedupIncremental serve
       // a date-partitioned corpus without a second global index
-      if (anchs.nonEmpty) {
-        anchs.reduce(_ unionByName _).coalesce(1)
-          .write.parquet(idxDir.resolve("lshanch").toString)
-        bands.reduce(_ unionByName _)
-          .write.parquet(idxDir.resolve("bands").toString)
-      }
+      lshanch.coalesce(1)
+        .write.parquet(idxDir.resolve("lshanch").toString)
+      bands.write.parquet(idxDir.resolve("bands").toString)
     } else {
       // a published index ALWAYS has cents/posts sidecars — an empty
       // table publishes empty ones, so fresh searches answer empty and
@@ -468,80 +455,98 @@ object VectorIndex {
       .emptyRDD[org.apache.spark.sql.Row], StructType(fields))
   }
 
-  /** Train the given partition values' sub-geometries from `base`
-    * (vec_id, label, embedding, file, [partv,] part) — shared by the BY
-    * PARTITION build (typed filter condition: file-stats-prunable) and
-    * the partition-scoped refresh (string filter over its already
-    * file-bounded scan). Each value is (slice filter, stored string).
-    * Returns per value: (cents-with-part, k), posts-with-part, PQ
-    * codebook + codes, and (r14) the incremental-dedup band sidecar
-    * pair — per-slice LSH geometry/anchor-panel rows (`lshanch/`) and
-    * corpus band rows (`bands/`), each keyed by `part`, so
-    * [[semDedupIncremental]] serves date-partitioned corpora. */
+  /** Train EVERY partition value's sub-geometry + sidecars from `base`
+    * (vec_id, label, embedding, file, part) in ONE part-keyed dataflow
+    * (r14 — formerly a sequential per-slice driver loop: per-slice
+    * count + Lloyd + codebook + band jobs made the BUILD itself
+    * O(parts) in driver round-trips at a daily-partitioned table).
+    * Per part this trains exactly what the per-slice loop trained —
+    * ranked SAMPLE-aware Lloyd ([[graft.llm.Clustering
+    * .kmeansAssignRankedByPart]]), ranked PQ codebooks
+    * ([[trainPqCodebookRankedByPart]]), per-slice size-derived LSH
+    * geometry + RANKED panels — so the sidecar CONTENTS are
+    * row-identical and every serve-path hash holds. The one driver
+    * read is a bounded parts-row counts collect (it sizes each
+    * slice's LSH geometry and the returned Σk). Returns
+    * (cents, posts, pqcb, codes, lshanch, bands, Σ k_p). */
   private def buildPartitionSlices(spark: SparkSession, base: DataFrame,
-      parts: Seq[(org.apache.spark.sql.Column, String)],
       lists: Option[Long], sample: Option[Long], coarse: Int)
-      : (Seq[(DataFrame, Long)], Seq[DataFrame], Seq[DataFrame],
-         Seq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         Long) = {
     import graft.llm.Similarity
-    val slices = parts.map { case (cond, pv) =>
-      val rows = base.where(cond)
-      val n = rows.count()
-      if (n == 0) ((spark.emptyDataFrame, 0L), None, None, None, None, None)
-      else {
-        val k = lists.map { l =>
-          if (l < 1) throw new IllegalArgumentException(
-            s"CREATE VECTOR INDEX: LISTS $l is invalid — at least 1 cluster")
-          l
-        }.getOrElse(graft.llm.Clustering.kFor(n))
-        val sub = rows.select("vec_id", "label", "embedding")
-        // SAMPLE decimates PER SLICE with the ranked force-include (the
-        // sampled seed equals the unsampled build's); no sample = the
-        // plain ranked Lloyd
-        val (assigned, cents) = sample match {
-          case Some(cap) => graft.llm.Clustering.kmeansAssignRankedSampled(
-            sub, k, Iters, cap, n, coarse)
-          case None => graft.llm.Clustering.kmeansAssignRanked(
-            sub, k, Iters, coarse)
-        }
-        val listsDf = assigned.select(col("vec_id"), col("list_id"))
-          .localCheckpoint()
-        val posts = listsDf
-          .join(rows.select(col("vec_id"), col("file")), "vec_id")
-          .select(lit(pv).as("part"), col("list_id"), col("file")).distinct()
-        // the slice's PQ pair: ranked codebook (≤ PqCbK rows —
-        // materialized once for the write AND the encode) + its codes
-        val cb = trainPqCodebookRanked(rows, n).localCheckpoint()
-        val codes = encodePq(rows, pqCbArr(cb))
-          .join(listsDf, "vec_id")
-          .select(Seq(lit(pv).as("part"), col("vec_id"), col("list_id"),
-            col("file")) ++
-            (0 until Similarity.PqM).map(b => col(s"code$b")): _*)
-        // the slice's incremental-dedup pair: its OWN size-derived LSH
-        // geometry + RANKED anchor panel (slice ids are arbitrary), and
-        // its band rows — the [[writeBandSidecars]] artifacts keyed by
-        // part. The panel row is consumed twice (sidecar + derivation
-        // broadcast) — materialize once.
-        val (nBands, bits) = graft.llm.Dedup.embeddingLshParams(n)
-        val anch = graft.llm.Dedup.bandAnchorsRanked(
-            rows.select(col("vec_id"), col("embedding")), nBands, bits)
-          .select(lit(pv).as("part"), lit(nBands).as("n_bands"),
-            lit(bits).as("bits"), col("anchors"))
-          .localCheckpoint()
-        val bandRows = graft.llm.Dedup.embeddingBandRowsWith(
-            rows.select(col("vec_id"), col("embedding"), col("file")),
-            anch.select(col("anchors")), nBands, bits, carry = Seq("file"))
-          .join(listsDf, "vec_id")
-          .select(lit(pv).as("part"), col("vec_id"), col("band"),
-            col("bkey"), col("list_id"), col("file"))
-        ((cents.withColumn("part", lit(pv)), k), Some(posts),
-          Some(cb.withColumn("part", lit(pv))), Some(codes), Some(anch),
-          Some(bandRows))
-      }
+    lists.foreach { l =>
+      if (l < 1) throw new IllegalArgumentException(
+        s"CREATE VECTOR INDEX: LISTS $l is invalid — at least 1 cluster")
     }
-    (slices.map(_._1).filter(_._2 > 0), slices.flatMap(_._2),
-      slices.flatMap(_._3), slices.flatMap(_._4), slices.flatMap(_._5),
-      slices.flatMap(_._6))
+    val rows = base.select(col("part"), col("vec_id"), col("label"),
+      col("embedding"))
+    val (assigned, cents) = graft.llm.Clustering.kmeansAssignRankedByPart(
+      rows, Iters, coarse, lists, sample)
+    // MATERIALIZE the (part, vec_id, list_id) assignment once: postings,
+    // PQ codes and band rows all consume it — three narrow columns,
+    // spill-capable (the global build's materialization rule)
+    val listsDf = assigned.select(col("part"), col("vec_id"),
+      col("list_id")).localCheckpoint()
+    val files = base.select(col("vec_id"), col("file"))
+    val posts = listsDf.join(files, "vec_id")
+      .select(col("part"), col("list_id"), col("file")).distinct()
+    // per-part RANKED codebooks + codes (each slice's pair equals the
+    // per-slice trainer's — the C242 stale-replay helper, reused);
+    // MATERIALIZED once: the sidecar write and the encode broadcast
+    // both consume it (Σ_p × PqCbK rows)
+    val cb = trainPqCodebookRankedByPart(
+      base.select(col("part"), col("vec_id"), col("embedding")))
+      .coalesce(1).localCheckpoint()
+    val cbArrByPart = cb.groupBy("part")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+        .as("cents"))
+    val codes = (0 until Similarity.PqM).foldLeft(
+        base.select(col("part"), col("vec_id"), col("embedding"))
+          .join(broadcast(cbArrByPart), "part")) { (df, b) =>
+        df.withColumn(s"code$b",
+          Similarity.pqCode(col("cents"), col("embedding"), b))
+      }
+      .join(listsDf.select(col("vec_id"), col("list_id")), "vec_id")
+      .join(files, "vec_id")
+      .select(Seq(col("part"), col("vec_id"), col("list_id"),
+        col("file")) ++
+        (0 until Similarity.PqM).map(b => col(s"code$b")): _*)
+    // per-slice LSH geometry from slice sizes (ONE bounded parts-row
+    // collect) + RANKED anchor panels via a rank window — the
+    // incremental-dedup sidecar pair, every slice in one pass
+    val counts = rows.groupBy("part").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val geo0 = spark.createDataFrame(counts.toSeq.map { case (pv, n) =>
+      val (nb, bt) = graft.llm.Dedup.embeddingLshParams(n)
+      (pv, nb, bt)
+    }).toDF("part", "n_bands", "bits")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("vec_id")
+    val anchByPart = rows.select(col("part"), col("vec_id"),
+        col("embedding"))
+      .withColumn("rk", row_number().over(wr))
+      .join(broadcast(geo0.select(col("part"),
+        (col("n_bands") * col("bits")).as("slots"))), "part")
+      .where(col("rk") <= col("slots"))
+      .groupBy("part")
+      .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")))).as("anchors"))
+    val lshanch = geo0.join(anchByPart, "part")
+      .select(col("part"), col("n_bands"), col("bits"), col("anchors"))
+      .coalesce(1).localCheckpoint()
+    val bands = graft.llm.Dedup.embeddingBandRowsByPart(
+        base.select(col("part"), col("vec_id"), col("embedding"),
+          col("file")),
+        lshanch, carry = Seq("file"))
+      .join(listsDf.select(col("vec_id"), col("list_id")), "vec_id")
+      .select(col("part"), col("vec_id"), col("band"), col("bkey"),
+        col("list_id"), col("file"))
+    val totalK = counts.map { case (_, n) =>
+      lists.getOrElse(graft.llm.Clustering.kFor(n))
+    }.sum
+    (cents.select(col("c_id"), col("c_emb"), col("part")), posts,
+      cb.select(col("c_id"), col("c_emb"), col("part")), codes, lshanch,
+      bands, totalK)
   }
 
   /** The pin(s) a BY PARTITION probe must carry: some conjunct of the
@@ -1056,26 +1061,23 @@ object VectorIndex {
       .select("file").distinct().collect().map(_.getString(0))
       .filter(live.contains).toSeq
     val affFiles = (affOldFiles ++ newFiles).distinct
-    val (rebuiltC, rebuiltP, rebuiltCb, rebuiltCodes, rebuiltAnch,
-        rebuiltBands) =
-      if (affFiles.isEmpty) (Seq.empty[DataFrame], Seq.empty[DataFrame],
-        Seq.empty[DataFrame], Seq.empty[DataFrame], Seq.empty[DataFrame],
-        Seq.empty[DataFrame])
-      else {
-        val base = scanFiles(spark, dir, affFiles)
+    val rebuilt: Option[(DataFrame, DataFrame, DataFrame, DataFrame,
+        DataFrame, DataFrame, Long)] =
+      if (affFiles.isEmpty) None
+      else Some(buildPartitionSlices(spark,
+        scanFiles(spark, dir, affFiles)
           .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
             col(colName).as("embedding"), col("_file").as("file"),
             col(partCol).cast("string").as("part"))
-        val (c, ps, cbs, cds, anchs, bnds) = buildPartitionSlices(spark,
-          base, affected.map(pv => (col("part") === pv, pv)),
-          p.lists, p.sample, p.coarse)
-        (c.map(_._1), ps, cbs, cds, anchs, bnds)
-      }
+          // the affected values only: a surviving file that mixes an
+          // unaffected partition's rows must not retrain that slice
+          .where(col("part").isin(affected: _*)),
+        p.lists, p.sample, p.coarse))
     val idxName = s"_vecidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
-    (keptCents +: rebuiltC).reduce(_ unionByName _)
+    rebuilt.fold(keptCents)(r => keptCents.unionByName(r._1))
       .write.parquet(idxDir.resolve("cents").toString)
-    (keptPosts +: rebuiltP).reduce(_ unionByName _)
+    rebuilt.fold(keptPosts)(r => keptPosts.unionByName(r._2))
       .write.parquet(idxDir.resolve("posts").toString)
     // PQ rides the partition-scoped refresh: unaffected partitions'
     // codebooks + codes carry over byte-identical, affected partitions'
@@ -1087,9 +1089,9 @@ object VectorIndex {
         .where(!col("part").isin(affected: _*))
       val keptCodes = spark.read.parquet(oldDir.resolve("codes").toString)
         .where(!col("part").isin(affected: _*))
-      (keptCb +: rebuiltCb).reduce(_ unionByName _).coalesce(1)
+      rebuilt.fold(keptCb)(r => keptCb.unionByName(r._3)).coalesce(1)
         .write.parquet(idxDir.resolve("pqcb").toString)
-      (keptCodes +: rebuiltCodes).reduce(_ unionByName _)
+      rebuilt.fold(keptCodes)(r => keptCodes.unionByName(r._4))
         .write.parquet(idxDir.resolve("codes").toString)
     }
     // the incremental-dedup sidecars ride like the PQ pair: unaffected
@@ -1101,9 +1103,9 @@ object VectorIndex {
         .where(!col("part").isin(affected: _*))
       val keptBands = spark.read.parquet(oldDir.resolve("bands").toString)
         .where(!col("part").isin(affected: _*))
-      (keptAnch +: rebuiltAnch).reduce(_ unionByName _).coalesce(1)
+      rebuilt.fold(keptAnch)(r => keptAnch.unionByName(r._5)).coalesce(1)
         .write.parquet(idxDir.resolve("lshanch").toString)
-      (keptBands +: rebuiltBands).reduce(_ unionByName _)
+      rebuilt.fold(keptBands)(r => keptBands.unionByName(r._6))
         .write.parquet(idxDir.resolve("bands").toString)
     }
     writeCovered(spark, idxDir, m, live)
