@@ -2155,6 +2155,20 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // TIME-TRAVEL kNN JOIN × BY PARTITION (r14 — completing the
+    // time-travel matrix): the batch fans out under every HISTORICAL
+    // sub-geometry of the snapshot's own partitioned index; the decoy
+    // partition append after the pinned version must never surface.
+    // Shares the unpinned partitioned-join replay over the raw corpus.
+    "q_vector_knn_join_asof_partitioned" -> ((s, d) => {
+      val (cat, v) = stageVecPartAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinAsOf(s, s"$cat.q.emb", "embedding", batch, 3, v)
+    }),
+
     // TIME-TRAVEL kNN JOIN (r14 — the C238 motivation needs the JOIN):
     // reproduce yesterday's RAG candidate fetch against the snapshot's
     // own index. The five probe-copy decoys appended AFTER the pinned
@@ -3722,6 +3736,26 @@ object SourceQueries extends QueryModule {
        |  WHERE rk <= 3)""".stripMargin
   }
 
+  /** The unpinned partitioned kNN-join replay (TEN prefixed chains,
+    * per-(row, pin) top-3s unioned, global per-row top-3) — shared by
+    * the live unpinned batch join and its AS OF twin (the snapshot
+    * state IS the raw corpus). */
+  private lazy val sqlKnnPartitionedAllOracle: String =
+    graft.llm.PortableHash.sqlMat(
+      s"""WITH b AS (
+         |  SELECT vec_id + 1000000 AS bid, embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |${(0 to 9).map(l => sqlKnnPartChain(l, s"ka$l")).mkString(",\n")},
+         |u AS (${(0 to 9).map(l => s"SELECT * FROM cka$l")
+               .mkString(" UNION ALL ")})
+         |SELECT vec_id, rank, nn_id, sim FROM (
+         |  SELECT bid AS vec_id, nn_id,
+         |    CAST(row_number() OVER (PARTITION BY bid
+         |      ORDER BY sim DESC, nn_id) AS INTEGER) AS rank, sim
+         |  FROM u) t
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin)
+
   /** One partition's ranked chain with a THREE-list probe (r14 — PROBES
     * 3 composed into the partitioned union): the pin's nearest sub-list
     * plus two masked-max runners-up all rank (each mask step replays
@@ -4783,20 +4817,10 @@ object SourceQueries extends QueryModule {
          |ORDER BY vec_id, rank""".stripMargin),
     // TEN prefixed ranked chains — the unpinned union for the batch
     // join, each batch row probing every partition's sub-geometry.
-    "q_vector_knn_join_partitioned_all" -> graft.llm.PortableHash.sqlMat(
-      s"""WITH b AS (
-         |  SELECT vec_id + 1000000 AS bid, embedding
-         |  FROM embeddings WHERE vec_id % 100 = 0),
-         |${(0 to 9).map(l => sqlKnnPartChain(l, s"ka$l")).mkString(",\n")},
-         |u AS (${(0 to 9).map(l => s"SELECT * FROM cka$l")
-               .mkString(" UNION ALL ")})
-         |SELECT vec_id, rank, nn_id, sim FROM (
-         |  SELECT bid AS vec_id, nn_id,
-         |    CAST(row_number() OVER (PARTITION BY bid
-         |      ORDER BY sim DESC, nn_id) AS INTEGER) AS rank, sim
-         |  FROM u) t
-         |WHERE rank <= 3
-         |ORDER BY vec_id, rank""".stripMargin),
+    "q_vector_knn_join_partitioned_all" -> sqlKnnPartitionedAllOracle,
+    // The AS OF partitioned batch join answers the same replay over
+    // the raw corpus (= the snapshot state; decoys live only after v).
+    "q_vector_knn_join_asof_partitioned" -> sqlKnnPartitionedAllOracle,
     // Pooled recall@3 of the batch join vs per-row exact brute force.
     "q_vector_knn_join_recall" -> {
       val dot = graft.llm.PortableHash.sqlDotFixed _

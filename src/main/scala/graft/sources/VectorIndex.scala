@@ -2070,9 +2070,6 @@ object VectorIndex {
       throw new IllegalStateException(
         s"$op: no vector index on $table ($colName) existed as of " +
           s"version $version — the snapshot carries no vecidx prop")))
-    if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index as of version $version is BY PARTITION — " +
-        "time-travel serving covers global indexes")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     def snapScan(fs: Seq[String]): DataFrame =
       spark.read.format("graft.sources.GraftManifestSink")
@@ -2101,6 +2098,63 @@ object VectorIndex {
         .select(col("bid").as("vec_id"), col("rank"), col("nn_id"),
           col("sim"))
         .orderBy("vec_id", "rank")
+    }
+    p.partCol.foreach { pc =>
+      // BY PARTITION time travel for the batch join (r14): the
+      // snapshot's OWN sub-geometries serve the unpinned union — the
+      // batch fans out under every historical pin, per-(row, pin)
+      // top-ks union into the global per-row top-k, all over the
+      // snapshot-pinned scan; stale/reaped → part-keyed ranked
+      // SAMPLE-aware retrain over the snapshot rows.
+      def partKey(df: DataFrame): DataFrame =
+        df.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"), col(pc).cast("string").as("part"))
+      def finishByPart(bAssigned: DataFrame,
+          corpusAssigned: DataFrame): DataFrame = {
+        val wpp = org.apache.spark.sql.expressions.Window
+          .partitionBy("bid", "part").orderBy(desc("sim"), col("nn_id"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+        bAssigned.select(col("part"), col("vec_id").as("bid"),
+            col("embedding").as("e_n"), col("list_id"))
+          .join(corpusAssigned.select(col("part"), col("list_id"),
+            col("vec_id").as("nn_id"), col("embedding").as("e_o")),
+            Seq("part", "list_id"))
+          .select(col("bid"), col("part"), col("nn_id"),
+            dotFixed(col("e_n"), col("e_o")).as("sim"))
+          .withColumn("rk", row_number().over(wpp))
+          .filter(col("rk") <= k)
+          .withColumn("rank", row_number().over(wb)
+            .cast(org.apache.spark.sql.types.IntegerType))
+          .filter(col("rank") <= k)
+          .select(col("bid").as("vec_id"), col("rank"), col("nn_id"),
+            col("sim"))
+          .orderBy("vec_id", "rank")
+      }
+      val idxDirP = mt.dir.resolve(p.idxName)
+      val servableP = p.isCurrent(digestOf(m)) &&
+        java.nio.file.Files.exists(idxDirP.resolve("cents")) &&
+        java.nio.file.Files.exists(idxDirP.resolve("posts"))
+      if (servableP) {
+        val cents = spark.read.parquet(idxDirP.resolve("cents").toString)
+        val bAssigned = assignBatchAllParts(b0, cents).localCheckpoint()
+        val cand = spark.read.parquet(idxDirP.resolve("posts").toString)
+          .join(bAssigned.select("part", "list_id").distinct(),
+            Seq("part", "list_id"))
+          .select("file").distinct().collect().map(_.getString(0))
+        if (cand.isEmpty)
+          return finish(b0.select(col("vec_id"), col("embedding"),
+            lit(0).as("list_id")).where(lit(false)),
+            b0.select(col("vec_id"), col("embedding"),
+              lit(0).as("list_id")).where(lit(false)))
+        return finishByPart(bAssigned,
+          graft.llm.Similarity.assignListsHierByPart(
+            partKey(snapScan(cand.toSeq)), cents, p.coarse))
+      } else {
+        val rows = partKey(snapScan(names))
+        val (corpusAssigned, cents) = retrainGeometryRankedByPart(rows, p)
+        return finishByPart(assignBatchAllParts(b0, cents), corpusAssigned)
+      }
     }
     val idxDir = mt.dir.resolve(p.idxName)
     val servable = p.isCurrent(digestOf(m)) &&

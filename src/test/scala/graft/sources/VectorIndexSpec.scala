@@ -1266,7 +1266,7 @@ class VectorIndexSpec extends SparkSuite {
     // union-plan leg PER PARTITION. The r14 rewrite serves any pin count
     // from one part-keyed dataflow; this pins the contract by counting
     // Spark jobs at 3 vs 10 partitions — equal, or the loop is back.
-    def staged(tag: String, parts: Int): String = {
+    def stagedData(tag: String, parts: Int): String = {
       val cat = freshCatalog(tag)
       val t = s"$cat.ns.emb"
       spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
@@ -1277,6 +1277,10 @@ class VectorIndexSpec extends SparkSuite {
           .toDF("vec_id", "label", "embedding")
           .coalesce(1).writeTo(t).append()
       }
+      t
+    }
+    def staged(tag: String, parts: Int): String = {
+      val t = stagedData(tag, parts)
       spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
         "BY PARTITION").collect()
       t
@@ -1322,6 +1326,21 @@ class VectorIndexSpec extends SparkSuite {
     }
     assert(k3 == k10, "unpinned BY PARTITION kNN join must not scale its " +
       s"job count with the partition count ($k3 jobs at 3 parts, $k10 at 10)")
+    // the BUILD contract too (r14 — the one-dataflow build): training
+    // every slice's geometry + sidecars must not scale driver jobs with
+    // the partition count either
+    val d3 = stagedData("vixjb3", 3)
+    val d10 = stagedData("vixjb10", 10)
+    val b3 = jobsDuring {
+      spark.sql(s"CREATE VECTOR INDEX ON $d3 (embedding) " +
+        "ANCHORS (vec_id) BY PARTITION").collect()
+    }
+    val b10 = jobsDuring {
+      spark.sql(s"CREATE VECTOR INDEX ON $d10 (embedding) " +
+        "ANCHORS (vec_id) BY PARTITION").collect()
+    }
+    assert(b3 == b10, "the BY PARTITION build must not scale its job " +
+      s"count with the partition count ($b3 jobs at 3 parts, $b10 at 10)")
   }
 
   test("malformed custom statements raise a targeted syntax error") {
