@@ -179,7 +179,8 @@ object Dedup extends QueryModule {
     * must hash against the corpus's hyperplanes, not their own). */
   private[graft] def embeddingBandRowsWith(emb: DataFrame,
       anchorArr: DataFrame, nBands: Int, bits: Int,
-      carry: Seq[String] = Seq.empty): DataFrame = {
+      carry: Seq[String] = Seq.empty,
+      keepKeys: Boolean = false): DataFrame = {
     val withAnchors = emb.crossJoin(broadcast(anchorArr))
     // try_element_at: an anchor slot past the collected array (corpus
     // smaller than bands × bits, or sparse vec_ids) yields NULL → the
@@ -195,8 +196,12 @@ object Dedup extends QueryModule {
     val sigs = withAnchors.select(
       (col("vec_id") +: carry.map(col)) :+
         array((0 until nBands).map(j => bandKey(j * bits)): _*).as("bks"): _*)
+    // keepKeys rides the full key ARRAY on every exploded row (nBands ≤ 8
+    // longs) — what lets a pair self-join test each pair ONCE, at its
+    // first shared band, instead of once per shared band
     sigs.select(
-      (col("vec_id") +: carry.map(col)) :+
+      (col("vec_id") +: carry.map(col)) ++
+        (if (keepKeys) Seq(col("bks")) else Nil) :+
         posexplode(col("bks")).as(Seq("band", "bkey")): _*)
   }
 
@@ -214,7 +219,8 @@ object Dedup extends QueryModule {
     * `try_element_at`. Per-part rows equal the unrolled derivation run
     * per slice — the hash contract of the serve paths built on it. */
   private[graft] def embeddingBandRowsByPart(emb: DataFrame, geo: DataFrame,
-      carry: Seq[String] = Seq.empty): DataFrame = {
+      carry: Seq[String] = Seq.empty,
+      keepKeys: Boolean = false): DataFrame = {
     val withG = emb.join(broadcast(geo), "part")
     def bit(lo: Column, i: Column): Column =
       when(dotFixed(col("embedding"),
@@ -228,7 +234,8 @@ object Dedup extends QueryModule {
         transform(sequence(lit(0), col("n_bands") - 1),
           j => bandKey(j * col("bits"))).as("bks"): _*)
     sigs.select(
-      (col("part") +: col("vec_id") +: carry.map(col)) :+
+      (col("part") +: col("vec_id") +: carry.map(col)) ++
+        (if (keepKeys) Seq(col("bks")) else Nil) :+
         posexplode(col("bks")).as(Seq("band", "bkey")): _*)
   }
 

@@ -2317,10 +2317,12 @@ object VectorIndex {
       throw new IllegalStateException(
         s"$op: no vector index on $table ($colName)"))
     val p = parseProp(prop)
+    // unreachable-by-construction safety net: every composition caller
+    // tries [[rowsAndCentsByPart]] first, so a partitioned index never
+    // reaches this global resolution
     if (p.partCol.isDefined) throw new UnsupportedOperationException(
-      s"$op: the index on $table ($colName) is BY PARTITION — the " +
-        "trained-geometry compositions serve the GLOBAL geometry; build " +
-        "without BY PARTITION for corpus-wide dedup/sampling")
+      s"$op: BY PARTITION indexes route through the part-keyed " +
+        "resolution — this global path must not see one")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val rows = scanFiles(spark, mt.dir, names)
       .select(col(p.idCol).as("vec_id"), col(labelCol).as("label"),
