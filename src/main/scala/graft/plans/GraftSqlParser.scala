@@ -309,7 +309,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Bm25Search =
     ("""(?is)\s*BM25\s+SEARCH\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+ID\s*\(\s*(\w+)\s*\)\s+TERMS\s*\(([^)]+)\)""" +
-      """\s+TOP\s+(\d+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+      """\s+TOP\s+(\d+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private object VecKnn {
     def unapply(sql: String): Option[(String, String, String, Int,
@@ -462,14 +463,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
-      case Bm25Search(target, colName, idCol, termsList, topK, where)
+      case Bm25Search(target, colName, idCol, termsList, topK, version,
+          where)
         if termsList.count(_ == '\'') % 2 == 0 &&
           Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
         val spark = org.apache.spark.sql.SparkSession.active
         val view = "graft_bm25_" +
           java.lang.Integer.toHexString(inner.trim.hashCode)
         Bm25SearchDf.of(spark, target, colName, idCol, termsList,
-            topK.toInt, Option(where))
+            topK.toInt, Option(where), Option(version).map(_.toInt))
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -478,10 +480,83 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** `SELECT … QUALIFY <pred> [ORDER BY …] [LIMIT …]` — the
+    * Snowflake/DuckDB/BigQuery post-window filter Spark's grammar
+    * lacks, rewritten at parse time into the subquery it abbreviates:
+    * `SELECT * FROM (<head>) graft_qualify WHERE <pred> <tail>`, then
+    * re-fed through the FULL parser (nested custom statements still
+    * lower). The predicate references SELECT-list ALIASES — name the
+    * window expression in the list and filter it here, which keeps the
+    * clause a pure abbreviation with one unambiguous meaning; an
+    * inline OVER( in the predicate raises a targeted error instead of
+    * a generic ParseException. The keyword scan is quote-aware and
+    * depth-0 only (a QUALIFY inside a literal or subquery is left for
+    * that statement's own parse). */
+  private def rewriteQualify(sql: String): Option[String] = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("QUALIFY")) return None
+    def wordAt(pos: Int, w: String): Boolean =
+      upper.startsWith(w, pos) &&
+        (pos == 0 || !Character.isLetterOrDigit(sql.charAt(pos - 1)) &&
+          sql.charAt(pos - 1) != '_') &&
+        (pos + w.length >= sql.length ||
+          !Character.isLetterOrDigit(sql.charAt(pos + w.length)) &&
+            sql.charAt(pos + w.length) != '_')
+    // depth-0, quote-aware positions of QUALIFY and the trailing clauses
+    var i = 0
+    var depth = 0
+    var quote: Char = 0
+    var at = -1
+    var tailAt = -1
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"' || ch == '`') quote = ch
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (depth == 0) {
+        if (at < 0 && wordAt(i, "QUALIFY")) at = i
+        else if (at >= 0 && tailAt < 0 &&
+          (wordAt(i, "ORDER") || wordAt(i, "LIMIT"))) tailAt = i
+      }
+      i += 1
+    }
+    if (at < 0) return None
+    val head = sql.substring(0, at).trim
+    val headUp = head.toUpperCase(java.util.Locale.ROOT)
+    if (!headUp.startsWith("SELECT")) return None
+    // `qualify` is non-reserved in Spark: a statement using it as an
+    // IDENTIFIER (`SELECT qualify FROM t`, `WHERE qualify = 1`) must
+    // delegate untouched — only a QUALIFY that follows a complete
+    // clause (head contains FROM and doesn't dangle on an operator or
+    // keyword) is the clause form
+    val headToks = headUp.split("[\\s(,)]+").filter(_.nonEmpty)
+    val lastTok = headToks.lastOption.getOrElse("")
+    if (!headToks.contains("FROM") ||
+      Set("WHERE", "AND", "OR", "ON", "NOT", "BY", "SELECT", "JOIN",
+        "HAVING", "THEN", "ELSE", "WHEN", "AS", "=", "<", ">", "<=",
+        ">=", "<>", "!=", "+", "-", "*", "/", ",").contains(lastTok))
+      return None
+    val afterQualify = sql.substring(at + "QUALIFY".length)
+    val (pred, tail) =
+      if (tailAt < 0) (afterQualify.trim.stripSuffix(";").trim, "")
+      else (sql.substring(at + "QUALIFY".length, tailAt).trim,
+        sql.substring(tailAt).trim.stripSuffix(";").trim)
+    if (pred.isEmpty || pred.count(_ == '\'') % 2 != 0) return None
+    if ("""(?i)\bOVER\s*\(""".r.findFirstIn(pred).isDefined)
+      throw new IllegalArgumentException(
+        "QUALIFY: name the window expression in the SELECT list and " +
+          "reference its alias in QUALIFY (inline OVER(...) predicates " +
+          "are not supported by the rewrite)")
+    Some(s"SELECT * FROM ($head) graft_qualify WHERE $pred" +
+      (if (tail.isEmpty) "" else s" $tail"))
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     rewriteVecSearchSubqueries(sqlText)
       .orElse(rewriteVecKnnSubqueries(sqlText))
-      .orElse(rewriteBm25Subqueries(sqlText)) match {
+      .orElse(rewriteBm25Subqueries(sqlText))
+      .orElse(rewriteQualify(sqlText)) match {
       case Some(rewritten) => parsePlan(rewritten)
       case None => parsePlanMatched(sqlText)
     }
@@ -536,11 +611,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VecKnn(target, colName, batchSql, topK, version, rerank, where) =>
       VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where,
         version)
-    case Bm25Search(target, colName, idCol, termsList, topK, where)
+    case Bm25Search(target, colName, idCol, termsList, topK, version, where)
       if termsList.count(_ == '\'') % 2 == 0 &&
         Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       Bm25SearchCommand(target, colName, idCol, termsList, topK.toInt,
-        Option(where))
+        Option(where), Option(version).map(_.toInt))
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -617,8 +692,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "plain index (no RERANK/WHERE)"),
     "BM25 SEARCH" ->
       ("BM25 SEARCH ON <table> (<col>) ID (<idCol>) TERMS ('a', 'b', …) " +
-        "TOP <k> [WHERE <scope>] — clauses in this order; TERMS takes " +
-        "single-quoted string literals, quotes must balance"),
+        "TOP <k> [VERSION AS OF <v>] [WHERE <scope>] — clauses in this " +
+        "order; TERMS takes single-quoted string literals, quotes must " +
+        "balance; VERSION AS OF serves the snapshot's own statistics " +
+        "(no WHERE)"),
+    "QUALIFY" ->
+      ("SELECT … FROM … QUALIFY <pred> [ORDER BY …] [LIMIT …] — the " +
+        "post-window filter: name the window expression in the SELECT " +
+        "list and reference its alias in the predicate (top-level " +
+        "QUALIFY only; rewritten to the subquery it abbreviates)"),
     "CREATE VECTOR INDEX" ->
       ("CREATE VECTOR INDEX ON <table> (<col>) ANCHORS (<idCol>) " +
         "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] [BY PARTITION] — " +
@@ -1268,7 +1350,8 @@ case class VectorKnnJoinCommand(target: String, colName: String,
   * VECTOR SEARCH anchor-id rule — n_terms BIGINT, score DOUBLE),
   * ranked (score DESC, id). */
 case class Bm25SearchCommand(target: String, colName: String,
-    idCol: String, termsList: String, topK: Int, where: Option[String])
+    idCol: String, termsList: String, topK: Int, where: Option[String],
+    version: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference(idCol, org.apache.spark.sql.types.LongType,
@@ -1279,7 +1362,8 @@ case class Bm25SearchCommand(target: String, colName: String,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, desc}
-    Bm25SearchDf.of(spark, target, colName, idCol, termsList, topK, where)
+    Bm25SearchDf.of(spark, target, colName, idCol, termsList, topK, where,
+        version)
       .orderBy(desc("score"), col(idCol))
       .collect().toSeq
   }
@@ -1290,7 +1374,8 @@ case class Bm25SearchCommand(target: String, colName: String,
 private[plans] object Bm25SearchDf {
   def of(spark: SparkSession, target: String, colName: String,
       idCol: String, termsList: String, topK: Int,
-      where: Option[String]): org.apache.spark.sql.DataFrame = {
+      where: Option[String],
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val terms = MergeParse.splitTop(termsList, ',').map(_.trim).map { t =>
       if (t.length >= 2 && t.head == '\'' && t.last == '\'')
@@ -1298,6 +1383,17 @@ private[plans] object Bm25SearchDf {
       else throw new IllegalArgumentException(
         s"BM25 SEARCH: TERMS component $t is not a single-quoted string " +
           "literal")
+    }
+    version.foreach { v =>
+      if (where.isDefined)
+        throw new IllegalArgumentException(
+          "BM25 SEARCH: VERSION AS OF serves the snapshot's own corpus " +
+            "statistics — WHERE does not compose with time travel")
+      return graft.sources.TextIndex
+        .bm25TopKAsOf(spark, target, colName, idCol, terms, topK, v)
+        .select(col(idCol).cast(org.apache.spark.sql.types.LongType),
+          col("n_terms").cast(org.apache.spark.sql.types.LongType),
+          col("score").cast(org.apache.spark.sql.types.DoubleType))
     }
     val res = where match {
       case Some(w) => graft.sources.TextIndex.bm25TopKScoped(spark, target,

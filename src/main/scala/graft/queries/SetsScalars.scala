@@ -17,6 +17,21 @@ import graft.Tables
   */
 object SetsScalars extends QueryModule {
 
+  /** QUALIFY — ONE statement on BOTH engines (r14): Spark's grammar
+    * lacks the post-window filter (users write the verbose subquery);
+    * the parser extension rewrites `… QUALIFY p [ORDER BY …]` into
+    * exactly that subquery, while DuckDB supports the clause natively —
+    * so the oracle IS the query text, the strongest possible
+    * zero-drift statement for a dialect extension. Top-2 orders per
+    * customer by price. */
+  private val QualifySql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |FROM orders
+      |QUALIFY rk <= 2
+      |ORDER BY o_custkey, rk""".stripMargin
+
   /** One SQL text for Spark AND DuckDB (the q_cte pattern): uncorrelated
     * scalar subquery in SELECT, an IN subquery (planned as a semi join),
     * and a per-customer aggregate CTE joined once. The CTE used to be TWO
@@ -97,6 +112,15 @@ object SetsScalars extends QueryModule {
     "q_subqueries" -> ((s, d) => {
       graft.Tables.register(s, d, "orders", "customer")
       s.sql(SubqueriesSql)
+    }),
+
+    // QUALIFY (r14) — the post-window filter as a dialect extension:
+    // the parser rewrites the clause to the subquery it abbreviates;
+    // the oracle runs the IDENTICAL statement through DuckDB's native
+    // QUALIFY support.
+    "q_qualify" -> ((s, d) => {
+      graft.Tables.register(s, d, "orders")
+      s.sql(QualifySql)
     }),
 
     // B11f — LATERAL (correlated table subquery / cross apply).
@@ -312,6 +336,7 @@ object SetsScalars extends QueryModule {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_recursive_tree" -> RecursiveTreeSql,
     "q_subqueries" -> SubqueriesSql,
+    "q_qualify" -> QualifySql,
     "q_lateral" -> LateralSql,
     "q_nulls" ->
       s"""SELECT c.c_custkey,

@@ -1961,6 +1961,17 @@ object SourceQueries extends QueryModule {
       res.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
     }),
 
+    // The SAME time-travel ranking through the SQL statement surface
+    // (`BM25 SEARCH … TOP 10 VERSION AS OF v`, r14) — shared oracle,
+    // the C212 zero-drift rule applied to the text tier's time travel.
+    "q_text_bm25_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      val terms = graft.llm.Text.Bm25Terms
+        .map(t => s"'$t'").mkString(", ")
+      s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
+        s"TERMS ($terms) TOP 10 VERSION AS OF $v")
+    }),
+
     // DV-drift catch-up for BM25 through the ORACLE gate (r13): a
     // merge-on-read DELETE leaves file names (and so the serving digest)
     // unchanged while the per-file stats/postings still count the dead
@@ -4708,6 +4719,12 @@ object SourceQueries extends QueryModule {
          |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
     // The AS OF ranking equals the plain pre-append replay.
     "q_text_bm25_asof" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The SQL statement shares the Scala-API time-travel replay.
+    "q_text_bm25_asof_sql" ->
       s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
          |FROM (${graft.llm.Text.sqlBm25PerDoc}) per_doc
