@@ -303,6 +303,107 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
+  /** [[assignListsHierByPart]] with the centroid-derived legs computed
+    * DRIVER-SIDE (r14 — the [[assignListsHierLocal]] trick keyed by
+    * part): the cents sidecar is Σ_p k_p rows (metadata class), so
+    * every partition's anchor slice, coarse-cell assignment and
+    * per-cell arrays build in Scala (exact fixed-point argmax,
+    * first-max tie-breaks) and the row side joins BROADCAST LOCAL
+    * relations on (part[, g]) — one codegen stage for ALL partitions,
+    * zero per-leg exchange jobs. Per-row results are cell-identical to
+    * [[assignListsHierByPart]]. */
+  def assignListsHierByPartLocal(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      coarseProbes: Int = 2): org.apache.spark.sql.DataFrame = {
+    if (coarseProbes < 1 || coarseProbes > 2)
+      throw new IllegalArgumentException(
+        s"COARSE PROBES $coarseProbes — the two-level assigner probes 1 " +
+          "or 2 coarse cells (more cells trades toward a flat assignment; " +
+          "tune LISTS for finer geometry instead)")
+    val spark = emb.sparkSession
+    val all: Array[(String, Int, Array[Float])] =
+      cents.select(col("part"), col("c_id"), col("c_emb")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField,
+      StructType}
+    val stT = StructType(Seq(StructField("c_id", IntegerType),
+      StructField("c_emb", ArrayType(FloatType))))
+    if (all.isEmpty)
+      return emb.where(lit(false))
+        .select(col("part"), col("vec_id"), col("label"), col("embedding"),
+          lit(0).as("list_id"))
+    def dotFx(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(a(i).toDouble * b(i).toDouble * 1.0e12).toLong
+        i += 1
+      }
+      acc / 1.0e12
+    }
+    def argmaxFirst(ds: Array[Double]): Int = {
+      var bi = 0; var bv = ds(0); var i = 1
+      while (i < ds.length) { if (ds(i) > bv) { bv = ds(i); bi = i }; i += 1 }
+      bi
+    }
+    def cellRow(arr: Array[(Int, Array[Float])]): Seq[Row] =
+      arr.toSeq.map { case (i, e) => Row(i, e.toSeq) }
+    val perPart = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (pv, rows) =>
+      val slice = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val anc = slice.take(math.ceil(math.sqrt(slice.length.toDouble)).toInt)
+      val gOf: Map[Int, Int] = slice.map { case (cid, cemb) =>
+        cid -> (if (anc.exists(_._1 == cid)) cid
+          else anc(argmaxFirst(anc.map(a => dotFx(cemb, a._2))))._1)
+      }.toMap
+      val byG = slice.groupBy(t => gOf(t._1)).toSeq.sortBy(_._1)
+        .map { case (g, arr) => (g, arr.sortBy(_._1)) }
+      (pv, anc, byG)
+    }
+    val anchDf = spark.createDataFrame(
+      java.util.Arrays.asList(perPart.map { case (pv, anc, _) =>
+        Row(pv, cellRow(anc))
+      }: _*),
+      StructType(Seq(StructField("part", StringType),
+        StructField("anc", ArrayType(stT)))))
+    def gcDf(gname: String, aname: String) = spark.createDataFrame(
+      java.util.Arrays.asList(perPart.flatMap { case (pv, _, byG) =>
+        byG.map { case (g, arr) => Row(pv, g, cellRow(arr)) }
+      }: _*),
+      StructType(Seq(StructField("part", StringType),
+        StructField(gname, IntegerType),
+        StructField(aname, ArrayType(stT)))))
+    def ancDots(embCol: org.apache.spark.sql.Column) =
+      transform(col("anc"), st => dotFixed(embCol, st.getField("c_emb")))
+    val withP1 = emb.join(broadcast(anchDf), "part")
+      .withColumn("adots", ancDots(col("embedding")))
+      .withColumn("p1",
+        array_position(col("adots"), array_max(col("adots"))).cast(IntegerType))
+    val withP2 =
+      if (coarseProbes == 1) withP1.withColumn("p2", col("p1"))
+      else withP1
+        .withColumn("md", zip_with(col("adots"),
+          sequence(lit(1), size(col("adots"))),
+          (x, i) => when(i === col("p1"), lit(-1e18)).otherwise(x)))
+        .withColumn("p2", array_position(col("md"), array_max(col("md"))).cast(IntegerType))
+    val rowsG = withP2
+      .select(col("part"), col("vec_id"), col("label"), col("embedding"),
+        element_at(col("anc"), col("p1")).getField("c_id").as("g1"),
+        element_at(col("anc"), col("p2")).getField("c_id").as("g2"))
+    rowsG.join(broadcast(gcDf("g1", "gc1")), Seq("part", "g1"))
+      .join(broadcast(gcDf("g2", "gc2")), Seq("part", "g2"))
+      .withColumn("cand",
+        when(col("g1") === col("g2"), col("gc1"))
+          .otherwise(array_sort(concat(col("gc1"), col("gc2")))))
+      .withColumn("dots",
+        transform(col("cand"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
+      .withColumn("pos", array_position(col("dots"), array_max(col("dots"))).cast(IntegerType))
+      .withColumn("list_id", element_at(col("cand"), col("pos")).getField("c_id"))
+      .select(col("part"), col("vec_id"), col("label"), col("embedding"),
+        col("list_id"))
+  }
+
   /** PART-KEYED twin of [[assignListsHier]] — every partition's sub-
     * geometry assigns in ONE dataflow (r14: the per-pin driver loop's
     * replacement in the BY PARTITION serve paths). `emb` carries a

@@ -1137,7 +1137,7 @@ object VectorIndex {
         // AND cluster AND sign-band bucket, each slice under its OWN
         // size-derived banding
         graft.llm.Clustering.semSurvivorsByPart(
-          graft.llm.Similarity.assignListsHierByPart(rows, cents, coarse),
+          graft.llm.Similarity.assignListsHierByPartLocal(rows, cents, coarse),
           cents)
       case None =>
         val (rows, cents, coarse) = rowsAndCents(spark, table, colName,
@@ -1235,7 +1235,7 @@ object VectorIndex {
           val cents = spark.read.parquet(idxDir.resolve("cents").toString)
           val geo = spark.read.parquet(idxDir.resolve("lshanch").toString)
           val batchBands = Dedup.embeddingBandRowsByPart(
-              Similarity.assignListsHierByPart(partKeyBatch(pc), cents,
+              Similarity.assignListsHierByPartLocal(partKeyBatch(pc), cents,
                 p.coarse),
               geo, carry = Seq("embedding", "list_id"))
             .select(col("part"), col("vec_id").as("vn"), col("band"),
@@ -1353,7 +1353,7 @@ object VectorIndex {
             col("band").as("oband"), col("bkey").as("obkey"),
             col("embedding").as("e_o"), col("list_id").as("l_o"))
         val batchBands = Dedup.embeddingBandRowsByPart(
-            Similarity.assignListsHierByPart(partKeyBatch(pc), cents,
+            Similarity.assignListsHierByPartLocal(partKeyBatch(pc), cents,
               p.coarse),
             geo, carry = Seq("embedding", "list_id"))
           .select(col("part"), col("vec_id").as("vn"), col("band"),
@@ -1400,7 +1400,7 @@ object VectorIndex {
         // capped hash-ordered members; part rides the output (slice
         // list ids collide across partitions by construction)
         graft.llm.Clustering.clusterSampleByPart(
-          graft.llm.Similarity.assignListsHierByPart(rows, cents, coarse))
+          graft.llm.Similarity.assignListsHierByPartLocal(rows, cents, coarse))
       case None =>
         val (rows, cents, coarse) = rowsAndCents(spark, table, colName,
           labelCol, "CLUSTER SAMPLE")
@@ -1536,7 +1536,7 @@ object VectorIndex {
                 col(pc).cast("string").as("part"))
             val corpusP = pins.fold(scanP)(ps =>
               scanP.where(col("part").isin(ps: _*)))
-            val corpusAssigned = Similarity.assignListsHierByPart(
+            val corpusAssigned = Similarity.assignListsHierByPartLocal(
               corpusP, centsP, p.coarse)
             // per-(batch row, part) top-k — the old per-pin rankedPairs
             // — then the global per-row top-k over the union
@@ -1611,7 +1611,7 @@ object VectorIndex {
             }
             val cents = retrainGeometryRankedByPart(partKey(all), p)._2
             val bAssigned = assignBatchAllParts(b0, cents)
-            val corpusAssigned = Similarity.assignListsHierByPart(
+            val corpusAssigned = Similarity.assignListsHierByPartLocal(
               partKey(predicate.fold(all)(all.where)), cents, p.coarse)
             val wpp = org.apache.spark.sql.expressions.Window
               .partitionBy("bid", "part").orderBy(desc("sim"), col("nn_id"))
@@ -2011,7 +2011,7 @@ object VectorIndex {
           .join(probed, Seq("part", "list_id"))
           .select("file").distinct().collect().map(_.getString(0))
         if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
-        return rankByPart(graft.llm.Similarity.assignListsHierByPart(
+        return rankByPart(graft.llm.Similarity.assignListsHierByPartLocal(
           partKey(snapScan(cand.toSeq)), cents, p.coarse), probed)
       } else {
         val rows = partKey(snapScan(names))
@@ -2148,7 +2148,7 @@ object VectorIndex {
             b0.select(col("vec_id"), col("embedding"),
               lit(0).as("list_id")).where(lit(false)))
         return finishByPart(bAssigned,
-          graft.llm.Similarity.assignListsHierByPart(
+          graft.llm.Similarity.assignListsHierByPartLocal(
             partKey(snapScan(cand.toSeq)), cents, p.coarse))
       } else {
         val rows = partKey(snapScan(names))
@@ -2452,7 +2452,7 @@ object VectorIndex {
                 col(pc).cast("string").as("part"))
             val rowsP = pins.fold(rows0)(ps =>
               rows0.where(col("part").isin(ps: _*)))
-            val assigned = graft.llm.Similarity.assignListsHierByPart(
+            val assigned = graft.llm.Similarity.assignListsHierByPartLocal(
               rowsP, centsP, p.coarse)
             val pv = typedLit(probe.toSeq)
             val wp = org.apache.spark.sql.expressions.Window
@@ -2518,7 +2518,7 @@ object VectorIndex {
             }
             val cents = retrainGeometryRankedByPart(partKey(all), p)._2
             val probed = probePairsOf(cents, probe, probes)
-            val assigned = graft.llm.Similarity.assignListsHierByPart(
+            val assigned = graft.llm.Similarity.assignListsHierByPartLocal(
               partKey(all.where(predicate)), cents, p.coarse)
             val pv = typedLit(probe.toSeq)
             val wp = org.apache.spark.sql.expressions.Window
