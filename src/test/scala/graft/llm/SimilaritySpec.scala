@@ -216,4 +216,43 @@ class SimilaritySpec extends SparkSuite {
           assert(v >= v1 - 1e-12, s"src $s rank $r regressed: $v < $v1"))
       }
   }
+
+  test("local assigners are cell-identical to the frame-derived forms") {
+    // the r14 job-graph cut swaps serve paths onto the DRIVER-COMPUTED
+    // assigners; this pins the hash contract they rest on — per-row
+    // list_id equality with the frame-derived two-level assignment,
+    // globally and per partition, on a tie-heavy synthetic geometry
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def v(): Array[Float] =
+      Array.fill(dim)((rnd.nextInt(5) - 2) * 0.25f)
+    val emb = (0 until 300).map(i =>
+        (i.toLong, 0, v(), (i % 3).toString))
+      .toDF("vec_id", "label", "embedding", "part")
+    val cents = (0 until 3).flatMap(p => (0 until 11).map(c =>
+        ((p * 100 + c) % 97, v(), p.toString)))
+      .distinct
+      .toDF("c_id", "c_emb", "part")
+    for (coarse <- Seq(1, 2)) {
+      val frameG = Similarity.assignListsHier(
+          emb.select("vec_id", "label", "embedding"),
+          cents.where($"part" === "0").select("c_id", "c_emb"), coarse)
+        .select("vec_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val localG = Similarity.assignListsHierLocal(
+          emb.select("vec_id", "label", "embedding"),
+          cents.where($"part" === "0").select("c_id", "c_emb"), coarse)
+        .select("vec_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(frameG == localG, s"global local ≠ frame at coarse=$coarse")
+      val frameP = Similarity.assignListsHierByPart(emb, cents, coarse)
+        .select("part", "vec_id", "list_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val localP = Similarity.assignListsHierByPartLocal(emb, cents, coarse)
+        .select("part", "vec_id", "list_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(frameP == localP, s"by-part local ≠ frame at coarse=$coarse")
+      assert(frameP.nonEmpty && frameG.nonEmpty)
+    }
+  }
 }
