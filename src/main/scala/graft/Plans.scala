@@ -120,7 +120,8 @@ object Plans {
     "q_vector_knn_join_pq_partitioned" -> "BY PARTITION PQ kNN join (r14): per-(row, pin) ADC cutoff over the pin's codes against its ranked codebook, exact rerank over survivor files",
     "q_vector_search_asof_partitioned" -> "time-travel x BY PARTITION (r14): the snapshot's own sub-geometries serve the part-keyed union over the snapshot-pinned scan",
     "q_dedup_semantic_partitioned" -> "BY PARTITION SemDeDup (r14): per-slice stored geometry, within-(partition, cluster, bucket) banded pair join, keep-the-outlier anti-join",
-    "q_vector_knn_join_asof" -> "time-travel kNN join (r14): batch assigns against the HISTORICAL centroids, candidates from the historical postings, snapshot-pinned DV state")
+    "q_vector_knn_join_asof" -> "time-travel kNN join (r14): batch assigns against the HISTORICAL centroids, candidates from the historical postings, snapshot-pinned DV state",
+    "q_qualify" -> "QUALIFY dialect extension (r14): the post-window filter rewritten to the subquery it abbreviates — one ranked window, filter on the alias, no second scan")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")
