@@ -177,17 +177,35 @@ object Text extends QueryModule {
     * pipeline, every micro-batch of the streaming pipeline). Training
     * materializes once per JVM ((vocab × classes)-row checkpoint);
     * INFERENCE still runs per call — the benched number stays real
-    * scoring work, never a cached answer. */
+    * scoring work, never a cached answer. The key carries a CONTENT
+    * token — (name, length, mtime) digest of the training table's
+    * files (r15 advice) — so a re-staged or mutated documents dir in
+    * the same JVM retrains instead of silently scoring on the stale
+    * model; listing one directory is driver-side metadata cost. */
   private val nbModelCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
        org.apache.spark.sql.DataFrame)]()
 
+  /** Digest of a table directory's (name, length, mtime) triples — the
+    * cheap "did the data change" version token for per-JVM model memos. */
+  private def tableVersionToken(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val entries =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(entries.asInstanceOf[Array[AnyRef]]))
+  }
+
   private def nbModel(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) =
     nbModelCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}_$d", _ => {
+      s"${s.sparkContext.applicationId}_${d}_" +
+        tableVersionToken(d, "documents"), _ => {
         val docs = Tables(s, d, "documents")
         val train = docs
           .select(col("doc_id"), col("lang"),

@@ -330,6 +330,67 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
   }
 
+  /** `SEMANTIC DEDUP ON t (col) USING (<query>) [WHERE <pred>]` — the
+    * index-backed incremental SemDeDup serve path
+    * ([[graft.sources.VectorIndex.semDedupIncremental]]) from plain SQL
+    * (r15 — the C212 "every operator reachable from SQL" rule finished
+    * for the dedup tier): each USING row assigns against the STORED
+    * centroids, hashes against the STORED anchor panel, joins the
+    * STORED corpus band sidecar, and only candidate-bucket files fetch
+    * corpus embeddings. WHERE filters the batch rows BEFORE routing
+    * (the daily-ingest "dedup this partition's arrivals" pin); the
+    * per-row verdicts are batch-row-independent, so the filter
+    * commutes with the dedup. Spark's grammar has no SEMANTIC DEDUP
+    * form, so the regex never shadows delegate syntax. */
+  private val SemDedupHead =
+    ("""(?is)\s*SEMANTIC\s+DEDUP\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
+  private val SemDedupTail =
+    """(?is)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private object SemDedup {
+    def unapply(sql: String): Option[(String, String, String,
+        Option[String])] =
+      SemDedupHead.findPrefixMatchOf(sql).flatMap { m =>
+        val open = m.end - 1
+        balancedCloseFrom(sql, open).flatMap { close =>
+          sql.substring(close + 1) match {
+            case SemDedupTail(w)
+              if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
+              Some((m.group(1), m.group(2),
+                sql.substring(open + 1, close), Option(w)))
+            case _ => None
+          }
+        }
+      }
+  }
+
+  /** `MINHASH DEDUP ON t (col) ID (idCol) USING (<query>) [WHERE
+    * <pred>]` — the index-backed incremental MinHash dedup
+    * ([[graft.sources.TextIndex.dedupIncremental]]) from plain SQL:
+    * each USING row shingles + bands per-row, joins the STORED corpus
+    * signature sidecar with the exact Jaccard fused inline, and corpus
+    * text is never re-read. Same clause conventions as SEMANTIC
+    * DEDUP. */
+  private val MinhashDedupHead =
+    ("""(?is)\s*MINHASH\s+DEDUP\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+ID\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
+  private object MinhashDedup {
+    def unapply(sql: String): Option[(String, String, String, String,
+        Option[String])] =
+      MinhashDedupHead.findPrefixMatchOf(sql).flatMap { m =>
+        val open = m.end - 1
+        balancedCloseFrom(sql, open).flatMap { close =>
+          sql.substring(close + 1) match {
+            case SemDedupTail(w)
+              if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
+              Some((m.group(1), m.group(2), m.group(3),
+                sql.substring(open + 1, close), Option(w)))
+            case _ => None
+          }
+        }
+      }
+  }
+
   /** Best-effort parse-time check that `target` resolves to one of this
     * engine's manifest tables. A statement this parser would lower based
     * on SHAPE alone must still DELEGATE when the target belongs to
@@ -418,6 +479,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * join's USING group). */
   private val VecKnnSubOpen = """(?i)\(\s*VECTOR\s+KNN\s+JOIN\s+ON""".r
   private val Bm25SubOpen = """(?i)\(\s*BM25\s+SEARCH\s+ON""".r
+  private val SemDedupSubOpen = """(?i)\(\s*SEMANTIC\s+DEDUP\s+ON""".r
+  private val MinhashDedupSubOpen = """(?i)\(\s*MINHASH\s+DEDUP\s+ON""".r
 
   /** The first start from `starts` that is OUTSIDE any single-quoted
     * literal, with its balanced close. */
@@ -480,6 +543,44 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  private def rewriteSemDedupSubqueries(sql: String): Option[String] = {
+    val starts = SemDedupSubOpen.findAllMatchIn(sql).map(_.start).toSet
+    if (starts.isEmpty) return None
+    val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
+    val inner = sql.substring(open + 1, close)
+    inner match {
+      case SemDedup(target, colName, batchSql, where) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val view = "graft_semdedup_" +
+          java.lang.Integer.toHexString(inner.trim.hashCode)
+        SemanticDedupDf.of(spark, target, colName, batchSql, where)
+          .createOrReplaceTempView(view)
+        Some(sql.substring(0, open) + view + sql.substring(close + 1))
+      case _ =>
+        customSyntaxError(inner.trim)
+        None
+    }
+  }
+
+  private def rewriteMinhashDedupSubqueries(sql: String): Option[String] = {
+    val starts = MinhashDedupSubOpen.findAllMatchIn(sql).map(_.start).toSet
+    if (starts.isEmpty) return None
+    val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
+    val inner = sql.substring(open + 1, close)
+    inner match {
+      case MinhashDedup(target, colName, idCol, batchSql, where) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val view = "graft_mhdedup_" +
+          java.lang.Integer.toHexString(inner.trim.hashCode)
+        MinhashDedupDf.of(spark, target, colName, idCol, batchSql, where)
+          .createOrReplaceTempView(view)
+        Some(sql.substring(0, open) + view + sql.substring(close + 1))
+      case _ =>
+        customSyntaxError(inner.trim)
+        None
+    }
+  }
+
   /** `SELECT … QUALIFY <pred> [ORDER BY …] [LIMIT …]` — the
     * Snowflake/DuckDB/BigQuery post-window filter Spark's grammar
     * lacks, rewritten at parse time into the subquery it abbreviates:
@@ -490,18 +591,79 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * clause a pure abbreviation with one unambiguous meaning; an
     * inline OVER( in the predicate raises a targeted error instead of
     * a generic ParseException. The keyword scan is quote-aware and
-    * depth-0 only (a QUALIFY inside a literal or subquery is left for
-    * that statement's own parse). */
-  private def rewriteQualify(sql: String): Option[String] = {
+    * depth-0 only — but a top-level WITH is accepted (the whole
+    * statement wraps), and QUALIFY inside a CTE arm rewrites through
+    * [[rewriteQualifyCteArms]] (each arm body is a complete statement
+    * body of its own); a QUALIFY inside any OTHER subquery or a
+    * literal is left for that statement's own parse. */
+  private def rewriteQualify(sql: String): Option[String] =
+    rewriteQualifyCteArms(sql).orElse(rewriteQualifyTop(sql))
+
+  /** Keyword `w` occupies `pos` as a whole word (not an identifier
+    * fragment — `_` counts as a word char). */
+  private def wordAtIn(sql: String, upper: String, pos: Int,
+      w: String): Boolean =
+    upper.startsWith(w, pos) &&
+      (pos == 0 || !Character.isLetterOrDigit(sql.charAt(pos - 1)) &&
+        sql.charAt(pos - 1) != '_') &&
+      (pos + w.length >= sql.length ||
+        !Character.isLetterOrDigit(sql.charAt(pos + w.length)) &&
+          sql.charAt(pos + w.length) != '_')
+
+  /** QUALIFY inside the CTE arms of a top-level WITH (r15 — the
+    * depth-0-only rewrite previously fell through to Spark's generic
+    * ParseException here): each depth-0 `AS ( <body> )` group of the
+    * WITH clause is recursively re-fed through [[rewriteQualify]], so
+    * `WITH c AS (SELECT … QUALIFY …) SELECT …` lowers arm-by-arm; a
+    * depth-0 QUALIFY on the main body then wraps on the next
+    * parsePlan pass. Fires only if some arm actually changed. */
+  private def rewriteQualifyCteArms(sql: String): Option[String] = {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
     if (!upper.contains("QUALIFY")) return None
-    def wordAt(pos: Int, w: String): Boolean =
-      upper.startsWith(w, pos) &&
-        (pos == 0 || !Character.isLetterOrDigit(sql.charAt(pos - 1)) &&
-          sql.charAt(pos - 1) != '_') &&
-        (pos + w.length >= sql.length ||
-          !Character.isLetterOrDigit(sql.charAt(pos + w.length)) &&
-            sql.charAt(pos + w.length) != '_')
+    val lead = sql.indexWhere(!_.isWhitespace)
+    if (lead < 0 || !wordAtIn(sql, upper, lead, "WITH")) return None
+    val out = new StringBuilder
+    var last = 0
+    var i = lead
+    var depth = 0
+    var quote: Char = 0
+    var changed = false
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"' || ch == '`') quote = ch
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (depth == 0 && wordAtIn(sql, upper, i, "AS")) {
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          balancedCloseFrom(sql, j) match {
+            case Some(close) =>
+              val body = sql.substring(j + 1, close)
+              rewriteQualify(body) match {
+                case Some(nb) =>
+                  out.append(sql.substring(last, j + 1)).append(nb)
+                  last = close
+                  changed = true
+                case None => ()
+              }
+              i = close // the arm body was scanned; resume after it
+            case None => return None
+          }
+        }
+      }
+      i += 1
+    }
+    if (!changed) return None
+    out.append(sql.substring(last))
+    Some(out.toString)
+  }
+
+  private def rewriteQualifyTop(sql: String): Option[String] = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("QUALIFY")) return None
+    def wordAt(pos: Int, w: String): Boolean = wordAtIn(sql, upper, pos, w)
     // depth-0, quote-aware positions of QUALIFY and the trailing clauses
     var i = 0
     var depth = 0
@@ -524,15 +686,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (at < 0) return None
     val head = sql.substring(0, at).trim
     val headUp = head.toUpperCase(java.util.Locale.ROOT)
-    if (!headUp.startsWith("SELECT")) return None
+    // a WITH-prefixed head wraps whole (Spark parses CTEs inside a
+    // subquery alias), so `WITH … SELECT … QUALIFY …` lowers too (r15)
+    if (!headUp.startsWith("SELECT") && !headUp.startsWith("WITH"))
+      return None
     // `qualify` is non-reserved in Spark: a statement using it as an
     // IDENTIFIER (`SELECT qualify FROM t`, `WHERE qualify = 1`) must
     // delegate untouched — only a QUALIFY that follows a complete
     // clause (head contains FROM and doesn't dangle on an operator or
-    // keyword) is the clause form
+    // keyword) is the clause form. The dangling check looks at BOTH
+    // the last whitespace-split token and the head's final character,
+    // so an unspaced operator (`WHERE b=qualify`) delegates too (r15).
     val headToks = headUp.split("[\\s(,)]+").filter(_.nonEmpty)
     val lastTok = headToks.lastOption.getOrElse("")
-    if (!headToks.contains("FROM") ||
+    val lastCh = head.lastOption.getOrElse(' ')
+    if (!headToks.contains("FROM") || "=<>!+-*/%,|&^:.".contains(lastCh) ||
       Set("WHERE", "AND", "OR", "ON", "NOT", "BY", "SELECT", "JOIN",
         "HAVING", "THEN", "ELSE", "WHEN", "AS", "=", "<", ">", "<=",
         ">=", "<>", "!=", "+", "-", "*", "/", ",").contains(lastTok))
@@ -556,6 +724,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     rewriteVecSearchSubqueries(sqlText)
       .orElse(rewriteVecKnnSubqueries(sqlText))
       .orElse(rewriteBm25Subqueries(sqlText))
+      .orElse(rewriteSemDedupSubqueries(sqlText))
+      .orElse(rewriteMinhashDedupSubqueries(sqlText))
       .orElse(rewriteQualify(sqlText)) match {
       case Some(rewritten) => parsePlan(rewritten)
       case None => parsePlanMatched(sqlText)
@@ -611,6 +781,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VecKnn(target, colName, batchSql, topK, version, rerank, where) =>
       VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where,
         version)
+    case SemDedup(target, colName, batchSql, where) =>
+      SemanticDedupCommand(target, colName, batchSql, where)
+    case MinhashDedup(target, colName, idCol, batchSql, where) =>
+      MinhashDedupCommand(target, colName, idCol, batchSql, where)
     case Bm25Search(target, colName, idCol, termsList, topK, version, where)
       if termsList.count(_ == '\'') % 2 == 0 &&
         Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
@@ -696,11 +870,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "order; TERMS takes single-quoted string literals, quotes must " +
         "balance; VERSION AS OF serves the snapshot's own statistics " +
         "(no WHERE)"),
+    "SEMANTIC DEDUP" ->
+      ("SEMANTIC DEDUP ON <table> (<col>) USING (<query>) [WHERE <pred>] " +
+        "— the USING subquery yields the table's id + embedding columns " +
+        "(and the partition column for a BY PARTITION index); WHERE " +
+        "filters the batch rows before routing; quotes must balance"),
+    "MINHASH DEDUP" ->
+      ("MINHASH DEDUP ON <table> (<col>) ID (<idCol>) USING (<query>) " +
+        "[WHERE <pred>] — the USING subquery yields the id + text " +
+        "columns; WHERE filters the batch rows before routing; quotes " +
+        "must balance"),
     "QUALIFY" ->
       ("SELECT … FROM … QUALIFY <pred> [ORDER BY …] [LIMIT …] — the " +
         "post-window filter: name the window expression in the SELECT " +
-        "list and reference its alias in the predicate (top-level " +
-        "QUALIFY only; rewritten to the subquery it abbreviates)"),
+        "list and reference its alias in the predicate (rewritten to " +
+        "the subquery it abbreviates; composes with WITH and CTE arms)"),
     "CREATE VECTOR INDEX" ->
       ("CREATE VECTOR INDEX ON <table> (<col>) ANCHORS (<idCol>) " +
         "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] [BY PARTITION] — " +
@@ -1444,6 +1628,91 @@ private[plans] object VectorKnnJoinDf {
       col("rank").cast(org.apache.spark.sql.types.IntegerType),
       col("nn_id").cast(org.apache.spark.sql.types.LongType),
       col("sim").cast(org.apache.spark.sql.types.DoubleType))
+  }
+}
+
+/** `SEMANTIC DEDUP ON t (col) USING (<query>) [WHERE <pred>]` — the
+  * index-backed incremental SemDeDup from plain SQL
+  * ([[graft.sources.VectorIndex.semDedupIncremental]]). Normalized
+  * output (vec_id BIGINT = the batch row's id, dup_of BIGINT = the
+  * min-id corpus witness or NULL, is_dup BOOLEAN), ordered by
+  * vec_id. */
+case class SemanticDedupCommand(target: String, colName: String,
+    batchSql: String, where: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("dup_of", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("is_dup", org.apache.spark.sql.types.BooleanType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    SemanticDedupDf.of(spark, target, colName, batchSql, where)
+      .orderBy(col("vec_id"))
+      .collect().toSeq
+  }
+}
+
+/** `MINHASH DEDUP ON t (col) ID (idCol) USING (<query>) [WHERE <pred>]`
+  * — the index-backed incremental MinHash dedup from plain SQL
+  * ([[graft.sources.TextIndex.dedupIncremental]]). Normalized output
+  * (<idCol> BIGINT, dup_of BIGINT, is_dup BOOLEAN), ordered by id. */
+case class MinhashDedupCommand(target: String, colName: String,
+    idCol: String, batchSql: String, where: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference(idCol, org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("dup_of", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("is_dup", org.apache.spark.sql.types.BooleanType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    MinhashDedupDf.of(spark, target, colName, idCol, batchSql, where)
+      .orderBy(col(idCol))
+      .collect().toSeq
+  }
+}
+
+/** The SEMANTIC DEDUP dataflow as a DataFrame — shared by the standalone
+  * statement and the composable `( … )` relation form. WHERE filters the
+  * USING batch BEFORE routing (verdicts are batch-row-independent, so
+  * the filter commutes with the dedup). */
+private[plans] object SemanticDedupDf {
+  def of(spark: SparkSession, target: String, colName: String,
+      batchSql: String, where: Option[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val batch0 = spark.sql(batchSql)
+    val batch = where.fold(batch0)(w => batch0.where(expr(w)))
+    graft.sources.VectorIndex
+      .semDedupIncremental(spark, target, colName, batch)
+      .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+        col("dup_of").cast(org.apache.spark.sql.types.LongType),
+        col("is_dup").cast(org.apache.spark.sql.types.BooleanType))
+  }
+}
+
+/** The MINHASH DEDUP dataflow as a DataFrame — shared by the standalone
+  * statement and the composable `( … )` relation form. */
+private[plans] object MinhashDedupDf {
+  def of(spark: SparkSession, target: String, colName: String,
+      idCol: String, batchSql: String, where: Option[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val batch0 = spark.sql(batchSql)
+    val batch = where.fold(batch0)(w => batch0.where(expr(w)))
+    graft.sources.TextIndex
+      .dedupIncremental(spark, target, colName, idCol, batch)
+      // the serve path normalizes the id to `doc_id` internally —
+      // surface it under the statement's declared ID column name
+      .select(col("doc_id").cast(org.apache.spark.sql.types.LongType)
+          .as(idCol),
+        col("dup_of").cast(org.apache.spark.sql.types.LongType),
+        col("is_dup").cast(org.apache.spark.sql.types.BooleanType))
   }
 }
 

@@ -52,6 +52,25 @@ object SourceQueries extends QueryModule {
       (cat, java.nio.file.Paths.get(root, "q", "docs"))
     })
 
+  /** The bucketed orders/customer pair `q_join_bucketed` joins, staged
+    * ONCE per (JVM, sfDir): the bucketed LAYOUT is the amortized
+    * write-time investment the query exists to certify, so its cost
+    * belongs outside the timed region (the C149/C162 rule). Table names
+    * are suffixed per sfDir because saveAsTable lands in one shared
+    * session catalog. Returns (orders table, customer table). */
+  private val stagedBucketedJoin =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def stageBucketedJoinTables(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    stagedBucketedJoin.computeIfAbsent(d, _ => {
+      val sfx = math.abs(d.hashCode) % 1000000
+      val (ordT, custT) = (s"orders_bkt_q$sfx", s"customer_bkt_q$sfx")
+      Seq(ordT, custT).foreach(Sources.resetTable(s, _))
+      Sources.writeBucketed(Tables(s, d, "orders"), ordT, "o_custkey", 8)
+      Sources.writeBucketed(Tables(s, d, "customer"), custT, "c_custkey", 8)
+      (ordT, custT)
+    })
+
   /** The one-file-per-source documents base `q_meta_files` clones, staged
     * ONCE per (JVM, sfDir). Building it is ~10 driver-side coalesce(1)
     * commits (one per distinct source — the per-FILE metadata the query
@@ -720,14 +739,16 @@ object SourceQueries extends QueryModule {
     // runtime Exchange (the pre-computed shuffle; zero-Exchange plan
     // asserted in BucketedJoinSpec with broadcast disabled). At 100 TB this
     // is the difference between re-shuffling the fact table on every join
-    // and paying the layout cost once at write time.
+    // and paying the layout cost once at write time — which is exactly why
+    // the fixture is staged ONCE per (JVM, sfDir): the operator under test
+    // is the zero-Exchange READ join, and re-writing both bucketed tables
+    // on every invocation made this headline line measure mostly its own
+    // setup writes (the C149/C162 bench-hygiene rule).
     "q_join_bucketed" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Seq("orders_bkt_q", "customer_bkt_q").foreach(Sources.resetTable(s, _))
-      Sources.writeBucketed(Tables(s, d, "orders"), "orders_bkt_q", "o_custkey", 8)
-      Sources.writeBucketed(Tables(s, d, "customer"), "customer_bkt_q", "c_custkey", 8)
-      s.table("orders_bkt_q")
-        .join(s.table("customer_bkt_q"), col("o_custkey") === col("c_custkey"))
+      val (ordT, custT) = stageBucketedJoinTables(s, d)
+      s.table(ordT)
+        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           graft.queries.Det.dsum(col("o_totalprice")).as("sum_total"))
@@ -1261,6 +1282,35 @@ object SourceQueries extends QueryModule {
         .where(pmod(col("doc_id"), lit(2)) === 1)
         .select(col("doc_id"), col("text"))
       TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id", batch)
+    }),
+
+    // The SQL statement form of the same serve path (r15 — the C212
+    // "every operator reachable from plain SQL" rule finished for the
+    // dedup tier): `MINHASH DEDUP ON t (col) ID (id) USING (<query>)`
+    // lowers to TextIndex.dedupIncremental over the USING rows. Shares
+    // the Scala-API query's oracle verbatim — one dedup semantics, three
+    // surfaces (API, SQL, streaming), zero drift.
+    "q_dedup_minhash_incremental_sql" -> ((s, d) => {
+      val cat = stageTextIncBase(s, d)
+      Tables(s, d, "documents")
+        .createOrReplaceTempView("graft_mhdedup_batch_src")
+      s.sql(s"MINHASH DEDUP ON $cat.q.docs (text) ID (doc_id) USING " +
+        "(SELECT doc_id, text FROM graft_mhdedup_batch_src " +
+        "WHERE doc_id % 2 = 1)")
+    }),
+
+    // The SQL statement form of the index-backed incremental SemDeDup
+    // (r15): `SEMANTIC DEDUP ON t (col) USING (<query>)` lowers to
+    // VectorIndex.semDedupIncremental over the USING rows — stored
+    // geometry, stored panel, stored band sidecar, candidate-bucket
+    // fetch. Shares the Scala-API query's oracle verbatim.
+    "q_dedup_semantic_incremental_sql" -> ((s, d) => {
+      val cat = stageVecIncBase(s, d)
+      Tables(s, d, "embeddings")
+        .createOrReplaceTempView("graft_semdedup_batch_src")
+      s.sql(s"SEMANTIC DEDUP ON $cat.q.emb (embedding) USING " +
+        "(SELECT vec_id, embedding FROM graft_semdedup_batch_src " +
+        "WHERE vec_id % 2 = 1)")
     }),
 
     // THE DAILY-INGEST CURATION PIPELINE (r13 flagship composition):
@@ -4504,6 +4554,11 @@ object SourceQueries extends QueryModule {
     // (the sidecar is a materialization, not a semantics change).
     "q_dedup_minhash_indexed_incremental" ->
       graft.llm.Dedup.sqlDedupIncremental,
+    // The SQL statement form answers exactly the Scala-API query (the
+    // statement lowers to the same serve path): shared replay (r15).
+    "q_dedup_minhash_incremental_sql" -> graft.llm.Dedup.sqlDedupIncremental,
+    "q_dedup_semantic_incremental_sql" ->
+      graft.llm.Clustering.sqlSemDedupIndexedIncremental,
     // All three curation stages — stored-signature dedup, the NB
     // language gate, the token floor — replayed in ONE statement.
     "q_corpus_ingest_pipeline" ->

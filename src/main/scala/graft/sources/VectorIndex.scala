@@ -487,8 +487,13 @@ object VectorIndex {
     // spill-capable (the global build's materialization rule)
     val listsDf = assigned.select(col("part"), col("vec_id"),
       col("list_id")).localCheckpoint()
-    val files = base.select(col("vec_id"), col("file"))
-    val posts = listsDf.join(files, "vec_id")
+    // every assignment join below keys on (part, vec_id), never vec_id
+    // alone (r15 advice): the ANCHORS id only has to be unique WITHIN a
+    // partition, and a date-partitioned corpus commonly repeats ids
+    // across slices — a vec_id-only join would cross-wire list_ids
+    // between partitions silently
+    val files = base.select(col("part"), col("vec_id"), col("file"))
+    val posts = listsDf.join(files, Seq("part", "vec_id"))
       .select(col("part"), col("list_id"), col("file")).distinct()
     // per-part RANKED codebooks + codes (each slice's pair equals the
     // per-slice trainer's — the C242 stale-replay helper, reused);
@@ -506,8 +511,8 @@ object VectorIndex {
         df.withColumn(s"code$b",
           Similarity.pqCode(col("cents"), col("embedding"), b))
       }
-      .join(listsDf.select(col("vec_id"), col("list_id")), "vec_id")
-      .join(files, "vec_id")
+      .join(listsDf, Seq("part", "vec_id"))
+      .join(files, Seq("part", "vec_id"))
       .select(Seq(col("part"), col("vec_id"), col("list_id"),
         col("file")) ++
         (0 until Similarity.PqM).map(b => col(s"code$b")): _*)
@@ -538,7 +543,7 @@ object VectorIndex {
         base.select(col("part"), col("vec_id"), col("embedding"),
           col("file")),
         lshanch, carry = Seq("file"))
-      .join(listsDf.select(col("vec_id"), col("list_id")), "vec_id")
+      .join(listsDf, Seq("part", "vec_id"))
       .select(col("part"), col("vec_id"), col("band"), col("bkey"),
         col("list_id"), col("file"))
     val totalK = counts.map { case (_, n) =>
@@ -1250,7 +1255,8 @@ object VectorIndex {
               col("part") === col("opart") &&
                 col("band") === col("oband") &&
                 col("bkey") === col("obkey") && col("l_n") === col("l_o"))
-            .select(col("vn"), col("e_n"), col("vo"), col("file"))
+            .select(col("part"), col("vn"), col("e_n"), col("vo"),
+              col("file"))
             .localCheckpoint()
           val candFiles = cand.select("file").distinct()
             .collect().map(_.getString(0))
@@ -1262,9 +1268,13 @@ object VectorIndex {
               spark.range(0).select(col("id").cast(idType).as("vn"),
                 col("id").cast(idType).as("dup_of"))
             } else {
+              // fetch keys on (part, id), not id alone (r15 advice):
+              // ids only need be unique within a partition, so the
+              // corpus row must come from the candidate's OWN slice
               val corpusEmb = scanFiles(spark, mt.dir, candFiles.toSeq)
-                .select(col(p.idCol).as("vo"), col(colName).as("e_o"))
-              cand.join(corpusEmb, "vo")
+                .select(col(p.partCol.get).cast("string").as("part"),
+                  col(p.idCol).as("vo"), col(colName).as("e_o"))
+              cand.join(corpusEmb, Seq("part", "vo"))
                 .where(dotFixed(col("e_n"), col("e_o")) >=
                   Clustering.SemThreshold)
                 .groupBy("vn").agg(min(col("vo")).as("dup_of"))
@@ -1762,9 +1772,12 @@ object VectorIndex {
             if (candFiles.isEmpty)
               top.select(col("bid"), col("vec_id").as("nn_id"),
                 lit(0L).as("sim")).where(lit(false))
+            // the fetch keys on (part, vec_id), not vec_id alone (r15
+            // advice): ids only need be unique within a partition
             else scanFiles(spark, mt.dir, candFiles.toSeq)
-              .select(col(p.idCol).as("vec_id"), col(colName).as("e_o"))
-              .join(broadcast(top), "vec_id")
+              .select(col(pc).cast("string").as("part"),
+                col(p.idCol).as("vec_id"), col(colName).as("e_o"))
+              .join(broadcast(top), Seq("part", "vec_id"))
               .select(col("bid"), col("vec_id").as("nn_id"),
                 dotFixed(col("e_n"), col("e_o")).as("sim"))
           return rankTop(pairs)

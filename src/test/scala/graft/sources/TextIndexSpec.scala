@@ -121,6 +121,38 @@ class TextIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("signature sidecar"), e.getMessage)
   }
 
+  test("MINHASH DEDUP SQL statement: the incremental serve from plain " +
+      "SQL (r15)") {
+    val (cat, _) = freshCatalog("tix30")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    Seq((100L, "needle in the hay"), (101L, "zulu yankee xray whiskey"))
+      .toDF("id", "text").createOrReplaceTempView("mh_batch")
+    val rows = spark.sql(s"MINHASH DEDUP ON $t (text) ID (id) USING " +
+        "(SELECT id, text FROM mh_batch)")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+      .toSeq
+    assert(rows == Seq((100L, Some(3L), true), (101L, None, false)),
+      s"statement answers the API's verdicts: $rows")
+    // WHERE filters the USING batch BEFORE routing
+    val f = spark.sql(s"MINHASH DEDUP ON $t (text) ID (id) USING " +
+        "(SELECT id, text FROM mh_batch) WHERE id = 101")
+      .collect().map(_.getLong(0)).toSeq
+    assert(f == Seq(101L), s"WHERE scopes the batch: $f")
+    // composable relation form: the statement as a subquery
+    val n = spark.sql("SELECT count(*) AS n FROM " +
+        s"(MINHASH DEDUP ON $t (text) ID (id) USING " +
+        "(SELECT id, text FROM mh_batch)) WHERE is_dup")
+      .collect().head.getLong(0)
+    assert(n == 1L, s"composable form: $n dup of 2")
+    // targeted clause-shape error (ID clause missing)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"MINHASH DEDUP ON $t (text) USING " +
+        "(SELECT id, text FROM mh_batch)")
+    }
+    assert(e.getMessage.contains("MINHASH DEDUP ON <table>"), e.getMessage)
+  }
+
   test("stale index (appended file set) falls back to a correct full scan") {
     val (cat, _) = freshCatalog("tix2")
     val t = stage(cat)

@@ -524,6 +524,63 @@ class VectorIndexSpec extends SparkSuite {
       s"stale part-keyed replay keeps per-partition witnesses: ${stale.toSeq}")
   }
 
+  test("BY PARTITION: ids repeated across partitions stay slice-local " +
+      "(r15)") {
+    val cat = freshCatalog("vixdup")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    // the date-partitioned-corpus shape: the ANCHORS column is only
+    // unique WITHIN a partition — ids 0..5 appear in BOTH slices with
+    // orthogonal embeddings. Every sidecar join and serve-path fetch
+    // must key on (part, vec_id); a vec_id-only join silently
+    // cross-wires the slices.
+    (0L to 5L).map(i => (i, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    (0L to 5L).map(i => (i, 1, vec(1, (20, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val p = VectorIndex.parseProp(
+      Manifest.read(dir).get.props("vecidx.embedding"))
+    val idxDir = dir.resolve(p.idxName)
+    // build side: a vec_id-only assignment join would fan 12 corpus rows
+    // into 24 code rows / duplicate band rows with the OTHER slice's
+    // list_id
+    val codes = spark.read.parquet(idxDir.resolve("codes").toString)
+    assert(codes.count() == 12, s"codes must not fan out: ${codes.count()}")
+    val bands = spark.read.parquet(idxDir.resolve("bands").toString)
+    assert(bands.count() ==
+      bands.select("part", "vec_id", "band").distinct().count(),
+      "one band row per (part, vec_id, band)")
+    // serve side: the global PQ search's exact rerank must fetch each
+    // candidate's OWN slice's embedding. Probe blob A with topK past the
+    // slice size: exactly the 6 partition-0 rows carry the blob-A sim;
+    // a vec_id-only fetch would score partition-1 candidates against
+    // partition-0 rows of the same id and surface them as false top hits
+    val res = VectorIndex.searchPq(spark, t, "embedding", vec(0), 9,
+      probes = 1, rerank = 24).collect()
+    assert(res.length == 9, s"9 rows expected: ${res.length}")
+    val maxSim = res.map(_.getDouble(2)).max
+    assert(res.count(_.getDouble(2) == maxSim) == 6,
+      s"exactly partition 0's 6 rows rank at the blob-A sim: " +
+        res.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // and the PQ kNN join's per-row fetch obeys the same rule
+    val knn = VectorIndex.knnJoinPq(spark, t, "embedding",
+      Seq((100L, 0, vec(0, (10, 0.05f)))).toDF("vec_id", "label", "embedding"),
+      k = 9, rerank = 24).collect()
+    assert(knn.length == 9, s"9 neighbors expected: ${knn.length}")
+    val maxKnn = knn.map(_.getDouble(3)).max
+    assert(knn.count(_.getDouble(3) == maxKnn) == 6,
+      s"exactly partition 0's 6 rows at the blob-A sim: " +
+        knn.map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
   test("incremental SemDeDup: pre-sidecar index refuses with guidance") {
     val cat = freshCatalog("vix22")
     val t = stage(cat)
@@ -1341,6 +1398,38 @@ class VectorIndexSpec extends SparkSuite {
     }
     assert(b3 == b10, "the BY PARTITION build must not scale its job " +
       s"count with the partition count ($b3 jobs at 3 parts, $b10 at 10)")
+  }
+
+  test("SEMANTIC DEDUP SQL statement: the incremental serve from plain " +
+      "SQL (r15)") {
+    val cat = freshCatalog("vixsd")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    Seq((100L, 0, vec(0, (10, 0.05f))), (101L, 1, vec(5, (30, 0.9f))))
+      .toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("sd_batch")
+    val rows = spark.sql(s"SEMANTIC DEDUP ON $t (embedding) USING " +
+        "(SELECT vec_id, embedding FROM sd_batch)")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+      .toSeq
+    assert(rows == Seq((100L, Some(0L), true), (101L, None, false)),
+      s"statement answers the API's verdicts: $rows")
+    // WHERE filters the USING batch BEFORE routing
+    val f = spark.sql(s"SEMANTIC DEDUP ON $t (embedding) USING " +
+        "(SELECT vec_id, embedding FROM sd_batch) WHERE vec_id = 101")
+      .collect().map(_.getLong(0)).toSeq
+    assert(f == Seq(101L), s"WHERE scopes the batch: $f")
+    // composable relation form: the statement as a subquery
+    val n = spark.sql("SELECT count(*) AS n FROM " +
+        s"(SEMANTIC DEDUP ON $t (embedding) USING " +
+        "(SELECT vec_id, embedding FROM sd_batch)) WHERE is_dup")
+      .collect().head.getLong(0)
+    assert(n == 1L, s"composable form: $n dup of 2")
+    // targeted clause-shape error (USING missing)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SEMANTIC DEDUP ON $t (embedding) TOP 5")
+    }
+    assert(e.getMessage.contains("SEMANTIC DEDUP ON <table>"), e.getMessage)
   }
 
   test("malformed custom statements raise a targeted syntax error") {
