@@ -857,7 +857,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ("VECTOR SEARCH ON <table> (<col>) PROBE (f, f, …) TOP <k> " +
         "[VERSION AS OF <v>] [PROBES <p>] [RERANK <r> USING PQ] " +
         "[WHERE <pred>] — clauses in this order; WHERE quotes must " +
-        "balance; VERSION AS OF composes with PROBES only"),
+        "balance; all clauses compose with VERSION AS OF"),
     "VECTOR KNN JOIN" ->
       ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
         "[VERSION AS OF <v>] [RERANK <r> USING PQ] [WHERE <pred>] — the " +
@@ -1603,12 +1603,20 @@ private[plans] object VectorKnnJoinDf {
     import org.apache.spark.sql.functions.{col, expr}
     val batch = spark.sql(batchSql)
     version.foreach { v =>
-      if (rerank.isDefined || where.isDefined)
+      // RERANK USING PQ composes with time travel (r15): the ADC
+      // cutoff runs over the snapshot's own codes sidecar. A filtered
+      // historical batch join stays a targeted refusal.
+      if (where.isDefined)
         throw new IllegalArgumentException(
           "VECTOR KNN JOIN: VERSION AS OF serves the snapshot's own " +
-            "plain index — RERANK/WHERE do not compose with time travel")
-      return graft.sources.VectorIndex
-        .knnJoinAsOf(spark, target, colName, batch, topK, v)
+            "index — WHERE does not compose with time travel")
+      val asof = rerank match {
+        case Some(r) => graft.sources.VectorIndex
+          .knnJoinAsOfPq(spark, target, colName, batch, topK, v, r)
+        case None => graft.sources.VectorIndex
+          .knnJoinAsOf(spark, target, colName, batch, topK, v)
+      }
+      return asof
         .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
           col("rank").cast(org.apache.spark.sql.types.IntegerType),
           col("nn_id").cast(org.apache.spark.sql.types.LongType),
@@ -1736,12 +1744,22 @@ private[plans] object VectorSearchDf {
     }
     import org.apache.spark.sql.functions.col
     version.foreach { v =>
-      if (rerank.isDefined || where.isDefined)
-        throw new IllegalArgumentException(
-          "VECTOR SEARCH: VERSION AS OF serves the snapshot's own plain " +
-            "index — RERANK/WHERE do not compose with time travel")
-      return graft.sources.VectorIndex
-        .searchAsOf(spark, target, colName, probe, topK, v, probes)
+      // WHERE and RERANK USING PQ compose with time travel (r15 — the
+      // C238 refusal lifted): the predicate evaluates against the
+      // snapshot's rows/DV state; the ADC cutoff runs over the
+      // snapshot's own codes sidecar
+      val asof = (rerank,
+          where.map(org.apache.spark.sql.functions.expr)) match {
+        case (Some(r), pred) => graft.sources.VectorIndex
+          .searchAsOfPq(spark, target, colName, probe, topK, v, probes,
+            r, pred)
+        case (None, Some(pred)) => graft.sources.VectorIndex
+          .searchAsOfWhere(spark, target, colName, probe, topK, v,
+            probes, pred)
+        case (None, None) => graft.sources.VectorIndex
+          .searchAsOf(spark, target, colName, probe, topK, v, probes)
+      }
+      return asof
         .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
           col("list_id").cast(org.apache.spark.sql.types.IntegerType),
           col("sim").cast(org.apache.spark.sql.types.DoubleType))

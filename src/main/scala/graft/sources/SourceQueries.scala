@@ -2196,6 +2196,62 @@ object SourceQueries extends QueryModule {
         s"TOP 10 VERSION AS OF $v")
     }),
 
+    // FILTERED time travel (r15 — the C238 refusal lifted): reproduce
+    // yesterday's FILTERED RAG serve. The predicate narrows the
+    // snapshot's candidates before the top-k, evaluated against the
+    // snapshot's own rows — the probe-copy decoys appended AFTER the
+    // version match the filter and would dominate a CURRENT filtered
+    // search, but must never surface AS OF. Shares the plain filtered
+    // search's replay oracle (the snapshot IS the raw corpus).
+    "q_vector_search_asof_filtered" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      val res = s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) " +
+        s"PROBE ($probe) TOP 10 VERSION AS OF $v WHERE label % 2 = 0")
+      val decoys = s.table(s"$cat.q.emb")
+        .where(col("vec_id") >= 2000000L && col("label") % 2 === 0).count()
+      assert(decoys == 5L,
+        s"the 5 decoys must match the filter (and still not surface): " +
+          s"$decoys")
+      res
+    }),
+
+    // PQ time travel (r15): the snapshot dir carries its own pqcb/codes
+    // sidecars, so the compressed serve replays at the version — ADC
+    // cutoff over the HISTORICAL codes, exact rerank pinned to the
+    // snapshot scan; the decoys appended after the version shift
+    // neither the cutoff nor the rerank. Shares q_vector_search_pq's
+    // replay oracle.
+    "q_vector_search_asof_pq" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      val res = s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) " +
+        s"PROBE ($probe) TOP 10 VERSION AS OF $v RERANK 50 USING PQ")
+      val decoys = s.table(s"$cat.q.emb")
+        .where(col("vec_id") >= 2000000L).count()
+      assert(decoys == 5L,
+        s"the current table must hold the 5 probe-copy decoys: $decoys")
+      res
+    }),
+
+    // PQ time travel for the BATCH join (r15): yesterday's compressed
+    // RAG candidate fetch — per-row ADC cutoff over the snapshot's own
+    // codes, survivors fetched through the snapshot-pinned scan. Shares
+    // q_vector_knn_join_pq's replay oracle.
+    "q_vector_knn_join_asof_pq" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinAsOfPq(s, s"$cat.q.emb", "embedding", batch, 3,
+        v, rerank = 50)
+    }),
+
     // TIME-TRAVEL × BY PARTITION (r14 — the r13 refusal lifted): the
     // snapshot's OWN sub-geometries serve the global union, part-keyed;
     // the decoy partition append after the pinned version must never
@@ -4833,6 +4889,13 @@ object SourceQueries extends QueryModule {
     // The AS OF search must equal the plain pre-append replay — the
     // snapshot IS the original corpus.
     "q_vector_search_asof" -> sqlVectorSearchOracle(""),
+    // Filtered/PQ time travel (r15): the snapshot IS the raw corpus, so
+    // the composed clauses share the plain filtered/PQ replay oracles —
+    // the decoys appended after the version must not move the hash.
+    "q_vector_search_asof_filtered" ->
+      sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
+    "q_vector_search_asof_pq" -> sqlVectorSearchPqOracle,
+    "q_vector_knn_join_asof_pq" -> sqlPqKnnJoinOracle,
     // The SQL statement shares the Scala-API replay.
     "q_vector_search_asof_sql" -> sqlVectorSearchOracle(""),
     // The AS OF batch join answers the plain kNN join over the raw

@@ -1964,7 +1964,42 @@ object VectorIndex {
     * only. Output: (vec_id, list_id, sim), like [[search]]. */
   def searchAsOf(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, version: Int,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1): DataFrame =
+    searchAsOfAttempt(spark, table, colName, probe, topK, version, probes,
+      None, None)
+
+  /** FILTERED time travel (r15 — the C238 refusal lifted): reproduce
+    * yesterday's FILTERED RAG serve — the predicate narrows the
+    * snapshot's candidates BEFORE the top-k (the filtered-ANN rule,
+    * evaluated against the snapshot's own rows and DV state, so the
+    * filter set is exactly what it was at the version). On a BY
+    * PARTITION snapshot the predicate's partition pins route to the
+    * snapshot's own sub-geometries, like [[searchWhere]]. */
+  def searchAsOfWhere(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int, version: Int, probes: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    searchAsOfAttempt(spark, table, colName, probe, topK, version, probes,
+      Some(predicate), None)
+
+  /** PQ time travel (r15): the snapshot dir carries its OWN `pqcb/` +
+    * `codes/` sidecars, so the compressed serve replays at the version —
+    * ADC pre-rank over the historical codes, exact rerank pinned to the
+    * snapshot scan. An optional predicate semi-joins the codes BEFORE
+    * each cutoff (the filtered-PQ rule), evaluated against the
+    * snapshot's rows. Global (non-partitioned) indexes only — the
+    * per-partition historical codebook serve stays a targeted
+    * refusal. */
+  def searchAsOfPq(spark: SparkSession, table: String, colName: String,
+      probe: Array[Float], topK: Int, version: Int, probes: Int,
+      rerank: Int,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchAsOfAttempt(spark, table, colName, probe, topK, version, probes,
+      predicate, Some(rerank))
+
+  private def searchAsOfAttempt(spark: SparkSession, table: String,
+      colName: String, probe: Array[Float], topK: Int, version: Int,
+      probes: Int, predicate: Option[org.apache.spark.sql.Column],
+      rerankPq: Option[Int]): DataFrame = {
     import graft.llm.Similarity
     val op = "VECTOR SEARCH AS OF"
     val mt = resolveTable(spark, table, op)
@@ -1993,6 +2028,88 @@ object VectorIndex {
         .select(col("vec_id"), col("list_id"),
           graft.llm.PortableHash.dotFixed(col("embedding"), pv).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(topK)
+    rerankPq.foreach { rerank =>
+      // RERANK USING PQ × VERSION AS OF (r15): the historical sidecar
+      // dir carries the snapshot's own pqcb/codes, so the compressed
+      // serve replays exactly at the version; an optional predicate
+      // narrows the codes BEFORE the cutoff against the snapshot's rows
+      if (p.partCol.isDefined) throw new IllegalArgumentException(
+        s"$op: RERANK USING PQ does not compose with a BY PARTITION " +
+          "snapshot — per-partition historical codebooks are not " +
+          "served; use the plain AS OF search (exact within the " +
+          "snapshot's sub-geometries)")
+      import graft.llm.PortableHash.dotFixed
+      def exactTop(cand: DataFrame): DataFrame =
+        cand.select(col("vec_id"), col("list_id"),
+            dotFixed(col("embedding"), pv).as("sim"))
+          .orderBy(desc("sim"), col("vec_id")).limit(topK)
+      val idxDir = mt.dir.resolve(p.idxName)
+      val servable = p.isCurrent(digestOf(m)) &&
+        Seq("cents", "posts", "pqcb", "codes").forall(s =>
+          java.nio.file.Files.exists(idxDir.resolve(s)))
+      if (servable) {
+        val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+        val pLists = probeListsOf(cents, probe, probes)
+        val codes0 = spark.read.parquet(idxDir.resolve("codes").toString)
+          .where(col("list_id").isin(pLists: _*))
+        val codes = predicate match {
+          case None => codes0
+          case Some(pred) =>
+            val pFiles = spark.read
+              .parquet(idxDir.resolve("posts").toString)
+              .where(col("list_id").isin(pLists: _*))
+              .select("file").distinct().collect().map(_.getString(0))
+            if (pFiles.isEmpty) return emptyResult(spark, m, p.idCol)
+            // the snapshot-pinned scan evaluates the predicate against
+            // the version's rows and DV state — a row deleted AFTER the
+            // version still matches, a row appended after never does
+            val matching = snapScan(pFiles.toSeq).where(pred)
+              .select(col(p.idCol).as("vec_id"))
+            codes0.join(matching, Seq("vec_id"), "left_semi")
+        }
+        val cbArr = pqCbArr(
+          spark.read.parquet(idxDir.resolve("pqcb").toString))
+        val top = codes.crossJoin(broadcast(cbArr))
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+          .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
+          .select(col("vec_id"), col("list_id"), col("file"))
+          .localCheckpoint()
+        val cand = top.select("file").distinct()
+          .collect().map(_.getString(0))
+        if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
+        return exactTop(snapScan(cand.toSeq)
+          .select(col(p.idCol).as("vec_id"), col(colName).as("embedding"))
+          .join(broadcast(top.select(col("vec_id"), col("list_id"))),
+            "vec_id"))
+      } else {
+        // stale snapshot index (or reaped sidecars): replay geometry +
+        // codebook + codes over the SNAPSHOT rows under the persisted
+        // policy — what a rebuild at that version would have answered
+        val all = snapScan(names)
+        val rows = rekey(all)
+        val n = rows.count()
+        val (assigned, cents) = retrainGeometry(rows, p, n)
+        val cb = trainPqCodebook(rows, n)
+        if (cb.limit(1).count() == 0) throw new IllegalStateException(
+          s"$op: no PQ codebook trains at snapshot $version (no rows " +
+            "below the anchor cap) — use searchAsOf")
+        val cbArr = pqCbArr(cb)
+        val inLists = assigned.where(col("list_id").isin(
+          probeListsOf(cents, probe, probes): _*))
+        val candRows = predicate match {
+          case None => inLists
+          case Some(pred) => inLists.join(
+            all.where(pred).select(col(p.idCol).as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        }
+        val top = encodePq(candRows, cbArr)
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+          .orderBy(desc("sim_adc"), col("vec_id")).limit(rerank)
+        return exactTop(top)
+      }
+    }
     p.partCol.foreach { pc =>
       // BY PARTITION time travel (r14 — formerly a refusal): the
       // snapshot's OWN sub-geometries serve the pins-are-all-partitions
@@ -2017,19 +2134,37 @@ object VectorIndex {
       val servableP = p.isCurrent(digestOf(m)) &&
         java.nio.file.Files.exists(idxDirP.resolve("cents")) &&
         java.nio.file.Files.exists(idxDirP.resolve("posts"))
+      // the predicate's partition pins route to the snapshot's OWN
+      // sub-geometries (the multi-pin serving shape, at the version);
+      // the full predicate then narrows candidates before the top-k
+      val pins = predicate.flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
       if (servableP) {
-        val cents = spark.read.parquet(idxDirP.resolve("cents").toString)
+        val cents0 = spark.read.parquet(idxDirP.resolve("cents").toString)
+        val cents = pins.fold(cents0)(ps =>
+          cents0.where(col("part").isin(ps: _*)))
         val probed = probePairsOf(cents, probe, probes)
         val cand = spark.read.parquet(idxDirP.resolve("posts").toString)
           .join(probed, Seq("part", "list_id"))
           .select("file").distinct().collect().map(_.getString(0))
         if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
+        val scanned = snapScan(cand.toSeq)
         return rankByPart(graft.llm.Similarity.assignListsHierByPartLocal(
-          partKey(snapScan(cand.toSeq)), cents, p.coarse), probed)
+          partKey(predicate.fold(scanned)(scanned.where)), cents,
+          p.coarse), probed)
       } else {
-        val rows = partKey(snapScan(names))
+        val all = snapScan(names)
+        val rows = partKey(all)
         val (assigned, cents) = retrainGeometryRankedByPart(rows, p)
-        return rankByPart(assigned, probePairsOf(cents, probe, probes))
+        val centsP = pins.fold(cents)(ps =>
+          cents.where(col("part").isin(ps: _*)))
+        val candRows = predicate match {
+          case None => assigned
+          case Some(pred) => assigned.join(
+            all.where(pred).select(col(pc).cast("string").as("part"),
+              col(p.idCol).as("vec_id")),
+            Seq("part", "vec_id"), "left_semi")
+        }
+        return rankByPart(candRows, probePairsOf(centsP, probe, probes))
       }
     }
     val idxDir = mt.dir.resolve(p.idxName)
@@ -2047,14 +2182,19 @@ object VectorIndex {
         .where(col("list_id").isin(pLists: _*))
         .select("file").distinct().collect().map(_.getString(0))
       if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
-      rank(rekey(snapScan(cand.toSeq)), cents, pLists)
+      // the predicate narrows the snapshot's candidates BEFORE the
+      // top-k (the filtered-ANN rule, at the version's own DV state)
+      val scanned = snapScan(cand.toSeq)
+      rank(rekey(predicate.fold(scanned)(scanned.where)), cents, pLists)
     } else {
       // the snapshot's index was stale (or its sidecars reaped):
       // retrain over the SNAPSHOT rows under the persisted policy —
       // exactly what a rebuild at that version would have answered
-      val rows = rekey(snapScan(names))
+      val all = snapScan(names)
+      val rows = rekey(all)
       val (_, cents) = retrainGeometry(rows, p, rows.count())
-      rank(rows, cents, probeListsOf(cents, probe, probes))
+      rank(rekey(predicate.fold(all)(all.where)), cents,
+        probeListsOf(cents, probe, probes))
     }
   }
 
@@ -2198,6 +2338,131 @@ object VectorIndex {
       val (_, cents) = retrainGeometry(rows, p, rows.count())
       finish(Similarity.assignLists(b0, cents),
         Similarity.assignListsHierLocal(rows, cents, p.coarse))
+    }
+  }
+
+  /** TIME-TRAVEL PQ kNN JOIN (r15 — completing the C238 matrix):
+    * [[knnJoinPq]] against a TABLE SNAPSHOT — per-row ADC cutoff over
+    * the snapshot's OWN `codes/` sidecar against its OWN stored
+    * codebook, survivors' embeddings fetched through the snapshot-pinned
+    * scan for the exact per-row rerank. Servable = digest-fresh AND all
+    * four sidecars present; otherwise the in-query replay trains
+    * geometry + codebook + codes over the snapshot rows (the retrain
+    * posture). Global indexes only, like the fresh PQ join's
+    * per-partition tier caveat. Output (vec_id, rank, nn_id, sim). */
+  def knnJoinAsOfPq(spark: SparkSession, table: String, colName: String,
+      batch: DataFrame, k: Int, version: Int, rerank: Int = 50)
+      : DataFrame = {
+    import graft.llm.Similarity
+    import graft.llm.PortableHash.dotFixed
+    val op = "VECTOR KNN JOIN PQ AS OF"
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: snapshot $version expired or never existed at ${mt.dir}"))
+    val p = parseProp(m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName) existed as of " +
+          s"version $version — the snapshot carries no vecidx prop")))
+    if (p.partCol.isDefined) throw new IllegalArgumentException(
+      s"$op: RERANK USING PQ does not compose with a BY PARTITION " +
+        "snapshot — use knnJoinAsOf (exact within the snapshot's " +
+        "sub-geometries)")
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+      col(colName).as("embedding"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sim_adc"), col("vec_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(desc("sim"), col("nn_id"))
+    def rankTop(pairs: DataFrame): DataFrame =
+      pairs
+        .withColumn("rank", row_number().over(wTop)
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("rank") <= k)
+        .select(col("bid").as("vec_id"), col("rank"), col("nn_id"),
+          col("sim"))
+        .orderBy("vec_id", "rank")
+    val idxDir = mt.dir.resolve(p.idxName)
+    val servable = p.isCurrent(digestOf(m)) &&
+      Seq("cents", "posts", "pqcb", "codes").forall(s =>
+        java.nio.file.Files.exists(idxDir.resolve(s)))
+    if (servable) {
+      val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+      val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
+      val probed = bAssigned.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val cbArr = pqCbArr(
+        spark.read.parquet(idxDir.resolve("pqcb").toString))
+      val codesAll =
+        if (probed.isEmpty)
+          spark.read.parquet(idxDir.resolve("codes").toString)
+            .where(lit(false))
+        else spark.read.parquet(idxDir.resolve("codes").toString)
+          .where(col("list_id").isin(probed: _*))
+      val top = bAssigned
+        .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
+          col("list_id"))
+        .join(codesAll, Seq("list_id"))
+        .crossJoin(broadcast(cbArr))
+        .withColumn("sim_adc",
+          Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= rerank)
+        .select(col("bid"), col("e_n"), col("vec_id"), col("file"))
+        .localCheckpoint()
+      val candFiles = top.select("file").distinct()
+        .collect().map(_.getString(0))
+      val pairs =
+        if (candFiles.isEmpty)
+          top.select(col("bid"), col("vec_id").as("nn_id"),
+            lit(0L).as("sim")).where(lit(false))
+        else snapScan(candFiles.toSeq)
+          .select(col(p.idCol).as("vec_id"), col(colName).as("e_o"))
+          .join(broadcast(top), "vec_id")
+          .select(col("bid"), col("vec_id").as("nn_id"),
+            dotFixed(col("e_n"), col("e_o")).as("sim"))
+      rankTop(pairs)
+    } else {
+      // stale snapshot index (or reaped sidecars): replay geometry +
+      // codebook + codes over the SNAPSHOT rows under the persisted
+      // policy — what a rebuild at that version would have answered
+      val rows = snapScan(names)
+        .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+          col(colName).as("embedding"))
+      val n = rows.count()
+      val (corpusAssigned, cents) = retrainGeometry(rows, p, n)
+      val cb = trainPqCodebook(
+        rows.select(col("vec_id"), col("embedding")), n)
+      if (cb.isEmpty) throw new IllegalStateException(
+        s"$op: no PQ codebook trains at snapshot $version (no rows " +
+          "below the anchor cap) — use knnJoinAsOf")
+      val cbArr = pqCbArr(cb)
+      val coded = encodePq(
+        corpusAssigned.select(col("vec_id"), col("embedding"),
+          col("list_id")), cbArr)
+      val top = Similarity.assignLists(b0, cents)
+        .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
+          col("list_id"))
+        .join(coded.drop("embedding", "cents"), Seq("list_id"))
+        .crossJoin(broadcast(cbArr))
+        .withColumn("sim_adc",
+          Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= rerank)
+        .select(col("bid"), col("e_n"), col("vec_id"))
+      val pairs = top
+        .join(corpusAssigned.select(col("vec_id"), col("embedding")
+          .as("e_o")), "vec_id")
+        .select(col("bid"), col("vec_id").as("nn_id"),
+          dotFixed(col("e_n"), col("e_o")).as("sim"))
+      rankTop(pairs)
     }
   }
 

@@ -346,18 +346,71 @@ class VectorIndexSpec extends SparkSuite {
       VectorIndex.searchAsOf(spark, t, "embedding", vec(0), 5, 999)
     }
     assert(e.getMessage.contains("expired or never existed"), e.getMessage)
-    // the SQL statement answers exactly what the API does; RERANK/WHERE
-    // refuse to compose with time travel
+    // the SQL statement answers exactly what the API does
     val pv = vec(0).mkString(", ")
     val sqlIds = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
         s"TOP 6 VERSION AS OF $v")
       .select("vec_id").as[Long].collect().toSet
     assert(sqlIds == ids, s"$sqlIds vs $ids")
-    val e2 = intercept[IllegalArgumentException] {
-      spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) TOP 6 " +
-        s"VERSION AS OF $v WHERE vec_id > 1").collect()
-    }
-    assert(e2.getMessage.contains("do not compose"), e2.getMessage)
+  }
+
+  test("time travel × WHERE / RERANK USING PQ (r15): the predicate and " +
+      "the ADC cutoff run at the snapshot") {
+    val cat = freshCatalog("vix51")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val v = Manifest.snapshotVersions(dir).max
+    // decoys: boosted probe-axis copies that MATCH the filter, appended
+    // after the version — they strictly dominate any current (filtered
+    // or PQ) search but must shift neither the snapshot's filter set
+    // nor its cutoff
+    (100L to 104L).map(i => (i, 0, vec(0, (0, 2f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    val pv = vec(0).mkString(", ")
+    // filtered AS OF: blob A (label 0) only, decoys invisible
+    val filt = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 6 VERSION AS OF $v WHERE label = 0")
+      .select("vec_id").as[Long].collect().toSet
+    assert(filt == (0L to 5L).toSet,
+      s"snapshot's filter set, no decoys: $filt")
+    // and the filter DOES narrow: the even-id half of blob A only (the
+    // filtered-ANN rule — candidates narrow WITHIN the probed list)
+    val filtE = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 6 VERSION AS OF $v WHERE vec_id % 2 = 0")
+      .select("vec_id").as[Long].collect().toSet
+    assert(filtE == Set(0L, 2L, 4L),
+      s"predicate narrows the snapshot's candidates: $filtE")
+    // PQ AS OF: the historical codes drive the cutoff, decoys invisible
+    val pq = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 6 VERSION AS OF $v RERANK 8 USING PQ")
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq == (0L to 5L).toSet, s"snapshot PQ top-6: $pq")
+    // a CURRENT filtered search IS dominated by the decoys (they match)
+    val cur = VectorIndex.searchWhere(spark, t, "embedding", vec(0), 5,
+        probes = 1, col("label") === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L to 104L).toSet.subsetOf(cur),
+      s"current filtered top-5 is the decoys': $cur")
+    // PQ kNN join AS OF: per-row ADC cutoff over the snapshot's codes
+    val knn = VectorIndex.knnJoinAsOfPq(spark, t, "embedding",
+      Seq((500L, vec(0, (10, 0.05f)))).toDF("vec_id", "embedding"),
+      k = 6, version = v, rerank = 8)
+    val nn = knn.select("nn_id").as[Long].collect().toSet
+    assert(nn == (0L to 5L).toSet, s"snapshot join neighbors: $nn")
+    // and through SQL
+    spark.sql("SELECT 500 AS vec_id, array(" +
+      vec(0, (10, 0.05f)).map(f => s"CAST($f AS FLOAT)").mkString(", ") +
+      ") AS embedding").createOrReplaceTempView("asofpq_batch")
+    val knnSql = spark.sql(s"VECTOR KNN JOIN ON $t (embedding) USING " +
+        s"(SELECT vec_id, embedding FROM asofpq_batch) TOP 6 " +
+        s"VERSION AS OF $v RERANK 8 USING PQ")
+      .select("nn_id").as[Long].collect().toSet
+    assert(knnSql == nn, s"SQL twin: $knnSql vs $nn")
   }
 
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
