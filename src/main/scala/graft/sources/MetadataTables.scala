@@ -41,7 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    one `vector-part` row per partition VALUE (its k, indexed file
   *    count, and PER-PARTITION freshness — only partitions whose file
   *    set changed go stale, matching the partition-scoped REFRESH), so
-  *    operators monitor the sub-geometries they actually serve. Empty
+  *    operators monitor the sub-geometries they actually serve. A text
+  *    index on a partitioned table yields the mirror `text-part` rows
+  *    (r15): per-partition freshness off the build's `parts/`
+  *    attribution sidecar, DV drift surfacing per partition. Empty
   *    when no index is published.
   *
   * `$` needs backticks even to parse, so the suffix can never shadow a
@@ -197,10 +200,12 @@ object MetadataTables {
           // dead rows until REFRESH re-derives the touched files)
           // surfaces in details so operators see the catch-up debt
           val drifted = fields.length > 2 && fields(2) != curDvDigest
-          Seq(Array[Any](UTF8String.fromString("text"),
+          Array[Any](UTF8String.fromString("text"),
             UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
             UTF8String.fromString(fields(0)), fields(1) == curDigest,
-            if (drifted) UTF8String.fromString("dv_drift=true") else null))
+            if (drifted) UTF8String.fromString("dv_drift=true") else null) +:
+            textPartRows(dir, m, fields(1) == curDigest, drifted,
+              k.stripPrefix(TextIndex.PropPrefix), fields(0))
         case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>
           val p = VectorIndex.parseProp(v)
           val pq = java.nio.file.Files.exists(
@@ -226,6 +231,73 @@ object MetadataTables {
             vectorPartRows(dir, m, curDigest, curDvDigest,
               k.stripPrefix(VectorIndex.PropPrefix), p)
       }.flatten.toArray
+  }
+
+  /** The per-partition rows of a text index on a PARTITIONED table (r15
+    * — closing the tier asymmetry: freshness rows were vector-only): one
+    * `text-part` row per partition VALUE with its indexed file count and
+    * PER-PARTITION freshness — a partition is stale iff its OWN file set
+    * changed (new unindexed files landed in it, or indexed files died),
+    * matching the file-scoped refresh's attribution. DV drift follows
+    * the text tier's names-only rule: it never flips freshness, it
+    * surfaces as `dv_drift=true` in the partition's details. Reads the
+    * build's `parts/` attribution sidecar (O(#files) rows) plus, when
+    * unindexed files exist, one part-column-projected scan of ONLY those
+    * files; a pre-r15 index has no sidecar and yields no rows until its
+    * next REFRESH derives one. */
+  private def textPartRows(dir: Path, m: Manifest, fresh: Boolean,
+      dvDrifted: Boolean, colName: String, idxName: String)
+      : Seq[Array[Any]] = {
+    val idxDir = dir.resolve(idxName)
+    val partsPath = idxDir.resolve("parts")
+    if (!java.nio.file.Files.exists(partsPath)) return Seq.empty
+    val pc = Manifest.partitionCols(dir) match {
+      case Seq(one) => one
+      case _ => return Seq.empty
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fileParts = spark.read.parquet(partsPath.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val filesByPart = fileParts.groupBy(_._2).map { case (pv, fs) =>
+      pv -> fs.map(_._1).toSet
+    }
+    val live = m.entries.filter(_.rows > 0).map(_.name).toSet
+    val indexed = fileParts.map(_._1).toSet
+    val newFiles = (live -- indexed).toSeq.sorted
+    val newParts: Set[String] =
+      if (newFiles.isEmpty) Set.empty
+      else spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString)
+        .option("files", newFiles.mkString(","))
+        .load()
+        .select(org.apache.spark.sql.functions.col(pc).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+    // dv-drifted files surface in THEIR partitions' details (catch-up
+    // debt attribution, off the metadata-class coverage sidecar)
+    val driftedFiles: Set[String] =
+      if (!dvDrifted) Set.empty
+      else {
+        val coveredPath = idxDir.resolve("covered")
+        if (java.nio.file.Files.exists(coveredPath))
+          spark.read.parquet(coveredPath.toString).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap match {
+              case rec => m.entries.filter(e => e.rows > 0 &&
+                rec.contains(e.name) &&
+                rec(e.name) != e.dv.map(_._1).orNull).map(_.name).toSet
+            }
+        else m.entries.filter(e => e.rows > 0 && e.dv.isDefined)
+          .map(_.name).toSet
+      }
+    (filesByPart.keySet ++ newParts).toSeq.sorted.map { pv =>
+      val files = filesByPart.getOrElse(pv, Set.empty)
+      val partFresh = fresh || (!newParts(pv) && files.subsetOf(live))
+      val pDrift = files.exists(driftedFiles)
+      Array[Any](UTF8String.fromString("text-part"),
+        UTF8String.fromString(colName),
+        UTF8String.fromString(idxName), partFresh,
+        UTF8String.fromString(s"part=$pv files=${files.count(live)}" +
+          (if (pDrift) " dv_drift=true" else "")))
+    }
   }
 
   /** The per-partition rows of a BY PARTITION vector index — one

@@ -153,6 +153,42 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The PARTITIONED text base `q_meta_indexes_text_partitioned` reads
+    * (r15): documents PARTITIONED BY (source), one partition-pure
+    * commit per source, text-indexed at staging (the build writes the
+    * `parts/` attribution sidecar), then ONE post-index append into the
+    * lexicographically FIRST source — so exactly that partition reports
+    * stale in `t$indexes` while every other stays fresh. Staged ONCE
+    * per (JVM, sfDir). */
+  private val stagedTextPartBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTextPartBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedTextPartBase.computeIfAbsent(d, _ => {
+      val root = graft.Scratch.dir("graft_stagetp_")
+      val cat = s"graftstgtp${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, text STRING) " +
+        "PARTITIONED BY (source)")
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "text")
+      val sources = docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0))
+      sources.foreach { src =>
+        docs.filter(docs("source") === src).coalesce(1)
+          .writeTo(s"$cat.q.docs").append()
+      }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      // churn exactly one partition: its text-part row goes stale
+      import s.implicits._
+      Seq((9999999L, sources.head, "post index churn row"))
+        .toDF("doc_id", "source", "text").coalesce(1)
+        .writeTo(s"$cat.q.docs").append()
+      cat
+    })
+
   /** The SEMANTICALLY-CLUSTERED embeddings base `q_vector_search` reads:
     * one commit per k-means cluster (the layout a production pipeline
     * produces by clustering before writing), with the vector index built
@@ -1200,6 +1236,18 @@ object SourceQueries extends QueryModule {
       val cat = stageVecPartBase(s, d)
       s.sql(s"SELECT kind, col, fresh, details FROM $cat.q.`emb$$indexes` " +
         "WHERE kind = 'vector-part' ORDER BY details")
+    }),
+
+    // Per-partition freshness for TEXT indexes (r15 — the tier
+    // asymmetry closed): one `text-part` row per source, freshness
+    // attributed per partition off the build's `parts/` sidecar — the
+    // staged post-index append into the FIRST source flips exactly that
+    // partition's row stale, every other stays fresh. The oracle
+    // derives the same matrix from the raw documents table.
+    "q_meta_indexes_text_partitioned" -> ((s, d) => {
+      val cat = stageTextPartBase(s, d)
+      s.sql(s"SELECT kind, col, fresh, details FROM $cat.q.`docs$$indexes` " +
+        "WHERE kind = 'text-part' ORDER BY details")
     }),
 
     // MULTI-PIN sub-index search (`WHERE label IN (3, 5)`): one
@@ -4449,6 +4497,14 @@ object SourceQueries extends QueryModule {
         |    CAST(CEIL(SQRT(c)) AS BIGINT))) AS VARCHAR) ||
         |  ' files=1' AS details
         |FROM (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label)
+        |ORDER BY details""".stripMargin,
+    // One text-part row per source, one file each; the staged churn
+    // append flips exactly the FIRST source's row stale (r15).
+    "q_meta_indexes_text_partitioned" ->
+      """SELECT 'text-part' AS kind, 'text' AS col,
+        |  source != (SELECT min(source) FROM documents) AS fresh,
+        |  'part=' || source || ' files=1' AS details
+        |FROM (SELECT DISTINCT source FROM documents)
         |ORDER BY details""".stripMargin,
     // One file per source value → degenerate per-file ranges.
     "q_meta_partitions" ->

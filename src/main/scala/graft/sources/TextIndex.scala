@@ -154,6 +154,32 @@ object TextIndex {
         StructField("mh", ArrayType(LongType)))))
   }
 
+  /** The PARTITION-ATTRIBUTION sidecar rows for `names` — one (file,
+    * part) row per (file, partition value), derived only when the table
+    * is PARTITIONED BY exactly one column (r15): what lets `t$indexes`
+    * report PER-PARTITION text freshness (`text-part` rows, mirroring
+    * the vector tier's `vector-part`) without scanning the corpus at
+    * metadata time. Metadata-class: a part-column-only projected scan
+    * at derivation, O(#files) rows stored, remapped by refresh exactly
+    * like posts/stats. */
+  private def partsOf(spark: SparkSession, dir: Path,
+      names: Seq[String]): Option[DataFrame] =
+    Manifest.partitionCols(dir) match {
+      case Seq(pc) =>
+        Some(
+          if (names.isEmpty) {
+            import org.apache.spark.sql.types._
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("file", StringType),
+                StructField("part", StringType))))
+          } else scanFiles(spark, dir, names)
+            .select(col("_file").as("file"),
+              col(pc).cast("string").as("part"))
+            .distinct())
+      case _ => None
+    }
+
   /** Build (or rebuild) the index for `colName`: one distributed pass over
     * the current live rows, one shuffle keyed on token, one props-only
     * commit. Returns (files indexed, distinct tokens). */
@@ -188,6 +214,8 @@ object TextIndex {
         spark.read.parquet(idxDir.resolve("posts").toString)
           .select(col("token")).distinct().count()
       }
+    partsOf(spark, dir, names).foreach(_.coalesce(1)
+      .write.parquet(idxDir.resolve("parts").toString))
     writeCovered(spark, idxDir, m, names)
     // props-only publish under the table's commit lock: the index dir,
     // the file-set digest it covers, and the DV-identity digest swap in
@@ -306,6 +334,23 @@ object TextIndex {
         if (newFiles.isEmpty) keptSig
         else keptSig.unionByName(minhashOf(spark, dir, colName, newFiles))
       sig.write.parquet(idxDir.resolve("minhash").toString)
+    }
+    // the partition-attribution sidecar remaps like posts/stats (r15):
+    // dead files' rows drop, re-derived files' attribute from their
+    // part-column projection. A pre-r15 index GAINS the sidecar here —
+    // unlike minhash, the full derivation is a projected metadata-class
+    // scan (never tokenization), so the upgrade is free at refresh time
+    Manifest.partitionCols(dir) match {
+      case Seq(_) =>
+        val parts =
+          if (Files.exists(oldDir.resolve("parts"))) {
+            val kept = spark.read.parquet(oldDir.resolve("parts").toString)
+              .where(!col("file").isin(dead: _*))
+            if (newFiles.isEmpty) kept
+            else kept.unionByName(partsOf(spark, dir, newFiles).get)
+          } else partsOf(spark, dir, live).get
+        parts.coalesce(1).write.parquet(idxDir.resolve("parts").toString)
+      case _ => ()
     }
     writeCovered(spark, idxDir, m, live)
     ManifestLock.withLock(dir) {

@@ -123,7 +123,7 @@ class TextIndexSpec extends SparkSuite {
 
   test("MINHASH DEDUP SQL statement: the incremental serve from plain " +
       "SQL (r15)") {
-    val (cat, _) = freshCatalog("tix30")
+    val (cat, _) = freshCatalog("tix32")
     val t = stage(cat)
     spark.sql(s"CREATE TEXT INDEX ON $t (text)")
     Seq((100L, "needle in the hay"), (101L, "zulu yankee xray whiskey"))
@@ -151,6 +151,61 @@ class TextIndexSpec extends SparkSuite {
         "(SELECT id, text FROM mh_batch)")
     }
     assert(e.getMessage.contains("MINHASH DEDUP ON <table>"), e.getMessage)
+  }
+
+  test("text-part freshness: per-partition attribution matrix (r15)") {
+    val (cat, _) = freshCatalog("tix33")
+    val t = s"$cat.ns.docs"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, src STRING, text STRING) " +
+      "PARTITIONED BY (src)")
+    Seq((1L, "a", "alpha beta"), (2L, "a", "beta gamma"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    Seq((3L, "b", "needle hay"), (4L, "b", "gamma hay"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    Seq((5L, "c", "delta hay"), (8L, "c", "hay extra"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    def matrix(): Map[String, (Boolean, String)] =
+      spark.sql(s"SELECT fresh, details FROM $cat.ns.`docs$$indexes` " +
+          "WHERE kind = 'text-part'")
+        .collect().map { r =>
+          val det = r.getString(1)
+          det.split(" ")(0).stripPrefix("part=") -> (r.getBoolean(0), det)
+        }.toMap
+    // fresh build: every partition fresh, one file each
+    val m0 = matrix()
+    assert(m0.keySet == Set("a", "b", "c"), m0.toString)
+    assert(m0.values.forall(_._1), s"all fresh after build: $m0")
+    assert(m0.values.forall(_._2.endsWith("files=1")), m0.toString)
+    // churn ONE partition: only its row goes stale
+    Seq((6L, "b", "late arrival")).toDF("id", "src", "text")
+      .coalesce(1).writeTo(t).append()
+    val m1 = matrix()
+    assert(!m1("b")._1, s"churned partition stale: $m1")
+    assert(m1("a")._1 && m1("c")._1, s"untouched partitions fresh: $m1")
+    // a NEW partition value surfaces as its own stale row
+    Seq((7L, "d", "brand new slice")).toDF("id", "src", "text")
+      .coalesce(1).writeTo(t).append()
+    val m2 = matrix()
+    assert(!m2("d")._1 && m2("d")._2.contains("files=0"),
+      s"new partition = stale, zero indexed files: $m2")
+    assert(m2("a")._1 && m2("c")._1 && !m2("b")._1, m2.toString)
+    // refresh re-derives ONLY the churned files; the matrix goes all
+    // fresh and the parts sidecar covers the new slice
+    spark.sql(s"REFRESH TEXT INDEX ON $t (text)")
+    val m3 = matrix()
+    assert(m3.keySet == Set("a", "b", "c", "d") &&
+      m3.values.forall(_._1), s"all fresh after refresh: $m3")
+    assert(m3("b")._2.endsWith("files=2"), s"b gained its churn file: $m3")
+    // DV drift surfaces per partition WITHOUT flipping freshness (the
+    // text tier's names-only rule)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delete.dv' = 'true')")
+    spark.sql(s"DELETE FROM $t WHERE id = 5")
+    val m4 = matrix()
+    assert(m4.values.forall(_._1), s"DV never flips freshness: $m4")
+    assert(m4("c")._2.contains("dv_drift=true"),
+      s"the DV'd partition carries the drift flag: $m4")
+    assert(!m4("a")._2.contains("dv_drift"), s"others don't: $m4")
   }
 
   test("stale index (appended file set) falls back to a correct full scan") {
