@@ -720,8 +720,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       (if (tail.isEmpty) "" else s" $tail"))
   }
 
+  /** `EXPLAIN [mode] <custom statement>` (r15): the statement families
+    * this parser owns (VECTOR SEARCH / VECTOR KNN JOIN / BM25 SEARCH /
+    * SEMANTIC DEDUP / MINHASH DEDUP) are commands, so the delegate's
+    * EXPLAIN can't see through them — rewrite to the statement's OWN
+    * composable-relation form (`EXPLAIN [mode] SELECT * FROM (<stmt>)`)
+    * and re-feed, so EXPLAIN renders the underlying serve dataflow's
+    * plan instead of erroring. */
+  private val ExplainCustom =
+    ("""(?is)\s*EXPLAIN(\s+(?:EXTENDED|CODEGEN|COST|FORMATTED))?\s+""" +
+      """((?:VECTOR\s+SEARCH|VECTOR\s+KNN\s+JOIN|BM25\s+SEARCH|""" +
+      """SEMANTIC\s+DEDUP|MINHASH\s+DEDUP)\s+ON\s+.*?)\s*;?\s*""").r
+
+  private def rewriteExplainCustom(sql: String): Option[String] =
+    sql match {
+      case ExplainCustom(mode, stmt) =>
+        Some(s"EXPLAIN${Option(mode).getOrElse("")} " +
+          s"SELECT * FROM (${stmt.trim})")
+      case _ => None
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewriteVecSearchSubqueries(sqlText)
+    rewriteExplainCustom(sqlText)
+      .orElse(rewriteVecSearchSubqueries(sqlText))
       .orElse(rewriteVecKnnSubqueries(sqlText))
       .orElse(rewriteBm25Subqueries(sqlText))
       .orElse(rewriteSemDedupSubqueries(sqlText))

@@ -153,6 +153,22 @@ class TextIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("MINHASH DEDUP ON <table>"), e.getMessage)
   }
 
+  test("EXPLAIN renders BM25 / MINHASH DEDUP serve plans (r15)") {
+    val (cat, _) = freshCatalog("tix34")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    def explained(sql: String): String =
+      spark.sql(sql).collect().map(_.getString(0)).mkString("\n")
+    val e1 = explained(s"EXPLAIN BM25 SEARCH ON $t (text) ID (id) " +
+      "TERMS ('hay') TOP 3")
+    assert(e1.contains("Physical Plan"), e1.take(300))
+    Seq((100L, "needle in the hay")).toDF("id", "text")
+      .createOrReplaceTempView("tex_batch")
+    val e2 = explained(s"EXPLAIN MINHASH DEDUP ON $t (text) ID (id) " +
+      "USING (SELECT id, text FROM tex_batch)")
+    assert(e2.contains("Physical Plan"), e2.take(300))
+  }
+
   test("text-part freshness: per-partition attribution matrix (r15)") {
     val (cat, _) = freshCatalog("tix33")
     val t = s"$cat.ns.docs"

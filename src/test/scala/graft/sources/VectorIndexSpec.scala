@@ -1485,6 +1485,32 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("SEMANTIC DEDUP ON <table>"), e.getMessage)
   }
 
+  test("EXPLAIN renders the custom statements' serve plans (r15)") {
+    val cat = freshCatalog("vixex")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val pv = vec(0).mkString(", ")
+    def explained(sql: String): String =
+      spark.sql(sql).collect().map(_.getString(0)).mkString("\n")
+    val e1 = explained(
+      s"EXPLAIN VECTOR SEARCH ON $t (embedding) PROBE ($pv) TOP 5")
+    assert(e1.contains("Physical Plan"), e1.take(300))
+    // the plan is the serve dataflow, not an opaque command node
+    assert(e1.contains("TakeOrderedAndProject") || e1.contains("Sort"),
+      e1.take(300))
+    val e2 = explained(s"EXPLAIN FORMATTED VECTOR SEARCH ON $t " +
+      s"(embedding) PROBE ($pv) TOP 5 RERANK 8 USING PQ")
+    assert(e2.contains("Physical Plan"), e2.take(300))
+    Seq((100L, vec(0))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("ex_batch")
+    val e3 = explained(s"EXPLAIN VECTOR KNN JOIN ON $t (embedding) " +
+      "USING (SELECT vec_id, embedding FROM ex_batch) TOP 3")
+    assert(e3.contains("Physical Plan"), e3.take(300))
+    val e4 = explained(s"EXPLAIN SEMANTIC DEDUP ON $t (embedding) " +
+      "USING (SELECT vec_id, embedding FROM ex_batch)")
+    assert(e4.contains("Physical Plan"), e4.take(300))
+  }
+
   test("malformed custom statements raise a targeted syntax error") {
     // clauses out of order: SAMPLE before LISTS
     val e1 = intercept[IllegalArgumentException] {
