@@ -46,7 +46,12 @@ object Bench {
     val spark = Sessions.local(cpus, appName = "graft-bench")
     Sessions.quietBoundedGlobalWindowWarnings() // keep the 2000-char tail signal-bearing
 
+    // optional comma-separated query filter (local iteration only — the
+    // driver invokes with no args and benches the full suite)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     // Each query runs twice per pass and the SECOND run is timed: the first
     // run absorbs codegen compilation and JIT warmup, which on this VM
     // dominate sub-second queries by 10-40× and made round-1 totals

@@ -241,19 +241,35 @@ object Dedup extends QueryModule {
 
   /** Variant taking a pre-computed corpus count, so callers that already
     * sized something else from n (the recall audit's probe modulus) reuse
-    * one scan instead of counting twice. */
+    * one scan instead of counting twice. r15 — the r14 SemDeDup fusion
+    * applied to the raw-table LSH: embeddings RIDE the band rows (zero
+    * re-fetch joins by id), the anchor panel is localized (its broadcast
+    * launches no job inside the self-join), and the MIN-SHARED-BAND rule
+    * tests each candidate pair exactly once, at its first shared band —
+    * no materialized pair set, no distinct-then-refetch round trips. The
+    * emitted pair set and cosines are unchanged (pair uniqueness is
+    * structural under the rule). */
   private def embeddingLshPairs(emb: DataFrame, n: Long): DataFrame = {
-    val bands = embeddingBandRows(emb, n)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), dotFixed(col("e_a"), col("e_b")).as("cosine"))
-      .filter(col("cosine") >= CosineThreshold)
+    val (nBands, bits) = embeddingLshParams(n)
+    val src = emb.select(col("vec_id"), col("embedding"))
+    val bands = embeddingBandRowsWith(src,
+      Clustering.localize(bandAnchors(src, nBands, bits)), nBands, bits,
+      carry = Seq("embedding"), keepKeys = true)
+    val xb = bands.select(col("vec_id").as("vec_a"), col("band"),
+      col("bkey"), col("bks").as("x_bks"), col("embedding").as("e_a"))
+    val yb = bands.select(col("vec_id").as("vec_b"),
+      col("band").as("y_band"), col("bkey").as("y_bkey"),
+      col("bks").as("y_bks"), col("embedding").as("e_b"))
+    xb.join(yb,
+        col("band") === col("y_band") && col("bkey") === col("y_bkey") &&
+          col("vec_a") < col("vec_b") &&
+          !exists(zip_with(
+            slice(col("x_bks"), lit(1), col("band")),
+            slice(col("y_bks"), lit(1), col("band")),
+            (a, b) => a === b), p => p) &&
+          dotFixed(col("e_a"), col("e_b")) >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"),
+        dotFixed(col("e_a"), col("e_b")).as("cosine"))
   }
 
   /** Banded-LSH candidate pairs from a (doc_id, mh) signature frame: band

@@ -98,8 +98,12 @@ object Similarity extends QueryModule {
     * First-max tie-break (array_position) matches DuckDB list_position. */
   def assignLists(emb: org.apache.spark.sql.DataFrame,
                   cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+    // the one-row panel is LOCALIZED (r15 — the r14 kmeans-loop rule
+    // applied to the flat assigner too): its broadcast launches no job
+    // inside the consuming action, so an assignment costs exactly the
+    // panel collect + one codegen stage
+    val centArr = Clustering.localize(cents
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents")))
     emb.crossJoin(broadcast(centArr))
       .withColumn("dots",
         transform(col("cents"), st => dotFixed(col("embedding"), st.getField("c_emb"))))
@@ -482,8 +486,9 @@ object Similarity extends QueryModule {
     * tie-break both times, mirroring DuckDB `list_position`. */
   def assignLists2(emb: org.apache.spark.sql.DataFrame,
                    cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents"))
+    // localized panel — same rationale as [[assignLists]] (r15)
+    val centArr = Clustering.localize(cents
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb")))).as("cents")))
     emb.crossJoin(broadcast(centArr))
       .withColumn("dots",
         transform(col("cents"), st => dotFixed(col("embedding"), st.getField("c_emb"))))

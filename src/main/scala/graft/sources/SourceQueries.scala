@@ -2258,11 +2258,14 @@ object SourceQueries extends QueryModule {
         .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
       val res = s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) " +
         s"PROBE ($probe) TOP 10 VERSION AS OF $v WHERE label % 2 = 0")
+      // decoys clone the probe row, so whether they match THIS filter is
+      // sf-dependent (row 0's label parity) — the filter-domination
+      // matrix is pinned with controlled labels in VectorIndexSpec; here
+      // the staging contract (5 post-version decoys) is what must hold
       val decoys = s.table(s"$cat.q.emb")
-        .where(col("vec_id") >= 2000000L && col("label") % 2 === 0).count()
+        .where(col("vec_id") >= 2000000L).count()
       assert(decoys == 5L,
-        s"the 5 decoys must match the filter (and still not surface): " +
-          s"$decoys")
+        s"the current table must hold the 5 probe-copy decoys: $decoys")
       res
     }),
 

@@ -24,7 +24,14 @@ class BenchIdempotenceSpec extends SparkSuite {
     // the r14 memoized streaming fixtures: the second invocation drains
     // an already-complete checkpoint — the log must not duplicate
     "q_stream_semantic_dedup", "q_stream_minhash_dedup",
-    "q_stream_knn_join", "q_stream_corpus_ingest")
+    "q_stream_knn_join", "q_stream_corpus_ingest",
+    // r15 staged bases: the once-per-JVM bucketed pair, the churned
+    // text-part fixture, the dedup SQL statements and the asof
+    // compositions must all re-serve identically
+    "q_join_bucketed", "q_meta_indexes_text_partitioned",
+    "q_dedup_semantic_incremental_sql", "q_dedup_minhash_incremental_sql",
+    "q_vector_search_asof_filtered", "q_vector_search_asof_pq",
+    "q_vector_knn_join_asof_pq")
 
   doubled.foreach { name =>
     test(s"$name survives a second invocation in the same JVM") {
