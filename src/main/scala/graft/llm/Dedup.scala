@@ -738,8 +738,11 @@ object Dedup extends QueryModule {
     // ≥ 0.35 on candidates only; unit-norm embeddings so cosine = dot. The
     // one driver-side `count()` that sizes the geometry is the same
     // pre-planning cardinality read a production indexer does.
+    // fanned out (r15): the one-row-group test layout plans the band
+    // derivation + pair join on ONE task otherwise
     "q_dedup_embedding" -> ((s, d) =>
-      embeddingLshPairs(Tables(s, d, "embeddings")).orderBy("vec_a", "vec_b")),
+      embeddingLshPairs(Clustering.fanOut(Tables(s, d, "embeddings")))
+        .orderBy("vec_a", "vec_b")),
 
     // RECALL AUDIT for the embedding LSH (the number a production near-dup
     // deployment monitors, declared through the oracle gate like

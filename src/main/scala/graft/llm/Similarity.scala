@@ -680,7 +680,9 @@ object Similarity extends QueryModule {
     // assignment (q_similarity_multiprobe's probe pattern) is the recall
     // knob for neighbors straddling a list boundary.
     "q_knn_graph" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
+      // fanned out (r15): the one-row-group test layout plans the whole
+      // candidate join + partial top-k on ONE task otherwise
+      val emb = Clustering.fanOut(Tables(s, d, "embeddings"))
       val seed = emb.filter(col("vec_id") < NumLists)
         .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
       val assigned = assignLists(emb, seed)
@@ -708,7 +710,7 @@ object Similarity extends QueryModule {
     // two lists are distinct, so (src, dst) candidates stay unique without
     // a distinct.
     "q_knn_graph_xlist" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
+      val emb = Clustering.fanOut(Tables(s, d, "embeddings"))
       val seed = emb.filter(col("vec_id") < NumLists)
         .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
       val a2 = assignLists2(emb, seed)
