@@ -2289,6 +2289,22 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // BY PARTITION × PQ × time travel (r15 — the last vector
+    // time-travel refusal lifted): the pinned partition's HISTORICAL
+    // ranked codebook and codes drive the ADC cutoff, the exact rerank
+    // fetches through the snapshot-pinned scan keyed on (part, vec_id).
+    // Shares the per-pin IVF-PQ replay oracle (the snapshot IS the raw
+    // corpus).
+    "q_vector_search_asof_partitioned_pq" -> ((s, d) => {
+      val (cat, v) = stageVecPartAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val probe = Tables(s, d, "embeddings").where(col("label") === 3)
+        .orderBy("vec_id").limit(1)
+        .select("embedding").collect().head.getSeq[Float](0).mkString(", ")
+      s.sql(s"VECTOR SEARCH ON $cat.q.emb (embedding) PROBE ($probe) " +
+        s"TOP 10 VERSION AS OF $v RERANK 50 USING PQ WHERE label = 3")
+    }),
+
     // PQ time travel for the BATCH join (r15): yesterday's compressed
     // RAG candidate fetch — per-row ADC cutoff over the snapshot's own
     // codes, survivors fetched through the snapshot-pinned scan. Shares
@@ -4955,6 +4971,10 @@ object SourceQueries extends QueryModule {
       sqlVectorSearchOracle("WHERE a.label % 2 = 0"),
     "q_vector_search_asof_pq" -> sqlVectorSearchPqOracle,
     "q_vector_knn_join_asof_pq" -> sqlPqKnnJoinOracle,
+    // The pinned slice's ranked chain + ranked codebook + codes + ADC
+    // cutoff + exact rerank, replayed from raw parquet — identical to
+    // the live partitioned-PQ oracle (the snapshot IS the raw corpus).
+    "q_vector_search_asof_partitioned_pq" -> sqlPqRankedOracle(3),
     // The SQL statement shares the Scala-API replay.
     "q_vector_search_asof_sql" -> sqlVectorSearchOracle(""),
     // The AS OF batch join answers the plain kNN join over the raw

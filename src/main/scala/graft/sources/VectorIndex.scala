@@ -1986,9 +1986,10 @@ object VectorIndex {
     * ADC pre-rank over the historical codes, exact rerank pinned to the
     * snapshot scan. An optional predicate semi-joins the codes BEFORE
     * each cutoff (the filtered-PQ rule), evaluated against the
-    * snapshot's rows. Global (non-partitioned) indexes only — the
-    * per-partition historical codebook serve stays a targeted
-    * refusal. */
+    * snapshot's rows. On a BY PARTITION snapshot every pin serves its
+    * OWN historical codebook/codes (part-local ADC cutoff and top-k,
+    * then the global top-k) — the fresh partitioned PQ dataflow with
+    * every read pinned to the version. */
   def searchAsOfPq(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, version: Int, probes: Int,
       rerank: Int,
@@ -2033,11 +2034,123 @@ object VectorIndex {
       // dir carries the snapshot's own pqcb/codes, so the compressed
       // serve replays exactly at the version; an optional predicate
       // narrows the codes BEFORE the cutoff against the snapshot's rows
-      if (p.partCol.isDefined) throw new IllegalArgumentException(
-        s"$op: RERANK USING PQ does not compose with a BY PARTITION " +
-          "snapshot — per-partition historical codebooks are not " +
-          "served; use the plain AS OF search (exact within the " +
-          "snapshot's sub-geometries)")
+      p.partCol.foreach { pc =>
+        // BY PARTITION × PQ × time travel (the last vector time-travel
+        // refusal, lifted): every pin ADC-ranks the snapshot's OWN
+        // per-partition codes against its OWN ranked codebook, the
+        // exact rerank fetches through the snapshot-pinned scan keyed
+        // on (part, vec_id), part-local top-k then the global top-k —
+        // the fresh partitioned PQ dataflow with every read pinned to
+        // the version. Stale/reaped → part-keyed ranked SAMPLE-aware
+        // replay (geometry + codebooks + codes) over the snapshot rows.
+        val idxDirP = mt.dir.resolve(p.idxName)
+        val servableP = p.isCurrent(digestOf(m)) &&
+          Seq("cents", "posts", "pqcb", "codes").forall(s =>
+            java.nio.file.Files.exists(idxDirP.resolve(s)))
+        val pins = predicate.flatMap(
+          partitionPins(_, pc, partTypeOf(m, pc)))
+        val wAdcP = org.apache.spark.sql.expressions.Window
+          .partitionBy("part").orderBy(desc("sim_adc"), col("vec_id"))
+        val wkP = org.apache.spark.sql.expressions.Window
+          .partitionBy("part").orderBy(desc("sim"), col("vec_id"))
+        if (servableP) {
+          val cents0 = spark.read.parquet(
+            idxDirP.resolve("cents").toString)
+          val centsP = pins.fold(cents0)(ps =>
+            cents0.where(col("part").isin(ps: _*)))
+          val probed = probePairsOf(centsP, probe, probes)
+          val codesProbed = spark.read
+            .parquet(idxDirP.resolve("codes").toString)
+            .join(broadcast(probed), Seq("part", "list_id"))
+          val codes = predicate match {
+            case None => codesProbed
+            case Some(pred) =>
+              val pFiles = spark.read
+                .parquet(idxDirP.resolve("posts").toString)
+                .join(probed, Seq("part", "list_id"))
+                .select("file").distinct().collect().map(_.getString(0))
+              if (pFiles.isEmpty) codesProbed.where(lit(false))
+              else {
+                val match0 = snapScan(pFiles.toSeq).where(pred)
+                  .select(col(p.idCol).as("vec_id"),
+                    col(pc).cast("string").as("part"))
+                val matching = pins.fold(match0)(ps =>
+                  match0.where(col("part").isin(ps: _*)))
+                codesProbed.join(matching, Seq("part", "vec_id"),
+                  "left_semi")
+              }
+          }
+          val cbByPart = spark.read
+            .parquet(idxDirP.resolve("pqcb").toString)
+            .groupBy("part")
+            .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+              .as("cents"))
+          val top = codes.join(broadcast(cbByPart), "part")
+            .withColumn("sim_adc",
+              Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+            .withColumn("ark", row_number().over(wAdcP))
+            .where(col("ark") <= rerank)
+            .select(col("part"), col("vec_id"), col("list_id"),
+              col("file"))
+            .localCheckpoint()
+          val cand = top.select("file").distinct()
+            .collect().map(_.getString(0))
+          if (cand.isEmpty) return emptyResult(spark, m, p.idCol)
+          return snapScan(cand.toSeq)
+            .select(col(p.idCol).as("vec_id"),
+              col(colName).as("embedding"),
+              col(pc).cast("string").as("part"))
+            .join(broadcast(top.select(col("part"), col("vec_id"),
+              col("list_id"))), Seq("part", "vec_id"))
+            .select(col("part"), col("vec_id"), col("list_id"),
+              graft.llm.PortableHash.dotFixed(col("embedding"), pv)
+                .as("sim"))
+            .withColumn("prk", row_number().over(wkP))
+            .where(col("prk") <= topK)
+            .select(col("vec_id"), col("list_id"), col("sim"))
+            .orderBy(desc("sim"), col("vec_id")).limit(topK)
+        } else {
+          val all = snapScan(names)
+          def partKeyP(df: DataFrame): DataFrame = {
+            val keyed = df.select(col(p.idCol).as("vec_id"),
+              lit(0).as("label"), col(colName).as("embedding"),
+              col(pc).cast("string").as("part"))
+            pins.fold(keyed)(ps => keyed.where(col("part").isin(ps: _*)))
+          }
+          val rowsP = partKeyP(all)
+          val (assigned, cents) = retrainGeometryRankedByPart(rowsP, p)
+          val cbArrByPart = trainPqCodebookRankedByPart(
+              rowsP.select(col("part"), col("vec_id"), col("embedding")))
+            .groupBy("part")
+            .agg(array_sort(collect_list(
+              struct(col("c_id"), col("c_emb")))).as("cents"))
+          val probed = probePairsOf(cents, probe, probes)
+          val inLists = assigned.join(broadcast(probed),
+            Seq("part", "list_id"))
+          val candRows = predicate match {
+            case None => inLists
+            case Some(pred) => inLists.join(
+              partKeyP(all.where(pred)).select(col("part"), col("vec_id")),
+              Seq("part", "vec_id"), "left_semi")
+          }
+          return (0 until Similarity.PqM).foldLeft(
+              candRows.join(broadcast(cbArrByPart), "part")) { (df, b) =>
+              df.withColumn(s"code$b",
+                Similarity.pqCode(col("cents"), col("embedding"), b))
+            }
+            .withColumn("sim_adc",
+              Similarity.pqAdc(col("cents"), pv, b => col(s"code$b")))
+            .withColumn("ark", row_number().over(wAdcP))
+            .where(col("ark") <= rerank)
+            .select(col("part"), col("vec_id"), col("list_id"),
+              graft.llm.PortableHash.dotFixed(col("embedding"), pv)
+                .as("sim"))
+            .withColumn("prk", row_number().over(wkP))
+            .where(col("prk") <= topK)
+            .select(col("vec_id"), col("list_id"), col("sim"))
+            .orderBy(desc("sim"), col("vec_id")).limit(topK)
+        }
+      }
       import graft.llm.PortableHash.dotFixed
       def exactTop(cand: DataFrame): DataFrame =
         cand.select(col("vec_id"), col("list_id"),

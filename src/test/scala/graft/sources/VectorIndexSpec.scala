@@ -1485,6 +1485,54 @@ class VectorIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("SEMANTIC DEDUP ON <table>"), e.getMessage)
   }
 
+  test("BY PARTITION × PQ × time travel (r15): each pin serves its " +
+      "historical codebook; stale snapshots replay part-keyed") {
+    val cat = freshCatalog("vixap")
+    val t = s"$cat.ns.emb"
+    spark.sql(s"CREATE TABLE $t (vec_id BIGINT, label INT, " +
+      "embedding ARRAY<FLOAT>) PARTITIONED BY (label)")
+    (0L to 5L).map(i => (i, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    (6L to 11L).map(i => (i, 1, vec(1, (20, 0.05f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id) " +
+      "BY PARTITION")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val v = Manifest.snapshotVersions(dir).max
+    // boosted decoys into partition 0, after the version
+    (100L to 104L).map(i => (i, 0, vec(0, (0, 2f))))
+      .toDF("vec_id", "label", "embedding").coalesce(1).writeTo(t).append()
+    val v2 = Manifest.snapshotVersions(dir).max
+    val pv = vec(0).mkString(", ")
+    // pinned PQ AS OF: partition 0's HISTORICAL codebook/codes, no decoys
+    val pq = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 6 VERSION AS OF $v RERANK 8 USING PQ WHERE label = 0")
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq == (0L to 5L).toSet, s"snapshot pin, no decoys: $pq")
+    // a CURRENT pinned PQ search IS dominated by the decoys
+    val cur = VectorIndex.searchPqWhere(spark, t, "embedding", vec(0), 5,
+        probes = 1, rerank = 12, col("label") === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L to 104L).toSet.subsetOf(cur), s"current is decoys': $cur")
+    // unpinned AS OF: the global union over every historical pin
+    val glob = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 12 VERSION AS OF $v RERANK 24 USING PQ")
+      .select("vec_id").as[Long].collect().toSet
+    assert(glob == (0L to 11L).toSet, s"global union at the version: $glob")
+    // v2's snapshot carries the PRE-APPEND prop (no refresh ran): the
+    // stale path replays part-keyed geometry + codebooks + codes over
+    // v2's rows — the decoys rank because they ARE v2's state
+    val stale = spark.sql(s"VECTOR SEARCH ON $t (embedding) PROBE ($pv) " +
+        s"TOP 5 VERSION AS OF $v2 RERANK 12 USING PQ WHERE label = 0")
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L to 104L).toSet.subsetOf(stale),
+      s"stale snapshot replay ranks v2's own rows: $stale")
+  }
+
   test("EXPLAIN renders the custom statements' serve plans (r15)") {
     val cat = freshCatalog("vixex")
     val t = stage(cat)
