@@ -1624,16 +1624,19 @@ private[plans] object VectorKnnJoinDf {
     import org.apache.spark.sql.functions.{col, expr}
     val batch = spark.sql(batchSql)
     version.foreach { v =>
-      // RERANK USING PQ composes with time travel (r15): the ADC
-      // cutoff runs over the snapshot's own codes sidecar. A filtered
-      // historical batch join stays a targeted refusal.
-      if (where.isDefined)
+      // RERANK USING PQ composes with time travel (r15), with or
+      // without WHERE (the predicate narrows the snapshot's codes
+      // before each row's cutoff); the PLAIN filtered historical join
+      // stays a targeted refusal — route through RERANK USING PQ.
+      if (where.isDefined && rerank.isEmpty)
         throw new IllegalArgumentException(
-          "VECTOR KNN JOIN: VERSION AS OF serves the snapshot's own " +
-            "index — WHERE does not compose with time travel")
+          "VECTOR KNN JOIN: WHERE composes with VERSION AS OF only " +
+            "through RERANK <r> USING PQ (the compressed filtered " +
+            "historical join); the plain exact form serves unfiltered")
       val asof = rerank match {
         case Some(r) => graft.sources.VectorIndex
-          .knnJoinAsOfPq(spark, target, colName, batch, topK, v, r)
+          .knnJoinAsOfPq(spark, target, colName, batch, topK, v, r,
+            where.map(org.apache.spark.sql.functions.expr))
         case None => graft.sources.VectorIndex
           .knnJoinAsOf(spark, target, colName, batch, topK, v)
       }

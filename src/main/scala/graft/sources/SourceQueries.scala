@@ -2305,6 +2305,21 @@ object SourceQueries extends QueryModule {
         s"TOP 10 VERSION AS OF $v RERANK 50 USING PQ WHERE label = 3")
     }),
 
+    // BY PARTITION × PQ × time travel for the BATCH join (r15): the
+    // pinned partition's HISTORICAL ranked codebook/codes drive the
+    // per-row ADC cutoff, survivors fetch through the snapshot-pinned
+    // scan keyed on (part, vec_id). Shares the live pinned PQ-join
+    // replay oracle (the snapshot IS the raw corpus).
+    "q_vector_knn_join_asof_partitioned_pq" -> ((s, d) => {
+      val (cat, v) = stageVecPartAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinAsOfPq(s, s"$cat.q.emb", "embedding", batch, 3,
+        v, rerank = 50, Some(col("label") === 3))
+    }),
+
     // PQ time travel for the BATCH join (r15): yesterday's compressed
     // RAG candidate fetch — per-row ADC cutoff over the snapshot's own
     // codes, survivors fetched through the snapshot-pinned scan. Shares
@@ -4975,6 +4990,7 @@ object SourceQueries extends QueryModule {
     // cutoff + exact rerank, replayed from raw parquet — identical to
     // the live partitioned-PQ oracle (the snapshot IS the raw corpus).
     "q_vector_search_asof_partitioned_pq" -> sqlPqRankedOracle(3),
+    "q_vector_knn_join_asof_partitioned_pq" -> sqlPqRankedKnnJoinOracle(3),
     // The SQL statement shares the Scala-API replay.
     "q_vector_search_asof_sql" -> sqlVectorSearchOracle(""),
     // The AS OF batch join answers the plain kNN join over the raw

@@ -1891,10 +1891,12 @@ object VectorIndex {
             Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
           .withColumn("rk", row_number().over(wAdcP))
           .filter(col("rk") <= rerank)
-          .select(col("bid"), col("e_n"), col("vec_id"))
+          .select(col("bid"), col("e_n"), col("part"), col("vec_id"))
+        // rerank keys on (part, vec_id), not vec_id alone (r15 advice):
+        // ids only need be unique within a partition
         val pairs = top
-          .join(corpusAssigned.select(col("vec_id"),
-            col("embedding").as("e_o")), "vec_id")
+          .join(corpusAssigned.select(col("part"), col("vec_id"),
+            col("embedding").as("e_o")), Seq("part", "vec_id"))
           .select(col("bid"), col("vec_id").as("nn_id"),
             dotFixed(col("e_n"), col("e_o")).as("sim"))
         rankTop(pairs)
@@ -1960,8 +1962,9 @@ object VectorIndex {
     * in-query over the snapshot rows under the prop's persisted policy
     * — always correct, no pruning (the retrain posture; `refresh` would
     * mutate CURRENT state to serve the past, so the onStale policy
-    * deliberately does not apply). Global (non-partitioned) indexes
-    * only. Output: (vec_id, list_id, sim), like [[search]]. */
+    * deliberately does not apply). BY PARTITION snapshots serve their
+    * own sub-geometries (r14); WHERE/PQ compose at the version (r15).
+    * Output: (vec_id, list_id, sim), like [[search]]. */
   def searchAsOf(spark: SparkSession, table: String, colName: String,
       probe: Array[Float], topK: Int, version: Int,
       probes: Int = 1): DataFrame =
@@ -2321,8 +2324,9 @@ object VectorIndex {
     * Servable = digest-fresh AND every sidecar the serve reads present
     * (cents/ + posts/); otherwise the in-query retrain replays what a
     * rebuild at that version would have trained (the retrain posture —
-    * refresh would mutate CURRENT state to serve the past). Global
-    * indexes only. Output (vec_id, rank, nn_id, sim) like [[knnJoin]]. */
+    * refresh would mutate CURRENT state to serve the past). BY
+    * PARTITION snapshots fan the batch out under every historical pin
+    * (r14). Output (vec_id, rank, nn_id, sim) like [[knnJoin]]. */
   def knnJoinAsOf(spark: SparkSession, table: String, colName: String,
       batch: DataFrame, k: Int, version: Int): DataFrame = {
     import graft.llm.Similarity
@@ -2461,10 +2465,13 @@ object VectorIndex {
     * scan for the exact per-row rerank. Servable = digest-fresh AND all
     * four sidecars present; otherwise the in-query replay trains
     * geometry + codebook + codes over the snapshot rows (the retrain
-    * posture). Global indexes only, like the fresh PQ join's
-    * per-partition tier caveat. Output (vec_id, rank, nn_id, sim). */
+    * posture). A BY PARTITION snapshot serves each pin's OWN
+    * historical codebook/codes with the per-(row, pin) ADC cutoff
+    * (r15 — the matrix completed). Output (vec_id, rank, nn_id,
+    * sim). */
   def knnJoinAsOfPq(spark: SparkSession, table: String, colName: String,
-      batch: DataFrame, k: Int, version: Int, rerank: Int = 50)
+      batch: DataFrame, k: Int, version: Int, rerank: Int = 50,
+      predicate: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     import graft.llm.Similarity
     import graft.llm.PortableHash.dotFixed
@@ -2477,10 +2484,6 @@ object VectorIndex {
       throw new IllegalStateException(
         s"$op: no vector index on $table ($colName) existed as of " +
           s"version $version — the snapshot carries no vecidx prop")))
-    if (p.partCol.isDefined) throw new IllegalArgumentException(
-      s"$op: RERANK USING PQ does not compose with a BY PARTITION " +
-        "snapshot — use knnJoinAsOf (exact within the snapshot's " +
-        "sub-geometries)")
     val names = m.entries.filter(_.rows > 0).map(_.name)
     def snapScan(fs: Seq[String]): DataFrame =
       spark.read.format("graft.sources.GraftManifestSink")
@@ -2506,6 +2509,118 @@ object VectorIndex {
     val servable = p.isCurrent(digestOf(m)) &&
       Seq("cents", "posts", "pqcb", "codes").forall(s =>
         java.nio.file.Files.exists(idxDir.resolve(s)))
+    p.partCol.foreach { pc =>
+      // BY PARTITION × PQ × time travel for the BATCH join (r15 — the
+      // matrix completed): the batch fans out under every HISTORICAL
+      // pin, per-(row, pin) ADC cutoff over the snapshot's own codes
+      // against its own ranked codebooks, survivors fetch through the
+      // snapshot-pinned scan keyed on (part, vec_id). Stale/reaped →
+      // part-keyed ranked SAMPLE-aware replay over the snapshot rows.
+      val wAdcP = org.apache.spark.sql.expressions.Window
+        .partitionBy("bid", "part").orderBy(desc("sim_adc"), col("vec_id"))
+      val pins = predicate.flatMap(
+        partitionPins(_, pc, partTypeOf(m, pc)))
+      if (servable) {
+        val cents0 = spark.read.parquet(idxDir.resolve("cents").toString)
+        val cents = pins.fold(cents0)(ps =>
+          cents0.where(col("part").isin(ps: _*)))
+        val bAssigned = assignBatchAllParts(b0, cents).localCheckpoint()
+        val cbByPart = spark.read
+          .parquet(idxDir.resolve("pqcb").toString)
+          .groupBy("part")
+          .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+            .as("cents"))
+        // the predicate narrows each pin's codes BEFORE the per-row
+        // rerank cutoff (the filtered-PQ rule), evaluated against the
+        // snapshot's rows and DV state
+        val codes0 = spark.read.parquet(idxDir.resolve("codes").toString)
+        val codes = predicate match {
+          case None => codes0
+          case Some(pred) =>
+            val pFiles = spark.read
+              .parquet(idxDir.resolve("posts").toString)
+              .join(bAssigned.select("part", "list_id").distinct(),
+                Seq("part", "list_id"))
+              .select("file").distinct().collect().map(_.getString(0))
+            if (pFiles.isEmpty) codes0.where(lit(false))
+            else {
+              val match0 = snapScan(pFiles.toSeq).where(pred)
+                .select(col(p.idCol).as("vec_id"),
+                  col(pc).cast("string").as("part"))
+              val matching = pins.fold(match0)(ps =>
+                match0.where(col("part").isin(ps: _*)))
+              codes0.join(matching, Seq("part", "vec_id"), "left_semi")
+            }
+        }
+        val top = bAssigned
+          .select(col("part"), col("vec_id").as("bid"),
+            col("embedding").as("e_n"), col("list_id"))
+          .join(codes, Seq("part", "list_id"))
+          .join(broadcast(cbByPart), "part")
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+          .withColumn("rk", row_number().over(wAdcP))
+          .filter(col("rk") <= rerank)
+          .select(col("bid"), col("e_n"), col("part"), col("vec_id"),
+            col("file"))
+          .localCheckpoint()
+        val candFiles = top.select("file").distinct()
+          .collect().map(_.getString(0))
+        val pairs =
+          if (candFiles.isEmpty)
+            top.select(col("bid"), col("vec_id").as("nn_id"),
+              lit(0L).as("sim")).where(lit(false))
+          else snapScan(candFiles.toSeq)
+            .select(col(pc).cast("string").as("part"),
+              col(p.idCol).as("vec_id"), col(colName).as("e_o"))
+            .join(broadcast(top), Seq("part", "vec_id"))
+            .select(col("bid"), col("vec_id").as("nn_id"),
+              dotFixed(col("e_n"), col("e_o")).as("sim"))
+        return rankTop(pairs)
+      } else {
+        val all = snapScan(names)
+        def partKeyP(df: DataFrame): DataFrame = {
+          val keyed = df.select(col(p.idCol).as("vec_id"),
+            lit(0).as("label"), col(colName).as("embedding"),
+            col(pc).cast("string").as("part"))
+          pins.fold(keyed)(ps => keyed.where(col("part").isin(ps: _*)))
+        }
+        val rowsP = partKeyP(all)
+        val (corpusAssigned, cents) = retrainGeometryRankedByPart(rowsP, p)
+        val cbArrByPart = trainPqCodebookRankedByPart(
+            rowsP.select(col("part"), col("vec_id"), col("embedding")))
+          .groupBy("part")
+          .agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+            .as("cents"))
+        val codedAll = (0 until Similarity.PqM).foldLeft(
+            corpusAssigned.join(broadcast(cbArrByPart), "part")) {
+          (df, b) => df.withColumn(s"code$b",
+            Similarity.pqCode(col("cents"), col("embedding"), b))
+        }.drop("cents")
+        val coded = predicate match {
+          case None => codedAll
+          case Some(pred) => codedAll.join(
+            partKeyP(all.where(pred)).select(col("part"), col("vec_id")),
+            Seq("part", "vec_id"), "left_semi")
+        }
+        val top = assignBatchAllParts(b0, cents)
+          .select(col("part"), col("vec_id").as("bid"),
+            col("embedding").as("e_n"), col("list_id"))
+          .join(coded.drop("embedding", "label"), Seq("part", "list_id"))
+          .join(broadcast(cbArrByPart), "part")
+          .withColumn("sim_adc",
+            Similarity.pqAdc(col("cents"), col("e_n"), b => col(s"code$b")))
+          .withColumn("rk", row_number().over(wAdcP))
+          .filter(col("rk") <= rerank)
+          .select(col("bid"), col("e_n"), col("part"), col("vec_id"))
+        val pairs = top
+          .join(corpusAssigned.select(col("part"), col("vec_id"),
+            col("embedding").as("e_o")), Seq("part", "vec_id"))
+          .select(col("bid"), col("vec_id").as("nn_id"),
+            dotFixed(col("e_n"), col("e_o")).as("sim"))
+        return rankTop(pairs)
+      }
+    }
     if (servable) {
       val cents = spark.read.parquet(idxDir.resolve("cents").toString)
       val bAssigned = Similarity.assignLists(b0, cents).localCheckpoint()
@@ -2513,12 +2628,28 @@ object VectorIndex {
         .collect().map(_.getInt(0)).toSeq
       val cbArr = pqCbArr(
         spark.read.parquet(idxDir.resolve("pqcb").toString))
-      val codesAll =
+      val codes0 =
         if (probed.isEmpty)
           spark.read.parquet(idxDir.resolve("codes").toString)
             .where(lit(false))
         else spark.read.parquet(idxDir.resolve("codes").toString)
           .where(col("list_id").isin(probed: _*))
+      // the predicate narrows the codes BEFORE each row's rerank cutoff,
+      // evaluated against the snapshot's rows and DV state
+      val codesAll = predicate match {
+        case None => codes0
+        case Some(pred) =>
+          val pFiles =
+            if (probed.isEmpty) Array.empty[String]
+            else spark.read.parquet(idxDir.resolve("posts").toString)
+              .where(col("list_id").isin(probed: _*))
+              .select("file").distinct().collect().map(_.getString(0))
+          if (pFiles.isEmpty) codes0.where(lit(false))
+          else codes0.join(
+            snapScan(pFiles.toSeq).where(pred)
+              .select(col(p.idCol).as("vec_id")),
+            Seq("vec_id"), "left_semi")
+      }
       val top = bAssigned
         .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
           col("list_id"))
@@ -2557,9 +2688,15 @@ object VectorIndex {
         s"$op: no PQ codebook trains at snapshot $version (no rows " +
           "below the anchor cap) — use knnJoinAsOf")
       val cbArr = pqCbArr(cb)
-      val coded = encodePq(
+      val codedAll = encodePq(
         corpusAssigned.select(col("vec_id"), col("embedding"),
           col("list_id")), cbArr)
+      val coded = predicate match {
+        case None => codedAll
+        case Some(pred) => codedAll.join(
+          snapScan(names).where(pred).select(col(p.idCol).as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      }
       val top = Similarity.assignLists(b0, cents)
         .select(col("vec_id").as("bid"), col("embedding").as("e_n"),
           col("list_id"))

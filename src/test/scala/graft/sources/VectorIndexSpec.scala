@@ -1531,6 +1531,21 @@ class VectorIndexSpec extends SparkSuite {
       .select("vec_id").as[Long].collect().toSet
     assert((100L to 104L).toSet.subsetOf(stale),
       s"stale snapshot replay ranks v2's own rows: $stale")
+    // the PQ BATCH join serves the partitioned snapshot too: per-(row,
+    // pin) ADC cutoff over the historical codes, no decoys at v
+    val knn = VectorIndex.knnJoinAsOfPq(spark, t, "embedding",
+      Seq((500L, vec(0, (10, 0.05f)))).toDF("vec_id", "embedding"),
+      k = 12, version = v, rerank = 24)
+    val nn = knn.select("nn_id").as[Long].collect().toSet
+    assert(nn == (0L to 11L).toSet,
+      s"partitioned snapshot batch join, no decoys: $nn")
+    // and its stale twin replays v2's state part-keyed
+    val knn2 = VectorIndex.knnJoinAsOfPq(spark, t, "embedding",
+      Seq((500L, vec(0))).toDF("vec_id", "embedding"),
+      k = 5, version = v2, rerank = 12)
+    assert((100L to 104L).toSet.subsetOf(
+      knn2.select("nn_id").as[Long].collect().toSet),
+      "stale partitioned batch replay ranks v2's decoys")
   }
 
   test("EXPLAIN renders the custom statements' serve plans (r15)") {
