@@ -1590,12 +1590,16 @@ private[plans] object Bm25SearchDf {
           "literal")
     }
     version.foreach { v =>
-      if (where.isDefined)
-        throw new IllegalArgumentException(
-          "BM25 SEARCH: VERSION AS OF serves the snapshot's own corpus " +
-            "statistics — WHERE does not compose with time travel")
-      return graft.sources.TextIndex
-        .bm25TopKAsOf(spark, target, colName, idCol, terms, topK, v)
+      // WHERE composes with time travel (r15): the scope's statistics
+      // (df/N/avgdl) come from the SNAPSHOT's scoped sub-corpus, zone
+      // maps proven against the snapshot manifest's own entries
+      val asof = where match {
+        case Some(w) => graft.sources.TextIndex.bm25TopKScopedAsOf(
+          spark, target, colName, idCol, terms, topK, expr(w), v)
+        case None => graft.sources.TextIndex
+          .bm25TopKAsOf(spark, target, colName, idCol, terms, topK, v)
+      }
+      return asof
         .select(col(idCol).cast(org.apache.spark.sql.types.LongType),
           col("n_terms").cast(org.apache.spark.sql.types.LongType),
           col("score").cast(org.apache.spark.sql.types.DoubleType))

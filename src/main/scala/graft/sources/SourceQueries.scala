@@ -422,9 +422,13 @@ object SourceQueries extends QueryModule {
       val v = Manifest.snapshotVersions(dir).max
       val stuffed = (graft.llm.Text.Bm25Terms ++ graft.llm.Text.Bm25Terms)
         .mkString(" ")
+      // the decoys claim source src3 (r15): the SCOPED time-travel
+      // ranking must exclude them from src3's own df/N/avgdl, so the
+      // decoy threat covers the scoped composition too (the unscoped
+      // asof query never cared which source they claimed)
       s.range(5)
         .select((col("id") + 3000000L).as("doc_id"),
-          lit("decoy").as("source"),
+          lit("src3").as("source"),
           concat_ws(" ", lit(stuffed), lit(stuffed)).as("text"))
         .coalesce(1).writeTo(s"$cat.q.docs").append()
       (cat, v)
@@ -2068,6 +2072,21 @@ object SourceQueries extends QueryModule {
         .map(t => s"'$t'").mkString(", ")
       s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
         s"TERMS ($terms) TOP 10 VERSION AS OF $v")
+    }),
+
+    // SCOPED time travel for BM25 (r15 — the text tier's last AS OF
+    // refusal lifted): src3's df/N/avgdl at the VERSION, zone maps
+    // proven against the snapshot manifest's own entries — the
+    // term-stuffed decoys claim src3 but arrived after the version, so
+    // they must shift neither membership nor the scoped statistics.
+    // Shares the live scoped replay oracle (the snapshot IS the raw
+    // corpus).
+    "q_text_bm25_asof_scoped_sql" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      val terms = graft.llm.Text.Bm25Terms
+        .map(t => s"'$t'").mkString(", ")
+      s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
+        s"TERMS ($terms) TOP 10 VERSION AS OF $v WHERE source = 'src3'")
     }),
 
     // DV-drift catch-up for BM25 through the ORACLE gate (r13): a
@@ -4946,6 +4965,16 @@ object SourceQueries extends QueryModule {
     // BM25 recomputed from raw parquet over the SCOPED corpus — the
     // per-domain statistics the index-served scoping must equal.
     "q_text_bm25_scoped" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDocOver(
+               "SELECT doc_id, text FROM documents " +
+                 "WHERE source = 'src3'")}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The scoped ranking AT THE VERSION equals the live scoped replay
+    // (the snapshot IS the raw corpus; the post-version src3-claiming
+    // decoys must move nothing) — shared scoped oracle (r15).
+    "q_text_bm25_asof_scoped_sql" ->
       s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
          |FROM (${graft.llm.Text.sqlBm25PerDocOver(

@@ -854,6 +854,88 @@ object TextIndex {
     bm25Rank(spark, dfs, nDocs, sumDl, rows, colName, idCol, terms, k)
   }
 
+  /** SCOPED time travel (r15 — the text tier's last AS OF refusal
+    * lifted): [[bm25TopKScoped]]'s per-domain statistics served at a
+    * VERSION — df/N/avgdl over the SNAPSHOT's scoped sub-corpus. The
+    * zone maps that prove the scope come from the snapshot manifest's
+    * own entries (a post-version file never enters `inF`), the
+    * historical posting/stat rows restrict to the proven files, and the
+    * ranking scan pins both the files and the snapshot's DV state. A
+    * scope the snapshot's layout can't prove (or a stale/reaped index)
+    * recomputes everything from the snapshot-pinned scoped scan — the
+    * exact same answer, no pruning. */
+  def bm25TopKScopedAsOf(spark: SparkSession, table: String,
+      colName: String, idCol: String, terms: Seq[String], k: Int,
+      scope: org.apache.spark.sql.Column, version: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "BM25 SEARCH AS OF")
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"BM25 SEARCH AS OF: snapshot $version expired or never existed " +
+          s"at ${mt.dir}"))
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    def fallback(): DataFrame = {
+      val all = snapScan(names).where(scope)
+      val stats = all.agg(count(lit(1)),
+        coalesce(sum(size(split(col(colName), " "))), lit(0L)))
+        .collect().head
+      val dfMap = terms.map { t =>
+        t -> all.where(array_contains(split(col(colName), " "), t)).count()
+      }.toMap
+      bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1), all,
+        colName, idCol, terms, k)
+    }
+    val idx = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("posts")) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("stats")))
+        Some(fields(0))
+      else None
+    }
+    (idx, scopeFilters(scope)) match {
+      case (Some(idxName), Some(fs)) =>
+        val liveEntries = m.entries.filter(_.rows > 0)
+        val inF = liveEntries.filter(e =>
+          fs.forall(f => ManifestScanBuilder.mustMatchAll(f, e.stats)))
+          .map(_.name)
+        val inSet = inF.toSet
+        val cut = liveEntries.exists(e => !inSet(e.name) &&
+          fs.forall(f => ManifestScanBuilder.mightMatch(f, e.stats)))
+        if (cut) fallback()
+        else {
+          val idxDir = mt.dir.resolve(idxName)
+          val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+            .where(col("token").isin(terms: _*) &&
+              col("file").isin(inF: _*))
+            .groupBy("token")
+            .agg(sum(col("n_docs")).as("df"),
+              collect_set(col("file")).as("files"))
+            .collect()
+          val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+            .where(col("file").isin(inF: _*))
+            .agg(coalesce(sum(col("n_docs")), lit(0L)),
+              coalesce(sum(col("sum_dl")), lit(0L)))
+            .collect().head
+          val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+          val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+          val rows =
+            if (cand.isEmpty) spark.table(table).where(lit(false))
+            else snapScan(cand).where(scope)
+          bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1), rows,
+            colName, idCol, terms, k)
+        }
+      case _ => fallback()
+    }
+  }
+
   /** The shared BM25 scoring tail: per-row tf/dl math against the given
     * df/N/sum_dl statistics, top-k with the deterministic (score, id)
     * tie-break — the q_text_bm25 formula (k1=1.2, b=0.75, fixed-point

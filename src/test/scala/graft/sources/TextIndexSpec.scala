@@ -169,6 +169,49 @@ class TextIndexSpec extends SparkSuite {
     assert(e2.contains("Physical Plan"), e2.take(300))
   }
 
+  test("scoped BM25 time travel (r15): the scope's statistics serve at " +
+      "the version; unprovable scopes fall back snapshot-exact") {
+    val (cat, _) = freshCatalog("tix35")
+    val t = s"$cat.ns.docs"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, src STRING, text STRING)")
+    Seq((1L, "a", "needle alpha beta"), (2L, "a", "beta gamma"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    Seq((3L, "b", "needle hay"), (4L, "b", "gamma hay"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val dir = dirOf(t)
+    val v = Manifest.snapshotVersions(dir).max
+    // term-stuffed decoys CLAIMING scope b, appended after the version:
+    // a current scoped ranking is theirs, the AS OF one must not move
+    Seq((100L, "b", "needle needle needle"),
+      (101L, "b", "needle needle needle"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    val asof = spark.sql(s"BM25 SEARCH ON $t (text) ID (id) " +
+        s"TERMS ('needle') TOP 3 VERSION AS OF $v WHERE src = 'b'")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(asof.map(_._1).toSeq == Seq(3L),
+      s"snapshot scope b: only doc 3 carries the term: ${asof.toSeq}")
+    val cur = TextIndex.bm25TopKScoped(spark, t, "text", "id",
+        Seq("needle"), 3, col("src") === "b")
+      .select("id").as[Long].collect().toSet
+    assert(Set(100L, 101L).subsetOf(cur), s"current is the decoys': $cur")
+    // the scoped AS OF statistics are the SNAPSHOT's: scope a has 2
+    // docs, one carrying the term — df/N/avgdl must come from a's
+    // historical slice, so the score differs from the unscoped one
+    val asofA = spark.sql(s"BM25 SEARCH ON $t (text) ID (id) " +
+        s"TERMS ('needle') TOP 3 VERSION AS OF $v WHERE src = 'a'")
+      .collect().map(_.getLong(0))
+    assert(asofA.toSeq == Seq(1L), s"scope a at the version: ${asofA.toSeq}")
+    // an unprovable scope (id predicate — no zone-map classification of
+    // a text column... id ranges overlap per file) falls back to the
+    // snapshot-pinned scoped recompute, same answer shape
+    val fb = spark.sql(s"BM25 SEARCH ON $t (text) ID (id) " +
+        s"TERMS ('needle') TOP 3 VERSION AS OF $v WHERE id % 2 = 1")
+      .collect().map(_.getLong(0))
+    assert(fb.toSeq.sorted == Seq(1L, 3L),
+      s"fallback recompute over the snapshot's scoped rows: ${fb.toSeq}")
+  }
+
   test("text-part freshness: per-partition attribution matrix (r15)") {
     val (cat, _) = freshCatalog("tix33")
     val t = s"$cat.ns.docs"
