@@ -58,6 +58,11 @@ object SourceQueries extends QueryModule {
     * belongs outside the timed region (the C149/C162 rule). Table names
     * are suffixed per sfDir because saveAsTable lands in one shared
     * session catalog. Returns (orders table, customer table). */
+  /** The rarest-bigram probe phrase `q_text_phrase_search` mines from
+    * the immutable documents corpus — memoized per (JVM, sfDir). */
+  private val stagedPhrase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val stagedBucketedJoin =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def stageBucketedJoinTables(s: org.apache.spark.sql.SparkSession,
@@ -1904,19 +1909,25 @@ object SourceQueries extends QueryModule {
     "q_text_phrase_search" -> ((s, d) => {
       val cat = stageTextBase(s, d)
       import org.apache.spark.sql.functions._
-      val t = split(col("text"), " ")
-      val bgs = filter(
-        zip_with(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-          (a, b) => when(length(a) > 0 && length(b) > 0,
-            concat(a, lit(" "), b))),
-        x => x.isNotNull)
-      val phrase = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(bgs).as("bigram")).distinct()
-        .groupBy("bigram").count()
-        .orderBy(col("count"), col("bigram")).limit(1)
-        .collect().head.getString(0)
+      // the probe PHRASE (rarest bigram of the immutable corpus) is
+      // fixture derivation, not the operator — memoized per (JVM,
+      // sfDir) (r15; the C149 rule): re-mining every bigram of the
+      // corpus per invocation was most of this line's bench cost
+      val phrase = stagedPhrase.computeIfAbsent(d, _ => {
+        val t = split(col("text"), " ")
+        val bgs = filter(
+          zip_with(
+            slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+            slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b) => when(length(a) > 0 && length(b) > 0,
+              concat(a, lit(" "), b))),
+          x => x.isNotNull)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(bgs).as("bigram")).distinct()
+          .groupBy("bigram").count()
+          .orderBy(col("count"), col("bigram")).limit(1)
+          .collect().head.getString(0)
+      })
       val res = TextIndex.phraseSearch(s, s"$cat.q.docs", "text", phrase)
         .select(col("doc_id"), col("source")).orderBy("doc_id")
       val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {

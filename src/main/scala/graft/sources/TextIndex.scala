@@ -570,12 +570,26 @@ object TextIndex {
     require(tokens.nonEmpty, "PHRASE SEARCH: empty phrase")
     val pred = concat(lit(" "), col(colName), lit(" "))
       .contains(" " + phrase + " ")
-    val lists = tokens.map(t => candidateFiles(spark, mt.dir, colName, t))
-    if (lists.exists(_.isEmpty)) // stale or no index
-      return spark.table(table).where(pred)
-    val cand = lists.flatten.map(_.toSet).reduce(_ intersect _)
-    if (cand.isEmpty) spark.table(table).where(lit(false))
-    else scanFiles(spark, mt.dir, cand.toSeq).where(pred)
+    // ALL tokens' posting lists come off ONE scan of the posting
+    // sidecar (r15 — formerly one driver collect per token: a 10-token
+    // phrase paid 10 serialized jobs); the ∩ assembles from the single
+    // collected (token, files) frame
+    val m = Manifest.read(mt.dir).getOrElse(
+      return spark.table(table).where(pred))
+    freshIdx(spark, m, colName) match {
+      case None => spark.table(table).where(pred) // stale or no index
+      case Some(idxName) =>
+        val byToken = spark.read
+          .parquet(mt.dir.resolve(idxName).resolve("posts").toString)
+          .where(col("token").isin(tokens: _*))
+          .groupBy("token").agg(collect_set(col("file")).as("files"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+        val lists = tokens.map(t => byToken.getOrElse(t, Set.empty[String]))
+        val cand = lists.reduce(_ intersect _)
+        if (cand.isEmpty) spark.table(table).where(lit(false))
+        else scanFiles(spark, mt.dir, cand.toSeq).where(pred)
+    }
   }
 
   /** BM25 top-k over the indexed column — the search-engine query shape
