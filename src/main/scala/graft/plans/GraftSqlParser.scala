@@ -346,18 +346,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*SEMANTIC\s+DEDUP\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
   private val SemDedupTail =
-    """(?is)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    ("""(?is)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
   private object SemDedup {
     def unapply(sql: String): Option[(String, String, String,
-        Option[String])] =
+        Option[Int], Option[String])] =
       SemDedupHead.findPrefixMatchOf(sql).flatMap { m =>
         val open = m.end - 1
         balancedCloseFrom(sql, open).flatMap { close =>
           sql.substring(close + 1) match {
-            case SemDedupTail(w)
+            case SemDedupTail(v, w)
               if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
               Some((m.group(1), m.group(2),
-                sql.substring(open + 1, close), Option(w)))
+                sql.substring(open + 1, close),
+                Option(v).map(_.toInt), Option(w)))
             case _ => None
           }
         }
@@ -381,8 +383,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         val open = m.end - 1
         balancedCloseFrom(sql, open).flatMap { close =>
           sql.substring(close + 1) match {
-            case SemDedupTail(w)
-              if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
+            case SemDedupTail(v, w)
+              if v == null &&
+                Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
               Some((m.group(1), m.group(2), m.group(3),
                 sql.substring(open + 1, close), Option(w)))
             case _ => None
@@ -549,11 +552,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
-      case SemDedup(target, colName, batchSql, where) =>
+      case SemDedup(target, colName, batchSql, version, where) =>
         val spark = org.apache.spark.sql.SparkSession.active
         val view = "graft_semdedup_" +
           java.lang.Integer.toHexString(inner.trim.hashCode)
-        SemanticDedupDf.of(spark, target, colName, batchSql, where)
+        SemanticDedupDf.of(spark, target, colName, batchSql, where, version)
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -802,8 +805,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VecKnn(target, colName, batchSql, topK, version, rerank, where) =>
       VectorKnnJoinCommand(target, colName, batchSql, topK, rerank, where,
         version)
-    case SemDedup(target, colName, batchSql, where) =>
-      SemanticDedupCommand(target, colName, batchSql, where)
+    case SemDedup(target, colName, batchSql, version, where) =>
+      SemanticDedupCommand(target, colName, batchSql, where, version)
     case MinhashDedup(target, colName, idCol, batchSql, where) =>
       MinhashDedupCommand(target, colName, idCol, batchSql, where)
     case Bm25Search(target, colName, idCol, termsList, topK, version, where)
@@ -892,10 +895,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "balance; VERSION AS OF serves the snapshot's own statistics " +
         "(no WHERE)"),
     "SEMANTIC DEDUP" ->
-      ("SEMANTIC DEDUP ON <table> (<col>) USING (<query>) [WHERE <pred>] " +
-        "— the USING subquery yields the table's id + embedding columns " +
-        "(and the partition column for a BY PARTITION index); WHERE " +
-        "filters the batch rows before routing; quotes must balance"),
+      ("SEMANTIC DEDUP ON <table> (<col>) USING (<query>) " +
+        "[VERSION AS OF <v>] [WHERE <pred>] — the USING subquery yields " +
+        "the table's id + embedding columns (and the partition column " +
+        "for a BY PARTITION index); VERSION AS OF deduplicates against " +
+        "the snapshot's own corpus; WHERE filters the batch rows before " +
+        "routing; quotes must balance"),
     "MINHASH DEDUP" ->
       ("MINHASH DEDUP ON <table> (<col>) ID (<idCol>) USING (<query>) " +
         "[WHERE <pred>] — the USING subquery yields the id + text " +
@@ -1674,7 +1679,8 @@ private[plans] object VectorKnnJoinDf {
   * min-id corpus witness or NULL, is_dup BOOLEAN), ordered by
   * vec_id. */
 case class SemanticDedupCommand(target: String, colName: String,
-    batchSql: String, where: Option[String])
+    batchSql: String, where: Option[String],
+    version: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("vec_id", org.apache.spark.sql.types.LongType,
@@ -1685,7 +1691,7 @@ case class SemanticDedupCommand(target: String, colName: String,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
-    SemanticDedupDf.of(spark, target, colName, batchSql, where)
+    SemanticDedupDf.of(spark, target, colName, batchSql, where, version)
       .orderBy(col("vec_id"))
       .collect().toSeq
   }
@@ -1719,16 +1725,23 @@ case class MinhashDedupCommand(target: String, colName: String,
   * the filter commutes with the dedup). */
 private[plans] object SemanticDedupDf {
   def of(spark: SparkSession, target: String, colName: String,
-      batchSql: String, where: Option[String])
-      : org.apache.spark.sql.DataFrame = {
+      batchSql: String, where: Option[String],
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val batch0 = spark.sql(batchSql)
     val batch = where.fold(batch0)(w => batch0.where(expr(w)))
-    graft.sources.VectorIndex
-      .semDedupIncremental(spark, target, colName, batch)
-      .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
-        col("dup_of").cast(org.apache.spark.sql.types.LongType),
-        col("is_dup").cast(org.apache.spark.sql.types.BooleanType))
+    // VERSION AS OF (r15): the batch deduplicates against the corpus
+    // AS IT WAS — the snapshot's own sidecars witness, nothing after
+    // the version does (the ingest-audit reproduction shape)
+    val res = version match {
+      case Some(v) => graft.sources.VectorIndex
+        .semDedupIncrementalAsOf(spark, target, colName, batch, v)
+      case None => graft.sources.VectorIndex
+        .semDedupIncremental(spark, target, colName, batch)
+    }
+    res.select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+      col("dup_of").cast(org.apache.spark.sql.types.LongType),
+      col("is_dup").cast(org.apache.spark.sql.types.BooleanType))
   }
 }
 

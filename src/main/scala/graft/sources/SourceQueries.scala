@@ -571,6 +571,58 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The TIME-TRAVEL incremental-dedup corpus
+    * `q_dedup_semantic_incremental_asof_sql` reads (r15): the even-id
+    * curated corpus indexed at staging, its post-index VERSION
+    * recorded, then a DECOY append — exact copies of a slice of the
+    * odd-id batch under shifted ids, which would flip those batch rows
+    * to dups in any CURRENT dedup. The AS OF dedup must answer with the
+    * snapshot's verdicts as if the append never happened. Staged ONCE
+    * per (JVM, sfDir); value = (catalog, version). */
+  private val stagedVecIncAsofBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def stageVecIncAsofBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int) =
+    stagedVecIncAsofBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = graft.Scratch.dir("graft_stagevia_")
+      val cat = s"graftstgvia${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.emb " +
+        "(vec_id BIGINT, label INT, embedding ARRAY<FLOAT>)")
+      val corpus = Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(2)) === 0)
+        .select("vec_id", "label", "embedding")
+      val (assigned, _) = graft.llm.Clustering.kmeansAssign(
+        corpus, graft.llm.Clustering.kFor(corpus.count()), 1)
+      val cached = assigned.localCheckpoint(true)
+      val lists = cached.select("list_id").distinct()
+        .orderBy("list_id").collect().map(_.getInt(0))
+      lists.foreach { l =>
+        cached.filter(col("list_id") === l)
+          .select("vec_id", "label", "embedding").coalesce(1)
+          .writeTo(s"$cat.q.emb").append()
+      }
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.emb (embedding) ANCHORS (vec_id)")
+        .collect()
+      val dir = s.table(s"$cat.q.emb").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val v = Manifest.snapshotVersions(dir).max
+      // decoys: exact copies of a slice of the ODD batch, corpus-side —
+      // any current dedup flags those batch rows as dups of these
+      Tables(s, d, "embeddings")
+        .where(pmod(col("vec_id"), lit(100)) === 1)
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("label"),
+          col("embedding"))
+        .coalesce(1).writeTo(s"$cat.q.emb").append()
+      (cat, v)
+    })
+
   /** Streaming-fixture memoization (r14 bench hygiene): the ingest
     * loops' ARRIVALS directory is staged once per (JVM, key) — a
     * re-invocation reuses the same arrivals + checkpoint root, so the
@@ -1354,6 +1406,28 @@ object SourceQueries extends QueryModule {
       s.sql(s"MINHASH DEDUP ON $cat.q.docs (text) ID (doc_id) USING " +
         "(SELECT doc_id, text FROM graft_mhdedup_batch_src " +
         "WHERE doc_id % 2 = 1)")
+    }),
+
+    // TIME-TRAVEL incremental SemDeDup (r15 — the C238 audit posture
+    // for the curation tier): "which of these rows were near-dups AS OF
+    // version v" — the snapshot's own sidecars witness, so the decoy
+    // corpus rows appended after the version (exact copies of a batch
+    // slice, which flip those rows to dups in any CURRENT dedup) change
+    // nothing. Shares the plain incremental oracle (the snapshot IS the
+    // even-id corpus).
+    "q_dedup_semantic_incremental_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageVecIncAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      Tables(s, d, "embeddings")
+        .createOrReplaceTempView("graft_semdedup_asof_batch_src")
+      val res = s.sql(s"SEMANTIC DEDUP ON $cat.q.emb (embedding) USING " +
+        "(SELECT vec_id, embedding FROM graft_semdedup_asof_batch_src " +
+        s"WHERE vec_id % 2 = 1) VERSION AS OF $v")
+      val decoys = s.table(s"$cat.q.emb")
+        .where(col("vec_id") >= 4000000L).count()
+      assert(decoys > 0L,
+        s"the current corpus must hold the batch-copy decoys: $decoys")
+      res
     }),
 
     // The SQL statement form of the index-backed incremental SemDeDup
@@ -4734,6 +4808,10 @@ object SourceQueries extends QueryModule {
     // statement lowers to the same serve path): shared replay (r15).
     "q_dedup_minhash_incremental_sql" -> graft.llm.Dedup.sqlDedupIncremental,
     "q_dedup_semantic_incremental_sql" ->
+      graft.llm.Clustering.sqlSemDedupIndexedIncremental,
+    // The AS OF dedup answers the snapshot's verdicts = the plain
+    // incremental replay; the post-version decoys must move nothing.
+    "q_dedup_semantic_incremental_asof_sql" ->
       graft.llm.Clustering.sqlSemDedupIndexedIncremental,
     // All three curation stages — stored-signature dedup, the NB
     // language gate, the token floor — replayed in ONE statement.

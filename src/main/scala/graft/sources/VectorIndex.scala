@@ -1396,6 +1396,216 @@ object VectorIndex {
     }
   }
 
+  /** TIME-TRAVEL incremental SemDeDup (r15 — the C238 audit posture for
+    * the curation tier): answer "which of these rows were near-dups of
+    * the corpus AS OF version v" — reproducing an ingest batch's
+    * admission verdicts exactly as they were computed, after the corpus
+    * moved on. The snapshot manifest's own `vecidx.` prop serves its
+    * HISTORICAL sidecars (centroids, anchor panel, band rows), the
+    * candidate-bucket fetch pins both the files and the snapshot's DV
+    * state, so corpus rows added (or deletion-vectored) after the
+    * version neither witness nor un-witness any batch row. A snapshot
+    * whose index was stale or reaped replays the build artifacts over
+    * the snapshot rows (per-slice ranked for BY PARTITION). Output
+    * (vec_id, dup_of, is_dup) like [[semDedupIncremental]]. */
+  def semDedupIncrementalAsOf(spark: SparkSession, table: String,
+      colName: String, batch: DataFrame, version: Int): DataFrame = {
+    import graft.llm.{Clustering, Dedup, Similarity}
+    import graft.llm.PortableHash.dotFixed
+    val op = "SEMANTIC DEDUP INCREMENTAL AS OF"
+    val mt = resolveTable(spark, table, op)
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: snapshot $version expired or never existed at ${mt.dir}"))
+    val p = parseProp(m.props.getOrElse(PropPrefix + colName.toLowerCase,
+      throw new IllegalStateException(
+        s"$op: no vector index on $table ($colName) existed as of " +
+          s"version $version — the snapshot carries no vecidx prop")))
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    val b0 = batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+      col(colName).as("embedding"))
+    def result(matched: DataFrame): DataFrame =
+      b0.select(col("vec_id"))
+        .join(matched, col("vec_id") === col("vn"), "left")
+        .select(col("vec_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    def fused(batchBands: DataFrame, corpusBands: DataFrame): DataFrame =
+      batchBands.join(corpusBands,
+          col("band") === col("oband") && col("bkey") === col("obkey") &&
+            col("l_n") === col("l_o") &&
+            dotFixed(col("e_n"), col("e_o")) >= Clustering.SemThreshold)
+        .groupBy("vn").agg(min(col("vo")).as("dup_of"))
+    def batchBandsOf(cents: DataFrame, anchorArr: DataFrame,
+        nBands: Int, bits: Int): DataFrame =
+      Dedup.embeddingBandRowsWith(
+          Similarity.assignListsHierLocal(b0, cents, p.coarse),
+          anchorArr, nBands, bits, carry = Seq("embedding", "list_id"))
+        .select(col("vec_id").as("vn"), col("band"), col("bkey"),
+          col("embedding").as("e_n"), col("list_id").as("l_n"))
+    def partKeyBatch(pc: String): DataFrame =
+      batch.select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+        col(colName).as("embedding"), col(pc).cast("string").as("part"))
+    val idxDir = mt.dir.resolve(p.idxName)
+    val servable = p.isCurrent(digestOf(m)) &&
+      Seq("cents", "lshanch", "bands").forall(s =>
+        java.nio.file.Files.exists(idxDir.resolve(s)))
+    if (servable) {
+      p.partCol match {
+        case Some(pc) =>
+          // BY PARTITION at the version: batch rows assign against
+          // their partition's HISTORICAL centroids/panels, join the
+          // historical band sidecar, and fetch corpus embeddings from
+          // candidate-bucket files through the snapshot-pinned scan,
+          // keyed (part, vec_id)
+          val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+          val geo = spark.read.parquet(idxDir.resolve("lshanch").toString)
+          val batchBands = Dedup.embeddingBandRowsByPart(
+              Similarity.assignListsHierByPartLocal(partKeyBatch(pc),
+                cents, p.coarse),
+              geo, carry = Seq("embedding", "list_id"))
+            .select(col("part"), col("vec_id").as("vn"), col("band"),
+              col("bkey"), col("embedding").as("e_n"),
+              col("list_id").as("l_n"))
+          val corpusBands = spark.read
+            .parquet(idxDir.resolve("bands").toString)
+            .select(col("part").as("opart"), col("vec_id").as("vo"),
+              col("band").as("oband"), col("bkey").as("obkey"),
+              col("list_id").as("l_o"), col("file"))
+          val cand = batchBands.join(corpusBands,
+              col("part") === col("opart") &&
+                col("band") === col("oband") &&
+                col("bkey") === col("obkey") && col("l_n") === col("l_o"))
+            .select(col("part"), col("vn"), col("e_n"), col("vo"),
+              col("file"))
+            .localCheckpoint()
+          val candFiles = cand.select("file").distinct()
+            .collect().map(_.getString(0))
+          val matched =
+            if (candFiles.isEmpty) {
+              val idType = m.schema.fields
+                .find(_.name.equalsIgnoreCase(p.idCol)).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.LongType)
+              spark.range(0).select(col("id").cast(idType).as("vn"),
+                col("id").cast(idType).as("dup_of"))
+            } else {
+              val corpusEmb = snapScan(candFiles.toSeq)
+                .select(col(pc).cast("string").as("part"),
+                  col(p.idCol).as("vo"), col(colName).as("e_o"))
+              cand.join(corpusEmb, Seq("part", "vo"))
+                .where(dotFixed(col("e_n"), col("e_o")) >=
+                  Clustering.SemThreshold)
+                .groupBy("vn").agg(min(col("vo")).as("dup_of"))
+            }
+          result(matched)
+        case None =>
+          val cents = spark.read.parquet(idxDir.resolve("cents").toString)
+          val anchDf = spark.read
+            .parquet(idxDir.resolve("lshanch").toString)
+            .localCheckpoint()
+          val meta = anchDf.select(col("n_bands"), col("bits"))
+            .collect().head
+          val batchBands = batchBandsOf(cents,
+            anchDf.select(col("anchors")), meta.getInt(0), meta.getInt(1))
+          val cand = batchBands.join(
+              spark.read.parquet(idxDir.resolve("bands").toString)
+                .select(col("vec_id").as("vo"), col("band").as("oband"),
+                  col("bkey").as("obkey"), col("list_id").as("l_o"),
+                  col("file")),
+              col("band") === col("oband") && col("bkey") === col("obkey") &&
+                col("l_n") === col("l_o"))
+            .select(col("vn"), col("e_n"), col("vo"), col("file"))
+            .localCheckpoint()
+          val candFiles = cand.select("file").distinct()
+            .collect().map(_.getString(0))
+          val matched =
+            if (candFiles.isEmpty) {
+              val idType = m.schema.fields
+                .find(_.name.equalsIgnoreCase(p.idCol)).map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.LongType)
+              spark.range(0).select(col("id").cast(idType).as("vn"),
+                col("id").cast(idType).as("dup_of"))
+            } else {
+              val corpusEmb = snapScan(candFiles.toSeq)
+                .select(col(p.idCol).as("vo"), col(colName).as("e_o"))
+              cand.join(corpusEmb, "vo")
+                .where(dotFixed(col("e_n"), col("e_o")) >=
+                  Clustering.SemThreshold)
+                .groupBy("vn").agg(min(col("vo")).as("dup_of"))
+            }
+          result(matched)
+      }
+    } else p.partCol match {
+      case Some(pc) =>
+        // stale/reaped snapshot, partitioned: replay the per-slice
+        // build artifacts over the SNAPSHOT rows (ranked geometry,
+        // per-slice size-derived panels, band rows) in one part-keyed
+        // dataflow — a partitioned rebuild's answer at the version
+        val rows = snapScan(names)
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"),
+            col(pc).cast("string").as("part"))
+        val geo0 = spark.createDataFrame(
+          rows.groupBy("part").count().collect().toSeq.map { r =>
+            val (nb, bt) = Dedup.embeddingLshParams(r.getLong(1))
+            (r.getString(0), nb, bt)
+          }).toDF("part", "n_bands", "bits")
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("part").orderBy("vec_id")
+        val anch = rows.select(col("part"), col("vec_id"), col("embedding"))
+          .withColumn("rk", row_number().over(wr))
+          .join(broadcast(geo0.select(col("part"),
+            (col("n_bands") * col("bits")).as("slots"))), "part")
+          .where(col("rk") <= col("slots"))
+          .groupBy("part")
+          .agg(array_sort(collect_list(struct(col("vec_id").as("a_id"),
+            col("embedding").as("a_emb")))).as("anchors"))
+        val geo = geo0.join(anch, "part").coalesce(1).localCheckpoint()
+        val (corpusAssigned, cents) = retrainGeometryRankedByPart(rows, p)
+        val corpusBands = Dedup.embeddingBandRowsByPart(corpusAssigned,
+            geo, carry = Seq("embedding", "list_id"))
+          .select(col("part").as("opart"), col("vec_id").as("vo"),
+            col("band").as("oband"), col("bkey").as("obkey"),
+            col("embedding").as("e_o"), col("list_id").as("l_o"))
+        val batchBands = Dedup.embeddingBandRowsByPart(
+            Similarity.assignListsHierByPartLocal(partKeyBatch(pc), cents,
+              p.coarse),
+            geo, carry = Seq("embedding", "list_id"))
+          .select(col("part"), col("vec_id").as("vn"), col("band"),
+            col("bkey"), col("embedding").as("e_n"),
+            col("list_id").as("l_n"))
+        result(batchBands.join(corpusBands,
+            col("part") === col("opart") && col("band") === col("oband") &&
+              col("bkey") === col("obkey") && col("l_n") === col("l_o") &&
+              dotFixed(col("e_n"), col("e_o")) >= Clustering.SemThreshold)
+          .groupBy("vn").agg(min(col("vo")).as("dup_of")))
+      case None =>
+        // stale/reaped snapshot, global: replay geometry + ranked panel
+        // + corpus bands over the snapshot rows
+        val rows = snapScan(names)
+          .select(col(p.idCol).as("vec_id"), lit(0).as("label"),
+            col(colName).as("embedding"))
+        val n = rows.count()
+        val (corpusAssigned, cents) = retrainGeometry(rows, p, n)
+        val (nBands, bits) = Dedup.embeddingLshParams(n)
+        val anch = Dedup.bandAnchorsRanked(
+          rows.select(col("vec_id"), col("embedding")), nBands, bits)
+          .localCheckpoint()
+        val corpusBands = Dedup.embeddingBandRowsWith(corpusAssigned, anch,
+            nBands, bits, carry = Seq("embedding", "list_id"))
+          .select(col("vec_id").as("vo"), col("band").as("oband"),
+            col("bkey").as("obkey"), col("embedding").as("e_o"),
+            col("list_id").as("l_o"))
+        result(fused(batchBandsOf(cents, anch, nBands, bits), corpusBands))
+    }
+  }
+
   /** Diversity-balanced sampling over the index's TRAINED geometry — the
     * third leg of the amortization ([[search]], [[semDedup]]): each stored
     * cluster's capped hash-ordered members, with zero clustering work in

@@ -1548,6 +1548,49 @@ class VectorIndexSpec extends SparkSuite {
       "stale partitioned batch replay ranks v2's decoys")
   }
 
+  test("incremental SemDeDup AS OF (r15): the snapshot's sidecars " +
+      "witness; later corpus rows change no verdict") {
+    val cat = freshCatalog("vixda")
+    val t = stage(cat)
+    spark.sql(s"CREATE VECTOR INDEX ON $t (embedding) ANCHORS (vec_id)")
+    val dir = spark.table(t).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[ManifestTable] =>
+        r.table.asInstanceOf[ManifestTable].dir
+    }.get
+    val v = Manifest.snapshotVersions(dir).max
+    // the batch: one row near blob A (a dup at v), one orthogonal row
+    // (clean at v) whose EXACT COPY lands in the corpus after v
+    val batch = Seq((100L, 0, vec(0, (10, 0.05f))),
+      (101L, 1, vec(5, (30, 0.9f))))
+      .toDF("vec_id", "label", "embedding")
+    Seq((200L, 1, vec(5, (30, 0.9f)))).toDF("vec_id", "label", "embedding")
+      .coalesce(1).writeTo(t).append()
+    // CURRENT dedup (stale → retrain): row 101 IS a dup of the decoy
+    val cur = VectorIndex.semDedupIncremental(spark, t, "embedding", batch)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(cur(101L), s"the decoy flips 101 currently: $cur")
+    // AS OF v: the snapshot's sidecars witness — 101 stays clean
+    val asof = VectorIndex.semDedupIncrementalAsOf(spark, t, "embedding",
+        batch, v)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(asof.toSeq == Seq((100L, Some(0L), true), (101L, None, false)),
+      s"snapshot verdicts: ${asof.toSeq}")
+    // through SQL, with the statement's VERSION AS OF clause
+    batch.createOrReplaceTempView("sda_batch")
+    val viaSql = spark.sql(s"SEMANTIC DEDUP ON $t (embedding) USING " +
+        s"(SELECT vec_id, embedding FROM sda_batch) VERSION AS OF $v")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(viaSql == Seq((100L, true), (101L, false)), viaSql.toString)
+    // a STALE snapshot (v2 carries the pre-append prop) replays the
+    // build artifacts over v2's rows: 101 dups against ITS state
+    val v2 = Manifest.snapshotVersions(dir).max
+    val stale = VectorIndex.semDedupIncrementalAsOf(spark, t, "embedding",
+        batch, v2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(stale(101L), s"v2's own state witnesses 101: $stale")
+  }
+
   test("EXPLAIN renders the custom statements' serve plans (r15)") {
     val cat = freshCatalog("vixex")
     val t = stage(cat)
