@@ -378,16 +378,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s*\(\s*(\w+)\s*\)\s+ID\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
   private object MinhashDedup {
     def unapply(sql: String): Option[(String, String, String, String,
-        Option[String])] =
+        Option[Int], Option[String])] =
       MinhashDedupHead.findPrefixMatchOf(sql).flatMap { m =>
         val open = m.end - 1
         balancedCloseFrom(sql, open).flatMap { close =>
           sql.substring(close + 1) match {
             case SemDedupTail(v, w)
-              if v == null &&
-                Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
+              if Option(w).forall(_.count(_ == '\'') % 2 == 0) =>
               Some((m.group(1), m.group(2), m.group(3),
-                sql.substring(open + 1, close), Option(w)))
+                sql.substring(open + 1, close),
+                Option(v).map(_.toInt), Option(w)))
             case _ => None
           }
         }
@@ -571,11 +571,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
     val inner = sql.substring(open + 1, close)
     inner match {
-      case MinhashDedup(target, colName, idCol, batchSql, where) =>
+      case MinhashDedup(target, colName, idCol, batchSql, version, where) =>
         val spark = org.apache.spark.sql.SparkSession.active
         val view = "graft_mhdedup_" +
           java.lang.Integer.toHexString(inner.trim.hashCode)
-        MinhashDedupDf.of(spark, target, colName, idCol, batchSql, where)
+        MinhashDedupDf.of(spark, target, colName, idCol, batchSql, where,
+            version)
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -807,8 +808,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         version)
     case SemDedup(target, colName, batchSql, version, where) =>
       SemanticDedupCommand(target, colName, batchSql, where, version)
-    case MinhashDedup(target, colName, idCol, batchSql, where) =>
-      MinhashDedupCommand(target, colName, idCol, batchSql, where)
+    case MinhashDedup(target, colName, idCol, batchSql, version, where) =>
+      MinhashDedupCommand(target, colName, idCol, batchSql, where, version)
     case Bm25Search(target, colName, idCol, termsList, topK, version, where)
       if termsList.count(_ == '\'') % 2 == 0 &&
         Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
@@ -903,9 +904,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "routing; quotes must balance"),
     "MINHASH DEDUP" ->
       ("MINHASH DEDUP ON <table> (<col>) ID (<idCol>) USING (<query>) " +
-        "[WHERE <pred>] — the USING subquery yields the id + text " +
-        "columns; WHERE filters the batch rows before routing; quotes " +
-        "must balance"),
+        "[VERSION AS OF <v>] [WHERE <pred>] — the USING subquery yields " +
+        "the id + text columns; VERSION AS OF deduplicates against the " +
+        "snapshot's own corpus; WHERE filters the batch rows before " +
+        "routing; quotes must balance"),
     "QUALIFY" ->
       ("SELECT … FROM … QUALIFY <pred> [ORDER BY …] [LIMIT …] — the " +
         "post-window filter: name the window expression in the SELECT " +
@@ -1702,7 +1704,8 @@ case class SemanticDedupCommand(target: String, colName: String,
   * ([[graft.sources.TextIndex.dedupIncremental]]). Normalized output
   * (<idCol> BIGINT, dup_of BIGINT, is_dup BOOLEAN), ordered by id. */
 case class MinhashDedupCommand(target: String, colName: String,
-    idCol: String, batchSql: String, where: Option[String])
+    idCol: String, batchSql: String, where: Option[String],
+    version: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference(idCol, org.apache.spark.sql.types.LongType,
@@ -1713,7 +1716,8 @@ case class MinhashDedupCommand(target: String, colName: String,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
-    MinhashDedupDf.of(spark, target, colName, idCol, batchSql, where)
+    MinhashDedupDf.of(spark, target, colName, idCol, batchSql, where,
+        version)
       .orderBy(col(idCol))
       .collect().toSeq
   }
@@ -1749,16 +1753,20 @@ private[plans] object SemanticDedupDf {
   * statement and the composable `( … )` relation form. */
 private[plans] object MinhashDedupDf {
   def of(spark: SparkSession, target: String, colName: String,
-      idCol: String, batchSql: String, where: Option[String])
-      : org.apache.spark.sql.DataFrame = {
+      idCol: String, batchSql: String, where: Option[String],
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val batch0 = spark.sql(batchSql)
     val batch = where.fold(batch0)(w => batch0.where(expr(w)))
-    graft.sources.TextIndex
-      .dedupIncremental(spark, target, colName, idCol, batch)
-      // the serve path normalizes the id to `doc_id` internally —
-      // surface it under the statement's declared ID column name
-      .select(col("doc_id").cast(org.apache.spark.sql.types.LongType)
+    val res = version match {
+      case Some(v) => graft.sources.TextIndex
+        .dedupIncrementalAsOf(spark, target, colName, idCol, batch, v)
+      case None => graft.sources.TextIndex
+        .dedupIncremental(spark, target, colName, idCol, batch)
+    }
+    // the serve path normalizes the id to `doc_id` internally —
+    // surface it under the statement's declared ID column name
+    res.select(col("doc_id").cast(org.apache.spark.sql.types.LongType)
           .as(idCol),
         col("dup_of").cast(org.apache.spark.sql.types.LongType),
         col("is_dup").cast(org.apache.spark.sql.types.BooleanType))

@@ -708,6 +708,48 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The TIME-TRAVEL text-dedup corpus
+    * `q_dedup_minhash_incremental_asof_sql` reads (r15): the even-id
+    * curated docs indexed at staging, the post-index VERSION recorded,
+    * then a DECOY append — exact copies of a slice of the odd-id batch
+    * under shifted ids, flipping those batch rows to dups in any
+    * CURRENT dedup. Staged ONCE per (JVM, sfDir); (catalog, version). */
+  private val stagedTextIncAsofBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def stageTextIncAsofBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int) =
+    stagedTextIncAsofBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = graft.Scratch.dir("graft_stagetia_")
+      val cat = s"graftstgtia${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, text STRING)")
+      val docs = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "source", "text")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val v = Manifest.snapshotVersions(dir).max
+      Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(100)) === 1)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("source"),
+          col("text"))
+        .coalesce(1).writeTo(s"$cat.q.docs").append()
+      (cat, v)
+    })
+
   /** The HYBRID corpus `q_search_hybrid_indexed` reads: documents joined
     * to their embeddings (one row per id with BOTH modalities — at sf0.1
     * only 2000 of 5000 docs embed, so the corpus is the join by
@@ -1391,6 +1433,27 @@ object SourceQueries extends QueryModule {
         .where(pmod(col("doc_id"), lit(2)) === 1)
         .select(col("doc_id"), col("text"))
       TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id", batch)
+    }),
+
+    // TIME-TRAVEL incremental MinHash dedup (r15 — the text twin of the
+    // semantic AS OF dedup): the snapshot's own signature sidecar
+    // witnesses, the witness-id fetch pins the version's files and DV
+    // state — so the decoy corpus docs appended after the version
+    // (exact copies of a batch slice) change no verdict. Shares the
+    // plain incremental oracle.
+    "q_dedup_minhash_incremental_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageTextIncAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      Tables(s, d, "documents")
+        .createOrReplaceTempView("graft_mhdedup_asof_batch_src")
+      val res = s.sql(s"MINHASH DEDUP ON $cat.q.docs (text) ID (doc_id) " +
+        "USING (SELECT doc_id, text FROM graft_mhdedup_asof_batch_src " +
+        s"WHERE doc_id % 2 = 1) VERSION AS OF $v")
+      val decoys = s.table(s"$cat.q.docs")
+        .where(col("doc_id") >= 4000000L).count()
+      assert(decoys > 0L,
+        s"the current corpus must hold the batch-copy decoys: $decoys")
+      res
     }),
 
     // The SQL statement form of the same serve path (r15 — the C212
@@ -4809,10 +4872,12 @@ object SourceQueries extends QueryModule {
     "q_dedup_minhash_incremental_sql" -> graft.llm.Dedup.sqlDedupIncremental,
     "q_dedup_semantic_incremental_sql" ->
       graft.llm.Clustering.sqlSemDedupIndexedIncremental,
-    // The AS OF dedup answers the snapshot's verdicts = the plain
-    // incremental replay; the post-version decoys must move nothing.
+    // The AS OF dedups answer the snapshot's verdicts = the plain
+    // incremental replays; the post-version decoys must move nothing.
     "q_dedup_semantic_incremental_asof_sql" ->
       graft.llm.Clustering.sqlSemDedupIndexedIncremental,
+    "q_dedup_minhash_incremental_asof_sql" ->
+      graft.llm.Dedup.sqlDedupIncremental,
     // All three curation stages — stored-signature dedup, the NB
     // language gate, the token floor — replayed in ONE statement.
     "q_corpus_ingest_pipeline" ->

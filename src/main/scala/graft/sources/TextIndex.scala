@@ -554,6 +554,109 @@ object TextIndex {
     }
   }
 
+  /** TIME-TRAVEL incremental MinHash dedup (r15 — the C238 audit
+    * posture for the text curation tier, the twin of
+    * [[graft.sources.VectorIndex.semDedupIncrementalAsOf]]): "which of
+    * these documents were near-dups of the corpus AS OF version v". The
+    * snapshot manifest's own `tokenidx.` prop serves its HISTORICAL
+    * signature sidecar; the witness-id fetch pins both the files and
+    * the snapshot's DV state, so documents added (or deletion-vectored)
+    * after the version neither witness nor un-witness any batch row. A
+    * snapshot whose index was stale or reaped recomputes the corpus
+    * signatures from the snapshot-pinned scan (text has no trained
+    * state — the fallback IS a rebuild's answer at that version). SQL:
+    * `MINHASH DEDUP … USING (<query>) VERSION AS OF v [WHERE <pred>]`.
+    * Output (doc_id, dup_of, is_dup) like [[dedupIncremental]]. */
+  def dedupIncrementalAsOf(spark: SparkSession, table: String,
+      colName: String, idCol: String, batch: DataFrame,
+      version: Int): DataFrame = {
+    import graft.llm.Dedup
+    val op = "MINHASH DEDUP INCREMENTAL AS OF"
+    val mt = resolveManifestTable(spark, table, op)
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: snapshot $version expired or never existed at ${mt.dir}"))
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    val bSig = Dedup.minhashSignatureRows(
+      batch.select(col(idCol).as("doc_id"), col(colName).as("text")),
+      "text", Seq("doc_id"))
+    val bBands = Dedup.minhashBandRows(bSig, Seq("doc_id", "hv"))
+      .select(col("doc_id").as("vn"), col("hv").as("hv_n"),
+        col("band"), col("bkey"))
+    def result(matched: DataFrame): DataFrame =
+      bSig.select(col("doc_id"))
+        .join(matched, col("doc_id") === col("vn"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    val idx = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("minhash")))
+        Some(fields(0))
+      else None
+    }
+    idx match {
+      case Some(idxName) =>
+        val cBands = Dedup.minhashBandRows(
+            spark.read.parquet(
+              mt.dir.resolve(idxName).resolve("minhash").toString),
+            Seq("file", "pos", "hv"))
+          .select(col("band").as("oband"), col("bkey").as("obkey"),
+            col("file"), col("pos"), col("hv").as("hv_o"))
+        val matchedRows = bBands.join(cBands,
+            col("band") === col("oband") && col("bkey") === col("obkey") &&
+              Dedup.jaccard(col("hv_n"), col("hv_o")) >=
+                Dedup.MinhashJaccard)
+          .select(col("vn"), col("file"), col("pos"))
+          .localCheckpoint()
+        val candFiles = matchedRows.select("file").distinct()
+          .collect().map(_.getString(0))
+        val matched =
+          if (candFiles.isEmpty) {
+            val idType = m.schema.fields
+              .find(_.name.equalsIgnoreCase(idCol)).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.LongType)
+            spark.range(0).select(col("id").cast(idType).as("vn"),
+              col("id").cast(idType).as("dup_of"))
+          } else {
+            // witnesses fetch through the SNAPSHOT-pinned scan: a
+            // post-version DV cannot erase a witness, a post-version
+            // append cannot add one
+            val ids = snapScan(candFiles.toSeq)
+              .select(col(idCol).as("oid"), col("_file").as("file"),
+                col("_pos").as("pos"))
+            matchedRows.join(ids, Seq("file", "pos"))
+              .groupBy("vn").agg(min(col("oid")).as("dup_of"))
+          }
+        result(matched)
+      case None =>
+        // stale/reaped snapshot: corpus signatures recomputed from the
+        // snapshot-pinned scan — a rebuild's answer at that version
+        val sig = Dedup.minhashSignatureRows(
+          snapScan(names)
+            .select(col(idCol).as("oid"), col(colName).as("text")),
+          "text", Seq("oid"))
+        val oBands = Dedup.minhashBandRows(sig, Seq("oid", "hv"))
+          .select(col("band").as("oband"), col("bkey").as("obkey"),
+            col("oid"), col("hv").as("hv_o"))
+        val matched = bBands.join(oBands,
+            col("band") === col("oband") && col("bkey") === col("obkey") &&
+              Dedup.jaccard(col("hv_n"), col("hv_o")) >=
+                Dedup.MinhashJaccard)
+          .groupBy("vn").agg(min(col("oid")).as("dup_of"))
+        result(matched)
+    }
+  }
+
   /** PHRASE search — contiguous-token match over the indexed column. The
     * single-token index answers phrase queries by INTERSECTION: every
     * phrase token must appear in a file for the phrase to, so candidates

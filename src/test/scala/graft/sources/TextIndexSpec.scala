@@ -169,6 +169,44 @@ class TextIndexSpec extends SparkSuite {
     assert(e2.contains("Physical Plan"), e2.take(300))
   }
 
+  test("incremental MinHash dedup AS OF (r15): the snapshot's " +
+      "signatures witness; later corpus docs change no verdict") {
+    val (cat, _) = freshCatalog("tix36")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)")
+    val dir = dirOf(t)
+    val v = Manifest.snapshotVersions(dir).max
+    // batch: a dup of doc 3 at v, and a row whose exact copy lands in
+    // the corpus only AFTER v
+    val batch = Seq((100L, "needle in the hay"),
+      (101L, "zulu yankee xray whiskey")).toDF("id", "text")
+    Seq((200L, "zulu yankee xray whiskey")).toDF("id", "text")
+      .coalesce(1).writeTo(t).append()
+    // CURRENT dedup (stale → recompute): 101 IS a dup of the decoy
+    val cur = TextIndex.dedupIncremental(spark, t, "text", "id", batch)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(cur(101L), s"the decoy flips 101 currently: $cur")
+    // AS OF v: the snapshot's signature sidecar witnesses — 101 clean
+    val asof = TextIndex.dedupIncrementalAsOf(spark, t, "text", "id",
+        batch, v)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(asof.toSeq == Seq((100L, Some(3L), true), (101L, None, false)),
+      s"snapshot verdicts: ${asof.toSeq}")
+    // through SQL
+    batch.createOrReplaceTempView("mha_batch")
+    val viaSql = spark.sql(s"MINHASH DEDUP ON $t (text) ID (id) USING " +
+        s"(SELECT id, text FROM mha_batch) VERSION AS OF $v")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(viaSql == Seq((100L, true), (101L, false)), viaSql.toString)
+    // a STALE snapshot (v2 carries the pre-append prop): recompute over
+    // v2's own rows — 101 dups against ITS state
+    val v2 = Manifest.snapshotVersions(dir).max
+    val stale = TextIndex.dedupIncrementalAsOf(spark, t, "text", "id",
+        batch, v2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(stale(101L), s"v2's own state witnesses 101: $stale")
+  }
+
   test("scoped BM25 time travel (r15): the scope's statistics serve at " +
       "the version; unprovable scopes fall back snapshot-exact") {
     val (cat, _) = freshCatalog("tix35")
