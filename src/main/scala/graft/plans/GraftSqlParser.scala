@@ -887,8 +887,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ("VECTOR KNN JOIN ON <table> (<col>) USING (<query>) TOP <k> " +
         "[VERSION AS OF <v>] [RERANK <r> USING PQ] [WHERE <pred>] — the " +
         "USING subquery yields the table's id + embedding columns; " +
-        "clauses in this order; VERSION AS OF serves the snapshot's own " +
-        "plain index (no RERANK/WHERE)"),
+        "clauses in this order; all clauses compose with VERSION AS OF"),
     "BM25 SEARCH" ->
       ("BM25 SEARCH ON <table> (<col>) ID (<idCol>) TERMS ('a', 'b', …) " +
         "TOP <k> [VERSION AS OF <v>] [WHERE <scope>] — clauses in this " +
@@ -1635,21 +1634,16 @@ private[plans] object VectorKnnJoinDf {
     import org.apache.spark.sql.functions.{col, expr}
     val batch = spark.sql(batchSql)
     version.foreach { v =>
-      // RERANK USING PQ composes with time travel (r15), with or
-      // without WHERE (the predicate narrows the snapshot's codes
-      // before each row's cutoff); the PLAIN filtered historical join
-      // stays a targeted refusal — route through RERANK USING PQ.
-      if (where.isDefined && rerank.isEmpty)
-        throw new IllegalArgumentException(
-          "VECTOR KNN JOIN: WHERE composes with VERSION AS OF only " +
-            "through RERANK <r> USING PQ (the compressed filtered " +
-            "historical join); the plain exact form serves unfiltered")
+      // every clause composes with time travel (r15): the predicate
+      // narrows the snapshot's candidates (or, with RERANK USING PQ,
+      // its codes) before each row's cutoff, at the version's rows and
+      // DV state
+      val pred = where.map(org.apache.spark.sql.functions.expr)
       val asof = rerank match {
         case Some(r) => graft.sources.VectorIndex
-          .knnJoinAsOfPq(spark, target, colName, batch, topK, v, r,
-            where.map(org.apache.spark.sql.functions.expr))
+          .knnJoinAsOfPq(spark, target, colName, batch, topK, v, r, pred)
         case None => graft.sources.VectorIndex
-          .knnJoinAsOf(spark, target, colName, batch, topK, v)
+          .knnJoinAsOf(spark, target, colName, batch, topK, v, pred)
       }
       return asof
         .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),

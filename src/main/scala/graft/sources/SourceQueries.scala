@@ -2472,6 +2472,20 @@ object SourceQueries extends QueryModule {
         s"TOP 10 VERSION AS OF $v RERANK 50 USING PQ WHERE label = 3")
     }),
 
+    // FILTERED time travel for the plain exact BATCH join (r15 — the
+    // last time-travel refusal lifted): the predicate narrows the
+    // snapshot's candidates before each row's top-k, at the version's
+    // rows and DV state. Shares the live filtered-join replay oracle.
+    "q_vector_knn_join_asof_filtered" -> ((s, d) => {
+      val (cat, v) = stageVecAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val batch = Tables(s, d, "embeddings")
+        .where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      VectorIndex.knnJoinAsOf(s, s"$cat.q.emb", "embedding", batch, 3, v,
+        Some(col("label") % 2 === 0))
+    }),
+
     // BY PARTITION × PQ × time travel for the BATCH join (r15): the
     // pinned partition's HISTORICAL ranked codebook/codes drive the
     // per-row ADC cutoff, survivors fetch through the snapshot-pinned
@@ -5174,6 +5188,8 @@ object SourceQueries extends QueryModule {
     // the live partitioned-PQ oracle (the snapshot IS the raw corpus).
     "q_vector_search_asof_partitioned_pq" -> sqlPqRankedOracle(3),
     "q_vector_knn_join_asof_partitioned_pq" -> sqlPqRankedKnnJoinOracle(3),
+    "q_vector_knn_join_asof_filtered" ->
+      sqlKnnJoinOracleWhere("WHERE a.label % 2 = 0"),
     // The SQL statement shares the Scala-API replay.
     "q_vector_search_asof_sql" -> sqlVectorSearchOracle(""),
     // The AS OF batch join answers the plain kNN join over the raw

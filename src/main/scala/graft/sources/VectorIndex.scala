@@ -2538,7 +2538,8 @@ object VectorIndex {
     * PARTITION snapshots fan the batch out under every historical pin
     * (r14). Output (vec_id, rank, nn_id, sim) like [[knnJoin]]. */
   def knnJoinAsOf(spark: SparkSession, table: String, colName: String,
-      batch: DataFrame, k: Int, version: Int): DataFrame = {
+      batch: DataFrame, k: Int, version: Int,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.llm.Similarity
     import graft.llm.PortableHash.dotFixed
     val op = "VECTOR KNN JOIN AS OF"
@@ -2615,8 +2616,15 @@ object VectorIndex {
       val servableP = p.isCurrent(digestOf(m)) &&
         java.nio.file.Files.exists(idxDirP.resolve("cents")) &&
         java.nio.file.Files.exists(idxDirP.resolve("posts"))
+      // the predicate's partition pins route to the snapshot's own
+      // sub-geometries; the full predicate then narrows CANDIDATES
+      // before each row's top-k (the filtered-ANN rule, at the
+      // version's rows and DV state) — r15
+      val pins = predicate.flatMap(partitionPins(_, pc, partTypeOf(m, pc)))
       if (servableP) {
-        val cents = spark.read.parquet(idxDirP.resolve("cents").toString)
+        val cents0 = spark.read.parquet(idxDirP.resolve("cents").toString)
+        val cents = pins.fold(cents0)(ps =>
+          cents0.where(col("part").isin(ps: _*)))
         val bAssigned = assignBatchAllParts(b0, cents).localCheckpoint()
         val cand = spark.read.parquet(idxDirP.resolve("posts").toString)
           .join(bAssigned.select("part", "list_id").distinct(),
@@ -2627,13 +2635,24 @@ object VectorIndex {
             lit(0).as("list_id")).where(lit(false)),
             b0.select(col("vec_id"), col("embedding"),
               lit(0).as("list_id")).where(lit(false)))
+        val scanned = snapScan(cand.toSeq)
         return finishByPart(bAssigned,
           graft.llm.Similarity.assignListsHierByPartLocal(
-            partKey(snapScan(cand.toSeq)), cents, p.coarse))
+            partKey(predicate.fold(scanned)(scanned.where)), cents,
+            p.coarse))
       } else {
-        val rows = partKey(snapScan(names))
-        val (corpusAssigned, cents) = retrainGeometryRankedByPart(rows, p)
-        return finishByPart(assignBatchAllParts(b0, cents), corpusAssigned)
+        val all = snapScan(names)
+        val rowsP = partKey(all)
+        val keyedP = pins.fold(rowsP)(ps =>
+          rowsP.where(col("part").isin(ps: _*)))
+        val (corpusAssigned, cents) = retrainGeometryRankedByPart(keyedP, p)
+        val candRows = predicate match {
+          case None => corpusAssigned
+          case Some(pred) => corpusAssigned.join(
+            partKey(all.where(pred)).select(col("part"), col("vec_id")),
+            Seq("part", "vec_id"), "left_semi")
+        }
+        return finishByPart(assignBatchAllParts(b0, cents), candRows)
       }
     }
     val idxDir = mt.dir.resolve(p.idxName)
@@ -2656,15 +2675,23 @@ object VectorIndex {
         finish(bAssigned.where(lit(false)),
           bAssigned.select(col("vec_id"), col("embedding"), col("list_id"))
             .where(lit(false)))
-      else finish(bAssigned, Similarity.assignListsHierLocal(
-        rekey(snapScan(candFiles)), cents, p.coarse))
+      else {
+        // the predicate narrows corpus CANDIDATES before each row's
+        // top-k (the filtered-ANN rule), evaluated against the
+        // snapshot's rows and DV state — r15
+        val scanned = snapScan(candFiles)
+        finish(bAssigned, Similarity.assignListsHierLocal(
+          rekey(predicate.fold(scanned)(scanned.where)), cents, p.coarse))
+      }
     } else {
       // stale snapshot index (or reaped sidecars): retrain over the
       // SNAPSHOT rows under the persisted policy — a rebuild's answer
-      val rows = rekey(snapScan(names))
+      val all = snapScan(names)
+      val rows = rekey(all)
       val (_, cents) = retrainGeometry(rows, p, rows.count())
       finish(Similarity.assignLists(b0, cents),
-        Similarity.assignListsHierLocal(rows, cents, p.coarse))
+        Similarity.assignListsHierLocal(
+          rekey(predicate.fold(all)(all.where)), cents, p.coarse))
     }
   }
 

@@ -34,7 +34,8 @@ class BenchIdempotenceSpec extends SparkSuite {
     "q_vector_knn_join_asof_pq", "q_vector_search_asof_partitioned_pq",
     "q_vector_knn_join_asof_partitioned_pq", "q_text_bm25_asof_scoped_sql",
     "q_dedup_semantic_incremental_asof_sql",
-    "q_dedup_minhash_incremental_asof_sql")
+    "q_dedup_minhash_incremental_asof_sql",
+    "q_vector_knn_join_asof_filtered")
 
   doubled.foreach { name =>
     test(s"$name survives a second invocation in the same JVM") {

@@ -411,6 +411,14 @@ class VectorIndexSpec extends SparkSuite {
         s"VERSION AS OF $v RERANK 8 USING PQ")
       .select("nn_id").as[Long].collect().toSet
     assert(knnSql == nn, s"SQL twin: $knnSql vs $nn")
+    // the PLAIN exact join composes WHERE with time travel too (r15):
+    // the predicate narrows the snapshot's candidates per row
+    val knnF = spark.sql(s"VECTOR KNN JOIN ON $t (embedding) USING " +
+        s"(SELECT vec_id, embedding FROM asofpq_batch) TOP 6 " +
+        s"VERSION AS OF $v WHERE vec_id % 2 = 0")
+      .select("nn_id").as[Long].collect().toSet
+    assert(knnF == Set(0L, 2L, 4L),
+      s"filtered exact historical join: $knnF")
   }
 
   test("DROP VECTOR INDEX unpublishes; VACUUM reaps once snapshots expire") {
