@@ -640,6 +640,21 @@ class VectorIndexSpec extends SparkSuite {
     assert(knn.count(_.getDouble(3) == maxKnn) == 6,
       s"exactly partition 0's 6 rows at the blob-A sim: " +
         knn.map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+    // the incremental-dedup serve (live AND time-travel) fetches each
+    // candidate's OWN slice row too: a batch row near partition 0's
+    // blob dups against min-id 0 of ITS partition, never against
+    // partition 1's same-id row
+    val v = Manifest.snapshotVersions(dir).max
+    val dedupBatch = Seq((500L, 0, vec(0, (10, 0.05f))))
+      .toDF("vec_id", "label", "embedding")
+    val live = VectorIndex.semDedupIncremental(spark, t, "embedding",
+      dedupBatch).collect().head
+    assert(live.getLong(1) == 0L && live.getBoolean(2),
+      s"live dedup witnesses slice 0's min id: $live")
+    val asof = VectorIndex.semDedupIncrementalAsOf(spark, t, "embedding",
+      dedupBatch, v).collect().head
+    assert(asof.getLong(1) == 0L && asof.getBoolean(2),
+      s"asof dedup witnesses slice 0's min id: $asof")
   }
 
   test("incremental SemDeDup: pre-sidecar index refuses with guidance") {
