@@ -619,7 +619,12 @@ object Dedup extends QueryModule {
     }),
 
     "q_dedup_minhash" -> ((s, d) => {
-      val sig = signatures(Tables(s, d, "documents"))
+      // fanned out + materialized once (r15): the one-row-group test
+      // layout computed the per-doc signatures on ONE task, and the
+      // THREE consumers below (band self-join + both hv join-backs)
+      // each replayed the shingle/permutation pass through lineage
+      val sig = signatures(Clustering.fanOut(Tables(s, d, "documents")))
+        .localCheckpoint()
       // slim (doc_id, band, bkey) for the bucket join; shingle sets join
       // back in only for the surviving candidates.
       val cand = minhashCandidates(sig)
