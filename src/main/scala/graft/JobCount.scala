@@ -6,8 +6,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   * the deterministic twin of wall-clock benching on a jittery VM. */
 object JobCount {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.JobCount <query[,query...]> " +
+        "(env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, JOBCOUNT_AQE, " +
+        "JOBCOUNT_VERBOSE, JOBCOUNT_PLAN)")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local("32", appName = "graft-jobcount")
+    // same parallelism derivation as Bench: fanOut-dependent queries must
+    // see the bench's partitioning, not a hardcoded 32 (r16 advice)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Sessions.local(cpus, appName = "graft-jobcount")
     sys.env.get("JOBCOUNT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
     val jobs = new java.util.concurrent.atomic.AtomicInteger()

@@ -196,8 +196,12 @@ object Text extends QueryModule {
         f.listFiles().sortBy(_.getName)
           .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
       else Array(s"${f.getName}:${f.length}:${f.lastModified}")
-    java.lang.Integer.toHexString(
-      java.util.Arrays.hashCode(entries.asInstanceOf[Array[AnyRef]]))
+    // 128-bit digest of the full listing, not a 32-bit hash (r16 advice):
+    // a hashCode collision would silently serve a stale model for the
+    // JVM's lifetime.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   private def nbModel(s: org.apache.spark.sql.SparkSession, d: String)

@@ -730,7 +730,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * EXPLAIN can't see through them — rewrite to the statement's OWN
     * composable-relation form (`EXPLAIN [mode] SELECT * FROM (<stmt>)`)
     * and re-feed, so EXPLAIN renders the underlying serve dataflow's
-    * plan instead of erroring. */
+    * plan instead of erroring.
+    *
+    * Caveat (accepted): the composable-relation rewriter builds the serve
+    * DataFrame eagerly at parse time, so for SEMANTIC/MINHASH DEDUP this
+    * EXPLAIN runs the bounded driver collects (candidate-file lists) and
+    * localCheckpoints the statement's serve path needs — real Spark jobs,
+    * not pure planning, and a data error surfaces at EXPLAIN time. A
+    * lazier path would defer those behind a command wrapper; today the
+    * relation form IS the plan being explained, so the cost is the
+    * statement's own bounded staging. */
   private val ExplainCustom =
     ("""(?is)\s*EXPLAIN(\s+(?:EXTENDED|CODEGEN|COST|FORMATTED))?\s+""" +
       """((?:VECTOR\s+SEARCH|VECTOR\s+KNN\s+JOIN|BM25\s+SEARCH|""" +

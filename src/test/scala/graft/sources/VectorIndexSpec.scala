@@ -1419,16 +1419,30 @@ class VectorIndexSpec extends SparkSuite {
       t
     }
     def jobsDuring(body: => Unit): Int = {
+      // Count ONLY jobs carrying this measurement's job group: the
+      // SparkContext is shared across the suite JVM, and a stray
+      // cleanup/broadcast job from concurrent suite state under full-suite
+      // load broke the strict-equality pin (47 != 48, r15). Job-group ids
+      // are thread-local and propagate through SQLExecution's captured
+      // local properties (broadcast exchange threads included), so the
+      // filter keeps every job the measured action spawns and nothing else.
+      val group = s"graft-jobpin-${java.util.UUID.randomUUID()}"
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          n.incrementAndGet(); ()
+          if (group == js.properties.getProperty("spark.jobGroup.id")) {
+            n.incrementAndGet()
+          }
+          ()
         }
       }
       spark.sparkContext.addSparkListener(l)
+      spark.sparkContext.setJobGroup(group, "job-count pin",
+        interruptOnCancel = false)
       try body
       finally {
+        spark.sparkContext.clearJobGroup()
         // the listener bus is async — poll until the count stabilizes
         var last = -1
         var spins = 0
