@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline queries whose individual times go on the emitted JSON line
     * (one-per-family representatives; the full map goes to bench_full.json). */
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     "q_scan_parquet", "q_prune_files", "q_groupby_avg", "q_orderby_multi",
     "q_window_avg_day", "q_cte", "q_etl_gold",
     "q_join_broadcast", "q_join_shuffle", "q_join_asof", "q_join_range",

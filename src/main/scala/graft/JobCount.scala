@@ -1,15 +1,61 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.sql.SparkSession
 
-/** Diagnostic main: per-query Spark job + stage counts (warm second run),
-  * the deterministic twin of wall-clock benching on a jittery VM. */
+/** Deterministic perf twin of wall-clock benching on a jittery VM:
+  * per-query Spark job + stage counts of the WARM (second) execution.
+  * Counts are scoped to a per-measurement job group so concurrent session
+  * activity can't leak in, and they are a property of the PLAN + data —
+  * stable run-to-run where wall-clock swings 10-40×. `JobCountSpec` pins
+  * the counts of the most expensive queries; `JOBCOUNT_OUT=<file>` writes
+  * the full artifact the round commits (JOBCOUNT_r{N}.json).
+  *
+  * Args: comma-separated query names, or `--headline` for the bench's
+  * headline subset. Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * JOBCOUNT_OUT, JOBCOUNT_AQE, JOBCOUNT_VERBOSE, JOBCOUNT_PLAN. */
 object JobCount {
+
+  /** Jobs + stages submitted by `body`, counted via a unique job group —
+    * the same scoping that deflaked the C249 listener pin: group ids are
+    * thread-local and propagate through SQLExecution's captured local
+    * properties into broadcast-exchange threads, so the count covers
+    * exactly the measured action. */
+  def measure(spark: SparkSession)(body: => Unit): (Int, Int) = {
+    val group = s"graft-jobcount-${java.util.UUID.randomUUID()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        if (group == j.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "graft job-count measurement",
+      interruptOnCancel = false)
+    try body
+    finally {
+      spark.sparkContext.clearJobGroup()
+      // async listener bus: poll until the counts stabilize
+      var last = (-1, -1)
+      var spins = 0
+      while ((jobs.get(), stages.get()) != last && spins < 50) {
+        last = (jobs.get(), stages.get()); Thread.sleep(100); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(l)
+    }
+    (jobs.get(), stages.get())
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.JobCount <query[,query...]> " +
-        "(env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, JOBCOUNT_AQE, " +
-        "JOBCOUNT_VERBOSE, JOBCOUNT_PLAN)")
+      System.err.println("usage: graft.JobCount <query[,query...]|--headline> " +
+        "(env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, JOBCOUNT_OUT, " +
+        "JOBCOUNT_AQE, JOBCOUNT_VERBOSE, JOBCOUNT_PLAN)")
       sys.exit(2)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,40 +63,56 @@ object JobCount {
     // see the bench's partitioning, not a hardcoded 32 (r16 advice)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, appName = "graft-jobcount")
+    Sessions.quietBoundedGlobalWindowWarnings()
     sys.env.get("JOBCOUNT_AQE").foreach(v =>
       spark.conf.set("spark.sql.adaptive.enabled", v))
-    val jobs = new java.util.concurrent.atomic.AtomicInteger()
-    val stages = new java.util.concurrent.atomic.AtomicInteger()
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet()
-        val names = j.stageInfos.map(_.name.take(60)).mkString(" | ")
-        starts.put(j.jobId, (j.time, names))
-      }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        Option(starts.remove(j.jobId)).foreach { case (t0, names) =>
-          descs.add(f"job ${j.jobId} ${(j.time - t0) / 1000.0}%.3fs: $names")
+    if (sys.env.contains("JOBCOUNT_VERBOSE")) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val names = j.stageInfos.map(_.name.take(60)).mkString(" | ")
+          starts.put(j.jobId, (j.time, names))
         }
-      }
-      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
-    })
-    val names = args.head.split(",").toSeq
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, names) =>
+            descs.add(f"job ${j.jobId} ${(j.time - t0) / 1000.0}%.3fs: $names")
+          }
+        }
+      })
+    }
+    val names =
+      if (args.head == "--headline") Bench.headline
+      else args.head.split(",").toSeq
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int, Double)]
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      fn(spark, sfDir).count() // warm
-      Thread.sleep(300)
-      jobs.set(0); stages.set(0); descs.clear()
+      fn(spark, sfDir).count() // warm: JIT, codegen, fixture staging, caches
+      Thread.sleep(200)
+      descs.clear()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      val (jobs, stages) = measure(spark) { fn(spark, sfDir).count() }
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      println(f"[jobcount] $n jobs=${jobs.get} stages=${stages.get} t=$dt%.3f")
+      out(n) = (jobs, stages, dt)
+      println(f"[jobcount] $n jobs=$jobs stages=$stages t=$dt%.3f")
       if (sys.env.contains("JOBCOUNT_VERBOSE"))
         descs.forEach(x => println(s"[jobdesc] $x"))
       if (sys.env.contains("JOBCOUNT_PLAN"))
         println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(4000))
+    }
+    sys.env.get("JOBCOUNT_OUT").foreach { path =>
+      val sf = sfDir.split("/").filter(_.nonEmpty).lastOption
+        .map(_.stripPrefix("sf"))
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+      val qs = out.map { case (k, (j, s, t)) =>
+        f""""$k":{"jobs":$j,"stages":$s,"t":$t%.3f}"""
+      }.mkString("{", ",", "}")
+      val json = s"""{"metric":"jobcount","sf":$sf,"cpus":"$cpus",""" +
+        s""""aqe":"${spark.conf.get("spark.sql.adaptive.enabled")}",""" +
+        s""""nq":${out.size},"queries":$qs}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes("UTF-8"))
+      println(s"[jobcount] wrote $path")
     }
     spark.stop()
   }
