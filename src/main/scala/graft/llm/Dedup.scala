@@ -906,6 +906,42 @@ object Dedup extends QueryModule {
        |LEFT JOIN m ON m.doc_new = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The WITHIN-PARTITION twin (r16 — the BY PARTITION text index's
+    * admission rule): candidates must share `source`, so a batch doc
+    * duplicated from ANOTHER slice's corpus is admitted — the
+    * tenant/date-scoped dedup a partitioned 100 TB corpus wants. Same
+    * signature chain, one added equality in the bucket join. The split
+    * is mod-3 (corpus = doc_id % 3 <> 0, batch = % 3 = 0): testdata
+    * doc_id parity equals source parity, so a parity split would have
+    * zero same-source candidates and the rule would gate nothing. */
+  private[graft] lazy val sqlDedupIncrementalPartitioned: String =
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, source, $sqlShingles2 AS shingles FROM toks),
+       |hs AS (SELECT doc_id, source, list_sort(list_distinct([${sqlPolyChar("s")} for s in shingles])) AS hv FROM sh),
+       |sig AS (SELECT doc_id, source, hv,
+       |  [list_min([(h * (2*j+1) + 7*j + 13) % $P for h in hv]) for j in range(0, $NumHashes)] AS mh
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, source, b, mh[2*b+1] * $P + mh[2*b+2] AS bkey
+       |  FROM sig, (SELECT unnest(range(0, ${NumHashes / BandRows})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |  FROM bands n JOIN bands o
+       |    ON n.b = o.b AND n.bkey = o.bkey AND n.source = o.source
+       |  WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0),
+       |m AS (
+       |  SELECT doc_new, min(doc_old) AS dup_of
+       |  FROM cand c JOIN sig sn ON sn.doc_id = c.doc_new
+       |              JOIN sig so ON so.doc_id = c.doc_old
+       |  WHERE CAST(len(list_intersect(sn.hv, so.hv)) AS DOUBLE) /
+       |        (len(sn.hv) + len(so.hv) - len(list_intersect(sn.hv, so.hv)))
+       |        >= $MinhashJaccard
+       |  GROUP BY doc_new)
+       |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |LEFT JOIN m ON m.doc_new = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The CTE chain through `m` (doc_new → min corpus witness) — shared
     * with the ingest-pipeline composition (`q_corpus_ingest_pipeline`). */
   private[graft] lazy val sqlDedupIncrementalCtes: String =

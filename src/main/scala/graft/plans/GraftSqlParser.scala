@@ -208,7 +208,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * grammar has no TEXT INDEX form, so the regexes never shadow delegate
     * syntax. */
   private val CreateTextIdx =
-    """(?is)\s*CREATE\s+TEXT\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+    ("""(?is)\s*CREATE\s+TEXT\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)(?:\s+(BY\s+PARTITION))?\s*;?\s*""").r
   private val DropTextIdx =
     """(?is)\s*DROP\s+TEXT\s+INDEX\s+ON\s+((?:[\w.]+|`[^`]+`)+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
@@ -796,7 +797,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (balanced && assigns.nonEmpty && assigns.forall(_.isDefined))
         UpdateManifestCommand(target, assigns.flatten, Option(where))
       else delegate.parsePlan(sqlText)
-    case CreateTextIdx(target, colName) => CreateTextIndexCommand(target, colName)
+    case CreateTextIdx(target, colName, byPart) =>
+      CreateTextIndexCommand(target, colName, byPart != null)
     case DropTextIdx(target, colName) => DropTextIndexCommand(target, colName)
     case CreateVecIdx(target, colName, idCol, lists, sample, coarse, byPart) =>
       CreateVectorIndexCommand(target, colName, idCol,
@@ -926,7 +928,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "[LISTS <k>] [SAMPLE <n>] [COARSE PROBES <c>] [BY PARTITION] — " +
         "clauses in this order"),
     "DROP VECTOR INDEX" -> "DROP VECTOR INDEX ON <table> (<col>)",
-    "CREATE TEXT INDEX" -> "CREATE TEXT INDEX ON <table> (<col>)",
+    "CREATE TEXT INDEX" ->
+      "CREATE TEXT INDEX ON <table> (<col>) [BY PARTITION]",
     "DROP TEXT INDEX" -> "DROP TEXT INDEX ON <table> (<col>)",
     "REFRESH TEXT INDEX" -> "REFRESH TEXT INDEX ON <table> (<col>)",
     "REFRESH VECTOR INDEX" -> "REFRESH VECTOR INDEX ON <table> (<col>)",
@@ -1418,7 +1421,8 @@ case class AlterPartitioningCommand(target: String, items: Seq[String])
 /** `CREATE TEXT INDEX ON t (col)` — build the file-level inverted token
   * index ([[graft.sources.TextIndex.build]]); reports the files and
   * distinct tokens indexed. */
-case class CreateTextIndexCommand(target: String, colName: String)
+case class CreateTextIndexCommand(target: String, colName: String,
+    byPartition: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_files", org.apache.spark.sql.types.LongType,
@@ -1427,7 +1431,8 @@ case class CreateTextIndexCommand(target: String, colName: String)
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = ManifestTarget.of(spark, target, "CREATE TEXT INDEX")
-    val (nf, nt) = graft.sources.TextIndex.build(spark, mt.dir, colName)
+    val (nf, nt) =
+      graft.sources.TextIndex.build(spark, mt.dir, colName, byPartition)
     Seq(Row(nf, nt))
   }
 }

@@ -200,10 +200,15 @@ object MetadataTables {
           // dead rows until REFRESH re-derives the touched files)
           // surfaces in details so operators see the catch-up debt
           val drifted = fields.length > 2 && fields(2) != curDvDigest
+          // a BY PARTITION index reports its routing column like the
+          // vector tier's `by=` (r16)
+          val details = (TextIndex.propPartCol(v).map(pc => s"by=$pc") ++
+            (if (drifted) Some("dv_drift=true") else None)).mkString(" ")
           Array[Any](UTF8String.fromString("text"),
             UTF8String.fromString(k.stripPrefix(TextIndex.PropPrefix)),
             UTF8String.fromString(fields(0)), fields(1) == curDigest,
-            if (drifted) UTF8String.fromString("dv_drift=true") else null) +:
+            if (details.isEmpty) null
+            else UTF8String.fromString(details)) +:
             textPartRows(dir, m, fields(1) == curDigest, drifted,
               k.stripPrefix(TextIndex.PropPrefix), fields(0))
         case (k, v) if k.startsWith(VectorIndex.PropPrefix) =>

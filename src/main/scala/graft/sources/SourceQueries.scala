@@ -12,6 +12,29 @@ import graft.queries.QueryModule
   * handling) for the hashes to match. */
 object SourceQueries extends QueryModule {
 
+  /** Sum of planned manifest-scan files across a frame's executed plan —
+    * the in-query pruning assert shared by the r16 partitioned/asof text
+    * queries (earlier queries carry their own inline copies). */
+  private def plannedManifestFiles(
+      df: org.apache.spark.sql.DataFrame): Long = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[ManifestScan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[ManifestScan] =>
+          Seq(b.scan.asInstanceOf[ManifestScan])
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan).map(_.plannedFiles.toLong).sum
+  }
+
   private val ordersSchema = StructType(Seq(
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
@@ -705,6 +728,47 @@ object SourceQueries extends QueryModule {
             .writeTo(s"$cat.q.docs").append()
         }
       s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text)").collect()
+      cat
+    })
+
+  /** The BY PARTITION text base (r16 — the C221 pattern on the text
+    * tier): the `doc_id % 3 <> 0` two-thirds of documents PARTITIONED
+    * BY (source), one partition-pure commit per source, indexed
+    * `BY PARTITION` so the posting/stat/signature sidecars key per
+    * slice. The corpus split is mod-3, NOT parity: doc_id parity
+    * correlates exactly with source parity in the testdata (src j holds
+    * ids ≡ j mod 20), so a parity split would leave every batch row
+    * sourceless in the corpus and the within-partition semantics
+    * untested. Serves q_text_bm25_partitioned (per-domain df/N/avgdl
+    * off the part keys), q_text_search_partitioned (pin-routed
+    * membership) and q_text_dedup_incremental_partitioned
+    * (within-partition admission against the mod-3-zero batch). Staged
+    * ONCE per (JVM, sfDir); never modified, so the digest stays
+    * fresh. */
+  private val stagedTextByPartBase =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageTextByPartBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedTextByPartBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = graft.Scratch.dir("graft_stagetbp_")
+      val cat = s"graftstgtbp${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.docs " +
+        "(doc_id BIGINT, source STRING, text STRING) " +
+        "PARTITIONED BY (source)")
+      val docs = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select("doc_id", "source", "text")
+      docs.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          docs.filter(docs("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.docs").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.docs (text) BY PARTITION")
+        .collect()
       cat
     })
 
@@ -2235,6 +2299,127 @@ object SourceQueries extends QueryModule {
         .map(t => s"'$t'").mkString(", ")
       s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
         s"TERMS ($terms) TOP 10 VERSION AS OF $v WHERE source = 'src3'")
+    }),
+
+    // PER-PARTITION BM25 statistics through the ORACLE gate (r16 — the
+    // C221 serving shape on the text tier): on a BY PARTITION index a
+    // partition-pinned scope serves src3's df/N/avgdl from the
+    // sidecar's OWN part keys — no zone-map provability consulted, so
+    // per-domain ranking statistics hold on ANY layout. The oracle
+    // recomputes BM25 from raw parquet over exactly the slice's
+    // sub-corpus; in-query asserts pin the part-keyed sidecar schema
+    // and the one-file plan.
+    "q_text_bm25_partitioned" -> ((s, d) => {
+      val cat = stageTextByPartBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val res = TextIndex.bm25TopKScoped(s, s"$cat.q.docs", "text",
+        "doc_id", graft.llm.Text.Bm25Terms, 10, col("source") === "src3")
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val idx = Manifest.read(dir).get.props
+        .collectFirst { case (k, v) if k.startsWith("tokenidx.") => v }
+        .get.split(";", -1).head
+      val posts = s.read.parquet(dir.resolve(idx).resolve("posts").toString)
+      assert(posts.columns.contains("part"),
+        s"BY PARTITION sidecars must be part-keyed: ${posts.columns.toSeq}")
+      val planned = plannedManifestFiles(res)
+      assert(planned <= 1,
+        s"pinned slice statistics plan at most src3's one file: $planned")
+      res.orderBy(org.apache.spark.sql.functions.desc("score"),
+        col("doc_id"))
+    }),
+
+    // PIN-ROUTED membership search through the ORACLE gate (r16): the
+    // rarest token WITHIN src3's slice, searched with the partition pin
+    // — candidates come from the pinned slice's own posting rows (the
+    // slice's one file), never the token's cross-slice posting union.
+    // The oracle recomputes term choice AND membership over the even-id
+    // src3 sub-corpus.
+    "q_text_search_partitioned" -> ((s, d) => {
+      val cat = stageTextByPartBase(s, d)
+      import org.apache.spark.sql.functions._
+      val term = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(3)) =!= 0 &&
+          col("source") === "src3")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0).distinct()
+        .groupBy("token").count()
+        .orderBy(col("count"), col("token")).limit(1)
+        .collect().head.getString(0)
+      val res = TextIndex.searchWhere(s, s"$cat.q.docs", "text", term,
+          col("source") === "src3")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+      val planned = plannedManifestFiles(res)
+      assert(planned <= 1,
+        s"the pin routes to src3's posting rows (1 file), planned $planned")
+      res
+    }),
+
+    // WITHIN-PARTITION incremental dedup through the ORACLE gate (r16):
+    // on the BY PARTITION index each odd-id batch row verdicts against
+    // ITS OWN source's stored signatures — a batch doc whose only
+    // near-dup lives in another slice is ADMITTED (the tenant/date
+    // admission rule). The oracle replays the full MinHash chain with
+    // the source equality in the bucket join.
+    "q_text_dedup_incremental_partitioned" -> ((s, d) => {
+      val cat = stageTextByPartBase(s, d)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val batch = Tables(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+      TextIndex.dedupIncremental(s, s"$cat.q.docs", "text", "doc_id", batch)
+    }),
+
+    // TIME-TRAVEL membership search through the ORACLE gate (r16 — the
+    // last text-tier AS OF asymmetry closed): the snapshot's own
+    // posting list serves candidates and the scan pins the version's
+    // files + DV state, so the five post-version decoys stuffed with
+    // the probe token must not surface — while a CURRENT search sees
+    // them (in-query pinned). Oracle = membership over raw parquet
+    // (the snapshot IS the raw corpus).
+    "q_text_search_asof" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val cur = TextIndex.search(s, s"$cat.q.docs", "text", "vector")
+        .where(col("doc_id") >= 3000000L).count()
+      assert(cur == 5L,
+        s"a current search must surface the 5 decoys: $cur")
+      val res = TextIndex.searchAsOf(s, s"$cat.q.docs", "text", "vector", v)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val snapLive = Manifest.readSnapshot(dir, v).get.entries.count(_.rows > 0)
+      val curLive = Manifest.read(dir).get.entries.count(_.rows > 0)
+      val planned = plannedManifestFiles(res)
+      assert(planned > 0 && planned <= snapLive && planned < curLive,
+        s"AS OF plans the snapshot's own posting files (<= $snapLive, " +
+          s"never the decoy file of $curLive): $planned")
+      res
+    }),
+
+    // TIME-TRAVEL phrase search through the ORACLE gate (r16): the
+    // contiguous probe 'vector join' appears in every post-version
+    // decoy (the stuffed term sequence), so the AS OF phrase match must
+    // exclude them while answering the snapshot's own 35-doc membership
+    // exactly — token-∩ candidates from the historical posting lists,
+    // contiguity re-checked on the pinned scan.
+    "q_text_phrase_search_asof" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      import org.apache.spark.sql.functions.col
+      val curPhrase = TextIndex.phraseSearch(s, s"$cat.q.docs", "text",
+          "vector join")
+        .where(col("doc_id") >= 3000000L).count()
+      assert(curPhrase == 5L,
+        s"a current phrase search must surface the 5 decoys: $curPhrase")
+      TextIndex.phraseSearchAsOf(s, s"$cat.q.docs", "text",
+          "vector join", v)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
 
     // DV-drift catch-up for BM25 through the ORACLE gate (r13): a
@@ -5149,6 +5334,47 @@ object SourceQueries extends QueryModule {
                "SELECT doc_id, text FROM documents " +
                  "WHERE source = 'src3'")}) per_doc
          |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // BM25 recomputed from raw parquet over EXACTLY the slice's
+    // sub-corpus (even-id src3 docs) — the per-partition statistics the
+    // part-keyed sidecar serve must equal (r16).
+    "q_text_bm25_partitioned" ->
+      s"""SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+         |FROM (${graft.llm.Text.sqlBm25PerDocOver(
+               "SELECT doc_id, text FROM documents " +
+                 "WHERE source = 'src3' AND doc_id % 3 <> 0")}) per_doc
+         |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // Term choice AND membership recomputed over the even-id src3
+    // sub-corpus — what the pin-routed search must answer (r16).
+    "q_text_search_partitioned" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 3 <> 0 AND source = 'src3'),
+        |term AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+        |    WHERE token <> '' GROUP BY token)
+        |  ORDER BY df, token LIMIT 1)
+        |SELECT DISTINCT t.doc_id, t.source
+        |FROM toks t, term WHERE t.token = term.token
+        |ORDER BY doc_id""".stripMargin,
+    // The full MinHash chain with the source equality in the bucket
+    // join — the within-partition admission rule (r16).
+    "q_text_dedup_incremental_partitioned" ->
+      graft.llm.Dedup.sqlDedupIncrementalPartitioned,
+    // Membership over raw parquet — the snapshot IS the raw corpus, so
+    // the AS OF search equals the plain replay and the post-version
+    // decoys move nothing (r16).
+    "q_text_search_asof" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    // Contiguity over raw parquet — same phrase semantics as
+    // q_text_phrase_search, pinned at the version (r16).
+    "q_text_phrase_search_asof" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE contains(' ' || text || ' ', ' vector join ')
+        |ORDER BY doc_id""".stripMargin,
     // The full BM25 recomputation over the LIVE complement — what the
     // dv-drift refresh must converge the stored stats to.
     "q_text_bm25_dv" ->

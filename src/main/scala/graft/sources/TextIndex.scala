@@ -88,19 +88,29 @@ object TextIndex {
   /** Postings for the given files: (token, file, n_docs-with-token) and
     * the PER-FILE stat rows (file, n_docs, sum_dl — empties INCLUDED,
     * matching the text family's `size(split(col, ' '))` doc length).
-    * Row identity inside a file is its `_pos`. */
+    * Row identity inside a file is its `_pos`. A BY PARTITION index
+    * (r16) passes `partCol`: every row carries its partition VALUE
+    * (string cast, the vector tier's rendering) so posting and stat
+    * rows key per slice — same one-pass dataflow, the part column rides
+    * the existing shuffles (files are partition-pure, so part is
+    * functionally determined by file). */
   private def deltaOf(spark: SparkSession, dir: Path, colName: String,
-      names: Seq[String]): (DataFrame, DataFrame) = {
+      names: Seq[String], partCol: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val pcols = partCol.toSeq.map(pc => col(pc).cast("string").as("part"))
     val base = scanFiles(spark, dir, names)
-      .select(col("_file").as("file"), col("_pos").as("pos"),
-        split(col(colName), " ").as("toks"))
-    val stats = base.groupBy(col("file"))
+      .select(Seq(col("_file").as("file"), col("_pos").as("pos"),
+        split(col(colName), " ").as("toks")) ++ pcols: _*)
+    val gPart = partCol.toSeq.map(_ => col("part"))
+    val stats = base.groupBy(col("file") +: gPart: _*)
       .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
     val posts = base
-      .select(col("file"), col("pos"), explode(col("toks")).as("token"))
+      .select(Seq(col("file"), col("pos")) ++ gPart :+
+        explode(col("toks")).as("token"): _*)
       .where(length(col("token")) > 0)
-      .select(col("token"), col("file"), col("pos")).distinct()
-      .groupBy(col("token"), col("file"))
+      .select(Seq(col("token"), col("file"), col("pos")) ++ gPart: _*)
+      .distinct()
+      .groupBy(Seq(col("token"), col("file")) ++ gPart: _*)
       .agg(count(lit(1)).as("n_docs"))
     (posts, stats)
   }
@@ -137,21 +147,25 @@ object TextIndex {
     * shingle longs + a 16-long signature), file-keyed like posts/stats
     * so refresh remaps it the same way. */
   private def minhashOf(spark: SparkSession, dir: Path, colName: String,
-      names: Seq[String]): DataFrame =
+      names: Seq[String], partCol: Option[String] = None): DataFrame = {
+    val pcols = partCol.toSeq.map(pc => col(pc).cast("string").as("part"))
     graft.llm.Dedup.minhashSignatureRows(
       scanFiles(spark, dir, names)
-        .select(col("_file").as("file"), col("_pos").as("pos"),
-          col(colName).as("text")),
-      "text", Seq("file", "pos"))
+        .select(Seq(col("_file").as("file"), col("_pos").as("pos"),
+          col(colName).as("text")) ++ pcols: _*),
+      "text", Seq("file", "pos") ++ partCol.map(_ => "part"))
+  }
 
-  private def emptyMinhash(spark: SparkSession): DataFrame = {
+  private def emptyMinhash(spark: SparkSession,
+      withPart: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("file", StringType),
-        StructField("pos", LongType),
-        StructField("hv", ArrayType(LongType)),
-        StructField("mh", ArrayType(LongType)))))
+        StructField("pos", LongType)) ++
+        (if (withPart) Seq(StructField("part", StringType)) else Nil) ++
+        Seq(StructField("hv", ArrayType(LongType)),
+          StructField("mh", ArrayType(LongType)))))
   }
 
   /** The PARTITION-ATTRIBUTION sidecar rows for `names` — one (file,
@@ -182,8 +196,21 @@ object TextIndex {
 
   /** Build (or rebuild) the index for `colName`: one distributed pass over
     * the current live rows, one shuffle keyed on token, one props-only
-    * commit. Returns (files indexed, distinct tokens). */
-  def build(spark: SparkSession, dir: Path, colName: String): (Long, Long) = {
+    * commit. Returns (files indexed, distinct tokens).
+    *
+    * `byPartition` (r16 — the C221 pattern applied to the text tier):
+    * posting, stat and signature rows all carry the partition VALUE of a
+    * single-column-partitioned table, so per-domain BM25 statistics
+    * (df/N/avgdl per slice), pinned membership search and
+    * within-partition incremental dedup serve off the sidecar's own part
+    * keys on ANY layout — no zone-map provability required, the way
+    * vector search gets per-slice centroids. The build stays ONE
+    * part-keyed dataflow (files are partition-pure, so `part` rides the
+    * existing shuffles for free), and refresh stays file-bounded — which
+    * subsumes partition-scoped: touching one day's partition re-derives
+    * that day's files only. */
+  def build(spark: SparkSession, dir: Path, colName: String,
+      byPartition: Boolean = false): (Long, Long) = {
     val m = Manifest.read(dir).getOrElse(
       throw new IllegalStateException(s"CREATE TEXT INDEX: no manifest at $dir"))
     val field = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
@@ -194,22 +221,38 @@ object TextIndex {
       throw new IllegalArgumentException(
         s"CREATE TEXT INDEX: column $colName is ${field.dataType.sql}, " +
           "only STRING columns index")
+    val partCol: Option[String] =
+      if (!byPartition) None
+      else Manifest.partitionCols(dir) match {
+        case Seq(pc) => Some(pc)
+        case other => throw new IllegalArgumentException(
+          "CREATE TEXT INDEX … BY PARTITION: the table must be " +
+            s"PARTITIONED BY exactly one column (found: " +
+            s"${other.mkString(", ")})")
+      }
     val names = m.entries.filter(_.rows > 0).map(_.name)
     val idxName = s"_tokenidx_${java.util.UUID.randomUUID.toString.take(8)}"
     val idxDir = dir.resolve(idxName)
     val nTokens =
       if (names.isEmpty) {
         import spark.implicits._
-        writeIndex(idxDir,
-          Seq.empty[(String, String, Long)].toDF("token", "file", "n_docs"),
-          Seq.empty[(String, Long, Long)].toDF("file", "n_docs", "sum_dl"))
-        emptyMinhash(spark)
+        val (p0, s0) =
+          if (partCol.isDefined)
+            (Seq.empty[(String, String, String, Long)]
+               .toDF("token", "file", "part", "n_docs"),
+             Seq.empty[(String, String, Long, Long)]
+               .toDF("file", "part", "n_docs", "sum_dl"))
+          else
+            (Seq.empty[(String, String, Long)].toDF("token", "file", "n_docs"),
+             Seq.empty[(String, Long, Long)].toDF("file", "n_docs", "sum_dl"))
+        writeIndex(idxDir, p0, s0)
+        emptyMinhash(spark, withPart = partCol.isDefined)
           .write.parquet(idxDir.resolve("minhash").toString)
         0L
       } else {
-        val (posts, stats) = deltaOf(spark, dir, field.name, names)
+        val (posts, stats) = deltaOf(spark, dir, field.name, names, partCol)
         writeIndex(idxDir, posts, stats)
-        minhashOf(spark, dir, field.name, names)
+        minhashOf(spark, dir, field.name, names, partCol)
           .write.parquet(idxDir.resolve("minhash").toString)
         spark.read.parquet(idxDir.resolve("posts").toString)
           .select(col("token")).distinct().count()
@@ -224,10 +267,18 @@ object TextIndex {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
         cur.props + (PropPrefix + field.name ->
-          s"$idxName;${digestOf(m)};${dvDigestOf(m)}")))
+          (s"$idxName;${digestOf(m)};${dvDigestOf(m)}" +
+            partCol.map(pc => s";part=$pc").getOrElse("")))))
     }
     (names.length.toLong, nTokens)
   }
+
+  /** The partition column of a BY PARTITION index prop (field 4,
+    * `part=<col>`); None for the table-global format — the prop stays
+    * backward compatible, every pre-r16 parser reads fields 1-3 only. */
+  private[sources] def propPartCol(v: String): Option[String] =
+    v.split(";", -1).drop(3).find(_.startsWith("part="))
+      .map(_.stripPrefix("part="))
 
   /** Refresh a stale index INCREMENTALLY for ANY file-set divergence:
     * both the posting and stat sidecars are keyed by file, so dead files'
@@ -254,6 +305,9 @@ object TextIndex {
     val fields = m.props(key).split(";", -1)
     val (oldIdx, oldDig) = (fields(0), fields(1))
     val oldDvDig = if (fields.length > 2) Some(fields(2)) else None
+    // a BY PARTITION index keeps its part keys through every remap
+    val partCol = propPartCol(m.props(key))
+    val partSuffix = partCol.map(pc => s";part=$pc").getOrElse("")
     val namesCurrent = oldDig == digestOf(m)
     val dvCurrent = oldDvDig.contains(dvDigestOf(m))
     if (namesCurrent && dvCurrent) return (0L, false)
@@ -305,7 +359,8 @@ object TextIndex {
           writeCovered(spark, oldDir, m, live)
         val cur = Manifest.read(dir).getOrElse(m)
         Manifest.write(dir, cur.copy(props =
-          cur.props + (key -> s"$oldIdx;${digestOf(m)};${dvDigestOf(m)}")))
+          cur.props + (key ->
+            s"$oldIdx;${digestOf(m)};${dvDigestOf(m)}$partSuffix")))
       }
       return (0L, false)
     }
@@ -319,7 +374,7 @@ object TextIndex {
       // re-derived files are excluded from the kept side, so the
       // (token, file) posting rows and (file) stat rows union without
       // conflict
-      val (delta, dStats) = deltaOf(spark, dir, colName, newFiles)
+      val (delta, dStats) = deltaOf(spark, dir, colName, newFiles, partCol)
       writeIndex(idxDir, keptPosts.unionByName(delta),
         keptStats.unionByName(dStats))
     }
@@ -332,7 +387,8 @@ object TextIndex {
         .where(!col("file").isin(dead: _*))
       val sig =
         if (newFiles.isEmpty) keptSig
-        else keptSig.unionByName(minhashOf(spark, dir, colName, newFiles))
+        else keptSig.unionByName(
+          minhashOf(spark, dir, colName, newFiles, partCol))
       sig.write.parquet(idxDir.resolve("minhash").toString)
     }
     // the partition-attribution sidecar remaps like posts/stats (r15):
@@ -356,7 +412,8 @@ object TextIndex {
     ManifestLock.withLock(dir) {
       val cur = Manifest.read(dir).getOrElse(m)
       Manifest.write(dir, cur.copy(props =
-        cur.props + (key -> s"$idxName;${digestOf(m)};${dvDigestOf(m)}")))
+        cur.props + (key ->
+          s"$idxName;${digestOf(m)};${dvDigestOf(m)}$partSuffix")))
     }
     (newFiles.length.toLong, dead.nonEmpty)
   }
@@ -383,6 +440,49 @@ object TextIndex {
       val fields = v.split(";", -1)
       if (fields(1) == digestOf(m)) Some(fields(0)) else None
     }
+
+  /** [[freshIdx]] plus the BY PARTITION column when the fresh index is
+    * part-keyed: (index dir name, partition column). */
+  private def freshIdxPart(spark: SparkSession, m: Manifest,
+      colName: String): Option[(String, Option[String])] =
+    m.props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m)) Some((fields(0), propPartCol(v)))
+      else None
+    }
+
+  /** The partition values a scope pins on a BY PARTITION index, rendered
+    * through the vector tier's rule (cast to the partition type, then to
+    * string — what the sidecars store). None when the scope has no
+    * pinning conjunct. `strict` additionally requires the scope to be
+    * EXACTLY the pin (one conjunct, `=` or `IN` on the partition
+    * column): per-slice STATISTICS are only admissible then — an extra
+    * conjunct would scope membership but not df/N/avgdl. */
+  private def partPinsOf(m: Manifest,
+      scope: org.apache.spark.sql.Column, partCol: String,
+      strict: Boolean): Option[Seq[String]] = {
+    val partType = m.schema.fields
+      .find(_.name.equalsIgnoreCase(partCol)).map(_.dataType)
+      .getOrElse(return None)
+    val pins = VectorIndex.partitionPins(scope, partCol, partType)
+    if (!strict) pins
+    else pins.filter { _ =>
+      // strictness: every conjunct translates and there is exactly one,
+      // on the partition column, of pin shape
+      scopeFilters(scope) match {
+        case Some(Seq(f)) => f match {
+          case org.apache.spark.sql.sources.EqualTo(n, _) =>
+            n.equalsIgnoreCase(partCol)
+          case org.apache.spark.sql.sources.In(n, _) =>
+            n.equalsIgnoreCase(partCol)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+  }
 
   /** The posting list for `term` when a FRESH index exists on `colName`:
     * `Some(candidate file names)` (possibly empty — the token is absent
@@ -452,6 +552,131 @@ object TextIndex {
     }
   }
 
+  /** PIN-ROUTED membership search (r16): [[search]] with a predicate —
+    * on a BY PARTITION index a pinning conjunct (`part = v` / `part IN
+    * (…)`) narrows the candidate files to the pinned slices' OWN posting
+    * rows before any scan plans, the way vector search routes pins to
+    * sub-geometries: a date-pinned token search on a date-partitioned
+    * corpus plans (slice ∩ posting) files without evaluating a zone map.
+    * The exact predicate (token containment AND the full scope)
+    * re-applies row-level either way, so a non-pinning scope, a
+    * table-global index, or a stale index just serve unpruned — never
+    * wrong. */
+  def searchWhere(spark: SparkSession, table: String, colName: String,
+      term: String, scope: org.apache.spark.sql.Column): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "TEXT SEARCH")
+    applyStalePolicy(spark, mt.dir, colName, "TEXT SEARCH")
+    val pred = array_contains(split(col(colName), " "), term) && scope
+    val m = Manifest.read(mt.dir).getOrElse(
+      return spark.table(table).where(pred))
+    freshIdxPart(spark, m, colName) match {
+      case Some((idxName, partOpt)) =>
+        // non-strict pins are admissible here: rows outside the pinned
+        // slices fail the scope conjunct anyway, and membership never
+        // depends on slice statistics
+        val pins = partOpt.flatMap(pc =>
+          partPinsOf(m, scope, pc, strict = false))
+        val posts = spark.read
+          .parquet(mt.dir.resolve(idxName).resolve("posts").toString)
+          .where(col("token") === term)
+        val cand = pins.fold(posts)(ps =>
+            posts.where(col("part").isin(ps: _*)))
+          .select(col("file")).distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (cand.isEmpty) spark.table(table).where(lit(false))
+        else scanFiles(spark, mt.dir, cand).where(pred)
+      case None => spark.table(table).where(pred)
+    }
+  }
+
+  /** TIME-TRAVEL membership search (r16 — the last text-tier AS OF
+    * asymmetry): all rows of the SNAPSHOT whose tokenized `colName`
+    * contains `term`, served with pruning from the snapshot's OWN
+    * posting sidecar when its digest matches (the [[bm25TopKAsOf]]
+    * rule): candidates come from the historical posting list and the
+    * scan pins both the files and the snapshot's DV state, so documents
+    * appended (or deletion-vectored) after the version neither surface
+    * nor vanish. A snapshot whose index was stale or reaped serves the
+    * snapshot-pinned full scan — the same answer, no pruning. */
+  def searchAsOf(spark: SparkSession, table: String, colName: String,
+      term: String, version: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "TEXT SEARCH AS OF")
+    val pred = array_contains(split(col(colName), " "), term)
+    asOfCandidates(spark, mt.dir, colName, version,
+      posts => posts.where(col("token") === term)) match {
+      case (_, Some(cand)) if cand.isEmpty =>
+        spark.table(table).where(lit(false))
+      case (snapScan, Some(cand)) => snapScan(cand).where(pred)
+      case (snapScan, None) => snapScan(Seq.empty).where(pred)
+    }
+  }
+
+  /** TIME-TRAVEL phrase search (r16): [[phraseSearch]] at a version —
+    * candidates are the INTERSECTION of the phrase tokens' historical
+    * posting lists, the contiguity re-check runs over the
+    * snapshot-pinned scan. Stale/reaped index → snapshot-pinned full
+    * scan, same answer. */
+  def phraseSearchAsOf(spark: SparkSession, table: String, colName: String,
+      phrase: String, version: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "PHRASE SEARCH AS OF")
+    val tokens = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(tokens.nonEmpty, "PHRASE SEARCH AS OF: empty phrase")
+    val pred = concat(lit(" "), col(colName), lit(" "))
+      .contains(" " + phrase + " ")
+    asOfCandidates(spark, mt.dir, colName, version, { posts =>
+      // ∩ of the tokens' lists, assembled from ONE posting read: keep
+      // files whose distinct matched-token count equals the phrase's
+      val nTok = tokens.distinct.length
+      posts.where(col("token").isin(tokens: _*))
+        .groupBy(col("file"))
+        .agg(countDistinct(col("token")).as("nt"))
+        .where(col("nt") === nTok)
+    }) match {
+      case (_, Some(cand)) if cand.isEmpty =>
+        spark.table(table).where(lit(false))
+      case (snapScan, Some(cand)) => snapScan(cand).where(pred)
+      case (snapScan, None) => snapScan(Seq.empty).where(pred)
+    }
+  }
+
+  /** The shared AS OF candidate resolution: reads the SNAPSHOT
+    * manifest, returns (a snapshot-pinned scan function — empty file
+    * list = all the snapshot's live files — and Some(candidate files)
+    * when the snapshot's own posting sidecar is digest-fresh and
+    * present, None when the serve must fall back to the pinned full
+    * scan). `narrow` receives the posting frame and must yield rows
+    * with a `file` column. */
+  private def asOfCandidates(spark: SparkSession, dir: Path,
+      colName: String, version: Int, narrow: DataFrame => DataFrame)
+      : (Seq[String] => DataFrame, Option[Seq[String]]) = {
+    val m = Manifest.readSnapshot(dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"TEXT SEARCH AS OF: snapshot $version expired or never existed " +
+          s"at $dir"))
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", (if (fs.isEmpty) names else fs).mkString(","))
+        .load()
+    val cand = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m) &&
+        Files.exists(dir.resolve(fields(0)).resolve("posts")))
+        Some(fields(0))
+      else None
+    }.map { idxName =>
+      narrow(spark.read
+          .parquet(dir.resolve(idxName).resolve("posts").toString))
+        .select(col("file")).distinct().collect()
+        .map(_.getString(0)).toSeq
+    }
+    (snapScan, cand)
+  }
+
   /** INCREMENTAL near-dup dedup against the index's STORED signature
     * sidecar — the text twin of
     * [[VectorIndex.semDedupIncremental]], closing C69's "in production
@@ -483,12 +708,33 @@ object TextIndex {
     applyStalePolicy(spark, mt.dir, colName, op)
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"$op: no manifest at ${mt.dir}"))
+    // a BY PARTITION index dedups WITHIN partitions (r16 — the vector
+    // tier's date-partitioned admission rule): each batch row verdicts
+    // against ITS OWN slice's stored signatures, so a text duplicated
+    // across tenants/dates is a dup only where its slice already holds
+    // it. The batch must carry the partition column to route.
+    val partOpt: Option[String] = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap(propPartCol)
+    partOpt.foreach { pc =>
+      if (!batch.columns.exists(_.equalsIgnoreCase(pc)))
+        throw new IllegalArgumentException(
+          s"$op: the index on $table ($colName) is BY PARTITION ($pc) — " +
+            s"the batch must carry a $pc column to route each row to " +
+            "its own partition's signatures")
+    }
+    val bCols = Seq(col(idCol).as("doc_id"), col(colName).as("text")) ++
+      partOpt.map(pc => col(pc).cast("string").as("part"))
+    val bKeys = Seq("doc_id") ++ partOpt.map(_ => "part")
     val bSig = Dedup.minhashSignatureRows(
-      batch.select(col(idCol).as("doc_id"), col(colName).as("text")),
-      "text", Seq("doc_id"))
-    val bBands = Dedup.minhashBandRows(bSig, Seq("doc_id", "hv"))
-      .select(col("doc_id").as("vn"), col("hv").as("hv_n"),
-        col("band"), col("bkey"))
+      batch.select(bCols: _*), "text", bKeys)
+    val bBands = Dedup.minhashBandRows(bSig, bKeys :+ "hv")
+      .select(Seq(col("doc_id").as("vn"), col("hv").as("hv_n"),
+        col("band"), col("bkey")) ++
+        partOpt.map(_ => col("part").as("npart")): _*)
+    // the within-partition conjunct (lit(true) for a table-global index)
+    def samePart: org.apache.spark.sql.Column =
+      partOpt.map(_ => col("npart") === col("opart")).getOrElse(lit(true))
     def result(matched: DataFrame): DataFrame =
       bSig.select(col("doc_id"))
         .join(matched, col("doc_id") === col("vn"), "left")
@@ -504,14 +750,16 @@ object TextIndex {
               "sidecar — re-run CREATE TEXT INDEX to materialize it")
         val cBands = Dedup.minhashBandRows(
             spark.read.parquet(sigPath.toString),
-            Seq("file", "pos", "hv"))
-          .select(col("band").as("oband"), col("bkey").as("obkey"),
-            col("file"), col("pos"), col("hv").as("hv_o"))
+            Seq("file", "pos", "hv") ++ partOpt.map(_ => "part"))
+          .select(Seq(col("band").as("oband"), col("bkey").as("obkey"),
+            col("file"), col("pos"), col("hv").as("hv_o")) ++
+            partOpt.map(_ => col("part").as("opart")): _*)
         // bucket ∩ Jaccard fused in ONE join; the match set (bounded by
         // real near-dups) is materialized once — it drives both the
         // witness-file planning and the id fetch
         val matchedRows = bBands.join(cBands,
             col("band") === col("oband") && col("bkey") === col("obkey") &&
+              samePart &&
               Dedup.jaccard(col("hv_n"), col("hv_o")) >=
                 Dedup.MinhashJaccard)
           .select(col("vn"), col("file"), col("pos"))
@@ -537,16 +785,20 @@ object TextIndex {
       case None =>
         // retrain fallback: corpus signatures recomputed in-query over
         // the live files — same answer as a rebuilt sidecar, no pruning
+        // (still within-partition on a BY PARTITION index)
         val names = m.entries.filter(_.rows > 0).map(_.name)
+        val oCols = Seq(col(idCol).as("oid"), col(colName).as("text")) ++
+          partOpt.map(pc => col(pc).cast("string").as("part"))
+        val oKeys = Seq("oid") ++ partOpt.map(_ => "part")
         val sig = Dedup.minhashSignatureRows(
-          scanFiles(spark, mt.dir, names)
-            .select(col(idCol).as("oid"), col(colName).as("text")),
-          "text", Seq("oid"))
-        val oBands = Dedup.minhashBandRows(sig, Seq("oid", "hv"))
-          .select(col("band").as("oband"), col("bkey").as("obkey"),
-            col("oid"), col("hv").as("hv_o"))
+          scanFiles(spark, mt.dir, names).select(oCols: _*), "text", oKeys)
+        val oBands = Dedup.minhashBandRows(sig, oKeys :+ "hv")
+          .select(Seq(col("band").as("oband"), col("bkey").as("obkey"),
+            col("oid"), col("hv").as("hv_o")) ++
+            partOpt.map(_ => col("part").as("opart")): _*)
         val matched = bBands.join(oBands,
             col("band") === col("oband") && col("bkey") === col("obkey") &&
+              samePart &&
               Dedup.jaccard(col("hv_n"), col("hv_o")) >=
                 Dedup.MinhashJaccard)
           .groupBy("vn").agg(min(col("oid")).as("dup_of"))
@@ -864,6 +1116,40 @@ object TextIndex {
       bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1), all,
         colName, idCol, terms, k)
     }
+    // PIN ROUTE (r16 — the C221 pattern): a BY PARTITION index whose
+    // scope is EXACTLY a partition pin serves the pinned slices'
+    // df/N/avgdl from the sidecar's own part keys — per-domain ranking
+    // statistics on ANY layout, no zone-map provability consulted (and
+    // no per-file proof loop at metadata time: the sidecar rows are
+    // already slice-keyed, the 100 TB date/tenant shape's fast path).
+    val pinServe: Option[DataFrame] =
+      freshIdxPart(spark, m, colName) match {
+        case Some((idxName, Some(pc))) =>
+          partPinsOf(m, scope, pc, strict = true).map { pins =>
+            val idxDir = mt.dir.resolve(idxName)
+            val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+              .where(col("token").isin(terms: _*) &&
+                col("part").isin(pins: _*))
+              .groupBy("token")
+              .agg(sum(col("n_docs")).as("df"),
+                collect_set(col("file")).as("files"))
+              .collect()
+            val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+              .where(col("part").isin(pins: _*))
+              .agg(coalesce(sum(col("n_docs")), lit(0L)),
+                coalesce(sum(col("sum_dl")), lit(0L)))
+              .collect().head
+            val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+            val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+            val rows =
+              if (cand.isEmpty) spark.table(table).where(lit(false))
+              else scanFiles(spark, mt.dir, cand).where(scope)
+            bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1),
+              rows, colName, idCol, terms, k)
+          }
+        case _ => None
+      }
+    if (pinServe.isDefined) return pinServe.get
     (freshIdx(spark, m, colName), scopeFilters(scope)) match {
       case (Some(idxName), Some(fs)) =>
         val liveEntries = m.entries.filter(_.rows > 0)

@@ -565,7 +565,7 @@ object VectorIndex {
     * partition type pins nothing (it can match no partition); a
     * predicate with no pinning conjunct returns None (the loud no-pin
     * refusal). */
-  private def partitionPins(predicate: org.apache.spark.sql.Column,
+  private[sources] def partitionPins(predicate: org.apache.spark.sql.Column,
       partCol: String,
       partType: org.apache.spark.sql.types.DataType): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,

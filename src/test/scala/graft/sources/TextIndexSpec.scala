@@ -812,4 +812,179 @@ class TextIndexSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("only STRING columns"))
   }
+
+  /** BY PARTITION staging: three source-pure files with skewed token
+    * distributions — 'x' is common in src a (3 of 3 docs), rare in src b
+    * (1 of 3), absent from src c. */
+  private def stagePartitioned(cat: String): String = {
+    val t = s"$cat.ns.pdocs"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, src STRING, text STRING) " +
+      "PARTITIONED BY (src)")
+    Seq((1L, "a", "x x y"), (2L, "a", "x z"), (3L, "a", "x w"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    Seq((11L, "b", "x q"), (12L, "b", "q r"), (13L, "b", "r s t"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    Seq((21L, "c", "u v"), (22L, "c", "v w"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    t
+  }
+
+  test("BY PARTITION: sidecars are part-keyed and per-slice df/N/avgdl " +
+      "serve pinned — domain idf, not corpus idf (r16)") {
+    val (cat, root) = freshCatalog("tix50")
+    val t = stagePartitioned(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text) BY PARTITION").collect()
+    val dir = dirOf(t)
+    val idxName = Manifest.read(dir).get.props
+      .collectFirst { case (k, v) if k.startsWith("tokenidx.") => v }
+      .get.split(";", -1).head
+    // the stored sidecars carry the partition value
+    val posts = spark.read.parquet(s"$dir/$idxName/posts")
+    val stats = spark.read.parquet(s"$dir/$idxName/stats")
+    assert(posts.columns.contains("part") && stats.columns.contains("part"),
+      s"part-keyed sidecars: ${posts.columns.toSeq} / ${stats.columns.toSeq}")
+    // per-slice statistics: the pinned ranking equals a standalone table
+    // holding ONLY that slice (df/N/avgdl all slice-scoped)
+    for (src <- Seq("a", "b")) {
+      val solo = s"$cat.ns.solo$src"
+      spark.sql(s"CREATE TABLE $solo (id BIGINT, src STRING, text STRING)")
+      spark.table(t).where(col("src") === src).select("id", "src", "text")
+        .coalesce(1).writeTo(solo).append()
+      spark.sql(s"CREATE TEXT INDEX ON $solo (text)").collect()
+      val expected = TextIndex.bm25TopK(spark, solo, "text", "id",
+        Seq("x"), 10).collect().map(r => (r.getLong(0), r.getDouble(2)))
+      val pinned = TextIndex.bm25TopKScoped(spark, t, "text", "id",
+          Seq("x"), 10, col("src") === src)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(pinned.toSeq == expected.toSeq,
+        s"slice $src: pinned ${pinned.toSeq} == solo ${expected.toSeq}")
+    }
+    // domain-vs-corpus idf: doc 11 scores DIFFERENTLY against src b's
+    // statistics (df=1, N=3) than against the corpus's (df=4, N=8)
+    val inB = TextIndex.bm25TopKScoped(spark, t, "text", "id", Seq("x"),
+      10, col("src") === "b").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val global = TextIndex.bm25TopK(spark, t, "text", "id", Seq("x"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(inB.keySet == Set(11L), s"only doc 11 holds x in src b: $inB")
+    assert(global.contains(11L) && inB(11L) != global(11L),
+      s"slice idf must differ from corpus idf: ${inB(11L)} vs ${global(11L)}")
+    // a pinned serve plans only the pinned slice's posting files
+    val res = TextIndex.bm25TopKScoped(spark, t, "text", "id", Seq("x"),
+      10, col("src") === "a")
+    assert(plannedFiles(res) == 1, "src a's one posting file")
+    // strictness: an extra conjunct must NOT serve slice statistics —
+    // it falls back to the exact scoped recompute (same membership rule)
+    val extra = TextIndex.bm25TopKScoped(spark, t, "text", "id", Seq("x"),
+        10, col("src") === "b" && col("id") > 11L)
+      .collect()
+    assert(extra.isEmpty, s"no doc >11 in src b holds x: ${extra.toSeq}")
+    // t$indexes reports the routing column
+    val row = spark.sql(s"SELECT details FROM $cat.ns.`pdocs$$indexes` " +
+      "WHERE kind = 'text'").collect().head
+    assert(row.getString(0) == "by=src", s"details: $row")
+  }
+
+  test("BY PARTITION: pinned membership search routes to the slice's " +
+      "posting rows; refresh keeps part keys file-bounded (r16)") {
+    val (cat, _) = freshCatalog("tix51")
+    val t = stagePartitioned(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text) BY PARTITION").collect()
+    // 'x' spans src a (file 1) and src b (file 2): unpinned plans 2,
+    // pinned plans only the slice's file
+    val unpinned = TextIndex.search(spark, t, "text", "x")
+    assert(unpinned.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 11L))
+    assert(plannedFiles(unpinned) == 2)
+    val pinned = TextIndex.searchWhere(spark, t, "text", "x",
+      col("src") === "b")
+    assert(pinned.select("id").as[Long].collect().toSeq == Seq(11L))
+    assert(plannedFiles(pinned) == 1, "pin routes to src b's posting rows")
+    // non-pinning scope: same answer, no slice pruning (posting files)
+    val scoped = TextIndex.searchWhere(spark, t, "text", "x",
+      col("id") >= 3L)
+    assert(scoped.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 11L))
+    // refresh after a one-partition append: only that file re-derives,
+    // the prop keeps its part field, and pinned stats catch up
+    Seq((14L, "b", "x x x")).toDF("id", "src", "text").coalesce(1)
+      .writeTo(t).append()
+    val (nNew, _) = TextIndex.refresh(spark, dirOf(t), "text")
+    assert(nNew == 1L, s"one appended file re-derives, got $nNew")
+    val v = Manifest.read(dirOf(t)).get.props
+      .collectFirst { case (k, vv) if k.startsWith("tokenidx.") => vv }.get
+    assert(TextIndex.propPartCol(v).contains("src"),
+      s"refresh preserves the part field: $v")
+    val afterB = TextIndex.bm25TopKScoped(spark, t, "text", "id", Seq("x"),
+      10, col("src") === "b").collect().map(_.getLong(0)).toSet
+    assert(afterB == Set(11L, 14L), s"slice b catches up: $afterB")
+  }
+
+  test("BY PARTITION: incremental dedup verdicts stay within the batch " +
+      "row's own partition (r16)") {
+    val (cat, _) = freshCatalog("tix52")
+    val t = stagePartitioned(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text) BY PARTITION").collect()
+    // same text claimed in its OWN slice → dup; claimed under another
+    // slice → admitted (the tenant/date-scoped admission rule)
+    val batch = Seq((100L, "a", "x x y"), (101L, "c", "x x y"),
+        (102L, "b", "brand new words"))
+      .toDF("id", "src", "text")
+    val res = TextIndex.dedupIncremental(spark, t, "text", "id", batch)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(res == Map(100L -> true, 101L -> false, 102L -> false),
+      s"within-partition verdicts: $res")
+    // a batch without the partition column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.dedupIncremental(spark, t, "text", "id",
+        Seq((103L, "x x y")).toDF("id", "text")).collect()
+    }
+    assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
+  }
+
+  test("BY PARTITION on an unpartitioned table refuses") {
+    val (cat, _) = freshCatalog("tix53")
+    val t = stage(cat)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TEXT INDEX ON $t (text) BY PARTITION").collect()
+    }
+    assert(e.getMessage.contains("PARTITIONED BY exactly one column"),
+      e.getMessage)
+  }
+
+  test("membership and phrase search AS OF: the snapshot's own posting " +
+      "lists prune, post-version decoys never surface (r16)") {
+    val (cat, _) = freshCatalog("tix54")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)").collect()
+    val dir = dirOf(t)
+    val v = Manifest.snapshotVersions(dir).max
+    // post-version decoys CONTAIN the probe token and the probe phrase
+    Seq((100L, "needle in a new doc"), (101L, "gamma needle in"))
+      .toDF("id", "text").coalesce(1).writeTo(t).append()
+    // current membership sees the decoys; AS OF must not
+    assert(TextIndex.search(spark, t, "text", "needle")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 100L, 101L))
+    val asof = TextIndex.searchAsOf(spark, t, "text", "needle", v)
+    assert(asof.select("id").as[Long].collect().toSeq == Seq(3L),
+      "the snapshot's posting list excludes post-version decoys")
+    assert(plannedFiles(asof) == 1,
+      "AS OF serves pruned from the historical posting sidecar")
+    val ph = TextIndex.phraseSearchAsOf(spark, t, "text", "needle in", v)
+    assert(ph.select("id").as[Long].collect().toSeq == Seq(3L))
+    // a token absent from the snapshot but present in decoys: empty
+    assert(TextIndex.searchAsOf(spark, t, "text", "doc", v).count() == 0L)
+    // stale-at-version: a snapshot predating the index serves the
+    // pinned full scan — same answer, no pruning (the min version is
+    // the empty CREATE TABLE commit; take the first append's)
+    val v0 = Manifest.snapshotVersions(dir).sorted.apply(1)
+    val early = TextIndex.searchAsOf(spark, t, "text", "alpha", v0)
+    assert(early.select("id").as[Long].collect().sorted.toSeq == Seq(1L),
+      "the first commit's snapshot holds only doc 1's file")
+    // reaped/dropped index: fallback still answers the snapshot exactly
+    TextIndex.drop(spark, dir, "text")
+    val dropped = TextIndex.searchAsOf(spark, t, "text", "needle", v)
+    assert(dropped.select("id").as[Long].collect().toSeq == Seq(3L))
+    val phD = TextIndex.phraseSearchAsOf(spark, t, "text", "needle in", v)
+    assert(phD.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
 }
