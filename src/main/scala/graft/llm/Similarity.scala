@@ -35,6 +35,18 @@ object Similarity extends QueryModule {
   private val TopPerProbe = 3
   private val ProbeSalt = 32  // phase-1 buckets per probe (bounds collect_list)
   private val KnnK = 3        // q_knn_graph neighbors per vector
+
+  /** List count for the kNN-GRAPH blocked joins — sized so the EXPECTED
+    * LIST SIZE stays constant (~64) as the corpus grows: the graph's
+    * candidate volume is Σ_l |list_l|² ≈ n · avg_list, so a FIXED list
+    * count (the pre-r16 NumLists = 8) made it n²/8 — the sf1 scale
+    * audit measured the 10× corpus at 70× the cost. With n/64 lists the
+    * volume is ~64·n — linear, the production IVF-graph shape (at true
+    * 100 TB scale the flat broadcast assigner below hands over to the
+    * two-level [[assignLists2Level]] family, same blocking). Floors at
+    * the legacy 8 so every corpus ≤ 512 rows (sf0.01's 200) keeps the
+    * original geometry — oracle hashes unchanged. */
+  private def graphLists(n: Long): Long = math.max(8L, n / 64L)
   private[graft] val PqM = 8   // q_embed_pq: subspace blocks
   private[graft] val PqDim = 8 // dims per block (PqM × PqDim = 64)
   private[graft] val PqK = 4   // centroids per subspace codebook (q_embed_pq)
@@ -683,7 +695,7 @@ object Similarity extends QueryModule {
       // fanned out (r15): the one-row-group test layout plans the whole
       // candidate join + partial top-k on ONE task otherwise
       val emb = Clustering.fanOut(Tables(s, d, "embeddings"))
-      val seed = emb.filter(col("vec_id") < NumLists)
+      val seed = emb.filter(col("vec_id") < graphLists(emb.count()))
         .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
       val assigned = assignLists(emb, seed)
       val x = assigned.select(col("list_id"), col("vec_id").as("src"), col("embedding").as("e_src"))
@@ -711,7 +723,7 @@ object Similarity extends QueryModule {
     // a distinct.
     "q_knn_graph_xlist" -> ((s, d) => {
       val emb = Clustering.fanOut(Tables(s, d, "embeddings"))
-      val seed = emb.filter(col("vec_id") < NumLists)
+      val seed = emb.filter(col("vec_id") < graphLists(emb.count()))
         .select(col("vec_id").cast(IntegerType).as("c_id"), col("embedding").as("c_emb"))
       val a2 = assignLists2(emb, seed)
       val x = a2.select(col("l1").as("list_id"), col("vec_id").as("src"),
@@ -847,7 +859,7 @@ object Similarity extends QueryModule {
        |  SELECT e.vec_id, e.embedding, s.ids[list_position(dots, list_max(dots))] AS list_id
        |  FROM (
        |    SELECT e0.vec_id, e0.embedding,
-       |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+       |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, len(s0.cl) + 1)] AS dots
        |    FROM embeddings e0, seed s0) e, seed s),
        |u AS (
        |  SELECT list_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000000) AS BIGINT) AS v
@@ -885,7 +897,7 @@ object Similarity extends QueryModule {
          |         s.ids[list_position(dots, list_max(dots))] AS list_id
          |  FROM (
          |    SELECT e0.vec_id, e0.label, e0.embedding,
-         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, len(s0.cl) + 1)] AS dots
          |    FROM embeddings e0, seed s0) e, seed s),
          |probe AS (SELECT embedding AS pv, list_id AS p_list FROM a0 WHERE vec_id = 0)
          |SELECT a.vec_id, a.label, ${sqlDotFixed("a.embedding", "p.pv")} AS sim
@@ -956,12 +968,13 @@ object Similarity extends QueryModule {
       s"""WITH seed AS (
          |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
          |         list(embedding ORDER BY vec_id) AS cl
-         |  FROM embeddings WHERE vec_id < $NumLists),
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT greatest(8, count(*) // 64) FROM embeddings)),
          |a0 AS (
          |  SELECT e.vec_id, e.embedding, s.ids[list_position(dots, list_max(dots))] AS list_id
          |  FROM (
          |    SELECT e0.vec_id, e0.embedding,
-         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |      [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, len(s0.cl) + 1)] AS dots
          |    FROM embeddings e0, seed s0) e, seed s)
          |SELECT list_id, src, dst, rank, sim FROM (
          |  SELECT x.list_id, x.vec_id AS src, y.vec_id AS dst,
@@ -980,10 +993,11 @@ object Similarity extends QueryModule {
       s"""WITH seed AS (
          |  SELECT list(CAST(vec_id AS INTEGER) ORDER BY vec_id) AS ids,
          |         list(embedding ORDER BY vec_id) AS cl
-         |  FROM embeddings WHERE vec_id < $NumLists),
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT greatest(8, count(*) // 64) FROM embeddings)),
          |sc AS (
          |  SELECT e0.vec_id, e0.embedding,
-         |    [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, $NumLists + 1)] AS dots
+         |    [${sqlDotFixed("e0.embedding", "s0.cl[i]")} for i in range(1, len(s0.cl) + 1)] AS dots
          |  FROM embeddings e0, seed s0),
          |p1t AS (
          |  SELECT vec_id, embedding, dots,
