@@ -30,8 +30,15 @@ import graft.sources.{ManifestTable, TextIndex}
   * query against the CURRENT manifest digest
   * ([[graft.sources.TextIndex.candidateFiles]]) — a stale index simply
   * does not rewrite, correctness never depends on rebuild discipline.
-  * Time-travel / branch / already-pinned scans are left alone: their
-  * snapshot's file set is not the digest's.
+  * A `VERSION AS OF` read prunes against the SNAPSHOT's OWN posting
+  * sidecar when its digest matches
+  * ([[graft.sources.TextIndex.candidateFilesAsOf]], r16 — the SQL twin
+  * of `searchAsOf`): a post-version decoy holding the token is never
+  * planned, and a snapshot with no servable index scans unpruned. The
+  * C200 guard's substance stands — a pinned scan never prunes against
+  * the CURRENT manifest's lists. Explicitly option-pinned reads
+  * (`files=` / `snapshot=` / `changesFrom=`) stay untouched: those are
+  * engine-internal serve paths that already pinned their files.
   *
   * The posting lookup is one small driver-side parquet read per matching
   * query — the same planning-cost class as zone-map pruning. */
@@ -52,16 +59,17 @@ object IndexedFilterRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) if relationOf(child).exists { r =>
           r.table.isInstanceOf[ManifestTable] &&
-            // a VERSION AS OF table pins its snapshot INTERNALLY — the
-            // current-manifest digest says nothing about that file set,
-            // so time travel never rewrites (same for option-pinned reads)
-            r.table.asInstanceOf[ManifestTable].pinnedSnapshot.isEmpty &&
             !r.options.containsKey("files") &&
             !r.options.containsKey("snapshot") &&
             !r.options.containsKey("changesFrom")
         } =>
       val r = relationOf(child).get
       val mt = r.table.asInstanceOf[ManifestTable]
+      // a VERSION AS OF table pins its snapshot INTERNALLY — the
+      // current-manifest digest says nothing about that file set, so a
+      // pinned read resolves candidates against the SNAPSHOT's own
+      // posting sidecar instead (r16); any miss serves unpruned
+      val snap = mt.pinnedSnapshot
       // EVERY token-match conjunct participates: a row matching
       // `has(t1) AND has(t2)` can only live in a file holding BOTH tokens,
       // so the candidate set is the INTERSECTION of the posting lists —
@@ -81,8 +89,12 @@ object IndexedFilterRewrite extends Rule[LogicalPlan] with PredicateHelper {
             (a.name, term.toString)
         }
       val lists: Seq[Seq[String]] = tokenPreds.flatMap {
-        case (colName, term) =>
-          TextIndex.candidateFiles(spark, mt.dir, colName, term)
+        case (colName, term) => snap match {
+          case Some(v) =>
+            TextIndex.candidateFilesAsOf(spark, mt.dir, colName, term, v)
+          case None =>
+            TextIndex.candidateFiles(spark, mt.dir, colName, term)
+        }
       }
       val hit: Option[Seq[String]] =
         if (lists.isEmpty) None

@@ -2403,6 +2403,32 @@ object SourceQueries extends QueryModule {
       res
     }),
 
+    // The SAME time-travel membership through PLAIN SQL (r16 — the
+    // C212 rule): `SELECT … FROM t VERSION AS OF v WHERE
+    // array_contains(split(text, ' '), 'vector')` — the transparent
+    // rewrite resolves candidates against the SNAPSHOT's own posting
+    // sidecar (candidateFilesAsOf), so the pinned scan prunes without
+    // any search API and the post-version decoys are never planned.
+    // Shares q_text_search_asof's raw-corpus oracle verbatim.
+    "q_text_search_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      val res = s.sql(s"SELECT doc_id, source FROM $cat.q.docs " +
+        s"VERSION AS OF $v " +
+        "WHERE array_contains(split(text, ' '), 'vector') " +
+        "ORDER BY doc_id")
+      val dir = s.table(s"$cat.q.docs").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val curLive = Manifest.read(dir).get.entries.count(_.rows > 0)
+      val planned = plannedManifestFiles(res)
+      assert(planned > 0 && planned < curLive,
+        s"the pinned SQL scan prunes against the snapshot's posting " +
+          s"sidecar (the decoy file of $curLive is never planned): $planned")
+      res
+    }),
+
     // TIME-TRAVEL phrase search through the ORACLE gate (r16): the
     // contiguous probe 'vector join' appears in every post-version
     // decoy (the stuffed term sequence), so the AS OF phrase match must
@@ -5366,6 +5392,11 @@ object SourceQueries extends QueryModule {
     // the AS OF search equals the plain replay and the post-version
     // decoys move nothing (r16).
     "q_text_search_asof" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    // Plain SQL shares the Scala-API time-travel replay (C212's rule).
+    "q_text_search_asof_sql" ->
       """SELECT doc_id, source FROM documents
         |WHERE list_contains(string_split(text, ' '), 'vector')
         |ORDER BY doc_id""".stripMargin,

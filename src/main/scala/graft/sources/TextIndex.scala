@@ -500,6 +500,35 @@ object TextIndex {
     }
   }
 
+  /** [[candidateFiles]] AT A SNAPSHOT (r16): the snapshot manifest's own
+    * posting sidecar serves the list when its digest matches and the
+    * sidecar survives reaping — what lets the transparent rewrite prune
+    * `VERSION AS OF` token scans against the version's OWN lists (the
+    * C200 guard kept pinned scans away from CURRENT lists, which remains
+    * true — a snapshot never prunes against another state's postings).
+    * Never throws: a missing snapshot, prop, digest or sidecar is None —
+    * optimizer-rule safe. */
+  def candidateFilesAsOf(spark: SparkSession, dir: Path, colName: String,
+      term: String, version: Int): Option[Seq[String]] =
+    scala.util.Try {
+      Manifest.readSnapshot(dir, version).flatMap { m =>
+        m.props.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(PropPrefix + colName) => v
+        }.flatMap { v =>
+          val fields = v.split(";", -1)
+          if (fields(1) == digestOf(m) &&
+            Files.exists(dir.resolve(fields(0)).resolve("posts")))
+            Some(fields(0))
+          else None
+        }.map { idxName =>
+          spark.read.parquet(dir.resolve(idxName).resolve("posts").toString)
+            .where(col("token") === term)
+            .select(col("file")).distinct().collect()
+            .map(_.getString(0)).toSeq
+        }
+      }
+    }.toOption.flatten
+
   private def resolveManifestTable(spark: SparkSession,
       table: String, op: String): ManifestTable =
     spark.table(table).queryExecution.analyzed.collectFirst {

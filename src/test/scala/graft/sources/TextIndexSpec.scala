@@ -663,20 +663,32 @@ class TextIndexSpec extends SparkSuite {
     assert(plannedFiles(q5) == 4, "stale index must not prune SQL either")
   }
 
-  test("transparent rewrite never touches time-travel reads") {
+  test("transparent rewrite on time-travel reads: the snapshot's OWN " +
+      "posting list prunes, never the current one (r16)") {
     val (cat, _) = freshCatalog("tixA")
     val t = stage(cat)
     spark.sql(s"CREATE TEXT INDEX ON $t (text)")
-    // pin the newest archived snapshot (same data as current, so the
-    // CURRENT-state digest matches) — the rule must STILL leave the
-    // pinned read alone: without the guard it would prune this scan to
-    // the posting list's single file
     val v = spark.sql(s"SELECT max(version) FROM $cat.ns.`docs$$snapshots`")
       .collect().head.getInt(0)
+    // a post-version decoy holding the token: the CURRENT index goes
+    // stale (so a current-list rewrite could not even pretend to serve),
+    // while the SNAPSHOT's own sidecar still matches ITS digest
+    Seq((100L, "needle decoy")).toDF("id", "text").coalesce(1)
+      .writeTo(t).append()
     val tt = spark.sql(s"SELECT id FROM $t VERSION AS OF $v " +
       "WHERE array_contains(split(text, ' '), 'needle')")
-    assert(tt.as[Long].collect().toSeq == Seq(3L))
-    assert(plannedFiles(tt) == 3, "snapshot read scans ITS files, unpruned")
+    assert(tt.as[Long].collect().toSeq == Seq(3L),
+      "the decoy never surfaces at the version")
+    assert(plannedFiles(tt) == 1,
+      "pinned read prunes to the SNAPSHOT's one posting file")
+    // a snapshot predating the index has no servable sidecar: unpruned
+    // pinned scan, same answer (the min version is the empty CREATE)
+    val v1 = Manifest.snapshotVersions(dirOf(t)).sorted.apply(2)
+    val early = spark.sql(s"SELECT id FROM $t VERSION AS OF $v1 " +
+      "WHERE array_contains(split(text, ' '), 'needle')")
+    assert(early.as[Long].collect().toSeq == Seq(3L))
+    assert(plannedFiles(early) == 2,
+      "pre-index snapshot scans its TWO files unpruned")
   }
 
   test("index.autoRefresh: an append keeps the index fresh without REFRESH") {
