@@ -121,7 +121,10 @@ object Plans {
     "q_vector_search_asof_partitioned" -> "time-travel x BY PARTITION (r14): the snapshot's own sub-geometries serve the part-keyed union over the snapshot-pinned scan",
     "q_dedup_semantic_partitioned" -> "BY PARTITION SemDeDup (r14): per-slice stored geometry, within-(partition, cluster, bucket) banded pair join, keep-the-outlier anti-join",
     "q_vector_knn_join_asof" -> "time-travel kNN join (r14): batch assigns against the HISTORICAL centroids, candidates from the historical postings, snapshot-pinned DV state",
-    "q_qualify" -> "QUALIFY dialect extension (r14): the post-window filter rewritten to the subquery it abbreviates — one ranked window, filter on the alias, no second scan")
+    "q_qualify" -> "QUALIFY dialect extension (r14): the post-window filter rewritten to the subquery it abbreviates — one ranked window, filter on the alias, no second scan",
+    "q_text_bm25_partitioned" -> "BY PARTITION text index (r16): pinned slice's df/N/avgdl off the sidecar's own part keys — no zone-map proof loop, 1-file ranking scan",
+    "q_text_dedup_incremental_partitioned" -> "BY PARTITION incremental MinHash dedup (r16): batch bands join the stored part-keyed signatures within-partition, witness fetch from matched files only",
+    "q_text_search_asof_sql" -> "time-travel membership from plain SQL (r16): the transparent rewrite pins the SNAPSHOT's own posting files — the post-version decoy file is never planned")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-plans")

@@ -864,12 +864,30 @@ object TextIndex {
         .option("snapshot", version.toString)
         .option("files", fs.mkString(","))
         .load()
+    // the SNAPSHOT's index decides the partition semantics (r16 — zero
+    // drift between live and AS OF: a BY PARTITION index verdicts
+    // within each batch row's own partition at the version too)
+    val partOpt: Option[String] = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap(propPartCol)
+    partOpt.foreach { pc =>
+      if (!batch.columns.exists(_.equalsIgnoreCase(pc)))
+        throw new IllegalArgumentException(
+          s"$op: the index on $table ($colName) is BY PARTITION ($pc) — " +
+            s"the batch must carry a $pc column to route each row to " +
+            "its own partition's signatures")
+    }
+    val bCols = Seq(col(idCol).as("doc_id"), col(colName).as("text")) ++
+      partOpt.map(pc => col(pc).cast("string").as("part"))
+    val bKeys = Seq("doc_id") ++ partOpt.map(_ => "part")
     val bSig = Dedup.minhashSignatureRows(
-      batch.select(col(idCol).as("doc_id"), col(colName).as("text")),
-      "text", Seq("doc_id"))
-    val bBands = Dedup.minhashBandRows(bSig, Seq("doc_id", "hv"))
-      .select(col("doc_id").as("vn"), col("hv").as("hv_n"),
-        col("band"), col("bkey"))
+      batch.select(bCols: _*), "text", bKeys)
+    val bBands = Dedup.minhashBandRows(bSig, bKeys :+ "hv")
+      .select(Seq(col("doc_id").as("vn"), col("hv").as("hv_n"),
+        col("band"), col("bkey")) ++
+        partOpt.map(_ => col("part").as("npart")): _*)
+    def samePart: org.apache.spark.sql.Column =
+      partOpt.map(_ => col("npart") === col("opart")).getOrElse(lit(true))
     def result(matched: DataFrame): DataFrame =
       bSig.select(col("doc_id"))
         .join(matched, col("doc_id") === col("vn"), "left")
@@ -890,11 +908,13 @@ object TextIndex {
         val cBands = Dedup.minhashBandRows(
             spark.read.parquet(
               mt.dir.resolve(idxName).resolve("minhash").toString),
-            Seq("file", "pos", "hv"))
-          .select(col("band").as("oband"), col("bkey").as("obkey"),
-            col("file"), col("pos"), col("hv").as("hv_o"))
+            Seq("file", "pos", "hv") ++ partOpt.map(_ => "part"))
+          .select(Seq(col("band").as("oband"), col("bkey").as("obkey"),
+            col("file"), col("pos"), col("hv").as("hv_o")) ++
+            partOpt.map(_ => col("part").as("opart")): _*)
         val matchedRows = bBands.join(cBands,
             col("band") === col("oband") && col("bkey") === col("obkey") &&
+              samePart &&
               Dedup.jaccard(col("hv_n"), col("hv_o")) >=
                 Dedup.MinhashJaccard)
           .select(col("vn"), col("file"), col("pos"))
@@ -922,15 +942,20 @@ object TextIndex {
       case None =>
         // stale/reaped snapshot: corpus signatures recomputed from the
         // snapshot-pinned scan — a rebuild's answer at that version
+        // (still within-partition when the snapshot's index was
+        // BY PARTITION)
+        val oCols = Seq(col(idCol).as("oid"), col(colName).as("text")) ++
+          partOpt.map(pc => col(pc).cast("string").as("part"))
+        val oKeys = Seq("oid") ++ partOpt.map(_ => "part")
         val sig = Dedup.minhashSignatureRows(
-          snapScan(names)
-            .select(col(idCol).as("oid"), col(colName).as("text")),
-          "text", Seq("oid"))
-        val oBands = Dedup.minhashBandRows(sig, Seq("oid", "hv"))
-          .select(col("band").as("oband"), col("bkey").as("obkey"),
-            col("oid"), col("hv").as("hv_o"))
+          snapScan(names).select(oCols: _*), "text", oKeys)
+        val oBands = Dedup.minhashBandRows(sig, oKeys :+ "hv")
+          .select(Seq(col("band").as("oband"), col("bkey").as("obkey"),
+            col("oid"), col("hv").as("hv_o")) ++
+            partOpt.map(_ => col("part").as("opart")): _*)
         val matched = bBands.join(oBands,
             col("band") === col("oband") && col("bkey") === col("obkey") &&
+              samePart &&
               Dedup.jaccard(col("hv_n"), col("hv_o")) >=
                 Dedup.MinhashJaccard)
           .groupBy("vn").agg(min(col("oid")).as("dup_of"))
@@ -1322,16 +1347,49 @@ object TextIndex {
       bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1), all,
         colName, idCol, terms, k)
     }
-    val idx = m.props.collectFirst {
+    val idxWithPart = m.props.collectFirst {
       case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
     }.flatMap { v =>
       val fields = v.split(";", -1)
       if (fields(1) == digestOf(m) &&
         Files.exists(mt.dir.resolve(fields(0)).resolve("posts")) &&
         Files.exists(mt.dir.resolve(fields(0)).resolve("stats")))
-        Some(fields(0))
+        Some((fields(0), propPartCol(v)))
       else None
     }
+    val idx = idxWithPart.map(_._1)
+    // PIN ROUTE at the version (r16 — live/AS OF symmetry): a snapshot
+    // whose index was BY PARTITION serves a strictly-pinned scope from
+    // the HISTORICAL part-keyed stat/posting rows, the ranking scan
+    // pinned to the snapshot — per-domain statistics at a version on
+    // ANY layout, no zone maps consulted
+    val pinServe: Option[DataFrame] = idxWithPart match {
+      case Some((idxName, Some(pc))) =>
+        partPinsOf(m, scope, pc, strict = true).map { pins =>
+          val idxDir = mt.dir.resolve(idxName)
+          val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+            .where(col("token").isin(terms: _*) &&
+              col("part").isin(pins: _*))
+            .groupBy("token")
+            .agg(sum(col("n_docs")).as("df"),
+              collect_set(col("file")).as("files"))
+            .collect()
+          val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+            .where(col("part").isin(pins: _*))
+            .agg(coalesce(sum(col("n_docs")), lit(0L)),
+              coalesce(sum(col("sum_dl")), lit(0L)))
+            .collect().head
+          val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+          val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+          val rows =
+            if (cand.isEmpty) spark.table(table).where(lit(false))
+            else snapScan(cand).where(scope)
+          bm25Rank(spark, dfMap, stats.getLong(0), stats.getLong(1),
+            rows, colName, idCol, terms, k)
+        }
+      case _ => None
+    }
+    if (pinServe.isDefined) return pinServe.get
     (idx, scopeFilters(scope)) match {
       case (Some(idxName), Some(fs)) =>
         val liveEntries = m.entries.filter(_.rows > 0)

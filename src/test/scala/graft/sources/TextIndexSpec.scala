@@ -963,6 +963,56 @@ class TextIndexSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("BY PARTITION × time travel: within-partition verdicts and " +
+      "pinned per-slice statistics AT the version (r16)") {
+    val (cat, _) = freshCatalog("tix55")
+    val t = stagePartitioned(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text) BY PARTITION").collect()
+    val dir = dirOf(t)
+    val v = Manifest.snapshotVersions(dir).max
+    // the live scoped ranking for src b at the version — the AS OF
+    // expectation after the decoys land
+    val preB = TextIndex.bm25TopKScoped(spark, t, "text", "id", Seq("x"),
+        10, col("src") === "b")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // post-version decoys: an exact copy of the probe text into src c
+    // (flips a c-slice batch row to dup in any CURRENT dedup) and a
+    // term-stuffed doc into src b (shifts b's df/avgdl in any CURRENT
+    // scoped ranking)
+    Seq((200L, "c", "x x y"), (201L, "b", "x x x x"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    val batch = Seq((300L, "c", "x x y")).toDF("id", "src", "text")
+    val cur = TextIndex.dedupIncremental(spark, t, "text", "id", batch)
+      .collect().head
+    assert(cur.getBoolean(2) && cur.getLong(1) == 200L,
+      s"current within-partition dedup witnesses the decoy: $cur")
+    // AS OF v: src c held no such text — admitted (a corpus-global AS OF
+    // would have wrongly witnessed src a's doc 1: the drift this pins)
+    val asof = TextIndex.dedupIncrementalAsOf(spark, t, "text", "id",
+      batch, v).collect().head
+    assert(!asof.getBoolean(2),
+      s"within-partition verdicts hold at the version: $asof")
+    // …while a same-slice batch row IS witnessed at the version
+    val asofA = TextIndex.dedupIncrementalAsOf(spark, t, "text", "id",
+      Seq((301L, "a", "x x y")).toDF("id", "src", "text"), v).collect().head
+    assert(asofA.getBoolean(2) && asofA.getLong(1) == 1L,
+      s"same-slice witness at the version: $asofA")
+    // a batch without the partition column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.dedupIncrementalAsOf(spark, t, "text", "id",
+        Seq((302L, "x x y")).toDF("id", "text"), v).collect()
+    }
+    assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
+    // scoped BM25 AS OF pin-routes the SNAPSHOT's part keys: the
+    // term-stuffed post-version doc moves neither membership nor b's
+    // df/N/avgdl
+    val asofB = TextIndex.bm25TopKScopedAsOf(spark, t, "text", "id",
+        Seq("x"), 10, col("src") === "b", v)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(asofB == preB,
+      s"pinned slice statistics at the version: $asofB vs $preB")
+  }
+
   test("membership and phrase search AS OF: the snapshot's own posting " +
       "lists prune, post-version decoys never surface (r16)") {
     val (cat, _) = freshCatalog("tix54")
