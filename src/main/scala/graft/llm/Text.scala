@@ -72,6 +72,54 @@ object Text extends QueryModule {
   private[graft] lazy val sqlBm25PerDoc: String =
     sqlBm25PerDocOver("SELECT doc_id, text FROM documents")
 
+  /** The DuckDB mirror of [[graft.sources.TextIndex.bm25Join]] over the
+    * standard corpus with the standard query log (every 37th doc's
+    * first-4-token prefix): per-(query, doc) BM25 in the same 1e9
+    * fixed point, top-10 per query by (score desc, doc_id). */
+  private[graft] lazy val sqlBm25Join: String =
+    """WITH q AS (
+      |  SELECT doc_id AS qid,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+      |      AS qtext
+      |  FROM documents WHERE doc_id % 37 = 5),
+      |qtok AS (
+      |  SELECT DISTINCT qid, t AS term FROM
+      |    (SELECT qid, unnest(string_split(qtext, ' ')) AS t FROM q)
+      |  WHERE t <> ''),
+      |tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+      |  WHERE term IN (SELECT term FROM qtok) GROUP BY doc_id, term),
+      |dfreq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |scored AS (
+      |  SELECT qtok.qid, tf.doc_id,
+      |    CAST(floor(1000000000.0
+      |      * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+      |      AS BIGINT) AS part_fx
+      |  FROM qtok JOIN tf USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id), stats),
+      |agg AS (
+      |  SELECT qid, doc_id, CAST(SUM(part_fx) AS BIGINT) AS score_fx,
+      |    COUNT(*) AS n_terms
+      |  FROM scored GROUP BY qid, doc_id),
+      |rk AS (
+      |  SELECT qid, doc_id, n_terms, score_fx,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score_fx DESC, doc_id) AS rank
+      |  FROM agg)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+      |  CAST(n_terms AS BIGINT) AS n_terms,
+      |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+      |FROM rk WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   private[graft] def sqlBm25PerDocOver(corpus: String): String = {
     val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
     s"""WITH tokens AS (

@@ -395,6 +395,37 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
   }
 
+  /** `BM25 JOIN ON t (col) ID (idCol) USING (<query>) TOP k
+    * [VERSION AS OF v]` — the batch BM25 retrieval join
+    * ([[graft.sources.TextIndex.bm25Join]]) from plain SQL: for each
+    * row of the USING subquery (any relation yielding the table's id +
+    * text columns — the query log shape), its k best-ranked corpus
+    * rows off the stored statistics, one dataflow for the whole batch.
+    * Same USING conventions as VECTOR KNN JOIN (balanced quote-aware
+    * subquery group); VERSION AS OF serves the snapshot's own
+    * statistics, postings and rows. */
+  private val Bm25JoinHead =
+    ("""(?is)\s*BM25\s+JOIN\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
+      """\s*\(\s*(\w+)\s*\)\s+ID\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r
+  private val Bm25JoinTail =
+    """(?is)\s*TOP\s+(\d+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private object Bm25Join {
+    def unapply(sql: String): Option[(String, String, String, String,
+        Int, Option[Int])] =
+      Bm25JoinHead.findPrefixMatchOf(sql).flatMap { m =>
+        val open = m.end - 1
+        balancedCloseFrom(sql, open).flatMap { close =>
+          sql.substring(close + 1) match {
+            case Bm25JoinTail(k, v) =>
+              Some((m.group(1), m.group(2), m.group(3),
+                sql.substring(open + 1, close),
+                k.toInt, Option(v).map(_.toInt)))
+            case _ => None
+          }
+        }
+      }
+  }
+
   /** Best-effort parse-time check that `target` resolves to one of this
     * engine's manifest tables. A statement this parser would lower based
     * on SHAPE alone must still DELEGATE when the target belongs to
@@ -483,6 +514,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * join's USING group). */
   private val VecKnnSubOpen = """(?i)\(\s*VECTOR\s+KNN\s+JOIN\s+ON""".r
   private val Bm25SubOpen = """(?i)\(\s*BM25\s+SEARCH\s+ON""".r
+  private val Bm25JoinSubOpen = """(?i)\(\s*BM25\s+JOIN\s+ON""".r
   private val SemDedupSubOpen = """(?i)\(\s*SEMANTIC\s+DEDUP\s+ON""".r
   private val MinhashDedupSubOpen = """(?i)\(\s*MINHASH\s+DEDUP\s+ON""".r
 
@@ -539,6 +571,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           java.lang.Integer.toHexString(inner.trim.hashCode)
         Bm25SearchDf.of(spark, target, colName, idCol, termsList,
             topK.toInt, Option(where), Option(version).map(_.toInt))
+          .createOrReplaceTempView(view)
+        Some(sql.substring(0, open) + view + sql.substring(close + 1))
+      case _ =>
+        customSyntaxError(inner.trim)
+        None
+    }
+  }
+
+  private def rewriteBm25JoinSubqueries(sql: String): Option[String] = {
+    val starts = Bm25JoinSubOpen.findAllMatchIn(sql).map(_.start).toSet
+    if (starts.isEmpty) return None
+    val (open, close) = groupOutsideQuotes(sql, starts).getOrElse(return None)
+    val inner = sql.substring(open + 1, close)
+    inner match {
+      case Bm25Join(target, colName, idCol, batchSql, topK, version) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val view = "graft_bm25join_" +
+          java.lang.Integer.toHexString(inner.trim.hashCode)
+        Bm25JoinDf.of(spark, target, colName, idCol, batchSql, topK,
+            version)
           .createOrReplaceTempView(view)
         Some(sql.substring(0, open) + view + sql.substring(close + 1))
       case _ =>
@@ -744,7 +796,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ExplainCustom =
     ("""(?is)\s*EXPLAIN(\s+(?:EXTENDED|CODEGEN|COST|FORMATTED))?\s+""" +
       """((?:VECTOR\s+SEARCH|VECTOR\s+KNN\s+JOIN|BM25\s+SEARCH|""" +
-      """SEMANTIC\s+DEDUP|MINHASH\s+DEDUP)\s+ON\s+.*?)\s*;?\s*""").r
+      """BM25\s+JOIN|SEMANTIC\s+DEDUP|MINHASH\s+DEDUP)\s+ON\s+.*?)\s*;?\s*""").r
 
   private def rewriteExplainCustom(sql: String): Option[String] =
     sql match {
@@ -759,6 +811,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(rewriteVecSearchSubqueries(sqlText))
       .orElse(rewriteVecKnnSubqueries(sqlText))
       .orElse(rewriteBm25Subqueries(sqlText))
+      .orElse(rewriteBm25JoinSubqueries(sqlText))
       .orElse(rewriteSemDedupSubqueries(sqlText))
       .orElse(rewriteMinhashDedupSubqueries(sqlText))
       .orElse(rewriteQualify(sqlText)) match {
@@ -826,6 +879,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(where).forall(_.count(_ == '\'') % 2 == 0) =>
       Bm25SearchCommand(target, colName, idCol, termsList, topK.toInt,
         Option(where), Option(version).map(_.toInt))
+    case Bm25Join(target, colName, idCol, batchSql, topK, version) =>
+      Bm25JoinCommand(target, colName, idCol, batchSql, topK, version)
     case History(target) => DescribeHistoryCommand(target)
     case Detail(target) => DescribeDetailCommand(target)
     case Optimize(target, targetBytes, where, zc1, zc2, zc3)
@@ -905,6 +960,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "order; TERMS takes single-quoted string literals, quotes must " +
         "balance; VERSION AS OF serves the snapshot's own statistics " +
         "(no WHERE)"),
+    "BM25 JOIN" ->
+      ("BM25 JOIN ON <table> (<col>) ID (<idCol>) USING (<query>) " +
+        "TOP <k> [VERSION AS OF <v>] — the USING subquery yields the " +
+        "table's id + text columns (the query log shape); one dataflow " +
+        "ranks every query's top-k; VERSION AS OF serves the snapshot's " +
+        "own statistics, postings and rows"),
     "SEMANTIC DEDUP" ->
       ("SEMANTIC DEDUP ON <table> (<col>) USING (<query>) " +
         "[VERSION AS OF <v>] [WHERE <pred>] — the USING subquery yields " +
@@ -1631,6 +1692,59 @@ private[plans] object Bm25SearchDf {
         idCol, terms, topK)
     }
     res.select(col(idCol).cast(org.apache.spark.sql.types.LongType),
+      col("n_terms").cast(org.apache.spark.sql.types.LongType),
+      col("score").cast(org.apache.spark.sql.types.DoubleType))
+  }
+}
+
+/** `BM25 JOIN ON t (col) ID (idCol) USING (<query>) TOP k` — the batch
+  * BM25 retrieval join from plain SQL: every USING row's k best-ranked
+  * corpus rows off the stored statistics in one dataflow
+  * ([[graft.sources.TextIndex.bm25Join]]). Normalized output
+  * (qid BIGINT = the batch row's id, rank INT, <idCol> BIGINT,
+  * n_terms BIGINT, score DOUBLE), ordered (qid, rank). */
+case class Bm25JoinCommand(target: String, colName: String,
+    idCol: String, batchSql: String, topK: Int,
+    version: Option[Int] = None)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("qid", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("rank", org.apache.spark.sql.types.IntegerType,
+      nullable = true)(),
+    AttributeReference(idCol, org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("n_terms", org.apache.spark.sql.types.LongType,
+      nullable = true)(),
+    AttributeReference("score", org.apache.spark.sql.types.DoubleType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    Bm25JoinDf.of(spark, target, colName, idCol, batchSql, topK, version)
+      .orderBy(col("qid"), col("rank"))
+      .collect().toSeq
+  }
+}
+
+/** The BM25 JOIN dataflow as a DataFrame — shared by the standalone
+  * statement and the composable `( … )` relation form. The USING
+  * subquery yields the table's own id + text columns (the VECTOR KNN
+  * JOIN convention applied to the text tier). */
+private[plans] object Bm25JoinDf {
+  def of(spark: SparkSession, target: String, colName: String,
+      idCol: String, batchSql: String, topK: Int,
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val batch = spark.sql(batchSql)
+    val res = version match {
+      case Some(v) => graft.sources.TextIndex.bm25JoinAsOf(spark, target,
+        colName, idCol, batch, idCol, colName, topK, v)
+      case None => graft.sources.TextIndex.bm25Join(spark, target,
+        colName, idCol, batch, idCol, colName, topK)
+    }
+    res.select(col("qid").cast(org.apache.spark.sql.types.LongType),
+      col("rank").cast(org.apache.spark.sql.types.IntegerType),
+      col(idCol).cast(org.apache.spark.sql.types.LongType),
       col("n_terms").cast(org.apache.spark.sql.types.LongType),
       col("score").cast(org.apache.spark.sql.types.DoubleType))
   }

@@ -847,6 +847,58 @@ object SourceQueries extends QueryModule {
       cat
     })
 
+  /** The HYBRID time-travel corpus `q_search_hybrid_asof` reads (r16):
+    * the [[stageHybridBase]] layout with BOTH indexes, its post-index
+    * VERSION recorded, then five decoys appended that poison BOTH
+    * rankers of any CURRENT hybrid serve — text stuffed with the BM25
+    * query terms (dominates the lexical ranking and shifts everyone's
+    * df/N/avgdl) and the probe row's OWN embedding (ties the top of
+    * the cosine ranking and lands in the probed IVF list by
+    * construction). The AS OF fusion must answer from both snapshots'
+    * sidecars and rows as if the append never happened. */
+  private val stagedHybridAsofBase =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def stageHybridAsofBase(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int) =
+    stagedHybridAsofBase.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, lit, concat_ws, typedLit}
+      val root = graft.Scratch.dir("graft_stageha_")
+      val cat = s"graftstgha${math.abs(d.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.q")
+      s.sql(s"CREATE TABLE $cat.q.corpus " +
+        "(id BIGINT, source STRING, text STRING, embedding ARRAY<FLOAT>)")
+      val corpus = Tables(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"), col("text"))
+        .join(Tables(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")), "id")
+      corpus.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).foreach { src =>
+          corpus.filter(corpus("source") === src).coalesce(1)
+            .writeTo(s"$cat.q.corpus").append()
+        }
+      s.sql(s"CREATE TEXT INDEX ON $cat.q.corpus (text)").collect()
+      s.sql(s"CREATE VECTOR INDEX ON $cat.q.corpus (embedding) ANCHORS (id)")
+        .collect()
+      val dir = s.table(s"$cat.q.corpus").queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[ManifestTable] =>
+          r.table.asInstanceOf[ManifestTable].dir
+      }.get
+      val v = Manifest.snapshotVersions(dir).max
+      val probe = s.table(s"$cat.q.corpus").where(col("id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val stuffed = (graft.llm.Text.Bm25Terms ++ graft.llm.Text.Bm25Terms)
+        .mkString(" ")
+      s.range(5)
+        .select((col("id") + 5000000L).as("id"), lit("src3").as("source"),
+          concat_ws(" ", lit(stuffed), lit(stuffed)).as("text"),
+          typedLit(probe).as("embedding"))
+        .coalesce(1).writeTo(s"$cat.q.corpus").append()
+      (cat, v)
+    })
+
   /** The VALUE-CLUSTERED documents base `q_topn_pushdown` reads: ten
     * commits, each a contiguous doc_id range (the layout OPTIMIZE ZORDER
     * or a time-ordered ingest produces naturally), staged ONCE per
@@ -2100,6 +2152,37 @@ object SourceQueries extends QueryModule {
         .select(col("id"), col("r_bm25"), col("r_cos"), col("rrf"))
     }),
 
+    // HYBRID retrieval AT A VERSION (r16): both rankers serve their
+    // snapshots' OWN sidecars and pinned rows — the five post-version
+    // decoys poison BOTH sides of any current serve (term-stuffed text
+    // AND the probe's own embedding), yet the AS OF fusion must equal
+    // the plain pre-append replay (shared oracle with
+    // q_search_hybrid_indexed — the snapshot IS the raw corpus).
+    "q_search_hybrid_asof" -> ((s, d) => {
+      val (cat, v) = stageHybridAsofBase(s, d)
+      val t = s"$cat.q.corpus"
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.IntegerType
+      val bm = TextIndex.bm25TopKAsOf(s, t, "text", "id",
+          graft.llm.Text.Bm25Terms, 50, v)
+        .withColumn("r_bm25", row_number().over(
+          Window.orderBy(desc("score"), col("id"))).cast(IntegerType))
+        .select(col("id"), col("r_bm25"))
+      val probe = s.table(t).where(col("id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val cos = VectorIndex.searchAsOf(s, t, "embedding", probe, 50, v)
+        .withColumn("r_cos", row_number().over(
+          Window.orderBy(desc("sim"), col("vec_id"))).cast(IntegerType))
+        .select(col("vec_id").as("id"), col("r_cos"))
+      bm.join(cos, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+        .orderBy(desc("rrf"), col("id")).limit(10)
+        .select(col("id"), col("r_bm25"), col("r_cos"), col("rrf"))
+    }),
+
     // PHRASE search through the oracle gate ([[TextIndex.phraseSearch]]):
     // the single-token index answers the contiguous-token query by
     // posting-list INTERSECTION (every phrase token must appear in a
@@ -2221,6 +2304,68 @@ object SourceQueries extends QueryModule {
       val cat = stageTextBase(s, d)
       s.sql(s"BM25 SEARCH ON $cat.q.docs (text) ID (doc_id) " +
         "TERMS ('vector', 'join', 'scan') TOP 10 WHERE source = 'src3'")
+    }),
+
+    // BATCH BM25 JOIN through the oracle gate (r16): the text twin of
+    // the vector kNN join — every batch query's top-k BM25 docs in ONE
+    // dataflow (no per-query loop; the batch's term pairs broadcast
+    // against the candidates' per-(doc, term) tf rows, df/N/avgdl ride
+    // the index sidecars). The batch is a deterministic query log
+    // derived from the corpus itself: every 37th doc's first-4-token
+    // prefix. Oracle = the full BM25 replay from raw parquet, per
+    // query, ranked by the same fixed-point score.
+    "q_text_bm25_join" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = s.table(s"$cat.q.docs")
+        .where(col("doc_id") % 37 === 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      TextIndex.bm25Join(s, s"$cat.q.docs", "text", "doc_id", batch,
+          "qid", "qtext", 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The SAME batch retrieval through the SQL statement surface
+    // (`BM25 JOIN ON t (col) ID (id) USING (<query>) TOP k` — the C212
+    // rule: every operator reachable from plain SQL; shared oracle).
+    "q_text_bm25_join_sql" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      s.sql(s"BM25 JOIN ON $cat.q.docs (text) ID (doc_id) USING " +
+        "(SELECT doc_id, array_join(slice(split(text, ' '), 1, 4), ' ') " +
+        s"AS text FROM $cat.q.docs WHERE doc_id % 37 = 5) TOP 10")
+    }),
+
+    // The statement's VERSION AS OF path (r16): the USING query log
+    // excludes the post-version decoys by id (an eval-set re-run never
+    // queries documents that did not exist at the version), and the
+    // serve must answer from the snapshot's statistics — shared oracle.
+    "q_text_bm25_join_asof_sql" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      s.sql(s"BM25 JOIN ON $cat.q.docs (text) ID (doc_id) USING " +
+        "(SELECT doc_id, array_join(slice(split(text, ' '), 1, 4), ' ') " +
+        s"AS text FROM $cat.q.docs " +
+        "WHERE doc_id % 37 = 5 AND doc_id < 3000000) " +
+        s"TOP 10 VERSION AS OF $v")
+    }),
+
+    // The batch join AT A VERSION (r16): the snapshot's own statistics,
+    // postings and rows serve every query in the batch — the five
+    // term-stuffed decoys appended after the recorded version shift
+    // N/avgdl for EVERY query's scores in any current serve (and
+    // dominate any query carrying a stuffed term), yet the AS OF join
+    // must equal the plain pre-append replay (shared oracle with
+    // q_text_bm25_join — the snapshot IS the raw corpus).
+    "q_text_bm25_join_asof" -> ((s, d) => {
+      val (cat, v) = stageTextAsofBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = Tables(s, d, "documents")
+        .where(col("doc_id") % 37 === 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      TextIndex.bm25JoinAsOf(s, s"$cat.q.docs", "text", "doc_id", batch,
+          "qid", "qtext", 10, v)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // SCOPED BM25 through the ORACLE gate (r13): per-domain relevance —
@@ -4248,6 +4393,36 @@ object SourceQueries extends QueryModule {
     * assignment this can differ from the probe ROW's own list_id in a1,
     * so the oracle must derive it the way the engine's probe planner
     * does, not read it off the assignment. Emits `probe(pv, p_list)`. */
+  /** The hybrid-retrieval replay (both rankers from raw parquet, RRF
+    * fusion) — shared by `q_search_hybrid_indexed` and its time-travel
+    * twin `q_search_hybrid_asof` (the snapshot IS the raw corpus). */
+  private lazy val sqlHybridOracle: String = {
+    val joinedBm25 = graft.llm.Text.sqlBm25PerDoc.replace(
+      "FROM documents",
+      "FROM (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN embeddings e ON d.doc_id = e.vec_id)")
+    graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
+       |${sqlProbeFlat("probe")},
+       |cosr AS (
+       |  SELECT vec_id AS id,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS r_cos
+       |  FROM (
+       |    SELECT a.vec_id,
+       |      ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
+       |    FROM a1 a JOIN probe p ON a.list_id = p.p_list
+       |    ORDER BY sim DESC, a.vec_id LIMIT 50)),
+       |bmr AS (
+       |  SELECT doc_id AS id,
+       |    CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INTEGER) AS r_bm25
+       |  FROM (SELECT * FROM ($joinedBm25) pd
+       |        ORDER BY score_fx DESC, doc_id LIMIT 50))
+       |SELECT COALESCE(b.id, c.id) AS id, b.r_bm25, c.r_cos,
+       |  COALESCE(1.0 / (60 + b.r_bm25), 0.0) +
+       |    COALESCE(1.0 / (60 + c.r_cos), 0.0) AS rrf
+       |FROM bmr b FULL OUTER JOIN cosr c ON b.id = c.id
+       |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)
+  }
+
   private def sqlProbeFlat(alias: String): String = {
     val dot = graft.llm.PortableHash.sqlDotFixed("e0.embedding", "r0.cl[ci]")
     s"""$alias AS (
@@ -5266,32 +5441,11 @@ object SourceQueries extends QueryModule {
     // only embedded docs participate); the vector side is plain
     // embeddings (every vec_id has a doc at all SFs, so the join is the
     // identity there).
-    "q_search_hybrid_indexed" -> {
-      val joinedBm25 = graft.llm.Text.sqlBm25PerDoc.replace(
-        "FROM documents",
-        "FROM (SELECT d.doc_id, d.text FROM documents d " +
-          "JOIN embeddings e ON d.doc_id = e.vec_id)")
-      graft.llm.PortableHash.sqlMat(s"""WITH ${graft.llm.Clustering.sqlKmeans(1)},
-         |${sqlProbeFlat("probe")},
-         |cosr AS (
-         |  SELECT vec_id AS id,
-         |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS r_cos
-         |  FROM (
-         |    SELECT a.vec_id,
-         |      ${graft.llm.PortableHash.sqlDotFixed("a.embedding", "p.pv")} AS sim
-         |    FROM a1 a JOIN probe p ON a.list_id = p.p_list
-         |    ORDER BY sim DESC, a.vec_id LIMIT 50)),
-         |bmr AS (
-         |  SELECT doc_id AS id,
-         |    CAST(row_number() OVER (ORDER BY score_fx DESC, doc_id) AS INTEGER) AS r_bm25
-         |  FROM (SELECT * FROM ($joinedBm25) pd
-         |        ORDER BY score_fx DESC, doc_id LIMIT 50))
-         |SELECT COALESCE(b.id, c.id) AS id, b.r_bm25, c.r_cos,
-         |  COALESCE(1.0 / (60 + b.r_bm25), 0.0) +
-         |    COALESCE(1.0 / (60 + c.r_cos), 0.0) AS rrf
-         |FROM bmr b FULL OUTER JOIN cosr c ON b.id = c.id
-         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)
-    },
+    "q_search_hybrid_indexed" -> sqlHybridOracle,
+    // The AS OF fusion equals the plain replay (the snapshot IS the
+    // raw corpus; the double-poisoned post-version decoys must move
+    // neither ranker) — shared oracle (r16).
+    "q_search_hybrid_asof" -> sqlHybridOracle,
     // Rarest-attested-bigram phrase match recomputed from raw parquet:
     // same bigram derivation, same contiguity semantics.
     "q_text_phrase_search" ->
@@ -5341,6 +5495,16 @@ object SourceQueries extends QueryModule {
                "SELECT doc_id, text FROM documents " +
                  "WHERE source = 'src3'")}) per_doc
          |ORDER BY score_fx DESC, doc_id LIMIT 10""".stripMargin,
+    // The batch BM25 join replayed per query from raw parquet (r16) —
+    // the same fixed-point score, ranked per query.
+    "q_text_bm25_join" -> graft.llm.Text.sqlBm25Join,
+    // The AS OF batch join equals the plain pre-append replay (the
+    // snapshot IS the raw corpus; the post-version decoys shift
+    // N/avgdl for every current score and must move nothing AS OF).
+    "q_text_bm25_join_asof" -> graft.llm.Text.sqlBm25Join,
+    // The SQL statements share the Scala-API replays (C212's rule).
+    "q_text_bm25_join_sql" -> graft.llm.Text.sqlBm25Join,
+    "q_text_bm25_join_asof_sql" -> graft.llm.Text.sqlBm25Join,
     // BM25 recomputed from raw parquet over the SCOPED corpus — the
     // per-domain statistics the index-served scoping must equal.
     "q_text_bm25_scoped" ->

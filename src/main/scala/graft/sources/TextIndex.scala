@@ -1057,6 +1057,223 @@ object TextIndex {
     bm25Rank(spark, dfs, nDocs, sumDl, rows, colName, idCol, terms, k)
   }
 
+  /** BATCH BM25 JOIN — "for each batch query, its k best-ranked CORPUS
+    * rows": the text twin of [[VectorIndex.knnJoin]] (RAG candidate
+    * fetch from a query log, eval-set retrieval, training-data
+    * attribution) served from the STORED statistics with nothing
+    * corpus-sized recomputed per batch. ONE dataflow, no per-query
+    * loop: the batch tokenizes to `(qid, term)` pairs (distinct terms
+    * per query — BM25 scores the query's term SET), per-term df and the
+    * corpus stats (N, avgdl) come from the posting/stat sidecars, the
+    * candidate scan plans ONLY the files whose posting lists carry ANY
+    * batch term, and the retrieval itself is an equi-join on `term`
+    * between the batch pairs (broadcast — the batch is the small side
+    * by definition) and the candidates' per-(doc, term) tf rows, summed
+    * per (query, doc) and ranked top-k per query by one window. A doc
+    * sharing no term with a query scores 0 and can never rank, so the
+    * candidate pruning is exact; a query whose terms all miss the
+    * corpus yields NO rows (unlike the vector join's always-k — "no
+    * term in common" is BM25's null result). Per-batch cost: the batch
+    * tokens + ONE scan of the term-bearing files; the only driver-side
+    * state is the batch's term vocabulary and its df counts (batch-
+    * bounded — the kNN join's centroid-panel class, never the corpus).
+    * Stale/absent index: df/N/avgdl and candidates recompute from full
+    * scans in the same single dataflow — same answer, no pruning (after
+    * the onStale policy gets its say: `refresh` catches up first,
+    * `fail` refuses). The batch carries the table's own id column (the
+    * query key) and a query-text column tokenized by the engine's
+    * whitespace rule. Output: `(qid, rank, <idCol>, n_terms, score)`,
+    * rank 1..k per surfaced query, `n_terms` = how many of the query's
+    * distinct terms the doc contains — [[bm25TopK]]'s formula and
+    * fixed-point floor exactly (per-term idf is computed driver-side
+    * from the collected df map with the same `math.log`, so a
+    * single-query [[bm25TopK]] and a 1-row batch join return
+    * bit-identical scores). */
+  def bm25Join(spark: SparkSession, table: String, colName: String,
+      idCol: String, batch: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "BM25 JOIN")
+    applyStalePolicy(spark, mt.dir, colName, "BM25 JOIN")
+    val m = Manifest.read(mt.dir).getOrElse(
+      throw new IllegalStateException(s"BM25 JOIN: no manifest at ${mt.dir}"))
+    val qtok = batchTerms(batch, qidCol, qtextCol)
+    val vocab = qtok.select("term").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val (dfs, nDocs, sumDl, rows) = freshIdx(spark, m, colName) match {
+      case Some(idxName) =>
+        val idxDir = mt.dir.resolve(idxName)
+        val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+          .where(if (vocab.isEmpty) lit(false)
+            else col("token").isin(vocab: _*))
+          .groupBy("token")
+          .agg(sum(col("n_docs")).as("df"),
+            collect_set(col("file")).as("files"))
+          .collect()
+        val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("sum_dl")), lit(0L)))
+          .collect().head
+        val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+        val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows =
+          if (cand.isEmpty) spark.table(table).where(lit(false))
+          else scanFiles(spark, mt.dir, cand)
+        (dfMap, stats.getLong(0), stats.getLong(1), rows)
+      case None =>
+        val all = spark.table(table)
+        val stats = all.agg(count(lit(1)),
+          coalesce(sum(size(split(col(colName), " "))), lit(0L)))
+          .collect().head
+        // every batch term's df in ONE aggregation — the single-query
+        // path's per-term count() would be a driver loop over the vocab
+        val dfMap =
+          if (vocab.isEmpty) Map.empty[String, Long]
+          else all
+            .select(explode(array_distinct(split(col(colName), " ")))
+              .as("token"))
+            .where(col("token").isin(vocab: _*))
+            .groupBy("token").agg(count(lit(1)).as("df"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (dfMap, stats.getLong(0), stats.getLong(1), all)
+    }
+    bm25JoinRank(spark, dfs, nDocs, sumDl, rows, colName, idCol, qtok, k)
+  }
+
+  /** [[bm25Join]] AT A SNAPSHOT — reproduce yesterday's batch retrieval
+    * (the eval-set re-run, the "what did the RAG serve actually fetch"
+    * audit): df/N/avgdl and candidates come from the snapshot's OWN
+    * posting/stat sidecars when its digest matches, and the candidate
+    * scan pins the version's files and DV state — corpus rows added
+    * after the version neither rank nor shift any statistic. A stale or
+    * reaped snapshot index recomputes everything from the
+    * snapshot-pinned scan — same answer, no pruning. */
+  def bm25JoinAsOf(spark: SparkSession, table: String, colName: String,
+      idCol: String, batch: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, version: Int): DataFrame = {
+    val mt = resolveManifestTable(spark, table, "BM25 JOIN AS OF")
+    val m = Manifest.readSnapshot(mt.dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"BM25 JOIN AS OF: snapshot $version expired or never existed " +
+          s"at ${mt.dir}"))
+    val names = m.entries.filter(_.rows > 0).map(_.name)
+    def snapScan(fs: Seq[String]): DataFrame =
+      spark.read.format("graft.sources.GraftManifestSink")
+        .option("path", mt.dir.toString)
+        .option("snapshot", version.toString)
+        .option("files", fs.mkString(","))
+        .load()
+    val qtok = batchTerms(batch, qidCol, qtextCol)
+    val vocab = qtok.select("term").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val idx = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap { v =>
+      val fields = v.split(";", -1)
+      if (fields(1) == digestOf(m) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("posts")) &&
+        Files.exists(mt.dir.resolve(fields(0)).resolve("stats")))
+        Some(fields(0))
+      else None
+    }
+    val (dfs, nDocs, sumDl, rows) = idx match {
+      case Some(idxName) =>
+        val idxDir = mt.dir.resolve(idxName)
+        val posts = spark.read.parquet(idxDir.resolve("posts").toString)
+          .where(if (vocab.isEmpty) lit(false)
+            else col("token").isin(vocab: _*))
+          .groupBy("token")
+          .agg(sum(col("n_docs")).as("df"),
+            collect_set(col("file")).as("files"))
+          .collect()
+        val stats = spark.read.parquet(idxDir.resolve("stats").toString)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("sum_dl")), lit(0L)))
+          .collect().head
+        val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
+        val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows =
+          if (cand.isEmpty) spark.table(table).where(lit(false))
+          else snapScan(cand)
+        (dfMap, stats.getLong(0), stats.getLong(1), rows)
+      case None =>
+        val all = snapScan(names)
+        val stats = all.agg(count(lit(1)),
+          coalesce(sum(size(split(col(colName), " "))), lit(0L)))
+          .collect().head
+        val dfMap =
+          if (vocab.isEmpty) Map.empty[String, Long]
+          else all
+            .select(explode(array_distinct(split(col(colName), " ")))
+              .as("token"))
+            .where(col("token").isin(vocab: _*))
+            .groupBy("token").agg(count(lit(1)).as("df"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (dfMap, stats.getLong(0), stats.getLong(1), all)
+    }
+    bm25JoinRank(spark, dfs, nDocs, sumDl, rows, colName, idCol, qtok, k)
+  }
+
+  /** The batch's `(qid, term)` pairs — distinct non-empty whitespace
+    * terms per query (the engine's tokenizer; BM25 scores the term
+    * set, so duplicates inside one query text collapse). */
+  private def batchTerms(batch: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    batch.select(col(qidCol).as("qid"),
+        explode(array_distinct(split(col(qtextCol), " "))).as("term"))
+      .where(length(col("term")) > 0)
+
+  /** The batch join's shared ranking tail: per-(doc, term) tf rows over
+    * the candidate scan (vocab-restricted BEFORE the grouping — the
+    * exploded frame never carries a non-query term through the
+    * shuffle), idf per term from the driver df map ([[bm25Rank]]'s
+    * exact expression shape and fixed-point floor, term-at-a-time so a
+    * 1-row batch is bit-identical to [[bm25TopK]]), the broadcast
+    * retrieval join, and one ranked window per query. */
+  private def bm25JoinRank(spark: SparkSession, dfs: Map[String, Long],
+      nDocs: Long, sumDl: Long, rows: DataFrame, colName: String,
+      idCol: String, qtok: DataFrame, k: Int): DataFrame = {
+    val avgdl = sumDl.toDouble / math.max(1L, nDocs)
+    val present = dfs.toSeq.filter(_._2 > 0L).sortBy(_._1)
+    val qidT = qtok.schema("qid").dataType.catalogString
+    val idT = rows.schema.fields
+      .find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType.catalogString).getOrElse("bigint")
+    def empty: DataFrame =
+      spark.range(0).select(col("id").cast(qidT).as("qid"),
+        lit(1).as("rank"), col("id").cast(idT).as(idCol),
+        lit(0L).as("n_terms"), lit(0.0).as("score"))
+    if (present.isEmpty) return empty
+    import spark.implicits._
+    // (term, idf) — driver-computed with the same math.log the
+    // single-query path uses, so scores match it bit-for-bit
+    val idfDf = present.map { case (t, df) =>
+      (t, math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)))
+    }.toDF("term", "idf")
+    val toks = split(col(colName), " ")
+    val docTerms = rows
+      .select(col(idCol).as("doc_id"), size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .where(col("term").isin(present.map(_._1): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val partFx = floor(lit(1e9) * col("idf") * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+        lit(avgdl)))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score_fx"), col("doc_id"))
+    docTerms
+      .join(broadcast(qtok), Seq("term"))
+      .join(broadcast(idfDf), Seq("term"))
+      .select(col("qid"), col("doc_id"), partFx.as("part_fx"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("part_fx")).as("score_fx"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id").as(idCol),
+        col("n_terms"),
+        (col("score_fx").cast("double") / 1e9).as("score"))
+  }
+
   /** Best-effort translation of a scope predicate to V2 filters — the
     * conjunct shapes the zone maps can classify (`=`, `IN`, `<`, `<=`,
     * `>`, `>=`, `AND`; column vs literal, either side, both the parsed-

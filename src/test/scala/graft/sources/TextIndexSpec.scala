@@ -1049,4 +1049,145 @@ class TextIndexSpec extends SparkSuite {
     val phD = TextIndex.phraseSearchAsOf(spark, t, "text", "needle in", v)
     assert(phD.select("id").as[Long].collect().toSeq == Seq(3L))
   }
+
+  test("bm25Join: one-dataflow batch retrieval equals per-query bm25TopK, " +
+      "prunes to the batch terms' posting union, null result on a miss " +
+      "(r16)") {
+    val (cat, _) = freshCatalog("tix55")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)").collect()
+    val batch = Seq((10L, "gamma needle"), (11L, "needle"),
+        (12L, "zzz missing"), (13L, "gamma gamma"))
+      .toDF("qid", "qtext")
+    val res = TextIndex.bm25Join(spark, t, "text", "id", batch,
+      "qid", "qtext", 10)
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // a 1-row batch is bit-identical to the single-query path
+    val single = TextIndex.bm25TopK(spark, t, "text", "id",
+        Seq("gamma", "needle"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q10 = rows.filter(_._1 == 10L).sortBy(_._2)
+    assert(q10.map(r => (r._3, r._4, r._5)).toSeq == single.toSeq,
+      "batch row 10 == bm25TopK(gamma, needle), scores bit-for-bit")
+    // every surfaced row ranks 1..k densely per query, scores descend
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length).toSeq)
+      assert(sorted.map(_._5).toSeq.reverse.sorted.toSeq ==
+        sorted.map(_._5).toSeq.reverse)
+    }
+    // a query whose terms all miss the corpus yields NO rows
+    assert(!rows.exists(_._1 == 12L), "no term in common = BM25 null result")
+    // duplicate terms inside one query collapse (the term SET scores)
+    val q13 = rows.filter(_._1 == 13L).sortBy(_._2)
+    val gammaOnly = TextIndex.bm25TopK(spark, t, "text", "id",
+        Seq("gamma"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(q13.map(r => (r._3, r._4, r._5)).toSeq == gammaOnly.toSeq)
+    // candidate pruning: a needle-only batch plans exactly the one
+    // file the posting list names
+    val needleBatch = Seq((20L, "needle")).toDF("qid", "qtext")
+    val pruned = TextIndex.bm25Join(spark, t, "text", "id", needleBatch,
+      "qid", "qtext", 10)
+    assert(plannedFiles(pruned) == 1,
+      "the batch join scans only the posting-union files")
+    // dropped index: the full-scan fallback answers identically
+    TextIndex.drop(spark, dirOf(t), "text")
+    val fallback = TextIndex.bm25Join(spark, t, "text", "id", batch,
+        "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(fallback.sortBy(r => (r._1, r._2)).toSeq ==
+      rows.sortBy(r => (r._1, r._2)).toSeq,
+      "indexed serve == stale-fallback recomputation")
+  }
+
+  test("bm25JoinAsOf: the snapshot's statistics and rows serve the " +
+      "whole batch; post-version decoys neither rank nor shift any " +
+      "score (r16)") {
+    val (cat, _) = freshCatalog("tix56")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)").collect()
+    val dir = dirOf(t)
+    val v = Manifest.snapshotVersions(dir).max
+    val batch = Seq((10L, "gamma needle"), (11L, "hay delta"))
+      .toDF("qid", "qtext")
+    val before = TextIndex.bm25Join(spark, t, "text", "id", batch,
+        "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(r => (r._1, r._2))
+    // a term-stuffed decoy would dominate query 10 in any CURRENT
+    // serve, and its mere presence shifts N/avgdl for query 11's scores
+    Seq((100L, "needle needle needle gamma gamma"))
+      .toDF("id", "text").coalesce(1).writeTo(t).append()
+    val cur = TextIndex.bm25Join(spark, t, "text", "id", batch,
+      "qid", "qtext", 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(cur.contains((10L, 1, 100L)),
+      "the decoy dominates the current serve — the threat is real")
+    val asof = TextIndex.bm25JoinAsOf(spark, t, "text", "id", batch,
+        "qid", "qtext", 10, v)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(r => (r._1, r._2))
+    assert(asof.toSeq == before.toSeq,
+      "AS OF == the pre-append serve, every query, scores bit-for-bit")
+    // reaped/dropped index: the snapshot-pinned fallback answers the same
+    TextIndex.drop(spark, dir, "text")
+    val dropped = TextIndex.bm25JoinAsOf(spark, t, "text", "id", batch,
+        "qid", "qtext", 10, v)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(r => (r._1, r._2))
+    assert(dropped.toSeq == before.toSeq)
+  }
+
+  test("BM25 JOIN SQL: statement, composable relation, VERSION AS OF, " +
+      "EXPLAIN, targeted errors (r16)") {
+    val (cat, _) = freshCatalog("tix57")
+    val t = stage(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text)").collect()
+    val v = Manifest.snapshotVersions(dirOf(t)).max
+    Seq((10L, "gamma needle"), (11L, "hay"))
+      .toDF("id", "text").createOrReplaceTempView("bmj_batch")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), math.round(r.getDouble(4) * 1e6)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    // the statement answers exactly what the Scala API does
+    val sql = spark.sql(s"BM25 JOIN ON $t (text) ID (id) " +
+      "USING (SELECT id, text FROM bmj_batch) TOP 10")
+    val api = TextIndex.bm25Join(spark, t, "text", "id",
+      spark.table("bmj_batch"), "id", "text", 10)
+    assert(rows(sql) == rows(api), s"${rows(sql)} vs ${rows(api)}")
+    // composable relation: the join's rows join table columns inline
+    val rel = spark.sql(
+      s"SELECT b.qid, b.rank, d.text FROM (BM25 JOIN ON $t (text) " +
+        s"ID (id) USING (SELECT id, text FROM bmj_batch) TOP 1) b " +
+        s"JOIN $t d ON b.id = d.id ORDER BY b.qid")
+    assert(rel.count() == 2L, "one top-1 row per query, joined back")
+    // VERSION AS OF serves the snapshot after a decoy append
+    Seq((100L, "needle needle gamma")).toDF("id", "text")
+      .coalesce(1).writeTo(t).append()
+    val asofSql = spark.sql(s"BM25 JOIN ON $t (text) ID (id) " +
+      s"USING (SELECT id, text FROM bmj_batch) TOP 10 VERSION AS OF $v")
+    val asofApi = TextIndex.bm25JoinAsOf(spark, t, "text", "id",
+      spark.table("bmj_batch"), "id", "text", 10, v)
+    assert(rows(asofSql) == rows(asofApi))
+    assert(rows(asofSql) == rows(sql).map(r => (r._1, r._2, r._3, r._4,
+      r._5)), "AS OF == the pre-append statement serve")
+    assert(rows(spark.sql(s"BM25 JOIN ON $t (text) ID (id) " +
+        "USING (SELECT id, text FROM bmj_batch) TOP 10")) != rows(sql),
+      "the decoy shifts the current serve — the version pin is load-bearing")
+    // EXPLAIN renders the serve plan (the sixth statement family)
+    val exp = spark.sql(s"EXPLAIN BM25 JOIN ON $t (text) ID (id) " +
+        "USING (SELECT id, text FROM bmj_batch) TOP 3")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(exp.contains("Physical Plan"), exp.take(300))
+    // malformed statement → targeted clause-shape error
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"BM25 JOIN ON $t (text) USING " +
+        "(SELECT id, text FROM bmj_batch) TOP 5")
+    }
+    assert(e1.getMessage.contains("BM25 JOIN"), e1.getMessage)
+  }
 }
