@@ -17,21 +17,45 @@ import org.apache.spark.sql.SparkSession
 object JobCount {
 
   /** Jobs + stages submitted by `body`, counted via a unique job group —
-    * the same scoping that deflaked the C249 listener pin: group ids are
-    * thread-local and propagate through SQLExecution's captured local
-    * properties into broadcast-exchange threads, so the count covers
-    * exactly the measured action. */
+    * group ids are thread-local and propagate through SQLExecution's
+    * captured local properties into broadcast-exchange threads, so the
+    * count covers exactly the measured action.
+    *
+    * The body runs with AQE DISABLED (saved/restored around the
+    * measurement): under AQE, job count is genuinely TIMING-DEPENDENT —
+    * stage-materialization futures race with replanning, so identical
+    * runs of the same build flipped 47/48 (and 49/50 with exchange
+    * reuse off; probed 20× on identical data). With AQE off, jobs =
+    * driver-issued actions + plan-determined broadcast/subquery
+    * executions — a pure plan property, measured 10/10 identical. The
+    * counts are a COMPLEXITY FINGERPRINT, not the production execution
+    * mode (the engine runs AQE everywhere else); determinism is the
+    * entire point of this gate. */
   def measure(spark: SparkSession)(body: => Unit): (Int, Int) = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try measureAsConfigured(spark)(body)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  /** [[measure]] without the AQE override — counts under the session's
+    * own configuration (load-sensitive under AQE; see [[measure]]). */
+  def measureAsConfigured(spark: SparkSession)(body: => Unit): (Int, Int) = {
     val group = s"graft-jobcount-${java.util.UUID.randomUUID()}"
+    val sentinel = group + "-sentinel"
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
     val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val seen = new java.util.concurrent.CountDownLatch(1)
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        if (group == j.properties.getProperty("spark.jobGroup.id")) {
-          jobs.incrementAndGet()
-          stages.addAndGet(j.stageInfos.size)
+        j.properties.getProperty("spark.jobGroup.id") match {
+          case `group` =>
+            jobs.incrementAndGet()
+            stages.addAndGet(j.stageInfos.size)
+            ()
+          case `sentinel` => seen.countDown()
+          case _ => ()
         }
-        ()
       }
     }
     spark.sparkContext.addSparkListener(l)
@@ -40,12 +64,19 @@ object JobCount {
     try body
     finally {
       spark.sparkContext.clearJobGroup()
-      // async listener bus: poll until the counts stabilize
-      var last = (-1, -1)
-      var spins = 0
-      while ((jobs.get(), stages.get()) != last && spins < 50) {
-        last = (jobs.get(), stages.get()); Thread.sleep(100); spins += 1
-      }
+      // The listener bus is ASYNC, so the measured jobs' start events may
+      // still be in flight here. A fixed quiet-window poll is load-
+      // sensitive (under a full-suite run the bus can lag in bursts
+      // longer than any chosen window — the 47≠48 flake): instead run a
+      // SENTINEL job in its own group after the body completes. Events
+      // deliver to a listener in posting order, and every measured
+      // action returned before the sentinel was submitted, so seeing the
+      // sentinel's start proves every measured start was delivered.
+      spark.sparkContext.setJobGroup(sentinel, "listener drain sentinel",
+        interruptOnCancel = false)
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      seen.await(60, java.util.concurrent.TimeUnit.SECONDS)
       spark.sparkContext.removeSparkListener(l)
     }
     (jobs.get(), stages.get())
@@ -107,8 +138,11 @@ object JobCount {
       val qs = out.map { case (k, (j, s, t)) =>
         f""""$k":{"jobs":$j,"stages":$s,"t":$t%.3f}"""
       }.mkString("{", ",", "}")
+      // "aqe" records the MEASUREMENT mode — measure() always counts
+      // with AQE off (the deterministic fingerprint); the session's own
+      // AQE setting only governs the warm runs
       val json = s"""{"metric":"jobcount","sf":$sf,"cpus":"$cpus",""" +
-        s""""aqe":"${spark.conf.get("spark.sql.adaptive.enabled")}",""" +
+        s""""aqe":"off-during-measure",""" +
         s""""nq":${out.size},"queries":$qs}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))

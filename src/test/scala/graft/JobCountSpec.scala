@@ -12,28 +12,36 @@ package graft
   * carries the full headline subset for the same reason.
   *
   * The r11 wall-clock bar restated as a budget: `q_dedup_semantic` must
-  * serve in ≤ 29 jobs / ≤ 40 stages (its measured shape: banded self-join
+  * serve in ≤ 18 jobs / ≤ 27 stages (its measured shape: banded self-join
   * + survivor anti-join over the once-materialized band rows).
   *
-  * Pins hold for the DEFAULT spec conditions (sf0.001, 4 cores, AQE on);
-  * a GRAFT_TEST_SF_DIR override changes AQE's data-dependent decisions,
-  * so the suite self-skips there rather than pinning one sf's plan shape
+  * The counter ([[JobCount.measure]]) runs the body with AQE OFF: under
+  * AQE, job counts are timing-dependent (stage-materialization futures
+  * race with replanning — identical builds flipped 47/48 and, with
+  * exchange reuse disabled, 49/50 across probed runs), so a strict pin
+  * on AQE counts flakes by construction; AQE-off counts are a pure plan
+  * property (probed 10/10 identical) — a complexity fingerprint, not
+  * the production execution mode.
+  *
+  * Pins hold for the DEFAULT spec conditions (sf0.001, 4 cores); a
+  * GRAFT_TEST_SF_DIR override changes data-dependent plan decisions, so
+  * the suite self-skips there rather than pinning one sf's plan shape
   * against another's data. */
 class JobCountSpec extends SparkSuite {
 
   /** (jobs, stages) of the warm second execution, measured at sf0.001 /
-    * 4 cores / AQE on — two independent JVM runs agreed exactly. */
+    * 4 cores (AQE off during measurement — see [[JobCount.measure]]). */
   private val pins: Seq[(String, Int, Int)] = Seq(
-    ("q_dedup_semantic", 29, 40),
-    ("q_etl_gold", 24, 35),
-    ("q_corpus_ingest_pipeline", 20, 29),
-    ("q_dedup_semantic_incremental_asof_sql", 27, 36),
-    ("q_dedup_semantic_indexed", 20, 28),
-    ("q_dedup_minhash_incremental_asof_sql", 17, 25),
-    ("q_dedup_semantic_incremental_sql", 25, 33),
-    ("q_table_changes_mixed", 25, 49),
-    ("q_dedup_minhash_incremental_sql", 15, 22),
-    ("q_dedup_embedding", 9, 12),
+    ("q_dedup_semantic", 18, 27),
+    ("q_etl_gold", 19, 26),
+    ("q_corpus_ingest_pipeline", 11, 19),
+    ("q_dedup_semantic_incremental_asof_sql", 19, 28),
+    ("q_dedup_semantic_indexed", 12, 18),
+    ("q_dedup_minhash_incremental_asof_sql", 10, 18),
+    ("q_dedup_semantic_incremental_sql", 18, 26),
+    ("q_table_changes_mixed", 9, 25),
+    ("q_dedup_minhash_incremental_sql", 9, 16),
+    ("q_dedup_embedding", 6, 9),
   )
 
   private def defaultConditions: Boolean =

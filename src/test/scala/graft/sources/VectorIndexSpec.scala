@@ -1418,41 +1418,16 @@ class VectorIndexSpec extends SparkSuite {
         "BY PARTITION").collect()
       t
     }
-    def jobsDuring(body: => Unit): Int = {
-      // Count ONLY jobs carrying this measurement's job group: the
-      // SparkContext is shared across the suite JVM, and a stray
-      // cleanup/broadcast job from concurrent suite state under full-suite
-      // load broke the strict-equality pin (47 != 48, r15). Job-group ids
-      // are thread-local and propagate through SQLExecution's captured
-      // local properties (broadcast exchange threads included), so the
-      // filter keeps every job the measured action spawns and nothing else.
-      val group = s"graft-jobpin-${java.util.UUID.randomUUID()}"
-      val n = new java.util.concurrent.atomic.AtomicInteger(0)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          if (group == js.properties.getProperty("spark.jobGroup.id")) {
-            n.incrementAndGet()
-          }
-          ()
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      spark.sparkContext.setJobGroup(group, "job-count pin",
-        interruptOnCancel = false)
-      try body
-      finally {
-        spark.sparkContext.clearJobGroup()
-        // the listener bus is async — poll until the count stabilizes
-        var last = -1
-        var spins = 0
-        while (n.get() != last && spins < 50) {
-          last = n.get(); Thread.sleep(100); spins += 1
-        }
-        spark.sparkContext.removeSparkListener(l)
-      }
-      n.get()
-    }
+    // Count ONLY jobs carrying the measurement's job group (stray
+    // suite-concurrent jobs broke the strict pin, r15), and drain the
+    // async bus with a SENTINEL job instead of a quiet-window poll —
+    // under full-suite load the bus lags in bursts longer than any
+    // fixed window and the poll exited early with an undercount (the
+    // second 47≠48 flake, r16). [[graft.JobCount.measure]] is that
+    // exact machinery — the committed-artifact counter is the pin's
+    // counter, so the gate and the artifact can never disagree.
+    def jobsDuring(body: => Unit): Int =
+      graft.JobCount.measure(spark)(body)._1
     val t3 = staged("vixjc3", 3)
     val t10 = staged("vixjc10", 10)
     val s3 = jobsDuring {
