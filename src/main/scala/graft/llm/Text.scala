@@ -120,6 +120,64 @@ object Text extends QueryModule {
       |FROM rk WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** The DuckDB mirror of the BY PARTITION batch join: per-SOURCE BM25
+    * over the mod-3 partitioned corpus — each query's candidates, df,
+    * N and avgdl all restrict to ITS OWN source's sub-corpus (the
+    * source equality rides every join). */
+  private[graft] lazy val sqlBm25JoinPartitioned: String =
+    """WITH q AS (
+      |  SELECT doc_id AS qid, source AS qsrc,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+      |      AS qtext
+      |  FROM documents WHERE doc_id % 37 = 5 AND doc_id % 3 <> 0),
+      |qtok AS (
+      |  SELECT DISTINCT qid, qsrc, t AS term FROM
+      |    (SELECT qid, qsrc, unnest(string_split(qtext, ' ')) AS t FROM q)
+      |  WHERE t <> ''),
+      |tokens AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |dl AS (
+      |  SELECT doc_id, source, COUNT(*) AS dl FROM tokens
+      |  GROUP BY doc_id, source),
+      |stats AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+      |  GROUP BY source),
+      |tf AS (
+      |  SELECT doc_id, source, term, COUNT(*) AS tf FROM tokens
+      |  WHERE term IN (SELECT term FROM qtok)
+      |  GROUP BY doc_id, source, term),
+      |dfreq AS (
+      |  SELECT source, term, COUNT(DISTINCT doc_id) AS df FROM tf
+      |  GROUP BY source, term),
+      |scored AS (
+      |  SELECT qtok.qid, tf.doc_id,
+      |    CAST(floor(1000000000.0
+      |      * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+      |          / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+      |      AS BIGINT) AS part_fx
+      |  FROM qtok
+      |  JOIN tf ON tf.term = qtok.term AND tf.source = qtok.qsrc
+      |  JOIN dfreq d ON d.term = qtok.term AND d.source = qtok.qsrc
+      |  JOIN dl ON dl.doc_id = tf.doc_id AND dl.source = tf.source
+      |  JOIN stats s ON s.source = qtok.qsrc),
+      |agg AS (
+      |  SELECT qid, doc_id, CAST(SUM(part_fx) AS BIGINT) AS score_fx,
+      |    COUNT(*) AS n_terms
+      |  FROM scored GROUP BY qid, doc_id),
+      |rk AS (
+      |  SELECT qid, doc_id, n_terms, score_fx,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score_fx DESC, doc_id) AS rank
+      |  FROM agg)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+      |  CAST(n_terms AS BIGINT) AS n_terms,
+      |  CAST(score_fx AS DOUBLE) / 1000000000 AS score
+      |FROM rk WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   private[graft] def sqlBm25PerDocOver(corpus: String): String = {
     val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
     s"""WITH tokens AS (

@@ -403,7 +403,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * rows off the stored statistics, one dataflow for the whole batch.
     * Same USING conventions as VECTOR KNN JOIN (balanced quote-aware
     * subquery group); VERSION AS OF serves the snapshot's own
-    * statistics, postings and rows. */
+    * statistics, postings and rows. On a BY PARTITION index the USING
+    * query also carries the partition column and each query ranks
+    * within its own slice's statistics. */
   private val Bm25JoinHead =
     ("""(?is)\s*BM25\s+JOIN\s+ON\s+((?:[\w.]+|`[^`]+`)+)""" +
       """\s*\(\s*(\w+)\s*\)\s+ID\s*\(\s*(\w+)\s*\)\s+USING\s*\(""").r

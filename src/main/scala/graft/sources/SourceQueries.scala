@@ -2349,6 +2349,69 @@ object SourceQueries extends QueryModule {
         s"TOP 10 VERSION AS OF $v")
     }),
 
+    // The batch join on a BY PARTITION index (r16): each query ranks
+    // WITHIN ITS OWN partition's sub-corpus with that slice's
+    // df/N/avgdl — the multi-tenant retrieval rule (cross-slice BM25
+    // scores are not comparable; per-slice statistics are the point of
+    // a partitioned text index). The batch carries the partition
+    // column to route; the oracle replays per-source BM25 over the
+    // mod-3 corpus with the source equality in every join.
+    "q_text_bm25_join_partitioned" -> ((s, d) => {
+      val cat = stageTextByPartBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = Tables(s, d, "documents")
+        .where(col("doc_id") % 37 === 5 &&
+          pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id").as("qid"), col("source"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      TextIndex.bm25Join(s, s"$cat.q.docs", "text", "doc_id", batch,
+          "qid", "qtext", 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // STREAMING batch retrieval (r16): the C229 micro-batch loop
+    // applied to the BM25 join — query-log files land, each arrival
+    // ranks against the STORED statistics via foreachBatch(bm25Join)
+    // into an append-only log. Rankings are batch-row-independent
+    // (stats come from the corpus only), so the drained log equals the
+    // one-shot join and the SAME oracle gates both surfaces.
+    "q_stream_bm25_join" -> ((s, d) => {
+      val cat = stageTextBase(s, d)
+      import org.apache.spark.sql.functions._
+      val batch = Tables(s, d, "documents")
+        .where(col("doc_id") % 37 === 5)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val root = streamRoot(s"bmj_$d") { r =>
+        // (qid - 5) / 37 is EXACT (qid ≡ 5 mod 37), so the bucket split
+        // stays integer arithmetic — Column./ is double division
+        Seq(0L, 1L, 2L).foreach { b =>
+          batch.where(pmod((col("qid") - 5L) / 37L, lit(3)) === b)
+            .coalesce(1)
+            .write.mode("append").parquet(s"$r/arrivals")
+        }
+      }
+      val q = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/arrivals")
+        .writeStream
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            TextIndex.bm25Join(s, s"$cat.q.docs", "text", "doc_id",
+                mb.toDF(), "qid", "qtext", 10)
+              .write.mode("append").parquet(s"$root/decisions")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/decisions")
+        .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"),
+          col("score"))
+        .orderBy("qid", "rank")
+    }),
+
     // The batch join AT A VERSION (r16): the snapshot's own statistics,
     // postings and rows serve every query in the batch — the five
     // term-stuffed decoys appended after the recorded version shift
@@ -5505,6 +5568,13 @@ object SourceQueries extends QueryModule {
     // The SQL statements share the Scala-API replays (C212's rule).
     "q_text_bm25_join_sql" -> graft.llm.Text.sqlBm25Join,
     "q_text_bm25_join_asof_sql" -> graft.llm.Text.sqlBm25Join,
+    // Per-source BM25 over the mod-3 partitioned corpus — candidates,
+    // df, N and avgdl all restricted to each query's own source (r16).
+    "q_text_bm25_join_partitioned" ->
+      graft.llm.Text.sqlBm25JoinPartitioned,
+    // The drained streaming log equals the one-shot batch join
+    // (rankings are batch-row-independent) — shared oracle (r16).
+    "q_stream_bm25_join" -> graft.llm.Text.sqlBm25Join,
     // BM25 recomputed from raw parquet over the SCOPED corpus — the
     // per-domain statistics the index-served scoping must equal.
     "q_text_bm25_scoped" ->

@@ -1096,47 +1096,10 @@ object TextIndex {
     applyStalePolicy(spark, mt.dir, colName, "BM25 JOIN")
     val m = Manifest.read(mt.dir).getOrElse(
       throw new IllegalStateException(s"BM25 JOIN: no manifest at ${mt.dir}"))
-    val qtok = batchTerms(batch, qidCol, qtextCol)
-    val vocab = qtok.select("term").distinct().collect()
-      .map(_.getString(0)).toSeq
-    val (dfs, nDocs, sumDl, rows) = freshIdx(spark, m, colName) match {
-      case Some(idxName) =>
-        val idxDir = mt.dir.resolve(idxName)
-        val posts = spark.read.parquet(idxDir.resolve("posts").toString)
-          .where(if (vocab.isEmpty) lit(false)
-            else col("token").isin(vocab: _*))
-          .groupBy("token")
-          .agg(sum(col("n_docs")).as("df"),
-            collect_set(col("file")).as("files"))
-          .collect()
-        val stats = spark.read.parquet(idxDir.resolve("stats").toString)
-          .agg(coalesce(sum(col("n_docs")), lit(0L)),
-            coalesce(sum(col("sum_dl")), lit(0L)))
-          .collect().head
-        val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
-        val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
-        val rows =
-          if (cand.isEmpty) spark.table(table).where(lit(false))
-          else scanFiles(spark, mt.dir, cand)
-        (dfMap, stats.getLong(0), stats.getLong(1), rows)
-      case None =>
-        val all = spark.table(table)
-        val stats = all.agg(count(lit(1)),
-          coalesce(sum(size(split(col(colName), " "))), lit(0L)))
-          .collect().head
-        // every batch term's df in ONE aggregation — the single-query
-        // path's per-term count() would be a driver loop over the vocab
-        val dfMap =
-          if (vocab.isEmpty) Map.empty[String, Long]
-          else all
-            .select(explode(array_distinct(split(col(colName), " ")))
-              .as("token"))
-            .where(col("token").isin(vocab: _*))
-            .groupBy("token").agg(count(lit(1)).as("df"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        (dfMap, stats.getLong(0), stats.getLong(1), all)
-    }
-    bm25JoinRank(spark, dfs, nDocs, sumDl, rows, colName, idCol, qtok, k)
+    bm25JoinAttempt(spark, mt.dir, m, colName, idCol, batch, qidCol,
+      qtextCol, k, freshIdx(spark, m, colName),
+      fs => scanFiles(spark, mt.dir, fs),
+      () => spark.table(table), "BM25 JOIN")
   }
 
   /** [[bm25Join]] AT A SNAPSHOT — reproduce yesterday's batch retrieval
@@ -1162,9 +1125,6 @@ object TextIndex {
         .option("snapshot", version.toString)
         .option("files", fs.mkString(","))
         .load()
-    val qtok = batchTerms(batch, qidCol, qtextCol)
-    val vocab = qtok.select("term").distinct().collect()
-      .map(_.getString(0)).toSeq
     val idx = m.props.collectFirst {
       case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
     }.flatMap { v =>
@@ -1175,65 +1135,108 @@ object TextIndex {
         Some(fields(0))
       else None
     }
-    val (dfs, nDocs, sumDl, rows) = idx match {
+    bm25JoinAttempt(spark, mt.dir, m, colName, idCol, batch, qidCol,
+      qtextCol, k, idx, snapScan, () => snapScan(names), "BM25 JOIN AS OF")
+  }
+
+  /** The batch join's shared core (live and AS OF): batch term pairs,
+    * df/N/avgdl off the posting/stat sidecars (or recomputed from
+    * `full()` when the index is stale/absent — same answer, no
+    * pruning), candidates from the posting-union files, and one
+    * broadcast retrieval join + ranked window per query. On a BY
+    * PARTITION index (the r16 part-keyed sidecars) each query ranks
+    * WITHIN ITS OWN partition's sub-corpus with that slice's df/N/avgdl
+    * — the multi-tenant retrieval rule (per-slice statistics are the
+    * point of a partitioned text index; cross-slice BM25 scores are not
+    * comparable): the batch must carry the partition column to route
+    * (refused loudly), candidates restrict to each query's slice, and a
+    * query pinned to a slice with no sub-corpus yields no rows. The
+    * driver-side state is the batch's (part,) term vocabulary with df
+    * counts and per-slice totals — batch-bounded, never the corpus;
+    * per-(part,) term idf is driver-computed with [[bm25Rank]]'s own
+    * `math.log` and the per-slice avgdl rides the same broadcast frame,
+    * so a 1-row batch is bit-identical to the single-query paths. */
+  private def bm25JoinAttempt(spark: SparkSession, dir: Path,
+      m: Manifest, colName: String, idCol: String, batch: DataFrame,
+      qidCol: String, qtextCol: String, k: Int, idxOpt: Option[String],
+      scan: Seq[String] => DataFrame, full: () => DataFrame,
+      op: String): DataFrame = {
+    val partOpt: Option[String] = m.props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(PropPrefix + colName) => v
+    }.flatMap(propPartCol)
+    partOpt.foreach { pc =>
+      if (!batch.columns.exists(_.equalsIgnoreCase(pc)))
+        throw new IllegalArgumentException(
+          s"$op: the index on ($colName) is BY PARTITION ($pc) — the " +
+            s"batch must carry a $pc column so each query ranks within " +
+            "its own partition's statistics")
+    }
+    val qtok = batch.select(Seq(col(qidCol).as("qid"),
+        explode(array_distinct(split(col(qtextCol), " "))).as("term")) ++
+        partOpt.map(pc => col(pc).cast("string").as("part")): _*)
+      .where(length(col("term")) > 0)
+    val vocab = qtok.select("term").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val pG = partOpt.toSeq.map(_ => col("part"))
+    // (part?, term) -> df and candidate files; (part?) -> (N, sum_dl):
+    // sidecar reads when fresh (metadata volume), one-pass corpus
+    // aggregations otherwise (never a per-term driver loop)
+    val (dfRows, statRows, rows) = idxOpt match {
       case Some(idxName) =>
-        val idxDir = mt.dir.resolve(idxName)
+        val idxDir = dir.resolve(idxName)
         val posts = spark.read.parquet(idxDir.resolve("posts").toString)
           .where(if (vocab.isEmpty) lit(false)
             else col("token").isin(vocab: _*))
-          .groupBy("token")
+          .groupBy(col("token") +: pG: _*)
           .agg(sum(col("n_docs")).as("df"),
             collect_set(col("file")).as("files"))
           .collect()
         val stats = spark.read.parquet(idxDir.resolve("stats").toString)
-          .agg(coalesce(sum(col("n_docs")), lit(0L)),
-            coalesce(sum(col("sum_dl")), lit(0L)))
-          .collect().head
-        val cand = posts.flatMap(_.getSeq[String](2)).distinct.toSeq
-        val dfMap = posts.map(r => r.getString(0) -> r.getLong(1)).toMap
+          .groupBy(pG: _*)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+          .collect()
+        val o = partOpt.size // field offset: (token[, part], df, files)
+        val cand = posts.flatMap(_.getSeq[String](2 + o)).distinct.toSeq
+        val dfRows = posts.map(r => (r.getString(0),
+          if (partOpt.isEmpty) "" else r.getString(1),
+          r.getLong(1 + o))).toSeq
         val rows =
-          if (cand.isEmpty) spark.table(table).where(lit(false))
-          else snapScan(cand)
-        (dfMap, stats.getLong(0), stats.getLong(1), rows)
+          if (cand.isEmpty) full().where(lit(false)) else scan(cand)
+        (dfRows, stats.toSeq, rows)
       case None =>
-        val all = snapScan(names)
-        val stats = all.agg(count(lit(1)),
-          coalesce(sum(size(split(col(colName), " "))), lit(0L)))
-          .collect().head
-        val dfMap =
-          if (vocab.isEmpty) Map.empty[String, Long]
+        val all = full()
+        val stats = all
+          .groupBy(partOpt.toSeq
+            .map(pc => col(pc).cast("string").as("part")): _*)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(split(col(colName), " "))), lit(0L))
+              .as("sum_dl"))
+          .collect()
+        val dfRows =
+          if (vocab.isEmpty) Seq.empty[(String, String, Long)]
           else all
-            .select(explode(array_distinct(split(col(colName), " ")))
-              .as("token"))
+            .select(partOpt.toSeq
+              .map(pc => col(pc).cast("string").as("part")) :+
+              explode(array_distinct(split(col(colName), " ")))
+                .as("token"): _*)
             .where(col("token").isin(vocab: _*))
-            .groupBy("token").agg(count(lit(1)).as("df"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        (dfMap, stats.getLong(0), stats.getLong(1), all)
+            .groupBy(col("token") +: pG: _*)
+            .agg(count(lit(1)).as("df"))
+            .collect().map(r => (r.getString(0),
+              if (partOpt.isEmpty) "" else r.getString(1),
+              r.getLong(1 + partOpt.size))).toSeq
+        (dfRows, stats.toSeq, all)
     }
-    bm25JoinRank(spark, dfs, nDocs, sumDl, rows, colName, idCol, qtok, k)
-  }
-
-  /** The batch's `(qid, term)` pairs — distinct non-empty whitespace
-    * terms per query (the engine's tokenizer; BM25 scores the term
-    * set, so duplicates inside one query text collapse). */
-  private def batchTerms(batch: DataFrame, qidCol: String,
-      qtextCol: String): DataFrame =
-    batch.select(col(qidCol).as("qid"),
-        explode(array_distinct(split(col(qtextCol), " "))).as("term"))
-      .where(length(col("term")) > 0)
-
-  /** The batch join's shared ranking tail: per-(doc, term) tf rows over
-    * the candidate scan (vocab-restricted BEFORE the grouping — the
-    * exploded frame never carries a non-query term through the
-    * shuffle), idf per term from the driver df map ([[bm25Rank]]'s
-    * exact expression shape and fixed-point floor, term-at-a-time so a
-    * 1-row batch is bit-identical to [[bm25TopK]]), the broadcast
-    * retrieval join, and one ranked window per query. */
-  private def bm25JoinRank(spark: SparkSession, dfs: Map[String, Long],
-      nDocs: Long, sumDl: Long, rows: DataFrame, colName: String,
-      idCol: String, qtok: DataFrame, k: Int): DataFrame = {
-    val avgdl = sumDl.toDouble / math.max(1L, nDocs)
-    val present = dfs.toSeq.filter(_._2 > 0L).sortBy(_._1)
+    // per-(part?) corpus totals -> avgdl (the single-query derivation)
+    val totals = statRows.map { r =>
+      val o = partOpt.size
+      val pv = if (partOpt.isEmpty) "" else r.getString(0)
+      pv -> (r.getLong(o), r.getLong(o + 1))
+    }.toMap
+    val present = dfRows.filter { case (_, pv, df) =>
+      df > 0L && totals.contains(pv)
+    }.sortBy(r => (r._2, r._1))
     val qidT = qtok.schema("qid").dataType.catalogString
     val idT = rows.schema.fields
       .find(_.name.equalsIgnoreCase(idCol))
@@ -1244,26 +1247,32 @@ object TextIndex {
         lit(0L).as("n_terms"), lit(0.0).as("score"))
     if (present.isEmpty) return empty
     import spark.implicits._
-    // (term, idf) — driver-computed with the same math.log the
-    // single-query path uses, so scores match it bit-for-bit
-    val idfDf = present.map { case (t, df) =>
-      (t, math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)))
-    }.toDF("term", "idf")
+    // (part?, term) -> (idf, avgdl) — driver-computed with the same
+    // math.log as the single-query path, so scores match bit-for-bit;
+    // the per-slice avgdl rides the same broadcast frame
+    val idfDf = present.map { case (t, pv, df) =>
+      val (nDocs, sumDl) = totals(pv)
+      (t, pv, math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)),
+        sumDl.toDouble / math.max(1L, nDocs))
+    }.toDF("term", "part", "idf", "avgdl")
     val toks = split(col(colName), " ")
+    val joinKeys = Seq("term") ++ partOpt.map(_ => "part")
     val docTerms = rows
-      .select(col(idCol).as("doc_id"), size(toks).cast("double").as("dl"),
-        explode(toks).as("term"))
-      .where(col("term").isin(present.map(_._1): _*))
-      .groupBy("doc_id", "term")
+      .select(Seq(col(idCol).as("doc_id"),
+        size(toks).cast("double").as("dl"), explode(toks).as("term")) ++
+        partOpt.map(pc => col(pc).cast("string").as("part")): _*)
+      .where(col("term").isin(present.map(_._1).distinct: _*))
+      .groupBy(Seq(col("doc_id"), col("term")) ++ pG: _*)
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
     val partFx = floor(lit(1e9) * col("idf") * (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
-        lit(avgdl)))).cast("long")
+        col("avgdl")))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score_fx"), col("doc_id"))
     docTerms
-      .join(broadcast(qtok), Seq("term"))
-      .join(broadcast(idfDf), Seq("term"))
+      .join(broadcast(qtok), joinKeys)
+      .join(broadcast(
+        if (partOpt.isEmpty) idfDf.drop("part") else idfDf), joinKeys)
       .select(col("qid"), col("doc_id"), partFx.as("part_fx"))
       .groupBy("qid", "doc_id")
       .agg(sum(col("part_fx")).as("score_fx"), count(lit(1)).as("n_terms"))

@@ -1190,4 +1190,68 @@ class TextIndexSpec extends SparkSuite {
     }
     assert(e1.getMessage.contains("BM25 JOIN"), e1.getMessage)
   }
+
+  test("bm25Join BY PARTITION: each query ranks within its own slice's " +
+      "statistics; the batch must carry the partition column (r16)") {
+    val (cat, _) = freshCatalog("tix58")
+    val t = stagePartitioned(cat)
+    spark.sql(s"CREATE TEXT INDEX ON $t (text) BY PARTITION").collect()
+    // 'x' is common in slice a (3/3 docs) but rare in slice b (1/3):
+    // the same query text ranks against ITS slice's idf — slice b's
+    // lone x-doc scores with a HIGHER idf than any slice-a doc
+    val batch = Seq((100L, "a", "x"), (101L, "b", "x"), (102L, "c", "x"))
+      .toDF("qid", "src", "qtext")
+    val res = TextIndex.bm25Join(spark, t, "text", "id", batch,
+        "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(4)))
+    val qa = res.filter(_._1 == 100L)
+    val qb = res.filter(_._1 == 101L)
+    assert(qa.map(_._3).toSet == Set(1L, 2L, 3L),
+      s"query a sees exactly slice a's x-docs: ${qa.toSeq}")
+    assert(qb.map(_._3).toSet == Set(11L),
+      s"query b sees exactly slice b's x-doc: ${qb.toSeq}")
+    assert(!res.exists(_._1 == 102L),
+      "slice c holds no 'x' — the pinned query has a null result")
+    // slice b's idf for x (1 of 3 docs) beats slice a's (3 of 3):
+    // per-slice statistics, not corpus statistics
+    assert(qb.head._4 > qa.map(_._4).max,
+      s"slice-b idf must exceed slice-a idf: ${qb.head._4} vs ${qa.toSeq}")
+    // each slice's ranking equals a solo table holding only that slice
+    val solo = s"$cat.ns.soloa"
+    spark.sql(s"CREATE TABLE $solo (id BIGINT, text STRING)")
+    Seq((1L, "x x y"), (2L, "x z"), (3L, "x w"))
+      .toDF("id", "text").coalesce(1).writeTo(solo).append()
+    spark.sql(s"CREATE TEXT INDEX ON $solo (text)").collect()
+    val soloRes = TextIndex.bm25Join(spark, solo, "text", "id",
+        Seq((100L, "x")).toDF("qid", "qtext"), "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(qa.sortBy(_._2).toSeq == soloRes.sortBy(_._2).toSeq,
+      "slice a through the partitioned join == the solo-table join")
+    // a batch without the partition column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25Join(spark, t, "text", "id",
+        Seq((1L, "x")).toDF("qid", "qtext"), "qid", "qtext", 10)
+    }
+    assert(e.getMessage.contains("BY PARTITION"), e.getMessage)
+    // AS OF shares the core: a post-version same-slice decoy stuffed
+    // with the query term dominates the current serve and shifts the
+    // slice's statistics, yet the AS OF join equals the pre-append
+    // serve — routed against the SNAPSHOT's part-keyed sidecars
+    val v = Manifest.snapshotVersions(dirOf(t)).max
+    Seq((99L, "b", "x x x x"))
+      .toDF("id", "src", "text").coalesce(1).writeTo(t).append()
+    val curB = TextIndex.bm25Join(spark, t, "text", "id", batch,
+        "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(curB.contains((101L, 1, 99L)),
+      s"the decoy dominates slice b's current serve: ${curB.toSeq}")
+    val asofB = TextIndex.bm25JoinAsOf(spark, t, "text", "id", batch,
+        "qid", "qtext", 10, v)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(4))).sortBy(r => (r._1, r._2))
+    assert(asofB.toSeq == res.sortBy(r => (r._1, r._2)).toSeq,
+      "partitioned AS OF == the pre-append serve, scores bit-for-bit")
+  }
 }
