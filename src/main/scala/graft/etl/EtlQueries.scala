@@ -36,16 +36,33 @@ object EtlQueries extends QueryModule {
     "q_etl_gold" -> ((s, d) => {
       val tmp = graft.Scratch.dir("graft_etl_")
       val orders = Tables(s, d, "orders")
-      // 1. monthly source files (exact month slices, reference naming)
+      // 1. monthly source files (exact month slices, reference naming).
+      // ONE partitioned write instead of six filter+write jobs (r16,
+      // guide §2.4/§1.2): the month slices are disjoint calendar
+      // buckets of one contiguous range, so a single scan derives the
+      // bucket (`date_format` ⇔ the per-month [start, next) filters) and
+      // a dynamic-partition write lands every month in one pass; the
+      // directories are then renamed to the reference's
+      // `orders_YYYY-MM.parquet` naming. Same rows per file, one scan of
+      // `orders` instead of six, 6 write jobs → 1.
+      val lo = graft.dates.DateBounds.sqlLiteral(
+        graft.dates.DateBounds.dateMinusTolerance(Months.head, 0))
+      val hi = graft.dates.DateBounds.sqlLiteral(
+        graft.dates.DateBounds.firstDayOfNextMonth(Months.last))
+      orders
+        .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+          col("o_orderdate") < to_timestamp(lit(hi)))
+        .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_ym")) // one file per month directory
+        .write.mode("overwrite").partitionBy("o_ym").parquet(s"$tmp/srcp")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
       Months.foreach { ym =>
-        val lo = graft.dates.DateBounds.sqlLiteral(
-          graft.dates.DateBounds.dateMinusTolerance(ym, 0))
-        val hi = graft.dates.DateBounds.sqlLiteral(
-          graft.dates.DateBounds.firstDayOfNextMonth(ym))
-        orders
-          .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
-            col("o_orderdate") < to_timestamp(lit(hi)))
-          .write.mode("overwrite").parquet(s"$tmp/src/orders_$ym.parquet")
+        val from = java.nio.file.Paths.get(s"$tmp/srcp/o_ym=$ym")
+        val to = java.nio.file.Paths.get(s"$tmp/src/orders_$ym.parquet")
+        if (java.nio.file.Files.exists(from))
+          java.nio.file.Files.move(from, to)
+        else // a month with zero rows still lands as an (empty) source dir
+          orders.limit(0).write.parquet(to.toString)
       }
       // 2. the pipeline (bronze → manifests → gold + DDL)
       val cfg = Etl.Config(

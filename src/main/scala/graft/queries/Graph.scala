@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.Tables
 
@@ -49,7 +49,11 @@ object Graph extends QueryModule {
       val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
       val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
       val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      val und = li
+      // the oriented edge set is BOUNDED (≤ nation-pair space) — localize
+      // it (one collect job) so the two self-join legs ride free local
+      // broadcasts instead of paying an exchange job per leg off the
+      // checkpointed RDD (r16; the pagerank edge rule)
+      val und = graft.llm.Clustering.localize(li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -57,8 +61,7 @@ object Graph extends QueryModule {
           least(col("c_nationkey"), col("s_nationkey")).as("lo"),
           greatest(col("c_nationkey"), col("s_nationkey")).as("hi"))
         .filter(col("lo") =!= col("hi"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       val tri = und.as("ab")
         .join(und.as("bc"), col("ab.hi") === col("bc.lo"))
         .join(und.as("ac"),
@@ -78,32 +81,63 @@ object Graph extends QueryModule {
       val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
       val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
       val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      val edges = li
+      // the edge aggregate is BOUNDED (≤ nations², the dim-pair space) —
+      // collect it ONCE (the kmeans-loop centroid rule) instead of
+      // localCheckpoint: the out-weight attach runs driver-side over the
+      // same rows (exact integer sums — no exchange), and every
+      // iteration's join legs against the local relation become free
+      // broadcasts, where the checkpointed frame paid a
+      // broadcast-exchange job per leg (r16, guide §2.4).
+      val edgeRows = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy(col("c_nationkey").cast(LongType).as("src"),
+          col("s_nationkey").cast(LongType).as("dst"))
         .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-      val outw = edges.groupBy("src").agg(sum("w").as("outw"))
-      val e = edges.join(outw, "src")
-      val nodes = Tables(s, d, "nation").select("n_nationkey", "n_name")
-      val nc = nodes.agg(count(lit(1)).as("n_nodes"))
-      var pr = nodes.crossJoin(broadcast(nc))
-        .select(col("n_nationkey").as("node"), col("n_nodes"),
-          expr(s"$S div n_nodes").as("pr"))
+        .collect()
+      val outwOf: Map[Long, Long] = edgeRows
+        .groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(2)).sum }
+      // the node dimension is bounded too (25 nations at any SF): one
+      // collect serves the seed, the iteration rejoin AND the node count
+      val nodeRows = Tables(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name")).collect()
+      val nNodes = nodeRows.length.toLong
+      val seedPr = S / nNodes // S div n_nodes — integer floor, same values
+      val damp0 = (15L * seedPr) / 100L
+      // THE FIXPOINT RUNS DRIVER-SIDE over the collected aggregate (r16):
+      // the unrolled 3-iteration plan daisy-chained a broadcast job per
+      // iteration, each re-executing the chain's prefix — while every
+      // iteration is exact integer arithmetic over the ≤ nations² edge
+      // rows (the bounded-metadata class the centroid/coarse-cell legs
+      // already compute driver-side, r14 precedent). Same truncating
+      // `div`, same order-independent integer sums → identical ranks;
+      // the 100 TB-scale star join + edge aggregate stay distributed.
+      var pr: Map[Long, Long] =
+        nodeRows.map(r => r.getLong(0) -> seedPr).toMap
       for (_ <- 1 to Iters) {
-        val contribs = e.join(pr, col("src") === col("node"))
-          .select(col("dst"), expr("(pr * w) div outw").as("c"))
-          .groupBy("dst").agg(sum("c").as("cs"))
-        pr = nodes.crossJoin(broadcast(nc))
-          .join(contribs, col("n_nationkey") === col("dst"), "left_outer")
-          .select(col("n_nationkey").as("node"), col("n_nodes"),
-            expr(s"(15 * ($S div n_nodes)) div 100" +
-              s" + (85 * coalesce(cs, 0L)) div 100").as("pr"))
+        val cs = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        edgeRows.foreach { r =>
+          val src = r.getLong(0)
+          cs(r.getLong(1)) += pr(src) * r.getLong(2) / outwOf(src)
+        }
+        pr = nodeRows.map { nr =>
+          val k = nr.getLong(0)
+          k -> (damp0 + 85L * cs(k) / 100L)
+        }.toMap
       }
-      pr.join(broadcast(nodes), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("pr").as("pr_fp"))
+      val ranked = s.createDataFrame(
+        java.util.Arrays.asList(nodeRows.map(nr =>
+          org.apache.spark.sql.Row(nr.getString(1), pr(nr.getLong(0)))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pr_fp",
+            org.apache.spark.sql.types.LongType))))
+      ranked
         .withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(desc("pr_fp"), col("n_name"))).cast(IntegerType))

@@ -32,16 +32,22 @@ class JobCountSpec extends SparkSuite {
   /** (jobs, stages) of the warm second execution, measured at sf0.001 /
     * 4 cores (AQE off during measurement — see [[JobCount.measure]]). */
   private val pins: Seq[(String, Int, Int)] = Seq(
-    ("q_dedup_semantic", 18, 27),
-    ("q_etl_gold", 19, 26),
-    ("q_corpus_ingest_pipeline", 11, 19),
-    ("q_dedup_semantic_incremental_asof_sql", 19, 28),
+    // r16 optimization round: every pin dropped ≥1 job when Tables()
+    // loads became memoized per (session, dir, table) — the parquet
+    // schema-inference job was a fixed per-invocation tax; q_etl_gold
+    // additionally fused its six monthly source writes into one
+    // dynamic-partition pass (19 → 13). Values re-measured at the
+    // default conditions after each change (OPTIMIZATION_r16.md).
+    ("q_dedup_semantic", 17, 26),
+    ("q_etl_gold", 13, 21),
+    ("q_corpus_ingest_pipeline", 9, 17),
+    ("q_dedup_semantic_incremental_asof_sql", 18, 27),
     ("q_dedup_semantic_indexed", 12, 18),
-    ("q_dedup_minhash_incremental_asof_sql", 10, 18),
-    ("q_dedup_semantic_incremental_sql", 18, 26),
-    ("q_table_changes_mixed", 9, 25),
-    ("q_dedup_minhash_incremental_sql", 9, 16),
-    ("q_dedup_embedding", 6, 9),
+    ("q_dedup_minhash_incremental_asof_sql", 9, 17),
+    ("q_dedup_semantic_incremental_sql", 17, 25),
+    ("q_table_changes_mixed", 8, 24),
+    ("q_dedup_minhash_incremental_sql", 8, 15),
+    ("q_dedup_embedding", 5, 8),
   )
 
   private def defaultConditions: Boolean =
