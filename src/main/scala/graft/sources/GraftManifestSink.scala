@@ -2582,8 +2582,16 @@ private[graft] object ManifestTable {
           // probe is one bounded job over this commit's own files.
           val pre = scan(a, removed).select(cols.map(col): _*)
           val post = scan(b, added).select(cols.map(col): _*)
-          val preD = pre.exceptAll(post)
-          val postD = post.exceptAll(pre)
+          // MATERIALIZE the two delta sides once (r16, the multi-consumer
+          // rule): each is bounded by this commit's own churn, and the
+          // key-attribution path below consumes each THREE times (the
+          // distinct-keys broadcast + a semi and an anti leg) — without
+          // the cut every broadcast future re-executes the full
+          // exceptAll (scan + two aggregates), measured 1.5–2.4 s per
+          // leg on q_table_changes_mixed at sf0.1; the keyless branch's
+          // emptiness probes + tags re-ran it the same way.
+          val preD = pre.exceptAll(post).localCheckpoint()
+          val postD = post.exceptAll(pre).localCheckpoint()
           // a DECLARED row key (`TBLPROPERTIES ('key' = 'c1[,c2…]')`)
           // makes a MIXED commit's attribution exact WITHOUT the change
           // feed: a post-side row whose key exists on the pre side is an
